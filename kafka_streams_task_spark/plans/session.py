@@ -1,0 +1,60 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local runs use ``local[$SPARK_GRAFT_CPUS]`` (default ``local[*]``); the same
+config block is what we'd ship to a 1000-executor cluster, minus the master
+and memory lines which come from the cluster manager there.
+
+Design notes for 100 TB:
+  - AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+    and dynamic broadcast conversion are the main levers that keep a static
+    plan healthy at 1000x the data.
+  - shuffle.partitions is a *starting* number; AQE coalesces down, and at
+    cluster scale it should be set to ~2-3x total cores (we default it from
+    the local core count here).
+  - Arrow on: every Pandas-UDF operator (geohash, minhash, embedding math)
+    moves columnar batches, not pickled rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "kafka_streams_task_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 4)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,114 @@
+"""Schema registry: one StructType constant per entity.
+
+The reference defines schemas implicitly as Java POJOs + Jackson JSON
+(reference: src/main/java/org/davkaev/domain/Weather.java:8-10,
+WeatherAgg.java:10-11, Address.java:10-16; ad-hoc JSON parses at
+WeatherHotelsApp.java:72-81,116-126). Here they are explicit StructTypes used
+with ``from_json`` / ``to_json`` — the Spark-native equivalent of the
+reference's PojoSerializer/PojoDeserializer pair
+(serdes/PojoDeserializer.java:28-40, PojoSerializer.java:24-33).
+
+Also registers the driver-generated test tables (TESTDATA.md) and a loader
+that exposes them as temp views for the SQL surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Reference domain (weather-hotels pipeline)
+# ---------------------------------------------------------------------------
+
+#: Raw weather observation, as JSON on the input topic
+#: (reference: WeatherHotelsApp.java:72-81; FIXTURES.md §1).
+WEATHER_RAW = T.StructType(
+    [
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("lng", T.DoubleType()),
+        T.StructField("wthr_date", T.StringType()),
+        T.StructField("avg_tmpr_f", T.DoubleType()),
+        T.StructField("avg_tmpr_c", T.DoubleType()),
+    ]
+)
+
+#: Weather value after rekey/projection (reference: domain/Weather.java:8-10).
+WEATHER = T.StructType(
+    [
+        T.StructField("tmp_f", T.DoubleType()),
+        T.StructField("tmp_c", T.DoubleType()),
+        T.StructField("date", T.StringType()),
+    ]
+)
+
+#: Per-geohash rollup value (reference: domain/WeatherAgg.java:10-11) —
+#: in Spark the list is ``collect_list(struct(...))``.
+WEATHER_AGG = T.StructType(
+    [
+        T.StructField("weatherList", T.ArrayType(WEATHER)),
+        T.StructField("date", T.StringType()),
+    ]
+)
+
+#: Raw hotel/address record, as JSON on the input topic
+#: (reference: WeatherHotelsApp.java:116-126; FIXTURES.md §2).
+HOTELS_RAW = T.StructType(
+    [
+        T.StructField("Id", T.StringType()),
+        T.StructField("Name", T.StringType()),
+        T.StructField("Country", T.StringType()),
+        T.StructField("City", T.StringType()),
+        T.StructField("Address", T.StringType()),
+        T.StructField("Latitude", T.StringType()),
+        T.StructField("Longitude", T.StringType()),
+        T.StructField("Hash", T.StringType()),
+    ]
+)
+
+#: Enriched address output (reference: domain/Address.java:10-16 with
+#: avgWeathers appended by Address.addWeather, :31-41).
+ADDRESS_ENRICHED = T.StructType(
+    [
+        T.StructField("hash", T.StringType()),
+        T.StructField("country", T.StringType()),
+        T.StructField("city", T.StringType()),
+        T.StructField("address", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("id", T.StringType()),
+        T.StructField("avgWeathers", T.ArrayType(WEATHER)),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Driver test tables (TESTDATA.md) — names match the parquet files.
+# ---------------------------------------------------------------------------
+
+TEST_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver parquet table. Column pruning + predicate pushdown
+    happen automatically because this stays a plain parquet scan."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every driver table as a temp view; returns the DataFrames."""
+    out: dict[str, DataFrame] = {}
+    for name in TEST_TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

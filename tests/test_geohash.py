@@ -1,0 +1,59 @@
+"""Geohash function tests — golden vectors from the reference test suite
+(reference: src/test/java/WeatherStreamsTest.java:171-177, 206-214)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kafka_streams_task_spark.functions.geohash import (
+    _geohash_numpy,
+    geohash_encode,
+    geohash_udf,
+)
+
+GOLDEN = [
+    ((39.6467, -89.8455), "dp01"),
+    ((35.7395, -78.3249), "dq27"),
+    ((36.3367, -77.113), "dq3n"),
+    ((39.2336, -108.67), "9wfx"),
+    ((36.9639, -85.3242), "dne6"),
+    ((0.0, 0.0), "s000"),  # WeatherStreamsTest.java:214 (via coercion quirk)
+]
+
+
+@pytest.mark.parametrize("coords,expected", GOLDEN)
+def test_golden_scalar(coords, expected):
+    assert geohash_encode(*coords, 4) == expected
+
+
+@pytest.mark.parametrize("coords,expected", GOLDEN)
+def test_golden_numpy(coords, expected):
+    lat, lng = coords
+    assert _geohash_numpy(np.array([lat]), np.array([lng]), 4)[0] == expected
+
+
+@given(
+    st.floats(min_value=-90.0, max_value=90.0, allow_nan=False),
+    st.floats(min_value=-180.0, max_value=180.0, allow_nan=False),
+    st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=200, deadline=None)
+def test_numpy_matches_scalar(lat, lng, precision):
+    fast = _geohash_numpy(np.array([lat]), np.array([lng]), precision)[0]
+    assert fast == geohash_encode(lat, lng, precision)
+
+
+def test_nan_yields_null():
+    out = _geohash_numpy(np.array([np.nan, 1.0]), np.array([2.0, np.nan]), 4)
+    assert out[0] is None and out[1] is None
+
+
+def test_udf_on_spark(spark):
+    df = spark.createDataFrame(
+        [(lat, lng) for (lat, lng), _ in GOLDEN], ["lat", "lng"]
+    )
+    got = [r.gh for r in df.select(geohash_udf(4)("lat", "lng").alias("gh")).collect()]
+    assert got == [exp for _, exp in GOLDEN]
