@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship smoke query at sf0.001.
+``queries()`` — every implemented catalog operator, (spark, sf_dir) -> DataFrame.
+``oracle_sql()`` — DuckDB oracle per query where SQL-expressible.
+
+The catalog itself lives in ``kafka_streams_task_spark.catalog`` — one
+registered (fn, oracle) pair per operator from SURVEY.md §2 plus the
+LLM-pipeline extensions.
 """
 
 from __future__ import annotations
@@ -13,26 +15,29 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from kafka_streams_task_spark.catalog import CATALOG
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the reference topology
+    shape (two-level aggregation + enrichment join) on the events/customer
+    tables — per-(user, day) averages rolled up per user, joined onto the
+    customer dimension (SURVEY §7.2)."""
+    from kafka_streams_task_spark.catalog.pipeline import pipeline_enrich_daily_rollup
+
+    return pipeline_enrich_daily_rollup(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 (+ extensions)."""
+    return {name: spec.fn for name, spec in CATALOG.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    """DuckDB-equivalent SQL for every SQL-expressible query in queries().
+
+    Omitted entries (minhash/simhash/LSH/lang-id/fingerprints) are genuinely
+    non-SQL (seeded signatures, engine-specific hashes, approximate
+    algorithms); each is covered by property tests in tests/ instead.
     """
-    return {}
+    return {name: spec.oracle for name, spec in CATALOG.items() if spec.oracle is not None}

@@ -1,0 +1,236 @@
+"""Reference-pipeline-shaped queries over the driver tables.
+
+The weather/hotels domain itself is covered by golden-value pytest fixtures
+(tests/test_weather_pipeline.py); these queries exercise the same operator
+chain — rekey, two-level aggregation, changelog latest-per-key, enrichment
+join, tumbling windows, geohash keying — on the driver's tables so each one
+gets a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.geohash import geohash_expr
+from ..operators.weather import latest_per_key
+from ..schemas import load_table
+from .registry import query
+
+
+def duckdb_geohash_sql(lat_expr: str, lng_expr: str, precision: int = 4) -> str:
+    """Generate DuckDB SQL computing the same geohash as ``geohash_expr``.
+
+    Mirrors the quantize-and-interleave formulation term by term so the
+    oracle exercises our geohash at full fidelity (bit-identical IEEE
+    arithmetic in both engines). Expects ``__latq``/``__lngq`` helper columns
+    to be provided via :func:`duckdb_geohash_prelude`.
+    """
+    total_bits = 5 * precision
+    n_lng = (total_bits + 1) // 2
+    terms = []
+    for i in range(n_lng):
+        terms.append(f"(((__lngq >> {n_lng - 1 - i}) & 1) << {total_bits - 1 - 2 * i})")
+    for i in range(total_bits // 2):
+        terms.append(f"(((__latq >> {total_bits // 2 - 1 - i}) & 1) << {total_bits - 2 - 2 * i})")
+    packed = " | ".join(terms)
+    chars = " || ".join(
+        f"substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((__packed >> {5 * (precision - 1 - c)}) & 31) AS INT) + 1, 1)"
+        for c in range(precision)
+    )
+    return packed, chars
+
+
+def duckdb_geohash_prelude(lat_expr: str, lng_expr: str, precision: int = 4) -> str:
+    """Quantization helper columns for the oracle (one eval per axis)."""
+    total_bits = 5 * precision
+    n_lng = (total_bits + 1) // 2
+    n_lat = total_bits // 2
+    return (
+        f"CAST(least(floor((least(greatest({lat_expr}, -90.0), 90.0) + 90.0) / 180.0 * {float(1 << n_lat)}), {(1 << n_lat) - 1}) AS BIGINT) AS __latq, "
+        f"CAST(least(floor((least(greatest({lng_expr}, -180.0), 180.0) + 180.0) / 360.0 * {float(1 << n_lng)}), {(1 << n_lng) - 1}) AS BIGINT) AS __lngq"
+    )
+
+
+def _geohash_cells_oracle() -> str:
+    packed, chars = duckdb_geohash_sql("__lat", "__lng", 4)
+    return f"""
+    WITH coords AS (
+      SELECT value,
+             (value % 180.0) - 90.0        AS __lat,
+             ((value * 7.0) % 360.0) - 180.0 AS __lng
+      FROM events
+    ), quant AS (
+      SELECT value, {duckdb_geohash_prelude('__lat', '__lng', 4)}
+      FROM coords
+    ), packed AS (
+      SELECT value, ({packed}) AS __packed FROM quant
+    )
+    SELECT ({chars}) AS geohash,
+           count(*) AS n_obs,
+           round((avg(value)) + 1e-07, 4) AS avg_value
+    FROM packed
+    GROUP BY 1
+    """
+
+
+@query("geohash_cells", oracle=_geohash_cells_oracle())
+def geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+A1-A3 with the real geohash function: derive deterministic
+    coordinates from event values, geohash-rekey at precision 4, aggregate
+    per cell. The oracle recomputes the geohash bit math in DuckDB SQL, so
+    the custom function itself is hash-checked at sf0.01 — not just the five
+    golden vectors."""
+    e = load_table(spark, sf_dir, "events")
+    lat = (F.col("value") % F.lit(180.0)) - F.lit(90.0)
+    lng = ((F.col("value") * F.lit(7.0)) % F.lit(360.0)) - F.lit(180.0)
+    return (
+        e.select(geohash_expr(lat, lng, 4).alias("geohash"), "value")
+        .groupBy("geohash")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round((F.avg("value")) + 1e-07, 4).alias("avg_value"),
+        )
+    )
+
+
+@query(
+    "pipeline_enrich_daily_rollup",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             avg(value) AS daily_avg
+      FROM events
+      GROUP BY 1, 2
+    ), rollup_by_user AS (
+      SELECT user_id,
+             count(*)                   AS n_days,
+             round((avg(daily_avg)) + 1e-07, 4)   AS avg_daily_value,
+             CAST(min(day) AS VARCHAR)  AS first_day,
+             CAST(max(day) AS VARCHAR)  AS last_day
+      FROM daily
+      GROUP BY user_id
+    )
+    SELECT c_custkey, c_name, n_days, avg_daily_value, first_day, last_day
+    FROM customer JOIN rollup_by_user ON c_custkey = user_id
+    """,
+)
+def pipeline_enrich_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical topology shape (WeatherHotelsApp.java:46-66) on driver
+    tables: per-(key, day) average -> per-key rollup -> enrichment join onto
+    a dimension. Same two-level aggregation + broadcast-join plan as the
+    weather pipeline; flat rollup columns instead of collect_list so the
+    oracle hash is representation-independent."""
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+    daily = (
+        e.groupBy("user_id", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.avg("value").alias("daily_avg"))
+    )
+    rollup = daily.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round((F.avg("daily_avg")) + 1e-07, 4).alias("avg_daily_value"),
+        F.min("day").cast("string").alias("first_day"),
+        F.max("day").cast("string").alias("last_day"),
+    )
+    return c.join(
+        rollup, c.c_custkey == rollup.user_id, "inner"
+    ).select("c_custkey", "c_name", "n_days", "avg_daily_value", "first_day", "last_day")
+
+
+@query(
+    "latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id, event_type, round((value) + 1e-05, 2) AS value
+    FROM (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 changelog view (KStream.toTable, MyStream.java:166-168) on the
+    events stream: last write per user via one max_by aggregation — no
+    window sort shuffle. Tiebreak on event_id for determinism."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.round(F.col("value") + 1e-05, 2).alias("value"), "ts"
+    )
+    out = latest_per_key(e, "user_id", F.struct(F.col("ts"), F.col("event_id")))
+    return out.select("user_id", "event_id", "event_type", "value")
+
+
+@query(
+    "events_hourly_tumbling",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round((sum(value)) + 1e-05, 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch twin of the streaming
+    window() operator — SURVEY §2.6 'windows: none in reference', engine
+    provides them). Uses window() so the same code runs on a stream."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round((F.sum("value")) + 1e-05, 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "sessionized_event_counts",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN date_diff('second',
+                                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                                 ts) <= 1800 THEN 0 ELSE 1 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_no AS INT) AS session_no, count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def sessionized_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via gaps-and-islands windows —
+    the batch twin of session_window(). Expressed with lag/cumsum so the
+    oracle is portable SQL."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    e = load_table(spark, sf_dir, "events")
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) <= 1800, 0
+        ).otherwise(1),
+    )
+    numbered = flagged.withColumn("session_no", F.sum("new_session").over(cum).cast("int"))
+    return numbered.groupBy("user_id", "session_no").agg(F.count(F.lit(1)).alias("n_events"))

@@ -1,0 +1,546 @@
+"""Relational operator catalog over the driver test tables.
+
+The reference itself exercises only map/groupBy/aggregate/join
+(SURVEY.md §2.7 lists everything absent), but the engine ships the full
+relational surface as Spark built-ins; these queries are the tested,
+oracle-checked catalog of that surface. Float aggregates are rounded in BOTH
+engines so cross-engine summation-order ULP noise can't flip the value hash.
+
+Scale notes are per-query docstrings: the physical plan each is designed to
+produce at 100 TB (broadcast vs shuffle, partial aggregation, pushdown).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..schemas import load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation family
+# ---------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round((sum(l_quantity)) + 1e-05, 2)                                       AS sum_qty,
+           round((sum(l_extendedprice)) + 1e-05, 2)                                  AS sum_base_price,
+           round((sum(l_extendedprice * (1 - l_discount))) + 1e-05, 2)               AS sum_disc_price,
+           round((avg(l_quantity)) + 1e-07, 4)                                       AS avg_qty,
+           round((avg(l_extendedprice)) + 1e-07, 4)                                  AS avg_price,
+           round((avg(l_discount)) + 1e-09, 6)                                       AS avg_disc,
+           count(*)                                                        AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filter -> hash agg. Plan: parquet scan with pushed
+    shipdate filter, partial+final HashAggregate on 6 groups — the scan
+    dominates; at 100 TB only the 4 needed columns are read."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round((F.sum("l_quantity")) + 1e-05, 2).alias("sum_qty"),
+            F.round((F.sum("l_extendedprice")) + 1e-05, 2).alias("sum_base_price"),
+            F.round((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) + 1e-05, 2).alias("sum_disc_price"),
+            F.round((F.avg("l_quantity")) + 1e-07, 4).alias("avg_qty"),
+            F.round((F.avg("l_extendedprice")) + 1e-07, 4).alias("avg_price"),
+            F.round((F.avg("l_discount")) + 1e-09, 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_stats_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           count(*)                          AS n_rows,
+           count(DISTINCT l_partkey)         AS n_parts,
+           round((min(l_quantity)) + 1e-05, 2)         AS min_qty,
+           round((max(l_quantity)) + 1e-05, 2)         AS max_qty,
+           round((avg(l_extendedprice)) + 1e-07, 4)    AS avg_price,
+           round((stddev_samp(l_quantity)) + 1e-07, 4) AS sd_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/count/countDistinct/stddev — the agg family the reference
+    lacks (SURVEY §2.3 'absent'). countDistinct expands to a two-phase agg;
+    everything else is partial+final."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.round((F.min("l_quantity")) + 1e-05, 2).alias("min_qty"),
+        F.round((F.max("l_quantity")) + 1e-05, 2).alias("max_qty"),
+        F.round((F.avg("l_extendedprice")) + 1e-07, 4).alias("avg_price"),
+        F.round((F.stddev_samp("l_quantity")) + 1e-07, 4).alias("sd_qty"),
+    )
+
+
+@query(
+    "rollup_lineitem_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           round((sum(l_quantity)) + 1e-05, 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP — hierarchical totals incl. grand total."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round((F.sum("l_quantity")) + 1e-05, 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "cube_order_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE — all grouping-set combinations."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join family
+# ---------------------------------------------------------------------------
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round((sum(l_extendedprice * (1 - l_discount))) + 1e-05, 2) AS revenue,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> 3-way join -> agg -> top-k.
+    customer is broadcast (small after the segment filter); lineitem⋈orders
+    shuffles on orderkey. Top-k via orderBy+limit becomes TakeOrdered —
+    no global sort at scale. Deterministic tiebreak on l_orderkey."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) + 1e-05, 2).alias("revenue"))
+        .select("l_orderkey", "revenue", F.col("o_orderdate").cast("date").cast("string").alias("orderdate"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name, round((sum(l_extendedprice * (1 - l_discount))) + 1e-05, 2) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join. region/nation/supplier/customer all
+    broadcast (tiny dims); only orders⋈lineitem shuffles."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), (o.o_custkey == c.c_custkey))
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round((F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))) + 1e-05, 2).alias("revenue"))
+    )
+
+
+@query(
+    "semi_customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate < TIMESTAMP '1995-07-01 00:00:00')
+    """,
+)
+def anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS) — customers with no orders in the first
+    half of 1995 (date-bounded so the result is non-trivial at every sf)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-07-01 00:00:00").cast("timestamp")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "left_join_order_counts",
+    oracle="""
+    SELECT c_custkey, count(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+)
+def left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers (J2 semantics on
+    driver tables); count(col) skips nulls in both engines."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / distinct / set ops
+# ---------------------------------------------------------------------------
+
+@query(
+    "top_customers_by_balance",
+    oracle="""
+    SELECT c_custkey, c_name, round((c_acctbal) + 1e-05, 2) AS acctbal
+    FROM customer
+    ORDER BY c_acctbal DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def top_customers_by_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: TakeOrdered physical op, no full sort."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .orderBy(F.col("c_acctbal").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", F.round(F.col("c_acctbal") + 1e-05, 2).alias("acctbal"))
+    )
+
+
+@query(
+    "distinct_segments",
+    oracle="SELECT DISTINCT c_mktsegment FROM customer",
+)
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+@query(
+    "setop_nations_without_suppliers",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_nations_without_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct set difference)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+@query(
+    "setop_union_keys",
+    oracle="""
+    SELECT nationkey, count(*) AS n FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION ALL
+      SELECT s_nationkey FROM supplier
+    ) GROUP BY nationkey
+    """,
+)
+def setop_union_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL + re-aggregation."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionAll(s).groupBy("nationkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "setop_intersect_keys",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+# ---------------------------------------------------------------------------
+# Window / analytic functions
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_top_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, round((o_totalprice) + 1e-05, 2) AS totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def window_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number ranking window; deterministic tiebreak on orderkey."""
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", F.round(F.col("o_totalprice") + 1e-05, 2).alias("totalprice"))
+    )
+
+
+@query(
+    "window_running_user_value",
+    oracle="""
+    SELECT event_id,
+           round((sum(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) + 1e-05, 2)
+             AS running_value
+    FROM events
+    """,
+)
+def window_running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) aggregate window over event time per user."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_id", F.round((F.sum("value").over(w)) + 1e-05, 2).alias("running_value"))
+    )
+
+
+@query(
+    "window_lag_value_delta",
+    oracle="""
+    SELECT event_id,
+           round((value - lag(value, 1, 0.0) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id)) + 1e-05, 2) AS delta
+    FROM events
+    """,
+)
+def window_lag_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() analytic — per-user delta vs previous event."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.round((F.col("value") - F.lag("value", 1, 0.0).over(w)) + 1e-05, 2).alias("delta"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface (string / date / json / math)
+# ---------------------------------------------------------------------------
+
+@query(
+    "string_funcs_part",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand)            AS brand_u,
+           substr(p_name, 1, 8)      AS name_prefix,
+           CAST(length(p_name) AS INT) AS name_len,
+           concat(p_brand, '_', p_type) AS brand_type
+    FROM part
+    WHERE p_name LIKE '%a%'
+    """,
+)
+def string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar surface: upper/substr/length/concat/LIKE (F2/F3 family)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("_", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@query(
+    "split_key_parts",
+    oracle="""
+    SELECT p_partkey,
+           string_split(p_type, ' ')[1] AS type_head,
+           CAST(len(string_split(p_type, ' ')) AS INT) AS n_tokens
+    FROM part
+    """,
+)
+def split_key_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: split + index (the reference's key-unpack, WeatherHotelsApp.java:105),
+    on driver data."""
+    p = _t(spark, sf_dir, "part")
+    tok = F.split(F.col("p_type"), " ")
+    return p.select(
+        "p_partkey",
+        tok.getItem(0).alias("type_head"),
+        F.size(tok).alias("n_tokens"),
+    )
+
+
+@query(
+    "date_parts_orders",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT)  AS yr,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+           count(*) AS n_orders,
+           round((sum(o_totalprice)) + 1e-05, 2) AS total
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def date_parts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction + group (beyond the reference, whose dates stay
+    opaque strings — SURVEY §2.5 'absent')."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round((F.sum("o_totalprice")) + 1e-05, 2).alias("total"),
+        )
+    )
+
+
+@query(
+    "json_props_extract",
+    oracle="""
+    SELECT event_type,
+           round((avg(CAST(json_extract_string(props, '$.k') AS INT))) + 1e-07, 4) AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/S7: JSON field extraction from a string column (the reference's
+    ad-hoc readTree navigation, WeatherHotelsApp.java:72-81)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.round((F.avg(k)) + 1e-07, 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "above_avg_balance",
+    oracle="""
+    SELECT c_custkey, round((c_acctbal) + 1e-05, 2) AS acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    """,
+)
+def above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: compare to a global aggregate. Spark: the aggregate
+    is a 1-row broadcast cross join — no driver-side collect."""
+    c = _t(spark, sf_dir, "customer")
+    avg_bal = c.agg(F.avg("c_acctbal").alias("_avg"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .select("c_custkey", F.round(F.col("c_acctbal") + 1e-05, 2).alias("acctbal"))
+    )
+
+
+@query(
+    "case_when_value_buckets",
+    oracle="""
+    SELECT CASE WHEN value < 50 THEN 'low'
+                WHEN value < 200 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           count(*) AS n,
+           round((sum(value)) + 1e-05, 2) AS total
+    FROM events
+    GROUP BY 1
+    """,
+)
+def case_when_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing + aggregation."""
+    e = _t(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 50, "low")
+        .when(F.col("value") < 200, "mid")
+        .otherwise("high")
+    )
+    return e.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round((F.sum("value")) + 1e-05, 2).alias("total"),
+    )

@@ -1,0 +1,155 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+All hot-path functions are native Spark column expressions (codegen, no
+Python); only genuinely procedural pieces (minhash permutations) use
+numpy-vectorized Pandas UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Small English stopword list (public domain; the standard top function
+#: words). Used for stopword-ratio quality signals.
+STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "as", "with", "at", "by", "from", "be",
+)
+
+
+def tokens(text: Column | str, pattern: str = r"\s+") -> Column:
+    """Whitespace tokenization -> array<string>."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), pattern)
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """BPE-ish subword-boundary tokenization: split on whitespace AND
+    letter/digit/punct boundaries — a deterministic, regex-only approximation
+    of byte-pair tokenizer granularity for token-count estimation."""
+    c = F.col(text) if isinstance(text, str) else text
+    # insert breaks between letter<->digit and around non-alphanumerics
+    marked = F.regexp_replace(c, r"([a-zA-Z])(?=[0-9])|([0-9])(?=[a-zA-Z])", r"$1$2 ")
+    marked = F.regexp_replace(marked, r"([^a-zA-Z0-9\s])", r" $1 ")
+    return F.split(F.trim(marked), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_ratio(text: Column | str) -> Column:
+    t = tokens(text)
+    return F.size(F.array_distinct(t)) / F.size(t)
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    t = tokens(text)
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    return F.size(F.filter(t, lambda x: F.array_contains(stop, x))) / F.size(t)
+
+
+def avg_token_length(text: Column | str) -> Column:
+    t = tokens(text)
+    total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    return total / F.size(t)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite quality heuristic in [0, 1]: rewards moderate length,
+    lexical diversity, and a sane stopword ratio. Deterministic arithmetic
+    only — SQL-mirrorable for the oracle."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_tok = token_count(c).cast("double")
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    diversity = distinct_token_ratio(c)
+    stop = stopword_ratio(c)
+    stop_score = F.lit(1.0) - F.abs(stop - F.lit(0.2))
+    from .rounding import stable_round
+
+    return stable_round((len_score + diversity + stop_score) / F.lit(3.0), 6)
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles -> array<string> (for Jaccard / MinHash dedup).
+    Documents shorter than ``n`` tokens yield a single shingle of the whole
+    text so they still participate."""
+    t = tokens(text)
+    k = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(0), k - F.lit(n)),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    return F.when(k >= n, grams).otherwise(F.array(F.array_join(t, " ")))
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID over character classes + stopword hits.
+
+    A real pipeline plugs in fastText/CLD3; this is the deterministic,
+    dependency-free n-gram/stopword heuristic: scores a few languages by
+    marker-word hits and falls back to script detection for CJK.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    t = F.split(F.lower(c), r"\s+")
+    markers = {
+        "en": ("the", "and", "of", "is", "with"),
+        "de": ("der", "die", "und", "ist", "nicht"),
+        "es": ("el", "la", "que", "de", "es"),
+        "fr": ("le", "la", "et", "est", "les"),
+    }
+    scores = []
+    for lang, words in markers.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        scores.append(F.struct(F.size(F.array_intersect(F.array_distinct(t), arr)).alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    cjk = F.length(F.regexp_replace(c, r"[^一-鿿぀-ヿ]", "")) > 0
+    return (
+        F.when(cjk, F.lit("zh"))
+        .when(best["hits"] > 0, best["lang"])
+        .otherwise(F.lit("und"))
+    )
+
+
+def simhash64(text: Column | str, n: int = 3) -> Column:
+    """64-bit SimHash over word n-gram shingles, entirely in column
+    expressions: xxhash64 per shingle, per-bit majority vote.
+
+    The per-bit vote unrolls to 64 aggregate terms over the shingle array —
+    heavy expression tree but pure codegen; for very hot paths prefer the
+    Pandas-UDF minhash in operators/dedup.py.
+    """
+    sh = shingles(text, n)
+    hashed = F.transform(sh, lambda s: F.xxhash64(s))
+    k = F.size(sh).cast("double")
+
+    def bit_adder(b: int):
+        # closure (not a default arg): F.aggregate requires a 2-ary merge fn
+        return lambda acc, h: acc + F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)).cast("double")
+
+    bits = []
+    for b in range(64):
+        ones = F.aggregate(hashed, F.lit(0).cast("double"), bit_adder(b))
+        bits.append(
+            F.shiftleft(F.when(ones * 2 >= k, F.lit(1)).otherwise(F.lit(0)).cast("long"), b)
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def rolling_fingerprint(text: Column | str, window: int = 8) -> Column:
+    """Document fingerprint: min of rolling xxhash64 over token windows
+    (winnowing-style). Deterministic; used for cheap near-dup candidate
+    blocking."""
+    t = tokens(text)
+    k = F.size(t)
+    win = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - F.lit(window), F.lit(0))),
+        lambda i: F.xxhash64(
+            F.concat_ws(" ", F.slice(t, (i + 1).cast("int"), window))
+        ),
+    )
+    return F.array_min(win)

@@ -1,0 +1,264 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, cheapest first:
+  exact          — hash-groupBy on a content digest (one shuffle)
+  simhash        — 64-bit SimHash + hamming-band blocking
+  minhash_lsh    — MinHash signatures + LSH banding (the 100 TB near-dup
+                   workhorse: candidate pairs only ever meet inside an LSH
+                   bucket join, never a cross join)
+  ngram_jaccard  — exact Jaccard on word n-gram shingles, evaluated only on
+                   candidate pairs produced by a shingle-inverted-index join
+
+Scale design: every operator is shuffle-bounded by (band, bucket) or
+(shingle) keys; nothing materializes O(n^2) pairs. Skewed buckets (boiler-
+plate shingles) are capped with a per-bucket limit before pairing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..functions.rounding import stable_round
+from ..functions.text import shingles, simhash64
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on content digest: keep the lowest id per distinct text.
+
+    One hash-shuffle on md5(text) — never on the full text bytes, so 100 TB
+    of documents shuffles only 16-byte digests + ids.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Return the surviving rows (lowest id per distinct text), full schema."""
+    keep = dedup_exact(df, text_col, id_col).select(id_col)
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signature_udf(num_hashes: int = 128, seed: int = 42):
+    """Pandas UDF: array<string> shingles -> array<long> MinHash signature.
+
+    Universal hashing ((a*x + b) mod p, p = 2^61-1) over a base xxhash of
+    each shingle; vectorized numpy over the whole Arrow batch.
+    """
+    a, b = _minhash_params(num_hashes, seed)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(sh: pd.Series) -> pd.Series:
+        out = []
+        for lst in sh:
+            if lst is None or len(lst) == 0:
+                out.append([0] * num_hashes)
+                continue
+            base = np.array(
+                [hash_bytes(s) for s in lst], dtype=np.uint64
+            )  # (n_shingles,)
+            # (num_hashes, n_shingles) universal hashes, take min per row
+            vals = (a[:, None] * base[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+            out.append(vals.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return _sig
+
+
+def hash_bytes(s: str) -> int:
+    """Deterministic 64-bit string hash (FNV-1a), process-stable (unlike
+    Python's randomized ``hash``)."""
+    h = 0xCBF29CE484222325
+    for ch in s.encode("utf-8"):
+        h ^= ch
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash-LSH banding.
+
+    Pipeline: shingle -> minhash signature (Pandas UDF) -> split into
+    ``bands`` bands of ``num_hashes/bands`` rows -> hash each band ->
+    explode to (band_idx, band_hash, id) -> self-join per bucket.
+
+    Returns (id_a, id_b) candidate pairs (id_a < id_b, distinct). The
+    threshold is implied by the banding: s ≈ (1/bands)^(1/rows_per_band).
+
+    Scale: the only shuffle is on (band_idx, band_hash); bucket skew is
+    capped at ``max_bucket`` docs per bucket (boilerplate guard) — drops
+    pathological buckets rather than exploding quadratically.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature_udf(num_hashes)
+    with_sig = df.select(
+        F.col(id_col), sig(shingles(F.col(text_col), shingle_n)).alias("sig")
+    )
+    banded = with_sig.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bidx: F.struct(
+                    bidx.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("sig"), bidx * rows_per_band + 1, rows_per_band).cast("string")
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+
+    # cap pathological buckets (boilerplate shingles)
+    counted = banded.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+    )
+    banded = counted.filter(F.col("bucket_n") <= max_bucket).drop("bucket_n")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int = 10000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs >= threshold.
+
+    Inverted-index formulation (no cross join):
+      explode distinct shingles -> self-join on shingle -> count common
+      shingles per pair -> |A∪B| = |A| + |B| - |A∩B| -> filter.
+
+    ``max_shingle_freq`` drops ubiquitous shingles before pairing (a shingle
+    appearing in k docs contributes k^2 join rows — boilerplate guard).
+    Output: id_a, id_b, jaccard (rounded 6dp), id_a < id_b.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("shingle")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    sh = sh.join(F.broadcast(freq.filter(F.col("df_") <= max_shingle_freq).select("shingle")), "shingle")
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn("jaccard", stable_round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit simhash, block into ``n_blocks``
+    16-bit chunks (pigeonhole: hamming<=3 pairs share at least one exact
+    chunk), join per chunk, verify hamming distance exactly.
+
+    Everything is column expressions — simhash, blocking, and the popcount
+    verification; the join shuffles only (block_idx, chunk) keys.
+    """
+    with_sh = df.select(F.col(id_col), simhash64(F.col(text_col), shingle_n).alias("sh"))
+    chunk_bits = 64 // n_blocks
+    # static per-block expressions (shift amounts must be Python ints)
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("blk"),
+                F.shiftrightunsigned(F.col("sh"), i * chunk_bits)
+                .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                .alias("chunk"),
+            )
+            for i in range(n_blocks)
+        ]
+    )
+    blocked = with_sh.select(id_col, "sh", F.explode(blocks).alias("bc")).select(
+        id_col, "sh", "bc.blk", "bc.chunk"
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

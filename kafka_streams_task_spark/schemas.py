@@ -100,7 +100,19 @@ TEST_TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver parquet table. Column pruning + predicate pushdown
-    happen automatically because this stays a plain parquet scan."""
+    happen automatically because this stays a plain parquet scan.
+
+    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    reader rejects; we read nanos as long (dynamic conf) and floor-convert
+    to a microsecond timestamp — the same instant DuckDB sees (sub-µs parts
+    in the driver data are zero).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
