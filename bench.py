@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line with per-query wall seconds.
+
+Each query executes to completion (count() over the result — full pipeline,
+no driver-side materialization of wide rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # relational core
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "agg_stats_by_flag",
+    "window_top_order_per_customer",
+    # reference-pipeline shapes
+    "geohash_cells",
+    "pipeline_enrich_daily_rollup",
+    "latest_event_per_user",
+    "events_hourly_tumbling",
+    # LLM-data ops
+    "dedup_exact_digest",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "similarity_knn_bruteforce",
+    "similarity_knn_lsh",
+    "text_token_stats",
+    "text_quality_scores",
+    "multimodal_image_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from kafka_streams_task_spark.catalog import CATALOG
+    from kafka_streams_task_spark.plans import get_spark
+
+    spark = get_spark(app_name="bench")
+
+    # warm the JVM/codegen paths once with a trivial action
+    spark.range(1000).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = CATALOG[name].fn
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
