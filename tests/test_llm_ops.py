@@ -1,0 +1,225 @@
+"""Behavioral tests for the LLM-data-pipeline operators: planted duplicates
+must be found (recall), clean data must not pair (precision), approximate
+results must agree with exact baselines."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+WORDS = (
+    "spark stream batch join filter group sort merge hash scan table row "
+    "column vector query data key value window agg part customer order line"
+).split()
+
+
+def _random_doc(rng, n=120):
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+def _mutate(rng, text, n_edits=3):
+    toks = text.split()
+    for _ in range(n_edits):
+        toks[rng.randrange(len(toks))] = rng.choice(WORDS)
+    return " ".join(toks)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """60 random docs + 10 near-dup pairs (3 token edits in 120) + 5 exact dups."""
+    rng = random.Random(7)
+    rows = []
+    did = 0
+    for _ in range(60):
+        rows.append((did, _random_doc(rng)))
+        did += 1
+    near_pairs = []
+    for _ in range(10):
+        base = _random_doc(rng)
+        rows.append((did, base))
+        rows.append((did + 1, _mutate(rng, base)))
+        near_pairs.append((did, did + 1))
+        did += 2
+    exact_pairs = []
+    for _ in range(5):
+        base = _random_doc(rng)
+        rows.append((did, base))
+        rows.append((did + 1, base))
+        exact_pairs.append((did, did + 1))
+        did += 2
+    return _docs(spark, rows), near_pairs, exact_pairs
+
+
+def test_exact_dedup(spark, planted):
+    from kafka_streams_task_spark.operators.dedup import dedup_exact, drop_exact_duplicates
+
+    df, _, exact_pairs = planted
+    agg = dedup_exact(df).collect()
+    dups = {r.doc_id: r.n_copies for r in agg if r.n_copies > 1}
+    assert set(dups) == {a for a, _ in exact_pairs}
+    assert all(n == 2 for n in dups.values())
+    survivors = drop_exact_duplicates(df)
+    assert survivors.count() == df.count() - len(exact_pairs)
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, planted):
+    from kafka_streams_task_spark.operators.dedup import minhash_lsh_candidates
+
+    df, near_pairs, exact_pairs = planted
+    got = {(r.id_a, r.id_b) for r in minhash_lsh_candidates(df).collect()}
+    # recall: every planted near-dup and exact-dup pair is a candidate
+    for pair in near_pairs + exact_pairs:
+        assert pair in got, f"planted pair {pair} missed"
+    # precision: random 120-token docs over a 25-word vocab share few
+    # 3-gram shingles; candidates should be dominated by planted pairs
+    planted_set = set(near_pairs + exact_pairs)
+    false_pos = got - planted_set
+    assert len(false_pos) <= len(got) // 2
+
+
+def test_ngram_jaccard_scores(spark, planted):
+    from kafka_streams_task_spark.operators.dedup import ngram_jaccard_pairs
+
+    df, near_pairs, exact_pairs = planted
+    out = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(df, threshold=0.5).collect()}
+    for pair in exact_pairs:
+        assert out.get(pair) == pytest.approx(1.0), "exact dup must have jaccard 1"
+    for pair in near_pairs:
+        assert pair in out and out[pair] >= 0.5, f"near-dup {pair} below threshold"
+
+
+def test_simhash_flags_near_dups(spark):
+    """SimHash blocking guarantees detection for hamming <= n_blocks - 1
+    (pigeonhole); plant single-token edits (small hamming) and use 8 blocks
+    so the guarantee window covers them."""
+    from kafka_streams_task_spark.operators.dedup import simhash_near_dup_pairs
+
+    rng = random.Random(11)
+    rows, near_pairs, exact_pairs = [], [], []
+    did = 0
+    for _ in range(30):
+        rows.append((did, _random_doc(rng)))
+        did += 1
+    for _ in range(10):
+        base = _random_doc(rng)
+        rows.append((did, base))
+        rows.append((did + 1, _mutate(rng, base, n_edits=1)))
+        near_pairs.append((did, did + 1))
+        did += 2
+    for _ in range(5):
+        base = _random_doc(rng)
+        rows.append((did, base))
+        rows.append((did + 1, base))
+        exact_pairs.append((did, did + 1))
+        did += 2
+    df = _docs(spark, rows)
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dup_pairs(df, max_hamming=7, n_blocks=8).collect()
+    }
+    for pair in exact_pairs:
+        assert got.get(pair) == 0, "exact dup must have hamming 0"
+    hits = sum(1 for p in near_pairs if p in got)
+    assert hits >= 8, f"simhash found only {hits}/10 planted near-dups"
+
+
+def test_knn_bruteforce_is_exact(spark):
+    """Cross-check the Spark top-k against a numpy brute force."""
+    import numpy as np
+
+    from kafka_streams_task_spark.operators.similarity import knn_bruteforce
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((200, 16)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)], ["vec_id", "embedding"]
+    )
+    out = knn_bruteforce(df, df.filter(F.col("vec_id") < 3), k=4)
+    got = {(r.query_id, r.rank): r.neighbor_id for r in out.collect()}
+
+    v = vecs.astype("float64")
+    norms = np.linalg.norm(v, axis=1)
+    sims = (v @ v.T) / np.outer(norms, norms)
+    for q in range(3):
+        order = [
+            i for i in np.lexsort((np.arange(200), -np.round(sims[q] + 1e-9, 6)))
+            if i != q
+        ][:4]
+        for rank, nid in enumerate(order, start=1):
+            assert got[(q, rank)] == nid
+
+
+def test_knn_lsh_recall(spark):
+    """LSH top-k must recover most of the exact top-k."""
+    import numpy as np
+
+    from kafka_streams_task_spark.operators.similarity import knn_bruteforce, knn_lsh
+
+    rng = np.random.default_rng(5)
+    # clustered vectors so neighbors are meaningful
+    centers = rng.standard_normal((10, 32)) * 3
+    vecs = np.vstack([c + rng.standard_normal((30, 32)) * 0.5 for c in centers]).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))], ["vec_id", "embedding"]
+    )
+    queries = df.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id) for r in knn_bruteforce(df, queries, k=5).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_lsh(df, queries, k=5, dim=32, n_planes=6, n_tables=6).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"LSH recall {recall:.2f} too low"
+
+
+def test_lang_id_accuracy(spark, sf_dir):
+    """Heuristic lang-id: sanity floor on labeled data (the synthetic docs
+    are English-ish word soup, so only en vs non-en separation is meaningful;
+    assert the classifier is deterministic and emits known labels)."""
+    from kafka_streams_task_spark.catalog.llm import text_lang_id
+
+    out = text_lang_id(spark, sf_dir).collect()
+    labels = {r.predicted for r in out}
+    assert labels <= {"en", "de", "es", "fr", "zh", "und"}
+    out2 = text_lang_id(spark, sf_dir).collect()
+    assert [(r.doc_id, r.predicted) for r in out] == [(r.doc_id, r.predicted) for r in out2]
+
+
+def test_fingerprint_deterministic_and_edit_sensitive(spark):
+    from kafka_streams_task_spark.functions.text import rolling_fingerprint
+
+    base = " ".join(f"tok{i}" for i in range(50))
+    df = spark.createDataFrame([(1, base), (2, base), (3, base + " extra")], ["doc_id", "text"])
+    rows = {r.doc_id: r.fp for r in df.select("doc_id", rolling_fingerprint("text").alias("fp")).collect()}
+    assert rows[1] == rows[2]
+    # min-of-rolling-hash is robust to suffix extension unless it creates a
+    # smaller window hash — equality either way is fine; just must not error
+    assert isinstance(rows[3], int)
+
+
+def test_multimodal_plumbing(spark):
+    from kafka_streams_task_spark.operators.multimodal import (
+        attach_asset_meta,
+        decode_image_features,
+        sample_video_frames,
+    )
+
+    df = spark.createDataFrame([(1, "hello world"), (2, "x" * 100)], ["doc_id", "text"]).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    meta = attach_asset_meta(df).select("doc_id", "meta.n_bytes", "meta.checksum").collect()
+    assert {r.doc_id: r.n_bytes for r in meta} == {1: 11, 2: 100}
+
+    feats = {r.doc_id: (r.width, r.height, r.n_channels) for r in decode_image_features(df).collect()}
+    assert feats[1] == (11 % 64 + 1, (11 * 7) % 64 + 1, 3)
+
+    frames = sample_video_frames(df).collect()
+    assert len(frames) > 0
+    assert all(isinstance(r.frame_bytes, (bytes, bytearray)) for r in frames)

@@ -1,0 +1,161 @@
+"""Structured Streaming tests: the canonical topology and changelog views
+driven through real streaming queries (file source, availableNow trigger,
+memory sink) — the engine's TopologyTestDriver equivalent
+(WeatherStreamsTest.java:57). maxFilesPerTrigger=1 forces multiple
+micro-batches, so cross-batch state accumulation is actually exercised.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+import uuid
+
+import pytest
+
+from kafka_streams_task_spark.functions.geohash import geohash_encode
+from kafka_streams_task_spark.schemas import HOTELS_RAW, WEATHER_RAW
+from kafka_streams_task_spark.sources.files import read_json_stream
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="stream_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_to_memory(df, name: str, tmpdir: str):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmpdir}/ckpt_{name}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+GH = geohash_encode(51.51, -0.07, 4)
+
+
+def _write_weather_batches(tmpdir: str) -> str:
+    """Two files = two micro-batches; day-1 average only correct if state
+    carries across batches."""
+    src = f"{tmpdir}/weather_in"
+    import os
+
+    os.makedirs(src)
+    batch1 = [
+        {"lat": 51.51, "lng": -0.07, "wthr_date": "2020-01-01", "avg_tmpr_f": 70.0, "avg_tmpr_c": 30.0},
+        {"lat": 10.0, "lng": 10.0, "wthr_date": "2020-01-01", "avg_tmpr_f": 99.0, "avg_tmpr_c": 37.0},
+    ]
+    batch2 = [
+        {"lat": 51.51, "lng": -0.07, "wthr_date": "2020-01-01", "avg_tmpr_f": 72.0, "avg_tmpr_c": 32.0},
+        {"lat": 51.51, "lng": -0.07, "wthr_date": "2020-01-02", "avg_tmpr_f": 72.0, "avg_tmpr_c": 32.0},
+    ]
+    import time as _time
+
+    now = _time.time()
+    for i, batch in enumerate([batch1, batch2]):
+        path = f"{src}/b{i}.json"
+        with open(path, "w") as f:
+            for rec in batch:
+                f.write(json.dumps(rec) + "\n")
+        # FileStreamSource orders batches by modification time: make it explicit
+        os.utime(path, (now + 30 * i, now + 30 * i))
+    return src
+
+
+def test_weather_rollup_stream(spark, tmpdir):
+    """Cross-batch stateful rollup: final emission for the hotel cell must
+    average day-1 across both micro-batches (70, 72 -> 71) — the golden
+    semantics of testAggregateWeather (WeatherStreamsTest.java:205-216)."""
+    from kafka_streams_task_spark.streaming import weather_rollup_stream
+
+    src = _write_weather_batches(tmpdir)
+    stream = read_json_stream(spark, src, WEATHER_RAW, max_files_per_trigger=1)
+    name = f"rollup_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(weather_rollup_stream(stream), name, tmpdir)
+
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    # update-mode changelog: the LAST emission per key is the current state
+    last = {}
+    for r in rows:
+        last[r.geohash] = r.weatherList
+    assert GH in last
+    final = [(w.tmp_f, w.tmp_c, w.date) for w in last[GH]]
+    assert final == [(71.0, 31.0, "2020-01-01"), (72.0, 32.0, "2020-01-02")]
+    # the intermediate emission (batch 1: avg of just 70.0) must also exist —
+    # continuous update semantics
+    gh_emissions = [r for r in rows if r.geohash == GH]
+    assert len(gh_emissions) == 2
+    assert [(w.tmp_f, w.date) for w in gh_emissions[0].weatherList] == [(70.0, "2020-01-01")]
+
+
+def test_weather_hotels_stream_end_to_end(spark, tmpdir):
+    """Full streaming topology incl. stream-static enrichment join."""
+    from kafka_streams_task_spark.streaming import weather_hotels_stream
+
+    src = _write_weather_batches(tmpdir)
+    hotels = spark.createDataFrame(
+        [("42", "TestHotel", "GB", "London", "A", "51.51", "-0.07", GH),
+         ("7", "NoWeather", "US", "Nowhere", "B", "1", "1", "zzzz")],
+        schema=HOTELS_RAW,
+    )
+    stream = read_json_stream(spark, src, WEATHER_RAW, max_files_per_trigger=1)
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(weather_hotels_stream(stream, hotels), name, tmpdir)
+
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    assert all(r.hash == GH for r in rows)  # inner join: only matched hotel
+    last = rows[-1]
+    assert last.name == "TestHotel"
+    assert [(w.tmp_f, w.tmp_c, w.date) for w in last.avgWeathers] == [
+        (71.0, 31.0, "2020-01-01"),
+        (72.0, 32.0, "2020-01-02"),
+    ]
+
+
+def test_latest_per_key_stream(spark, tmpdir):
+    """A6 streaming changelog: last write wins across micro-batches."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from kafka_streams_task_spark.streaming import latest_per_key_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    import time as _time
+
+    src = f"{tmpdir}/events_in"
+    os.makedirs(src)
+    now = _time.time()
+    with open(f"{src}/b0.json", "w") as f:
+        f.write('{"k": "k1", "offset": 1, "v": "a"}\n')
+        f.write('{"k": "k2", "offset": 1, "v": "x"}\n')
+    with open(f"{src}/b1.json", "w") as f:
+        f.write('{"k": "k1", "offset": 3, "v": "c"}\n')
+    with open(f"{src}/b2.json", "w") as f:
+        f.write('{"k": "k1", "offset": 2, "v": "b"}\n')  # stale: must NOT win
+    for i in range(3):
+        os.utime(f"{src}/b{i}.json", (now + 30 * i, now + 30 * i))
+
+    stream = read_json_stream(spark, src, schema, max_files_per_trigger=1)
+    name = f"latest_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(latest_per_key_stream(stream, "k", "offset"), name, tmpdir)
+
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    last = {}
+    for r in rows:
+        last[r.k] = r.v
+    assert last == {"k1": "c", "k2": "x"}
