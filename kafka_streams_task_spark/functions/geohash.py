@@ -162,27 +162,52 @@ def geohash_expr(lat: Column | str, lng: Column | str, precision: int = 4) -> Co
         F.lit((1 << n_lat) - 1),
     )
 
-    packed = F.lit(0).cast("long")
-    for i in range(n_lng):
-        packed = packed.bitwiseOR(
-            F.shiftleft(F.shiftright(lng_q, n_lng - 1 - i).bitwiseAND(F.lit(1)), total_bits - 1 - 2 * i)
-        )
-    for i in range(n_lat):
-        packed = packed.bitwiseOR(
-            F.shiftleft(F.shiftright(lat_q, n_lat - 1 - i).bitwiseAND(F.lit(1)), total_bits - 2 - 2 * i)
+    # Let-binding via higher-order functions: lambda variables are evaluated
+    # once, so the quantization exprs aren't inlined into each of the 5p
+    # interleave terms (and `packed` isn't re-expanded per output char).
+    # Without this, the expression tree blows up ~80x and a groupBy on the
+    # geohash key becomes interpreter-bound.
+    def interleave(q):
+        packed = F.lit(0).cast("long")
+        for i in range(n_lng):
+            packed = packed.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(q["lng_q"], n_lng - 1 - i).bitwiseAND(F.lit(1)),
+                    total_bits - 1 - 2 * i,
+                )
+            )
+        for i in range(n_lat):
+            packed = packed.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(q["lat_q"], n_lat - 1 - i).bitwiseAND(F.lit(1)),
+                    total_bits - 2 - 2 * i,
+                )
+            )
+        return packed
+
+    def to_chars(p):
+        return F.concat(
+            *[
+                F.substring(
+                    F.lit(_BASE32),
+                    F.shiftright(p, 5 * (precision - 1 - c)).bitwiseAND(F.lit(31)).cast("int")
+                    + F.lit(1),
+                    1,
+                )
+                for c in range(precision)
+            ]
         )
 
-    chars = [
-        F.substring(
-            F.lit(_BASE32),
-            F.shiftright(packed, 5 * (precision - 1 - c)).bitwiseAND(F.lit(31)).cast("int") + F.lit(1),
-            1,
-        )
-        for c in range(precision)
-    ]
+    gh = F.element_at(
+        F.transform(
+            F.array(F.struct(lng_q.alias("lng_q"), lat_q.alias("lat_q"))),
+            lambda q: F.element_at(F.transform(F.array(interleave(q)), to_chars), 1),
+        ),
+        1,
+    )
     # least/greatest skip nulls rather than propagate them, so the null guard
     # must be explicit: null coordinate -> null geohash.
-    return F.when(lat_c.isNotNull() & lng_c.isNotNull(), F.concat(*chars))
+    return F.when(lat_c.isNotNull() & lng_c.isNotNull(), gh)
 
 
 def geohash(lat: Column | str, lng: Column | str, precision: int = 4) -> Column:

@@ -74,14 +74,22 @@ def quality_score(text: Column | str) -> Column:
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles -> array<string> (for Jaccard / MinHash dedup).
     Documents shorter than ``n`` tokens yield a single shingle of the whole
-    text so they still participate."""
-    t = tokens(text)
-    k = F.size(t)
-    grams = F.transform(
-        F.sequence(F.lit(0), k - F.lit(n)),
-        lambda i: F.concat_ws(" ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]),
-    )
-    return F.when(k >= n, grams).otherwise(F.array(F.array_join(t, " ")))
+    text so they still participate.
+
+    The token array is let-bound through a single-element ``transform`` so
+    each of the ~3x-per-shingle ``element_at`` references reads the lambda
+    variable instead of re-splitting the text (without this, shingling a
+    400-token document re-evaluates ``split`` ~1200 times)."""
+
+    def grams_of(t: Column) -> Column:
+        k = F.size(t)
+        grams = F.transform(
+            F.sequence(F.lit(0), k - F.lit(n)),
+            lambda i: F.concat_ws(" ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]),
+        )
+        return F.when(k >= n, grams).otherwise(F.array(F.array_join(t, " ")))
+
+    return F.element_at(F.transform(F.array(tokens(text)), grams_of), 1)
 
 
 def lang_id(text: Column | str) -> Column:
@@ -113,16 +121,18 @@ def lang_id(text: Column | str) -> Column:
 
 
 def simhash64(text: Column | str, n: int = 3) -> Column:
-    """64-bit SimHash over word n-gram shingles, entirely in column
-    expressions: xxhash64 per shingle, per-bit majority vote.
+    """64-bit SimHash over word n-gram shingles as a scalar column
+    expression: xxhash64 per shingle, per-bit majority vote.
 
-    The per-bit vote unrolls to 64 aggregate terms over the shingle array —
-    heavy expression tree but pure codegen; for very hot paths prefer the
-    Pandas-UDF minhash in operators/dedup.py.
+    The 64 per-bit votes each walk the shingle array, so this form costs
+    64 array passes per row — fine for small/medium rows and for using
+    simhash inside arbitrary expressions. The HOT PATH for whole-table
+    dedup is ``operators.dedup.simhash_table`` (explode + one groupBy with
+    64 fused aggregates — one pass over the data, partial aggregation
+    map-side).
     """
-    sh = shingles(text, n)
-    hashed = F.transform(sh, lambda s: F.xxhash64(s))
-    k = F.size(sh).cast("double")
+    hashed = F.transform(shingles(text, n), lambda s: F.xxhash64(s))
+    k = F.size(hashed).cast("double")
 
     def bit_adder(b: int):
         # closure (not a default arg): F.aggregate requires a 2-ary merge fn

@@ -24,7 +24,7 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from ..functions.rounding import stable_round
-from ..functions.text import shingles, simhash64
+from ..functions.text import shingles
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -64,40 +64,50 @@ def _minhash_params(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.nda
     return a, b
 
 
-def minhash_signature_udf(num_hashes: int = 128, seed: int = 42):
-    """Pandas UDF: array<string> shingles -> array<long> MinHash signature.
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    seed: int = 42,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig array<long>) — MinHash signatures.
 
-    Universal hashing ((a*x + b) mod p, p = 2^61-1) over a base xxhash of
-    each shingle; vectorized numpy over the whole Arrow batch.
+    Shingling + xxhash64 of each shingle stay JVM-side (codegen); Python
+    receives only (id, array<long>) Arrow batches via ``mapInPandas`` and
+    computes the (num_hashes x n_shingles) universal-hash matrix
+    ((a*x + b) mod p, p = 2^61-1, numpy uint64) with a min per row.
+
+    mapInPandas (a plan node) rather than a scalar pandas_udf: scalar Python
+    UDFs with higher-order-function arguments break self-join plan
+    deduplication (the lambda-bound argument can't be re-extracted on the
+    deduplicated side), and mapInPandas also amortizes better over batches.
     """
+    from collections.abc import Iterator
+
     a, b = _minhash_params(num_hashes, seed)
 
-    @pandas_udf(T.ArrayType(T.LongType()))
-    def _sig(sh: pd.Series) -> pd.Series:
-        out = []
-        for lst in sh:
-            if lst is None or len(lst) == 0:
-                out.append([0] * num_hashes)
-                continue
-            base = np.array(
-                [hash_bytes(s) for s in lst], dtype=np.uint64
-            )  # (n_shingles,)
-            # (num_hashes, n_shingles) universal hashes, take min per row
-            vals = (a[:, None] * base[None, :] + b[:, None]) % np.uint64(_MERSENNE)
-            out.append(vals.min(axis=1).astype(np.int64).tolist())
-        return pd.Series(out)
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            sigs = []
+            for lst in pdf["hs"]:
+                if lst is None or len(lst) == 0:
+                    sigs.append([0] * num_hashes)
+                    continue
+                base = np.asarray(lst, dtype=np.int64).astype(np.uint64)
+                vals = (a[:, None] * base[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+                sigs.append(vals.min(axis=1).astype(np.int64).tolist())
+            yield pd.DataFrame({id_col: pdf[id_col].values, "sig": sigs})
 
-    return _sig
-
-
-def hash_bytes(s: str) -> int:
-    """Deterministic 64-bit string hash (FNV-1a), process-stable (unlike
-    Python's randomized ``hash``)."""
-    h = 0xCBF29CE484222325
-    for ch in s.encode("utf-8"):
-        h ^= ch
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)).alias("hs"),
+    )
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField("sig", T.ArrayType(T.LongType()))]
+    )
+    return hashed.mapInPandas(batches, out_schema)
 
 
 def minhash_lsh_candidates(
@@ -123,10 +133,7 @@ def minhash_lsh_candidates(
     pathological buckets rather than exploding quadratically.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature_udf(num_hashes)
-    with_sig = df.select(
-        F.col(id_col), sig(shingles(F.col(text_col), shingle_n)).alias("sig")
-    )
+    with_sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n=shingle_n)
     banded = with_sig.select(
         id_col,
         F.explode(
@@ -180,9 +187,19 @@ def ngram_jaccard_pairs(
     ``max_shingle_freq`` drops ubiquitous shingles before pairing (a shingle
     appearing in k docs contributes k^2 join rows — boilerplate guard).
     Output: id_a, id_b, jaccard (rounded 6dp), id_a < id_b.
+
+    Shingles are carried as xxhash64 longs, not strings: the exploded
+    inverted index and its self-join shuffle 8-byte keys regardless of
+    shingle text length (collision probability at 64 bits is negligible
+    against any realistic corpus-distinct-shingle count).
     """
     sh = df.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("shingle")
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))
+            )
+        ).alias("shingle"),
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
@@ -207,6 +224,43 @@ def ngram_jaccard_pairs(
     )
 
 
+def simhash_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sh) — 64-bit SimHash per document, computed the scalable way:
+    explode shingle hashes, one groupBy(id) with 64 fused bit-count
+    aggregates (single pass, map-side partial aggregation), then the
+    majority vote reassembles the fingerprint.
+
+    Semantically identical to ``functions.text.simhash64`` (same shingles,
+    same xxhash64, same vote) but one data pass instead of 64 array walks
+    per row.
+    """
+    hashed = df.select(
+        F.col(id_col),
+        F.explode(F.transform(shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))).alias("h"),
+    )
+    aggs = [F.count(F.lit(1)).alias("k")] + [
+        F.sum(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
+        for b in range(64)
+    ]
+    g = hashed.groupBy(id_col).agg(*aggs)
+    sh = F.shiftleft(
+        F.when(F.col("_b0") * 2 >= F.col("k"), F.lit(1)).otherwise(F.lit(0)).cast("long"), 0
+    )
+    for b in range(1, 64):
+        sh = sh.bitwiseOR(
+            F.shiftleft(
+                F.when(F.col(f"_b{b}") * 2 >= F.col("k"), F.lit(1)).otherwise(F.lit(0)).cast("long"),
+                b,
+            )
+        )
+    return g.select(F.col(id_col), sh.alias("sh"))
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -219,10 +273,11 @@ def simhash_near_dup_pairs(
     16-bit chunks (pigeonhole: hamming<=3 pairs share at least one exact
     chunk), join per chunk, verify hamming distance exactly.
 
-    Everything is column expressions — simhash, blocking, and the popcount
-    verification; the join shuffles only (block_idx, chunk) keys.
+    Everything stays JVM-side — simhash (via ``simhash_table``), blocking,
+    and the popcount verification; the join shuffles only (block_idx, chunk)
+    keys.
     """
-    with_sh = df.select(F.col(id_col), simhash64(F.col(text_col), shingle_n).alias("sh"))
+    with_sh = simhash_table(df, text_col, id_col, shingle_n)
     chunk_bits = 64 // n_blocks
     # static per-block expressions (shift amounts must be Python ints)
     blocks = F.array(
