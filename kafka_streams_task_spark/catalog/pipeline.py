@@ -234,3 +234,32 @@ def sessionized_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     numbered = flagged.withColumn("session_no", F.sum("new_session").over(cum).cast("int"))
     return numbered.groupBy("user_id", "session_no").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@query(
+    "asof_purchase_to_click",
+    oracle="""
+    WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    r AS (SELECT user_id, ts, max(event_id) AS event_id
+          FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+    SELECT l.event_id, r.event_id AS click_event_id
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_purchase_to_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest prior (or
+    simultaneous) click. Cogrouped merge_asof — co-partition both sides on
+    user_id, pandas sort-merge within group (operators/asof.py). The right
+    side is deduped to one row per (user, ts) so backward-match ties are
+    impossible and the result is engine-independent."""
+    from ..operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    out = asof_join(purchases, clicks, on="ts", by="user_id")
+    return out.select("event_id", F.col("r_event_id").alias("click_event_id"))

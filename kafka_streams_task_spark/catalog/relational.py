@@ -544,3 +544,134 @@ def case_when_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round((F.sum("value")) + 1e-05, 2).alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Extended join / agg / SQL surface
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "range_band_join",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('small', 0.0, 50000.0),
+             ('mid', 50000.0, 200000.0),
+             ('large', 200000.0, 1e18)
+    )
+    SELECT b.band, count(*) AS n_orders, round((sum(o_totalprice)) + 1e-05, 2) AS total
+    FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join against a tiny literal band table — physical
+    plan is BroadcastNestedLoopJoin with the band table broadcast; at any
+    scale the big side streams through once."""
+    o = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("small", 0.0, 50000.0), ("mid", 50000.0, 200000.0), ("large", 200000.0, 1e18)],
+        ["band", "lo", "hi"],
+    )
+    return (
+        o.join(F.broadcast(bands), (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice") + 1e-05, 2).alias("total"),
+        )
+    )
+
+
+@query(
+    "pivot_event_type_counts",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def pivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation). Explicit value list keeps the
+    plan single-pass (no distinct-values pre-query)."""
+    e = _t(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = e.groupBy("user_id").pivot("event_type", kinds).count()
+    # pivot-count yields null for empty cells; the SQL FILTER form yields 0
+    return out.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
+    )
+
+
+@query(
+    "percentiles_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           round((median(l_quantity)) + 1e-07, 4)              AS med_qty,
+           round((quantile_cont(l_quantity, 0.9)) + 1e-07, 4)  AS p90_qty,
+           round((quantile_cont(l_extendedprice, 0.99)) + 1e-07, 4) AS p99_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous interpolation) — Spark ``percentile``
+    == DuckDB ``quantile_cont``. The approx variant (``percentile_approx``)
+    is the 100 TB path but is engine-specific, so the oracle checks the
+    exact one."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", 0.5) + 1e-07, 4).alias("med_qty"),
+        F.round(F.percentile("l_quantity", 0.9) + 1e-07, 4).alias("p90_qty"),
+        F.round(F.percentile("l_extendedprice", 0.99) + 1e-07, 4).alias("p99_price"),
+    )
+
+
+@query(
+    "grouping_sets_sql",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL API (same Catalyst plan as the DataFrame
+    form; exercises the engine's SQL entry point)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@query(
+    "array_funcs_tokens",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents)
+    SELECT doc_id,
+           array_to_string(list_sort(list_distinct(t))[1:5], ',') AS first5_sorted,
+           CAST(list_contains(t, 'spark') AS INT) AS has_spark,
+           array_to_string(t[1:3], ' ') AS head3
+    FROM tok
+    """,
+)
+def array_funcs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function surface: sort/distinct/slice/contains/join (F5 family
+    generalized beyond the reference's list append/remove)."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    return d.select(
+        "doc_id",
+        F.array_join(F.slice(F.array_sort(F.array_distinct(t)), 1, 5), ",").alias("first5_sorted"),
+        F.array_contains(t, "spark").cast("int").alias("has_spark"),
+        F.array_join(F.slice(t, 1, 3), " ").alias("head3"),
+    )

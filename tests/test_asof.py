@@ -1,0 +1,63 @@
+"""As-of join operator tests (operators/asof.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_asof_backward_basic(spark):
+    from kafka_streams_task_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, "l1"), (1, 20, "l2"), (2, 5, "l3")], ["k", "t", "tag"])
+    right = spark.createDataFrame([(1, 8, "r1"), (1, 15, "r2"), (3, 1, "rx")], ["k", "t", "rtag"])
+    out = {r.tag: (r.r_t, r.r_rtag) for r in asof_join(left, right, on="t", by="k").collect()}
+    assert out["l1"] == (8, "r1")     # latest right <= 10
+    assert out["l2"] == (15, "r2")    # latest right <= 20
+    assert out["l3"] == (None, None)  # no right rows for key 2
+
+
+def test_asof_exact_match_and_forward(spark):
+    from kafka_streams_task_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, "l")], ["k", "t", "tag"])
+    right = spark.createDataFrame([(1, 10, "same"), (1, 12, "later")], ["k", "t", "rtag"])
+    back = asof_join(left, right, on="t", by="k").collect()[0]
+    assert back.r_rtag == "same"  # allow_exact_matches: t == 10 matches
+    strict = asof_join(left, right, on="t", by="k", allow_exact_matches=False).collect()[0]
+    assert strict.r_rtag is None  # nothing strictly before 10
+    fwd = asof_join(left, right, on="t", by="k", direction="forward", allow_exact_matches=False).collect()[0]
+    assert fwd.r_rtag == "later"
+
+
+def test_asof_same_parent_derivation(spark):
+    """Regression: left and right derived from the same parent DataFrame —
+    cogroup attribute dedup must not prune the right's `on` column."""
+    from kafka_streams_task_spark.operators.asof import asof_join
+
+    base = spark.createDataFrame(
+        [(1, 10, "p"), (1, 8, "c"), (1, 15, "c"), (2, 5, "p")], ["k", "t", "kind"]
+    )
+    left = base.filter(F.col("kind") == "p").select("k", "t")
+    right = (
+        base.filter(F.col("kind") == "c")
+        .groupBy("k", "t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = {(r.k, r.t): r.r_t for r in asof_join(left, right, on="t", by="k").collect()}
+    assert out[(1, 10)] == 8
+    assert out[(2, 5)] is None
+
+
+def test_asof_timestamps(spark):
+    from kafka_streams_task_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 12:00:00")], ["k", "t"]
+    ).select("k", F.col("t").cast("timestamp").alias("t"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", "early"), (1, "2024-01-01 11:00:00", "mid")], ["k", "t", "v"]
+    ).select("k", F.col("t").cast("timestamp").alias("t"), "v")
+    out = sorted(
+        (str(r.t), r.r_v) for r in asof_join(left, right, on="t", by="k").collect()
+    )
+    assert out == [("2024-01-01 10:00:00", "early"), ("2024-01-01 12:00:00", "mid")]

@@ -1,0 +1,103 @@
+"""Physical-plan quality gates: these tests pin the 100 TB-relevant plan
+properties — broadcast joins where a side is bounded, filter/column pushdown
+into parquet scans, and Python-free hot paths. A regression here is a
+performance bug even if results stay correct."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_enrich_join_is_broadcast(spark):
+    """The per-geohash rollup is bounded by 32^4 cells — it must broadcast,
+    never shuffle the hotel side."""
+    from kafka_streams_task_spark.operators.weather import (
+        enrich_hotels,
+        weather_by_geohash,
+        weather_daily_avg,
+    )
+
+    weather = spark.createDataFrame(
+        [("u09t", "2020-01-01", 70.0, 21.0)], ["geohash", "wthr_date", "tmp_f", "tmp_c"]
+    )
+    hotels = spark.createDataFrame(
+        [("u09t", "US", "C", "A", "H1", "1")],
+        ["hash", "country", "city", "address", "name", "id"],
+    )
+    plan = _plan(enrich_hotels(hotels, weather_by_geohash(weather_daily_avg(weather))))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_weather_pipeline_has_no_python_nodes(spark):
+    """Geohash is a native expression: the whole batch pipeline must stay
+    JVM-side (no Arrow/Python eval)."""
+    from kafka_streams_task_spark.operators.weather import weather_hotels_pipeline
+
+    weather = spark.createDataFrame(
+        [('{"lat":1.0,"lng":2.0,"wthr_date":"d","avg_tmpr_f":1.0,"avg_tmpr_c":1.0}',)], ["value"]
+    )
+    hotels = spark.createDataFrame(
+        [('{"Id":"1","Name":"n","Country":"c","City":"c","Address":"a","Latitude":"1","Longitude":"2","Hash":"s000"}',)],
+        ["value"],
+    )
+    plan = _plan(weather_hotels_pipeline(weather, hotels, parse_json=True))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark, sf_dir):
+    from kafka_streams_task_spark.catalog.relational import q1_pricing_summary
+
+    plan = _plan(q1_pricing_summary(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # only the needed columns reach the scan
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_quantity" in read_schema and "l_orderkey" not in read_schema
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    from kafka_streams_task_spark.catalog.relational import q5_local_supplier_volume
+
+    plan = _plan(q5_local_supplier_volume(spark, sf_dir))
+    # nation/region/supplier/customer broadcast; at most the lineitem-orders
+    # join may be a shuffle join
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_top_k_uses_take_ordered(spark, sf_dir):
+    from kafka_streams_task_spark.catalog.relational import top_customers_by_balance
+
+    plan = _plan(top_customers_by_balance(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # no global sort for order-by-limit
+
+
+def test_latest_per_key_is_single_aggregation(spark):
+    """A6 must be one hash aggregation (max_by), not a window sort."""
+    from kafka_streams_task_spark.operators.weather import latest_per_key
+
+    df = spark.createDataFrame([("k", 1, "v")], ["k", "o", "v"])
+    plan = _plan(latest_per_key(df, "k", "o"))
+    assert "Window" not in plan
+    assert "max_by" in _optimized(latest_per_key(df, "k", "o")).lower() or "HashAggregate" in plan
+
+
+def test_dedup_exact_shuffles_digest_not_text(spark, sf_dir):
+    """The exact-dedup shuffle must carry the 16-byte digest, not document
+    text: text may appear only below the exchange (scan/projection), and the
+    exchange partitions on the digest."""
+    from kafka_streams_task_spark.operators.dedup import dedup_exact
+    from kafka_streams_task_spark.schemas import load_table
+
+    plan = _plan(dedup_exact(load_table(spark, sf_dir, "documents")))
+    assert "Exchange hashpartitioning(digest" in plan
+    # partial aggregation below the exchange (map-side combine on digest)
+    before_exchange = plan.split("Exchange hashpartitioning(digest")[1]
+    assert "partial" in before_exchange
