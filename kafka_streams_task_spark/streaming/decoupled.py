@@ -1,0 +1,139 @@
+"""The MyStream variant: the same domain pipeline decoupled into stages that
+communicate only through named, durable seams.
+
+Reference (src/main/java/org/davkaev/MyStream.java:35-199): three
+sub-pipelines wired through intermediate topics ``weather_hash_date``
+(rekeyed observations) and ``weather_hash`` (dated averages), ending in a
+KTable–KTable left join onto addresses. In Spark a seam is any replayable
+sink/source pair; these helpers use parquet directories (the batch/test
+realization — swap for Kafka topics via sources/kafka.py in production).
+Keeping the seams materialized preserves the reference's operational
+property: every stage is independently restartable and its intermediate
+stream is inspectable.
+
+foreachBatch variant: `rollup_via_foreach_batch` is mitigation (b) from
+SURVEY §7.4.1 — per micro-batch, merge the batch's partial (sum,count)
+deltas into a durable state table, then publish the recomputed rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.weather import (
+    enrich_hotels,
+    hotels_rekey,
+    latest_per_key,
+    weather_by_geohash,
+    weather_daily_avg,
+    weather_rekey,
+)
+
+
+def stage1_rekey(spark: SparkSession, weather_raw: DataFrame, seam_dir: str) -> str:
+    """MyStream stage 1 (MyStream.java:92-110): rekey raw weather by geohash
+    and publish to the ``weather_hash_date`` seam."""
+    out = f"{seam_dir}/weather_hash_date"
+    weather_rekey(weather_raw).write.mode("overwrite").parquet(out)
+    return out
+
+
+def stage2_daily_avg(spark: SparkSession, seam_dir: str) -> str:
+    """MyStream stage 2 (MyStream.java:115-129): consume the rekeyed seam,
+    maintain per-(geohash, date) averages, publish to ``weather_hash``."""
+    src = spark.read.parquet(f"{seam_dir}/weather_hash_date")
+    out = f"{seam_dir}/weather_hash"
+    weather_daily_avg(src).write.mode("overwrite").parquet(out)
+    return out
+
+
+def stage3_enrich(
+    spark: SparkSession, hotels_raw: DataFrame, seam_dir: str, how: str = "left"
+) -> DataFrame:
+    """MyStream stage 3 (MyStream.java:148-175): addresses as a
+    latest-per-key table, left-joined with the per-geohash weather rollup
+    (KTable–KTable leftJoin, MyStream.java:168-173)."""
+    daily = spark.read.parquet(f"{seam_dir}/weather_hash")
+    rollup = weather_by_geohash(daily)
+    hotels = hotels_rekey(hotels_raw)
+    # KTable semantics on the address stream: latest record per hash
+    hotels_tbl = latest_per_key(
+        hotels.withColumn("_seq", F.monotonically_increasing_id()), "hash", "_seq"
+    ).drop("_seq")
+    return enrich_hotels(hotels_tbl, rollup, how=how)
+
+
+def run_decoupled_pipeline(
+    spark: SparkSession,
+    weather_raw: DataFrame,
+    hotels_raw: DataFrame,
+    seam_dir: str,
+    how: str = "left",
+) -> DataFrame:
+    """All three stages, each reading only its upstream seam."""
+    stage1_rekey(spark, weather_raw, seam_dir)
+    stage2_daily_avg(spark, seam_dir)
+    return stage3_enrich(spark, hotels_raw, seam_dir, how)
+
+
+def rollup_via_foreach_batch(
+    weather_raw_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    precision: int = 4,
+):
+    """Two-level stateful aggregation via foreachBatch (SURVEY §7.4.1(b)).
+
+    Each micro-batch computes its own per-(geohash, date) partial
+    (sum, count), merges it into a durable parquet state table (idempotent
+    per batch id via overwrite-by-union), and rewrites the per-geohash
+    rollup. Heavier I/O than the applyInPandasWithState path but uses only
+    batch operators and survives any Spark version's streaming limitations.
+
+    Returns the StreamingQuery; the current rollup lives at
+    ``{state_dir}/rollup`` (geohash, weatherList).
+    """
+    keyed = weather_rekey(weather_raw_stream, precision)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = batch_df.groupBy("geohash", "wthr_date").agg(
+            F.sum("tmp_f").alias("sum_f"),
+            F.sum("tmp_c").alias("sum_c"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        state_path = f"{state_dir}/state"
+        try:
+            prev = spark.read.parquet(state_path)
+        except Exception:  # noqa: BLE001 - first batch: no state yet
+            prev = None
+        merged = (
+            partial.unionByName(prev).groupBy("geohash", "wthr_date").agg(
+                F.sum("sum_f").alias("sum_f"),
+                F.sum("sum_c").alias("sum_c"),
+                F.sum("cnt").alias("cnt"),
+            )
+            if prev is not None
+            else partial
+        )
+        merged.persist()
+        merged.write.mode("overwrite").parquet(f"{state_dir}/state_next")
+        # swap: re-read the freshly written state (avoids overwriting an
+        # input path mid-read), then publish the rollup
+        spark.read.parquet(f"{state_dir}/state_next").write.mode("overwrite").parquet(state_path)
+        daily = spark.read.parquet(state_path).select(
+            "geohash",
+            "wthr_date",
+            (F.col("sum_f") / F.col("cnt")).alias("tmp_f"),
+            (F.col("sum_c") / F.col("cnt")).alias("tmp_c"),
+        )
+        weather_by_geohash(daily).write.mode("overwrite").parquet(f"{state_dir}/rollup")
+        merged.unpersist()
+
+    return (
+        keyed.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -47,6 +47,19 @@ ROLLUP_STATE = T.StructType(
 )
 
 
+def _make_rollup_fn(ttl_ms: int | None):
+    def fn(key, pdfs, state):
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
+        for out in _rollup_fn(key, pdfs, state):
+            yield out
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+
+    return fn
+
+
 def _rollup_fn(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
@@ -78,21 +91,31 @@ def _rollup_fn(
     yield pd.DataFrame({"geohash": [key[0]], "weatherList": [weather_list]})
 
 
-def weather_rollup_stream(weather_raw_stream: DataFrame, precision: int = 4) -> DataFrame:
+def weather_rollup_stream(
+    weather_raw_stream: DataFrame,
+    precision: int = 4,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
     """A1-A5 on a stream: rekey then the single stateful rollup operator.
 
     Input: streaming DataFrame with the raw weather schema (lat, lng,
     wthr_date, avg_tmpr_f, avg_tmpr_c). Output (update mode): one row per
     updated geohash per micro-batch carrying the complete current
     weatherList — the changelog of the reference's per-geohash KTable.
+
+    ``state_ttl_ms``: optional processing-time TTL after which an idle
+    cell's state is dropped (SURVEY §1.3.4 — the reference keeps state
+    forever, which is the default here too; the knob bounds state at scale).
     """
     keyed = weather_rekey(weather_raw_stream, precision)
     return keyed.groupBy("geohash").applyInPandasWithState(
-        _rollup_fn,
+        _make_rollup_fn(state_ttl_ms) if state_ttl_ms is not None else _rollup_fn,
         outputStructType=ROLLUP_OUTPUT,
         stateStructType=ROLLUP_STATE,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout,
     )
 
 

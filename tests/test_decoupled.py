@@ -1,0 +1,97 @@
+"""MyStream-variant tests: staged pipeline with materialized seams and the
+foreachBatch two-level-agg alternative."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+
+import pytest
+
+from kafka_streams_task_spark.functions.geohash import geohash_encode
+from kafka_streams_task_spark.schemas import HOTELS_RAW, WEATHER_RAW
+
+GH = geohash_encode(51.51, -0.07, 4)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="decoupled_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _weather_df(spark):
+    rows = [
+        (51.51, -0.07, "2020-01-01", 70.0, 30.0),
+        (51.51, -0.07, "2020-01-01", 72.0, 32.0),
+        (51.51, -0.07, "2020-01-02", 72.0, 32.0),
+        (10.0, 10.0, "2020-01-01", 99.0, 37.0),
+    ]
+    return spark.createDataFrame(
+        [dict(zip(("lat", "lng", "wthr_date", "avg_tmpr_f", "avg_tmpr_c"), r)) for r in rows],
+        WEATHER_RAW,
+    )
+
+
+def _hotels_df(spark):
+    return spark.createDataFrame(
+        [
+            ("42", "TestHotel", "GB", "London", "A", "51.51", "-0.07", GH),
+            ("42", "TestHotel Renamed", "GB", "London", "A2", "51.51", "-0.07", GH),
+            ("7", "NoWeather", "US", "Nowhere", "B", "1", "1", "zzzz"),
+        ],
+        HOTELS_RAW,
+    )
+
+
+def test_decoupled_pipeline_matches_canonical(spark, tmpdir):
+    """Three stages over parquet seams == the single-DAG topology; the
+    address table takes the LATEST record per hash (KTable semantics,
+    MyStream.java:166) and the left join keeps weatherless hotels."""
+    from kafka_streams_task_spark.streaming.decoupled import run_decoupled_pipeline
+
+    out = run_decoupled_pipeline(spark, _weather_df(spark), _hotels_df(spark), tmpdir, how="left")
+    rows = {r.hash: r for r in out.collect()}
+    assert rows[GH].name == "TestHotel Renamed"  # last write wins
+    assert [(w.tmp_f, w.tmp_c, w.date) for w in rows[GH].avgWeathers] == [
+        (71.0, 31.0, "2020-01-01"),
+        (72.0, 32.0, "2020-01-02"),
+    ]
+    assert rows["zzzz"].avgWeathers == []  # left join keeps unmatched
+
+    # seams are inspectable (the reference's intermediate-topic property)
+    daily = spark.read.parquet(f"{tmpdir}/weather_hash").collect()
+    assert {(r.geohash, r.wthr_date) for r in daily} >= {(GH, "2020-01-01"), (GH, "2020-01-02")}
+
+
+def test_foreach_batch_rollup(spark, tmpdir):
+    """foreachBatch state-merge variant accumulates across micro-batches."""
+    import os
+    import time
+
+    from kafka_streams_task_spark.sources.files import read_json_stream
+    from kafka_streams_task_spark.streaming.decoupled import rollup_via_foreach_batch
+
+    src = f"{tmpdir}/in"
+    os.makedirs(src)
+    batches = [
+        [{"lat": 51.51, "lng": -0.07, "wthr_date": "2020-01-01", "avg_tmpr_f": 70.0, "avg_tmpr_c": 30.0}],
+        [{"lat": 51.51, "lng": -0.07, "wthr_date": "2020-01-01", "avg_tmpr_f": 72.0, "avg_tmpr_c": 32.0},
+         {"lat": 51.51, "lng": -0.07, "wthr_date": "2020-01-02", "avg_tmpr_f": 72.0, "avg_tmpr_c": 32.0}],
+    ]
+    now = time.time()
+    for i, b in enumerate(batches):
+        with open(f"{src}/b{i}.json", "w") as f:
+            for rec in b:
+                f.write(json.dumps(rec) + "\n")
+        os.utime(f"{src}/b{i}.json", (now + 30 * i, now + 30 * i))
+
+    stream = read_json_stream(spark, src, WEATHER_RAW, max_files_per_trigger=1)
+    q = rollup_via_foreach_batch(stream, f"{tmpdir}/state", f"{tmpdir}/ckpt")
+    q.awaitTermination(180)
+
+    rollup = {r.geohash: r.weatherList for r in spark.read.parquet(f"{tmpdir}/state/rollup").collect()}
+    got = [(w.tmp_f, w.tmp_c, w.date) for w in rollup[GH]]
+    assert got == [(71.0, 31.0, "2020-01-01"), (72.0, 32.0, "2020-01-02")]
