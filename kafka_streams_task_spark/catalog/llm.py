@@ -267,3 +267,17 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
     return decode_image_features(d)
+
+
+@query("text_bpe_token_counts", oracle=None)  # lookahead regex differs under RE2: rows-only + pytest
+def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword token counting (regex boundary splitting — the
+    deterministic approximation of byte-pair granularity for cost
+    estimation)."""
+    from ..functions.text import bpe_ish_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(bpe_ish_tokens("text")).alias("n_bpe_tokens"),
+    )

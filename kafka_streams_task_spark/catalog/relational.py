@@ -675,3 +675,150 @@ def array_funcs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains(t, "spark").cast("int").alias("has_spark"),
         F.array_join(F.slice(t, 1, 3), " ").alias("head3"),
     )
+
+
+@query(
+    "q6_revenue_forecast",
+    oracle="""
+    SELECT round((sum(l_extendedprice * l_discount)) + 1e-05, 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-sum. Every predicate pushes to the
+    parquet reader; the whole query is one codegen stage + one partial/final
+    agg pair — the canonical 'scan-bound at 100 TB' query."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")) + 1e-05, 2).alias("revenue"))
+    )
+
+
+@query(
+    "q12_shipmode_priority",
+    oracle="""
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q14_promo_effect",
+    oracle="""
+    SELECT round((100.0 * sum(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount))) + 1e-07, 4) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+    """,
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: broadcast dim join + conditional ratio aggregate."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0 * F.sum(F.when(F.col("p_type").like("PROMO%"), disc).otherwise(0.0)) / F.sum(disc)
+                + 1e-07,
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    )
+    SELECT c_custkey, o_orderkey, round((o_totalprice) + 1e-05, 2) AS totalprice
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN big ON o_orderkey = big.l_orderkey
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING subquery as a semi-join input."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q")).filter(F.col("q") > 150)
+    return (
+        o.join(big.select("l_orderkey"), o.o_orderkey == F.col("l_orderkey"))
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_custkey", "o_orderkey", F.round(F.col("o_totalprice") + 1e-05, 2).alias("totalprice"))
+    )
+
+
+@query(
+    "regex_extract_ids",
+    oracle="""
+    SELECT c_custkey,
+           regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+           CAST(regexp_matches(c_name, '0{2,}') AS INT) AS has_zero_run
+    FROM customer
+    """,
+)
+def regex_extract_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface: extract + boolean match (simple patterns evaluate
+    identically under Java regex and RE2)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_digits"),
+        F.regexp_like(F.col("c_name"), F.lit(r"0{2,}")).cast("int").alias("has_zero_run"),
+    )
+
+
+@query(
+    "setop_except_all_keys",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    EXCEPT ALL
+    SELECT c_custkey FROM customer
+    """,
+)
+def setop_except_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag difference): order custkeys minus one occurrence per
+    customer row — multiplicity-aware set op."""
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    return o.exceptAll(c)
