@@ -281,3 +281,13 @@ def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(bpe_ish_tokens("text")).alias("n_bpe_tokens"),
     )
+
+
+@query("similarity_knn_ivf", oracle=None)  # approximate (sampled kmeans): recall vs brute force in tests
+def similarity_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: sampled-kmeans coarse quantizer, nearest-list
+    probing, exact rerank inside probed lists (operators/similarity.knn_ivf)."""
+    from ..operators.similarity import knn_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_ivf(emb, emb.filter(F.col("vec_id") < 10), k=5)

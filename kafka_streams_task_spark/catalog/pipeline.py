@@ -263,3 +263,49 @@ def asof_purchase_to_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = asof_join(purchases, clicks, on="ts", by="user_id")
     return out.select("event_id", F.col("r_event_id").alias("click_event_id"))
+
+
+@query(
+    "session_window_stats",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN date_diff('second',
+                                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                                 ts) <= 1800 THEN 0 ELSE 1 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(min(ts) AS VARCHAR) AS session_start,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL session_window operator (30-min inactivity gap) — the same
+    sessions the gaps-and-islands oracle derives, so Spark's native session
+    windowing is hash-checked against portable SQL. Works unchanged on a
+    stream (with a watermark).
+
+    Note session_window's window start == first event ts and the window
+    closes after 30 idle minutes — identical segmentation to the
+    lag/cumsum formulation as long as ties on ts don't straddle a boundary
+    (event timestamps here are microsecond-unique per user).
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("string").alias("session_start"),
+            "n_events",
+        )
+    )

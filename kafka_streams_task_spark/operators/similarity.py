@@ -140,3 +140,103 @@ def knn_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def _kmeans_numpy(sample: np.ndarray, n_clusters: int, seed: int, n_iter: int = 12) -> np.ndarray:
+    """Small driver-side k-means (numpy, seeded) for IVF coarse centroids."""
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), size=n_clusters, replace=False)].copy()
+    for _ in range(n_iter):
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_clusters):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def _assign_clusters(df: DataFrame, vec_col: str, centroids: np.ndarray, n_probe: int, out_col: str):
+    """mapInPandas: nearest-centroid assignment (numpy matmul over Arrow
+    batches). Emits one row per (row, probed cluster) — n_probe=1 for the
+    corpus (each vector indexed once), >1 for queries (probe several lists)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cent = centroids.astype("float64")
+    cent_sq = (cent**2).sum(axis=1)
+
+    in_fields = df.schema.fields
+    out_schema = T.StructType(list(in_fields) + [T.StructField(out_col, T.IntegerType())])
+
+    def batches(it):
+        for pdf in it:
+            mat = np.array([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            if len(mat) == 0:
+                yield pd.DataFrame(columns=[f.name for f in out_schema.fields])
+                continue
+            # argmin over ||x-c||^2 = ||c||^2 - 2 x.c (||x||^2 constant per row)
+            scores = cent_sq[None, :] - 2.0 * (mat @ cent.T)
+            order = np.argsort(scores, axis=1)[:, :n_probe]
+            reps = []
+            for j in range(n_probe):
+                rep = pdf.copy()
+                rep[out_col] = order[:, j].astype("int32")
+                reps.append(rep)
+            yield pd.concat(reps, ignore_index=True)
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 4096,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) coarse quantization.
+
+    Train: k-means centroids on a bounded driver-side sample (seeded,
+    deterministic). Index: every corpus vector is assigned to its nearest
+    centroid (one shuffle key: cluster id). Search: each query probes its
+    ``n_probe`` nearest centroids and exact-reranks only those lists.
+
+    At 100 TB the centroid table is tiny and broadcast inside the numpy
+    closure; the only join is (cluster) x (cluster) — candidate volume is
+    corpus * n_probe / n_clusters per query on average. Raise n_clusters
+    (sqrt(N) rule of thumb) and n_probe for the recall/latency trade.
+    """
+    sample_pdf = (
+        corpus.select(vec_col).orderBy(id_col).limit(sample_size).toPandas()
+    )
+    sample = np.array([np.asarray(v, dtype="float64") for v in sample_pdf[vec_col]])
+    centroids = _kmeans_numpy(sample, min(n_clusters, len(sample)), seed)
+
+    c_assigned = _assign_clusters(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        "c_vec", centroids, 1, "cluster",
+    )
+    q_assigned = _assign_clusters(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        "q_vec", centroids, n_probe, "cluster",
+    )
+    cand = (
+        c_assigned.join(q_assigned, on="cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            stable_round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )

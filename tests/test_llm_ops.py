@@ -223,3 +223,25 @@ def test_multimodal_plumbing(spark):
     frames = sample_video_frames(df).collect()
     assert len(frames) > 0
     assert all(isinstance(r.frame_bytes, (bytes, bytearray)) for r in frames)
+
+
+def test_knn_ivf_recall(spark):
+    """IVF top-k must recover most of the exact top-k on clustered data."""
+    import numpy as np
+
+    from kafka_streams_task_spark.operators.similarity import knn_bruteforce, knn_ivf
+
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((8, 32)) * 3
+    vecs = np.vstack([c + rng.standard_normal((40, 32)) * 0.5 for c in centers]).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))], ["vec_id", "embedding"]
+    )
+    queries = df.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id) for r in knn_bruteforce(df, queries, k=5).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_ivf(df, queries, k=5, n_clusters=8, n_probe=3).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF recall {recall:.2f} too low"
