@@ -21,6 +21,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q18_large_volume_customers",
     "agg_stats_by_flag",
     "window_top_order_per_customer",
     # reference-pipeline shapes
@@ -28,12 +30,16 @@ HEADLINE = [
     "pipeline_enrich_daily_rollup",
     "latest_event_per_user",
     "events_hourly_tumbling",
+    "session_window_stats",
+    "asof_purchase_to_click",
     # LLM-data ops
     "dedup_exact_digest",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "similarity_knn_bruteforce",
     "similarity_knn_lsh",
+    "similarity_knn_ivf",
     "text_token_stats",
     "text_quality_scores",
     "multimodal_image_features",
