@@ -107,32 +107,68 @@ def knn_lsh(
 
     Recall grows with n_tables; cost per query is bounded by bucket sizes
     (expected corpus/2^n_planes per table).
+
+    Plan shape (the 100 TB posture): bucket ids are computed by one numpy
+    matmul per Arrow batch (mapInPandas); the bucket join and the pair
+    dedup shuffle ONLY ids — embedding vectors rejoin just before scoring,
+    so no shuffle ever carries a vector per candidate pair.
     """
-    tables = [random_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rng_planes = np.vstack(
+        [random_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    )  # (n_tables*n_planes, dim)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
 
     def bucketed(df: DataFrame, ident: str) -> DataFrame:
-        buckets = F.array(
-            *[
-                F.struct(F.lit(t).alias("tbl"), lsh_bucket(F.col(vec_col), tables[t]).alias("bkt"))
-                for t in range(n_tables)
+        schema = T.StructType(
+            [
+                T.StructField(ident, df.schema[id_col].dataType),
+                T.StructField("tbl", T.IntegerType()),
+                T.StructField("bkt", T.LongType()),
             ]
         )
-        return df.select(
-            F.col(id_col).alias(ident), F.col(vec_col).alias(f"{ident}_vec"), F.explode(buckets).alias("tb")
-        ).select(ident, f"{ident}_vec", "tb.tbl", "tb.bkt")
 
-    cb = bucketed(corpus, "neighbor_id")
-    qb = bucketed(queries, "query_id")
-    cand = (
-        cb.join(qb, on=["tbl", "bkt"])
+        def batches(it):
+            for pdf in it:
+                mat = np.array([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+                if len(mat) == 0:
+                    yield pd.DataFrame(columns=[f.name for f in schema.fields])
+                    continue
+                signs = (mat @ rng_planes.T) >= 0  # (n, n_tables*n_planes)
+                parts = []
+                for t in range(n_tables):
+                    bits = signs[:, t * n_planes : (t + 1) * n_planes]
+                    bkt = (bits * weights[None, :]).sum(axis=1)
+                    parts.append(
+                        pd.DataFrame(
+                            {ident: pdf[id_col].values, "tbl": t, "bkt": bkt}
+                        )
+                    )
+                out = pd.concat(parts, ignore_index=True)
+                out["tbl"] = out["tbl"].astype("int32")
+                yield out
+
+        return df.select(id_col, vec_col).mapInPandas(batches, schema)
+
+    pairs = (
+        bucketed(corpus, "neighbor_id")
+        .join(bucketed(queries, "query_id"), on=["tbl", "bkt"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "query_id_vec", "neighbor_id_vec")
-        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        stable_round(cosine_similarity(F.col("query_id_vec"), F.col("neighbor_id_vec")), 6).alias("sim"),
+    q_vecs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    c_vecs = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        pairs.join(F.broadcast(q_vecs), on="query_id")
+        .join(c_vecs, on="neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            stable_round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
