@@ -822,3 +822,155 @@ def setop_except_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
     c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
     return o.exceptAll(c)
+
+
+@query(
+    "unpivot_order_metrics",
+    oracle="""
+    SELECT o_orderkey, metric, round((val) + 1e-05, 2) AS val
+    FROM (
+      SELECT o_orderkey, o_totalprice AS totalprice,
+             CAST(o_custkey AS DOUBLE) AS custkey_num
+      FROM orders WHERE o_orderkey < 100
+    ) UNPIVOT (val FOR metric IN (totalprice, custkey_num))
+    """,
+)
+def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide -> long). Spark's unpivot == SQL UNPIVOT."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey_num"),
+    )
+    out = o.unpivot("o_orderkey", ["totalprice", "custkey_num"], "metric", "val")
+    return out.select("o_orderkey", "metric", F.round(F.col("val") + 1e-05, 2).alias("val"))
+
+
+@query(
+    "corr_covar_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round((corr(l_quantity, l_extendedprice)) + 1e-07, 4)       AS corr_qty_price,
+           round((covar_samp(l_quantity, l_extendedprice)) + 1e-07, 4) AS covar_qty_price,
+           round((var_samp(l_discount)) + 1e-09, 6)                    AS var_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def corr_covar_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family: corr/covar/variance."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice") + 1e-07, 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice") + 1e-07, 4).alias("covar_qty_price"),
+        F.round(F.var_samp("l_discount") + 1e-09, 6).alias("var_disc"),
+    )
+
+
+@query(
+    "explode_token_freq",
+    oracle="""
+    SELECT tok, count(*) AS n
+    FROM (SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents)
+    GROUP BY tok
+    HAVING count(*) >= 10
+    """,
+)
+def explode_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral/explode shape: flatten token arrays, global term frequency."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 10)
+    )
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS -> left-semi join + agg."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    semi = o.join(
+        li, (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate), "left_semi"
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           round((sum(l_extendedprice * (1 - l_discount))) + 1e-05, 2) AS revenue,
+           n_name
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: 4-way join, agg, top-20."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-05, 2).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q19_disjunctive_predicates",
+    oracle="""
+    SELECT round((sum(l_extendedprice * (1 - l_discount))) + 1e-05, 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 35)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicates across the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 35))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 50))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-05, 2).alias("revenue")
+    )
