@@ -92,3 +92,61 @@ def test_kafka_probe_degrades_gracefully(spark):
     from kafka_streams_task_spark.sources.kafka import kafka_available
 
     assert kafka_available(spark) in (True, False)
+
+
+def test_stream_stream_interval_join(spark, tmpdir):
+    """Windowed stream-stream inner join: purchases joined to the same
+    user's clicks within the preceding 30 minutes, both sides watermarked —
+    the streaming join family absent from the reference (SURVEY §2.4) that
+    the engine exposes."""
+    from kafka_streams_task_spark.sources.files import read_json_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user", T.StringType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("eid", T.LongType()),
+        ]
+    )
+    src = f"{tmpdir}/in"
+    os.makedirs(src)
+    recs = [
+        {"ts": "2024-01-01 10:00:00", "user": "u1", "kind": "click", "eid": 1},
+        {"ts": "2024-01-01 10:10:00", "user": "u1", "kind": "purchase", "eid": 2},  # joins eid 1
+        {"ts": "2024-01-01 11:30:00", "user": "u1", "kind": "purchase", "eid": 3},  # no click within 30m
+        {"ts": "2024-01-01 10:05:00", "user": "u2", "kind": "purchase", "eid": 4},  # u2 never clicked
+        {"ts": "2024-01-01 12:00:00", "user": "u1", "kind": "click", "eid": 5},     # advances watermark
+    ]
+    with open(f"{src}/b0.json", "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+
+    stream = read_json_stream(spark, src, schema)
+    purchases = stream.filter(F.col("kind") == "purchase").select(
+        F.col("user"), F.col("ts").alias("p_ts"), F.col("eid").alias("p_eid")
+    ).withWatermark("p_ts", "1 hour")
+    clicks = stream.filter(F.col("kind") == "click").select(
+        F.col("user").alias("c_user"), F.col("ts").alias("c_ts"), F.col("eid").alias("c_eid")
+    ).withWatermark("c_ts", "1 hour")
+
+    joined = purchases.join(
+        clicks,
+        (F.col("user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select("user", "p_eid", "c_eid")
+
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/ckpt_ssj")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {(r.user, r.p_eid, r.c_eid) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    assert rows == {("u1", 2, 1)}
