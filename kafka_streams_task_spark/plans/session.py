@@ -44,6 +44,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # local test files are 10-40MB singles; smaller split target keeps
+        # all cores busy on a scan (cluster deployments with many files
+        # raise this back toward the 128m default)
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.ui.enabled", "false")
