@@ -95,9 +95,32 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", quality_score("text").alias("quality"))
 
 
-@query("text_lang_id", oracle=None)  # heuristic classifier: rows-only check; accuracy asserted in tests
+@query(
+    "text_lang_id",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang AS labeled, text,
+             list_distinct(string_split_regex(lower(text), '\\s+')) AS toks
+      FROM documents
+    ), scores AS (
+      SELECT doc_id, labeled, text,
+             [{'hits': len(list_intersect(toks, ['the','and','of','is','with'])), 'lang': 'en'},
+              {'hits': len(list_intersect(toks, ['der','die','und','ist','nicht'])), 'lang': 'de'},
+              {'hits': len(list_intersect(toks, ['el','la','que','de','es'])), 'lang': 'es'},
+              {'hits': len(list_intersect(toks, ['le','la','et','est','les'])), 'lang': 'fr'}] AS sc
+      FROM t
+    )
+    SELECT doc_id, labeled,
+           CASE WHEN regexp_matches(text, '[\u4e00-\u9fff\u3040-\u30ff]') THEN 'zh'
+                WHEN list_max(sc).hits > 0 THEN list_max(sc).lang
+                ELSE 'und' END AS predicted
+    FROM scores
+    """,
+)
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic vs the table's labeled lang column."""
+    """Language-ID heuristic vs the table's labeled lang column. The oracle
+    mirrors the marker-hit argmax (lexicographic (hits, lang) max in both
+    engines) and the CJK script check."""
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
@@ -269,11 +292,24 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_features(d)
 
 
-@query("text_bpe_token_counts", oracle=None)  # lookahead regex differs under RE2: rows-only + pytest
+@query(
+    "text_bpe_token_counts",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '([a-zA-Z])([0-9])', '\1 \2', 'g'),
+                 '([0-9])([a-zA-Z])', '\1 \2', 'g'),
+               '([^a-zA-Z0-9\s])', ' \1 ', 'g')
+           ), '\s+')) AS INT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
 def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish subword token counting (regex boundary splitting — the
-    deterministic approximation of byte-pair granularity for cost
-    estimation)."""
+    """BPE-ish subword token counting (lookahead-free regex boundary
+    splitting — the deterministic approximation of byte-pair granularity
+    for cost estimation; identical rules mirrored in RE2 for the oracle)."""
     from ..functions.text import bpe_ish_tokens
 
     d = load_table(spark, sf_dir, "documents")

@@ -27,10 +27,14 @@ def tokens(text: Column | str, pattern: str = r"\s+") -> Column:
 def bpe_ish_tokens(text: Column | str) -> Column:
     """BPE-ish subword-boundary tokenization: split on whitespace AND
     letter/digit/punct boundaries — a deterministic, regex-only approximation
-    of byte-pair tokenizer granularity for token-count estimation."""
+    of byte-pair tokenizer granularity for token-count estimation.
+
+    Lookahead-free (plain capture groups, applied globally twice for the
+    letter<->digit boundaries), so the identical rules run under both Java
+    regex (Spark) and RE2 (DuckDB oracle)."""
     c = F.col(text) if isinstance(text, str) else text
-    # insert breaks between letter<->digit and around non-alphanumerics
-    marked = F.regexp_replace(c, r"([a-zA-Z])(?=[0-9])|([0-9])(?=[a-zA-Z])", r"$1$2 ")
+    marked = F.regexp_replace(c, r"([a-zA-Z])([0-9])", r"$1 $2")
+    marked = F.regexp_replace(marked, r"([0-9])([a-zA-Z])", r"$1 $2")
     marked = F.regexp_replace(marked, r"([^a-zA-Z0-9\s])", r" $1 ")
     return F.split(F.trim(marked), r"\s+")
 
