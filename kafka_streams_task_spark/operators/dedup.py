@@ -132,8 +132,14 @@ def minhash_lsh_candidates(
     capped at ``max_bucket`` docs per bucket (boilerplate guard) — drops
     pathological buckets rather than exploding quadratically.
     """
+    from pyspark.storagelevel import StorageLevel
+
     rows_per_band = num_hashes // bands
     with_sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n=shingle_n)
+    # the banded index feeds the bucket-cap window AND both self-join sides;
+    # materialize it once (id+band+bucket rows — slim) instead of running
+    # the signature stage per consumer
+    with_sig = with_sig.persist(StorageLevel.MEMORY_AND_DISK)
     banded = with_sig.select(
         id_col,
         F.explode(
@@ -193,6 +199,8 @@ def ngram_jaccard_pairs(
     shingle text length (collision probability at 64 bits is negligible
     against any realistic corpus-distinct-shingle count).
     """
+    from pyspark.storagelevel import StorageLevel
+
     sh = df.select(
         F.col(id_col),
         F.explode(
@@ -201,6 +209,10 @@ def ngram_jaccard_pairs(
             )
         ).alias("shingle"),
     )
+    # the inverted index feeds sizes, the frequency filter, and both
+    # self-join sides — materialize it once ((id, hash64) rows) rather than
+    # re-shingling the corpus per consumer
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
@@ -291,9 +303,13 @@ def simhash_near_dup_pairs(
             for i in range(n_blocks)
         ]
     )
+    from pyspark.storagelevel import StorageLevel
+
     blocked = with_sh.select(id_col, "sh", F.explode(blocks).alias("bc")).select(
         id_col, "sh", "bc.blk", "bc.chunk"
     )
+    # both self-join sides read the blocked index; materialize it once
+    blocked = blocked.persist(StorageLevel.MEMORY_AND_DISK)
     a = blocked.alias("a")
     b = blocked.alias("b")
     cand = (
