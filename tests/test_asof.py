@@ -61,3 +61,58 @@ def test_asof_timestamps(spark):
         (str(r.t), r.r_v) for r in asof_join(left, right, on="t", by="k").collect()
     )
     assert out == [("2024-01-01 10:00:00", "early"), ("2024-01-01 12:00:00", "mid")]
+
+
+def test_asof_random_matches_pandas(spark):
+    """Property check: the union-window as-of join must equal pandas
+    merge_asof on random data, across directions and exactness."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_streams_task_spark.operators.asof import asof_join
+
+    rng = np.random.default_rng(17)
+    n_l, n_r = 400, 300
+    lpdf = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, n_l),
+            "t": rng.integers(0, 1000, n_l),
+            "lid": np.arange(n_l),
+        }
+    )
+    rpdf = (
+        pd.DataFrame(
+            {
+                "k": rng.integers(0, 10, n_r),  # some keys absent on left
+                "t": rng.integers(0, 1000, n_r),
+                "rid": np.arange(n_r),
+            }
+        )
+        .drop_duplicates(["k", "t"])  # dedupe ties for determinism
+        .reset_index(drop=True)
+    )
+    left = spark.createDataFrame(lpdf)
+    right = spark.createDataFrame(rpdf)
+
+    for direction in ("backward", "forward"):
+        for exact in (True, False):
+            got = {
+                r.lid: r.r_rid
+                for r in asof_join(
+                    left, right, on="t", by="k", direction=direction, allow_exact_matches=exact
+                ).collect()
+            }
+            expected = pd.merge_asof(
+                lpdf.sort_values("t", kind="mergesort"),
+                rpdf.sort_values("t", kind="mergesort"),
+                on="t",
+                by="k",
+                direction=direction,
+                allow_exact_matches=exact,
+                suffixes=("", "_r"),
+            )
+            exp = {
+                int(row.lid): (None if pd.isna(row.rid) else int(row.rid))
+                for row in expected.itertuples()
+            }
+            assert got == exp, f"mismatch for {direction}/exact={exact}"
