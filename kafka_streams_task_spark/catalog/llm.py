@@ -327,3 +327,20 @@ def similarity_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_ivf(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query(
+    "dedup_survivors",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+    """,
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """drop_exact_duplicates: full-schema surviving rows (lowest id per
+    distinct text), the operator a training-data pipeline actually applies."""
+    from ..operators.dedup import drop_exact_duplicates
+
+    d = load_table(spark, sf_dir, "documents")
+    return drop_exact_duplicates(d).select("doc_id", "lang", "source")

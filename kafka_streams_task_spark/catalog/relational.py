@@ -974,3 +974,35 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(cond).agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-05, 2).alias("revenue")
     )
+
+
+@query(
+    "salted_agg_by_nation",
+    oracle="""
+    SELECT c_nationkey,
+           round((sum(c_acctbal)) + 1e-05, 2) AS total_bal,
+           count(*) AS n,
+           round((max(c_acctbal)) + 1e-05, 2) AS max_bal
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def salted_agg_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe two-level salted aggregation (operators/skew.py) —
+    results identical to a plain GROUP BY (which is exactly what the oracle
+    runs); the salt only changes the physical distribution."""
+    from ..operators.skew import salted_agg
+
+    c = _t(spark, sf_dir, "customer")
+    out = salted_agg(
+        c,
+        ["c_nationkey"],
+        {"total_bal": ("sum", "c_acctbal"), "n": ("count", "c_acctbal"), "max_bal": ("max", "c_acctbal")},
+        n_salts=8,
+    )
+    return out.select(
+        "c_nationkey",
+        F.round(F.col("total_bal") + 1e-05, 2).alias("total_bal"),
+        "n",
+        F.round(F.col("max_bal") + 1e-05, 2).alias("max_bal"),
+    )
