@@ -288,16 +288,18 @@ def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "setop_nations_without_suppliers",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT n_nationkey AS nationkey FROM nation
     EXCEPT
     SELECT s_nationkey FROM supplier
     """,
 )
 def setop_nations_without_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct set difference)."""
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    """EXCEPT (distinct set difference) — nations with no supplier (the
+    supplier table covers only a subset of nations, so the result is
+    non-empty at every scale factor)."""
+    n = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.subtract(s)
+    return n.subtract(s)
 
 
 @query(
