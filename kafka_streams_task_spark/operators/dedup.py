@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
@@ -155,11 +155,16 @@ def minhash_lsh_candidates(
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
 
-    # cap pathological buckets (boilerplate shingles)
-    counted = banded.withColumn(
-        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+    # cap pathological buckets (boilerplate shingles): aggregate + broadcast
+    # anti-join of the (rare) oversized buckets — partial aggregation and no
+    # per-partition sort, unlike a count-over-window formulation
+    oversized = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") > max_bucket)
+        .select("band", "bucket")
     )
-    banded = counted.filter(F.col("bucket_n") <= max_bucket).drop("bucket_n")
+    banded = banded.join(F.broadcast(oversized), on=["band", "bucket"], how="left_anti")
 
     left = banded.alias("l")
     right = banded.alias("r")
