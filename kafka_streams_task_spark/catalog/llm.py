@@ -344,3 +344,15 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return drop_exact_duplicates(d).select("doc_id", "lang", "source")
+
+
+@query("approx_aggregates", oracle=None)  # sketch algorithms are engine-specific: tolerance-tested in pytest
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB approximate toolkit: HyperLogLog++ distinct counts and
+    quantile sketches — rows-only here (sketches differ across engines);
+    tests/test_llm_ops.py bounds them against exact values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    )

@@ -1008,3 +1008,115 @@ def salted_agg_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("max_bal") + 1e-05, 2).alias("max_bal"),
     )
+
+
+@query(
+    "window_analytics_suite",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           first_value(o_orderkey) OVER w AS first_key,
+           round((cume_dist() OVER w) + 1e-09, 6) AS cdist,
+           round((o_totalprice - avg(o_totalprice) OVER (PARTITION BY o_orderpriority)) + 1e-05, 2)
+             AS delta_vs_priority_avg
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window surface: ntile, first_value, cume_dist, and an
+    unordered (whole-partition) aggregate window."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wp = W.partitionBy("o_orderpriority")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.round(F.cume_dist().over(w) + 1e-09, 6).alias("cdist"),
+        F.round(F.col("o_totalprice") - F.avg("o_totalprice").over(wp) + 1e-05, 2).alias(
+            "delta_vs_priority_avg"
+        ),
+    )
+
+
+@query(
+    "date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT) AS days_to_y2k,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS DATE)::VARCHAR AS due_date,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE)::VARCHAR AS quarter_start,
+           CAST(EXTRACT(dow FROM o_orderdate) AS INT) AS dow
+    FROM orders WHERE o_orderkey < 200
+    """,
+)
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval arithmetic surface (absent from the reference, whose
+    dates stay opaque strings — SURVEY §2.5): diffs, offsets, truncation,
+    day-of-week. (Spark dayofweek is 1=Sunday; DuckDB dow is 0=Sunday.)"""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.datediff(F.lit("2000-01-01").cast("date"), d).alias("days_to_y2k"),
+        F.date_add(d, 90).cast("string").alias("due_date"),
+        F.date_trunc("quarter", F.col("o_orderdate")).cast("date").cast("string").alias("quarter_start"),
+        (F.dayofweek("o_orderdate") - F.lit(1)).alias("dow"),
+    )
+
+
+@query(
+    "null_semantics",
+    oracle="""
+    SELECT e.event_id,
+           coalesce(json_extract_string(e.props, '$.missing'), 'absent') AS fallback,
+           CAST(e.value IS NOT DISTINCT FROM v2.value AS INT) AS nullsafe_eq,
+           nullif(e.event_type, 'error') AS type_or_null
+    FROM events e
+    JOIN (SELECT event_id, CASE WHEN value > 250 THEN NULL ELSE value END AS value
+          FROM events) v2 ON e.event_id = v2.event_id
+    WHERE e.event_id < 500
+    """,
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling surface: coalesce, nullif, null-safe equality
+    (<=> / IS NOT DISTINCT FROM)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    v2 = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("value") > 250, None).otherwise(F.col("value")).alias("value2"),
+    )
+    return (
+        e.join(v2, on="event_id")
+        .select(
+            "event_id",
+            F.coalesce(F.get_json_object("props", "$.missing"), F.lit("absent")).alias("fallback"),
+            F.col("value").eqNullSafe(F.col("value2")).cast("int").alias("nullsafe_eq"),
+            F.nullif(F.col("event_type"), F.lit("error")).alias("type_or_null"),
+        )
+    )
+
+
+@query(
+    "string_distance",
+    oracle="""
+    SELECT p_partkey,
+           CAST(levenshtein(p_brand, 'Brand#11') AS INT) AS lev_to_b11,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           translate(p_brand, '#', '_') AS brand_t
+    FROM part WHERE p_partkey < 100
+    """,
+)
+def string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance + padding/translate string surface (levenshtein is the
+    character-level cousin of the token-level dedup family)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_brand", F.lit("Brand#11")).alias("lev_to_b11"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.translate("p_brand", "#", "_").alias("brand_t"),
+    )

@@ -245,3 +245,22 @@ def test_knn_ivf_recall(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"IVF recall {recall:.2f} too low"
+
+
+def test_approx_aggregates_within_tolerance(spark, sf_dir):
+    """HLL++ and quantile sketches must land within a few percent of exact."""
+    from kafka_streams_task_spark.catalog.llm import approx_aggregates
+    from kafka_streams_task_spark.schemas import load_table
+
+    approx = {r.l_returnflag: (r.approx_parts, r.approx_median_price) for r in approx_aggregates(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: (r.n, r.med)
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"), F.percentile("l_extendedprice", 0.5).alias("med"))
+        .collect()
+    }
+    for flag, (n_exact, med_exact) in exact.items():
+        n_approx, med_approx = approx[flag]
+        assert abs(n_approx - n_exact) / n_exact < 0.05
+        assert abs(med_approx - med_exact) / med_exact < 0.05
