@@ -1,0 +1,67 @@
+"""Batch file-format sources: JSON/CSV reads with explicit schemas must
+round-trip the same rows as the parquet original (S-family completeness —
+the reference is Kafka-only; the engine exposes Spark's format scans)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_task_spark.schemas import load_table
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="src_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_json_csv_roundtrip(spark, sf_dir, tmpdir):
+    orig = load_table(spark, sf_dir, "customer").orderBy("c_custkey")
+    orig.write.mode("overwrite").json(f"{tmpdir}/j")
+    orig.write.mode("overwrite").option("header", True).csv(f"{tmpdir}/c")
+
+    schema = orig.schema
+    back_j = spark.read.schema(schema).json(f"{tmpdir}/j")
+    back_c = spark.read.schema(schema).option("header", True).csv(f"{tmpdir}/c")
+
+    base = [tuple(r) for r in orig.collect()]
+    assert sorted(tuple(r) for r in back_j.collect()) == sorted(base)
+    assert sorted(tuple(r) for r in back_c.collect()) == sorted(base)
+
+
+def test_json_permissive_corrupt_records(spark, tmpdir):
+    """PERMISSIVE mode tolerates malformed lines (the engine's lenient-serde
+    stance, serdes/PojoDeserializer.java:11 analogue) and can surface them
+    via columnNameOfCorruptRecord."""
+    import os
+
+    from pyspark.sql import types as T
+
+    os.makedirs(f"{tmpdir}/in")
+    with open(f"{tmpdir}/in/data.json", "w") as f:
+        f.write('{"a": 1, "b": "x"}\n')
+        f.write("THIS IS NOT JSON\n")
+        f.write('{"a": 2, "b": "y"}\n')
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.StringType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(f"{tmpdir}/in")
+    )
+    rows = df.collect()
+    assert len(rows) == 3
+    good = [r for r in rows if r._corrupt is None]
+    bad = [r for r in rows if r._corrupt is not None]
+    assert {r.a for r in good} == {1, 2} and len(bad) == 1
