@@ -19,13 +19,12 @@ from kafka_streams_task_spark.catalog import CATALOG
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: the reference topology
-    shape (two-level aggregation + enrichment join) on the events/customer
-    tables — per-(user, day) averages rolled up per user, joined onto the
-    customer dimension (SURVEY §7.2)."""
-    from kafka_streams_task_spark.catalog.pipeline import pipeline_enrich_daily_rollup
+    """Flagship query on /root/testdata/sf0.001: the reference's complete
+    canonical topology (geohash rekey -> two-level aggregation -> per-cell
+    rollup -> enrichment join, SURVEY §7.2) on the events/customer tables."""
+    from kafka_streams_task_spark.catalog.pipeline import weather_topology_full
 
-    return pipeline_enrich_daily_rollup(spark, "/root/testdata/sf0.001")
+    return weather_topology_full(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -26,6 +26,7 @@ HEADLINE = [
     "agg_stats_by_flag",
     "window_top_order_per_customer",
     # reference-pipeline shapes
+    "weather_topology_full",
     "geohash_cells",
     "pipeline_enrich_daily_rollup",
     "latest_event_per_user",

@@ -309,3 +309,86 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+def _weather_topology_oracle() -> str:
+    """Oracle for the full reference topology, geohash recomputed in SQL at
+    precision 2 (total 10 bits -> 5 per axis)."""
+    packed_w, chars_w = duckdb_geohash_sql("__lat", "__lng", 2)
+    return f"""
+    WITH wcoords AS (
+      SELECT value,
+             CAST(date_trunc('day', ts) AS DATE) AS wthr_date,
+             (value % 180.0) - 90.0 AS __lat,
+             ((value * 7.0) % 360.0) - 180.0 AS __lng
+      FROM events
+    ), wquant AS (
+      SELECT value, wthr_date, {duckdb_geohash_prelude('__lat', '__lng', 2)} FROM wcoords
+    ), wpacked AS (
+      SELECT value, wthr_date, ({packed_w}) AS __packed FROM wquant
+    ), weather_keyed AS (
+      SELECT ({chars_w}) AS geohash, wthr_date, value FROM wpacked
+    ), daily AS (
+      SELECT geohash, wthr_date, avg(value) AS tmp FROM weather_keyed GROUP BY 1, 2
+    ), rollup_by_cell AS (
+      SELECT geohash,
+             count(*) AS n_days,
+             round((avg(tmp)) + 1e-07, 4) AS avg_tmp,
+             CAST(min(wthr_date) AS VARCHAR) AS first_day,
+             CAST(max(wthr_date) AS VARCHAR) AS last_day
+      FROM daily GROUP BY geohash
+    ), hcoords AS (
+      SELECT c_custkey, c_name,
+             (c_acctbal % 180.0) - 90.0 AS __lat,
+             ((c_acctbal * 7.0) % 360.0) - 180.0 AS __lng
+      FROM customer
+    ), hquant AS (
+      SELECT c_custkey, c_name, {duckdb_geohash_prelude('__lat', '__lng', 2)} FROM hcoords
+    ), hpacked AS (
+      SELECT c_custkey, c_name, ({packed_w}) AS __packed FROM hquant
+    ), hotels AS (
+      SELECT c_custkey, c_name, ({chars_w}) AS hash FROM hpacked
+    )
+    SELECT c_custkey, c_name, hash, n_days, avg_tmp, first_day, last_day
+    FROM hotels JOIN rollup_by_cell ON hash = geohash
+    """
+
+
+@query("weather_topology_full", oracle=_weather_topology_oracle())
+def weather_topology_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE flagship: the reference's complete canonical topology
+    (WeatherHotelsApp.java:46-66) end-to-end on driver tables — geohash
+    rekey (P1/F1) -> per-(cell, date) average (A1-A3) -> per-cell rollup
+    (A4-A5, flat aggregates instead of collect_list so the oracle hash is
+    representation-independent) -> inner enrichment join onto a
+    geohash-keyed dimension (P2 + J1). Derived coordinates: events.value
+    maps to (lat, lng) for observations, customer.c_acctbal for hotel
+    locations — same formula family, precision-2 cells so the two
+    populations overlap. The oracle recomputes the geohash bit math in SQL,
+    making every stage of the topology hash-checked."""
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+
+    lat_e = (F.col("value") % F.lit(180.0)) - F.lit(90.0)
+    lng_e = ((F.col("value") * F.lit(7.0)) % F.lit(360.0)) - F.lit(180.0)
+    keyed = e.select(
+        geohash_expr(lat_e, lng_e, 2).alias("geohash"),
+        F.date_trunc("day", "ts").cast("date").alias("wthr_date"),
+        F.col("value"),
+    )
+    daily = keyed.groupBy("geohash", "wthr_date").agg(F.avg("value").alias("tmp"))
+    rollup = daily.groupBy("geohash").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.avg("tmp") + 1e-07, 4).alias("avg_tmp"),
+        F.min("wthr_date").cast("string").alias("first_day"),
+        F.max("wthr_date").cast("string").alias("last_day"),
+    )
+
+    lat_c = (F.col("c_acctbal") % F.lit(180.0)) - F.lit(90.0)
+    lng_c = ((F.col("c_acctbal") * F.lit(7.0)) % F.lit(360.0)) - F.lit(180.0)
+    hotels = c.select(
+        "c_custkey", "c_name", geohash_expr(lat_c, lng_c, 2).alias("hash")
+    )
+    return hotels.join(
+        F.broadcast(rollup.withColumnRenamed("geohash", "hash")), on="hash", how="inner"
+    ).select("c_custkey", "c_name", "hash", "n_days", "avg_tmp", "first_day", "last_day")
