@@ -264,3 +264,25 @@ def test_approx_aggregates_within_tolerance(spark, sf_dir):
         n_approx, med_approx = approx[flag]
         assert abs(n_approx - n_exact) / n_exact < 0.05
         assert abs(med_approx - med_exact) / med_exact < 0.05
+
+
+def test_text_functions_edge_cases(spark):
+    """Empty/whitespace/single-token documents must not divide by zero or
+    produce empty shingle arrays."""
+    from kafka_streams_task_spark.functions.text import quality_score, shingles, token_count
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "single"), (4, "two words")], ["doc_id", "text"]
+    )
+    rows = {
+        r.doc_id: (r.n, r.q, r.sh)
+        for r in df.select(
+            "doc_id",
+            token_count("text").alias("n"),
+            quality_score("text").alias("q"),
+            F.size(shingles("text")).alias("sh"),
+        ).collect()
+    }
+    for did, (n, q, sh) in rows.items():
+        assert n >= 1 and sh >= 1, f"doc {did} degenerate"
+        assert q is not None and 0.0 <= q <= 1.0 + 1e-6, f"doc {did} quality {q}"
