@@ -11,7 +11,7 @@ runtime; these helpers cover the two cases it can't:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
