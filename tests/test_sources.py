@@ -65,3 +65,31 @@ def test_json_permissive_corrupt_records(spark, tmpdir):
     good = [r for r in rows if r._corrupt is None]
     bad = [r for r in rows if r._corrupt is not None]
     assert {r.a for r in good} == {1, 2} and len(bad) == 1
+
+
+def test_app_batch_mode(spark, tmpdir):
+    """The app entry point (batch file mode) runs the canonical topology
+    end-to-end, mirroring WeatherHotelsApp.main on files."""
+    import json
+    import os
+
+    from kafka_streams_task_spark.app import run_batch
+    from kafka_streams_task_spark.functions.geohash import geohash_encode
+
+    gh = geohash_encode(51.51, -0.07, 4)
+    os.makedirs(f"{tmpdir}/w")
+    os.makedirs(f"{tmpdir}/h")
+    with open(f"{tmpdir}/w/a.json", "w") as f:
+        for rec in [
+            {"lat": 51.51, "lng": -0.07, "wthr_date": "2020-01-01", "avg_tmpr_f": 70.0, "avg_tmpr_c": 30.0},
+            {"lat": 51.51, "lng": -0.07, "wthr_date": "2020-01-01", "avg_tmpr_f": 72.0, "avg_tmpr_c": 32.0},
+        ]:
+            f.write(json.dumps(rec) + "\n")
+    with open(f"{tmpdir}/h/a.json", "w") as f:
+        f.write(json.dumps({"Id": "42", "Name": "H", "Country": "GB", "City": "L",
+                            "Address": "A", "Latitude": "51.51", "Longitude": "-0.07",
+                            "Hash": gh}) + "\n")
+    out = run_batch(spark, f"{tmpdir}/w", f"{tmpdir}/h", f"{tmpdir}/out")
+    rows = spark.read.parquet(f"{tmpdir}/out").collect()
+    assert len(rows) == 1
+    assert [(w.tmp_f, w.date) for w in rows[0].avgWeathers] == [(71.0, "2020-01-01")]
