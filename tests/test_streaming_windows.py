@@ -150,3 +150,66 @@ def test_stream_stream_interval_join(spark, tmpdir):
     q.awaitTermination(120)
     rows = {(r.user, r.p_eid, r.c_eid) for r in spark.sql(f"SELECT * FROM {name}").collect()}
     assert rows == {("u1", 2, 1)}
+
+
+def test_stream_stream_left_outer_join(spark, tmpdir):
+    """Left-outer stream-stream join: unmatched purchases emit with nulls
+    once the watermark closes their join window."""
+    from kafka_streams_task_spark.sources.files import read_json_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user", T.StringType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("eid", T.LongType()),
+        ]
+    )
+    src = f"{tmpdir}/in_lo"
+    os.makedirs(src)
+    b0 = [
+        {"ts": "2024-01-01 10:00:00", "user": "u1", "kind": "click", "eid": 1},
+        {"ts": "2024-01-01 10:10:00", "user": "u1", "kind": "purchase", "eid": 2},  # matched
+        {"ts": "2024-01-01 10:20:00", "user": "u2", "kind": "purchase", "eid": 3},  # unmatched
+    ]
+    b1 = [
+        # far-future rows advance both watermarks so eid=3's window closes
+        {"ts": "2024-01-01 18:00:00", "user": "u9", "kind": "click", "eid": 98},
+        {"ts": "2024-01-01 18:00:00", "user": "u9", "kind": "purchase", "eid": 99},
+    ]
+    now = time.time()
+    for i, batch in enumerate([b0, b1]):
+        with open(f"{src}/b{i}.json", "w") as f:
+            for rec in batch:
+                f.write(json.dumps(rec) + "\n")
+        os.utime(f"{src}/b{i}.json", (now + 30 * i, now + 30 * i))
+
+    stream = read_json_stream(spark, src, schema, max_files_per_trigger=1)
+    purchases = stream.filter(F.col("kind") == "purchase").select(
+        "user", F.col("ts").alias("p_ts"), F.col("eid").alias("p_eid")
+    ).withWatermark("p_ts", "10 minutes")
+    clicks = stream.filter(F.col("kind") == "click").select(
+        F.col("user").alias("c_user"), F.col("ts").alias("c_ts"), F.col("eid").alias("c_eid")
+    ).withWatermark("c_ts", "10 minutes")
+
+    joined = purchases.join(
+        clicks,
+        (F.col("user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select("user", "p_eid", "c_eid")
+
+    name = f"lo_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/ckpt_lo")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {(r.user, r.p_eid, r.c_eid) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    assert ("u1", 2, 1) in rows            # matched pair
+    assert ("u2", 3, None) in rows         # unmatched emits with null
