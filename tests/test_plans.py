@@ -101,3 +101,56 @@ def test_dedup_exact_shuffles_digest_not_text(spark, sf_dir):
     # partial aggregation below the exchange (map-side combine on digest)
     before_exchange = plan.split("Exchange hashpartitioning(digest")[1]
     assert "partial" in before_exchange
+
+def test_weather_topology_full_plan(spark, sf_dir):
+    """The flagship topology: broadcast enrichment join, zero Python nodes,
+    partial+final aggregation at both levels."""
+    from kafka_streams_task_spark.catalog.pipeline import weather_topology_full
+
+    df = weather_topology_full(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final x two levels
+
+
+def test_sql_surface_runs_flagship(spark, sf_dir):
+    """The engine's SQL entry point: the flagship topology expressed as one
+    Spark SQL statement over registered views produces the same result as
+    the DataFrame form."""
+    from kafka_streams_task_spark.catalog.pipeline import weather_topology_full
+    from kafka_streams_task_spark.schemas import register_views
+
+    register_views(spark, sf_dir)
+    spark.udf.register(
+        "geohash2",
+        lambda lat, lng: __import__(
+            "kafka_streams_task_spark.functions.geohash", fromlist=["geohash_encode"]
+        ).geohash_encode(lat, lng, 2),
+    )
+    sql = """
+    WITH keyed AS (
+      SELECT geohash2((value % 180.0) - 90.0, ((value * 7.0) % 360.0) - 180.0) AS gh,
+             CAST(date_trunc('day', ts) AS DATE) AS day, value
+      FROM events
+    ), daily AS (
+      SELECT gh, day, avg(value) AS tmp FROM keyed GROUP BY gh, day
+    ), cells AS (
+      SELECT gh, count(*) AS n_days, round(avg(tmp) + 1e-07, 4) AS avg_tmp
+      FROM daily GROUP BY gh
+    ), hotels AS (
+      SELECT c_custkey,
+             geohash2((c_acctbal % 180.0) - 90.0, ((c_acctbal * 7.0) % 360.0) - 180.0) AS hash
+      FROM customer
+    )
+    SELECT h.c_custkey, c.n_days, c.avg_tmp
+    FROM hotels h JOIN cells c ON h.hash = c.gh
+    """
+    got = {
+        (r.c_custkey): (r.n_days, r.avg_tmp) for r in spark.sql(sql).collect()
+    }
+    exp = {
+        (r.c_custkey): (r.n_days, r.avg_tmp)
+        for r in weather_topology_full(spark, sf_dir).collect()
+    }
+    assert got == exp
