@@ -23,8 +23,10 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q6_revenue_forecast",
     "q18_large_volume_customers",
-    "agg_stats_by_flag",
-    "window_top_order_per_customer",
+    # r1 names: agg_stats_by_flag -> stats_suite_by_flag (superset),
+    # window_top_order_per_customer -> window_rank_running_suite (superset)
+    "stats_suite_by_flag",
+    "window_rank_running_suite",
     # reference-pipeline shapes
     "weather_topology_full",
     "geohash_cells",

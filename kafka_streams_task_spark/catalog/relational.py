@@ -64,7 +64,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "agg_stats_by_flag",
+    "stats_suite_by_flag",
     oracle="""
     SELECT l_returnflag,
            count(*)                          AS n_rows,
@@ -72,15 +72,24 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((min(l_quantity)) + 1e-05, 2)         AS min_qty,
            round((max(l_quantity)) + 1e-05, 2)         AS max_qty,
            round((avg(l_extendedprice)) + 1e-07, 4)    AS avg_price,
-           round((stddev_samp(l_quantity)) + 1e-07, 4) AS sd_qty
+           round((stddev_samp(l_quantity)) + 1e-07, 4) AS sd_qty,
+           round((corr(l_quantity, l_extendedprice)) + 1e-07, 4)       AS corr_qty_price,
+           round((covar_samp(l_quantity, l_extendedprice)) + 1e-07, 4) AS covar_qty_price,
+           round((var_samp(l_discount)) + 1e-09, 6)                    AS var_disc,
+           round((median(l_quantity)) + 1e-07, 4)              AS med_qty,
+           round((quantile_cont(l_quantity, 0.9)) + 1e-07, 4)  AS p90_qty,
+           round((quantile_cont(l_extendedprice, 0.99)) + 1e-07, 4) AS p99_price
     FROM lineitem
     GROUP BY l_returnflag
     """,
 )
-def agg_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """min/max/count/countDistinct/stddev — the agg family the reference
-    lacks (SURVEY §2.3 'absent'). countDistinct expands to a two-phase agg;
-    everything else is partial+final."""
+def stats_suite_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The statistical aggregate family the reference lacks (SURVEY §2.3
+    'absent') in one pass: min/max/count/countDistinct/stddev, corr/covar/
+    variance, and exact continuous percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``; ``percentile_approx`` is the 100 TB path,
+    covered by approx_aggregates). countDistinct expands to a two-phase agg;
+    everything else is partial+final in a single HashAggregate pair."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -89,42 +98,61 @@ def agg_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.max("l_quantity")) + 1e-05, 2).alias("max_qty"),
         F.round((F.avg("l_extendedprice")) + 1e-07, 4).alias("avg_price"),
         F.round((F.stddev_samp("l_quantity")) + 1e-07, 4).alias("sd_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice") + 1e-07, 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice") + 1e-07, 4).alias("covar_qty_price"),
+        F.round(F.var_samp("l_discount") + 1e-09, 6).alias("var_disc"),
+        F.round(F.percentile("l_quantity", 0.5) + 1e-07, 4).alias("med_qty"),
+        F.round(F.percentile("l_quantity", 0.9) + 1e-07, 4).alias("p90_qty"),
+        F.round(F.percentile("l_extendedprice", 0.99) + 1e-07, 4).alias("p99_price"),
     )
 
 
 @query(
-    "rollup_lineitem_status",
+    "grouping_multi_suite",
     oracle="""
-    SELECT l_returnflag, l_linestatus,
-           count(*) AS n_rows,
-           round((sum(l_quantity)) + 1e-05, 2) AS sum_qty
-    FROM lineitem
-    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    SELECT 'rollup' AS variant, l_returnflag, l_linestatus,
+           count(*) AS n_rows, round((sum(l_quantity)) + 1e-05, 2) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'cube', l_returnflag, l_linestatus,
+           count(*), round((sum(l_quantity)) + 1e-05, 2)
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'gsets', l_returnflag, l_linestatus,
+           count(*), round((sum(l_quantity)) + 1e-05, 2)
+    FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
     """,
 )
-def rollup_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUP BY ROLLUP — hierarchical totals incl. grand total."""
+def grouping_multi_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP + CUBE + GROUPING SETS over the same input, tagged and
+    unioned — all three multi-grouping operators in one hash-checked result.
+    The grouping-sets leg goes through ``spark.sql`` so the SQL entry point
+    stays exercised; all three legs compile to a single Expand+HashAggregate
+    each (no joins), so the union is three scans at worst and AQE coalesces
+    the output."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.round((F.sum("l_quantity")) + 1e-05, 2).alias("sum_qty"),
+
+    def _leg(grouped, tag: str) -> DataFrame:
+        return grouped.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round((F.sum("l_quantity")) + 1e-05, 2).alias("sum_qty"),
+        ).select(
+            F.lit(tag).alias("variant"), "l_returnflag", "l_linestatus", "n_rows", "sum_qty"
+        )
+
+    li.createOrReplaceTempView("lineitem")
+    gsets = spark.sql(
+        """
+        SELECT 'gsets' AS variant, l_returnflag, l_linestatus,
+               count(*) AS n_rows, round(sum(l_quantity) + 1e-05, 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
     )
-
-
-@query(
-    "cube_order_priority",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
-    FROM orders
-    GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """,
-)
-def cube_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUP BY CUBE — all grouping-set combinations."""
     return (
-        _t(spark, sf_dir, "orders")
-        .cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
+        _leg(li.rollup("l_returnflag", "l_linestatus"), "rollup")
+        .unionAll(_leg(li.cube("l_returnflag", "l_linestatus"), "cube"))
+        .unionAll(gsets)
     )
 
 
@@ -202,36 +230,33 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "semi_customers_with_orders",
+    "semi_anti_customers",
     oracle="""
-    SELECT c_custkey, c_name FROM customer c
+    SELECT 'with_orders' AS mode, c_custkey, c_name FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    """,
-)
-def semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi join (EXISTS)."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
-
-
-@query(
-    "anti_customers_without_orders",
-    oracle="""
-    SELECT c_custkey, c_name FROM customer c
+    UNION ALL
+    SELECT 'no_orders_h1_1995', c_custkey, c_name FROM customer c
     WHERE NOT EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_orderdate < TIMESTAMP '1995-07-01 00:00:00')
     """,
 )
-def anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS) — customers with no orders in the first
-    half of 1995 (date-bounded so the result is non-trivial at every sf)."""
+def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi (EXISTS) and left-anti (NOT EXISTS) joins in one tagged
+    result. The anti leg is date-bounded so it is non-trivial at every sf.
+    Both legs shuffle only the narrow custkey projection of orders; the
+    correlated-EXISTS form (TPC-H Q4's shape) decorrelates to exactly this
+    left-semi physical plan."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1995-07-01 00:00:00").cast("timestamp")
+    o = _t(spark, sf_dir, "orders")
+    o_h1 = o.filter(F.col("o_orderdate") < F.lit("1995-07-01 00:00:00").cast("timestamp"))
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        F.lit("with_orders").alias("mode"), "c_custkey", "c_name"
     )
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+    anti = c.join(o_h1, c.c_custkey == o_h1.o_custkey, "left_anti").select(
+        F.lit("no_orders_h1_1995").alias("mode"), "c_custkey", "c_name"
+    )
+    return semi.unionAll(anti)
 
 
 @query(
@@ -259,78 +284,62 @@ def left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @query(
-    "top_customers_by_balance",
+    "setop_suite",
     oracle="""
-    SELECT c_custkey, c_name, round((c_acctbal) + 1e-05, 2) AS acctbal
-    FROM customer
-    ORDER BY c_acctbal DESC, c_custkey
-    LIMIT 20
+    SELECT 'except_nations' AS op, CAST(nationkey AS BIGINT) AS key, CAST(1 AS BIGINT) AS n
+    FROM (SELECT n_nationkey AS nationkey FROM nation
+          EXCEPT
+          SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'union_all_counts', CAST(nationkey AS BIGINT), count(*)
+    FROM (SELECT c_nationkey AS nationkey FROM customer
+          UNION ALL
+          SELECT s_nationkey FROM supplier) GROUP BY nationkey
+    UNION ALL
+    SELECT 'intersect_nations', CAST(nationkey AS BIGINT), CAST(1 AS BIGINT)
+    FROM (SELECT c_nationkey AS nationkey FROM customer
+          INTERSECT
+          SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'except_all_counts', CAST(custkey AS BIGINT), count(*)
+    FROM (SELECT o_custkey AS custkey FROM orders
+          EXCEPT ALL
+          SELECT c_custkey FROM customer) GROUP BY custkey
     """,
 )
-def top_customers_by_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global top-k: TakeOrdered physical op, no full sort."""
-    return (
-        _t(spark, sf_dir, "customer")
-        .orderBy(F.col("c_acctbal").desc(), "c_custkey")
-        .limit(20)
-        .select("c_custkey", "c_name", F.round(F.col("c_acctbal") + 1e-05, 2).alias("acctbal"))
+def setop_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole set-operation surface in one tagged result: EXCEPT
+    (distinct difference — nations with no supplier, non-empty at every sf),
+    UNION ALL + re-aggregation, INTERSECT, and EXCEPT ALL (bag difference,
+    multiplicity folded into per-key counts so the result stays bounded).
+    Every leg shuffles only a single bigint key — the distinct-based ops
+    compile to partial+final aggregates, never a sort."""
+    nation = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").cast("long").alias("key"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("long").alias("key"))
+    cust_nk = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("long").alias("key"))
+    ord_ck = _t(spark, sf_dir, "orders").select(F.col("o_custkey").cast("long").alias("key"))
+    cust_ck = _t(spark, sf_dir, "customer").select(F.col("c_custkey").cast("long").alias("key"))
+    one = F.lit(1).cast("long")
+
+    except_nations = nation.subtract(supp).select(
+        F.lit("except_nations").alias("op"), "key", one.alias("n")
     )
-
-
-@query(
-    "distinct_segments",
-    oracle="SELECT DISTINCT c_mktsegment FROM customer",
-)
-def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
-
-
-@query(
-    "setop_nations_without_suppliers",
-    oracle="""
-    SELECT n_nationkey AS nationkey FROM nation
-    EXCEPT
-    SELECT s_nationkey FROM supplier
-    """,
-)
-def setop_nations_without_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct set difference) — nations with no supplier (the
-    supplier table covers only a subset of nations, so the result is
-    non-empty at every scale factor)."""
-    n = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return n.subtract(s)
-
-
-@query(
-    "setop_union_keys",
-    oracle="""
-    SELECT nationkey, count(*) AS n FROM (
-      SELECT c_nationkey AS nationkey FROM customer
-      UNION ALL
-      SELECT s_nationkey FROM supplier
-    ) GROUP BY nationkey
-    """,
-)
-def setop_union_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION ALL + re-aggregation."""
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.unionAll(s).groupBy("nationkey").agg(F.count(F.lit(1)).alias("n"))
-
-
-@query(
-    "setop_intersect_keys",
-    oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
-    INTERSECT
-    SELECT s_nationkey FROM supplier
-    """,
-)
-def setop_intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.intersect(s)
+    union_counts = (
+        cust_nk.unionAll(supp)
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("union_all_counts").alias("op"), "key", "n")
+    )
+    intersect_nations = cust_nk.intersect(supp).select(
+        F.lit("intersect_nations").alias("op"), "key", one.alias("n")
+    )
+    except_all_counts = (
+        ord_ck.exceptAll(cust_ck)
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all_counts").alias("op"), "key", "n")
+    )
+    return except_nations.unionAll(union_counts).unionAll(intersect_nations).unionAll(except_all_counts)
 
 
 # ---------------------------------------------------------------------------
@@ -338,70 +347,34 @@ def setop_intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @query(
-    "window_top_order_per_customer",
-    oracle="""
-    SELECT o_custkey, o_orderkey, round((o_totalprice) + 1e-05, 2) AS totalprice
-    FROM (
-      SELECT o_custkey, o_orderkey, o_totalprice,
-             row_number() OVER (PARTITION BY o_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
-      FROM orders
-    ) WHERE rn = 1
-    """,
-)
-def window_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """row_number ranking window; deterministic tiebreak on orderkey."""
-    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
-    return (
-        _t(spark, sf_dir, "orders")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("o_custkey", "o_orderkey", F.round(F.col("o_totalprice") + 1e-05, 2).alias("totalprice"))
-    )
-
-
-@query(
-    "window_running_user_value",
+    "window_rank_running_suite",
     oracle="""
     SELECT event_id,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS INT) AS rn,
            round((sum(value) OVER (PARTITION BY user_id
                                   ORDER BY ts, event_id
                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) + 1e-05, 2)
-             AS running_value
-    FROM events
-    """,
-)
-def window_running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running (cumulative) aggregate window over event time per user."""
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        _t(spark, sf_dir, "events")
-        .select("event_id", F.round((F.sum("value").over(w)) + 1e-05, 2).alias("running_value"))
-    )
-
-
-@query(
-    "window_lag_value_delta",
-    oracle="""
-    SELECT event_id,
+             AS running_value,
            round((value - lag(value, 1, 0.0) OVER (PARTITION BY user_id
                                                   ORDER BY ts, event_id)) + 1e-05, 2) AS delta
     FROM events
     """,
 )
-def window_lag_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag() analytic — per-user delta vs previous event."""
+def window_rank_running_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking + running-aggregate + lag analytics over one ordered window:
+    per-user row_number, cumulative sum, and delta-vs-previous in a single
+    Window physical node (one shuffle on user_id, one sort — the three
+    functions share the window frame spec). The rn==1 filter idiom (latest/
+    first-per-key) is covered operator-level by latest_event_per_user's
+    max_by formulation, which avoids the sort entirely."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return (
-        _t(spark, sf_dir, "events")
-        .select(
-            "event_id",
-            F.round((F.col("value") - F.lag("value", 1, 0.0).over(w)) + 1e-05, 2).alias("delta"),
-        )
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.round((F.sum("value").over(cum)) + 1e-05, 2).alias("running_value"),
+        F.round((F.col("value") - F.lag("value", 1, 0.0).over(w)) + 1e-05, 2).alias("delta"),
     )
 
 
@@ -416,13 +389,18 @@ def window_lag_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
            upper(p_brand)            AS brand_u,
            substr(p_name, 1, 8)      AS name_prefix,
            CAST(length(p_name) AS INT) AS name_len,
-           concat(p_brand, '_', p_type) AS brand_type
+           concat(p_brand, '_', p_type) AS brand_type,
+           CAST(levenshtein(p_brand, 'Brand#11') AS INT) AS lev_to_b11,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           translate(p_brand, '#', '_') AS brand_t
     FROM part
     WHERE p_name LIKE '%a%'
     """,
 )
 def string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String scalar surface: upper/substr/length/concat/LIKE (F2/F3 family)."""
+    """String scalar surface: upper/substr/length/concat/LIKE (F2/F3 family)
+    plus edit-distance (levenshtein — the character-level cousin of the
+    token-level dedup family) and padding/translate."""
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
     return p.select(
         "p_partkey",
@@ -430,6 +408,9 @@ def string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("p_name", 1, 8).alias("name_prefix"),
         F.length("p_name").alias("name_len"),
         F.concat_ws("_", "p_brand", "p_type").alias("brand_type"),
+        F.levenshtein("p_brand", F.lit("Brand#11")).alias("lev_to_b11"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.translate("p_brand", "#", "_").alias("brand_t"),
     )
 
 
@@ -455,33 +436,6 @@ def split_key_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "date_parts_orders",
-    oracle="""
-    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT)  AS yr,
-           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
-           count(*) AS n_orders,
-           round((sum(o_totalprice)) + 1e-05, 2) AS total
-    FROM orders
-    GROUP BY 1, 2
-    """,
-)
-def date_parts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date-part extraction + group (beyond the reference, whose dates stay
-    opaque strings — SURVEY §2.5 'absent')."""
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.groupBy(
-            F.year("o_orderdate").alias("yr"),
-            F.month("o_orderdate").alias("mo"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.round((F.sum("o_totalprice")) + 1e-05, 2).alias("total"),
-        )
-    )
-
-
-@query(
     "json_props_extract",
     oracle="""
     SELECT event_type,
@@ -499,52 +453,6 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.round((F.avg(k)) + 1e-07, 4).alias("avg_k"),
         F.max(k).alias("max_k"),
-    )
-
-
-@query(
-    "above_avg_balance",
-    oracle="""
-    SELECT c_custkey, round((c_acctbal) + 1e-05, 2) AS acctbal
-    FROM customer
-    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
-    """,
-)
-def above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar subquery: compare to a global aggregate. Spark: the aggregate
-    is a 1-row broadcast cross join — no driver-side collect."""
-    c = _t(spark, sf_dir, "customer")
-    avg_bal = c.agg(F.avg("c_acctbal").alias("_avg"))
-    return (
-        c.crossJoin(F.broadcast(avg_bal))
-        .filter(F.col("c_acctbal") > F.col("_avg"))
-        .select("c_custkey", F.round(F.col("c_acctbal") + 1e-05, 2).alias("acctbal"))
-    )
-
-
-@query(
-    "case_when_value_buckets",
-    oracle="""
-    SELECT CASE WHEN value < 50 THEN 'low'
-                WHEN value < 200 THEN 'mid'
-                ELSE 'high' END AS bucket,
-           count(*) AS n,
-           round((sum(value)) + 1e-05, 2) AS total
-    FROM events
-    GROUP BY 1
-    """,
-)
-def case_when_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CASE WHEN bucketing + aggregation."""
-    e = _t(spark, sf_dir, "events")
-    bucket = (
-        F.when(F.col("value") < 50, "low")
-        .when(F.col("value") < 200, "mid")
-        .otherwise("high")
-    )
-    return e.groupBy(bucket.alias("bucket")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round((F.sum("value")) + 1e-05, 2).alias("total"),
     )
 
 
@@ -611,51 +519,6 @@ def pivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "percentiles_by_flag",
-    oracle="""
-    SELECT l_returnflag,
-           round((median(l_quantity)) + 1e-07, 4)              AS med_qty,
-           round((quantile_cont(l_quantity, 0.9)) + 1e-07, 4)  AS p90_qty,
-           round((quantile_cont(l_extendedprice, 0.99)) + 1e-07, 4) AS p99_price
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
-)
-def percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles (continuous interpolation) — Spark ``percentile``
-    == DuckDB ``quantile_cont``. The approx variant (``percentile_approx``)
-    is the 100 TB path but is engine-specific, so the oracle checks the
-    exact one."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_quantity", 0.5) + 1e-07, 4).alias("med_qty"),
-        F.round(F.percentile("l_quantity", 0.9) + 1e-07, 4).alias("p90_qty"),
-        F.round(F.percentile("l_extendedprice", 0.99) + 1e-07, 4).alias("p99_price"),
-    )
-
-
-@query(
-    "grouping_sets_sql",
-    oracle="""
-    SELECT l_returnflag, l_linestatus, count(*) AS n_rows
-    FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-    """,
-)
-def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUPING SETS via the SQL API (same Catalyst plan as the DataFrame
-    form; exercises the engine's SQL entry point)."""
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus, count(*) AS n_rows
-        FROM lineitem
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-        """
-    )
-
-
-@query(
     "array_funcs_tokens",
     oracle="""
     WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents)
@@ -710,8 +573,8 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_shipmode_priority",
     oracle="""
     SELECT l_returnflag,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -732,36 +595,6 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
-        )
-    )
-
-
-@query(
-    "q14_promo_effect",
-    oracle="""
-    SELECT round((100.0 * sum(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount))) + 1e-07, 4) AS promo_revenue_pct
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
-    """,
-)
-def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: broadcast dim join + conditional ratio aggregate."""
-    p = _t(spark, sf_dir, "part")
-    li = _t(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
-    )
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .agg(
-            F.round(
-                100.0 * F.sum(F.when(F.col("p_type").like("PROMO%"), disc).otherwise(0.0)) / F.sum(disc)
-                + 1e-07,
-                4,
-            ).alias("promo_revenue_pct")
         )
     )
 
@@ -791,39 +624,29 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "regex_extract_ids",
+    "regex_scalar_customer",
     oracle="""
     SELECT c_custkey,
            regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
-           CAST(regexp_matches(c_name, '0{2,}') AS INT) AS has_zero_run
+           CAST(regexp_matches(c_name, '0{2,}') AS INT) AS has_zero_run,
+           CAST(c_acctbal > (SELECT avg(c_acctbal) FROM customer) AS INT) AS above_avg
     FROM customer
     """,
 )
-def regex_extract_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Regex surface: extract + boolean match (simple patterns evaluate
-    identically under Java regex and RE2)."""
+def regex_scalar_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface (extract + boolean match — simple patterns evaluate
+    identically under Java regex and RE2) combined with a scalar subquery:
+    the global-average comparison is a 1-row broadcast cross join in Spark
+    (no driver-side collect), the canonical decorrelated scalar-subquery
+    plan."""
     c = _t(spark, sf_dir, "customer")
-    return c.select(
+    avg_bal = c.agg(F.avg("c_acctbal").alias("_avg"))
+    return c.crossJoin(F.broadcast(avg_bal)).select(
         "c_custkey",
         F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_digits"),
         F.regexp_like(F.col("c_name"), F.lit(r"0{2,}")).cast("int").alias("has_zero_run"),
+        (F.col("c_acctbal") > F.col("_avg")).cast("int").alias("above_avg"),
     )
-
-
-@query(
-    "setop_except_all_keys",
-    oracle="""
-    SELECT o_custkey AS custkey FROM orders
-    EXCEPT ALL
-    SELECT c_custkey FROM customer
-    """,
-)
-def setop_except_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT ALL (bag difference): order custkeys minus one occurrence per
-    customer row — multiplicity-aware set op."""
-    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
-    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
-    return o.exceptAll(c)
 
 
 @query(
@@ -846,72 +669,6 @@ def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = o.unpivot("o_orderkey", ["totalprice", "custkey_num"], "metric", "val")
     return out.select("o_orderkey", "metric", F.round(F.col("val") + 1e-05, 2).alias("val"))
-
-
-@query(
-    "corr_covar_stats",
-    oracle="""
-    SELECT l_returnflag,
-           round((corr(l_quantity, l_extendedprice)) + 1e-07, 4)       AS corr_qty_price,
-           round((covar_samp(l_quantity, l_extendedprice)) + 1e-07, 4) AS covar_qty_price,
-           round((var_samp(l_discount)) + 1e-09, 6)                    AS var_disc
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
-)
-def corr_covar_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregate family: corr/covar/variance."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice") + 1e-07, 4).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice") + 1e-07, 4).alias("covar_qty_price"),
-        F.round(F.var_samp("l_discount") + 1e-09, 6).alias("var_disc"),
-    )
-
-
-@query(
-    "explode_token_freq",
-    oracle="""
-    SELECT tok, count(*) AS n
-    FROM (SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents)
-    GROUP BY tok
-    HAVING count(*) >= 10
-    """,
-)
-def explode_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lateral/explode shape: flatten token arrays, global term frequency."""
-    d = _t(spark, sf_dir, "documents")
-    return (
-        d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 10)
-    )
-
-
-@query(
-    "q4_order_priority",
-    oracle="""
-    SELECT o_orderpriority, count(*) AS order_count
-    FROM orders o
-    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
-      AND EXISTS (SELECT 1 FROM lineitem l
-                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
-    GROUP BY o_orderpriority
-    """,
-)
-def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 shape: correlated EXISTS -> left-semi join + agg."""
-    o = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
-    )
-    li = _t(spark, sf_dir, "lineitem")
-    semi = o.join(
-        li, (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate), "left_semi"
-    )
-    return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
 
 
 @query(
@@ -1049,14 +806,17 @@ def window_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT) AS days_to_y2k,
            CAST(CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS DATE)::VARCHAR AS due_date,
            CAST(date_trunc('quarter', o_orderdate) AS DATE)::VARCHAR AS quarter_start,
-           CAST(EXTRACT(dow FROM o_orderdate) AS INT) AS dow
+           CAST(EXTRACT(dow FROM o_orderdate) AS INT) AS dow,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT)  AS yr,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo
     FROM orders WHERE o_orderkey < 200
     """,
 )
 def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/interval arithmetic surface (absent from the reference, whose
     dates stay opaque strings — SURVEY §2.5): diffs, offsets, truncation,
-    day-of-week. (Spark dayofweek is 1=Sunday; DuckDB dow is 0=Sunday.)"""
+    day-of-week, and part extraction. (Spark dayofweek is 1=Sunday; DuckDB
+    dow is 0=Sunday.)"""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
     d = F.col("o_orderdate").cast("date")
     return o.select(
@@ -1065,6 +825,8 @@ def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_add(d, 90).cast("string").alias("due_date"),
         F.date_trunc("quarter", F.col("o_orderdate")).cast("date").cast("string").alias("quarter_start"),
         (F.dayofweek("o_orderdate") - F.lit(1)).alias("dow"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
     )
 
 
@@ -1100,23 +862,3 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "string_distance",
-    oracle="""
-    SELECT p_partkey,
-           CAST(levenshtein(p_brand, 'Brand#11') AS INT) AS lev_to_b11,
-           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
-           translate(p_brand, '#', '_') AS brand_t
-    FROM part WHERE p_partkey < 100
-    """,
-)
-def string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance + padding/translate string surface (levenshtein is the
-    character-level cousin of the token-level dedup family)."""
-    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
-    return p.select(
-        "p_partkey",
-        F.levenshtein("p_brand", F.lit("Brand#11")).alias("lev_to_b11"),
-        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
-        F.translate("p_brand", "#", "_").alias("brand_t"),
-    )

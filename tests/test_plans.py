@@ -73,9 +73,9 @@ def test_q5_broadcasts_dimensions(spark, sf_dir):
 
 
 def test_top_k_uses_take_ordered(spark, sf_dir):
-    from kafka_streams_task_spark.catalog.relational import top_customers_by_balance
+    from kafka_streams_task_spark.catalog.relational import q3_shipping_priority
 
-    plan = _plan(top_customers_by_balance(spark, sf_dir))
+    plan = _plan(q3_shipping_priority(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan  # no global sort for order-by-limit
 
 
