@@ -6,7 +6,7 @@ Oracles are provided wherever the semantics are SQL-expressible in DuckDB
 token statistics, multimodal metadata arithmetic). MinHash-LSH and
 SimHash banding are genuinely non-SQL (seeded signatures / bit votes);
 they get rows-only checks here plus planted-duplicate property tests in
-tests/test_dedup.py.
+tests/test_llm_ops.py.
 """
 
 from __future__ import annotations

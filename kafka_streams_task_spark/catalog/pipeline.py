@@ -18,13 +18,15 @@ from ..schemas import load_table
 from .registry import query
 
 
-def duckdb_geohash_sql(lat_expr: str, lng_expr: str, precision: int = 4) -> str:
+def duckdb_geohash_sql(lat_expr: str, lng_expr: str, precision: int = 4) -> tuple[str, str]:
     """Generate DuckDB SQL computing the same geohash as ``geohash_expr``.
 
-    Mirrors the quantize-and-interleave formulation term by term so the
-    oracle exercises our geohash at full fidelity (bit-identical IEEE
-    arithmetic in both engines). Expects ``__latq``/``__lngq`` helper columns
-    to be provided via :func:`duckdb_geohash_prelude`.
+    Returns ``(packed_expr, chars_expr)``: the bit-interleave expression
+    (expects ``__latq``/``__lngq`` helper columns from
+    :func:`duckdb_geohash_prelude`) and the base32 character expression
+    (expects ``__packed``). Mirrors the quantize-and-interleave formulation
+    term by term so the oracle exercises our geohash at full fidelity
+    (bit-identical IEEE arithmetic in both engines).
     """
     total_bits = 5 * precision
     n_lng = (total_bits + 1) // 2
@@ -248,10 +250,12 @@ def sessionized_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def asof_purchase_to_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase matched to the user's latest prior (or
-    simultaneous) click. Cogrouped merge_asof — co-partition both sides on
-    user_id, pandas sort-merge within group (operators/asof.py). The right
-    side is deduped to one row per (user, ts) so backward-match ties are
-    impossible and the result is engine-independent."""
+    simultaneous) click. Union-window formulation (operators/asof.py): tag
+    and union both sides, one shuffle+sort on (user_id, ts), last_value of
+    the right side's columns over the ordered window — all JVM-side, no
+    per-group pandas. The right side is deduped to one row per (user, ts)
+    so backward-match ties are impossible and the result is
+    engine-independent."""
     from ..operators.asof import asof_join
 
     e = load_table(spark, sf_dir, "events")

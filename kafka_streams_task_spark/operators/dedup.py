@@ -63,6 +63,41 @@ def _minhash_params(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.nda
     return a, b
 
 
+def _universal_hash_61(a: np.ndarray, b: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Exact ``(a*x + b) mod (2^61 - 1)`` for uint64 arrays, no wraparound.
+
+    ``a``/``b`` are (H,) params < p, ``x`` is (N,) values < 2^61 (callers
+    mask). Returns the (H, N) hash matrix. A naive ``a*x`` wraps mod 2^64
+    before the Mersenne mod (so the claimed universal family would not
+    hold); instead split both operands at 31/30 bits so every partial
+    product fits in uint64 exactly, and reduce with Mersenne folds
+    (2^61 ≡ 1 mod p):
+
+      a*x = (a1*x1)*2^62 + (a1*x0 + a0*x1)*2^31 + a0*x0
+      2^62 ≡ 2 (mod p);  y*2^31 mod p = ((y << 31) & M61) + (y >> 30)
+    """
+    M61 = np.uint64(_MERSENNE)
+    s31, s30, s61 = np.uint64(31), np.uint64(30), np.uint64(61)
+
+    def fold(v: np.ndarray) -> np.ndarray:  # v < 2^63: one fold + conditional subtract
+        v = (v & M61) + (v >> s61)
+        return np.where(v >= M61, v - M61, v)
+
+    a1 = (a >> s31)[:, None]                     # < 2^30
+    a0 = (a & np.uint64((1 << 31) - 1))[:, None]  # < 2^31
+    x1 = (x >> s31)[None, :]                     # < 2^30
+    x0 = (x & np.uint64((1 << 31) - 1))[None, :]  # < 2^31
+
+    hi = a1 * x1                                  # < 2^60, exact
+    mid = a1 * x0 + a0 * x1                       # < 2^62, exact
+    lo = a0 * x0                                  # < 2^62, exact
+    # hi*2^62 ≡ 2*hi;  mid*2^31 via fold;  lo folded directly
+    term_hi = fold(hi << np.uint64(1))
+    term_mid = fold(((mid << s31) & M61) + (mid >> s30))
+    term_lo = fold(lo)
+    return fold(fold(term_hi + term_mid + term_lo) + b[:, None])
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -76,7 +111,9 @@ def minhash_signatures(
     Shingling + xxhash64 of each shingle stay JVM-side (codegen); Python
     receives only (id, array<long>) Arrow batches via ``mapInPandas`` and
     computes the (num_hashes x n_shingles) universal-hash matrix
-    ((a*x + b) mod p, p = 2^61-1, numpy uint64) with a min per row.
+    ((a*x + b) mod p, p = 2^61-1, exact split-multiply arithmetic —
+    ``_universal_hash_61`` — over shingle hashes masked to 61 bits) with a
+    min per row.
 
     mapInPandas (a plan node) rather than a scalar pandas_udf: scalar Python
     UDFs with higher-order-function arguments break self-join plan
@@ -94,8 +131,8 @@ def minhash_signatures(
                 if lst is None or len(lst) == 0:
                     sigs.append([0] * num_hashes)
                     continue
-                base = np.asarray(lst, dtype=np.int64).astype(np.uint64)
-                vals = (a[:, None] * base[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+                base = np.asarray(lst, dtype=np.int64).astype(np.uint64) & np.uint64(_MERSENNE)
+                vals = _universal_hash_61(a, b, base)
                 sigs.append(vals.min(axis=1).astype(np.int64).tolist())
             yield pd.DataFrame({id_col: pdf[id_col].values, "sig": sigs})
 

@@ -86,42 +86,31 @@ def rollup_via_foreach_batch(
     """Two-level stateful aggregation via foreachBatch (SURVEY §7.4.1(b)).
 
     Each micro-batch computes its own per-(geohash, date) partial
-    (sum, count), merges it into a durable parquet state table (idempotent
-    per batch id via overwrite-by-union), and rewrites the per-geohash
-    rollup. Heavier I/O than the applyInPandasWithState path but uses only
-    batch operators and survives any Spark version's streaming limitations.
+    (sum, count) and merges it into a durable parquet state table. State is
+    **versioned by batch id** (``state_v{N}`` holds the full state after
+    batch N, committed by parquet's ``_SUCCESS`` marker), which makes the
+    merge exactly-once under foreachBatch's at-least-once contract:
+
+    - redelivered batch after a restart (``batch_id <=`` latest committed
+      version): the deltas are already in the state — skip the merge and
+      only republish the rollup (covers a crash between state write and
+      rollup write);
+    - crash mid-write of ``state_v{N}``: no ``_SUCCESS``, so the retry
+      re-merges from ``state_v{N-1}`` and mode="overwrite" clears the
+      partial output;
+    - older versions are GC'd only after the new version + rollup are out,
+      so some committed version always exists.
+
+    Heavier I/O than the applyInPandasWithState path but uses only batch
+    operators and survives any Spark version's streaming limitations.
 
     Returns the StreamingQuery; the current rollup lives at
     ``{state_dir}/rollup`` (geohash, weatherList).
     """
     keyed = weather_rekey(weather_raw_stream, precision)
+    _PFX = "state_v"
 
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        partial = batch_df.groupBy("geohash", "wthr_date").agg(
-            F.sum("tmp_f").alias("sum_f"),
-            F.sum("tmp_c").alias("sum_c"),
-            F.count(F.lit(1)).alias("cnt"),
-        )
-        state_path = f"{state_dir}/state"
-        try:
-            prev = spark.read.parquet(state_path)
-        except Exception:  # noqa: BLE001 - first batch: no state yet
-            prev = None
-        merged = (
-            partial.unionByName(prev).groupBy("geohash", "wthr_date").agg(
-                F.sum("sum_f").alias("sum_f"),
-                F.sum("sum_c").alias("sum_c"),
-                F.sum("cnt").alias("cnt"),
-            )
-            if prev is not None
-            else partial
-        )
-        merged.persist()
-        merged.write.mode("overwrite").parquet(f"{state_dir}/state_next")
-        # swap: re-read the freshly written state (avoids overwriting an
-        # input path mid-read), then publish the rollup
-        spark.read.parquet(f"{state_dir}/state_next").write.mode("overwrite").parquet(state_path)
+    def _publish_rollup(spark: SparkSession, state_path: str) -> None:
         daily = spark.read.parquet(state_path).select(
             "geohash",
             "wthr_date",
@@ -129,7 +118,54 @@ def rollup_via_foreach_batch(
             (F.col("sum_c") / F.col("cnt")).alias("tmp_c"),
         )
         weather_by_geohash(daily).write.mode("overwrite").parquet(f"{state_dir}/rollup")
-        merged.unpersist()
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # committed state versions via the Hadoop FS API (works for any
+        # scheme the cluster can reach, not just local paths)
+        jvm = spark._jvm
+        Path = jvm.org.apache.hadoop.fs.Path
+        root = Path(state_dir)
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        versions: list[int] = []
+        if fs.exists(root):
+            for st in fs.listStatus(root):
+                name = st.getPath().getName()
+                if st.isDirectory() and name.startswith(_PFX):
+                    try:
+                        v = int(name[len(_PFX):])
+                    except ValueError:
+                        continue
+                    if fs.exists(Path(st.getPath(), "_SUCCESS")):
+                        versions.append(v)
+        versions.sort()
+        last = versions[-1] if versions else None
+
+        if last is not None and batch_id <= last:
+            # at-least-once redelivery: this batch's deltas are already
+            # merged — republish the rollup (idempotent) and stop
+            _publish_rollup(spark, f"{state_dir}/{_PFX}{last}")
+            return
+
+        partial = batch_df.groupBy("geohash", "wthr_date").agg(
+            F.sum("tmp_f").alias("sum_f"),
+            F.sum("tmp_c").alias("sum_c"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        if last is not None:
+            prev = spark.read.parquet(f"{state_dir}/{_PFX}{last}")
+            merged = partial.unionByName(prev).groupBy("geohash", "wthr_date").agg(
+                F.sum("sum_f").alias("sum_f"),
+                F.sum("sum_c").alias("sum_c"),
+                F.sum("cnt").alias("cnt"),
+            )
+        else:
+            merged = partial
+        new_path = f"{state_dir}/{_PFX}{batch_id}"
+        merged.write.mode("overwrite").parquet(new_path)
+        _publish_rollup(spark, new_path)
+        for v in versions:  # GC only after the new version + rollup are durable
+            fs.delete(Path(f"{state_dir}/{_PFX}{v}"), True)
 
     return (
         keyed.writeStream.foreachBatch(process)

@@ -95,3 +95,14 @@ def test_foreach_batch_rollup(spark, tmpdir):
     rollup = {r.geohash: r.weatherList for r in spark.read.parquet(f"{tmpdir}/state/rollup").collect()}
     got = [(w.tmp_f, w.tmp_c, w.date) for w in rollup[GH]]
     assert got == [(71.0, 31.0, "2020-01-01"), (72.0, 32.0, "2020-01-02")]
+
+    # idempotency under redelivery: replay the SAME batches against the
+    # existing state (fresh checkpoint = foreachBatch redelivers batch ids
+    # 0..1). The versioned-state guard must skip the already-applied merges
+    # — without it, every (sum, count) delta would be counted twice.
+    stream2 = read_json_stream(spark, src, WEATHER_RAW, max_files_per_trigger=1)
+    q2 = rollup_via_foreach_batch(stream2, f"{tmpdir}/state", f"{tmpdir}/ckpt2")
+    q2.awaitTermination(180)
+    rollup2 = {r.geohash: r.weatherList for r in spark.read.parquet(f"{tmpdir}/state/rollup").collect()}
+    got2 = [(w.tmp_f, w.tmp_c, w.date) for w in rollup2[GH]]
+    assert got2 == got  # unchanged: redelivered deltas not re-merged

@@ -286,3 +286,30 @@ def test_text_functions_edge_cases(spark):
     for did, (n, q, sh) in rows.items():
         assert n >= 1 and sh >= 1, f"doc {did} degenerate"
         assert q is not None and 0.0 <= q <= 1.0 + 1e-6, f"doc {did} quality {q}"
+
+
+def test_universal_hash_61_exact():
+    """The MinHash universal hash must be EXACTLY (a*x + b) mod (2^61 - 1)
+    — the split-multiply folding vs Python big-int arithmetic, including
+    boundary values where a naive uint64 product would wrap."""
+    import numpy as np
+
+    from kafka_streams_task_spark.operators.dedup import (
+        _MERSENNE,
+        _minhash_params,
+        _universal_hash_61,
+    )
+
+    a, b = _minhash_params(8, seed=7)
+    rng = np.random.default_rng(11)
+    xs = np.concatenate(
+        [
+            rng.integers(0, _MERSENNE, size=64, dtype=np.int64).astype(np.uint64),
+            np.array([0, 1, _MERSENNE - 1, _MERSENNE, (1 << 61) - 2], dtype=np.uint64),
+        ]
+    )
+    got = _universal_hash_61(a, b, xs)
+    for i in range(len(a)):
+        for j in range(len(xs)):
+            exp = (int(a[i]) * int(xs[j]) + int(b[i])) % _MERSENNE
+            assert int(got[i, j]) == exp, (i, j, int(a[i]), int(xs[j]))
