@@ -49,6 +49,32 @@ HEADLINE = [
 ]
 
 
+def _raw_ops():
+    """Frozen r1 workloads for the approximate ops whose CATALOG entries
+    became recall-gate queries in r2 (gates add planted corpora / brute-
+    force comparison — strictly more work). Benching the raw operators
+    keeps round-over-round deltas meaningful (BENCH_BASELINE_r1.md)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_task_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        simhash_near_dup_pairs,
+    )
+    from kafka_streams_task_spark.operators.similarity import knn_ivf, knn_lsh
+    from kafka_streams_task_spark.schemas import load_table
+
+    def _emb_pair(spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        return emb, emb.filter(F.col("vec_id") < 10)
+
+    return {
+        "dedup_minhash_lsh": lambda s, d: minhash_lsh_candidates(load_table(s, d, "documents")),
+        "dedup_simhash": lambda s, d: simhash_near_dup_pairs(load_table(s, d, "documents")),
+        "similarity_knn_lsh": lambda s, d: knn_lsh(*_emb_pair(s, d), k=5),
+        "similarity_knn_ivf": lambda s, d: knn_ivf(*_emb_pair(s, d), k=5),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -65,9 +91,10 @@ def main() -> None:
     warm.groupBy("l_returnflag").count().collect()
     warm.selectExpr("l_orderkey").distinct().count()
 
+    raw = _raw_ops()
     times: dict[str, float] = {}
     for name in HEADLINE:
-        fn = CATALOG[name].fn
+        fn = raw[name] if name in raw else CATALOG[name].fn
         t0 = time.time()
         n = fn(spark, sf_dir).count()
         times[name] = round(time.time() - t0, 3)

@@ -167,3 +167,22 @@ def rolling_fingerprint(text: Column | str, window: int = 8) -> Column:
         ),
     )
     return F.array_min(win)
+
+
+def rolling_fingerprint_portable(text: Column | str, window: int = 8) -> Column:
+    """Winnowing fingerprint over a PORTABLE hash: min over rolling token
+    windows of the first 16 hex chars of md5(window text). Same selection
+    semantics as :func:`rolling_fingerprint` but computable identically in
+    any engine with md5 (used by the catalog so the fingerprint itself is
+    oracle-checked; xxhash64 is the cheaper in-engine default)."""
+    t = tokens(text)
+    k = F.size(t)
+    win = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - F.lit(window), F.lit(0))),
+        lambda i: F.substring(
+            F.md5(F.encode(F.concat_ws(" ", F.slice(t, (i + 1).cast("int"), window)), "utf-8")),
+            1,
+            16,
+        ),
+    )
+    return F.array_min(win)
