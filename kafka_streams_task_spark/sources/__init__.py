@@ -1,4 +1,11 @@
-from .kafka import read_kafka_stream, read_kafka_batch, write_kafka_stream, kafka_available
+from .kafka import (
+    read_kafka_stream,
+    read_kafka_batch,
+    write_kafka_stream,
+    kafka_available,
+    to_wire,
+    from_wire,
+)
 from .files import read_json_stream, read_parquet_stream
 
 __all__ = [
@@ -6,6 +13,8 @@ __all__ = [
     "read_kafka_batch",
     "write_kafka_stream",
     "kafka_available",
+    "to_wire",
+    "from_wire",
     "read_json_stream",
     "read_parquet_stream",
 ]

@@ -79,6 +79,55 @@ def read_kafka_batch(
     )
 
 
+def to_wire(
+    df: DataFrame,
+    key_col: str | None = None,
+    value_cols: list[str] | None = None,
+) -> DataFrame:
+    """Project rows into the exact Kafka wire layout the reference produces
+    (``Produced.with(keySerde, valueSerde)`` — WeatherHotelsApp.java:52,64):
+
+    - ``key``: UTF-8 bytes of the key string (``Serdes.String()``), absent if
+      no key column is given;
+    - ``value``: UTF-8 JSON bytes of the selected columns in order
+      (``PojoSerializer`` = Jackson ``writeValueAsBytes``,
+      serdes/PojoSerializer.java:24-33); a null struct input serializes to a
+      null value, matching the serializer's ``data == null -> null`` branch.
+
+    Both columns are ``binary``, the type the Kafka sink sends verbatim —
+    so this projection IS the byte contract, testable through any seam.
+    """
+    cols = value_cols or [c for c in df.columns if c != key_col]
+    return df.select(
+        *(
+            [F.encode(F.col(key_col).cast("string"), "UTF-8").alias("key")]
+            if key_col
+            else []
+        ),
+        F.encode(
+            F.to_json(F.struct(*[F.col(c) for c in cols])), "UTF-8"
+        ).alias("value"),
+    )
+
+
+def from_wire(df: DataFrame, value_schema) -> DataFrame:
+    """Inverse of :func:`to_wire`: decode wire bytes back into typed columns.
+
+    Mirrors the reference's consumer side (``Consumed.with(keySerde,
+    valueSerde)`` + ``PojoDeserializer``, serdes/PojoDeserializer.java:28-40):
+    the key bytes decode as a UTF-8 string, the value bytes parse as JSON
+    against ``value_schema``. Leniency matches Jackson configured with
+    ``FAIL_ON_UNKNOWN_PROPERTIES=false``: unknown JSON fields are ignored,
+    and malformed values yield nulls (PERMISSIVE) rather than failing the
+    stream. Null value bytes stay null (tombstone pass-through).
+    """
+    parsed = df.select(
+        F.decode(F.col("key"), "UTF-8").alias("key"),
+        F.from_json(F.decode(F.col("value"), "UTF-8"), value_schema).alias("v"),
+    )
+    return parsed.select("key", "v.*")
+
+
 def write_kafka_stream(
     df: DataFrame,
     topic: str,
@@ -90,13 +139,10 @@ def write_kafka_stream(
     trigger_available_now: bool = False,
 ):
     """S3: keyed JSON write to a topic (``Produced.with(keySerde, valueSerde)``
-    — WeatherHotelsApp.java:52,64). Values are to_json of the selected
-    columns; returns the StreamingQuery."""
-    cols = value_cols or [c for c in df.columns if c != key_col]
-    out = df.select(
-        *( [F.col(key_col).cast("string").alias("key")] if key_col else [] ),
-        F.to_json(F.struct(*[F.col(c) for c in cols])).alias("value"),
-    )
+    — WeatherHotelsApp.java:52,64). The byte layout is :func:`to_wire` —
+    behaviorally pinned by ``tests/test_kafka_contract.py`` through the file
+    seam (no broker exists in this container); returns the StreamingQuery."""
+    out = to_wire(df, key_col=key_col, value_cols=value_cols)
     writer = (
         out.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
