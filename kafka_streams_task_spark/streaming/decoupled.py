@@ -18,10 +18,12 @@ deltas into a durable state table, then publish the recomputed rollup.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.geohash import geohash_expr
 from ..operators.weather import (
+    GEOHASH_PRECISION,
     enrich_hotels,
     hotels_rekey,
     latest_per_key,
@@ -75,6 +77,114 @@ def run_decoupled_pipeline(
     stage1_rekey(spark, weather_raw, seam_dir)
     stage2_daily_avg(spark, seam_dir)
     return stage3_enrich(spark, hotels_raw, seam_dir, how)
+
+
+def _per_date_avgs(rows: Column) -> Column:
+    """Per-date (tmp_f, tmp_c) means over a collected array of
+    (wthr_date, tmp_f, tmp_c) structs, sorted by date — pure expressions,
+    no second stateful aggregation.
+
+    This reproduces ``weather_daily_avg`` + ``weather_by_geohash`` inside a
+    single groupBy's post-aggregation projection, which is what lets the
+    continuous topology stay within Spark's supported multiple-stateful-
+    operator chains (one windowed agg per side + one window-equality join).
+    """
+    dates = F.array_sort(F.array_distinct(F.transform(rows, lambda r: r["wthr_date"])))
+
+    def day_struct(d: Column) -> Column:
+        # let-bind the filtered sub-array once (Catalyst has no CSE here)
+        return F.transform(
+            F.array(F.filter(rows, lambda r: r["wthr_date"] == d)),
+            lambda sub: F.struct(
+                (
+                    F.aggregate(sub, F.lit(0.0), lambda acc, r: acc + r["tmp_f"])
+                    / F.size(sub)
+                ).alias("tmp_f"),
+                (
+                    F.aggregate(sub, F.lit(0.0), lambda acc, r: acc + r["tmp_c"])
+                    / F.size(sub)
+                ).alias("tmp_c"),
+                d.alias("date"),
+            ),
+        )[0]
+
+    return F.transform(dates, day_struct)
+
+
+def enrich_continuous_left(
+    weather_stream: DataFrame,
+    hotels_stream: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "10 minutes",
+    precision: int = GEOHASH_PRECISION,
+) -> DataFrame:
+    """Continuous (single always-on query) form of the decoupled topology's
+    KTable–KTable left join (MyStream.java:168-173).
+
+    Spark cannot preserve the missing-match side of a continuous
+    stream-static left join, so the continuous realization is the documented
+    multiple-stateful-operators pattern: a per-(event-time window, geohash)
+    weather aggregation and a per-(window, hash) latest-address aggregation
+    — both append mode — joined stream–stream left-outer on window equality.
+    A hotel whose window closes with no weather in its cell emits exactly
+    once with an EMPTY weather list (the ``Address.addWeathers`` null-guard,
+    domain/Address.java:37-41) once the watermark passes.
+
+    Semantics vs the reference: the reference's KTable join re-emits a hotel
+    every time its cell's all-time rollup changes; Spark's append-mode join
+    emits one final row per (hotel, window) — i.e. the continuously-updated
+    table is tiled into event-time windows (``window_duration``). Within a
+    window the weather list is identical to the batch rollup restricted to
+    that window's records. The batch path (``run_decoupled_pipeline``) and
+    the foreachBatch path (``rollup_via_foreach_batch``) provide the
+    all-time-accumulating forms.
+
+    Inputs are typed streams each carrying an event-time ``ts`` column:
+    weather (ts, lat, lng, wthr_date, avg_tmpr_f, avg_tmpr_c) and addresses
+    (ts, Id, Name, Country, City, Address, Latitude, Longitude, Hash).
+    """
+    keyed = weather_stream.withWatermark("ts", watermark).select(
+        "ts",
+        geohash_expr(F.col("lat"), F.col("lng"), precision).alias("geohash"),
+        "wthr_date",
+        F.col("avg_tmpr_f").alias("tmp_f"),
+        F.col("avg_tmpr_c").alias("tmp_c"),
+    )
+    weather_win = (
+        keyed.groupBy(F.window("ts", window_duration).alias("w_win"), "geohash")
+        .agg(F.collect_list(F.struct("wthr_date", "tmp_f", "tmp_c")).alias("_rows"))
+        .select("w_win", "geohash", _per_date_avgs(F.col("_rows")).alias("weatherList"))
+    )
+
+    payload = ["country", "city", "address", "name", "id"]
+    hk = hotels_stream.withWatermark("ts", watermark).select(
+        "ts",
+        F.col("Hash").alias("hash"),
+        F.col("Country").alias("country"),
+        F.col("City").alias("city"),
+        F.col("Address").alias("address"),
+        F.col("Name").alias("name"),
+        F.col("Id").alias("id"),
+    )
+    # KTable latest-per-key semantics within each window (MyStream.java:166)
+    hotels_win = (
+        hk.groupBy(F.window("ts", window_duration).alias("h_win"), "hash")
+        .agg(F.max_by(F.struct(*payload), F.col("ts")).alias("_latest"))
+        .select("h_win", "hash", *[F.col(f"_latest.{c}").alias(c) for c in payload])
+    )
+
+    joined = hotels_win.join(
+        weather_win,
+        (F.col("h_win") == F.col("w_win")) & (F.col("hash") == F.col("geohash")),
+        "left_outer",
+    )
+    empty = F.array().cast(joined.schema["weatherList"].dataType)
+    return joined.select(
+        "hash",
+        *payload,
+        F.col("h_win").alias("window"),
+        F.coalesce(F.col("weatherList"), empty).alias("avgWeathers"),
+    )
 
 
 def rollup_via_foreach_batch(

@@ -134,8 +134,9 @@ def weather_hotels_stream(
 
     J2's left variant (emit weatherless hotels too, MyStream.java:168-173)
     needs the static side preserved — not expressible as a continuous
-    stream-static join; use the batch ``enrich_hotels(..., how="left")`` or
-    a foreachBatch wrapper for that topology.
+    stream-static join; use the batch ``enrich_hotels(..., how="left")``,
+    a foreachBatch wrapper, or the continuous stream–stream form
+    (``streaming/decoupled.py: enrich_continuous_left``) for that topology.
     """
     rollup = weather_rollup_stream(weather_raw_stream, precision)
     hotels = hotels_rekey(hotels_static)
