@@ -44,13 +44,33 @@ def duckdb_geohash_sql(lat_expr: str, lng_expr: str, precision: int = 4) -> tupl
 
 
 def duckdb_geohash_prelude(lat_expr: str, lng_expr: str, precision: int = 4) -> str:
-    """Quantization helper columns for the oracle (one eval per axis)."""
+    """Quantization helper columns for the oracle, including the exact
+    edge-compare correction step that makes ``geohash_expr`` bit-exact with
+    the bisection reference at cell boundaries (functions/geohash.py).
+    Expression text repeats sub-terms; DuckDB CSEs them."""
     total_bits = 5 * precision
     n_lng = (total_bits + 1) // 2
     n_lat = total_bits // 2
+
+    def axis(x: str, off: float, lo: float, span: float, nbits: int) -> str:
+        xb = f"least(greatest({x}, {lo!r}), {lo + span!r})"
+        q0 = f"CAST(floor(({xb} + {off!r}) / {span!r} * {float(1 << nbits)!r}) AS BIGINT)"
+        cell = span / float(1 << nbits)  # exponent shift: exact
+        # CAST AS DOUBLE: DuckDB parses decimal literals as DECIMAL, and a
+        # DOUBLE-vs-DECIMAL(36,15) compare does NOT match double semantics
+        # (observed: lat < edge false where both all-double and all-decimal
+        # comparisons are true) — keep the whole correction in DOUBLE.
+        edge = f"(CAST({lo!r} AS DOUBLE) + {q0} * CAST({cell!r} AS DOUBLE))"
+        edge_next = f"(CAST({lo!r} AS DOUBLE) + ({q0} + 1) * CAST({cell!r} AS DOUBLE))"
+        adj = (
+            f"(CASE WHEN {xb} < {edge} THEN {q0} - 1 "
+            f"WHEN {xb} >= {edge_next} THEN {q0} + 1 ELSE {q0} END)"
+        )
+        return f"least(greatest({adj}, 0), {(1 << nbits) - 1})"
+
     return (
-        f"CAST(least(floor((least(greatest({lat_expr}, -90.0), 90.0) + 90.0) / 180.0 * {float(1 << n_lat)}), {(1 << n_lat) - 1}) AS BIGINT) AS __latq, "
-        f"CAST(least(floor((least(greatest({lng_expr}, -180.0), 180.0) + 180.0) / 360.0 * {float(1 << n_lng)}), {(1 << n_lng) - 1}) AS BIGINT) AS __lngq"
+        f"{axis(lat_expr, 90.0, -90.0, 180.0, n_lat)} AS __latq, "
+        f"{axis(lng_expr, 180.0, -180.0, 360.0, n_lng)} AS __lngq"
     )
 
 

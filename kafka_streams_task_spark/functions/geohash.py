@@ -137,11 +137,16 @@ def geohash_expr(lat: Column | str, lng: Column | str, precision: int = 4) -> Co
     transfer, no Python workers, and Catalyst may freely duplicate the
     expression (e.g. pushed-down join-key null filters) at negligible cost.
 
-    Bit-exact with the bisection reference for every representable
-    coordinate except pathological denormals within one ulp of a cell
-    boundary (|x| < 1e-300), which cannot occur in data that went through
-    any real serialization. Tests cross-check this against
-    ``geohash_encode`` on random points.
+    Bit-exact with the bisection reference for EVERY double: the raw
+    quantization ``floor((x - lo)/span * 2^bits)`` can land one cell off
+    when ``x - lo`` rounds across a boundary (e.g. ``x`` one ulp below a
+    cell edge, where the addition rounds up to the edge sum — caught by
+    ``test_expr_matches_scalar_near_cell_boundaries``), so it is followed
+    by an exact correction step: cell edges ``lo + k*span/2^bits`` are
+    exactly representable (the numerator ``k*span`` needs < 53 mantissa
+    bits and the division only shifts the exponent), the float rounding
+    error is always ≪ one cell, and a single compare-against-edge fixes
+    any off-by-one.
 
     Null lat/lng propagate to a null geohash (malformed-record semantics).
     """
@@ -153,14 +158,19 @@ def geohash_expr(lat: Column | str, lng: Column | str, precision: int = 4) -> Co
 
     lat_b = F.least(F.greatest(lat_c, F.lit(-90.0)), F.lit(90.0))
     lng_b = F.least(F.greatest(lng_c, F.lit(-180.0)), F.lit(180.0))
-    lng_q = F.least(
-        F.floor((lng_b + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << n_lng))),
-        F.lit((1 << n_lng) - 1),
-    )
-    lat_q = F.least(
-        F.floor((lat_b + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << n_lat))),
-        F.lit((1 << n_lat) - 1),
-    )
+    lng_q0 = F.floor((lng_b + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << n_lng)))
+    lat_q0 = F.floor((lat_b + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << n_lat)))
+
+    def corrected(q0: Column, x: Column, lo: float, span: float, nbits: int) -> Column:
+        cell = span / float(1 << nbits)  # exponent shift: exact
+        edge = F.lit(lo) + q0.cast("double") * F.lit(cell)  # exact (see docstring)
+        edge_next = F.lit(lo) + (q0 + F.lit(1)).cast("double") * F.lit(cell)
+        adj = (
+            F.when(x < edge, q0 - F.lit(1))
+            .when(x >= edge_next, q0 + F.lit(1))
+            .otherwise(q0)
+        )
+        return F.least(F.greatest(adj, F.lit(0)), F.lit((1 << nbits) - 1))
 
     # Let-binding via higher-order functions: lambda variables are evaluated
     # once, so the quantization exprs aren't inlined into each of the 5p
@@ -198,9 +208,23 @@ def geohash_expr(lat: Column | str, lng: Column | str, precision: int = 4) -> Co
             ]
         )
 
+    quantized = F.transform(
+        F.array(
+            F.struct(
+                lat_b.alias("lat"),
+                lng_b.alias("lng"),
+                lat_q0.alias("lat_q0"),
+                lng_q0.alias("lng_q0"),
+            )
+        ),
+        lambda v: F.struct(
+            corrected(v["lng_q0"], v["lng"], -180.0, 360.0, n_lng).alias("lng_q"),
+            corrected(v["lat_q0"], v["lat"], -90.0, 180.0, n_lat).alias("lat_q"),
+        ),
+    )
     gh = F.element_at(
         F.transform(
-            F.array(F.struct(lng_q.alias("lng_q"), lat_q.alias("lat_q"))),
+            quantized,
             lambda q: F.element_at(F.transform(F.array(interleave(q)), to_chars), 1),
         ),
         1,

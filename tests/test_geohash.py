@@ -51,6 +51,48 @@ def test_nan_yields_null():
     assert out[0] is None and out[1] is None
 
 
+@pytest.mark.parametrize("precision", [1, 2, 4, 7, 12])
+def test_duckdb_oracle_sql_matches_scalar_at_boundaries(precision):
+    """The DuckDB oracle's geohash SQL (quantize + exact edge-compare
+    correction, catalog/pipeline.py) is bit-exact with the bisection
+    reference on and within ulps of cell boundaries — same equivalence
+    class the Spark-side expression is pinned to."""
+    import duckdb
+
+    from kafka_streams_task_spark.catalog.pipeline import (
+        duckdb_geohash_prelude,
+        duckdb_geohash_sql,
+    )
+
+    total_bits = 5 * precision
+    n_lat = total_bits // 2
+    rng = np.random.default_rng(precision)
+    pts = []
+    for k in rng.integers(1, 2**n_lat, size=min(25, 2**n_lat - 1) or 1):
+        e = -90.0 + float(k) * (180.0 / float(2**n_lat))
+        for la in (e, float(np.nextafter(e, -np.inf)), float(np.nextafter(e, np.inf))):
+            pts.append((la, float(rng.uniform(-180, 180))))
+    pts += [(0.0, 0.0), (-5e-324, 5e-324), (90.0, 180.0), (-90.0, -180.0)]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts(lat DOUBLE, lng DOUBLE)")
+    con.executemany("INSERT INTO pts VALUES (?, ?)", pts)
+    packed, chars = duckdb_geohash_sql("lat", "lng", precision)
+    got = [
+        r[0]
+        for r in con.execute(
+            f"""
+            WITH quant AS (
+              SELECT lat, lng, {duckdb_geohash_prelude('lat', 'lng', precision)} FROM pts
+            ), packed AS (SELECT lat, lng, ({packed}) AS __packed FROM quant)
+            SELECT ({chars}) FROM packed
+            """
+        ).fetchall()
+    ]
+    exp = [geohash_encode(la, ln, precision) for la, ln in pts]
+    assert got == exp
+
+
 def test_udf_on_spark(spark):
     df = spark.createDataFrame(
         [(lat, lng) for (lat, lng), _ in GOLDEN], ["lat", "lng"]
