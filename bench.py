@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_cosine",  # added r2 (new operator; not in r1 baseline)
     "similarity_knn_bruteforce",
     "similarity_knn_lsh",
     "similarity_knn_ivf",
@@ -56,7 +57,9 @@ def _raw_ops():
     keeps round-over-round deltas meaningful (BENCH_BASELINE_r1.md)."""
     from pyspark.sql import functions as F
 
+    from kafka_streams_task_spark.catalog.relational import q6_revenue_df
     from kafka_streams_task_spark.operators.dedup import (
+        embedding_near_dup_pairs,
         minhash_lsh_candidates,
         simhash_near_dup_pairs,
     )
@@ -68,8 +71,10 @@ def _raw_ops():
         return emb, emb.filter(F.col("vec_id") < 10)
 
     return {
+        "q6_revenue_forecast": q6_revenue_df,  # r2: registered as q6_q19_filter_aggregates
         "dedup_minhash_lsh": lambda s, d: minhash_lsh_candidates(load_table(s, d, "documents")),
         "dedup_simhash": lambda s, d: simhash_near_dup_pairs(load_table(s, d, "documents")),
+        "dedup_embedding_cosine": lambda s, d: embedding_near_dup_pairs(load_table(s, d, "embeddings")),
         "similarity_knn_lsh": lambda s, d: knn_lsh(*_emb_pair(s, d), k=5),
         "similarity_knn_ivf": lambda s, d: knn_ivf(*_emb_pair(s, d), k=5),
     }

@@ -29,6 +29,7 @@ from ..functions.text import (
 )
 from ..operators.dedup import (
     dedup_exact,
+    embedding_near_dup_pairs,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
@@ -262,6 +263,46 @@ def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id_a"), (F.col("doc_id") + F.lit(1000000)).alias("id_b")
     )
     missed = expected.join(pairs, on=["id_a", "id_b"], how="left_anti")
+    return expected.agg(F.count(F.lit(1)).alias("n_planted")).crossJoin(
+        missed.agg(F.count(F.lit(1)).alias("n_missed"))
+    )
+
+
+@query(
+    "dedup_embedding_cosine_recall",
+    oracle="""
+    SELECT count(*) AS n_planted, CAST(0 AS BIGINT) AS n_missed
+    FROM embeddings
+    WHERE list_sum(list_transform(embedding, x -> CAST(x*x AS DOUBLE))) > 0
+    """,
+)
+def dedup_embedding_cosine_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end embedding-cosine near-dup gate with a SQL-checkable
+    invariant: plant an exact copy of every nonzero embedding, run the full
+    pipeline (8 random-hyperplane LSH tables of 8 sign bits, exact cosine
+    verification at threshold 0.99) on the doubled corpus, and report
+    missed planted pairs. Identical float values give identical sign bits
+    in EVERY table, so each planted pair is guaranteed to share all 8
+    buckets and verify at cosine 1.0 — n_missed must be exactly 0, which
+    the DuckDB oracle states directly. The discriminative (perturbed-copy)
+    behavior is covered by the recall property test in test_llm_ops.py."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    norm2 = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    eligible = e.filter(norm2 > 0)
+    planted = eligible.select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"), "embedding"
+    )
+    pairs = embedding_near_dup_pairs(
+        eligible.unionByName(planted), threshold=0.99
+    )
+    expected = eligible.select(
+        F.col("vec_id").alias("id_a"), (F.col("vec_id") + F.lit(1000000)).alias("id_b")
+    )
+    missed = expected.join(pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
     return expected.agg(F.count(F.lit(1)).alias("n_planted")).crossJoin(
         missed.agg(F.count(F.lit(1)).alias("n_missed"))
     )

@@ -542,21 +542,12 @@ def array_funcs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q6_revenue_forecast",
-    oracle="""
-    SELECT round((sum(l_extendedprice * l_discount)) + 1e-05, 2) AS revenue
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
-      AND l_discount BETWEEN 0.03 AND 0.07
-      AND l_quantity < 24
-    """,
-)
-def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q6_revenue_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure scan-filter-sum. Every predicate pushes to the
     parquet reader; the whole query is one codegen stage + one partial/final
-    agg pair — the canonical 'scan-bound at 100 TB' query."""
+    agg pair — the canonical 'scan-bound at 100 TB' query. Registered via
+    ``q6_q19_filter_aggregates``; benched standalone as
+    ``q6_revenue_forecast`` (frozen r1 workload)."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.filter(
@@ -565,7 +556,7 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount").between(0.03, 0.07))
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")) + 1e-05, 2).alias("revenue"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")) + 1e-05, 2).alias("q6_revenue"))
     )
 
 
@@ -710,18 +701,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q19_disjunctive_predicates",
-    oracle="""
-    SELECT round((sum(l_extendedprice * (1 - l_discount))) + 1e-05, 2) AS revenue
-    FROM lineitem JOIN part ON p_partkey = l_partkey
-    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
-       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 35)
-       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 50)
-    """,
-)
-def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q19 shape: OR-of-ANDs predicates across the join."""
+def q19_revenue_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicates across a broadcast join.
+    Registered via ``q6_q19_filter_aggregates``."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
@@ -731,8 +713,33 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 50))
     )
     return j.filter(cond).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-05, 2).alias("revenue")
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-05, 2).alias("q19_revenue")
     )
+
+
+@query(
+    "q6_q19_filter_aggregates",
+    oracle="""
+    SELECT
+      (SELECT round((sum(l_extendedprice * l_discount)) + 1e-05, 2)
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+         AND l_discount BETWEEN 0.03 AND 0.07
+         AND l_quantity < 24) AS q6_revenue,
+      (SELECT round((sum(l_extendedprice * (1 - l_discount))) + 1e-05, 2)
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+          OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 35)
+          OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 50)) AS q19_revenue
+    """,
+)
+def q6_q19_filter_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two single-row filter-aggregate shapes (TPC-H Q6 scan-filter-sum
+    with full predicate pushdown; TPC-H Q19 OR-of-ANDs across a broadcast
+    join) as one registered suite — 1x1-row crossJoin keeps both
+    value-checked in a single driver correctness slot."""
+    return q6_revenue_df(spark, sf_dir).crossJoin(q19_revenue_df(spark, sf_dir))
 
 
 @query(

@@ -8,6 +8,9 @@ Four tiers, cheapest first:
                    bucket join, never a cross join)
   ngram_jaccard  — exact Jaccard on word n-gram shingles, evaluated only on
                    candidate pairs produced by a shingle-inverted-index join
+  embedding      — cosine near-dups over an embedding column: random-
+                   hyperplane LSH tables for candidates, exact JVM cosine
+                   verification (embedding_near_dup_pairs)
 
 Scale design: every operator is shuffle-bounded by (band, bucket) or
 (shingle) keys; nothing materializes O(n^2) pairs. Skewed buckets (boiler-
@@ -274,6 +277,78 @@ def ngram_jaccard_pairs(
         .withColumn("jaccard", stable_round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_tables: int = 8,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    max_bucket: int = 4000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim) with
+    id_a < id_b and cosine >= ``threshold``.
+
+    Candidate generation is random-hyperplane LSH (``n_tables`` independent
+    sign-bit tables of ``n_planes`` bits; per-table collision probability
+    for angle θ is (1 - θ/π)^n_planes, so recall rises geometrically with
+    ``n_tables``); candidates are pairs sharing any (table, bucket), then
+    exact JVM-side cosine verification keeps true near-dups only.
+
+    Scale: the bucket self-join shuffles only (tbl, bkt, id) rows — vectors
+    rejoin at scoring, so no shuffle carries a vector per candidate pair;
+    oversized buckets (near-zero vectors, mass duplicates) are capped at
+    ``max_bucket`` via aggregate + broadcast anti-join, same guard as
+    MinHash banding. Nothing materializes O(n²).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from .similarity import cosine_similarity, lsh_table_buckets, random_hyperplanes
+
+    planes = np.vstack(
+        [random_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    )
+    # the bucket index feeds the cap aggregation and both self-join sides —
+    # materialize the slim (id, tbl, bkt) rows once
+    buckets = lsh_table_buckets(
+        emb, planes, n_tables, n_planes, id_col, vec_col, "id"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    oversized = (
+        buckets.groupBy("tbl", "bkt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_bucket)
+        .select("tbl", "bkt")
+    )
+    buckets = buckets.join(F.broadcast(oversized), on=["tbl", "bkt"], how="left_anti")
+
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.bkt") == F.col("r.bkt"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            stable_round(cosine_similarity(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
     )
 
 

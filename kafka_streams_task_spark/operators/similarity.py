@@ -89,6 +89,53 @@ def lsh_bucket(vec_col, planes: list[list[float]]) -> "F.Column":
     return bucket
 
 
+def lsh_table_buckets(
+    df: DataFrame,
+    planes_mat: np.ndarray,
+    n_tables: int,
+    n_planes: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_id: str = "id",
+) -> DataFrame:
+    """(out_id, tbl, bkt) sign-bit bucket rows for ``n_tables`` independent
+    random-hyperplane tables — one numpy matmul per Arrow batch
+    (mapInPandas); the output carries ONLY ids, so downstream bucket joins
+    never shuffle a vector. ``planes_mat`` is (n_tables*n_planes, dim).
+    Shared by ``knn_lsh`` (search) and ``dedup.embedding_near_dup_pairs``."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    schema = T.StructType(
+        [
+            T.StructField(out_id, df.schema[id_col].dataType),
+            T.StructField("tbl", T.IntegerType()),
+            T.StructField("bkt", T.LongType()),
+        ]
+    )
+
+    def batches(it):
+        for pdf in it:
+            mat = np.array([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            if len(mat) == 0:
+                yield pd.DataFrame(columns=[f.name for f in schema.fields])
+                continue
+            signs = (mat @ planes_mat.T) >= 0  # (n, n_tables*n_planes)
+            parts = []
+            for t in range(n_tables):
+                bits = signs[:, t * n_planes : (t + 1) * n_planes]
+                bkt = (bits * weights[None, :]).sum(axis=1)
+                parts.append(
+                    pd.DataFrame({out_id: pdf[id_col].values, "tbl": t, "bkt": bkt})
+                )
+            out = pd.concat(parts, ignore_index=True)
+            out["tbl"] = out["tbl"].astype("int32")
+            yield out
+
+    return df.select(id_col, vec_col).mapInPandas(batches, schema)
+
+
 def knn_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -113,44 +160,14 @@ def knn_lsh(
     dedup shuffle ONLY ids — embedding vectors rejoin just before scoring,
     so no shuffle ever carries a vector per candidate pair.
     """
-    import pandas as pd
-    from pyspark.sql import types as T
-
     rng_planes = np.vstack(
         [random_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
     )  # (n_tables*n_planes, dim)
-    weights = (1 << np.arange(n_planes, dtype=np.int64))
 
     def bucketed(df: DataFrame, ident: str) -> DataFrame:
-        schema = T.StructType(
-            [
-                T.StructField(ident, df.schema[id_col].dataType),
-                T.StructField("tbl", T.IntegerType()),
-                T.StructField("bkt", T.LongType()),
-            ]
+        return lsh_table_buckets(
+            df, rng_planes, n_tables, n_planes, id_col, vec_col, ident
         )
-
-        def batches(it):
-            for pdf in it:
-                mat = np.array([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
-                if len(mat) == 0:
-                    yield pd.DataFrame(columns=[f.name for f in schema.fields])
-                    continue
-                signs = (mat @ rng_planes.T) >= 0  # (n, n_tables*n_planes)
-                parts = []
-                for t in range(n_tables):
-                    bits = signs[:, t * n_planes : (t + 1) * n_planes]
-                    bkt = (bits * weights[None, :]).sum(axis=1)
-                    parts.append(
-                        pd.DataFrame(
-                            {ident: pdf[id_col].values, "tbl": t, "bkt": bkt}
-                        )
-                    )
-                out = pd.concat(parts, ignore_index=True)
-                out["tbl"] = out["tbl"].astype("int32")
-                yield out
-
-        return df.select(id_col, vec_col).mapInPandas(batches, schema)
 
     pairs = (
         bucketed(corpus, "neighbor_id")

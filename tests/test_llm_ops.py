@@ -179,6 +179,49 @@ def test_knn_lsh_recall(spark):
     assert recall >= 0.6, f"LSH recall {recall:.2f} too low"
 
 
+def test_embedding_near_dup_planted_recall(spark):
+    """Embedding-cosine near-dup: perturbed copies (cos ~0.995) of every
+    vector must be recovered with high recall, emitted cosines must match
+    numpy, and unrelated random pairs must NOT appear at threshold 0.95."""
+    import numpy as np
+
+    from kafka_streams_task_spark.operators.dedup import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(9)
+    n, dim = 200, 32
+    vecs = rng.standard_normal((n, dim))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    noise = rng.standard_normal((n, dim)) * 0.07
+    near = vecs + noise
+    near /= np.linalg.norm(near, axis=1, keepdims=True)
+
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    rows += [(i + 1000, [float(x) for x in near[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    got = embedding_near_dup_pairs(
+        df, threshold=0.95, dim=dim, n_tables=8, n_planes=8
+    ).collect()
+    pair_sims = {(r.id_a, r.id_b): r.cos_sim for r in got}
+
+    planted = {
+        (i, i + 1000)
+        for i in range(n)
+        if float(vecs[i] @ near[i]) >= 0.9500005  # planted pairs above threshold
+    }
+    recall = len(planted & set(pair_sims)) / len(planted)
+    assert recall >= 0.9, f"embedding near-dup recall {recall:.2f} too low"
+
+    # emitted cosine is the exact JVM-computed cosine (6dp)
+    for (a, b), sim in list(pair_sims.items())[:20]:
+        va = vecs[a] if a < 1000 else near[a - 1000]
+        vb = vecs[b] if b < 1000 else near[b - 1000]
+        expect = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        assert abs(sim - expect) < 1e-5
+    # no unrelated pair sneaks in below the threshold
+    assert all(s >= 0.95 for s in pair_sims.values())
+
+
 def test_lang_id_accuracy(spark, sf_dir):
     """Heuristic lang-id: sanity floor on labeled data (the synthetic docs
     are English-ish word soup, so only en vs non-en separation is meaningful;
