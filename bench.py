@@ -95,6 +95,13 @@ def main() -> None:
     warm = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     warm.groupBy("l_returnflag").count().collect()
     warm.selectExpr("l_orderkey").distinct().count()
+    # actually spawn the per-core Python workers (identity mapInPandas over
+    # one partition per core) — otherwise the first Arrow-stage query is
+    # charged ~2-3s of one-time worker startup
+    n_part = spark.sparkContext.defaultParallelism
+    spark.range(0, n_part * 10, 1, n_part).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     raw = _raw_ops()
     times: dict[str, float] = {}

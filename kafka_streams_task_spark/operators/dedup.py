@@ -101,6 +101,44 @@ def _universal_hash_61(a: np.ndarray, b: np.ndarray, x: np.ndarray) -> np.ndarra
     return fold(fold(term_hi + term_mid + term_lo) + b[:, None])
 
 
+def _minhash_mins(
+    a: np.ndarray, b: np.ndarray, x: np.ndarray, starts: np.ndarray
+) -> np.ndarray:
+    """Per-document minimums of the universal hashes: (H, n_docs) matrix of
+    ``min over doc segment of (a_h*x + b_h) mod p``, where ``starts`` marks
+    each document's first index in the flat shingle-hash vector ``x``.
+
+    Same exact arithmetic as ``_universal_hash_61`` (pinned identical by
+    ``test_minhash_mins_matches_matrix``), restructured as a loop over the
+    H hash functions with (N,) vector temporaries: the (H, N) matrix form
+    materializes ~20 temporaries of H*N*8 bytes and is memory-bandwidth
+    bound (measured 11.3s for H=128, N=260k single-threaded); per-hash
+    (N,) temporaries stay cache-resident (same workload: 1.0s).
+    """
+    M61 = np.uint64(_MERSENNE)
+    s31, s30, s61 = np.uint64(31), np.uint64(30), np.uint64(61)
+    mask31 = np.uint64((1 << 31) - 1)
+
+    def fold(v: np.ndarray) -> np.ndarray:
+        v = (v & M61) + (v >> s61)
+        return np.where(v >= M61, v - M61, v)
+
+    x1 = x >> s31
+    x0 = x & mask31
+    out = np.empty((len(a), len(starts)), dtype=np.uint64)
+    for h in range(len(a)):
+        a1 = a[h] >> s31
+        a0 = a[h] & mask31
+        hi = x1 * a1
+        mid = x0 * a1 + x1 * a0
+        lo = x0 * a0
+        term_hi = fold(hi << np.uint64(1))
+        term_mid = fold(((mid << s31) & M61) + (mid >> s30))
+        v = fold(fold(term_hi + term_mid + fold(lo)) + b[h])
+        out[h] = np.minimum.reduceat(v, starts)
+    return out
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -112,11 +150,12 @@ def minhash_signatures(
     """(id, sig array<long>) — MinHash signatures.
 
     Shingling + xxhash64 of each shingle stay JVM-side (codegen); Python
-    receives only (id, array<long>) Arrow batches via ``mapInPandas`` and
-    computes the (num_hashes x n_shingles) universal-hash matrix
-    ((a*x + b) mod p, p = 2^61-1, exact split-multiply arithmetic —
-    ``_universal_hash_61`` — over shingle hashes masked to 61 bits) with a
-    min per row.
+    receives only (id, array<long>) Arrow batches via ``mapInPandas``,
+    flattens each batch's shingle hashes into one vector, and computes the
+    per-document minimums of all ``num_hashes`` universal hashes in one
+    ``_minhash_mins`` call ((a*x + b) mod p, p = 2^61-1, exact
+    split-multiply arithmetic over shingle hashes masked to 61 bits;
+    segment mins via ``minimum.reduceat`` — no per-document Python loop).
 
     mapInPandas (a plan node) rather than a scalar pandas_udf: scalar Python
     UDFs with higher-order-function arguments break self-join plan
@@ -128,16 +167,24 @@ def minhash_signatures(
     a, b = _minhash_params(num_hashes, seed)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mask61 = np.uint64(_MERSENNE)
         for pdf in it:
-            sigs = []
-            for lst in pdf["hs"]:
-                if lst is None or len(lst) == 0:
-                    sigs.append([0] * num_hashes)
-                    continue
-                base = np.asarray(lst, dtype=np.int64).astype(np.uint64) & np.uint64(_MERSENNE)
-                vals = _universal_hash_61(a, b, base)
-                sigs.append(vals.min(axis=1).astype(np.int64).tolist())
-            yield pd.DataFrame({id_col: pdf[id_col].values, "sig": sigs})
+            ids = pdf[id_col].values
+            hs = pdf["hs"].values
+            lens = np.array(
+                [0 if lst is None else len(lst) for lst in hs], dtype=np.int64
+            )
+            ne = lens > 0
+            sigs = np.zeros((len(ids), num_hashes), dtype=np.int64)
+            if ne.any():
+                flat = np.concatenate(
+                    [np.asarray(lst, dtype=np.int64) for lst in hs[ne]]
+                ).astype(np.uint64) & mask61
+                starts = np.concatenate([[0], np.cumsum(lens[ne])[:-1]]).astype(
+                    np.int64
+                )
+                sigs[ne] = _minhash_mins(a, b, flat, starts).astype(np.int64).T
+            yield pd.DataFrame({id_col: ids, "sig": list(sigs)})
 
     hashed = df.select(
         F.col(id_col),

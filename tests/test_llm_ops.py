@@ -357,3 +357,28 @@ def test_universal_hash_61_exact():
         for j in range(len(xs)):
             exp = (int(a[i]) * int(xs[j]) + int(b[i])) % _MERSENNE
             assert int(got[i, j]) == exp, (i, j, int(a[i]), int(xs[j]))
+
+
+def test_minhash_mins_matches_matrix():
+    """The cache-friendly per-hash-loop segment-min formulation used by the
+    signature stage is bit-identical to the reference (H, N) matrix form."""
+    import numpy as np
+
+    from kafka_streams_task_spark.operators.dedup import (
+        _MERSENNE,
+        _minhash_mins,
+        _minhash_params,
+        _universal_hash_61,
+    )
+
+    a, b = _minhash_params(16, seed=3)
+    rng = np.random.default_rng(4)
+    x = rng.integers(0, _MERSENNE, size=1000, dtype=np.int64).astype(np.uint64)
+    lens = rng.integers(1, 40, size=50)
+    lens = lens[np.cumsum(lens) <= len(x)]
+    total = int(lens.sum())
+    x = x[:total]
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+    ref = np.minimum.reduceat(_universal_hash_61(a, b, x), starts, axis=1)
+    got = _minhash_mins(a, b, x, starts)
+    assert np.array_equal(ref, got)
