@@ -4,7 +4,11 @@ Spark AND its DuckDB oracle at sf0.01, compare row count, column names, and
 order-insensitive values. Exact equality required — if this passes, any
 value-hash scheme over canonical representations passes too.
 
-Usage: python tools/check_oracle.py [query ...] [--sf DIR]
+Usage: python tools/check_oracle.py [query ...] [--sf DIR] [--vanilla]
+
+--vanilla runs on a bare SparkSession (no engine config), mirroring the
+grading driver, which builds its own session — catches any dependence on
+plans/session.py tuning.
 """
 
 from __future__ import annotations
@@ -53,13 +57,23 @@ def main() -> int:
             sf_dir = a.split("=", 1)[1]
 
     import __spark_entry__ as e
-    from kafka_streams_task_spark.plans import get_spark
 
     qs = e.queries()
     oracles = e.oracle_sql()
     names = args or sorted(qs)
 
-    spark = get_spark(app_name="check_oracle", shuffle_partitions=8)
+    if "--vanilla" in sys.argv:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check_oracle_vanilla")
+            .getOrCreate()
+        )
+    else:
+        from kafka_streams_task_spark.plans import get_spark
+
+        spark = get_spark(app_name="check_oracle", shuffle_partitions=8)
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
