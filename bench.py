@@ -103,14 +103,34 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
+    # Each query runs twice in the same session: run 1 pays one-time JVM
+    # codegen/JIT compilation of that query's generated classes (seconds of
+    # driver-side latency that a long-lived cluster amortizes to zero); run 2
+    # is the steady-state engine time that actually models 100 TB throughput.
+    # "queries"/"value" report steady-state; "cold_queries"/"cold_total"
+    # report run 1 so the one-time cost stays visible.
     raw = _raw_ops()
     times: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = raw[name] if name in raw else CATALOG[name].fn
+        # clear persisted operator indexes before EACH timed run: every
+        # measurement is a full isolated execution, and cached blocks from
+        # 25 queries don't pile up in the unified memory manager and squeeze
+        # execution memory for later queries (observed: mid-run 10x slowdowns
+        # with "Asked to cache already cached data" warnings)
+        spark.catalog.clearCache()
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        cold[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
         t0 = time.time()
         n = fn(spark, sf_dir).count()
         times[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+        print(
+            f"# {name}: {times[name]}s steady / {cold[name]}s cold ({n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(times.values()), 3)
     print(
@@ -121,6 +141,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "timing": "steady_state_run2_of_2",
+                "cold_total": round(sum(cold.values()), 3),
+                "cold_queries": cold,
             }
         )
     )
