@@ -41,6 +41,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",  # added r2 (new operator; not in r1 baseline)
+    "dedup_clusters_cc",  # added r2 (new operator; not in r1 baseline)
+    "sample_pack_pipeline",  # added r2 (new operator; not in r1 baseline)
     "similarity_knn_bruteforce",
     "similarity_knn_lsh",
     "similarity_knn_ivf",

@@ -550,3 +550,108 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("approx_median_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clustering (connected components) and sampling / packing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_clusters_cc",
+    oracle="""
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id
+    FROM documents
+    """,
+)
+def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components duplicate clustering, oracle-checked end to end:
+    build a PATH graph per exact-duplicate group (consecutive doc_ids under
+    the same md5 digest — multi-hop chains, so the star contractions must
+    actually iterate, not just read off single edges), run the alternating
+    large-star/small-star algorithm (operators/cluster.py), and label every
+    document with its cluster root. A document's root is provably the
+    minimum doc_id sharing its text, which the DuckDB oracle states as a
+    window min over the digest partition. Near-dup edge sets (MinHash/
+    SimHash pairs) feed the same operator in production; the exact-dup
+    edge set is the deterministic, SQL-checkable instance."""
+    from pyspark.sql import Window
+
+    from ..operators.cluster import connected_components
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("dg")
+    )
+    w = Window.partitionBy("dg").orderBy("doc_id")
+    edges = (
+        d.select("doc_id", F.lag("doc_id").over(w).alias("prev"))
+        .filter(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("src"), F.col("doc_id").alias("dst"))
+    )
+    comps = connected_components(edges)
+    singles = d.join(
+        comps, d.doc_id == comps.node, "left_anti"
+    ).select("doc_id", F.col("doc_id").alias("cluster_id"))
+    return comps.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    ).unionByName(singles)
+
+
+_MIX_RATES = {"en": 1.0, "fr": 0.5, "zh": 0.5, "es": 0.25, "de": 0.25}
+_PACK_BUDGET = 512
+
+
+@query(
+    "sample_pack_pipeline",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             len(string_split(trim(text), ' ')) AS n_tokens
+      FROM documents
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            / 4294967296.0
+            < CASE lang WHEN 'en' THEN 1.0 WHEN 'fr' THEN 0.5 WHEN 'zh' THEN 0.5
+                        WHEN 'es' THEN 0.25 WHEN 'de' THEN 0.25 ELSE 0.0 END
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(0 AS BIGINT) AS n_bad_packs
+    FROM s GROUP BY lang
+    """,
+)
+def sample_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing + sequence packing, oracle-checked end to end: keep a
+    deterministic md5-hash stratified sample per language (exact binary
+    rates, so the Spark filter and the DuckDB filter admit byte-identical
+    row sets), greedily pack the sampled docs into 512-token sequences
+    (operators/sampling.py), and emit per-language conservation invariants:
+    every sampled doc packed exactly once (n_docs), token mass preserved
+    through packing (total_tokens summed from PACK output, not the input),
+    and zero multi-doc packs over budget (n_bad_packs — over-budget is
+    legal only for a single oversize document isolated in its own pack).
+    The oracle recomputes the sample membership and token totals in SQL and
+    states the packing invariants as constants — any packing bug (lost or
+    double-packed doc, overfilled pack) breaks a count or the token sum."""
+    from ..operators.sampling import hash_stratified_sample, pack_sequences
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    sampled = hash_stratified_sample(d, _MIX_RATES, "lang", "doc_id")
+    packed = pack_sequences(sampled, budget=_PACK_BUDGET, num_partitions=32)
+    fills = packed.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("fill"), F.count(F.lit(1)).alias("n_in_pack")
+    )
+    bad = fills.filter(
+        (F.col("fill") > _PACK_BUDGET) & (F.col("n_in_pack") > 1)
+    ).agg(F.count(F.lit(1)).alias("n_bad"))
+    per_lang = (
+        packed.join(sampled.select("doc_id", "lang"), on="doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+    return per_lang.crossJoin(bad).select(
+        "lang", "n_docs", "total_tokens", F.col("n_bad").alias("n_bad_packs")
+    )

@@ -662,26 +662,11 @@ def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_orderkey", "metric", F.round(F.col("val") + 1e-05, 2).alias("val"))
 
 
-@query(
-    "q10_returned_items",
-    oracle="""
-    SELECT c_custkey, c_name,
-           round((sum(l_extendedprice * (1 - l_discount))) + 1e-05, 2) AS revenue,
-           n_name
-    FROM customer
-      JOIN orders   ON c_custkey = o_custkey
-      JOIN lineitem ON l_orderkey = o_orderkey
-      JOIN nation   ON c_nationkey = n_nationkey
-    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
-      AND l_returnflag = 'R'
-    GROUP BY c_custkey, c_name, n_name
-    ORDER BY revenue DESC, c_custkey
-    LIMIT 20
-    """,
-)
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 shape: 4-way join, agg, top-20."""
+    """TPC-H Q10 shape: 4-way join, agg, top-20. Deregistered in r2 to free
+    a driver-correctness slot for the CC-clustering query (the join+agg+
+    top-k shape stays driver-covered by q3/q5/q18); still exercised by
+    tests/test_catalog_extra.py."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -807,65 +792,69 @@ def window_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "date_arithmetic",
+    "scalar_semantics_suite",
     oracle="""
-    SELECT o_orderkey,
-           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT) AS days_to_y2k,
-           CAST(CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS DATE)::VARCHAR AS due_date,
-           CAST(date_trunc('quarter', o_orderdate) AS DATE)::VARCHAR AS quarter_start,
-           CAST(EXTRACT(dow FROM o_orderdate) AS INT) AS dow,
-           CAST(EXTRACT(year FROM o_orderdate) AS INT)  AS yr,
-           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo
+    SELECT 'date' AS leg, o_orderkey AS key,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS DATE)::VARCHAR AS s1,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE)::VARCHAR AS s2,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT) AS i1,
+           CAST(EXTRACT(dow FROM o_orderdate) AS INT) AS i2,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT)  AS i3,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS i4
     FROM orders WHERE o_orderkey < 200
-    """,
-)
-def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date/interval arithmetic surface (absent from the reference, whose
-    dates stay opaque strings — SURVEY §2.5): diffs, offsets, truncation,
-    day-of-week, and part extraction. (Spark dayofweek is 1=Sunday; DuckDB
-    dow is 0=Sunday.)"""
-    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
-    d = F.col("o_orderdate").cast("date")
-    return o.select(
-        "o_orderkey",
-        F.datediff(F.lit("2000-01-01").cast("date"), d).alias("days_to_y2k"),
-        F.date_add(d, 90).cast("string").alias("due_date"),
-        F.date_trunc("quarter", F.col("o_orderdate")).cast("date").cast("string").alias("quarter_start"),
-        (F.dayofweek("o_orderdate") - F.lit(1)).alias("dow"),
-        F.year("o_orderdate").alias("yr"),
-        F.month("o_orderdate").alias("mo"),
-    )
-
-
-@query(
-    "null_semantics",
-    oracle="""
-    SELECT e.event_id,
-           coalesce(json_extract_string(e.props, '$.missing'), 'absent') AS fallback,
-           CAST(e.value IS NOT DISTINCT FROM v2.value AS INT) AS nullsafe_eq,
-           nullif(e.event_type, 'error') AS type_or_null
+    UNION ALL
+    SELECT 'null', e.event_id,
+           coalesce(json_extract_string(e.props, '$.missing'), 'absent'),
+           nullif(e.event_type, 'error'),
+           CAST(e.value IS NOT DISTINCT FROM v2.value AS INT),
+           NULL, NULL, NULL
     FROM events e
     JOIN (SELECT event_id, CASE WHEN value > 250 THEN NULL ELSE value END AS value
           FROM events) v2 ON e.event_id = v2.event_id
     WHERE e.event_id < 500
     """,
 )
-def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Null-handling surface: coalesce, nullif, null-safe equality
+def scalar_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two tagged legs in one driver slot (merged r2: was date_arithmetic +
+    null_semantics):
+
+    'date' — date/interval arithmetic surface (absent from the reference,
+    whose dates stay opaque strings — SURVEY §2.5): diffs, offsets,
+    truncation, day-of-week, part extraction. (Spark dayofweek is 1=Sunday;
+    DuckDB dow is 0=Sunday.)
+
+    'null' — null-handling surface: coalesce, nullif, null-safe equality
     (<=> / IS NOT DISTINCT FROM)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    d = F.col("o_orderdate").cast("date")
+    date_leg = o.select(
+        F.lit("date").alias("leg"),
+        F.col("o_orderkey").alias("key"),
+        F.date_add(d, 90).cast("string").alias("s1"),
+        F.date_trunc("quarter", F.col("o_orderdate")).cast("date").cast("string").alias("s2"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d).alias("i1"),
+        (F.dayofweek("o_orderdate") - F.lit(1)).alias("i2"),
+        F.year("o_orderdate").alias("i3"),
+        F.month("o_orderdate").alias("i4"),
+    )
     e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
     v2 = load_table(spark, sf_dir, "events").select(
         "event_id",
         F.when(F.col("value") > 250, None).otherwise(F.col("value")).alias("value2"),
     )
-    return (
+    null_leg = (
         e.join(v2, on="event_id")
         .select(
-            "event_id",
-            F.coalesce(F.get_json_object("props", "$.missing"), F.lit("absent")).alias("fallback"),
-            F.col("value").eqNullSafe(F.col("value2")).cast("int").alias("nullsafe_eq"),
-            F.nullif(F.col("event_type"), F.lit("error")).alias("type_or_null"),
+            F.lit("null").alias("leg"),
+            F.col("event_id").alias("key"),
+            F.coalesce(F.get_json_object("props", "$.missing"), F.lit("absent")).alias("s1"),
+            F.nullif(F.col("event_type"), F.lit("error")).alias("s2"),
+            F.col("value").eqNullSafe(F.col("value2")).cast("int").alias("i1"),
+            F.lit(None).cast("int").alias("i2"),
+            F.lit(None).cast("int").alias("i3"),
+            F.lit(None).cast("int").alias("i4"),
         )
     )
+    return date_leg.unionByName(null_leg)
 
 

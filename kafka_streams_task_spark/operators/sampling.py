@@ -1,0 +1,145 @@
+"""Sampling and sequence-packing operators for training-data pipelines.
+
+Two building blocks a 100 TB corpus pipeline needs between dedup and
+training:
+
+  hash_stratified_sample — deterministic per-stratum downsampling (data
+      mixing: "keep 30% of web, 100% of books"). Membership is a pure
+      function of the row id (md5 → first 8 hex digits → uniform integer),
+      so the sample is reproducible run-to-run, needs NO shuffle (a scan +
+      filter with a broadcast rate map), and two pipelines sampling the same
+      corpus agree row-for-row — the property distributed pipelines need
+      that ``DataFrame.sample`` (partition-layout-dependent RNG) does not
+      give.
+
+  pack_sequences — greedy token-budget bin packing (group short documents
+      into fixed-budget training sequences). Packing is inherently
+      order-dependent, so it runs per partition: documents are hash-
+      partitioned, sorted by id within each partition (deterministic), and
+      greedily accumulated into packs; pack ids are globally unique
+      (partition_id * 2^40 + local pack index). Conservation invariants
+      (every doc packed exactly once, no pack over budget, oversize docs
+      isolated in their own pack) hold by construction and are what the
+      catalog oracle checks.
+
+Reference parity: absent from the reference engine — beyond-reference
+training-data mandate (same family as operators/dedup.py, cluster.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.text import token_count
+
+# first 8 hex digits of md5 → uniform 32-bit integer; mirrors in DuckDB as
+# CAST(('0x' || substr(md5(...), 1, 8)) AS BIGINT) — keeps the oracle exact.
+_HASH_SPACE = float(1 << 32)
+
+
+def _hash_unit(col) -> F.Column:
+    """Deterministic uniform [0,1) from a column value via md5 (portable:
+    Spark and DuckDB md5 agree byte-for-byte on the same string input)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(_HASH_SPACE)
+
+
+def hash_stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str,
+    id_col: str,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sample: keep a row iff
+    ``hash_unit(id) < rate(stratum)``.
+
+    ``rates`` maps stratum value -> keep probability; strata not listed get
+    ``default_rate``. The rate lookup folds to a CASE expression (tiny,
+    literal — no join at all), so the whole operator is a single scan +
+    filter: predicate-pushdown-friendly, zero shuffle, and the sampled set
+    is a pure function of row ids (stable under repartitioning, retries,
+    and cluster size — unlike ``DataFrame.sample``).
+    """
+    rate = F.lit(float(default_rate))
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == k, F.lit(float(v))).otherwise(rate)
+    return df.filter(_hash_unit(F.col(id_col)) < rate)
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_tokens_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Greedy first-fit sequence packing: (pack_id, doc_id, n_tokens).
+
+    Every input document appears in exactly one pack; a pack's token sum
+    never exceeds ``budget`` unless it holds a single oversize document
+    (which gets a pack of its own rather than being dropped — the caller
+    decides whether to truncate). Token counts come from ``n_tokens_col``
+    if given, else whitespace ``token_count(text_col)`` computed JVM-side.
+
+    Distributed shape: one hash repartition on id (the only shuffle), then
+    an Arrow-batched per-partition greedy pass in Python — packing is a
+    sequential decision process, so the parallel unit is the partition, and
+    determinism comes from sorting each partition by id before packing.
+    Pack ids are ``partition_id << 40 | local_index`` — globally unique
+    without any coordination. At 100 TB the per-partition state is one
+    running (pack_id, fill) counter — O(1) memory above the Arrow batch.
+    """
+    if n_tokens_col is None:
+        slim = df.select(F.col(id_col), token_count(F.col(text_col)).alias("n_tokens"))
+    else:
+        slim = df.select(F.col(id_col), F.col(n_tokens_col).cast("long").alias("n_tokens"))
+    if num_partitions:
+        slim = slim.repartition(num_partitions, id_col)
+    else:
+        slim = slim.repartition(id_col)
+    # deterministic pack layout: JVM-side per-partition sort, so Arrow
+    # batches arrive id-ordered and the greedy pass needs no Python sort
+    slim = slim.sortWithinPartitions(id_col)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("pack_id", T.LongType()),
+            T.StructField(id_col, slim.schema[id_col].dataType),
+            T.StructField("n_tokens", T.LongType()),
+        ]
+    )
+
+    def pack_partition(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = pid << 40
+        idx = 0
+        fill = budget + 1  # force a new pack on first doc
+        for pdf in it:
+            if pdf.empty:
+                continue
+            pack_ids = []
+            for n in pdf["n_tokens"].fillna(0).astype("int64"):
+                if fill + n > budget:
+                    idx += 1
+                    fill = 0
+                fill += n
+                pack_ids.append(base + idx)
+            yield pd.DataFrame(
+                {
+                    "pack_id": pd.Series(pack_ids, dtype="int64"),
+                    id_col: pdf[id_col].values,
+                    "n_tokens": pdf["n_tokens"].fillna(0).astype("int64").values,
+                }
+            )
+
+    return slim.mapInPandas(pack_partition, out_schema)

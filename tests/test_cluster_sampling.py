@@ -1,0 +1,143 @@
+"""Connected-components clustering and sampling/packing operators."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from kafka_streams_task_spark.operators.cluster import (
+    connected_components,
+    dedup_survivors_by_cluster,
+)
+from kafka_streams_task_spark.operators.sampling import (
+    hash_stratified_sample,
+    pack_sequences,
+)
+
+
+def _cc_reference(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find ground truth: node -> min id of its component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def _run_cc(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    return {r["node"]: r["component"] for r in connected_components(df).collect()}
+
+
+class TestConnectedComponents:
+    def test_long_path_collapses_to_min(self, spark):
+        # path 0-1-2-...-63: worst case for label propagation (diameter 63);
+        # star rounds must still converge within the O(log n) iteration cap
+        edges = [(i, i + 1) for i in range(63)]
+        got = _run_cc(spark, edges)
+        assert got == {i: 0 for i in range(64)}
+
+    def test_multiple_components_and_orientation(self, spark):
+        # mixed orientations, duplicate edges, self-loop noise
+        edges = [(5, 3), (3, 9), (20, 10), (10, 20), (7, 7), (30, 31)]
+        got = _run_cc(spark, edges)
+        assert got[3] == got[5] == got[9] == 3
+        assert got[10] == got[20] == 10
+        assert got[30] == got[31] == 30
+        assert 7 not in got  # self-loops carry no connectivity
+
+    def test_random_graphs_match_union_find(self, spark):
+        import random
+
+        rng = random.Random(7)
+        for trial in range(3):
+            n = 200
+            edges = [
+                (rng.randrange(n), rng.randrange(n)) for _ in range(150)
+            ]
+            edges = [(a, b) for a, b in edges if a != b]
+            assert _run_cc(spark, edges) == _cc_reference(edges), f"trial {trial}"
+
+    def test_survivors_by_cluster_transitive(self, spark):
+        # A~B, B~C: pairwise min-per-pair would keep 1 and 3; cluster
+        # semantics keeps only 1 (plus the untouched 99)
+        docs = spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "a"), (99, "z")], ["doc_id", "text"]
+        )
+        pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+        kept = sorted(
+            r["doc_id"] for r in dedup_survivors_by_cluster(docs, pairs).collect()
+        )
+        assert kept == [1, 99]
+
+
+class TestSamplingPacking:
+    def test_stratified_sample_deterministic_and_stratified(self, spark):
+        df = spark.range(4000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 2 == 0, "web").otherwise("books").alias("source"),
+        )
+        rates = {"web": 0.25, "books": 1.0}
+        s1 = hash_stratified_sample(df, rates, "source", "doc_id")
+        s2 = hash_stratified_sample(df.repartition(13), rates, "source", "doc_id")
+        r1 = {r["doc_id"] for r in s1.collect()}
+        r2 = {r["doc_id"] for r in s2.collect()}
+        assert r1 == r2  # pure function of ids — layout-independent
+        books = sum(1 for i in r1 if i % 2 == 1)
+        web = len(r1) - books
+        assert books == 2000  # rate 1.0 keeps everything
+        assert 300 <= web <= 700  # rate 0.25 of 2000, md5-uniform
+
+    def test_stratified_sample_no_shuffle(self, spark):
+        df = spark.range(100).select(
+            F.col("id").alias("doc_id"), F.lit("web").alias("source")
+        )
+        sampled = hash_stratified_sample(df, {"web": 0.5}, "source", "doc_id")
+        plan = sampled._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_pack_sequences_invariants(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "w " * (1 + i % 40)) for i in range(500)], ["doc_id", "text"]
+        )
+        packed = pack_sequences(docs, budget=64)
+        rows = packed.collect()
+        # every doc exactly once
+        assert sorted(r["doc_id"] for r in rows) == list(range(500))
+        fills: dict[int, int] = {}
+        for r in rows:
+            fills[r["pack_id"]] = fills.get(r["pack_id"], 0) + r["n_tokens"]
+        assert all(v <= 64 for v in fills.values())
+        # packing actually packs: fewer packs than docs
+        assert len(fills) < 500
+
+    def test_pack_oversize_doc_isolated(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "w " * 10), (2, "w " * 100), (3, "w " * 10)], ["doc_id", "text"]
+        )
+        rows = pack_sequences(docs, budget=32).collect()
+        by_pack: dict[int, list[int]] = {}
+        for r in rows:
+            by_pack.setdefault(r["pack_id"], []).append(r["doc_id"])
+        (big_pack,) = [p for p, ids in by_pack.items() if 2 in ids]
+        assert by_pack[big_pack] == [2]  # oversize doc alone in its pack
+
+    def test_pack_deterministic_across_layouts(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "w " * (1 + i % 17)) for i in range(300)], ["doc_id", "text"]
+        )
+        a = {(r["pack_id"], r["doc_id"]) for r in pack_sequences(docs, 64, num_partitions=8).collect()}
+        b = {
+            (r["pack_id"], r["doc_id"])
+            for r in pack_sequences(docs.repartition(3), 64, num_partitions=8).collect()
+        }
+        assert a == b
