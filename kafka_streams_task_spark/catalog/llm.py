@@ -22,7 +22,9 @@ from ..functions.text import (
     avg_token_length,
     distinct_token_ratio,
     lang_id,
+    pii_flags,
     quality_score,
+    repetition_ratio,
     rolling_fingerprint_portable,
     stopword_ratio,
     token_count,
@@ -79,23 +81,40 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_quality_scores",
     oracle=f"""
     WITH tok AS (
-      SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+      SELECT doc_id, text, string_split(trim(text), ' ') AS t FROM documents
     ), feats AS (
-      SELECT doc_id,
+      SELECT doc_id, text,
              least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) AS len_score,
              CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS diversity,
-             CAST(len(list_filter(t, x -> x IN ({_STOP_SQL}))) AS DOUBLE) / len(t) AS stop
+             CAST(len(list_filter(t, x -> x IN ({_STOP_SQL}))) AS DOUBLE) / len(t) AS stop,
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(range(1, len(t) - 1),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  ELSE [array_to_string(t, ' ')] END AS sh
       FROM tok
     )
     SELECT doc_id,
-           round(((len_score + diversity + (1.0 - abs(stop - 0.2))) / 3.0) + 1e-09, 6) AS quality
+           round(((len_score + diversity + (1.0 - abs(stop - 0.2))) / 3.0) + 1e-09, 6) AS quality,
+           round((1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)) + 1e-09, 6) AS rep_3gram,
+           CAST(regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}') AS INT) AS has_email,
+           CAST(regexp_matches(text, '\\b[0-9]{{3}}[-. ][0-9]{{3}}[-. ][0-9]{{4}}\\b') AS INT) AS has_phone,
+           CAST(regexp_matches(text, '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b') AS INT) AS has_ipv4
     FROM feats
     """,
 )
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite quality heuristic (length/diversity/stopword-ratio)."""
+    """Quality-filter feature set (r2: widened from the single composite):
+    composite quality heuristic (length/diversity/stopword-ratio), duplicated-
+    trigram repetition ratio (boilerplate/looping-generation detector), and
+    the classic PII scrub flags (email/phone/ipv4) — every column a codegen
+    expression, every column recomputed exactly by the DuckDB oracle."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", quality_score("text").alias("quality"))
+    return d.select(
+        "doc_id",
+        quality_score("text").alias("quality"),
+        F.round(repetition_ratio("text") + 1e-09, 6).alias("rep_3gram"),
+        *pii_flags("text"),
+    )
 
 
 @query(

@@ -75,6 +75,33 @@ def quality_score(text: Column | str) -> Column:
     return stable_round((len_score + diversity + stop_score) / F.lit(3.0), 6)
 
 
+# PII patterns: kept to the regex subset Java (Spark rlike) and RE2 (DuckDB
+# regexp_matches) interpret identically — char classes, bounded repeats, \b.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_flags(text: Column | str) -> list[Column]:
+    """[has_email, has_phone, has_ipv4] int flags — regex detection of the
+    classic scrub targets, all codegen ``rlike`` (no Python). Aliased so
+    callers can splat them into a select."""
+    c = F.col(text) if isinstance(text, str) else text
+    return [
+        c.rlike(PII_EMAIL_RE).cast("int").alias("has_email"),
+        c.rlike(PII_PHONE_RE).cast("int").alias("has_phone"),
+        c.rlike(PII_IPV4_RE).cast("int").alias("has_ipv4"),
+    ]
+
+
+def repetition_ratio(text: Column | str, n: int = 3) -> Column:
+    """Duplicated word-n-gram fraction in [0, 1]: 1 - distinct/total
+    shingles. Boilerplate and looping generations score high; natural prose
+    scores near 0. Pure array arithmetic over ``shingles`` — codegen only."""
+    sh = shingles(text, n)
+    return F.lit(1.0) - F.size(F.array_distinct(sh)).cast("double") / F.size(sh)
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles -> array<string> (for Jaccard / MinHash dedup).
     Documents shorter than ``n`` tokens yield a single shingle of the whole

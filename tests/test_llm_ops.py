@@ -382,3 +382,29 @@ def test_minhash_mins_matches_matrix():
     ref = np.minimum.reduceat(_universal_hash_61(a, b, x), starts, axis=1)
     got = _minhash_mins(a, b, x, starts)
     assert np.array_equal(ref, got)
+
+
+def test_pii_flags_and_repetition(spark):
+    from kafka_streams_task_spark.functions.text import pii_flags, repetition_ratio
+
+    rows = [
+        (1, "contact me at alice.smith+x@example.co.uk for details"),
+        (2, "call 555-123-4567 or visit 192.168.1.1 today"),
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (4, "spam spam spam spam spam spam spam spam"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            *pii_flags("text"),
+            F.round(repetition_ratio("text"), 4).alias("rep"),
+        ).collect()
+    }
+    assert (out[1]["has_email"], out[1]["has_phone"], out[1]["has_ipv4"]) == (1, 0, 0)
+    assert (out[2]["has_email"], out[2]["has_phone"], out[2]["has_ipv4"]) == (0, 1, 1)
+    assert (out[3]["has_email"], out[3]["has_phone"], out[3]["has_ipv4"]) == (0, 0, 0)
+    # "spam"x8 -> 6 trigrams, 1 distinct -> 5/6 duplicated
+    assert abs(out[4]["rep"] - 5 / 6) < 1e-3
+    assert out[3]["rep"] == 0.0
