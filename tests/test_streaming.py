@@ -159,3 +159,95 @@ def test_latest_per_key_stream(spark, tmpdir):
     for r in rows:
         last[r.k] = r.v
     assert last == {"k1": "c", "k2": "x"}
+
+
+# ---------------------------------------------------------------------------
+# Streaming dedup (ingest tier of the dedup family — streaming/dedup.py)
+# ---------------------------------------------------------------------------
+
+
+def _write_doc_batches(tmpdir: str) -> str:
+    """Two micro-batches with intra- and cross-batch duplicate text."""
+    import os
+    import time as _time
+
+    src = f"{tmpdir}/docs_in"
+    os.makedirs(src)
+    b1 = [
+        {"doc_id": 1, "text": "alpha beta gamma", "ts": "2020-01-01 10:00:00"},
+        {"doc_id": 2, "text": "alpha beta gamma", "ts": "2020-01-01 10:00:05"},
+        {"doc_id": 3, "text": "delta epsilon", "ts": "2020-01-01 10:00:10"},
+    ]
+    b2 = [
+        {"doc_id": 4, "text": "alpha beta gamma", "ts": "2020-01-01 10:00:20"},
+        {"doc_id": 5, "text": "zeta eta", "ts": "2020-01-01 10:00:30"},
+    ]
+    with open(f"{src}/b1.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in b1))
+    _time.sleep(0.01)
+    with open(f"{src}/b2.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in b2))
+    return src
+
+
+def _read_doc_stream(spark, src: str):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.StringType()),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def test_streaming_dedup_exact_cross_batch(spark, tmpdir):
+    """First occurrence of each distinct text survives — including across
+    micro-batch boundaries (doc 4 duplicates batch-1 text)."""
+    from kafka_streams_task_spark.streaming.dedup import streaming_dedup_exact
+
+    stream = _read_doc_stream(spark, _write_doc_batches(tmpdir))
+    out = streaming_dedup_exact(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_exact_stream")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/ckpt_dx")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT doc_id FROM dedup_exact_stream").collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 3, 5]
+
+
+def test_streaming_dedup_watermarked_bounded_state(spark, tmpdir):
+    """Within-watermark duplicates collapse; the survivors are the first
+    arrival per distinct text. (State eviction past the watermark is the
+    engine's own contract — what we pin is the dedup semantics and that
+    the query runs with a real watermark + availableNow triggers.)"""
+    from kafka_streams_task_spark.streaming.dedup import (
+        streaming_dedup_watermarked,
+    )
+
+    stream = _read_doc_stream(spark, _write_doc_batches(tmpdir))
+    out = streaming_dedup_watermarked(stream, time_col="ts", delay="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_wm_stream")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/ckpt_dw")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT doc_id FROM dedup_wm_stream").collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 3, 5]
