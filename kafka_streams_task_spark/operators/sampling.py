@@ -143,3 +143,42 @@ def pack_sequences(
             )
 
     return slim.mapInPandas(pack_partition, out_schema)
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into <= ``max_tokens``-token chunks with ``overlap``
+    tokens of context carry-over: (id, chunk_idx, chunk_text, n_tokens).
+
+    The inverse-of-packing transform (long docs -> training-window pieces;
+    short docs pass through as chunk 0). Pure JVM array expressions —
+    tokenize once, explode a stride sequence, slice per chunk — so chunking
+    is map-only: no shuffle, no Python, and it composes with
+    ``hash_stratified_sample`` (before) and ``pack_sequences`` (after) into
+    a full sample -> chunk -> pack preprocessing chain.
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(f"need 0 <= overlap < max_tokens, got {overlap}/{max_tokens}")
+    stride = max_tokens - overlap
+    t = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(t)
+    # chunk start offsets: 0, stride, 2*stride, ... < n (always >= one chunk)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - F.lit(1), F.lit(0)), F.lit(stride)
+    )
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_idx"),
+            F.array_join(F.slice(t, s + 1, max_tokens), " ").alias("chunk_text"),
+            F.least(n - s, F.lit(max_tokens)).alias("n_tokens"),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.explode(chunks).alias("c")
+    ).select(id_col, "c.chunk_idx", "c.chunk_text", "c.n_tokens")

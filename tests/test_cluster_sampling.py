@@ -141,3 +141,48 @@ class TestSamplingPacking:
             for r in pack_sequences(docs.repartition(3), 64, num_partitions=8).collect()
         }
         assert a == b
+
+
+class TestChunking:
+    def test_chunk_boundaries_and_overlap(self, spark):
+        from kafka_streams_task_spark.operators.sampling import chunk_documents
+
+        text = " ".join(f"w{i}" for i in range(10))  # w0..w9
+        df = spark.createDataFrame([(1, text), (2, "short doc")], ["doc_id", "text"])
+        rows = sorted(
+            (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+            for r in chunk_documents(df, max_tokens=4, overlap=1).collect()
+        )
+        # doc 1: stride 3 -> starts 0,3,6,9
+        assert rows == [
+            (1, 0, "w0 w1 w2 w3", 4),
+            (1, 1, "w3 w4 w5 w6", 4),
+            (1, 2, "w6 w7 w8 w9", 4),
+            (1, 3, "w9", 1),
+            (2, 0, "short doc", 2),
+        ]
+
+    def test_chunk_token_reconstruction(self, spark):
+        from kafka_streams_task_spark.operators.sampling import chunk_documents
+
+        df = spark.createDataFrame(
+            [(i, " ".join(f"t{i}_{j}" for j in range(1 + i % 50))) for i in range(100)],
+            ["doc_id", "text"],
+        )
+        out = chunk_documents(df, max_tokens=16, overlap=0).collect()
+        # zero overlap: chunks partition the token stream exactly
+        by_doc: dict[int, list] = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for i in range(100):
+            cs = sorted(by_doc[i], key=lambda r: r["chunk_idx"])
+            rebuilt = " ".join(c["chunk_text"] for c in cs)
+            assert rebuilt == " ".join(f"t{i}_{j}" for j in range(1 + i % 50))
+            assert sum(c["n_tokens"] for c in cs) == 1 + i % 50
+
+    def test_chunk_is_map_only(self, spark):
+        from kafka_streams_task_spark.operators.sampling import chunk_documents
+
+        df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        plan = chunk_documents(df, 2)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Python" not in plan
