@@ -93,3 +93,29 @@ def test_app_batch_mode(spark, tmpdir):
     rows = spark.read.parquet(f"{tmpdir}/out").collect()
     assert len(rows) == 1
     assert [(w.tmp_f, w.date) for w in rows[0].avgWeathers] == [(71.0, "2020-01-01")]
+
+
+def test_orc_roundtrip(spark, sf_dir, tmpdir):
+    """ORC is the second columnar format Spark ships natively; same
+    round-trip contract as parquet/JSON/CSV."""
+    orig = load_table(spark, sf_dir, "nation")
+    orig.write.mode("overwrite").orc(f"{tmpdir}/o")
+    back = spark.read.orc(f"{tmpdir}/o")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, orig.collect()))
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmpdir):
+    """Hive-style partitionBy layout + partition pruning — the table-layout
+    primitive that turns a 100 TB scan into a single-partition scan. The
+    filtered read must show PartitionFilters (pruning at planning time) and
+    touch only the matching subdirectory."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    orders.write.mode("overwrite").partitionBy("o_year").parquet(f"{tmpdir}/p")
+
+    back = spark.read.parquet(f"{tmpdir}/p").filter(F.col("o_year") == 1996)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_year" in plan
+    expected = orders.filter(F.col("o_year") == 1996).count()
+    assert back.count() == expected > 0
