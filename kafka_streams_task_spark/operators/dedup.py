@@ -496,3 +496,57 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    corpus_id: str = "doc_id",
+    corpus_text: str = "text",
+    bench_text: str = "text",
+    shingle_n: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing >=
+    ``min_overlap`` distinct word ``shingle_n``-grams with ANY benchmark
+    document — the overlap filter training pipelines run against eval sets
+    so test questions don't leak into training data.
+
+    Returns (corpus_id, n_contaminated_shingles) for flagged docs only;
+    anti-join the result against the corpus to drop them.
+
+    Scale shape: the benchmark side is tiny relative to the corpus (eval
+    sets are thousands of rows vs billions), so its distinct shingle-hash
+    set BROADCASTS; the corpus side is one explode + broadcast semi-join +
+    groupBy — the corpus is scanned once, shuffles only (id, 8-byte hash)
+    rows that actually hit, and nothing pairs corpus docs with each other.
+    Shingles travel as xxhash64 longs (same trick as ``ngram_jaccard_pairs``).
+    """
+    bench_sh = (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        shingles(F.col(bench_text), shingle_n), lambda s: F.xxhash64(s)
+                    )
+                )
+            ).alias("shingle")
+        )
+        .distinct()
+    )
+    corpus_sh = corpus.select(
+        F.col(corpus_id),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    shingles(F.col(corpus_text), shingle_n), lambda s: F.xxhash64(s)
+                )
+            )
+        ).alias("shingle"),
+    )
+    hits = corpus_sh.join(F.broadcast(bench_sh), on="shingle", how="left_semi")
+    return (
+        hits.groupBy(corpus_id)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
+        .filter(F.col("n_contaminated_shingles") >= min_overlap)
+    )

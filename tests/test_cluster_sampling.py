@@ -186,3 +186,40 @@ class TestChunking:
         df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
         plan = chunk_documents(df, 2)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "Python" not in plan
+
+
+class TestDecontamination:
+    def test_flags_overlapping_docs_only(self, spark):
+        from kafka_streams_task_spark.operators.dedup import decontaminate
+
+        bench = spark.createDataFrame(
+            [("what is the capital of france paris obviously",)], ["text"]
+        )
+        corpus = spark.createDataFrame(
+            [
+                # contains the full benchmark 8-gram run
+                (1, "intro text what is the capital of france paris obviously and more"),
+                (2, "completely unrelated words about cooking pasta at home tonight"),
+                # shares words but no 8-gram run
+                (3, "the capital of spain is madrid france is nearby"),
+            ],
+            ["doc_id", "text"],
+        )
+        flagged = decontaminate(corpus, bench, shingle_n=8).collect()
+        assert [r["doc_id"] for r in flagged] == [1]
+        assert flagged[0]["n_contaminated_shingles"] >= 1
+
+    def test_min_overlap_threshold_and_plan(self, spark):
+        from kafka_streams_task_spark.operators.dedup import decontaminate
+
+        bench = spark.createDataFrame([("a b c d e f g h i j k l",)], ["text"])
+        corpus = spark.createDataFrame(
+            [(1, "a b c d e f g h x y z w"), (2, "a b c d e f g h i j k l m")],
+            ["doc_id", "text"],
+        )
+        out = decontaminate(corpus, bench, shingle_n=8, min_overlap=3)
+        rows = out.collect()
+        # doc 1 shares exactly one 8-gram (a..h); doc 2 shares five
+        assert [r["doc_id"] for r in rows] == [2]
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
