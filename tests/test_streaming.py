@@ -251,3 +251,56 @@ def test_streaming_dedup_watermarked_bounded_state(spark, tmpdir):
     q.awaitTermination(120)
     rows = spark.sql("SELECT doc_id FROM dedup_wm_stream").collect()
     assert sorted(r["doc_id"] for r in rows) == [1, 3, 5]
+
+
+def test_text_quality_surface_on_stream(spark, tmpdir):
+    """The quality-filter feature set (quality score, repetition ratio, PII
+    flags) is pure codegen, so it must run unchanged on a document STREAM —
+    ingest-time filtering parity with the batch catalog query."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from kafka_streams_task_spark.functions.text import (
+        pii_flags,
+        quality_score,
+        repetition_ratio,
+    )
+
+    src = f"{tmpdir}/q_in"
+    os.makedirs(src)
+    with open(f"{src}/b.json", "w") as f:
+        f.write(
+            "\n".join(
+                json.dumps(r)
+                for r in [
+                    {"doc_id": 1, "text": "reach me at bob@mail.com now"},
+                    {"doc_id": 2, "text": "spam spam spam spam spam spam"},
+                    {"doc_id": 3, "text": "a perfectly ordinary sentence with the usual words"},
+                ]
+            )
+        )
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = spark.readStream.schema(schema).json(src)
+    out = stream.select(
+        "doc_id",
+        quality_score("text").alias("quality"),
+        F.round(repetition_ratio("text"), 4).alias("rep"),
+        *pii_flags("text"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("quality_stream")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmpdir}/ckpt_q")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r for r in spark.sql("SELECT * FROM quality_stream").collect()}
+    assert got[1]["has_email"] == 1 and got[3]["has_email"] == 0
+    assert got[2]["rep"] > 0.7 and got[3]["rep"] == 0.0
+    assert all(0.0 <= got[i]["quality"] <= 1.0 for i in (1, 2, 3))
