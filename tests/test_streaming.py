@@ -304,3 +304,72 @@ def test_text_quality_surface_on_stream(spark, tmpdir):
     assert got[1]["has_email"] == 1 and got[3]["has_email"] == 0
     assert got[2]["rep"] > 0.7 and got[3]["rep"] == 0.0
     assert all(0.0 <= got[i]["quality"] <= 1.0 for i in (1, 2, 3))
+
+
+def test_weather_rollup_checkpoint_restart(spark, tmpdir):
+    """Checkpoint recovery of the chained stateful aggregation: drain
+    batch 1, STOP the query, deliver batch 2, restart a NEW query instance
+    on the SAME checkpoint — the recovered state must still hold batch-1's
+    contribution, so day-1 averages 70 and 72 to 71. This is the restart
+    half of the §2.6 exactly-once claim (the reference gets it from Kafka
+    Streams' changelog-topic state restore)."""
+    import os
+    import time as _time
+
+    from kafka_streams_task_spark.streaming import weather_rollup_stream
+
+    src = f"{tmpdir}/weather_ckpt_in"
+    os.makedirs(src)
+    ckpt = f"{tmpdir}/ckpt_restart"
+    name = f"rollup_restart_{uuid.uuid4().hex[:8]}"
+
+    def deliver(fname: str, recs, mtime: float):
+        path = f"{src}/{fname}"
+        with open(path, "w") as f:
+            for rec in recs:
+                f.write(json.dumps(rec) + "\n")
+        os.utime(path, (mtime, mtime))
+
+    out_dir = f"{tmpdir}/rollup_out"
+
+    def run_instance():
+        # memory sink can't recover from a checkpoint; foreachBatch + parquet
+        # append is the recovery-capable sink (same shape as production's
+        # rollup_via_foreach_batch)
+        from pyspark.sql import functions as F
+
+        def emit(batch_df, batch_id: int):
+            batch_df.withColumn("_b", F.lit(batch_id)).write.mode("append").parquet(out_dir)
+
+        stream = read_json_stream(spark, src, WEATHER_RAW, max_files_per_trigger=1)
+        q = (
+            weather_rollup_stream(stream)
+            .writeStream.foreachBatch(emit)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    now = _time.time()
+    deliver(
+        "b0.json",
+        [{"lat": 51.51, "lng": -0.07, "wthr_date": "2020-01-01",
+          "avg_tmpr_f": 70.0, "avg_tmpr_c": 30.0}],
+        now,
+    )
+    run_instance()  # instance 1: sees only batch 1, then stops
+
+    deliver(
+        "b1.json",
+        [{"lat": 51.51, "lng": -0.07, "wthr_date": "2020-01-01",
+          "avg_tmpr_f": 72.0, "avg_tmpr_c": 32.0}],
+        now + 30,
+    )
+    run_instance()  # instance 2: same checkpoint, must restore state
+
+    rows = spark.read.parquet(out_dir).orderBy("_b").collect()
+    assert rows[-1]["_b"] > 0, "restarted instance processed no new batch"
+    final = [r for r in rows if r.geohash == GH][-1].weatherList
+    assert [(w.tmp_f, w.tmp_c, w.date) for w in final] == [(71.0, 31.0, "2020-01-01")]
