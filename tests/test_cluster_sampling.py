@@ -223,3 +223,15 @@ class TestDecontamination:
         assert [r["doc_id"] for r in rows] == [2]
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_cc_hub_graph_no_materialized_neighborhoods(spark):
+    """Power-law hub: node 0 connected to 1..500 plus chain noise. The
+    join+agg star formulation must handle the hub without any per-node
+    neighborhood list (the failure mode of collect_list formulations) and
+    converge to a single component."""
+    edges = [(0, i) for i in range(1, 501)] + [(500 + i, 501 + i) for i in range(40)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 541  # hub 0..500 plus chain tail 501..540
