@@ -235,3 +235,37 @@ def test_cc_hub_graph_no_materialized_neighborhoods(spark):
     got = {r["node"]: r["component"] for r in connected_components(df).collect()}
     assert set(got.values()) == {0}
     assert len(got) == 541  # hub 0..500 plus chain tail 501..540
+
+
+def test_empty_inputs_all_ops(spark):
+    """Empty corpora must yield empty (not crashing) results across the
+    training-pipeline surface — the degenerate case every scheduled
+    production run eventually hits."""
+    from pyspark.sql import types as T
+
+    from kafka_streams_task_spark.operators.dedup import (
+        decontaminate,
+        dedup_exact,
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+        simhash_near_dup_pairs,
+    )
+    from kafka_streams_task_spark.operators.sampling import chunk_documents
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    empty = spark.createDataFrame([], schema)
+    bench = spark.createDataFrame([("some benchmark text here",)], ["text"])
+
+    assert dedup_exact(empty).count() == 0
+    assert minhash_lsh_candidates(empty).count() == 0
+    assert ngram_jaccard_pairs(empty).count() == 0
+    assert simhash_near_dup_pairs(empty).count() == 0
+    assert decontaminate(empty, bench).count() == 0
+    assert chunk_documents(empty, 16).count() == 0
+    assert pack_sequences(empty, 64).count() == 0
+    assert connected_components(
+        spark.createDataFrame([], "src long, dst long")
+    ).count() == 0
+    assert hash_stratified_sample(empty, {"en": 1.0}, "text", "doc_id").count() == 0
