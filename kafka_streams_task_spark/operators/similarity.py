@@ -241,6 +241,55 @@ def _assign_clusters(df: DataFrame, vec_col: str, centroids: np.ndarray, n_probe
     return df.mapInPandas(batches, out_schema)
 
 
+def kmeans_fit_distributed(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 16,
+    n_iter: int = 8,
+) -> np.ndarray:
+    """Distributed Lloyd's k-means: the 100 TB IVF trainer.
+
+    Per iteration: (1) nearest-centroid assignment — the shared
+    ``_assign_clusters`` numpy matmul over Arrow batches, centroids
+    broadcast inside the closure; (2) centroid update — posexplode each
+    vector to (cluster, dim_pos, value) and one partial+final aggregate;
+    only the k x dim (sum, count) table returns to the driver (a few KB),
+    never vectors. Deterministic: init is the first ``n_clusters`` vectors
+    in id order, iteration count is fixed (no data-dependent early stop).
+    Empty clusters keep their previous centroid.
+
+    Contrast with the bounded-sample trainer inside ``knn_ivf``: that one
+    sees ``sample_size`` rows total; this one sweeps the full corpus each
+    round and scales with executors.
+    """
+    init_pdf = df.select(vec_col).orderBy(id_col).limit(n_clusters).toPandas()
+    centroids = np.array(
+        [np.asarray(v, dtype="float64") for v in init_pdf[vec_col]]
+    )
+    slim = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    for _ in range(n_iter):
+        assigned = _assign_clusters(slim, "_v", centroids, 1, "cluster")
+        stats = (
+            assigned.select(
+                "cluster", F.posexplode(F.transform("_v", lambda x: x.cast("double")))
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.sum("col").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = centroids.copy()
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(len(centroids))
+        for r in stats:
+            sums[r["cluster"], r["pos"]] += r["s"]
+            counts[r["cluster"]] = r["n"]
+        nonempty = counts > 0
+        new[nonempty] = sums[nonempty] / counts[nonempty, None]
+        centroids = new
+    return centroids
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -251,6 +300,7 @@ def knn_ivf(
     n_probe: int = 4,
     sample_size: int = 4096,
     seed: int = 42,
+    train: str = "sample",
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) coarse quantization.
 
@@ -263,12 +313,23 @@ def knn_ivf(
     closure; the only join is (cluster) x (cluster) — candidate volume is
     corpus * n_probe / n_clusters per query on average. Raise n_clusters
     (sqrt(N) rule of thumb) and n_probe for the recall/latency trade.
+
+    ``train="sample"`` fits centroids on a bounded driver-side sample
+    (fast, deterministic — fine while a sample spans the distribution);
+    ``train="distributed"`` runs full-corpus Lloyd iterations
+    (``kmeans_fit_distributed``) — the scale path when no driver-sized
+    sample is representative.
     """
-    sample_pdf = (
-        corpus.select(vec_col).orderBy(id_col).limit(sample_size).toPandas()
-    )
-    sample = np.array([np.asarray(v, dtype="float64") for v in sample_pdf[vec_col]])
-    centroids = _kmeans_numpy(sample, min(n_clusters, len(sample)), seed)
+    if train == "distributed":
+        centroids = kmeans_fit_distributed(
+            corpus, vec_col, id_col, n_clusters=n_clusters
+        )
+    else:
+        sample_pdf = (
+            corpus.select(vec_col).orderBy(id_col).limit(sample_size).toPandas()
+        )
+        sample = np.array([np.asarray(v, dtype="float64") for v in sample_pdf[vec_col]])
+        centroids = _kmeans_numpy(sample, min(n_clusters, len(sample)), seed)
 
     c_assigned = _assign_clusters(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),

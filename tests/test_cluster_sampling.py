@@ -269,3 +269,39 @@ def test_empty_inputs_all_ops(spark):
         spark.createDataFrame([], "src long, dst long")
     ).count() == 0
     assert hash_stratified_sample(empty, {"en": 1.0}, "text", "doc_id").count() == 0
+
+
+def test_kmeans_distributed_recovers_planted_centers(spark):
+    """Distributed Lloyd iterations recover 3 well-separated planted
+    centers (within noise tolerance), and IVF search trained with them
+    finds the planted nearest neighbor."""
+    import numpy as np
+
+    from kafka_streams_task_spark.operators.similarity import (
+        kmeans_fit_distributed,
+        knn_ivf,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = np.array(
+        [[10.0] * 8, [-10.0] * 8, [10.0, -10.0] * 4], dtype="float64"
+    )
+    rows = []
+    for i in range(300):
+        c = i % 3
+        rows.append((i, (centers[c] + rng.normal(0, 0.5, 8)).tolist()))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    got = kmeans_fit_distributed(df, n_clusters=3, n_iter=8)
+    # each planted center matched by exactly one learned centroid, closely
+    d = ((got[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2) ** 0.5
+    assert sorted(d.argmin(axis=1)) == [0, 1, 2]
+    assert d.min(axis=1).max() < 1.0
+
+    # IVF search with distributed training: same-cluster neighbor at rank 1
+    queries = df.filter(F.col("vec_id") < 3)
+    out = knn_ivf(df, queries, k=1, n_clusters=3, n_probe=1, train="distributed")
+    top = {r["query_id"]: r["neighbor_id"] for r in out.collect()}
+    assert set(top) == {0, 1, 2}
+    for q, n in top.items():
+        assert n % 3 == q % 3  # neighbor from the same planted cluster
