@@ -305,3 +305,86 @@ def test_kmeans_distributed_recovers_planted_centers(spark):
     assert set(top) == {0, 1, 2}
     for q, n in top.items():
         assert n % 3 == q % 3  # neighbor from the same planted cluster
+
+
+def test_full_training_pipeline_composes(spark):
+    """Capstone: every training-data stage composed end to end on one
+    corpus — exact dedup pairs -> transitive clusters -> survivors ->
+    benchmark decontamination -> quality/PII filter -> deterministic
+    stratified sample -> chunk -> pack. Asserts each stage's contract on
+    the way through; the point is that the stages COMPOSE (schemas line
+    up, no stage breaks another's invariants)."""
+    from pyspark.sql import Window
+
+    from kafka_streams_task_spark.functions.text import pii_flags, repetition_ratio
+    from kafka_streams_task_spark.operators.cluster import (
+        dedup_survivors_by_cluster,
+    )
+    from kafka_streams_task_spark.operators.dedup import decontaminate
+    from kafka_streams_task_spark.operators.sampling import (
+        chunk_documents,
+        pack_sequences,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    n0 = base.count()
+
+    # plant: exact-duplicate chains (multi-hop) + a benchmark-contaminated doc
+    dup1 = base.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang"
+    )
+    dup2 = base.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text", "lang"
+    )
+    corpus = base.unionByName(dup1).unionByName(dup2)
+
+    # 1. duplicate pairs from exact digests (consecutive within digest group)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    pairs = (
+        corpus.select("doc_id", F.lag("doc_id").over(w).alias("prev"))
+        .filter(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    # 2. transitive clusters -> survivors (chains of 3 must collapse to one)
+    survivors = dedup_survivors_by_cluster(corpus, pairs)
+    n_surv = survivors.count()
+    assert n_surv <= n0  # every planted duplicate died with its cluster
+
+    # 3. decontamination against a fake benchmark (10 held-out docs)
+    bench = base.filter(F.col("doc_id") % 37 == 0).select("text")
+    flagged = decontaminate(survivors, bench, shingle_n=8)
+    clean = survivors.join(flagged.select("doc_id"), "doc_id", "left_anti")
+    assert clean.count() < n_surv  # the benchmark docs themselves got flagged
+
+    # 4. quality & PII gate (synthetic corpus: keep non-repetitive docs)
+    kept = clean.filter(
+        (repetition_ratio("text") < 0.95)
+        & (pii_flags("text")[0] == 0)
+    )
+
+    # 5. deterministic mixing, 6. chunking, 7. packing
+    from kafka_streams_task_spark.operators.sampling import hash_stratified_sample
+
+    sampled = hash_stratified_sample(
+        kept, {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.5}, "lang", "doc_id"
+    )
+    chunks = chunk_documents(sampled, max_tokens=64)
+    packed = pack_sequences(
+        chunks.withColumn(
+            "chunk_uid", F.col("doc_id") * 1000 + F.col("chunk_idx")
+        ),
+        budget=256,
+        id_col="chunk_uid",
+        n_tokens_col="n_tokens",
+    )
+    # conservation through the chunk->pack boundary
+    assert packed.count() == chunks.count()
+    t_in = chunks.agg(F.sum("n_tokens")).first()[0]
+    t_out = packed.agg(F.sum("n_tokens")).first()[0]
+    assert t_in == t_out
+    fills = packed.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("fill"), F.count(F.lit(1)).alias("n")
+    )
+    assert fills.filter((F.col("fill") > 256) & (F.col("n") > 1)).count() == 0
