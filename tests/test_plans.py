@@ -154,3 +154,32 @@ def test_sql_surface_runs_flagship(spark, sf_dir):
         for r in weather_topology_full(spark, sf_dir).collect()
     }
     assert got == exp
+
+
+def test_pack_sequences_single_shuffle(spark):
+    """Packing's distributed shape: exactly one Exchange (the hash
+    repartition), a JVM per-partition Sort, and one Arrow stage — any
+    extra shuffle or Python node is a regression."""
+    from kafka_streams_task_spark.operators.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (1 + i % 9)) for i in range(50)], ["doc_id", "text"]
+    )
+    plan = _plan(pack_sequences(docs, budget=64, num_partitions=8))
+    assert plan.count("Exchange") == 1
+    assert "Sort" in plan
+    assert plan.count("MapInPandas") == 1
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """Decontamination never shuffles the corpus against itself: the
+    benchmark shingle set broadcasts into a LeftSemi join and the corpus is
+    scanned exactly once."""
+    from kafka_streams_task_spark.operators.dedup import decontaminate
+    from kafka_streams_task_spark.schemas import load_table
+
+    corpus = load_table(spark, sf_dir, "documents")
+    bench = corpus.filter(F.col("doc_id") % 29 == 0).select("text")
+    plan = _plan(decontaminate(corpus, bench))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
