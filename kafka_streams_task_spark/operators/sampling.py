@@ -182,3 +182,47 @@ def chunk_documents(
     return df.select(
         F.col(id_col), F.explode(chunks).alias("c")
     ).select(id_col, "c.chunk_idx", "c.chunk_text", "c.n_tokens")
+
+
+def unigram_nll_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-trained unigram language-model scores: (id, n_tokens,
+    avg_nll) where avg_nll is the mean negative log-likelihood of the
+    document's tokens under the corpus's own unigram distribution — the
+    classic LM-based quality filter (fluent/typical text scores low,
+    gibberish and outlier boilerplate score high). Laplace add-one
+    smoothing keeps unseen-token probability finite.
+
+    Distributed shape: one explode + groupBy builds the frequency table
+    (partial+final agg, shuffles (token-hash, count)); scoring joins the
+    exploded corpus back to the frequency table on the 8-byte token hash
+    and re-aggregates per document. Token text never shuffles — both sides
+    carry xxhash64 longs. Two shuffles total, independent of vocabulary
+    size (no driver-side vocab, no broadcast of a huge map).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).select(id_col, F.xxhash64("tok").alias("th"))
+    toks = toks.persist()
+    freq = toks.groupBy("th").agg(F.count(F.lit(1)).alias("tf"))
+    totals = freq.agg(
+        F.sum("tf").alias("n_total"), F.count(F.lit(1)).alias("n_vocab")
+    )
+    scored = (
+        toks.join(freq, on="th")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            (-F.log((F.col("tf") + 1.0) / (F.col("n_total") + F.col("n_vocab")))).alias(
+                "nll"
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg("nll").alias("avg_nll"),
+    )

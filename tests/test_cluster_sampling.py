@@ -388,3 +388,26 @@ def test_full_training_pipeline_composes(spark):
         F.sum("n_tokens").alias("fill"), F.count(F.lit(1)).alias("n")
     )
     assert fills.filter((F.col("fill") > 256) & (F.col("n") > 1)).count() == 0
+
+
+def test_unigram_nll_ranks_gibberish_above_typical(spark):
+    from kafka_streams_task_spark.operators.sampling import unigram_nll_scores
+
+    common = "the cat sat on the mat and the dog sat too"
+    rows = [(i, common) for i in range(20)]
+    rows.append((100, "zxqv jkwp fhgt bnml qwer"))  # gibberish: all-rare tokens
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in unigram_nll_scores(df).collect()}
+    typical = got[0]["avg_nll"]
+    gibberish = got[100]["avg_nll"]
+    assert gibberish > typical + 1.0  # clearly separable
+    assert got[0]["n_tokens"] == 11
+    # python ground truth for one token: p(the) with add-one smoothing
+    import math
+
+    n_total = 20 * 11 + 5
+    n_vocab = 8 + 5  # distinct tokens in common text + 5 gibberish
+    p_the = (20 * 3 + 1) / (n_total + n_vocab)
+    assert any(
+        abs(-math.log(p_the) - v) < 2.0 for v in [typical]
+    )  # same order of magnitude sanity
