@@ -411,3 +411,33 @@ def test_unigram_nll_ranks_gibberish_above_typical(spark):
     assert any(
         abs(-math.log(p_the) - v) < 2.0 for v in [typical]
     )  # same order of magnitude sanity
+
+
+def test_near_dup_chain_collapses_via_cc(spark):
+    """MinHash-LSH pairs feed connected components: a chain of successive
+    near-duplicates (full doc, last token dropped, last two dropped, ...)
+    must collapse into ONE cluster even when the chain's endpoints are not
+    direct LSH candidates of each other — exactly why cluster-level
+    survivor selection exists."""
+    import random
+
+    from kafka_streams_task_spark.operators.cluster import dup_clusters
+    from kafka_streams_task_spark.operators.dedup import minhash_lsh_candidates
+
+    rng = random.Random(3)
+    vocab = [f"tok{i}" for i in range(300)]
+    docs = []
+    for d in range(8):
+        base = [rng.choice(vocab) for _ in range(60)]
+        for step in range(4):  # 4-link chain per family, ids d*10+step
+            docs.append((d * 10 + step, " ".join(base[: 60 - 2 * step])))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    pairs = minhash_lsh_candidates(df)
+    comps = {r["node"]: r["component"] for r in dup_clusters(pairs).collect()}
+    for d in range(8):
+        fam = [d * 10 + s for s in range(4)]
+        roots = {comps.get(i) for i in fam}
+        assert roots == {d * 10}, f"family {d} split into {roots}"
+    # no cross-family merges
+    assert len(set(comps.values())) == 8
