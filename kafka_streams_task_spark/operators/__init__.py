@@ -10,6 +10,34 @@ from .weather import (
     latest_per_key,
 )
 
+# training-data pipeline surface (beyond-reference mandate)
+from .cluster import (
+    connected_components,
+    dedup_survivors_by_cluster,
+    dup_clusters,
+)
+from .dedup import (
+    decontaminate,
+    dedup_exact,
+    drop_exact_duplicates,
+    embedding_near_dup_pairs,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from .sampling import (
+    chunk_documents,
+    hash_stratified_sample,
+    pack_sequences,
+    unigram_nll_scores,
+)
+from .similarity import (
+    kmeans_fit_distributed,
+    knn_bruteforce,
+    knn_ivf,
+    knn_lsh,
+)
+
 __all__ = [
     "parse_weather",
     "parse_hotels",
@@ -20,4 +48,22 @@ __all__ = [
     "enrich_hotels",
     "weather_hotels_pipeline",
     "latest_per_key",
+    "connected_components",
+    "dup_clusters",
+    "dedup_survivors_by_cluster",
+    "dedup_exact",
+    "drop_exact_duplicates",
+    "minhash_lsh_candidates",
+    "simhash_near_dup_pairs",
+    "ngram_jaccard_pairs",
+    "embedding_near_dup_pairs",
+    "decontaminate",
+    "hash_stratified_sample",
+    "chunk_documents",
+    "pack_sequences",
+    "unigram_nll_scores",
+    "knn_bruteforce",
+    "knn_lsh",
+    "knn_ivf",
+    "kmeans_fit_distributed",
 ]
