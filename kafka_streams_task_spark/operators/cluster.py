@@ -104,12 +104,20 @@ def connected_components(
         return (row["n"], row["h"])
 
     prev = checksum(e)
+    converged = prev[0] == 0  # empty edge set is already a (trivial) fixpoint
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         cur = checksum(e)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # O(log n) convergence means max_iter=25 covers any realistic graph;
+        # failing loudly beats silently returning partial components
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} rounds"
+        )
 
     # fixpoint edge set is a star forest: dst IS the component root
     members = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
