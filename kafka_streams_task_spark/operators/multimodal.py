@@ -127,3 +127,57 @@ def sample_video_frames(
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_bytes": blobs})
 
     return df.select(id_col, payload_col).mapInPandas(batches, schema)
+
+
+AUDIO_FEATURES = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+    ]
+)
+
+
+def fake_decode_audio(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic FAKE audio decode (STUB).
+
+    A real implementation would be::
+
+        import soundfile as sf; data, sr = sf.read(io.BytesIO(payload))
+        return sr, len(data), data.ndim if data.ndim > 1 else 1
+
+    soundfile/librosa are not available in this container; the stub derives
+    stable pseudo-parameters from the byte length, keeping the Spark
+    plumbing (schema, batching, resample math) fully exercisable.
+    """
+    n = len(payload)
+    sr = (8000, 16000, 44100, 48000)[n % 4]
+    channels = (n % 2) + 1
+    n_samples = (n * 37) % 100000 + 1
+    return sr, n_samples, channels
+
+
+def extract_audio_features(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-asset audio features via mapInPandas (STUB decode): sample rate,
+    sample count, channels, and derived duration — same Arrow-batched shape
+    a real soundfile/ffmpeg decoder plugs into (batch-level codec reuse,
+    schema fixed up front)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [fake_decode_audio(b) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "sample_rate": [d[0] for d in decoded],
+                    "n_samples": [d[1] for d in decoded],
+                    "n_channels": [d[2] for d in decoded],
+                    "duration_s": [d[1] / d[0] for d in decoded],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, AUDIO_FEATURES)

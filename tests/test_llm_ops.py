@@ -408,3 +408,20 @@ def test_pii_flags_and_repetition(spark):
     # "spam"x8 -> 6 trigrams, 1 distinct -> 5/6 duplicated
     assert abs(out[4]["rep"] - 5 / 6) < 1e-3
     assert out[3]["rep"] == 0.0
+
+
+def test_audio_feature_plumbing(spark):
+    from kafka_streams_task_spark.operators.multimodal import (
+        extract_audio_features,
+        fake_decode_audio,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "x" * 100)], ["doc_id", "text"]
+    ).select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    got = {r.doc_id: r for r in extract_audio_features(df).collect()}
+    for doc_id, payload in ((1, b"hello world"), (2, b"x" * 100)):
+        sr, n, ch = fake_decode_audio(payload)
+        r = got[doc_id]
+        assert (r.sample_rate, r.n_samples, r.n_channels) == (sr, n, ch)
+        assert abs(r.duration_s - n / sr) < 1e-12
