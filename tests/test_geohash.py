@@ -99,3 +99,17 @@ def test_udf_on_spark(spark):
     )
     got = [r.gh for r in df.select(geohash_udf(4)("lat", "lng").alias("gh")).collect()]
     assert got == [exp for _, exp in GOLDEN]
+
+
+def test_geohash_sql_registration(spark):
+    """SQL users call geohash() directly after register_sql_functions —
+    same golden values as the native expression."""
+    from kafka_streams_task_spark.functions.register import register_sql_functions
+
+    register_sql_functions(spark)
+    rows = spark.sql(
+        "SELECT geohash(lat, lng) AS gh FROM VALUES "
+        "(CAST(39.6467 AS DOUBLE), CAST(-89.8455 AS DOUBLE)), "
+        "(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)) AS t(lat, lng)"
+    ).collect()
+    assert [r["gh"] for r in rows] == ["dp01", "s000"]
