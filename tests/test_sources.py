@@ -119,3 +119,21 @@ def test_partitioned_write_prunes(spark, sf_dir, tmpdir):
     assert "PartitionFilters: [isnotnull(o_year" in plan
     expected = orders.filter(F.col("o_year") == 1996).count()
     assert back.count() == expected > 0
+
+
+def test_parquet_schema_evolution_merge(spark, tmpdir):
+    """Schema evolution across partitions (later crawl batches gain
+    columns): mergeSchema reads the union schema, old rows null-fill the
+    new column — the contract a long-lived 100 TB table layout depends on."""
+    from pyspark.sql import functions as F
+
+    spark.range(5).select(F.col("id").alias("doc_id")).write.parquet(f"{tmpdir}/t/p=1")
+    spark.range(5, 10).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    ).write.parquet(f"{tmpdir}/t/p=2")
+
+    merged = spark.read.option("mergeSchema", True).parquet(f"{tmpdir}/t")
+    assert {f.name for f in merged.schema.fields} == {"doc_id", "lang", "p"}
+    rows = {r["doc_id"]: r["lang"] for r in merged.collect()}
+    assert rows[0] is None and rows[7] == "en"
+    assert len(rows) == 10
