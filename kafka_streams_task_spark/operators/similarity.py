@@ -115,8 +115,15 @@ def lsh_table_buckets(
         ]
     )
 
+    dim = planes_mat.shape[1]
+
     def batches(it):
         for pdf in it:
+            # drop null / wrong-dimension vectors (ingest reality at scale):
+            # a single ragged row would turn the batch into an object array
+            # and crash the matmul
+            ok = pdf[vec_col].map(lambda v: v is not None and len(v) == dim)
+            pdf = pdf[ok]
             mat = np.array([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
             if len(mat) == 0:
                 yield pd.DataFrame(columns=[f.name for f in schema.fields])
@@ -195,6 +202,18 @@ def knn_lsh(
     )
 
 
+def _clean_matrix(values) -> np.ndarray:
+    """Stack a pandas column of array-typed values into an (n, dim) float64
+    matrix, dropping nulls and wrong-dimension rows (dim = first valid
+    row's length). Driver-side counterpart of the Arrow-stage ragged-row
+    guards."""
+    vecs = [np.asarray(v, dtype="float64") for v in values if v is not None]
+    if not vecs:
+        return np.zeros((0, 0))
+    dim = len(vecs[0])
+    return np.array([v for v in vecs if len(v) == dim])
+
+
 def _kmeans_numpy(sample: np.ndarray, n_clusters: int, seed: int, n_iter: int = 12) -> np.ndarray:
     """Small driver-side k-means (numpy, seeded) for IVF coarse centroids."""
     rng = np.random.default_rng(seed)
@@ -222,8 +241,13 @@ def _assign_clusters(df: DataFrame, vec_col: str, centroids: np.ndarray, n_probe
     in_fields = df.schema.fields
     out_schema = T.StructType(list(in_fields) + [T.StructField(out_col, T.IntegerType())])
 
+    dim = cent.shape[1]
+
     def batches(it):
         for pdf in it:
+            # same ragged-row guard as lsh_table_buckets
+            ok = pdf[vec_col].map(lambda v: v is not None and len(v) == dim)
+            pdf = pdf[ok]
             mat = np.array([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
             if len(mat) == 0:
                 yield pd.DataFrame(columns=[f.name for f in out_schema.fields])
@@ -264,9 +288,7 @@ def kmeans_fit_distributed(
     round and scales with executors.
     """
     init_pdf = df.select(vec_col).orderBy(id_col).limit(n_clusters).toPandas()
-    centroids = np.array(
-        [np.asarray(v, dtype="float64") for v in init_pdf[vec_col]]
-    )
+    centroids = _clean_matrix(init_pdf[vec_col])
     slim = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     for _ in range(n_iter):
         assigned = _assign_clusters(slim, "_v", centroids, 1, "cluster")
@@ -328,7 +350,7 @@ def knn_ivf(
         sample_pdf = (
             corpus.select(vec_col).orderBy(id_col).limit(sample_size).toPandas()
         )
-        sample = np.array([np.asarray(v, dtype="float64") for v in sample_pdf[vec_col]])
+        sample = _clean_matrix(sample_pdf[vec_col])
         centroids = _kmeans_numpy(sample, min(n_clusters, len(sample)), seed)
 
     c_assigned = _assign_clusters(

@@ -441,3 +441,26 @@ def test_near_dup_chain_collapses_via_cc(spark):
         assert roots == {d * 10}, f"family {d} split into {roots}"
     # no cross-family merges
     assert len(set(comps.values())) == 8
+
+
+def test_ragged_embeddings_do_not_crash_ann(spark):
+    """Null and wrong-dimension vectors (ingest reality) must be dropped by
+    the Arrow stages, not crash the numpy matmul with a ragged object
+    array — both the LSH bucketing and IVF assignment paths."""
+    import numpy as np
+
+    from kafka_streams_task_spark.operators.dedup import embedding_near_dup_pairs
+    from kafka_streams_task_spark.operators.similarity import knn_ivf, knn_lsh
+
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.standard_normal(64).tolist()) for i in range(50)]
+    rows.append((100, None))                                  # null vector
+    rows.append((101, rng.standard_normal(16).tolist()))      # wrong dim
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter("vec_id < 3")
+
+    assert knn_lsh(df, queries, k=2).count() >= 0
+    assert knn_ivf(df, queries, k=2, n_clusters=4).count() >= 0
+    pairs = embedding_near_dup_pairs(df, threshold=0.99)
+    bad = {100, 101}
+    assert all(r["id_a"] not in bad and r["id_b"] not in bad for r in pairs.collect())
