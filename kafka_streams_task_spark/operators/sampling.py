@@ -7,7 +7,8 @@ training:
       mixing: "keep 30% of web, 100% of books"). Membership is a pure
       function of the row id (md5 → first 8 hex digits → uniform integer),
       so the sample is reproducible run-to-run, needs NO shuffle (a scan +
-      filter with a broadcast rate map), and two pipelines sampling the same
+      filter with the rate lookup folded to a CASE literal), and two
+      pipelines sampling the same
       corpus agree row-for-row — the property distributed pipelines need
       that ``DataFrame.sample`` (partition-layout-dependent RNG) does not
       give.
