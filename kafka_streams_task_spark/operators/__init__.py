@@ -25,6 +25,11 @@ from .dedup import (
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
 )
+from .layout import (
+    column_stats,
+    write_zordered,
+    zorder_key,
+)
 from .sampling import (
     chunk_documents,
     hash_stratified_sample,
@@ -58,6 +63,9 @@ __all__ = [
     "ngram_jaccard_pairs",
     "embedding_near_dup_pairs",
     "decontaminate",
+    "zorder_key",
+    "write_zordered",
+    "column_stats",
     "hash_stratified_sample",
     "chunk_documents",
     "pack_sequences",
