@@ -27,8 +27,16 @@ from .dedup import (
 )
 from .layout import (
     column_stats,
+    compact_small_files,
     write_zordered,
     zorder_key,
+)
+from .multimodal import (
+    attach_asset_meta,
+    decode_image_features,
+    extract_audio_features,
+    resize_images,
+    sample_video_frames,
 )
 from .sampling import (
     chunk_documents,
@@ -63,9 +71,15 @@ __all__ = [
     "ngram_jaccard_pairs",
     "embedding_near_dup_pairs",
     "decontaminate",
+    "attach_asset_meta",
+    "decode_image_features",
+    "resize_images",
+    "sample_video_frames",
+    "extract_audio_features",
     "zorder_key",
     "write_zordered",
     "column_stats",
+    "compact_small_files",
     "hash_stratified_sample",
     "chunk_documents",
     "pack_sequences",

@@ -141,6 +141,50 @@ def zorder_key(
     return reduce(lambda a, c: a.bitwiseOR(c), parts).alias("zkey")
 
 
+def compact_small_files(
+    spark,
+    path: str,
+    target_mb: int = 512,
+    out_path: str | None = None,
+    sort_col: str | None = None,
+    fmt: str = "parquet",
+) -> int:
+    """Rewrite a fragmented dataset into ~``target_mb``-sized files.
+
+    Small-files pathology is the dominant operational failure of long-running
+    100 TB ingest: streaming sinks and per-partition appends leave thousands
+    of KB-scale files per directory, and every downstream scan then pays a
+    task per file (driver scheduling pressure, no vectorized-read
+    amortization, metadata-bound listing). Compaction is the fix Delta's
+    ``OPTIMIZE`` / Iceberg's ``rewrite_data_files`` apply on a schedule.
+
+    File count is computed from the dataset's actual on-disk bytes (Hadoop
+    FileSystem listing — no data read), then one shuffle rewrites:
+    round-robin ``repartition(n)`` for pure compaction, or
+    ``repartitionByRange(n, sort_col) + sortWithinPartitions`` to restore
+    1-D clustering in the same pass (combine with :func:`write_zordered` for
+    multi-dim layouts). Returns the target file count.
+
+    Writes to ``out_path`` (default ``path + "_compacted"``): an
+    atomic-rename swap is the caller's/table-format's job — overwriting the
+    input in place while readers stream it is not safe on plain directories.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    total = fs.getContentSummary(jpath).getLength()
+    n = max(1, -(-int(total) // (target_mb * 1024 * 1024)))  # ceil
+
+    df = spark.read.format(fmt).load(path)
+    if sort_col is not None:
+        out = df.repartitionByRange(n, sort_col).sortWithinPartitions(sort_col)
+    else:
+        out = df.repartition(n)
+    out.write.mode("overwrite").format(fmt).save(out_path or f"{path}_compacted")
+    return n
+
+
 def write_zordered(
     df: DataFrame,
     path: str,

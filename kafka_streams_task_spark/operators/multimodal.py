@@ -129,6 +129,68 @@ def sample_video_frames(
     return df.select(id_col, payload_col).mapInPandas(batches, schema)
 
 
+RESIZED_IMAGE = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def fake_resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic FAKE image resize (STUB).
+
+    A real implementation would be::
+
+        from PIL import Image; img = Image.open(io.BytesIO(payload))
+        buf = io.BytesIO(); img.resize((width, height)).save(buf, "PNG")
+        return buf.getvalue()
+
+    The stub emits exactly ``width*height*3`` bytes derived by cycling the
+    input payload — output size is the real invariant a resize pipeline
+    relies on for downstream batch sizing, and it is checkable in SQL.
+    """
+    out_len = width * height * 3
+    if not payload:
+        return bytes(out_len)
+    reps = -(-out_len // len(payload))  # ceil
+    return (bytes(payload) * reps)[:out_len]
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Batch image resize via mapInPandas (STUB codec): same Arrow-batched
+    shape a PIL/turbojpeg resizer plugs into. Output payload size is fixed at
+    ``width*height*3`` (stub invariant), so downstream packing can size
+    partitions deterministically; at 100 TB this is a map-only stage — no
+    shuffle, parallelism = input file splits."""
+    if width <= 0 or height <= 0:
+        raise ValueError(f"target dims must be positive, got {width}x{height}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = [fake_resize_image(b, width, height) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "payload": resized,
+                    "width": width,
+                    "height": height,
+                    "n_bytes": [len(b) for b in resized],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, RESIZED_IMAGE)
+
+
 AUDIO_FEATURES = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -132,6 +132,34 @@ def test_zorder_layout_tightens_both_dims(spark, sf_dir, tmpdir):
     assert back.count() == events.count()
 
 
+def test_compact_small_files(spark, sf_dir, tmpdir):
+    """A fragmented write (many tiny files) compacts to the byte-budgeted
+    file count; rows and schema survive; sort_col variant restores clustered
+    footer stats in the same pass."""
+    import glob
+
+    from kafka_streams_task_spark.operators.layout import compact_small_files
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    events.repartition(64).write.mode("overwrite").parquet(f"{tmpdir}/frag")
+    n_frag = len(glob.glob(f"{tmpdir}/frag/*.parquet"))
+    assert n_frag == 64
+
+    n = compact_small_files(spark, f"{tmpdir}/frag", target_mb=512, out_path=f"{tmpdir}/one")
+    assert n == 1  # sf0.001 events << 512 MB
+    assert len(glob.glob(f"{tmpdir}/one/*.parquet")) == 1
+    back = spark.read.parquet(f"{tmpdir}/one")
+    assert back.count() == events.count()
+    assert set(back.columns) == set(events.columns)
+
+    # sorted compaction: the rewrite restores 1-D locality too
+    compact_small_files(
+        spark, f"{tmpdir}/frag", target_mb=1, out_path=f"{tmpdir}/sorted", sort_col="user_id"
+    )
+    srt = spark.read.parquet(f"{tmpdir}/sorted")
+    assert srt.count() == events.count()
+
+
 def test_column_stats_single_pass(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     st = column_stats(events, ["user_id", "value", "event_type"])

@@ -268,6 +268,26 @@ def test_multimodal_plumbing(spark):
     assert all(isinstance(r.frame_bytes, (bytes, bytearray)) for r in frames)
 
 
+def test_multimodal_resize(spark):
+    import pytest as _pytest
+
+    from kafka_streams_task_spark.operators.multimodal import fake_resize_image, resize_images
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "x" * 100), (3, "")], ["doc_id", "text"]
+    ).select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    out = {r.doc_id: r for r in resize_images(df, 8, 4).collect()}
+    assert set(out) == {1, 2, 3}
+    for r in out.values():
+        # stub invariant: exactly w*h*3 bytes, dims echoed in columns
+        assert (r.width, r.height, r.n_bytes) == (8, 4, 8 * 4 * 3)
+        assert len(r.payload) == 8 * 4 * 3
+    # deterministic: payload is the input cycled to length
+    assert bytes(out[1].payload) == fake_resize_image(b"hello world", 8, 4)
+    with _pytest.raises(ValueError):
+        resize_images(df, 0, 4)
+
+
 def test_knn_ivf_recall(spark):
     """IVF top-k must recover most of the exact top-k on clustered data."""
     import numpy as np
