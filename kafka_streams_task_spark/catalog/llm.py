@@ -18,9 +18,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import (
+    GOPHER_STOPWORDS,
     STOPWORDS,
     avg_token_length,
     distinct_token_ratio,
+    gopher_quality_columns,
     lang_id,
     pii_flags,
     quality_score,
@@ -77,20 +79,34 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GOPHER_STOP_SQL = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+
+
 @query(
     "text_quality_scores",
     oracle=f"""
     WITH tok AS (
-      SELECT doc_id, text, string_split(trim(text), ' ') AS t FROM documents
+      SELECT doc_id, text, string_split(trim(text), ' ') AS t,
+             string_split(text, chr(10)) AS ln
+      FROM documents
     ), feats AS (
-      SELECT doc_id, text,
+      SELECT doc_id, text, t, ln,
              least(CAST(len(t) AS DOUBLE) / 100.0, 1.0) AS len_score,
              CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS diversity,
              CAST(len(list_filter(t, x -> x IN ({_STOP_SQL}))) AS DOUBLE) / len(t) AS stop,
              CASE WHEN len(t) >= 3
                   THEN list_transform(range(1, len(t) - 1),
                                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-                  ELSE [array_to_string(t, ' ')] END AS sh
+                  ELSE [array_to_string(t, ' ')] END AS sh,
+             round((list_sum(list_transform(t, x -> CAST(length(x) AS DOUBLE))) / len(t)) + 1e-09, 6) AS mean_word_len,
+             round(((CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+                     + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3)
+                    / len(t)) + 1e-09, 6) AS symbol_word_ratio,
+             round((CAST(len(list_filter(ln, x -> regexp_matches(x, '^\\s*[-*•]'))) AS DOUBLE) / len(ln)) + 1e-09, 6) AS bullet_line_ratio,
+             round((CAST(len(list_filter(ln, x -> regexp_matches(x, '\\.\\.\\.\\s*$'))) AS DOUBLE) / len(ln)) + 1e-09, 6) AS ellipsis_line_ratio,
+             round((CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(t)) + 1e-09, 6) AS alpha_word_ratio,
+             CAST(len(list_intersect(list_distinct(list_transform(t, x -> lower(x))),
+                                     [{_GOPHER_STOP_SQL}])) AS INT) AS gopher_stop_hits
       FROM tok
     )
     SELECT doc_id,
@@ -98,22 +114,36 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)) + 1e-09, 6) AS rep_3gram,
            CAST(regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}') AS INT) AS has_email,
            CAST(regexp_matches(text, '\\b[0-9]{{3}}[-. ][0-9]{{3}}[-. ][0-9]{{4}}\\b') AS INT) AS has_phone,
-           CAST(regexp_matches(text, '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b') AS INT) AS has_ipv4
+           CAST(regexp_matches(text, '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b') AS INT) AS has_ipv4,
+           CAST(len(t) AS INT) AS n_words,
+           mean_word_len, symbol_word_ratio, bullet_line_ratio,
+           ellipsis_line_ratio, alpha_word_ratio, gopher_stop_hits,
+           CAST((len(t) >= 50 AND len(t) <= 100000
+                 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                 AND symbol_word_ratio <= 0.1
+                 AND bullet_line_ratio <= 0.9
+                 AND ellipsis_line_ratio <= 0.3
+                 AND alpha_word_ratio >= 0.8
+                 AND gopher_stop_hits >= 2) AS INT) AS gopher_pass
     FROM feats
     """,
 )
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-filter feature set (r2: widened from the single composite):
     composite quality heuristic (length/diversity/stopword-ratio), duplicated-
-    trigram repetition ratio (boilerplate/looping-generation detector), and
-    the classic PII scrub flags (email/phone/ipv4) — every column a codegen
-    expression, every column recomputed exactly by the DuckDB oracle."""
+    trigram repetition ratio (boilerplate/looping-generation detector), the
+    classic PII scrub flags (email/phone/ipv4), and the full Gopher rule set
+    (Rae et al. 2021 App. A1.1: word-count bounds, mean word length,
+    symbol-to-word ratio, bullet/ellipsis line ratios, alpha-word ratio,
+    stopword hits, combined pass flag) — every column a codegen expression,
+    every column recomputed exactly by the DuckDB oracle."""
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         quality_score("text").alias("quality"),
         F.round(repetition_ratio("text") + 1e-09, 6).alias("rep_3gram"),
         *pii_flags("text"),
+        *gopher_quality_columns("text"),
     )
 
 

@@ -94,6 +94,93 @@ def pii_flags(text: Column | str) -> list[Column]:
     ]
 
 
+#: The Gopher rule-set's stopword list (Rae et al. 2021, "Scaling Language
+#: Models: Methods, Analysis & Insights from Training Gopher", App. A1.1):
+#: a document must contain at least 2 of these to pass the filter.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_columns(
+    text: Column | str,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> list[Column]:
+    """The Gopher/MassiveWeb heuristic quality rules as codegen columns:
+    ``[n_words, mean_word_len, symbol_word_ratio, bullet_line_ratio,
+    ellipsis_line_ratio, alpha_word_ratio, gopher_stop_hits, gopher_pass]``.
+
+    Rules (defaults are the published thresholds, Rae et al. 2021 App.
+    A1.1): word count in [50, 100k]; mean word length in [3, 10] chars;
+    symbol-to-word ratio ("#" or "...") <= 0.1; <= 90% of lines start with
+    a bullet ("-", "*", or U+2022); <= 30% of lines end with an ellipsis;
+    >= 80% of words contain an alphabetic character; >= 2 distinct
+    stopwords from :data:`GOPHER_STOPWORDS` present. ``gopher_pass`` is the
+    conjunction, as an int flag.
+
+    Every signal is pure string/array arithmetic (split, replace-count,
+    rlike, aggregate) — whole-stage codegen, no Python — and every ratio is
+    ``stable_round``-ed so the DuckDB oracle reproduces it bit-for-bit.
+    The pass flag compares the ROUNDED ratios, so the oracle's conjunction
+    lands identically at threshold boundaries.
+    """
+    from .rounding import stable_round
+
+    c = F.col(text) if isinstance(text, str) else text
+    t = tokens(c)
+    n = F.size(t)
+    nd = n.cast("double")
+    mean_wl = stable_round(
+        F.aggregate(t, F.lit(0), lambda a, x: a + F.length(x)).cast("double") / nd, 6
+    )
+    hash_cnt = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    ell_cnt = (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / F.lit(3)
+    symbol_ratio = stable_round((hash_cnt + ell_cnt) / nd, 6)
+    lines = F.split(c, "\n")
+    nl = F.size(lines).cast("double")
+    bullet_ratio = stable_round(
+        F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]"))).cast("double") / nl, 6
+    )
+    ellipsis_ratio = stable_round(
+        F.size(F.filter(lines, lambda x: x.rlike(r"\.\.\.\s*$"))).cast("double") / nl, 6
+    )
+    alpha_ratio = stable_round(
+        F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]"))).cast("double") / nd, 6
+    )
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_hits = F.size(
+        F.array_intersect(F.array_distinct(F.transform(t, lambda x: F.lower(x))), stop_arr)
+    )
+    gopher_pass = (
+        (n >= F.lit(min_words))
+        & (n <= F.lit(max_words))
+        & (mean_wl >= F.lit(min_mean_word_len))
+        & (mean_wl <= F.lit(max_mean_word_len))
+        & (symbol_ratio <= F.lit(max_symbol_word_ratio))
+        & (bullet_ratio <= F.lit(max_bullet_line_ratio))
+        & (ellipsis_ratio <= F.lit(max_ellipsis_line_ratio))
+        & (alpha_ratio >= F.lit(min_alpha_word_ratio))
+        & (stop_hits >= F.lit(min_stopword_hits))
+    ).cast("int")
+    return [
+        n.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        bullet_ratio.alias("bullet_line_ratio"),
+        ellipsis_ratio.alias("ellipsis_line_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        stop_hits.alias("gopher_stop_hits"),
+        gopher_pass.alias("gopher_pass"),
+    ]
+
+
 def repetition_ratio(text: Column | str, n: int = 3) -> Column:
     """Duplicated word-n-gram fraction in [0, 1]: 1 - distinct/total
     shingles. Boilerplate and looping generations score high; natural prose

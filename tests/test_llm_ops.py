@@ -430,6 +430,48 @@ def test_pii_flags_and_repetition(spark):
     assert out[3]["rep"] == 0.0
 
 
+def test_gopher_quality_rules(spark):
+    from kafka_streams_task_spark.functions.text import gopher_quality_columns
+
+    prose = "the quick brown fox jumps over that lazy dog with great energy and speed "
+    rows = [
+        (1, (prose * 5).strip()),                                   # 70 clean words -> pass
+        (2, "\n".join("- item number " + "word " * 5 for _ in range(10)).strip()),  # all-bullet lines
+        (3, (prose * 5).strip().replace("speed", "speed###")),      # symbol-heavy
+        (4, "short doc only"),                                      # < 50 words
+        (5, " ".join(str(i) for i in range(60))),                   # numeric, no alpha words
+        (6, "alpha line one\n- bullet line\nends with dots...\nlast line"),  # hand-computed ratios
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in df.select("doc_id", *gopher_quality_columns("text")).collect()}
+
+    assert out[1]["gopher_pass"] == 1
+    assert out[1]["n_words"] == 70
+    assert out[1]["alpha_word_ratio"] == 1.0
+    assert out[1]["gopher_stop_hits"] >= 4
+
+    assert out[2]["bullet_line_ratio"] == 1.0
+    assert out[2]["gopher_pass"] == 0
+
+    # doc 3: 5 "speed###" words add 15 '#' chars over 70 words -> ratio > 0.1
+    assert out[3]["symbol_word_ratio"] > 0.1
+    assert out[3]["gopher_pass"] == 0
+
+    assert out[4]["n_words"] == 3
+    assert out[4]["gopher_pass"] == 0
+
+    assert out[5]["alpha_word_ratio"] == 0.0
+    assert out[5]["gopher_pass"] == 0
+
+    # doc 6: 4 lines, 1 bullet, 1 ellipsis-ending
+    assert out[6]["bullet_line_ratio"] == 0.25
+    assert out[6]["ellipsis_line_ratio"] == 0.25
+
+    # hot path stays JVM-side: all eight signals are codegen expressions
+    plan = df.select(*gopher_quality_columns("text"))._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 def test_audio_feature_plumbing(spark):
     from kafka_streams_task_spark.operators.multimodal import (
         extract_audio_features,
