@@ -42,6 +42,8 @@ from .sampling import (
     chunk_documents,
     hash_stratified_sample,
     pack_sequences,
+    shuffle_deterministic,
+    temperature_mix_rates,
     unigram_nll_scores,
 )
 from .similarity import (
@@ -83,6 +85,8 @@ __all__ = [
     "hash_stratified_sample",
     "chunk_documents",
     "pack_sequences",
+    "shuffle_deterministic",
+    "temperature_mix_rates",
     "unigram_nll_scores",
     "knn_bruteforce",
     "knn_lsh",

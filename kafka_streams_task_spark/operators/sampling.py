@@ -185,6 +185,71 @@ def chunk_documents(
     ).select(id_col, "c.chunk_idx", "c.chunk_text", "c.n_tokens")
 
 
+def temperature_mix_rates(
+    df: DataFrame,
+    stratum_col: str = "source",
+    temperature: float = 2.0,
+) -> dict[str, float]:
+    """Temperature-based mixture reweighting: per-stratum keep rates that
+    move the corpus mixture from its natural distribution p_s toward the
+    tempered distribution q_s ∝ p_s^(1/T) (the multilingual-LM sampling
+    scheme: T=1 keeps the natural mix, T→∞ equalizes strata; downsampling
+    only, so the largest resulting rate is exactly 1.0 — the rarest
+    stratum is never discarded to chase the target mix).
+
+    rate_s ∝ p_s^(1/T - 1), normalized by the max. Feed the result to
+    :func:`hash_stratified_sample` — together they are "mix these sources
+    at temperature T" as one deterministic scan + filter.
+
+    The per-stratum counts come through a ``collect()`` of one aggregate
+    row per stratum — cardinality = number of corpus sources (a handful by
+    definition), and the rates must fold into CASE literals anyway; the
+    corpus itself never reaches the driver.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    counts = {
+        r[stratum_col]: r["n"]
+        for r in df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = float(sum(counts.values()))
+    raw = {k: (v / total) ** (1.0 / temperature - 1.0) for k, v in counts.items()}
+    peak = max(raw.values())
+    return {k: v / peak for k, v in raw.items()}
+
+
+def shuffle_deterministic(
+    df: DataFrame,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle for training-order randomization:
+    returns ``df`` hash-partitioned and sorted by ``xxhash64(id, seed)``.
+
+    Training pipelines need the corpus in a random-but-reproducible order
+    (shard k must hold the same documents, in the same order, on every
+    run). ``DataFrame.sample``/``orderBy(rand())`` are layout-dependent;
+    this operator's shard assignment and in-shard order are pure functions
+    of ``(id, seed)``, so they are stable under input repartitioning,
+    task retries, and cluster resizing, and a new ``seed`` is a fresh
+    epoch permutation.
+
+    Distributed shape: exactly one shuffle (hash partition on the 8-byte
+    shuffle key — uniform by construction, no skew) followed by a
+    per-partition JVM sort; O(partition) memory, no global sort barrier,
+    no driver participation. At 100 TB this is the minimum possible cost
+    for a global permutation.
+    """
+    key = F.xxhash64(F.col(id_col), F.lit(seed)).alias("_shuffle_key")
+    out = df.select("*", key)
+    if num_partitions:
+        out = out.repartition(num_partitions, "_shuffle_key")
+    else:
+        out = out.repartition("_shuffle_key")
+    return out.sortWithinPartitions("_shuffle_key").drop("_shuffle_key")
+
+
 def unigram_nll_scores(
     df: DataFrame,
     id_col: str = "doc_id",

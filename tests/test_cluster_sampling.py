@@ -12,6 +12,7 @@ from kafka_streams_task_spark.operators.cluster import (
 from kafka_streams_task_spark.operators.sampling import (
     hash_stratified_sample,
     pack_sequences,
+    shuffle_deterministic,
 )
 
 
@@ -144,6 +145,77 @@ class TestSamplingPacking:
 
 
 class TestChunking:
+    def test_temperature_mix_rates_math(self, spark):
+        from kafka_streams_task_spark.operators.sampling import temperature_mix_rates
+
+        rows = (
+            [(i, "web") for i in range(800)]
+            + [(i + 1000, "books") for i in range(150)]
+            + [(i + 2000, "wiki") for i in range(50)]
+        )
+        df = spark.createDataFrame(rows, ["doc_id", "source"])
+
+        # T=1: natural mixture kept untouched
+        assert temperature_mix_rates(df, "source", temperature=1.0) == {
+            "web": 1.0,
+            "books": 1.0,
+            "wiki": 1.0,
+        }
+
+        # closed form: rate_s = (p_s/p_min)^(1/T - 1), rarest stratum = 1.0
+        rates = temperature_mix_rates(df, "source", temperature=2.0)
+        assert rates["wiki"] == 1.0
+        assert abs(rates["web"] - (800 / 50) ** -0.5) < 1e-12
+        assert abs(rates["books"] - (150 / 50) ** -0.5) < 1e-12
+
+        # T -> inf equalizes expected per-stratum counts (to the rarest)
+        hot = temperature_mix_rates(df, "source", temperature=1e9)
+        kept = hash_stratified_sample(df, hot, "source", "doc_id")
+        counts = {r["source"]: r["n"] for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        assert counts["wiki"] == 50
+        for s in ("web", "books"):
+            assert abs(counts[s] - 50) < 25  # hash-sampling variance at n=50
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            temperature_mix_rates(df, "source", temperature=0.0)
+
+    def test_shuffle_deterministic_layout_independent(self, spark):
+        df = spark.range(1000).select(F.col("id").alias("doc_id"))
+        seq_a = [
+            (r["pid"], r["doc_id"])
+            for r in shuffle_deterministic(df, seed=7, num_partitions=8)
+            .withColumn("pid", F.spark_partition_id())
+            .collect()
+        ]
+        seq_b = [
+            (r["pid"], r["doc_id"])
+            for r in shuffle_deterministic(df.repartition(13), seed=7, num_partitions=8)
+            .withColumn("pid", F.spark_partition_id())
+            .collect()
+        ]
+        # shard assignment AND in-shard order are pure functions of (id, seed)
+        assert seq_a == seq_b
+        # it is a permutation, and actually shuffled
+        assert sorted(i for _, i in seq_a) == list(range(1000))
+        assert [i for _, i in seq_a] != list(range(1000))
+
+    def test_shuffle_deterministic_seed_and_balance(self, spark):
+        df = spark.range(2000).select(F.col("id").alias("doc_id"))
+        a = [r["doc_id"] for r in shuffle_deterministic(df, seed=1, num_partitions=8).collect()]
+        b = [r["doc_id"] for r in shuffle_deterministic(df, seed=2, num_partitions=8).collect()]
+        assert a != b and sorted(a) == sorted(b)
+        # uniform 8-byte keys -> balanced shards (one Exchange, no skew)
+        out = shuffle_deterministic(df, seed=1, num_partitions=8)
+        sizes = [
+            r["n"]
+            for r in out.groupBy(F.spark_partition_id().alias("pid")).agg(F.count("*").alias("n")).collect()
+        ]
+        assert len(sizes) == 8 and max(sizes) < 2 * (2000 / 8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
+
     def test_chunk_boundaries_and_overlap(self, spark):
         from kafka_streams_task_spark.operators.sampling import chunk_documents
 
