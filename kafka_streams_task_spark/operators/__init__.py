@@ -52,6 +52,7 @@ from .similarity import (
     knn_ivf,
     knn_lsh,
 )
+from .vocab import build_vocab, encode_documents
 
 __all__ = [
     "parse_weather",
@@ -88,6 +89,8 @@ __all__ = [
     "shuffle_deterministic",
     "temperature_mix_rates",
     "unigram_nll_scores",
+    "build_vocab",
+    "encode_documents",
     "knn_bruteforce",
     "knn_lsh",
     "knn_ivf",

@@ -1,0 +1,138 @@
+"""Distributed vocabulary construction and document encoding.
+
+The step between text analysis and sequence packing in a training-data
+pipeline: build a corpus-wide token vocabulary with dense frequency-ranked
+ids (embedding-table indexing needs ids 0..V-1 with no holes), then encode
+documents to ``array<long>`` id sequences.
+
+Scale shape:
+
+  build_vocab — the corpus collapses to one (token, count) row per distinct
+      token via partial+final aggregation; the DENSE GLOBAL RANK is the part
+      Spark has no built-in scalable form for (``row_number`` over an
+      unpartitioned window funnels everything through one task). Instead:
+      range-partition the vocab by (count desc, token asc), sort within
+      partitions, then assign ids as partition-offset + local index — the
+      classic two-job zipWithIndex shape, expressed DataFrame-native with
+      ``mapInPandas`` + TaskContext. Only P partition sizes reach the
+      driver.
+
+  encode_documents — tokens join the vocab on ``xxhash64(token)`` so token
+      TEXT never shuffles (same convention as
+      ``sampling.unigram_nll_scores``); per-document id order is restored
+      with the posexplode / array_sort(struct(pos, id)) idiom, not a
+      window.
+
+Reference parity: absent from the reference engine — beyond-reference
+training-data mandate (same family as operators/sampling.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.text import tokens
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Corpus vocabulary as (token, count, token_id), ``token_id`` dense in
+    0..V-1 ordered by (count desc, token asc) — deterministic, ties broken
+    lexicographically, stable under input repartitioning.
+
+    Two jobs over the AGGREGATED vocab (persisted): one to learn the P
+    per-partition sizes (P rows to the driver), one to stamp ids as
+    partition offset + local index. The corpus itself is touched once, by
+    the frequency aggregation.
+    """
+    freq = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    if min_count > 1:
+        freq = freq.filter(F.col("count") >= min_count)
+    p = num_partitions or freq.sparkSession.sparkContext.defaultParallelism
+    ranked = (
+        freq.repartitionByRange(p, F.desc("count"), F.asc("token"))
+        .sortWithinPartitions(F.desc("count"), F.asc("token"))
+        .persist()
+    )
+    sizes = {
+        r["pid"]: r["n"]
+        for r in ranked.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in range(max(sizes) + 1 if sizes else 0):
+        offsets[pid] = acc
+        acc += sizes.get(pid, 0)
+
+    schema = T.StructType(
+        [
+            T.StructField("token", T.StringType()),
+            T.StructField("count", T.LongType()),
+            T.StructField("token_id", T.LongType()),
+        ]
+    )
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        base = offsets.get(TaskContext.get().partitionId(), 0)
+        seen = 0
+        for pdf in it:
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "token": pdf["token"].values,
+                    "count": pdf["count"].astype("int64").values,
+                    "token_id": pd.RangeIndex(base + seen, base + seen + n).astype("int64"),
+                }
+            )
+            seen += n
+
+    return ranked.mapInPandas(assign, schema)
+
+
+def encode_documents(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unk_id: int = -1,
+) -> DataFrame:
+    """Encode documents to (id, n_tokens, token_ids: array<long>) under a
+    :func:`build_vocab` vocabulary; out-of-vocabulary tokens map to
+    ``unk_id``.
+
+    The join carries ``xxhash64(token)`` on both sides, so only 8-byte
+    hashes (plus ids) shuffle — never document or vocabulary text. Token
+    order is restored by sorting (pos, id) structs inside the aggregated
+    array (``array_sort`` on the leading struct field), not with a window.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "token"),
+    ).select(id_col, "pos", F.xxhash64("token").alias("th"))
+    vocab_slim = vocab.select(F.xxhash64("token").alias("th"), "token_id")
+    joined = toks.join(vocab_slim, "th", "left")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "token_id"))),
+            lambda s: F.coalesce(s["token_id"], F.lit(unk_id)),
+        ).alias("token_ids"),
+    )

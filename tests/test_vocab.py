@@ -1,0 +1,75 @@
+"""Vocabulary construction + document encoding: ground-truth ranking,
+layout independence, dense-id contract, OOV handling, plan shape."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pyspark.sql.functions as F
+
+from kafka_streams_task_spark.operators.vocab import build_vocab, encode_documents
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the dog sat on the log"),
+    (3, "a cat and a dog and a bird"),
+    (4, "the bird sat"),
+]
+
+
+def _py_vocab(min_count: int = 1) -> list[tuple[str, int]]:
+    """(token, count) in (count desc, token asc) order — ground truth."""
+    c = Counter(tok for _, text in DOCS for tok in text.split())
+    items = [(t, n) for t, n in c.items() if n >= min_count]
+    return sorted(items, key=lambda x: (-x[1], x[0]))
+
+
+def test_build_vocab_matches_counter_ground_truth(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    got = build_vocab(df, num_partitions=3).collect()
+    expect = _py_vocab()
+    # dense ids 0..V-1, ordered by (count desc, token asc)
+    assert sorted(r["token_id"] for r in got) == list(range(len(expect)))
+    by_id = sorted(got, key=lambda r: r["token_id"])
+    assert [(r["token"], r["count"]) for r in by_id] == expect
+
+
+def test_build_vocab_layout_independent_and_min_count(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    a = {(r["token"], r["token_id"]) for r in build_vocab(df, num_partitions=4).collect()}
+    b = {
+        (r["token"], r["token_id"])
+        for r in build_vocab(df.repartition(7), num_partitions=4).collect()
+    }
+    assert a == b
+    rare_cut = build_vocab(df, min_count=2).collect()
+    assert {(r["token"], r["count"]) for r in rare_cut} == {
+        (t, n) for t, n in _py_vocab(min_count=2)
+    }
+    assert sorted(r["token_id"] for r in rare_cut) == list(range(len(rare_cut)))
+
+
+def test_encode_documents_roundtrip_and_oov(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    vocab = build_vocab(df).persist()
+    id_to_tok = {r["token_id"]: r["token"] for r in vocab.collect()}
+    enc = {r["doc_id"]: r for r in encode_documents(df, vocab).collect()}
+    for doc_id, text in DOCS:
+        toks = text.split()
+        assert enc[doc_id]["n_tokens"] == len(toks)
+        assert [id_to_tok[i] for i in enc[doc_id]["token_ids"]] == toks
+    # OOV: encode unseen text under the same vocab -> unk_id at OOV slots
+    oov = spark.createDataFrame([(9, "the zebra sat")], ["doc_id", "text"])
+    (row,) = encode_documents(oov, vocab, unk_id=-1).collect()
+    ids = row["token_ids"]
+    decoded = [id_to_tok[i] if i >= 0 else "<unk>" for i in ids]
+    assert decoded == ["the", "<unk>", "sat"]
+
+
+def test_build_vocab_no_single_partition_exchange(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    plan = build_vocab(df, num_partitions=3)._jdf.queryExecution().executedPlan().toString()
+    # the whole point: dense global ranking WITHOUT funneling the vocab
+    # through one task (no unpartitioned window / SinglePartition exchange)
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
