@@ -48,6 +48,7 @@ HEADLINE = [
     "similarity_knn_ivf",
     "text_token_stats",
     "text_quality_scores",
+    "text_quality_gopher",  # added r2 (widened quality surface; not in r1 baseline)
     "multimodal_image_features",
 ]
 
@@ -72,8 +73,33 @@ def _raw_ops():
         emb = load_table(spark, sf_dir, "embeddings")
         return emb, emb.filter(F.col("vec_id") < 10)
 
+    from kafka_streams_task_spark.functions.text import (
+        gopher_quality_columns,
+        pii_flags,
+        quality_score,
+        repetition_ratio,
+    )
+
+    def _quality_r1(s, d):
+        # the r1 column set, frozen for round-over-round comparability; the
+        # r2-widened catalog query (8 extra Gopher columns) benches as
+        # text_quality_gopher
+        docs = load_table(s, d, "documents")
+        return docs.select(
+            "doc_id",
+            quality_score("text").alias("quality"),
+            F.round(repetition_ratio("text") + 1e-09, 6).alias("rep_3gram"),
+            *pii_flags("text"),
+        )
+
+    def _quality_gopher(s, d):
+        docs = load_table(s, d, "documents")
+        return docs.select("doc_id", *gopher_quality_columns("text"))
+
     return {
         "q6_revenue_forecast": q6_revenue_df,  # r2: registered as q6_q19_filter_aggregates
+        "text_quality_scores": _quality_r1,
+        "text_quality_gopher": _quality_gopher,
         "dedup_minhash_lsh": lambda s, d: minhash_lsh_candidates(load_table(s, d, "documents")),
         "dedup_simhash": lambda s, d: simhash_near_dup_pairs(load_table(s, d, "documents")),
         "dedup_embedding_cosine": lambda s, d: embedding_near_dup_pairs(load_table(s, d, "embeddings")),

@@ -383,9 +383,10 @@ def test_full_training_pipeline_composes(spark):
     """Capstone: every training-data stage composed end to end on one
     corpus — exact dedup pairs -> transitive clusters -> survivors ->
     benchmark decontamination -> quality/PII filter -> deterministic
-    stratified sample -> chunk -> pack. Asserts each stage's contract on
-    the way through; the point is that the stages COMPOSE (schemas line
-    up, no stage breaks another's invariants)."""
+    stratified sample -> chunk -> pack -> vocab build -> id encoding ->
+    epoch-order shuffle. Asserts each stage's contract on the way
+    through; the point is that the stages COMPOSE (schemas line up, no
+    stage breaks another's invariants)."""
     from pyspark.sql import Window
 
     from kafka_streams_task_spark.functions.text import pii_flags, repetition_ratio
@@ -460,6 +461,28 @@ def test_full_training_pipeline_composes(spark):
         F.sum("n_tokens").alias("fill"), F.count(F.lit(1)).alias("n")
     )
     assert fills.filter((F.col("fill") > 256) & (F.col("n") > 1)).count() == 0
+
+    # 8. vocab + encoding over the surviving chunks, 9. epoch-order shuffle
+    from kafka_streams_task_spark.operators.sampling import shuffle_deterministic
+    from kafka_streams_task_spark.operators.vocab import build_vocab, encode_documents
+
+    chunk_docs = chunks.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("chunk_uid"),
+        F.col("chunk_text"),
+    )
+    vocab = build_vocab(chunk_docs, text_col="chunk_text", min_count=2).persist()
+    encoded = encode_documents(
+        chunk_docs, vocab, id_col="chunk_uid", text_col="chunk_text"
+    )
+    # encoding conserves tokens; in-vocab tokens resolve to dense ids
+    assert encoded.agg(F.sum("n_tokens")).first()[0] == t_in
+    v = vocab.count()
+    bad = encoded.filter(
+        F.exists("token_ids", lambda i: (i >= F.lit(v)) | (i < F.lit(-1)))
+    )
+    assert bad.count() == 0
+    epoch = shuffle_deterministic(encoded, seed=3, id_col="chunk_uid", num_partitions=4)
+    assert epoch.count() == encoded.count()
 
 
 def test_unigram_nll_ranks_gibberish_above_typical(spark):

@@ -263,6 +263,7 @@ def test_text_quality_surface_on_stream(spark, tmpdir):
     from pyspark.sql import types as T
 
     from kafka_streams_task_spark.functions.text import (
+        gopher_quality_columns,
         pii_flags,
         quality_score,
         repetition_ratio,
@@ -284,13 +285,17 @@ def test_text_quality_surface_on_stream(spark, tmpdir):
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
     )
+    def quality_select(df):
+        return df.select(
+            "doc_id",
+            quality_score("text").alias("quality"),
+            F.round(repetition_ratio("text"), 4).alias("rep"),
+            *pii_flags("text"),
+            *gopher_quality_columns("text"),
+        )
+
     stream = spark.readStream.schema(schema).json(src)
-    out = stream.select(
-        "doc_id",
-        quality_score("text").alias("quality"),
-        F.round(repetition_ratio("text"), 4).alias("rep"),
-        *pii_flags("text"),
-    )
+    out = quality_select(stream)
     q = (
         out.writeStream.format("memory")
         .queryName("quality_stream")
@@ -304,6 +309,13 @@ def test_text_quality_surface_on_stream(spark, tmpdir):
     assert got[1]["has_email"] == 1 and got[3]["has_email"] == 0
     assert got[2]["rep"] > 0.7 and got[3]["rep"] == 0.0
     assert all(0.0 <= got[i]["quality"] <= 1.0 for i in (1, 2, 3))
+    # exact stream/batch parity across the whole feature set, Gopher included
+    batch = {
+        r["doc_id"]: r
+        for r in quality_select(spark.read.schema(schema).json(src)).collect()
+    }
+    assert got == batch
+    assert all(got[i]["gopher_pass"] == 0 for i in (1, 2, 3))  # all < 50 words
 
 
 def test_weather_rollup_checkpoint_restart(spark, tmpdir):
