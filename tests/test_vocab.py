@@ -66,6 +66,29 @@ def test_encode_documents_roundtrip_and_oov(spark):
     assert decoded == ["the", "<unk>", "sat"]
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_words = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"])
+_doc = st.lists(_words, min_size=1, max_size=12).map(" ".join)
+
+
+@given(docs=st.lists(_doc, min_size=1, max_size=10), min_count=st.integers(1, 3))
+@settings(max_examples=10, deadline=None)
+def test_build_vocab_property_matches_counter(spark, docs, min_count):
+    """Any corpus, any min_count: ids are dense 0..V-1 in (count desc,
+    token asc) order and counts equal the Python Counter ground truth."""
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    got = sorted(build_vocab(df, min_count=min_count, num_partitions=3).collect(),
+                 key=lambda r: r["token_id"])
+    c = Counter(t for d in docs for t in d.split())
+    expect = sorted(
+        ((t, n) for t, n in c.items() if n >= min_count), key=lambda x: (-x[1], x[0])
+    )
+    assert [(r["token"], r["count"]) for r in got] == expect
+    assert [r["token_id"] for r in got] == list(range(len(expect)))
+
+
 def test_build_vocab_no_single_partition_exchange(spark):
     df = spark.createDataFrame(DOCS, ["doc_id", "text"])
     plan = build_vocab(df, num_partitions=3)._jdf.queryExecution().executedPlan().toString()
