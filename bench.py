@@ -165,6 +165,11 @@ def main() -> None:
 
     best = {k: min(times[k], cold[k]) for k in times}
     total = round(sum(best.values()), 3)
+    # raw per-run breakdowns go to stderr: the driver keeps only a bounded
+    # tail of stdout and parses the LAST line as JSON — r2's single line with
+    # run1/run2 embedded overflowed that buffer and recorded parsed=null
+    print(f"# run1_queries: {json.dumps(cold)}", file=sys.stderr)
+    print(f"# run2_queries: {json.dumps(times)}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -174,8 +179,6 @@ def main() -> None:
                 "queries": best,
                 "sf": sf,
                 "timing": "min_of_2_runs",
-                "run1_queries": cold,
-                "run2_queries": times,
             }
         )
     )
