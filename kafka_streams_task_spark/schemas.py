@@ -102,17 +102,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver parquet table. Column pruning + predicate pushdown
     happen automatically because this stays a plain parquet scan.
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    reader rejects; we read nanos as long (dynamic conf) and floor-convert
-    to a microsecond timestamp — the same instant DuckDB sees (sub-µs parts
-    in the driver data are zero).
+    ``events.ts`` is TIMESTAMP(NANOS) parquet. Depending on the Spark
+    version it arrives either as TIMESTAMP_NTZ (4.1.2+ reads nanos
+    natively, truncated to micros) or — under the legacy conf we set — as
+    nanos-since-epoch LONG. Normalize both to a session-TZ (UTC)
+    microsecond TIMESTAMP so every downstream consumer and the DuckDB
+    oracle see the same instants regardless of runtime.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if dict(df.dtypes)["ts"] == "bigint":
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
