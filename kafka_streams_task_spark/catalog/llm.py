@@ -54,7 +54,7 @@ _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
     "text_token_stats",
     oracle=f"""
     WITH tok AS (
-      SELECT doc_id, lang, string_split(trim(text), ' ') AS t FROM documents
+      SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t FROM documents
     )
     SELECT doc_id, lang,
            CAST(len(t) AS INT) AS n_tokens,
@@ -86,7 +86,7 @@ _GOPHER_STOP_SQL = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
     "text_quality_scores",
     oracle=f"""
     WITH tok AS (
-      SELECT doc_id, text, string_split(trim(text), ' ') AS t,
+      SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS t,
              string_split(text, chr(10)) AS ln
       FROM documents
     ), feats AS (
@@ -184,7 +184,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_fingerprints",
     oracle="""
-    WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents)
+    WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)
     SELECT doc_id,
            list_min(list_transform(range(0, greatest(len(t) - 8, 0) + 1),
                     i -> substr(md5(array_to_string(t[i+1:i+8], ' ')), 1, 16))) AS fingerprint
@@ -229,7 +229,7 @@ def dedup_exact_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN list_transform(range(1, len(t) - 1),
                                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
                     ELSE [array_to_string(t, ' ')] END AS sh_list
-        FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents)
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)
       )
     ), sizes AS (
       SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
@@ -259,7 +259,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT count(*) AS n_planted, CAST(0 AS BIGINT) AS n_missed
     FROM documents
-    WHERE len(string_split(trim(text), ' ')) >= 20
+    WHERE len(string_split_regex(trim(text), '\\s+')) >= 20
     """,
 )
 def dedup_minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -655,7 +655,7 @@ _PACK_BUDGET = 512
     oracle=f"""
     WITH s AS (
       SELECT doc_id, lang,
-             len(string_split(trim(text), ' ')) AS n_tokens
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
       FROM documents
       WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
             / 4294967296.0

@@ -521,7 +521,7 @@ def pivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "array_funcs_tokens",
     oracle="""
-    WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents)
+    WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)
     SELECT doc_id,
            array_to_string(list_sort(list_distinct(t))[1:5], ',') AS first5_sorted,
            CAST(list_contains(t, 'spark') AS INT) AS has_spark,

@@ -168,9 +168,16 @@ def chunk_documents(
     stride = max_tokens - overlap
     t = F.split(F.trim(F.col(text_col)), r"\s+")
     n = F.size(t)
-    # chunk start offsets: 0, stride, 2*stride, ... < n (always >= one chunk)
+    # chunk start offsets: 0, stride, 2*stride, ... (always >= one chunk).
+    # The sequence stops at the first start whose chunk reaches the end of
+    # the document (bound = n - max_tokens rounded UP to a stride multiple):
+    # later starts would emit chunks entirely contained in earlier coverage
+    # when overlap > 0 (e.g. 10 tokens, max=8, overlap=6 would yield starts
+    # 0,2,4,6,8 where 4,6,8 add no new tokens — only 0,2 survive).
     starts = F.sequence(
-        F.lit(0), F.greatest(n - F.lit(1), F.lit(0)), F.lit(stride)
+        F.lit(0),
+        F.greatest(n - F.lit(max_tokens) + F.lit(stride - 1), F.lit(0)),
+        F.lit(stride),
     )
     chunks = F.transform(
         starts,
@@ -268,12 +275,18 @@ def unigram_nll_scores(
     and re-aggregates per document. Token text never shuffles — both sides
     carry xxhash64 longs. Two shuffles total, independent of vocabulary
     size (no driver-side vocab, no broadcast of a huge map).
+
+    The exploded token stream is deliberately NOT persisted: it is read
+    twice (frequency build + scoring join), but it is strictly larger than
+    the corpus, so at scale re-tokenizing from the scan is cheaper than
+    pinning O(corpus tokens) of cache — and a persist here with no
+    unpersist would accumulate across calls and squeeze execution memory
+    in long sessions.
     """
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).select(id_col, F.xxhash64("tok").alias("th"))
-    toks = toks.persist()
     freq = toks.groupBy("th").agg(F.count(F.lit(1)).alias("tf"))
     totals = freq.agg(
         F.sum("tf").alias("n_total"), F.count(F.lit(1)).alias("n_vocab")

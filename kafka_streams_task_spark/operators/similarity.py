@@ -342,6 +342,8 @@ def knn_ivf(
     (``kmeans_fit_distributed``) — the scale path when no driver-sized
     sample is representative.
     """
+    if train not in ("sample", "distributed"):
+        raise ValueError(f"train must be 'sample' or 'distributed', got {train!r}")
     if train == "distributed":
         centroids = kmeans_fit_distributed(
             corpus, vec_col, id_col, n_clusters=n_clusters

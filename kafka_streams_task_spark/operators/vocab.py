@@ -53,6 +53,14 @@ def build_vocab(
     per-partition sizes (P rows to the driver), one to stamp ids as
     partition offset + local index. The corpus itself is touched once, by
     the frequency aggregation.
+
+    Lifetime note: the intermediate ranked vocab stays persisted for the
+    lifetime of the returned plan (one (token, count) row per distinct
+    token — small next to the corpus). Callers building vocabularies for
+    many corpora in one session should materialize the result and then
+    ``spark.catalog.clearCache()`` (or keep their own ``.persist()`` handle
+    on the result); ids remain correct either way — see the invariant
+    comment below.
     """
     freq = (
         df.select(F.explode(tokens(F.col(text_col))).alias("token"))
@@ -62,6 +70,14 @@ def build_vocab(
     if min_count > 1:
         freq = freq.filter(F.col("count") >= min_count)
     p = num_partitions or freq.sparkSession.sparkContext.defaultParallelism
+    # LOAD-BEARING INVARIANT: the sizes-collect job below and the final
+    # mapInPandas job must observe the SAME repartitionByRange partition
+    # boundaries, or ids would be stamped against stale offsets. Two things
+    # guarantee it: (1) the persist pins the post-shuffle layout for both
+    # jobs while cached; (2) if cached blocks are evicted (or a caller
+    # clears the cache), recompute draws the range-sampler from the same
+    # deterministic per-RDD seed, reproducing identical boundaries —
+    # pinned by test_vocab.py::test_build_vocab_ids_survive_cache_eviction.
     ranked = (
         freq.repartitionByRange(p, F.desc("count"), F.asc("token"))
         .sortWithinPartitions(F.desc("count"), F.asc("token"))

@@ -225,14 +225,42 @@ class TestChunking:
             (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_tokens"])
             for r in chunk_documents(df, max_tokens=4, overlap=1).collect()
         )
-        # doc 1: stride 3 -> starts 0,3,6,9
+        # doc 1: stride 3 -> starts 0,3,6 (chunk@6 reaches the end; a start
+        # at 9 would add no new tokens and is not emitted)
         assert rows == [
             (1, 0, "w0 w1 w2 w3", 4),
             (1, 1, "w3 w4 w5 w6", 4),
             (1, 2, "w6 w7 w8 w9", 4),
-            (1, 3, "w9", 1),
             (2, 0, "short doc", 2),
         ]
+
+    def test_chunk_no_redundant_trailing_chunks(self, spark):
+        """Every chunk after the first must contribute at least one token
+        not covered by any earlier chunk (the overlap>0 pathology: starts
+        past n - max_tokens emit fully-contained chunks)."""
+        from kafka_streams_task_spark.operators.sampling import chunk_documents
+
+        docs = [
+            (n, " ".join(f"w{i}" for i in range(n)))
+            for n in (1, 5, 8, 9, 10, 16, 17, 31)
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        for max_tokens, overlap in [(8, 6), (8, 0), (4, 1), (16, 8)]:
+            out = chunk_documents(df, max_tokens=max_tokens, overlap=overlap).collect()
+            stride = max_tokens - overlap
+            by_doc: dict[int, list] = {}
+            for r in out:
+                by_doc.setdefault(r["doc_id"], []).append(r)
+            for n, _ in docs:
+                cs = sorted(by_doc[n], key=lambda r: r["chunk_idx"])
+                covered = 0
+                for c in cs:
+                    start = c["chunk_idx"] * stride
+                    end = start + c["n_tokens"]
+                    assert end > covered, (n, max_tokens, overlap, c)
+                    covered = max(covered, end)
+                # full coverage: the last chunk reaches the end of the doc
+                assert covered == n, (n, max_tokens, overlap)
 
     def test_chunk_token_reconstruction(self, spark):
         from kafka_streams_task_spark.operators.sampling import chunk_documents

@@ -89,6 +89,22 @@ def test_build_vocab_property_matches_counter(spark, docs, min_count):
     assert [r["token_id"] for r in got] == list(range(len(expect)))
 
 
+def test_build_vocab_ids_survive_cache_eviction(spark):
+    """The sizes-collect job and the id-stamping job must agree on the
+    range-partition boundaries even when the persisted intermediate is
+    gone (evicted / cache cleared): recompute draws the range sampler from
+    the same deterministic per-RDD seed. Collect once with the cache warm,
+    clear ALL cached blocks, collect again — identical ids both times."""
+    docs = [(i, " ".join(f"w{(i * 7 + j) % 40}" for j in range(12))) for i in range(200)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    vocab = build_vocab(df, num_partitions=4)
+    warm = {(r["token"], r["token_id"]) for r in vocab.collect()}
+    spark.catalog.clearCache()
+    evicted = {(r["token"], r["token_id"]) for r in vocab.collect()}
+    assert warm == evicted
+    assert sorted(i for _, i in warm) == list(range(len(warm)))
+
+
 def test_build_vocab_no_single_partition_exchange(spark):
     df = spark.createDataFrame(DOCS, ["doc_id", "text"])
     plan = build_vocab(df, num_partitions=3)._jdf.queryExecution().executedPlan().toString()
