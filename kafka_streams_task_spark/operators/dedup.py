@@ -214,18 +214,20 @@ def minhash_lsh_candidates(
     Returns (id_a, id_b) candidate pairs (id_a < id_b, distinct). The
     threshold is implied by the banding: s ≈ (1/bands)^(1/rows_per_band).
 
-    Scale: the only shuffle is on (band_idx, band_hash); bucket skew is
-    capped at ``max_bucket`` docs per bucket (boilerplate guard) — drops
-    pathological buckets rather than exploding quadratically.
+    Scale: single-pass group-membership formulation (the shape public
+    TB-scale text-dedup pipelines use): one shuffle on (band_idx,
+    band_hash) collects each bucket's sorted id list, buckets over
+    ``max_bucket`` docs are dropped whole (boilerplate guard — same
+    semantics as the previous aggregate+anti-join cap), and pairs explode
+    JVM-side from the sorted array (slice-after-index, so id_a < id_b by
+    construction). The expensive MinHash signature stage runs exactly
+    once — no persist, no cache-lifecycle to manage. Per-bucket arrays
+    materialize before the size filter, so a mass-duplicate bucket costs
+    one aggregation buffer of 8·bucket_n bytes transiently; run exact
+    dedup first (standard pipeline order) to keep such buckets small.
     """
-    from pyspark.storagelevel import StorageLevel
-
     rows_per_band = num_hashes // bands
     with_sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n=shingle_n)
-    # the banded index feeds the bucket-cap window AND both self-join sides;
-    # materialize it once (id+band+bucket rows — slim) instead of running
-    # the signature stage per consumer
-    with_sig = with_sig.persist(StorageLevel.MEMORY_AND_DISK)
     banded = with_sig.select(
         id_col,
         F.explode(
@@ -241,30 +243,16 @@ def minhash_lsh_candidates(
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
 
-    # cap pathological buckets (boilerplate shingles): aggregate + broadcast
-    # anti-join of the (rare) oversized buckets — partial aggregation and no
-    # per-partition sort, unlike a count-over-window formulation
-    oversized = (
+    grouped = (
         banded.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("bucket_n"))
-        .filter(F.col("bucket_n") > max_bucket)
-        .select("band", "bucket")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
-    banded = banded.join(F.broadcast(oversized), on=["band", "bucket"], how="left_anti")
-
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+    return (
+        grouped.select(F.posexplode("ids").alias("i", "id_a"), "ids")
+        .select("id_a", F.explode(F.expr("slice(ids, i + 2, size(ids))")).alias("id_b"))
         .distinct()
     )
-    return pairs
 
 
 def ngram_jaccard_pairs(
@@ -277,51 +265,54 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs >= threshold.
 
-    Inverted-index formulation (no cross join):
-      explode distinct shingles -> self-join on shingle -> count common
-      shingles per pair -> |A∪B| = |A| + |B| - |A∩B| -> filter.
+    Inverted-index formulation (no cross join), single pass: each document
+    contributes (id, n_sh) to every distinct shingle's posting list; one
+    shuffle on the shingle hash groups the postings, lists over
+    ``max_shingle_freq`` docs are dropped whole (a shingle appearing in k
+    docs contributes k² pairs — boilerplate guard, same semantics as the
+    previous broadcast frequency filter), and co-occurring pairs explode
+    from the sorted posting array. Because |A| and |B| ride inside the
+    posting structs, n_common per pair is one more groupBy away and
+    |A∪B| = |A| + |B| - |A∩B| needs no join back to a sizes table —
+    the corpus is shingled exactly once, so nothing persists.
 
-    ``max_shingle_freq`` drops ubiquitous shingles before pairing (a shingle
-    appearing in k docs contributes k^2 join rows — boilerplate guard).
     Output: id_a, id_b, jaccard (rounded 6dp), id_a < id_b.
 
-    Shingles are carried as xxhash64 longs, not strings: the exploded
-    inverted index and its self-join shuffle 8-byte keys regardless of
-    shingle text length (collision probability at 64 bits is negligible
-    against any realistic corpus-distinct-shingle count).
+    Shingles are carried as xxhash64 longs, not strings: posting lists and
+    the pair shuffle carry 8-byte keys regardless of shingle text length
+    (collision probability at 64 bits is negligible against any realistic
+    corpus-distinct-shingle count).
     """
-    from pyspark.storagelevel import StorageLevel
-
     sh = df.select(
         F.col(id_col),
-        F.explode(
-            F.array_distinct(
-                F.transform(shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))
-            )
-        ).alias("shingle"),
+        F.array_distinct(
+            F.transform(shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))
+        ).alias("shs"),
+    ).select(
+        F.col(id_col),
+        F.size("shs").alias("n_sh"),
+        F.explode("shs").alias("shingle"),
     )
-    # the inverted index feeds sizes, the frequency filter, and both
-    # self-join sides — materialize it once ((id, hash64) rows) rather than
-    # re-shingling the corpus per consumer
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-    sh = sh.join(F.broadcast(freq.filter(F.col("df_") <= max_shingle_freq).select("shingle")), "shingle")
-
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    postings = (
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list(F.struct(id_col, "n_sh"))).alias("members"))
+        .filter((F.size("members") >= 2) & (F.size("members") <= max_shingle_freq))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    pairs = (
+        postings.select(F.posexplode("members").alias("i", "a"), "members")
+        .select("a", F.explode(F.expr("slice(members, i + 2, size(members))")).alias("b"))
+    )
+    common = pairs.groupBy(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col("a.n_sh").alias("n_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col("b.n_sh").alias("n_b"),
+    ).agg(F.count(F.lit(1)).alias("n_common"))
     return (
-        common.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
-        .withColumn("jaccard", stable_round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
+        common.withColumn(
+            "jaccard",
+            stable_round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -347,42 +338,29 @@ def embedding_near_dup_pairs(
     ``n_tables``); candidates are pairs sharing any (table, bucket), then
     exact JVM-side cosine verification keeps true near-dups only.
 
-    Scale: the bucket self-join shuffles only (tbl, bkt, id) rows — vectors
-    rejoin at scoring, so no shuffle carries a vector per candidate pair;
-    oversized buckets (near-zero vectors, mass duplicates) are capped at
-    ``max_bucket`` via aggregate + broadcast anti-join, same guard as
-    MinHash banding. Nothing materializes O(n²).
+    Scale: the bucket shuffle carries only (tbl, bkt, id) rows — vectors
+    rejoin at scoring, so no shuffle carries a vector per candidate pair.
+    Single-pass group-membership formulation: one shuffle on (tbl, bkt)
+    collects each bucket's sorted id list, buckets over ``max_bucket``
+    members (near-zero vectors, mass duplicates) are dropped whole — same
+    guard as MinHash banding — and candidate pairs explode JVM-side from
+    the sorted array. The hyperplane projection runs exactly once; nothing
+    persists and nothing materializes O(n²).
     """
-    from pyspark.storagelevel import StorageLevel
-
     from .similarity import cosine_similarity, lsh_table_buckets, random_hyperplanes
 
     planes = np.vstack(
         [random_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
     )
-    # the bucket index feeds the cap aggregation and both self-join sides —
-    # materialize the slim (id, tbl, bkt) rows once
-    buckets = lsh_table_buckets(
-        emb, planes, n_tables, n_planes, id_col, vec_col, "id"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    oversized = (
+    buckets = lsh_table_buckets(emb, planes, n_tables, n_planes, id_col, vec_col, "id")
+    grouped = (
         buckets.groupBy("tbl", "bkt")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > max_bucket)
-        .select("tbl", "bkt")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
-    buckets = buckets.join(F.broadcast(oversized), on=["tbl", "bkt"], how="left_anti")
-
-    left = buckets.alias("l")
-    right = buckets.alias("r")
     pairs = (
-        left.join(
-            right,
-            (F.col("l.tbl") == F.col("r.tbl"))
-            & (F.col("l.bkt") == F.col("r.bkt"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        grouped.select(F.posexplode("ids").alias("i", "id_a"), "ids")
+        .select("id_a", F.explode(F.expr("slice(ids, i + 2, size(ids))")).alias("id_b"))
         .distinct()
     )
     va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
@@ -446,11 +424,17 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs: 64-bit simhash, block into ``n_blocks``
     16-bit chunks (pigeonhole: hamming<=3 pairs share at least one exact
-    chunk), join per chunk, verify hamming distance exactly.
+    chunk), group per chunk, verify hamming distance exactly.
 
     Everything stays JVM-side — simhash (via ``simhash_table``), blocking,
-    and the popcount verification; the join shuffles only (block_idx, chunk)
-    keys.
+    pair generation, and the popcount verification. Single-pass
+    group-membership formulation: one shuffle on (block_idx, chunk)
+    collects each chunk bucket's (id, sh) posting list sorted by id, and
+    candidate pairs explode from the array with both fingerprints riding
+    along — the simhash stage runs exactly once and nothing persists.
+    Per-bucket arrays materialize in one aggregation buffer (16 bytes per
+    member); a corpus whose docs concentrate in one 16-bit chunk value
+    (mass duplicates) should run exact dedup first, as with MinHash.
     """
     with_sh = simhash_table(df, text_col, id_col, shingle_n)
     chunk_bits = 64 // n_blocks
@@ -466,22 +450,17 @@ def simhash_near_dup_pairs(
             for i in range(n_blocks)
         ]
     )
-    from pyspark.storagelevel import StorageLevel
-
     blocked = with_sh.select(id_col, "sh", F.explode(blocks).alias("bc")).select(
         id_col, "sh", "bc.blk", "bc.chunk"
     )
-    # both self-join sides read the blocked index; materialize it once
-    blocked = blocked.persist(StorageLevel.MEMORY_AND_DISK)
-    a = blocked.alias("a")
-    b = blocked.alias("b")
+    grouped = (
+        blocked.groupBy("blk", "chunk")
+        .agg(F.array_sort(F.collect_list(F.struct(id_col, "sh"))).alias("members"))
+        .filter(F.size("members") >= 2)
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+        grouped.select(F.posexplode("members").alias("i", "a"), "members")
+        .select("a", F.explode(F.expr("slice(members, i + 2, size(members))")).alias("b"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),

@@ -487,3 +487,30 @@ def test_audio_feature_plumbing(spark):
         r = got[doc_id]
         assert (r.sample_rate, r.n_samples, r.n_channels) == (sr, n, ch)
         assert abs(r.duration_s - n / sr) < 1e-12
+
+
+def test_dedup_queries_leave_no_cached_blocks(spark, sf_dir):
+    """Cache hygiene: the dedup catalog queries must not leave persisted
+    RDD blocks behind (long sessions running many dedup calls would
+    otherwise accumulate cached indexes and squeeze execution memory).
+    The candidate-pair operators are single-pass groupBy formulations with
+    no persist at all, so the set of persistent RDDs after each query
+    executes must not grow. (dedup_clusters_cc is excluded: its per-round
+    localCheckpoints are lineage-truncation by design and are reclaimed by
+    the ContextCleaner once the result is dropped.)"""
+    from kafka_streams_task_spark.catalog import CATALOG
+
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    before = {int(k) for k in jmap.keySet().toArray()}
+    for name in [
+        "dedup_exact_digest",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh_recall",
+        "dedup_simhash_recall",
+        "dedup_embedding_cosine_recall",
+        "dedup_survivors",
+    ]:
+        assert CATALOG[name].fn(spark, sf_dir).count() >= 0
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        leaked = {int(k) for k in jmap.keySet().toArray()} - before
+        assert not leaked, f"{name} left persisted RDDs: {leaked}"
