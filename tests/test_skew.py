@@ -64,3 +64,20 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
         spark.sql("DROP TABLE IF EXISTS bk_a")
         spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_salted_agg_layout_independent(spark):
+    """The content-hash salt must assign every row the same salt regardless
+    of physical partitioning, so salted plans are repartition-stable like
+    the rest of the engine (F.rand(seed) was only partition-deterministic:
+    the same row drew a different salt after a repartition)."""
+    from kafka_streams_task_spark.operators.skew import _content_salt
+
+    rows = [("hot", float(i)) for i in range(200)] + [(f"k{i}", float(i)) for i in range(50)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    a = df.repartition(3).select("k", "v", _content_salt(df, 16, None).alias("s"))
+    b = df.repartition(11, "k").select("k", "v", _content_salt(df, 16, None).alias("s"))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # and the hot key actually spreads over many salts
+    n_salts = a.filter(F.col("k") == "hot").select("s").distinct().count()
+    assert n_salts >= 8
