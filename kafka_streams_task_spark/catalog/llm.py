@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from ..functions.text import (
     GOPHER_STOPWORDS,
     STOPWORDS,
+    WHITESPACE_RE,
     avg_token_length,
     distinct_token_ratio,
     gopher_quality_columns,
@@ -54,7 +55,7 @@ _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
     "text_token_stats",
     oracle=f"""
     WITH tok AS (
-      SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t FROM documents
+      SELECT doc_id, lang, string_split_regex(trim(text), '[ \\t\\n\\r\\f]+') AS t FROM documents
     )
     SELECT doc_id, lang,
            CAST(len(t) AS INT) AS n_tokens,
@@ -72,7 +73,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         token_count("text").alias("n_tokens"),
-        F.size(F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))).alias("n_distinct"),
+        F.size(F.array_distinct(F.split(F.trim(F.col("text")), WHITESPACE_RE))).alias("n_distinct"),
         F.round((distinct_token_ratio("text")) + 1e-09, 6).alias("distinct_ratio"),
         F.round((avg_token_length("text")) + 1e-09, 6).alias("avg_tok_len"),
         F.round((stopword_ratio("text")) + 1e-09, 6).alias("stop_ratio"),
@@ -86,7 +87,7 @@ _GOPHER_STOP_SQL = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
     "text_quality_scores",
     oracle=f"""
     WITH tok AS (
-      SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS t,
+      SELECT doc_id, text, string_split_regex(trim(text), '[ \\t\\n\\r\\f]+') AS t,
              string_split(text, chr(10)) AS ln
       FROM documents
     ), feats AS (
@@ -102,8 +103,8 @@ _GOPHER_STOP_SQL = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
              round(((CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
                      + CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3)
                     / len(t)) + 1e-09, 6) AS symbol_word_ratio,
-             round((CAST(len(list_filter(ln, x -> regexp_matches(x, '^\\s*[-*•]'))) AS DOUBLE) / len(ln)) + 1e-09, 6) AS bullet_line_ratio,
-             round((CAST(len(list_filter(ln, x -> regexp_matches(x, '\\.\\.\\.\\s*$'))) AS DOUBLE) / len(ln)) + 1e-09, 6) AS ellipsis_line_ratio,
+             round((CAST(len(list_filter(ln, x -> regexp_matches(x, '^[ \\t\\r\\f]*[-*•]'))) AS DOUBLE) / len(ln)) + 1e-09, 6) AS bullet_line_ratio,
+             round((CAST(len(list_filter(ln, x -> regexp_matches(x, '\\.\\.\\.[ \\t\\r\\f]*$'))) AS DOUBLE) / len(ln)) + 1e-09, 6) AS ellipsis_line_ratio,
              round((CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(t)) + 1e-09, 6) AS alpha_word_ratio,
              CAST(len(list_intersect(list_distinct(list_transform(t, x -> lower(x))),
                                      [{_GOPHER_STOP_SQL}])) AS INT) AS gopher_stop_hits
@@ -152,7 +153,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT doc_id, lang AS labeled, text,
-             list_distinct(string_split_regex(lower(text), '\\s+')) AS toks
+             list_distinct(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+')) AS toks
       FROM documents
     ), scores AS (
       SELECT doc_id, labeled, text,
@@ -184,7 +185,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_fingerprints",
     oracle="""
-    WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)
+    WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r\\f]+') AS t FROM documents)
     SELECT doc_id,
            list_min(list_transform(range(0, greatest(len(t) - 8, 0) + 1),
                     i -> substr(md5(array_to_string(t[i+1:i+8], ' ')), 1, 16))) AS fingerprint
@@ -229,7 +230,7 @@ def dedup_exact_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN list_transform(range(1, len(t) - 1),
                                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
                     ELSE [array_to_string(t, ' ')] END AS sh_list
-        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)
+        FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r\\f]+') AS t FROM documents)
       )
     ), sizes AS (
       SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
@@ -259,7 +260,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT count(*) AS n_planted, CAST(0 AS BIGINT) AS n_missed
     FROM documents
-    WHERE len(string_split_regex(trim(text), '\\s+')) >= 20
+    WHERE len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) >= 20
     """,
 )
 def dedup_minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -273,7 +274,7 @@ def dedup_minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the zero-miss claim IS the LSH recall property). The raw candidate
     operator stays covered by planted-pair property tests."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    t = F.split(F.trim(F.col("text")), r"\s+")
+    t = F.split(F.trim(F.col("text")), WHITESPACE_RE)
     eligible = d.filter(F.size(t) >= 20)
     planted = eligible.select(
         (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
@@ -501,8 +502,8 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                regexp_replace(
                  regexp_replace(text, '([a-zA-Z])([0-9])', '\1 \2', 'g'),
                  '([0-9])([a-zA-Z])', '\1 \2', 'g'),
-               '([^a-zA-Z0-9\s])', ' \1 ', 'g')
-           ), '\s+')) AS INT) AS n_bpe_tokens
+               '([^a-zA-Z0-9 \t\n\r\f])', ' \1 ', 'g')
+           ), '[ \t\n\r\f]+')) AS INT) AS n_bpe_tokens
     FROM documents
     """,
 )
@@ -655,7 +656,7 @@ _PACK_BUDGET = 512
     oracle=f"""
     WITH s AS (
       SELECT doc_id, lang,
-             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+             len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) AS n_tokens
       FROM documents
       WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
             / 4294967296.0

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import WHITESPACE_RE
 from ..schemas import load_table
 from .registry import query
 
@@ -521,7 +522,7 @@ def pivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "array_funcs_tokens",
     oracle="""
-    WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)
+    WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r\\f]+') AS t FROM documents)
     SELECT doc_id,
            array_to_string(list_sort(list_distinct(t))[1:5], ',') AS first5_sorted,
            CAST(list_contains(t, 'spark') AS INT) AS has_spark,
@@ -533,7 +534,7 @@ def array_funcs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array function surface: sort/distinct/slice/contains/join (F5 family
     generalized beyond the reference's list append/remove)."""
     d = _t(spark, sf_dir, "documents")
-    t = F.split(F.trim(F.col("text")), r"\s+")
+    t = F.split(F.trim(F.col("text")), WHITESPACE_RE)
     return d.select(
         "doc_id",
         F.array_join(F.slice(F.array_sort(F.array_distinct(t)), 1, 5), ",").alias("first5_sorted"),

@@ -18,7 +18,15 @@ STOPWORDS = (
 )
 
 
-def tokens(text: Column | str, pattern: str = r"\s+") -> Column:
+# Explicit whitespace class, used on BOTH engines: Java regex \s includes
+# vertical tab \x0B while DuckDB's RE2 \s is [\t\n\f\r ], so a bare \s+
+# would tokenize documents containing \x0B differently between the Spark
+# queries and their DuckDB oracles. Spelling the class out pins identical
+# semantics everywhere (oracle SQL uses the same class).
+WHITESPACE_RE = r"[ \t\n\r\f]+"
+
+
+def tokens(text: Column | str, pattern: str = WHITESPACE_RE) -> Column:
     """Whitespace tokenization -> array<string>."""
     c = F.col(text) if isinstance(text, str) else text
     return F.split(F.trim(c), pattern)
@@ -35,8 +43,8 @@ def bpe_ish_tokens(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     marked = F.regexp_replace(c, r"([a-zA-Z])([0-9])", r"$1 $2")
     marked = F.regexp_replace(marked, r"([0-9])([a-zA-Z])", r"$1 $2")
-    marked = F.regexp_replace(marked, r"([^a-zA-Z0-9\s])", r" $1 ")
-    return F.split(F.trim(marked), r"\s+")
+    marked = F.regexp_replace(marked, r"([^a-zA-Z0-9 \t\n\r\f])", r" $1 ")
+    return F.split(F.trim(marked), WHITESPACE_RE)
 
 
 def token_count(text: Column | str) -> Column:
@@ -146,10 +154,10 @@ def gopher_quality_columns(
     lines = F.split(c, "\n")
     nl = F.size(lines).cast("double")
     bullet_ratio = stable_round(
-        F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]"))).cast("double") / nl, 6
+        F.size(F.filter(lines, lambda x: x.rlike(r"^[ \t\r\f]*[-*•]"))).cast("double") / nl, 6
     )
     ellipsis_ratio = stable_round(
-        F.size(F.filter(lines, lambda x: x.rlike(r"\.\.\.\s*$"))).cast("double") / nl, 6
+        F.size(F.filter(lines, lambda x: x.rlike(r"\.\.\.[ \t\r\f]*$"))).cast("double") / nl, 6
     )
     alpha_ratio = stable_round(
         F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]"))).cast("double") / nd, 6
@@ -218,7 +226,7 @@ def lang_id(text: Column | str) -> Column:
     marker-word hits and falls back to script detection for CJK.
     """
     c = F.col(text) if isinstance(text, str) else text
-    t = F.split(F.lower(c), r"\s+")
+    t = F.split(F.lower(c), WHITESPACE_RE)
     markers = {
         "en": ("the", "and", "of", "is", "with"),
         "de": ("der", "die", "und", "ist", "nicht"),

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.text import token_count
+from ..functions.text import WHITESPACE_RE, token_count
 
 # first 8 hex digits of md5 → uniform 32-bit integer; mirrors in DuckDB as
 # CAST(('0x' || substr(md5(...), 1, 8)) AS BIGINT) — keeps the oracle exact.
@@ -166,7 +166,7 @@ def chunk_documents(
     if not 0 <= overlap < max_tokens:
         raise ValueError(f"need 0 <= overlap < max_tokens, got {overlap}/{max_tokens}")
     stride = max_tokens - overlap
-    t = F.split(F.trim(F.col(text_col)), r"\s+")
+    t = F.split(F.trim(F.col(text_col)), WHITESPACE_RE)
     n = F.size(t)
     # chunk start offsets: 0, stride, 2*stride, ... (always >= one chunk).
     # The sequence stops at the first start whose chunk reaches the end of
@@ -281,11 +281,15 @@ def unigram_nll_scores(
     the corpus, so at scale re-tokenizing from the scan is cheaper than
     pinning O(corpus tokens) of cache — and a persist here with no
     unpersist would accumulate across calls and squeeze execution memory
-    in long sessions.
+    in long sessions. This assumes ``df`` is a DETERMINISTIC plan: the two
+    reads must observe identical rows, or frequencies and scores would be
+    built from diverging corpora. Inputs containing an unseeded
+    ``sample()``/``rand()`` upstream must be materialized first (write, or
+    persist + hold the handle) before calling this.
     """
     toks = df.select(
         F.col(id_col),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+        F.explode(F.split(F.trim(F.col(text_col)), WHITESPACE_RE)).alias("tok"),
     ).select(id_col, F.xxhash64("tok").alias("th"))
     freq = toks.groupBy("th").agg(F.count(F.lit(1)).alias("tf"))
     totals = freq.agg(

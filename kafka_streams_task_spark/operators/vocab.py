@@ -44,6 +44,7 @@ def build_vocab(
     text_col: str = "text",
     min_count: int = 1,
     num_partitions: int | None = None,
+    validate: bool = False,
 ) -> DataFrame:
     """Corpus vocabulary as (token, count, token_id), ``token_id`` dense in
     0..V-1 ordered by (count desc, token asc) — deterministic, ties broken
@@ -61,6 +62,13 @@ def build_vocab(
     ``spark.catalog.clearCache()`` (or keep their own ``.persist()`` handle
     on the result); ids remain correct either way — see the invariant
     comment below.
+
+    ``validate=True`` runs one extra aggregation over the stamped vocab and
+    raises if ids are not exactly dense 0..V-1 — a cheap post-hoc guard on
+    the partition-layout invariant (which rests on Spark's deterministic
+    range-sampler recompute behavior, an implementation detail a future
+    Spark could change silently). Use in debug/CI paths; the invariant is
+    also pinned by ``test_build_vocab_ids_survive_cache_eviction``.
     """
     freq = (
         df.select(F.explode(tokens(F.col(text_col))).alias("token"))
@@ -120,7 +128,20 @@ def build_vocab(
             )
             seen += n
 
-    return ranked.mapInPandas(assign, schema)
+    out = ranked.mapInPandas(assign, schema)
+    if validate:
+        row = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("token_id").alias("lo"),
+            F.max("token_id").alias("hi"),
+            F.count_distinct("token_id").alias("nd"),
+        ).collect()[0]
+        if row["n"] and not (row["lo"] == 0 and row["hi"] == row["n"] - 1 and row["nd"] == row["n"]):
+            raise AssertionError(
+                f"build_vocab ids not dense 0..V-1: n={row['n']} min={row['lo']} "
+                f"max={row['hi']} distinct={row['nd']} — partition-layout invariant violated"
+            )
+    return out
 
 
 def encode_documents(

@@ -111,6 +111,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the TIMESTAMP_NTZ -> TIMESTAMP cast below is wall-clock in the
+        # SESSION time zone; it is only instant-preserving under UTC, so pin
+        # it here rather than relying on the session factory having done it
+        # (a caller with a non-UTC session would otherwise get shifted
+        # instants on Spark 4.1.2+ native nanos reads)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -112,3 +112,14 @@ def test_build_vocab_no_single_partition_exchange(spark):
     # through one task (no unpartitioned window / SinglePartition exchange)
     assert "SinglePartition" not in plan
     assert "Window" not in plan
+
+
+def test_build_vocab_validate_flag(spark):
+    from kafka_streams_task_spark.operators.vocab import build_vocab
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma " + f"tok{i % 13}") for i in range(200)], ["doc_id", "text"]
+    )
+    # validate=True runs the dense-id post-hoc guard and must not raise
+    vocab = build_vocab(df, validate=True)
+    assert vocab.count() == 3 + 13
