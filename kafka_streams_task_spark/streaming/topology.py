@@ -51,6 +51,11 @@ def _make_rollup_fn(ttl_ms: int | None):
     def fn(key, pdfs, state):
         if ttl_ms is not None and state.hasTimedOut:
             state.remove()
+            # an EMPTY frame, not a bare return: the applyInPandasWithState
+            # worker protocol expects at least one Arrow batch per invoked
+            # group — a generator that yields nothing crashes the Python
+            # worker on the timeout-eviction batch (observed on 4.1.2)
+            yield pd.DataFrame({"geohash": [], "weatherList": []})
             return
         for out in _rollup_fn(key, pdfs, state):
             yield out
