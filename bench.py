@@ -140,10 +140,47 @@ def _raw_ops():
         docs = load_table(s, d, "documents")
         return docs.select("doc_id", *gopher_quality_columns("text"))
 
+    def _sample_pack_r2(s, d):
+        # frozen r2 workload: sample -> pack (the r4 catalog entry added a
+        # chunking stage; benching the original chain keeps deltas
+        # comparable with BENCH_r02/r03)
+        from kafka_streams_task_spark.catalog.llm import _MIX_RATES, _PACK_BUDGET
+        from kafka_streams_task_spark.operators.sampling import (
+            hash_stratified_sample,
+            pack_sequences,
+        )
+
+        docs = load_table(s, d, "documents").select("doc_id", "lang", "text")
+        sampled = hash_stratified_sample(docs, _MIX_RATES, "lang", "doc_id")
+        packed = pack_sequences(sampled, budget=_PACK_BUDGET, num_partitions=32)
+        fills = packed.groupBy("pack_id").agg(
+            F.sum("n_tokens").alias("fill"), F.count(F.lit(1)).alias("n_in_pack")
+        )
+        bad = fills.filter(
+            (F.col("fill") > _PACK_BUDGET) & (F.col("n_in_pack") > 1)
+        ).agg(F.count(F.lit(1)).alias("n_bad"))
+        per_lang = (
+            packed.join(sampled.select("doc_id", "lang"), on="doc_id")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
+        )
+        return per_lang.crossJoin(bad).select(
+            "lang", "n_docs", "total_tokens", F.col("n_bad").alias("n_bad_packs")
+        )
+
+    def _session_window_r1(s, d):
+        # frozen r1 workload: the native session_window query (its driver
+        # slot merged into session_suite in r4)
+        from kafka_streams_task_spark.catalog.pipeline import session_window_stats
+
+        return session_window_stats(s, d)
+
     return {
         "q6_revenue_forecast": q6_revenue_df,  # r2: registered as q6_q19_filter_aggregates
         "text_quality_scores": _quality_r1,
         "text_quality_gopher": _quality_gopher,
+        "sample_pack_pipeline": _sample_pack_r2,
+        "session_window_stats": _session_window_r1,
         "dedup_minhash_lsh": lambda s, d: minhash_lsh_candidates(load_table(s, d, "documents")),
         "dedup_simhash": lambda s, d: simhash_near_dup_pairs(load_table(s, d, "documents")),
         "dedup_embedding_cosine": lambda s, d: embedding_near_dup_pairs(load_table(s, d, "embeddings")),

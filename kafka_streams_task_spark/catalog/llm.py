@@ -31,8 +31,10 @@ from ..functions.text import (
     rolling_fingerprint_portable,
     stopword_ratio,
     token_count,
+    tokens,
 )
 from ..operators.dedup import (
+    decontaminate,
     dedup_exact,
     embedding_near_dup_pairs,
     minhash_lsh_candidates,
@@ -651,6 +653,9 @@ _MIX_RATES = {"en": 1.0, "fr": 0.5, "zh": 0.5, "es": 0.25, "de": 0.25}
 _PACK_BUDGET = 512
 
 
+_CHUNK_TOKENS = 32
+
+
 @query(
     "sample_pack_pipeline",
     oracle=f"""
@@ -665,29 +670,47 @@ _PACK_BUDGET = 512
     )
     SELECT lang,
            count(*) AS n_docs,
+           CAST(sum(CAST(ceil(n_tokens / 32.0) AS BIGINT)) AS BIGINT) AS n_chunks,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            CAST(0 AS BIGINT) AS n_bad_packs
     FROM s GROUP BY lang
     """,
 )
 def sample_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data mixing + sequence packing, oracle-checked end to end: keep a
-    deterministic md5-hash stratified sample per language (exact binary
-    rates, so the Spark filter and the DuckDB filter admit byte-identical
-    row sets), greedily pack the sampled docs into 512-token sequences
-    (operators/sampling.py), and emit per-language conservation invariants:
-    every sampled doc packed exactly once (n_docs), token mass preserved
-    through packing (total_tokens summed from PACK output, not the input),
-    and zero multi-doc packs over budget (n_bad_packs — over-budget is
-    legal only for a single oversize document isolated in its own pack).
-    The oracle recomputes the sample membership and token totals in SQL and
-    states the packing invariants as constants — any packing bug (lost or
-    double-packed doc, overfilled pack) breaks a count or the token sum."""
-    from ..operators.sampling import hash_stratified_sample, pack_sequences
+    """The full sample -> chunk -> pack preprocessing chain, oracle-checked
+    end to end: keep a deterministic md5-hash stratified sample per
+    language (exact binary rates, so the Spark filter and the DuckDB
+    filter admit byte-identical row sets), split each sampled doc into
+    <= 32-token chunks (map-only ``chunk_documents``), greedily pack the
+    chunks into 512-token sequences (operators/sampling.py), and emit
+    per-language conservation invariants computed from the PACK output:
+    every sampled doc survives chunking+packing (n_docs, distinct),
+    chunk count law n_chunks = sum(ceil(n_tokens/32)) (the r4 leg that
+    puts chunk_documents under the driver's hash check), token mass
+    preserved through chunk AND pack (total_tokens), and zero multi-chunk
+    packs over budget (n_bad_packs). The oracle recomputes sample
+    membership and the chunk/token arithmetic in SQL and states the
+    packing invariants as constants — a lost or duplicated chunk, a
+    token-splitting bug, or an overfilled pack each breaks a column."""
+    from ..operators.sampling import (
+        chunk_documents,
+        hash_stratified_sample,
+        pack_sequences,
+    )
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     sampled = hash_stratified_sample(d, _MIX_RATES, "lang", "doc_id")
-    packed = pack_sequences(sampled, budget=_PACK_BUDGET, num_partitions=32)
+    chunks = chunk_documents(sampled, max_tokens=_CHUNK_TOKENS).select(
+        (F.col("doc_id") * F.lit(1_000_000) + F.col("chunk_idx")).alias("chunk_id"),
+        "n_tokens",
+    )
+    packed = pack_sequences(
+        chunks,
+        budget=_PACK_BUDGET,
+        id_col="chunk_id",
+        n_tokens_col="n_tokens",
+        num_partitions=32,
+    )
     fills = packed.groupBy("pack_id").agg(
         F.sum("n_tokens").alias("fill"), F.count(F.lit(1)).alias("n_in_pack")
     )
@@ -695,13 +718,123 @@ def sample_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("fill") > _PACK_BUDGET) & (F.col("n_in_pack") > 1)
     ).agg(F.count(F.lit(1)).alias("n_bad"))
     per_lang = (
-        packed.join(sampled.select("doc_id", "lang"), on="doc_id")
+        packed.select(
+            F.expr("chunk_id div 1000000").alias("doc_id"),
+            "n_tokens",
+        )
+        .join(sampled.select("doc_id", "lang"), on="doc_id")
         .groupBy("lang")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_chunks"),
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
     return per_lang.crossJoin(bad).select(
-        "lang", "n_docs", "total_tokens", F.col("n_bad").alias("n_bad_packs")
+        "lang", "n_docs", "n_chunks", "total_tokens", F.col("n_bad").alias("n_bad_packs")
     )
+
+
+_LEAK_8GRAM = " ".join(f"zzleak{i}" for i in range(8))
+
+
+@query(
+    "vocab_encode_decontam_suite",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) AS token
+      FROM documents
+    ), freq AS (
+      SELECT token, count(*) AS cnt FROM tok GROUP BY token
+    )
+    SELECT 'vocab' AS leg,
+           CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) - 1 AS BIGINT) AS key,
+           token AS s1, cnt AS i1, CAST(NULL AS BIGINT) AS i2
+    FROM freq
+    UNION ALL
+    SELECT 'encode', doc_id, CAST(NULL AS VARCHAR),
+           CAST(len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'decontam', doc_id, CAST(NULL AS VARCHAR),
+           CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
+    FROM documents WHERE doc_id % 50 = 0
+    """,
+)
+def vocab_encode_decontam_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three library operators in one driver slot (r4; tagged legs, the
+    scalar_semantics_suite pattern):
+
+    'vocab' — the FULL build_vocab output (token, count, token_id): the
+    oracle recomputes frequencies AND the dense frequency-ranked ids with
+    row_number() OVER (ORDER BY count DESC, token ASC) - 1, so the
+    range-partitioned two-job id assignment is value-checked end to end,
+    dense 0..V-1 with deterministic tie-breaks.
+
+    'encode' — encode_documents roundtrip per document: i1 = n_tokens from
+    the ENCODED output (must equal the SQL token count), i2 = unk count +
+    decode-mismatch flag (token_ids joined back through the vocabulary and
+    order-restored must reproduce tokens(text) exactly; the corpus's own
+    vocab has no OOV, so the oracle states 0).
+
+    'decontam' — planted-leak invariant for decontaminate: an 8-token
+    marker ngram (absent from the corpus) is appended to every doc with
+    doc_id % 50 == 0 and used as the benchmark set; exactly those docs
+    must be flagged, each with exactly one contaminated shingle."""
+    from ..operators.vocab import build_vocab, encode_documents
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = build_vocab(d)
+    vocab_leg = vocab.select(
+        F.lit("vocab").alias("leg"),
+        F.col("token_id").alias("key"),
+        F.col("token").alias("s1"),
+        F.col("count").alias("i1"),
+        F.lit(None).cast("long").alias("i2"),
+    )
+
+    enc = encode_documents(d, vocab)
+    ids = enc.select("doc_id", F.posexplode("token_ids").alias("pos", "token_id"))
+    decoded = (
+        ids.join(vocab.select("token_id", "token"), on="token_id", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda s: s["token"],
+            ).alias("decoded")
+        )
+    )
+    orig = d.select("doc_id", tokens(F.col("text")).alias("orig"))
+    encode_leg = (
+        enc.join(decoded, "doc_id")
+        .join(orig, "doc_id")
+        .select(
+            F.lit("encode").alias("leg"),
+            F.col("doc_id").alias("key"),
+            F.lit(None).cast("string").alias("s1"),
+            F.col("n_tokens").cast("long").alias("i1"),
+            (
+                F.size(F.filter(F.col("token_ids"), lambda x: x == F.lit(-1)))
+                + F.when(F.col("decoded") == F.col("orig"), F.lit(0)).otherwise(F.lit(1))
+            ).cast("long").alias("i2"),
+        )
+    )
+
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 50 == 0,
+            F.concat_ws(" ", F.col("text"), F.lit(_LEAK_8GRAM)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    benchmark = spark.createDataFrame([(_LEAK_8GRAM,)], ["text"])
+    decontam_leg = decontaminate(planted, benchmark, shingle_n=8).select(
+        F.lit("decontam").alias("leg"),
+        F.col("doc_id").alias("key"),
+        F.lit(None).cast("string").alias("s1"),
+        F.col("n_contaminated_shingles").cast("long").alias("i1"),
+        F.lit(None).cast("long").alias("i2"),
+    )
+    return vocab_leg.unionByName(encode_leg).unionByName(decontam_leg)

@@ -215,7 +215,7 @@ def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "sessionized_event_counts",
+    "session_suite",
     oracle="""
     WITH flagged AS (
       SELECT user_id, ts, event_id,
@@ -224,21 +224,37 @@ def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  ts) <= 1800 THEN 0 ELSE 1 END AS new_session
       FROM events
     ), numbered AS (
-      SELECT user_id,
+      SELECT user_id, ts,
              sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS session_no
       FROM flagged
     )
-    SELECT user_id, CAST(session_no AS INT) AS session_no, count(*) AS n_events
+    SELECT 'counts' AS leg, user_id, CAST(session_no AS INT) AS session_no,
+           CAST(NULL AS VARCHAR) AS session_start, count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_no
+    UNION ALL
+    SELECT 'window', user_id, CAST(NULL AS INT),
+           CAST(min(ts) AS VARCHAR), count(*)
     FROM numbered
     GROUP BY user_id, session_no
     """,
 )
-def sessionized_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization (30-min inactivity gap) via gaps-and-islands windows —
-    the batch twin of session_window(). Expressed with lag/cumsum so the
-    oracle is portable SQL."""
+def session_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two sessionization formulations in one driver slot (merged r4: was
+    sessionized_event_counts + session_window_stats; both legs keep their
+    full row sets):
+
+    'counts' — gaps-and-islands (lag/cumsum) sessionization, the batch
+    twin of session_window, keyed by (user, session_no).
+
+    'window' — Spark's NATIVE session_window() operator (30-min inactivity
+    gap), keyed by (user, session_start). The oracle derives both legs from
+    the same lag/cumsum sessions, so the native operator is hash-checked
+    against portable SQL; segmentation is identical because event
+    timestamps are microsecond-unique per user (ties can't straddle a
+    session boundary)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -255,7 +271,27 @@ def sessionized_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(1),
     )
     numbered = flagged.withColumn("session_no", F.sum("new_session").over(cum).cast("int"))
-    return numbered.groupBy("user_id", "session_no").agg(F.count(F.lit(1)).alias("n_events"))
+    counts_leg = numbered.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events")
+    ).select(
+        F.lit("counts").alias("leg"),
+        "user_id",
+        "session_no",
+        F.lit(None).cast("string").alias("session_start"),
+        "n_events",
+    )
+    window_leg = (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.lit("window").alias("leg"),
+            "user_id",
+            F.lit(None).cast("int").alias("session_no"),
+            F.col("w.start").cast("string").alias("session_start"),
+            "n_events",
+        )
+    )
+    return counts_leg.unionByName(window_leg)
 
 
 @query(
@@ -289,40 +325,10 @@ def asof_purchase_to_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", F.col("r_event_id").alias("click_event_id"))
 
 
-@query(
-    "session_window_stats",
-    oracle="""
-    WITH flagged AS (
-      SELECT user_id, ts,
-             CASE WHEN date_diff('second',
-                                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-                                 ts) <= 1800 THEN 0 ELSE 1 END AS new_session
-      FROM events
-    ), numbered AS (
-      SELECT user_id, ts,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS session_no
-      FROM flagged
-    )
-    SELECT user_id,
-           CAST(min(ts) AS VARCHAR) AS session_start,
-           count(*) AS n_events
-    FROM numbered
-    GROUP BY user_id, session_no
-    """,
-)
 def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The REAL session_window operator (30-min inactivity gap) — the same
-    sessions the gaps-and-islands oracle derives, so Spark's native session
-    windowing is hash-checked against portable SQL. Works unchanged on a
-    stream (with a watermark).
-
-    Note session_window's window start == first event ts and the window
-    closes after 30 idle minutes — identical segmentation to the
-    lag/cumsum formulation as long as ties on ts don't straddle a boundary
-    (event timestamps here are microsecond-unique per user).
-    """
+    """The native session_window leg of :func:`session_suite`, standalone —
+    kept (unregistered) for bench comparability with the frozen r1
+    workload; the driver slot now hash-checks it inside ``session_suite``."""
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
