@@ -498,28 +498,66 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_bpe_token_counts",
     oracle=r"""
-    SELECT doc_id,
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r\f]+') AS words
+      FROM documents
+    )
+    SELECT d.doc_id,
            CAST(len(string_split_regex(trim(
              regexp_replace(
                regexp_replace(
-                 regexp_replace(text, '([a-zA-Z])([0-9])', '\1 \2', 'g'),
+                 regexp_replace(d.text, '([a-zA-Z])([0-9])', '\1 \2', 'g'),
                  '([0-9])([a-zA-Z])', '\1 \2', 'g'),
                '([^a-zA-Z0-9 \t\n\r\f])', ' \1 ', 'g')
-           ), '[ \t\n\r\f]+')) AS INT) AS n_bpe_tokens
-    FROM documents
+           ), '[ \t\n\r\f]+')) AS INT) AS n_bpe_tokens,
+           CAST(list_sum(list_transform(t.words, x -> length(x))) AS BIGINT)
+             AS bpe_char_mass,
+           CAST(len(t.words) AS BIGINT) AS bpe_word_marks
+    FROM documents d JOIN t ON d.doc_id = t.doc_id
     """,
 )
 def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish subword token counting (lookahead-free regex boundary
-    splitting — the deterministic approximation of byte-pair granularity
-    for cost estimation; identical rules mirrored in RE2 for the oracle)."""
+    """Subword tokenization under the driver hash gate, two tokenizers:
+
+    n_bpe_tokens — the regex boundary approximation (bpe_ish_tokens),
+    recomputed exactly by the RE2 oracle (cheap cost-estimation path).
+
+    bpe_char_mass / bpe_word_marks — a REAL trained BPE tokenizer
+    (operators/bpe.py: distributed pair-merge training on this very
+    corpus, 64 merges in disjoint batches of 16, then the memoized encoder)
+    checked through its conservation laws, which hold for ANY valid merge
+    sequence and therefore are SQL-stateable without the oracle knowing
+    the learned merges: stripping the end-of-word markers from a doc's
+    subwords must restore exactly the document's character mass
+    (lossless-ness), and exactly one marker-bearing subword must exist per
+    word (boundary preservation). A merge that loses, duplicates, or
+    crosses word boundaries breaks a column. The learned-merge SEQUENCE
+    itself is pinned against a pure-Python reference implementation in
+    tests/test_bpe.py."""
     from ..functions.text import bpe_ish_tokens
+    from ..operators.bpe import EOW, bpe_encode, bpe_train
 
     d = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(d, n_merges=64, batch_k=16)
+    enc = bpe_encode(d, merges)
+    bpe_cols = enc.select(
+        "doc_id",
+        F.aggregate(
+            F.transform(
+                F.col("subwords"),
+                lambda s: F.length(F.replace(s, F.lit(EOW), F.lit(""))).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("bpe_char_mass"),
+        F.size(
+            F.filter(F.col("subwords"), lambda s: s.contains(EOW))
+        ).cast("long").alias("bpe_word_marks"),
+    )
     return d.select(
         "doc_id",
         F.size(bpe_ish_tokens("text")).alias("n_bpe_tokens"),
-    )
+    ).join(bpe_cols, on="doc_id")
 
 
 @query(

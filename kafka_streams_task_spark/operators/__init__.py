@@ -11,6 +11,11 @@ from .weather import (
 )
 
 # training-data pipeline surface (beyond-reference mandate)
+from .bpe import (
+    bpe_encode,
+    bpe_train,
+    word_frequencies,
+)
 from .cluster import (
     connected_components,
     dedup_survivors_by_cluster,
@@ -70,6 +75,9 @@ __all__ = [
     "dedup_exact",
     "drop_exact_duplicates",
     "minhash_lsh_candidates",
+    "bpe_train",
+    "bpe_encode",
+    "word_frequencies",
     "simhash_near_dup_pairs",
     "ngram_jaccard_pairs",
     "embedding_near_dup_pairs",
