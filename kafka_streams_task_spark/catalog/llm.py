@@ -777,13 +777,24 @@ _LEAK_8GRAM = " ".join(f"zzleak{i}" for i in range(8))
 
 
 @query(
-    "vocab_encode_decontam_suite",
+    "llm_library_suite",
     oracle="""
     WITH tok AS (
-      SELECT unnest(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) AS token
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) AS token
       FROM documents
     ), freq AS (
       SELECT token, count(*) AS cnt FROM tok GROUP BY token
+    ), tot AS (
+      SELECT sum(cnt) AS n_total, count(*) AS n_vocab FROM freq
+    ), src AS (
+      SELECT source, count(*) AS n FROM documents GROUP BY source
+    ), srctot AS (
+      SELECT sum(n) AS t FROM src
+    ), raw AS (
+      SELECT source, pow(CAST(n AS DOUBLE) / t, -0.5) AS r FROM src, srctot
+    ), rates AS (
+      SELECT source, round(r / (SELECT max(r) FROM raw), 6) AS rate FROM raw
     )
     SELECT 'vocab' AS leg,
            CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) - 1 AS BIGINT) AS key,
@@ -798,10 +809,26 @@ _LEAK_8GRAM = " ".join(f"zzleak{i}" for i in range(8))
     SELECT 'decontam', doc_id, CAST(NULL AS VARCHAR),
            CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
     FROM documents WHERE doc_id % 50 = 0
+    UNION ALL
+    SELECT 'mixrates', CAST(NULL AS BIGINT), d.source,
+           count(*), CAST(NULL AS BIGINT)
+    FROM documents d JOIN rates ON d.source = rates.source
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          / 4294967296.0 < rate
+    GROUP BY d.source
+    UNION ALL
+    SELECT 'shuffle', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           (SELECT count(*) FROM documents), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'nll', tok.doc_id, CAST(NULL AS VARCHAR),
+           count(*),
+           CAST(round(avg(-ln((cnt + 1.0) / (n_total + n_vocab))) * 1e6) AS BIGINT)
+    FROM tok JOIN freq USING (token), tot
+    GROUP BY tok.doc_id
     """,
 )
-def vocab_encode_decontam_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three library operators in one driver slot (r4; tagged legs, the
+def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six library operators in one driver slot (r4; tagged legs, the
     scalar_semantics_suite pattern):
 
     'vocab' — the FULL build_vocab output (token, count, token_id): the
@@ -819,7 +846,29 @@ def vocab_encode_decontam_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     'decontam' — planted-leak invariant for decontaminate: an 8-token
     marker ngram (absent from the corpus) is appended to every doc with
     doc_id % 50 == 0 and used as the benchmark set; exactly those docs
-    must be flagged, each with exactly one contaminated shingle."""
+    must be flagged, each with exactly one contaminated shingle.
+
+    'mixrates' — temperature_mix_rates(T=2) + hash_stratified_sample on
+    the source column: the oracle recomputes the tempered keep rates
+    ((p_s)^(1/T-1), peak-normalized, rounded 6dp on BOTH engines so libm
+    pow differences cannot move the filter threshold) and replays the md5
+    membership filter — per-source kept counts must match exactly.
+
+    'shuffle' — shuffle_deterministic layout-independence: the same seed
+    applied to two differently-partitioned inputs must give every doc the
+    same shard (i2 = mismatch count, stated 0 by the oracle), with the
+    full corpus present (i1).
+
+    'nll' — unigram_nll_scores value check: the oracle recomputes the
+    add-one-smoothed corpus unigram NLL per document; avg_nll is compared
+    in integer micro-nats (both engines round(avg*1e6)) so float
+    summation-order noise (~1e-8 relative) cannot flip the hash."""
+    from ..operators.sampling import (
+        hash_stratified_sample,
+        shuffle_deterministic,
+        temperature_mix_rates,
+        unigram_nll_scores,
+    )
     from ..operators.vocab import build_vocab, encode_documents
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -875,4 +924,58 @@ def vocab_encode_decontam_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_contaminated_shingles").cast("long").alias("i1"),
         F.lit(None).cast("long").alias("i2"),
     )
-    return vocab_leg.unionByName(encode_leg).unionByName(decontam_leg)
+
+    ds = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    rates = {
+        k: round(v, 6)
+        for k, v in temperature_mix_rates(ds, "source", temperature=2.0).items()
+    }
+    mix_leg = (
+        hash_stratified_sample(ds, rates, "source", "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .select(
+            F.lit("mixrates").alias("leg"),
+            F.lit(None).cast("long").alias("key"),
+            F.col("source").alias("s1"),
+            F.col("n_kept").alias("i1"),
+            F.lit(None).cast("long").alias("i2"),
+        )
+    )
+
+    shuf_a = shuffle_deterministic(
+        ds.repartition(5), seed=7, num_partitions=8
+    ).select("doc_id", F.spark_partition_id().alias("pa"))
+    shuf_b = shuffle_deterministic(
+        ds.repartition(13, "source"), seed=7, num_partitions=8
+    ).select("doc_id", F.spark_partition_id().alias("pb"))
+    shuffle_leg = (
+        shuf_a.join(shuf_b, on="doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("pa") != F.col("pb")).cast("long")).alias("n_mismatch"),
+        )
+        .select(
+            F.lit("shuffle").alias("leg"),
+            F.lit(None).cast("long").alias("key"),
+            F.lit(None).cast("string").alias("s1"),
+            F.col("n").alias("i1"),
+            F.col("n_mismatch").alias("i2"),
+        )
+    )
+
+    nll_leg = unigram_nll_scores(d).select(
+        F.lit("nll").alias("leg"),
+        F.col("doc_id").alias("key"),
+        F.lit(None).cast("string").alias("s1"),
+        F.col("n_tokens").alias("i1"),
+        F.round(F.col("avg_nll") * 1e6, 0).cast("long").alias("i2"),
+    )
+
+    return (
+        vocab_leg.unionByName(encode_leg)
+        .unionByName(decontam_leg)
+        .unionByName(mix_leg)
+        .unionByName(shuffle_leg)
+        .unionByName(nll_leg)
+    )
