@@ -1,0 +1,84 @@
+"""Hypothesis property tests: the distributed BPE trainer and the
+group-membership Jaccard pairs against brute-force references on random
+small corpora. Few examples, no deadline — each example runs Spark jobs."""
+
+from __future__ import annotations
+
+from collections import Counter
+from itertools import combinations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kafka_streams_task_spark.operators.bpe import EOW, bpe_encode, bpe_train
+from tests.test_bpe import ref_bpe_train
+
+# words over a 3-letter alphabet: heavy pair collisions, adversarial ties
+word = st.text(alphabet="abc", min_size=1, max_size=6)
+corpus = st.lists(
+    st.lists(word, min_size=1, max_size=8).map(" ".join), min_size=1, max_size=6
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(docs=corpus, n_merges=st.integers(min_value=1, max_value=8))
+def test_bpe_trainer_matches_reference_on_random_corpora(spark, docs, n_merges):
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    wc = Counter(w for t in docs for w in t.split())
+    got = bpe_train(df, n_merges=n_merges)
+    want = ref_bpe_train(dict(wc), n_merges)
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(docs=corpus)
+def test_bpe_encode_lossless_on_random_corpora(spark, docs):
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    merges = bpe_train(df, n_merges=6)
+    enc = {r.doc_id: r.subwords for r in bpe_encode(df, merges).collect()}
+    for i, t in enumerate(docs):
+        assert "".join(enc[i]) == "".join(w + EOW for w in t.split())
+
+
+def _ref_jaccard_pairs(docs, n=3, threshold=0.2):
+    def sh(text):
+        t = text.strip().split()
+        if len(t) < n:
+            return {" ".join(t)}
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    out = {}
+    sets = {i: sh(t) for i, t in docs}
+    for (ia, ta), (ib, tb) in combinations(docs, 2):
+        a, b = (ia, ib) if ia < ib else (ib, ia)
+        inter = len(sets[ia] & sets[ib])
+        union = len(sets[ia] | sets[ib])
+        j = inter / union if union else 0.0
+        if round(j + 1e-09, 6) >= threshold:
+            out[(a, b)] = round(j + 1e-09, 6)
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["red", "blue", "green", "dog", "cat"]),
+                 min_size=1, max_size=10).map(" ".join),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_ngram_jaccard_matches_bruteforce_on_random_corpora(spark, docs):
+    """The single-pass posting-list formulation must agree with brute-force
+    pairwise Jaccard over distinct 3-gram shingles (tiny vocab => heavy
+    shingle collisions, the adversarial case for the inverted index)."""
+    from kafka_streams_task_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, threshold=0.2).collect()
+    }
+    want = _ref_jaccard_pairs(rows)
+    assert got == want
