@@ -514,3 +514,45 @@ def test_dedup_queries_leave_no_cached_blocks(spark, sf_dir):
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         leaked = {int(k) for k in jmap.keySet().toArray()} - before
         assert not leaked, f"{name} left persisted RDDs: {leaked}"
+
+
+def test_dedup_plan_shapes_pinned(spark, sf_dir):
+    """Pin the r4 single-pass group-membership plan shapes so a future
+    refactor can't silently reintroduce self-joins, extra Python stages, or
+    persisted indexes:
+
+    - minhash: the expensive signature stage (MapInPandas) appears exactly
+      once; candidate pairing adds NO joins (one groupBy + pair explode +
+      distinct = 2 exchanges).
+    - simhash: all-JVM (zero Python), zero joins.
+    - jaccard: all-JVM, ZERO joins anywhere — sizes ride inside the
+      posting structs, so the old sizes-table broadcasts are gone.
+    - embedding: exactly one Python stage (bucket projection) and exactly
+      two broadcast joins (the per-side vector rejoin at cosine
+      verification) — vectors never ride the bucket shuffle.
+    - nothing reads from cache (no InMemoryTableScan: no hidden persist).
+    """
+    from kafka_streams_task_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+        simhash_near_dup_pairs,
+    )
+    from kafka_streams_task_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    expectations = {
+        # (map_in_pandas, joins, max_exchanges)
+        "minhash": (minhash_lsh_candidates(docs), 1, 0, 2),
+        "simhash": (simhash_near_dup_pairs(docs), 0, 0, 3),
+        "jaccard": (ngram_jaccard_pairs(docs), 0, 0, 2),
+        "embedding": (embedding_near_dup_pairs(emb), 1, 2, 4),
+    }
+    for name, (df, n_py, n_join, max_ex) in expectations.items():
+        p = df._jdf.queryExecution().executedPlan().toString()
+        joins = sum(p.count(j) for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
+        assert p.count("MapInPandas") == n_py, f"{name}: python stages\n{p}"
+        assert joins == n_join, f"{name}: joins {joins} != {n_join}\n{p}"
+        assert p.count("InMemoryTableScan") == 0, f"{name}: cached scan\n{p}"
+        assert p.count("Exchange") <= max_ex, f"{name}: exchanges\n{p}"
