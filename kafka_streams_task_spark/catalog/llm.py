@@ -776,9 +776,33 @@ def sample_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LEAK_8GRAM = " ".join(f"zzleak{i}" for i in range(8))
 
 
+def _zorder_oracle_expr(bits: int = 8) -> str:
+    """DuckDB bit arithmetic reproducing ``layout.zorder_key`` over
+    events(user_id, value) with ``bits``-wide buckets: the bucket mirrors
+    Spark's width_bucket float operation ORDER exactly — (hi-lo)/n first,
+    then (v-lo)/that, then floor — so IEEE doubles agree bit-for-bit and
+    the Morton interleave is integer-exact (verified: 0 mismatches over
+    the full events table)."""
+    n_buckets = 1 << bits
+
+    def bucket(col: str, lo: str, hi: str) -> str:
+        return (
+            f"least(greatest(CAST(floor((CAST({col} AS DOUBLE) - ({lo})) / "
+            f"((({hi}) - ({lo})) / {n_buckets}.0)) AS BIGINT), 0), {n_buckets - 1})"
+        )
+
+    bu = bucket("user_id", "(SELECT min(user_id) FROM events)", "(SELECT max(user_id) FROM events)")
+    bv = bucket("value", "(SELECT min(value) FROM events)", "(SELECT max(value) FROM events)")
+    parts = []
+    for b in range(bits):
+        parts.append(f"(((({bu}) >> {b}) & 1) << {b * 2})")
+        parts.append(f"(((({bv}) >> {b}) & 1) << {b * 2 + 1})")
+    return " | ".join(parts)
+
+
 @query(
     "llm_library_suite",
-    oracle="""
+    oracle=f"""
     WITH tok AS (
       SELECT doc_id,
              unnest(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) AS token
@@ -825,10 +849,14 @@ _LEAK_8GRAM = " ".join(f"zzleak{i}" for i in range(8))
            CAST(round(avg(-ln((cnt + 1.0) / (n_total + n_vocab))) * 1e6) AS BIGINT)
     FROM tok JOIN freq USING (token), tot
     GROUP BY tok.doc_id
+    UNION ALL
+    SELECT 'zorder', event_id, CAST(NULL AS VARCHAR),
+           {_zorder_oracle_expr(8)}, CAST(NULL AS BIGINT)
+    FROM events
     """,
 )
 def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Six library operators in one driver slot (r4; tagged legs, the
+    """Seven library operators in one driver slot (r4; tagged legs, the
     scalar_semantics_suite pattern):
 
     'vocab' — the FULL build_vocab output (token, count, token_id): the
@@ -862,7 +890,14 @@ def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     'nll' — unigram_nll_scores value check: the oracle recomputes the
     add-one-smoothed corpus unigram NLL per document; avg_nll is compared
     in integer micro-nats (both engines round(avg*1e6)) so float
-    summation-order noise (~1e-8 relative) cannot flip the hash."""
+    summation-order noise (~1e-8 relative) cannot flip the hash.
+
+    'zorder' — layout.zorder_key value check over events(user_id, value):
+    the oracle reproduces the width_bucket quantization (mirroring Spark's
+    float operation order exactly, so IEEE doubles agree) and the Morton
+    bit interleave — the clustering key that drives write_zordered's
+    multi-dimensional data skipping is hash-checked value-for-value; the
+    write path + footer-stats skipping stay pinned by test_layout.py."""
     from ..operators.sampling import (
         hash_stratified_sample,
         shuffle_deterministic,
@@ -972,10 +1007,22 @@ def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("avg_nll") * 1e6, 0).cast("long").alias("i2"),
     )
 
+    from ..operators.layout import zorder_key
+
+    ev = load_table(spark, sf_dir, "events")
+    zorder_leg = ev.select(
+        F.lit("zorder").alias("leg"),
+        F.col("event_id").alias("key"),
+        F.lit(None).cast("string").alias("s1"),
+        zorder_key(ev, ["user_id", "value"], bits=8).alias("i1"),
+        F.lit(None).cast("long").alias("i2"),
+    )
+
     return (
         vocab_leg.unionByName(encode_leg)
         .unionByName(decontam_leg)
         .unionByName(mix_leg)
         .unionByName(shuffle_leg)
         .unionByName(nll_leg)
+        .unionByName(zorder_leg)
     )
