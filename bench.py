@@ -46,6 +46,7 @@ HEADLINE = [
     "similarity_knn_bruteforce",
     "similarity_knn_lsh",
     "similarity_knn_ivf",
+    "similarity_knn_ivf_pq",  # added r4 (new operator; not in r1 baseline)
     "text_token_stats",
     "text_quality_scores",
     "text_quality_gopher",  # added r2 (widened quality surface; not in r1 baseline)
@@ -92,6 +93,8 @@ BASELINE_SEC = {
     "dedup_clusters_cc": 2.267,
     "sample_pack_pipeline": 1.518,
     "text_quality_gopher": 0.395,
+    # r4-added operator (steady-state measured at introduction)
+    "similarity_knn_ivf_pq": 2.5,
 }
 RETRY_FACTOR = 2.0
 MAX_EXTRA_TRIALS = 2
@@ -110,7 +113,11 @@ def _raw_ops():
         minhash_lsh_candidates,
         simhash_near_dup_pairs,
     )
-    from kafka_streams_task_spark.operators.similarity import knn_ivf, knn_lsh
+    from kafka_streams_task_spark.operators.similarity import (
+        knn_ivf,
+        knn_ivf_pq,
+        knn_lsh,
+    )
     from kafka_streams_task_spark.schemas import load_table
 
     def _emb_pair(spark, sf_dir):
@@ -186,6 +193,9 @@ def _raw_ops():
         "dedup_embedding_cosine": lambda s, d: embedding_near_dup_pairs(load_table(s, d, "embeddings")),
         "similarity_knn_lsh": lambda s, d: knn_lsh(*_emb_pair(s, d), k=5),
         "similarity_knn_ivf": lambda s, d: knn_ivf(*_emb_pair(s, d), k=5),
+        "similarity_knn_ivf_pq": lambda s, d: knn_ivf_pq(
+            *_emb_pair(s, d), k=5, n_probe=8, ks=64, rerank_k=48
+        ),
     }
 
 

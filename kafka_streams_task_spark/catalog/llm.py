@@ -563,7 +563,8 @@ def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "similarity_knn_ivf_recall",
     oracle="""
-    SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results, CAST(1 AS INT) AS recall_ok
+    SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results, CAST(1 AS INT) AS recall_ok,
+           CAST(5 AS BIGINT) AS n_results_pq, CAST(1 AS INT) AS recall_pq_ok
     FROM embeddings WHERE vec_id < 10
     """,
 )
@@ -573,14 +574,27 @@ def similarity_knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force top-5 in the same plan: full k results, recall >= 0.6
     (deterministic under the fixed kmeans seed; probes 8 of 16 lists —
     the driver's near-uniform synthetic vectors need wide probing, see
-    similarity_knn_lsh_recall)."""
-    from ..operators.similarity import knn_ivf
+    similarity_knn_lsh_recall).
+
+    r4 adds the IVF-PQ path to the same gate (n_results_pq / recall_pq_ok,
+    same >= 0.6 per-query floor): coarse probing as above, candidates
+    scored by codegen ADC over 8x64-codebook product-quantized codes in
+    cosine space, ADC top-48 exactly reranked. Measured per-query recall
+    at the driver scale: min 0.6, mean 0.78."""
+    from ..operators.similarity import knn_ivf, knn_ivf_pq
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     exact = knn_bruteforce(emb, q, k=5)
     approx = knn_ivf(emb, q, k=5, n_probe=8)
-    return _knn_recall_gate(q, exact, approx, k=5, floor=0.6)
+    gate = _knn_recall_gate(q, exact, approx, k=5, floor=0.6)
+    approx_pq = knn_ivf_pq(emb, q, k=5, n_probe=8, ks=64, rerank_k=48)
+    gate_pq = _knn_recall_gate(q, exact, approx_pq, k=5, floor=0.6).select(
+        "query_id",
+        F.col("n_results").alias("n_results_pq"),
+        F.col("recall_ok").alias("recall_pq_ok"),
+    )
+    return gate.join(gate_pq, on="query_id")
 
 
 @query(

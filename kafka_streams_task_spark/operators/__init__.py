@@ -55,6 +55,7 @@ from .similarity import (
     kmeans_fit_distributed,
     knn_bruteforce,
     knn_ivf,
+    knn_ivf_pq,
     knn_lsh,
 )
 from .vocab import build_vocab, encode_documents
@@ -102,5 +103,6 @@ __all__ = [
     "knn_bruteforce",
     "knn_lsh",
     "knn_ivf",
+    "knn_ivf_pq",
     "kmeans_fit_distributed",
 ]

@@ -378,3 +378,194 @@ def knn_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
     )
+
+
+def _pq_train_codebooks(
+    sample: np.ndarray, m: int, ks: int, seed: int
+) -> np.ndarray:
+    """Per-subspace k-means codebooks for product quantization:
+    (m, ks, dim/m). Subspace j gets its own seeded k-means over the
+    sample's j-th vector slice."""
+    n, dim = sample.shape
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    ks = min(ks, n)
+    books = np.zeros((m, ks, sub))
+    for j in range(m):
+        books[j] = _kmeans_numpy(sample[:, j * sub : (j + 1) * sub], ks, seed + j)
+    return books
+
+
+def _l2_normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.sqrt((mat**2).sum(axis=1, keepdims=True))
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def _pq_encode(df: DataFrame, vec_col: str, books: np.ndarray, out_col: str = "codes"):
+    """mapInPandas: encode each L2-NORMALIZED vector to m subspace code ids
+    (argmin distance to the subspace codebook) — one numpy pass per Arrow
+    batch; the output carries (input columns..., codes array<int>), so
+    downstream candidate scoring shuffles m small ints per vector instead
+    of the vector itself. Normalization makes the downstream ADC dot
+    product approximate COSINE (the ranking the exact rerank uses), not
+    the norm-biased raw dot."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    m, ks, sub = books.shape
+    dim = m * sub
+    books_sq = (books**2).sum(axis=2)  # (m, ks)
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.ArrayType(T.IntegerType()))]
+    )
+
+    def batches(it):
+        for pdf in it:
+            ok = pdf[vec_col].map(lambda v: v is not None and len(v) == dim)
+            pdf = pdf[ok]
+            mat = np.array([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            if len(mat) == 0:
+                yield pd.DataFrame(columns=[f.name for f in out_schema.fields])
+                continue
+            mat = _l2_normalize(mat)
+            codes = np.zeros((len(mat), m), dtype="int32")
+            for j in range(m):
+                x = mat[:, j * sub : (j + 1) * sub]
+                # argmin ||x - c||^2 = ||c||^2 - 2 x.c per subspace
+                scores = books_sq[j][None, :] - 2.0 * (x @ books[j].T)
+                codes[:, j] = scores.argmin(axis=1)
+            out = pdf.copy()
+            out[out_col] = list(codes)
+            yield out
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def knn_ivf_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ks: int = 16,
+    rerank_k: int = 32,
+    sample_size: int = 4096,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k via IVF + product quantization with asymmetric
+    distance computation (Jégou et al. 2011, "Product Quantization for
+    Nearest Neighbor Search") — the classic memory-bounded ANN layout for
+    corpora whose raw vectors can't sit in RAM:
+
+      train   — IVF coarse centroids + per-subspace PQ codebooks on a
+                bounded seeded sample (driver-side; both tables are tiny
+                and broadcast inside numpy closures).
+      index   — one mapInPandas pass assigns each corpus vector to its
+                nearest coarse list AND encodes it to ``m`` sub-quantizer
+                codes: the searchable index row is (id, cluster, m ints) —
+                at 100 TB the candidate shuffle carries ~m bytes per
+                vector instead of dim floats (16x smaller at m=8/dim=64).
+      search  — each query probes ``n_probe`` lists; ADC scores candidates
+                ENTIRELY in whole-stage codegen: the query's (m x ks)
+                lookup table of subspace dot products rides along as an
+                array<array<double>> column and the PQ dot product is
+                zip_with(codes, lut) + element_at + aggregate — no Python,
+                no vector in the shuffle. The ADC top ``rerank_k`` per
+                query then joins TRUE vectors for an exact cosine rerank
+                (standard IVFADC refinement), emitting top ``k``.
+
+    Output schema matches ``knn_bruteforce``/``knn_lsh``/``knn_ivf``:
+    (query_id, neighbor_id, sim, rank) — sim is the EXACT rounded cosine
+    of the reranked survivors, so downstream thresholds behave identically
+    across all four engines.
+
+    ADC here scores the PQ approximation of the raw dot product q·x
+    (codebooks trained on raw vectors, not residuals — one shared codebook
+    set instead of per-list residual books; the exact rerank absorbs the
+    coarser approximation).
+    """
+    sample_pdf = corpus.select(vec_col).orderBy(id_col).limit(sample_size).toPandas()
+    sample = _clean_matrix(sample_pdf[vec_col])
+    centroids = _kmeans_numpy(sample, min(n_clusters, len(sample)), seed)
+    # PQ operates in L2-normalized space so ADC approximates cosine (see
+    # _pq_encode); the coarse quantizer stays in raw space, matching knn_ivf
+    books = _pq_train_codebooks(_l2_normalize(sample), m, ks, seed + 1000)
+    sub = dim // m
+
+    # index: coarse assignment + PQ codes in one chained Arrow stage
+    c_slim = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c_indexed = _pq_encode(
+        _assign_clusters(c_slim, "c_vec", centroids, 1, "cluster"), "c_vec", books
+    ).select("neighbor_id", "cluster", "codes")
+
+    # queries: probe assignment + the per-query ADC lookup table.
+    # lut[j][c] = q_j · books[j][c]  (dot-product ADC; cosine rerank later)
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    q_slim = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    q_assigned = _assign_clusters(q_slim, "q_vec", centroids, n_probe, "cluster")
+
+    lut_schema = T.StructType(
+        list(q_assigned.schema.fields)
+        + [T.StructField("lut", T.ArrayType(T.ArrayType(T.DoubleType())))]
+    )
+
+    def with_lut(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=[f.name for f in lut_schema.fields])
+                continue
+            mat = _l2_normalize(
+                np.array([np.asarray(v, dtype="float64") for v in pdf["q_vec"]])
+            )
+            luts = []
+            for row in mat:
+                luts.append(
+                    [list((books[j] @ row[j * sub : (j + 1) * sub])) for j in range(m)]
+                )
+            out = pdf.copy()
+            out["lut"] = luts
+            yield out
+
+    q_with_lut = q_assigned.mapInPandas(with_lut, lut_schema)
+
+    # ADC scoring in codegen: sum_j lut[j][codes[j]]
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("lut"),
+            lambda c, row: F.element_at(row, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        c_indexed.join(q_with_lut, on="cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc"), "q_vec")
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("neighbor_id"))
+    shortlist = (
+        cand.withColumn("_r", F.row_number().over(w_adc))
+        .filter(F.col("_r") <= rerank_k)
+        .select("query_id", "neighbor_id", "q_vec")
+    )
+    rerank = shortlist.join(c_slim, on="neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        stable_round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        rerank.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
