@@ -18,3 +18,20 @@ def test_q10_shape_runs(spark):
         assert rows[0].asDict().keys() == {"c_custkey", "c_name", "revenue", "n_name"}
         revs = [r["revenue"] for r in rows]
         assert revs == sorted(revs, reverse=True)
+
+
+def test_every_catalog_query_runs_and_returns_rows(spark, sf_dir):
+    """Catalog-wide smoke: all 50 registered queries execute at sf0.001 and
+    return a sane row count, and every one carries an oracle (the driver
+    hash gate depends on both). Catches breakage the per-query tests and
+    the sf0.01 oracle sweep would only find later."""
+    from kafka_streams_task_spark.catalog import CATALOG
+
+    assert len(CATALOG) == 50
+    for name, spec in sorted(CATALOG.items()):
+        assert spec.oracle is not None, f"{name} lost its oracle"
+        n = spec.fn(spark, sf_dir).count()
+        assert n >= 0, name
+        # recall/invariant gates must not be empty either
+        if name.endswith("_recall") or name.endswith("_suite"):
+            assert n > 0, f"{name} returned no rows"
