@@ -558,7 +558,12 @@ def knn_ivf_pq(
         .filter(F.col("_r") <= rerank_k)
         .select("query_id", "neighbor_id", "q_vec")
     )
-    rerank = shortlist.join(c_slim, on="neighbor_id").select(
+    # the shortlist (|queries| x rerank_k rows, with query vectors) is tiny
+    # in the small-query regime this operator serves — broadcast it
+    # EXPLICITLY so the corpus vector table streams through the rerank scan
+    # instead of shuffling on neighbor_id (AQE would usually infer this,
+    # but at 100 TB the corpus side must never be the shuffled side)
+    rerank = c_slim.join(F.broadcast(shortlist), on="neighbor_id").select(
         "query_id",
         "neighbor_id",
         stable_round(cosine_similarity(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
