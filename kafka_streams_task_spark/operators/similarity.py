@@ -178,7 +178,7 @@ def knn_lsh(
 
     pairs = (
         bucketed(corpus, "neighbor_id")
-        .join(bucketed(queries, "query_id"), on=["tbl", "bkt"])
+        .join(F.broadcast(bucketed(queries, "query_id")), on=["tbl", "bkt"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
         .distinct()
@@ -364,7 +364,7 @@ def knn_ivf(
         "q_vec", centroids, n_probe, "cluster",
     )
     cand = (
-        c_assigned.join(q_assigned, on="cluster")
+        c_assigned.join(F.broadcast(q_assigned), on="cluster")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -548,7 +548,7 @@ def knn_ivf_pq(
         lambda acc, x: acc + x,
     )
     cand = (
-        c_indexed.join(q_with_lut, on="cluster")
+        c_indexed.join(F.broadcast(q_with_lut), on="cluster")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", adc.alias("adc"), "q_vec")
     )
