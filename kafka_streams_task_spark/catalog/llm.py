@@ -118,6 +118,11 @@ _GOPHER_STOP_SQL = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
            CAST(regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}') AS INT) AS has_email,
            CAST(regexp_matches(text, '\\b[0-9]{{3}}[-. ][0-9]{{3}}[-. ][0-9]{{4}}\\b') AS INT) AS has_phone,
            CAST(regexp_matches(text, '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b') AS INT) AS has_ipv4,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[PII]', 'g'),
+             '\\b[0-9]{{3}}[-. ][0-9]{{3}}[-. ][0-9]{{4}}\\b', '[PII]', 'g'),
+             '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b', '[PII]', 'g')
+             AS text_redacted,
            CAST(len(t) AS INT) AS n_words,
            mean_word_len, symbol_word_ratio, bullet_line_ratio,
            ellipsis_line_ratio, alpha_word_ratio, gopher_stop_hits,
@@ -135,17 +140,23 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-filter feature set (r2: widened from the single composite):
     composite quality heuristic (length/diversity/stopword-ratio), duplicated-
     trigram repetition ratio (boilerplate/looping-generation detector), the
-    classic PII scrub flags (email/phone/ipv4), and the full Gopher rule set
-    (Rae et al. 2021 App. A1.1: word-count bounds, mean word length,
-    symbol-to-word ratio, bullet/ellipsis line ratios, alpha-word ratio,
-    stopword hits, combined pass flag) — every column a codegen expression,
-    every column recomputed exactly by the DuckDB oracle."""
+    classic PII scrub flags (email/phone/ipv4) plus the scrub TRANSFORM
+    itself (r4: ``text_redacted`` — the chained redaction output compared
+    byte-for-byte against the oracle's replacement chain), and the full
+    Gopher rule set (Rae et al. 2021 App. A1.1: word-count bounds, mean
+    word length, symbol-to-word ratio, bullet/ellipsis line ratios,
+    alpha-word ratio, stopword hits, combined pass flag) — every column a
+    codegen expression, every column recomputed exactly by the DuckDB
+    oracle."""
+    from ..functions.text import redact_pii
+
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         quality_score("text").alias("quality"),
         F.round(repetition_ratio("text") + 1e-09, 6).alias("rep_3gram"),
         *pii_flags("text"),
+        redact_pii("text").alias("text_redacted"),
         *gopher_quality_columns("text"),
     )
 

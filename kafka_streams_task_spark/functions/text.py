@@ -102,6 +102,18 @@ def pii_flags(text: Column | str) -> list[Column]:
     ]
 
 
+def redact_pii(text: Column | str, replacement: str = "[PII]") -> Column:
+    """Scrub the detected PII classes from the text — the transform a
+    training pipeline applies after :func:`pii_flags` triage. Three chained
+    ``regexp_replace`` (email, then phone, then ipv4, each global) — pure
+    codegen, map-only; the fixed application ORDER is part of the contract
+    so the DuckDB oracle reproduces the output byte-for-byte."""
+    c = F.col(text) if isinstance(text, str) else text
+    out = F.regexp_replace(c, PII_EMAIL_RE, replacement)
+    out = F.regexp_replace(out, PII_PHONE_RE, replacement)
+    return F.regexp_replace(out, PII_IPV4_RE, replacement)
+
+
 #: The Gopher rule-set's stopword list (Rae et al. 2021, "Scaling Language
 #: Models: Methods, Analysis & Insights from Training Gopher", App. A1.1):
 #: a document must contain at least 2 of these to pass the filter.

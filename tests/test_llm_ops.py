@@ -615,3 +615,29 @@ def test_pq_encode_deterministic_and_bounded(spark, sf_dir):
     self_err = ((dec - mat) ** 2).sum(axis=1).mean()
     perm_err = ((dec - np.roll(mat, 1, axis=0)) ** 2).sum(axis=1).mean()
     assert self_err < perm_err
+
+
+def test_redact_pii_scrubs_all_classes(spark):
+    from kafka_streams_task_spark.functions.text import pii_flags, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@example.com and carol@site.org ok"),
+            (2, "call 555-123-4567 or 555.987.6543 now"),
+            (3, "host 192.168.1.1 and 10.0.0.255 up"),
+            (4, "clean text with no identifiers at all"),
+            (5, "mixed a@b.co 555-000-1111 127.0.0.1"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in df.select(
+        "doc_id", redact_pii("text").alias("red"), *pii_flags("text")
+    ).collect()}
+    assert out[1].red == "mail [PII] and [PII] ok"
+    assert out[2].red == "call [PII] or [PII] now"
+    assert out[3].red == "host [PII] and [PII] up"
+    assert out[4].red == "clean text with no identifiers at all"
+    assert out[5].red == "mixed [PII] [PII] [PII]"
+    # redacted text never re-triggers the detectors
+    flags = df.select(*[c for c in pii_flags(redact_pii("text"))]).collect()
+    assert all(r.has_email == 0 and r.has_phone == 0 and r.has_ipv4 == 0 for r in flags)
