@@ -878,10 +878,24 @@ def _zorder_oracle_expr(bits: int = 8) -> str:
     SELECT 'zorder', event_id, CAST(NULL AS VARCHAR),
            {_zorder_oracle_expr(8)}, CAST(NULL AS BIGINT)
     FROM events
+    UNION ALL
+    SELECT 'boilerplate', r.doc_id, r.cleaned, r.n_kept, CAST(NULL AS BIGINT)
+    FROM (
+      WITH base AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+      ln AS (SELECT doc_id, unnest(ls) AS line, generate_subscripts(ls, 1) AS pos
+             FROM base),
+      boiler AS (SELECT line FROM ln GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+      kept AS (SELECT * FROM ln WHERE line NOT IN (SELECT line FROM boiler))
+      SELECT d.doc_id,
+             coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS cleaned,
+             count(k.line) AS n_kept
+      FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+      GROUP BY d.doc_id
+    ) r
     """,
 )
 def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seven library operators in one driver slot (r4; tagged legs, the
+    """Eight library operators in one driver slot (r4; tagged legs, the
     scalar_semantics_suite pattern):
 
     'vocab' — the FULL build_vocab output (token, count, token_id): the
@@ -922,7 +936,13 @@ def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     float operation order exactly, so IEEE doubles agree) and the Morton
     bit interleave — the clustering key that drives write_zordered's
     multi-dimensional data skipping is hash-checked value-for-value; the
-    write path + footer-stats skipping stay pinned by test_layout.py."""
+    write path + footer-stats skipping stay pinned by test_layout.py.
+
+    'boilerplate' — remove_boilerplate_lines value check: the cleaned text
+    and surviving line count per document compared byte-for-byte against
+    the SQL recomputation (driver docs are single-line, so the leg
+    degenerates to whole-doc frequency — duplicate docs get emptied; the
+    multi-line mechanics are pinned by test_llm_ops.py)."""
     from ..operators.sampling import (
         hash_stratified_sample,
         shuffle_deterministic,
@@ -1043,6 +1063,16 @@ def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("i2"),
     )
 
+    from ..operators.dedup import remove_boilerplate_lines
+
+    boiler_leg = remove_boilerplate_lines(d).select(
+        F.lit("boilerplate").alias("leg"),
+        F.col("doc_id").alias("key"),
+        F.col("text").alias("s1"),
+        F.col("n_kept_lines").alias("i1"),
+        F.lit(None).cast("long").alias("i2"),
+    )
+
     return (
         vocab_leg.unionByName(encode_leg)
         .unionByName(decontam_leg)
@@ -1050,4 +1080,5 @@ def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(shuffle_leg)
         .unionByName(nll_leg)
         .unionByName(zorder_leg)
+        .unionByName(boiler_leg)
     )

@@ -25,6 +25,7 @@ from .dedup import (
     decontaminate,
     dedup_exact,
     drop_exact_duplicates,
+    remove_boilerplate_lines,
     embedding_near_dup_pairs,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
@@ -81,6 +82,7 @@ __all__ = [
     "word_frequencies",
     "simhash_near_dup_pairs",
     "ngram_jaccard_pairs",
+    "remove_boilerplate_lines",
     "embedding_near_dup_pairs",
     "decontaminate",
     "attach_asset_meta",

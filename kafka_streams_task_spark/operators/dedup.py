@@ -529,3 +529,59 @@ def decontaminate(
         .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
         .filter(F.col("n_contaminated_shingles") >= min_overlap)
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Line-level boilerplate removal (the CCNet/RefinedWeb cleaning stage
+    that document-level dedup cannot express): drop every line that occurs
+    in >= ``min_df`` DISTINCT documents — navigation bars, cookie banners,
+    license footers — and reassemble the remaining lines in order.
+
+    Returns (id, text, n_kept_lines) with ``text`` rebuilt from the
+    surviving lines (empty string when every line was boilerplate).
+
+    Scale shape: lines explode once; the document-frequency table groups
+    on ``xxhash64(line)`` so the frequency shuffle carries 8-byte keys
+    (line text stays with its (id, pos) row); membership against the
+    boilerplate set is a left-anti join on the same 8-byte hash (the
+    boilerplate set is NOT assumed broadcastable — on a real crawl it is
+    huge); reassembly is the posexplode / array_sort(struct(pos, line))
+    idiom, one groupBy, no window. Exact-line matching by design: a
+    normalized variant is one ``lower/trim`` away, but exact lines keep
+    the operator byte-reproducible in plain SQL.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("lh", F.xxhash64("line"))
+    boiler = (
+        lines.groupBy("lh")
+        .agg(F.count_distinct(id_col).alias("df_"))
+        .filter(F.col("df_") >= min_df)
+        .select("lh")
+    )
+    kept = lines.join(boiler, on="lh", how="left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept_lines"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("_cleaned"),
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_cleaned"), F.lit("")).alias(text_col),
+            F.coalesce(F.col("n_kept_lines"), F.lit(0)).cast("long").alias("n_kept_lines"),
+        )
+    )

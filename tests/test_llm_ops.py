@@ -641,3 +641,34 @@ def test_redact_pii_scrubs_all_classes(spark):
     # redacted text never re-triggers the detectors
     flags = df.select(*[c for c in pii_flags(redact_pii("text"))]).collect()
     assert all(r.has_email == 0 and r.has_phone == 0 and r.has_ipv4 == 0 for r in flags)
+
+
+def test_remove_boilerplate_lines_multiline(spark):
+    from kafka_streams_task_spark.operators.dedup import remove_boilerplate_lines
+
+    footer = "(c) 2026 example corp all rights reserved"
+    nav = "home | products | about"
+    docs = [
+        (1, f"{nav}\nunique article one body\n{footer}"),
+        (2, f"{nav}\nanother distinct piece of text\nmore of it\n{footer}"),
+        (3, f"{footer}\nthird thing entirely"),
+        (4, f"{nav}\n{footer}"),           # all boilerplate -> emptied
+        (5, "standalone doc with no shared lines"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.doc_id: r for r in remove_boilerplate_lines(df, min_df=2).collect()}
+    assert out[1].text == "unique article one body" and out[1].n_kept_lines == 1
+    assert out[2].text == "another distinct piece of text\nmore of it"
+    assert out[2].n_kept_lines == 2
+    assert out[3].text == "third thing entirely"
+    assert out[4].text == "" and out[4].n_kept_lines == 0
+    assert out[5].text == "standalone doc with no shared lines"
+    # order preserved and min_df respected: at min_df=3 the nav (2 docs
+    # after doc 4? no - nav is in docs 1,2,4 = 3 docs) still drops, the
+    # footer (4 docs) drops, nothing else changes
+    out3 = {r.doc_id: r for r in remove_boilerplate_lines(df, min_df=4).collect()}
+    assert out3[1].text == f"{nav}\nunique article one body"  # footer(4) out, nav(3) kept
+    # a repeated line WITHIN one document is not boilerplate (distinct docs)
+    df2 = spark.createDataFrame([(1, "x\nx\ny"), (2, "z")], ["doc_id", "text"])
+    out2 = {r.doc_id: r for r in remove_boilerplate_lines(df2, min_df=2).collect()}
+    assert out2[1].text == "x\nx\ny" and out2[1].n_kept_lines == 3
