@@ -672,3 +672,26 @@ def test_remove_boilerplate_lines_multiline(spark):
     df2 = spark.createDataFrame([(1, "x\nx\ny"), (2, "z")], ["doc_id", "text"])
     out2 = {r.doc_id: r for r in remove_boilerplate_lines(df2, min_df=2).collect()}
     assert out2[1].text == "x\nx\ny" and out2[1].n_kept_lines == 3
+
+
+def test_ann_query_sides_broadcast(spark, sf_dir):
+    """The explicit broadcast hints on every ANN candidate join must
+    survive planning: each ANN operator's physical plan carries at least
+    one BroadcastHashJoin (the |queries|-scale side), so the corpus side
+    streams rather than shuffles in the small-query regime."""
+    from kafka_streams_task_spark.operators.similarity import (
+        knn_ivf,
+        knn_ivf_pq,
+        knn_lsh,
+    )
+    from kafka_streams_task_spark.schemas import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    for name, df in [
+        ("lsh", knn_lsh(emb, q, k=3)),
+        ("ivf", knn_ivf(emb, q, k=3)),
+        ("ivf_pq", knn_ivf_pq(emb, q, k=3)),
+    ]:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, f"{name}: query side not broadcast\n{plan}"
