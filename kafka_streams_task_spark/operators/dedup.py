@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -500,6 +500,17 @@ def decontaminate(
     groupBy — the corpus is scanned once, shuffles only (id, 8-byte hash)
     rows that actually hit, and nothing pairs corpus docs with each other.
     Shingles travel as xxhash64 longs (same trick as ``ngram_jaccard_pairs``).
+
+    Collision budget (64-bit, deliberate): a corpus shingle colliding with a
+    benchmark shingle FALSE-POSITIVES a contamination flag — the failure
+    direction is conservative (a clean training doc gets dropped, never an
+    eval leak kept). Expected spurious hits ≈ n_corpus_shingles ×
+    n_bench_shingles / 2^64: at 1e9 distinct corpus shingles against a 1e7
+    shingle eval set that is ~5e-4 flagged docs corpus-wide — noise next to
+    the docs the ``min_overlap`` threshold flags legitimately. 64 bits is
+    kept (vs the 128-bit membership keys in
+    :func:`remove_boilerplate_lines`) because widening would double the
+    broadcast set for no correctness gain in the safe direction.
     """
     bench_sh = (
         benchmark.select(
@@ -531,11 +542,32 @@ def decontaminate(
     )
 
 
+_MEMBERSHIP_SALT = 0x9E3779B9  # fixed second-draw seed (golden-ratio constant, fits int64)
+
+
+def _line_membership_hashes(c: Column) -> list[Column]:
+    """Two practically-independent 64-bit draws forming a composite 128-bit
+    membership key: ``xxhash64(line)`` and ``xxhash64(salt, line)`` (Spark's
+    multi-arg xxhash64 feeds the running hash of the salt in as the seed for
+    the line bytes, so the second draw is a differently-seeded xxhash64).
+
+    Why 128 bits: membership-by-hash joins go WRONG on collision — a clean
+    line whose hash equals a boilerplate line's is silently dropped. At 64
+    bits, birthday collisions among distinct lines become expected around
+    ~4e9 lines — i.e. a single real crawl. At 128 bits a 1e10-distinct-line
+    corpus expects ~(1e10)^2 / 2 / 2^128 ≈ 1.5e-19 colliding pairs:
+    unreachable. The shuffle key grows 8→16 bytes; line text still never
+    shuffles into the frequency table.
+    """
+    return [F.xxhash64(c), F.xxhash64(F.lit(_MEMBERSHIP_SALT), c)]
+
+
 def remove_boilerplate_lines(
     df: DataFrame,
     min_df: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    membership_hashes=None,
 ) -> DataFrame:
     """Line-level boilerplate removal (the CCNet/RefinedWeb cleaning stage
     that document-level dedup cannot express): drop every line that occurs
@@ -546,26 +578,36 @@ def remove_boilerplate_lines(
     surviving lines (empty string when every line was boilerplate).
 
     Scale shape: lines explode once; the document-frequency table groups
-    on ``xxhash64(line)`` so the frequency shuffle carries 8-byte keys
-    (line text stays with its (id, pos) row); membership against the
-    boilerplate set is a left-anti join on the same 8-byte hash (the
-    boilerplate set is NOT assumed broadcastable — on a real crawl it is
-    huge); reassembly is the posexplode / array_sort(struct(pos, line))
-    idiom, one groupBy, no window. Exact-line matching by design: a
-    normalized variant is one ``lower/trim`` away, but exact lines keep
-    the operator byte-reproducible in plain SQL.
+    on a composite 128-bit line hash (:func:`_line_membership_hashes` —
+    collision budget documented there) so the frequency shuffle carries
+    16-byte keys (line text stays with its (id, pos) row); membership
+    against the boilerplate set is a left-anti join on the same composite
+    key (the boilerplate set is NOT assumed broadcastable — on a real
+    crawl it is huge); reassembly is the posexplode /
+    array_sort(struct(pos, line)) idiom, one groupBy, no window.
+    Exact-line matching by design: a normalized variant is one
+    ``lower/trim`` away, but exact lines keep the operator
+    byte-reproducible in plain SQL.
+
+    ``membership_hashes`` is a test seam: a function Column -> list[Column]
+    replacing the default hash pair, used by the collision-injection tests
+    to force colliding keys and to prove the second draw rescues
+    first-draw collisions. Production callers leave it None.
     """
+    hfn = membership_hashes or _line_membership_hashes
+    hcols = [h.alias(f"lh{i}") for i, h in enumerate(hfn(F.col("line")))]
+    keys = [f"lh{i}" for i in range(len(hcols))]
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-    ).withColumn("lh", F.xxhash64("line"))
+    ).select(id_col, "pos", "line", *hcols)
     boiler = (
-        lines.groupBy("lh")
+        lines.groupBy(*keys)
         .agg(F.count_distinct(id_col).alias("df_"))
         .filter(F.col("df_") >= min_df)
-        .select("lh")
+        .select(*keys)
     )
-    kept = lines.join(boiler, on="lh", how="left_anti")
+    kept = lines.join(boiler, on=keys, how="left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_kept_lines"),
         F.concat_ws(

@@ -286,6 +286,14 @@ def unigram_nll_scores(
     built from diverging corpora. Inputs containing an unseeded
     ``sample()``/``rand()`` upstream must be materialized first (write, or
     persist + hold the handle) before calling this.
+
+    Collision budget (64-bit, deliberate): ``freq`` is grouped BY the hash,
+    so the scoring join stays 1:1 even under collision — colliding distinct
+    tokens merely pool their counts, perturbing a heuristic quality score
+    by one merged frequency (no row duplication, no membership flip; cf.
+    the 128-bit keys in ``vocab.encode_documents``, where collisions would
+    duplicate rows). At 1e9 distinct tokens ~0.03 merged pairs are expected
+    corpus-wide — immaterial to a filter that thresholds an average.
     """
     toks = df.select(
         F.col(id_col),

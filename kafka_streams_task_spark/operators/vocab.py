@@ -17,9 +17,9 @@ Scale shape:
       ``mapInPandas`` + TaskContext. Only P partition sizes reach the
       driver.
 
-  encode_documents — tokens join the vocab on ``xxhash64(token)`` so token
-      TEXT never shuffles (same convention as
-      ``sampling.unigram_nll_scores``); per-document id order is restored
+  encode_documents — tokens join the vocab on a composite 128-bit token
+      hash so token TEXT never shuffles (two seeded xxhash64 draws; see the
+      collision-budget note in the docstring); per-document id order is restored
       with the posexplode / array_sort(struct(pos, id)) idiom, not a
       window.
 
@@ -155,17 +155,30 @@ def encode_documents(
     :func:`build_vocab` vocabulary; out-of-vocabulary tokens map to
     ``unk_id``.
 
-    The join carries ``xxhash64(token)`` on both sides, so only 8-byte
-    hashes (plus ids) shuffle — never document or vocabulary text. Token
+    The join carries a composite 128-bit token hash on both sides — two
+    differently-seeded ``xxhash64`` draws, same scheme as
+    ``dedup._line_membership_hashes`` — so only 16-byte keys (plus ids)
+    shuffle, never document or vocabulary text. 128 bits rather than 64
+    because a collision here is not merely a wrong id: two VOCAB tokens
+    sharing one hash would both match every occurrence and DUPLICATE join
+    rows, inflating ``n_tokens``. Web-scale vocabularies reach 1e8–1e9
+    distinct types, where 64-bit birthday collisions are expected; at 128
+    bits a 1e9-type vocabulary expects ~1.5e-21 colliding pairs. Token
     order is restored by sorting (pos, id) structs inside the aggregated
     array (``array_sort`` on the leading struct field), not with a window.
     """
+    from .dedup import _line_membership_hashes
+
+    def _th(c):
+        h = _line_membership_hashes(c)
+        return [h[0].alias("th"), h[1].alias("th2")]
+
     toks = df.select(
         F.col(id_col),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "token"),
-    ).select(id_col, "pos", F.xxhash64("token").alias("th"))
-    vocab_slim = vocab.select(F.xxhash64("token").alias("th"), "token_id")
-    joined = toks.join(vocab_slim, "th", "left")
+    ).select(id_col, "pos", *_th(F.col("token")))
+    vocab_slim = vocab.select(*_th(F.col("token")), "token_id")
+    joined = toks.join(vocab_slim, ["th", "th2"], "left")
     return joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.transform(

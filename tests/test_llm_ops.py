@@ -674,6 +674,68 @@ def test_remove_boilerplate_lines_multiline(spark):
     assert out2[1].text == "x\nx\ny" and out2[1].n_kept_lines == 3
 
 
+def test_remove_boilerplate_lines_collision_injection(spark):
+    """Hash-collision audit (VERDICT r4 item 1): membership-by-hash must not
+    drop a clean line whose first hash draw collides with a boilerplate
+    line's. The ``membership_hashes`` seam injects collisions directly.
+    """
+    from pyspark.sql import functions as F
+
+    from kafka_streams_task_spark.operators.dedup import remove_boilerplate_lines
+
+    docs = [
+        (1, "shared footer\nunique body one"),
+        (2, "shared footer\nunique body two"),
+        (3, "only line of three"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    expected = {r.doc_id: r for r in remove_boilerplate_lines(df, min_df=2).collect()}
+    assert expected[1].text == "unique body one"
+    assert expected[3].text == "only line of three"
+
+    # (a) Failure-mode demonstration: a single fully-colliding draw makes
+    # every line share one membership key -> every line "boilerplate".
+    collided = {
+        r.doc_id: r
+        for r in remove_boilerplate_lines(
+            df, min_df=2, membership_hashes=lambda c: [F.lit(0).cast("long")]
+        ).collect()
+    }
+    assert all(r.text == "" and r.n_kept_lines == 0 for r in collided.values())
+
+    # (b) Rescue proof: same fully-colliding first draw, but the second
+    # independent draw disambiguates -> output identical to the default
+    # 128-bit scheme. This is exactly why the key is composite.
+    rescued = {
+        r.doc_id: r
+        for r in remove_boilerplate_lines(
+            df,
+            min_df=2,
+            membership_hashes=lambda c: [F.lit(0).cast("long"), F.xxhash64(c)],
+        ).collect()
+    }
+    for doc_id, exp in expected.items():
+        assert rescued[doc_id].text == exp.text
+        assert rescued[doc_id].n_kept_lines == exp.n_kept_lines
+
+
+def test_encode_documents_composite_hash_no_duplication(spark):
+    """encode_documents joins tokens->vocab on a composite 128-bit hash; a
+    vocab-side collision would DUPLICATE join rows and inflate n_tokens.
+    Verify n_tokens equals the true token count and ids decode back."""
+    from kafka_streams_task_spark.operators.vocab import build_vocab, encode_documents
+
+    docs = [(1, "alpha beta alpha"), (2, "beta gamma delta delta")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    vocab = build_vocab(df)
+    enc = {r.doc_id: r for r in encode_documents(df, vocab).collect()}
+    assert enc[1].n_tokens == 3 and len(enc[1].token_ids) == 3
+    assert enc[2].n_tokens == 4 and len(enc[2].token_ids) == 4
+    id2tok = {r.token_id: r.token for r in vocab.collect()}
+    assert [id2tok[i] for i in enc[1].token_ids] == ["alpha", "beta", "alpha"]
+    assert [id2tok[i] for i in enc[2].token_ids] == ["beta", "gamma", "delta", "delta"]
+
+
 def test_ann_query_sides_broadcast(spark, sf_dir):
     """The explicit broadcast hints on every ANN candidate join must
     survive planning: each ANN operator's physical plan carries at least
