@@ -384,7 +384,28 @@ def test_weather_rollup_checkpoint_restart(spark, tmpdir):
     rows = spark.read.parquet(out_dir).orderBy("_b").collect()
     assert rows[-1]["_b"] > 0, "restarted instance processed no new batch"
     final = [r for r in rows if r.geohash == GH][-1].weatherList
+    # 71 = avg(70, 72): loses batch 1's state -> 72; replays batch 1 after
+    # restart (double-count) -> avg(70, 70, 72) = 70.67. Both are caught.
     assert [(w.tmp_f, w.tmp_c, w.date) for w in final] == [(71.0, 31.0, "2020-01-01")]
+
+    # The recovered streaming state must equal the BATCH recompute over
+    # everything ever delivered (VERDICT r4 done-criterion: no loss, no
+    # double-count, proven against the engine's own batch path rather than
+    # a hand-computed constant).
+    from kafka_streams_task_spark.operators.weather import (
+        weather_by_geohash,
+        weather_daily_avg,
+        weather_rekey,
+    )
+
+    batch_all = spark.read.schema(WEATHER_RAW).json(src)
+    expect = {
+        r.geohash: [(w.tmp_f, w.tmp_c, w.date) for w in r.weatherList]
+        for r in weather_by_geohash(weather_daily_avg(weather_rekey(batch_all))).collect()
+    }
+    last = {r.geohash: r.weatherList for r in rows}  # rows ordered by _b
+    got = {gh: [(w.tmp_f, w.tmp_c, w.date) for w in wl] for gh, wl in last.items()}
+    assert got == expect
 
 
 def test_rollup_state_ttl_drops_idle_cell(spark, tmpdir):
