@@ -194,7 +194,7 @@ def _raw_ops():
         "similarity_knn_lsh": lambda s, d: knn_lsh(*_emb_pair(s, d), k=5),
         "similarity_knn_ivf": lambda s, d: knn_ivf(*_emb_pair(s, d), k=5),
         "similarity_knn_ivf_pq": lambda s, d: knn_ivf_pq(
-            *_emb_pair(s, d), k=5, n_probe=8, ks=64, rerank_k=48
+            *_emb_pair(s, d), k=5, n_probe=12, ks=64, rerank_k=96
         ),
     }
 

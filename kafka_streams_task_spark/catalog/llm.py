@@ -582,25 +582,28 @@ def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5 (sampled-kmeans coarse quantizer, nearest-list
     probing, exact rerank inside probed lists), gated per query against the
-    brute-force top-5 in the same plan: full k results, recall >= 0.6
-    (deterministic under the fixed kmeans seed; probes 8 of 16 lists —
+    brute-force top-5 in the same plan: full k results, recall >= 0.8
+    (deterministic under the fixed kmeans seed; probes 12 of 16 lists —
     the driver's near-uniform synthetic vectors need wide probing, see
-    similarity_knn_lsh_recall).
+    similarity_knn_lsh_recall; a probed-vs-unprobed audit at sf0.01 showed
+    every missed neighbor sat in an UNPROBED list, i.e. recall here is
+    coarse-probe-bound, not quantization-bound).
 
-    r4 adds the IVF-PQ path to the same gate (n_results_pq / recall_pq_ok,
-    same >= 0.6 per-query floor): coarse probing as above, candidates
-    scored by codegen ADC over 8x64-codebook product-quantized codes in
-    cosine space, ADC top-48 exactly reranked. Measured per-query recall
-    at the driver scale: min 0.6, mean 0.78."""
+    r4 added the IVF-PQ path to the same gate (n_results_pq /
+    recall_pq_ok); r5 raised the per-query floor 0.6 -> 0.8 for both legs
+    after switching PQ to RESIDUAL coding (Jégou et al. §III-B — codes
+    carry x_norm - c_norm(list), the exact q·c term rides with the query)
+    and widening probing/rerank: ADC top-96 exactly reranked. Measured
+    per-query recall at the driver scale: min 0.8, mean 0.92 (both legs)."""
     from ..operators.similarity import knn_ivf, knn_ivf_pq
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     exact = knn_bruteforce(emb, q, k=5)
-    approx = knn_ivf(emb, q, k=5, n_probe=8)
-    gate = _knn_recall_gate(q, exact, approx, k=5, floor=0.6)
-    approx_pq = knn_ivf_pq(emb, q, k=5, n_probe=8, ks=64, rerank_k=48)
-    gate_pq = _knn_recall_gate(q, exact, approx_pq, k=5, floor=0.6).select(
+    approx = knn_ivf(emb, q, k=5, n_probe=12)
+    gate = _knn_recall_gate(q, exact, approx, k=5, floor=0.8)
+    approx_pq = knn_ivf_pq(emb, q, k=5, n_probe=12, ks=64, rerank_k=96)
+    gate_pq = _knn_recall_gate(q, exact, approx_pq, k=5, floor=0.8).select(
         "query_id",
         F.col("n_results").alias("n_results_pq"),
         F.col("recall_ok").alias("recall_pq_ok"),

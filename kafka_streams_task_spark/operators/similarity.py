@@ -403,14 +403,28 @@ def _l2_normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
-def _pq_encode(df: DataFrame, vec_col: str, books: np.ndarray, out_col: str = "codes"):
+def _pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    books: np.ndarray,
+    out_col: str = "codes",
+    centroids_norm: np.ndarray | None = None,
+    cluster_col: str = "cluster",
+):
     """mapInPandas: encode each L2-NORMALIZED vector to m subspace code ids
     (argmin distance to the subspace codebook) — one numpy pass per Arrow
     batch; the output carries (input columns..., codes array<int>), so
     downstream candidate scoring shuffles m small ints per vector instead
     of the vector itself. Normalization makes the downstream ADC dot
     product approximate COSINE (the ranking the exact rerank uses), not
-    the norm-biased raw dot."""
+    the norm-biased raw dot.
+
+    ``centroids_norm``: when given, encode the RESIDUAL ``x_norm -
+    centroids_norm[cluster]`` instead of the vector itself (standard IVFADC
+    refinement, Jégou et al. 2011 §III-B: residuals concentrate around the
+    origin, so a fixed-size codebook spends its codes on a much smaller
+    cell and the per-subspace quantization error drops). Requires the
+    ``cluster_col`` produced by ``_assign_clusters`` in the input."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -431,6 +445,8 @@ def _pq_encode(df: DataFrame, vec_col: str, books: np.ndarray, out_col: str = "c
                 yield pd.DataFrame(columns=[f.name for f in out_schema.fields])
                 continue
             mat = _l2_normalize(mat)
+            if centroids_norm is not None:
+                mat = mat - centroids_norm[pdf[cluster_col].to_numpy()]
             codes = np.zeros((len(mat), m), dtype="int32")
             for j in range(m):
                 x = mat[:, j * sub : (j + 1) * sub]
@@ -457,7 +473,6 @@ def knn_ivf_pq(
     rerank_k: int = 32,
     sample_size: int = 4096,
     seed: int = 42,
-    dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k via IVF + product quantization with asymmetric
     distance computation (Jégou et al. 2011, "Product Quantization for
@@ -486,27 +501,49 @@ def knn_ivf_pq(
     of the reranked survivors, so downstream thresholds behave identically
     across all four engines.
 
-    ADC here scores the PQ approximation of the raw dot product q·x
-    (codebooks trained on raw vectors, not residuals — one shared codebook
-    set instead of per-list residual books; the exact rerank absorbs the
-    coarser approximation).
+    ADC is RESIDUAL-quantized (Jégou et al. §III-B): the index encodes
+    ``x_norm - c_norm(list)`` and search reconstructs ``q·x ≈
+    q·c_norm(list) + Σ_j lut[j][code_j]`` — the ``q·c`` term is exact (the
+    centroid table is tiny), so PQ codes only carry the residual, which is
+    far smaller in magnitude than the vector and quantizes much more
+    accurately with the same (m, ks) budget. One SHARED residual codebook
+    set serves all lists (per-list books would be n_clusters× more driver
+    state for marginal gain at these budgets).
+
+    The embedding dimension is inferred from the training sample (and must
+    be divisible by ``m``); corpus/query rows whose vectors are null or of
+    any other width are dropped by the Arrow-stage guards.
     """
     sample_pdf = corpus.select(vec_col).orderBy(id_col).limit(sample_size).toPandas()
     sample = _clean_matrix(sample_pdf[vec_col])
+    if sample.size == 0:
+        raise ValueError("knn_ivf_pq: no valid vectors in the training sample")
+    dim = sample.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m} subspaces")
     centroids = _kmeans_numpy(sample, min(n_clusters, len(sample)), seed)
     # PQ operates in L2-normalized space so ADC approximates cosine (see
-    # _pq_encode); the coarse quantizer stays in raw space, matching knn_ivf
-    books = _pq_train_codebooks(_l2_normalize(sample), m, ks, seed + 1000)
+    # _pq_encode); the coarse quantizer stays in raw space, matching knn_ivf.
+    # Residual reference points are the normalized centroids — any fixed
+    # per-list anchor works for residual coding; normalize(centroid) keeps
+    # the anchor in the same (unit-sphere) space as the encoded vectors.
+    cent_norm = _l2_normalize(centroids.astype("float64"))
+    samp_norm = _l2_normalize(sample)
+    cent_sq = (centroids**2).sum(axis=1)
+    samp_assign = (cent_sq[None, :] - 2.0 * (sample @ centroids.T)).argmin(axis=1)
+    books = _pq_train_codebooks(samp_norm - cent_norm[samp_assign], m, ks, seed + 1000)
     sub = dim // m
 
-    # index: coarse assignment + PQ codes in one chained Arrow stage
+    # index: coarse assignment + residual PQ codes in one chained Arrow stage
     c_slim = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     c_indexed = _pq_encode(
-        _assign_clusters(c_slim, "c_vec", centroids, 1, "cluster"), "c_vec", books
+        _assign_clusters(c_slim, "c_vec", centroids, 1, "cluster"),
+        "c_vec", books, centroids_norm=cent_norm,
     ).select("neighbor_id", "cluster", "codes")
 
-    # queries: probe assignment + the per-query ADC lookup table.
-    # lut[j][c] = q_j · books[j][c]  (dot-product ADC; cosine rerank later)
+    # queries: probe assignment + the per-query ADC lookup table and the
+    # exact q·c_norm(list) term for the probed list.
+    # lut[j][c] = q_j · books[j][c]  (residual ADC; cosine rerank later)
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -515,7 +552,10 @@ def knn_ivf_pq(
 
     lut_schema = T.StructType(
         list(q_assigned.schema.fields)
-        + [T.StructField("lut", T.ArrayType(T.ArrayType(T.DoubleType())))]
+        + [
+            T.StructField("lut", T.ArrayType(T.ArrayType(T.DoubleType()))),
+            T.StructField("qc", T.DoubleType()),
+        ]
     )
 
     def with_lut(it):
@@ -533,12 +573,13 @@ def knn_ivf_pq(
                 )
             out = pdf.copy()
             out["lut"] = luts
+            out["qc"] = (mat * cent_norm[pdf["cluster"].to_numpy()]).sum(axis=1)
             yield out
 
     q_with_lut = q_assigned.mapInPandas(with_lut, lut_schema)
 
-    # ADC scoring in codegen: sum_j lut[j][codes[j]]
-    adc = F.aggregate(
+    # ADC scoring in codegen: qc + sum_j lut[j][codes[j]]
+    adc = F.col("qc") + F.aggregate(
         F.zip_with(
             F.col("codes"),
             F.col("lut"),

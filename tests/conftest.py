@@ -19,3 +19,16 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture()
+def sf01_dir(sf_dir):
+    """The sf0.01 sibling of the test data dir — for tests whose parameters
+    are tuned on the 500-vector corpus (16-list coarse quantization is
+    geometrically meaningless on the ~50-vector sf0.001 fixture). Derived
+    from the same env-var convention as ``sf_dir`` rather than hardcoded."""
+    base = os.path.dirname(sf_dir.rstrip("/"))
+    d = os.path.join(base, "sf0.01")
+    if not os.path.isdir(d):
+        pytest.skip(f"no sf0.01 dataset next to {sf_dir}")
+    return d

@@ -558,31 +558,30 @@ def test_dedup_plan_shapes_pinned(spark, sf_dir):
         assert p.count("Exchange") <= max_ex, f"{name}: exchanges\n{p}"
 
 
-def test_knn_ivf_pq_recall_and_shape(spark):
-    """IVF-PQ: full-k results per query, recall >= 0.6 vs brute force
-    (driver-scale params: probe 8/16 lists, 8x64 codebooks, ADC top-48
-    rerank). Runs at sf0.01 — the 500-vector corpus the gate parameters
-    are tuned on; the sf0.001 fixture corpus (~50 vectors) makes 16-list
-    coarse quantization geometrically meaningless."""
+def test_knn_ivf_pq_recall_and_shape(spark, sf01_dir):
+    """IVF-PQ (residual coding): full-k results per query, recall >= 0.8 vs
+    brute force (driver-gate params: probe 12/16 lists, 8x64 residual
+    codebooks, ADC top-96 rerank). Runs on the sf0.01 corpus the gate
+    parameters are tuned on (via the ``sf01_dir`` fixture)."""
     from kafka_streams_task_spark.operators.similarity import (
         knn_bruteforce,
         knn_ivf_pq,
     )
     from kafka_streams_task_spark.schemas import load_table
 
-    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    emb = load_table(spark, sf01_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     bf = {}
     for r in knn_bruteforce(emb, q, k=5).collect():
         bf.setdefault(r.query_id, set()).add(r.neighbor_id)
-    out = knn_ivf_pq(emb, q, k=5, n_probe=8, ks=64, rerank_k=48)
+    out = knn_ivf_pq(emb, q, k=5, n_probe=12, ks=64, rerank_k=96)
     got = {}
     for r in out.collect():
         got.setdefault(r.query_id, set()).add(r.neighbor_id)
         assert 1 <= r.rank <= 5 and r.query_id != r.neighbor_id
     for qid, want in bf.items():
         assert len(got[qid]) == 5
-        assert len(want & got[qid]) / 5 >= 0.6, (qid, want, got[qid])
+        assert len(want & got[qid]) / 5 >= 0.8, (qid, want, got[qid])
 
 
 def test_pq_encode_deterministic_and_bounded(spark, sf_dir):
