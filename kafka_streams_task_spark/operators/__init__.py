@@ -59,7 +59,7 @@ from .similarity import (
     knn_ivf_pq,
     knn_lsh,
 )
-from .vocab import build_vocab, encode_documents
+from .vocab import build_vocab, build_vocab_with_cleanup, encode_documents
 
 __all__ = [
     "parse_weather",
@@ -101,6 +101,7 @@ __all__ = [
     "temperature_mix_rates",
     "unigram_nll_scores",
     "build_vocab",
+    "build_vocab_with_cleanup",
     "encode_documents",
     "knn_bruteforce",
     "knn_lsh",

