@@ -57,6 +57,7 @@ from .similarity import (
     knn_bruteforce,
     knn_ivf,
     knn_ivf_pq,
+    malformed_vector_accumulator,
     knn_lsh,
 )
 from .vocab import build_vocab, build_vocab_with_cleanup, encode_documents
@@ -107,5 +108,6 @@ __all__ = [
     "knn_lsh",
     "knn_ivf",
     "knn_ivf_pq",
+    "malformed_vector_accumulator",
     "kmeans_fit_distributed",
 ]

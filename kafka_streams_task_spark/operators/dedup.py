@@ -328,6 +328,7 @@ def embedding_near_dup_pairs(
     dim: int = 64,
     seed: int = 42,
     max_bucket: int = 4000,
+    dropped_acc=None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim) with
     id_a < id_b and cosine >= ``threshold``.
@@ -352,7 +353,10 @@ def embedding_near_dup_pairs(
     planes = np.vstack(
         [random_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
     )
-    buckets = lsh_table_buckets(emb, planes, n_tables, n_planes, id_col, vec_col, "id")
+    buckets = lsh_table_buckets(
+        emb, planes, n_tables, n_planes, id_col, vec_col, "id",
+        dropped_acc=dropped_acc,
+    )
     grouped = (
         buckets.groupBy("tbl", "bkt")
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))

@@ -27,6 +27,31 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def malformed_vector_accumulator(spark):
+    """A long accumulator for counting null / wrong-dimension vectors that
+    the Arrow-stage guards drop (``lsh_table_buckets``, ``_assign_clusters``,
+    ``_pq_encode``). Pass it as ``dropped_acc`` to any ANN operator, run the
+    action, then read ``acc.value``: a non-zero count means a malformed
+    embedding shard silently shrank the corpus — at production scale that is
+    a data-quality pager, not noise. Accumulator semantics apply: task
+    retries and plan re-execution can inflate the count, so treat it as a
+    DIAGNOSTIC SIGNAL (zero vs non-zero, order of magnitude), not an exact
+    tally."""
+    return spark.sparkContext.accumulator(0)
+
+
+def _guard_vectors(pdf, vec_col: str, dim: int, dropped_acc):
+    """Shared ragged-row guard: keep rows whose vector is non-null and of
+    width ``dim``; count the dropped remainder into ``dropped_acc`` when
+    provided (a single ragged row would otherwise turn the batch into an
+    object array and crash the matmul)."""
+    ok = pdf[vec_col].map(lambda v: v is not None and len(v) == dim)
+    n_dropped = int(len(pdf) - ok.sum())
+    if dropped_acc is not None and n_dropped:
+        dropped_acc.add(n_dropped)
+    return pdf[ok]
+
+
 def cosine_similarity(a, b) -> "F.Column":
     """Cosine similarity between two array columns, JVM-side."""
     a = _as_double(a)
@@ -97,12 +122,14 @@ def lsh_table_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     out_id: str = "id",
+    dropped_acc=None,
 ) -> DataFrame:
     """(out_id, tbl, bkt) sign-bit bucket rows for ``n_tables`` independent
     random-hyperplane tables — one numpy matmul per Arrow batch
     (mapInPandas); the output carries ONLY ids, so downstream bucket joins
     never shuffle a vector. ``planes_mat`` is (n_tables*n_planes, dim).
-    Shared by ``knn_lsh`` (search) and ``dedup.embedding_near_dup_pairs``."""
+    Shared by ``knn_lsh`` (search) and ``dedup.embedding_near_dup_pairs``.
+    ``dropped_acc``: see :func:`malformed_vector_accumulator`."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -119,11 +146,7 @@ def lsh_table_buckets(
 
     def batches(it):
         for pdf in it:
-            # drop null / wrong-dimension vectors (ingest reality at scale):
-            # a single ragged row would turn the batch into an object array
-            # and crash the matmul
-            ok = pdf[vec_col].map(lambda v: v is not None and len(v) == dim)
-            pdf = pdf[ok]
+            pdf = _guard_vectors(pdf, vec_col, dim, dropped_acc)
             mat = np.array([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
             if len(mat) == 0:
                 yield pd.DataFrame(columns=[f.name for f in schema.fields])
@@ -153,6 +176,7 @@ def knn_lsh(
     n_tables: int = 4,
     dim: int = 64,
     seed: int = 42,
+    dropped_acc=None,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH with ``n_tables``
     independent tables of ``n_planes`` sign bits. Candidates = corpus rows
@@ -173,7 +197,8 @@ def knn_lsh(
 
     def bucketed(df: DataFrame, ident: str) -> DataFrame:
         return lsh_table_buckets(
-            df, rng_planes, n_tables, n_planes, id_col, vec_col, ident
+            df, rng_planes, n_tables, n_planes, id_col, vec_col, ident,
+            dropped_acc=dropped_acc,
         )
 
     pairs = (
@@ -228,10 +253,18 @@ def _kmeans_numpy(sample: np.ndarray, n_clusters: int, seed: int, n_iter: int = 
     return centroids
 
 
-def _assign_clusters(df: DataFrame, vec_col: str, centroids: np.ndarray, n_probe: int, out_col: str):
+def _assign_clusters(
+    df: DataFrame,
+    vec_col: str,
+    centroids: np.ndarray,
+    n_probe: int,
+    out_col: str,
+    dropped_acc=None,
+):
     """mapInPandas: nearest-centroid assignment (numpy matmul over Arrow
     batches). Emits one row per (row, probed cluster) — n_probe=1 for the
-    corpus (each vector indexed once), >1 for queries (probe several lists)."""
+    corpus (each vector indexed once), >1 for queries (probe several lists).
+    ``dropped_acc``: see :func:`malformed_vector_accumulator`."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -245,9 +278,7 @@ def _assign_clusters(df: DataFrame, vec_col: str, centroids: np.ndarray, n_probe
 
     def batches(it):
         for pdf in it:
-            # same ragged-row guard as lsh_table_buckets
-            ok = pdf[vec_col].map(lambda v: v is not None and len(v) == dim)
-            pdf = pdf[ok]
+            pdf = _guard_vectors(pdf, vec_col, dim, dropped_acc)
             mat = np.array([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
             if len(mat) == 0:
                 yield pd.DataFrame(columns=[f.name for f in out_schema.fields])
@@ -323,6 +354,7 @@ def knn_ivf(
     sample_size: int = 4096,
     seed: int = 42,
     train: str = "sample",
+    dropped_acc=None,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) coarse quantization.
 
@@ -357,11 +389,11 @@ def knn_ivf(
 
     c_assigned = _assign_clusters(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
-        "c_vec", centroids, 1, "cluster",
+        "c_vec", centroids, 1, "cluster", dropped_acc=dropped_acc,
     )
     q_assigned = _assign_clusters(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
-        "q_vec", centroids, n_probe, "cluster",
+        "q_vec", centroids, n_probe, "cluster", dropped_acc=dropped_acc,
     )
     cand = (
         c_assigned.join(F.broadcast(q_assigned), on="cluster")
@@ -410,6 +442,7 @@ def _pq_encode(
     out_col: str = "codes",
     centroids_norm: np.ndarray | None = None,
     cluster_col: str = "cluster",
+    dropped_acc=None,
 ):
     """mapInPandas: encode each L2-NORMALIZED vector to m subspace code ids
     (argmin distance to the subspace codebook) — one numpy pass per Arrow
@@ -438,8 +471,10 @@ def _pq_encode(
 
     def batches(it):
         for pdf in it:
-            ok = pdf[vec_col].map(lambda v: v is not None and len(v) == dim)
-            pdf = pdf[ok]
+            # NOTE: when chained after _assign_clusters the input is already
+            # guarded; dropped_acc here counts only rows malformed at THIS
+            # stage (normally zero in the chained path)
+            pdf = _guard_vectors(pdf, vec_col, dim, dropped_acc)
             mat = np.array([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
             if len(mat) == 0:
                 yield pd.DataFrame(columns=[f.name for f in out_schema.fields])
@@ -473,6 +508,7 @@ def knn_ivf_pq(
     rerank_k: int = 32,
     sample_size: int = 4096,
     seed: int = 42,
+    dropped_acc=None,
 ) -> DataFrame:
     """Approximate top-k via IVF + product quantization with asymmetric
     distance computation (Jégou et al. 2011, "Product Quantization for
@@ -537,7 +573,7 @@ def knn_ivf_pq(
     # index: coarse assignment + residual PQ codes in one chained Arrow stage
     c_slim = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     c_indexed = _pq_encode(
-        _assign_clusters(c_slim, "c_vec", centroids, 1, "cluster"),
+        _assign_clusters(c_slim, "c_vec", centroids, 1, "cluster", dropped_acc=dropped_acc),
         "c_vec", books, centroids_norm=cent_norm,
     ).select("neighbor_id", "cluster", "codes")
 
@@ -548,7 +584,9 @@ def knn_ivf_pq(
     from pyspark.sql import types as T
 
     q_slim = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    q_assigned = _assign_clusters(q_slim, "q_vec", centroids, n_probe, "cluster")
+    q_assigned = _assign_clusters(
+        q_slim, "q_vec", centroids, n_probe, "cluster", dropped_acc=dropped_acc
+    )
 
     lut_schema = T.StructType(
         list(q_assigned.schema.fields)

@@ -584,6 +584,51 @@ def test_knn_ivf_pq_recall_and_shape(spark, sf01_dir):
         assert len(want & got[qid]) / 5 >= 0.8, (qid, want, got[qid])
 
 
+def test_malformed_vectors_counted_not_silent(spark):
+    """VERDICT r4 item 5: the Arrow-stage ragged-row guards must SURFACE
+    what they drop. Plant null and wrong-dimension vectors and assert the
+    accumulator counts them across knn_lsh, knn_ivf and knn_ivf_pq (and
+    that results for the clean rows are unaffected)."""
+    import numpy as np
+
+    from kafka_streams_task_spark.operators.similarity import (
+        knn_ivf,
+        knn_ivf_pq,
+        knn_lsh,
+        malformed_vector_accumulator,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.standard_normal(64)]) for i in range(40)]
+    bad = [(100, None), (101, [1.0, 2.0, 3.0]), (102, [0.0] * 65)]
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    emb = spark.createDataFrame(rows + bad, schema)
+    q = emb.filter(F.col("vec_id") < 3)
+
+    acc = malformed_vector_accumulator(spark)
+    out = knn_lsh(emb, q, k=3, dropped_acc=acc).collect()
+    assert acc.value >= 3, f"lsh guard dropped silently: {acc.value}"
+    assert all(r.neighbor_id < 100 for r in out)
+
+    acc2 = malformed_vector_accumulator(spark)
+    knn_ivf(emb, q, k=3, n_clusters=4, dropped_acc=acc2).collect()
+    # corpus pass + query pass each see the 3 malformed corpus rows only
+    # (queries are clean): at least the corpus-side count must register
+    assert acc2.value >= 3, f"ivf guard dropped silently: {acc2.value}"
+
+    acc3 = malformed_vector_accumulator(spark)
+    out3 = knn_ivf_pq(emb, q, k=3, n_clusters=4, m=8, ks=8, dropped_acc=acc3).collect()
+    assert acc3.value >= 3, f"ivf_pq guard dropped silently: {acc3.value}"
+    assert all(r.neighbor_id < 100 for r in out3)
+
+
 def test_pq_encode_deterministic_and_bounded(spark, sf_dir):
     """PQ codes: one int per subspace, stable across partitionings, every
     code inside the codebook range."""
