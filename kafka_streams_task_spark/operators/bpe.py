@@ -55,9 +55,17 @@ EOW = "\x03"
 
 def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, count) over the whitespace-tokenized corpus — the only stage
-    that touches the full corpus."""
+    that touches the full corpus.
+
+    Zero-length words are filtered: ``tokens`` yields ``''`` for empty /
+    whitespace-only documents, and the trainer's ``_initial_symbols``
+    would map it to ``['', EOW]`` while the encoder's ``_encode_word``
+    maps it to ``[EOW]`` — the trainer could then learn a ``('', EOW)``
+    merge the encoder never applies. Dropping the empty word keeps both
+    sides on identical symbol sequences for every trainable word."""
     return (
         df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .filter(F.length("word") > 0)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("count"))
     )

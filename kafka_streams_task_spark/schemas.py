@@ -112,10 +112,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         # the TIMESTAMP_NTZ -> TIMESTAMP cast below is wall-clock in the
-        # SESSION time zone; it is only instant-preserving under UTC, so pin
-        # it here rather than relying on the session factory having done it
-        # (a caller with a non-UTC session would otherwise get shifted
-        # instants on Spark 4.1.2+ native nanos reads)
+        # SESSION time zone; it is only instant-preserving under UTC, so the
+        # session must be pinned to UTC — and must STAY UTC through plan
+        # EXECUTION (the cast evaluates lazily, so restoring the previous
+        # zone after this function would silently shift instants). A
+        # non-UTC session is therefore overridden with a loud warning
+        # rather than silently, and get_spark() sessions are UTC already.
+        prior_tz = spark.conf.get("spark.sql.session.timeZone", None)
+        if prior_tz not in (None, "UTC"):
+            import warnings
+
+            warnings.warn(
+                f"load_table('events') pins spark.sql.session.timeZone to UTC "
+                f"for instant-preserving nanos normalization (was {prior_tz!r}); "
+                f"the setting persists for the session because the returned "
+                f"plan executes lazily",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         from pyspark.sql import functions as F
 

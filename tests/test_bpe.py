@@ -121,6 +121,29 @@ def test_word_frequencies_matches_counter(spark, sf_dir):
     assert got == dict(want)
 
 
+def test_empty_documents_dont_poison_training(spark):
+    """ADVICE r4: empty / whitespace-only docs tokenize to '' — the trainer
+    must not see it (it would learn a ('', EOW) merge the encoder never
+    applies). Training on a corpus WITH empty docs must match the pure-
+    Python reference over the non-empty words, and encoding stays
+    conservation-consistent: an empty doc encodes to exactly one
+    EOW-marked subword carrying zero characters (mirroring its single
+    empty 'word')."""
+    docs = CORPUS + [(90, ""), (91, "   "), (92, "\n\t ")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    wf = {r.word: r["count"] for r in word_frequencies(df).collect()}
+    assert "" not in wf
+    want = Counter(w for _, t in CORPUS for w in t.split())
+    assert wf == dict(want)
+    merges = bpe_train(df, n_merges=8, batch_k=1)
+    assert merges == ref_bpe_train(dict(want), 8)
+    assert not any(a == "" or b == "" for a, b in merges)
+    enc = {r.doc_id: r.subwords for r in bpe_encode(df, merges).collect()}
+    for d in (90, 91, 92):
+        assert [s for s in enc[d] if EOW in s] == enc[d]  # every subword marked
+        assert "".join(enc[d]).replace(EOW, "") == ""     # zero char mass
+
+
 def test_empty_and_trivial_corpora(spark):
     df = spark.createDataFrame([(0, "a")], ["doc_id", "text"])
     # single 1-char word: only pair is (char, EOW); with min_pair_count=2

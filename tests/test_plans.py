@@ -183,3 +183,27 @@ def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
     plan = _plan(decontaminate(corpus, bench))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_events_load_warns_on_non_utc_session(spark, sf_dir):
+    """ADVICE r4: load_table('events') must not SILENTLY overwrite a
+    caller's non-UTC session timezone — it warns (the pin must persist
+    through lazy execution, so restoring would shift instants)."""
+    import warnings
+
+    from kafka_streams_task_spark.schemas import load_table
+
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            load_table(spark, sf_dir, "events")
+        assert any("pins spark.sql.session.timeZone" in str(w.message) for w in caught)
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        # a UTC session loads silently
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            load_table(spark, sf_dir, "events")
+        assert not caught
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
