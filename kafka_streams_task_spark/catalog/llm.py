@@ -946,6 +946,19 @@ def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SQL recomputation (driver docs are single-line, so the leg
     degenerates to whole-doc frequency — duplicate docs get emptied; the
     multi-line mechanics are pinned by test_llm_ops.py)."""
+    legs = _library_suite_legs(spark, sf_dir)
+    out = legs["vocab"]
+    for name in ("encode", "decontam", "mixrates", "shuffle", "nll", "zorder", "boilerplate"):
+        out = out.unionByName(legs[name])
+    return out
+
+
+def _library_suite_legs(spark: SparkSession, sf_dir: str):
+    """The eight ``llm_library_suite`` legs as individually-runnable
+    DataFrames (diagnosability: the driver gate hashes the union, so a
+    failure there names the suite — ``tests/test_catalog_extra.py::
+    test_llm_library_suite_legs_individually`` runs each leg alone so the
+    first broken leg is named)."""
     from ..operators.sampling import (
         hash_stratified_sample,
         shuffle_deterministic,
@@ -1076,12 +1089,13 @@ def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("i2"),
     )
 
-    return (
-        vocab_leg.unionByName(encode_leg)
-        .unionByName(decontam_leg)
-        .unionByName(mix_leg)
-        .unionByName(shuffle_leg)
-        .unionByName(nll_leg)
-        .unionByName(zorder_leg)
-        .unionByName(boiler_leg)
-    )
+    return {
+        "vocab": vocab_leg,
+        "encode": encode_leg,
+        "decontam": decontam_leg,
+        "mixrates": mix_leg,
+        "shuffle": shuffle_leg,
+        "nll": nll_leg,
+        "zorder": zorder_leg,
+        "boilerplate": boiler_leg,
+    }

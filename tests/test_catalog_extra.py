@@ -35,3 +35,41 @@ def test_every_catalog_query_runs_and_returns_rows(spark, sf_dir):
         # recall/invariant gates must not be empty either
         if name.endswith("_recall") or name.endswith("_suite"):
             assert n > 0, f"{name} returned no rows"
+
+
+def test_llm_library_suite_legs_individually(spark, sf_dir):
+    """Diagnosability for the 8-leg llm_library_suite hash gate (VERDICT
+    r4 item 8): run each leg's DataFrame ALONE with a per-leg sanity
+    assert, so a break surfaces as the leg's name instead of one opaque
+    suite-level hash mismatch."""
+    from kafka_streams_task_spark.catalog.llm import _library_suite_legs
+
+    legs = _library_suite_legs(spark, sf_dir)
+    assert set(legs) == {
+        "vocab", "encode", "decontam", "mixrates",
+        "shuffle", "nll", "zorder", "boilerplate",
+    }
+    n_docs = None
+    for name, df in legs.items():
+        rows = df.collect()
+        assert rows, f"leg {name!r} returned no rows"
+        assert all(r.leg == name for r in rows), f"leg {name!r} mis-tagged"
+        if name == "vocab":
+            ids = sorted(r.key for r in rows)
+            assert ids == list(range(len(ids))), f"leg {name!r}: ids not dense"
+        elif name == "encode":
+            assert all(r.i2 == 0 for r in rows), f"leg {name!r}: decode mismatch"
+            n_docs = len(rows)
+        elif name == "decontam":
+            assert all(r.key % 50 == 0 and r.i1 == 1 for r in rows), (
+                f"leg {name!r}: wrong docs flagged"
+            )
+        elif name == "shuffle":
+            (r,) = rows
+            assert r.i2 == 0, f"leg {name!r}: layout-dependent shards"
+        elif name == "nll":
+            assert all(r.i2 is not None and r.i2 > 0 for r in rows), (
+                f"leg {name!r}: non-positive NLL"
+            )
+    if n_docs is not None:
+        assert len([r for r in legs["boilerplate"].collect()]) == n_docs
