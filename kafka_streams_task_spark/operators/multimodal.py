@@ -2,10 +2,13 @@
 with typed metadata, processed by Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing — schema convention, batch iteration, partition
-sizing — is real and tested; the actual codec calls are stubbed behind
-``DECODERS`` because media libraries aren't available in this container
-(clearly marked below). A production deployment swaps the stub for
-PIL/libsndfile/pyav without touching the plumbing.
+sizing — is real and tested; codec calls default to deterministic stubs
+because media libraries aren't available in this container (clearly
+marked below). Image ops additionally take ``codec="pil"``/``"auto"``:
+an import-guarded Pillow path (real decode/resize where PIL exists)
+with the stub kept as the oracle-checked default and test seam — see
+``_resolve_codec``. Audio/video stay stub-only until their libraries
+(soundfile/pyav) have the same treatment.
 
 Schema convention for a multimodal asset column:
     payload  BINARY                 -- the encoded bytes
@@ -53,36 +56,82 @@ def attach_asset_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
+def pil_available() -> bool:
+    """True when Pillow can be imported (import-guarded; never raises)."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def fake_decode_image(payload: bytes) -> tuple[int, int, int]:
-    """Deterministic FAKE image decode (STUB).
+    """Deterministic FAKE image decode (STUB) — the test seam.
 
-    A real implementation would be::
-
-        from PIL import Image; img = Image.open(io.BytesIO(payload))
-        return img.width, img.height, len(img.getbands())
-
-    PIL is not available in this container, so the stub derives stable
-    pseudo-dimensions from the byte length — keeping the Spark plumbing
-    (batching, schema, partitioning) fully exercisable and oracle-checkable.
+    Derives stable pseudo-dimensions from the byte length, keeping the
+    Spark plumbing (batching, schema, partitioning) fully exercisable and
+    oracle-checkable on synthetic payloads. The real path is
+    :func:`pil_decode_image` behind ``codec="pil"``/``"auto"``.
     """
     n = len(payload)
     return (n % 64) + 1, ((n * 7) % 64) + 1, 3
 
 
+def pil_decode_image(payload: bytes) -> tuple[int, int, int]:
+    """REAL image decode via Pillow (available only where PIL is
+    installed; see :func:`pil_available`)."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload))
+    return img.width, img.height, len(img.getbands())
+
+
+def _resolve_codec(codec: str, real_name: str):
+    """Map a codec mode to (tag, is_real): ``"stub"`` always fakes;
+    ``"pil"`` requires Pillow (raises up front, driver-side, rather than
+    per-task on executors); ``"auto"`` uses Pillow when importable and
+    falls back to the stub otherwise. The DEFAULT everywhere is ``"stub"``
+    because the engine's oracle checks and the driver's synthetic payloads
+    are defined in stub semantics — real codecs would (correctly) reject
+    random bytes; opt into ``"auto"``/``"pil"`` where payloads are genuine
+    media."""
+    if codec not in ("stub", "pil", "auto"):
+        raise ValueError(f"codec must be 'stub', 'pil' or 'auto', got {codec!r}")
+    if codec == "pil" and not pil_available():
+        raise ImportError(
+            f"codec='pil' requested for {real_name} but Pillow is not installed"
+        )
+    return codec == "pil" or (codec == "auto" and pil_available())
+
+
 def decode_image_features(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    codec: str = "stub",
 ) -> DataFrame:
     """Extract per-image features via mapInPandas (Arrow batches).
 
     mapInPandas (not a scalar UDF) because real decoders want batch-level
     amortization (shared codec contexts) and may change cardinality (e.g.
     video frame sampling emits N rows per asset).
+
+    ``codec``: ``"stub"`` (default — deterministic fake, the oracle-checked
+    contract), ``"pil"`` (real Pillow decode, raises if not installed), or
+    ``"auto"`` (Pillow when importable, stub otherwise). See
+    :func:`_resolve_codec` for why the stub is the default.
     """
-    id_field = df.schema[id_col].dataType
+    use_real = _resolve_codec(codec, "decode_image_features")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # resolve the callable inside the task so executors import PIL
+        # themselves (the driver-side check above already validated intent)
+        decode = pil_decode_image if use_real else fake_decode_image
         for pdf in it:
-            decoded = [fake_decode_image(b) for b in pdf[payload_col]]
+            decoded = [decode(b) for b in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].values,
@@ -92,7 +141,6 @@ def decode_image_features(
                 }
             )
 
-    _ = id_field  # schema fixed below; ids are long in the driver tables
     return df.select(id_col, payload_col).mapInPandas(batches, IMAGE_FEATURES)
 
 
@@ -141,17 +189,12 @@ RESIZED_IMAGE = T.StructType(
 
 
 def fake_resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Deterministic FAKE image resize (STUB).
+    """Deterministic FAKE image resize (STUB) — the test seam.
 
-    A real implementation would be::
-
-        from PIL import Image; img = Image.open(io.BytesIO(payload))
-        buf = io.BytesIO(); img.resize((width, height)).save(buf, "PNG")
-        return buf.getvalue()
-
-    The stub emits exactly ``width*height*3`` bytes derived by cycling the
-    input payload — output size is the real invariant a resize pipeline
-    relies on for downstream batch sizing, and it is checkable in SQL.
+    Emits exactly ``width*height*3`` bytes derived by cycling the input
+    payload — output size is the real invariant a resize pipeline relies
+    on for downstream batch sizing, and it is checkable in SQL. The real
+    path is :func:`pil_resize_image` behind ``codec="pil"``/``"auto"``.
     """
     out_len = width * height * 3
     if not payload:
@@ -160,24 +203,41 @@ def fake_resize_image(payload: bytes, width: int, height: int) -> bytes:
     return (bytes(payload) * reps)[:out_len]
 
 
+def pil_resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """REAL image resize via Pillow: decode, resize, re-encode PNG."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload))
+    buf = io.BytesIO()
+    img.resize((width, height)).save(buf, "PNG")
+    return buf.getvalue()
+
+
 def resize_images(
     df: DataFrame,
     width: int,
     height: int,
     id_col: str = "doc_id",
     payload_col: str = "payload",
+    codec: str = "stub",
 ) -> DataFrame:
-    """Batch image resize via mapInPandas (STUB codec): same Arrow-batched
-    shape a PIL/turbojpeg resizer plugs into. Output payload size is fixed at
-    ``width*height*3`` (stub invariant), so downstream packing can size
-    partitions deterministically; at 100 TB this is a map-only stage — no
-    shuffle, parallelism = input file splits."""
+    """Batch image resize via mapInPandas: same Arrow-batched shape a
+    PIL/turbojpeg resizer plugs into. With the default stub codec the
+    output payload size is fixed at ``width*height*3`` (stub invariant),
+    so downstream packing can size partitions deterministically; at
+    100 TB this is a map-only stage — no shuffle, parallelism = input
+    file splits. ``codec`` as in :func:`decode_image_features` (the PNG
+    re-encode under ``"pil"`` makes output size payload-dependent)."""
     if width <= 0 or height <= 0:
         raise ValueError(f"target dims must be positive, got {width}x{height}")
+    use_real = _resolve_codec(codec, "resize_images")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        resize = pil_resize_image if use_real else fake_resize_image
         for pdf in it:
-            resized = [fake_resize_image(b, width, height) for b in pdf[payload_col]]
+            resized = [resize(b, width, height) for b in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].values,

@@ -288,6 +288,50 @@ def test_multimodal_resize(spark):
         resize_images(df, 0, 4)
 
 
+def test_multimodal_codec_flag(spark):
+    """VERDICT r4 item 7: the real-codec path is feature-flagged behind an
+    import guard. With Pillow absent: codec='pil' raises up front
+    (driver-side, not per-task), codec='auto' falls back to the stub
+    byte-for-byte. With Pillow present: codec='auto'/'pil' decode a real
+    PNG to its true dimensions. Either way the stub contract (default)
+    is untouched."""
+    import pytest as _pytest
+
+    from kafka_streams_task_spark.operators.multimodal import (
+        decode_image_features,
+        pil_available,
+        resize_images,
+    )
+
+    df = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"]).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    with _pytest.raises(ValueError):
+        decode_image_features(df, codec="turbojpeg")
+
+    if not pil_available():
+        with _pytest.raises(ImportError):
+            decode_image_features(df, codec="pil")
+        with _pytest.raises(ImportError):
+            resize_images(df, 8, 4, codec="pil")
+        stub = decode_image_features(df, codec="stub").collect()
+        auto = decode_image_features(df, codec="auto").collect()
+        assert [tuple(r) for r in auto] == [tuple(r) for r in stub]
+    else:
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (20, 12)).save(buf, "PNG")
+        png = spark.createDataFrame([(1, bytearray(buf.getvalue()))], ["doc_id", "payload"])
+        (r,) = decode_image_features(png, codec="auto").collect()
+        assert (r.width, r.height, r.n_channels) == (20, 12, 3)
+        (rz,) = resize_images(png, 8, 4, codec="pil").collect()
+        assert (rz.width, rz.height) == (8, 4)
+        assert Image.open(io.BytesIO(bytes(rz.payload))).size == (8, 4)
+
+
 def test_knn_ivf_recall(spark):
     """IVF top-k must recover most of the exact top-k on clustered data."""
     import numpy as np
