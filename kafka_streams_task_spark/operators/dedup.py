@@ -631,3 +631,137 @@ def remove_boilerplate_lines(
             F.coalesce(F.col("n_kept_lines"), F.lit(0)).cast("long").alias("n_kept_lines"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (cluster-scoped embedding dedup)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    sample_size: int = 4096,
+    seed: int = 42,
+    max_cluster: int = 8192,
+    train: str = "sample",
+    dropped_acc=None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication scoped by k-means clustering, the embedding-space
+    complement of MinHash/SimHash text dedup.
+
+    Pipeline: (1) fit k-means centroids (bounded driver-side sample, or
+    full-corpus distributed Lloyd with ``train="distributed"``); (2) assign
+    every vector to its nearest centroid — pairwise comparison is scoped to
+    a cluster, never the corpus; (3) within each cluster, exact-cosine
+    verify candidate pairs at ``threshold``; (4) group transitive near-dups
+    with connected components; (5) per group, keep the single member with
+    the LOWEST cosine similarity to its cluster centroid (the paper's
+    representative choice — retain the "hardest" example; ties keep the
+    smaller id).
+
+    Returns one row per input vector:
+    ``(id_col, cluster, centroid_sim, group_id, keep)`` where ``group_id``
+    is the minimum member id of the vector's near-dup group (null when it
+    has no near-duplicate; such singletons always have ``keep = true``).
+
+    Scale: the centroid table is k x dim floats, broadcast inside the
+    assignment closure and as a tiny join relation for ``centroid_sim``;
+    the per-cluster pairing shuffle carries only (cluster, id) rows —
+    vectors rejoin at exact-cosine verification, so no shuffle ever moves a
+    vector per candidate pair. Cluster population is bounded by ``k ~
+    sqrt(N)`` sizing plus the ``max_cluster`` cap (oversized clusters —
+    near-zero regions, mass duplicates — are dropped whole, same guard as
+    the LSH bucket caps). Component grouping is the large-star/small-star
+    O(log n) contraction on (long, long) edges. The assignment output is
+    localCheckpoint-ed: (id, cluster, centroid_sim) is ~20 bytes/row, and
+    both the pairing branch and the final flag join reuse it without
+    re-running the Arrow-stage assignment.
+    """
+    from .cluster import connected_components
+    from .similarity import (
+        _assign_clusters,
+        _clean_matrix,
+        _kmeans_numpy,
+        cosine_similarity_nullsafe,
+        kmeans_fit_distributed,
+    )
+
+    if train not in ("sample", "distributed"):
+        raise ValueError(f"train must be 'sample' or 'distributed', got {train!r}")
+    if train == "distributed":
+        centroids = kmeans_fit_distributed(emb, vec_col, id_col, n_clusters=n_clusters)
+    else:
+        sample_pdf = emb.select(vec_col).orderBy(id_col).limit(sample_size).toPandas()
+        sample = _clean_matrix(sample_pdf[vec_col])
+        centroids = _kmeans_numpy(sample, min(n_clusters, len(sample)), seed)
+
+    assigned = _assign_clusters(
+        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+        "_v",
+        centroids,
+        1,
+        "cluster",
+        dropped_acc=dropped_acc,
+    )
+    cent_df = emb.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        schema="cluster int, _cent array<double>",
+    )
+    scored = (
+        assigned.join(F.broadcast(cent_df), "cluster")
+        .select(
+            "_id",
+            "cluster",
+            stable_round(
+                cosine_similarity_nullsafe(F.col("_v"), F.col("_cent")), 6
+            ).alias("centroid_sim"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    members = (
+        scored.groupBy("cluster")
+        .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_cluster))
+    )
+    pairs = (
+        members.select(F.posexplode("ids").alias("i", "id_a"), "ids")
+        .select("id_a", F.explode(F.expr("slice(ids, i + 2, size(ids))")).alias("id_b"))
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    pair_cos = stable_round(cosine_similarity_nullsafe(F.col("_va"), F.col("_vb")), 6)
+    edges = (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        # zero-norm guard: nullsafe cosine yields NULL (under ANSI mode a
+        # plain divide would error; a NaN would sort ABOVE every number and
+        # weld spurious edges across the whole cluster) — NULL >= threshold
+        # is NULL, so the filter drops the row.
+        .filter(pair_cos >= F.lit(threshold))
+        .select("id_a", "id_b")
+    )
+    comps = connected_components(edges, src="id_a", dst="id_b")
+    keepers = (
+        comps.join(scored, comps["node"] == scored["_id"])
+        .groupBy("component")
+        .agg(F.min_by("node", F.struct("centroid_sim", "node")).alias("_keeper"))
+    )
+    return (
+        scored.join(comps.withColumnRenamed("node", "_id"), "_id", "left")
+        .join(keepers, "component", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cluster",
+            "centroid_sim",
+            F.col("component").alias("group_id"),
+            (F.col("component").isNull() | (F.col("_id") == F.col("_keeper"))).alias(
+                "keep"
+            ),
+        )
+    )

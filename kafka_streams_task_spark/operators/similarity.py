@@ -62,6 +62,18 @@ def cosine_similarity(a, b) -> "F.Column":
     return dot / (na * nb)
 
 
+def cosine_similarity_nullsafe(a, b) -> "F.Column":
+    """Cosine similarity that yields NULL (not an ANSI DIVIDE_BY_ZERO error,
+    not a NaN that Spark would sort above every number) when either vector
+    has zero norm. For pipelines that cannot pre-filter zero vectors."""
+    a = _as_double(a)
+    b = _as_double(b)
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.try_divide(dot, na * nb)
+
+
 def knn_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
