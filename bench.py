@@ -47,6 +47,8 @@ HEADLINE = [
     "similarity_knn_lsh",
     "similarity_knn_ivf",
     "similarity_knn_ivf_pq",  # added r4 (new operator; not in r1 baseline)
+    "semantic_dedup",  # added r5 (new operator; not in r1 baseline)
+    "tfidf_top_terms",  # added r5 (new operator; not in r1 baseline)
     "text_token_stats",
     "text_quality_scores",
     "text_quality_gopher",  # added r2 (widened quality surface; not in r1 baseline)
@@ -111,8 +113,10 @@ def _raw_ops():
     from kafka_streams_task_spark.operators.dedup import (
         embedding_near_dup_pairs,
         minhash_lsh_candidates,
+        semantic_dedup,
         simhash_near_dup_pairs,
     )
+    from kafka_streams_task_spark.operators.tfidf import tfidf_top_terms
     from kafka_streams_task_spark.operators.similarity import (
         knn_ivf,
         knn_ivf_pq,
@@ -195,6 +199,15 @@ def _raw_ops():
         "similarity_knn_ivf": lambda s, d: knn_ivf(*_emb_pair(s, d), k=5),
         "similarity_knn_ivf_pq": lambda s, d: knn_ivf_pq(
             *_emb_pair(s, d), k=5, n_probe=12, ks=64, rerank_k=96
+        ),
+        # r5 operators: semantic_dedup at threshold 0.5 so the sf0.1 corpus
+        # (max natural cosine ~0.6) produces real edges and the connected-
+        # components grouping stage is exercised, not short-circuited
+        "semantic_dedup": lambda s, d: semantic_dedup(
+            load_table(s, d, "embeddings"), threshold=0.5
+        ),
+        "tfidf_top_terms": lambda s, d: tfidf_top_terms(
+            load_table(s, d, "documents").select("doc_id", "text"), k=3
         ),
     }
 

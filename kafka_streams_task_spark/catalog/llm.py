@@ -882,6 +882,23 @@ def _zorder_oracle_expr(bits: int = 8) -> str:
            {_zorder_oracle_expr(8)}, CAST(NULL AS BIGINT)
     FROM events
     UNION ALL
+    SELECT 'tfidf', t.doc_id, t.term, t.rank, t.score_micro FROM (
+      WITH tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+      dft AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      nd AS (SELECT count(*) AS n_docs FROM documents)
+      SELECT doc_id, token AS term,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY
+                  CAST(round(tf * round(ln((1.0 + n_docs) / (1.0 + df)) + 1.0 + 1e-09, 6) * 1e6) AS BIGINT) DESC,
+                  token) AS BIGINT) AS rank,
+             CAST(round(tf * round(ln((1.0 + n_docs) / (1.0 + df)) + 1.0 + 1e-09, 6) * 1e6) AS BIGINT) AS score_micro
+      FROM tf JOIN dft USING (token), nd
+    ) t WHERE t.rank <= 3
+    UNION ALL
+    SELECT 'semdedup', vec_id, CAST(NULL AS VARCHAR),
+           CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+    FROM embeddings
+    WHERE list_sum(list_transform(embedding, x -> CAST(x*x AS DOUBLE))) > 0
+    UNION ALL
     SELECT 'boilerplate', r.doc_id, r.cleaned, r.n_kept, CAST(NULL AS BIGINT)
     FROM (
       WITH base AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
@@ -898,8 +915,8 @@ def _zorder_oracle_expr(bits: int = 8) -> str:
     """,
 )
 def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Eight library operators in one driver slot (r4; tagged legs, the
-    scalar_semantics_suite pattern):
+    """Ten library operators in one driver slot (r4, widened r5; tagged
+    legs, the scalar_semantics_suite pattern):
 
     'vocab' — the FULL build_vocab output (token, count, token_id): the
     oracle recomputes frequencies AND the dense frequency-ranked ids with
@@ -945,10 +962,28 @@ def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     and surviving line count per document compared byte-for-byte against
     the SQL recomputation (driver docs are single-line, so the leg
     degenerates to whole-doc frequency — duplicate docs get emptied; the
-    multi-line mechanics are pinned by test_llm_ops.py)."""
+    multi-line mechanics are pinned by test_llm_ops.py).
+
+    'tfidf' (r5) — tfidf_top_terms value check: top-3 smoothed TF-IDF
+    terms per document, scores compared in exact integer micro-units
+    (tf * round(idf, 6) * 1e6 is an exactly-representable integer, so the
+    cross-engine compare is bit-stable) and ranks fully ordered by
+    (score DESC, term ASC).
+
+    'semdedup' (r5) — planted-copy invariant for semantic_dedup
+    (SemDeDup): an exact copy of every nonzero embedding is planted at
+    id + 1e6; identical floats assign to the identical k-means cluster and
+    tie on centroid similarity, so the smaller id (the original) must be
+    kept (i1 = 1) and the copy dropped (i2 = 1) for EVERY vector — the
+    oracle states both flags directly. The discriminative behavior
+    (perturbed chains, representative choice, zero-norm guard) is pinned
+    by tests/test_semdedup_tfidf.py."""
     legs = _library_suite_legs(spark, sf_dir)
     out = legs["vocab"]
-    for name in ("encode", "decontam", "mixrates", "shuffle", "nll", "zorder", "boilerplate"):
+    for name in (
+        "encode", "decontam", "mixrates", "shuffle", "nll", "zorder",
+        "boilerplate", "tfidf", "semdedup",
+    ):
         out = out.unionByName(legs[name])
     return out
 
@@ -1089,6 +1124,50 @@ def _library_suite_legs(spark: SparkSession, sf_dir: str):
         F.lit(None).cast("long").alias("i2"),
     )
 
+    from ..operators.tfidf import tfidf_top_terms
+
+    tfidf_leg = tfidf_top_terms(d, k=3).select(
+        F.lit("tfidf").alias("leg"),
+        F.col("doc_id").alias("key"),
+        F.col("term").alias("s1"),
+        F.col("rank").cast("long").alias("i1"),
+        F.col("score_micro").alias("i2"),
+    )
+
+    from ..operators.dedup import semantic_dedup
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    norm2 = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    eligible = e.filter(norm2 > 0)
+    sd = semantic_dedup(
+        eligible.unionByName(
+            eligible.select((F.col("vec_id") + F.lit(1000000)).alias("vec_id"), "embedding")
+        ),
+        threshold=0.95,
+    )
+    flags = sd.select("vec_id", F.col("keep").cast("long").alias("k"))
+    semdedup_leg = (
+        flags.filter(F.col("vec_id") < 1000000)
+        .join(
+            flags.filter(F.col("vec_id") >= 1000000).select(
+                (F.col("vec_id") - 1000000).alias("vec_id"),
+                (F.lit(1) - F.col("k")).cast("long").alias("dropped"),
+            ),
+            "vec_id",
+        )
+        .select(
+            F.lit("semdedup").alias("leg"),
+            F.col("vec_id").alias("key"),
+            F.lit(None).cast("string").alias("s1"),
+            F.col("k").alias("i1"),
+            F.col("dropped").alias("i2"),
+        )
+    )
+
     return {
         "vocab": vocab_leg,
         "encode": encode_leg,
@@ -1098,4 +1177,6 @@ def _library_suite_legs(spark: SparkSession, sf_dir: str):
         "nll": nll_leg,
         "zorder": zorder_leg,
         "boilerplate": boiler_leg,
+        "tfidf": tfidf_leg,
+        "semdedup": semdedup_leg,
     }

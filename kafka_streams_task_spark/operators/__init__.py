@@ -29,6 +29,7 @@ from .dedup import (
     embedding_near_dup_pairs,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
+    semantic_dedup,
     simhash_near_dup_pairs,
 )
 from .layout import (
@@ -51,6 +52,9 @@ from .sampling import (
     shuffle_deterministic,
     temperature_mix_rates,
     unigram_nll_scores,
+)
+from .tfidf import (
+    tfidf_top_terms,
 )
 from .similarity import (
     kmeans_fit_distributed,
@@ -84,6 +88,8 @@ __all__ = [
     "simhash_near_dup_pairs",
     "ngram_jaccard_pairs",
     "remove_boilerplate_lines",
+    "semantic_dedup",
+    "tfidf_top_terms",
     "embedding_near_dup_pairs",
     "decontaminate",
     "attach_asset_meta",

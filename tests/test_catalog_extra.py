@@ -38,7 +38,7 @@ def test_every_catalog_query_runs_and_returns_rows(spark, sf_dir):
 
 
 def test_llm_library_suite_legs_individually(spark, sf_dir):
-    """Diagnosability for the 8-leg llm_library_suite hash gate (VERDICT
+    """Diagnosability for the 10-leg llm_library_suite hash gate (VERDICT
     r4 item 8): run each leg's DataFrame ALONE with a per-leg sanity
     assert, so a break surfaces as the leg's name instead of one opaque
     suite-level hash mismatch."""
@@ -47,7 +47,7 @@ def test_llm_library_suite_legs_individually(spark, sf_dir):
     legs = _library_suite_legs(spark, sf_dir)
     assert set(legs) == {
         "vocab", "encode", "decontam", "mixrates",
-        "shuffle", "nll", "zorder", "boilerplate",
+        "shuffle", "nll", "zorder", "boilerplate", "tfidf", "semdedup",
     }
     n_docs = None
     for name, df in legs.items():
@@ -70,6 +70,14 @@ def test_llm_library_suite_legs_individually(spark, sf_dir):
         elif name == "nll":
             assert all(r.i2 is not None and r.i2 > 0 for r in rows), (
                 f"leg {name!r}: non-positive NLL"
+            )
+        elif name == "tfidf":
+            assert all(1 <= r.i1 <= 3 and r.i2 > 0 for r in rows), (
+                f"leg {name!r}: bad rank/score"
+            )
+        elif name == "semdedup":
+            assert all(r.i1 == 1 and r.i2 == 1 for r in rows), (
+                f"leg {name!r}: original dropped or planted copy kept"
             )
     if n_docs is not None:
         assert len([r for r in legs["boilerplate"].collect()]) == n_docs
