@@ -668,19 +668,29 @@ def semantic_dedup(
     ``(id_col, cluster, centroid_sim, group_id, keep)`` where ``group_id``
     is the minimum member id of the vector's near-dup group (null when it
     has no near-duplicate; such singletons always have ``keep = true``).
+    Null / wrong-dimension vectors are dropped by the assignment-stage
+    guard and are ABSENT from the output — pass ``dropped_acc`` (a
+    :func:`~kafka_streams_task_spark.operators.similarity.malformed_vector_accumulator`)
+    to count them; zero-norm vectors survive as singletons with a NULL
+    ``centroid_sim``.
 
     Scale: the centroid table is k x dim floats, broadcast inside the
-    assignment closure and as a tiny join relation for ``centroid_sim``;
-    the per-cluster pairing shuffle carries only (cluster, id) rows —
-    vectors rejoin at exact-cosine verification, so no shuffle ever moves a
-    vector per candidate pair. Cluster population is bounded by ``k ~
-    sqrt(N)`` sizing plus the ``max_cluster`` cap (oversized clusters —
-    near-zero regions, mass duplicates — are dropped whole, same guard as
-    the LSH bucket caps). Component grouping is the large-star/small-star
-    O(log n) contraction on (long, long) edges. The assignment output is
-    localCheckpoint-ed: (id, cluster, centroid_sim) is ~20 bytes/row, and
-    both the pairing branch and the final flag join reuse it without
-    re-running the Arrow-stage assignment.
+    assignment closure and as a tiny join relation for ``centroid_sim``.
+    The pairwise stage is the paper's own formulation: vectors shuffle
+    ONCE, keyed by cluster, and each cluster's cosine matrix is a blocked
+    numpy matmul inside ``applyInPandas`` (1024-row blocks bound the
+    per-task score matrix to block x ``max_cluster`` doubles) — far
+    cheaper than exploding candidate pairs through Spark's interpreted
+    higher-order-function cosine, at either scale. Per-task memory is
+    bounded by ``k ~ sqrt(N)`` cluster sizing plus the ``max_cluster`` cap
+    (oversized clusters — near-zero regions, mass duplicates — are dropped
+    whole, same guard as the LSH bucket caps). Component grouping is the
+    large-star/small-star O(log n) contraction on (long, long) edges (with
+    the bounded driver-side union-find fast path for sparse edge sets).
+    The (id, cluster, centroid_sim) table — ~20 bytes/row — is
+    localCheckpoint-ed once and reused by the keeper-choice and flag
+    joins; the assignment closure itself runs once per branch (flags +
+    pairing), each a single Arrow pass over the corpus.
     """
     from .cluster import connected_components
     from .similarity import (
@@ -724,27 +734,47 @@ def semantic_dedup(
         .localCheckpoint(eager=True)
     )
 
-    members = (
-        scored.groupBy("cluster")
-        .agg(F.array_sort(F.collect_list("_id")).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_cluster))
-    )
-    pairs = (
-        members.select(F.posexplode("ids").alias("i", "id_a"), "ids")
-        .select("id_a", F.explode(F.expr("slice(ids, i + 2, size(ids))")).alias("id_b"))
-    )
-    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    pair_cos = stable_round(cosine_similarity_nullsafe(F.col("_va"), F.col("_vb")), 6)
+    def _cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64")})
+        n = len(pdf)
+        if n < 2 or n > max_cluster:
+            return empty
+        ids = pdf["_id"].to_numpy()
+        mat = np.array([np.asarray(v, dtype="float64") for v in pdf["_v"]])
+        norms = np.sqrt((mat**2).sum(axis=1))
+        ok = norms > 0  # zero-norm rows score 0 against everything: no edges
+        normed = np.zeros_like(mat)
+        normed[ok] = mat[ok] / norms[ok, None]
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        block = 1024  # bounds the score matrix to block x n doubles
+        for s in range(0, n, block):
+            sims = np.round(normed[s : s + block] @ normed.T + 1e-9, 6)
+            ii, jj = np.nonzero(sims >= threshold)
+            gi = ii + s
+            keep = jj > gi  # strict upper triangle: each pair once, no self
+            if keep.any():
+                a, b = ids[gi[keep]], ids[jj[keep]]
+                out_a.append(np.minimum(a, b))
+                out_b.append(np.maximum(a, b))
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
     edges = (
-        pairs.join(va, "id_a")
-        .join(vb, "id_b")
-        # zero-norm guard: nullsafe cosine yields NULL (under ANSI mode a
-        # plain divide would error; a NaN would sort ABOVE every number and
-        # weld spurious edges across the whole cluster) — NULL >= threshold
-        # is NULL, so the filter drops the row.
-        .filter(pair_cos >= F.lit(threshold))
-        .select("id_a", "id_b")
+        _assign_clusters(
+            emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+            "_v",
+            centroids,
+            1,
+            "cluster",
+            dropped_acc=dropped_acc,
+        )
+        .groupBy("cluster")
+        .applyInPandas(_cluster_pairs, "id_a long, id_b long")
     )
     comps = connected_components(edges, src="id_a", dst="id_b")
     keepers = (

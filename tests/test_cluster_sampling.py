@@ -35,8 +35,33 @@ def _cc_reference(edges: list[tuple[int, int]]) -> dict[int, int]:
 
 
 def _run_cc(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
+    # driver_threshold=0 forces the DISTRIBUTED star-contraction path: these
+    # property tests exist to cover the iterative rounds, which the adaptive
+    # small-graph fallback would otherwise bypass at test scale
     df = spark.createDataFrame(edges, ["src", "dst"])
-    return {r["node"]: r["component"] for r in connected_components(df).collect()}
+    return {
+        r["node"]: r["component"]
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+
+
+def test_cc_driver_and_distributed_paths_agree(spark):
+    """The bounded driver-side union-find fallback must produce the exact
+    (node, min-id component) mapping of the distributed rounds."""
+    import random
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    dist = {
+        r["node"]: r["component"]
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    drv = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()  # 80 edges -> driver path
+    }
+    assert drv == dist == _cc_reference(edges)
 
 
 class TestConnectedComponents:
@@ -332,7 +357,10 @@ def test_cc_hub_graph_no_materialized_neighborhoods(spark):
     converge to a single component."""
     edges = [(0, i) for i in range(1, 501)] + [(500 + i, 501 + i) for i in range(40)]
     df = spark.createDataFrame(edges, ["src", "dst"])
-    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
     assert set(got.values()) == {0}
     assert len(got) == 541  # hub 0..500 plus chain tail 501..540
 

@@ -136,3 +136,32 @@ def test_tfidf_plan_jvm_only(spark, sf_dir):
     )
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the broadcast 1-row n_docs
+
+
+def test_semantic_dedup_malformed_vectors_counted(spark):
+    """Ragged-row guard consistency (the r4 ANN-guard standard): null and
+    wrong-dimension vectors are dropped from the assignment stage, COUNTED
+    into the accumulator, and absent from the output — clean rows are
+    unaffected."""
+    from pyspark.sql import types as T
+
+    from kafka_streams_task_spark.operators.similarity import (
+        malformed_vector_accumulator,
+    )
+
+    good = _random_vecs(20)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    rows = [(i, v) for i, v in sorted(good.items())]
+    bad = [(100, None), (101, [1.0, 2.0]), (102, [0.0] * 9)]
+    emb = spark.createDataFrame(rows + bad, schema)
+
+    acc = malformed_vector_accumulator(spark)
+    out = semantic_dedup(emb, n_clusters=2, threshold=0.95, dropped_acc=acc)
+    ids = {r["vec_id"] for r in out.collect()}
+    assert ids == set(good)  # malformed rows absent, clean rows intact
+    assert acc.value >= 3, f"guard dropped silently: {acc.value}"
