@@ -97,6 +97,9 @@ BASELINE_SEC = {
     "text_quality_gopher": 0.395,
     # r4-added operator (steady-state measured at introduction)
     "similarity_knn_ivf_pq": 2.5,
+    # r5-added operators (steady-state measured at introduction)
+    "semantic_dedup": 2.9,
+    "tfidf_top_terms": 1.05,
 }
 RETRY_FACTOR = 2.0
 MAX_EXTRA_TRIALS = 2

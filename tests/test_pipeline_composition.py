@@ -1,0 +1,119 @@
+"""The README's end-to-end training-data pipeline, executed as a test.
+
+Every stage of the documented composition runs against the real sf0.001
+tables in one chain — clean -> dedup -> decontaminate -> quality-filter ->
+mix -> chunk -> pack -> vocab/encode -> shuffle -> keywords -> semantic
+dedup — with a cross-stage invariant asserted at each step, so the
+library's operators are proven to COMPOSE, not just pass in isolation.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from kafka_streams_task_spark.functions.text import gopher_quality_columns
+from kafka_streams_task_spark.operators import (
+    build_vocab,
+    chunk_documents,
+    decontaminate,
+    dedup_survivors_by_cluster,
+    encode_documents,
+    hash_stratified_sample,
+    minhash_lsh_candidates,
+    pack_sequences,
+    remove_boilerplate_lines,
+    semantic_dedup,
+    shuffle_deterministic,
+    temperature_mix_rates,
+    tfidf_top_terms,
+)
+from kafka_streams_task_spark.schemas import load_table
+
+
+def test_readme_pipeline_composes(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    n_docs = docs.count()
+
+    # 1. line-level cleaning preserves the document set
+    clean0 = remove_boilerplate_lines(docs)
+    assert clean0.count() == n_docs
+
+    # 2. near-dup pairs -> transitive survivors (never grows the corpus)
+    pairs = minhash_lsh_candidates(docs)
+    survivors = dedup_survivors_by_cluster(docs, pairs)
+    n_surv = survivors.count()
+    assert 0 < n_surv <= n_docs
+
+    # 3. decontamination: a planted eval 8-gram flags its source doc only
+    marker = "zq0 zq1 zq2 zq3 zq4 zq5 zq6 zq7"
+    leaky = survivors.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.concat_ws(" ", "text", F.lit(marker)))
+        .otherwise(F.col("text")),
+    )
+    bench = spark.createDataFrame([(marker,)], ["text"])
+    flagged = decontaminate(leaky, bench, shingle_n=8)
+    assert {r.doc_id % 7 for r in flagged.collect()} == {0}
+    clean = leaky.join(flagged.select("doc_id"), "doc_id", "left_anti")
+    assert clean.count() == n_surv - flagged.count()
+
+    # 4. quality filter is a subset (the synthetic fixture docs are too
+    # short for the published Gopher word-count bound — every doc fails
+    # gopher_pass, which the value-checked driver leg pins; filter on the
+    # computed n_words signal instead so the stage still gates)
+    kept = clean.select("*", *gopher_quality_columns("text")).filter("n_words >= 10")
+    n_kept = kept.count()
+    assert 0 < n_kept <= clean.count()
+
+    # 5. temperature mixing: rates in (0, 1], peak source at rate 1.0
+    rates = temperature_mix_rates(kept, "source", temperature=2.0)
+    assert rates and all(0 < r <= 1.0 + 1e-9 for r in rates.values())
+    assert max(rates.values()) > 0.999
+    mixed = hash_stratified_sample(kept, rates, "source", "doc_id")
+    n_mixed = mixed.count()
+    assert 0 < n_mixed <= n_kept
+
+    # 6. chunk -> pack conserves token mass and respects the budget
+    chunks = chunk_documents(mixed, max_tokens=64, overlap=8)
+    packed = pack_sequences(
+        chunks.withColumn("uid", F.col("doc_id") * 10000 + F.col("chunk_idx")),
+        budget=256,
+        id_col="uid",
+        text_col="chunk_text",
+        num_partitions=4,
+    )
+    assert packed.count() == chunks.count()  # every chunk lands in a pack
+    fills = packed.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("fill"), F.count(F.lit(1)).alias("n")
+    )
+    assert fills.filter((F.col("fill") > 256) & (F.col("n") > 1)).count() == 0
+
+    # 7. vocab built on the mixed corpus encodes it with zero OOV
+    vocab = build_vocab(mixed)
+    encoded = encode_documents(mixed, vocab)
+    n_oov = encoded.select(
+        F.sum(F.size(F.filter("token_ids", lambda x: x == F.lit(-1)))).alias("n")
+    ).collect()[0]["n"]
+    assert n_oov == 0
+    assert encoded.count() == n_mixed
+
+    # 8. deterministic epoch order is a permutation of the encoded set
+    epoch0 = shuffle_deterministic(encoded, seed=0)
+    assert epoch0.count() == n_mixed
+    assert (
+        epoch0.select("doc_id").distinct().count() == n_mixed
+    )
+
+    # 9. keyword extraction emits ranked terms for every kept doc with text
+    keywords = tfidf_top_terms(kept.select("doc_id", "text"), k=3)
+    assert keywords.filter((F.col("rank") < 1) | (F.col("rank") > 3)).count() == 0
+    assert keywords.select("doc_id").distinct().count() == n_kept
+
+    # 10. semantic dedup over the embeddings table: flags for every vector
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem = semantic_dedup(emb, threshold=0.95)
+    assert sem.count() == emb.count()
+    sem_kept = emb.join(sem.filter("keep").select("vec_id"), "vec_id", "left_semi")
+    assert 0 < sem_kept.count() <= emb.count()
