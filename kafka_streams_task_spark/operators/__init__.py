@@ -28,6 +28,7 @@ from .dedup import (
     remove_boilerplate_lines,
     embedding_near_dup_pairs,
     minhash_lsh_candidates,
+    drop_semantic_duplicates,
     ngram_jaccard_pairs,
     semantic_dedup,
     simhash_near_dup_pairs,
@@ -88,6 +89,7 @@ __all__ = [
     "simhash_near_dup_pairs",
     "ngram_jaccard_pairs",
     "remove_boilerplate_lines",
+    "drop_semantic_duplicates",
     "semantic_dedup",
     "tfidf_top_terms",
     "embedding_near_dup_pairs",

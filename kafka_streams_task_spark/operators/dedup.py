@@ -795,3 +795,17 @@ def semantic_dedup(
             ),
         )
     )
+
+
+def drop_semantic_duplicates(
+    df: DataFrame,
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    **kwargs,
+) -> DataFrame:
+    """Convenience form mirroring :func:`drop_exact_duplicates`: filter
+    ``df`` to the rows :func:`semantic_dedup` keeps for ``emb`` (both keyed
+    by ``id_col``; kwargs forward to ``semantic_dedup``). One left-semi
+    join on ids — the flag table never carries vectors."""
+    keep = semantic_dedup(emb, id_col=id_col, **kwargs).filter("keep").select(id_col)
+    return df.join(keep, on=id_col, how="left_semi")

@@ -165,3 +165,12 @@ def test_semantic_dedup_malformed_vectors_counted(spark):
     ids = {r["vec_id"] for r in out.collect()}
     assert ids == set(good)  # malformed rows absent, clean rows intact
     assert acc.value >= 3, f"guard dropped silently: {acc.value}"
+
+
+def test_drop_semantic_duplicates_filters_copies(spark):
+    from kafka_streams_task_spark.operators.dedup import drop_semantic_duplicates
+
+    base = _random_vecs(20)
+    emb = _emb_df(spark, {**base, **{i + 1000: base[i] for i in range(0, 20, 4)}})
+    out = drop_semantic_duplicates(emb, emb, n_clusters=2, threshold=0.95)
+    assert {r["vec_id"] for r in out.collect()} == set(base)
