@@ -52,6 +52,8 @@ HEADLINE = [
     "text_token_stats",
     "text_quality_scores",
     "text_quality_gopher",  # added r2 (widened quality surface; not in r1 baseline)
+    "text_repetition_gopher",  # added r5 (new operator; not in r1 baseline)
+    "dedup_exact_substring",  # added r5 (new operator; not in r1 baseline)
     "multimodal_image_features",
 ]
 
@@ -100,6 +102,8 @@ BASELINE_SEC = {
     # r5-added operators (steady-state measured at introduction)
     "semantic_dedup": 2.9,
     "tfidf_top_terms": 1.05,
+    "text_repetition_gopher": 1.45,
+    "dedup_exact_substring": 0.5,
 }
 RETRY_FACTOR = 2.0
 MAX_EXTRA_TRIALS = 2
@@ -154,6 +158,18 @@ def _raw_ops():
         docs = load_table(s, d, "documents")
         return docs.select("doc_id", *gopher_quality_columns("text"))
 
+    def _repetition_gopher(s, d):
+        from kafka_streams_task_spark.functions.text import gopher_repetition_columns
+
+        docs = load_table(s, d, "documents")
+        return docs.select("doc_id", *gopher_repetition_columns(F.col("text")))
+
+    def _exact_substring(s, d):
+        from kafka_streams_task_spark.operators.dedup import duplicate_span_stats
+
+        docs = load_table(s, d, "documents").select("doc_id", "text")
+        return duplicate_span_stats(docs, span_n=8)
+
     def _sample_pack_r2(s, d):
         # frozen r2 workload: sample -> pack (the r4 catalog entry added a
         # chunking stage; benching the original chain keeps deltas
@@ -193,6 +209,8 @@ def _raw_ops():
         "q6_revenue_forecast": q6_revenue_df,  # r2: registered as q6_q19_filter_aggregates
         "text_quality_scores": _quality_r1,
         "text_quality_gopher": _quality_gopher,
+        "text_repetition_gopher": _repetition_gopher,
+        "dedup_exact_substring": _exact_substring,
         "sample_pack_pipeline": _sample_pack_r2,
         "session_window_stats": _session_window_r1,
         "dedup_minhash_lsh": lambda s, d: minhash_lsh_candidates(load_table(s, d, "documents")),

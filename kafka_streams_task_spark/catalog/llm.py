@@ -828,6 +828,116 @@ def _zorder_oracle_expr(bits: int = 8) -> str:
     return " | ".join(parts)
 
 
+#: (stat alias, micro-scaled Gopher threshold) in emission order — single
+#: source of truth for the Spark leg AND the DuckDB oracle's pass flag.
+_REPETITION_STATS = (
+    ("dup_line_frac", 300000),
+    ("dup_line_char_frac", 200000),
+    ("dup_para_frac", 300000),
+    ("dup_para_char_frac", 200000),
+    ("top2gram_char_frac", 200000),
+    ("top3gram_char_frac", 180000),
+    ("top4gram_char_frac", 160000),
+    ("dup5gram_char_frac", 150000),
+    ("dup10gram_char_frac", 100000),
+)
+
+
+def _repetition_oracle_ctes() -> str:
+    """DuckDB CTEs recomputing every ``gopher_repetition_columns`` stat in
+    integer micro units (round(frac,6)*1e6) plus the conjunction pass
+    flag, and the ``duplicate_span_stats`` coverage counts (span_n=8).
+    Tokenization/line/paragraph splits mirror the Spark expressions
+    exactly (same whitespace class, chr(10) lines, '\\n{{2,}}'
+    paragraphs, whole-gram guards for docs shorter than n tokens)."""
+
+    def micro(x: str) -> str:
+        return f"CAST(round(round(({x}) + 1e-09, 6) * 1e6) AS BIGINT)"
+
+    def cfrac(mass: str, nch: str) -> str:
+        return micro(f"CASE WHEN {nch} > 0 THEN least(({mass}) / CAST({nch} AS DOUBLE), 1.0) ELSE 0.0 END")
+
+    unit_stats = []
+    for unit, arr in (("line", "ls"), ("para", "ps")):
+        unit_stats.append(
+            f"SELECT doc_id, 'dup_{unit}_frac' AS s1, "
+            + micro(f"(len({arr}) - len(list_distinct({arr}))) / CAST(len({arr}) AS DOUBLE)")
+            + " AS v FROM rep_docs"
+        )
+        unit_stats.append(
+            f"""SELECT rd.doc_id, 'dup_{unit}_char_frac', {cfrac("coalesce(m.mass, 0)", "rd.nch")}
+            FROM rep_docs rd LEFT JOIN (
+              SELECT doc_id, sum((c - 1) * length(u)) AS mass FROM (
+                SELECT doc_id, u, count(*) AS c
+                FROM (SELECT doc_id, unnest({arr}) AS u FROM rep_docs) GROUP BY doc_id, u
+              ) WHERE c >= 2 GROUP BY doc_id
+            ) m ON rd.doc_id = m.doc_id"""
+        )
+    top_stats = [
+        f"""SELECT rd.doc_id, 'top{n}gram_char_frac',
+            {cfrac(f"coalesce(t.cnt * length(t.gram), 0)", "rd.nch")}
+        FROM rep_docs rd LEFT JOIN (
+          SELECT doc_id, cnt, gram FROM (
+            SELECT doc_id, gram, cnt,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+            FROM repgc WHERE n = {n}
+          ) WHERE rn = 1 AND cnt >= 2
+        ) t ON rd.doc_id = t.doc_id"""
+        for n in (2, 3, 4)
+    ]
+    dup_stats = [
+        f"""SELECT rd.doc_id, 'dup{n}gram_char_frac', {cfrac("coalesce(m.mass, 0)", "rd.nch")}
+        FROM rep_docs rd LEFT JOIN (
+          SELECT doc_id, sum((cnt - 1) * length(gram)) AS mass
+          FROM repgc WHERE n = {n} AND cnt >= 2 GROUP BY doc_id
+        ) m ON rd.doc_id = m.doc_id"""
+        for n in (5, 10)
+    ]
+    pass_checks = " AND ".join(
+        f"max(CASE WHEN s1 = '{name}' THEN v END) <= {thr}" for name, thr in _REPETITION_STATS
+    )
+    all_stats = ",\n".join(f"s{i} AS ({s})" for i, s in enumerate(unit_stats + top_stats + dup_stats))
+    union = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(len(unit_stats + top_stats + dup_stats)))
+    return f"""
+    rep_docs AS (
+      SELECT doc_id, length(text) AS nch,
+             CASE WHEN trim(text) = '' THEN ['']
+                  ELSE string_split_regex(trim(text), '[ \\t\\n\\r\\f]+') END AS toks,
+             string_split(text, chr(10)) AS ls,
+             string_split_regex(text, '\\n{{2,}}') AS ps
+      FROM documents
+    ),
+    repg AS (
+      SELECT doc_id, n, gram FROM (
+        SELECT doc_id, ns.n,
+               CASE WHEN len(toks) >= ns.n
+                    THEN list_transform(range(1, len(toks) - ns.n + 2),
+                                        i -> array_to_string(toks[i:i+ns.n-1], ' '))
+                    ELSE [] END AS gs
+        FROM rep_docs, (SELECT unnest([2, 3, 4, 5, 10]) AS n) ns
+      ), unnest(gs) AS u(gram)
+    ),
+    repgc AS (SELECT doc_id, n, gram, count(*) AS cnt FROM repg GROUP BY doc_id, n, gram),
+    {all_stats},
+    repstats AS ({union}),
+    reppass AS (
+      SELECT doc_id,
+             CAST(CASE WHEN {pass_checks} THEN 1000000 ELSE 0 END AS BIGINT) AS v
+      FROM repstats GROUP BY doc_id
+    ),
+    spg AS (
+      SELECT doc_id, i AS pos, array_to_string(toks[i+1:i+8], ' ') AS gram
+      FROM rep_docs,
+           unnest(CASE WHEN len(toks) >= 8 THEN range(0, len(toks) - 8 + 1) ELSE [] END) AS u(i)
+    ),
+    spd AS (SELECT gram FROM spg GROUP BY gram HAVING count(*) >= 2),
+    sph AS (SELECT doc_id, pos FROM spg WHERE gram IN (SELECT gram FROM spd)),
+    spc AS (
+      SELECT doc_id, count(DISTINCT p) AS ndup
+      FROM sph, unnest(range(pos, pos + 8)) AS v(p) GROUP BY doc_id
+    )"""
+
+
 @query(
     "llm_library_suite",
     oracle=f"""
@@ -847,7 +957,7 @@ def _zorder_oracle_expr(bits: int = 8) -> str:
       SELECT source, pow(CAST(n AS DOUBLE) / t, -0.5) AS r FROM src, srctot
     ), rates AS (
       SELECT source, round(r / (SELECT max(r) FROM raw), 6) AS rate FROM raw
-    )
+    ),{_repetition_oracle_ctes()}
     SELECT 'vocab' AS leg,
            CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) - 1 AS BIGINT) AS key,
            token AS s1, cnt AS i1, CAST(NULL AS BIGINT) AS i2
@@ -898,6 +1008,14 @@ def _zorder_oracle_expr(bits: int = 8) -> str:
            CAST(1 AS BIGINT), CAST(1 AS BIGINT)
     FROM embeddings
     WHERE list_sum(list_transform(embedding, x -> CAST(x*x AS DOUBLE))) > 0
+    UNION ALL
+    SELECT 'repetition', doc_id, s1, v, CAST(NULL AS BIGINT) FROM repstats
+    UNION ALL
+    SELECT 'repetition', doc_id, 'repetition_pass', v, CAST(NULL AS BIGINT) FROM reppass
+    UNION ALL
+    SELECT 'dupspans', rd.doc_id, CAST(NULL AS VARCHAR),
+           CAST(len(rd.toks) AS BIGINT), CAST(coalesce(spc.ndup, 0) AS BIGINT)
+    FROM rep_docs rd LEFT JOIN spc ON rd.doc_id = spc.doc_id
     UNION ALL
     SELECT 'boilerplate', r.doc_id, r.cleaned, r.n_kept, CAST(NULL AS BIGINT)
     FROM (
@@ -977,12 +1095,27 @@ def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept (i1 = 1) and the copy dropped (i2 = 1) for EVERY vector — the
     oracle states both flags directly. The discriminative behavior
     (perturbed chains, representative choice, zero-norm guard) is pinned
-    by tests/test_semdedup_tfidf.py."""
+    by tests/test_semdedup_tfidf.py.
+
+    'repetition' (r5) — gopher_repetition_columns value check: all nine
+    Gopher repetition fractions (dup line/para counts and chars, top
+    2/3/4-gram char coverage, dup 5/10-gram excess char mass) PLUS the
+    conjunction pass flag, one row per (doc, stat), compared in integer
+    micro units; the oracle recomputes every stat from raw SQL splits
+    and re-derives the pass flag from the same micro values, so the
+    zero-shuffle sorted-run aggregates are checked value-for-value.
+
+    'dupspans' (r5) — duplicate_span_stats (exact-substring dedup, Lee
+    et al. 2021 shape) value check: per-doc token counts and the number
+    of token positions covered by any corpus-duplicated 8-gram; the
+    oracle recomputes coverage from positions with plain SQL grouping
+    (the Spark side travels as 128-bit gram hashes — a hash-vs-string
+    divergence would break the hash match)."""
     legs = _library_suite_legs(spark, sf_dir)
     out = legs["vocab"]
     for name in (
         "encode", "decontam", "mixrates", "shuffle", "nll", "zorder",
-        "boilerplate", "tfidf", "semdedup",
+        "boilerplate", "tfidf", "semdedup", "repetition", "dupspans",
     ):
         out = out.unionByName(legs[name])
     return out
@@ -1168,6 +1301,34 @@ def _library_suite_legs(spark: SparkSession, sf_dir: str):
         )
     )
 
+    from ..functions.text import gopher_repetition_columns
+
+    rep_wide = d.select("doc_id", *gopher_repetition_columns(F.col("text")))
+    stat_names = [name for name, _ in _REPETITION_STATS] + ["repetition_pass"]
+    rep_leg = (
+        rep_wide.select(
+            "doc_id", *[F.col(s).cast("double").alias(s) for s in stat_names]
+        )
+        .unpivot("doc_id", stat_names, "s1", "frac")
+        .select(
+            F.lit("repetition").alias("leg"),
+            F.col("doc_id").alias("key"),
+            F.col("s1"),
+            F.round(F.col("frac") * 1e6, 0).cast("long").alias("i1"),
+            F.lit(None).cast("long").alias("i2"),
+        )
+    )
+
+    from ..operators.dedup import duplicate_span_stats
+
+    dupspan_leg = duplicate_span_stats(d, span_n=8).select(
+        F.lit("dupspans").alias("leg"),
+        F.col("doc_id").alias("key"),
+        F.lit(None).cast("string").alias("s1"),
+        F.col("n_tokens").alias("i1"),
+        F.col("n_dup_tokens").alias("i2"),
+    )
+
     return {
         "vocab": vocab_leg,
         "encode": encode_leg,
@@ -1179,4 +1340,6 @@ def _library_suite_legs(spark: SparkSession, sf_dir: str):
         "boilerplate": boiler_leg,
         "tfidf": tfidf_leg,
         "semdedup": semdedup_leg,
+        "repetition": rep_leg,
+        "dupspans": dupspan_leg,
     }

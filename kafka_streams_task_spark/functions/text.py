@@ -201,6 +201,167 @@ def gopher_quality_columns(
     ]
 
 
+def _excess_char_mass(arr: Column) -> Column:
+    """Characters contained in EXCESS occurrences of duplicated elements:
+    ``sum((count - 1) * length(value))`` over values appearing more than
+    once in ``arr``. Zero-shuffle formulation: ``array_sort`` then one
+    ``aggregate`` pass tracking (prev, run-length, accumulated chars) —
+    the within-row equivalent of ``GROUP BY value HAVING count > 1``,
+    O(k log k) per row, all JVM-side (higher-order array expressions)."""
+    s = F.array_sort(arr)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("chars"),
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        same = x == acc["prev"]
+        run = F.when(same, acc["run"] + F.lit(1)).otherwise(F.lit(1)).cast("long")
+        # flush the finished run's excess chars when the value changes
+        chars = (
+            F.when(same | (acc["run"] == 0), acc["chars"])
+            .otherwise(acc["chars"] + (acc["run"] - 1) * F.length(acc["prev"]).cast("long"))
+        )
+        return F.struct(x.alias("prev"), run.alias("run"), chars.alias("chars"))
+
+    def finish(acc: Column) -> Column:
+        return acc["chars"] + F.when(
+            acc["run"] >= 2, (acc["run"] - 1) * F.length(acc["prev"]).cast("long")
+        ).otherwise(F.lit(0))
+
+    return F.aggregate(s, init, merge, finish)
+
+
+def _top_value_run(arr: Column) -> Column:
+    """Most frequent element of ``arr`` with deterministic tie-break
+    (count DESC, value ASC) as ``struct(cnt, val)``. Same sorted-run
+    scan as :func:`_excess_char_mass` — strict ``>`` over the ascending
+    sort means the FIRST value reaching the maximal run wins, i.e. the
+    lexicographically smallest among the tied. Empty array -> (0, null)."""
+    s = F.array_sort(arr)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("cnt"),
+        F.lit(None).cast("string").alias("val"),
+    )
+
+    def merge(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + F.lit(1)).otherwise(F.lit(1)).cast("long")
+        better = run > acc["cnt"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["cnt"]).alias("cnt"),
+            F.when(better, x).otherwise(acc["val"]).alias("val"),
+        )
+
+    return F.aggregate(
+        s, init, merge, lambda acc: F.struct(acc["cnt"].alias("cnt"), acc["val"].alias("val"))
+    )
+
+
+#: Published Gopher repetition thresholds (Rae et al. 2021, App. A1.1,
+#: Table A1): a document FAILS the repetition filter when any fraction
+#: exceeds its threshold. Keys match the column aliases emitted by
+#: :func:`gopher_repetition_columns`.
+GOPHER_REPETITION_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top2gram_char_frac": 0.20,
+    "top3gram_char_frac": 0.18,
+    "top4gram_char_frac": 0.16,
+    "dup5gram_char_frac": 0.15,
+    "dup6gram_char_frac": 0.14,
+    "dup7gram_char_frac": 0.13,
+    "dup8gram_char_frac": 0.12,
+    "dup9gram_char_frac": 0.11,
+    "dup10gram_char_frac": 0.10,
+}
+
+
+def gopher_repetition_columns(
+    text: Column | str,
+    *,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 10),
+) -> list[Column]:
+    """The Gopher/MassiveWeb REPETITION filter signals (Rae et al. 2021,
+    App. A1.1 — the companion family to :func:`gopher_quality_columns`):
+
+    - ``dup_line_frac`` / ``dup_para_frac`` — fraction of lines /
+      paragraphs that are excess occurrences of a repeated line/paragraph
+      (``1 - distinct/total``, the count-beyond-first formulation).
+    - ``dup_line_char_frac`` / ``dup_para_char_frac`` — fraction of the
+      document's characters contained in those excess occurrences.
+    - ``top{n}gram_char_frac`` (n in ``top_ns``) — characters covered by
+      all occurrences of the single most frequent word n-gram, as a
+      fraction of the document (ties broken count DESC, gram ASC).
+    - ``dup{n}gram_char_frac`` (n in ``dup_ns``) — characters in excess
+      occurrences of duplicated word n-grams. Defaults cover the
+      published n=5..10 family's endpoints; pass the full range for
+      strict parity (each n costs one extra sort+scan of the shingles).
+    - ``repetition_pass`` — int flag: every emitted fraction is at or
+      under its :data:`GOPHER_REPETITION_THRESHOLDS` threshold
+      (compared on ROUNDED values, so threshold boundaries land
+      identically in the DuckDB oracle).
+
+    Every signal is pure array arithmetic (split / array_sort / one
+    aggregate pass) — zero shuffle, zero Python, JVM-side expressions
+    only (the plan is a single Project over the scan); at 100 TB this
+    is a map-only stage over the corpus scan. Character
+    fractions use ``length(text)`` as the denominator; all fractions are
+    ``stable_round``-ed to 6dp.
+    """
+    from .rounding import stable_round
+
+    c = F.col(text) if isinstance(text, str) else text
+    nch = F.length(c).cast("double")
+
+    def char_frac(mass: Column) -> Column:
+        # clamp at 1.0: overlapping n-gram occurrences can carry more
+        # characters than the document holds (each excess occurrence is
+        # counted at full gram width, the published formulation); the
+        # thresholds compared against are all <= 0.30, so clamping never
+        # changes a verdict — it only keeps the stat a true fraction.
+        return stable_round(
+            F.when(nch > 0, F.least(mass.cast("double") / nch, F.lit(1.0))).otherwise(F.lit(0.0)),
+            6,
+        )
+
+    stats: list[tuple[str, Column]] = []
+    for unit, splitter in (("line", F.split(c, "\n")), ("para", F.split(c, r"\n{2,}"))):
+        k = F.size(splitter).cast("double")
+        dup_frac = stable_round(
+            (k - F.size(F.array_distinct(splitter)).cast("double")) / k, 6
+        )
+        stats.append((f"dup_{unit}_frac", dup_frac))
+        stats.append((f"dup_{unit}_char_frac", char_frac(_excess_char_mass(splitter))))
+    n_toks = F.size(tokens(c))
+    for n in top_ns:
+        top = _top_value_run(shingles(c, n))
+        # guards: a doc with < n tokens has NO n-gram (the shingles()
+        # whole-text fallback would otherwise score it 1.0), and a top
+        # gram occurring once is not repetition — it would score every
+        # short unique doc by its longest n-gram
+        mass = F.when(
+            (n_toks >= n) & (top["cnt"] >= 2), top["cnt"] * F.length(top["val"]).cast("long")
+        ).otherwise(F.lit(0))
+        stats.append((f"top{n}gram_char_frac", char_frac(mass)))
+    for n in dup_ns:
+        stats.append((f"dup{n}gram_char_frac", char_frac(_excess_char_mass(shingles(c, n)))))
+
+    passed = F.lit(True)
+    for name, col in stats:
+        passed = passed & (col <= F.lit(GOPHER_REPETITION_THRESHOLDS[name]))
+    out = [col.alias(name) for name, col in stats]
+    out.append(passed.cast("int").alias("repetition_pass"))
+    return out
+
+
 def repetition_ratio(text: Column | str, n: int = 3) -> Column:
     """Duplicated word-n-gram fraction in [0, 1]: 1 - distinct/total
     shingles. Boilerplate and looping generations score high; natural prose

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.rounding import stable_round
-from ..functions.text import shingles
+from ..functions.text import shingles, tokens
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -629,6 +629,90 @@ def remove_boilerplate_lines(
             id_col,
             F.coalesce(F.col("_cleaned"), F.lit("")).alias(text_col),
             F.coalesce(F.col("n_kept_lines"), F.lit(0)).cast("long").alias("n_kept_lines"),
+        )
+    )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    span_n: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplication statistics (the Spark-native shape of
+    Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better" — their ExactSubstr dedup finds repeated >=50-token spans with
+    a corpus-wide suffix array, which does not distribute; the standard
+    cluster formulation slides a ``span_n``-token window instead): a token
+    position is DUPLICATED when it is covered by at least one ``span_n``-
+    gram occurring >= ``min_count`` times across the whole corpus
+    (including repeats within the same document).
+
+    Returns one row per input document: (id, n_tokens, n_dup_tokens,
+    dup_span_frac) where ``dup_span_frac = n_dup_tokens / n_tokens``
+    (stable-rounded; 0.0 for docs shorter than ``span_n`` tokens, which
+    cannot carry a span).
+
+    Scale shape: positions explode once; grams travel ONLY as the
+    composite 128-bit membership key (:func:`_line_membership_hashes`'
+    collision rationale — membership decides per-token dup marking, so
+    64-bit birthday collisions on a crawl-scale corpus would silently
+    inflate coverage); the frequency table groups on the 16-byte key; the
+    membership check is a semi-join on the same key (the duplicated-gram
+    set is NOT assumed broadcastable); per-doc coverage is computed
+    JVM-side from each doc's hit positions (``sequence`` -> ``flatten``
+    -> ``array_distinct``), bounded by tokens-per-document. No window
+    functions, no Python.
+    """
+    toks = tokens(F.col(text_col))
+    docs = df.select(F.col(id_col), toks.alias("toks")).select(
+        id_col, "toks", F.size("toks").alias("n_tokens")
+    )
+    grams = F.when(
+        F.col("n_tokens") >= span_n,
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_tokens") - F.lit(span_n)),
+            lambda i: F.struct(
+                F.xxhash64(F.concat_ws(" ", F.slice(F.col("toks"), (i + 1).cast("int"), span_n))).alias("h0"),
+                F.xxhash64(
+                    F.lit(_MEMBERSHIP_SALT),
+                    F.concat_ws(" ", F.slice(F.col("toks"), (i + 1).cast("int"), span_n)),
+                ).alias("h1"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<h0:bigint,h1:bigint>>"))
+    pos_grams = docs.select(
+        id_col, F.posexplode(grams).alias("pos", "g")
+    ).select(id_col, "pos", F.col("g.h0").alias("h0"), F.col("g.h1").alias("h1"))
+    dup = (
+        pos_grams.groupBy("h0", "h1")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("h0", "h1")
+    )
+    hits = pos_grams.join(dup, on=["h0", "h1"], how="left_semi")
+    covered = hits.groupBy(id_col).agg(
+        F.size(
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(F.sequence(F.col("pos"), F.col("pos") + F.lit(span_n - 1)))
+                )
+            )
+        ).cast("long").alias("n_dup_tokens")
+    )
+    return (
+        docs.select(id_col, "n_tokens")
+        .join(covered, on=id_col, how="left")
+        .select(
+            id_col,
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_dup_tokens"), F.lit(0)).cast("long").alias("n_dup_tokens"),
+            stable_round(
+                F.coalesce(F.col("n_dup_tokens"), F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("dup_span_frac"),
         )
     )
 

@@ -46,8 +46,8 @@ def test_llm_library_suite_legs_individually(spark, sf_dir):
 
     legs = _library_suite_legs(spark, sf_dir)
     assert set(legs) == {
-        "vocab", "encode", "decontam", "mixrates",
-        "shuffle", "nll", "zorder", "boilerplate", "tfidf", "semdedup",
+        "vocab", "encode", "decontam", "mixrates", "shuffle", "nll",
+        "zorder", "boilerplate", "tfidf", "semdedup", "repetition", "dupspans",
     }
     n_docs = None
     for name, df in legs.items():
@@ -78,6 +78,18 @@ def test_llm_library_suite_legs_individually(spark, sf_dir):
         elif name == "semdedup":
             assert all(r.i1 == 1 and r.i2 == 1 for r in rows), (
                 f"leg {name!r}: original dropped or planted copy kept"
+            )
+        elif name == "repetition":
+            assert all(0 <= r.i1 <= 1_000_000 for r in rows), (
+                f"leg {name!r}: micro fraction out of [0, 1e6]"
+            )
+            stats = {r.s1 for r in rows}
+            assert "repetition_pass" in stats and len(stats) == 10, (
+                f"leg {name!r}: missing stats {stats}"
+            )
+        elif name == "dupspans":
+            assert all(0 <= r.i2 <= r.i1 for r in rows), (
+                f"leg {name!r}: dup tokens exceed token count"
             )
     if n_docs is not None:
         assert len([r for r in legs["boilerplate"].collect()]) == n_docs
