@@ -25,6 +25,7 @@ from .dedup import (
     decontaminate,
     dedup_exact,
     drop_exact_duplicates,
+    duplicate_span_stats,
     remove_boilerplate_lines,
     embedding_near_dup_pairs,
     minhash_lsh_candidates,
@@ -91,6 +92,7 @@ __all__ = [
     "remove_boilerplate_lines",
     "drop_semantic_duplicates",
     "semantic_dedup",
+    "duplicate_span_stats",
     "tfidf_top_terms",
     "embedding_near_dup_pairs",
     "decontaminate",

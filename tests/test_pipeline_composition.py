@@ -11,12 +11,16 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from kafka_streams_task_spark.functions.text import gopher_quality_columns
+from kafka_streams_task_spark.functions.text import (
+    gopher_quality_columns,
+    gopher_repetition_columns,
+)
 from kafka_streams_task_spark.operators import (
     build_vocab,
     chunk_documents,
     decontaminate,
     dedup_survivors_by_cluster,
+    duplicate_span_stats,
     encode_documents,
     hash_stratified_sample,
     minhash_lsh_candidates,
@@ -39,6 +43,14 @@ def test_readme_pipeline_composes(spark, sf_dir):
     # 1. line-level cleaning preserves the document set
     clean0 = remove_boilerplate_lines(docs)
     assert clean0.count() == n_docs
+
+    # 1b. exact-substring duplication stats cover every doc, coverage is a
+    # true fraction of each doc's tokens
+    spans = duplicate_span_stats(docs, span_n=16)
+    assert spans.count() == n_docs
+    assert spans.filter(
+        (F.col("n_dup_tokens") < 0) | (F.col("n_dup_tokens") > F.col("n_tokens"))
+    ).count() == 0
 
     # 2. near-dup pairs -> transitive survivors (never grows the corpus)
     pairs = minhash_lsh_candidates(docs)
@@ -63,7 +75,12 @@ def test_readme_pipeline_composes(spark, sf_dir):
     # short for the published Gopher word-count bound — every doc fails
     # gopher_pass, which the value-checked driver leg pins; filter on the
     # computed n_words signal instead so the stage still gates)
-    kept = clean.select("*", *gopher_quality_columns("text")).filter("n_words >= 10")
+    kept = (
+        clean.select(
+            "*", *gopher_quality_columns("text"), *gopher_repetition_columns(F.col("text"))
+        )
+        .filter("n_words >= 10 AND repetition_pass = 1")
+    )
     n_kept = kept.count()
     assert 0 < n_kept <= clean.count()
 
