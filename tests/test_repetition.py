@@ -98,3 +98,44 @@ def test_duplicate_span_stats_partial_overlap(spark):
     assert out[0]["n_dup_tokens"] == 4
     assert out[1]["n_dup_tokens"] == 4
     assert out[0]["dup_span_frac"] == pytest.approx(0.5, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Property tests: the sorted-run array aggregates vs Counter references
+# ---------------------------------------------------------------------------
+
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kafka_streams_task_spark.functions.text import _excess_char_mass, _top_value_run
+
+values = st.lists(st.text(alphabet="abz", max_size=3), max_size=12)
+
+
+@settings(max_examples=8, deadline=None)
+@given(arrs=st.lists(values, min_size=1, max_size=4))
+def test_excess_char_mass_matches_counter(spark, arrs):
+    df = spark.createDataFrame(list(enumerate(arrs)), "i long, arr array<string>")
+    got = {r["i"]: r["m"] for r in df.select("i", _excess_char_mass(F.col("arr")).alias("m")).collect()}
+    for i, arr in enumerate(arrs):
+        want = sum((c - 1) * len(v) for v, c in Counter(arr).items() if c >= 2)
+        assert got[i] == want, (arr, got[i], want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(arrs=st.lists(values, min_size=1, max_size=4))
+def test_top_value_run_matches_counter(spark, arrs):
+    df = spark.createDataFrame(list(enumerate(arrs)), "i long, arr array<string>")
+    out = df.select("i", _top_value_run(F.col("arr")).alias("t")).collect()
+    got = {r["i"]: (r["t"]["cnt"], r["t"]["val"]) for r in out}
+    for i, arr in enumerate(arrs):
+        if not arr:
+            assert got[i] == (0, None)
+            continue
+        cnt = Counter(arr)
+        best = max(cnt.values())
+        # tie-break: count DESC, value ASC
+        val = min(v for v, c in cnt.items() if c == best)
+        assert got[i] == (best, val), (arr, got[i], (best, val))
