@@ -1009,6 +1009,24 @@ def _repetition_oracle_ctes() -> str:
     FROM embeddings
     WHERE list_sum(list_transform(embedding, x -> CAST(x*x AS DOUBLE))) > 0
     UNION ALL
+    SELECT 'nll2', s.doc_id, CAST(NULL AS VARCHAR), s.n, s.m FROM (
+      WITH bt AS (
+        SELECT doc_id, toks[i-1] AS prev, toks[i] AS cur
+        FROM rep_docs,
+             unnest(CASE WHEN len(toks) >= 2 THEN range(2, len(toks) + 1)
+                         ELSE [] END) AS u(i)
+      ), bfr AS (SELECT prev, cur, count(*) AS bf FROM bt GROUP BY prev, cur),
+      sc AS (
+        SELECT bt.doc_id, -ln((bf + 1.0) / (f.cnt + tot.n_vocab)) AS nll
+        FROM bt JOIN bfr USING (prev, cur) JOIN freq f ON f.token = bt.prev, tot
+        UNION ALL
+        SELECT rd.doc_id, -ln((f.cnt + 1.0) / (tot.n_total + tot.n_vocab))
+        FROM rep_docs rd JOIN freq f ON f.token = rd.toks[1], tot
+      )
+      SELECT doc_id, count(*) AS n, CAST(round(avg(nll) * 1e6) AS BIGINT) AS m
+      FROM sc GROUP BY doc_id
+    ) s
+    UNION ALL
     SELECT 'repetition', doc_id, s1, v, CAST(NULL AS BIGINT) FROM repstats
     UNION ALL
     SELECT 'repetition', doc_id, 'repetition_pass', v, CAST(NULL AS BIGINT) FROM reppass
@@ -1033,8 +1051,8 @@ def _repetition_oracle_ctes() -> str:
     """,
 )
 def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ten library operators in one driver slot (r4, widened r5; tagged
-    legs, the scalar_semantics_suite pattern):
+    """Thirteen library operators in one driver slot (r4, widened r5;
+    tagged legs, the scalar_semantics_suite pattern):
 
     'vocab' — the FULL build_vocab output (token, count, token_id): the
     oracle recomputes frequencies AND the dense frequency-ranked ids with
@@ -1110,12 +1128,18 @@ def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     of token positions covered by any corpus-duplicated 8-gram; the
     oracle recomputes coverage from positions with plain SQL grouping
     (the Spark side travels as 128-bit gram hashes — a hash-vs-string
-    divergence would break the hash match)."""
+    divergence would break the hash match).
+
+    'nll2' (r5) — bigram_nll_scores value check: add-one-smoothed
+    corpus bigram NLL per document (unigram-scored first token), the
+    KenLM-shaped CCNet perplexity filter; compared in integer
+    micro-nats like the unigram 'nll' leg, with the oracle building
+    bigrams from token-array positions in plain SQL."""
     legs = _library_suite_legs(spark, sf_dir)
     out = legs["vocab"]
     for name in (
         "encode", "decontam", "mixrates", "shuffle", "nll", "zorder",
-        "boilerplate", "tfidf", "semdedup", "repetition", "dupspans",
+        "boilerplate", "tfidf", "semdedup", "repetition", "dupspans", "nll2",
     ):
         out = out.unionByName(legs[name])
     return out
@@ -1319,6 +1343,16 @@ def _library_suite_legs(spark: SparkSession, sf_dir: str):
         )
     )
 
+    from ..operators.sampling import bigram_nll_scores
+
+    nll2_leg = bigram_nll_scores(d).select(
+        F.lit("nll2").alias("leg"),
+        F.col("doc_id").alias("key"),
+        F.lit(None).cast("string").alias("s1"),
+        F.col("n_tokens").alias("i1"),
+        F.round(F.col("avg_nll") * 1e6, 0).cast("long").alias("i2"),
+    )
+
     from ..operators.dedup import duplicate_span_stats
 
     dupspan_leg = duplicate_span_stats(d, span_n=8).select(
@@ -1342,4 +1376,5 @@ def _library_suite_legs(spark: SparkSession, sf_dir: str):
         "semdedup": semdedup_leg,
         "repetition": rep_leg,
         "dupspans": dupspan_leg,
+        "nll2": nll2_leg,
     }

@@ -317,3 +317,85 @@ def unigram_nll_scores(
         F.count(F.lit(1)).alias("n_tokens"),
         F.avg("nll").alias("avg_nll"),
     )
+
+
+def bigram_nll_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-trained BIGRAM language-model scores — the KenLM-shaped
+    upgrade of :func:`unigram_nll_scores` (CCNet filters on n-gram LM
+    perplexity, Wenzek et al. 2020): (id, n_tokens, avg_nll) where
+    avg_nll averages ``-ln P(w_i | w_{i-1})`` with Laplace add-one
+    smoothing over the corpus's own bigram counts,
+    ``P(w_i | w_{i-1}) = (c(w_{i-1} w_i) + 1) / (c(w_{i-1}) + V)``;
+    each document's FIRST token is scored under the smoothed unigram
+    model so one-token documents still score. Repetitive/templated text
+    scores LOW (its bigrams dominate the corpus), gibberish scores HIGH —
+    the discriminative signal the unigram model cannot see (it ignores
+    order entirely).
+
+    Distributed shape: bigram pairs are built IN-ROW (one transform over
+    the token array) before the explode, so no self-join/window over the
+    exploded corpus is ever needed; the bigram frequency table groups on
+    a 16-byte (prev-hash, cur-hash) key; context counts REUSE the unigram
+    frequency table (c(prev) is just the unigram count), so the corpus
+    tokenizes once into each stream and three shuffles total — bigram
+    freq, unigram freq, per-doc reaggregation — all independent of
+    vocabulary size. Token text never shuffles (xxhash64 on both sides).
+
+    Collision budget: identical to ``unigram_nll_scores`` — frequency
+    tables are grouped BY the hash so joins stay 1:1 under collision;
+    colliding token pairs pool counts, perturbing a thresholded average
+    immaterially.
+    """
+    toks = df.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), WHITESPACE_RE).alias("t")
+    )
+    uni = toks.select(id_col, F.explode(F.transform("t", lambda x: F.xxhash64(x))).alias("th"))
+    ufreq = uni.groupBy("th").agg(F.count(F.lit(1)).alias("tf"))
+    totals = ufreq.agg(F.sum("tf").alias("n_total"), F.count(F.lit(1)).alias("n_vocab"))
+
+    k = F.size("t")
+    bi = toks.select(
+        id_col,
+        F.explode(
+            F.when(
+                k >= 2,
+                F.transform(
+                    F.sequence(F.lit(2), k),
+                    lambda i: F.struct(
+                        F.xxhash64(F.element_at(F.col("t"), (i - 1).cast("int"))).alias("ph"),
+                        F.xxhash64(F.element_at(F.col("t"), i.cast("int"))).alias("th"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<ph:bigint,th:bigint>>")),
+        ).alias("b"),
+    ).select(id_col, F.col("b.ph").alias("ph"), F.col("b.th").alias("th"))
+    bfreq = bi.groupBy("ph", "th").agg(F.count(F.lit(1)).alias("bf"))
+    ctx = ufreq.select(F.col("th").alias("ph"), F.col("tf").alias("cf"))
+
+    bi_scored = (
+        bi.join(bfreq, on=["ph", "th"])
+        .join(ctx, on="ph")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            (-F.log((F.col("bf") + 1.0) / (F.col("cf") + F.col("n_vocab")))).alias("nll"),
+        )
+    )
+    first_scored = (
+        toks.select(id_col, F.xxhash64(F.element_at("t", 1)).alias("th"))
+        .join(ufreq, on="th")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            (-F.log((F.col("tf") + 1.0) / (F.col("n_total") + F.col("n_vocab")))).alias("nll"),
+        )
+    )
+    return (
+        bi_scored.unionByName(first_scored)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.avg("nll").alias("avg_nll"))
+    )

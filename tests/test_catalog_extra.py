@@ -47,7 +47,8 @@ def test_llm_library_suite_legs_individually(spark, sf_dir):
     legs = _library_suite_legs(spark, sf_dir)
     assert set(legs) == {
         "vocab", "encode", "decontam", "mixrates", "shuffle", "nll",
-        "zorder", "boilerplate", "tfidf", "semdedup", "repetition", "dupspans",
+        "zorder", "boilerplate", "tfidf", "semdedup", "repetition",
+        "dupspans", "nll2",
     }
     n_docs = None
     for name, df in legs.items():
@@ -90,6 +91,10 @@ def test_llm_library_suite_legs_individually(spark, sf_dir):
         elif name == "dupspans":
             assert all(0 <= r.i2 <= r.i1 for r in rows), (
                 f"leg {name!r}: dup tokens exceed token count"
+            )
+        elif name == "nll2":
+            assert all(r.i1 > 0 and r.i2 is not None and r.i2 > 0 for r in rows), (
+                f"leg {name!r}: non-positive bigram NLL"
             )
     if n_docs is not None:
         assert len([r for r in legs["boilerplate"].collect()]) == n_docs

@@ -845,3 +845,40 @@ def test_ann_query_sides_broadcast(spark, sf_dir):
     ]:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan, f"{name}: query side not broadcast\n{plan}"
+
+
+def test_bigram_nll_scores_match_python_reference(spark):
+    """bigram_nll_scores vs a Counter-based reference: add-one-smoothed
+    bigram NLL with unigram-scored first token, exact to float tolerance;
+    ordered text must out-score (lower NLL) its shuffled-gibberish twin
+    even though both share the unigram distribution."""
+    import math
+    from collections import Counter
+
+    from kafka_streams_task_spark.operators.sampling import bigram_nll_scores
+
+    docs = {
+        0: "the cat sat on the mat",
+        1: "the cat sat on the rug",
+        2: "mat the on sat cat the",   # same unigrams as doc 0, scrambled
+        3: "zz",                        # single token
+    }
+    df = spark.createDataFrame(list(docs.items()), ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in bigram_nll_scores(df).collect()}
+
+    toks = {i: t.split() for i, t in docs.items()}
+    uni = Counter(w for t in toks.values() for w in t)
+    big = Counter((t[i - 1], t[i]) for t in toks.values() for i in range(1, len(t)))
+    n_total, v = sum(uni.values()), len(uni)
+
+    for i, t in toks.items():
+        nlls = [-math.log((uni[t[0]] + 1) / (n_total + v))]
+        nlls += [
+            -math.log((big[(t[j - 1], t[j])] + 1) / (uni[t[j - 1]] + v))
+            for j in range(1, len(t))
+        ]
+        assert got[i]["n_tokens"] == len(t)
+        assert got[i]["avg_nll"] == pytest.approx(sum(nlls) / len(nlls), rel=1e-9)
+
+    # order sensitivity: the scrambled doc scores strictly worse
+    assert got[2]["avg_nll"] > got[0]["avg_nll"] + 0.2
