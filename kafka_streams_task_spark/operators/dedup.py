@@ -633,6 +633,38 @@ def remove_boilerplate_lines(
     )
 
 
+def _span_pos_grams(
+    df: DataFrame, span_n: int, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared front half of the exact-substring operators: the tokenized
+    docs table (id, toks, n_tokens) and the exploded per-position span
+    table (id, pos, h0, h1) where (h0, h1) is the composite 128-bit hash
+    of the ``span_n``-gram starting at ``pos`` (membership decides token
+    drops — :func:`_line_membership_hashes`' collision rationale). Docs
+    shorter than ``span_n`` tokens produce no spans."""
+    toks = tokens(F.col(text_col))
+    docs = df.select(F.col(id_col), toks.alias("toks")).select(
+        id_col, "toks", F.size("toks").alias("n_tokens")
+    )
+    grams = F.when(
+        F.col("n_tokens") >= span_n,
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_tokens") - F.lit(span_n)),
+            lambda i: F.struct(
+                F.xxhash64(F.concat_ws(" ", F.slice(F.col("toks"), (i + 1).cast("int"), span_n))).alias("h0"),
+                F.xxhash64(
+                    F.lit(_MEMBERSHIP_SALT),
+                    F.concat_ws(" ", F.slice(F.col("toks"), (i + 1).cast("int"), span_n)),
+                ).alias("h1"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<h0:bigint,h1:bigint>>"))
+    pos_grams = docs.select(
+        id_col, F.posexplode(grams).alias("pos", "g")
+    ).select(id_col, "pos", F.col("g.h0").alias("h0"), F.col("g.h1").alias("h1"))
+    return docs, pos_grams
+
+
 def duplicate_span_stats(
     df: DataFrame,
     span_n: int = 8,
@@ -665,26 +697,7 @@ def duplicate_span_stats(
     -> ``array_distinct``), bounded by tokens-per-document. No window
     functions, no Python.
     """
-    toks = tokens(F.col(text_col))
-    docs = df.select(F.col(id_col), toks.alias("toks")).select(
-        id_col, "toks", F.size("toks").alias("n_tokens")
-    )
-    grams = F.when(
-        F.col("n_tokens") >= span_n,
-        F.transform(
-            F.sequence(F.lit(0), F.col("n_tokens") - F.lit(span_n)),
-            lambda i: F.struct(
-                F.xxhash64(F.concat_ws(" ", F.slice(F.col("toks"), (i + 1).cast("int"), span_n))).alias("h0"),
-                F.xxhash64(
-                    F.lit(_MEMBERSHIP_SALT),
-                    F.concat_ws(" ", F.slice(F.col("toks"), (i + 1).cast("int"), span_n)),
-                ).alias("h1"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<h0:bigint,h1:bigint>>"))
-    pos_grams = docs.select(
-        id_col, F.posexplode(grams).alias("pos", "g")
-    ).select(id_col, "pos", F.col("g.h0").alias("h0"), F.col("g.h1").alias("h1"))
+    docs, pos_grams = _span_pos_grams(df, span_n, id_col, text_col)
     dup = (
         pos_grams.groupBy("h0", "h1")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -715,6 +728,78 @@ def duplicate_span_stats(
             ).alias("dup_span_frac"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    span_n: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The TRANSFORM half of exact-substring dedup (Lee et al. 2021 cut
+    duplicated spans out of the training set; :func:`duplicate_span_stats`
+    is the measurement half): for every ``span_n``-gram occurring >=
+    ``min_count`` times corpus-wide, keep its globally FIRST occurrence
+    (minimum ``(doc_id, position)`` — removing every copy would delete the
+    content from the corpus entirely) and drop the tokens covered only by
+    the other occurrences.
+
+    Returns (id, text, n_tokens, n_removed_tokens) with ``text`` rebuilt
+    from the surviving tokens, single-space joined (tokenization is
+    whitespace-split, so original whitespace is not byte-preserved —
+    unlike :func:`remove_boilerplate_lines`, which keeps lines intact).
+
+    Scale shape: identical to ``duplicate_span_stats`` (one explode,
+    128-bit gram keys, frequency groupBy) plus a ``min(struct(doc, pos))``
+    riding the same aggregate to elect each gram's keeper — no extra
+    shuffle; removable instances come back via one join on the gram key,
+    and per-doc removal masks are position arrays bounded by
+    tokens-per-document (the token-keep filter is O(tokens x covered)
+    per doc, with covered <= tokens).
+    """
+    docs, pos_grams = _span_pos_grams(df, span_n, id_col, text_col)
+    dup = (
+        pos_grams.groupBy("h0", "h1")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min(F.struct(F.col(id_col).alias("kid"), F.col("pos").alias("kpos"))).alias("keep"),
+        )
+        .filter(F.col("c") >= min_count)
+        .select("h0", "h1", "keep")
+    )
+    removable = pos_grams.join(dup, on=["h0", "h1"]).filter(
+        ~((F.col(id_col) == F.col("keep.kid")) & (F.col("pos") == F.col("keep.kpos")))
+    )
+    masks = removable.groupBy(id_col).agg(
+        F.array_distinct(
+            F.flatten(
+                F.collect_list(F.sequence(F.col("pos"), F.col("pos") + F.lit(span_n - 1)))
+            )
+        ).alias("drop_pos")
+    )
+    rebuilt = (
+        docs.join(masks, on=id_col, how="left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce(F.col("drop_pos"), F.array().cast("array<int>")).alias("drop_pos"),
+            "toks",
+        )
+        .select(
+            id_col,
+            F.concat_ws(
+                " ",
+                F.filter(
+                    F.col("toks"),
+                    lambda x, i: ~F.array_contains(F.col("drop_pos"), i.cast("int")),
+                ),
+            ).alias(text_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.size("drop_pos").cast("long").alias("n_removed_tokens"),
+        )
+    )
+    return rebuilt
 
 
 # ---------------------------------------------------------------------------

@@ -139,3 +139,44 @@ def test_top_value_run_matches_counter(spark, arrs):
         # tie-break: count DESC, value ASC
         val = min(v for v, c in cnt.items() if c == best)
         assert got[i] == (best, val), (arr, got[i], (best, val))
+
+
+def test_remove_duplicate_spans_keeps_first_occurrence(spark):
+    from kafka_streams_task_spark.operators.dedup import remove_duplicate_spans
+
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    b = "iota kappa alpha beta gamma delta lam mu nu xi"
+    df = spark.createDataFrame([(0, a), (1, b), (2, a)], ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in remove_duplicate_spans(df, span_n=4).collect()
+    }
+    # doc 0 is the global first occurrence of every duplicated span: intact
+    assert out[0]["text"] == a and out[0]["n_removed_tokens"] == 0
+    # doc 1 loses only the shared 4-gram's tokens (positions 2-5)
+    assert out[1]["text"] == "iota kappa lam mu nu xi"
+    assert out[1]["n_removed_tokens"] == 4
+    # doc 2 (exact copy of doc 0) is fully covered by kept-elsewhere spans
+    assert out[2]["text"] == "" and out[2]["n_removed_tokens"] == 8
+
+
+def test_remove_duplicate_spans_within_doc(spark):
+    from kafka_streams_task_spark.operators.dedup import remove_duplicate_spans
+
+    # the 4-gram "a b c d" repeats inside one doc: first occurrence stays
+    doc = "a b c d x y z w a b c d"
+    df = spark.createDataFrame([(0, doc)], ["doc_id", "text"])
+    (r,) = remove_duplicate_spans(df, span_n=4).collect()
+    assert r["text"] == "a b c d x y z w"
+    assert r["n_removed_tokens"] == 4
+
+
+def test_remove_duplicate_spans_no_dups_identity(spark):
+    from kafka_streams_task_spark.operators.dedup import remove_duplicate_spans
+
+    df = spark.createDataFrame(
+        [(0, "p q r s t u v w"), (1, "h i j k l m n o")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r.asDict() for r in remove_duplicate_spans(df, span_n=4).collect()}
+    assert out[0]["text"] == "p q r s t u v w"
+    assert out[1]["n_removed_tokens"] == 0
