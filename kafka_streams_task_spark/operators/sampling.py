@@ -399,3 +399,42 @@ def bigram_nll_scores(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_tokens"), F.avg("nll").alias("avg_nll"))
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    max_rows: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic per-group cap: keep at most ``max_rows`` rows per
+    ``group_col`` value — the per-domain/per-source cap crawl pipelines
+    apply so a single giant host cannot dominate the training mix (the
+    rate-based cousin is :func:`hash_stratified_sample`; this one gives
+    an exact COUNT guarantee per group).
+
+    Selection is a pure function of (id, seed): rows rank by
+    ``xxhash64(id, seed)`` within their group, so the kept set is stable
+    under repartitioning, retries, and cluster resizes, and two
+    pipelines agree on it without coordination. Ties on the hash break
+    by id, so the result is total-order deterministic even if two ids
+    collide on a hash value.
+
+    Scale shape: one shuffle on the group key; the rank <= n filter over
+    a row_number window compiles to WindowGroupLimit, so each map task
+    forwards at most ``max_rows`` rows per group it sees BEFORE the
+    shuffle — a mega-domain's millions of rows collapse map-side and
+    cannot hot-spot a single reducer.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_rows)
+        .drop("_rk")
+    )

@@ -615,3 +615,44 @@ def test_ragged_embeddings_do_not_crash_ann(spark):
     pairs = embedding_near_dup_pairs(df, threshold=0.99)
     bad = {100, 101}
     assert all(r["id_a"] not in bad and r["id_b"] not in bad for r in pairs.collect())
+
+
+def test_cap_per_group_deterministic_and_bounded(spark):
+    from kafka_streams_task_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 80 else ("mid" if i < 95 else "tiny")) for i in range(100)],
+        ["doc_id", "source"],
+    )
+    capped = cap_per_group(df, "source", 10, seed=7)
+    sizes = {r["source"]: r["n"] for r in capped.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {"big": 10, "mid": 10, "tiny": 5}  # small groups intact
+
+    # layout independence: same kept set regardless of partitioning
+    a = {r["doc_id"] for r in capped.collect()}
+    b = {
+        r["doc_id"]
+        for r in cap_per_group(df.repartition(13, "source"), "source", 10, seed=7).collect()
+    }
+    assert a == b
+
+    # a different seed selects a different subset of the big group
+    c = {r["doc_id"] for r in cap_per_group(df, "source", 10, seed=8).collect()}
+    assert {x for x in a if x < 80} != {x for x in c if x < 80}
+
+
+def test_cap_per_group_plan_uses_window_group_limit(spark):
+    """The rank filter must push into WindowGroupLimit so mega-groups
+    collapse map-side before the shuffle."""
+    import io
+    from contextlib import redirect_stdout
+
+    from kafka_streams_task_spark.operators.sampling import cap_per_group
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).alias("source")
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        cap_per_group(df, "source", 5).explain()
+    assert "WindowGroupLimit" in buf.getvalue()

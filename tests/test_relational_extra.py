@@ -259,3 +259,24 @@ def test_q16_excluded_suppliers_absent(spark):
     )
     kept = li.join(excluded, on="l_suppkey", how="left_anti")
     assert kept.join(excluded, on="l_suppkey", how="inner").count() == 0
+
+
+def test_q10_returned_items(spark):
+    assert_matches_duckdb(
+        spark, SF_DIR, R.q10_returned_items(spark, SF_DIR),
+        """
+        SELECT c_custkey, c_name,
+               round(sum(l_extendedprice * (1 - l_discount)) + 1e-05, 2) AS revenue,
+               n_name
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-04-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+        """,
+    )

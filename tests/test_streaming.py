@@ -473,3 +473,43 @@ def test_rollup_state_ttl_drops_idle_cell(spark, tmpdir):
     assert [(w.tmp_f, w.date) for w in a_emissions[0]] == [(70.0, "2020-01-01")]
     # fresh state: 90.0 alone, not avg(70, 90) = 80.0
     assert [(w.tmp_f, w.date) for w in a_emissions[-1]] == [(90.0, "2020-01-01")]
+
+
+def test_repetition_filter_on_stream(spark, tmpdir):
+    """The r5 Gopher repetition family is zero-shuffle codegen, so it runs
+    unchanged as an ingest-time STREAMING filter: a looping/templated doc
+    is rejected at the stream boundary while clean prose passes — batch
+    parity asserted against the same rows."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from kafka_streams_task_spark.functions.text import gopher_repetition_columns
+
+    rows = [
+        {"doc_id": 1, "text": "the cat sat on the mat while the dog slept by the door"},
+        {"doc_id": 2, "text": "buy now buy now buy now buy now buy now buy now buy now"},
+        {"doc_id": 3, "text": "plain boring text with no repeats at all in it anywhere"},
+    ]
+    src = f"{tmpdir}/rep_in"
+    os.makedirs(src)
+    with open(f"{src}/b.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+
+    def gate(df):
+        return df.select("doc_id", *gopher_repetition_columns(F.col("text"))).filter(
+            "repetition_pass = 1"
+        )
+
+    stream = spark.readStream.schema(schema).json(src)
+    _run_to_memory(gate(stream), "rep_gate", tmpdir)
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM rep_gate").collect()}
+    assert got == {1, 3}  # the ad-loop doc is rejected at ingest
+
+    batch = spark.read.schema(schema).json(src)
+    want = {r["doc_id"] for r in gate(batch).collect()}
+    assert got == want  # streaming/batch parity
