@@ -894,8 +894,9 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXISTS another supplier's line that was ALSO late — i.e. this supplier
     is the sole blocker. The two correlated subqueries decorrelate to a
     left_semi and a left_anti self-join on orderkey, each with the
-    suppkey-inequality riding the join condition; everything shuffles
-    once on orderkey, supplier names broadcast at the end."""
+    suppkey-inequality riding the join condition; every join keys on
+    orderkey (sort-merge at scale, exchanges reusable across the three
+    reads of the joined lines), supplier names broadcast at the end."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
     )

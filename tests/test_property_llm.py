@@ -82,3 +82,50 @@ def test_ngram_jaccard_matches_bruteforce_on_random_corpora(spark, docs):
     }
     want = _ref_jaccard_pairs(rows)
     assert got == want
+
+
+def _ref_span_stats(docs: dict[int, str], n: int):
+    """Brute-force exact-substring reference: returns per-doc covered
+    position sets and the keeper-removal masks."""
+    toks = {i: t.split() if t.split() else [""] for i, t in docs.items()}
+    grams: dict[tuple, list] = {}
+    for i in sorted(toks):
+        t = toks[i]
+        for p in range(len(t) - n + 1):
+            grams.setdefault(tuple(t[p : p + n]), []).append((i, p))
+    covered = {i: set() for i in toks}
+    removed = {i: set() for i in toks}
+    for occ in grams.values():
+        if len(occ) < 2:
+            continue
+        for i, p in occ:
+            covered[i].update(range(p, p + n))
+        for i, p in occ[1:]:  # occ is in (doc, pos) order: first is keeper
+            removed[i].update(range(p, p + n))
+    return toks, covered, removed
+
+
+@settings(max_examples=6, deadline=None)
+@given(docs=corpus, n=st.integers(min_value=2, max_value=4))
+def test_duplicate_spans_match_bruteforce(spark, docs, n):
+    from kafka_streams_task_spark.operators.dedup import (
+        duplicate_span_stats,
+        remove_duplicate_spans,
+    )
+
+    table = dict(enumerate(docs))
+    df = spark.createDataFrame(list(table.items()), ["doc_id", "text"])
+    toks, covered, removed = _ref_span_stats(table, n)
+
+    got = {r["doc_id"]: r for r in duplicate_span_stats(df, span_n=n).collect()}
+    for i in table:
+        assert got[i]["n_tokens"] == len(toks[i])
+        assert got[i]["n_dup_tokens"] == len(covered[i]), (table, n, i)
+
+    cut = {r["doc_id"]: r for r in remove_duplicate_spans(df, span_n=n).collect()}
+    for i in table:
+        want = " ".join(
+            w for p, w in enumerate(toks[i]) if p not in removed[i]
+        )
+        assert cut[i]["text"] == want, (table, n, i)
+        assert cut[i]["n_removed_tokens"] == len(removed[i])
