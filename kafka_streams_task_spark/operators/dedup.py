@@ -226,9 +226,45 @@ def minhash_lsh_candidates(
     one aggregation buffer of 8·bucket_n bytes transiently; run exact
     dedup first (standard pipeline order) to keep such buckets small.
     """
+    banded = minhash_band_table(
+        df, text_col, id_col, num_hashes, bands, shingle_n=shingle_n
+    )
+    grouped = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    return (
+        grouped.select(F.posexplode("ids").alias("i", "id_a"), "ids")
+        .select("id_a", F.explode(F.expr("slice(ids, i + 2, size(ids))")).alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_band_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """The persistable LSH index: (id, band, bucket) rows — the banded
+    signature table :func:`minhash_lsh_candidates` buckets on, exposed so
+    a pipeline can WRITE it once per corpus and dedup future shards
+    incrementally (:func:`minhash_lsh_candidates_incremental`) instead of
+    re-signaturing 100 TB on every new crawl. All banding parameters
+    (num_hashes, bands, shingle_n, seed) must match between the index
+    write and every later incremental call — they define the hash family.
+
+    ~24 bytes/row x bands rows per doc; partition the written table by
+    ``band`` so an incremental run prunes to hit bands at scan time."""
     rows_per_band = num_hashes // bands
-    with_sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n=shingle_n)
-    banded = with_sig.select(
+    with_sig = minhash_signatures(
+        df, text_col, id_col, num_hashes, seed=seed, shingle_n=shingle_n
+    )
+    return with_sig.select(
         id_col,
         F.explode(
             F.transform(
@@ -243,14 +279,54 @@ def minhash_lsh_candidates(
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
 
+
+def minhash_lsh_candidates_incremental(
+    new_df: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental near-dup candidates: a NEW shard against an existing
+    corpus' :func:`minhash_band_table` index — the production re-crawl
+    workflow, where re-signaturing the corpus at rest for every incoming
+    shard would dwarf the shard itself. Emits exactly the candidate pairs
+    of a full-corpus :func:`minhash_lsh_candidates` run that TOUCH a new
+    document (new-new and new-old; old-old pairs were already emitted
+    when the index was built), with identical bucket-cap semantics: the
+    cap applies to the COMBINED bucket size. Ids must be disjoint between
+    the index and the new shard.
+
+    Scale shape: only the new shard is signatured (one Arrow pass over
+    the shard, not the corpus); index buckets are pruned FIRST with a
+    semi-join against the shard's (band, bucket) set — a 100 TB index
+    contributes only the buckets a new document actually lands in (with
+    the written table partitioned by band, partition pruning cuts the
+    scan too). Pairing is the same sorted-members explode, carrying an
+    is_new flag so old-old pairs never materialize past the JVM filter.
+    """
+    new_bands = minhash_band_table(
+        new_df, text_col, id_col, num_hashes, bands, shingle_n=shingle_n, seed=seed
+    )
+    hit = new_bands.select("band", "bucket").distinct()
+    relevant = index.join(hit, on=["band", "bucket"], how="left_semi")
+    members = relevant.select(id_col, "band", "bucket", F.lit(False).alias("is_new")).unionByName(
+        new_bands.select(id_col, "band", "bucket", F.lit(True).alias("is_new"))
+    )
     grouped = (
-        banded.groupBy("band", "bucket")
-        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        members.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list(F.struct(F.col(id_col).alias("id"), "is_new"))).alias("ms"))
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
     )
     return (
-        grouped.select(F.posexplode("ids").alias("i", "id_a"), "ids")
-        .select("id_a", F.explode(F.expr("slice(ids, i + 2, size(ids))")).alias("id_b"))
+        grouped.select(F.posexplode("ms").alias("i", "a"), "ms")
+        .select("a", F.explode(F.expr("slice(ms, i + 2, size(ms))")).alias("b"))
+        .filter(F.col("a.is_new") | F.col("b.is_new"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
 

@@ -882,3 +882,43 @@ def test_bigram_nll_scores_match_python_reference(spark):
 
     # order sensitivity: the scrambled doc scores strictly worse
     assert got[2]["avg_nll"] > got[0]["avg_nll"] + 0.2
+
+
+def test_incremental_lsh_equals_full_run_restricted_to_new(spark):
+    """Splitting the corpus into an indexed half and a new shard, the
+    incremental candidates must equal EXACTLY the full-corpus LSH pairs
+    that touch a new document — same banding, same bucket-cap semantics —
+    without re-signaturing the indexed half."""
+    from kafka_streams_task_spark.operators.dedup import (
+        minhash_band_table,
+        minhash_lsh_candidates,
+        minhash_lsh_candidates_incremental,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # plant near-dups across the boundary and inside the new shard
+    old = base.filter(F.col("doc_id") % 2 == 0)
+    new = base.filter(F.col("doc_id") % 2 == 1).unionByName(
+        base.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 500000).alias("doc_id"), "text"
+        )
+    )
+    full = minhash_lsh_candidates(old.unionByName(new), num_hashes=32, bands=8)
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in full.collect()
+        if r["id_a"] in new_ids or r["id_b"] in new_ids
+    }
+
+    index = minhash_band_table(old, num_hashes=32, bands=8)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates_incremental(
+            new, index, num_hashes=32, bands=8
+        ).collect()
+    }
+    assert got == want
+    assert want, "planted cross-boundary duplicates must produce candidates"
