@@ -1146,7 +1146,7 @@ def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _library_suite_legs(spark: SparkSession, sf_dir: str):
-    """The eight ``llm_library_suite`` legs as individually-runnable
+    """The thirteen ``llm_library_suite`` legs as individually-runnable
     DataFrames (diagnosability: the driver gate hashes the union, so a
     failure there names the suite — ``tests/test_catalog_extra.py::
     test_llm_library_suite_legs_individually`` runs each leg alone so the

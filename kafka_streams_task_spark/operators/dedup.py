@@ -309,9 +309,15 @@ def minhash_lsh_candidates_incremental(
     scan too). Pairing is the same sorted-members explode, carrying an
     is_new flag so old-old pairs never materialize past the JVM filter.
     """
+    # localCheckpoint: new_bands feeds two branches (the bucket probe and
+    # the members union) whose exchanges differ, so without materializing
+    # the shard's band table once, the expensive signature stage would run
+    # twice — violating the family's run-exactly-once invariant. The
+    # checkpoint is shard-sized (bands rows x ~24 bytes per doc), not
+    # corpus-sized.
     new_bands = minhash_band_table(
         new_df, text_col, id_col, num_hashes, bands, shingle_n=shingle_n, seed=seed
-    )
+    ).localCheckpoint(eager=True)
     hit = new_bands.select("band", "bucket").distinct()
     relevant = index.join(hit, on=["band", "bucket"], how="left_semi")
     members = relevant.select(id_col, "band", "bucket", F.lit(False).alias("is_new")).unionByName(
@@ -722,16 +728,20 @@ def _span_pos_grams(
     docs = df.select(F.col(id_col), toks.alias("toks")).select(
         id_col, "toks", F.size("toks").alias("n_tokens")
     )
+    # two chained transforms let-bind each gram string so the slice+join
+    # is built ONCE per position and hashed twice (the shingles() trick —
+    # without the binding, h0 and h1 would each rebuild the 8-token string)
+    gram_strs = F.transform(
+        F.sequence(F.lit(0), F.col("n_tokens") - F.lit(span_n)),
+        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), (i + 1).cast("int"), span_n)),
+    )
     grams = F.when(
         F.col("n_tokens") >= span_n,
         F.transform(
-            F.sequence(F.lit(0), F.col("n_tokens") - F.lit(span_n)),
-            lambda i: F.struct(
-                F.xxhash64(F.concat_ws(" ", F.slice(F.col("toks"), (i + 1).cast("int"), span_n))).alias("h0"),
-                F.xxhash64(
-                    F.lit(_MEMBERSHIP_SALT),
-                    F.concat_ws(" ", F.slice(F.col("toks"), (i + 1).cast("int"), span_n)),
-                ).alias("h1"),
+            gram_strs,
+            lambda g: F.struct(
+                F.xxhash64(g).alias("h0"),
+                F.xxhash64(F.lit(_MEMBERSHIP_SALT), g).alias("h1"),
             ),
         ),
     ).otherwise(F.array().cast("array<struct<h0:bigint,h1:bigint>>"))
@@ -955,14 +965,17 @@ def semantic_dedup(
         sample = _clean_matrix(sample_pdf[vec_col])
         centroids = _kmeans_numpy(sample, min(n_clusters, len(sample)), seed)
 
-    assigned = _assign_clusters(
-        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
-        "_v",
-        centroids,
-        1,
-        "cluster",
-        dropped_acc=dropped_acc,
-    )
+    def _clustered(acc):
+        return _assign_clusters(
+            emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+            "_v",
+            centroids,
+            1,
+            "cluster",
+            dropped_acc=acc,
+        )
+
+    assigned = _clustered(dropped_acc)
     cent_df = emb.sparkSession.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         schema="cluster int, _cent array<double>",
@@ -1009,15 +1022,11 @@ def semantic_dedup(
             {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
         )
 
+    # the pairing branch re-derives the same assignment plan but with NO
+    # accumulator: both branches execute the guard, and wiring dropped_acc
+    # into each would double-count every malformed vector
     edges = (
-        _assign_clusters(
-            emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
-            "_v",
-            centroids,
-            1,
-            "cluster",
-            dropped_acc=dropped_acc,
-        )
+        _clustered(None)
         .groupBy("cluster")
         .applyInPandas(_cluster_pairs, "id_a long, id_b long")
     )

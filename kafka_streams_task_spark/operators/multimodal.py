@@ -89,22 +89,39 @@ def pil_decode_image(payload: bytes) -> tuple[int, int, int]:
     return img.width, img.height, len(img.getbands())
 
 
-def _resolve_codec(codec: str, real_name: str):
-    """Map a codec mode to (tag, is_real): ``"stub"`` always fakes;
-    ``"pil"`` requires Pillow (raises up front, driver-side, rather than
+def _resolve_codec(codec: str, real_name: str) -> str:
+    """Validate a codec mode and return it: ``"stub"`` always fakes;
+    ``"pil"`` requires Pillow (fails fast driver-side, rather than
     per-task on executors); ``"auto"`` uses Pillow when importable and
-    falls back to the stub otherwise. The DEFAULT everywhere is ``"stub"``
-    because the engine's oracle checks and the driver's synthetic payloads
-    are defined in stub semantics — real codecs would (correctly) reject
-    random bytes; opt into ``"auto"``/``"pil"`` where payloads are genuine
-    media."""
+    falls back to the stub otherwise — and that probe must run ON THE
+    EXECUTOR (:func:`_codec_fn`), not here: a driver with Pillow in front
+    of executors without it (image/venv skew) would otherwise bake
+    ``use_real=True`` into the closure and fail every task instead of
+    falling back. The DEFAULT everywhere is ``"stub"`` because the
+    engine's oracle checks and the driver's synthetic payloads are
+    defined in stub semantics — real codecs would (correctly) reject
+    random bytes; opt into ``"auto"``/``"pil"`` where payloads are
+    genuine media."""
     if codec not in ("stub", "pil", "auto"):
         raise ValueError(f"codec must be 'stub', 'pil' or 'auto', got {codec!r}")
     if codec == "pil" and not pil_available():
         raise ImportError(
             f"codec='pil' requested for {real_name} but Pillow is not installed"
         )
-    return codec == "pil" or (codec == "auto" and pil_available())
+    return codec
+
+
+def _codec_fn(mode: str, real_fn, stub_fn):
+    """Task-side codec choice: called INSIDE the mapInPandas closure so
+    ``"auto"`` probes Pillow on the executor that will actually decode
+    (``"pil"`` intent was already validated driver-side; if an executor
+    still lacks Pillow under ``"pil"``, the import error is the correct
+    loud failure — only ``"auto"`` promises a fallback)."""
+    if mode == "pil":
+        return real_fn
+    if mode == "auto" and pil_available():
+        return real_fn
+    return stub_fn
 
 
 def decode_image_features(
@@ -124,12 +141,12 @@ def decode_image_features(
     ``"auto"`` (Pillow when importable, stub otherwise). See
     :func:`_resolve_codec` for why the stub is the default.
     """
-    use_real = _resolve_codec(codec, "decode_image_features")
+    mode = _resolve_codec(codec, "decode_image_features")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # resolve the callable inside the task so executors import PIL
-        # themselves (the driver-side check above already validated intent)
-        decode = pil_decode_image if use_real else fake_decode_image
+        # codec chosen inside the task: 'auto' probes Pillow on the
+        # executor itself (driver/executor environment skew safe)
+        decode = _codec_fn(mode, pil_decode_image, fake_decode_image)
         for pdf in it:
             decoded = [decode(b) for b in pdf[payload_col]]
             yield pd.DataFrame(
@@ -232,10 +249,10 @@ def resize_images(
     re-encode under ``"pil"`` makes output size payload-dependent)."""
     if width <= 0 or height <= 0:
         raise ValueError(f"target dims must be positive, got {width}x{height}")
-    use_real = _resolve_codec(codec, "resize_images")
+    mode = _resolve_codec(codec, "resize_images")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        resize = pil_resize_image if use_real else fake_resize_image
+        resize = _codec_fn(mode, pil_resize_image, fake_resize_image)
         for pdf in it:
             resized = [resize(b, width, height) for b in pdf[payload_col]]
             yield pd.DataFrame(
