@@ -318,6 +318,24 @@ def minhash_lsh_candidates_incremental(
     new_bands = minhash_band_table(
         new_df, text_col, id_col, num_hashes, bands, shingle_n=shingle_n, seed=seed
     ).localCheckpoint(eager=True)
+    return incremental_pairs_from_bands(
+        new_bands, index, id_col=id_col, max_bucket=max_bucket
+    ).select("id_a", "id_b")
+
+
+def incremental_pairs_from_bands(
+    new_bands: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Pair machinery under :func:`minhash_lsh_candidates_incremental`,
+    taking ALREADY-BANDED tables on both sides (callers that persist band
+    tables — the streaming near-dedup tier — skip re-signaturing). Emits
+    (id_a, id_b, a_is_new, b_is_new) with id_a < id_b, only pairs
+    touching a new id; combined-bucket cap. ``new_bands`` should be
+    materialized (checkpointed or read from storage) — it feeds two
+    branches."""
     hit = new_bands.select("band", "bucket").distinct()
     relevant = index.join(hit, on=["band", "bucket"], how="left_semi")
     members = relevant.select(id_col, "band", "bucket", F.lit(False).alias("is_new")).unionByName(
@@ -332,7 +350,12 @@ def minhash_lsh_candidates_incremental(
         grouped.select(F.posexplode("ms").alias("i", "a"), "ms")
         .select("a", F.explode(F.expr("slice(ms, i + 2, size(ms))")).alias("b"))
         .filter(F.col("a.is_new") | F.col("b.is_new"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.is_new").alias("a_is_new"),
+            F.col("b.is_new").alias("b_is_new"),
+        )
         .distinct()
     )
 

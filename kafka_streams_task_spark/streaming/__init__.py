@@ -1,4 +1,16 @@
-from .topology import weather_rollup_stream, weather_hotels_stream
 from .changelog import latest_per_key_stream
+from .dedup import (
+    streaming_dedup_exact,
+    streaming_dedup_near,
+    streaming_dedup_watermarked,
+)
+from .topology import weather_hotels_stream, weather_rollup_stream
 
-__all__ = ["weather_rollup_stream", "weather_hotels_stream", "latest_per_key_stream"]
+__all__ = [
+    "weather_rollup_stream",
+    "weather_hotels_stream",
+    "latest_per_key_stream",
+    "streaming_dedup_exact",
+    "streaming_dedup_watermarked",
+    "streaming_dedup_near",
+]

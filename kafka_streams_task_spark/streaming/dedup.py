@@ -63,3 +63,124 @@ def streaming_dedup_watermarked(
         .dropDuplicatesWithinWatermark(["_digest"])
         .drop("_digest")
     )
+
+
+def _committed_versions(spark, root_dir: str, pfx: str) -> list[int]:
+    """Committed (``_SUCCESS``-marked) state versions under ``root_dir``
+    via the Hadoop FS API — same recipe as
+    ``decoupled.rollup_via_foreach_batch``, shared here for the near-dedup
+    tier."""
+    jvm = spark._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    root = Path(root_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    versions: list[int] = []
+    if fs.exists(root):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith(pfx):
+                try:
+                    v = int(name[len(pfx):])
+                except ValueError:
+                    continue
+                if fs.exists(Path(st.getPath(), "_SUCCESS")):
+                    versions.append(v)
+    versions.sort()
+    return versions
+
+
+def streaming_dedup_near(
+    stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+    seed: int = 42,
+):
+    """Ingest-time NEAR-duplicate dedup: each micro-batch is deduped
+    against a durable MinHash-LSH band index
+    (``operators.dedup.minhash_band_table`` layout) and the survivors'
+    bands join the index — the streaming face of
+    ``minhash_lsh_candidates_incremental``, for pipelines where re-crawled
+    near-copies must be stopped at the boundary rather than at the next
+    batch dedup run.
+
+    Drop policy (deterministic, conservative): a document is dropped when
+    it LSH-pairs with any already-indexed document, or with a smaller-id
+    document of the same batch. Chains within one batch may over-drop
+    relative to the batch path's transitive-survivor semantics — at
+    ingest, over-dropping near-duplicates is the safe direction, and the
+    at-rest corpus can always re-run the exact batch operator.
+
+    Exactly-once under foreachBatch's at-least-once contract, via
+    APPEND-ONLY per-batch index shards (the versioned-state family of
+    ``decoupled.rollup_via_foreach_batch``, adapted so per-batch I/O is
+    shard-sized — a 100 TB index is never rewritten): the live index is
+    the union of committed (``_SUCCESS``-marked) ``bands_v{N}`` shards,
+    each holding only batch N's surviving bands. A batch writes its kept
+    docs FIRST (``kept/batch_id={N}``, overwrite-idempotent), then its
+    shard; a redelivered batch whose shard is committed skips wholesale,
+    and a crash between the two writes recomputes both from the
+    still-unchanged committed shard set. Uncommitted (crashed) shards
+    are never read — the index is assembled from explicit committed
+    paths, not directory globbing.
+
+    Returns the StreamingQuery. Kept documents accumulate under
+    ``{index_dir}/kept/batch_id={N}``; the live index is the union of
+    committed ``{index_dir}/bands_v{N}`` shards (the
+    ``minhash_band_table`` layout, reusable by batch
+    ``minhash_lsh_candidates_incremental`` runs).
+    """
+    from ..operators.dedup import incremental_pairs_from_bands, minhash_band_table
+
+    _PFX = "bands_v"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        versions = _committed_versions(spark, index_dir, _PFX)
+        if batch_id in versions:
+            return  # redelivery: kept output + shard for this batch are durable
+
+        batch = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
+        new_bands = minhash_band_table(
+            batch, text_col, id_col, num_hashes, bands, shingle_n=shingle_n, seed=seed
+        ).localCheckpoint(eager=True)
+        if versions:
+            index = spark.read.parquet(
+                *[f"{index_dir}/{_PFX}{v}" for v in versions]
+            )
+        else:
+            index = spark.createDataFrame(
+                [], schema=f"{id_col} long, band int, bucket long"
+            )
+        pairs = incremental_pairs_from_bands(
+            new_bands, index, id_col=id_col, max_bucket=max_bucket
+        ).localCheckpoint(eager=True)
+        drop_old = pairs.filter(
+            F.col("a_is_new") != F.col("b_is_new")
+        ).select(
+            F.when(F.col("a_is_new"), F.col("id_a")).otherwise(F.col("id_b")).alias(id_col)
+        )
+        drop_new = pairs.filter(
+            F.col("a_is_new") & F.col("b_is_new")
+        ).select(F.col("id_b").alias(id_col))  # id_a < id_b: smaller id survives
+        kept = batch.join(
+            drop_old.unionByName(drop_new).distinct(), on=id_col, how="left_anti"
+        ).localCheckpoint(eager=True)
+
+        # kept FIRST (overwrite: redelivery-idempotent), then the shard
+        kept.write.mode("overwrite").parquet(f"{index_dir}/kept/batch_id={batch_id}")
+        new_bands.join(kept.select(id_col), on=id_col, how="left_semi").write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/{_PFX}{batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

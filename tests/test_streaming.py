@@ -513,3 +513,77 @@ def test_repetition_filter_on_stream(spark, tmpdir):
     batch = spark.read.schema(schema).json(src)
     want = {r["doc_id"] for r in gate(batch).collect()}
     assert got == want  # streaming/batch parity
+
+
+def test_streaming_dedup_near_cross_batch(spark, tmpdir):
+    """Near-dup dedup at ingest against the durable LSH band index:
+    within-batch near-copies drop (smaller id survives), a later batch's
+    near-copy of an INDEXED doc drops on arrival, and the committed index
+    holds only survivors' bands."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from kafka_streams_task_spark.streaming.dedup import streaming_dedup_near
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "green bottles hang on the wall and a river runs quietly past "
+        "the old stone mill at dawn carrying leaves and cold clear water"
+    )
+    other = (
+        "completely different content about compilers register allocation "
+        "and graph coloring with spill heuristics live ranges interference "
+        "edges and loop nesting depth guiding the priority function choices"
+    )
+    near = base.replace("seventeen", "eighteen")   # near-dup of base
+    near2 = base.replace("dawn", "dusk")           # near-dup, later batch
+    src = f"{tmpdir}/near_in"
+    os.makedirs(src)
+    with open(f"{src}/b0.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": other},
+            {"doc_id": 3, "text": near},      # same-batch near-dup of 1
+        ]))
+    with open(f"{src}/b1.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in [
+            {"doc_id": 10, "text": near2},    # cross-batch near-dup of indexed 1
+            {"doc_id": 11, "text": "short unrelated note on tea kettles and whistling steam"},
+        ]))
+    # the file source orders batches by modification time: force b0 first
+    os.utime(f"{src}/b0.json", (1000000000, 1000000000))
+    os.utime(f"{src}/b1.json", (1000000100, 1000000100))
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    index_dir = f"{tmpdir}/near_index"
+    q = streaming_dedup_near(stream, index_dir, f"{tmpdir}/near_ckpt")
+    q.awaitTermination(180)
+
+    kept = spark.read.parquet(f"{index_dir}/kept")
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert kept_ids == {1, 2, 10, 11} - {10}  # 3 dropped in-batch, 10 vs index
+    assert kept_ids == {1, 2, 11}
+
+    # the index holds exactly the survivors' bands
+    from kafka_streams_task_spark.streaming.dedup import _committed_versions
+
+    versions = _committed_versions(spark, index_dir, "bands_v")
+    assert len(versions) == 2
+    idx = spark.read.parquet(*[f"{index_dir}/bands_v{v}" for v in versions])
+    assert {r["doc_id"] for r in idx.select("doc_id").distinct().collect()} == kept_ids
+
+    # replaying the same input on the same index dir adds nothing (the
+    # shard-commit check makes redelivery a no-op)
+    stream2 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+    )
+    q2 = streaming_dedup_near(stream2, index_dir, f"{tmpdir}/near_ckpt")
+    q2.awaitTermination(180)
+    assert {r["doc_id"] for r in spark.read.parquet(f"{index_dir}/kept").collect()} == kept_ids
