@@ -309,15 +309,17 @@ def minhash_lsh_candidates_incremental(
     scan too). Pairing is the same sorted-members explode, carrying an
     is_new flag so old-old pairs never materialize past the JVM filter.
     """
-    # localCheckpoint: new_bands feeds two branches (the bucket probe and
-    # the members union) whose exchanges differ, so without materializing
-    # the shard's band table once, the expensive signature stage would run
-    # twice — violating the family's run-exactly-once invariant. The
-    # checkpoint is shard-sized (bands rows x ~24 bytes per doc), not
-    # corpus-sized.
+    # lazy localCheckpoint: new_bands feeds two branches (the bucket probe
+    # and the members union) whose exchanges differ, so without pinning the
+    # shard's band table, the expensive signature stage would run twice —
+    # violating the family's run-exactly-once invariant. LAZY (not eager)
+    # so building the pairs plan stays job-free; the pin is shard-sized
+    # (bands rows x ~24 bytes per doc), not corpus-sized. Callers that
+    # already persist their band table (the streaming tier, or an index
+    # writer) should call incremental_pairs_from_bands directly.
     new_bands = minhash_band_table(
         new_df, text_col, id_col, num_hashes, bands, shingle_n=shingle_n, seed=seed
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     return incremental_pairs_from_bands(
         new_bands, index, id_col=id_col, max_bucket=max_bucket
     ).select("id_a", "id_b")

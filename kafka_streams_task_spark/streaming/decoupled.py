@@ -217,6 +217,8 @@ def rollup_via_foreach_batch(
     Returns the StreamingQuery; the current rollup lives at
     ``{state_dir}/rollup`` (geohash, weatherList).
     """
+    from .state import committed_versions
+
     keyed = weather_rekey(weather_raw_stream, precision)
     _PFX = "state_v"
 
@@ -231,24 +233,7 @@ def rollup_via_foreach_batch(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        # committed state versions via the Hadoop FS API (works for any
-        # scheme the cluster can reach, not just local paths)
-        jvm = spark._jvm
-        Path = jvm.org.apache.hadoop.fs.Path
-        root = Path(state_dir)
-        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-        versions: list[int] = []
-        if fs.exists(root):
-            for st in fs.listStatus(root):
-                name = st.getPath().getName()
-                if st.isDirectory() and name.startswith(_PFX):
-                    try:
-                        v = int(name[len(_PFX):])
-                    except ValueError:
-                        continue
-                    if fs.exists(Path(st.getPath(), "_SUCCESS")):
-                        versions.append(v)
-        versions.sort()
+        versions = committed_versions(spark, state_dir, _PFX)
         last = versions[-1] if versions else None
 
         if last is not None and batch_id <= last:
@@ -274,6 +259,8 @@ def rollup_via_foreach_batch(
         new_path = f"{state_dir}/{_PFX}{batch_id}"
         merged.write.mode("overwrite").parquet(new_path)
         _publish_rollup(spark, new_path)
+        Path = spark._jvm.org.apache.hadoop.fs.Path
+        fs = Path(state_dir).getFileSystem(spark._jsc.hadoopConfiguration())
         for v in versions:  # GC only after the new version + rollup are durable
             fs.delete(Path(f"{state_dir}/{_PFX}{v}"), True)
 

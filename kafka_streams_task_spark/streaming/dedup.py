@@ -65,30 +65,6 @@ def streaming_dedup_watermarked(
     )
 
 
-def _committed_versions(spark, root_dir: str, pfx: str) -> list[int]:
-    """Committed (``_SUCCESS``-marked) state versions under ``root_dir``
-    via the Hadoop FS API — same recipe as
-    ``decoupled.rollup_via_foreach_batch``, shared here for the near-dedup
-    tier."""
-    jvm = spark._jvm
-    Path = jvm.org.apache.hadoop.fs.Path
-    root = Path(root_dir)
-    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    versions: list[int] = []
-    if fs.exists(root):
-        for st in fs.listStatus(root):
-            name = st.getPath().getName()
-            if st.isDirectory() and name.startswith(pfx):
-                try:
-                    v = int(name[len(pfx):])
-                except ValueError:
-                    continue
-                if fs.exists(Path(st.getPath(), "_SUCCESS")):
-                    versions.append(v)
-    versions.sort()
-    return versions
-
-
 def streaming_dedup_near(
     stream: DataFrame,
     index_dir: str,
@@ -118,7 +94,7 @@ def streaming_dedup_near(
 
     Exactly-once under foreachBatch's at-least-once contract, via
     APPEND-ONLY per-batch index shards (the versioned-state family of
-    ``decoupled.rollup_via_foreach_batch``, adapted so per-batch I/O is
+    ``decoupled.rollup_via_foreach_batch``, adapted so per-batch WRITE I/O is
     shard-sized — a 100 TB index is never rewritten): the live index is
     the union of committed (``_SUCCESS``-marked) ``bands_v{N}`` shards,
     each holding only batch N's surviving bands. A batch writes its kept
@@ -129,6 +105,17 @@ def streaming_dedup_near(
     are never read — the index is assembled from explicit committed
     paths, not directory globbing.
 
+    The index directory is BOUND to its checkpoint directory for life
+    (``state.bind_state_to_checkpoint``): redelivery detection keys on
+    the checkpoint's batch_id sequence, so feeding an existing index from
+    a fresh checkpoint (whose batch ids restart at 0) would silently
+    mistake real batches for redeliveries — that misuse now raises up
+    front instead. Per-batch WRITE I/O is shard-sized (the index is
+    never rewritten); the probe read scans the committed shards (parquet
+    min/max and Spark's runtime bloom-filter join prune what they can —
+    an exact O(shard) probe is not expressible because the hit set is
+    only known at runtime).
+
     Returns the StreamingQuery. Kept documents accumulate under
     ``{index_dir}/kept/batch_id={N}``; the live index is the union of
     committed ``{index_dir}/bands_v{N}`` shards (the
@@ -136,12 +123,14 @@ def streaming_dedup_near(
     ``minhash_lsh_candidates_incremental`` runs).
     """
     from ..operators.dedup import incremental_pairs_from_bands, minhash_band_table
+    from .state import bind_state_to_checkpoint, committed_versions
 
+    bind_state_to_checkpoint(stream.sparkSession, index_dir, checkpoint_dir)
     _PFX = "bands_v"
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        versions = _committed_versions(spark, index_dir, _PFX)
+        versions = committed_versions(spark, index_dir, _PFX)
         if batch_id in versions:
             return  # redelivery: kept output + shard for this batch are durable
 
@@ -154,9 +143,8 @@ def streaming_dedup_near(
                 *[f"{index_dir}/{_PFX}{v}" for v in versions]
             )
         else:
-            index = spark.createDataFrame(
-                [], schema=f"{id_col} long, band int, bucket long"
-            )
+            # id-type-agnostic empty bootstrap (string ids etc. work)
+            index = new_bands.limit(0)
         pairs = incremental_pairs_from_bands(
             new_bands, index, id_col=id_col, max_bucket=max_bucket
         ).localCheckpoint(eager=True)

@@ -572,9 +572,9 @@ def test_streaming_dedup_near_cross_batch(spark, tmpdir):
     assert kept_ids == {1, 2, 11}
 
     # the index holds exactly the survivors' bands
-    from kafka_streams_task_spark.streaming.dedup import _committed_versions
+    from kafka_streams_task_spark.streaming.state import committed_versions
 
-    versions = _committed_versions(spark, index_dir, "bands_v")
+    versions = committed_versions(spark, index_dir, "bands_v")
     assert len(versions) == 2
     idx = spark.read.parquet(*[f"{index_dir}/bands_v{v}" for v in versions])
     assert {r["doc_id"] for r in idx.select("doc_id").distinct().collect()} == kept_ids
@@ -587,3 +587,31 @@ def test_streaming_dedup_near_cross_batch(spark, tmpdir):
     q2 = streaming_dedup_near(stream2, index_dir, f"{tmpdir}/near_ckpt")
     q2.awaitTermination(180)
     assert {r["doc_id"] for r in spark.read.parquet(f"{index_dir}/kept").collect()} == kept_ids
+
+
+def test_streaming_dedup_near_rejects_foreign_checkpoint(spark, tmpdir):
+    """An index dir is bound to its checkpoint for life: starting a NEW
+    checkpoint against an existing index would replay batch ids 0..N and
+    silently skip real batches — it must raise up front instead."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from kafka_streams_task_spark.streaming.dedup import streaming_dedup_near
+
+    src = f"{tmpdir}/bind_in"
+    os.makedirs(src)
+    with open(f"{src}/b.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "one lone doc"}))
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    index_dir = f"{tmpdir}/bind_index"
+    stream = spark.readStream.schema(schema).json(src)
+    q = streaming_dedup_near(stream, index_dir, f"{tmpdir}/bind_ckpt_a")
+    q.awaitTermination(120)
+
+    stream2 = spark.readStream.schema(schema).json(src)
+    with _pytest.raises(ValueError, match="bound to checkpoint"):
+        streaming_dedup_near(stream2, index_dir, f"{tmpdir}/bind_ckpt_B")
