@@ -1,0 +1,160 @@
+"""CDC merge / upsert: apply a change stream to a snapshot table.
+
+The incremental-maintenance primitive a 100 TB corpus needs between full
+rebuilds: crawls, label fixes, and takedown requests arrive as (key, op,
+version) change rows, and the curated snapshot must advance to
+latest-wins state without rewriting data that did not change. The
+reference repo has no analogue (its KTables are changelog-backed by the
+broker); this is the batch re-expression of "KTable = latest value per
+key" (SURVEY.md §2.3 A6) generalized to upsert+delete with explicit
+versions — i.e. the MERGE INTO shape, built from anti-join + union so it
+runs on plain parquet without a table format.
+
+Scale shape:
+  * ``latest_changes`` is one partial+final ``max_by`` aggregate over the
+    change set — the change set is the SMALL side by definition (a day's
+    crawl delta vs the corpus), and only it shuffles fully.
+  * ``apply_changes`` touches the snapshot with exactly one join (anti on
+    the changed keys). Catalyst broadcasts the aggregated key set when it
+    fits ``autoBroadcastJoinThreshold``, making the merge a single
+    broadcast-anti scan over the snapshot — the snapshot itself never
+    shuffles. With a huge delta it degrades to one shuffle join on the
+    key, which is the floor for any merge.
+  * ``merge_into_partitioned`` confines the REWRITE to partitions the
+    delta actually touches: untouched partition directories are neither
+    read nor written (partition pruning on the read, dynamic overwrite on
+    the write). A 10 TB/day delta against a 100 TB corpus rewrites only
+    the affected date/source partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Change-operation codes (the Debezium-ish two-verb reduction: creates
+#: and updates are both "upsert in full", deletes are tombstones).
+OP_UPSERT = "U"
+OP_DELETE = "D"
+
+
+def latest_changes(
+    changes: DataFrame,
+    key_cols: list[str],
+    version_col: str = "version",
+    op_col: str = "op",
+) -> DataFrame:
+    """Collapse a change stream to one latest row per key.
+
+    One ``max_by`` hash aggregation (partial+final — the same no-window
+    shape as ``latest_per_key``, operators/weather.py): the ordering key
+    is ``(version, op, payload...)`` as a struct, so ties on ``version``
+    still resolve to ONE deterministic winner (lexicographic on the
+    remaining columns) instead of a partition-order coin flip — replays
+    and speculative tasks agree. Callers with a total version order per
+    key (the normal CDC contract) never reach the tie-break.
+    """
+    payload = [c for c in changes.columns if c not in key_cols]
+    ordering = F.struct(
+        F.col(version_col), F.col(op_col),
+        *[F.col(c) for c in payload if c not in (version_col, op_col)],
+    )
+    picked = changes.groupBy(*key_cols).agg(
+        F.max_by(F.struct(*[F.col(c) for c in payload]), ordering).alias("_row")
+    )
+    return picked.select(*key_cols, *[F.col(f"_row.{c}").alias(c) for c in payload])
+
+
+def apply_changes(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    version_col: str = "version",
+    op_col: str = "op",
+) -> DataFrame:
+    """Latest-wins merge: the snapshot advanced by the change stream.
+
+    ``changes`` carries the snapshot's columns plus ``op_col``
+    (``OP_UPSERT``/``OP_DELETE``) and ``version_col``; upserts replace the
+    whole row (full-row CDC images, not partial patches). Semantics:
+
+      * a key whose latest change is an upsert takes the change's payload
+        (insert if absent from the snapshot);
+      * a key whose latest change is a delete disappears;
+      * every other snapshot row passes through untouched.
+
+    Exactly one aggregate over the delta and one anti-join against the
+    snapshot; column order of the result matches the snapshot.
+    """
+    latest = latest_changes(changes, key_cols, version_col, op_col)
+    kept = snapshot.join(latest.select(*key_cols), on=key_cols, how="left_anti")
+    upserts = latest.filter(F.col(op_col) == OP_UPSERT).select(*snapshot.columns)
+    return kept.unionByName(upserts)
+
+
+def affected_partition_values(
+    changes: DataFrame,
+    partition_col: str,
+    key_cols: list[str],
+    version_col: str = "version",
+    op_col: str = "op",
+) -> list:
+    """Distinct partition values the delta touches — the bounded driver
+    collect (one row per touched partition, NOT per change row) that lets
+    the merge prune its snapshot read. Deletes count: removing a key
+    rewrites its partition. Requires the partition column to be part of
+    the key (else an update could move a row across partitions and the
+    old partition would need a tombstone scan — that layout should merge
+    unpartitioned)."""
+    assert partition_col in key_cols, (
+        "partition column must be key-stable; merge unpartitioned otherwise"
+    )
+    return [
+        r[0] for r in changes.select(partition_col).distinct().collect()
+    ]
+
+
+def merge_into_partitioned(
+    spark: SparkSession,
+    snapshot_path: str,
+    changes: DataFrame,
+    key_cols: list[str],
+    partition_col: str,
+    version_col: str = "version",
+    op_col: str = "op",
+) -> list:
+    """MERGE INTO a partitioned parquet snapshot in place, rewriting ONLY
+    the partitions the delta touches. Returns the touched partition values.
+
+    Read side: the ``isin(touched)`` filter prunes to the affected
+    partition directories (partition pruning — untouched data is never
+    read). Write side: dynamic partition overwrite replaces exactly the
+    directories present in the output; Spark cannot overwrite a path it
+    is concurrently reading, so the merged partitions stage through a
+    localCheckpoint — sized by the touched partitions only, not the
+    snapshot. A touched partition whose rows are ALL deleted produces no
+    output rows, so dynamic overwrite would silently leave its stale
+    directory behind — those directories are dropped explicitly through
+    the Hadoop FileSystem API (same JVM handle the writer uses)."""
+    touched = affected_partition_values(changes, partition_col, key_cols, version_col, op_col)
+    if not touched:
+        return touched
+    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    snap = spark.read.parquet(snapshot_path).filter(F.col(partition_col).isin(touched))
+    merged = apply_changes(
+        snap, changes, key_cols, version_col, op_col
+    ).localCheckpoint(eager=True)
+    surviving = {r[0] for r in merged.select(partition_col).distinct().collect()}
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(snapshot_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+    jvm = spark._jvm
+    jsc = spark._jsc
+    fs = jvm.org.apache.hadoop.fs.FileSystem.get(jsc.hadoopConfiguration())
+    for value in set(touched) - surviving:
+        p = jvm.org.apache.hadoop.fs.Path(f"{snapshot_path}/{partition_col}={value}")
+        if fs.exists(p):
+            fs.delete(p, True)
+    return touched

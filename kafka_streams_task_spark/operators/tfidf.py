@@ -31,6 +31,98 @@ from ..functions.rounding import stable_round
 from ..functions.text import tokens
 
 
+def bm25_top_docs(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    qid_col: str = "query_id",
+    qtext_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents per query by BM25 (Robertson/Sparck Jones):
+    ``(qid_col, id_col, score_micro, rank)``.
+
+    The corpus-side retrieval operator for eval-set mining / RAG indexing
+    over a crawl: score(q, d) = Σ_t∈q idf(t) · tf·(k1+1) /
+    (tf + k1·(1 − b + b·dl/avgdl)), idf(t) = ln(1 + (N − df + ½)/(df + ½)).
+    Query terms are DEDUPLICATED (set semantics — repeated query terms
+    score once), and avgdl counts every corpus doc (empty docs pull the
+    mean down), both mirrored by the SQL oracle.
+
+    Determinism: each term's contribution is rounded to integer
+    micro-units FIRST, then summed — integer summation is
+    order-independent, so the cross-engine compare survives any partial
+    aggregation order (unlike summing doubles). idf is pre-rounded to 6dp
+    (``stable_round``) like the TF-IDF path. Ranks order by
+    (score_micro DESC, doc id ASC): total, tie-stable.
+
+    Scale shape: the corpus tokenizes ONCE (tf, dl, df, and the token
+    total all derive from the one tf table); queries are the small side
+    by definition and broadcast into the term match, so the only
+    corpus-sized shuffles are the tf/df aggregates; the final top-k is a
+    window per query over candidate docs only (docs sharing ≥1 term),
+    which compiles to WindowGroupLimit (per-partition heap before the
+    shuffle). Nothing leaves the JVM.
+    """
+    tok = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # one broadcast row: corpus size and mean doc length (over ALL docs)
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.coalesce(F.sum(F.size(tokens(F.col(text_col)))), F.lit(0))
+        .cast("double")
+        .alias("n_tokens"),
+    ).select("n_docs", (F.col("n_tokens") / F.col("n_docs")).alias("avgdl"))
+
+    qterms = queries.select(
+        F.col(qid_col), F.explode(tokens(F.col(qtext_col))).alias("term")
+    ).distinct()
+
+    contrib = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, id_col)
+        .join(dft, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            stable_round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                ),
+                6,
+            ),
+        )
+        .withColumn(
+            "c_micro",
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                )
+                * F.lit(1e6)
+                + F.lit(1e-9)
+            ).cast("long"),
+        )
+    )
+    scored = contrib.groupBy(qid_col, id_col).agg(F.sum("c_micro").alias("score_micro"))
+    w = Window.partitionBy(qid_col).orderBy(F.col("score_micro").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "score_micro", "rank")
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     text_col: str = "text",

@@ -1,0 +1,181 @@
+"""CDC merge / upsert (operators/merge.py): latest-wins semantics,
+delete handling, tie determinism, and the partition-pruned in-place
+merge including the all-rows-deleted partition edge."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kafka_streams_task_spark.operators.merge import (
+    OP_DELETE,
+    OP_UPSERT,
+    apply_changes,
+    latest_changes,
+    merge_into_partitioned,
+)
+
+
+def _snapshot(spark):
+    return spark.createDataFrame(
+        [
+            Row(k=1, part="a", v="one"),
+            Row(k=2, part="a", v="two"),
+            Row(k=3, part="b", v="three"),
+            Row(k=4, part="b", v="four"),
+        ]
+    )
+
+
+def _changes(spark, rows):
+    return spark.createDataFrame(
+        [Row(k=k, part=p, v=v, op=op, version=ver) for k, p, v, op, ver in rows],
+        schema="k bigint, part string, v string, op string, version bigint",
+    )
+
+
+def test_apply_changes_upsert_delete_insert(spark):
+    snap = _snapshot(spark)
+    changes = _changes(
+        spark,
+        [
+            (2, "a", "TWO", OP_UPSERT, 10),      # update existing
+            (3, "b", None, OP_DELETE, 10),        # delete existing
+            (9, "b", "nine", OP_UPSERT, 10),      # insert new key
+        ],
+    )
+    out = {
+        r.k: (r.part, r.v)
+        for r in apply_changes(snap, changes, ["k"]).collect()
+    }
+    assert out == {
+        1: ("a", "one"),
+        2: ("a", "TWO"),
+        4: ("b", "four"),
+        9: ("b", "nine"),
+    }
+
+
+def test_apply_changes_latest_version_wins(spark):
+    snap = _snapshot(spark)
+    changes = _changes(
+        spark,
+        [
+            (2, "a", "v10", OP_UPSERT, 10),
+            (2, "a", "v30", OP_UPSERT, 30),
+            (2, "a", "v20", OP_UPSERT, 20),
+            (1, "a", None, OP_DELETE, 5),
+            (1, "a", "resurrected", OP_UPSERT, 6),  # upsert AFTER delete wins
+            (4, "b", "late-delete", OP_UPSERT, 7),
+            (4, "b", None, OP_DELETE, 8),           # delete AFTER upsert wins
+        ],
+    )
+    out = {r.k: r.v for r in apply_changes(snap, changes, ["k"]).collect()}
+    assert out == {1: "resurrected", 2: "v30", 3: "three"}
+
+
+def test_latest_changes_tie_break_is_deterministic(spark):
+    """Equal versions for one key must resolve identically regardless of
+    input partition layout (struct ordering tie-break, not partition
+    order)."""
+    rows = [
+        (7, "a", "zzz", OP_UPSERT, 1),
+        (7, "a", "aaa", OP_UPSERT, 1),
+        (7, "a", "mmm", OP_UPSERT, 1),
+    ]
+    picked = set()
+    for n_parts in (1, 3, 7):
+        ch = _changes(spark, rows).repartition(n_parts)
+        got = latest_changes(ch, ["k"]).collect()
+        assert len(got) == 1
+        picked.add(got[0].v)
+    assert picked == {"zzz"}  # max over (version, op, payload): 'zzz' sorts last
+
+
+def test_apply_changes_column_order_and_count(spark):
+    snap = _snapshot(spark)
+    changes = _changes(spark, [(1, "a", "ONE", OP_UPSERT, 1)])
+    out = apply_changes(snap, changes, ["k"])
+    assert out.columns == snap.columns
+    assert out.count() == 4
+
+
+def test_merge_into_partitioned_rewrites_only_touched(spark, tmpdir):
+    path = os.path.join(str(tmpdir), "snap")
+    _snapshot(spark).write.partitionBy("part").parquet(path)
+    # record partition 'b' file mtimes to prove it is untouched
+    b_dir = os.path.join(path, "part=b")
+    before = {f: os.path.getmtime(os.path.join(b_dir, f)) for f in os.listdir(b_dir)}
+
+    changes = _changes(spark, [(2, "a", "TWO", OP_UPSERT, 1), (8, "a", "eight", OP_UPSERT, 1)])
+    touched = merge_into_partitioned(spark, path, changes, ["k", "part"], "part")
+    assert touched == ["a"]
+
+    after = {f: os.path.getmtime(os.path.join(b_dir, f)) for f in os.listdir(b_dir)}
+    assert after == before, "untouched partition was rewritten"
+
+    out = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert out == {1: "one", 2: "TWO", 3: "three", 4: "four", 8: "eight"}
+
+
+def test_merge_into_partitioned_drops_emptied_partition(spark, tmpdir):
+    path = os.path.join(str(tmpdir), "snap")
+    _snapshot(spark).write.partitionBy("part").parquet(path)
+    changes = _changes(
+        spark,
+        [(3, "b", None, OP_DELETE, 1), (4, "b", None, OP_DELETE, 1)],
+    )
+    merge_into_partitioned(spark, path, changes, ["k", "part"], "part")
+    out = {r.k for r in spark.read.parquet(path).collect()}
+    assert out == {1, 2}
+    assert not os.path.isdir(os.path.join(path, "part=b")), (
+        "fully-deleted partition directory must be dropped"
+    )
+
+
+def test_merge_matches_sql_merge_semantics(spark, sf_dir):
+    """Events-scale randomized check: merge result equals the set algebra
+    (snapshot minus changed keys) ∪ latest upserts, computed independently
+    with plain DataFrame ops on a different formulation (window instead
+    of max_by)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "user_id", "value"
+    )
+    # synthesize a deterministic delta: every 10th id deleted, every 7th upserted
+    ch = (
+        ev.filter((F.col("event_id") % 7 == 0) | (F.col("event_id") % 10 == 0))
+        .select(
+            "event_id",
+            "user_id",
+            (F.col("value") + 1000).alias("value"),
+            F.when(F.col("event_id") % 10 == 0, F.lit(OP_DELETE))
+            .otherwise(F.lit(OP_UPSERT))
+            .alias("op"),
+            (F.col("event_id") % 3).alias("version"),
+        )
+    )
+    got = apply_changes(ev, ch, ["event_id"])
+
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc("version"), F.desc("op"), F.desc("value")
+    )
+    latest = (
+        ch.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+    expect = (
+        ev.join(latest.select("event_id"), "event_id", "left_anti")
+        .unionByName(latest.filter(F.col("op") == OP_UPSERT).select(*ev.columns))
+    )
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
+
+
+def test_affected_partition_requires_key_stability(spark):
+    changes = _changes(spark, [(1, "a", "x", OP_UPSERT, 1)])
+    with pytest.raises(AssertionError):
+        merge_into_partitioned(spark, "/nonexistent", changes, ["k"], "part")
