@@ -54,6 +54,9 @@ HEADLINE = [
     "text_quality_gopher",  # added r2 (widened quality surface; not in r1 baseline)
     "text_repetition_gopher",  # added r5 (new operator; not in r1 baseline)
     "dedup_exact_substring",  # added r5 (new operator; not in r1 baseline)
+    "bm25_retrieval",  # added r5 (new operator; not in r1 baseline)
+    "classifier_score",  # added r5 (new operator; not in r1 baseline)
+    "cdc_merge",  # added r5 (new operator; not in r1 baseline)
     "multimodal_image_features",
 ]
 
@@ -104,6 +107,9 @@ BASELINE_SEC = {
     "tfidf_top_terms": 1.05,
     "text_repetition_gopher": 1.45,
     "dedup_exact_substring": 0.5,
+    "bm25_retrieval": 2.9,
+    "classifier_score": 0.3,
+    "cdc_merge": 0.65,
 }
 RETRY_FACTOR = 2.0
 MAX_EXTRA_TRIALS = 2
@@ -230,7 +236,80 @@ def _raw_ops():
         "tfidf_top_terms": lambda s, d: tfidf_top_terms(
             load_table(s, d, "documents").select("doc_id", "text"), k=3
         ),
+        "bm25_retrieval": _bm25,
+        "classifier_score": _classifier_score,
+        "cdc_merge": _cdc_merge,
     }
+
+
+def _bm25(s, d):
+    from pyspark.sql import functions as F
+
+    from kafka_streams_task_spark.functions.text import tokens
+    from kafka_streams_task_spark.operators.tfidf import bm25_top_docs
+    from kafka_streams_task_spark.schemas import load_table
+
+    docs = load_table(s, d, "documents").select("doc_id", "text")
+    queries = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(tokens(F.col("text")), 1, 4), " ").alias("text"),
+    )
+    return bm25_top_docs(docs, queries, k=10)
+
+
+def _classifier_score(s, d):
+    # pure scoring throughput (the 100 TB path): hash -> pool -> weight
+    # join -> margin; weights from the deterministic closed form the
+    # catalog leg uses (training itself is GD-iterative, pinned by pytest)
+    from pyspark.sql import functions as F
+
+    from kafka_streams_task_spark.operators.classifier import (
+        hashed_features,
+        logreg_score,
+    )
+    from kafka_streams_task_spark.schemas import load_table
+
+    docs = load_table(s, d, "documents").select("doc_id", "text")
+    weights = (
+        hashed_features(docs, n_features=1 << 18)
+        .select("idx")
+        .distinct()
+        .withColumn("w", ((F.col("idx") % 997) - 498) / F.lit(1000.0))
+    )
+    return logreg_score(docs, weights, n_features=1 << 18)
+
+
+def _cdc_merge(s, d):
+    from pyspark.sql import functions as F
+
+    from kafka_streams_task_spark.operators.merge import (
+        OP_DELETE,
+        OP_UPSERT,
+        apply_changes,
+    )
+    from kafka_streams_task_spark.schemas import load_table
+
+    ev = load_table(s, d, "events").select("event_id", "user_id", "value")
+    sevens = ev.filter(F.col("event_id") % 7 == 0)
+    delta = (
+        sevens.select(
+            "event_id", "user_id", (F.col("value") + 1000.0).alias("value"),
+            F.lit(OP_UPSERT).alias("op"), F.lit(1).alias("version"),
+        )
+        .unionByName(
+            sevens.select(
+                "event_id", "user_id", (F.col("value") + 2000.0).alias("value"),
+                F.lit(OP_UPSERT).alias("op"), F.lit(2).alias("version"),
+            )
+        )
+        .unionByName(
+            ev.filter(F.col("event_id") % 10 == 0).select(
+                "event_id", "user_id", "value",
+                F.lit(OP_DELETE).alias("op"), F.lit(9).alias("version"),
+            )
+        )
+    )
+    return apply_changes(ev, delta, ["event_id"])
 
 
 def main() -> None:

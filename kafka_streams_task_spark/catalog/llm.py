@@ -957,7 +957,39 @@ def _repetition_oracle_ctes() -> str:
       SELECT source, pow(CAST(n AS DOUBLE) / t, -0.5) AS r FROM src, srctot
     ), rates AS (
       SELECT source, round(r / (SELECT max(r) FROM raw), 6) AS rate FROM raw
-    ),{_repetition_oracle_ctes()}
+    ),{_repetition_oracle_ctes()},
+    bmtf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+    bmdl AS (SELECT doc_id, len(toks) AS dl FROM rep_docs),
+    bmdf AS (SELECT token, count(*) AS df FROM bmtf GROUP BY token),
+    bmst AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n_docs,
+                    (SELECT CAST(sum(len(toks)) AS DOUBLE) FROM rep_docs) AS n_toks),
+    bmq AS (SELECT DISTINCT query_id, term FROM
+            (SELECT doc_id AS query_id, unnest(toks[1:4]) AS term
+             FROM rep_docs WHERE doc_id % 100 = 0)),
+    bmc AS (
+      SELECT q.query_id, t.doc_id,
+             CAST(round(
+               round(ln(1.0 + (s.n_docs - dfr.df + 0.5) / (dfr.df + 0.5)) + 1e-09, 6)
+               * (t.tf * (1.25 + 1.0))
+               / (t.tf + 1.25 * ((1.0 - 0.75) + 0.75 * l.dl / (s.n_toks / s.n_docs)))
+               * 1000000.0 + 1e-09) AS BIGINT) AS cm
+      FROM bmtf t
+      JOIN bmq q ON t.token = q.term
+      JOIN bmdl l ON t.doc_id = l.doc_id
+      JOIN bmdf dfr ON t.token = dfr.token, bmst s
+    ),
+    clsm AS (
+      SELECT doc_id,
+             CAST(round(sum(cnt * ((idx % 997 - 498) / CAST(1000.0 AS DOUBLE)))
+                        * 1000000.0 + 1e-09) AS BIGINT) AS mm
+      FROM (
+        SELECT doc_id, idx, CAST(count(*) AS DOUBLE) AS cnt FROM (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 4096 AS idx
+          FROM tok
+        ) GROUP BY doc_id, idx
+      ) GROUP BY doc_id
+    )
     SELECT 'vocab' AS leg,
            CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) - 1 AS BIGINT) AS key,
            token AS s1, cnt AS i1, CAST(NULL AS BIGINT) AS i2
@@ -1048,10 +1080,34 @@ def _repetition_oracle_ctes() -> str:
       FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
       GROUP BY d.doc_id
     ) r
+    UNION ALL
+    SELECT 'bm25', b.query_id, CAST(b.doc_id AS VARCHAR), b.score, b.rnk FROM (
+      SELECT query_id, doc_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+      FROM (SELECT query_id, doc_id, sum(cm) AS score
+            FROM bmc GROUP BY query_id, doc_id)
+    ) b WHERE b.rnk <= 10
+    UNION ALL
+    SELECT 'classifier', doc_id, CAST(NULL AS VARCHAR), mm,
+           CAST(CASE WHEN mm > 0 THEN 1 ELSE 0 END AS BIGINT)
+    FROM clsm
+    UNION ALL
+    SELECT 'merge', m.event_id, CAST(NULL AS VARCHAR),
+           CAST(round(m.v * 1000000.0 + 1e-09) AS BIGINT),
+           CAST(m.user_id AS BIGINT)
+    FROM (
+      SELECT event_id, user_id,
+             CASE WHEN event_id % 7 = 0 THEN value + 2000.0 ELSE value END AS v
+      FROM events WHERE event_id % 10 <> 0
+      UNION ALL
+      SELECT event_id + 10000000, user_id, value + 5000.0
+      FROM events WHERE event_id % 13 = 0
+    ) m
     """,
 )
 def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Thirteen library operators in one driver slot (r4, widened r5;
+    """Sixteen library operators in one driver slot (r4, widened r5;
     tagged legs, the scalar_semantics_suite pattern):
 
     'vocab' — the FULL build_vocab output (token, count, token_id): the
@@ -1134,19 +1190,43 @@ def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus bigram NLL per document (unigram-scored first token), the
     KenLM-shaped CCNet perplexity filter; compared in integer
     micro-nats like the unigram 'nll' leg, with the oracle building
-    bigrams from token-array positions in plain SQL."""
+    bigrams from token-array positions in plain SQL.
+
+    'bm25' (r5) — bm25_top_docs value check: top-10 docs per query
+    (queries = first 4 tokens of every doc_id % 100 == 0 document) with
+    k1=1.25/b=0.75 so every derived constant is an exact binary
+    fraction; per-term contributions round to integer micro-units
+    BEFORE summing (order-independent), and the oracle recomputes tf,
+    df, dl, avgdl, the Robertson idf, and the saturation formula with
+    the identical operation order — scores and ranks match exactly.
+
+    'classifier' (r5) — hashed-feature linear scoring value check: the
+    hashing-trick feature index (portable md5 arithmetic, the mixrates
+    pattern) and the margin aggregation scored under closed-form
+    weights w(idx) = (idx % 997 - 498)/1000; margins compared in
+    integer micro-units, predicted labels derived from the SAME
+    rounded value in both engines. Training (distributed batch GD) is
+    pinned by numpy-parity pytest, not SQL.
+
+    'merge' (r5) — apply_changes (CDC latest-wins merge) value check:
+    a synthesized delta over events (two versioned upserts on %7 keys,
+    a higher-versioned delete on %10 keys, pure inserts on fresh %13
+    keys) merged against the snapshot; the oracle states the closed
+    form (deletes gone, version-2 value on surviving %7 keys, inserts
+    present, everything else untouched) row for row."""
     legs = _library_suite_legs(spark, sf_dir)
     out = legs["vocab"]
     for name in (
         "encode", "decontam", "mixrates", "shuffle", "nll", "zorder",
         "boilerplate", "tfidf", "semdedup", "repetition", "dupspans", "nll2",
+        "bm25", "classifier", "merge",
     ):
         out = out.unionByName(legs[name])
     return out
 
 
 def _library_suite_legs(spark: SparkSession, sf_dir: str):
-    """The thirteen ``llm_library_suite`` legs as individually-runnable
+    """The sixteen ``llm_library_suite`` legs as individually-runnable
     DataFrames (diagnosability: the driver gate hashes the union, so a
     failure there names the suite — ``tests/test_catalog_extra.py::
     test_llm_library_suite_legs_individually`` runs each leg alone so the
@@ -1363,6 +1443,79 @@ def _library_suite_legs(spark: SparkSession, sf_dir: str):
         F.col("n_dup_tokens").alias("i2"),
     )
 
+    from ..operators.tfidf import bm25_top_docs
+
+    # k1=1.25 (not the 1.2 API default): every derived constant (k1+1 =
+    # 2.25, 1-b = 0.25) is then an EXACT binary fraction, so the oracle's
+    # decimal literals convert to the identical doubles Spark's Python
+    # literals do — no cross-engine representation slop in the score math.
+    bm_queries = d.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(tokens(F.col("text")), 1, 4), " ").alias("text"),
+    )
+    bm25_leg = bm25_top_docs(d, bm_queries, k=10, k1=1.25, b=0.75).select(
+        F.lit("bm25").alias("leg"),
+        F.col("query_id").alias("key"),
+        F.col("doc_id").cast("string").alias("s1"),
+        F.col("score_micro").alias("i1"),
+        F.col("rank").cast("long").alias("i2"),
+    )
+
+    from ..operators.classifier import hashed_features, linear_margin
+
+    # closed-form weights w(idx) = (idx % 997 - 498)/1000 exercise the
+    # REAL scoring path (hash -> pool -> weight join -> margin agg) while
+    # staying SQL-restatable; the learned-weight path is pinned by
+    # tests/test_classifier_bm25.py (numpy GD parity). i1/i2 derive from
+    # the SAME rounded micro value so the sign bit cannot diverge on a
+    # mathematically-zero margin.
+    feats = hashed_features(d, n_features=4096)
+    cls_weights = feats.select("idx").distinct().withColumn(
+        "w", ((F.col("idx") % 997) - 498) / F.lit(1000.0)
+    )
+    _mm = F.round(F.col("margin") * 1000000.0 + F.lit(1e-9)).cast("long")
+    classifier_leg = linear_margin(feats, cls_weights).select(
+        F.lit("classifier").alias("leg"),
+        F.col("doc_id").alias("key"),
+        F.lit(None).cast("string").alias("s1"),
+        _mm.alias("i1"),
+        (_mm > 0).cast("long").alias("i2"),
+    )
+
+    from ..operators.merge import OP_DELETE, OP_UPSERT, apply_changes
+
+    mev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    _mu = lambda df, add, ver: df.select(  # noqa: E731
+        "event_id", "user_id",
+        (F.col("value") + F.lit(float(add))).alias("value"),
+        F.lit(OP_UPSERT).alias("op"), F.lit(ver).alias("version"),
+    )
+    sevens = mev.filter(F.col("event_id") % 7 == 0)
+    delta = (
+        _mu(sevens, 1000, 1)
+        .unionByName(_mu(sevens, 2000, 2))  # version 2 must win over 1
+        .unionByName(
+            mev.filter(F.col("event_id") % 10 == 0).select(
+                "event_id", "user_id", "value",
+                F.lit(OP_DELETE).alias("op"), F.lit(9).alias("version"),
+            )  # version 9: delete beats both upserts on %70 ids
+        )
+        .unionByName(
+            mev.filter(F.col("event_id") % 13 == 0).select(
+                (F.col("event_id") + 10000000).alias("event_id"), "user_id",
+                (F.col("value") + F.lit(5000.0)).alias("value"),
+                F.lit(OP_UPSERT).alias("op"), F.lit(1).alias("version"),
+            )  # fresh keys: pure inserts
+        )
+    )
+    merge_leg = apply_changes(mev, delta, ["event_id"]).select(
+        F.lit("merge").alias("leg"),
+        F.col("event_id").alias("key"),
+        F.lit(None).cast("string").alias("s1"),
+        F.round(F.col("value") * 1000000.0 + F.lit(1e-9)).cast("long").alias("i1"),
+        F.col("user_id").cast("long").alias("i2"),
+    )
+
     return {
         "vocab": vocab_leg,
         "encode": encode_leg,
@@ -1377,4 +1530,7 @@ def _library_suite_legs(spark: SparkSession, sf_dir: str):
         "repetition": rep_leg,
         "dupspans": dupspan_leg,
         "nll2": nll2_leg,
+        "bm25": bm25_leg,
+        "classifier": classifier_leg,
+        "merge": merge_leg,
     }
