@@ -57,6 +57,7 @@ HEADLINE = [
     "bm25_retrieval",  # added r5 (new operator; not in r1 baseline)
     "classifier_score",  # added r5 (new operator; not in r1 baseline)
     "cdc_merge",  # added r5 (new operator; not in r1 baseline)
+    "pagerank_events",  # added r5 (new operator; not in r1 baseline)
     "multimodal_image_features",
 ]
 
@@ -110,6 +111,7 @@ BASELINE_SEC = {
     "bm25_retrieval": 2.9,
     "classifier_score": 0.3,
     "cdc_merge": 0.65,
+    "pagerank_events": 2.2,
 }
 RETRY_FACTOR = 2.0
 MAX_EXTRA_TRIALS = 2
@@ -239,7 +241,21 @@ def _raw_ops():
         "bm25_retrieval": _bm25,
         "classifier_score": _classifier_score,
         "cdc_merge": _cdc_merge,
+        "pagerank_events": _pagerank_events,
     }
+
+
+def _pagerank_events(s, d):
+    from pyspark.sql import functions as F
+
+    from kafka_streams_task_spark.operators.graph import pagerank
+    from kafka_streams_task_spark.schemas import load_table
+
+    ev = load_table(s, d, "events")
+    ea = ev.select(F.col("event_id").alias("eid"), F.col("user_id").alias("src"))
+    eb = ev.select(F.col("event_id").alias("eid2"), F.col("user_id").alias("dst"))
+    edges = ea.join(eb, F.col("eid2") == F.col("eid") * 2).select("src", "dst")
+    return pagerank(edges, n_iter=3, damping=0.75)
 
 
 def _bm25(s, d):

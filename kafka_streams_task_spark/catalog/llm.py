@@ -938,6 +938,40 @@ def _repetition_oracle_ctes() -> str:
     )"""
 
 
+def _pagerank_oracle_ctes(n_iter: int = 3) -> str:
+    """Chained-CTE unroll of the 'pagerank' leg: the deterministic
+    user(e) → user(2e) event graph, degree table with sinks, uniform
+    start, then ``n_iter`` damped iterations at d = 0.75 — each round a
+    dangling-mass scalar, an in-mass aggregate, and the rank update with
+    the IDENTICAL float operation order the Spark operator uses
+    ((0.25/n + (0.75*m)/n) + 0.75*coalesce(im, 0); 0.25 and 0.75 are
+    exact binary fractions, so decimal-literal parsing cannot diverge)."""
+    parts = [
+        """
+    pre AS (SELECT a.user_id AS src, b.user_id AS dst
+            FROM events a JOIN events b ON b.event_id = a.event_id * 2),
+    prd AS (SELECT n.node, coalesce(d.deg, 0) AS deg FROM
+            (SELECT DISTINCT node FROM
+              (SELECT src AS node FROM pre UNION ALL SELECT dst FROM pre)) n
+            LEFT JOIN (SELECT src AS node, count(*) AS deg FROM pre GROUP BY src) d
+            ON n.node = d.node),
+    prnn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM prd),
+    pr0 AS (SELECT node, deg, 1.0 / n AS rank FROM prd, prnn)"""
+    ]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(f"""
+    prm{i} AS (SELECT coalesce(sum(rank), 0.0) AS m FROM pr{p} WHERE deg = 0),
+    prc{i} AS (SELECT e.dst AS node, sum(r.rank / r.deg) AS im
+               FROM pr{p} r JOIN pre e ON e.src = r.node
+               WHERE r.deg > 0 GROUP BY e.dst),
+    pr{i} AS (SELECT g.node, g.deg,
+                     (0.25 / nn.n + 0.75 * dd.m / nn.n)
+                     + 0.75 * coalesce(c.im, 0.0) AS rank
+              FROM prd g LEFT JOIN prc{i} c ON g.node = c.node, prnn nn, prm{i} dd)""")
+    return ",".join(parts)
+
+
 @query(
     "llm_library_suite",
     oracle=f"""
@@ -989,7 +1023,7 @@ def _repetition_oracle_ctes() -> str:
           FROM tok
         ) GROUP BY doc_id, idx
       ) GROUP BY doc_id
-    )
+    ),{_pagerank_oracle_ctes(3)}
     SELECT 'vocab' AS leg,
            CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) - 1 AS BIGINT) AS key,
            token AS s1, cnt AS i1, CAST(NULL AS BIGINT) AS i2
@@ -1104,10 +1138,15 @@ def _repetition_oracle_ctes() -> str:
       SELECT event_id + 10000000, user_id, value + 5000.0
       FROM events WHERE event_id % 13 = 0
     ) m
+    UNION ALL
+    SELECT 'pagerank', node, CAST(NULL AS VARCHAR),
+           CAST(round(rank * 1000000000.0 + 1e-09) AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM pr3
     """,
 )
 def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sixteen library operators in one driver slot (r4, widened r5;
+    """Seventeen library operators in one driver slot (r4, widened r5;
     tagged legs, the scalar_semantics_suite pattern):
 
     'vocab' — the FULL build_vocab output (token, count, token_id): the
@@ -1213,20 +1252,27 @@ def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     a higher-versioned delete on %10 keys, pure inserts on fresh %13
     keys) merged against the snapshot; the oracle states the closed
     form (deletes gone, version-2 value on surviving %7 keys, inserts
-    present, everything else untouched) row for row."""
+    present, everything else untouched) row for row.
+
+    'pagerank' (r5) — pagerank value check: 3 damped power iterations
+    (d = 0.75, so 1-d is an exact binary fraction) over the
+    deterministic user-of-event-e → user-of-event-2e link graph,
+    including the dangling-mass redistribution term; the oracle unrolls
+    the identical three iterations as chained CTEs with the identical
+    float operation order, ranks compared in integer nano-units."""
     legs = _library_suite_legs(spark, sf_dir)
     out = legs["vocab"]
     for name in (
         "encode", "decontam", "mixrates", "shuffle", "nll", "zorder",
         "boilerplate", "tfidf", "semdedup", "repetition", "dupspans", "nll2",
-        "bm25", "classifier", "merge",
+        "bm25", "classifier", "merge", "pagerank",
     ):
         out = out.unionByName(legs[name])
     return out
 
 
 def _library_suite_legs(spark: SparkSession, sf_dir: str):
-    """The sixteen ``llm_library_suite`` legs as individually-runnable
+    """The seventeen ``llm_library_suite`` legs as individually-runnable
     DataFrames (diagnosability: the driver gate hashes the union, so a
     failure there names the suite — ``tests/test_catalog_extra.py::
     test_llm_library_suite_legs_individually`` runs each leg alone so the
@@ -1516,6 +1562,24 @@ def _library_suite_legs(spark: SparkSession, sf_dir: str):
         F.col("user_id").cast("long").alias("i2"),
     )
 
+    from ..operators.graph import pagerank
+
+    # deterministic synthetic link graph over events: user of event e
+    # links to the user of event 2e (parallel edges allowed; sinks —
+    # users never on the src side — exercise the dangling-mass term)
+    ea = ev.select(F.col("event_id").alias("eid"), F.col("user_id").alias("src"))
+    eb = ev.select(F.col("event_id").alias("eid2"), F.col("user_id").alias("dst"))
+    pr_edges = ea.join(eb, F.col("eid2") == F.col("eid") * 2).select("src", "dst")
+    # damping 0.75 (not the 0.85 default): 1-d = 0.25 is an exact binary
+    # fraction, so the oracle's decimal literals are the identical doubles
+    pagerank_leg = pagerank(pr_edges, n_iter=3, damping=0.75).select(
+        F.lit("pagerank").alias("leg"),
+        F.col("node").alias("key"),
+        F.lit(None).cast("string").alias("s1"),
+        F.round(F.col("rank") * 1000000000.0 + F.lit(1e-9)).cast("long").alias("i1"),
+        F.lit(None).cast("long").alias("i2"),
+    )
+
     return {
         "vocab": vocab_leg,
         "encode": encode_leg,
@@ -1533,4 +1597,5 @@ def _library_suite_legs(spark: SparkSession, sf_dir: str):
         "bm25": bm25_leg,
         "classifier": classifier_leg,
         "merge": merge_leg,
+        "pagerank": pagerank_leg,
     }

@@ -48,7 +48,7 @@ def test_llm_library_suite_legs_individually(spark, sf_dir):
     assert set(legs) == {
         "vocab", "encode", "decontam", "mixrates", "shuffle", "nll",
         "zorder", "boilerplate", "tfidf", "semdedup", "repetition",
-        "dupspans", "nll2", "bm25", "classifier", "merge",
+        "dupspans", "nll2", "bm25", "classifier", "merge", "pagerank",
     }
     n_docs = None
     for name, df in legs.items():
