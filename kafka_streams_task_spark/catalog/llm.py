@@ -1139,6 +1139,36 @@ def _pagerank_oracle_ctes(n_iter: int = 3) -> str:
       FROM events WHERE event_id % 13 = 0
     ) m
     UNION ALL
+    SELECT 'scd2', s.event_id, CAST(NULL AS VARCHAR),
+           CAST(round(s.value * 1000000.0 + 1e-09) AS BIGINT),
+           CAST(s.vf * 100 + coalesce(s.vt, 50) AS BIGINT)
+    FROM (
+      WITH scdch AS (
+        SELECT event_id, user_id, value + 1000.0 AS value, 'U' AS op, 1 AS version
+        FROM events WHERE event_id % 7 = 0
+        UNION ALL
+        SELECT event_id, user_id, value + 2000.0, 'U', 2
+        FROM events WHERE event_id % 7 = 0
+        UNION ALL
+        SELECT event_id, user_id, value, 'D', 9
+        FROM events WHERE event_id % 10 = 0
+        UNION ALL
+        SELECT event_id + 10000000, user_id, value + 5000.0, 'U', 1
+        FROM events WHERE event_id % 13 = 0
+      ),
+      scdn AS (
+        SELECT event_id, value, op, version,
+               lead(version) OVER (PARTITION BY event_id
+                                   ORDER BY version, op, user_id, value) AS next_v
+        FROM scdch
+      ),
+      scdf AS (SELECT event_id, min(version) AS first_v FROM scdch GROUP BY event_id)
+      SELECT e.event_id, e.value, CAST(-1 AS BIGINT) AS vf, f.first_v AS vt
+      FROM events e LEFT JOIN scdf f ON e.event_id = f.event_id
+      UNION ALL
+      SELECT event_id, value, version, next_v FROM scdn WHERE op = 'U'
+    ) s
+    UNION ALL
     SELECT 'pagerank', node, CAST(NULL AS VARCHAR),
            CAST(round(rank * 1000000000.0 + 1e-09) AS BIGINT),
            CAST(NULL AS BIGINT)
@@ -1146,7 +1176,7 @@ def _pagerank_oracle_ctes(n_iter: int = 3) -> str:
     """,
 )
 def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seventeen library operators in one driver slot (r4, widened r5;
+    """Eighteen library operators in one driver slot (r4, widened r5;
     tagged legs, the scalar_semantics_suite pattern):
 
     'vocab' — the FULL build_vocab output (token, count, token_id): the
@@ -1254,6 +1284,12 @@ def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     form (deletes gone, version-2 value on surviving %7 keys, inserts
     present, everything else untouched) row for row.
 
+    'scd2' (r5) — scd2_apply (Type-2 history) value check: the SAME
+    delta as 'merge' applied to a version--1 seeded history; EVERY
+    interval row (closed originals, superseded upserts, resurrections,
+    open currents) is stated by the oracle via lead()-window interval
+    assembly, with (valid_from, valid_to) encoded into one integer.
+
     'pagerank' (r5) — pagerank value check: 3 damped power iterations
     (d = 0.75, so 1-d is an exact binary fraction) over the
     deterministic user-of-event-e → user-of-event-2e link graph,
@@ -1265,14 +1301,14 @@ def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in (
         "encode", "decontam", "mixrates", "shuffle", "nll", "zorder",
         "boilerplate", "tfidf", "semdedup", "repetition", "dupspans", "nll2",
-        "bm25", "classifier", "merge", "pagerank",
+        "bm25", "classifier", "merge", "scd2", "pagerank",
     ):
         out = out.unionByName(legs[name])
     return out
 
 
 def _library_suite_legs(spark: SparkSession, sf_dir: str):
-    """The seventeen ``llm_library_suite`` legs as individually-runnable
+    """The eighteen ``llm_library_suite`` legs as individually-runnable
     DataFrames (diagnosability: the driver gate hashes the union, so a
     failure there names the suite — ``tests/test_catalog_extra.py::
     test_llm_library_suite_legs_individually`` runs each leg alone so the
@@ -1562,6 +1598,23 @@ def _library_suite_legs(spark: SparkSession, sf_dir: str):
         F.col("user_id").cast("long").alias("i2"),
     )
 
+    from ..operators.merge import scd2_apply, scd2_init
+
+    # the SAME delta applied as SCD Type-2 history: every superseded
+    # interval stays, encoded into i2 as valid_from*100 + valid_to
+    # (50 = open interval; versions here are -1/1/2/9, so the encoding
+    # is collision-free integer arithmetic on both engines)
+    scd = scd2_apply(scd2_init(mev, -1), delta, ["event_id"])
+    scd2_leg = scd.select(
+        F.lit("scd2").alias("leg"),
+        F.col("event_id").alias("key"),
+        F.lit(None).cast("string").alias("s1"),
+        F.round(F.col("value") * 1000000.0 + F.lit(1e-9)).cast("long").alias("i1"),
+        (
+            F.col("valid_from") * 100 + F.coalesce(F.col("valid_to"), F.lit(50))
+        ).cast("long").alias("i2"),
+    )
+
     from ..operators.graph import pagerank
 
     # deterministic synthetic link graph over events: user of event e
@@ -1597,5 +1650,6 @@ def _library_suite_legs(spark: SparkSession, sf_dir: str):
         "bm25": bm25_leg,
         "classifier": classifier_leg,
         "merge": merge_leg,
+        "scd2": scd2_leg,
         "pagerank": pagerank_leg,
     }

@@ -29,7 +29,7 @@ Scale shape:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 #: Change-operation codes (the Debezium-ish two-verb reduction: creates
@@ -90,6 +90,77 @@ def apply_changes(
     kept = snapshot.join(latest.select(*key_cols), on=key_cols, how="left_anti")
     upserts = latest.filter(F.col(op_col) == OP_UPSERT).select(*snapshot.columns)
     return kept.unionByName(upserts)
+
+
+def scd2_init(
+    snapshot: DataFrame,
+    version,
+    version_type: str = "long",
+) -> DataFrame:
+    """Seed an SCD Type-2 history from a plain snapshot: every row
+    becomes an open interval ``[version, null)``. Column layout:
+    payload columns + ``valid_from`` + ``valid_to`` (null = current).
+    ``version_type`` sets the interval columns' type (long versions by
+    default; pass ``"timestamp"`` for event-time histories)."""
+    return snapshot.select(
+        "*",
+        F.lit(version).cast(version_type).alias("valid_from"),
+        F.lit(None).cast(version_type).alias("valid_to"),
+    )
+
+
+def scd2_apply(
+    history: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    version_col: str = "version",
+    op_col: str = "op",
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2: apply a versioned change stream
+    to an interval history, KEEPING every superseded row (the audit /
+    time-travel form of :func:`apply_changes` — "what did this key look
+    like at version v?" stays answerable).
+
+    Semantics (all changes apply, in version order per key — not just the
+    latest): each upsert opens an interval ``[version, next-change
+    version)``; the key's previously-current interval closes at the
+    key's FIRST incoming change; a delete closes the open interval
+    without opening one (the key has no current row until a later
+    upsert). Already-closed history rows pass through untouched.
+    Versions must be unique per key (the CDC contract); the change
+    ordering still tie-breaks deterministically on (version, op,
+    payload) like :func:`latest_changes`.
+
+    Scale shape: one window over the CHANGE SET per key (the small side
+    — lead() gives each upsert its closing version with no self-join),
+    one min aggregate over the change set, and one key-partitioned
+    left join against ONLY the history's current slice; closed history
+    (the bulk at 100 TB — years of audit rows) is touched by nothing
+    but the final union."""
+    payload = [c for c in changes.columns if c not in (op_col,)]
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(version_col), F.col(op_col),
+        *[F.col(c) for c in payload if c not in (version_col, *key_cols)],
+    )
+    ch = changes.withColumn("_next_v", F.lead(version_col).over(w))
+    new_rows = ch.filter(F.col(op_col) == OP_UPSERT).select(
+        *[c for c in payload if c != version_col],
+        F.col(version_col).alias("valid_from"),
+        F.col("_next_v").alias("valid_to"),
+    )
+    first_v = changes.groupBy(*key_cols).agg(
+        F.min(version_col).alias("_first_v")
+    )
+    current = history.filter(F.col("valid_to").isNull())
+    closed_now = (
+        current.join(first_v, on=key_cols, how="left")
+        .withColumn("valid_to", F.coalesce(F.col("_first_v"), F.col("valid_to")))
+        .drop("_first_v")
+    )
+    was_closed = history.filter(F.col("valid_to").isNotNull())
+    return was_closed.unionByName(closed_now).unionByName(
+        new_rows.select(*history.columns)
+    )
 
 
 def affected_partition_values(

@@ -48,7 +48,7 @@ def test_llm_library_suite_legs_individually(spark, sf_dir):
     assert set(legs) == {
         "vocab", "encode", "decontam", "mixrates", "shuffle", "nll",
         "zorder", "boilerplate", "tfidf", "semdedup", "repetition",
-        "dupspans", "nll2", "bm25", "classifier", "merge", "pagerank",
+        "dupspans", "nll2", "bm25", "classifier", "merge", "scd2", "pagerank",
     }
     n_docs = None
     for name, df in legs.items():
@@ -95,6 +95,47 @@ def test_llm_library_suite_legs_individually(spark, sf_dir):
         elif name == "nll2":
             assert all(r.i1 > 0 and r.i2 is not None and r.i2 > 0 for r in rows), (
                 f"leg {name!r}: non-positive bigram NLL"
+            )
+        elif name == "bm25":
+            assert all(1 <= r.i2 <= 10 and r.i1 > 0 for r in rows), (
+                f"leg {name!r}: bad rank/score"
+            )
+            # per query: ranks contiguous from 1, scores non-increasing
+            # in rank (the query doc need NOT be rank-1: BM25 length
+            # normalization can favor a shorter doc repeating the terms)
+            by_q = {}
+            for r in rows:
+                by_q.setdefault(r.key, []).append((r.i2, r.i1))
+            for q, rs in by_q.items():
+                rs.sort()
+                assert [x[0] for x in rs] == list(range(1, len(rs) + 1)), (
+                    f"leg {name!r}: ranks not contiguous for query {q}"
+                )
+                scores = [x[1] for x in rs]
+                assert scores == sorted(scores, reverse=True), (
+                    f"leg {name!r}: scores increase with rank for query {q}"
+                )
+        elif name == "classifier":
+            assert all((r.i1 > 0) == (r.i2 == 1) for r in rows), (
+                f"leg {name!r}: label disagrees with margin sign"
+            )
+        elif name == "merge":
+            assert all(r.i2 is not None for r in rows), f"leg {name!r}: null user"
+            assert not [r for r in rows if r.key % 10 == 0 and r.key < 10000000], (
+                f"leg {name!r}: deleted keys survived"
+            )
+        elif name == "scd2":
+            by_key_open = {}
+            for r in rows:
+                if r.i2 % 100 == 50:
+                    by_key_open[r.key] = by_key_open.get(r.key, 0) + 1
+            assert all(v == 1 for v in by_key_open.values()), (
+                f"leg {name!r}: key with multiple open intervals"
+            )
+        elif name == "pagerank":
+            total = sum(r.i1 for r in rows)
+            assert abs(total - 1_000_000_000) < len(rows) + 10, (
+                f"leg {name!r}: rank mass not conserved ({total})"
             )
     if n_docs is not None:
         assert len([r for r in legs["boilerplate"].collect()]) == n_docs

@@ -179,3 +179,83 @@ def test_affected_partition_requires_key_stability(spark):
     changes = _changes(spark, [(1, "a", "x", OP_UPSERT, 1)])
     with pytest.raises(AssertionError):
         merge_into_partitioned(spark, "/nonexistent", changes, ["k"], "part")
+
+
+# ------------------------------------------------------------------- SCD2
+
+from kafka_streams_task_spark.operators.merge import scd2_apply, scd2_init
+
+
+def test_scd2_full_lifecycle(spark):
+    snap = _snapshot(spark)
+    hist = scd2_init(snap, 0)
+    changes = _changes(
+        spark,
+        [
+            (2, "a", "v5", OP_UPSERT, 5),
+            (2, "a", "v8", OP_UPSERT, 8),
+            (3, "b", None, OP_DELETE, 4),      # closes, no reopen
+            (3, "b", "back", OP_UPSERT, 6),    # resurrect after delete
+            (9, "b", "nine", OP_UPSERT, 7),    # brand-new key
+        ],
+    )
+    out = scd2_apply(hist, changes, ["k"])
+    rows = {(r.k, r.valid_from): (r.v, r.valid_to) for r in out.collect()}
+    assert rows == {
+        (1, 0): ("one", None),        # untouched: still current
+        (2, 0): ("two", 5),           # closed by first change
+        (2, 5): ("v5", 8),            # superseded by v8
+        (2, 8): ("v8", None),         # current
+        (3, 0): ("three", 4),         # closed by delete
+        (3, 6): ("back", None),       # resurrected
+        (4, 0): ("four", None),       # untouched
+        (9, 7): ("nine", None),       # insert
+    }
+
+
+def test_scd2_current_view_equals_apply_changes(spark, sf_dir):
+    """Law: the current slice (valid_to IS NULL) of the SCD2 history must
+    equal the latest-wins merge of the same delta."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "user_id", "value"
+    )
+    ch = (
+        ev.filter((F.col("event_id") % 5 == 0) | (F.col("event_id") % 7 == 0))
+        .select(
+            "event_id",
+            "user_id",
+            (F.col("value") + 1).alias("value"),
+            F.when(F.col("event_id") % 5 == 0, F.lit(OP_DELETE))
+            .otherwise(F.lit(OP_UPSERT))
+            .alias("op"),
+            (F.col("event_id") % 11).alias("version"),
+        )
+    )
+    hist = scd2_init(ev, -1)
+    current = (
+        scd2_apply(hist, ch, ["event_id"])
+        .filter(F.col("valid_to").isNull())
+        .select("event_id", "user_id", "value")
+    )
+    merged = apply_changes(ev, ch, ["event_id"])
+    assert current.exceptAll(merged).count() == 0
+    assert merged.exceptAll(current).count() == 0
+
+
+def test_scd2_closed_rows_pass_through(spark):
+    snap = _snapshot(spark)
+    hist = scd2_apply(
+        scd2_init(snap, 0),
+        _changes(spark, [(1, "a", "mid", OP_UPSERT, 3)]),
+        ["k"],
+    )
+    # second application touching a different key must not disturb the
+    # closed (1, 0) row nor the open (1, 3) row
+    out = scd2_apply(
+        hist, _changes(spark, [(2, "a", "late", OP_UPSERT, 9)]), ["k"]
+    )
+    rows = {(r.k, r.valid_from): (r.v, r.valid_to) for r in out.collect()}
+    assert rows[(1, 0)] == ("one", 3)
+    assert rows[(1, 3)] == ("mid", None)
+    assert rows[(2, 0)] == ("two", 9)
+    assert rows[(2, 9)] == ("late", None)
