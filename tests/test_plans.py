@@ -207,3 +207,62 @@ def test_events_load_warns_on_non_utc_session(spark, sf_dir):
         assert not caught
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_bm25_filters_tokens_before_shuffle_and_group_limits(spark, sf_dir):
+    """BM25's tf aggregation must see only query-matched tokens (the
+    broadcast semi-filter sits BELOW the aggregate) and the top-k must
+    compile to WindowGroupLimit, not a full window sort."""
+    from kafka_streams_task_spark.functions.text import tokens
+    from kafka_streams_task_spark.operators.tfidf import bm25_top_docs
+    from kafka_streams_task_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = docs.limit(2).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(tokens(F.col("text")), 1, 4), " ").alias("text"),
+    )
+    plan = _plan(bm25_top_docs(docs, queries, k=5))
+    assert "WindowGroupLimit" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # the token-side join with the query-term set must be a broadcast
+    assert "BroadcastHashJoin" in plan
+
+
+def test_classifier_scoring_is_jvm_only(spark, sf_dir):
+    """Feature hashing + margin scoring is pure column arithmetic: no
+    Python anywhere, and the weight join broadcastable."""
+    from kafka_streams_task_spark.operators.classifier import (
+        hashed_features,
+        logreg_score,
+    )
+    from kafka_streams_task_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    weights = (
+        hashed_features(docs, n_features=4096)
+        .select("idx")
+        .distinct()
+        .withColumn("w", ((F.col("idx") % 997) - 498) / F.lit(1000.0))
+    )
+    plan = _plan(logreg_score(docs, weights, n_features=4096))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_cdc_merge_single_aggregate_no_window(spark, sf_dir):
+    """apply_changes must collapse the delta with ONE hash aggregate
+    (max_by) — no window sort — and stay Python-free."""
+    from kafka_streams_task_spark.operators.merge import (
+        OP_UPSERT,
+        apply_changes,
+    )
+    from kafka_streams_task_spark.schemas import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    ch = ev.limit(100).select(
+        "event_id", "user_id", (F.col("value") + 1).alias("value"),
+        F.lit(OP_UPSERT).alias("op"), F.lit(1).alias("version"),
+    )
+    plan = _plan(apply_changes(ev, ch, ["event_id"]))
+    assert "Window" not in plan, "latest_changes must be max_by, not a window"
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

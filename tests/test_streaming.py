@@ -615,3 +615,74 @@ def test_streaming_dedup_near_rejects_foreign_checkpoint(spark, tmpdir):
     stream2 = spark.readStream.schema(schema).json(src)
     with _pytest.raises(ValueError, match="bound to checkpoint"):
         streaming_dedup_near(stream2, index_dir, f"{tmpdir}/bind_ckpt_B")
+
+
+def test_streaming_cdc_materialized_view(spark, tmpdir):
+    """Streaming CDC apply: latest-wins across batches, delete tombstones
+    persist (a STALE late update must not resurrect or overwrite), and
+    replaying the same input is a no-op."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from kafka_streams_task_spark.streaming.cdc import (
+        read_cdc_view,
+        streaming_apply_changes,
+    )
+
+    src = f"{tmpdir}/cdc_in"
+    os.makedirs(src)
+    with open(f"{src}/b0.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in [
+            {"k": 1, "v": "a1", "op": "U", "version": 1},
+            {"k": 1, "v": "a2", "op": "U", "version": 2},   # in-batch supersede
+            {"k": 2, "v": "b1", "op": "U", "version": 1},
+            {"k": 3, "v": "c1", "op": "U", "version": 5},
+        ]))
+    with open(f"{src}/b1.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in [
+            {"k": 2, "v": None, "op": "D", "version": 9},   # delete
+            {"k": 3, "v": "stale", "op": "U", "version": 3},  # LATE stale update
+            {"k": 4, "v": "d1", "op": "U", "version": 1},
+        ]))
+    with open(f"{src}/b2.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in [
+            {"k": 2, "v": "b-stale", "op": "U", "version": 4},  # loses to tombstone v9
+            {"k": 1, "v": None, "op": "D", "version": 7},       # delete k=1
+            {"k": 1, "v": "a9", "op": "U", "version": 8},       # resurrect above
+        ]))
+    for i, name in enumerate(["b0.json", "b1.json", "b2.json"]):
+        os.utime(f"{src}/{name}", (1000000000 + i * 100,) * 2)
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("version", T.LongType()),
+    ])
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+    state_dir = f"{tmpdir}/cdc_state"
+    q = streaming_apply_changes(stream, state_dir, f"{tmpdir}/cdc_ckpt", ["k"])
+    q.awaitTermination(180)
+
+    view = {r.k: (r.v, r.version) for r in read_cdc_view(spark, state_dir).collect()}
+    assert view == {
+        1: ("a9", 8),   # deleted then resurrected at a higher version
+        3: ("c1", 5),   # stale v3 lost to the standing v5
+        4: ("d1", 1),
+        # 2 absent: v9 tombstone beats the late v4 upsert
+    }
+
+    # replay on the same checkpoint+state: batch ids redeliver, no change
+    stream2 = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+    q2 = streaming_apply_changes(stream2, state_dir, f"{tmpdir}/cdc_ckpt", ["k"])
+    q2.awaitTermination(180)
+    view2 = {r.k: (r.v, r.version) for r in read_cdc_view(spark, state_dir).collect()}
+    assert view2 == view
+
+    # a FRESH checkpoint against the bound state dir must be refused
+    import pytest as _pytest
+
+    stream3 = spark.readStream.schema(schema).json(src)
+    with _pytest.raises(ValueError, match="bound to checkpoint"):
+        streaming_apply_changes(stream3, state_dir, f"{tmpdir}/cdc_ckpt_other", ["k"])
