@@ -1173,10 +1173,22 @@ def _pagerank_oracle_ctes(n_iter: int = 3) -> str:
            CAST(round(rank * 1000000000.0 + 1e-09) AS BIGINT),
            CAST(NULL AS BIGINT)
     FROM pr3
+    UNION ALL
+    SELECT 'wsample', doc_id, CAST(NULL AS VARCHAR), rnk, CAST(NULL AS BIGINT)
+    FROM (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY
+               pow((CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8))
+                             AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0,
+                   1.0 / CAST(n_chars AS DOUBLE)) DESC,
+               doc_id) AS BIGINT) AS rnk
+      FROM documents
+      WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0
+    ) WHERE rnk <= 100
     """,
 )
 def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Eighteen library operators in one driver slot (r4, widened r5;
+    """Nineteen library operators in one driver slot (r4, widened r5;
     tagged legs, the scalar_semantics_suite pattern):
 
     'vocab' — the FULL build_vocab output (token, count, token_id): the
@@ -1290,6 +1302,11 @@ def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     open currents) is stated by the oracle via lead()-window interval
     assembly, with (valid_from, valid_to) encoded into one integer.
 
+    'wsample' (r5) — weighted_sample (Efraimidis-Spirakis A-ES without
+    replacement) value check: top-100 documents by u^(1/n_chars) keys
+    from the portable md5-uniform; the oracle recomputes every key and
+    restates the full rank permutation.
+
     'pagerank' (r5) — pagerank value check: 3 damped power iterations
     (d = 0.75, so 1-d is an exact binary fraction) over the
     deterministic user-of-event-e → user-of-event-2e link graph,
@@ -1301,14 +1318,14 @@ def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in (
         "encode", "decontam", "mixrates", "shuffle", "nll", "zorder",
         "boilerplate", "tfidf", "semdedup", "repetition", "dupspans", "nll2",
-        "bm25", "classifier", "merge", "scd2", "pagerank",
+        "bm25", "classifier", "merge", "scd2", "pagerank", "wsample",
     ):
         out = out.unionByName(legs[name])
     return out
 
 
 def _library_suite_legs(spark: SparkSession, sf_dir: str):
-    """The eighteen ``llm_library_suite`` legs as individually-runnable
+    """The nineteen ``llm_library_suite`` legs as individually-runnable
     DataFrames (diagnosability: the driver gate hashes the union, so a
     failure there names the suite — ``tests/test_catalog_extra.py::
     test_llm_library_suite_legs_individually`` runs each leg alone so the
@@ -1615,6 +1632,21 @@ def _library_suite_legs(spark: SparkSession, sf_dir: str):
         ).cast("long").alias("i2"),
     )
 
+    from ..operators.sampling import weighted_sample
+
+    # A-ES weighted sample of documents by n_chars: the selected set AND
+    # the full rank permutation are pure functions of (doc_id, seed, w),
+    # so the oracle restates both (pow() cross-engine ULP noise cannot
+    # reorder ranks — adjacent A-ES keys on 500 docs are ~1e-3 apart)
+    dw = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    wsample_leg = weighted_sample(dw, "n_chars", k=100, seed=7).select(
+        F.lit("wsample").alias("leg"),
+        F.col("doc_id").alias("key"),
+        F.lit(None).cast("string").alias("s1"),
+        F.col("sample_rank").cast("long").alias("i1"),
+        F.lit(None).cast("long").alias("i2"),
+    )
+
     from ..operators.graph import pagerank
 
     # deterministic synthetic link graph over events: user of event e
@@ -1652,4 +1684,5 @@ def _library_suite_legs(spark: SparkSession, sf_dir: str):
         "merge": merge_leg,
         "scd2": scd2_leg,
         "pagerank": pagerank_leg,
+        "wsample": wsample_leg,
     }

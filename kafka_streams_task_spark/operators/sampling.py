@@ -32,7 +32,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -437,4 +437,62 @@ def cap_per_group(
         df.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= max_rows)
         .drop("_rk")
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, A-ES): each row draws a key ``u^(1/w)`` from a
+    hash-uniform u and its weight w; the k largest keys ARE a weighted
+    sample without replacement. The quality-weighted corpus subsample
+    ("keep 10M docs, preferring high quality-score") in one pass.
+
+    Adds ``sample_rank`` (1 = largest key). Rows with null or
+    non-positive weight never sample. With ``group_cols``, takes k rows
+    PER GROUP (the per-stratum form).
+
+    Scale shape: the key is a pure column expression of (id, seed,
+    weight) — layout-independent, reproducible under retries, no RNG
+    state anywhere. Global top-k compiles to TakeOrderedAndProject
+    (per-partition heaps + driver merge of k rows, no global sort);
+    grouped top-k compiles to WindowGroupLimit (per-partition heaps
+    BEFORE the shuffle). u gets a +0.5/2^32 half-step so it is strictly
+    positive (u = 0 would pin rank keys to 0 regardless of weight).
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed)))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(_HASH_SPACE)
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    eligible = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col).cast("double") > 0)
+    ).withColumn("_es_key", key)
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy(
+            F.col("_es_key").desc(), F.col(id_col)
+        )
+        return (
+            eligible.withColumn("sample_rank", F.row_number().over(w))
+            .filter(F.col("sample_rank") <= k)
+            .drop("_es_key")
+        )
+    ranked = eligible.orderBy(F.col("_es_key").desc(), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.col("_es_key").desc(), F.col(id_col))
+    return (
+        ranked.withColumn("sample_rank", F.row_number().over(w)).drop("_es_key")
     )

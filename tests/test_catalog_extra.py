@@ -49,6 +49,7 @@ def test_llm_library_suite_legs_individually(spark, sf_dir):
         "vocab", "encode", "decontam", "mixrates", "shuffle", "nll",
         "zorder", "boilerplate", "tfidf", "semdedup", "repetition",
         "dupspans", "nll2", "bm25", "classifier", "merge", "scd2", "pagerank",
+        "wsample",
     }
     n_docs = None
     for name, df in legs.items():
@@ -136,6 +137,14 @@ def test_llm_library_suite_legs_individually(spark, sf_dir):
             total = sum(r.i1 for r in rows)
             assert abs(total - 1_000_000_000) < len(rows) + 10, (
                 f"leg {name!r}: rank mass not conserved ({total})"
+            )
+        elif name == "wsample":
+            ranks = sorted(r.i1 for r in rows)
+            assert ranks == list(range(1, len(ranks) + 1)), (
+                f"leg {name!r}: sample ranks not a contiguous permutation"
+            )
+            assert len({r.key for r in rows}) == len(rows), (
+                f"leg {name!r}: duplicate docs sampled (with replacement?)"
             )
     if n_docs is not None:
         assert len([r for r in legs["boilerplate"].collect()]) == n_docs

@@ -656,3 +656,91 @@ def test_cap_per_group_plan_uses_window_group_limit(spark):
     with redirect_stdout(buf):
         cap_per_group(df, "source", 5).explain()
     assert "WindowGroupLimit" in buf.getvalue()
+
+
+# ------------------------------------------------- weighted sampling (A-ES)
+
+
+def _es_key(doc_id, seed, w):
+    import hashlib
+
+    h = int(hashlib.md5(f"{doc_id}:{seed}".encode()).hexdigest()[:8], 16)
+    u = (h + 0.5) / 4294967296.0
+    return u ** (1.0 / w)
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    from pyspark.sql import Row
+
+    from kafka_streams_task_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float(1 + (i * 7) % 13)) for i in range(200)]
+    df = spark.createDataFrame([Row(doc_id=i, w=w) for i, w in rows])
+    got = [
+        (r.doc_id, r.sample_rank)
+        for r in weighted_sample(df, "w", k=25, seed=9).collect()
+    ]
+    ref = sorted(rows, key=lambda t: (-_es_key(t[0], 9, t[1]), t[0]))[:25]
+    assert sorted(got, key=lambda t: t[1]) == [
+        (doc_id, rank + 1) for rank, (doc_id, _) in enumerate(ref)
+    ]
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    from pyspark.sql import Row
+
+    from kafka_streams_task_spark.operators.sampling import weighted_sample
+
+    # 500 light rows (w=1) vs 500 heavy rows (w=50): a 100-row sample
+    # must be dominated by heavy rows
+    df = spark.createDataFrame(
+        [Row(doc_id=i, w=50.0 if i < 500 else 1.0) for i in range(1000)]
+    )
+    got = weighted_sample(df, "w", k=100, seed=3).collect()
+    heavy = sum(1 for r in got if r.doc_id < 500)
+    assert heavy > 85, f"heavy rows underrepresented: {heavy}/100"
+
+
+def test_weighted_sample_layout_independent_and_guards(spark):
+    from pyspark.sql import Row
+
+    from kafka_streams_task_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, w=float(i % 5)) for i in range(100)]  # w=0 rows excluded
+    )
+    a = {(r.doc_id, r.sample_rank) for r in weighted_sample(df.repartition(1), "w", k=10).collect()}
+    b = {(r.doc_id, r.sample_rank) for r in weighted_sample(df.repartition(7, "w"), "w", k=10).collect()}
+    assert a == b
+    assert all(doc_id % 5 != 0 for doc_id, _ in a), "zero-weight rows sampled"
+
+
+def test_weighted_sample_per_group(spark):
+    from pyspark.sql import Row
+
+    from kafka_streams_task_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, g=i % 3, w=1.0 + i % 4) for i in range(90)]
+    )
+    got = weighted_sample(df, "w", k=5, group_cols=["g"]).collect()
+    per_g = {}
+    for r in got:
+        per_g.setdefault(r.g, []).append(r.sample_rank)
+    assert set(per_g) == {0, 1, 2}
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_g.values())
+
+
+def test_weighted_sample_global_uses_take_ordered(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import Row
+
+    from kafka_streams_task_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame([Row(doc_id=i, w=1.0) for i in range(50)])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        weighted_sample(df, "w", k=5).explain()
+    assert "TakeOrderedAndProject" in buf.getvalue()
