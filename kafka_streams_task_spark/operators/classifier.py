@@ -108,7 +108,13 @@ def logreg_train(
     summation order, ~1e-15 relative).
     """
     feats = hashed_features(df, text_col, id_col, n_features).localCheckpoint(eager=True)
-    labels = df.select(F.col(id_col), F.col(label_col).cast("double").alias("_y"))
+    # (id, y) is read every iteration — checkpoint it so training never
+    # re-executes the (possibly expensive) upstream of ``df`` after the
+    # first pass; freed with ``feats`` below
+    labels = (
+        df.select(F.col(id_col), F.col(label_col).cast("double").alias("_y"))
+        .localCheckpoint(eager=True)
+    )
     n = labels.count()
     weights = feats.select("idx").distinct().withColumn("w", F.lit(0.0)).localCheckpoint(eager=True)
     for _ in range(n_iter):
@@ -143,10 +149,12 @@ def logreg_train(
         # free the superseded round's blocks (bounded: one table of
         # observed-feature rows per round would otherwise accumulate)
         prev._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    # the feature table dies with training; only the weight table (the
-    # result, one checkpointed block set) survives — no-cached-blocks
-    # standard, see test_classifier_train_leaves_one_checkpoint
+    # the feature and label tables die with training; only the weight
+    # table (the result, one checkpointed block set) survives —
+    # no-cached-blocks standard, see
+    # test_classifier_train_leaves_one_checkpoint
     feats._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    labels._jdf.queryExecution().analyzed().rdd().unpersist(False)
     return weights
 
 

@@ -215,12 +215,16 @@ def merge_into_partitioned(
     merged = apply_changes(
         snap, changes, key_cols, version_col, op_col
     ).localCheckpoint(eager=True)
-    surviving = {r[0] for r in merged.select(partition_col).distinct().collect()}
     try:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        merged.write.mode("overwrite").partitionBy(partition_col).parquet(snapshot_path)
+        surviving = {r[0] for r in merged.select(partition_col).distinct().collect()}
+        try:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            merged.write.mode("overwrite").partitionBy(partition_col).parquet(snapshot_path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+        # the staged merge blocks die with the call (no-cached-blocks standard)
+        merged._jdf.queryExecution().analyzed().rdd().unpersist(False)
     jvm = spark._jvm
     jsc = spark._jsc
     fs = jvm.org.apache.hadoop.fs.FileSystem.get(jsc.hadoopConfiguration())
