@@ -1174,6 +1174,23 @@ def _pagerank_oracle_ctes(n_iter: int = 3) -> str:
            CAST(NULL AS BIGINT)
     FROM pr3
     UNION ALL
+    SELECT 'entropy', e.doc_id, CAST(NULL AS VARCHAR),
+           CAST(round(e.h * 1000000.0 + 1e-09) AS BIGINT), e.n
+    FROM (
+      SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n,
+             CASE WHEN length(d.text) = 0 THEN 0.0
+                  ELSE (ln(CAST(length(d.text) AS DOUBLE))
+                        - coalesce(cs.s, 0.0) / CAST(length(d.text) AS DOUBLE))
+                       / ln(2.0) END AS h
+      FROM documents d LEFT JOIN (
+        SELECT doc_id, sum(cnt * ln(cnt)) AS s FROM (
+          SELECT doc_id, CAST(count(*) AS DOUBLE) AS cnt
+          FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+          GROUP BY doc_id, ch
+        ) GROUP BY doc_id
+      ) cs ON d.doc_id = cs.doc_id
+    ) e
+    UNION ALL
     SELECT 'wsample', doc_id, CAST(NULL AS VARCHAR), rnk, CAST(NULL AS BIGINT)
     FROM (
       SELECT doc_id,
@@ -1188,7 +1205,7 @@ def _pagerank_oracle_ctes(n_iter: int = 3) -> str:
     """,
 )
 def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nineteen library operators in one driver slot (r4, widened r5;
+    """Twenty library operators in one driver slot (r4, widened r5;
     tagged legs, the scalar_semantics_suite pattern):
 
     'vocab' — the FULL build_vocab output (token, count, token_id): the
@@ -1307,6 +1324,12 @@ def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the portable md5-uniform; the oracle recomputes every key and
     restates the full rank permutation.
 
+    'entropy' (r5) — char_entropy value check: Shannon bits/char from
+    the zero-shuffle sorted-run fold, compared in integer micro-units
+    against the oracle's unnest-groupBy recomputation (the fold's
+    sorted-order float summation vs SQL group order differs only at
+    ULP scale).
+
     'pagerank' (r5) — pagerank value check: 3 damped power iterations
     (d = 0.75, so 1-d is an exact binary fraction) over the
     deterministic user-of-event-e → user-of-event-2e link graph,
@@ -1319,13 +1342,14 @@ def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "encode", "decontam", "mixrates", "shuffle", "nll", "zorder",
         "boilerplate", "tfidf", "semdedup", "repetition", "dupspans", "nll2",
         "bm25", "classifier", "merge", "scd2", "pagerank", "wsample",
+        "entropy",
     ):
         out = out.unionByName(legs[name])
     return out
 
 
 def _library_suite_legs(spark: SparkSession, sf_dir: str):
-    """The nineteen ``llm_library_suite`` legs as individually-runnable
+    """The twenty ``llm_library_suite`` legs as individually-runnable
     DataFrames (diagnosability: the driver gate hashes the union, so a
     failure there names the suite — ``tests/test_catalog_extra.py::
     test_llm_library_suite_legs_individually`` runs each leg alone so the
@@ -1632,6 +1656,18 @@ def _library_suite_legs(spark: SparkSession, sf_dir: str):
         ).cast("long").alias("i2"),
     )
 
+    from ..functions.text import char_entropy
+
+    entropy_leg = d.select(
+        F.lit("entropy").alias("leg"),
+        F.col("doc_id").alias("key"),
+        F.lit(None).cast("string").alias("s1"),
+        F.round(char_entropy(F.col("text")) * 1000000.0 + F.lit(1e-9))
+        .cast("long")
+        .alias("i1"),
+        F.length("text").cast("long").alias("i2"),
+    )
+
     from ..operators.sampling import weighted_sample
 
     # A-ES weighted sample of documents by n_chars: the selected set AND
@@ -1685,4 +1721,5 @@ def _library_suite_legs(spark: SparkSession, sf_dir: str):
         "scd2": scd2_leg,
         "pagerank": pagerank_leg,
         "wsample": wsample_leg,
+        "entropy": entropy_leg,
     }

@@ -481,3 +481,45 @@ def rolling_fingerprint_portable(text: Column | str, window: int = 8) -> Column:
         ),
     )
     return F.array_min(win)
+
+
+def char_entropy(text) -> F.Column:
+    """Shannon entropy of the document's CHARACTER distribution in
+    bits/char — the information-density quality signal (near-0 flags
+    degenerate pad/repeat content, ~4+ is typical natural text; crawl
+    filters cut both tails). Empty text scores 0.
+
+    Zero-shuffle sorted-run aggregate (the ``gopher_repetition_columns``
+    trade): sort the char array once, then ONE fold accumulates run
+    lengths and Σ c·ln c, so the whole signal is a map-only column
+    expression — H = (ln n − Σ c·ln c / n) / ln 2. O(n log n) per row,
+    no explode, no Python. (Char granularity is UTF-16 units on the JVM
+    vs codepoints in some other engines — identical on BMP text, which
+    is what the oracle corpus holds.)"""
+    c = F.col(text) if isinstance(text, str) else text
+    arr = F.array_sort(F.split(c, ""))
+    n = F.size(arr)
+
+    def _close(s):
+        run_d = s["run"].cast("double")
+        return F.when(
+            s["run"] > 0, s["acc"] + run_d * F.log(run_d)
+        ).otherwise(s["acc"])
+
+    acc = F.aggregate(
+        arr,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0.0).alias("acc"),
+        ),
+        lambda s, ch: F.struct(
+            ch.alias("prev"),
+            F.when(ch == s["prev"], s["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(ch == s["prev"], s["acc"]).otherwise(_close(s)).alias("acc"),
+        ),
+        _close,
+    )
+    n_d = n.cast("double")
+    h = (F.log(n_d) - acc / n_d) / F.log(F.lit(2.0))
+    return F.when(n > 0, h).otherwise(F.lit(0.0))

@@ -922,3 +922,35 @@ def test_incremental_lsh_equals_full_run_restricted_to_new(spark):
     }
     assert got == want
     assert want, "planted cross-boundary duplicates must produce candidates"
+
+
+def test_char_entropy_matches_counter_reference(spark):
+    """char_entropy's sorted-run fold vs a Counter-based reference, incl.
+    degenerate (uniform, single-symbol, empty) inputs."""
+    import math
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    from kafka_streams_task_spark.functions.text import char_entropy
+
+    texts = ["aaaa", "abab", "abcd", "", "aab", "the quick brown fox!",
+             "zzzzzzzzzzzzzzzzzzzy", "0123456789" * 3]
+    df = spark.createDataFrame([Row(t=t) for t in texts])
+    got = {r.t: r.h for r in df.select("t", char_entropy("t").alias("h")).collect()}
+    for t in texts:
+        cnt = Counter(t)
+        n = len(t)
+        ref = 0.0 if n == 0 else (
+            math.log(n) - sum(c * math.log(c) for c in cnt.values()) / n
+        ) / math.log(2)
+        assert got[t] == pytest.approx(ref, abs=1e-12), repr(t)
+
+
+def test_char_entropy_is_codegen_only(spark, sf_dir):
+    from kafka_streams_task_spark.functions.text import char_entropy
+    from kafka_streams_task_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = docs.select(char_entropy("text"))._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
