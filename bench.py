@@ -58,6 +58,7 @@ HEADLINE = [
     "classifier_score",  # added r5 (new operator; not in r1 baseline)
     "cdc_merge",  # added r5 (new operator; not in r1 baseline)
     "pagerank_events",  # added r5 (new operator; not in r1 baseline)
+    "jaccard_join_exact",  # added r5 (new operator; not in r1 baseline)
     "multimodal_image_features",
 ]
 
@@ -112,6 +113,7 @@ BASELINE_SEC = {
     "classifier_score": 0.3,
     "cdc_merge": 0.65,
     "pagerank_events": 2.2,
+    "jaccard_join_exact": 4.5,
 }
 RETRY_FACTOR = 2.0
 MAX_EXTRA_TRIALS = 2
@@ -242,7 +244,16 @@ def _raw_ops():
         "classifier_score": _classifier_score,
         "cdc_merge": _cdc_merge,
         "pagerank_events": _pagerank_events,
+        "jaccard_join_exact": _jaccard_join_exact,
     }
+
+
+def _jaccard_join_exact(s, d):
+    from kafka_streams_task_spark.operators.dedup import jaccard_join_prefix
+    from kafka_streams_task_spark.schemas import load_table
+
+    docs = load_table(s, d, "documents").select("doc_id", "text")
+    return jaccard_join_prefix(docs, threshold=0.5)
 
 
 def _pagerank_events(s, d):

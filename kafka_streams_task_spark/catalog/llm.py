@@ -1174,6 +1174,30 @@ def _pagerank_oracle_ctes(n_iter: int = 3) -> str:
            CAST(NULL AS BIGINT)
     FROM pr3
     UNION ALL
+    SELECT 'jacjoin', jp.ia, CAST(jp.ib AS VARCHAR),
+           CAST(round(jp.j * 1000000.0) AS BIGINT), CAST(NULL AS BIGINT)
+    FROM (
+      WITH jsh AS (
+        SELECT DISTINCT doc_id, sh FROM (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 3
+                      THEN list_transform(range(1, len(toks) - 1),
+                                          i -> array_to_string(toks[i:i+2], ' '))
+                      ELSE [array_to_string(toks, ' ')] END AS gs
+          FROM rep_docs
+        ), unnest(gs) AS u(sh)
+      ),
+      jsz AS (SELECT doc_id, count(*) AS s FROM jsh GROUP BY doc_id),
+      jint AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+        FROM jsh a JOIN jsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      )
+      SELECT ia, ib,
+             round(inter / CAST(sa.s + sb.s - inter AS DOUBLE) + 1e-09, 6) AS j
+      FROM jint JOIN jsz sa ON sa.doc_id = jint.ia JOIN jsz sb ON sb.doc_id = jint.ib
+    ) jp WHERE jp.j >= 0.5
+    UNION ALL
     SELECT 'entropy', e.doc_id, CAST(NULL AS VARCHAR),
            CAST(round(e.h * 1000000.0 + 1e-09) AS BIGINT), e.n
     FROM (
@@ -1205,7 +1229,7 @@ def _pagerank_oracle_ctes(n_iter: int = 3) -> str:
     """,
 )
 def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Twenty library operators in one driver slot (r4, widened r5;
+    """Twenty-one library operators in one driver slot (r4, widened r5;
     tagged legs, the scalar_semantics_suite pattern):
 
     'vocab' — the FULL build_vocab output (token, count, token_id): the
@@ -1324,6 +1348,12 @@ def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the portable md5-uniform; the oracle recomputes every key and
     restates the full rank permutation.
 
+    'jacjoin' (r5) — jaccard_join_prefix (exact All-Pairs prefix-
+    filtered similarity join) value check: the oracle computes the FULL
+    brute-force 3-gram Jaccard pair set at threshold 0.5 — a missed
+    pair (lost prefix completeness) or an extra pair fails the hash;
+    jaccard values compared in integer micro-units.
+
     'entropy' (r5) — char_entropy value check: Shannon bits/char from
     the zero-shuffle sorted-run fold, compared in integer micro-units
     against the oracle's unnest-groupBy recomputation (the fold's
@@ -1342,14 +1372,14 @@ def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "encode", "decontam", "mixrates", "shuffle", "nll", "zorder",
         "boilerplate", "tfidf", "semdedup", "repetition", "dupspans", "nll2",
         "bm25", "classifier", "merge", "scd2", "pagerank", "wsample",
-        "entropy",
+        "entropy", "jacjoin",
     ):
         out = out.unionByName(legs[name])
     return out
 
 
 def _library_suite_legs(spark: SparkSession, sf_dir: str):
-    """The twenty ``llm_library_suite`` legs as individually-runnable
+    """The twenty-one ``llm_library_suite`` legs as individually-runnable
     DataFrames (diagnosability: the driver gate hashes the union, so a
     failure there names the suite — ``tests/test_catalog_extra.py::
     test_llm_library_suite_legs_individually`` runs each leg alone so the
@@ -1656,6 +1686,19 @@ def _library_suite_legs(spark: SparkSession, sf_dir: str):
         ).cast("long").alias("i2"),
     )
 
+    from ..operators.dedup import jaccard_join_prefix
+
+    # string-shingle mode: heavier shuffles than the production xxhash64
+    # path, but zero collision surface and every value SQL-restatable —
+    # the oracle recomputes the FULL exact pair set by brute force
+    jac_leg = jaccard_join_prefix(d, threshold=0.5, hash_shingles=False).select(
+        F.lit("jacjoin").alias("leg"),
+        F.col("id_a").alias("key"),
+        F.col("id_b").cast("string").alias("s1"),
+        F.round(F.col("jaccard") * 1000000.0).cast("long").alias("i1"),
+        F.lit(None).cast("long").alias("i2"),
+    )
+
     from ..functions.text import char_entropy
 
     entropy_leg = d.select(
@@ -1722,4 +1765,5 @@ def _library_suite_legs(spark: SparkSession, sf_dir: str):
         "pagerank": pagerank_leg,
         "wsample": wsample_leg,
         "entropy": entropy_leg,
+        "jacjoin": jac_leg,
     }

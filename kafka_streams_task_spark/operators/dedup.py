@@ -1088,3 +1088,115 @@ def drop_semantic_duplicates(
     join on ids — the flag table never carries vectors."""
     keep = semantic_dedup(emb, id_col=id_col, **kwargs).filter("keep").select(id_col)
     return df.join(keep, on=id_col, how="left_semi")
+
+
+def jaccard_join_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """EXACT threshold Jaccard self-join via prefix filtering (Bayardo et
+    al. WWW'07 All-Pairs; Xiao et al. PPJoin family): every pair with
+    n-gram Jaccard >= threshold, with a LOSSLESS candidate generator —
+    unlike MinHash-LSH (probabilistic recall) and
+    :func:`ngram_jaccard_pairs`'s document-frequency cap (drops hot
+    shingles, and with them any pair only connected through one).
+
+    Prefix principle: order each document's shingle set by GLOBAL rarity
+    ((df, shingle) ascending — a total order). If J(A, B) >= t, then A
+    and B overlap in >= t·max(|A|,|B|) elements, so each document's
+    PREFIX — its p = s - ceil(t·s) + 1 rarest shingles — must contain at
+    least one COMMON element of the pair; indexing prefixes only is
+    therefore complete, and the prefix is the rarest slice, so posting
+    lists stay short exactly where the corpus is hottest (the property
+    the df-cap approximates by dropping data, delivered here for free).
+
+    Scale shape: shingle once; one shuffle attaches df ranks; prefix
+    explode indexes ~(1-t)·s entries per doc; pairs explode from sorted
+    posting lists (the engine's group-membership pattern) with the size
+    filter min >= t·max applied in the same stage; exact verification
+    joins candidates back to full shingle sets (8-byte keys when
+    ``hash_shingles``) and one groupBy counts intersections. Nothing
+    persists; the only quadratic term is per-posting-list, bounded by
+    prefix rarity.
+
+    ``hash_shingles=False`` carries shingle STRINGS instead of xxhash64
+    longs — heavier shuffles, but zero collision risk and SQL-restatable
+    (the catalog leg uses it; production corpora use the default).
+
+    Output: ``(id_a, id_b, jaccard)`` (6dp, ``id_a < id_b``).
+    """
+    rep = (lambda c: F.xxhash64(c)) if hash_shingles else (lambda c: c)
+    sets = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(
+            F.transform(shingles(F.col(text_col), shingle_n), rep)
+        ).alias("shs"),
+    ).filter(F.size("shs") > 0)
+    tok = sets.select("_id", F.size("shs").alias("s"), F.explode("shs").alias("sh"))
+    dft = tok.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    # per-doc rarity order + prefix slice; the epsilon inside ceil guards
+    # float grazes (t*s landing a hair ABOVE an integer would otherwise
+    # shrink the prefix and silently break completeness — err larger)
+    ranked = (
+        tok.join(dft, "sh")
+        .groupBy("_id")
+        .agg(
+            F.max("s").alias("s"),
+            F.array_sort(F.collect_list(F.struct("_df", "sh"))).alias("ordered"),
+        )
+        .select(
+            "_id",
+            "s",
+            F.slice(
+                F.transform("ordered", lambda x: x["sh"]),
+                1,
+                (
+                    F.col("s")
+                    - F.ceil(F.lit(threshold) * F.col("s") - F.lit(1e-9))
+                    + 1
+                ).cast("int"),
+            ).alias("prefix"),
+        )
+    )
+    pre = ranked.select("_id", "s", F.explode("prefix").alias("sh"))
+    postings = (
+        pre.groupBy("sh")
+        .agg(F.array_sort(F.collect_list(F.struct("_id", "s"))).alias("members"))
+        .filter(F.size("members") >= 2)
+    )
+    cand = (
+        postings.select(F.posexplode("members").alias("i", "a"), "members")
+        .select(
+            "a", F.explode(F.expr("slice(members, i + 2, size(members))")).alias("b")
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("a.s").alias("n_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("b.s").alias("n_b"),
+        )
+        .filter(
+            F.least("n_a", "n_b").cast("double")
+            >= F.lit(threshold) * F.greatest("n_a", "n_b") - F.lit(1e-9)
+        )
+        .distinct()
+    )
+    ta = tok.select(F.col("_id").alias("id_a"), F.col("sh"))
+    tb = tok.select(F.col("_id").alias("id_b"), F.col("sh"))
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "sh"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return inter.select(
+        "id_a",
+        "id_b",
+        stable_round(
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= F.lit(threshold))

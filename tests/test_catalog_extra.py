@@ -49,7 +49,7 @@ def test_llm_library_suite_legs_individually(spark, sf_dir):
         "vocab", "encode", "decontam", "mixrates", "shuffle", "nll",
         "zorder", "boilerplate", "tfidf", "semdedup", "repetition",
         "dupspans", "nll2", "bm25", "classifier", "merge", "scd2", "pagerank",
-        "wsample", "entropy",
+        "wsample", "entropy", "jacjoin",
     }
     n_docs = None
     for name, df in legs.items():
@@ -137,6 +137,13 @@ def test_llm_library_suite_legs_individually(spark, sf_dir):
             total = sum(r.i1 for r in rows)
             assert abs(total - 1_000_000_000) < len(rows) + 10, (
                 f"leg {name!r}: rank mass not conserved ({total})"
+            )
+        elif name == "jacjoin":
+            assert all(r.i1 >= 500_000 for r in rows), (
+                f"leg {name!r}: pair below the 0.5 threshold emitted"
+            )
+            assert all(int(r.s1) > r.key for r in rows), (
+                f"leg {name!r}: pair ordering id_a < id_b violated"
             )
         elif name == "entropy":
             assert all(0 <= r.i1 <= 8_000_000 for r in rows), (

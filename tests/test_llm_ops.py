@@ -954,3 +954,85 @@ def test_char_entropy_is_codegen_only(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     plan = docs.select(char_entropy("text"))._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def _jaccard_brute(docs, n, t):
+    """(id_a, id_b) -> rounded jaccard over word n-gram SETS, >= t after
+    the same +1e-9/6dp rounding the operator applies."""
+    import re as _re
+
+    def shset(text):
+        toks = _re.split(r"[ \t\n\r\f]+", text.strip())
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    sets = {i: shset(t_) for i, t_ in docs}
+    out = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            if not sets[a] or not sets[b]:
+                continue
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            j = round(inter / (len(sets[a]) + len(sets[b]) - inter) + 1e-9, 6)
+            if j >= t:
+                out[(a, b)] = j
+    return out
+
+
+def test_jaccard_join_prefix_exact_vs_brute_force(spark):
+    """Prefix filtering must be LOSSLESS: the result equals brute force
+    exactly — including pairs connected ONLY through a corpus-hot
+    boilerplate shingle (the case the df-capped operator drops)."""
+    import random
+
+    from pyspark.sql import Row
+
+    from kafka_streams_task_spark.operators.dedup import jaccard_join_prefix
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    boiler = "all rights reserved worldwide"  # hot 4-token run in EVERY doc
+    for i in range(40):
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(rng.randrange(6, 16))]
+        docs.append((i, " ".join(words) + " " + boiler))
+    # planted near-identical pair sharing mostly the boilerplate run
+    docs.append((100, "unique alpha beta " + boiler))
+    docs.append((101, "unique alpha gamma " + boiler))
+
+    for t in (0.3, 0.5, 0.8):
+        df = spark.createDataFrame([Row(doc_id=i, text=x) for i, x in docs])
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in jaccard_join_prefix(
+                df, threshold=t, shingle_n=3, hash_shingles=False
+            ).collect()
+        }
+        ref = _jaccard_brute(docs, 3, t)
+        assert got == ref, f"t={t}: mismatch {set(got) ^ set(ref)}"
+
+
+def test_jaccard_join_prefix_hashed_matches_string_path(spark):
+    from pyspark.sql import Row
+
+    from kafka_streams_task_spark.operators.dedup import jaccard_join_prefix
+
+    docs = [(i, f"alpha beta gamma delta w{i % 4} epsilon zeta") for i in range(20)]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs])
+    a = {(r.id_a, r.id_b): r.jaccard
+         for r in jaccard_join_prefix(df, threshold=0.5).collect()}
+    b = {(r.id_a, r.id_b): r.jaccard
+         for r in jaccard_join_prefix(df, threshold=0.5, hash_shingles=False).collect()}
+    assert a == b
+
+
+def test_jaccard_join_prefix_no_cartesian(spark, sf_dir):
+    from kafka_streams_task_spark.operators.dedup import jaccard_join_prefix
+    from kafka_streams_task_spark.schemas import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = jaccard_join_prefix(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
