@@ -134,3 +134,61 @@ def test_readme_pipeline_composes(spark, sf_dir):
     assert sem.count() == emb.count()
     sem_kept = emb.join(sem.filter("keep").select("vec_id"), "vec_id", "left_semi")
     assert 0 < sem_kept.count() <= emb.count()
+
+    # 11. learned quality gate: bootstrap the linear classifier from the
+    # rule-based signal and score the clean corpus. What composition pins
+    # here is the MECHANICS (every doc scored exactly once, probs valid);
+    # the discriminative guarantee lives in the planted-marker unit test
+    # (test_classifier_bm25.py) — these weak rule labels are not linearly
+    # separable in bag-of-words on the tiny fixture (the negatives are
+    # LONG repetitive docs whose token mass inflates their margins).
+    from kafka_streams_task_spark.operators import logreg_score, logreg_train
+
+    labeled = clean.join(
+        kept.select("doc_id", F.lit(1).alias("label")), "doc_id", "left"
+    ).select("doc_id", "text", F.coalesce("label", F.lit(0)).alias("label"))
+    weights = logreg_train(labeled, n_iter=4, lr=1.0, n_features=1 << 12)
+    scored = logreg_score(clean, weights, n_features=1 << 12)
+    assert scored.count() == clean.count()
+    assert scored.select("doc_id").distinct().count() == clean.count()
+    assert scored.filter(
+        (F.col("prob") < 0) | (F.col("prob") > 1) | F.col("prob").isNull()
+    ).count() == 0
+
+    # 12. quality-weighted subsample: k docs preferring high prob, exact
+    # size, no replacement
+    from kafka_streams_task_spark.operators import weighted_sample
+
+    k_sub = 10
+    subset = weighted_sample(
+        scored.withColumn("wq", F.col("prob") + F.lit(1e-6)), "wq", k=k_sub
+    )
+    assert subset.count() == min(k_sub, scored.count())
+    assert subset.select("doc_id").distinct().count() == subset.count()
+
+    # 13. BM25 retrieval over the clean corpus with eval queries
+    from kafka_streams_task_spark.functions.text import tokens
+    from kafka_streams_task_spark.operators import bm25_top_docs
+
+    queries = clean.limit(3).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(tokens(F.col("text")), 1, 4), " ").alias("text"),
+    )
+    hits = bm25_top_docs(clean, queries, k=5)
+    assert hits.filter((F.col("rank") < 1) | (F.col("rank") > 5)).count() == 0
+    assert 0 < hits.count() <= 3 * 5
+
+    # 14. CDC corpus update: tomorrow's crawl delta advances the snapshot
+    from kafka_streams_task_spark.operators import OP_DELETE, OP_UPSERT, apply_changes
+
+    delta = docs.limit(5).select(
+        "doc_id",
+        F.concat_ws(" ", "text", F.lit("recrawled")).alias("text"),
+        "lang", "source",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.lit(1).alias("version"),
+    )
+    tomorrow = apply_changes(docs, delta, ["doc_id"])
+    n_del = delta.filter("op = 'D'").count()
+    assert tomorrow.count() == n_docs - n_del
+    assert tomorrow.filter(F.col("text").endswith("recrawled")).count() == 5 - n_del
