@@ -38,6 +38,22 @@ OP_UPSERT = "U"
 OP_DELETE = "D"
 
 
+def _validate_changes(
+    changes: DataFrame, key_cols: list[str], version_col: str, op_col: str
+) -> None:
+    """Fail fast with a names-the-problem error instead of an analysis
+    exception three operators deep."""
+    missing = [
+        c for c in (*key_cols, version_col, op_col) if c not in changes.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"change stream is missing column(s) {missing}; have "
+            f"{changes.columns} (keys={key_cols}, version={version_col!r}, "
+            f"op={op_col!r})"
+        )
+
+
 def latest_changes(
     changes: DataFrame,
     key_cols: list[str],
@@ -54,6 +70,7 @@ def latest_changes(
     and speculative tasks agree. Callers with a total version order per
     key (the normal CDC contract) never reach the tie-break.
     """
+    _validate_changes(changes, key_cols, version_col, op_col)
     payload = [c for c in changes.columns if c not in key_cols]
     ordering = F.struct(
         F.col(version_col), F.col(op_col),
@@ -86,6 +103,13 @@ def apply_changes(
     Exactly one aggregate over the delta and one anti-join against the
     snapshot; column order of the result matches the snapshot.
     """
+    _validate_changes(changes, key_cols, version_col, op_col)
+    extra = [c for c in snapshot.columns if c not in changes.columns]
+    if extra:
+        raise ValueError(
+            f"changes lack snapshot column(s) {extra} — upserts are full-row "
+            "images (partial patches are not supported)"
+        )
     latest = latest_changes(changes, key_cols, version_col, op_col)
     kept = snapshot.join(latest.select(*key_cols), on=key_cols, how="left_anti")
     upserts = latest.filter(F.col(op_col) == OP_UPSERT).select(*snapshot.columns)
@@ -137,6 +161,7 @@ def scd2_apply(
     left join against ONLY the history's current slice; closed history
     (the bulk at 100 TB — years of audit rows) is touched by nothing
     but the final union."""
+    _validate_changes(changes, key_cols, version_col, op_col)
     payload = [c for c in changes.columns if c not in (op_col,)]
     w = Window.partitionBy(*key_cols).orderBy(
         F.col(version_col), F.col(op_col),

@@ -259,3 +259,15 @@ def test_scd2_closed_rows_pass_through(spark):
     assert rows[(1, 3)] == ("mid", None)
     assert rows[(2, 0)] == ("two", 9)
     assert rows[(2, 9)] == ("late", None)
+
+
+def test_changes_validation_names_the_problem(spark):
+    snap = _snapshot(spark)
+    bad = spark.createDataFrame([Row(k=1, v="x")])  # no op/version
+    with pytest.raises(ValueError, match="missing column"):
+        apply_changes(snap, bad, ["k"])
+    partial = spark.createDataFrame(
+        [Row(k=1, op="U", version=1)]  # upsert without the payload columns
+    )
+    with pytest.raises(ValueError, match="full-row"):
+        apply_changes(snap, partial, ["k"])

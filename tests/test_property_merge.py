@@ -107,3 +107,51 @@ def test_scd2_laws(spark, changes):
         assert all(f < t for f, t in closed), f"key {k}: empty/negative interval"
         if k in SNAP:
             assert min(f for f, _ in ivs) == -1, f"key {k}: seed interval lost"
+
+
+# ---------------------------------------------------- exact-join property
+
+words = st.sampled_from([f"w{i}" for i in range(8)])
+doc_strategy = st.lists(words, min_size=1, max_size=12).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(doc_strategy, min_size=2, max_size=12),
+    thr=st.sampled_from([0.3, 0.5, 0.7, 0.9]),
+)
+def test_jaccard_join_prefix_lossless_property(spark, texts, thr):
+    """Random tiny-vocab corpora (maximally collision-prone shingles):
+    the prefix-filtered join must equal brute force exactly at every
+    threshold — completeness is the operator's entire claim."""
+    import re
+
+    from kafka_streams_task_spark.operators.dedup import jaccard_join_prefix
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs])
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_join_prefix(
+            df, threshold=thr, shingle_n=2, hash_shingles=False
+        ).collect()
+    }
+
+    def shset(text):
+        toks = re.split(r"[ \t\n\r\f]+", text.strip())
+        if len(toks) < 2:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)}
+
+    ref = {}
+    for x in range(len(docs)):
+        for y in range(x + 1, len(docs)):
+            a, b = docs[x][0], docs[y][0]
+            sa, sb = shset(docs[x][1]), shset(docs[y][1])
+            inter = len(sa & sb)
+            if not inter:
+                continue
+            j = round(inter / (len(sa) + len(sb) - inter) + 1e-9, 6)
+            if j >= thr:
+                ref[(a, b)] = j
+    assert got == ref, f"thr={thr}: {set(got) ^ set(ref)}"
