@@ -113,7 +113,7 @@ BASELINE_SEC = {
     "classifier_score": 0.3,
     "cdc_merge": 0.65,
     "pagerank_events": 2.2,
-    "jaccard_join_exact": 4.5,
+    "jaccard_join_exact": 3.8,  # r5: PPJoin positional filter (-60% candidates)
 }
 RETRY_FACTOR = 2.0
 MAX_EXTRA_TRIALS = 2
