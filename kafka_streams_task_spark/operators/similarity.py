@@ -562,6 +562,21 @@ def knn_ivf_pq(
     be divisible by ``m``); corpus/query rows whose vectors are null or of
     any other width are dropped by the Arrow-stage guards.
     """
+    centroids, books = _ivfpq_train(
+        corpus, id_col, vec_col, n_clusters, m, ks, sample_size, seed
+    )
+    c_slim, c_indexed = _ivfpq_index(corpus, id_col, vec_col, centroids, books, dropped_acc)
+    return _ivfpq_search(
+        c_indexed, c_slim, queries, centroids, books,
+        k=k, n_probe=n_probe, rerank_k=rerank_k,
+        id_col=id_col, vec_col=vec_col, dropped_acc=dropped_acc,
+    )
+
+
+def _ivfpq_train(corpus, id_col, vec_col, n_clusters, m, ks, sample_size, seed):
+    """Driver-side training on a bounded seeded sample: IVF coarse
+    centroids (raw space) + SHARED residual PQ codebooks (normalized
+    space). Returns (centroids, books)."""
     sample_pdf = corpus.select(vec_col).orderBy(id_col).limit(sample_size).toPandas()
     sample = _clean_matrix(sample_pdf[vec_col])
     if sample.size == 0:
@@ -580,14 +595,30 @@ def knn_ivf_pq(
     cent_sq = (centroids**2).sum(axis=1)
     samp_assign = (cent_sq[None, :] - 2.0 * (sample @ centroids.T)).argmin(axis=1)
     books = _pq_train_codebooks(samp_norm - cent_norm[samp_assign], m, ks, seed + 1000)
-    sub = dim // m
+    return centroids, books
 
-    # index: coarse assignment + residual PQ codes in one chained Arrow stage
+
+def _ivfpq_index(corpus, id_col, vec_col, centroids, books, dropped_acc=None):
+    """One chained Arrow stage: coarse assignment + residual PQ codes.
+    Returns (c_slim, c_indexed) — the (id, vector) projection the rerank
+    uses, and the searchable (neighbor_id, cluster, codes) index."""
+    cent_norm = _l2_normalize(centroids.astype("float64"))
     c_slim = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     c_indexed = _pq_encode(
         _assign_clusters(c_slim, "c_vec", centroids, 1, "cluster", dropped_acc=dropped_acc),
         "c_vec", books, centroids_norm=cent_norm,
     ).select("neighbor_id", "cluster", "codes")
+    return c_slim, c_indexed
+
+
+def _ivfpq_search(
+    c_indexed, c_slim, queries, centroids, books,
+    k, n_probe, rerank_k, id_col, vec_col, dropped_acc=None,
+):
+    """ADC candidate scoring + exact cosine rerank over a (neighbor_id,
+    cluster, codes) index (see :func:`knn_ivf_pq` for the full story)."""
+    cent_norm = _l2_normalize(centroids.astype("float64"))
+    m, ks, sub = books.shape
 
     # queries: probe assignment + the per-query ADC lookup table and the
     # exact q·c_norm(list) term for the probed list.
@@ -664,4 +695,89 @@ def knn_ivf_pq(
         rerank.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    m: int = 8,
+    ks: int = 16,
+    sample_size: int = 4096,
+    seed: int = 42,
+    dropped_acc=None,
+) -> None:
+    """Build the IVF-PQ index ONCE and persist it — the 100 TB serving
+    pattern :func:`knn_ivf_pq` (train+index+search per call) does not
+    capture: a production corpus is indexed by one nightly job and then
+    queried thousands of times without touching raw vectors again.
+
+    Layout under ``path``:
+      * ``index/`` — (neighbor_id, codes) parquet PARTITIONED BY cluster,
+        so a search probing ``n_probe`` lists prunes to exactly those
+        partition directories (the on-disk analogue of inverted-list
+        seeks; untouched lists are never read);
+      * ``model/`` — one row holding (dim, m, ks, centroids, books) as
+        nested arrays — a few KB; the whole trained model loads to the
+        driver in one read.
+    """
+    centroids, books = _ivfpq_train(
+        corpus, id_col, vec_col, n_clusters, m, ks, sample_size, seed
+    )
+    _, c_indexed = _ivfpq_index(corpus, id_col, vec_col, centroids, books, dropped_acc)
+    c_indexed.write.mode("overwrite").partitionBy("cluster").parquet(f"{path}/index")
+    spark = corpus.sparkSession
+    m_, ks_, sub = books.shape
+    model = spark.createDataFrame(
+        [(m_ * sub, m_, ks_, centroids.tolist(), books.reshape(m_ * ks_, sub).tolist())],
+        schema="dim int, m int, ks int, centroids array<array<double>>, books array<array<double>>",
+    )
+    model.write.mode("overwrite").parquet(f"{path}/model")
+
+
+def knn_ivf_pq_from_index(
+    queries: DataFrame,
+    corpus: DataFrame,
+    path: str,
+    k: int = 5,
+    n_probe: int = 4,
+    rerank_k: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dropped_acc=None,
+) -> DataFrame:
+    """Search a :func:`build_ivfpq_index` index: same output contract as
+    :func:`knn_ivf_pq` ((query_id, neighbor_id, sim, rank), exact rounded
+    cosine on the reranked survivors), but the corpus is NEVER re-encoded
+    — the index scan reads ONLY the partition directories of lists some
+    query probes (one bounded driver collect of probed cluster ids turns
+    into an ``isin`` partition filter), and ``corpus`` supplies raw
+    vectors solely for the broadcast-shortlist rerank scan."""
+    spark = queries.sparkSession
+    row = spark.read.parquet(f"{path}/model").first()
+    centroids = np.array(row["centroids"])
+    books = np.array(row["books"]).reshape(row["m"], row["ks"], row["dim"] // row["m"])
+
+    q_slim = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    probed = sorted(
+        {
+            r["cluster"]
+            for r in _assign_clusters(
+                q_slim, "q_vec", centroids, n_probe, "cluster", dropped_acc=dropped_acc
+            ).select("cluster").distinct().collect()
+        }
+    )
+    c_indexed = spark.read.parquet(f"{path}/index").filter(
+        F.col("cluster").isin(probed)
+    )
+    c_slim = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    return _ivfpq_search(
+        c_indexed, c_slim, queries, centroids, books,
+        k=k, n_probe=n_probe, rerank_k=rerank_k,
+        id_col=id_col, vec_col=vec_col, dropped_acc=dropped_acc,
     )

@@ -1036,3 +1036,40 @@ def test_jaccard_join_prefix_no_cartesian(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     plan = jaccard_join_prefix(docs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivfpq_persisted_index_matches_inmemory(spark, sf01_dir, tmpdir):
+    """build_ivfpq_index + knn_ivf_pq_from_index must reproduce the
+    in-memory knn_ivf_pq EXACTLY (same seed => same model => same ADC
+    shortlist => same reranked top-k), and the index scan must carry a
+    cluster partition filter (probed lists only)."""
+    import os
+
+    from kafka_streams_task_spark.operators.similarity import (
+        build_ivfpq_index,
+        knn_ivf_pq,
+        knn_ivf_pq_from_index,
+    )
+    from kafka_streams_task_spark.schemas import load_table
+
+    emb = load_table(spark, sf01_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    params = dict(k=5, n_probe=4, rerank_k=48)
+
+    path = os.path.join(str(tmpdir), "ivfpq")
+    build_ivfpq_index(emb, path, n_clusters=16, m=8, ks=32)
+    from_index = knn_ivf_pq_from_index(queries, emb, path, **params)
+    in_memory = knn_ivf_pq(emb, queries, n_clusters=16, m=8, ks=32, **params)
+
+    a = {(r.query_id, r.rank): (r.neighbor_id, r.sim) for r in from_index.collect()}
+    b = {(r.query_id, r.rank): (r.neighbor_id, r.sim) for r in in_memory.collect()}
+    assert a == b
+
+    # partition pruning: the index read must filter on cluster
+    plan = from_index._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cluster" in plan or "cluster#" in plan
+
+    # the model directory is tiny and self-contained
+    model = spark.read.parquet(f"{path}/model").first()
+    assert model["dim"] == 64 and model["m"] == 8 and model["ks"] == 32
+    assert len(model["centroids"]) == 16 and len(model["books"]) == 8 * 32
