@@ -58,6 +58,7 @@ def streaming_apply_changes(
     key_cols: list[str],
     version_col: str = "version",
     op_col: str = "op",
+    tombstone_min_version=None,
 ):
     """Maintain the latest-wins view of ``changes_stream`` at
     ``state_dir``; returns the started query (availableNow trigger).
@@ -67,6 +68,16 @@ def streaming_apply_changes(
     the batch's changes, and one ``latest_changes`` max_by aggregate
     picks each key's new winner — upsert or tombstone. The view readers
     see (``read_cdc_view``) is the upsert slice.
+
+    ``tombstone_min_version``: optional compaction watermark — tombstones
+    whose winning version is BELOW it are dropped from the new state
+    (Kafka log-compaction's ``delete.retention`` semantics, version-
+    not time-keyed). The caller asserts no change older than the
+    watermark can still arrive; a straggler older than a compacted
+    tombstone would resurrect the key — that is the contract trade, and
+    why the default retains tombstones forever. Compaction rides INSIDE
+    the batch merge, so the versioned-commit protocol (state version =
+    batch id) is untouched and crash-safe as before.
     """
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -87,6 +98,13 @@ def streaming_apply_changes(
         new_state = latest_changes(
             all_ch, key_cols, version_col=version_col, op_col="_op"
         )
+        if tombstone_min_version is not None:
+            new_state = new_state.filter(
+                ~(
+                    (F.col("_op") != OP_UPSERT)
+                    & (F.col(version_col) < F.lit(tombstone_min_version))
+                )
+            )
         new_state.write.mode("overwrite").parquet(f"{state_dir}/{_PFX}{batch_id}")
 
         # GC superseded versions only after the new one is durable

@@ -686,3 +686,53 @@ def test_streaming_cdc_materialized_view(spark, tmpdir):
     stream3 = spark.readStream.schema(schema).json(src)
     with _pytest.raises(ValueError, match="bound to checkpoint"):
         streaming_apply_changes(stream3, state_dir, f"{tmpdir}/cdc_ckpt_other", ["k"])
+
+
+def test_streaming_cdc_tombstone_compaction(spark, tmpdir):
+    """With a tombstone watermark, compacted deletes leave the state
+    (bounded growth); the view is unchanged. Without it (default), the
+    tombstone is retained and still beats a later stale upsert."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from kafka_streams_task_spark.streaming.cdc import (
+        read_cdc_view,
+        streaming_apply_changes,
+    )
+
+    rows_b0 = [
+        {"k": 1, "v": "a", "op": "U", "version": 10},
+        {"k": 2, "v": "b", "op": "U", "version": 10},
+        {"k": 2, "v": None, "op": "D", "version": 11},  # old tombstone
+    ]
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("version", T.LongType()),
+    ])
+
+    for name, wm, expect_tombstones in (
+        ("keep", None, 1),
+        ("compact", 100, 0),
+    ):
+        src = f"{tmpdir}/tomb_in_{name}"
+        os.makedirs(src)
+        with open(f"{src}/b0.json", "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows_b0))
+        stream = spark.readStream.schema(schema).json(src)
+        state_dir = f"{tmpdir}/tomb_state_{name}"
+        q = streaming_apply_changes(
+            stream, state_dir, f"{tmpdir}/tomb_ckpt_{name}", ["k"],
+            tombstone_min_version=wm,
+        )
+        q.awaitTermination(120)
+        view = {r.k: r.v for r in read_cdc_view(spark, state_dir).collect()}
+        assert view == {1: "a"}, name
+        from kafka_streams_task_spark.streaming.state import committed_versions
+
+        last = committed_versions(spark, state_dir, "state_v")[-1]
+        state = spark.read.parquet(f"{state_dir}/state_v{last}")
+        n_tomb = state.filter("_op = 'D'").count()
+        assert n_tomb == expect_tombstones, name
