@@ -1169,6 +1169,25 @@ def _pagerank_oracle_ctes(n_iter: int = 3) -> str:
       SELECT event_id, value, version, next_v FROM scdn WHERE op = 'U'
     ) s
     UNION ALL
+    SELECT 'funnel', fz.user_id, CAST(NULL AS VARCHAR), fz.stage,
+           CAST(epoch_us(fz.tf) AS BIGINT)
+    FROM (
+      WITH fv AS (SELECT user_id, min(ts) AS t1 FROM events
+                  WHERE event_type = 'view' GROUP BY user_id),
+      fc AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+             JOIN fv ON e.user_id = fv.user_id
+             WHERE e.event_type = 'click' AND e.ts > fv.t1 GROUP BY e.user_id),
+      fp AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+             JOIN fc ON e.user_id = fc.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > fc.t2 GROUP BY e.user_id)
+      SELECT fv.user_id,
+             CAST(CASE WHEN fp.t3 IS NOT NULL THEN 3
+                       WHEN fc.t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS stage,
+             coalesce(fp.t3, fc.t2, fv.t1) AS tf
+      FROM fv LEFT JOIN fc ON fv.user_id = fc.user_id
+             LEFT JOIN fp ON fv.user_id = fp.user_id
+    ) fz
+    UNION ALL
     SELECT 'pagerank', node, CAST(NULL AS VARCHAR),
            CAST(round(rank * 1000000000.0 + 1e-09) AS BIGINT),
            CAST(NULL AS BIGINT)
@@ -1229,7 +1248,7 @@ def _pagerank_oracle_ctes(n_iter: int = 3) -> str:
     """,
 )
 def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Twenty-one library operators in one driver slot (r4, widened r5;
+    """Twenty-two library operators in one driver slot (r4, widened r5;
     tagged legs, the scalar_semantics_suite pattern):
 
     'vocab' — the FULL build_vocab output (token, count, token_id): the
@@ -1360,6 +1379,12 @@ def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted-order float summation vs SQL group order differs only at
     ULP scale).
 
+    'funnel' (r5) — funnel_stages value check: the greedy-earliest
+    view→click→purchase chain per user (each stage the min event time
+    STRICTLY after the previous stage's), stage reached + completion
+    instant in epoch micros, all restated by the oracle via chained
+    conditional-min CTEs.
+
     'pagerank' (r5) — pagerank value check: 3 damped power iterations
     (d = 0.75, so 1-d is an exact binary fraction) over the
     deterministic user-of-event-e → user-of-event-2e link graph,
@@ -1372,14 +1397,14 @@ def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "encode", "decontam", "mixrates", "shuffle", "nll", "zorder",
         "boilerplate", "tfidf", "semdedup", "repetition", "dupspans", "nll2",
         "bm25", "classifier", "merge", "scd2", "pagerank", "wsample",
-        "entropy", "jacjoin",
+        "entropy", "jacjoin", "funnel",
     ):
         out = out.unionByName(legs[name])
     return out
 
 
 def _library_suite_legs(spark: SparkSession, sf_dir: str):
-    """The twenty-one ``llm_library_suite`` legs as individually-runnable
+    """The twenty-two ``llm_library_suite`` legs as individually-runnable
     DataFrames (diagnosability: the driver gate hashes the union, so a
     failure there names the suite — ``tests/test_catalog_extra.py::
     test_llm_library_suite_legs_individually`` runs each leg alone so the
@@ -1726,6 +1751,16 @@ def _library_suite_legs(spark: SparkSession, sf_dir: str):
         F.lit(None).cast("long").alias("i2"),
     )
 
+    from ..operators.funnel import funnel_stages
+
+    funnel_leg = funnel_stages(ev, ["view", "click", "purchase"]).select(
+        F.lit("funnel").alias("leg"),
+        F.col("user_id").alias("key"),
+        F.lit(None).cast("string").alias("s1"),
+        F.col("stage_reached").cast("long").alias("i1"),
+        F.unix_micros("t_final").alias("i2"),
+    )
+
     from ..operators.graph import pagerank
 
     # deterministic synthetic link graph over events: user of event e
@@ -1766,4 +1801,5 @@ def _library_suite_legs(spark: SparkSession, sf_dir: str):
         "wsample": wsample_leg,
         "entropy": entropy_leg,
         "jacjoin": jac_leg,
+        "funnel": funnel_leg,
     }

@@ -1,0 +1,102 @@
+"""Ordered-event funnel analysis over an event stream.
+
+The product-analytics shape (did the user view → click → purchase, and
+when?) the reference's event topology never needed but any events table
+gets asked — and, in an LLM-data setting, the same operator measures
+multi-stage pipeline progression per document (crawled → cleaned →
+deduped → packed) from job-event logs.
+
+Semantics: GREEDY EARLIEST chain. ``t_1`` is the user's earliest
+``steps[0]`` event; ``t_k`` is the earliest ``steps[k]`` event STRICTLY
+after ``t_{k-1}``. If any completing chain exists, the greedy earliest
+one exists (each greedy prefix time is minimal, so any later chain's
+suffix remains admissible), so "reached stage k" is chain-order exact —
+not the count-based approximation that over-counts out-of-order events.
+
+Scale shape: stage k is one filtered partial+final min aggregate joined
+to the previous stage's (user, time) table — k-1 user-keyed joins of
+aggregated (one row per user) relations; the events table is scanned
+per stage THROUGH ITS STAGE FILTER (predicate-pushdown-friendly;
+``event_type`` partition/z-order layouts prune it to the stage's slice).
+No windows, no per-user sorts, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_times(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """``(user_col, t_1 .. t_k)``: greedy-earliest chain times, null from
+    the first uncompleted stage on. Users with no ``steps[0]`` event are
+    absent (they never entered the funnel)."""
+    assert len(steps) >= 1
+    out = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t_1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .join(out.select(user_col, f"t_{i - 1}"), user_col)
+            .filter(F.col(ts_col) > F.col(f"t_{i - 1}"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"t_{i}"))
+        )
+        out = out.join(nxt, user_col, "left")
+    return out
+
+
+def funnel_stages(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """``(user_col, stage_reached, t_final)`` per entered user:
+    the furthest 1-based stage completed and its completion time."""
+    times = funnel_times(events, steps, user_col, ts_col, type_col)
+    k = len(steps)
+    stage = F.lit(1)
+    for i in range(2, k + 1):
+        stage = F.when(F.col(f"t_{i}").isNotNull(), F.lit(i)).otherwise(stage)
+    return times.select(
+        user_col,
+        stage.alias("stage_reached"),
+        F.coalesce(*[F.col(f"t_{i}") for i in range(k, 0, -1)]).alias("t_final"),
+    )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """One row per stage: ``(stage, step, n_users)`` with n_users = users
+    whose greedy chain reached that stage — the conversion curve."""
+    times = funnel_times(events, steps, user_col, ts_col, type_col)
+    counts = times.agg(
+        *[
+            F.count(F.col(f"t_{i}")).alias(f"n_{i}")
+            for i in range(1, len(steps) + 1)
+        ]
+    )
+    rows = None
+    for i, step in enumerate(steps, start=1):
+        r = counts.select(
+            F.lit(i).alias("stage"), F.lit(step).alias("step"),
+            F.col(f"n_{i}").alias("n_users"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows

@@ -49,7 +49,7 @@ def test_llm_library_suite_legs_individually(spark, sf_dir):
         "vocab", "encode", "decontam", "mixrates", "shuffle", "nll",
         "zorder", "boilerplate", "tfidf", "semdedup", "repetition",
         "dupspans", "nll2", "bm25", "classifier", "merge", "scd2", "pagerank",
-        "wsample", "entropy", "jacjoin",
+        "wsample", "entropy", "jacjoin", "funnel",
     }
     n_docs = None
     for name, df in legs.items():
@@ -149,6 +149,12 @@ def test_llm_library_suite_legs_individually(spark, sf_dir):
             assert all(0 <= r.i1 <= 8_000_000 for r in rows), (
                 f"leg {name!r}: entropy outside [0, 8] bits/char"
             )
+        elif name == "funnel":
+            n_by_stage = {}
+            for r in rows:
+                assert 1 <= r.i1 <= 3 and r.i2 is not None, f"leg {name!r}: bad row"
+                n_by_stage[r.i1] = n_by_stage.get(r.i1, 0) + 1
+            assert set(n_by_stage) <= {1, 2, 3}
         elif name == "wsample":
             ranks = sorted(r.i1 for r in rows)
             assert ranks == list(range(1, len(ranks) + 1)), (
