@@ -1169,6 +1169,29 @@ def _pagerank_oracle_ctes(n_iter: int = 3) -> str:
       SELECT event_id, value, version, next_v FROM scdn WHERE op = 'U'
     ) s
     UNION ALL
+    SELECT 'expect', CAST(NULL AS BIGINT), x.rule, x.nv,
+           (SELECT count(*) FROM events)
+    FROM (
+      SELECT 'value_not_null' AS rule,
+             count(*) FILTER (WHERE NOT coalesce(value IS NOT NULL, FALSE)) AS nv
+      FROM events
+      UNION ALL
+      SELECT 'type_domain',
+             count(*) FILTER (WHERE NOT coalesce(
+               event_type IN ('view','click','purchase','signup','error'), FALSE))
+      FROM events
+      UNION ALL
+      SELECT 'value_below_90',
+             count(*) FILTER (WHERE NOT coalesce(value < 90, FALSE))
+      FROM events
+      UNION ALL
+      SELECT 'user_nonneg',
+             count(*) FILTER (WHERE NOT coalesce(user_id >= 0, FALSE))
+      FROM events
+      UNION ALL
+      SELECT 'event_id_unique', count(*) - count(DISTINCT event_id) FROM events
+    ) x
+    UNION ALL
     SELECT 'funnel', fz.user_id, CAST(NULL AS VARCHAR), fz.stage,
            CAST(epoch_us(fz.tf) AS BIGINT)
     FROM (
@@ -1248,7 +1271,7 @@ def _pagerank_oracle_ctes(n_iter: int = 3) -> str:
     """,
 )
 def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Twenty-two library operators in one driver slot (r4, widened r5;
+    """Twenty-three library operators in one driver slot (r4, widened r5;
     tagged legs, the scalar_semantics_suite pattern):
 
     'vocab' — the FULL build_vocab output (token, count, token_id): the
@@ -1379,6 +1402,10 @@ def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted-order float summation vs SQL group order differs only at
     ULP scale).
 
+    'expect' (r5) — expectation_report (Deequ-lite) value check: four
+    fused predicate rules + one exact uniqueness rule over events, the
+    oracle restating each rule's violation count with FILTER clauses.
+
     'funnel' (r5) — funnel_stages value check: the greedy-earliest
     view→click→purchase chain per user (each stage the min event time
     STRICTLY after the previous stage's), stage reached + completion
@@ -1397,14 +1424,14 @@ def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "encode", "decontam", "mixrates", "shuffle", "nll", "zorder",
         "boilerplate", "tfidf", "semdedup", "repetition", "dupspans", "nll2",
         "bm25", "classifier", "merge", "scd2", "pagerank", "wsample",
-        "entropy", "jacjoin", "funnel",
+        "entropy", "jacjoin", "funnel", "expect",
     ):
         out = out.unionByName(legs[name])
     return out
 
 
 def _library_suite_legs(spark: SparkSession, sf_dir: str):
-    """The twenty-two ``llm_library_suite`` legs as individually-runnable
+    """The twenty-three ``llm_library_suite`` legs as individually-runnable
     DataFrames (diagnosability: the driver gate hashes the union, so a
     failure there names the suite — ``tests/test_catalog_extra.py::
     test_llm_library_suite_legs_individually`` runs each leg alone so the
@@ -1751,6 +1778,24 @@ def _library_suite_legs(spark: SparkSession, sf_dir: str):
         F.lit(None).cast("long").alias("i2"),
     )
 
+    from ..operators.expectations import expectation_report
+
+    _EXPECT_RULES = {
+        "value_not_null": "value IS NOT NULL",
+        "type_domain": "event_type IN ('view','click','purchase','signup','error')",
+        "value_below_90": "value < 90",
+        "user_nonneg": "user_id >= 0",
+    }
+    expect_leg = expectation_report(
+        ev, _EXPECT_RULES, unique_keys={"event_id_unique": ["event_id"]}
+    ).select(
+        F.lit("expect").alias("leg"),
+        F.lit(None).cast("long").alias("key"),
+        F.col("rule").alias("s1"),
+        F.col("n_violations").alias("i1"),
+        F.col("n_rows").alias("i2"),
+    )
+
     from ..operators.funnel import funnel_stages
 
     funnel_leg = funnel_stages(ev, ["view", "click", "purchase"]).select(
@@ -1802,4 +1847,5 @@ def _library_suite_legs(spark: SparkSession, sf_dir: str):
         "entropy": entropy_leg,
         "jacjoin": jac_leg,
         "funnel": funnel_leg,
+        "expect": expect_leg,
     }

@@ -49,7 +49,7 @@ def test_llm_library_suite_legs_individually(spark, sf_dir):
         "vocab", "encode", "decontam", "mixrates", "shuffle", "nll",
         "zorder", "boilerplate", "tfidf", "semdedup", "repetition",
         "dupspans", "nll2", "bm25", "classifier", "merge", "scd2", "pagerank",
-        "wsample", "entropy", "jacjoin", "funnel",
+        "wsample", "entropy", "jacjoin", "funnel", "expect",
     }
     n_docs = None
     for name, df in legs.items():
@@ -155,6 +155,14 @@ def test_llm_library_suite_legs_individually(spark, sf_dir):
                 assert 1 <= r.i1 <= 3 and r.i2 is not None, f"leg {name!r}: bad row"
                 n_by_stage[r.i1] = n_by_stage.get(r.i1, 0) + 1
             assert set(n_by_stage) <= {1, 2, 3}
+        elif name == "expect":
+            assert {r.s1 for r in rows} == {
+                "value_not_null", "type_domain", "value_below_90",
+                "user_nonneg", "event_id_unique",
+            }
+            assert all(0 <= r.i1 <= r.i2 for r in rows), (
+                f"leg {name!r}: violations outside [0, n_rows]"
+            )
         elif name == "wsample":
             ranks = sorted(r.i1 for r in rows)
             assert ranks == list(range(1, len(ranks) + 1)), (
