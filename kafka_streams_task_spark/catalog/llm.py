@@ -1192,6 +1192,19 @@ def _pagerank_oracle_ctes(n_iter: int = 3) -> str:
       SELECT 'event_id_unique', count(*) - count(DISTINCT event_id) FROM events
     ) x
     UNION ALL
+    SELECT 'cohort', CAST(NULL AS BIGINT), CAST(c.cohort_date AS VARCHAR),
+           c.day_offset, c.n
+    FROM (
+      WITH cfirst AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+                      FROM events GROUP BY user_id),
+      cact AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+      SELECT f.cohort_date,
+             CAST((a.d - f.cohort_date) AS BIGINT) AS day_offset,
+             CAST(count(DISTINCT a.user_id) AS BIGINT) AS n
+      FROM cact a JOIN cfirst f ON a.user_id = f.user_id
+      GROUP BY f.cohort_date, (a.d - f.cohort_date)
+    ) c
+    UNION ALL
     SELECT 'funnel', fz.user_id, CAST(NULL AS VARCHAR), fz.stage,
            CAST(epoch_us(fz.tf) AS BIGINT)
     FROM (
@@ -1271,7 +1284,7 @@ def _pagerank_oracle_ctes(n_iter: int = 3) -> str:
     """,
 )
 def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Twenty-three library operators in one driver slot (r4, widened r5;
+    """Twenty-four library operators in one driver slot (r4, widened r5;
     tagged legs, the scalar_semantics_suite pattern):
 
     'vocab' — the FULL build_vocab output (token, count, token_id): the
@@ -1406,6 +1419,11 @@ def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused predicate rules + one exact uniqueness rule over events, the
     oracle restating each rule's violation count with FILTER clauses.
 
+    'cohort' (r5) — cohort_retention value check: daily first-activity
+    cohorts x day offsets with distinct-user counts, restated by the
+    oracle from CAST(ts AS DATE) arithmetic (the UTC session pin makes
+    calendar dates engine-identical).
+
     'funnel' (r5) — funnel_stages value check: the greedy-earliest
     view→click→purchase chain per user (each stage the min event time
     STRICTLY after the previous stage's), stage reached + completion
@@ -1424,14 +1442,14 @@ def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "encode", "decontam", "mixrates", "shuffle", "nll", "zorder",
         "boilerplate", "tfidf", "semdedup", "repetition", "dupspans", "nll2",
         "bm25", "classifier", "merge", "scd2", "pagerank", "wsample",
-        "entropy", "jacjoin", "funnel", "expect",
+        "entropy", "jacjoin", "funnel", "expect", "cohort",
     ):
         out = out.unionByName(legs[name])
     return out
 
 
 def _library_suite_legs(spark: SparkSession, sf_dir: str):
-    """The twenty-three ``llm_library_suite`` legs as individually-runnable
+    """The twenty-four ``llm_library_suite`` legs as individually-runnable
     DataFrames (diagnosability: the driver gate hashes the union, so a
     failure there names the suite — ``tests/test_catalog_extra.py::
     test_llm_library_suite_legs_individually`` runs each leg alone so the
@@ -1806,6 +1824,16 @@ def _library_suite_legs(spark: SparkSession, sf_dir: str):
         F.unix_micros("t_final").alias("i2"),
     )
 
+    from ..operators.funnel import cohort_retention
+
+    cohort_leg = cohort_retention(ev).select(
+        F.lit("cohort").alias("leg"),
+        F.lit(None).cast("long").alias("key"),
+        F.col("cohort_date").cast("string").alias("s1"),
+        F.col("day_offset").cast("long").alias("i1"),
+        F.col("n_users").alias("i2"),
+    )
+
     from ..operators.graph import pagerank
 
     # deterministic synthetic link graph over events: user of event e
@@ -1848,4 +1876,5 @@ def _library_suite_legs(spark: SparkSession, sf_dir: str):
         "jacjoin": jac_leg,
         "funnel": funnel_leg,
         "expect": expect_leg,
+        "cohort": cohort_leg,
     }

@@ -100,3 +100,38 @@ def funnel_counts(
         )
         rows = r if rows is None else rows.unionByName(r)
     return rows
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily cohort retention: ``(cohort_date, day_offset, n_users)`` —
+    users whose FIRST event fell on ``cohort_date`` and who were active
+    again ``day_offset`` days later (offset 0 = the cohort's size). The
+    companion curve to :func:`funnel_counts`: funnels measure conversion
+    through steps, cohorts measure survival through time.
+
+    Scale shape: one min-date aggregate (first activity), one distinct
+    (user, date) projection, one user-keyed join, one final count-distinct
+    by (cohort, offset) — all partial+final aggregates on bounded keys;
+    no windows, no Python. Cohort granularity is the calendar DATE in the
+    session timezone (the engine pins events loads to UTC —
+    schemas.load_table), so offsets are whole days by construction.
+    """
+    d = F.to_date(F.col(ts_col))
+    first = (
+        events.groupBy(user_col).agg(F.min(d).alias("cohort_date"))
+    )
+    active = events.select(F.col(user_col), d.alias("_d")).distinct()
+    return (
+        active.join(first, user_col)
+        .select(
+            user_col,
+            "cohort_date",
+            F.datediff(F.col("_d"), F.col("cohort_date")).alias("day_offset"),
+        )
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
+    )

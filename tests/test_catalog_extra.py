@@ -49,7 +49,7 @@ def test_llm_library_suite_legs_individually(spark, sf_dir):
         "vocab", "encode", "decontam", "mixrates", "shuffle", "nll",
         "zorder", "boilerplate", "tfidf", "semdedup", "repetition",
         "dupspans", "nll2", "bm25", "classifier", "merge", "scd2", "pagerank",
-        "wsample", "entropy", "jacjoin", "funnel", "expect",
+        "wsample", "entropy", "jacjoin", "funnel", "expect", "cohort",
     }
     n_docs = None
     for name, df in legs.items():
@@ -163,6 +163,12 @@ def test_llm_library_suite_legs_individually(spark, sf_dir):
             assert all(0 <= r.i1 <= r.i2 for r in rows), (
                 f"leg {name!r}: violations outside [0, n_rows]"
             )
+        elif name == "cohort":
+            sizes = {r.s1: r.i2 for r in rows if r.i1 == 0}
+            for r in rows:
+                assert r.i1 >= 0 and r.i2 <= sizes.get(r.s1, 0) or r.i1 == 0, (
+                    f"leg {name!r}: retention exceeds cohort size"
+                )
         elif name == "wsample":
             ranks = sorted(r.i1 for r in rows)
             assert ranks == list(range(1, len(ranks) + 1)), (

@@ -95,3 +95,49 @@ def test_funnel_is_monotone_and_jvm_only(spark, sf_dir):
     plan = funnel_stages(ev, STEPS)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Window" not in plan
+
+
+def test_cohort_retention_matches_reference(spark):
+    import datetime as _dt
+
+    from kafka_streams_task_spark.operators.funnel import cohort_retention
+
+    rows = [
+        # user 1: first on day 1, back on day 2 and day 4
+        (1, 1), (1, 2), (1, 2), (1, 4),
+        # user 2: first on day 1 only
+        (2, 1),
+        # user 3: first on day 2, back on day 4
+        (3, 2), (3, 4),
+    ]
+    df = spark.createDataFrame(
+        [Row(user_id=u, ts=_dt.datetime(2024, 1, day, 10, 0)) for u, day in rows]
+    )
+    got = {
+        (str(r.cohort_date), r.day_offset): r.n_users
+        for r in cohort_retention(df).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,   # users 1, 2
+        ("2024-01-01", 1): 1,   # user 1 back on day 2
+        ("2024-01-01", 3): 1,   # user 1 back on day 4
+        ("2024-01-02", 0): 1,   # user 3
+        ("2024-01-02", 2): 1,   # user 3 back on day 4
+    }
+
+
+def test_cohort_retention_invariants(spark, sf_dir):
+    from kafka_streams_task_spark.operators.funnel import cohort_retention
+    from kafka_streams_task_spark.schemas import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    ret = cohort_retention(ev).collect()
+    by_cohort = {}
+    for r in ret:
+        by_cohort.setdefault(str(r.cohort_date), {})[r.day_offset] = r.n_users
+    for cohort, curve in by_cohort.items():
+        assert 0 in curve, f"{cohort}: missing offset-0 row"
+        assert all(n <= curve[0] for n in curve.values()), (
+            f"{cohort}: retention exceeds cohort size"
+        )
+        assert all(k >= 0 for k in curve), f"{cohort}: negative offset"
