@@ -1222,3 +1222,126 @@ def jaccard_join_prefix(
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
         ).alias("jaccard"),
     ).filter(F.col("jaccard") >= F.lit(threshold))
+
+
+def jaccard_join_tables(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    hash_shingles: bool = True,
+) -> DataFrame:
+    """EXACT threshold Jaccard join BETWEEN two corpora (record linkage:
+    a new crawl shard against the curated corpus, supplier catalogs,
+    near-dup audits across snapshots) — the R×S form of
+    :func:`jaccard_join_prefix`, with the same losslessness guarantee.
+
+    The global rarity order is computed over the UNION of both sides'
+    shingle document frequencies (the prefix theorem needs one total
+    order both documents' prefixes restrict — a per-side order would
+    break completeness), but pairs are generated ONLY across sides:
+    posting lists keep the two sides separate and the pair explode is a
+    left-list × right-list product within each shingle's posting entry,
+    so no within-side candidate ever materializes (a same-side audit is
+    :func:`jaccard_join_prefix`'s job). Size, positional (PPJoin), and
+    exact-verification stages mirror the self-join operator.
+
+    Output: ``(id_left, id_right, jaccard)`` (6dp).
+    """
+    rep = (lambda c: F.xxhash64(c)) if hash_shingles else (lambda c: c)
+
+    def side_sets(df, side):
+        return df.select(
+            F.lit(side).alias("_side"),
+            F.col(id_col).alias("_id"),
+            F.array_distinct(
+                F.transform(shingles(F.col(text_col), shingle_n), rep)
+            ).alias("shs"),
+        ).filter(F.size("shs") > 0)
+
+    sets = side_sets(left, 0).unionByName(side_sets(right, 1))
+    tok = sets.select(
+        "_side", "_id", F.size("shs").alias("s"), F.explode("shs").alias("sh")
+    )
+    dft = tok.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = (
+        tok.join(dft, "sh")
+        .groupBy("_side", "_id")
+        .agg(
+            F.max("s").alias("s"),
+            F.array_sort(F.collect_list(F.struct("_df", "sh"))).alias("ordered"),
+        )
+        .select(
+            "_side",
+            "_id",
+            "s",
+            F.slice(
+                F.transform("ordered", lambda x: x["sh"]),
+                1,
+                (
+                    F.col("s")
+                    - F.ceil(F.lit(threshold) * F.col("s") - F.lit(1e-9))
+                    + 1
+                ).cast("int"),
+            ).alias("prefix"),
+        )
+    )
+    pre = ranked.select("_side", "_id", "s", F.posexplode("prefix").alias("pos", "sh"))
+    # one posting list per shingle, split into its two sides — the pair
+    # explode below is a pure left-list x right-list product, so no
+    # within-side candidate ever exists
+    members = F.collect_list(F.struct("_side", "_id", "s", "pos"))
+    postings = (
+        pre.groupBy("sh")
+        .agg(
+            F.array_sort(F.filter(members, lambda x: x["_side"] == 0)).alias("ls"),
+            F.array_sort(F.filter(members, lambda x: x["_side"] == 1)).alias("rs"),
+        )
+        .filter((F.size("ls") >= 1) & (F.size("rs") >= 1))
+    )
+    occ = (
+        postings.select(F.explode("ls").alias("a"), "rs")
+        .select("a", F.explode("rs").alias("b"))
+        .select(
+            F.col("a._id").alias("id_left"),
+            F.col("a.s").alias("n_a"),
+            F.col("a.pos").alias("pa"),
+            F.col("b._id").alias("id_right"),
+            F.col("b.s").alias("n_b"),
+            F.col("b.pos").alias("pb"),
+        )
+        .filter(
+            F.least("n_a", "n_b").cast("double")
+            >= F.lit(threshold) * F.greatest("n_a", "n_b") - F.lit(1e-9)
+        )
+    )
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("n_a") + F.col("n_b"))
+        - F.lit(1e-9)
+    )
+    ubound = F.lit(1) + F.least(
+        F.col("n_a") - F.col("ia") - 1, F.col("n_b") - F.col("jb") - 1
+    )
+    cand = (
+        occ.groupBy("id_left", "id_right", "n_a", "n_b")
+        .agg(F.min("pa").alias("ia"), F.min("pb").alias("jb"))
+        .filter(ubound >= alpha)
+        .drop("ia", "jb")
+    )
+    ta = tok.filter(F.col("_side") == 0).select(F.col("_id").alias("id_left"), "sh")
+    tb = tok.filter(F.col("_side") == 1).select(F.col("_id").alias("id_right"), "sh")
+    inter = (
+        cand.join(ta, "id_left")
+        .join(tb, ["id_right", "sh"])
+        .groupBy("id_left", "id_right", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return inter.select(
+        "id_left",
+        "id_right",
+        stable_round(
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= F.lit(threshold))

@@ -1073,3 +1073,72 @@ def test_ivfpq_persisted_index_matches_inmemory(spark, sf01_dir, tmpdir):
     model = spark.read.parquet(f"{path}/model").first()
     assert model["dim"] == 64 and model["m"] == 8 and model["ks"] == 32
     assert len(model["centroids"]) == 16 and len(model["books"]) == 8 * 32
+
+
+def test_jaccard_join_tables_exact_vs_brute_force(spark):
+    """The R x S linkage join must equal brute-force cross-corpus Jaccard
+    exactly — including pairs whose ids COLLIDE across the two tables
+    (sides are tracked, ids never merged)."""
+    import random
+
+    from pyspark.sql import Row
+
+    from kafka_streams_task_spark.operators.dedup import jaccard_join_tables
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(20)]
+    mk = lambda: " ".join(vocab[rng.randrange(len(vocab))] for _ in range(rng.randrange(5, 12)))  # noqa: E731
+    left = [(i, mk()) for i in range(25)]
+    right = [(i, mk()) for i in range(25)]  # SAME id range on purpose
+    # plant a cross-corpus near-dup
+    right.append((99, left[3][1] + " extra"))
+
+    for t in (0.4, 0.7):
+        got = {
+            (r.id_left, r.id_right): r.jaccard
+            for r in jaccard_join_tables(
+                spark.createDataFrame([Row(doc_id=i, text=x) for i, x in left]),
+                spark.createDataFrame([Row(doc_id=i, text=x) for i, x in right]),
+                threshold=t,
+                hash_shingles=False,
+            ).collect()
+        }
+        ref = {}
+        for a, ta in left:
+            sa = {" ".join(ta.split()[i:i + 3]) for i in range(max(1, len(ta.split()) - 2))}
+            if len(ta.split()) < 3:
+                sa = {ta}
+            for b, tb in right:
+                sb = {" ".join(tb.split()[i:i + 3]) for i in range(max(1, len(tb.split()) - 2))}
+                if len(tb.split()) < 3:
+                    sb = {tb}
+                inter = len(sa & sb)
+                if not inter:
+                    continue
+                j = round(inter / (len(sa) + len(sb) - inter) + 1e-9, 6)
+                if j >= t:
+                    ref[(a, b)] = j
+        assert got == ref, f"t={t}: {set(got) ^ set(ref)}"
+    # the planted cross-corpus near-dup is found at the lower threshold
+    got04 = jaccard_join_tables(
+        spark.createDataFrame([Row(doc_id=i, text=x) for i, x in left]),
+        spark.createDataFrame([Row(doc_id=i, text=x) for i, x in right]),
+        threshold=0.4, hash_shingles=False,
+    ).filter("id_left = 3 AND id_right = 99").count()
+    assert got04 == 1
+
+
+def test_jaccard_join_tables_no_within_side_pairs(spark):
+    """Identical docs on the SAME side must produce nothing (within-side
+    pairing is jaccard_join_prefix's job, and the R x S plan must never
+    spend candidates on it)."""
+    from pyspark.sql import Row
+
+    from kafka_streams_task_spark.operators.dedup import jaccard_join_tables
+
+    left = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma delta"),
+         Row(doc_id=2, text="alpha beta gamma delta")]  # same-side exact dup
+    )
+    right = spark.createDataFrame([Row(doc_id=7, text="zeta eta theta iota")])
+    assert jaccard_join_tables(left, right, threshold=0.3).count() == 0
