@@ -64,9 +64,18 @@ def pagerank(
     round is exactly rank⋈edges + groupBy(dst) + the degree re-join —
     two node-keyed shuffles — and one driver-side scalar (dangling mass).
     """
+    # drop null endpoints up front: a null node key would never match the
+    # rank join and its mass would silently leak (breaking Σr = 1); then
+    # pin the edge list once — every iteration re-reads it, and a DERIVED
+    # edge frame (a join, a dedup pass) would otherwise re-execute its
+    # whole lineage n_iter times
+    edges = edges.select(
+        F.col(src).alias(src), F.col(dst).alias(dst)
+    ).na.drop().localCheckpoint(eager=True)
     deg = out_degrees(edges, src, dst).localCheckpoint(eager=True)
     n = deg.count()  # node count: one bounded driver scalar, reused as a literal
     if n == 0:
+        edges._jdf.queryExecution().analyzed().rdd().unpersist(False)
         return deg.select("node", F.lit(0.0).alias("rank"))
     # checkpointed like every later round: the per-round cleanup below
     # unpersists `prev` via its LogicalRDD handle, which only exists on a
@@ -101,6 +110,8 @@ def pagerank(
         )
         prev._jdf.queryExecution().analyzed().rdd().unpersist(False)
     out = ranks.select("node", "rank")
-    # deg table stays checkpointed only until ranks' final checkpoint exists
+    # edge/degree tables stay checkpointed only until ranks' final
+    # checkpoint exists
     deg._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    edges._jdf.queryExecution().analyzed().rdd().unpersist(False)
     return out

@@ -84,3 +84,19 @@ def test_pagerank_leaves_one_checkpoint(spark):
     out.count()
     leaked = {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()} - before
     assert len(leaked) <= 1, f"leaked cached RDDs: {sorted(leaked)}"
+
+
+def test_pagerank_null_endpoints_do_not_leak_mass(spark):
+    edges = spark.createDataFrame(
+        [Row(src=u, dst=v) for u, v in EDGES]
+        + [Row(src=None, dst=1), Row(src=2, dst=None)]
+    )
+    got = pagerank(edges, n_iter=5).collect()
+    assert sum(r.rank for r in got) == pytest.approx(1.0, abs=1e-9)
+    assert all(r.node is not None for r in got)
+    # degrees are computed AFTER the null drop: node 2's out-degree must
+    # not count the dropped edge (else its cycle contribution halves)
+    ref = _reference_pagerank(EDGES, 5)
+    byn = {r.node: r.rank for r in got}
+    for u in ref:
+        assert byn[u] == pytest.approx(ref[u], rel=1e-12, abs=1e-15)
