@@ -1192,6 +1192,15 @@ def _pagerank_oracle_ctes(n_iter: int = 3) -> str:
       SELECT 'event_id_unique', count(*) - count(DISTINCT event_id) FROM events
     ) x
     UNION ALL
+    SELECT 'editdist', p.a, CAST(p.b AS VARCHAR), p.d, CAST(NULL AS BIGINT)
+    FROM (
+      WITH ednm AS (SELECT doc_id, substring(text, 1, 12) AS s FROM documents)
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             CAST(levenshtein(a.s, b.s) AS BIGINT) AS d
+      FROM ednm a JOIN ednm b ON a.doc_id < b.doc_id
+      WHERE levenshtein(a.s, b.s) <= 3
+    ) p
+    UNION ALL
     SELECT 'cohort', CAST(NULL AS BIGINT), CAST(c.cohort_date AS VARCHAR),
            c.day_offset, c.n
     FROM (
@@ -1284,7 +1293,7 @@ def _pagerank_oracle_ctes(n_iter: int = 3) -> str:
     """,
 )
 def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Twenty-four library operators in one driver slot (r4, widened r5;
+    """Twenty-five library operators in one driver slot (r4, widened r5;
     tagged legs, the scalar_semantics_suite pattern):
 
     'vocab' — the FULL build_vocab output (token, count, token_id): the
@@ -1419,6 +1428,11 @@ def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused predicate rules + one exact uniqueness rule over events, the
     oracle restating each rule's violation count with FILTER clauses.
 
+    'editdist' (r5) — edit_distance_join value check: every pair of
+    12-char document prefixes within 3 edits, from the lossless
+    q-gram + length-window candidate union; the oracle brute-forces
+    all pairs with DuckDB's levenshtein — a missed pair fails the hash.
+
     'cohort' (r5) — cohort_retention value check: daily first-activity
     cohorts x day offsets with distinct-user counts, restated by the
     oracle from CAST(ts AS DATE) arithmetic (the UTC session pin makes
@@ -1442,14 +1456,14 @@ def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "encode", "decontam", "mixrates", "shuffle", "nll", "zorder",
         "boilerplate", "tfidf", "semdedup", "repetition", "dupspans", "nll2",
         "bm25", "classifier", "merge", "scd2", "pagerank", "wsample",
-        "entropy", "jacjoin", "funnel", "expect", "cohort",
+        "entropy", "jacjoin", "funnel", "expect", "cohort", "editdist",
     ):
         out = out.unionByName(legs[name])
     return out
 
 
 def _library_suite_legs(spark: SparkSession, sf_dir: str):
-    """The twenty-four ``llm_library_suite`` legs as individually-runnable
+    """The twenty-five ``llm_library_suite`` legs as individually-runnable
     DataFrames (diagnosability: the driver gate hashes the union, so a
     failure there names the suite — ``tests/test_catalog_extra.py::
     test_llm_library_suite_legs_individually`` runs each leg alone so the
@@ -1824,6 +1838,21 @@ def _library_suite_legs(spark: SparkSession, sf_dir: str):
         F.unix_micros("t_final").alias("i2"),
     )
 
+    from ..operators.linkage import edit_distance_join
+
+    # 12-char document prefixes as the "name" column: short strings with
+    # heavy overlap — both candidate paths (q-gram AND length-window)
+    # exercise; the oracle brute-forces all pairs with DuckDB's own
+    # levenshtein (identical unit-cost definition)
+    ed_names = d.select("doc_id", F.substring("text", 1, 12).alias("name"))
+    editdist_leg = edit_distance_join(ed_names, k=3).select(
+        F.lit("editdist").alias("leg"),
+        F.col("id_a").alias("key"),
+        F.col("id_b").cast("string").alias("s1"),
+        F.col("distance").cast("long").alias("i1"),
+        F.lit(None).cast("long").alias("i2"),
+    )
+
     from ..operators.funnel import cohort_retention
 
     cohort_leg = cohort_retention(ev).select(
@@ -1877,4 +1906,5 @@ def _library_suite_legs(spark: SparkSession, sf_dir: str):
         "funnel": funnel_leg,
         "expect": expect_leg,
         "cohort": cohort_leg,
+        "editdist": editdist_leg,
     }

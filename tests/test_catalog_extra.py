@@ -50,6 +50,7 @@ def test_llm_library_suite_legs_individually(spark, sf_dir):
         "zorder", "boilerplate", "tfidf", "semdedup", "repetition",
         "dupspans", "nll2", "bm25", "classifier", "merge", "scd2", "pagerank",
         "wsample", "entropy", "jacjoin", "funnel", "expect", "cohort",
+        "editdist",
     }
     n_docs = None
     for name, df in legs.items():
@@ -169,6 +170,10 @@ def test_llm_library_suite_legs_individually(spark, sf_dir):
                 assert r.i1 >= 0 and r.i2 <= sizes.get(r.s1, 0) or r.i1 == 0, (
                     f"leg {name!r}: retention exceeds cohort size"
                 )
+        elif name == "editdist":
+            assert all(0 <= r.i1 <= 3 and int(r.s1) > r.key for r in rows), (
+                f"leg {name!r}: distance/order violation"
+            )
         elif name == "wsample":
             ranks = sorted(r.i1 for r in rows)
             assert ranks == list(range(1, len(ranks) + 1)), (
