@@ -93,3 +93,36 @@ def enforce_expectations(
         pred = F.expr(p) if isinstance(p, str) else p
         keep = keep & F.coalesce(pred.cast("boolean"), F.lit(False))
     return df.filter(keep)
+
+
+def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column profile — ``(column, n_rows, n_nulls, n_distinct_approx,
+    min, max)`` with min/max as strings (one schema fits every type) and
+    the distinct count HLL-approximate (the only exact alternative is one
+    shuffle per column; the exact path for a SPECIFIC column is an
+    ``expectation_report`` uniqueness rule).
+
+    The whole profile is ONE aggregate pass (same stack-unpivot shape as
+    :func:`expectation_report` — k columns, one scan), making "profile
+    the new shard before it enters the pipeline" a map-side-combined
+    O(scan) job at any width."""
+    cols = columns or df.columns
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, c in enumerate(cols):
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_nl_{i}"),
+            F.approx_count_distinct(c).alias(f"_nd_{i}"),
+            F.min(c).cast("string").alias(f"_mn_{i}"),
+            F.max(c).cast("string").alias(f"_mx_{i}"),
+        ]
+    row = df.agg(*aggs)
+    quads = ", ".join(
+        f"'{c.replace(chr(39), chr(39) * 2)}', _nl_{i}, _nd_{i}, _mn_{i}, _mx_{i}"
+        for i, c in enumerate(cols)
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(cols)}, {quads}) AS (column, n_nulls, n_distinct_approx, min, max)"
+        ),
+        F.col("_n").alias("n_rows"),
+    ).select("column", "n_rows", "n_nulls", "n_distinct_approx", "min", "max")

@@ -95,3 +95,22 @@ def test_report_on_events_table(spark, sf_dir):
         "event_type_domain": 1, "ts_not_null": 1,
         "user_positive": 1, "event_id_unique": 1,
     }
+
+
+def test_profile_columns_single_pass(spark, sf_dir):
+    from kafka_streams_task_spark.operators.expectations import profile_columns
+    from kafka_streams_task_spark.schemas import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    prof = profile_columns(ev, ["event_id", "user_id", "event_type", "value"])
+    plan = prof._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate") == 1
+    got = {r.column: r for r in prof.collect()}
+    n = ev.count()
+    assert set(got) == {"event_id", "user_id", "event_type", "value"}
+    assert all(r.n_rows == n for r in got.values())
+    assert got["event_id"].n_nulls == 0
+    # approx distinct within HLL tolerance of exact
+    exact = ev.select("event_type").distinct().count()
+    assert abs(got["event_type"].n_distinct_approx - exact) <= max(1, exact * 0.1)
+    assert float(got["value"].min) <= float(got["value"].max)
