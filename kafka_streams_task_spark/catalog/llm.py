@@ -1279,6 +1279,20 @@ def _pagerank_oracle_ctes(n_iter: int = 3) -> str:
       ) cs ON d.doc_id = cs.doc_id
     ) e
     UNION ALL
+    SELECT 'triangles', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), t.cnt,
+           CAST(NULL AS BIGINT)
+    FROM (
+      WITH tce AS (
+        SELECT DISTINCT least(a.user_id, b.user_id) AS u,
+                        greatest(a.user_id, b.user_id) AS v
+        FROM events a JOIN events b ON b.event_id = a.event_id * 2
+        WHERE a.user_id <> b.user_id
+      )
+      SELECT CAST(count(*) AS BIGINT) AS cnt
+      FROM tce e1 JOIN tce e2 ON e2.u = e1.u AND e2.v > e1.v
+           JOIN tce e3 ON e3.u = e1.v AND e3.v = e2.v
+    ) t
+    UNION ALL
     SELECT 'wsample', doc_id, CAST(NULL AS VARCHAR), rnk, CAST(NULL AS BIGINT)
     FROM (
       SELECT doc_id,
@@ -1293,7 +1307,7 @@ def _pagerank_oracle_ctes(n_iter: int = 3) -> str:
     """,
 )
 def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Twenty-five library operators in one driver slot (r4, widened r5;
+    """Twenty-six library operators in one driver slot (r4, widened r5;
     tagged legs, the scalar_semantics_suite pattern):
 
     'vocab' — the FULL build_vocab output (token, count, token_id): the
@@ -1444,6 +1458,10 @@ def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     instant in epoch micros, all restated by the oracle via chained
     conditional-min CTEs.
 
+    'triangles' (r5) — triangle_count value check: the degree-ordered
+    node-iterator count over the same event graph, vs the oracle's
+    canonical u<v<w triple join.
+
     'pagerank' (r5) — pagerank value check: 3 damped power iterations
     (d = 0.75, so 1-d is an exact binary fraction) over the
     deterministic user-of-event-e → user-of-event-2e link graph,
@@ -1457,13 +1475,14 @@ def llm_library_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "boilerplate", "tfidf", "semdedup", "repetition", "dupspans", "nll2",
         "bm25", "classifier", "merge", "scd2", "pagerank", "wsample",
         "entropy", "jacjoin", "funnel", "expect", "cohort", "editdist",
+        "triangles",
     ):
         out = out.unionByName(legs[name])
     return out
 
 
 def _library_suite_legs(spark: SparkSession, sf_dir: str):
-    """The twenty-five ``llm_library_suite`` legs as individually-runnable
+    """The twenty-six ``llm_library_suite`` legs as individually-runnable
     DataFrames (diagnosability: the driver gate hashes the union, so a
     failure there names the suite — ``tests/test_catalog_extra.py::
     test_llm_library_suite_legs_individually`` runs each leg alone so the
@@ -1873,6 +1892,16 @@ def _library_suite_legs(spark: SparkSession, sf_dir: str):
     pr_edges = ea.join(eb, F.col("eid2") == F.col("eid") * 2).select("src", "dst")
     # damping 0.75 (not the 0.85 default): 1-d = 0.25 is an exact binary
     # fraction, so the oracle's decimal literals are the identical doubles
+    from ..operators.graph import triangle_count
+
+    triangle_leg = triangle_count(pr_edges).select(
+        F.lit("triangles").alias("leg"),
+        F.lit(None).cast("long").alias("key"),
+        F.lit(None).cast("string").alias("s1"),
+        F.col("n_triangles").cast("long").alias("i1"),
+        F.lit(None).cast("long").alias("i2"),
+    )
+
     pagerank_leg = pagerank(pr_edges, n_iter=3, damping=0.75).select(
         F.lit("pagerank").alias("leg"),
         F.col("node").alias("key"),
@@ -1907,4 +1936,5 @@ def _library_suite_legs(spark: SparkSession, sf_dir: str):
         "expect": expect_leg,
         "cohort": cohort_leg,
         "editdist": editdist_leg,
+        "triangles": triangle_leg,
     }

@@ -115,3 +115,68 @@ def pagerank(
     deg._jdf.queryExecution().analyzed().rdd().unpersist(False)
     edges._jdf.queryExecution().analyzed().rdd().unpersist(False)
     return out
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle count over the UNDIRECTED simple graph induced by
+    ``edges`` — ``(n_triangles)`` as a 1-row frame. Triangles measure
+    clustering: in a near-dup pair graph they separate tight duplicate
+    cliques from chains, and on link graphs they feed clustering-
+    coefficient quality signals.
+
+    Algorithm (node-iterator with DEGREE ORDERING, Schank & Wagner 2005):
+    normalize to canonical undirected edges, then orient every edge from
+    its lower-(degree, id) endpoint to the higher one. Each triangle is
+    counted exactly once (at its smallest-ordered vertex), and — the
+    scale property — every vertex's OUT-degree under this orientation is
+    O(sqrt(m)), so the wedge join (out-edges ⋈ out-edges on the pivot)
+    cannot blow up on hubs: a 10M-degree boilerplate hub contributes
+    wedges bounded by its ORDERED out-degree, not its raw degree.
+    Self-loops and duplicate/reversed edges are dropped in normalization.
+
+    Plan: one distinct (canonical edges), one degree aggregate, one
+    orientation join, the wedge self-join on the pivot vertex, and one
+    semi-join against the oriented edge set — all on (long, long) keys.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .na.drop()
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("u").alias("node"))
+        .unionByName(canon.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    with_deg = (
+        canon.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+    )
+    # orient low -> high by (degree, id): a total order, so each edge gets
+    # exactly one direction
+    oriented = with_deg.select(
+        F.when(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+            F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+        )
+        .otherwise(F.struct(F.col("v").alias("a"), F.col("u").alias("b")))
+        .alias("e")
+    ).select(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+    # wedges at pivot a: pairs of out-neighbors (b < c by id to dedup the
+    # unordered pair); the wedge closes iff its two endpoints are joined
+    # by an oriented edge (either direction was canonicalized already —
+    # oriented edges are unique per undirected edge)
+    o1 = oriented.select(F.col("a"), F.col("b").alias("x"))
+    o2 = oriented.select(F.col("a"), F.col("b").alias("y"))
+    wedges = o1.join(o2, "a").filter(F.col("x") < F.col("y"))
+    closing = oriented.select(
+        F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+    )
+    tri = wedges.join(closing, ["x", "y"], "left_semi")
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -50,7 +50,7 @@ def test_llm_library_suite_legs_individually(spark, sf_dir):
         "zorder", "boilerplate", "tfidf", "semdedup", "repetition",
         "dupspans", "nll2", "bm25", "classifier", "merge", "scd2", "pagerank",
         "wsample", "entropy", "jacjoin", "funnel", "expect", "cohort",
-        "editdist",
+        "editdist", "triangles",
     }
     n_docs = None
     for name, df in legs.items():
@@ -174,6 +174,9 @@ def test_llm_library_suite_legs_individually(spark, sf_dir):
             assert all(0 <= r.i1 <= 3 and int(r.s1) > r.key for r in rows), (
                 f"leg {name!r}: distance/order violation"
             )
+        elif name == "triangles":
+            (r,) = rows
+            assert r.i1 >= 0, f"leg {name!r}: negative triangle count"
         elif name == "wsample":
             ranks = sorted(r.i1 for r in rows)
             assert ranks == list(range(1, len(ranks) + 1)), (

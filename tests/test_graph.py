@@ -100,3 +100,51 @@ def test_pagerank_null_endpoints_do_not_leak_mass(spark):
     byn = {r.node: r.rank for r in got}
     for u in ref:
         assert byn[u] == pytest.approx(ref[u], rel=1e-12, abs=1e-15)
+
+
+def _brute_triangles(edges):
+    import itertools
+
+    adj = {}
+    for u, v in edges:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    nodes = sorted(adj)
+    n = 0
+    for a, b, c in itertools.combinations(nodes, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            n += 1
+    return n
+
+
+def test_triangle_count_matches_brute_force(spark):
+    import random
+
+    from kafka_streams_task_spark.operators.graph import triangle_count
+
+    rng = random.Random(17)
+    for trial in range(3):
+        edges = list({
+            tuple(sorted((rng.randrange(14), rng.randrange(14))))
+            for _ in range(30)
+        })
+        # add duplicates, reversals, and a self-loop: normalization fodder
+        noisy = edges + [(v, u) for u, v in edges[:5]] + [(3, 3)]
+        df = spark.createDataFrame([Row(src=u, dst=v) for u, v in noisy])
+        got = triangle_count(df).first()["n_triangles"]
+        assert got == _brute_triangles(edges), f"trial {trial}"
+
+
+def test_triangle_count_known_graphs(spark):
+    from kafka_streams_task_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert triangle_count(
+        spark.createDataFrame([Row(src=u, dst=v) for u, v in k4])
+    ).first()["n_triangles"] == 4
+    path = [(0, 1), (1, 2), (2, 3)]
+    assert triangle_count(
+        spark.createDataFrame([Row(src=u, dst=v) for u, v in path])
+    ).first()["n_triangles"] == 0
