@@ -215,8 +215,22 @@ def _raw_ops():
 
         return session_window_stats(s, d)
 
+    # r6: these four catalog slots folded into family suites
+    # (dedup_exact_family_suite / multimodal_suite / similarity_knn_suite);
+    # benching the raw operators keeps the per-query baselines comparable.
+    from kafka_streams_task_spark.catalog.llm import (
+        dedup_exact_digest,
+        dedup_ngram_jaccard,
+        multimodal_image_features,
+        similarity_knn_bruteforce,
+    )
+
     return {
         "q6_revenue_forecast": q6_revenue_df,  # r2: registered as q6_q19_filter_aggregates
+        "dedup_exact_digest": dedup_exact_digest,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "multimodal_image_features": multimodal_image_features,
+        "similarity_knn_bruteforce": similarity_knn_bruteforce,
         "text_quality_scores": _quality_r1,
         "text_quality_gopher": _quality_gopher,
         "text_repetition_gopher": _repetition_gopher,

@@ -14,6 +14,7 @@ from .registry import CATALOG, QuerySpec, query
 # relational surface — every registered query gets a driver CORRECTNESS row.
 from . import pipeline  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
+from . import llm_suites  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 
 __all__ = ["CATALOG", "QuerySpec", "query"]

@@ -37,26 +37,59 @@ def test_every_catalog_query_runs_and_returns_rows(spark, sf_dir):
             assert n > 0, f"{name} returned no rows"
 
 
-def test_llm_library_suite_legs_individually(spark, sf_dir):
-    """Diagnosability for the 10-leg llm_library_suite hash gate (VERDICT
-    r4 item 8): run each leg's DataFrame ALONE with a per-leg sanity
-    assert, so a break surfaces as the leg's name instead of one opaque
-    suite-level hash mismatch."""
-    from kafka_streams_task_spark.catalog.llm import _library_suite_legs
+def test_llm_suite_legs_individually(spark, sf_dir):
+    """Diagnosability for the five thematic suite hash gates (r6 split of
+    llm_library_suite, VERDICT r5 item 2): collect each suite once, group
+    rows by leg tag, and run a per-leg sanity assert, so a break surfaces
+    as the leg's name instead of one opaque suite-level hash mismatch.
+    Also pins the canary legs (VERDICT r5 item 3) row-for-row against the
+    generator both engines share."""
+    from kafka_streams_task_spark.catalog.llm_suites import (
+        _SUITE_COLS,
+        _canary_rows,
+        llm_cdc_analytics_suite,
+        llm_dedup_join_suite,
+        llm_graph_layout_suite,
+        llm_retrieval_suite,
+        llm_text_model_suite,
+    )
 
-    legs = _library_suite_legs(spark, sf_dir)
-    assert set(legs) == {
-        "vocab", "encode", "decontam", "mixrates", "shuffle", "nll",
-        "zorder", "boilerplate", "tfidf", "semdedup", "repetition",
-        "dupspans", "nll2", "bm25", "classifier", "merge", "scd2", "pagerank",
-        "wsample", "entropy", "jacjoin", "funnel", "expect", "cohort",
-        "editdist", "triangles",
+    suites = {
+        "graph_layout": (llm_graph_layout_suite, {"pagerank", "triangles", "zorder"}),
+        "cdc_analytics": (
+            llm_cdc_analytics_suite,
+            {"merge", "scd2", "expect", "cohort", "funnel"},
+        ),
+        "text_model": (
+            llm_text_model_suite,
+            {"vocab", "encode", "nll", "nll2", "entropy", "repetition", "classifier"},
+        ),
+        "retrieval": (
+            llm_retrieval_suite,
+            {"tfidf", "bm25", "mixrates", "shuffle", "wsample"},
+        ),
+        "dedup_join": (
+            llm_dedup_join_suite,
+            {"decontam", "boilerplate", "dupspans", "semdedup", "jacjoin", "editdist"},
+        ),
     }
+    expected_canary = sorted(tuple(r) for r in _canary_rows(_SUITE_COLS))
+    legs: dict[str, list] = {}
+    for sname, (fn, expected_legs) in suites.items():
+        rows = fn(spark, sf_dir).collect()
+        by_leg: dict[str, list] = {}
+        for r in rows:
+            by_leg.setdefault(r.leg, []).append(r)
+        assert set(by_leg) == expected_legs | {"canary"}, sname
+        got_canary = sorted(
+            (r.leg, r.key, r.s1, r.i1, r.i2) for r in by_leg.pop("canary")
+        )
+        assert got_canary == expected_canary, f"{sname}: canary rows drifted"
+        legs.update(by_leg)
+
     n_docs = None
-    for name, df in legs.items():
-        rows = df.collect()
+    for name, rows in legs.items():
         assert rows, f"leg {name!r} returned no rows"
-        assert all(r.leg == name for r in rows), f"leg {name!r} mis-tagged"
         if name == "vocab":
             ids = sorted(r.key for r in rows)
             assert ids == list(range(len(ids))), f"leg {name!r}: ids not dense"
@@ -186,4 +219,4 @@ def test_llm_library_suite_legs_individually(spark, sf_dir):
                 f"leg {name!r}: duplicate docs sampled (with replacement?)"
             )
     if n_docs is not None:
-        assert len([r for r in legs["boilerplate"].collect()]) == n_docs
+        assert len(legs["boilerplate"]) == n_docs

@@ -105,6 +105,17 @@ def main() -> int:
             problems.append(f"row count {len(sdf)} vs {len(odf)}")
         if sorted(sdf.columns) != sorted(odf.columns):
             problems.append(f"columns {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+        else:
+            # int-vs-float dtype skew: values can compare equal here after
+            # canonicalization (5.0 -> "5") yet hash differently at the
+            # driver if its canonical form keeps the float rendering — the
+            # exact r5 failure class. Flag it even when values match.
+            for col in sdf.columns:
+                ks, ko = sdf[col].dtype.kind, odf[col].dtype.kind
+                if {ks, ko} == {"i", "f"} or {ks, ko} == {"u", "f"}:
+                    problems.append(
+                        f"dtype skew on {col}: spark {sdf[col].dtype} vs duckdb {odf[col].dtype}"
+                    )
         if not problems:
             a, b = normalize(sdf), normalize(odf)
             if not a.equals(b):
