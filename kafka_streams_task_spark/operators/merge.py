@@ -54,6 +54,30 @@ def _validate_changes(
         )
 
 
+def _checked_ops(changes: DataFrame, op_col: str) -> DataFrame:
+    """Runtime op-code guard: any op outside {OP_UPSERT, OP_DELETE} raises
+    at execution instead of silently deleting the row (the anti-join
+    removes every changed key, so a malformed verb — 'u', 'I', 'c' from a
+    different CDC producer — would otherwise vanish data). A raise_error
+    column instead of a driver-side aggregate: zero extra passes over the
+    delta, and the check rides inside whatever job consumes it."""
+    ok = F.col(op_col).isin(OP_UPSERT, OP_DELETE)
+    return changes.withColumn(
+        op_col,
+        F.when(ok, F.col(op_col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"unknown CDC op code in {op_col!r} (expected "
+                        f"{OP_UPSERT!r} or {OP_DELETE!r}): "
+                    ),
+                    F.coalesce(F.col(op_col).cast("string"), F.lit("NULL")),
+                )
+            )
+        ),
+    )
+
+
 def latest_changes(
     changes: DataFrame,
     key_cols: list[str],
@@ -71,6 +95,7 @@ def latest_changes(
     key (the normal CDC contract) never reach the tie-break.
     """
     _validate_changes(changes, key_cols, version_col, op_col)
+    changes = _checked_ops(changes, op_col)
     payload = [c for c in changes.columns if c not in key_cols]
     ordering = F.struct(
         F.col(version_col), F.col(op_col),
@@ -126,6 +151,12 @@ def scd2_init(
     payload columns + ``valid_from`` + ``valid_to`` (null = current).
     ``version_type`` sets the interval columns' type (long versions by
     default; pass ``"timestamp"`` for event-time histories)."""
+    collide = [c for c in ("valid_from", "valid_to") if c in snapshot.columns]
+    if collide:
+        raise ValueError(
+            f"snapshot already has interval column(s) {collide} — scd2_init "
+            "would silently shadow them; rename before seeding a history"
+        )
     return snapshot.select(
         "*",
         F.lit(version).cast(version_type).alias("valid_from"),
@@ -162,6 +193,28 @@ def scd2_apply(
     (the bulk at 100 TB — years of audit rows) is touched by nothing
     but the final union."""
     _validate_changes(changes, key_cols, version_col, op_col)
+    if not {"valid_from", "valid_to"} <= set(history.columns):
+        raise ValueError(
+            "history lacks valid_from/valid_to interval columns — seed it "
+            "with scd2_init first"
+        )
+    extra = [
+        c
+        for c in history.columns
+        if c not in ("valid_from", "valid_to") and c not in changes.columns
+    ]
+    if extra:
+        raise ValueError(
+            f"changes lack history payload column(s) {extra} — SCD2 upserts "
+            "are full-row images (partial patches are not supported)"
+        )
+    collide = [c for c in ("valid_from", "valid_to") if c in changes.columns]
+    if collide:
+        raise ValueError(
+            f"changes carry reserved interval column(s) {collide}; intervals "
+            f"are derived from {version_col!r}, not supplied"
+        )
+    changes = _checked_ops(changes, op_col)
     payload = [c for c in changes.columns if c not in (op_col,)]
     w = Window.partitionBy(*key_cols).orderBy(
         F.col(version_col), F.col(op_col),
@@ -202,12 +255,132 @@ def affected_partition_values(
     the key (else an update could move a row across partitions and the
     old partition would need a tombstone scan — that layout should merge
     unpartitioned)."""
-    assert partition_col in key_cols, (
-        "partition column must be key-stable; merge unpartitioned otherwise"
-    )
+    if partition_col not in key_cols:
+        # ValueError, not assert: this contract violation leaves stale rows
+        # in old partitions after an update moves a key across partitions —
+        # it corrupts the merged snapshot rather than just flagging
+        # programmer error, and must survive `python -O`.
+        raise ValueError(
+            f"partition column {partition_col!r} must be part of the merge "
+            f"key {key_cols} (key-stable partitioning); an update could "
+            "otherwise move a row across partitions and leave the old copy "
+            "behind — merge unpartitioned instead"
+        )
     return [
         r[0] for r in changes.select(partition_col).distinct().collect()
     ]
+
+
+_STAGING_DIR = "_merge_staging"
+_PENDING_MANIFEST = "_merge_pending.json"
+
+
+def _partition_dir_name(spark: SparkSession, partition_col: str, value) -> str:
+    """The exact directory name Spark's writer produces for a partition
+    value — including special-character escaping and the
+    ``__HIVE_DEFAULT_PARTITION__`` null rendering (ExternalCatalogUtils;
+    a raw f-string ``col=value`` path misses the real directory for
+    values needing escaping, so a takedown-delete would silently leave
+    the stale files readable)."""
+    ecu = spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    return ecu.getPartitionPathString(
+        partition_col, None if value is None else str(value)
+    )
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _write_manifest(spark: SparkSession, snapshot_path: str, manifest: dict) -> None:
+    """Single-file manifest via write-temp-then-rename (the atomic unit
+    the publish step pivots on)."""
+    import json
+
+    jvm, fs = _fs(spark, snapshot_path)
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{snapshot_path}/{_PENDING_MANIFEST}.tmp")
+    out = fs.create(tmp, True)
+    out.write(bytearray(json.dumps(manifest).encode("utf-8")))
+    out.close()
+    fs.rename(tmp, jvm.org.apache.hadoop.fs.Path(f"{snapshot_path}/{_PENDING_MANIFEST}"))
+
+
+def _read_manifest(spark: SparkSession, snapshot_path: str) -> dict | None:
+    import json
+
+    jvm, fs = _fs(spark, snapshot_path)
+    p = jvm.org.apache.hadoop.fs.Path(f"{snapshot_path}/{_PENDING_MANIFEST}")
+    if not fs.exists(p):
+        return None
+    # underscore-prefixed files are invisible to Spark reads (by design —
+    # the snapshot read must skip them), so read through a pure-JDK
+    # line reader on the Hadoop stream (py4j can't pass byte[] buffers
+    # by reference; readLine returns whole strings)
+    reader = jvm.java.io.BufferedReader(
+        jvm.java.io.InputStreamReader(fs.open(p), "UTF-8")
+    )
+    try:
+        lines = []
+        while True:
+            line = reader.readLine()
+            if line is None:
+                break
+            lines.append(line)
+        return json.loads("\n".join(lines))
+    finally:
+        reader.close()
+
+
+def _publish_from_manifest(spark: SparkSession, snapshot_path: str, manifest: dict) -> None:
+    """Idempotent roll-forward publish: for every touched partition, swap
+    the staged directory into place (delete dest, rename staged). A
+    partition whose staged dir is already gone was published before the
+    crash — skipped. Fully-deleted partitions (touched, not surviving)
+    have no staged dir and just lose their dest dir."""
+    jvm, fs = _fs(spark, snapshot_path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    staging = f"{snapshot_path}/{_STAGING_DIR}/{manifest['commit']}"
+    surviving = set(manifest["surviving"])
+    for dirname in manifest["touched"]:
+        staged = Path(f"{staging}/{dirname}")
+        dest = Path(f"{snapshot_path}/{dirname}")
+        if dirname in surviving:
+            if fs.exists(staged):
+                if fs.exists(dest):
+                    fs.delete(dest, True)
+                fs.rename(staged, dest)
+            # staged gone + dest present => already published; nothing to do
+        elif fs.exists(dest):
+            fs.delete(dest, True)
+    # commit complete: drop the manifest FIRST (the pivot), then the staging
+    fs.delete(Path(f"{snapshot_path}/{_PENDING_MANIFEST}"), False)
+    fs.delete(Path(f"{snapshot_path}/{_STAGING_DIR}"), True)
+
+
+def recover_merge(spark: SparkSession, snapshot_path: str) -> str:
+    """Recover a crashed :func:`merge_into_partitioned`:
+
+    * pending manifest present → the staged data was fully written and
+      audited before the manifest existed, so ROLL FORWARD: finish the
+      idempotent publish; the snapshot lands at the post-merge state.
+    * no manifest → any staging directory is a pre-commit orphan (the
+      crash hit during the staged write); remove it — the live snapshot
+      was never touched and stays at the prior version.
+
+    Returns ``"rolled_forward"``, ``"cleaned_orphan"``, or ``"clean"``.
+    """
+    manifest = _read_manifest(spark, snapshot_path)
+    if manifest is not None:
+        _publish_from_manifest(spark, snapshot_path, manifest)
+        return "rolled_forward"
+    jvm, fs = _fs(spark, snapshot_path)
+    staging_root = jvm.org.apache.hadoop.fs.Path(f"{snapshot_path}/{_STAGING_DIR}")
+    if fs.exists(staging_root):
+        fs.delete(staging_root, True)
+        return "cleaned_orphan"
+    return "clean"
 
 
 def merge_into_partitioned(
@@ -219,42 +392,85 @@ def merge_into_partitioned(
     version_col: str = "version",
     op_col: str = "op",
 ) -> list:
-    """MERGE INTO a partitioned parquet snapshot in place, rewriting ONLY
-    the partitions the delta touches. Returns the touched partition values.
+    """MERGE INTO a partitioned parquet snapshot, rewriting ONLY the
+    partitions the delta touches, under a WRITE-AUDIT-PUBLISH commit
+    (r6; the discipline streaming/cdc.py's versioned ``_SUCCESS``
+    protocol applies, adapted to an in-place partition layout — VERDICT
+    r5 item 5). Returns the touched partition values.
 
     Read side: the ``isin(touched)`` filter prunes to the affected
     partition directories (partition pruning — untouched data is never
-    read). Write side: dynamic partition overwrite replaces exactly the
-    directories present in the output; Spark cannot overwrite a path it
-    is concurrently reading, so the merged partitions stage through a
-    localCheckpoint — sized by the touched partitions only, not the
-    snapshot. A touched partition whose rows are ALL deleted produces no
-    output rows, so dynamic overwrite would silently leave its stale
-    directory behind — those directories are dropped explicitly through
-    the Hadoop FileSystem API (same JVM handle the writer uses)."""
+    read or written).
+
+    WRITE — the merged partitions go to a staging directory under the
+    snapshot root (``_merge_staging/<commit>``), partitioned by the same
+    column; the live snapshot is untouched while any data is in flight.
+    AUDIT — the staged output is re-read and its row count checked
+    against the merged plan's count; a short write (lost task, partial
+    flush) aborts here with the snapshot still at the prior version.
+    PUBLISH — a single manifest file (written temp-then-rename) is the
+    commit pivot; after it exists the publish is a sequence of
+    delete+rename directory swaps that :func:`recover_merge` can REPLAY
+    idempotently, so a crash between partition swaps rolls FORWARD to
+    the merged state instead of stranding a mix. A crash before the
+    manifest leaves the prior snapshot fully intact (staging is an
+    orphan, cleaned by recovery). Partition directory names go through
+    Spark's own escaping (see :func:`_partition_dir_name`), so special
+    characters and null partition values publish and delete correctly.
+
+    Readers racing the publish window see partition swaps (same
+    non-isolation plain parquet always had); readers needing snapshot
+    isolation belong on the versioned-view layout (streaming/cdc.py).
+    """
+    import uuid
+
     touched = affected_partition_values(changes, partition_col, key_cols, version_col, op_col)
     if not touched:
         return touched
-    prior = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    snap = spark.read.parquet(snapshot_path).filter(F.col(partition_col).isin(touched))
+    pending = _read_manifest(spark, snapshot_path)
+    if pending is not None:
+        raise RuntimeError(
+            f"unfinished merge commit {pending['commit']!r} pending at "
+            f"{snapshot_path} — run recover_merge() first"
+        )
+    # NULL-safe prune: isin() never matches null (SQL semantics), so a null
+    # partition value (__HIVE_DEFAULT_PARTITION__ on disk) needs its own arm
+    non_null = [v for v in touched if v is not None]
+    prune = F.col(partition_col).isin(non_null)
+    if len(non_null) < len(touched):
+        prune = prune | F.col(partition_col).isNull()
+    snap = spark.read.parquet(snapshot_path).filter(prune)
     merged = apply_changes(
         snap, changes, key_cols, version_col, op_col
     ).localCheckpoint(eager=True)
+    commit = uuid.uuid4().hex[:12]
+    staging = f"{snapshot_path}/{_STAGING_DIR}/{commit}"
     try:
         surviving = {r[0] for r in merged.select(partition_col).distinct().collect()}
-        try:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            merged.write.mode("overwrite").partitionBy(partition_col).parquet(snapshot_path)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior)
+        # WRITE: stage the merged partitions next to the snapshot (same
+        # filesystem, so publish renames are metadata moves)
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+        # AUDIT: the staged bytes, as a reader will see them
+        n_expected = merged.count()
+        n_staged = spark.read.parquet(staging).count() if surviving else 0
+        if n_staged != n_expected:
+            raise RuntimeError(
+                f"merge staging audit failed: staged {n_staged} rows, "
+                f"expected {n_expected}; snapshot left at prior version"
+            )
+    except Exception:
+        jvm, fs = _fs(spark, snapshot_path)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+        raise
     finally:
         # the staged merge blocks die with the call (no-cached-blocks standard)
         merged._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    jvm = spark._jvm
-    jsc = spark._jsc
-    fs = jvm.org.apache.hadoop.fs.FileSystem.get(jsc.hadoopConfiguration())
-    for value in set(touched) - surviving:
-        p = jvm.org.apache.hadoop.fs.Path(f"{snapshot_path}/{partition_col}={value}")
-        if fs.exists(p):
-            fs.delete(p, True)
+    manifest = {
+        "commit": commit,
+        "partition_col": partition_col,
+        "touched": [_partition_dir_name(spark, partition_col, v) for v in touched],
+        "surviving": [_partition_dir_name(spark, partition_col, v) for v in surviving],
+    }
+    _write_manifest(spark, snapshot_path, manifest)
+    _publish_from_manifest(spark, snapshot_path, manifest)
     return touched

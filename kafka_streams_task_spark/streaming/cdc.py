@@ -107,10 +107,17 @@ def streaming_apply_changes(
             )
         new_state.write.mode("overwrite").parquet(f"{state_dir}/{_PFX}{batch_id}")
 
-        # GC superseded versions only after the new one is durable
+        # GC superseded versions only after the new one is durable — but
+        # RETAIN the most recent prior committed version: a concurrent
+        # read_cdc_view reader that resolved versions just before this
+        # commit still has its lazily-evaluated DataFrame pointed at that
+        # directory, and deleting it mid-scan would throw
+        # FileNotFoundException (the module's "any engine can read the
+        # view between batches" claim makes that race reachable). One
+        # batch interval of retention covers it; N-2 and older go.
         Path = spark._jvm.org.apache.hadoop.fs.Path
         fs = Path(state_dir).getFileSystem(spark._jsc.hadoopConfiguration())
-        for v in versions:
+        for v in versions[:-1]:
             fs.delete(Path(f"{state_dir}/{_PFX}{v}"), True)
 
     bind_state_to_checkpoint(

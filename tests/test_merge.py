@@ -177,7 +177,9 @@ def test_merge_matches_sql_merge_semantics(spark, sf_dir):
 
 def test_affected_partition_requires_key_stability(spark):
     changes = _changes(spark, [(1, "a", "x", OP_UPSERT, 1)])
-    with pytest.raises(AssertionError):
+    # r6: ValueError, not assert — the contract violation corrupts data
+    # and must survive `python -O` (ADVICE r5)
+    with pytest.raises(ValueError, match="key-stable"):
         merge_into_partitioned(spark, "/nonexistent", changes, ["k"], "part")
 
 
@@ -271,3 +273,149 @@ def test_changes_validation_names_the_problem(spark):
     )
     with pytest.raises(ValueError, match="full-row"):
         apply_changes(snap, partial, ["k"])
+
+
+# ---------------------------------------------------------------------------
+# r6: fail-fast validation (ADVICE items) and the write-audit-publish commit
+# ---------------------------------------------------------------------------
+
+
+def test_unknown_op_code_raises_instead_of_deleting(spark):
+    """A malformed op verb ('u', 'I', 'c' from a foreign CDC producer)
+    must error at execution, not silently drop the row (the anti-join
+    removes every changed key; only OP_UPSERT rows re-insert)."""
+    snap = _snapshot(spark)
+    changes = _changes(spark, [(1, "a", "ONE", "u", 1)])  # lowercase verb
+    with pytest.raises(Exception, match="unknown CDC op code"):
+        apply_changes(snap, changes, ["k"]).collect()
+
+
+def test_affected_partitions_contract_raises_value_error(spark):
+    """partition_col not in key_cols corrupts the merged snapshot (stale
+    rows in old partitions) — must be a ValueError, not an -O-stripped
+    assert."""
+    from kafka_streams_task_spark.operators.merge import affected_partition_values
+
+    with pytest.raises(ValueError, match="key-stable"):
+        affected_partition_values(
+            _changes(spark, [(1, "a", "x", OP_UPSERT, 1)]), "part", ["k"]
+        )
+
+
+def test_scd2_validation_errors(spark):
+    from kafka_streams_task_spark.operators.merge import scd2_apply, scd2_init
+
+    snap = _snapshot(spark)
+    hist = scd2_init(snap, 0)
+    # seeding twice: interval columns collide
+    with pytest.raises(ValueError, match="interval column"):
+        scd2_init(hist, 1)
+    # history without intervals
+    with pytest.raises(ValueError, match="scd2_init"):
+        scd2_apply(snap, _changes(spark, [(1, "a", "x", OP_UPSERT, 1)]), ["k"])
+    # changes missing a payload column -> explicit error, not a deep
+    # AnalysisException at the final select
+    partial = _changes(spark, [(1, "a", "x", OP_UPSERT, 1)]).drop("v")
+    with pytest.raises(ValueError, match="full-row images"):
+        scd2_apply(hist, partial, ["k"])
+    # changes carrying reserved interval columns
+    clash = _changes(spark, [(1, "a", "x", OP_UPSERT, 1)]).withColumn(
+        "valid_from", F.lit(9)
+    )
+    with pytest.raises(ValueError, match="reserved interval"):
+        scd2_apply(hist, clash, ["k"])
+
+
+def test_merge_partition_value_needing_escape(spark, tmpdir):
+    """Partition values with characters Spark escapes in directory names
+    (':' -> '%3A'): the emptied-partition delete must hit the REAL
+    directory, or takedown-deleted rows silently survive (ADVICE r5
+    medium)."""
+    path = os.path.join(str(tmpdir), "snap")
+    spark.createDataFrame(
+        [Row(k=1, part="a:1", v="one"), Row(k=2, part="b 2", v="two")]
+    ).write.partitionBy("part").parquet(path)
+    assert os.path.isdir(os.path.join(path, "part=a%3A1"))
+
+    changes = _changes(spark, [(1, "a:1", None, OP_DELETE, 1)])
+    merge_into_partitioned(spark, path, changes, ["k", "part"], "part")
+    assert not os.path.isdir(os.path.join(path, "part=a%3A1")), (
+        "escaped partition directory must be dropped when fully deleted"
+    )
+    out = {r.k for r in spark.read.parquet(path).collect()}
+    assert out == {2}
+
+
+def test_merge_crash_before_manifest_leaves_prior_version(spark, tmpdir, monkeypatch):
+    """Crash during the staged write / before the commit manifest: the
+    live snapshot is untouched (prior version fully readable) and
+    recover_merge cleans the orphan staging."""
+    import kafka_streams_task_spark.operators.merge as m
+
+    path = os.path.join(str(tmpdir), "snap")
+    _snapshot(spark).write.partitionBy("part").parquet(path)
+    before = {r.k: r.v for r in spark.read.parquet(path).collect()}
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash before manifest")
+
+    monkeypatch.setattr(m, "_write_manifest", boom)
+    changes = _changes(spark, [(2, "a", "TWO", OP_UPSERT, 1)])
+    with pytest.raises(RuntimeError, match="injected crash"):
+        merge_into_partitioned(spark, path, changes, ["k", "part"], "part")
+
+    assert {r.k: r.v for r in spark.read.parquet(path).collect()} == before, (
+        "snapshot must stay at the prior version"
+    )
+    monkeypatch.undo()
+    assert m.recover_merge(spark, path) in ("cleaned_orphan", "clean")
+    assert {r.k: r.v for r in spark.read.parquet(path).collect()} == before
+
+
+def test_merge_crash_between_partition_swaps_rolls_forward(spark, tmpdir, monkeypatch):
+    """Crash BETWEEN partition swaps (manifest committed, publish
+    partial): the manifest + staging contain everything needed, so
+    recover_merge replays the publish idempotently and the snapshot
+    lands at the merged state (the VERDICT r5 item 5 crash-injection
+    gate)."""
+    import kafka_streams_task_spark.operators.merge as m
+
+    path = os.path.join(str(tmpdir), "snap")
+    _snapshot(spark).write.partitionBy("part").parquet(path)
+
+    real_publish = m._publish_from_manifest
+    calls = {"n": 0}
+
+    def partial_publish(spark_, snapshot_path, manifest):
+        # simulate: first touched partition swapped, then crash
+        calls["n"] += 1
+        jvm, fs = m._fs(spark_, snapshot_path)
+        Path = jvm.org.apache.hadoop.fs.Path
+        staging = f"{snapshot_path}/{m._STAGING_DIR}/{manifest['commit']}"
+        first = manifest["touched"][0]
+        if first in set(manifest["surviving"]):
+            dest = Path(f"{snapshot_path}/{first}")
+            if fs.exists(dest):
+                fs.delete(dest, True)
+            fs.rename(Path(f"{staging}/{first}"), dest)
+        raise RuntimeError("injected crash mid-publish")
+
+    monkeypatch.setattr(m, "_publish_from_manifest", partial_publish)
+    changes = _changes(
+        spark, [(2, "a", "TWO", OP_UPSERT, 1), (3, "b", None, OP_DELETE, 1)]
+    )
+    with pytest.raises(RuntimeError, match="mid-publish"):
+        merge_into_partitioned(spark, path, changes, ["k", "part"], "part")
+    assert calls["n"] == 1
+
+    # a new merge must refuse to start over the pending commit
+    monkeypatch.setattr(m, "_publish_from_manifest", real_publish)
+    with pytest.raises(RuntimeError, match="recover_merge"):
+        merge_into_partitioned(spark, path, changes, ["k", "part"], "part")
+
+    assert m.recover_merge(spark, path) == "rolled_forward"
+    out = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert out == {1: "one", 2: "TWO", 4: "four"}, "roll-forward incomplete"
+    # idempotent: a second recovery is a no-op
+    assert m.recover_merge(spark, path) == "clean"
+    assert {r.k: r.v for r in spark.read.parquet(path).collect()} == out
