@@ -543,18 +543,26 @@ def test_dedup_queries_leave_no_cached_blocks(spark, sf_dir):
     localCheckpoints are lineage-truncation by design and are reclaimed by
     the ContextCleaner once the result is dropped.)"""
     from kafka_streams_task_spark.catalog import CATALOG
+    from kafka_streams_task_spark.catalog.llm import (
+        dedup_exact_digest,
+        dedup_ngram_jaccard,
+        dedup_survivors,
+    )
 
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     before = {int(k) for k in jmap.keySet().toArray()}
-    for name in [
-        "dedup_exact_digest",
-        "dedup_ngram_jaccard",
-        "dedup_minhash_lsh_recall",
-        "dedup_simhash_recall",
-        "dedup_embedding_cosine_recall",
-        "dedup_survivors",
-    ]:
-        assert CATALOG[name].fn(spark, sf_dir).count() >= 0
+    # r6: the first three folded into dedup_exact_family_suite — the raw
+    # query fns remain the per-operator probes here
+    probes = {
+        "dedup_exact_digest": dedup_exact_digest,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_survivors": dedup_survivors,
+        "dedup_minhash_lsh_recall": CATALOG["dedup_minhash_lsh_recall"].fn,
+        "dedup_simhash_recall": CATALOG["dedup_simhash_recall"].fn,
+        "dedup_embedding_cosine_recall": CATALOG["dedup_embedding_cosine_recall"].fn,
+    }
+    for name, fn in probes.items():
+        assert fn(spark, sf_dir).count() >= 0
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
         leaked = {int(k) for k in jmap.keySet().toArray()} - before
         assert not leaked, f"{name} left persisted RDDs: {leaked}"
