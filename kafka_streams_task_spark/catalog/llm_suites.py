@@ -55,14 +55,12 @@ from .llm import (
     _knn_recall_gate,
     _zorder_oracle_expr,
     dedup_exact,
-    dedup_ngram_jaccard,
     decontaminate,
     knn_bruteforce,
     knn_lsh,
     multimodal_asset_meta,
     multimodal_image_features,
     ngram_jaccard_pairs,
-    similarity_knn_bruteforce,
     text_fingerprints,
     text_lang_id,
 )
@@ -1698,9 +1696,15 @@ def similarity_knn_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         build_ivfpq_index(emb, idx_dir, n_clusters=16, m=8, ks=64)
         pers = knn_ivf_pq_from_index(q, emb, idx_dir, k=5, n_probe=12, rerank_k=96)
-        # materialize the tiny gate result BEFORE deleting the index files
-        # the lazy plan would otherwise re-read at driver collect time
-        pers_leg = gate_leg(pers, "persisted", 0.8).localCheckpoint()
+        # materialize the tiny gate result (10 rows) BEFORE deleting the
+        # index files — the lazy plan would otherwise re-read them at
+        # driver collect time. collect + local re-create, NOT
+        # localCheckpoint: checkpoint blocks would stay pinned in executor
+        # storage for the session (the no-cached-blocks standard).
+        gate_rows = gate_leg(pers, "persisted", 0.8).collect()
+        pers_leg = spark.createDataFrame(
+            gate_rows, "leg string, key long, key_b long, i1 long, i2 long"
+        )
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 

@@ -136,7 +136,20 @@ def apply_changes(
             "images (partial patches are not supported)"
         )
     latest = latest_changes(changes, key_cols, version_col, op_col)
-    kept = snapshot.join(latest.select(*key_cols), on=key_cols, how="left_anti")
+    # NULL-SAFE anti-join: a plain on=key_cols join uses EqualTo, under
+    # which a null key never matches — a delete of a null-keyed row would
+    # silently no-op and an upsert would duplicate it. eqNullSafe keeps
+    # the hash-join (and broadcast) plan shape.
+    snap_a = snapshot.alias("__merge_snap")
+    keys_a = latest.select(*key_cols).alias("__merge_chg")
+    # explicit aliases: snapshot and changes often SHARE lineage (a delta
+    # synthesized from the snapshot), and bare df[c] references would
+    # resolve to the same attribute (trivially-true predicate)
+    cond = None
+    for c in key_cols:
+        e = F.col(f"__merge_snap.{c}").eqNullSafe(F.col(f"__merge_chg.{c}"))
+        cond = e if cond is None else (cond & e)
+    kept = snap_a.join(keys_a, cond, "left_anti")
     upserts = latest.filter(F.col(op_col) == OP_UPSERT).select(*snapshot.columns)
     return kept.unionByName(upserts)
 
@@ -229,12 +242,21 @@ def scd2_apply(
     first_v = changes.groupBy(*key_cols).agg(
         F.min(version_col).alias("_first_v")
     )
-    current = history.filter(F.col("valid_to").isNull())
-    closed_now = (
-        current.join(first_v, on=key_cols, how="left")
-        .withColumn("valid_to", F.coalesce(F.col("_first_v"), F.col("valid_to")))
-        .drop("_first_v")
-    )
+    current = history.filter(F.col("valid_to").isNull()).alias("__scd_cur")
+    first_a = first_v.alias("__scd_first")
+    # null-safe, alias-disambiguated left join (see apply_changes):
+    # null-keyed current rows must still close at their first incoming
+    # change, and history/changes may share lineage
+    cond = None
+    for c in key_cols:
+        e = F.col(f"__scd_cur.{c}").eqNullSafe(F.col(f"__scd_first.{c}"))
+        cond = e if cond is None else (cond & e)
+    closed_now = current.join(first_a, cond, "left").select(
+        *[F.col(f"__scd_cur.{c}") for c in history.columns if c != "valid_to"],
+        F.coalesce(
+            F.col("__scd_first._first_v"), F.col("__scd_cur.valid_to")
+        ).alias("valid_to"),
+    ).select(*history.columns)
     was_closed = history.filter(F.col("valid_to").isNotNull())
     return was_closed.unionByName(closed_now).unionByName(
         new_rows.select(*history.columns)
@@ -275,17 +297,28 @@ _STAGING_DIR = "_merge_staging"
 _PENDING_MANIFEST = "_merge_pending.json"
 
 
-def _partition_dir_name(spark: SparkSession, partition_col: str, value) -> str:
-    """The exact directory name Spark's writer produces for a partition
-    value — including special-character escaping and the
-    ``__HIVE_DEFAULT_PARTITION__`` null rendering (ExternalCatalogUtils;
-    a raw f-string ``col=value`` path misses the real directory for
-    values needing escaping, so a takedown-delete would silently leave
-    the stale files readable)."""
+def _partition_dir_names(
+    spark: SparkSession, template: DataFrame, partition_col: str, values: list
+) -> list[str]:
+    """The exact directory names Spark's writer produces for partition
+    ``values`` — Spark's own cast-to-string rendering (one tiny local
+    job: booleans render 'true', doubles '1.0E20', dates/timestamps via
+    the session zone — python ``str()`` is NOT faithful for those) fed
+    through ExternalCatalogUtils escaping (special characters, and the
+    ``__HIVE_DEFAULT_PARTITION__`` null rendering). A raw f-string
+    ``col=value`` path misses the real directory for any of these, so a
+    takedown-delete would silently leave the stale files readable."""
+    from pyspark.sql.types import StructType
+
+    if not values:
+        return []
+    field = template.schema[partition_col]
+    sdf = spark.createDataFrame([(v,) for v in values], schema=StructType([field]))
+    rendered = [
+        r[0] for r in sdf.select(F.col(partition_col).cast("string")).collect()
+    ]
     ecu = spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-    return ecu.getPartitionPathString(
-        partition_col, None if value is None else str(value)
-    )
+    return [ecu.getPartitionPathString(partition_col, s) for s in rendered]
 
 
 def _fs(spark: SparkSession, path: str):
@@ -304,7 +337,12 @@ def _write_manifest(spark: SparkSession, snapshot_path: str, manifest: dict) -> 
     out = fs.create(tmp, True)
     out.write(bytearray(json.dumps(manifest).encode("utf-8")))
     out.close()
-    fs.rename(tmp, jvm.org.apache.hadoop.fs.Path(f"{snapshot_path}/{_PENDING_MANIFEST}"))
+    dest = jvm.org.apache.hadoop.fs.Path(f"{snapshot_path}/{_PENDING_MANIFEST}")
+    # Hadoop rename reports failure by RETURNING false, not raising — an
+    # unchecked false here would leave no manifest on disk, and a later
+    # crash mid-publish would be misclassified as a pre-commit orphan
+    if not fs.rename(tmp, dest):
+        raise IOError(f"manifest rename failed: {tmp} -> {dest}")
 
 
 def _read_manifest(spark: SparkSession, snapshot_path: str) -> dict | None:
@@ -350,13 +388,24 @@ def _publish_from_manifest(spark: SparkSession, snapshot_path: str, manifest: di
             if fs.exists(staged):
                 if fs.exists(dest):
                     fs.delete(dest, True)
-                fs.rename(staged, dest)
+                # rename reports failure by RETURNING false (HDFS quota/
+                # lease/racing-writer cases) — treating it as success
+                # would delete the staging below and lose the partition
+                if not fs.rename(staged, dest):
+                    raise IOError(f"partition swap failed: {staged} -> {dest}")
             # staged gone + dest present => already published; nothing to do
         elif fs.exists(dest):
             fs.delete(dest, True)
-    # commit complete: drop the manifest FIRST (the pivot), then the staging
+    # commit complete: drop the manifest FIRST (the pivot), then ONLY this
+    # commit's staging dir (not the root — another writer's staged data
+    # may live beside it; see the single-writer note in
+    # merge_into_partitioned)
     fs.delete(Path(f"{snapshot_path}/{_PENDING_MANIFEST}"), False)
-    fs.delete(Path(f"{snapshot_path}/{_STAGING_DIR}"), True)
+    fs.delete(Path(staging), True)
+    # drop the staging root too when this was the only commit in flight
+    root = Path(f"{snapshot_path}/{_STAGING_DIR}")
+    if fs.exists(root) and len(fs.listStatus(root)) == 0:
+        fs.delete(root, False)
 
 
 def recover_merge(spark: SparkSession, snapshot_path: str) -> str:
@@ -421,12 +470,25 @@ def merge_into_partitioned(
     Readers racing the publish window see partition swaps (same
     non-isolation plain parquet always had); readers needing snapshot
     isolation belong on the versioned-view layout (streaming/cdc.py).
+    WRITERS are single-writer by contract (like any non-locking table
+    layout): the pending-manifest guard catches a crashed predecessor,
+    not a concurrent one.
     """
     import uuid
 
     touched = affected_partition_values(changes, partition_col, key_cols, version_col, op_col)
     if not touched:
         return touched
+    if any(v == "" for v in touched):
+        # Spark writes '' to __HIVE_DEFAULT_PARTITION__ and reads it back
+        # as NULL — the value is not round-trippable through a partitioned
+        # layout, so a merge keyed on it would fail to read the existing
+        # rows and then overwrite their directory. Refuse instead.
+        raise ValueError(
+            "empty-string partition values are not round-trippable in "
+            "partitioned parquet (written as __HIVE_DEFAULT_PARTITION__, "
+            "read back as NULL) — normalize '' to NULL before merging"
+        )
     pending = _read_manifest(spark, snapshot_path)
     if pending is not None:
         raise RuntimeError(
@@ -468,8 +530,12 @@ def merge_into_partitioned(
     manifest = {
         "commit": commit,
         "partition_col": partition_col,
-        "touched": [_partition_dir_name(spark, partition_col, v) for v in touched],
-        "surviving": [_partition_dir_name(spark, partition_col, v) for v in surviving],
+        "touched": _partition_dir_names(spark, changes, partition_col, touched),
+        # surviving values were collected from `merged` — use its schema
+        # (the snapshot read's inferred partition type) for rendering
+        "surviving": _partition_dir_names(
+            spark, merged, partition_col, sorted(surviving, key=str)
+        ),
     }
     _write_manifest(spark, snapshot_path, manifest)
     _publish_from_manifest(spark, snapshot_path, manifest)

@@ -419,3 +419,92 @@ def test_merge_crash_between_partition_swaps_rolls_forward(spark, tmpdir, monkey
     # idempotent: a second recovery is a no-op
     assert m.recover_merge(spark, path) == "clean"
     assert {r.k: r.v for r in spark.read.parquet(path).collect()} == out
+
+
+def test_null_key_delete_and_upsert(spark):
+    """Null join keys: a plain on=key_cols anti-join (EqualTo) never
+    matches null, silently no-opping null-keyed deletes and duplicating
+    null-keyed upserts — the merge must be null-SAFE on its keys."""
+    snap = spark.createDataFrame(
+        [Row(k=None, v="nullrow"), Row(k=1, v="one")],
+        schema="k bigint, v string",
+    )
+    # delete the null-keyed row
+    deleted = apply_changes(
+        snap,
+        spark.createDataFrame(
+            [Row(k=None, v=None, op=OP_DELETE, version=1)],
+            schema="k bigint, v string, op string, version bigint",
+        ),
+        ["k"],
+    ).collect()
+    assert {r.k for r in deleted} == {1}, "null-keyed delete must remove the row"
+    # upsert the null-keyed row: exactly one copy with the new value
+    upserted = apply_changes(
+        snap,
+        spark.createDataFrame(
+            [Row(k=None, v="NEW", op=OP_UPSERT, version=1)],
+            schema="k bigint, v string, op string, version bigint",
+        ),
+        ["k"],
+    ).collect()
+    assert sorted(((r.k, r.v) for r in upserted), key=str) == sorted(
+        [(None, "NEW"), (1, "one")], key=str
+    )
+
+
+def test_merge_boolean_partition_values(spark, tmpdir):
+    """python str(True) is 'True' but Spark writes 'part=true': the
+    manifest's dir names must come from Spark's own rendering or the
+    publish silently discards the merged partition."""
+    path = os.path.join(str(tmpdir), "snap")
+    spark.createDataFrame(
+        [Row(k=1, part=True, v="t"), Row(k=2, part=False, v="f")],
+        schema="k bigint, part boolean, v string",
+    ).write.partitionBy("part").parquet(path)
+    assert os.path.isdir(os.path.join(path, "part=true"))
+
+    changes = spark.createDataFrame(
+        [Row(k=1, part=True, v="T2", op=OP_UPSERT, version=1),
+         Row(k=2, part=False, v=None, op=OP_DELETE, version=1)],
+        schema="k bigint, part boolean, v string, op string, version bigint",
+    )
+    merge_into_partitioned(spark, path, changes, ["k", "part"], "part")
+    # (read-back infers the partition column as string 'true' — partition
+    # type inference has no boolean arm; the VALUES are what matter here)
+    out = {(r.k, str(r.part).lower()): r.v for r in spark.read.parquet(path).collect()}
+    assert out == {(1, "true"): "T2"}, out
+    assert not os.path.isdir(os.path.join(path, "part=false")), (
+        "fully-deleted boolean partition directory must be dropped"
+    )
+
+
+def test_merge_rejects_empty_string_partition(spark, tmpdir):
+    """'' is written as __HIVE_DEFAULT_PARTITION__ and read back as NULL
+    — not round-trippable; merging on it would overwrite the directory
+    without reading its rows. Must refuse."""
+    path = os.path.join(str(tmpdir), "snap")
+    _snapshot(spark).write.partitionBy("part").parquet(path)
+    changes = _changes(spark, [(1, "", "x", OP_UPSERT, 1)])
+    with pytest.raises(ValueError, match="round-trippable"):
+        merge_into_partitioned(spark, path, changes, ["k", "part"], "part")
+
+
+def test_scd2_null_key_interval_closes(spark):
+    from kafka_streams_task_spark.operators.merge import scd2_apply, scd2_init
+
+    hist = scd2_init(
+        spark.createDataFrame([Row(k=None, v="old")], schema="k bigint, v string"), 0
+    )
+    out = scd2_apply(
+        hist,
+        spark.createDataFrame(
+            [Row(k=None, v="new", op=OP_UPSERT, version=5)],
+            schema="k bigint, v string, op string, version bigint",
+        ),
+        ["k"],
+    ).collect()
+    rows = sorted(((r.v, r.valid_from, r.valid_to) for r in out))
+    assert rows == [("new", 5, None), ("old", 0, 5)], (
+        "null-keyed current interval must close at the incoming version"
+    )
