@@ -6,9 +6,20 @@ from .kafka import (
     to_wire,
     from_wire,
 )
-from .files import read_json_stream, read_parquet_stream
+from .files import (
+    documents_schema,
+    ingest_report,
+    read_csv,
+    read_json_stream,
+    read_jsonl,
+    read_parquet_stream,
+)
 
 __all__ = [
+    "documents_schema",
+    "ingest_report",
+    "read_csv",
+    "read_jsonl",
     "read_kafka_stream",
     "read_kafka_batch",
     "write_kafka_stream",

@@ -1,0 +1,112 @@
+"""Batch crawl ingestion (sources/files.py r6): schema-pinned JSONL/CSV
+readers with corrupt-record quarantine — the front door of the corpus."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pytest
+
+from kafka_streams_task_spark.sources.files import (
+    documents_schema,
+    ingest_report,
+    read_csv,
+    read_jsonl,
+)
+
+GOOD = [
+    '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "web", "n_chars": 11}',
+    '{"doc_id": 2, "text": "bonjour", "lang": "fr", "source": "web", "n_chars": 7}',
+    '{"doc_id": 3, "text": "with \\"quotes\\"", "lang": "en", "source": "books", "n_chars": 13}',
+]
+BAD = [
+    '{"doc_id": 4, "text": "truncated...',          # unterminated JSON
+    'not json at all',                                # garbage line
+    '{"doc_id": "not-a-number-and-no-other-fields"}', # type-mangled, all-null row
+]
+
+
+def _write_shards(tmpdir, lines, name="shard0.jsonl", gz=False):
+    p = os.path.join(str(tmpdir), name)
+    if gz:
+        with gzip.open(p, "wt", encoding="utf-8") as f:
+            f.write("\n".join(lines) + "\n")
+    else:
+        with open(p, "w", encoding="utf-8") as f:
+            f.write("\n".join(lines) + "\n")
+    return str(tmpdir)
+
+
+def test_jsonl_clean_rows_typed_and_complete(spark, tmpdir):
+    path = _write_shards(tmpdir, GOOD + BAD)
+    q = os.path.join(str(tmpdir), "_quarantine")
+    out = read_jsonl(spark, path, documents_schema(), quarantine_path=q)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].text == "hello world" and rows[1].n_chars == 11
+    assert rows[3].text == 'with "quotes"'
+    assert dict(out.dtypes)["doc_id"] == "bigint"
+
+
+def test_jsonl_quarantine_preserves_raw_lines(spark, tmpdir):
+    path = _write_shards(tmpdir, GOOD + BAD)
+    q = os.path.join(str(tmpdir), "_quarantine")
+    clean = read_jsonl(spark, path, documents_schema(), quarantine_path=q)
+    n_clean, n_bad = ingest_report(clean, q, spark)
+    assert n_clean == 3
+    assert n_bad >= 2, "malformed lines must land in the quarantine"
+    raws = {r.raw for r in spark.read.parquet(q).collect()}
+    assert any("truncated" in r for r in raws)
+    assert "not json at all" in raws
+
+
+def test_jsonl_no_quarantine_path_still_filters(spark, tmpdir):
+    path = _write_shards(tmpdir, GOOD + BAD)
+    out = read_jsonl(spark, path, documents_schema())
+    assert out.count() == 3
+
+
+def test_jsonl_gzip_shards(spark, tmpdir):
+    path = _write_shards(tmpdir, GOOD, name="shard0.jsonl.gz", gz=True)
+    out = read_jsonl(spark, path, documents_schema())
+    assert out.count() == 3
+
+
+def test_jsonl_rejects_corrupt_column_in_schema(spark, tmpdir):
+    from pyspark.sql import types as T
+
+    bad_schema = T.StructType([T.StructField("_corrupt_record", T.StringType())])
+    with pytest.raises(ValueError, match="_corrupt_record"):
+        read_jsonl(spark, str(tmpdir), bad_schema)
+
+
+def test_csv_clean_and_quarantine(spark, tmpdir):
+    lines = [
+        "doc_id,text,lang,source,n_chars",
+        '1,hello,en,web,5',
+        '2,"has,comma",fr,web,9',
+        'not-a-number,text,en,web,4',   # doc_id unparseable
+    ]
+    p = os.path.join(str(tmpdir), "shard0.csv")
+    with open(p, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    q = os.path.join(str(tmpdir), "_quarantine")
+    out = read_csv(spark, str(tmpdir), documents_schema(), quarantine_path=q)
+    rows = {r.doc_id: r.text for r in out.collect()}
+    assert rows == {1: "hello", 2: "has,comma"}
+    raws = {r.raw for r in spark.read.parquet(q).collect()}
+    assert any("not-a-number" in r for r in raws)
+
+
+def test_ingest_feeds_the_pipeline(spark, tmpdir):
+    """Composition: ingested documents flow straight into the engine's
+    text-analysis operators (schema contract holds end to end)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_task_spark.functions.text import token_count
+
+    path = _write_shards(tmpdir, GOOD + BAD)
+    docs = read_jsonl(spark, path, documents_schema())
+    counted = docs.select("doc_id", token_count("text").alias("n_tokens")).collect()
+    assert {r.doc_id: r.n_tokens for r in counted} == {1: 2, 2: 1, 3: 2}
