@@ -180,3 +180,47 @@ def ingest_report(clean: DataFrame, quarantine_parquet: str | None, spark: Spark
         except Exception:  # noqa: BLE001 — no quarantine dir = nothing written
             n_bad = 0
     return n_clean, n_bad
+
+
+def streaming_ingest_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    clean_path: str,
+    quarantine_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Continuous crawl ingestion: the streaming twin of
+    :func:`read_jsonl` — new shards landing under ``path`` are parsed
+    against the explicit schema and split per micro-batch into typed
+    clean parquet and a raw-text quarantine. Returns the started query
+    (``availableNow`` trigger: drain what exists, then stop — rerun on a
+    schedule or swap the trigger for continuous tailing).
+
+    Exactly-once via the file source + checkpoint contract: a shard is
+    read once per checkpoint lineage, and both sinks append inside ONE
+    foreachBatch so a redelivered batch rewrites the same rows rather
+    than forking clean from quarantine. Per-batch work is one text scan
+    of the new shards (the from_json split; no shuffle)."""
+    full = _with_corrupt_field(schema)
+    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT}
+
+    reader = spark.readStream
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    lines = reader.text(path).filter(F.trim("value") != "")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        clean, quarantine = _split_parsed(
+            batch_df, F.from_json(F.col("value"), full, opts)
+        )
+        clean.write.mode("append").parquet(clean_path)
+        quarantine.write.mode("append").parquet(quarantine_path)
+
+    return (
+        lines.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

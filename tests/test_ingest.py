@@ -110,3 +110,37 @@ def test_ingest_feeds_the_pipeline(spark, tmpdir):
     docs = read_jsonl(spark, path, documents_schema())
     counted = docs.select("doc_id", token_count("text").alias("n_tokens")).collect()
     assert {r.doc_id: r.n_tokens for r in counted} == {1: 2, 2: 1, 3: 2}
+
+
+def test_streaming_ingest_jsonl(spark, tmpdir):
+    """Streaming twin: shards drain through availableNow into typed clean
+    parquet + raw quarantine; a second run with NEW shards appends only
+    the new data (checkpointed file source)."""
+    import time
+
+    from kafka_streams_task_spark.sources.files import streaming_ingest_jsonl
+
+    src = os.path.join(str(tmpdir), "landing")
+    os.makedirs(src)
+    clean_p = os.path.join(str(tmpdir), "clean")
+    quar_p = os.path.join(str(tmpdir), "quar")
+    ckpt = os.path.join(str(tmpdir), "ckpt")
+
+    with open(os.path.join(src, "s0.jsonl"), "w") as f:
+        f.write("\n".join(GOOD[:2] + BAD[:1]) + "\n")
+    q = streaming_ingest_jsonl(
+        spark, src, documents_schema(), clean_p, quar_p, ckpt
+    )
+    q.awaitTermination(120)
+    assert {r.doc_id for r in spark.read.parquet(clean_p).collect()} == {1, 2}
+    assert spark.read.parquet(quar_p).count() == 1
+
+    # second drain: only the new shard is ingested
+    with open(os.path.join(src, "s1.jsonl"), "w") as f:
+        f.write(GOOD[2] + "\n")
+    q2 = streaming_ingest_jsonl(
+        spark, src, documents_schema(), clean_p, quar_p, ckpt
+    )
+    q2.awaitTermination(120)
+    assert {r.doc_id for r in spark.read.parquet(clean_p).collect()} == {1, 2, 3}
+    assert spark.read.parquet(quar_p).count() == 1, "old shard must not re-ingest"
