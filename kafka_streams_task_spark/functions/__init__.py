@@ -1,3 +1,12 @@
 from .geohash import geohash, geohash_encode, geohash_expr, geohash_udf
+from .url import extract_host, normalize_url, registered_domain
 
-__all__ = ["geohash", "geohash_encode", "geohash_expr", "geohash_udf"]
+__all__ = [
+    "geohash",
+    "geohash_encode",
+    "geohash_expr",
+    "geohash_udf",
+    "extract_host",
+    "normalize_url",
+    "registered_domain",
+]

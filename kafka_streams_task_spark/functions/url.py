@@ -1,0 +1,123 @@
+"""URL normalization and domain extraction — the crawl-pipeline stage
+between ingestion and dedup/mixing (domain-level quality lists, per-domain
+mix rates, URL-keyed exact dedup all key on these).
+
+Reference provenance: no analogue in idavkaev/kafka-streams-task (its keys
+are geohashes); this extends the engine's text-analysis family (SURVEY.md
+north-star extensions) the way a crawl corpus needs.
+
+All functions are single codegen expressions (regexp / string ops on the
+JVM, no Python, no shuffle) — at 100 TB these run inside the ingest scan's
+Project. The registered-domain heuristic is deliberately list-light: a
+small built-in set of two-part public suffixes covers the common cases
+(co.uk, com.au, ...) without shipping the full Public Suffix List; swap in
+the PSL as a broadcast join if exactness matters (documented trade)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: common two-part public suffixes (a pragmatic subset of the PSL: the
+#: full list is ~9k entries and would be a broadcast-joined table, not an
+#: expression — see module docstring)
+TWO_PART_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "co.in", "net.in", "org.in", "gov.in", "ac.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "co.kr", "or.kr", "ac.kr", "go.kr",
+    "com.mx", "org.mx", "gob.mx",
+    "co.za", "org.za", "gov.za", "ac.za",
+    "com.tr", "org.tr", "gov.tr", "edu.tr",
+    "com.sg", "edu.sg", "gov.sg",
+    "co.nz", "org.nz", "govt.nz", "ac.nz",
+)
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def _with_scheme(c: Column) -> Column:
+    """Scheme-qualify scheme-relative (``//host/x``) and bare
+    (``host/x``) URL forms so the parser sees an authority; already-
+    schemed URLs pass through."""
+    return F.when(
+        c.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), c
+    ).otherwise(F.concat(F.lit("http://"), F.regexp_replace(c, r"^//", "")))
+
+
+def extract_host(url: Column | str) -> Column:
+    """Lowercased host of a URL: strips scheme, credentials, port, path,
+    query, and fragment; NULL for strings with no recognizable host.
+    ``try_parse_url`` is Spark's builtin URL parser (null on malformed,
+    codegen)."""
+    c = F.trim(_col(url))
+    host = F.lower(F.try_parse_url(c, F.lit("HOST")))
+    fallback = F.lower(F.try_parse_url(_with_scheme(c), F.lit("HOST")))
+    return F.coalesce(host, fallback)
+
+
+def registered_domain(url: Column | str) -> Column:
+    """The registrable domain (eTLD+1 heuristic): last two host labels,
+    or last THREE when the two-label tail is a known two-part public
+    suffix (:data:`TWO_PART_SUFFIXES`). ``example.co.uk`` and
+    ``a.b.example.co.uk`` both map to ``example.co.uk``; IPv4 hosts pass
+    through unchanged."""
+    host = extract_host(url)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    last3 = F.concat_ws(
+        ".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    two_part = F.lit(False)
+    for s in TWO_PART_SUFFIXES:
+        two_part = two_part | (last2 == F.lit(s))
+    return (
+        F.when(host.isNull(), F.lit(None).cast("string"))
+        .when(is_ip, host)
+        .when(n <= 2, host)
+        .when(two_part & (n >= 3), last3)
+        .otherwise(last2)
+    )
+
+
+def normalize_url(url: Column | str) -> Column:
+    """Canonical URL for exact URL-level dedup: lowercase scheme+host,
+    default ports dropped, fragment dropped, tracking query parameters
+    removed (utm_*, fbclid, gclid, ref), trailing slash normalized on
+    empty paths. Deterministic pure expression — two URLs that differ
+    only in these details dedup to one key."""
+    c = F.trim(_col(url))
+    scheme = F.lower(F.coalesce(F.try_parse_url(c, F.lit("PROTOCOL")), F.lit("http")))
+    host = extract_host(c)
+    # parse_url HOST excludes the port; recover it separately
+    qualified = _with_scheme(c)
+    authority = F.try_parse_url(qualified, F.lit("AUTHORITY"))
+    port = F.regexp_extract(F.coalesce(authority, F.lit("")), r":(\d+)$", 1)
+    default_port = (
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+        | (port == "")
+    )
+    port_part = F.when(default_port, F.lit("")).otherwise(F.concat(F.lit(":"), port))
+    path = F.coalesce(F.try_parse_url(qualified, F.lit("PATH")), F.lit(""))
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.coalesce(F.try_parse_url(qualified, F.lit("QUERY")), F.lit(""))
+    # strip tracking params: split on '&', drop matches, re-join (codegen
+    # array ops — no Python)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: ~p.rlike(r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=") & (p != ""),
+    )
+    qpart = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    return F.when(host.isNull(), F.lit(None).cast("string")).otherwise(
+        F.concat(scheme, F.lit("://"), host, port_part, path, qpart)
+    )
