@@ -523,3 +523,54 @@ def char_entropy(text) -> F.Column:
     n_d = n.cast("double")
     h = (F.log(n_d) - acc / n_d) / F.log(F.lit(2.0))
     return F.when(n > 0, h).otherwise(F.lit(0.0))
+
+
+def clean_text(
+    text: Column | str,
+    *,
+    keep_newlines: bool = True,
+) -> Column:
+    """Pre-tokenization text normalization (r6) — the cleanup stage a
+    crawl shard goes through before any token/quality operator:
+
+    * control characters stripped (C0/C1 except tab + newline; DEL;
+      zero-width space/joiners; BOM; soft hyphen),
+    * exotic unicode spaces (NBSP, ogham/en/em/thin/ideographic spaces,
+      line/paragraph separators) folded to plain space — tokenizers
+      split on ``[ \\t\\n\\r\\f]``, so an NBSP-joined crawl would
+      otherwise produce mega-tokens,
+    * CRLF/CR folded to LF; horizontal runs squashed to one space;
+      3+ newline runs squashed to 2 (paragraph break preserved),
+    * leading/trailing whitespace trimmed.
+
+    ``keep_newlines=False`` flattens everything to single spaces (the
+    one-line-per-doc layout the exact-substring and line-dedup operators
+    don't want, but embedding pipelines often do).
+
+    One codegen regexp chain over the scan — no Python, no shuffle;
+    deliberately NOT unicode NFC/NFKC (Spark has no native normalizer;
+    that step belongs in a vectorized Arrow stage if a corpus needs it,
+    and silently changing codepoints would break exact-dedup digests
+    computed before/after — see SCALE.md).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    # controls + format chars that hide inside crawled text
+    c = F.regexp_replace(
+        c,
+        "[\\x00-\\x08\\x0b\\x0e-\\x1f\\x7f\\x80-\\x9f\\u200b\\u200c\\u200d\\u2060\\ufeff\\u00ad]",
+        "",
+    )
+    # unicode space zoo -> plain space
+    c = F.regexp_replace(
+        c,
+        "[\\u00a0\\u1680\\u2000-\\u200a\\u202f\\u205f\\u3000\\u2028\\u2029]",
+        " ",
+    )
+    c = F.regexp_replace(c, "\\r\\n?", "\n")
+    if keep_newlines:
+        c = F.regexp_replace(c, "[ \\t\\f]+", " ")      # squash horizontal runs
+        c = F.regexp_replace(c, " ?\\n ?", "\n")          # spaces hugging newlines
+        c = F.regexp_replace(c, "\\n{3,}", "\n\n")       # cap blank runs
+    else:
+        c = F.regexp_replace(c, "[ \\t\\f\\n]+", " ")
+    return F.trim(c)

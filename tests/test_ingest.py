@@ -144,3 +144,55 @@ def test_streaming_ingest_jsonl(spark, tmpdir):
     q2.awaitTermination(120)
     assert {r.doc_id for r in spark.read.parquet(clean_p).collect()} == {1, 2, 3}
     assert spark.read.parquet(quar_p).count() == 1, "old shard must not re-ingest"
+
+
+# ------------------------------------------------------------- clean_text
+
+
+def test_clean_text_normalizes_crawl_artifacts(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_streams_task_spark.functions.text import clean_text, tokens
+
+    raw = (
+        "﻿Title with odd　spaces\r\n\r\n\r\n"
+        "zero​width­join\x07bell\r\ntail   runs\t\there  "
+    )
+    out = (
+        spark.createDataFrame([(raw,)], ["t"])
+        .select(clean_text("t").alias("c"))
+        .first()
+        .c
+    )
+    assert out == (
+        "Title with odd spaces\n\nzerowidthjoinbell\ntail runs here"
+    )
+    # tokenizer now sees sane tokens (no NBSP mega-token)
+    toks = (
+        spark.createDataFrame([(raw,)], ["t"])
+        .select(tokens(clean_text("t")).alias("k"))
+        .first()
+        .k
+    )
+    assert "with" in toks and "spaces" in toks
+
+
+def test_clean_text_flatten_mode(spark):
+    from kafka_streams_task_spark.functions.text import clean_text
+
+    raw = "a\n\nb\nc"
+    out = (
+        spark.createDataFrame([(raw,)], ["t"])
+        .select(clean_text("t", keep_newlines=False).alias("c"))
+        .first()
+        .c
+    )
+    assert out == "a b c"
+
+
+def test_clean_text_is_codegen_only(spark):
+    from kafka_streams_task_spark.functions.text import clean_text
+
+    df = spark.createDataFrame([("x",)], ["t"])
+    plan = df.select(clean_text("t"))._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan
