@@ -1,0 +1,102 @@
+"""Catalog-wide physical-plan invariants (r6): the per-operator plan pins
+scattered through the suite guard individual shapes; this enforces the
+GLOBAL floors over every registered driver query at once, so a refactor
+cannot silently regress a slot nobody's specific pin covers.
+
+Plan-only (no execution): builds each query's executedPlan string at
+sf0.001 and checks node inventories.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from kafka_streams_task_spark.catalog import CATALOG
+
+PY_STAGES = r"BatchEvalPython|ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas"
+
+#: queries allowed a BroadcastNestedLoopJoin — every entry is a literal
+#: crossJoin against a broadcast scalar/1-row relation (corpus stats,
+#: recall-gate counters) or the range-band join's inequality condition;
+#: none of these grows with the corpus on its non-broadcast side.
+BNLJ_ALLOWED = {
+    "dedup_minhash_lsh_recall",
+    "dedup_simhash_recall",
+    "dedup_embedding_cosine_recall",
+    "sample_pack_pipeline",
+    "llm_text_model_suite",
+    "llm_retrieval_suite",
+    "similarity_knn_suite",
+    "range_band_join",
+    "regex_scalar_customer",
+    "q6_q19_filter_aggregates",
+}
+
+#: queries allowed Python/Arrow stages, with a ceiling per query — every
+#: stage is a vectorized (Arrow-batched) operator documented in
+#: COVERAGE.md (minhash signatures, BPE training/encode, pack_sequences
+#: state, multimodal decode, kmeans/IVF-PQ train+index); row-at-a-time
+#: BatchEvalPython never appears anywhere.
+PY_ALLOWED = {
+    "dedup_minhash_lsh_recall": 2,
+    "dedup_embedding_cosine_recall": 2,
+    "text_bpe_token_counts": 2,
+    "sample_pack_pipeline": 3,
+    "llm_text_model_suite": 6,
+    "multimodal_suite": 2,
+    "similarity_knn_suite": 20,
+}
+
+_SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    out = {}
+    for name, spec in CATALOG.items():
+        out[name] = (
+            spec.fn(spark, _SF)._jdf.queryExecution().executedPlan().toString()
+        )
+    return out
+
+
+def test_catalog_registers_exactly_fifty(plans):
+    assert len(plans) == 50
+
+
+def test_no_cartesian_product_anywhere(plans):
+    offenders = {n for n, p in plans.items() if "CartesianProduct" in p}
+    assert not offenders, f"cartesian products in: {sorted(offenders)}"
+
+
+def test_nested_loop_joins_only_where_allowed(plans):
+    offenders = {
+        n for n, p in plans.items()
+        if "BroadcastNestedLoopJoin" in p and n not in BNLJ_ALLOWED
+    }
+    assert not offenders, (
+        f"unexpected BroadcastNestedLoopJoin in: {sorted(offenders)} — if the "
+        "join is a deliberate broadcast-scalar crossJoin, add it to "
+        "BNLJ_ALLOWED with a comment; otherwise the plan regressed"
+    )
+
+
+def test_python_stages_only_where_allowed(plans):
+    for name, plan in plans.items():
+        n_py = len(re.findall(PY_STAGES, plan))
+        cap = PY_ALLOWED.get(name, 0)
+        assert n_py <= cap, (
+            f"{name}: {n_py} Python/Arrow stages (cap {cap}) — either a "
+            "JVM-expressible path grew a UDF, or update PY_ALLOWED with "
+            "the rationale"
+        )
+
+
+def test_no_row_at_a_time_python_anywhere(plans):
+    offenders = {n for n, p in plans.items() if "BatchEvalPython" in p}
+    assert not offenders, (
+        f"row-at-a-time Python UDFs in: {sorted(offenders)} — use an "
+        "Arrow-batched pandas UDF or a builtin expression"
+    )
