@@ -573,4 +573,7 @@ def clean_text(
         c = F.regexp_replace(c, "\\n{3,}", "\n\n")       # cap blank runs
     else:
         c = F.regexp_replace(c, "[ \\t\\f\\n]+", " ")
-    return F.trim(c)
+    # edge trim must be whitespace-class-aware: Spark's trim() strips only
+    # ASCII spaces, so leading/trailing newlines would survive and split
+    # exact-dedup digests on trailing-newline crawl variants
+    return F.regexp_replace(c, "^\\s+|\\s+$", "")

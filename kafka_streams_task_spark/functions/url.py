@@ -58,7 +58,10 @@ def extract_host(url: Column | str) -> Column:
     c = F.trim(_col(url))
     host = F.lower(F.try_parse_url(c, F.lit("HOST")))
     fallback = F.lower(F.try_parse_url(_with_scheme(c), F.lit("HOST")))
-    return F.coalesce(host, fallback)
+    # canonical hosts carry no trailing dot: 'example.com.' (absolute-form
+    # FQDN, legal in crawls) must key with 'example.com', and a trailing
+    # empty label would collapse registered_domain to the bare TLD
+    return F.regexp_replace(F.coalesce(host, fallback), r"\.$", "")
 
 
 def registered_domain(url: Column | str) -> Column:

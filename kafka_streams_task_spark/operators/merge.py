@@ -298,7 +298,11 @@ _PENDING_MANIFEST = "_merge_pending.json"
 
 
 def _partition_dir_names(
-    spark: SparkSession, template: DataFrame, partition_col: str, values: list
+    spark: SparkSession,
+    template: DataFrame,
+    partition_col: str,
+    values: list,
+    render_type=None,
 ) -> list[str]:
     """The exact directory names Spark's writer produces for partition
     ``values`` — Spark's own cast-to-string rendering (one tiny local
@@ -307,16 +311,23 @@ def _partition_dir_names(
     through ExternalCatalogUtils escaping (special characters, and the
     ``__HIVE_DEFAULT_PARTITION__`` null rendering). A raw f-string
     ``col=value`` path misses the real directory for any of these, so a
-    takedown-delete would silently leave the stale files readable."""
+    takedown-delete would silently leave the stale files readable.
+
+    ``values`` are typed by ``template``'s ``partition_col`` field;
+    ``render_type`` (when given) is the type the WRITER renders under —
+    values are cast template-type -> render_type -> string, so e.g. an
+    int delta value renders '1.0' when the snapshot partitions by
+    double."""
     from pyspark.sql.types import StructType
 
     if not values:
         return []
     field = template.schema[partition_col]
     sdf = spark.createDataFrame([(v,) for v in values], schema=StructType([field]))
-    rendered = [
-        r[0] for r in sdf.select(F.col(partition_col).cast("string")).collect()
-    ]
+    col = F.col(partition_col)
+    if render_type is not None:
+        col = col.cast(render_type)
+    rendered = [r[0] for r in sdf.select(col.cast("string")).collect()]
     ecu = spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     return [ecu.getPartitionPathString(partition_col, s) for s in rendered]
 
@@ -464,7 +475,7 @@ def merge_into_partitioned(
     the merged state instead of stranding a mix. A crash before the
     manifest leaves the prior snapshot fully intact (staging is an
     orphan, cleaned by recovery). Partition directory names go through
-    Spark's own escaping (see :func:`_partition_dir_name`), so special
+    Spark's own escaping (see :func:`_partition_dir_names`), so special
     characters and null partition values publish and delete correctly.
 
     Readers racing the publish window see partition swaps (same
@@ -505,6 +516,33 @@ def merge_into_partitioned(
     merged = apply_changes(
         snap, changes, key_cols, version_col, op_col
     ).localCheckpoint(eager=True)
+    # Partition-rendering guard: the union inside apply_changes coerces
+    # the partition column to the COMMON type of snapshot and delta, and
+    # the staged directories are written under THAT type while the live
+    # directories were written under the snapshot's. If the two types
+    # render any touched value differently (int snapshot dirs 'part=1'
+    # + double delta -> staged 'part=1.0'), the publish would plant new
+    # directories BESIDE the live ones and double the data — refuse.
+    # Type pairs whose renderings agree (boolean delta on a
+    # string-inferred snapshot: both 'true') are fine.
+    snap_ptype = snap.schema[partition_col].dataType
+    merged_ptype = merged.schema[partition_col].dataType
+    under_snap = _partition_dir_names(
+        spark, changes, partition_col, touched, render_type=snap_ptype
+    )
+    if merged_ptype != snap_ptype:
+        under_merged = _partition_dir_names(
+            spark, changes, partition_col, touched, render_type=merged_ptype
+        )
+        if under_merged != under_snap:
+            raise ValueError(
+                f"delta partition column type "
+                f"{changes.schema[partition_col].dataType.simpleString()} renders "
+                f"partition directories differently than the snapshot's "
+                f"{snap_ptype.simpleString()} ({under_merged} vs {under_snap}) — "
+                "cast the delta's partition column to the snapshot's type "
+                "before merging, or directory names diverge and duplicate data"
+            )
     commit = uuid.uuid4().hex[:12]
     staging = f"{snapshot_path}/{_STAGING_DIR}/{commit}"
     try:
@@ -530,11 +568,13 @@ def merge_into_partitioned(
     manifest = {
         "commit": commit,
         "partition_col": partition_col,
-        "touched": _partition_dir_names(spark, changes, partition_col, touched),
-        # surviving values were collected from `merged` — use its schema
-        # (the snapshot read's inferred partition type) for rendering
+        # touched rendered above (under_snap); surviving values come from
+        # `merged` and render under the same snapshot partition type (the
+        # type the live directory names are written in)
+        "touched": under_snap,
         "surviving": _partition_dir_names(
-            spark, merged, partition_col, sorted(surviving, key=str)
+            spark, merged, partition_col, sorted(surviving, key=str),
+            render_type=snap_ptype,
         ),
     }
     _write_manifest(spark, snapshot_path, manifest)

@@ -112,8 +112,13 @@ def _ingest(
     if quarantine_path is not None:
         # write the quarantine BEFORE returning, so it exists even if the
         # caller never materializes the clean frame; two passes over the
-        # same text scan (no shuffle in either) beat persisting raw text
-        quarantine.write.mode("append").parquet(quarantine_path)
+        # same text scan (no shuffle in either) beat persisting raw text.
+        # OVERWRITE, not append: the quarantine reflects THIS call over
+        # THIS path — re-running the same ingest (retry, notebook re-run)
+        # is idempotent instead of inflating counts without bound. Use a
+        # distinct quarantine path per landing batch (it lives naturally
+        # beside the batch).
+        quarantine.write.mode("overwrite").parquet(quarantine_path)
     return clean
 
 
@@ -155,7 +160,15 @@ def read_csv(
     EXACTLY the schema's column names joined by ``sep`` (the from_csv
     expression has no per-file first-line notion; a crawl shard whose
     header deviates from the contract shows up in the quarantine, which
-    is the correct signal)."""
+    is the correct signal).
+
+    LINE-BASED: records must be single-line — a quoted field with an
+    embedded newline (legal CSV) is shattered into fragments that land
+    in the quarantine, which is the detection signal but NOT recovery.
+    Crawl/export dumps normally escape newlines (\n) inside fields; for
+    trusted multiline shards use ``spark.read.csv(multiLine=True)``
+    directly and forgo the quarantine (Spark's multiline parser and the
+    corrupt-column restriction do not compose)."""
     full = _with_corrupt_field(schema)
     opts = {"sep": sep, "mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT}
     header_line = sep.join(f.name for f in schema.fields) if header else None
@@ -175,9 +188,14 @@ def ingest_report(clean: DataFrame, quarantine_parquet: str | None, spark: Spark
     n_clean = clean.count()
     n_bad = 0
     if quarantine_parquet is not None:
+        from pyspark.errors import AnalysisException
+
         try:
             n_bad = spark.read.parquet(quarantine_parquet).count()
-        except Exception:  # noqa: BLE001 — no quarantine dir = nothing written
+        except AnalysisException:
+            # path-not-found = nothing was quarantined; any OTHER failure
+            # (permissions, corrupt footer) must propagate — reporting
+            # "0 malformed" over a broken quarantine hides data loss
             n_bad = 0
     return n_clean, n_bad
 
@@ -198,11 +216,13 @@ def streaming_ingest_jsonl(
     (``availableNow`` trigger: drain what exists, then stop — rerun on a
     schedule or swap the trigger for continuous tailing).
 
-    Exactly-once via the file source + checkpoint contract: a shard is
-    read once per checkpoint lineage, and both sinks append inside ONE
-    foreachBatch so a redelivered batch rewrites the same rows rather
-    than forking clean from quarantine. Per-batch work is one text scan
-    of the new shards (the from_json split; no shuffle)."""
+    Exactly-once despite foreachBatch's at-least-once delivery: each
+    batch writes (overwrites) its OWN ``batch=<id>`` partition directory
+    in both sinks, so a redelivered batch rewrites the same directory
+    instead of appending duplicates, and clean/quarantine cannot fork.
+    Readers see the batch id as a partition column (ingest provenance).
+    Per-batch work is one text scan of the new shards (the from_json
+    split; no shuffle)."""
     full = _with_corrupt_field(schema)
     opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT}
 
@@ -215,8 +235,15 @@ def streaming_ingest_jsonl(
         clean, quarantine = _split_parsed(
             batch_df, F.from_json(F.col("value"), full, opts)
         )
-        clean.write.mode("append").parquet(clean_path)
-        quarantine.write.mode("append").parquet(quarantine_path)
+        # batch_id-keyed partition directories, OVERWRITTEN per batch: a
+        # blind append under foreachBatch's at-least-once contract would
+        # duplicate rows on redelivery; rewriting batch=<id> makes the
+        # replay idempotent. Readers see a `batch` partition column — the
+        # ingest commit id, free provenance.
+        clean.write.mode("overwrite").parquet(f"{clean_path}/batch={batch_id}")
+        quarantine.write.mode("overwrite").parquet(
+            f"{quarantine_path}/batch={batch_id}"
+        )
 
     return (
         lines.writeStream.foreachBatch(process)

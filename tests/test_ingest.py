@@ -196,3 +196,27 @@ def test_clean_text_is_codegen_only(spark):
     df = spark.createDataFrame([("x",)], ["t"])
     plan = df.select(clean_text("t"))._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_clean_text_trims_edge_newlines(spark):
+    from kafka_streams_task_spark.functions.text import clean_text
+
+    out = (
+        spark.createDataFrame([("\nhello world\n\n",)], ["t"])
+        .select(clean_text("t").alias("c"))
+        .first()
+        .c
+    )
+    assert out == "hello world", repr(out)
+
+
+def test_reingest_is_idempotent(spark, tmpdir):
+    """Re-running the same ingest call (retry, notebook re-run) must not
+    inflate the quarantine — overwrite semantics, one call = one state."""
+    path = _write_shards(tmpdir, GOOD + BAD)
+    q = os.path.join(str(tmpdir), "_quarantine")
+    for _ in range(2):
+        clean = read_jsonl(spark, path, documents_schema(), quarantine_path=q)
+        n_clean, n_bad = ingest_report(clean, q, spark)
+    assert n_clean == 3
+    assert n_bad == len(BAD), f"quarantine inflated: {n_bad}"

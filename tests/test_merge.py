@@ -508,3 +508,42 @@ def test_scd2_null_key_interval_closes(spark):
     assert rows == [("new", 5, None), ("old", 0, 5)], (
         "null-keyed current interval must close at the incoming version"
     )
+
+
+def test_merge_narrowing_delta_partition_type_renders_correctly(spark, tmpdir):
+    """int delta on a double-partitioned snapshot: merged coerces to the
+    snapshot's double, and dir names must render '1.0' (the review's
+    confirmed silent-loss case)."""
+    path = os.path.join(str(tmpdir), "snap")
+    spark.createDataFrame(
+        [Row(k=1, part=1.0, v="one"), Row(k=2, part=2.0, v="two")],
+        schema="k bigint, part double, v string",
+    ).write.partitionBy("part").parquet(path)
+    assert os.path.isdir(os.path.join(path, "part=1.0"))
+
+    changes = spark.createDataFrame(
+        [Row(k=1, part=1, v="ONE", op=OP_UPSERT, version=1)],
+        schema="k bigint, part int, v string, op string, version bigint",
+    )
+    merge_into_partitioned(spark, path, changes, ["k", "part"], "part")
+    out = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert out == {1: "ONE", 2: "two"}, out
+    assert os.path.isdir(os.path.join(path, "part=1.0"))
+    assert not os.path.isdir(os.path.join(path, "part=1")), (
+        "delta-typed directory must not appear beside the snapshot's"
+    )
+
+
+def test_merge_widening_delta_partition_type_refused(spark, tmpdir):
+    """double delta on an int-partitioned snapshot would stage 'part=1.0'
+    beside the live 'part=1' and double the data — must refuse."""
+    path = os.path.join(str(tmpdir), "snap")
+    spark.createDataFrame(
+        [Row(k=1, part=1, v="one")], schema="k bigint, part int, v string"
+    ).write.partitionBy("part").parquet(path)
+    changes = spark.createDataFrame(
+        [Row(k=1, part=1.0, v="ONE", op=OP_UPSERT, version=1)],
+        schema="k bigint, part double, v string, op string, version bigint",
+    )
+    with pytest.raises(ValueError, match="renders partition directories differently"):
+        merge_into_partitioned(spark, path, changes, ["k", "part"], "part")

@@ -101,3 +101,12 @@ def test_normalize_scheme_relative_and_bare(spark):
         _one(spark, normalize_url, "example.net/page?x=1")
         == "http://example.net/page?x=1"
     )
+
+
+def test_trailing_dot_fqdn(spark):
+    """Absolute-form hostnames ('example.com.') must key like their
+    relative form — a trailing empty label would collapse the registered
+    domain to the bare TLD."""
+    assert _one(spark, extract_host, "https://example.com./x") == "example.com"
+    assert _one(spark, registered_domain, "https://example.com./x") == "example.com"
+    assert _one(spark, registered_domain, "https://a.example.co.uk./x") == "example.co.uk"

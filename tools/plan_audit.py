@@ -34,9 +34,12 @@ def audit(plan: str) -> dict:
 
 def main() -> int:
     sf_dir = "/root/testdata/sf0.001"
-    for a in sys.argv[1:]:
+    args = sys.argv[1:]
+    for i, a in enumerate(args):
         if a.startswith("--sf="):
             sf_dir = a.split("=", 1)[1]
+        elif a == "--sf" and i + 1 < len(args):
+            sf_dir = args[i + 1]
 
     from kafka_streams_task_spark.catalog import CATALOG
     from kafka_streams_task_spark.plans import get_spark
