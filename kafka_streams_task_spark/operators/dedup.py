@@ -1345,3 +1345,33 @@ def jaccard_join_tables(
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
         ).alias("jaccard"),
     ).filter(F.col("jaccard") >= F.lit(threshold))
+
+
+def filter_by_domain_list(
+    docs: DataFrame,
+    domains: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+    mode: str = "block",
+) -> DataFrame:
+    """Domain block/allow filtering (r6): drop (``mode='block'``) or keep
+    (``mode='allow'``) documents whose URL's registrable domain appears
+    in ``domains`` — the UT1-blocklist / curated-allowlist stage between
+    ingestion and dedup.
+
+    Scale shape: the list side is a domain-per-row relation (even the
+    full UT1 corpus is a few MB), broadcast by Catalyst under the
+    anti/semi join, so the corpus scans once with a map-side membership
+    probe and never shuffles. The join key is
+    :func:`~kafka_streams_task_spark.functions.url.registered_domain`
+    of the document URL (eTLD+1) — a blocklist entry covers every
+    subdomain, matching how domain lists are published.
+    """
+    from ..functions.url import registered_domain
+
+    if mode not in ("block", "allow"):
+        raise ValueError(f"mode must be 'block' or 'allow', got {mode!r}")
+    keyed = docs.withColumn("_rd", registered_domain(F.col(url_col)))
+    lst = domains.select(F.lower(F.col(domain_col)).alias("_rd")).distinct()
+    how = "left_anti" if mode == "block" else "left_semi"
+    return keyed.join(F.broadcast(lst), on="_rd", how=how).drop("_rd")

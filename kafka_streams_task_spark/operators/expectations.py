@@ -126,3 +126,46 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFram
         ),
         F.col("_n").alias("n_rows"),
     ).select("column", "n_rows", "n_nulls", "n_distinct_approx", "min", "max")
+
+
+def corpus_summary(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    group_cols: tuple[str, ...] = ("lang", "source"),
+) -> DataFrame:
+    """The dataset-card numbers (r6): one row per (group...) with doc
+    count, exact char mass, whitespace-token mass, and approximate
+    length quantiles — what a corpus release publishes per language /
+    source slice, and what a mixing run reads to set temperature rates.
+
+    One partial+final aggregate over one scan (token counts are
+    ``size(split(...))`` — no explode, no Python); quantiles via the
+    percentile_approx sketch (mergeable, bounded memory at any group
+    cardinality). Output is one row per group — bounded driver data.
+    """
+    from ..functions.text import tokens
+
+    n_tok = F.size(tokens(F.col(text_col)))
+    return (
+        df.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length(text_col).cast("long")).alias("n_chars"),
+            F.sum(n_tok.cast("long")).alias("n_tokens"),
+            F.min(n_tok).alias("min_tokens"),
+            F.max(n_tok).alias("max_tokens"),
+            F.percentile_approx(n_tok, [0.5, 0.9, 0.99]).alias("_q"),
+        )
+        .select(
+            *group_cols,
+            "n_docs",
+            "n_chars",
+            "n_tokens",
+            "min_tokens",
+            "max_tokens",
+            F.element_at("_q", 1).alias("p50_tokens"),
+            F.element_at("_q", 2).alias("p90_tokens"),
+            F.element_at("_q", 3).alias("p99_tokens"),
+        )
+    )

@@ -220,3 +220,52 @@ def test_reingest_is_idempotent(spark, tmpdir):
         n_clean, n_bad = ingest_report(clean, q, spark)
     assert n_clean == 3
     assert n_bad == len(BAD), f"quarantine inflated: {n_bad}"
+
+
+# ---------------------------------------------- corpus summary + domain list
+
+
+def test_corpus_summary(spark, sf_dir):
+    from kafka_streams_task_spark.operators.expectations import corpus_summary
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = corpus_summary(docs).collect()
+    assert out, "summary must have group rows"
+    total_docs = sum(r.n_docs for r in out)
+    assert total_docs == docs.count()
+    for r in out:
+        assert r.min_tokens <= r.p50_tokens <= r.p90_tokens <= r.p99_tokens <= r.max_tokens
+        assert r.n_chars > 0 and r.n_tokens > 0
+
+
+def test_corpus_summary_single_aggregate_plan(spark, sf_dir):
+    from kafka_streams_task_spark.operators.expectations import corpus_summary
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    plan = corpus_summary(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1, "summary must be one scan"
+    assert "Generate" not in plan, "no explode — token counts are size(split())"
+
+
+def test_filter_by_domain_list(spark):
+    from pyspark.sql import Row
+
+    from kafka_streams_task_spark.operators.dedup import filter_by_domain_list
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, url="https://spam.example.com/a"),
+            Row(doc_id=2, url="https://sub.deep.spam.example.com/b"),  # subdomain
+            Row(doc_id=3, url="https://good.org/c"),
+            Row(doc_id=4, url="https://other.net/d"),
+        ]
+    )
+    lst = spark.createDataFrame([Row(domain="example.com")])
+    blocked = {r.doc_id for r in filter_by_domain_list(docs, lst, mode="block").collect()}
+    assert blocked == {3, 4}, "blocklist must cover all subdomains"
+    allowed = {r.doc_id for r in filter_by_domain_list(docs, lst, mode="allow").collect()}
+    assert allowed == {1, 2}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="block"):
+        filter_by_domain_list(docs, lst, mode="nope")
