@@ -90,12 +90,21 @@ def registered_domain(url: Column | str) -> Column:
     )
 
 
-def normalize_url(url: Column | str) -> Column:
+#: default strip-list: UNAMBIGUOUS tracking parameters only. ``ref`` is
+#: deliberately absent — unlike utm_*/fbclid/gclid it is used functionally
+#: on major sites (GitHub's ``?ref=<branch>`` selects content), so
+#: stripping it would collapse genuinely distinct pages to one dedup key.
+TRACKING_PARAM_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid)="
+
+
+def normalize_url(url: Column | str, strip_params_re: str = TRACKING_PARAM_RE) -> Column:
     """Canonical URL for exact URL-level dedup: lowercase scheme+host,
     default ports dropped, fragment dropped, tracking query parameters
-    removed (utm_*, fbclid, gclid, ref), trailing slash normalized on
-    empty paths. Deterministic pure expression — two URLs that differ
-    only in these details dedup to one key."""
+    removed (``strip_params_re`` — default :data:`TRACKING_PARAM_RE`,
+    the unambiguous utm_*/fbclid/gclid set; pass a wider pattern per
+    corpus if its URLs carry more), trailing slash normalized on empty
+    paths. Deterministic pure expression — two URLs that differ only in
+    these details dedup to one key."""
     c = F.trim(_col(url))
     scheme = F.lower(F.coalesce(F.try_parse_url(c, F.lit("PROTOCOL")), F.lit("http")))
     host = extract_host(c)
@@ -116,7 +125,7 @@ def normalize_url(url: Column | str) -> Column:
     # array ops — no Python)
     params = F.filter(
         F.split(query, "&"),
-        lambda p: ~p.rlike(r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|ref)=") & (p != ""),
+        lambda p: ~p.rlike(strip_params_re) & (p != ""),
     )
     qpart = F.when(
         F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))

@@ -1359,19 +1359,41 @@ def filter_by_domain_list(
     in ``domains`` — the UT1-blocklist / curated-allowlist stage between
     ingestion and dedup.
 
+    Entry semantics are HOST-SUFFIX match (how UT1-style lists are
+    meant): an entry matches a document whose URL host equals it or is a
+    subdomain of it. A registrable-domain entry (``example.com``) covers
+    every host under it; a subdomain/host entry (``ads.example.com`` —
+    common in real category lists) covers only that subtree, instead of
+    silently never matching (the pre-r7 equi-join on eTLD+1 keys
+    lowercased the list side only, so such entries were dead rows).
+    Entries are normalized like document URLs (case, trailing dot,
+    scheme/path cruft); unparseable entries are dropped.
+
     Scale shape: the list side is a domain-per-row relation (even the
     full UT1 corpus is a few MB), broadcast by Catalyst under the
-    anti/semi join, so the corpus scans once with a map-side membership
-    probe and never shuffles. The join key is
-    :func:`~kafka_streams_task_spark.functions.url.registered_domain`
-    of the document URL (eTLD+1) — a blocklist entry covers every
-    subdomain, matching how domain lists are published.
+    anti/semi join, so the corpus scans once with a map-side probe and
+    never shuffles. The equi-key is the eTLD+1
+    (:func:`~kafka_streams_task_spark.functions.url.registered_domain`)
+    of BOTH sides — the suffix comparison runs as the hash join's
+    residual condition on the (tiny) set of same-registrable-domain
+    candidates, so the join stays a BroadcastHashJoin.
     """
-    from ..functions.url import registered_domain
+    from ..functions.url import extract_host, registered_domain
 
     if mode not in ("block", "allow"):
         raise ValueError(f"mode must be 'block' or 'allow', got {mode!r}")
-    keyed = docs.withColumn("_rd", registered_domain(F.col(url_col)))
-    lst = domains.select(F.lower(F.col(domain_col)).alias("_rd")).distinct()
+    keyed = docs.withColumn("_host", extract_host(F.col(url_col))).withColumn(
+        "_rd", registered_domain(F.col(url_col))
+    )
+    lst = (
+        domains.select(extract_host(F.col(domain_col)).alias("_ehost"))
+        .filter(F.col("_ehost").isNotNull())
+        .withColumn("_erd", registered_domain(F.col("_ehost")))
+        .distinct()
+    )
+    cond = (F.col("_rd") == F.col("_erd")) & (
+        (F.col("_host") == F.col("_ehost"))
+        | F.col("_host").endswith(F.concat(F.lit("."), F.col("_ehost")))
+    )
     how = "left_anti" if mode == "block" else "left_semi"
-    return keyed.join(F.broadcast(lst), on="_rd", how=how).drop("_rd")
+    return keyed.join(F.broadcast(lst), on=cond, how=how).drop("_host", "_rd")

@@ -160,7 +160,11 @@ def read_csv(
     EXACTLY the schema's column names joined by ``sep`` (the from_csv
     expression has no per-file first-line notion; a crawl shard whose
     header deviates from the contract shows up in the quarantine, which
-    is the correct signal).
+    is the correct signal). Corollary: with an all-string schema, a DATA
+    row that coincides byte-for-byte with the header line is silently
+    dropped too (not quarantined) — it is indistinguishable from a
+    header without per-file line numbers; quoted-header variants
+    (``"doc_id",...``) are NOT dropped and land in the quarantine.
 
     LINE-BASED: records must be single-line — a quoted field with an
     embedded newline (legal CSV) is shattered into fragments that land
@@ -192,10 +196,19 @@ def ingest_report(clean: DataFrame, quarantine_parquet: str | None, spark: Spark
 
         try:
             n_bad = spark.read.parquet(quarantine_parquet).count()
-        except AnalysisException:
-            # path-not-found = nothing was quarantined; any OTHER failure
-            # (permissions, corrupt footer) must propagate — reporting
-            # "0 malformed" over a broken quarantine hides data loss
+        except AnalysisException as e:
+            # ONLY path-not-found means "nothing was quarantined" (the
+            # ingest writes the quarantine dir whenever it has rows);
+            # every other failure — empty/truncated dir, permissions,
+            # unreadable footers — is a BROKEN quarantine, and reporting
+            # "0 malformed" over it hides data loss, so it propagates.
+            cond = (
+                e.getCondition()
+                if hasattr(e, "getCondition")
+                else e.getErrorClass()  # pyspark < 4 name
+            )
+            if cond != "PATH_NOT_FOUND":
+                raise
             n_bad = 0
     return n_clean, n_bad
 
@@ -222,7 +235,19 @@ def streaming_ingest_jsonl(
     instead of appending duplicates, and clean/quarantine cannot fork.
     Readers see the batch id as a partition column (ingest provenance).
     Per-batch work is one text scan of the new shards (the from_json
-    split; no shuffle)."""
+    split; no shuffle).
+
+    The output dirs are BOUND to their checkpoint for life (the
+    ``_checkpoint`` marker protocol shared with the streaming CDC/dedup
+    state dirs): batch-id-keyed overwrite is only idempotent while batch
+    ids are monotone, and a FRESH checkpoint restarts them at 0 — which
+    would silently overwrite ``batch=0``'s earlier data. Restarting on
+    the same checkpoint resumes normally; pointing a new checkpoint at a
+    used ``clean_path`` refuses with the recovery options."""
+    from ..streaming.state import bind_state_to_checkpoint
+
+    bind_state_to_checkpoint(spark, clean_path, checkpoint_dir)
+    bind_state_to_checkpoint(spark, quarantine_path, checkpoint_dir)
     full = _with_corrupt_field(schema)
     opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT}
 

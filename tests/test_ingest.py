@@ -146,6 +146,57 @@ def test_streaming_ingest_jsonl(spark, tmpdir):
     assert spark.read.parquet(quar_p).count() == 1, "old shard must not re-ingest"
 
 
+def test_streaming_ingest_rejects_foreign_checkpoint(spark, tmpdir):
+    """r7: a FRESH checkpoint pointed at a used clean_path restarts
+    batch ids at 0 and would silently overwrite batch=0's earlier data —
+    the output dirs are bound to their checkpoint and must refuse."""
+    from kafka_streams_task_spark.sources.files import streaming_ingest_jsonl
+
+    src = os.path.join(str(tmpdir), "landing")
+    os.makedirs(src)
+    clean_p = os.path.join(str(tmpdir), "clean")
+    quar_p = os.path.join(str(tmpdir), "quar")
+    ckpt = os.path.join(str(tmpdir), "ckpt")
+
+    with open(os.path.join(src, "s0.jsonl"), "w") as f:
+        f.write("\n".join(GOOD[:2]) + "\n")
+    q = streaming_ingest_jsonl(spark, src, documents_schema(), clean_p, quar_p, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(clean_p).count() == 2
+
+    with pytest.raises(ValueError, match="bound to checkpoint"):
+        streaming_ingest_jsonl(
+            spark, src, documents_schema(), clean_p, quar_p,
+            os.path.join(str(tmpdir), "ckpt_fresh"),
+        )
+    # the refused start must not have clobbered the committed data
+    assert spark.read.parquet(clean_p).count() == 2
+
+
+def test_ingest_report_missing_quarantine_is_zero(spark, tmpdir):
+    path = _write_shards(tmpdir, GOOD)
+    clean = read_jsonl(spark, path, documents_schema())
+    n_clean, n_bad = ingest_report(
+        clean, os.path.join(str(tmpdir), "never_written"), spark
+    )
+    assert (n_clean, n_bad) == (3, 0)
+
+
+def test_ingest_report_broken_quarantine_propagates(spark, tmpdir):
+    """r7: only PATH_NOT_FOUND means 'nothing quarantined'. A quarantine
+    dir that exists but cannot be read as parquet (here: empty — no
+    files, no schema) is BROKEN, and reporting 0 over it would hide data
+    loss; the error must propagate."""
+    from pyspark.errors import AnalysisException
+
+    path = _write_shards(tmpdir, GOOD)
+    clean = read_jsonl(spark, path, documents_schema())
+    broken = os.path.join(str(tmpdir), "broken_quarantine")
+    os.makedirs(broken)  # exists, but holds no parquet at all
+    with pytest.raises(AnalysisException):
+        ingest_report(clean, broken, spark)
+
+
 # ------------------------------------------------------------- clean_text
 
 
@@ -269,3 +320,46 @@ def test_filter_by_domain_list(spark):
 
     with _pytest.raises(ValueError, match="block"):
         filter_by_domain_list(docs, lst, mode="nope")
+
+
+def test_filter_by_domain_list_subdomain_entries(spark):
+    """r7 (ADVICE): a list entry that is itself a subdomain/full host
+    (common in real UT1 lists, e.g. 'ads.example.com') must match its
+    own subtree — and ONLY its subtree — instead of being a dead row."""
+    from pyspark.sql import Row
+
+    from kafka_streams_task_spark.operators.dedup import filter_by_domain_list
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, url="https://ads.example.com/banner"),
+            Row(doc_id=2, url="https://x.ads.example.com/b"),  # deeper subtree
+            Row(doc_id=3, url="https://www.example.com/home"),  # same eTLD+1, other subtree
+            Row(doc_id=4, url="https://example.com/root"),
+            Row(doc_id=5, url="https://clean.org/c"),
+        ]
+    )
+    lst = spark.createDataFrame(
+        [Row(domain="ads.example.com"), Row(domain="Ads.Example.COM.")]  # dupes+case+dot
+    )
+    blocked = {r.doc_id for r in filter_by_domain_list(docs, lst, mode="block").collect()}
+    assert blocked == {3, 4, 5}, "only the ads.example.com subtree is blocked"
+    allowed = {r.doc_id for r in filter_by_domain_list(docs, lst, mode="allow").collect()}
+    assert allowed == {1, 2}
+
+
+def test_filter_by_domain_list_is_broadcast_hash_join(spark):
+    """The residual suffix condition must not demote the join: still a
+    BroadcastHashJoin (map-side probe, no shuffle, no nested loop)."""
+    from pyspark.sql import Row
+
+    from kafka_streams_task_spark.operators.dedup import filter_by_domain_list
+
+    docs = spark.createDataFrame([Row(doc_id=1, url="https://a.example.com/x")])
+    lst = spark.createDataFrame([Row(domain="example.com")])
+    plan = (
+        filter_by_domain_list(docs, lst, mode="block")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "SortMergeJoin" not in plan

@@ -103,6 +103,18 @@ def test_normalize_scheme_relative_and_bare(spark):
     )
 
 
+def test_normalize_keeps_functional_ref_param(spark):
+    """'ref' is functional on major sites (GitHub's ?ref=<branch>) — the
+    default strip-list must not collapse distinct pages; a caller who
+    knows their corpus can widen the pattern per call."""
+    assert (
+        _one(spark, normalize_url, "https://example.com/tree?ref=main")
+        == "https://example.com/tree?ref=main"
+    )
+    custom = lambda c: normalize_url(c, strip_params_re=r"^(utm_[A-Za-z0-9_]*|ref)=")
+    assert _one(spark, custom, "https://example.com/tree?ref=main") == "https://example.com/tree"
+
+
 def test_trailing_dot_fqdn(spark):
     """Absolute-form hostnames ('example.com.') must key like their
     relative form — a trailing empty label would collapse the registered
