@@ -1,5 +1,10 @@
 from .geohash import geohash, geohash_encode, geohash_expr, geohash_udf
-from .url import extract_host, normalize_url, registered_domain
+from .url import (
+    extract_host,
+    normalize_url,
+    registered_domain,
+    registered_domain_of_host,
+)
 
 __all__ = [
     "geohash",
@@ -9,4 +14,5 @@ __all__ = [
     "extract_host",
     "normalize_url",
     "registered_domain",
+    "registered_domain_of_host",
 ]

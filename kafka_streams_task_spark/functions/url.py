@@ -64,13 +64,15 @@ def extract_host(url: Column | str) -> Column:
     return F.regexp_replace(F.coalesce(host, fallback), r"\.$", "")
 
 
-def registered_domain(url: Column | str) -> Column:
-    """The registrable domain (eTLD+1 heuristic): last two host labels,
-    or last THREE when the two-label tail is a known two-part public
-    suffix (:data:`TWO_PART_SUFFIXES`). ``example.co.uk`` and
-    ``a.b.example.co.uk`` both map to ``example.co.uk``; IPv4 hosts pass
-    through unchanged."""
-    host = extract_host(url)
+def registered_domain_of_host(host: Column | str) -> Column:
+    """:func:`registered_domain` over an ALREADY-EXTRACTED lowercase
+    host column. Use this form when the host is materialized as its own
+    column: referencing it here keeps the parse chain computed once per
+    row (Catalyst's CollapseProject declines to inline a multiply-
+    referenced non-cheap alias), where inlining :func:`extract_host`
+    at every reference blows the generated method past janino's limit
+    and knocks the whole stage out of codegen."""
+    host = _col(host)
     parts = F.split(host, r"\.")
     n = F.size(parts)
     last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
@@ -78,9 +80,9 @@ def registered_domain(url: Column | str) -> Column:
         ".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1)
     )
     is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
-    two_part = F.lit(False)
-    for s in TWO_PART_SUFFIXES:
-        two_part = two_part | (last2 == F.lit(s))
+    # isin compiles to ONE InSet node (hash-set probe) — a 45-way OR
+    # chain would re-inline `last2`'s expression per comparison
+    two_part = last2.isin(*TWO_PART_SUFFIXES)
     return (
         F.when(host.isNull(), F.lit(None).cast("string"))
         .when(is_ip, host)
@@ -88,6 +90,17 @@ def registered_domain(url: Column | str) -> Column:
         .when(two_part & (n >= 3), last3)
         .otherwise(last2)
     )
+
+
+def registered_domain(url: Column | str) -> Column:
+    """The registrable domain (eTLD+1 heuristic): last two host labels,
+    or last THREE when the two-label tail is a known two-part public
+    suffix (:data:`TWO_PART_SUFFIXES`). ``example.co.uk`` and
+    ``a.b.example.co.uk`` both map to ``example.co.uk``; IPv4 hosts pass
+    through unchanged. For PSL-exact semantics (wildcards, exceptions,
+    private-section entries like github.io) use
+    :func:`registered_domain_psl`."""
+    return registered_domain_of_host(extract_host(url))
 
 
 #: default strip-list: UNAMBIGUOUS tracking parameters only. ``ref`` is

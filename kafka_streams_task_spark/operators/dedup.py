@@ -1378,17 +1378,20 @@ def filter_by_domain_list(
     residual condition on the (tiny) set of same-registrable-domain
     candidates, so the join stays a BroadcastHashJoin.
     """
-    from ..functions.url import extract_host, registered_domain
+    from ..functions.url import extract_host, registered_domain_of_host
 
     if mode not in ("block", "allow"):
         raise ValueError(f"mode must be 'block' or 'allow', got {mode!r}")
+    # layered: _host materializes the parse chain ONCE, _rd derives from
+    # the column (CollapseProject keeps the layers separate — inlining
+    # the parse at every _rd reference knocks the stage out of codegen)
     keyed = docs.withColumn("_host", extract_host(F.col(url_col))).withColumn(
-        "_rd", registered_domain(F.col(url_col))
+        "_rd", registered_domain_of_host(F.col("_host"))
     )
     lst = (
         domains.select(extract_host(F.col(domain_col)).alias("_ehost"))
         .filter(F.col("_ehost").isNotNull())
-        .withColumn("_erd", registered_domain(F.col("_ehost")))
+        .withColumn("_erd", registered_domain_of_host(F.col("_ehost")))
         .distinct()
     )
     cond = (F.col("_rd") == F.col("_erd")) & (

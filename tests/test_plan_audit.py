@@ -22,6 +22,7 @@ PY_STAGES = r"BatchEvalPython|ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas"
 #: recall-gate counters) or the range-band join's inequality condition;
 #: none of these grows with the corpus on its non-broadcast side.
 BNLJ_ALLOWED = {
+    "llm_cdc_analytics_suite",  # r7 corpus leg: 1-row quantile-gate crossJoin
     "dedup_minhash_lsh_recall",
     "dedup_simhash_recall",
     "dedup_embedding_cosine_recall",
