@@ -146,3 +146,286 @@ def normalize_url(url: Column | str, strip_params_re: str = TRACKING_PARAM_RE) -
     return F.when(host.isNull(), F.lit(None).cast("string")).otherwise(
         F.concat(scheme, F.lit("://"), host, port_part, path, qpart)
     )
+
+
+# ---------------------------------------------------------------------------
+# PSL-exact registered domain (r7, VERDICT r6 item 4)
+#
+# The expression heuristic above cannot represent the Public Suffix List's
+# PRIVATE section (github.io, blogspot.com, ...): under the heuristic,
+# a.github.io and b.github.io both key to github.io, so one blocklist row
+# nukes every user site and per-domain mix rates merge thousands of
+# unrelated publishers. The exact algorithm (publicsuffix.org/list/) needs
+# a rule TABLE, so this variant is a DataFrame operator: the rules are
+# parsed driver-side (they are configuration — ~9k lines even in full) and
+# probed via K broadcast hash joins, one per candidate suffix length. No
+# shuffle, no Python stage; at 100 TB this is K map-side probes inside the
+# scan pipeline.
+# ---------------------------------------------------------------------------
+
+#: Vendored SNAPSHOT SUBSET of the Public Suffix List, in the list's own
+#: line format (``//`` comments, ``*.`` wildcards, ``!`` exceptions; the
+#: full file is at https://publicsuffix.org/list/public_suffix_list.dat —
+#: pass its lines to :func:`with_registered_domain_psl` for exactness).
+#: The subset covers every TLD/suffix the engine's tests and the built-in
+#: heuristic know, the canonical wildcard/exception cases, and the
+#: high-traffic private-section hosting suffixes.
+PSL_SNAPSHOT = """\
+// ===BEGIN ICANN DOMAINS===
+com
+net
+org
+edu
+gov
+mil
+int
+info
+biz
+name
+io
+ai
+app
+dev
+co
+uk
+co.uk
+org.uk
+ac.uk
+gov.uk
+au
+com.au
+net.au
+org.au
+edu.au
+gov.au
+jp
+co.jp
+ne.jp
+or.jp
+ac.jp
+go.jp
+br
+com.br
+net.br
+org.br
+gov.br
+in
+co.in
+net.in
+org.in
+gov.in
+ac.in
+cn
+com.cn
+net.cn
+org.cn
+gov.cn
+edu.cn
+kr
+co.kr
+or.kr
+ac.kr
+go.kr
+mx
+com.mx
+org.mx
+gob.mx
+za
+co.za
+org.za
+gov.za
+ac.za
+tr
+com.tr
+org.tr
+gov.tr
+edu.tr
+sg
+com.sg
+edu.sg
+gov.sg
+nz
+co.nz
+org.nz
+govt.nz
+ac.nz
+de
+fr
+it
+nl
+es
+se
+ch
+at
+be
+dk
+fi
+no
+pl
+cz
+pt
+ie
+il
+ru
+us
+ca
+bd
+*.bd
+ck
+*.ck
+!www.ck
+// ===END ICANN DOMAINS===
+// ===BEGIN PRIVATE DOMAINS===
+github.io
+githubusercontent.com
+gitlab.io
+blogspot.com
+herokuapp.com
+netlify.app
+vercel.app
+web.app
+firebaseapp.com
+azurewebsites.net
+cloudfront.net
+s3.amazonaws.com
+elasticbeanstalk.com
+// ===END PRIVATE DOMAINS===
+"""
+
+
+def parse_psl(lines) -> tuple[list[str], list[str], list[str]]:
+    """Parse PSL-format lines into ``(exact_rules, wildcard_tails,
+    exception_rules)``. ``*.ck`` is recorded by its tail ``ck`` (a
+    wildcard rule of N labels matches any N-label suffix whose last N-1
+    labels equal the tail); ``!www.ck`` is recorded as ``www.ck``.
+    Comments (``//``) and blank lines are skipped; rules are lowercased
+    (the PSL is already punycode/lowercase)."""
+    exact: list[str] = []
+    wc_tails: list[str] = []
+    exc: list[str] = []
+    for raw in lines:
+        line = raw.strip().lower()
+        if not line or line.startswith("//"):
+            continue
+        if line.startswith("!"):
+            exc.append(line[1:])
+        elif line.startswith("*."):
+            wc_tails.append(line[2:])
+        else:
+            exact.append(line)
+    return exact, wc_tails, exc
+
+
+def with_registered_domain_psl(
+    df,
+    url_col: str = "url",
+    out_col: str = "registered_domain",
+    psl_lines=None,
+):
+    """Add ``out_col`` = the PSL-EXACT registrable domain of
+    ``df[url_col]`` (algorithm from publicsuffix.org/list/: prevailing
+    rule is any matching exception, else the longest matching rule, else
+    the implicit ``*``; public suffix = the prevailing rule's labels —
+    for an exception, minus its leftmost — and the registrable domain is
+    the public suffix plus one label).
+
+    NULL when the URL has no host OR the host is itself a public suffix
+    (``github.io`` has no registrable domain — per spec, and exactly the
+    rows a per-publisher mix or blocklist key must not lump together).
+    IPv4 hosts pass through whole, matching :func:`registered_domain`.
+
+    ``psl_lines`` defaults to the vendored :data:`PSL_SNAPSHOT` subset;
+    pass the full public_suffix_list.dat lines for production exactness.
+
+    Plan shape: rules are parsed driver-side and probed with one
+    broadcast hash join per candidate suffix length (K = longest rule,
+    +1 for exceptions) — no shuffle, no Python stage, and the host parse
+    chain is materialized once (layered projects, not inlined)."""
+    exact, wc_tails, exc = parse_psl(
+        PSL_SNAPSHOT.splitlines() if psl_lines is None else psl_lines
+    )
+    spark = df.sparkSession
+    # K: longest suffix any rule can certify. A wildcard's match length
+    # is tail+1; an exception at length k yields public suffix k-1 but
+    # must itself be probed at k.
+    k_max = max(
+        [r.count(".") + 1 for r in exact]
+        + [t.count(".") + 2 for t in wc_tails]
+        + [r.count(".") + 1 for r in exc]
+    )
+    exact_set, exc_set = set(exact), set(exc)
+    comb = spark.createDataFrame(
+        [(r, r in exc_set, r in exact_set) for r in sorted(exact_set | exc_set)],
+        "rule string, is_exc boolean, is_ex boolean",
+    )
+    wc = spark.createDataFrame([(t,) for t in sorted(set(wc_tails))], "tail string")
+
+    clash = [c for c in ("_h", "_p", "_n", out_col) if c in df.columns]
+    if clash:
+        raise ValueError(f"df already has columns {clash!r}")
+
+    out = (
+        df.withColumn("_h", extract_host(F.col(url_col)))
+        .withColumn("_p", F.split(F.col("_h"), r"\."))
+        .withColumn("_n", F.size(F.col("_p")))
+    )
+    n = F.col("_n")
+    for k in range(1, k_max + 1):
+        sfx = F.when(
+            n >= k, F.concat_ws(".", F.slice(F.col("_p"), n - F.lit(k) + 1, F.lit(k)))
+        )
+        out = out.withColumn(f"_s{k}", sfx)
+    for k in range(1, k_max + 1):
+        out = out.join(
+            F.broadcast(
+                comb.select(
+                    F.col("rule").alias(f"_s{k}"),
+                    F.col("is_ex").alias(f"_ex{k}"),
+                    F.col("is_exc").alias(f"_exc{k}"),
+                )
+            ),
+            on=f"_s{k}",
+            how="left",
+        )
+    for k in range(2, k_max + 1):
+        out = out.join(
+            F.broadcast(wc.select(F.col("tail").alias(f"_s{k - 1}"), F.lit(True).alias(f"_w{k}"))),
+            on=f"_s{k - 1}",
+            how="left",
+        )
+
+    # prevailing rule: exception (public suffix = its length - 1) beats
+    # everything; else the longest exact/wildcard match; else '*' (1).
+    exc_len = F.greatest(
+        *[
+            F.when(F.col(f"_exc{k}"), F.lit(k - 1)).otherwise(F.lit(None).cast("int"))
+            for k in range(1, k_max + 1)
+        ]
+    ) if k_max > 1 else F.when(F.col("_exc1"), F.lit(0))
+    match_lens = [
+        F.when(F.col(f"_ex{k}"), F.lit(k)).otherwise(F.lit(None).cast("int"))
+        for k in range(1, k_max + 1)
+    ] + [
+        F.when(F.col(f"_w{k}"), F.lit(k)).otherwise(F.lit(None).cast("int"))
+        for k in range(2, k_max + 1)
+    ]
+    rule_len = F.greatest(*match_lens, F.lit(1))
+    ps_len = F.coalesce(exc_len, rule_len)
+
+    is_ip = F.col("_h").rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    rd = (
+        F.when(F.col("_h").isNull(), F.lit(None).cast("string"))
+        .when(is_ip, F.col("_h"))
+        .when(
+            n > ps_len,
+            F.concat_ws(".", F.slice(F.col("_p"), n - ps_len, ps_len + F.lit(1))),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+    out = out.withColumn(out_col, rd)
+    drop = ["_h", "_p", "_n"]
+    drop += [f"_s{k}" for k in range(1, k_max + 1)]
+    drop += [f"_ex{k}" for k in range(1, k_max + 1)]
+    drop += [f"_exc{k}" for k in range(1, k_max + 1)]
+    drop += [f"_w{k}" for k in range(2, k_max + 1)]
+    return out.drop(*drop)

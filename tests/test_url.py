@@ -115,6 +115,103 @@ def test_normalize_keeps_functional_ref_param(spark):
     assert _one(spark, custom, "https://example.com/tree?ref=main") == "https://example.com/tree"
 
 
+# ---------------------------------------------------------- PSL-exact (r7)
+
+
+PSL_CASES = [
+    # private-section entries: per-publisher keys, NOT lumped to github.io
+    ("https://a.github.io/repo", "a.github.io"),
+    ("https://b.github.io/", "b.github.io"),
+    ("https://deep.x.blogspot.com/p", "x.blogspot.com"),
+    ("https://github.io/", None),  # host IS a public suffix
+    # multi-part ICANN suffixes
+    ("https://a.b.example.co.uk/x", "example.co.uk"),
+    ("https://example.com/x", "example.com"),
+    ("https://www.example.com/x", "example.com"),
+    # canonical wildcard/exception cases from the PSL test data (*.ck, !www.ck)
+    ("https://b.test.ck/", "b.test.ck"),
+    ("https://a.b.test.ck/", "b.test.ck"),
+    ("https://www.ck/", "www.ck"),
+    ("https://www.www.ck/", "www.ck"),
+    ("https://test.ck/", None),
+    # unknown TLD: implicit '*' rule
+    ("https://a.b.futuretld/x", "b.futuretld"),
+    # hosting buckets (3-label private suffix)
+    ("https://bucket.s3.amazonaws.com/k", "bucket.s3.amazonaws.com"),
+    # IPv4 passes through whole
+    ("https://192.168.10.1/x", "192.168.10.1"),
+    ("not a url at all", None),
+]
+
+
+def _psl_one(spark, url):
+    from kafka_streams_task_spark.functions.url import with_registered_domain_psl
+
+    df = spark.createDataFrame([(url,)], ["url"])
+    return with_registered_domain_psl(df).first().registered_domain
+
+
+@pytest.mark.parametrize("url,dom", PSL_CASES)
+def test_registered_domain_psl(spark, url, dom):
+    assert _psl_one(spark, url) == dom
+
+
+def test_psl_plan_is_broadcast_only_no_python(spark):
+    """The PSL probe must stay K broadcast hash joins inside the scan
+    pipeline: no shuffle, no Python stage, no nested loop."""
+    from kafka_streams_task_spark.functions.url import with_registered_domain_psl
+
+    df = spark.createDataFrame([("https://a.github.io/x",)], ["url"])
+    plan = (
+        with_registered_domain_psl(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan, "PSL probe must not shuffle"
+    assert "Python" not in plan and "Arrow" not in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_psl_custom_rules_and_clash_guard(spark):
+    from kafka_streams_task_spark.functions.url import with_registered_domain_psl
+
+    df = spark.createDataFrame([("https://x.y.internal/z",)], ["url"])
+    out = with_registered_domain_psl(
+        df, psl_lines=["// comment", "", "internal", "y.internal"]
+    )
+    assert out.first().registered_domain == "x.y.internal"
+    with pytest.raises(ValueError, match="already has columns"):
+        with_registered_domain_psl(out)  # out already carries out_col
+
+
+def test_psl_composes_with_domain_list_filter(spark):
+    """VERDICT r6 item 4 golden: blocking 'a.github.io' must not nuke
+    'b.github.io' (suffix-match filter), and the PSL key separates the
+    publishers that the heuristic eTLD+1 would merge."""
+    from pyspark.sql import Row
+
+    from kafka_streams_task_spark.functions.url import with_registered_domain_psl
+    from kafka_streams_task_spark.operators.dedup import filter_by_domain_list
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, url="https://a.github.io/evil"),
+            Row(doc_id=2, url="https://sub.a.github.io/evil2"),
+            Row(doc_id=3, url="https://b.github.io/fine"),
+        ]
+    )
+    lst = spark.createDataFrame([Row(domain="a.github.io")])
+    survivors = {
+        r.doc_id for r in filter_by_domain_list(docs, lst, mode="block").collect()
+    }
+    assert survivors == {3}
+    keys = {
+        r.doc_id: r.registered_domain
+        for r in with_registered_domain_psl(docs).collect()
+    }
+    assert keys == {1: "a.github.io", 2: "a.github.io", 3: "b.github.io"}
+
+
 def test_trailing_dot_fqdn(spark):
     """Absolute-form hostnames ('example.com.') must key like their
     relative form — a trailing empty label would collapse the registered
