@@ -58,7 +58,7 @@ def test_llm_suite_legs_individually(spark, sf_dir):
         "graph_layout": (llm_graph_layout_suite, {"pagerank", "triangles", "zorder"}),
         "cdc_analytics": (
             llm_cdc_analytics_suite,
-            {"merge", "scd2", "expect", "cohort", "funnel"},
+            {"merge", "scd2", "expect", "cohort", "funnel", "corpus", "domain"},
         ),
         "text_model": (
             llm_text_model_suite,
@@ -153,6 +153,26 @@ def test_llm_suite_legs_individually(spark, sf_dir):
         elif name == "classifier":
             assert all((r.i1 > 0) == (r.i2 == 1) for r in rows), (
                 f"leg {name!r}: label disagrees with margin sign"
+            )
+        elif name == "corpus":
+            stats = {r.s1: r.i1 for r in rows}
+            grouped_docs = sum(
+                v for k, v in stats.items()
+                if k.endswith("|n_docs") and not k.startswith("ALL|")
+            )
+            assert stats["ALL|ALL|n_docs"] == grouped_docs, (
+                f"leg {name!r}: grouped doc counts don't sum to the global"
+            )
+            for q in ("p50_ok", "p90_ok", "p99_ok"):
+                assert stats[f"ALL|ALL|{q}"] == 1, (
+                    f"leg {name!r}: quantile rank-bracket gate {q} failed"
+                )
+        elif name == "domain":
+            block = {r.key for r in rows if r.s1 == "block"}
+            allow = {r.key for r in rows if r.s1 == "allow"}
+            assert block and allow, f"leg {name!r}: a mode returned no rows"
+            assert not (block & allow), (
+                f"leg {name!r}: doc in both block-survivors and allow-keepers"
             )
         elif name == "merge":
             assert all(r.i2 is not None for r in rows), f"leg {name!r}: null user"
