@@ -212,6 +212,61 @@ def test_psl_composes_with_domain_list_filter(spark):
     assert keys == {1: "a.github.io", 2: "a.github.io", 3: "b.github.io"}
 
 
+def _psl_reference(host: str, exact: set, wc_tails: set, exc: set):
+    """Independent pure-Python PSL resolver, written from the spec
+    (publicsuffix.org/list/), sharing NO code with the Spark join
+    implementation: exception rule beats all (public suffix = rule minus
+    leftmost label), else longest exact/wildcard match, else implicit
+    '*'; registrable = public suffix + one label, None if the host IS a
+    public suffix."""
+    labels = host.split(".")
+    n = len(labels)
+    exc_len = None
+    for k in range(1, n + 1):
+        if ".".join(labels[n - k:]) in exc:
+            exc_len = k - 1  # max k wins (loop ascends)
+    if exc_len is not None:
+        ps = exc_len
+    else:
+        ps = 1
+        for k in range(1, n + 1):
+            if ".".join(labels[n - k:]) in exact:
+                ps = max(ps, k)
+            if k >= 2 and ".".join(labels[n - k + 1:]) in wc_tails:
+                ps = max(ps, k)
+    return ".".join(labels[n - ps - 1:]) if n > ps else None
+
+
+def test_psl_differential_exhaustive(spark):
+    """Differential check: every 1–3-label host over an alphabet chosen
+    to hit wildcard TLDs (ck, bd), the exception (www.ck), two-part
+    ICANN suffixes (co.uk), private entries (github.io, s3.amazonaws.com
+    tails) and unknown TLDs — Spark join plan vs the independent
+    reference resolver. One Spark job for all hosts."""
+    from kafka_streams_task_spark.functions.url import (
+        PSL_SNAPSHOT,
+        parse_psl,
+        with_registered_domain_psl,
+    )
+
+    alpha = ["www", "test", "ck", "bd", "uk", "co", "github", "io", "s3", "amazonaws"]
+    hosts = list(alpha)
+    hosts += [f"{a}.{b}" for a in alpha for b in alpha]
+    hosts += [f"{a}.{b}.{c}" for a in alpha for b in alpha for c in alpha]
+    hosts += ["a.b.s3.amazonaws.com", "x.www.ck", "a.b.c.test.ck", "deep.x.github.io"]
+
+    exact, wc_tails, exc = (set(s) for s in parse_psl(PSL_SNAPSHOT.splitlines()))
+    expected = {h: _psl_reference(h, exact, wc_tails, exc) for h in hosts}
+
+    df = spark.createDataFrame([(h, f"https://{h}/x") for h in hosts], ["host", "url"])
+    got = {
+        r.host: r.registered_domain
+        for r in with_registered_domain_psl(df).collect()
+    }
+    mism = {h: (got[h], expected[h]) for h in hosts if got[h] != expected[h]}
+    assert not mism, f"{len(mism)} mismatches, e.g. {dict(list(mism.items())[:5])}"
+
+
 def test_trailing_dot_fqdn(spark):
     """Absolute-form hostnames ('example.com.') must key like their
     relative form — a trailing empty label would collapse the registered
