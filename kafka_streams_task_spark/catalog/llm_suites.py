@@ -1367,6 +1367,10 @@ def _myers_editdist_ctes(max_k: int = 3, prefix_len: int = 12) -> str:
            CAST(NULL AS BIGINT) AS i2
     FROM documents WHERE doc_id % 50 = 0
     UNION ALL
+    SELECT CAST('bloomdtm' AS VARCHAR), CAST(doc_id AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
+    FROM documents WHERE doc_id % 50 = 0
+    UNION ALL
     SELECT CAST('boilerplate' AS VARCHAR), CAST(r.doc_id AS BIGINT),
            CAST(r.cleaned AS VARCHAR), CAST(r.n_kept AS BIGINT), CAST(NULL AS BIGINT)
     FROM (
@@ -1423,13 +1427,18 @@ def _myers_editdist_ctes(max_k: int = 3, prefix_len: int = 12) -> str:
     """,
 )
 def llm_dedup_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dedup/similarity-join legs (6 components + canary; r6
-    de-concentration of llm_library_suite):
+    """Dedup/similarity-join legs (7 components + canary; r6
+    de-concentration of llm_library_suite, +1 in r7):
 
     'decontam' — planted-leak invariant for decontaminate: an 8-token
     marker ngram (absent from the corpus) is appended to every doc with
     doc_id % 50 == 0 and used as the benchmark set; exactly those docs
     must be flagged, each with exactly one contaminated shingle.
+
+    'bloomdtm' (r7) — the same invariant through decontaminate_bloom
+    with the exact-verify stage: the Bloom-prefiltered path is lossless
+    vs decontaminate() by construction, so it must produce the identical
+    flag set (k broadcast word-table probes, all codegen).
 
     'boilerplate' — remove_boilerplate_lines value check: cleaned text
     and surviving line count per document, byte-for-byte vs the SQL
@@ -1457,6 +1466,8 @@ def llm_dedup_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`_myers_editdist_ctes`) — NO levenshtein builtin.
     """
     from ..operators.dedup import (
+        build_shingle_bloom,
+        decontaminate_bloom,
         duplicate_span_stats,
         jaccard_join_prefix,
         remove_boilerplate_lines,
@@ -1476,6 +1487,18 @@ def llm_dedup_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark = spark.createDataFrame([(_LEAK_8GRAM,)], ["text"])
     decontam_leg = decontaminate(planted, benchmark, shingle_n=8).select(
         F.lit("decontam").alias("leg"),
+        F.col("doc_id").cast("long").alias("key"),
+        F.lit(None).cast("string").alias("s1"),
+        F.col("n_contaminated_shingles").cast("long").alias("i1"),
+        F.lit(None).cast("long").alias("i2"),
+    )
+
+    # r7: the Bloom-prefiltered path must reproduce decontaminate()
+    # EXACTLY (verify stage; Bloom has no false negatives) — same oracle
+    # rows as 'decontam'. n_items sizes the filter without a count job.
+    bloom = build_shingle_bloom(benchmark, shingle_n=8, fpp=0.05, n_items=8)
+    bloomdtm_leg = decontaminate_bloom(planted, bloom, benchmark=benchmark).select(
+        F.lit("bloomdtm").alias("leg"),
         F.col("doc_id").cast("long").alias("key"),
         F.lit(None).cast("string").alias("s1"),
         F.col("n_contaminated_shingles").cast("long").alias("i1"),
@@ -1554,7 +1577,8 @@ def llm_dedup_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return (
-        decontam_leg.unionByName(boiler_leg)
+        decontam_leg.unionByName(bloomdtm_leg)
+        .unionByName(boiler_leg)
         .unionByName(dupspan_leg)
         .unionByName(semdedup_leg)
         .unionByName(jac_leg)

@@ -653,6 +653,175 @@ def decontaminate(
     )
 
 
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (r7): the scale path past broadcastability.
+#
+# decontaminate() broadcasts the benchmark's distinct 64-bit shingle hashes
+# as a semi-join relation (~8 B/element plus hash-table overhead — a few GB
+# at 1e8 elements, the practical broadcast ceiling). A Bloom filter at 1%
+# FPR costs ~9.6 BITS/element (~120 MB at 1e8), extending the broadcast
+# range ~30x. The filter is built and probed entirely with relational
+# codegen: the bitset is a (word_idx, word) long table, membership is k
+# broadcast hash-join probes — no Python stage, no driver-side bitset, no
+# custom serialization (vs Spark's Scala-only DataFrameStatFunctions
+# .bloomFilter, which PySpark does not expose and whose sketch cannot be
+# probed from SQL).
+#
+# False positives are CONSERVATIVE (a clean doc gets over-flagged, never an
+# eval leak kept); pass the benchmark to decontaminate_bloom for the
+# verify stage, which re-checks only bloom survivors against the exact
+# shingle set (now a shuffle join whose corpus side is the rare hits) and
+# makes the output IDENTICAL to decontaminate() — no false negatives by
+# Bloom construction (all k bits of a present element are always set).
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class ShingleBloom:
+    """A built Bloom filter over benchmark shingle hashes: the bitset as
+    a ``(word_idx: long, word: long)`` relation (one row per nonzero
+    64-bit word) plus the probe parameters."""
+
+    words: DataFrame
+    m_bits: int
+    num_hashes: int
+    shingle_n: int
+
+
+def bloom_parameters(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Standard sizing: ``m = -n ln p / (ln 2)^2`` bits (rounded up to a
+    word), ``k = (m/n) ln 2`` hashes (clamped to [1, 16])."""
+    import math
+
+    n = max(int(n_items), 1)
+    if not (0.0 < fpp < 1.0):
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = ((m + 63) // 64) * 64
+    if m >= 1 << 50:
+        raise ValueError(f"filter of {m} bits exceeds the 2^50 sanity bound")
+    k = max(1, min(16, round(m / n * math.log(2))))
+    return m, k
+
+
+def _bloom_probe_cols(h: Column, m_bits: int, num_hashes: int) -> list[Column]:
+    """Bit positions for a 64-bit shingle hash via Kirsch–Mitzenmacher
+    double hashing, ``pos_i = (h1 + i*h2) mod m`` with both draws
+    pmod-reduced FIRST so the arithmetic never overflows int64 under
+    ANSI mode (a, b < m < 2^50; i <= 15 => a + i*b < 2^54)."""
+    a = F.pmod(h, F.lit(m_bits))
+    b = F.pmod(F.xxhash64(h, F.lit(1)), F.lit(m_bits))
+    return [F.pmod(a + F.lit(i) * b, F.lit(m_bits)) for i in range(num_hashes)]
+
+
+def _shingle_hashes(df: DataFrame, text_col: str, shingle_n: int) -> Column:
+    return F.array_distinct(
+        F.transform(shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))
+    )
+
+
+def build_shingle_bloom(
+    benchmark: DataFrame,
+    bench_text: str = "text",
+    shingle_n: int = 8,
+    fpp: float = 0.01,
+    n_items: int | None = None,
+) -> ShingleBloom:
+    """Build the Bloom filter over the benchmark's distinct shingle
+    hashes, distributively: explode each hash into its k bit positions,
+    group by 64-bit word index, ``bit_or`` the masks — one shuffle over
+    the (small) benchmark side only, output rows = nonzero words.
+
+    ``n_items`` sizes the filter; by default it is counted exactly (one
+    extra job over the benchmark — pass an estimate to skip it)."""
+    bench_sh = (
+        benchmark.select(
+            F.explode(_shingle_hashes(benchmark, bench_text, shingle_n)).alias("h")
+        ).distinct()
+    )
+    if n_items is None:
+        n_items = bench_sh.count()
+    m_bits, k = bloom_parameters(n_items, fpp)
+    pos = bench_sh.select(
+        F.explode(F.array(*_bloom_probe_cols(F.col("h"), m_bits, k))).alias("pos")
+    )
+    words = (
+        pos.select(
+            F.shiftrightunsigned("pos", 6).alias("word_idx"),
+            F.expr("shiftleft(1L, cast(pos % 64 AS int))").alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    return ShingleBloom(words=words, m_bits=m_bits, num_hashes=k, shingle_n=shingle_n)
+
+
+def decontaminate_bloom(
+    corpus: DataFrame,
+    bloom: ShingleBloom,
+    benchmark: DataFrame | None = None,
+    corpus_id: str = "doc_id",
+    corpus_text: str = "text",
+    bench_text: str = "text",
+    min_overlap: int = 1,
+) -> DataFrame:
+    """:func:`decontaminate` behind a Bloom pre-filter. With
+    ``benchmark`` given, bloom survivors are exactly verified and the
+    output is IDENTICAL to :func:`decontaminate` (Bloom has no false
+    negatives); without it, the output over-flags at the filter's FPP —
+    the conservative direction for decontamination.
+
+    Scale shape: the corpus scans once; each distinct shingle hash makes
+    ``k`` broadcast hash-join probes into the word table (all codegen,
+    no Python stage, no shuffle before the filter). Only bloom HITS
+    reach the verify join, so its corpus side is rare and the benchmark
+    side no longer needs to fit a broadcast hash relation."""
+    m, k = bloom.m_bits, bloom.num_hashes
+    corpus_sh = corpus.select(
+        F.col(corpus_id),
+        F.explode(_shingle_hashes(corpus, corpus_text, bloom.shingle_n)).alias("h"),
+    )
+    probes = _bloom_probe_cols(F.col("h"), m, k)
+    out = corpus_sh
+    hit = F.lit(True)
+    for i, pos in enumerate(probes):
+        out = out.withColumn(f"_bp{i}", pos)
+        out = out.join(
+            F.broadcast(
+                bloom.words.select(
+                    F.col("word_idx").alias(f"_bw{i}"),
+                    F.col("word").alias(f"_bwv{i}"),
+                )
+            ),
+            on=F.col(f"_bw{i}") == F.shiftrightunsigned(F.col(f"_bp{i}"), 6),
+            how="left",
+        )
+        hit = hit & F.coalesce(
+            F.expr(f"(_bwv{i} & shiftleft(1L, cast(_bp{i} % 64 AS int))) != 0"),
+            F.lit(False),
+        )
+    candidates = out.filter(hit).select(corpus_id, "h")
+    if benchmark is not None:
+        bench_sh = (
+            benchmark.select(
+                F.explode(
+                    _shingle_hashes(benchmark, bench_text, bloom.shingle_n)
+                ).alias("h")
+            ).distinct()
+        )
+        # no broadcast hint: the premise is a bench set past broadcast
+        # size; the corpus side is the rare bloom hits, so AQE picks the
+        # cheap join (and may still broadcast a small side at test scale)
+        candidates = candidates.join(bench_sh, on="h", how="left_semi")
+    return (
+        candidates.groupBy(corpus_id)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
+        .filter(F.col("n_contaminated_shingles") >= min_overlap)
+    )
+
+
 _MEMBERSHIP_SALT = 0x9E3779B9  # fixed second-draw seed (golden-ratio constant, fits int64)
 
 

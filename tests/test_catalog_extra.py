@@ -70,7 +70,8 @@ def test_llm_suite_legs_individually(spark, sf_dir):
         ),
         "dedup_join": (
             llm_dedup_join_suite,
-            {"decontam", "boilerplate", "dupspans", "semdedup", "jacjoin", "editdist"},
+            {"decontam", "bloomdtm", "boilerplate", "dupspans", "semdedup",
+             "jacjoin", "editdist"},
         ),
     }
     expected_canary = sorted(tuple(r) for r in _canary_rows(_SUITE_COLS))
@@ -96,7 +97,7 @@ def test_llm_suite_legs_individually(spark, sf_dir):
         elif name == "encode":
             assert all(r.i2 == 0 for r in rows), f"leg {name!r}: decode mismatch"
             n_docs = len(rows)
-        elif name == "decontam":
+        elif name in ("decontam", "bloomdtm"):
             assert all(r.key % 50 == 0 and r.i1 == 1 for r in rows), (
                 f"leg {name!r}: wrong docs flagged"
             )
