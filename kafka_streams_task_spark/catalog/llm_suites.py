@@ -1152,12 +1152,31 @@ def llm_text_model_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0
     ) WHERE rnk <= 100
     UNION ALL
+    SELECT CAST('splits' AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(spl || ':' || source AS VARCHAR),
+           CAST(count(*) AS BIGINT), CAST(NULL AS BIGINT)
+    FROM (
+      SELECT source,
+             CASE WHEN u < 0.75 THEN 'train'
+                  WHEN u < 0.875 THEN 'val'
+                  ELSE 'test' END AS spl
+      FROM (SELECT source,
+                   CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT)
+                   / 4294967296.0 AS u
+            FROM documents)
+    )
+    GROUP BY spl, source
+    UNION ALL
+    SELECT CAST('splits' AS VARCHAR), CAST(-1 AS BIGINT),
+           CAST('_leak_groups' AS VARCHAR),
+           CAST(0 AS BIGINT), CAST(NULL AS BIGINT)
+    UNION ALL
     {canary_sql(_SUITE_COLS)}
     """,
 )
 def llm_retrieval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Retrieval + sampling legs (5 components + canary; r6
-    de-concentration of llm_library_suite):
+    """Retrieval + sampling legs (6 components + canary; r6
+    de-concentration of llm_library_suite, +'splits' in r7):
 
     'tfidf' — tfidf_top_terms: top-3 smoothed TF-IDF terms per document,
     scores in exact integer micro-units, ranks fully ordered by
@@ -1182,10 +1201,19 @@ def llm_retrieval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     'wsample' — weighted_sample (Efraimidis-Spirakis A-ES) top-100 by
     u^(1/n_chars); the oracle recomputes every key and restates the
     full rank permutation.
+
+    'splits' (r7) — assign_splits leakage-guarded train/val/test: split
+    is a pure function of the SOURCE (the leakage unit), weights
+    0.75/0.125/0.125 so every cumulative edge is an exact binary
+    fraction; per-(split, source) doc counts restated by the oracle's
+    own md5 replay, plus split_leakage_report's straddling-group count
+    stated as the constant 0.
     """
     from ..operators.sampling import (
+        assign_splits,
         hash_stratified_sample,
         shuffle_deterministic,
+        split_leakage_report,
         temperature_mix_rates,
         weighted_sample,
     )
@@ -1265,11 +1293,37 @@ def llm_retrieval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("i2"),
     )
 
+    assigned = assign_splits(
+        ds, {"train": 0.75, "val": 0.125, "test": 0.125}, group_col="source"
+    )
+    splits_leg = (
+        assigned.groupBy("split", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            F.lit("splits").alias("leg"),
+            F.lit(None).cast("long").alias("key"),
+            F.concat_ws(":", "split", "source").alias("s1"),
+            F.col("n_docs").cast("long").alias("i1"),
+            F.lit(None).cast("long").alias("i2"),
+        )
+    )
+    leak_leg = split_leakage_report(assigned, "source").agg(
+        F.count(F.lit(1)).alias("n_leak")
+    ).select(
+        F.lit("splits").alias("leg"),
+        F.lit(-1).cast("long").alias("key"),
+        F.lit("_leak_groups").alias("s1"),
+        F.col("n_leak").cast("long").alias("i1"),
+        F.lit(None).cast("long").alias("i2"),
+    )
+
     return (
         tfidf_leg.unionByName(bm25_leg)
         .unionByName(mix_leg)
         .unionByName(shuffle_leg)
         .unionByName(wsample_leg)
+        .unionByName(splits_leg)
+        .unionByName(leak_leg)
         .unionByName(canary_df(spark, _SUITE_COLS))
     )
 

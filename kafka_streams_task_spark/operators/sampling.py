@@ -496,3 +496,72 @@ def weighted_sample(
     return (
         ranked.withColumn("sample_rank", F.row_number().over(w)).drop("_es_key")
     )
+
+
+def assign_splits(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str | None = None,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment with a leakage
+    guard: adds a ``split`` string column whose value is a pure function
+    of ``group_col`` (or ``id_col`` when no group is given), so every
+    row of a group — a registered domain, a source, a dedup cluster —
+    lands in the SAME split. Splitting per-document leaks: near-duplicate
+    pages from one site straddle train and test and the eval measures
+    memorization. Group-hashing is the standard fix (hash the leakage
+    unit, not the row).
+
+    ``weights`` maps split name -> relative weight, in bracket order
+    (insertion order is semantic: the first name owns [0, w1), the
+    second [w1, w1+w2), ...). Weights are normalized; for oracle-exact
+    replay pick weights whose cumulative sums are exact binary fractions
+    (0.75/0.125/0.125), so the double comparison cannot straddle engines.
+
+    Scale shape: membership is the md5 hash-unit of the key string — one
+    codegen expression, NO shuffle, no RNG state, stable under
+    repartitioning/retries/cluster size; re-running on a grown corpus
+    keeps every existing group in its split (only new groups draw).
+    Rows with a NULL key get a NULL split (surface them, don't guess).
+
+    Reference parity: absent from the reference engine —
+    beyond-reference training-data mandate.
+    """
+    if not weights:
+        raise ValueError("weights must name at least one split")
+    vals = list(weights.values())
+    if any(not (w > 0) for w in vals):
+        raise ValueError(f"weights must be positive, got {weights}")
+    total = float(sum(vals))
+    key = F.col(group_col if group_col is not None else id_col).cast("string")
+    if salt:
+        key = F.concat_ws(":", key, F.lit(salt))
+    u = _hash_unit(key)
+    names = list(weights)
+    expr = F.lit(names[-1])
+    cum = 0.0
+    brackets = []
+    for name in names[:-1]:
+        cum += weights[name] / total
+        brackets.append((name, cum))
+    for name, edge in reversed(brackets):
+        expr = F.when(u < F.lit(edge), F.lit(name)).otherwise(expr)
+    expr = F.when(key.isNull(), F.lit(None).cast("string")).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def split_leakage_report(
+    df: DataFrame, group_col: str, split_col: str = "split"
+) -> DataFrame:
+    """Audit for an EXISTING split column: one row per group that
+    straddles more than one split (the leakage :func:`assign_splits`
+    prevents by construction). Empty result = clean split. One
+    partial+final aggregate over (group, split) pairs — no window, no
+    second scan."""
+    return (
+        df.groupBy(group_col)
+        .agg(F.count_distinct(F.col(split_col)).alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+    )

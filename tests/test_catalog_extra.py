@@ -66,7 +66,7 @@ def test_llm_suite_legs_individually(spark, sf_dir):
         ),
         "retrieval": (
             llm_retrieval_suite,
-            {"tfidf", "bm25", "mixrates", "shuffle", "wsample"},
+            {"tfidf", "bm25", "mixrates", "shuffle", "wsample", "splits"},
         ),
         "dedup_join": (
             llm_dedup_join_suite,
@@ -128,6 +128,19 @@ def test_llm_suite_legs_individually(spark, sf_dir):
             assert all(0 <= r.i2 <= r.i1 for r in rows), (
                 f"leg {name!r}: dup tokens exceed token count"
             )
+        elif name == "splits":
+            leak = [r for r in rows if r.s1 == "_leak_groups"]
+            assert len(leak) == 1 and leak[0].i1 == 0, (
+                f"leg {name!r}: split leakage detected"
+            )
+            per_src = [r for r in rows if r.s1 != "_leak_groups"]
+            srcs = [r.s1.split(":", 1)[1] for r in per_src]
+            assert len(srcs) == len(set(srcs)), (
+                f"leg {name!r}: a source straddles splits"
+            )
+            assert {r.s1.split(":", 1)[0] for r in per_src} <= {
+                "train", "val", "test"
+            }, f"leg {name!r}: unknown split name"
         elif name == "nll2":
             assert all(r.i1 > 0 and r.i2 is not None and r.i2 > 0 for r in rows), (
                 f"leg {name!r}: non-positive bigram NLL"

@@ -744,3 +744,79 @@ def test_weighted_sample_global_uses_take_ordered(spark):
     with redirect_stdout(buf):
         weighted_sample(df, "w", k=5).explain()
     assert "TakeOrderedAndProject" in buf.getvalue()
+
+
+class TestAssignSplits:
+    """assign_splits leakage-guarded splitting + split_leakage_report."""
+
+    def _docs(self, spark):
+        rows = [(i, f"dom{i % 7}") for i in range(200)]
+        return spark.createDataFrame(rows, ["doc_id", "domain"])
+
+    def test_group_hash_prevents_leakage(self, spark):
+        from kafka_streams_task_spark.operators.sampling import (
+            assign_splits,
+            split_leakage_report,
+        )
+
+        d = self._docs(spark)
+        out = assign_splits(
+            d, {"train": 0.5, "val": 0.25, "test": 0.25}, group_col="domain"
+        )
+        # every domain lands in exactly one split
+        assert split_leakage_report(out, "domain").count() == 0
+        # coverage: every row assigned, names from the weight dict
+        rows = out.collect()
+        assert len(rows) == 200
+        assert {r.split for r in rows} <= {"train", "val", "test"}
+        # deterministic: re-running (and on a different layout) agrees
+        again = assign_splits(
+            d.repartition(7),
+            {"train": 0.5, "val": 0.25, "test": 0.25},
+            group_col="domain",
+        )
+        assert sorted((r.doc_id, r.split) for r in rows) == sorted(
+            (r.doc_id, r.split) for r in again.collect()
+        )
+
+    def test_per_row_split_and_weight_proportions(self, spark):
+        from kafka_streams_task_spark.operators.sampling import assign_splits
+
+        d = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+        out = assign_splits(d, {"a": 3.0, "b": 1.0})  # normalized 0.75/0.25
+        counts = {r["split"]: r["n"] for r in
+                  out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert abs(counts["a"] / 4000 - 0.75) < 0.03
+        assert abs(counts["b"] / 4000 - 0.25) < 0.03
+
+    def test_null_key_gets_null_split(self, spark):
+        from kafka_streams_task_spark.operators.sampling import assign_splits
+
+        d = spark.createDataFrame([(1, "x"), (2, None)], ["doc_id", "domain"])
+        rows = {r.doc_id: r.split for r in
+                assign_splits(d, {"train": 1.0}, group_col="domain").collect()}
+        assert rows[1] == "train" and rows[2] is None
+
+    def test_salt_moves_assignment_and_validation(self, spark):
+        from kafka_streams_task_spark.operators.sampling import assign_splits
+
+        d = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+        a = {r.doc_id: r.split for r in
+             assign_splits(d, {"x": 1, "y": 1}).collect()}
+        b = {r.doc_id: r.split for r in
+             assign_splits(d, {"x": 1, "y": 1}, salt="v2").collect()}
+        assert a != b, "salt must re-draw assignments"
+        with pytest.raises(ValueError, match="positive"):
+            assign_splits(d, {"x": 0.0})
+        with pytest.raises(ValueError, match="at least one"):
+            assign_splits(d, {})
+
+    def test_no_shuffle_plan(self, spark):
+        from kafka_streams_task_spark.operators.sampling import assign_splits
+
+        d = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+        plan = (
+            assign_splits(d, {"train": 0.75, "val": 0.25})
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan and "Python" not in plan
