@@ -577,3 +577,60 @@ def clean_text(
     # ASCII spaces, so leading/trailing newlines would survive and split
     # exact-dedup digests on trailing-newline crawl variants
     return F.regexp_replace(c, "^\\s+|\\s+$", "")
+
+
+#: block-level HTML elements whose boundaries become newlines (paragraph
+#: structure survives extraction; inline tags just vanish)
+_HTML_BLOCK_TAGS = (
+    "p|div|br|li|ul|ol|tr|td|th|table|h[1-6]|blockquote|pre|section"
+    "|article|header|footer|form|dl|dt|dd|hr|nav|aside|figure|figcaption"
+)
+
+#: the named entities worth decoding without a parser; numeric (&#NNN;)
+#: and exotic named entities pass through untouched (documented — exact
+#: decoding is an Arrow-stage concern, same boundary as NFC in clean_text)
+_HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&amp;", "&"),  # LAST: earlier decodes must not re-expose an &amp;
+)
+
+
+def html_to_text(html: Column | str) -> Column:
+    """Crawl-grade HTML → text as ONE codegen regexp chain — the step
+    between a WARC response payload and :func:`clean_text`. Not a DOM
+    parser (no Python in the hot path); the extraction trafilatura-style
+    tools do with a tree is approximated the way C4's pipeline did:
+
+    * ``<script>``/``<style>``/``<noscript>``/``<template>`` elements
+      removed WITH their content (non-greedy, case-insensitive,
+      dotall — inline JS/CSS never leaks into the corpus),
+    * HTML comments and doctype/XML prologs removed,
+    * block-element boundaries (:data:`_HTML_BLOCK_TAGS`) become
+      newlines so paragraph structure survives for the line-dedup and
+      quality operators; all remaining tags vanish,
+    * the common named entities decode (``&amp;`` deliberately last so
+      double-encoded text cannot re-expose a decodable entity).
+
+    Compose ``clean_text(html_to_text(c))`` to collapse the whitespace
+    the tag removal leaves behind. Malformed markup degrades softly: an
+    unclosed ``<script`` costs its document tail, never the task.
+    """
+    c = F.col(html) if isinstance(html, str) else html
+    # content-bearing containers go first, content and all
+    c = F.regexp_replace(
+        c, "(?is)<(script|style|noscript|template)\\b[^>]*>.*?</\\1\\s*>", " "
+    )
+    # unclosed container: drop to end-of-doc (soft degradation)
+    c = F.regexp_replace(c, "(?is)<(script|style|noscript|template)\\b[^>]*>.*", " ")
+    c = F.regexp_replace(c, "(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, "(?i)<!doctype[^>]*>|<\\?[^>]*\\?>", " ")
+    c = F.regexp_replace(c, f"(?i)</?(?:{_HTML_BLOCK_TAGS})\\b[^>]*/?>", "\n")
+    c = F.regexp_replace(c, "(?s)<[^>]*>", " ")
+    for ent, repl in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(repl))
+    return c

@@ -254,3 +254,47 @@ def warc_ingest_report(records: DataFrame) -> DataFrame:
         F.sum(F.length("payload").cast("long")).alias("payload_bytes"),
         F.count_distinct("source_file").alias("n_files"),
     )
+
+
+def warc_to_documents(records: DataFrame, min_chars: int = 1) -> DataFrame:
+    """The crawl front door, end to end: WARC records (from
+    :func:`read_warc`) → a documents-shaped corpus frame. Everything
+    after the parse is ONE codegen projection + filter — no second
+    Python stage:
+
+    * keep HTTP 200 ``response`` records whose payload is (x)html,
+    * payload bytes → UTF-8 text (Spark's binary→string cast; invalid
+      sequences degrade to replacement chars — charset sniffing beyond
+      UTF-8 is an Arrow-stage concern, same boundary as NFC),
+    * ``html_to_text`` + ``clean_text`` extraction,
+    * URL canonicalized for dedup keys plus its registrable domain
+      (the leakage/blocklist unit downstream operators group on),
+    * drop docs shorter than ``min_chars`` AFTER cleaning.
+
+    Output: ``doc_uid`` (WARC record id), ``url``, ``url_key``,
+    ``domain``, ``fetched_at``, ``text``, ``n_chars``, ``source_file``.
+    """
+    from ..functions.text import clean_text, html_to_text
+    from ..functions.url import normalize_url, registered_domain
+
+    is_html = F.col("http_content_type").rlike("(?i)^(text/html|application/xhtml)")
+    text = clean_text(html_to_text(F.col("payload").cast("string")))
+    return (
+        records.filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+            & is_html
+            & F.col("target_uri").isNotNull()
+        )
+        .select(
+            F.col("record_id").alias("doc_uid"),
+            F.col("target_uri").alias("url"),
+            normalize_url(F.col("target_uri")).alias("url_key"),
+            registered_domain(F.col("target_uri")).alias("domain"),
+            F.col("warc_date").alias("fetched_at"),
+            text.alias("text"),
+            F.col("source_file"),
+        )
+        .withColumn("n_chars", F.length("text"))
+        .filter(F.col("n_chars") >= F.lit(int(min_chars)))
+    )

@@ -6,7 +6,7 @@ from __future__ import annotations
 import gzip
 import io
 
-import pytest
+from pyspark.sql import functions as F
 
 from kafka_streams_task_spark.sources.warc import (
     WARC_RECORD,
@@ -132,3 +132,87 @@ def test_read_warc_plan_is_one_arrow_stage(spark, tmp_path):
     )
     assert plan.count("MapInPandas") == 1
     assert "Exchange" not in plan, "file-parallel parse must not shuffle"
+
+
+HTML_PAGE = (
+    b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+    b"<!DOCTYPE html><html><head><title>T</title>"
+    b"<style>body { color: red }</style>"
+    b"<script>var x = '<p>not text</p>';</script></head>"
+    b"<body><!-- hidden --><h1>Hello &amp; welcome</h1>"
+    b"<p>First&nbsp;para</p><p>Second <b>bold</b> para</p></body></html>"
+)
+
+
+def test_html_to_text_extraction(spark):
+    from kafka_streams_task_spark.functions.text import clean_text, html_to_text
+
+    df = spark.createDataFrame([(HTML_PAGE.split(b"\r\n\r\n", 1)[1].decode(),)], ["html"])
+    out = df.select(clean_text(html_to_text(F.col("html"))).alias("t")).collect()[0].t
+    assert "not text" not in out and "color" not in out and "hidden" not in out
+    assert "Hello & welcome" in out
+    assert "First para" in out and "Second bold para" in out
+    # block boundaries preserved paragraph structure
+    assert out.index("Hello") < out.index("First") < out.index("Second")
+    assert "\n" in out
+    # title is inline-tagged content; it survives as text
+    assert "T" in out
+
+
+def test_html_to_text_unclosed_script_degrades_softly(spark):
+    from kafka_streams_task_spark.functions.text import html_to_text
+
+    df = spark.createDataFrame([("<p>keep</p><script>var x=1; rest",)], ["html"])
+    out = df.select(html_to_text(F.col("html")).alias("t")).collect()[0].t
+    assert "keep" in out and "var x" not in out
+
+
+def test_html_to_text_is_codegen_only(spark):
+    from kafka_streams_task_spark.functions.text import html_to_text
+
+    df = spark.createDataFrame([("<p>x</p>",)], ["html"])
+    plan = (
+        df.select(html_to_text(F.col("html")).alias("t"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_warc_to_documents_end_to_end(spark, tmp_path):
+    from kafka_streams_task_spark.sources.warc import warc_to_documents
+
+    resp_html = _record(
+        b"response", b"HTTP://Example.COM:80/a?utm_source=x&id=1",
+        HTML_PAGE, b"application/http; msgtype=response",
+    )
+    resp_404 = _record(
+        b"response", b"http://example.com/missing",
+        b"HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\n<p>gone</p>",
+        b"application/http; msgtype=response",
+    )
+    resp_img = _record(
+        b"response", b"http://example.com/i.png",
+        b"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\n\x89PNG",
+        b"application/http; msgtype=response",
+    )
+    req = _record(
+        b"request", b"http://example.com/a",
+        b"GET /a HTTP/1.1\r\n\r\n", b"application/http; msgtype=request",
+    )
+    (tmp_path / "crawl.warc").write_bytes(resp_html + resp_404 + resp_img + req)
+    docs = warc_to_documents(read_warc(spark, str(tmp_path)))
+    rows = docs.collect()
+    # only the 200 text/html response survives
+    assert len(rows) == 1
+    d = rows[0]
+    assert d.url == "HTTP://Example.COM:80/a?utm_source=x&id=1"
+    assert d.url_key == "http://example.com/a?id=1"  # canonical dedup key
+    assert d.domain == "example.com"
+    assert "Hello & welcome" in d.text and "var x" not in d.text
+    assert d.n_chars == len(d.text) > 0
+    assert d.fetched_at == "2026-01-01T00:00:00Z"
+    # exactly one Python stage end-to-end: the WARC parse; everything
+    # downstream (html->text->urls) is codegen in the same projection
+    plan = docs._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan and "Exchange" not in plan
