@@ -1,4 +1,5 @@
 from .geohash import geohash, geohash_encode, geohash_expr, geohash_udf
+from .text import clean_text, html_to_text
 from .url import (
     extract_host,
     normalize_url,
@@ -11,6 +12,8 @@ __all__ = [
     "geohash_encode",
     "geohash_expr",
     "geohash_udf",
+    "clean_text",
+    "html_to_text",
     "extract_host",
     "normalize_url",
     "registered_domain",

@@ -14,6 +14,11 @@ from .files import (
     read_jsonl,
     read_parquet_stream,
 )
+from .warc import (
+    read_warc,
+    warc_ingest_report,
+    warc_to_documents,
+)
 
 __all__ = [
     "documents_schema",
@@ -28,4 +33,7 @@ __all__ = [
     "from_wire",
     "read_json_stream",
     "read_parquet_stream",
+    "read_warc",
+    "warc_ingest_report",
+    "warc_to_documents",
 ]
