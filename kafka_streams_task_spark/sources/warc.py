@@ -189,27 +189,15 @@ def iter_warc_records(
         }
 
 
-def read_warc(
-    spark: SparkSession,
-    path: str,
-    strip_http_headers: bool = True,
-    record_types: tuple[str, ...] | None = None,
+def _records_from_files(
+    files: DataFrame,
+    strip_http_headers: bool,
+    kept: set[str] | None,
     batch_records: int = 256,
 ) -> DataFrame:
-    """Read WARC / WARC-gz shard(s) at ``path`` (file, dir, or glob —
-    whatever ``binaryFile`` accepts) into one row per record.
-
-    ``record_types`` pushes a type filter INTO the parser (e.g.
-    ``("response",)`` — the usual 3× row reduction for crawl corpora,
-    skipping request/metadata twins before they ever cross Arrow).
-    ``_malformed`` rows always pass the filter: dropping the quarantine
-    silently is the failure mode the r6 ingest work exists to prevent.
-
-    Gzip is detected per-file by magic bytes; multi-member gz (Common
-    Crawl writes one member per record) decompresses transparently via
-    ``gzip.GzipFile``'s member chaining.
-    """
-    kept = set(record_types) | {"_malformed"} if record_types else None
+    """The shared parse stage (batch and streaming plans): a
+    ``(path, content)`` frame → :data:`WARC_RECORD` rows via one
+    cardinality-changing ``mapInPandas``."""
 
     def batches(parts: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in WARC_RECORD.fields]
@@ -238,8 +226,32 @@ def read_warc(
                 if buf:
                     yield flush(buf)
 
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
     return files.mapInPandas(batches, WARC_RECORD)
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    strip_http_headers: bool = True,
+    record_types: tuple[str, ...] | None = None,
+    batch_records: int = 256,
+) -> DataFrame:
+    """Read WARC / WARC-gz shard(s) at ``path`` (file, dir, or glob —
+    whatever ``binaryFile`` accepts) into one row per record.
+
+    ``record_types`` pushes a type filter INTO the parser (e.g.
+    ``("response",)`` — the usual 3× row reduction for crawl corpora,
+    skipping request/metadata twins before they ever cross Arrow).
+    ``_malformed`` rows always pass the filter: dropping the quarantine
+    silently is the failure mode the r6 ingest work exists to prevent.
+
+    Gzip is detected per-file by magic bytes; multi-member gz (Common
+    Crawl writes one member per record) decompresses transparently via
+    ``gzip.GzipFile``'s member chaining.
+    """
+    kept = set(record_types) | {"_malformed"} if record_types else None
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    return _records_from_files(files, strip_http_headers, kept, batch_records)
 
 
 def warc_ingest_report(records: DataFrame) -> DataFrame:
@@ -297,4 +309,54 @@ def warc_to_documents(records: DataFrame, min_chars: int = 1) -> DataFrame:
         )
         .withColumn("n_chars", F.length("text"))
         .filter(F.col("n_chars") >= F.lit(int(min_chars)))
+    )
+
+
+def streaming_ingest_warc(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    strip_http_headers: bool = True,
+    record_types: tuple[str, ...] | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Continuous crawl ingestion, WARC edition: the streaming twin of
+    :func:`read_warc` — new shards landing under ``path`` stream through
+    the SAME parser stage (``binaryFile`` is a streaming file source, so
+    the batch and streaming plans share everything past the scan) and
+    land as parquet records under ``out_path``. Returns the started
+    query (``availableNow``: drain, then stop).
+
+    Same exactly-once discipline as ``streaming_ingest_jsonl``
+    (sources/files.py): each micro-batch overwrites its own
+    ``batch=<id>`` partition directory, so foreachBatch redelivery
+    rewrites instead of duplicating, and the output dir is BOUND to its
+    checkpoint via the shared ``_checkpoint`` marker — a fresh
+    checkpoint pointed at a used ``out_path`` refuses instead of
+    silently overwriting ``batch=0``. Malformed records travel in-band
+    (``warc_type='_malformed'`` rows), so the quarantine shares the
+    commit atomically with the clean rows.
+    """
+    from ..streaming.state import bind_state_to_checkpoint
+
+    bind_state_to_checkpoint(spark, out_path, checkpoint_dir)
+    kept = set(record_types) | {"_malformed"} if record_types else None
+
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(path).select("path", "content")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        records = _records_from_files(batch_df, strip_http_headers, kept)
+        records.write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
+
+    return (
+        files.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )

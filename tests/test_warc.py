@@ -216,3 +216,41 @@ def test_warc_to_documents_end_to_end(spark, tmp_path):
     plan = docs._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 1
     assert "BatchEvalPython" not in plan and "Exchange" not in plan
+
+
+def test_streaming_ingest_warc(spark, tmp_path):
+    """Streaming twin: shards drain through availableNow into parquet
+    records; a second run with a NEW shard appends only the new data;
+    a fresh checkpoint at the used out_path refuses."""
+    import os
+
+    import pytest
+    from kafka_streams_task_spark.sources.warc import streaming_ingest_warc
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    out = str(tmp_path / "records")
+    ckpt = str(tmp_path / "ckpt")
+
+    (src / "a.warc").write_bytes(_shard())
+    q = streaming_ingest_warc(spark, str(src), out, ckpt,
+                              record_types=("response",))
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert {r.warc_type for r in rows} == {"response"}
+    assert len(rows) == 1 and rows[0].http_status == 200
+
+    (src / "b.warc.gz").write_bytes(
+        gzip.compress(_record(b"response", b"http://n.com/", HTTP_MSG,
+                              b"application/http; msgtype=response"))
+    )
+    q2 = streaming_ingest_warc(spark, str(src), out, ckpt,
+                               record_types=("response",))
+    q2.awaitTermination(120)
+    uris = sorted(r.target_uri for r in spark.read.parquet(out).collect())
+    assert uris == ["http://example.com/", "http://n.com/"], "old shard must not re-ingest"
+
+    with pytest.raises(ValueError, match="bound to checkpoint"):
+        streaming_ingest_warc(spark, str(src), out,
+                              str(tmp_path / "ckpt_fresh"))
+    assert spark.read.parquet(out).count() == 2, "refused start must not clobber"
