@@ -634,3 +634,31 @@ def html_to_text(html: Column | str) -> Column:
     for ent, repl in _HTML_ENTITIES:
         c = F.replace(c, F.lit(ent), F.lit(repl))
     return c
+
+
+def html_title(html: Column | str) -> Column:
+    """``<title>`` text (first one; entities NOT decoded — compose with
+    the :data:`_HTML_ENTITIES` subset via :func:`html_to_text` if
+    needed), NULL when absent. One codegen regexp_extract."""
+    c = F.col(html) if isinstance(html, str) else html
+    t = F.regexp_extract(c, "(?is)<title[^>]*>(.*?)</title\\s*>", 1)
+    return F.when(t == "", F.lit(None).cast("string")).otherwise(F.trim(t))
+
+
+def html_links(html: Column | str, absolute_only: bool = True) -> Column:
+    """``href`` targets of anchor tags as an array<string> — the edge
+    list a crawl link graph (PageRank domain weighting,
+    ``operators/graph.py``) is built from. One codegen
+    regexp_extract_all; fragments-only and javascript: pseudo-links are
+    excluded by the pattern. ``absolute_only`` keeps http(s) URLs and
+    drops relative paths (resolving them against a base URL needs the
+    page URL — do it with ``F.concat`` at the call site where the base
+    is a column)."""
+    c = F.col(html) if isinstance(html, str) else html
+    links = F.regexp_extract_all(
+        c, F.lit("(?i)<a\\b[^>]*?\\bhref\\s*=\\s*[\"']([^\"'#>][^\"'>]*)[\"']"), 1
+    )
+    links = F.filter(links, lambda u: ~u.rlike("(?i)^(javascript|mailto|tel):"))
+    if absolute_only:
+        links = F.filter(links, lambda u: u.rlike("(?i)^https?://"))
+    return links

@@ -360,3 +360,51 @@ def streaming_ingest_warc(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def warc_link_graph(records: DataFrame, node: str = "domain") -> DataFrame:
+    """Domain-level (or page-level, ``node="url"``) link edges from WARC
+    response records — the input PageRank-style crawl quality weighting
+    (``operators/graph.py:pagerank``) runs on. One codegen projection +
+    explode after the parse stage:
+
+    * source node from the record's target URI, destination nodes from
+      the payload's anchor hrefs (absolute links only —
+      ``functions/text.py:html_links``),
+    * both sides reduced to the registrable domain when
+      ``node="domain"`` (the usual granularity: page-level graphs at
+      crawl scale are ~100× larger and rank the same spam),
+    * self-loops dropped (intra-site links carry no cross-site signal),
+      parallel edges kept — pagerank counts them as extra mass, matching
+      the adjacency-matrix definition.
+    """
+    from ..functions.text import html_links
+    from ..functions.url import normalize_url, registered_domain
+
+    if node not in ("domain", "url"):
+        raise ValueError(f"node must be 'domain' or 'url', got {node!r}")
+    html = F.col("payload").cast("string")
+    pages = records.filter(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("http_content_type").rlike("(?i)^(text/html|application/xhtml)")
+        & F.col("target_uri").isNotNull()
+    ).select(
+        F.col("target_uri").alias("_src_url"),
+        F.explode(html_links(html)).alias("_dst_url"),
+    )
+    if node == "domain":
+        edges = pages.select(
+            registered_domain(F.col("_src_url")).alias("src"),
+            registered_domain(F.col("_dst_url")).alias("dst"),
+        )
+    else:
+        edges = pages.select(
+            normalize_url(F.col("_src_url")).alias("src"),
+            normalize_url(F.col("_dst_url")).alias("dst"),
+        )
+    return edges.filter(
+        F.col("src").isNotNull()
+        & F.col("dst").isNotNull()
+        & (F.col("src") != F.col("dst"))
+    )

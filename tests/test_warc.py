@@ -254,3 +254,69 @@ def test_streaming_ingest_warc(spark, tmp_path):
         streaming_ingest_warc(spark, str(src), out,
                               str(tmp_path / "ckpt_fresh"))
     assert spark.read.parquet(out).count() == 2, "refused start must not clobber"
+
+
+LINKY_PAGE = (
+    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+    b'<html><head><title> My  Page </title></head><body>'
+    b'<a href="https://other.com/x">abs</a>'
+    b'<a href="https://other.com/x?b=1">abs2</a>'
+    b'<a href="/relative">rel</a>'
+    b'<a href="javascript:void(0)">js</a>'
+    b'<a href="#frag">frag</a>'
+    b'<a href="mailto:a@b.c">mail</a>'
+    b'<a href="http://www.example.com/self">self</a>'
+    b"</body></html>"
+)
+
+
+def test_html_title_and_links(spark):
+    from kafka_streams_task_spark.functions.text import html_links, html_title
+
+    html = LINKY_PAGE.split(b"\r\n\r\n", 1)[1].decode()
+    df = spark.createDataFrame([(html,), ("<p>no title</p>",)], ["html"])
+    rows = df.select(
+        html_title(F.col("html")).alias("title"),
+        html_links(F.col("html")).alias("links"),
+        html_links(F.col("html"), absolute_only=False).alias("all_links"),
+    ).collect()
+    assert rows[0].title == "My  Page"
+    assert rows[0].links == [
+        "https://other.com/x",
+        "https://other.com/x?b=1",
+        "http://www.example.com/self",
+    ]
+    assert "/relative" in rows[0].all_links
+    assert not any("javascript" in u or "mailto" in u for u in rows[0].all_links)
+    assert rows[1].title is None and rows[1].links == []
+    plan = (
+        df.select(html_title(F.col("html")), html_links(F.col("html")))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_warc_link_graph_to_pagerank(spark, tmp_path):
+    """Composition: crawl shard -> domain link graph -> pagerank."""
+    import pytest
+    from kafka_streams_task_spark.operators.graph import pagerank
+    from kafka_streams_task_spark.sources.warc import warc_link_graph
+
+    page = _record(
+        b"response", b"http://www.example.com/page",
+        LINKY_PAGE, b"application/http; msgtype=response",
+    )
+    (tmp_path / "a.warc").write_bytes(page)
+    records = read_warc(spark, str(tmp_path))
+    edges = warc_link_graph(records)
+    got = sorted((r.src, r.dst) for r in edges.collect())
+    # self-domain link dropped; the two other.com links stay as
+    # parallel edges (extra mass, adjacency-matrix semantics)
+    assert got == [("example.com", "other.com"), ("example.com", "other.com")]
+    ranks = {r.node: r.rank for r in pagerank(edges, n_iter=3).collect()}
+    assert set(ranks) == {"example.com", "other.com"}
+    assert ranks["other.com"] > ranks["example.com"]
+    with pytest.raises(ValueError, match="node"):
+        warc_link_graph(records, node="bogus")
+    page_edges = warc_link_graph(records, node="url").collect()
+    assert all(e.src == "http://www.example.com/page" for e in page_edges)
