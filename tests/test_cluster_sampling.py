@@ -499,6 +499,21 @@ def test_full_training_pipeline_composes(spark):
     sampled = hash_stratified_sample(
         kept, {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.5}, "lang", "doc_id"
     )
+    # 5b. leakage-guarded split (group = lang here; domain in a crawl):
+    # train-only docs proceed to chunk/pack, no group straddles splits
+    from kafka_streams_task_spark.operators.sampling import (
+        assign_splits,
+        split_leakage_report,
+    )
+
+    split_all = assign_splits(
+        sampled, {"train": 0.75, "val": 0.125, "test": 0.125}, group_col="lang"
+    )
+    assert split_leakage_report(split_all, "lang").count() == 0
+    assert split_all.count() == sampled.count()
+    sampled = split_all.filter(F.col("split") == "train").drop("split")
+    assert sampled.count() > 0
+
     chunks = chunk_documents(sampled, max_tokens=64)
     packed = pack_sequences(
         chunks.withColumn(
