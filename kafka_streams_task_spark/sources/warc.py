@@ -268,16 +268,21 @@ def warc_ingest_report(records: DataFrame) -> DataFrame:
     )
 
 
-def warc_to_documents(records: DataFrame, min_chars: int = 1) -> DataFrame:
+def warc_to_documents(
+    records: DataFrame, min_chars: int = 1, exact_charset: bool = False
+) -> DataFrame:
     """The crawl front door, end to end: WARC records (from
     :func:`read_warc`) → a documents-shaped corpus frame. Everything
     after the parse is ONE codegen projection + filter — no second
     Python stage:
 
     * keep HTTP 200 ``response`` records whose payload is (x)html,
-    * payload bytes → UTF-8 text (Spark's binary→string cast; invalid
-      sequences degrade to replacement chars — charset sniffing beyond
-      UTF-8 is an Arrow-stage concern, same boundary as NFC),
+    * payload bytes → text: Spark's binary→string cast by default
+      (assumes UTF-8; invalid sequences degrade to replacement chars),
+      or ``exact_charset=True`` for per-document charset resolution via
+      ``operators/charset.py:decode_payloads`` (BOM/header/meta
+      precedence — one extra Arrow stage, the exact path for corpora
+      with a legacy-charset tail),
     * ``html_to_text`` + ``clean_text`` extraction,
     * URL canonicalized for dedup keys plus its registrable domain
       (the leakage/blocklist unit downstream operators group on),
@@ -290,14 +295,23 @@ def warc_to_documents(records: DataFrame, min_chars: int = 1) -> DataFrame:
     from ..functions.url import normalize_url, registered_domain
 
     is_html = F.col("http_content_type").rlike("(?i)^(text/html|application/xhtml)")
-    text = clean_text(html_to_text(F.col("payload").cast("string")))
+    pages = records.filter(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & is_html
+        & F.col("target_uri").isNotNull()
+    )
+    if exact_charset:
+        from ..operators.charset import decode_payloads
+
+        # the filter above runs BEFORE the Arrow stage, so only kept
+        # pages pay the Python decode
+        pages = decode_payloads(pages, text_col="_raw_text")
+        text = clean_text(html_to_text(F.col("_raw_text")))
+    else:
+        text = clean_text(html_to_text(F.col("payload").cast("string")))
     return (
-        records.filter(
-            (F.col("warc_type") == "response")
-            & (F.col("http_status") == 200)
-            & is_html
-            & F.col("target_uri").isNotNull()
-        )
+        pages
         .select(
             F.col("record_id").alias("doc_uid"),
             F.col("target_uri").alias("url"),

@@ -96,3 +96,34 @@ def test_decode_composes_with_warc_pipeline(spark, tmp_path):
         "charset", clean_text(html_to_text(F.col("text"))).alias("t")
     ).collect()[0]
     assert out.charset == "gbk" and out.t == GBK_TEXT
+
+
+def test_warc_to_documents_exact_charset(spark, tmp_path):
+    """exact_charset=True recovers a GBK page the default utf-8 cast
+    mangles; the charset filter runs before the Arrow decode."""
+    from kafka_streams_task_spark.sources.warc import read_warc, warc_to_documents
+
+    page_html = f"<html><body><p>{GBK_TEXT}</p></body></html>".encode("gbk")
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=gbk\r\n\r\n"
+        + page_html
+    )
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Record-ID: <urn:uuid:r1>\r\n"
+        b"WARC-Target-URI: http://cn.example.com/\r\n"
+        b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        b"Content-Length: " + str(len(http)).encode() + b"\r\n"
+        b"\r\n" + http + b"\r\n\r\n"
+    )
+    (tmp_path / "a.warc").write_bytes(rec)
+    recs = read_warc(spark, str(tmp_path))
+    exact = warc_to_documents(recs, exact_charset=True).collect()
+    assert len(exact) == 1 and exact[0].text == GBK_TEXT
+    lossy = warc_to_documents(recs).collect()
+    assert lossy[0].text != GBK_TEXT  # default cast mangles GBK
+    # same output schema either way
+    assert warc_to_documents(recs, exact_charset=True).columns == \
+        warc_to_documents(recs).columns
