@@ -822,6 +822,54 @@ def decontaminate_bloom(
     )
 
 
+def cross_split_contamination(
+    df: DataFrame,
+    split_col: str = "split",
+    train_split: str = "train",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Train→eval leakage audit over an already-split corpus (e.g. from
+    :func:`~..operators.sampling.assign_splits`): for every document NOT
+    in ``train_split``, count its distinct word ``shingle_n``-grams that
+    also occur anywhere in the train split. Returns
+    ``(split, doc_id, n_contaminated_shingles)`` for docs at or over
+    ``min_overlap`` — an eval set whose rows appear here is measuring
+    memorization, not generalization.
+
+    This is :func:`decontaminate` with the roles inverted: there the
+    benchmark is tiny and broadcasts; here the "benchmark" is the full
+    train split, so membership is a plain shuffled hash semi-join on
+    64-bit shingle hashes — both sides shuffle ONLY (id, hash) longs,
+    never text, and the eval side (the grouped side) is the small one.
+    The train side's ``distinct`` is the honest dominant cost (one
+    full-corpus shuffle of 8-byte hashes); for repeated audits against a
+    growing train set, persist that distinct-hash table and append —
+    or prefilter with :func:`build_shingle_bloom` over the EVAL shingles
+    (eval sets are small) so only train hashes that might matter reach
+    the join.
+
+    Collision budget: identical to :func:`decontaminate` (64-bit,
+    conservative direction — a spurious flag removes a clean eval row,
+    never keeps a leaked one).
+    """
+    sh = df.select(
+        F.col(split_col).alias("split"),
+        F.col(id_col),
+        F.explode(_shingle_hashes(df, text_col, shingle_n)).alias("h"),
+    )
+    train_h = sh.filter(F.col("split") == train_split).select("h").distinct()
+    eval_sh = sh.filter(F.col("split") != train_split)
+    return (
+        eval_sh.join(train_h, on="h", how="left_semi")
+        .groupBy("split", id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
+        .filter(F.col("n_contaminated_shingles") >= min_overlap)
+    )
+
+
 _MEMBERSHIP_SALT = 0x9E3779B9  # fixed second-draw seed (golden-ratio constant, fits int64)
 
 

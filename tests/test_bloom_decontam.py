@@ -108,3 +108,44 @@ def test_bloom_words_table_is_compact(spark):
     n_words = bloom.words.count()
     assert n_words <= bloom.m_bits // 64
     assert isinstance(bloom, ShingleBloom)
+
+
+def test_cross_split_contamination(spark):
+    """Leaked 8-gram between a train and a test doc is flagged on the
+    TEST side; clean docs and intra-train repeats are not."""
+    from kafka_streams_task_spark.operators.dedup import cross_split_contamination
+
+    leak = "l1 l2 l3 l4 l5 l6 l7 l8"
+    rows = [
+        (1, "train", f"alpha beta {leak} gamma delta"),
+        (2, "train", f"other text repeating {leak} here too"),  # intra-train dup: fine
+        (3, "test", f"prefix words {leak} suffix words"),       # leaked -> flag
+        (4, "test", "completely unrelated clean document text with many words"),
+        (5, "val", f"{leak} starts this one"),                  # leaked -> flag
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "split", "text"])
+    got = {
+        (r.split, r.doc_id): r.n_contaminated_shingles
+        for r in cross_split_contamination(df, shingle_n=8).collect()
+    }
+    assert set(got) == {("test", 3), ("val", 5)}
+    assert all(v >= 1 for v in got.values())
+    # min_overlap raises the bar past a single shared shingle
+    assert cross_split_contamination(df, shingle_n=8, min_overlap=10).count() == 0
+
+
+def test_cross_split_contamination_shuffles_only_hashes(spark):
+    """The join carries (split, id, hash) — no text column crosses an
+    Exchange, and there's no broadcast of the train side assumed."""
+    from kafka_streams_task_spark.operators.dedup import cross_split_contamination
+
+    df = spark.createDataFrame(
+        [(1, "train", "a b c d e f g h"), (2, "test", "a b c d e f g h")],
+        ["doc_id", "split", "text"],
+    )
+    plan = (
+        cross_split_contamination(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "Python" not in plan
