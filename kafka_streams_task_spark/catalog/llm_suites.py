@@ -242,6 +242,33 @@ def _event_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(({_zorder_oracle_expr(8)}) AS BIGINT), CAST(NULL AS BIGINT)
     FROM events
     UNION ALL
+    SELECT CAST('xsplit' AS VARCHAR), CAST(doc_id AS BIGINT),
+           CAST(split AS VARCHAR), CAST(n AS BIGINT), CAST(NULL AS BIGINT)
+    FROM (
+      WITH xsd AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 = 0 THEN 'test' ELSE 'train' END AS split,
+               CASE WHEN doc_id % 10 = 0
+                    THEN trim(text) || ' xq1 xq2 xq3 xq4 xq5 xq6 xq7 xq8'
+                    ELSE trim(text) END AS txt
+        FROM documents),
+      xst AS (SELECT doc_id, split,
+                     string_split_regex(trim(txt), '[ \\t\\n\\r\\f]+') AS toks
+              FROM xsd),
+      xsg AS (
+        SELECT DISTINCT doc_id, split,
+               CASE WHEN len(toks) >= 8 THEN array_to_string(toks[i+1:i+8], ' ')
+                    ELSE array_to_string(toks, ' ') END AS gram
+        FROM xst,
+             unnest(CASE WHEN len(toks) >= 8 THEN range(0, len(toks) - 8 + 1)
+                         ELSE [0] END) AS u(i)),
+      xtr AS (SELECT DISTINCT gram FROM xsg WHERE split = 'train')
+      SELECT split, doc_id, count(*) AS n
+      FROM xsg JOIN xtr USING (gram)
+      WHERE split <> 'train'
+      GROUP BY split, doc_id
+    )
+    UNION ALL
     {canary_sql(_SUITE_COLS)}
     """,
 )
@@ -265,9 +292,19 @@ def llm_graph_layout_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree) and the Morton bit interleave; the write path + footer-stats
     skipping stay pinned by test_layout.py.
 
+    'xsplit' (r7) — cross_split_contamination through the REAL operator
+    over an arithmetically planted split (doc_id % 4 → test) and leak
+    (an 8-token marker appended to doc_id % 10 docs): per eval doc, the
+    count of distinct 8-gram shingles shared with ANY train doc. The
+    oracle recomputes grams as STRINGS (distinct counts are identical
+    to the engine's distinct xxhash64 counts — same grams, no
+    collisions at this scale), including the short-doc whole-text
+    shingle rule.
+
     'canary' — constant rows stated identically by both engines (see
     module docstring).
     """
+    from ..operators.dedup import cross_split_contamination
     from ..operators.graph import pagerank, triangle_count
     from ..operators.layout import zorder_key
 
@@ -294,9 +331,32 @@ def llm_graph_layout_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         zorder_key(ev, ["user_id", "value"], bits=8).cast("long").alias("i1"),
         F.lit(None).cast("long").alias("i2"),
     )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat_ws(
+                " ", F.trim("text"), F.lit("xq1 xq2 xq3 xq4 xq5 xq6 xq7 xq8")
+            ),
+        )
+        .otherwise(F.trim("text"))
+        .alias("text"),
+    )
+    xsplit_leg = cross_split_contamination(planted, shingle_n=8).select(
+        F.lit("xsplit").alias("leg"),
+        F.col("doc_id").cast("long").alias("key"),
+        F.col("split").cast("string").alias("s1"),
+        F.col("n_contaminated_shingles").cast("long").alias("i1"),
+        F.lit(None).cast("long").alias("i2"),
+    )
     return (
         pagerank_leg.unionByName(triangle_leg)
         .unionByName(zorder_leg)
+        .unionByName(xsplit_leg)
         .unionByName(canary_df(spark, _SUITE_COLS))
     )
 

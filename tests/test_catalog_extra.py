@@ -55,7 +55,10 @@ def test_llm_suite_legs_individually(spark, sf_dir):
     )
 
     suites = {
-        "graph_layout": (llm_graph_layout_suite, {"pagerank", "triangles", "zorder"}),
+        "graph_layout": (
+            llm_graph_layout_suite,
+            {"pagerank", "triangles", "zorder", "xsplit"},
+        ),
         "cdc_analytics": (
             llm_cdc_analytics_suite,
             {"merge", "scd2", "expect", "cohort", "funnel", "corpus", "domain"},
@@ -127,6 +130,14 @@ def test_llm_suite_legs_individually(spark, sf_dir):
         elif name == "dupspans":
             assert all(0 <= r.i2 <= r.i1 for r in rows), (
                 f"leg {name!r}: dup tokens exceed token count"
+            )
+        elif name == "xsplit":
+            assert all(r.s1 == "test" and r.key % 4 == 0 for r in rows), (
+                f"leg {name!r}: non-eval doc flagged"
+            )
+            assert all(r.i1 >= 1 for r in rows), f"leg {name!r}: empty overlap"
+            assert {r.key for r in rows if r.key % 20 == 0}, (
+                f"leg {name!r}: planted leaks not flagged"
             )
         elif name == "splits":
             leak = [r for r in rows if r.s1 == "_leak_groups"]
