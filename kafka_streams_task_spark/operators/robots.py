@@ -1,0 +1,181 @@
+"""robots.txt parsing + URL matching (RFC 9309) — crawl-compliance
+filtering as relational plans.
+
+Training-data pipelines increasingly must honor robots exclusions
+retroactively (a domain that opts out today wants yesterday's pages out
+of the corpus too). That makes robots filtering a CORPUS operator, not
+just a crawler concern: join the harvested robots.txt table against the
+document table and drop what the site disallows.
+
+Spark-first shape — both halves are pure relational plans, no Python:
+
+* :func:`parse_robots` explodes robots bodies into lines and rebuilds
+  the RFC 9309 group structure with two windows (a lag to find
+  user-agent block starts, a running sum to number groups), yielding
+  one row per (domain, agent, rule).
+* :func:`robots_allowed` matches URL paths against rules with SQL
+  ``LIKE`` over a COLUMN pattern (robots wildcards translate exactly:
+  ``*`` → ``%``, trailing ``$`` → anchored, everything else literal —
+  cheaper than regex), then resolves precedence per RFC 9309: most
+  specific (longest) rule wins, ties break toward allow, no matching
+  rule or no robots.txt means allowed.
+
+Scale shape: rules join documents on the domain key — the natural
+pre-partitioning for a crawl corpus (same key as blocklists and mix
+rates). Per-domain rule counts are tens, so the per-URL fan-out is
+bounded; the decisive-rule window partitions by URL and never sees more
+than that fan-out. Percent-encoding equivalence (RFC 9309 §2.2.2) is
+NOT normalized here — feed both sides through
+``functions/url.py:normalize_url`` first for canonical comparisons.
+
+Reference provenance: no analogue in idavkaev/kafka-streams-task; part
+of the 100 TB training-data-pipeline extension surface (SURVEY.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_DIRECTIVE_RE = r"(?i)^[ \t]*(user-agent|allow|disallow)[ \t]*:[ \t]*([^#]*)"
+
+
+def _like_pattern(path: Column) -> Column:
+    """Robots path pattern → SQL LIKE pattern: escape LIKE's ``%``/``_``
+    metacharacters (and ``\\`` itself), map ``*`` → ``%``, honor a
+    trailing ``$`` end-anchor (LIKE is full-match, so anchoring means
+    NOT appending the trailing ``%``)."""
+    esc = F.regexp_replace(path, r"([\\%_])", r"\\$1")
+    anchored = esc.endswith("$")
+    stripped = F.when(anchored, esc.substr(F.lit(1), F.length(esc) - 1)).otherwise(esc)
+    wild = F.replace(stripped, F.lit("*"), F.lit("%"))
+    return F.when(anchored, wild).otherwise(F.concat(wild, F.lit("%")))
+
+
+def parse_robots(
+    df: DataFrame, domain_col: str = "domain", text_col: str = "robots_txt"
+) -> DataFrame:
+    """Explode harvested robots.txt bodies into RFC 9309 rules: one row
+    per ``(domain, agent, is_allow, path, pattern_len, like_pattern)``.
+
+    Group semantics per the RFC: consecutive ``User-agent`` lines start
+    a group and ALL name that group's agents; the ``Allow``/``Disallow``
+    lines that follow (until the next agent block) apply to every agent
+    of the group. Comments (``#``), unknown directives (Sitemap,
+    Crawl-delay, …) and empty-path rules ("Disallow:" = no restriction)
+    are dropped. Agents normalize to lowercase; paths are
+    case-sensitive (RFC 9309 §2.2.2).
+    """
+    lines = df.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(F.split(F.col(text_col), "\r?\n")).alias("line_no", "line"),
+    ).select(
+        "domain",
+        "line_no",
+        F.regexp_extract("line", _DIRECTIVE_RE, 1).alias("_d"),
+        F.trim(F.regexp_extract("line", _DIRECTIVE_RE, 2)).alias("_v"),
+    ).filter(F.col("_d") != "")
+    lines = lines.select(
+        "domain", "line_no", F.lower("_d").alias("directive"), F.col("_v").alias("value")
+    )
+
+    w = Window.partitionBy("domain").orderBy("line_no")
+    # a user-agent line whose previous directive line is NOT user-agent
+    # starts a new group; the running sum of starts numbers the groups
+    grouped = lines.withColumn(
+        "_starts",
+        (
+            (F.col("directive") == "user-agent")
+            & (F.coalesce(F.lag("directive").over(w), F.lit("")) != "user-agent")
+        ).cast("int"),
+    ).withColumn("group_id", F.sum("_starts").over(w))
+
+    agents = grouped.filter(F.col("directive") == "user-agent").select(
+        "domain", "group_id", F.lower("value").alias("agent")
+    ).distinct()
+    rules = grouped.filter(
+        F.col("directive").isin("allow", "disallow") & (F.col("value") != "")
+    ).select(
+        "domain",
+        "group_id",
+        (F.col("directive") == "allow").alias("is_allow"),
+        F.col("value").alias("path"),
+    )
+    return (
+        rules.join(agents, on=["domain", "group_id"])
+        .select(
+            "domain",
+            "agent",
+            "is_allow",
+            "path",
+            F.length("path").alias("pattern_len"),
+            _like_pattern(F.col("path")).alias("like_pattern"),
+        )
+    )
+
+
+def robots_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str = "*",
+    url_col: str = "url",
+) -> DataFrame:
+    """Append an ``allowed`` boolean to ``urls`` (which must carry a
+    ``domain`` column keyed like the rules table): RFC 9309 precedence —
+    the agent's own group if one exists for the domain, else the ``*``
+    group; within the group the LONGEST matching rule decides, ties
+    break toward allow; no matching rule, no group, or no robots.txt at
+    all means allowed.
+
+    The match target is path + ``?`` + query, per the RFC. One
+    domain-keyed join of urls × matching rules, then one ``max_by``
+    aggregate picking the decisive rule (struct ordering puts the
+    longest pattern first and breaks ties toward allow, since
+    true > false); rule fan-out per URL is the domain's rule count
+    (tens)."""
+    me = agent.lower()
+    # per domain: does an exact group for this agent exist? (RFC: the
+    # crawler's own group shadows '*' entirely, it does not merge)
+    has_mine = rules.filter(F.col("agent") == me).select("domain").distinct()
+    scoped = (
+        rules.filter(F.col("agent").isin(me, "*"))
+        .join(has_mine.withColumn("_has_mine", F.lit(True)), on="domain", how="left")
+        .filter(
+            F.when(F.coalesce(F.col("_has_mine"), F.lit(False)), F.col("agent") == me)
+            .otherwise(F.col("agent") == "*")
+        )
+        .select("domain", "is_allow", "pattern_len", "like_pattern")
+    )
+
+    def match_target(u: Column) -> Column:
+        # path + optional ?query, fragment stripped — one tolerant regexp
+        # (parse_url THROWS on raw '%' in paths, which crawled URLs have)
+        t = F.regexp_extract(u, r"^(?:[a-zA-Z][\w+.-]*:)?//[^/?#]*([^#]*)", 1)
+        return F.when(t == "", F.lit("/")).otherwise(t)
+
+    # decisions key on (domain, url) — deterministic under recompute
+    # (a monotonically_increasing_id here would be the classic
+    # nondeterministic-self-join trap) and naturally deduplicating:
+    # repeated url rows share one decision
+    decisions = (
+        urls.select("domain", F.col(url_col).alias("_u"))
+        .distinct()
+        .withColumn("_target", match_target(F.col("_u")))
+        .join(scoped, on="domain")
+        .filter(F.expr("_target LIKE like_pattern"))
+        .groupBy("domain", "_u")
+        .agg(
+            F.max_by(
+                "is_allow", F.struct(F.col("pattern_len"), F.col("is_allow"))
+            ).alias("_dec")
+        )
+    )
+    return (
+        urls.join(
+            decisions.withColumnRenamed("_u", url_col),
+            on=["domain", url_col],
+            how="left",
+        )
+        .withColumn("allowed", F.coalesce(F.col("_dec"), F.lit(True)))
+        .drop("_dec")
+    )

@@ -1,0 +1,134 @@
+"""robots.txt parsing + RFC 9309 matching (operators/robots.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_streams_task_spark.operators.robots import parse_robots, robots_allowed
+
+ROBOTS_A = """\
+# comment line
+User-agent: *
+Disallow: /private/
+Allow: /private/public$
+Crawl-delay: 10
+
+User-agent: specialbot
+User-agent: otherbot
+Disallow: /
+Allow: /welcome*
+Sitemap: https://a.com/sitemap.xml
+Disallow:
+"""
+
+
+def _rules(spark):
+    df = spark.createDataFrame([("a.com", ROBOTS_A)], ["domain", "robots_txt"])
+    return parse_robots(df)
+
+
+def test_parse_robots_groups_and_directives(spark):
+    rows = sorted(
+        (r.agent, r.is_allow, r.path) for r in _rules(spark).collect()
+    )
+    # group 1: '*'; group 2: BOTH specialbot and otherbot get both rules;
+    # comments/Sitemap/Crawl-delay/empty Disallow dropped
+    assert rows == [
+        ("*", False, "/private/"),
+        ("*", True, "/private/public$"),
+        ("otherbot", False, "/"),
+        ("otherbot", True, "/welcome*"),
+        ("specialbot", False, "/"),
+        ("specialbot", True, "/welcome*"),
+    ]
+    r = {x.path: x for x in _rules(spark).collect() if x.agent == "*"}
+    assert r["/private/"].like_pattern == "/private/%"
+    assert r["/private/public$"].like_pattern == "/private/public"  # anchored
+    assert r["/private/"].pattern_len == 9
+
+
+def test_robots_allowed_precedence(spark):
+    rules = _rules(spark)
+    urls = spark.createDataFrame(
+        [
+            ("a.com", "http://a.com/open/page"),         # no rule -> allowed
+            ("a.com", "http://a.com/private/x"),         # disallow /private/
+            ("a.com", "http://a.com/private/public"),    # longer allow + $ anchor
+            ("a.com", "http://a.com/private/public2"),   # $ anchor must NOT match
+            ("b.com", "http://b.com/anything"),          # no robots.txt -> allowed
+        ],
+        ["domain", "url"],
+    )
+    got = {r.url.rsplit("/", 1)[-1]: r.allowed
+           for r in robots_allowed(urls, rules, agent="anybot").collect()}
+    assert got == {
+        "page": True, "x": False, "public": True, "public2": False,
+        "anything": True,
+    }
+
+
+def test_robots_agent_group_shadows_star(spark):
+    rules = _rules(spark)
+    urls = spark.createDataFrame(
+        [
+            ("a.com", "http://a.com/welcome/home"),  # specialbot: Allow /welcome*
+            ("a.com", "http://a.com/open/page"),     # specialbot: Disallow / wins
+            ("a.com", "http://a.com/private/public"),  # '*' group does NOT apply
+        ],
+        ["domain", "url"],
+    )
+    got = {r.url.rsplit("/", 1)[-1]: r.allowed
+           for r in robots_allowed(urls, rules, agent="SpecialBot").collect()}
+    # agent matching is case-insensitive; its group fully shadows '*'
+    assert got == {"home": True, "page": False, "public": False}
+
+
+def test_robots_wildcard_and_query_matching(spark):
+    body = "User-agent: *\nDisallow: /*.pdf$\nDisallow: /search?*sort=\n"
+    rules = parse_robots(
+        spark.createDataFrame([("c.com", body)], ["domain", "robots_txt"])
+    )
+    urls = spark.createDataFrame(
+        [
+            ("c.com", "http://c.com/docs/file.pdf"),
+            ("c.com", "http://c.com/docs/file.pdf?dl=1"),  # $ anchor: query breaks match
+            ("c.com", "http://c.com/search?q=x&sort=asc"),
+            ("c.com", "http://c.com/search?q=x"),
+        ],
+        ["domain", "url"],
+    )
+    got = {r.url: r.allowed for r in robots_allowed(urls, rules).collect()}
+    assert got["http://c.com/docs/file.pdf"] is False
+    assert got["http://c.com/docs/file.pdf?dl=1"] is True
+    assert got["http://c.com/search?q=x&sort=asc"] is False
+    assert got["http://c.com/search?q=x"] is True
+
+
+def test_robots_like_metachars_are_literal(spark):
+    body = "User-agent: *\nDisallow: /100%_off\n"
+    rules = parse_robots(
+        spark.createDataFrame([("d.com", body)], ["domain", "robots_txt"])
+    )
+    urls = spark.createDataFrame(
+        [
+            ("d.com", "http://d.com/100%_off/deal"),  # literal match -> blocked
+            ("d.com", "http://d.com/100X_off/deal"),  # % is NOT a wildcard
+            ("d.com", "http://d.com/100%Xoff/deal"),  # _ is NOT a wildcard
+        ],
+        ["domain", "url"],
+    )
+    got = {r.url: r.allowed for r in robots_allowed(urls, rules).collect()}
+    assert got["http://d.com/100%_off/deal"] is False
+    assert got["http://d.com/100X_off/deal"] is True
+    assert got["http://d.com/100%Xoff/deal"] is True
+
+
+def test_robots_plan_is_relational_only(spark):
+    rules = _rules(spark)
+    urls = spark.createDataFrame([("a.com", "http://a.com/x")], ["domain", "url"])
+    plan = (
+        robots_allowed(urls, rules)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "Arrow" not in plan
+    assert "CartesianProduct" not in plan
