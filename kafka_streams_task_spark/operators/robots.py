@@ -179,3 +179,73 @@ def robots_allowed(
         .withColumn("allowed", F.coalesce(F.col("_dec"), F.lit(True)))
         .drop("_dec")
     )
+
+
+def extract_sitemaps(
+    df: DataFrame, domain_col: str = "domain", text_col: str = "robots_txt"
+) -> DataFrame:
+    """``Sitemap:`` URLs from harvested robots.txt bodies — one row per
+    ``(domain, sitemap_url)``. Per RFC 9309 the directive is
+    group-independent, so this is a plain line scan (explode + regexp),
+    no group reconstruction."""
+    return (
+        df.select(
+            F.col(domain_col).alias("domain"),
+            F.explode(F.split(F.col(text_col), "\r?\n")).alias("line"),
+        )
+        .select(
+            "domain",
+            F.trim(
+                F.regexp_extract("line", r"(?i)^[ \t]*sitemap[ \t]*:[ \t]*([^#]+)", 1)
+            ).alias("sitemap_url"),
+        )
+        .filter(F.col("sitemap_url") != "")
+    )
+
+
+def parse_sitemap_urls(
+    df: DataFrame, xml_col: str = "sitemap_xml", keep_cols: tuple[str, ...] = ("domain",)
+) -> DataFrame:
+    """URL entries from sitemap / sitemap-index XML bodies: one row per
+    ``<loc>`` with its optional ``<lastmod>`` sibling — the crawl
+    frontier seed list. Regexp extraction, not an XML parser, by the
+    same reasoning as ``html_to_text`` (sitemaps are machine-generated
+    and regular; a DOM would put Python in the per-byte path): one
+    codegen projection, entities in locs decoded via the common subset.
+
+    ``is_index`` marks ``<sitemap>`` entries (sitemap-index files) whose
+    locs are MORE sitemaps to fetch, vs ``<url>`` page entries."""
+    from ..functions.text import _HTML_ENTITIES
+
+    entry = F.regexp_extract_all(
+        F.col(xml_col),
+        F.lit(r"(?is)<(sitemap|url)\b[^>]*>(.*?)</\1\s*>"),
+        2,
+    )
+    kind = F.regexp_extract_all(
+        F.col(xml_col),
+        F.lit(r"(?is)<(sitemap|url)\b[^>]*>.*?</\1\s*>"),
+        1,
+    )
+    out = df.select(
+        *keep_cols,
+        F.explode(F.arrays_zip(kind.alias("k"), entry.alias("e"))).alias("_z"),
+    ).select(
+        *keep_cols,
+        (F.lower(F.col("_z.k")) == "sitemap").alias("is_index"),
+        F.trim(
+            F.regexp_extract(F.col("_z.e"), r"(?is)<loc[^>]*>(.*?)</loc\s*>", 1)
+        ).alias("loc"),
+        F.nullif(
+            F.trim(
+                F.regexp_extract(
+                    F.col("_z.e"), r"(?is)<lastmod[^>]*>(.*?)</lastmod\s*>", 1
+                )
+            ),
+            F.lit(""),
+        ).alias("lastmod"),
+    ).filter(F.col("loc") != "")
+    loc = F.col("loc")
+    for ent, repl in _HTML_ENTITIES:
+        loc = F.replace(loc, F.lit(ent), F.lit(repl))
+    return out.withColumn("loc", loc)

@@ -132,3 +132,47 @@ def test_robots_plan_is_relational_only(spark):
     )
     assert "Python" not in plan and "Arrow" not in plan
     assert "CartesianProduct" not in plan
+
+
+SITEMAP_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>https://a.com/page1?x=1&amp;y=2</loc><lastmod>2026-01-01</lastmod></url>
+  <url><loc> https://a.com/page2 </loc></url>
+</urlset>"""
+
+SITEMAP_INDEX = """<sitemapindex>
+  <sitemap><loc>https://a.com/sm1.xml</loc><lastmod>2026-02-02</lastmod></sitemap>
+  <sitemap><loc>https://a.com/sm2.xml</loc></sitemap>
+</sitemapindex>"""
+
+
+def test_extract_sitemaps_from_robots(spark):
+    from kafka_streams_task_spark.operators.robots import extract_sitemaps
+
+    df = spark.createDataFrame([("a.com", ROBOTS_A)], ["domain", "robots_txt"])
+    rows = extract_sitemaps(df).collect()
+    assert [(r.domain, r.sitemap_url) for r in rows] == [
+        ("a.com", "https://a.com/sitemap.xml")
+    ]
+
+
+def test_parse_sitemap_urls_and_index(spark):
+    from kafka_streams_task_spark.operators.robots import parse_sitemap_urls
+
+    df = spark.createDataFrame(
+        [("a.com", SITEMAP_XML), ("a.com", SITEMAP_INDEX)],
+        ["domain", "sitemap_xml"],
+    )
+    rows = sorted(
+        (r.is_index, r.loc, r.lastmod) for r in parse_sitemap_urls(df).collect()
+    )
+    assert rows == [
+        (False, "https://a.com/page1?x=1&y=2", "2026-01-01"),  # entity decoded
+        (False, "https://a.com/page2", None),                  # trimmed, no lastmod
+        (True, "https://a.com/sm1.xml", "2026-02-02"),
+        (True, "https://a.com/sm2.xml", None),
+    ]
+    plan = (
+        parse_sitemap_urls(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "Arrow" not in plan
