@@ -1,0 +1,261 @@
+"""Versioned corpus snapshots (r7) — reproducible training sets as
+plain parquet + a tiny manifest layer (the Iceberg/Delta *concept*,
+vendored minimally: no table-format dependency exists in this
+environment, and a training pipeline needs exactly four verbs —
+append, overwrite, read-at-version, rollback).
+
+Why a corpus operator: "which rows trained model X" must stay
+answerable months later, while the corpus keeps ingesting. Overwriting
+parquet in place destroys that; copying the corpus per experiment is
+absurd at 100 TB. Versioning by MANIFEST makes each version a list of
+immutable data directories, so an append reuses every prior byte and a
+version read is just ``spark.read.parquet(*dirs)`` — partition pruning,
+pushdown, and codegen all apply unchanged.
+
+Layout under the table root::
+
+    data/v00001/part-*.parquet     -- immutable once its version commits
+    data/v00002/part-*.parquet
+    _versions/v00001.json          -- {"version", "op", "dirs", "n_rows"}
+    _latest                        -- {"version": N}   (the atomic pivot)
+
+Commit protocol (single writer, same discipline as
+``merge_into_partitioned``'s WAP): data directory first, then the
+version manifest, then the ``_latest`` pointer via write-temp +
+atomic-rename. A crash before the pointer swap leaves an orphan data
+dir + manifest that no reader can see; the next successful write simply
+claims the next version number past any manifest on disk (orphans never
+resurrect because readers resolve versions through manifests reachable
+from ``_latest``-or-below only... in fact through explicit version
+numbers, and an orphan's number is re-used only after
+:func:`snapshot_vacuum` removes it — until then it is skipped).
+Underscore-prefixed names are invisible to Spark's parquet reader by
+design, so the metadata never pollutes a naive ``read.parquet(root)``.
+
+Reference provenance: no analogue in idavkaev/kafka-streams-task; part
+of the 100 TB training-data-pipeline extension surface (SURVEY.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .merge import _fs
+
+_VERSIONS_DIR = "_versions"
+_LATEST = "_latest"
+
+
+def _vname(version: int) -> str:
+    return f"v{version:05d}"
+
+
+def _write_json_atomic(spark: SparkSession, path: str, payload: dict) -> None:
+    jvm, fs = _fs(spark, path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    tmp = Path(path + ".tmp")
+    out = fs.create(tmp, True)
+    out.write(bytearray(json.dumps(payload).encode("utf-8")))
+    out.close()
+    dest = Path(path)
+    if fs.exists(dest):
+        fs.delete(dest, False)
+    if not fs.rename(tmp, dest):
+        raise IOError(f"atomic json rename failed: {tmp} -> {dest}")
+
+
+def _read_json(spark: SparkSession, path: str) -> dict | None:
+    jvm, fs = _fs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(p):
+        return None
+    reader = jvm.java.io.BufferedReader(
+        jvm.java.io.InputStreamReader(fs.open(p), "UTF-8")
+    )
+    try:
+        lines = []
+        while True:
+            line = reader.readLine()
+            if line is None:
+                break
+            lines.append(line)
+        return json.loads("\n".join(lines))
+    finally:
+        reader.close()
+
+
+def _latest_version(spark: SparkSession, path: str) -> int:
+    latest = _read_json(spark, f"{path}/{_LATEST}")
+    return int(latest["version"]) if latest else 0
+
+
+def _manifest(spark: SparkSession, path: str, version: int) -> dict:
+    m = _read_json(spark, f"{path}/{_VERSIONS_DIR}/{_vname(version)}.json")
+    if m is None:
+        raise ValueError(
+            f"snapshot version {version} does not exist at {path} "
+            f"(latest committed: {_latest_version(spark, path)})"
+        )
+    return m
+
+
+def _next_free_version(spark: SparkSession, path: str) -> int:
+    """First version number with no manifest on disk — skips both
+    committed versions AND pre-pointer orphans from crashed writes (an
+    orphan's manifest exists; reusing its number would resurrect its
+    data into the new version's read set)."""
+    jvm, fs = _fs(spark, path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    n = _latest_version(spark, path)
+    while fs.exists(Path(f"{path}/{_VERSIONS_DIR}/{_vname(n + 1)}.json")):
+        n += 1
+    return n + 1
+
+
+def snapshot_write(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    audit: bool = True,
+) -> int:
+    """Commit ``df`` as the next version of the snapshot table at
+    ``path``; returns the new version number.
+
+    ``append`` makes the new version = every parent data dir + one new
+    dir holding only ``df``'s rows (prior bytes are REUSED, never
+    copied); ``overwrite`` starts the version from just the new dir
+    (prior versions stay readable — nothing is deleted until
+    :func:`snapshot_vacuum`). ``audit=True`` records the new dir's
+    durable row count (re-read after the write, the WAP audit
+    discipline) plus the version's total for
+    :func:`snapshot_versions`."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be 'append' or 'overwrite', got {mode!r}")
+    version = _next_free_version(spark, path)
+    new_dir = f"data/{_vname(version)}"
+    # a data dir with no manifest is a pre-manifest orphan (crash during
+    # the staged write) — reclaim it; mode="error" then still guards
+    # against concurrent writers racing for the same version number
+    jvm, fs = _fs(spark, path)
+    orphan = jvm.org.apache.hadoop.fs.Path(f"{path}/{new_dir}")
+    if fs.exists(orphan):
+        fs.delete(orphan, True)
+    df.write.mode("error").parquet(f"{path}/{new_dir}")
+    n_new = spark.read.parquet(f"{path}/{new_dir}").count() if audit else None
+
+    if mode == "append" and version > 1:
+        parent = _manifest(spark, path, _latest_version(spark, path))
+        dirs = list(parent["dirs"]) + [new_dir]
+        n_rows = (
+            parent["n_rows"] + n_new
+            if audit and parent.get("n_rows") is not None and n_new is not None
+            else None
+        )
+    else:
+        dirs = [new_dir]
+        n_rows = n_new
+    manifest = {
+        "version": version,
+        "op": mode,
+        "dirs": dirs,
+        "n_rows": n_rows,
+        "committed_at": time.time(),
+    }
+    _write_json_atomic(
+        spark, f"{path}/{_VERSIONS_DIR}/{_vname(version)}.json", manifest
+    )
+    # the pivot: readers see the version only after this rename lands
+    _write_json_atomic(spark, f"{path}/{_LATEST}", {"version": version})
+    return version
+
+
+def snapshot_read(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read the snapshot at ``version`` (default: latest committed).
+    Plain ``spark.read.parquet`` over the version's immutable data
+    dirs — pruning/pushdown apply as on any parquet table. Schema is
+    the parquet default (first-file wins); corpora that evolve schemas
+    across versions should read with ``mergeSchema`` themselves."""
+    if version is None:
+        version = _latest_version(spark, path)
+        if version == 0:
+            raise ValueError(f"no committed snapshot versions at {path}")
+    m = _manifest(spark, path, version)
+    return spark.read.parquet(*[f"{path}/{d}" for d in m["dirs"]])
+
+
+def snapshot_versions(spark: SparkSession, path: str) -> DataFrame:
+    """One row per committed version (manifest metadata; orphans from
+    crashed writes are excluded — they are unreachable from
+    ``_latest``'s lineage and carry no commit guarantee)."""
+    latest = _latest_version(spark, path)
+    rows = [
+        (
+            int(m["version"]),
+            m["op"],
+            len(m["dirs"]),
+            m.get("n_rows"),
+            float(m["committed_at"]),
+            int(m["version"]) == latest,
+        )
+        for v in range(1, latest + 1)
+        for m in [_manifest(spark, path, v)]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "version int, op string, n_dirs int, n_rows long, committed_at double, is_latest boolean",
+    )
+
+
+def snapshot_rollback(spark: SparkSession, path: str, version: int) -> int:
+    """Point ``_latest`` back at an earlier committed version (O(1) —
+    one pointer rename; no data moves). Later versions stay on disk and
+    readable by explicit number until a subsequent write claims past
+    them or :func:`snapshot_vacuum` trims."""
+    _manifest(spark, path, version)  # existence check
+    latest = _latest_version(spark, path)
+    if version > latest:
+        raise ValueError(f"cannot roll forward to {version} (latest {latest})")
+    _write_json_atomic(spark, f"{path}/{_LATEST}", {"version": version})
+    return version
+
+
+def snapshot_vacuum(spark: SparkSession, path: str, keep_last: int = 1) -> int:
+    """Drop versions older than the ``keep_last`` most recent (counted
+    back from the CURRENT ``_latest``, so a rollback protects its
+    target), plus any orphaned manifests/dirs beyond ``_latest``.
+    Deletes only data dirs no surviving version references. Returns the
+    number of versions removed."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    jvm, fs = _fs(spark, path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    latest = _latest_version(spark, path)
+    if latest == 0:
+        return 0
+    cutoff = max(1, latest - keep_last + 1)
+    keep_dirs: set[str] = set()
+    for v in range(cutoff, latest + 1):
+        keep_dirs.update(_manifest(spark, path, v)["dirs"])
+    removed = 0
+    drop = list(range(1, cutoff))
+    # orphans past latest (crashed pre-pointer writes) go too
+    v = latest
+    while fs.exists(Path(f"{path}/{_VERSIONS_DIR}/{_vname(v + 1)}.json")):
+        drop.append(v + 1)
+        v += 1
+    for dv in drop:
+        m = _read_json(spark, f"{path}/{_VERSIONS_DIR}/{_vname(dv)}.json")
+        if m is None:
+            continue
+        for d in m["dirs"]:
+            if d not in keep_dirs:
+                fs.delete(Path(f"{path}/{d}"), True)
+        fs.delete(Path(f"{path}/{_VERSIONS_DIR}/{_vname(dv)}.json"), False)
+        removed += 1
+    return removed

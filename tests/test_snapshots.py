@@ -1,0 +1,125 @@
+"""Versioned corpus snapshots (operators/snapshots.py): append reuse,
+time travel, rollback, vacuum, crash-orphan handling."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_task_spark.operators.snapshots import (
+    snapshot_read,
+    snapshot_rollback,
+    snapshot_vacuum,
+    snapshot_versions,
+    snapshot_write,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id").alias("doc_id"))
+
+
+def test_append_overwrite_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    v1 = snapshot_write(spark, _df(spark, 0, 10), t)
+    v2 = snapshot_write(spark, _df(spark, 10, 15), t)            # append
+    v3 = snapshot_write(spark, _df(spark, 100, 103), t, mode="overwrite")
+    assert (v1, v2, v3) == (1, 2, 3)
+    assert snapshot_read(spark, t, 1).count() == 10
+    assert snapshot_read(spark, t, 2).count() == 15
+    assert sorted(r.doc_id for r in snapshot_read(spark, t, 3).collect()) == [100, 101, 102]
+    assert snapshot_read(spark, t).count() == 3  # latest = v3
+    # append reuses parent bytes: v2 has 2 dirs, one is v1's
+    meta = {r.version: r for r in snapshot_versions(spark, t).collect()}
+    assert meta[2].n_dirs == 2 and meta[2].n_rows == 15
+    assert meta[3].n_dirs == 1 and meta[3].is_latest
+    assert not meta[1].is_latest
+
+
+def test_naive_parquet_read_sees_only_data(spark, tmp_path):
+    """Metadata lives in underscore paths Spark ignores; a naive read of
+    data/ never double-counts a row across versions' dirs? No — dirs
+    accumulate; the point is metadata INVISIBILITY, not dedup."""
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark, _df(spark, 0, 5), t)
+    # _versions and _latest don't break a direct read of one data dir
+    assert spark.read.parquet(f"{t}/data/v00001").count() == 5
+
+
+def test_rollback_and_next_write_branches(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark, _df(spark, 0, 10), t)
+    snapshot_write(spark, _df(spark, 10, 20), t)
+    snapshot_rollback(spark, t, 1)
+    assert snapshot_read(spark, t).count() == 10      # latest is v1 again
+    assert snapshot_read(spark, t, 2).count() == 20   # v2 still readable
+    with pytest.raises(ValueError, match="does not exist"):
+        snapshot_rollback(spark, t, 5)
+    # re-promoting a version past the current pointer is a roll-FORWARD,
+    # which the rollback verb refuses (write a new version instead)
+    with pytest.raises(ValueError, match="roll forward"):
+        snapshot_rollback(spark, t, 2)
+    # a write after rollback claims the next FREE number (3), appending
+    # onto the rolled-back latest (v1), not onto orphaned v2
+    v = snapshot_write(spark, _df(spark, 50, 52), t)
+    assert v == 3
+    assert sorted(r.doc_id for r in snapshot_read(spark, t).collect()) == [
+        *range(10), 50, 51,
+    ]
+
+
+def test_missing_version_and_empty_table_errors(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    with pytest.raises(ValueError, match="no committed"):
+        snapshot_read(spark, t)
+    snapshot_write(spark, _df(spark, 0, 3), t)
+    with pytest.raises(ValueError, match="does not exist"):
+        snapshot_read(spark, t, 7)
+    with pytest.raises(ValueError, match="mode"):
+        snapshot_write(spark, _df(spark, 0, 3), t, mode="upsert")
+
+
+def test_crash_orphan_is_invisible_and_not_resurrected(spark, tmp_path):
+    """Simulate a crash after manifest write but before the pointer
+    swap: the orphan version is unreadable by default, excluded from
+    snapshot_versions, and the next write skips its number."""
+    import json
+
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark, _df(spark, 0, 5), t)
+    # forge the orphan: data dir + manifest for v2, NO pointer update
+    _df(spark, 90, 95).write.parquet(f"{t}/data/v00002")
+    os.makedirs(f"{t}/_versions", exist_ok=True)
+    with open(f"{t}/_versions/v00002.json", "w") as f:
+        json.dump(
+            {"version": 2, "op": "append",
+             "dirs": ["data/v00001", "data/v00002"],
+             "n_rows": 10, "committed_at": 0.0},
+            f,
+        )
+    assert snapshot_read(spark, t).count() == 5          # latest is still v1
+    assert snapshot_versions(spark, t).count() == 1      # orphan excluded
+    v = snapshot_write(spark, _df(spark, 5, 8), t)       # skips the orphan's number
+    assert v == 3
+    assert snapshot_read(spark, t).count() == 8          # orphan rows never join
+
+
+def test_vacuum_keeps_referenced_dirs(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark, _df(spark, 0, 10), t)               # v1
+    snapshot_write(spark, _df(spark, 10, 20), t)              # v2 = v1 dir + new
+    snapshot_write(spark, _df(spark, 20, 30), t)              # v3 = v1+v2+new
+    removed = snapshot_vacuum(spark, t, keep_last=2)
+    assert removed == 1                                       # v1 manifest dropped
+    # v1's DATA dir survives: v2/v3 reference it
+    assert snapshot_read(spark, t, 3).count() == 30
+    assert snapshot_read(spark, t, 2).count() == 20
+    with pytest.raises(ValueError, match="does not exist"):
+        snapshot_read(spark, t, 1)
+    # overwrite then vacuum to 1: old dirs now unreferenced -> gone
+    snapshot_write(spark, _df(spark, 0, 4), t, mode="overwrite")  # v4
+    assert snapshot_vacuum(spark, t, keep_last=1) == 2            # v2, v3
+    assert snapshot_read(spark, t).count() == 4
+    assert not os.path.exists(f"{t}/data/v00001")
