@@ -54,10 +54,13 @@ def _valid_codec(name: str | None) -> str | None:
     if not name:
         return None
     try:
-        codecs.lookup(name)
-        return name
+        info = codecs.lookup(name)
     except LookupError:
         return None
+    # bytes-to-bytes codecs (hex, zip, base64, rot13 …) pass lookup()
+    # but bytes.decode() raises LookupError on them — a single page
+    # declaring '<meta charset="hex">' would kill the whole ingest task
+    return name if getattr(info, "_is_text_encoding", True) else None
 
 
 def resolve_charset(payload: bytes, declared: str | None) -> str:

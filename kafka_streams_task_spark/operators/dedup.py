@@ -755,6 +755,12 @@ def build_shingle_bloom(
         .groupBy("word_idx")
         .agg(F.bit_or("mask").alias("word"))
     )
+    # pin the built bitset: decontaminate_bloom broadcasts it k times
+    # under k different aliases, which defeats ReuseExchange — without
+    # this the benchmark explode+distinct+bit_or pipeline re-executes
+    # once per probe (the run-exactly-once invariant, same as
+    # minhash_lsh_candidates_incremental's)
+    words = words.localCheckpoint(eager=False)
     return ShingleBloom(words=words, m_bits=m_bits, num_hashes=k, shingle_n=shingle_n)
 
 

@@ -338,35 +338,44 @@ def _fs(spark: SparkSession, path: str):
     return jvm, jpath.getFileSystem(spark._jsc.hadoopConfiguration())
 
 
-def _write_manifest(spark: SparkSession, snapshot_path: str, manifest: dict) -> None:
-    """Single-file manifest via write-temp-then-rename (the atomic unit
-    the publish step pivots on)."""
+def write_json_atomic(
+    spark: SparkSession, path: str, payload: dict, replace: bool = False
+) -> None:
+    """Single JSON file via write-temp-then-rename (the atomic unit the
+    commit protocols here and in ``snapshots.py`` pivot on).
+    ``replace=True`` deletes an existing destination first (pointer
+    files); ``replace=False`` assumes the destination is absent
+    (manifests)."""
     import json
 
-    jvm, fs = _fs(spark, snapshot_path)
-    tmp = jvm.org.apache.hadoop.fs.Path(f"{snapshot_path}/{_PENDING_MANIFEST}.tmp")
+    jvm, fs = _fs(spark, path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    tmp = Path(path + ".tmp")
     out = fs.create(tmp, True)
-    out.write(bytearray(json.dumps(manifest).encode("utf-8")))
+    out.write(bytearray(json.dumps(payload).encode("utf-8")))
     out.close()
-    dest = jvm.org.apache.hadoop.fs.Path(f"{snapshot_path}/{_PENDING_MANIFEST}")
+    dest = Path(path)
+    if replace and fs.exists(dest):
+        fs.delete(dest, False)
     # Hadoop rename reports failure by RETURNING false, not raising — an
-    # unchecked false here would leave no manifest on disk, and a later
+    # unchecked false here would leave no file on disk, and a later
     # crash mid-publish would be misclassified as a pre-commit orphan
     if not fs.rename(tmp, dest):
-        raise IOError(f"manifest rename failed: {tmp} -> {dest}")
+        raise IOError(f"atomic json rename failed: {tmp} -> {dest}")
 
 
-def _read_manifest(spark: SparkSession, snapshot_path: str) -> dict | None:
+def read_json_file(spark: SparkSession, path: str) -> dict | None:
+    """Read one JSON metadata file through the Hadoop FS, or None when
+    absent. Underscore-prefixed files are invisible to Spark reads (by
+    design — snapshot reads must skip them), so this goes through a
+    pure-JDK line reader on the Hadoop stream (py4j can't pass byte[]
+    buffers by reference; readLine returns whole strings)."""
     import json
 
-    jvm, fs = _fs(spark, snapshot_path)
-    p = jvm.org.apache.hadoop.fs.Path(f"{snapshot_path}/{_PENDING_MANIFEST}")
+    jvm, fs = _fs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(path)
     if not fs.exists(p):
         return None
-    # underscore-prefixed files are invisible to Spark reads (by design —
-    # the snapshot read must skip them), so read through a pure-JDK
-    # line reader on the Hadoop stream (py4j can't pass byte[] buffers
-    # by reference; readLine returns whole strings)
     reader = jvm.java.io.BufferedReader(
         jvm.java.io.InputStreamReader(fs.open(p), "UTF-8")
     )
@@ -380,6 +389,14 @@ def _read_manifest(spark: SparkSession, snapshot_path: str) -> dict | None:
         return json.loads("\n".join(lines))
     finally:
         reader.close()
+
+
+def _write_manifest(spark: SparkSession, snapshot_path: str, manifest: dict) -> None:
+    write_json_atomic(spark, f"{snapshot_path}/{_PENDING_MANIFEST}", manifest)
+
+
+def _read_manifest(spark: SparkSession, snapshot_path: str) -> dict | None:
+    return read_json_file(spark, f"{snapshot_path}/{_PENDING_MANIFEST}")
 
 
 def _publish_from_manifest(spark: SparkSession, snapshot_path: str, manifest: dict) -> None:

@@ -63,8 +63,12 @@ def parse_robots(
     lines that follow (until the next agent block) apply to every agent
     of the group. Comments (``#``), unknown directives (Sitemap,
     Crawl-delay, …) and empty-path rules ("Disallow:" = no restriction)
-    are dropped. Agents normalize to lowercase; paths are
-    case-sensitive (RFC 9309 §2.2.2).
+    are dropped — but a group left with NO rules still emits one
+    null-path marker row: "User-agent: goodbot / Disallow:" is the
+    standard allow-all whitelist idiom, and the group's existence must
+    shadow ``*`` in :func:`robots_allowed` even though it matches
+    nothing. Agents normalize to lowercase; paths are case-sensitive
+    (RFC 9309 §2.2.2).
     """
     lines = df.select(
         F.col(domain_col).alias("domain"),
@@ -101,17 +105,28 @@ def parse_robots(
         (F.col("directive") == "allow").alias("is_allow"),
         F.col("value").alias("path"),
     )
-    return (
-        rules.join(agents, on=["domain", "group_id"])
-        .select(
-            "domain",
-            "agent",
-            "is_allow",
-            "path",
-            F.length("path").alias("pattern_len"),
-            _like_pattern(F.col("path")).alias("like_pattern"),
-        )
+    with_rules = rules.join(agents, on=["domain", "group_id"]).select(
+        "domain",
+        "agent",
+        "is_allow",
+        "path",
+        F.length("path").alias("pattern_len"),
+        _like_pattern(F.col("path")).alias("like_pattern"),
     )
+    # rule-less groups survive as null-path markers (see docstring)
+    empty_groups = agents.join(
+        rules.select("domain", "group_id").distinct(),
+        on=["domain", "group_id"],
+        how="left_anti",
+    ).select(
+        "domain",
+        "agent",
+        F.lit(True).alias("is_allow"),
+        F.lit(None).cast("string").alias("path"),
+        F.lit(None).cast("int").alias("pattern_len"),
+        F.lit(None).cast("string").alias("like_pattern"),
+    )
+    return with_rules.unionByName(empty_groups)
 
 
 def robots_allowed(
@@ -134,8 +149,11 @@ def robots_allowed(
     true > false); rule fan-out per URL is the domain's rule count
     (tens)."""
     me = agent.lower()
-    # per domain: does an exact group for this agent exist? (RFC: the
-    # crawler's own group shadows '*' entirely, it does not merge)
+    # per domain: does a group for this agent exist? (RFC: the crawler's
+    # own group shadows '*' entirely, it does not merge — and a
+    # RULE-LESS group still shadows, which is why the null-path marker
+    # rows from parse_robots participate here before being excluded
+    # from matching below)
     has_mine = rules.filter(F.col("agent") == me).select("domain").distinct()
     scoped = (
         rules.filter(F.col("agent").isin(me, "*"))
@@ -144,13 +162,23 @@ def robots_allowed(
             F.when(F.coalesce(F.col("_has_mine"), F.lit(False)), F.col("agent") == me)
             .otherwise(F.col("agent") == "*")
         )
+        .filter(F.col("like_pattern").isNotNull())  # markers match nothing
         .select("domain", "is_allow", "pattern_len", "like_pattern")
     )
 
     def match_target(u: Column) -> Column:
-        # path + optional ?query, fragment stripped — one tolerant regexp
-        # (parse_url THROWS on raw '%' in paths, which crawled URLs have)
-        t = F.regexp_extract(u, r"^(?:[a-zA-Z][\w+.-]*:)?//[^/?#]*([^#]*)", 1)
+        # path + optional ?query, fragment stripped — tolerant regexps
+        # (parse_url THROWS on raw '%' in paths, which crawled URLs
+        # have). Inputs without an authority part (path-only
+        # '/private/x', host-relative 'a.com/x') are treated as paths
+        # from their first '/', not collapsed to root.
+        with_auth = F.regexp_extract(
+            u, r"^(?:[a-zA-Z][\w+.-]*:)?//[^/?#]*([^#]*)", 1
+        )
+        no_auth = F.regexp_extract(u, r"^[^/?#]*([^#]*)", 1)
+        t = F.when(u.rlike(r"^(?:[a-zA-Z][\w+.-]*:)?//"), with_auth).otherwise(
+            no_auth
+        )
         return F.when(t == "", F.lit("/")).otherwise(t)
 
     # decisions key on (domain, url) — deterministic under recompute

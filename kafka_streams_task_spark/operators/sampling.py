@@ -535,9 +535,13 @@ def assign_splits(
     if any(not (w > 0) for w in vals):
         raise ValueError(f"weights must be positive, got {weights}")
     total = float(sum(vals))
-    key = F.col(group_col if group_col is not None else id_col).cast("string")
+    raw_key = F.col(group_col if group_col is not None else id_col).cast("string")
+    key = raw_key
     if salt:
-        key = F.concat_ws(":", key, F.lit(salt))
+        # concat (not concat_ws): concat_ws SKIPS null arguments, which
+        # would rebind every NULL-key row to the constant salt string
+        # and silently concentrate them all in one split
+        key = F.concat(raw_key, F.lit(":" + salt))
     u = _hash_unit(key)
     names = list(weights)
     expr = F.lit(names[-1])

@@ -38,12 +38,11 @@ of the 100 TB training-data-pipeline extension surface (SURVEY.md).
 
 from __future__ import annotations
 
-import json
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .merge import _fs
+from .merge import _fs, read_json_file, write_json_atomic
 
 _VERSIONS_DIR = "_versions"
 _LATEST = "_latest"
@@ -53,47 +52,13 @@ def _vname(version: int) -> str:
     return f"v{version:05d}"
 
 
-def _write_json_atomic(spark: SparkSession, path: str, payload: dict) -> None:
-    jvm, fs = _fs(spark, path)
-    Path = jvm.org.apache.hadoop.fs.Path
-    tmp = Path(path + ".tmp")
-    out = fs.create(tmp, True)
-    out.write(bytearray(json.dumps(payload).encode("utf-8")))
-    out.close()
-    dest = Path(path)
-    if fs.exists(dest):
-        fs.delete(dest, False)
-    if not fs.rename(tmp, dest):
-        raise IOError(f"atomic json rename failed: {tmp} -> {dest}")
-
-
-def _read_json(spark: SparkSession, path: str) -> dict | None:
-    jvm, fs = _fs(spark, path)
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    if not fs.exists(p):
-        return None
-    reader = jvm.java.io.BufferedReader(
-        jvm.java.io.InputStreamReader(fs.open(p), "UTF-8")
-    )
-    try:
-        lines = []
-        while True:
-            line = reader.readLine()
-            if line is None:
-                break
-            lines.append(line)
-        return json.loads("\n".join(lines))
-    finally:
-        reader.close()
-
-
 def _latest_version(spark: SparkSession, path: str) -> int:
-    latest = _read_json(spark, f"{path}/{_LATEST}")
+    latest = read_json_file(spark, f"{path}/{_LATEST}")
     return int(latest["version"]) if latest else 0
 
 
 def _manifest(spark: SparkSession, path: str, version: int) -> dict:
-    m = _read_json(spark, f"{path}/{_VERSIONS_DIR}/{_vname(version)}.json")
+    m = read_json_file(spark, f"{path}/{_VERSIONS_DIR}/{_vname(version)}.json")
     if m is None:
         raise ValueError(
             f"snapshot version {version} does not exist at {path} "
@@ -147,8 +112,12 @@ def snapshot_write(
     df.write.mode("error").parquet(f"{path}/{new_dir}")
     n_new = spark.read.parquet(f"{path}/{new_dir}").count() if audit else None
 
-    if mode == "append" and version > 1:
-        parent = _manifest(spark, path, _latest_version(spark, path))
+    # append onto the COMMITTED latest, if any — testing the new version
+    # number instead would wedge the table after a crash on the first
+    # commit (orphan v1 manifest, _latest still 0, next free number 2)
+    parent_version = _latest_version(spark, path)
+    if mode == "append" and parent_version >= 1:
+        parent = _manifest(spark, path, parent_version)
         dirs = list(parent["dirs"]) + [new_dir]
         n_rows = (
             parent["n_rows"] + n_new
@@ -165,11 +134,11 @@ def snapshot_write(
         "n_rows": n_rows,
         "committed_at": time.time(),
     }
-    _write_json_atomic(
-        spark, f"{path}/{_VERSIONS_DIR}/{_vname(version)}.json", manifest
+    write_json_atomic(
+        spark, f"{path}/{_VERSIONS_DIR}/{_vname(version)}.json", manifest, replace=True
     )
     # the pivot: readers see the version only after this rename lands
-    _write_json_atomic(spark, f"{path}/{_LATEST}", {"version": version})
+    write_json_atomic(spark, f"{path}/{_LATEST}", {"version": version}, replace=True)
     return version
 
 
@@ -204,7 +173,9 @@ def snapshot_versions(spark: SparkSession, path: str) -> DataFrame:
             int(m["version"]) == latest,
         )
         for v in range(1, latest + 1)
-        for m in [_manifest(spark, path, v)]
+        # vacuumed versions have no manifest anymore — skip, don't raise
+        for m in [read_json_file(spark, f"{path}/{_VERSIONS_DIR}/{_vname(v)}.json")]
+        if m is not None
     ]
     return spark.createDataFrame(
         rows,
@@ -221,7 +192,7 @@ def snapshot_rollback(spark: SparkSession, path: str, version: int) -> int:
     latest = _latest_version(spark, path)
     if version > latest:
         raise ValueError(f"cannot roll forward to {version} (latest {latest})")
-    _write_json_atomic(spark, f"{path}/{_LATEST}", {"version": version})
+    write_json_atomic(spark, f"{path}/{_LATEST}", {"version": version}, replace=True)
     return version
 
 
@@ -250,7 +221,7 @@ def snapshot_vacuum(spark: SparkSession, path: str, keep_last: int = 1) -> int:
         drop.append(v + 1)
         v += 1
     for dv in drop:
-        m = _read_json(spark, f"{path}/{_VERSIONS_DIR}/{_vname(dv)}.json")
+        m = read_json_file(spark, f"{path}/{_VERSIONS_DIR}/{_vname(dv)}.json")
         if m is None:
             continue
         for d in m["dirs"]:

@@ -214,15 +214,37 @@ def _records_from_files(
                 else:
                     stream = io.BytesIO(raw)
                 buf: list[tuple] = []
-                for idx, rec in enumerate(
-                    iter_warc_records(stream, strip_http_headers)
-                ):
-                    if kept is not None and rec["warc_type"] not in kept:
-                        continue
-                    buf.append((fname, idx, *rec.values()))
-                    if len(buf) >= batch_records:
-                        yield flush(buf)
-                        buf = []
+                records = iter_warc_records(stream, strip_http_headers)
+                idx = 0
+                while True:
+                    # a truncated/corrupt gz member raises out of the
+                    # record iterator's readline/read — that must cost
+                    # the shard's REMAINDER a quarantine row, not the
+                    # task (and with it the whole ingest job)
+                    try:
+                        rec = next(records)
+                    except StopIteration:
+                        break
+                    except (OSError, EOFError) as e:
+                        rec = {
+                            "warc_type": "_malformed",
+                            "record_id": None,
+                            "target_uri": None,
+                            "warc_date": None,
+                            "content_type": None,
+                            "content_length": None,
+                            "http_status": None,
+                            "http_content_type": None,
+                            "payload": f"decompression failed: {e}".encode(),
+                        }
+                        buf.append((fname, idx, *rec.values()))
+                        break
+                    if kept is None or rec["warc_type"] in kept:
+                        buf.append((fname, idx, *rec.values()))
+                        if len(buf) >= batch_records:
+                            yield flush(buf)
+                            buf = []
+                    idx += 1
                 if buf:
                     yield flush(buf)
 

@@ -127,3 +127,13 @@ def test_warc_to_documents_exact_charset(spark, tmp_path):
     # same output schema either way
     assert warc_to_documents(recs, exact_charset=True).columns == \
         warc_to_documents(recs).columns
+
+
+def test_bytes_codec_declarations_fall_through():
+    """'hex'/'zip'/'rot13' pass codecs.lookup but are NOT text codecs —
+    a page declaring one must fall through to sniffing, not crash the
+    decode task (review r7)."""
+    for bad in ("hex", "zip", "base64", "rot13"):
+        assert resolve_charset("é".encode("utf-8"), f"text/html; charset={bad}") == "utf-8"
+    body = b'<meta charset="hex">caf\xe9'
+    assert resolve_charset(body, None) == "latin-1"

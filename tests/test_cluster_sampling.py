@@ -835,3 +835,15 @@ class TestAssignSplits:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_assign_splits_salted_null_key_stays_null(spark):
+    """With a salt, NULL-key rows must still get a NULL split — concat_ws
+    would silently rebind them all to the constant salt (review r7)."""
+    from kafka_streams_task_spark.operators.sampling import assign_splits
+
+    d = spark.createDataFrame([(1, "x"), (2, None), (3, None)], ["doc_id", "domain"])
+    rows = {r.doc_id: r.split for r in
+            assign_splits(d, {"a": 1, "b": 1}, group_col="domain", salt="v2").collect()}
+    assert rows[2] is None and rows[3] is None
+    assert rows[1] in ("a", "b")

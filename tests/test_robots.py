@@ -176,3 +176,41 @@ def test_parse_sitemap_urls_and_index(spark):
         parse_sitemap_urls(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Python" not in plan and "Arrow" not in plan
+
+
+def test_empty_allow_all_group_shadows_star(spark):
+    """'User-agent: goodbot / Disallow:' is the standard whitelist
+    idiom: the rule-less group must still shadow '*' (allow-all), not
+    fall through to '*''s Disallow (review r7)."""
+    body = "User-agent: goodbot\nDisallow:\n\nUser-agent: *\nDisallow: /\n"
+    rules = parse_robots(
+        spark.createDataFrame([("e.com", body)], ["domain", "robots_txt"])
+    )
+    urls = spark.createDataFrame(
+        [("e.com", "http://e.com/anything")], ["domain", "url"]
+    )
+    assert robots_allowed(urls, rules, agent="goodbot").collect()[0].allowed is True
+    assert robots_allowed(urls, rules, agent="otherbot").collect()[0].allowed is False
+
+
+def test_authorityless_urls_match_as_paths(spark):
+    """Path-only and host-relative url values must be matched by path,
+    not collapsed to '/' (review r7)."""
+    body = "User-agent: *\nDisallow: /private/\n"
+    rules = parse_robots(
+        spark.createDataFrame([("f.com", body)], ["domain", "robots_txt"])
+    )
+    urls = spark.createDataFrame(
+        [
+            ("f.com", "/private/x"),
+            ("f.com", "f.com/private/x"),
+            ("f.com", "/open/x"),
+            ("f.com", "f.com"),
+        ],
+        ["domain", "url"],
+    )
+    got = {r.url: r.allowed for r in robots_allowed(urls, rules).collect()}
+    assert got == {
+        "/private/x": False, "f.com/private/x": False,
+        "/open/x": True, "f.com": True,
+    }

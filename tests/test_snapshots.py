@@ -123,3 +123,31 @@ def test_vacuum_keeps_referenced_dirs(spark, tmp_path):
     assert snapshot_vacuum(spark, t, keep_last=1) == 2            # v2, v3
     assert snapshot_read(spark, t).count() == 4
     assert not os.path.exists(f"{t}/data/v00001")
+
+
+def test_crash_on_first_commit_does_not_wedge_appends(spark, tmp_path):
+    """Orphan v1 manifest with _latest still absent: the next append
+    must start a fresh lineage at v2, not look up version 0 (review
+    r7)."""
+    import json
+
+    t = str(tmp_path / "tbl")
+    _df(spark, 90, 95).write.parquet(f"{t}/data/v00001")
+    os.makedirs(f"{t}/_versions", exist_ok=True)
+    with open(f"{t}/_versions/v00001.json", "w") as f:
+        json.dump({"version": 1, "op": "append", "dirs": ["data/v00001"],
+                   "n_rows": 5, "committed_at": 0.0}, f)
+    v = snapshot_write(spark, _df(spark, 0, 3), t)  # mode defaults to append
+    assert v == 2
+    assert snapshot_read(spark, t).count() == 3  # orphan rows never join
+
+
+def test_versions_listing_survives_vacuum(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snapshot_write(spark, _df(spark, 0, 10), t)
+    snapshot_write(spark, _df(spark, 10, 20), t)
+    snapshot_write(spark, _df(spark, 20, 30), t)
+    snapshot_vacuum(spark, t, keep_last=1)
+    rows = snapshot_versions(spark, t).collect()
+    assert [r.version for r in rows] == [3]  # vacuumed v1/v2 skipped, no raise
+    assert rows[0].is_latest

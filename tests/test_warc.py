@@ -320,3 +320,27 @@ def test_warc_link_graph_to_pagerank(spark, tmp_path):
         warc_link_graph(records, node="bogus")
     page_edges = warc_link_graph(records, node="url").collect()
     assert all(e.src == "http://www.example.com/page" for e in page_edges)
+
+
+def test_truncated_gzip_shard_quarantines_not_crashes(spark, tmp_path):
+    """A corrupt/truncated .warc.gz must cost its remainder one
+    '_malformed' row, never the task (review r7); intact shards in the
+    same read are unaffected."""
+    good = gzip.compress(_record(b"response", b"http://g.com/", HTTP_MSG,
+                                 b"application/http; msgtype=response"))
+    (tmp_path / "good.warc.gz").write_bytes(good)
+    # two members, second truncated mid-stream
+    full = gzip.compress(_record(b"response", b"http://t.com/1", HTTP_MSG,
+                                 b"application/http; msgtype=response"))
+    trunc = gzip.compress(_record(b"response", b"http://t.com/2", HTTP_MSG,
+                                  b"application/http; msgtype=response"))[:40]
+    (tmp_path / "bad.warc.gz").write_bytes(full + trunc)
+    rows = read_warc(spark, str(tmp_path)).collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r.source_file.rsplit("/", 1)[-1], []).append(r)
+    assert [r.warc_type for r in by_file["good.warc.gz"]] == ["response"]
+    bad_types = sorted(r.warc_type for r in by_file["bad.warc.gz"])
+    assert bad_types == ["_malformed", "response"]
+    mal = [r for r in by_file["bad.warc.gz"] if r.warc_type == "_malformed"][0]
+    assert b"decompression failed" in bytes(mal.payload)
