@@ -230,3 +230,30 @@ def snapshot_vacuum(spark: SparkSession, path: str, keep_last: int = 1) -> int:
         fs.delete(Path(f"{path}/{_VERSIONS_DIR}/{_vname(dv)}.json"), False)
         removed += 1
     return removed
+
+
+def snapshot_compact(
+    spark: SparkSession, path: str, target_mb: int = 512
+) -> int:
+    """Maintenance verb for append-heavy tables: every append adds a
+    data dir, so version N reads N directory listings and accumulates
+    the small-files pathology ``layout.compact_small_files`` exists
+    for. This rewrites the CURRENT version into one dir of
+    ~``target_mb`` files and commits it as a new ``overwrite`` version —
+    history stays intact (old versions remain readable until
+    :func:`snapshot_vacuum`), readers never see a partial state (same
+    commit pivot as any write), and the file count comes from the
+    actual on-disk bytes of the current version's dirs, no data read.
+    Returns the new version number."""
+    latest = _latest_version(spark, path)
+    if latest == 0:
+        raise ValueError(f"no committed snapshot versions at {path}")
+    m = _manifest(spark, path, latest)
+    jvm, fs = _fs(spark, path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    total = sum(
+        fs.getContentSummary(Path(f"{path}/{d}")).getLength() for d in m["dirs"]
+    )
+    n = max(1, -(-int(total) // (target_mb * 1024 * 1024)))  # ceil
+    df = snapshot_read(spark, path, latest).repartition(n)
+    return snapshot_write(spark, df, path, mode="overwrite")

@@ -68,3 +68,54 @@ def test_like_matcher_agrees_with_reference(spark, case):
             f"pattern set {pats!r} vs target {target!r}: "
             f"spark={got[f'http://t.com/{p}']} ref_blocked={expect_blocked}"
         )
+
+
+# ---------------------------------------------------------------------------
+# WARC round-trip property: serialize random records -> parse -> equal.
+# Payloads deliberately include CRLFCRLF and "WARC/1.0" markers: only
+# Content-Length framing parses these; blank-line splitting would shred
+# them. Pure-Python (no Spark) — generous example budget.
+# ---------------------------------------------------------------------------
+
+import io
+
+from kafka_streams_task_spark.sources.warc import iter_warc_records
+
+_PAYLOAD = st.binary(min_size=0, max_size=64) | st.sampled_from(
+    [b"\r\n\r\n", b"WARC/1.0\r\n", b"a\r\n\r\nWARC/1.0\r\nb", b"\r\nWARC/"]
+)
+
+
+@st.composite
+def _warc_records(draw):
+    n = draw(st.integers(min_value=1, max_value=6))
+    recs = []
+    for i in range(n):
+        wt = draw(st.sampled_from(["response", "request", "metadata", "warcinfo"]))
+        payload = draw(_PAYLOAD)
+        uri = f"http://x.com/{i}"
+        recs.append((wt, uri, payload))
+    return recs
+
+
+def _serialize(recs) -> bytes:
+    out = bytearray()
+    for wt, uri, payload in recs:
+        out += (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: " + wt.encode() + b"\r\n"
+            b"WARC-Target-URI: " + uri.encode() + b"\r\n"
+            b"Content-Length: " + str(len(payload)).encode() + b"\r\n"
+            b"\r\n" + payload + b"\r\n\r\n"
+        )
+    return bytes(out)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_warc_records())
+def test_warc_roundtrip_content_length_framing(recs):
+    parsed = list(iter_warc_records(io.BytesIO(_serialize(recs)), strip_http_headers=False))
+    assert [(r["warc_type"], r["target_uri"], r["payload"]) for r in parsed] == [
+        (wt, uri, payload) for wt, uri, payload in recs
+    ], "round-trip must be exact regardless of payload contents"
+    assert all(r["content_length"] == len(p) for r, (_, _, p) in zip(parsed, recs))

@@ -9,6 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from kafka_streams_task_spark.operators.snapshots import (
+    snapshot_compact,
     snapshot_read,
     snapshot_rollback,
     snapshot_vacuum,
@@ -151,3 +152,20 @@ def test_versions_listing_survives_vacuum(spark, tmp_path):
     rows = snapshot_versions(spark, t).collect()
     assert [r.version for r in rows] == [3]  # vacuumed v1/v2 skipped, no raise
     assert rows[0].is_latest
+
+
+def test_snapshot_compact_collapses_dirs_and_keeps_rows(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    for lo in range(0, 50, 10):                      # 5 appends -> 5 dirs
+        snapshot_write(spark, _df(spark, lo, lo + 10), t)
+    assert snapshot_versions(spark, t).filter("is_latest").collect()[0].n_dirs == 5
+    v = snapshot_compact(spark, t)
+    assert v == 6
+    meta = {r.version: r for r in snapshot_versions(spark, t).collect()}
+    assert meta[6].n_dirs == 1 and meta[6].op == "overwrite" and meta[6].is_latest
+    assert sorted(r.doc_id for r in snapshot_read(spark, t).collect()) == list(range(50))
+    # pre-compaction history still readable
+    assert snapshot_read(spark, t, 5).count() == 50
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no committed"):
+        snapshot_compact(spark, str(tmp_path / "empty"))
