@@ -356,6 +356,7 @@ def streaming_ingest_warc(
     strip_http_headers: bool = True,
     record_types: tuple[str, ...] | None = None,
     max_files_per_trigger: int | None = None,
+    transform=None,
 ):
     """Continuous crawl ingestion, WARC edition: the streaming twin of
     :func:`read_warc` — new shards landing under ``path`` stream through
@@ -363,6 +364,12 @@ def streaming_ingest_warc(
     the batch and streaming plans share everything past the scan) and
     land as parquet records under ``out_path``. Returns the started
     query (``availableNow``: drain, then stop).
+
+    ``transform`` (``DataFrame -> DataFrame``, optional) runs on each
+    micro-batch's RECORDS frame before the sink — pass
+    :func:`warc_to_documents` to land a documents-shaped corpus instead
+    of raw records; the batch-id overwrite idempotence is unaffected
+    because the transform is deterministic per batch.
 
     Same exactly-once discipline as ``streaming_ingest_jsonl``
     (sources/files.py): each micro-batch overwrites its own
@@ -388,6 +395,8 @@ def streaming_ingest_warc(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         records = _records_from_files(batch_df, strip_http_headers, kept)
+        if transform is not None:
+            records = transform(records)
         records.write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
 
     return (

@@ -344,3 +344,57 @@ def test_truncated_gzip_shard_quarantines_not_crashes(spark, tmp_path):
     assert bad_types == ["_malformed", "response"]
     mal = [r for r in by_file["bad.warc.gz"] if r.warc_type == "_malformed"][0]
     assert b"decompression failed" in bytes(mal.payload)
+
+
+def test_crawl_capstone_warc_to_versioned_corpus(spark, tmp_path):
+    """Crawl-side capstone: WARC shards -> streaming documents twin ->
+    leakage-guarded splits -> versioned snapshot -> contamination audit.
+    The point is the stages COMPOSE (schemas line up end to end)."""
+    from kafka_streams_task_spark.operators.dedup import cross_split_contamination
+    from kafka_streams_task_spark.operators.sampling import assign_splits
+    from kafka_streams_task_spark.operators.snapshots import (
+        snapshot_read,
+        snapshot_write,
+    )
+    from kafka_streams_task_spark.sources.warc import (
+        streaming_ingest_warc,
+        warc_to_documents,
+    )
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    shard = b"".join(
+        _record(
+            b"response",
+            f"http://site{i % 3}.com/p{i}".encode(),
+            HTML_PAGE,
+            b"application/http; msgtype=response",
+        )
+        for i in range(9)
+    )
+    (src / "a.warc").write_bytes(shard)
+    out = str(tmp_path / "docs")
+    q = streaming_ingest_warc(
+        spark, str(src), out, str(tmp_path / "ckpt"),
+        record_types=("response",), transform=warc_to_documents,
+    )
+    q.awaitTermination(120)
+    docs = spark.read.parquet(out)
+    assert docs.count() == 9
+    assert {"doc_uid", "url", "url_key", "domain", "text", "n_chars"} <= set(docs.columns)
+
+    split_docs = assign_splits(
+        docs, {"train": 0.5, "val": 0.25, "test": 0.25}, group_col="domain"
+    )
+    v = snapshot_write(spark, split_docs, str(tmp_path / "corpus"))
+    pinned = snapshot_read(spark, str(tmp_path / "corpus"), v)
+    assert pinned.count() == 9
+    # every page shares its HTML body -> identical text; any eval doc
+    # overlaps train iff train and eval splits are both non-empty
+    audit = cross_split_contamination(
+        pinned.select("url", "split", "text").withColumnRenamed("url", "doc_id"),
+        shingle_n=4,
+    )
+    splits = {r.split for r in pinned.select("split").distinct().collect()}
+    if "train" in splits and splits - {"train"}:
+        assert audit.count() > 0  # planted identical bodies must surface
