@@ -141,6 +141,14 @@ def zorder_key(
     return reduce(lambda a, c: a.bitwiseOR(c), parts).alias("zkey")
 
 
+def target_file_count(total_bytes: int, target_mb: int) -> int:
+    """ceil(total / target) with a floor of one file — the shared sizing
+    rule for both compaction verbs (here and ``snapshots.py``)."""
+    if target_mb <= 0:
+        raise ValueError(f"target_mb must be positive, got {target_mb}")
+    return max(1, -(-int(total_bytes) // (target_mb * 1024 * 1024)))
+
+
 def compact_small_files(
     spark,
     path: str,
@@ -174,7 +182,7 @@ def compact_small_files(
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(hconf)
     total = fs.getContentSummary(jpath).getLength()
-    n = max(1, -(-int(total) // (target_mb * 1024 * 1024)))  # ceil
+    n = target_file_count(int(total), target_mb)
 
     df = spark.read.format(fmt).load(path)
     if sort_col is not None:

@@ -245,6 +245,8 @@ def snapshot_compact(
     commit pivot as any write), and the file count comes from the
     actual on-disk bytes of the current version's dirs, no data read.
     Returns the new version number."""
+    from .layout import target_file_count
+
     latest = _latest_version(spark, path)
     if latest == 0:
         raise ValueError(f"no committed snapshot versions at {path}")
@@ -254,6 +256,6 @@ def snapshot_compact(
     total = sum(
         fs.getContentSummary(Path(f"{path}/{d}")).getLength() for d in m["dirs"]
     )
-    n = max(1, -(-int(total) // (target_mb * 1024 * 1024)))  # ceil
+    n = target_file_count(int(total), target_mb)
     df = snapshot_read(spark, path, latest).repartition(n)
     return snapshot_write(spark, df, path, mode="overwrite")

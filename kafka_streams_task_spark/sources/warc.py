@@ -369,7 +369,13 @@ def streaming_ingest_warc(
     micro-batch's RECORDS frame before the sink — pass
     :func:`warc_to_documents` to land a documents-shaped corpus instead
     of raw records; the batch-id overwrite idempotence is unaffected
-    because the transform is deterministic per batch.
+    because the transform is deterministic per batch. Because a
+    transform typically FILTERS (warc_to_documents keeps only 200/html
+    responses), the ``_malformed`` quarantine rows are written
+    separately under ``{out_path}/_quarantine/batch=<id>`` whenever a
+    transform is set — the underscore prefix keeps them out of naive
+    ``read.parquet(out_path)`` scans while preserving the in-band
+    no-silent-drop guarantee.
 
     Same exactly-once discipline as ``streaming_ingest_jsonl``
     (sources/files.py): each micro-batch overwrites its own
@@ -396,8 +402,21 @@ def streaming_ingest_warc(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         records = _records_from_files(batch_df, strip_http_headers, kept)
         if transform is not None:
-            records = transform(records)
-        records.write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
+            # batch-scoped persist: the quarantine split and the
+            # transform both consume the parse; without it the Arrow
+            # stage would re-parse every shard twice
+            records = records.persist()
+            try:
+                records.filter(F.col("warc_type") == "_malformed").write.mode(
+                    "overwrite"
+                ).parquet(f"{out_path}/_quarantine/batch={batch_id}")
+                transform(records).write.mode("overwrite").parquet(
+                    f"{out_path}/batch={batch_id}"
+                )
+            finally:
+                records.unpersist()
+        else:
+            records.write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
 
     return (
         files.writeStream.foreachBatch(process)

@@ -166,6 +166,7 @@ def test_snapshot_compact_collapses_dirs_and_keeps_rows(spark, tmp_path):
     assert sorted(r.doc_id for r in snapshot_read(spark, t).collect()) == list(range(50))
     # pre-compaction history still readable
     assert snapshot_read(spark, t, 5).count() == 50
-    import pytest as _pytest
-    with _pytest.raises(ValueError, match="no committed"):
+    with pytest.raises(ValueError, match="no committed"):
         snapshot_compact(spark, str(tmp_path / "empty"))
+    with pytest.raises(ValueError, match="target_mb"):
+        snapshot_compact(spark, t, target_mb=0)

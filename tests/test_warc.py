@@ -383,18 +383,51 @@ def test_crawl_capstone_warc_to_versioned_corpus(spark, tmp_path):
     assert docs.count() == 9
     assert {"doc_uid", "url", "url_key", "domain", "text", "n_chars"} <= set(docs.columns)
 
+    # weights chosen so the three planted domains provably straddle:
+    # hash_unit(site1.com)=0.165 < 0.25 -> train; site0.com=0.372 and
+    # site2.com=0.443 land in [0.25, 0.5) -> val
     split_docs = assign_splits(
-        docs, {"train": 0.5, "val": 0.25, "test": 0.25}, group_col="domain"
+        docs, {"train": 0.25, "val": 0.25, "test": 0.5}, group_col="domain"
     )
     v = snapshot_write(spark, split_docs, str(tmp_path / "corpus"))
     pinned = snapshot_read(spark, str(tmp_path / "corpus"), v)
     assert pinned.count() == 9
-    # every page shares its HTML body -> identical text; any eval doc
-    # overlaps train iff train and eval splits are both non-empty
+    splits = {r.split for r in pinned.select("split").distinct().collect()}
+    assert splits == {"train", "val"}, "planted domains must straddle splits"
+    # every page shares its HTML body -> identical text, so every val
+    # doc MUST surface in the train->eval contamination audit
     audit = cross_split_contamination(
         pinned.select("url", "split", "text").withColumnRenamed("url", "doc_id"),
         shingle_n=4,
     )
-    splits = {r.split for r in pinned.select("split").distinct().collect()}
-    if "train" in splits and splits - {"train"}:
-        assert audit.count() > 0  # planted identical bodies must surface
+    n_val = pinned.filter("split = 'val'").count()
+    assert audit.count() == n_val > 0
+
+
+def test_streaming_transform_preserves_quarantine(spark, tmp_path):
+    """With a filtering transform, '_malformed' rows must land under
+    out_path/_quarantine instead of vanishing (review r7 follow-up)."""
+    from kafka_streams_task_spark.sources.warc import (
+        streaming_ingest_warc,
+        warc_to_documents,
+    )
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    (src / "a.warc").write_bytes(
+        _record(b"response", b"http://q.com/", HTML_PAGE,
+                b"application/http; msgtype=response") + GARBAGE
+    )
+    out = str(tmp_path / "docs")
+    q = streaming_ingest_warc(
+        spark, str(src), out, str(tmp_path / "ckpt"),
+        transform=warc_to_documents,
+    )
+    q.awaitTermination(120)
+    docs = spark.read.parquet(out)
+    assert docs.count() == 1 and "_quarantine" not in [
+        f for f in docs.inputFiles() if "_quarantine" in f
+    ]
+    quar = spark.read.parquet(f"{out}/_quarantine")
+    assert quar.count() == 1
+    assert quar.collect()[0].warc_type == "_malformed"
