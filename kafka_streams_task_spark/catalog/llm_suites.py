@@ -566,14 +566,20 @@ _EXPECT_RULES = {
            CAST('allow' AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
     FROM dblocked
     UNION ALL
+    SELECT CAST('html' AS VARCHAR), CAST(doc_id AS BIGINT),
+           CAST('Doc ' || doc_id AS VARCHAR),
+           CAST(1 AS BIGINT),
+           CAST(1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+    FROM documents
+    UNION ALL
     {canary_sql(_SUITE_COLS)}
     """,
 )
 def llm_cdc_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CDC + analytics legs (7 components + canary; the r6
+    """CDC + analytics legs (8 components + canary; the r6
     de-concentration of llm_library_suite, grown by the two r7
-    promotions — per-leg semantics documented in the r5 suite
-    docstring, now split):
+    promotions plus the r7 'html' extraction leg — per-leg semantics
+    documented in the r5 suite docstring, now split):
 
     'merge' — apply_changes (CDC latest-wins merge) against the shared
     synthesized delta; the oracle states the closed form (deletes gone,
@@ -773,6 +779,34 @@ def llm_cdc_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         filter_by_domain_list(durls, dlist, mode="allow"), "allow"
     )
 
+    # 'html' (r7): planted markup through the REAL html_title/html_links
+    # extractors; the oracle states the closed forms the structure makes
+    # derivable (title text, 1 absolute link, a relative link on %3
+    # docs, mailto always excluded). No regex reruns oracle-side, so
+    # Java-vs-RE2 regex nuances cannot skew the gate.
+    from ..functions.text import html_links, html_title
+
+    planted_html = F.concat(
+        F.lit("<html><head><title> Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" </title><style>b{c:red}</style></head><body>"),
+        F.lit('<a href="https://d'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('.com/p?x=1">l</a>'),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit('<a href="/rel">r</a><a href="mailto:x@y.z">m</a>'),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    html_leg = docs.select(
+        F.lit("html").alias("leg"),
+        F.col("doc_id").cast("long").alias("key"),
+        html_title(planted_html).alias("s1"),
+        F.size(html_links(planted_html)).cast("long").alias("i1"),
+        F.size(html_links(planted_html, absolute_only=False)).cast("long").alias("i2"),
+    )
+
     return (
         merge_leg.unionByName(scd2_leg)
         .unionByName(expect_leg)
@@ -783,6 +817,7 @@ def llm_cdc_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(corpus_gates)
         .unionByName(domain_block)
         .unionByName(domain_allow)
+        .unionByName(html_leg)
         .unionByName(canary_df(spark, _SUITE_COLS))
     )
 

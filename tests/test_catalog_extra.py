@@ -61,7 +61,8 @@ def test_llm_suite_legs_individually(spark, sf_dir):
         ),
         "cdc_analytics": (
             llm_cdc_analytics_suite,
-            {"merge", "scd2", "expect", "cohort", "funnel", "corpus", "domain"},
+            {"merge", "scd2", "expect", "cohort", "funnel", "corpus", "domain",
+             "html"},
         ),
         "text_model": (
             llm_text_model_suite,
@@ -131,6 +132,13 @@ def test_llm_suite_legs_individually(spark, sf_dir):
             assert all(0 <= r.i2 <= r.i1 for r in rows), (
                 f"leg {name!r}: dup tokens exceed token count"
             )
+        elif name == "html":
+            assert all(
+                r.s1 == f"Doc {r.key}"
+                and r.i1 == 1
+                and r.i2 == (2 if r.key % 3 == 0 else 1)
+                for r in rows
+            ), f"leg {name!r}: extraction drifted from the planted structure"
         elif name == "xsplit":
             assert all(r.s1 == "test" and r.key % 4 == 0 for r in rows), (
                 f"leg {name!r}: non-eval doc flagged"
