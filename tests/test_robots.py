@@ -2,8 +2,6 @@
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from kafka_streams_task_spark.operators.robots import parse_robots, robots_allowed
 
 ROBOTS_A = """\

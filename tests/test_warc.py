@@ -222,8 +222,6 @@ def test_streaming_ingest_warc(spark, tmp_path):
     """Streaming twin: shards drain through availableNow into parquet
     records; a second run with a NEW shard appends only the new data;
     a fresh checkpoint at the used out_path refuses."""
-    import os
-
     import pytest
     from kafka_streams_task_spark.sources.warc import streaming_ingest_warc
 
