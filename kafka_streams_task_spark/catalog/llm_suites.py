@@ -1019,11 +1019,17 @@ def _repetition_oracle_ctes() -> str:
            CAST(CASE WHEN mm > 0 THEN 1 ELSE 0 END AS BIGINT)
     FROM clsm
     UNION ALL
+    SELECT CAST('clean' AS VARCHAR), CAST(doc_id AS BIGINT),
+           CAST('A B C' || chr(10) || chr(10) || 'D ' || doc_id AS VARCHAR),
+           CAST(length('A B C' || chr(10) || chr(10) || 'D ' || doc_id) AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM documents
+    UNION ALL
     {canary_sql(_SUITE_COLS)}
     """,
 )
 def llm_text_model_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text-modeling legs (7 components + canary; r6 de-concentration of
+    """Text-modeling legs (8 components + canary; r6 de-concentration of
     llm_library_suite — per-leg semantics documented in the r5 suite
     docstring, now split):
 
@@ -1151,6 +1157,26 @@ def llm_text_model_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_mm > 0).cast("long").alias("i2"),
     )
 
+    # 'clean' (r7): a planted dirty string (BOM, NBSPs, tab runs, CRLF
+    # blank-run, zero-width space, edge whitespace) through the REAL
+    # clean_text chain; the oracle states the cleaned closed form — no
+    # regex reruns oracle-side.
+    from ..functions.text import clean_text
+
+    _did = F.col("doc_id").cast("string")
+    dirty = F.concat(
+        F.lit("\ufeff A\u00a0\u00a0B\t\tC\r\n\r\n\r\n\r\nD "),
+        _did,
+        F.lit(" \u200b"),
+    )
+    clean_leg = d.select(
+        F.lit("clean").alias("leg"),
+        F.col("doc_id").cast("long").alias("key"),
+        clean_text(dirty).alias("s1"),
+        F.length(clean_text(dirty)).cast("long").alias("i1"),
+        F.lit(None).cast("long").alias("i2"),
+    )
+
     return (
         vocab_leg.unionByName(encode_leg)
         .unionByName(nll_leg)
@@ -1158,6 +1184,7 @@ def llm_text_model_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(entropy_leg)
         .unionByName(rep_leg)
         .unionByName(classifier_leg)
+        .unionByName(clean_leg)
         .unionByName(canary_df(spark, _SUITE_COLS))
     )
 
@@ -1266,12 +1293,18 @@ def llm_text_model_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST('_leak_groups' AS VARCHAR),
            CAST(0 AS BIGINT), CAST(NULL AS BIGINT)
     UNION ALL
+    SELECT CAST('urlnorm' AS VARCHAR), CAST(doc_id AS BIGINT),
+           CAST('https://www.ex' || (doc_id % 5) || 'ample.com/Path/' || doc_id
+                || '?b=' || (doc_id % 5) AS VARCHAR),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM documents
+    UNION ALL
     {canary_sql(_SUITE_COLS)}
     """,
 )
 def llm_retrieval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Retrieval + sampling legs (6 components + canary; r6
-    de-concentration of llm_library_suite, +'splits' in r7):
+    """Retrieval + sampling legs (7 components + canary; r6
+    de-concentration of llm_library_suite, +'splits'/'urlnorm' in r7):
 
     'tfidf' — tfidf_top_terms: top-3 smoothed TF-IDF terms per document,
     scores in exact integer micro-units, ranks fully ordered by
@@ -1412,6 +1445,25 @@ def llm_retrieval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("i2"),
     )
 
+    # 'urlnorm' (r7): planted messy URLs (case, default port, tracking
+    # params interleaved with a kept param, fragment) through the REAL
+    # normalize_url; the oracle states the canonical closed form.
+    from ..functions.url import normalize_url
+
+    _did = F.col("doc_id").cast("string")
+    _m5 = (F.col("doc_id") % 5).cast("string")
+    messy = F.concat(
+        F.lit("HTTPS://WwW.Ex"), _m5, F.lit("AMPLE.com:443/Path/"), _did,
+        F.lit("?utm_source=x&b="), _m5, F.lit("&fbclid=z#frag"),
+    )
+    urlnorm_leg = ds.select(
+        F.lit("urlnorm").alias("leg"),
+        F.col("doc_id").cast("long").alias("key"),
+        normalize_url(messy).alias("s1"),
+        F.lit(None).cast("long").alias("i1"),
+        F.lit(None).cast("long").alias("i2"),
+    )
+
     return (
         tfidf_leg.unionByName(bm25_leg)
         .unionByName(mix_leg)
@@ -1419,6 +1471,7 @@ def llm_retrieval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(wsample_leg)
         .unionByName(splits_leg)
         .unionByName(leak_leg)
+        .unionByName(urlnorm_leg)
         .unionByName(canary_df(spark, _SUITE_COLS))
     )
 

@@ -66,11 +66,13 @@ def test_llm_suite_legs_individually(spark, sf_dir):
         ),
         "text_model": (
             llm_text_model_suite,
-            {"vocab", "encode", "nll", "nll2", "entropy", "repetition", "classifier"},
+            {"vocab", "encode", "nll", "nll2", "entropy", "repetition",
+             "classifier", "clean"},
         ),
         "retrieval": (
             llm_retrieval_suite,
-            {"tfidf", "bm25", "mixrates", "shuffle", "wsample", "splits"},
+            {"tfidf", "bm25", "mixrates", "shuffle", "wsample", "splits",
+             "urlnorm"},
         ),
         "dedup_join": (
             llm_dedup_join_suite,
@@ -132,6 +134,16 @@ def test_llm_suite_legs_individually(spark, sf_dir):
             assert all(0 <= r.i2 <= r.i1 for r in rows), (
                 f"leg {name!r}: dup tokens exceed token count"
             )
+        elif name == "clean":
+            assert all(
+                r.s1 == f"A B C\n\nD {r.key}" and r.i1 == len(r.s1)
+                for r in rows
+            ), f"leg {name!r}: clean_text drifted from the planted closed form"
+        elif name == "urlnorm":
+            assert all(
+                r.s1 == f"https://www.ex{r.key % 5}ample.com/Path/{r.key}?b={r.key % 5}"
+                for r in rows
+            ), f"leg {name!r}: normalize_url drifted from the planted closed form"
         elif name == "html":
             assert all(
                 r.s1 == f"Doc {r.key}"
