@@ -648,16 +648,24 @@ def html_title(html: Column | str) -> Column:
 def html_links(html: Column | str, absolute_only: bool = True) -> Column:
     """``href`` targets of anchor tags as an array<string> — the edge
     list a crawl link graph (PageRank domain weighting,
-    ``operators/graph.py``) is built from. One codegen
-    regexp_extract_all; fragments-only and javascript: pseudo-links are
-    excluded by the pattern. ``absolute_only`` keeps http(s) URLs and
-    drops relative paths (resolving them against a base URL needs the
-    page URL — do it with ``F.concat`` at the call site where the base
-    is a column)."""
+    ``operators/graph.py``) is built from. Codegen regexp_extract_all;
+    fragments-only and javascript: pseudo-links are excluded by the
+    pattern. Both quoted (``href="x"``) and legal-HTML unquoted
+    (``href=/x``, common in old/machine-generated pages — VERDICT r7)
+    attributes match; the two extracts are disjoint (an unquoted value
+    cannot start with a quote), and unquoted links are APPENDED after
+    the quoted ones rather than interleaved in document order.
+    ``absolute_only`` keeps http(s) URLs and drops relative paths
+    (resolving them against a base URL needs the page URL — do it with
+    ``F.concat`` at the call site where the base is a column)."""
     c = F.col(html) if isinstance(html, str) else html
-    links = F.regexp_extract_all(
+    quoted = F.regexp_extract_all(
         c, F.lit("(?i)<a\\b[^>]*?\\bhref\\s*=\\s*[\"']([^\"'#>][^\"'>]*)[\"']"), 1
     )
+    unquoted = F.regexp_extract_all(
+        c, F.lit("(?i)<a\\b[^>]*?\\bhref\\s*=\\s*([^\\s\"'>#][^\\s>]*)"), 1
+    )
+    links = F.concat(quoted, unquoted)
     links = F.filter(links, lambda u: ~u.rlike("(?i)^(javascript|mailto|tel):"))
     if absolute_only:
         links = F.filter(links, lambda u: u.rlike("(?i)^https?://"))

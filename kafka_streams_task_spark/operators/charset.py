@@ -63,30 +63,41 @@ def _valid_codec(name: str | None) -> str | None:
     return name if getattr(info, "_is_text_encoding", True) else None
 
 
+def _resolve_and_decode(payload: bytes, declared: str | None) -> tuple[str, str]:
+    """Resolve + decode in ONE pass — the UTF-8 sniff's strict decode IS
+    the decode when it wins, so the (majority) undeclared-UTF-8 case
+    pays exactly one full decode instead of two (ADVICE r8). Every
+    branch decodes exactly once; errors under a DECLARED charset degrade
+    to replacement chars (strictness already had its chance upstream)."""
+    for bom, name in _BOMS:
+        if payload.startswith(bom):
+            return name, payload.decode(name, errors="replace")
+    if declared:
+        m = _CHARSET_PARAM.search(declared)
+        c = _valid_codec(m.group(1)) if m else None
+        if c:
+            return c, payload.decode(c, errors="replace")
+    m = _META_CHARSET.search(payload[:_SNIFF_BYTES])
+    if m:
+        c = _valid_codec(m.group(1).decode("ascii", "ignore"))
+        if c:
+            return c, payload.decode(c, errors="replace")
+    try:
+        return "utf-8", payload.decode("utf-8")
+    except UnicodeDecodeError:
+        return "latin-1", payload.decode("latin-1")
+
+
 def resolve_charset(payload: bytes, declared: str | None) -> str:
     """The precedence real browsers/crawlers use: BOM beats the HTTP
     header beats the meta tag beats content sniffing (here: UTF-8
     strict, then latin-1 — which maps every byte, so resolution never
     fails). Unknown/misspelled declared charsets fall through rather
-    than error: crawl headers lie constantly."""
-    for bom, name in _BOMS:
-        if payload.startswith(bom):
-            return name
-    if declared:
-        m = _CHARSET_PARAM.search(declared)
-        c = _valid_codec(m.group(1)) if m else None
-        if c:
-            return c
-    m = _META_CHARSET.search(payload[:_SNIFF_BYTES])
-    if m:
-        c = _valid_codec(m.group(1).decode("ascii", "ignore"))
-        if c:
-            return c
-    try:
-        payload.decode("utf-8")
-        return "utf-8"
-    except UnicodeDecodeError:
-        return "latin-1"
+    than error: crawl headers lie constantly. (Decoding callers should
+    use the fused :func:`_resolve_and_decode` path via
+    :func:`decode_payloads` — this name-only form exists for tests and
+    diagnostics.)"""
+    return _resolve_and_decode(payload, declared)[0]
 
 
 def decode_payloads(
@@ -122,9 +133,9 @@ def decode_payloads(
                 texts.append(None)
                 continue
             b = bytes(raw)
-            cs = resolve_charset(b, d if isinstance(d, str) else None)
+            cs, text = _resolve_and_decode(b, d if isinstance(d, str) else None)
             charsets.append(cs)
-            texts.append(b.decode(cs, errors="replace"))
+            texts.append(text)
         return pd.DataFrame({charset_col: charsets, text_col: texts})
 
     out = df.withColumn("_dec", _decode(F.col(payload_col), declared)).select(

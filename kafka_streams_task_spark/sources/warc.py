@@ -9,14 +9,25 @@ TASK: a crawl's shard count (~64k for Common Crawl) dwarfs any cluster's
 core count, so file-level parallelism saturates executors without
 needing the (gzip-unsplittable) records themselves to split.
 
-Spark-first shape: ``binaryFile`` scan → one Arrow-batched
-``mapInPandas`` stage that walks each shard with a pure-Python ISO 28500
-parser and yields bounded record batches (cardinality-changing, like
-:mod:`..operators.multimodal`'s frame sampler). No RDDs, no Hadoop input
-formats, no driver-side I/O; the parse is record-local so a shard
-streams through the task in O(batch) memory (the binaryFile row holds
-the raw shard bytes — the same per-task working set as any .warc.gz
-processor, since gzip members must decompress sequentially anyway).
+Spark-first shape (r8): a PATH-ONLY ``binaryFile`` scan (column pruning
+makes it a pure listing — ``ReadSchema: struct<path:string>``, no bytes
+touch the JVM) → one Arrow-batched ``mapInPandas`` stage that OPENS each
+shard inside the task via ``pyarrow.fs`` and walks it with a pure-Python
+ISO 28500 parser, yielding bounded record batches (cardinality-changing,
+like :mod:`..operators.multimodal`'s frame sampler). No RDDs, no Hadoop
+input formats, no driver-side I/O. Two scale properties the r7 shape
+(binaryFile CONTENT rows) lacked:
+
+* no 2 GiB cap: Spark's binaryFile content column refuses files over
+  Int.MaxValue bytes — one oversized crawl shard killed the whole
+  ingest job. Path rows carry no length check; the Python parser
+  streams the shard regardless of size.
+* O(batch) memory for real: shard bytes never cross the JVM→Arrow
+  boundary — the task reads directly from storage (local FS, S3, HDFS —
+  whatever ``pyarrow.fs.FileSystem.from_uri`` resolves), decompressing
+  incrementally. Every read inside the parser is bounded
+  (:data:`_MAX_LINE` line cap, ``max_payload_bytes`` payload cap), so
+  peak per-task memory is independent of shard size.
 
 Malformed input follows the r6 quarantine discipline
 (``sources/files.py``): a record that violates the framing (bad version
@@ -33,16 +44,20 @@ from __future__ import annotations
 
 import gzip
 import io
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 #: one row per WARC record. payload is the HTTP message BODY for
 #: response/request records when strip_http_headers=True (status/mime
-#: lifted into columns), else the raw record block.
+#: lifted into columns), else the raw record block. ``truncated`` is
+#: NULL for complete payloads, 'length' when max_payload_bytes capped
+#: this read, else the upstream crawler's WARC-Truncated reason
+#: (ISO 28500 §5.13: length/time/disconnect/unspecified).
 WARC_RECORD = T.StructType(
     [
         T.StructField("source_file", T.StringType(), False),
@@ -55,11 +70,59 @@ WARC_RECORD = T.StructType(
         T.StructField("content_length", T.LongType(), True),
         T.StructField("http_status", T.IntegerType(), True),
         T.StructField("http_content_type", T.StringType(), True),
+        T.StructField("truncated", T.StringType(), True),
         T.StructField("payload", T.BinaryType(), True),
     ]
 )
 
 _VERSION_PREFIX = b"WARC/"
+
+#: per-readline byte cap — spec header lines are tiny; the cap's job is
+#: bounding memory when scanning GARBAGE (a multi-GB run with no
+#: newline would otherwise make one readline() allocate the whole run)
+_MAX_LINE = 1 << 20
+#: quarantine rows retain at most this much of a garbage run; the
+#: resync still SCANS the full run (bounded chunks), it just stops
+#: hoarding bytes past the cap
+_MAX_GARBAGE_KEEP = 1 << 20
+_SKIP_CHUNK = 1 << 20
+
+
+def _open_shard(path: str) -> io.BufferedIOBase:
+    """Open one shard URI inside the task — ``pyarrow.fs`` resolves the
+    scheme (file/s3/hdfs/gcs…), ``io.BufferedReader`` supplies
+    peek/readline. Gzip is detected by magic bytes and layered as an
+    incremental decompressor (multi-member chaining included), so
+    compressed shards stream too."""
+    from pyarrow import fs as pafs
+
+    filesystem, fs_path = pafs.FileSystem.from_uri(path)
+    buffered = io.BufferedReader(filesystem.open_input_file(fs_path))
+    if buffered.peek(2)[:2] == b"\x1f\x8b":
+        return gzip.GzipFile(fileobj=buffered)
+    return buffered
+
+
+def _skip_bytes(stream: io.BufferedIOBase, n: int) -> int:
+    """Advance ``n`` bytes without materializing them; returns bytes
+    actually skipped (< n ⇒ the stream ended early). Plain seekable
+    streams skip in O(1); gzip/sequential streams discard in bounded
+    chunks (a forward gzip seek is an internal read anyway)."""
+    if not isinstance(stream, gzip.GzipFile) and stream.seekable():
+        # seek past EOF "succeeds" on regular files, so clamp to the
+        # real end — three O(1) seeks, no byte materializes
+        start = stream.tell()
+        end = stream.seek(0, io.SEEK_END)
+        target = min(start + n, end)
+        stream.seek(target)
+        return target - start
+    remaining = n
+    while remaining > 0:
+        chunk = stream.read(min(_SKIP_CHUNK, remaining))
+        if not chunk:
+            break
+        remaining -= len(chunk)
+    return n - remaining
 
 
 def _parse_header_block(block: bytes) -> dict[str, str]:
@@ -106,32 +169,47 @@ def _split_http(payload: bytes) -> tuple[int | None, str | None, bytes]:
 
 
 def iter_warc_records(
-    stream: io.BufferedIOBase, strip_http_headers: bool = True
+    stream: io.BufferedIOBase,
+    strip_http_headers: bool = True,
+    max_payload_bytes: int | None = None,
 ) -> Iterator[dict]:
     """Walk one (decompressed) WARC byte stream, yielding one dict per
     record in :data:`WARC_RECORD` column order (minus source_file /
     record_idx, which the caller owns). Framing violations yield a
     ``_malformed`` record holding the skipped bytes, then resync at the
-    next CRLF-preceded ``WARC/`` marker."""
+    next CRLF-preceded ``WARC/`` marker.
+
+    Memory is bounded regardless of input: every line read is capped at
+    :data:`_MAX_LINE`, quarantined garbage retains at most
+    :data:`_MAX_GARBAGE_KEEP`, and ``max_payload_bytes`` (Common Crawl
+    uses 1 MiB) caps each payload — capped records carry
+    ``truncated='length'`` (ISO 28500 §5.13 semantics; the remainder is
+    skipped without materializing, O(1) on seekable plain streams) and
+    ``content_length`` still states the CLAIMED size. A stream that ends
+    mid-payload yields the partial record as ``_malformed`` (the framing
+    is unrecoverable past it) rather than silently passing short bytes
+    off as complete.
+    """
 
     def resync(first: bytes) -> bytes:
-        """Collect bytes (starting with ``first``) up to the next record
-        start; push nothing back — returns the skipped garbage."""
+        """Scan (bounded chunks) up to the next record start; returns
+        the skipped garbage, retaining at most _MAX_GARBAGE_KEEP."""
         garbage = bytearray(first)
         while True:
-            line = stream.readline()
+            line = stream.readline(_MAX_LINE)
             if not line:
-                return bytes(garbage)
+                return bytes(garbage[:_MAX_GARBAGE_KEEP])
             if line.startswith(_VERSION_PREFIX):
                 # a new record begins; parse it on the next outer loop by
                 # handing the line back via the pushback buffer
                 pushback.append(line)
-                return bytes(garbage)
-            garbage += line
+                return bytes(garbage[:_MAX_GARBAGE_KEEP])
+            if len(garbage) < _MAX_GARBAGE_KEEP:
+                garbage += line
 
     pushback: list[bytes] = []
     while True:
-        line = pushback.pop() if pushback else stream.readline()
+        line = pushback.pop() if pushback else stream.readline(_MAX_LINE)
         if not line:
             return
         if line in (b"\r\n", b"\n"):  # inter-record gap
@@ -146,12 +224,13 @@ def iter_warc_records(
                 "content_length": None,
                 "http_status": None,
                 "http_content_type": None,
+                "truncated": None,
                 "payload": resync(line),
             }
             continue
         header_lines = bytearray()
         while True:
-            hl = stream.readline()
+            hl = stream.readline(_MAX_LINE)
             if hl in (b"\r\n", b"\n", b""):
                 break
             header_lines += hl
@@ -167,24 +246,39 @@ def iter_warc_records(
                 "content_length": None,
                 "http_status": None,
                 "http_content_type": None,
+                "truncated": None,
                 "payload": resync(line + bytes(header_lines)),
             }
             continue
-        payload = stream.read(int(length_s))
+        claimed = int(length_s)
+        want = claimed if max_payload_bytes is None else min(claimed, max_payload_bytes)
+        payload = stream.read(want)
+        truncated = headers.get("warc-truncated") or None
+        short_stream = len(payload) < want
+        if not short_stream and want < claimed:
+            truncated = "length"
+            short_stream = _skip_bytes(stream, claimed - want) < claimed - want
+        warc_type = headers.get("warc-type")
+        if short_stream:
+            # the shard ended mid-payload: content_length lies about
+            # what we hold, and nothing past it can be framed — emit
+            # what we have as quarantine, never as a complete record
+            warc_type = "_malformed"
         status = ctype = None
         if strip_http_headers and headers.get("content-type", "").startswith(
             "application/http"
         ):
             status, ctype, payload = _split_http(payload)
         yield {
-            "warc_type": headers.get("warc-type"),
+            "warc_type": warc_type,
             "record_id": headers.get("warc-record-id"),
             "target_uri": headers.get("warc-target-uri"),
             "warc_date": headers.get("warc-date"),
             "content_type": headers.get("content-type"),
-            "content_length": int(length_s),
+            "content_length": claimed,
             "http_status": status,
             "http_content_type": ctype,
+            "truncated": truncated,
             "payload": payload,
         }
 
@@ -194,10 +288,13 @@ def _records_from_files(
     strip_http_headers: bool,
     kept: set[str] | None,
     batch_records: int = 256,
+    max_payload_bytes: int | None = None,
 ) -> DataFrame:
-    """The shared parse stage (batch and streaming plans): a
-    ``(path, content)`` frame → :data:`WARC_RECORD` rows via one
-    cardinality-changing ``mapInPandas``."""
+    """The shared parse stage (batch and streaming plans): a PATH-ONLY
+    frame → :data:`WARC_RECORD` rows via one cardinality-changing
+    ``mapInPandas``. Each task opens its shard directly from storage
+    (:func:`_open_shard`) — shard bytes never transit the JVM, so there
+    is no 2 GiB binaryFile cap and no whole-shard Arrow copy."""
 
     def batches(parts: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in WARC_RECORD.fields]
@@ -205,46 +302,55 @@ def _records_from_files(
         def flush(buf: list[tuple]) -> pd.DataFrame:
             return pd.DataFrame(buf, columns=cols)
 
+        def quarantine(e: Exception) -> dict:
+            return {
+                "warc_type": "_malformed",
+                "record_id": None,
+                "target_uri": None,
+                "warc_date": None,
+                "content_type": None,
+                "content_length": None,
+                "http_status": None,
+                "http_content_type": None,
+                "truncated": None,
+                "payload": f"decompression failed: {e}".encode(),
+            }
+
         for pdf in parts:
-            for fname, content in zip(pdf["path"], pdf["content"]):
-                raw = bytes(content)
-                stream: io.BufferedIOBase
-                if raw[:2] == b"\x1f\x8b":
-                    stream = gzip.GzipFile(fileobj=io.BytesIO(raw))
-                else:
-                    stream = io.BytesIO(raw)
+            for fname in pdf["path"]:
                 buf: list[tuple] = []
-                records = iter_warc_records(stream, strip_http_headers)
                 idx = 0
-                while True:
-                    # a truncated/corrupt gz member raises out of the
-                    # record iterator's readline/read — that must cost
-                    # the shard's REMAINDER a quarantine row, not the
-                    # task (and with it the whole ingest job)
-                    try:
-                        rec = next(records)
-                    except StopIteration:
-                        break
-                    except (OSError, EOFError) as e:
-                        rec = {
-                            "warc_type": "_malformed",
-                            "record_id": None,
-                            "target_uri": None,
-                            "warc_date": None,
-                            "content_type": None,
-                            "content_length": None,
-                            "http_status": None,
-                            "http_content_type": None,
-                            "payload": f"decompression failed: {e}".encode(),
-                        }
-                        buf.append((fname, idx, *rec.values()))
-                        break
-                    if kept is None or rec["warc_type"] in kept:
-                        buf.append((fname, idx, *rec.values()))
-                        if len(buf) >= batch_records:
-                            yield flush(buf)
-                            buf = []
-                    idx += 1
+                try:
+                    stream = _open_shard(fname)
+                except (OSError, EOFError, zlib.error) as e:
+                    yield flush([(fname, 0, *quarantine(e).values())])
+                    continue
+                try:
+                    records = iter_warc_records(
+                        stream, strip_http_headers, max_payload_bytes
+                    )
+                    while True:
+                        # a truncated/corrupt gz member raises out of
+                        # the record iterator's readline/read (zlib
+                        # raises zlib.error, NOT OSError, on corrupt
+                        # deflate data) — that must cost the shard's
+                        # REMAINDER a quarantine row, not the task (and
+                        # with it the whole ingest job)
+                        try:
+                            rec = next(records)
+                        except StopIteration:
+                            break
+                        except (OSError, EOFError, zlib.error) as e:
+                            buf.append((fname, idx, *quarantine(e).values()))
+                            break
+                        if kept is None or rec["warc_type"] in kept:
+                            buf.append((fname, idx, *rec.values()))
+                            if len(buf) >= batch_records:
+                                yield flush(buf)
+                                buf = []
+                        idx += 1
+                finally:
+                    stream.close()
                 if buf:
                     yield flush(buf)
 
@@ -257,9 +363,13 @@ def read_warc(
     strip_http_headers: bool = True,
     record_types: tuple[str, ...] | None = None,
     batch_records: int = 256,
+    max_payload_bytes: int | None = None,
 ) -> DataFrame:
     """Read WARC / WARC-gz shard(s) at ``path`` (file, dir, or glob —
-    whatever ``binaryFile`` accepts) into one row per record.
+    whatever ``binaryFile`` accepts) into one row per record. The scan
+    is path-only (a listing); each task streams its shard straight from
+    storage, so shards may exceed 2 GiB and per-task memory stays
+    O(batch) — see the module docstring.
 
     ``record_types`` pushes a type filter INTO the parser (e.g.
     ``("response",)`` — the usual 3× row reduction for crawl corpora,
@@ -267,13 +377,19 @@ def read_warc(
     ``_malformed`` rows always pass the filter: dropping the quarantine
     silently is the failure mode the r6 ingest work exists to prevent.
 
+    ``max_payload_bytes`` caps each record's payload (Common Crawl uses
+    1 MiB): capped records carry ``truncated='length'`` and the skipped
+    remainder never materializes.
+
     Gzip is detected per-file by magic bytes; multi-member gz (Common
     Crawl writes one member per record) decompresses transparently via
     ``gzip.GzipFile``'s member chaining.
     """
     kept = set(record_types) | {"_malformed"} if record_types else None
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
-    return _records_from_files(files, strip_http_headers, kept, batch_records)
+    files = spark.read.format("binaryFile").load(path).select("path")
+    return _records_from_files(
+        files, strip_http_headers, kept, batch_records, max_payload_bytes
+    )
 
 
 def warc_ingest_report(records: DataFrame) -> DataFrame:
@@ -288,6 +404,71 @@ def warc_ingest_report(records: DataFrame) -> DataFrame:
         F.sum(F.length("payload").cast("long")).alias("payload_bytes"),
         F.count_distinct("source_file").alias("n_files"),
     )
+
+
+def warc_charset_report(records: DataFrame) -> DataFrame:
+    """Per-charset composition of a crawl read — the health check that
+    says when :func:`warc_to_documents`'s default UTF-8 cast would be
+    lying (real crawls are ~10-25% non-UTF-8; mojibake from a silent
+    latin-1/GBK tail is invisible in row counts). Entirely codegen — a
+    cheap sniff mirroring ``operators/charset.py:resolve_charset``'s
+    precedence (BOM → HTTP header param → ``<meta charset>`` in the
+    head bytes → UTF-8 validation), then ONE partial+final aggregate:
+
+    * ``charset`` — lower-cased declared/sniffed name; ``utf-8`` when
+      undeclared but the payload validates (``is_valid_utf8`` runs
+      JVM-side on the raw binary); ``unknown(non-utf-8)`` when
+      undeclared and invalid — the bucket that demands
+      ``exact_charset=True``,
+    * ``n_records`` / ``payload_bytes`` — mass per charset,
+    * ``pct_records`` — share, so "4% windows-1252" reads off directly.
+
+    If the frame already went through ``decode_payloads`` (a ``charset``
+    column exists), the RESOLVED charset is used as-is instead of
+    sniffing.
+    """
+    if "charset" in records.columns:
+        cs = F.lower("charset")
+        mass = F.length("text") if "text" in records.columns else F.lit(0)
+    else:
+        head = F.substring("payload", 1, 4096).cast("string")
+        declared = F.coalesce(
+            F.regexp_extract(
+                F.lower("http_content_type"), r"charset\s*=\s*[\"']?([\w.:-]+)", 1
+            ),
+            F.lit(""),
+        )
+        meta = F.regexp_extract(
+            F.lower(head), r"<meta[^>]+charset\s*=\s*[\"']?([\w.:-]+)", 1
+        )
+        bom2 = F.substring("payload", 1, 2)
+        cs = (
+            F.when(
+                F.substring("payload", 1, 3) == F.lit(b"\xef\xbb\xbf"),
+                F.lit("utf-8-sig"),
+            )
+            .when(
+                (bom2 == F.lit(b"\xff\xfe")) | (bom2 == F.lit(b"\xfe\xff")),
+                F.lit("utf-16"),
+            )
+            .when(declared != "", declared)
+            .when(meta != "", meta)
+            .when(F.is_valid_utf8("payload"), F.lit("utf-8"))
+            .otherwise(F.lit("unknown(non-utf-8)"))
+        )
+        mass = F.length("payload")
+    counted = records.filter(F.col("warc_type") != "_malformed").groupBy(
+        cs.alias("charset")
+    ).agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum(mass.cast("long")).alias("payload_bytes"),
+    )
+    # single-partition window is safe HERE: it runs on the post-agg
+    # frame, whose cardinality is the number of distinct charsets (~10s)
+    total = F.sum("n_records").over(Window.partitionBy())
+    return counted.withColumn(
+        "pct_records", F.round(F.col("n_records") * 100.0 / total, 2)
+    ).orderBy(F.desc("n_records"), "charset")
 
 
 def warc_to_documents(
@@ -357,6 +538,7 @@ def streaming_ingest_warc(
     record_types: tuple[str, ...] | None = None,
     max_files_per_trigger: int | None = None,
     transform=None,
+    max_payload_bytes: int | None = None,
 ):
     """Continuous crawl ingestion, WARC edition: the streaming twin of
     :func:`read_warc` — new shards landing under ``path`` stream through
@@ -397,10 +579,15 @@ def streaming_ingest_warc(
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    files = reader.load(path).select("path", "content")
+    # path-only projection: same pruned (no-content) scan as the batch
+    # twin — shard bytes are opened in-task, not shipped through Arrow
+    files = reader.load(path).select("path")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        records = _records_from_files(batch_df, strip_http_headers, kept)
+        records = _records_from_files(
+            batch_df, strip_http_headers, kept,
+            max_payload_bytes=max_payload_bytes,
+        )
         if transform is not None:
             # batch-scoped persist: the quarantine split and the
             # transform both consume the parse; without it the Arrow

@@ -429,3 +429,183 @@ def test_streaming_transform_preserves_quarantine(spark, tmp_path):
     quar = spark.read.parquet(f"{out}/_quarantine")
     assert quar.count() == 1
     assert quar.collect()[0].warc_type == "_malformed"
+
+
+def test_read_warc_scan_is_path_only(spark, tmp_path):
+    """r8 plan pin: shard bytes must NOT transit the JVM — the
+    binaryFile scan reads only the path column (pure listing)."""
+    (tmp_path / "a.warc").write_bytes(_shard())
+    plan = (
+        read_warc(spark, str(tmp_path))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ReadSchema: struct<path:string>" in plan
+    assert "content#" not in plan  # no binary content attribute anywhere
+
+
+def _write_oversize_shard(path, payload_len=2_400_000_000):
+    """A valid WARC shard > 2 GiB on disk (sparse: zeros payload) — one
+    huge record, then a small real one after it."""
+    head = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: resource\r\n"
+        b"WARC-Record-ID: <urn:uuid:huge-1>\r\n"
+        b"WARC-Target-URI: http://big.com/blob\r\n"
+        b"Content-Type: application/octet-stream\r\n"
+        b"Content-Length: " + str(payload_len).encode() + b"\r\n\r\n"
+    )
+    with open(path, "wb") as f:
+        f.write(head)
+        f.seek(len(head) + payload_len)
+        f.write(b"\r\n\r\n")
+        f.write(_record(b"response", b"http://big.com/after", HTTP_MSG,
+                        b"application/http; msgtype=response"))
+    return payload_len
+
+
+def test_read_warc_shard_over_2gib(spark, tmp_path):
+    """The r7 foundation (binaryFile CONTENT rows) hard-fails on any
+    shard over Int.MaxValue bytes; the r8 path-only + in-task open
+    shape streams it. Both facts proven here."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    shard = tmp_path / "big.warc"
+    claimed = _write_oversize_shard(shard)
+
+    # the OLD shape: reading the content column refuses the file
+    with pytest.raises(Exception) as exc:
+        spark.read.format("binaryFile").load(str(shard)).select("content").collect()
+    assert "exceeds" in str(exc.value) or "FAILED_READ_FILE" in str(exc.value)
+
+    # the NEW shape: parses fine; the capped payload skips the
+    # remainder in O(1) (seek), so this test runs in seconds
+    rows = (
+        read_warc(spark, str(shard), max_payload_bytes=1024)
+        .orderBy("record_idx").collect()
+    )
+    assert [r.warc_type for r in rows] == ["resource", "response"]
+    big = rows[0]
+    assert big.content_length == claimed          # claimed size preserved
+    assert len(bytes(big.payload)) == 1024        # capped read
+    assert big.truncated == "length"              # flagged per ISO 28500
+    assert rows[1].http_status == 200 and rows[1].truncated is None
+
+
+def test_max_payload_bytes_cap_and_warc_truncated_header():
+    """Cap semantics at the iterator level + upstream WARC-Truncated
+    header passthrough."""
+    rec = _record(b"response", b"http://c.com/", HTTP_MSG,
+                  b"application/http; msgtype=response")
+    upstream = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Truncated: disconnect\r\n"
+        b"Content-Length: 3\r\n\r\nabc\r\n\r\n"
+    )
+    recs = list(iter_warc_records(io.BytesIO(rec + upstream), max_payload_bytes=10))
+    assert recs[0].get("truncated") == "length"
+    assert recs[0]["content_length"] == len(HTTP_MSG)
+    assert recs[1]["truncated"] == "disconnect" and recs[1]["payload"] == b"abc"
+    # uncapped record smaller than the cap: no flag
+    full = list(iter_warc_records(io.BytesIO(rec), max_payload_bytes=10_000))
+    assert full[0]["truncated"] is None and full[0]["payload"] == HTML_BODY
+
+
+def test_stream_ending_mid_payload_quarantines():
+    """content_length claims more bytes than the stream holds: the
+    partial record must surface as _malformed, never as a complete
+    record with silently short payload (ADVICE r8)."""
+    rec = _record(b"response", b"http://t.com/", HTTP_MSG,
+                  b"application/http; msgtype=response")
+    cut = rec[: len(rec) - 20]  # drop the payload tail + record gap
+    recs = list(iter_warc_records(io.BytesIO(cut)))
+    assert [r["warc_type"] for r in recs] == ["_malformed"]
+    assert recs[0]["content_length"] == len(HTTP_MSG)  # the claim
+    # capped variant: skip comes up short -> same quarantine
+    recs2 = list(iter_warc_records(io.BytesIO(cut), max_payload_bytes=8))
+    assert [r["warc_type"] for r in recs2] == ["_malformed"]
+
+
+def test_corrupt_deflate_zlib_error_quarantines(spark, tmp_path):
+    """Corrupt deflate bytes raise zlib.error (not OSError) out of
+    GzipFile.read — that must quarantine the shard remainder, not kill
+    the task (ADVICE r8)."""
+    good = gzip.compress(_record(b"response", b"http://ok.com/", HTTP_MSG,
+                                 b"application/http; msgtype=response"))
+    bad = bytearray(gzip.compress(
+        _record(b"response", b"http://bad.com/", HTTP_MSG,
+                b"application/http; msgtype=response")))
+    for i in range(20, 60):  # trash the deflate stream body
+        bad[i] ^= 0xFF
+    (tmp_path / "a.warc.gz").write_bytes(good)
+    (tmp_path / "b.warc.gz").write_bytes(bytes(bad))
+    rows = read_warc(spark, str(tmp_path)).collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r.source_file.rsplit("/", 1)[-1], []).append(r)
+    assert [r.warc_type for r in by_file["a.warc.gz"]] == ["response"]
+    assert all(r.warc_type == "_malformed" for r in by_file["b.warc.gz"])
+    assert b"decompression failed" in bytes(by_file["b.warc.gz"][0].payload)
+
+
+def test_warc_charset_report_mixed_fixture(spark, tmp_path):
+    """Charset composition over a mixed-charset crawl: BOM, declared
+    header, meta tag, undeclared-valid-utf8, undeclared-binary."""
+    from kafka_streams_task_spark.sources.warc import warc_charset_report
+
+    def resp(uri, body, ctype=b"text/html"):
+        return _record(
+            b"response", uri,
+            b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype + b"\r\n\r\n" + body,
+            b"application/http; msgtype=response",
+        )
+
+    shard = (
+        resp(b"http://a.com/", b"\xef\xbb\xbf<p>bom page</p>")
+        + resp(b"http://b.com/", "<p>décor</p>".encode("windows-1252"),
+               ctype=b"text/html; charset=Windows-1252")
+        + resp(b"http://c.com/", b"<html><head><meta charset='GBK'></head>"
+               + "<p>你好</p>".encode("gbk") + b"</html>")
+        + resp(b"http://d.com/", "<p>plain utf-8 ✓</p>".encode())
+        + resp(b"http://e.com/", b"\xff\x00\xfe binary-ish junk")
+        + GARBAGE  # malformed rows must be excluded from the report
+    )
+    (tmp_path / "mix.warc").write_bytes(shard)
+    records = read_warc(spark, str(tmp_path))
+    rep = {r.charset: r for r in warc_charset_report(records).collect()}
+    assert set(rep) == {
+        "utf-8-sig", "windows-1252", "gbk", "utf-8", "unknown(non-utf-8)"
+    }
+    assert all(r.n_records == 1 for r in rep.values())
+    assert abs(sum(r.pct_records for r in rep.values()) - 100.0) < 0.1
+    assert rep["gbk"].payload_bytes > 0
+    # resolved-charset passthrough: after decode_payloads the report
+    # groups on the RESOLVED column, not the sniff
+    from kafka_streams_task_spark.operators.charset import decode_payloads
+
+    decoded = decode_payloads(records.filter("warc_type = 'response'"))
+    rep2 = {r.charset: r.n_records for r in warc_charset_report(decoded).collect()}
+    assert rep2.get("windows-1252") == 1 and rep2.get("gbk") == 1
+
+
+def test_html_links_unquoted_attributes(spark):
+    """Unquoted href values are legal HTML and common in old pages —
+    they must appear in the link graph (VERDICT r7)."""
+    from kafka_streams_task_spark.functions.text import html_links
+
+    html = (
+        '<a href="https://q.com/a">q</a>'
+        "<a href=/x>rel-unq</a>"
+        "<a href=https://a.com/y>abs-unq</a>"
+        "<a href=#frag>frag</a>"
+        "<a href=mailto:a@b.c>m</a>"
+    )
+    df = spark.createDataFrame([(html,)], ["html"])
+    row = df.select(
+        html_links(F.col("html")).alias("abs"),
+        html_links(F.col("html"), absolute_only=False).alias("all"),
+    ).collect()[0]
+    # quoted first, then unquoted appended
+    assert row.abs == ["https://q.com/a", "https://a.com/y"]
+    assert set(row.all) == {"https://q.com/a", "/x", "https://a.com/y"}
