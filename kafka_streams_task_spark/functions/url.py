@@ -268,12 +268,129 @@ ie
 il
 ru
 us
+// US locality space (real-list structure: per-state k12/cc/lib
+// second-levels plus the pvt.k12 exception states)
+ma.us
+ca.us
+ny.us
+tx.us
+fl.us
+wa.us
+k12.ma.us
+pvt.k12.ma.us
+k12.ca.us
+k12.ny.us
+cc.ma.us
+cc.ca.us
+lib.ma.us
+lib.ca.us
 ca
 bd
 *.bd
 ck
 *.ck
 !www.ck
+// jp geographic + city wildcards with their city exceptions
+tokyo.jp
+osaka.jp
+hokkaido.jp
+kyoto.jp
+*.kobe.jp
+!city.kobe.jp
+*.kawasaki.jp
+!city.kawasaki.jp
+// uk schools are a wildcard space
+*.sch.uk
+me.uk
+ltd.uk
+plc.uk
+net.uk
+// additional ccTLDs + their common second-levels
+ar
+com.ar
+cl
+pe
+com.pe
+ve
+com.ve
+my
+com.my
+hk
+com.hk
+org.hk
+tw
+com.tw
+org.tw
+vn
+com.vn
+ph
+com.ph
+th
+co.th
+ac.th
+id
+co.id
+or.id
+eg
+com.eg
+sa
+com.sa
+ng
+com.ng
+ke
+co.ke
+pk
+com.pk
+ua
+com.ua
+gr
+hu
+ro
+bg
+hr
+sk
+si
+lt
+lv
+ee
+is
+by
+kz
+// common gTLDs
+xyz
+online
+site
+top
+shop
+club
+art
+blog
+cloud
+tech
+store
+space
+fun
+live
+life
+world
+today
+me
+tv
+cc
+ws
+mobi
+pro
+travel
+museum
+aero
+coop
+jobs
+cat
+asia
+tel
+page
+new
+eu
 // ===END ICANN DOMAINS===
 // ===BEGIN PRIVATE DOMAINS===
 github.io
@@ -289,8 +406,24 @@ azurewebsites.net
 cloudfront.net
 s3.amazonaws.com
 elasticbeanstalk.com
+// EC2 instance hostnames: every instance gets one; without these a
+// blocklist/leakage unit would lump ALL of EC2 into one "domain"
+*.compute.amazonaws.com
+*.compute-1.amazonaws.com
+*.compute.amazonaws.com.cn
+appspot.com
+cloudfunctions.net
+workers.dev
+pages.dev
+readthedocs.io
+surge.sh
 // ===END PRIVATE DOMAINS===
 """
+
+
+#: one warning per process when the subset default is used (ADVICE/
+#: VERDICT r8: silent subset semantics on defaults); flag, not spam
+_PSL_DEFAULT_WARNED = False
 
 
 def parse_psl(lines) -> tuple[list[str], list[str], list[str]]:
@@ -341,6 +474,19 @@ def with_registered_domain_psl(
     broadcast hash join per candidate suffix length (K = longest rule,
     +1 for exceptions) — no shuffle, no Python stage, and the host parse
     chain is materialized once (layered projects, not inlined)."""
+    if psl_lines is None:
+        global _PSL_DEFAULT_WARNED
+        if not _PSL_DEFAULT_WARNED:
+            import warnings
+
+            warnings.warn(
+                "with_registered_domain_psl is using the vendored PSL "
+                "SNAPSHOT SUBSET (~250 rules); production runs should pass "
+                "psl_lines=open('public_suffix_list.dat').read().splitlines() "
+                "from https://publicsuffix.org/list/ for full exactness",
+                stacklevel=2,
+            )
+            _PSL_DEFAULT_WARNED = True
     exact, wc_tails, exc = parse_psl(
         PSL_SNAPSHOT.splitlines() if psl_lines is None else psl_lines
     )
@@ -360,7 +506,15 @@ def with_registered_domain_psl(
     )
     wc = spark.createDataFrame([(t,) for t in sorted(set(wc_tails))], "tail string")
 
-    clash = [c for c in ("_h", "_p", "_n", out_col) if c in df.columns]
+    # every generated working column for the computed k_max must be
+    # clash-checked, not just the fixed three — an input column named
+    # e.g. '_s1' would be silently clobbered then dropped (ADVICE r8)
+    generated = ["_h", "_p", "_n", out_col]
+    generated += [f"_s{k}" for k in range(1, k_max + 1)]
+    generated += [f"_ex{k}" for k in range(1, k_max + 1)]
+    generated += [f"_exc{k}" for k in range(1, k_max + 1)]
+    generated += [f"_w{k}" for k in range(2, k_max + 1)]
+    clash = [c for c in generated if c in df.columns]
     if clash:
         raise ValueError(f"df already has columns {clash!r}")
 

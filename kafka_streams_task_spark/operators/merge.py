@@ -343,9 +343,15 @@ def write_json_atomic(
 ) -> None:
     """Single JSON file via write-temp-then-rename (the atomic unit the
     commit protocols here and in ``snapshots.py`` pivot on).
-    ``replace=True`` deletes an existing destination first (pointer
-    files); ``replace=False`` assumes the destination is absent
-    (manifests)."""
+    ``replace=True`` renames OVER the existing destination in one FS
+    operation (Hadoop ``FileContext`` with ``Options.Rename.OVERWRITE``
+    — atomic on HDFS and POSIX local rename), so pointer swaps never
+    expose a missing-file window to concurrent readers (ADVICE r8; the
+    old delete-then-rename had one). ``replace=False`` assumes the
+    destination is absent (manifests) and uses the plain FileSystem
+    rename. On the rare FS whose FileContext lacks overwrite rename,
+    falls back to delete-then-rename — readers cover that window by
+    retrying once (``snapshots.py:_latest_version``)."""
     import json
 
     jvm, fs = _fs(spark, path)
@@ -355,8 +361,20 @@ def write_json_atomic(
     out.write(bytearray(json.dumps(payload).encode("utf-8")))
     out.close()
     dest = Path(path)
-    if replace and fs.exists(dest):
-        fs.delete(dest, False)
+    if replace:
+        try:
+            fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                dest.toUri(), spark._jsc.hadoopConfiguration()
+            )
+            arr = spark.sparkContext._gateway.new_array(
+                jvm.org.apache.hadoop.fs.Options.Rename, 1
+            )
+            arr[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+            fc.rename(tmp, dest, arr)  # raises on failure (unlike fs.rename)
+            return
+        except Exception:
+            if fs.exists(dest):
+                fs.delete(dest, False)
     # Hadoop rename reports failure by RETURNING false, not raising — an
     # unchecked false here would leave no file on disk, and a later
     # crash mid-publish would be misclassified as a pre-commit orphan

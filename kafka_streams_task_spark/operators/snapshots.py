@@ -54,6 +54,16 @@ def _vname(version: int) -> str:
 
 def _latest_version(spark: SparkSession, path: str) -> int:
     latest = read_json_file(spark, f"{path}/{_LATEST}")
+    if latest is None:
+        # the pointer swap is an atomic overwrite-rename on HDFS/local,
+        # but on an FS without FileContext overwrite support the writer
+        # falls back to delete-then-rename — one retry covers that
+        # transient window (ADVICE r8); still-missing means genuinely
+        # uncommitted
+        import time
+
+        time.sleep(0.05)
+        latest = read_json_file(spark, f"{path}/{_LATEST}")
     return int(latest["version"]) if latest else 0
 
 

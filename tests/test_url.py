@@ -141,6 +141,19 @@ PSL_CASES = [
     # IPv4 passes through whole
     ("https://192.168.10.1/x", "192.168.10.1"),
     ("not a url at all", None),
+    # r8 snapshot expansion goldens (VERDICT r7 item 5): entries the
+    # r7 subset lacked — EC2 wildcard-private, US k12 locality space,
+    # jp city wildcard+exception, uk school wildcard
+    ("https://myinstance.us-west-2.compute.amazonaws.com/",
+     "myinstance.us-west-2.compute.amazonaws.com"),
+    ("https://ec2-1-2-3-4.compute-1.amazonaws.com/", None),  # host IS the ps
+    ("https://school.pvt.k12.ma.us/x", "school.pvt.k12.ma.us"),
+    ("https://district.k12.ma.us/", "district.k12.ma.us"),
+    ("https://sub.city.kobe.jp/", "city.kobe.jp"),       # !city.kobe.jp
+    ("https://foo.bar.kobe.jp/", "foo.bar.kobe.jp"),     # *.kobe.jp
+    ("https://myschool.sch.uk/", None),                  # *.sch.uk
+    ("https://www.myschool.sch.uk/", "www.myschool.sch.uk"),
+    ("https://docs.readthedocs.io/en", "docs.readthedocs.io"),
 ]
 
 
