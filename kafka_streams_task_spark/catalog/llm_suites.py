@@ -269,6 +269,25 @@ def _event_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY split, doc_id
     )
     UNION ALL
+    SELECT CAST('robots' AS VARCHAR), CAST(doc_id AS BIGINT),
+           CAST(CASE
+             WHEN doc_id % 12 <= 2 THEN 'd0.com'
+             WHEN doc_id % 12 <= 4 THEN 'd1.com'
+             WHEN doc_id % 12 = 5 THEN 'd2.com'
+             WHEN doc_id % 12 <= 8 THEN 'd3.com'
+             WHEN doc_id % 12 <= 10 THEN 'd4.com'
+             ELSE 'd9.com' END AS VARCHAR),
+           CAST(CASE WHEN doc_id % 12 IN (1, 3, 7, 9) THEN 0 ELSE 1 END AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT CAST('nfc' AS VARCHAR), CAST(doc_id AS BIGINT),
+           CAST(nfc_normalize(
+             'u' || CAST(doc_id % 7 AS VARCHAR) || 'e' || chr(769) || '-end'
+           ) AS VARCHAR),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM documents
+    UNION ALL
     {canary_sql(_SUITE_COLS)}
     """,
 )
@@ -301,12 +320,32 @@ def llm_graph_layout_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions at this scale), including the short-doc whole-text
     shingle rule.
 
+    'robots' (r8, VERDICT r7 item 3) — RFC 9309 robots.txt compliance
+    through the REAL parse_robots -> robots_allowed chain (windows +
+    LIKE-over-column + max_by): five planted robots bodies cover
+    longest-match-wins (both directions), exact-length tie -> allow,
+    agent-group shadowing of '*', the rule-less whitelist group (which
+    must STILL shadow), '*' wildcard + '$' end-anchor patterns, and the
+    no-robots.txt default-allow; each doc_id draws one of 12
+    (domain, URL) scenarios arithmetically and the oracle states the
+    decision table as a closed-form CASE — no LIKE evaluation runs
+    oracle-side.
+
+    'nfc' (r8, VERDICT r7 item 4) — unicode_normalize (the Arrow NFC
+    stage) over planted NFD strings ('e' + U+0301 combining acute built
+    arithmetically per doc); the oracle states DuckDB's own
+    ``nfc_normalize`` over the identically-constructed string, so two
+    independent Unicode implementations must agree on the composed
+    bytes.
+
     'canary' — constant rows stated identically by both engines (see
     module docstring).
     """
     from ..operators.dedup import cross_split_contamination
     from ..operators.graph import pagerank, triangle_count
     from ..operators.layout import zorder_key
+    from ..operators.robots import parse_robots, robots_allowed
+    from ..operators.unicode_norm import unicode_normalize
 
     edges = _event_graph_edges(spark, sf_dir)
     pagerank_leg = pagerank(edges, n_iter=3, damping=0.75).select(
@@ -353,10 +392,87 @@ def llm_graph_layout_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_contaminated_shingles").cast("long").alias("i1"),
         F.lit(None).cast("long").alias("i2"),
     )
+
+    # 'robots': five planted bodies; scenarios m = doc_id % 12 (oracle
+    # states the decision table; deny set {1,3,7,9}):
+    #   d0 m0 '/public/a' allow (no rule) | m1 '/private/a' deny
+    #     | m2 '/private/ok/a' allow (longer Allow beats Disallow)
+    #   d1 (trainbot group shadows '*''s Disallow /): m3 '/blocked/x'
+    #     deny | m4 '/open/x' allow
+    #   d2 m5 '/anything' allow (RULE-LESS trainbot group still shadows)
+    #   d3 m6 '/page1' allow (5-octet tie -> allow) | m7 '/q/deep/f'
+    #     deny (longest Disallow) | m8 '/q/shallow' allow
+    #   d4 m9 '/docs/file.pdf' deny ('/*.pdf$') | m10 '...pdfx' allow
+    #     ($ anchor)
+    #   d9 m11 '/whatever' allow (no robots.txt at all)
+    robots_bodies = spark.createDataFrame(
+        [
+            ("d0.com", "User-agent: *\nDisallow: /private/\nAllow: /private/ok/"),
+            ("d1.com", "User-agent: trainbot\nDisallow: /blocked\n\n"
+                       "User-agent: *\nDisallow: /"),
+            ("d2.com", "User-agent: trainbot\nDisallow:\n\n"
+                       "User-agent: *\nDisallow: /"),
+            ("d3.com", "User-agent: *\nAllow: /pag*\nDisallow: /page\n"
+                       "Allow: /q/\nDisallow: /q/deep"),
+            ("d4.com", "User-agent: *\nDisallow: /*.pdf$"),
+        ],
+        "domain string, robots_txt string",
+    )
+    _rdoms = [
+        "d0.com", "d0.com", "d0.com", "d1.com", "d1.com", "d2.com",
+        "d3.com", "d3.com", "d3.com", "d4.com", "d4.com", "d9.com",
+    ]
+    _rpaths = [
+        "/public/a", "/private/a", "/private/ok/a", "/blocked/x",
+        "/open/x", "/anything", "/page1", "/q/deep/f", "/q/shallow",
+        "/docs/file.pdf", "/docs/file.pdfx", "/whatever",
+    ]
+    m1 = (F.col("doc_id") % 12 + 1).cast("int")
+    planted_urls = d.select(
+        "doc_id",
+        F.element_at(F.array(*[F.lit(x) for x in _rdoms]), m1).alias("domain"),
+        F.concat(
+            F.lit("https://"),
+            F.element_at(F.array(*[F.lit(x) for x in _rdoms]), m1),
+            F.element_at(F.array(*[F.lit(x) for x in _rpaths]), m1),
+        ).alias("url"),
+    )
+    robots_leg = robots_allowed(
+        planted_urls, parse_robots(robots_bodies), agent="trainbot"
+    ).select(
+        F.lit("robots").alias("leg"),
+        F.col("doc_id").cast("long").alias("key"),
+        F.col("domain").cast("string").alias("s1"),
+        F.col("allowed").cast("long").alias("i1"),
+        F.lit(None).cast("long").alias("i2"),
+    )
+
+    # 'nfc': NFD plant ('e' + combining acute U+0301) through the real
+    # Arrow normalization stage; the oracle recomputes with DuckDB's
+    # own nfc_normalize
+    nfc_leg = d.select(
+        F.lit("nfc").alias("leg"),
+        F.col("doc_id").cast("long").alias("key"),
+        unicode_normalize(
+            F.concat(
+                F.lit("u"),
+                (F.col("doc_id") % 7).cast("string"),
+                # explicit NFD: 'e' + U+0301 combining acute (escaped so
+                # the source encoding can never decide the
+                # plant's normalization form)
+                F.lit("e\u0301-end"),
+            ),
+            form="NFC",
+        ).cast("string").alias("s1"),
+        F.lit(None).cast("long").alias("i1"),
+        F.lit(None).cast("long").alias("i2"),
+    )
     return (
         pagerank_leg.unionByName(triangle_leg)
         .unionByName(zorder_leg)
         .unionByName(xsplit_leg)
+        .unionByName(robots_leg)
+        .unionByName(nfc_leg)
         .unionByName(canary_df(spark, _SUITE_COLS))
     )
 
@@ -799,12 +915,19 @@ def llm_cdc_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit("")),
         F.lit("</body></html>"),
     )
+    # layered project: materialize the planted markup ONCE and extract
+    # from the COLUMN — inlining it at all three references tripled the
+    # generated code and helped push the fused union stage past janino's
+    # 64 KB method limit (the r7 CollapseProject lesson; the extractors
+    # are regexp chains, so the duplication is expensive)
     html_leg = docs.select(
+        "doc_id", planted_html.alias("_html")
+    ).select(
         F.lit("html").alias("leg"),
         F.col("doc_id").cast("long").alias("key"),
-        html_title(planted_html).alias("s1"),
-        F.size(html_links(planted_html)).cast("long").alias("i1"),
-        F.size(html_links(planted_html, absolute_only=False)).cast("long").alias("i2"),
+        html_title(F.col("_html")).alias("s1"),
+        F.size(html_links(F.col("_html"))).cast("long").alias("i1"),
+        F.size(html_links(F.col("_html"), absolute_only=False)).cast("long").alias("i2"),
     )
 
     return (

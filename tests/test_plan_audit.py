@@ -48,6 +48,9 @@ PY_ALLOWED = {
     "llm_text_model_suite": 6,
     "multimodal_suite": 2,
     "similarity_knn_suite": 20,
+    # r8 'nfc' leg: unicode_normalize is the documented Arrow seam
+    # (Spark has no builtin NFC expression) — exactly one stage
+    "llm_graph_layout_suite": 1,
 }
 
 _SF = "/root/testdata/sf0.001"

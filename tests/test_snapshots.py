@@ -170,3 +170,20 @@ def test_snapshot_compact_collapses_dirs_and_keeps_rows(spark, tmp_path):
         snapshot_compact(spark, str(tmp_path / "empty"))
     with pytest.raises(ValueError, match="target_mb"):
         snapshot_compact(spark, t, target_mb=0)
+
+
+def test_parquet_footer_count_matches_scan(spark, tmp_path):
+    """The r8 footer-metadata audit count must equal a full scan count,
+    including through partition directories; missing path counts 0."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_task_spark.operators.merge import parquet_footer_count
+
+    df = spark.range(0, 1234).withColumn("p", F.col("id") % 3)
+    out = str(tmp_path / "part")
+    df.write.partitionBy("p").parquet(out)
+    assert parquet_footer_count(spark, out) == 1234
+    assert parquet_footer_count(spark, str(tmp_path / "absent")) == 0
+    flat = str(tmp_path / "flat")
+    spark.range(0, 77).write.parquet(flat)
+    assert parquet_footer_count(spark, flat) == 77
