@@ -863,17 +863,33 @@ def llm_cdc_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # 'domain': planted URL shapes (arithmetic restatable by the oracle)
-    # through the real block/allow filter.
+    # through the real block/allow filter. The four shapes come from a
+    # BROADCAST MAPPING JOIN, not an inline 4-branch CASE: the filter's
+    # join-key isnotnull constraint gets pushed down with the full
+    # host->domain chain substituted at ~24 references, and with the
+    # CASE inlined that one predicate generated >1 MB of Java — past
+    # janino's 64 KB method limit, knocking the whole fused stage to
+    # interpreted eval (r8; the planted URLs are unchanged, so the
+    # oracle is untouched).
     m = (F.col("doc_id") % 10).cast("string")
     did = F.col("doc_id").cast("string")
-    b = F.col("doc_id") % 4
-    url = (
-        F.when(b == 0, F.concat(F.lit("https://www.d"), m, F.lit(".co.uk/x?utm_source=z&id="), did))
-        .when(b == 1, F.concat(F.lit("http://sub.a.d"), m, F.lit("site.com:80/path/"), did))
-        .when(b == 2, F.concat(F.lit("https://D"), m, F.lit("SITE.com./y")))
-        .otherwise(F.concat(F.lit("//cdn.d"), m, F.lit(".co.uk/z")))
+    url_shapes = spark.createDataFrame(
+        [
+            (0, "https://www.d", ".co.uk/x?utm_source=z&id=", True),
+            (1, "http://sub.a.d", "site.com:80/path/", True),
+            (2, "https://D", "SITE.com./y", False),
+            (3, "//cdn.d", ".co.uk/z", False),
+        ],
+        "b long, pre string, post string, use_did boolean",
     )
-    durls = docs.select("doc_id", url.alias("url"))
+    url = F.concat(
+        F.col("pre"), m, F.col("post"),
+        F.when(F.col("use_did"), did).otherwise(F.lit("")),
+    )
+    durls = (
+        docs.join(F.broadcast(url_shapes), F.col("doc_id") % 4 == F.col("b"))
+        .select("doc_id", url.alias("url"))
+    )
     dlist = spark.createDataFrame(
         [("d3.co.uk",), ("d7site.com",), ("sub.a.d1site.com",), ("CDN.d5.co.uk.",)],
         "domain string",
