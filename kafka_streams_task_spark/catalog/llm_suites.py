@@ -1438,12 +1438,30 @@ def llm_text_model_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
     FROM documents
     UNION ALL
+    SELECT CAST('shards' AS VARCHAR), CAST(doc_id AS BIGINT),
+           CAST(NULL AS VARCHAR),
+           CAST(floor(CAST(COALESCE(sum(n_chars) OVER (
+                 ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) AS DOUBLE) / 40000.0) AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM documents
+    UNION ALL
     {canary_sql(_SUITE_COLS)}
     """,
 )
 def llm_retrieval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Retrieval + sampling legs (7 components + canary; r6
-    de-concentration of llm_library_suite, +'splits'/'urlnorm' in r7):
+    """Retrieval + sampling legs (8 components + canary; r6
+    de-concentration of llm_library_suite, +'splits'/'urlnorm' in r7,
+    +'shards' in r8):
+
+    'shards' (r8) — export_training_shards: fixed-budget (40k chars)
+    training-shard assignment through the REAL two-level distributed
+    prefix sum (range repartition + per-partition window + broadcast
+    partition offsets — layout-independent by construction, so the
+    engine's 32-partition run must equal the oracle's serial window).
+    The oracle states the global exclusive running sum with DuckDB's
+    own window, double-divided by the identical literal; sums stay
+    far below 2^53 so the IEEE division agrees bit-for-bit.
 
     'tfidf' — tfidf_top_terms: top-3 smoothed TF-IDF terms per document,
     scores in exact integer micro-units, ranks fully ordered by
@@ -1603,6 +1621,23 @@ def llm_retrieval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("i2"),
     )
 
+    # 'shards' (r8): the real distributed prefix sum over n_chars at
+    # budget 40000; doc_id is the unique global order
+    from ..operators.sampling import export_training_shards
+
+    shards_leg = export_training_shards(
+        load_table(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+        budget=40000,
+        token_col="n_chars",
+        order_col="doc_id",
+    ).select(
+        F.lit("shards").alias("leg"),
+        F.col("doc_id").cast("long").alias("key"),
+        F.lit(None).cast("string").alias("s1"),
+        F.col("shard_id").cast("long").alias("i1"),
+        F.lit(None).cast("long").alias("i2"),
+    )
+
     return (
         tfidf_leg.unionByName(bm25_leg)
         .unionByName(mix_leg)
@@ -1611,6 +1646,7 @@ def llm_retrieval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(splits_leg)
         .unionByName(leak_leg)
         .unionByName(urlnorm_leg)
+        .unionByName(shards_leg)
         .unionByName(canary_df(spark, _SUITE_COLS))
     )
 

@@ -569,3 +569,124 @@ def split_leakage_report(
         .agg(F.count_distinct(F.col(split_col)).alias("n_splits"))
         .filter(F.col("n_splits") > 1)
     )
+
+
+def _ranged_prefix(
+    df: DataFrame, token_col: str, order_col: str, n_parts: int
+) -> DataFrame:
+    """Stage 1+2 of the distributed prefix sum: range-repartition on the
+    order column, then the per-partition EXCLUSIVE running sum — the
+    window partitions by the physical partition id, so it is parallel
+    across partitions (never the single-task global ``Window.orderBy``
+    shape). Split out so the plan shape is pin-testable before
+    :func:`export_training_shards` checkpoints it."""
+    ranged = df.repartitionByRange(n_parts, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return ranged.withColumn(
+        "_pre", F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0)).cast("long")
+    )
+
+
+def export_training_shards(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    order_col: str = "doc_id",
+    shard_col: str = "shard_id",
+    num_range_partitions: int | None = None,
+) -> DataFrame:
+    """Assign every document to a fixed-token-budget training shard —
+    the last mile between a curated corpus and a training dataloader
+    (shard files of ~``budget`` tokens each, read sequentially by data
+    workers). Deterministic: ``shard = floor(exclusive_prefix_sum(
+    token_col ordered by order_col) / budget)`` — a document whose
+    first token falls in shard k belongs to shard k, so shards are
+    contiguous runs of the global order and every shard except the last
+    holds >= budget - max_doc_tokens and < budget + max_doc_tokens
+    tokens of mass.
+
+    Scale shape (r8): the global running sum is NOT a single-partition
+    window (the classic ``Window.orderBy`` scale killer — all 100 TB
+    through one task). It is the standard two-level distributed prefix
+    sum:
+
+    1. range-repartition by ``order_col`` (partition i holds keys below
+       partition i+1's — ``spark_partition_id`` IS the range rank),
+    2. per-partition exclusive running sum (window partitioned BY the
+       physical partition id: parallel across partitions),
+    3. per-partition totals — one tiny row per partition — collected to
+       the driver, exclusive-offset-summed, and broadcast-joined back,
+    4. global prefix = in-partition prefix + partition offset.
+
+    ``order_col`` must be unique per row (doc_id): ties would make the
+    within-tie accumulation order — and therefore shard boundaries —
+    nondeterministic. Compose with :func:`shuffle_deterministic` first
+    to get a seeded random global order with a unique rank to order on.
+    Write shards with ``.repartition(shard_col).write.partitionBy(
+    shard_col)`` — one contiguous file set per shard.
+    """
+    clash = [c for c in ("_pid", "_pre", "_off", shard_col) if c in df.columns]
+    if clash:
+        raise ValueError(f"df already has columns {clash!r}")
+    n_parts = num_range_partitions or df.sparkSession.sparkContext.defaultParallelism
+    with_pre = _ranged_prefix(df, token_col, order_col, n_parts)
+    # pin the ranged layout: the frame is consumed twice (totals pass +
+    # final join), and a re-executed range shuffle could re-sample
+    # boundaries / re-coalesce under AQE, silently shifting partition
+    # ids between the two passes. localCheckpoint materializes the
+    # partitioning ONCE (the Bloom-bitset precedent, operators/dedup.py)
+    # — the unavoidable cost of any exact global prefix sum: a
+    # consistent snapshot of the partitioned order.
+    with_pre = with_pre.localCheckpoint(eager=True)
+    # per-partition totals: one row per range partition — driver-side
+    # exclusive scan over ~hundreds of rows, never over data rows
+    totals = (
+        with_pre.groupBy("_pid")
+        .agg(F.sum(token_col).cast("long").alias("_t"))
+        .collect()
+    )
+    acc = 0
+    offsets = []
+    for row in sorted(totals, key=lambda r: r["_pid"]):
+        offsets.append((row["_pid"], acc))
+        acc += row["_t"] or 0
+    off_df = df.sparkSession.createDataFrame(offsets, "_pid int, _off long")
+    return (
+        with_pre.join(F.broadcast(off_df), on="_pid")
+        .withColumn(
+            shard_col,
+            F.floor((F.col("_pre") + F.col("_off")) / F.lit(float(budget))).cast(
+                "long"
+            ),
+        )
+        .drop("_pid", "_pre", "_off")
+    )
+
+
+def shard_report(
+    df: DataFrame,
+    shard_col: str = "shard_id",
+    token_col: str = "n_tokens",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Per-shard audit for :func:`export_training_shards` output: doc
+    count, token mass, and the order range — one partial+final
+    aggregate. The invariant a dataloader cares about (every shard
+    except the last within ``budget ± max_doc_tokens``) reads off the
+    ``n_tokens`` column directly."""
+    return (
+        df.groupBy(shard_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_col).cast("long").alias("n_tokens"),
+            F.min(order_col).alias("first_doc"),
+            F.max(order_col).alias("last_doc"),
+        )
+        .orderBy(shard_col)
+    )

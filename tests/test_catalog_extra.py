@@ -57,7 +57,7 @@ def test_llm_suite_legs_individually(spark, sf_dir):
     suites = {
         "graph_layout": (
             llm_graph_layout_suite,
-            {"pagerank", "triangles", "zorder", "xsplit"},
+            {"pagerank", "triangles", "zorder", "xsplit", "robots", "nfc"},
         ),
         "cdc_analytics": (
             llm_cdc_analytics_suite,
@@ -72,7 +72,7 @@ def test_llm_suite_legs_individually(spark, sf_dir):
         "retrieval": (
             llm_retrieval_suite,
             {"tfidf", "bm25", "mixrates", "shuffle", "wsample", "splits",
-             "urlnorm"},
+             "urlnorm", "shards"},
         ),
         "dedup_join": (
             llm_dedup_join_suite,

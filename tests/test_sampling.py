@@ -1,0 +1,89 @@
+
+
+class TestExportTrainingShards:
+    """r8 export_training_shards: fixed-token-budget shard assignment via
+    the two-level distributed prefix sum (never a single-partition
+    global window)."""
+
+    def _docs(self, spark, n=500):
+        from pyspark.sql import functions as F
+
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 37 + 5).cast("long").alias("n_tokens"),
+        )
+
+    def test_matches_serial_prefix_sum(self, spark):
+        from kafka_streams_task_spark.operators.sampling import (
+            export_training_shards,
+        )
+
+        docs = self._docs(spark).repartition(7)  # scrambled input layout
+        out = export_training_shards(
+            docs, budget=300, num_range_partitions=5
+        ).collect()
+        got = {r.doc_id: r.shard_id for r in out}
+        # serial reference: exclusive prefix sum in doc_id order
+        cum = 0
+        for i in range(500):
+            expect = cum // 300
+            assert got[i] == expect, f"doc {i}: {got[i]} != {expect}"
+            cum += i % 37 + 5
+
+    def test_shards_are_contiguous_and_budgeted(self, spark):
+        from kafka_streams_task_spark.operators.sampling import (
+            export_training_shards,
+            shard_report,
+        )
+
+        docs = self._docs(spark)
+        out = export_training_shards(docs, budget=300, num_range_partitions=4)
+        rep = shard_report(out).collect()
+        max_doc = 41  # max n_tokens above
+        for i, r in enumerate(rep):
+            assert r.shard_id == i  # dense ids
+            if i < len(rep) - 1:
+                assert 300 - max_doc <= r.n_tokens < 300 + max_doc
+        # contiguity: shard k's last doc precedes shard k+1's first
+        for a, b in zip(rep, rep[1:]):
+            assert a.last_doc < b.first_doc
+
+    def test_no_single_partition_window(self, spark):
+        from kafka_streams_task_spark.operators.sampling import _ranged_prefix
+
+        docs = self._docs(spark)
+        pre = _ranged_prefix(docs, "n_tokens", "doc_id", 4)
+        plan = pre._jdf.queryExecution().executedPlan().toString()
+        # the running-sum window must be partitioned (by the range
+        # partition id); windowspecdefinition with no partition keys =
+        # the all-rows-through-one-task shape this operator exists to avoid
+        assert "windowspecdefinition(_pid" in plan
+        assert "windowspecdefinition(doc_id" not in plan
+
+    def test_clash_guard(self, spark):
+        import pytest
+
+        from kafka_streams_task_spark.operators.sampling import (
+            export_training_shards,
+        )
+
+        from pyspark.sql import functions as F
+
+        docs = self._docs(spark).withColumn("_pre", F.lit(1))
+        with pytest.raises(ValueError, match="_pre"):
+            export_training_shards(docs, budget=10)
+
+    def test_write_roundtrip_partitioned(self, spark, tmp_path):
+        from kafka_streams_task_spark.operators.sampling import (
+            export_training_shards,
+        )
+
+        docs = self._docs(spark, n=100)
+        out = export_training_shards(docs, budget=500, num_range_partitions=3)
+        path = str(tmp_path / "shards")
+        out.repartition("shard_id").write.partitionBy("shard_id").parquet(path)
+        back = spark.read.parquet(path)
+        assert back.count() == 100
+        assert back.select("shard_id").distinct().count() == out.select(
+            "shard_id"
+        ).distinct().count()

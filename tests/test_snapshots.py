@@ -187,3 +187,71 @@ def test_parquet_footer_count_matches_scan(spark, tmp_path):
     flat = str(tmp_path / "flat")
     spark.range(0, 77).write.parquet(flat)
     assert parquet_footer_count(spark, flat) == 77
+
+
+def test_snapshot_diff_added_removed_updated(spark, tmp_path):
+    """r8 snapshot_diff: version-to-version governance diff — keys only
+    in 'to' are added, only in 'from' removed, changed payload or
+    multiplicity updated, unchanged rows absent; shuffle carries
+    (key, hash) only."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_task_spark.operators.snapshots import (
+        snapshot_diff,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    v1_df = spark.range(0, 10).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text-"), F.col("id")).alias("text"),
+    )
+    v1 = snapshot_write(spark, v1_df, path, mode="overwrite")
+    v2_df = (
+        spark.range(2, 12)  # 0,1 removed; 10,11 added
+        .select(
+            F.col("id").alias("doc_id"),
+            # doc 5 gets new text -> updated
+            F.when(F.col("id") == 5, F.lit("CHANGED"))
+            .otherwise(F.concat(F.lit("text-"), F.col("id")))
+            .alias("text"),
+        )
+        # doc 7 duplicated -> multiplicity change -> updated
+        .unionByName(
+            spark.range(7, 8).select(
+                F.col("id").alias("doc_id"),
+                F.concat(F.lit("text-"), F.col("id")).alias("text"),
+            )
+        )
+    )
+    v2 = snapshot_write(spark, v2_df, path, mode="overwrite")
+    diff = snapshot_diff(spark, path, v1, v2, ["doc_id"])
+    got = {(r.doc_id, r.change) for r in diff.collect()}
+    assert got == {
+        (0, "removed"), (1, "removed"),
+        (10, "added"), (11, "added"),
+        (5, "updated"), (7, "updated"),
+    }
+    # append version pair: pure adds
+    v3_df = spark.range(100, 103).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text-"), F.col("id")).alias("text"),
+    )
+    v3 = snapshot_write(spark, v3_df, path, mode="append")
+    d23 = snapshot_diff(spark, path, v2, v3, ["doc_id"]).collect()
+    assert {r.change for r in d23} == {"added"}
+    assert {r.doc_id for r in d23} == {100, 101, 102}
+    # plan: payload never shuffles — the join inputs are (key, count, hash)
+    plan = snapshot_diff(spark, path, v1, v2, ["doc_id"])._jdf.queryExecution().executedPlan().toString()
+    import re
+    for ex in re.findall(r"Exchange hashpartitioning[^\n]*", plan):
+        assert "text" not in ex
+
+
+def test_snapshot_diff_requires_keys(spark, tmp_path):
+    import pytest
+
+    from kafka_streams_task_spark.operators.snapshots import snapshot_diff
+
+    with pytest.raises(ValueError, match="key_cols"):
+        snapshot_diff(spark, str(tmp_path), 1, 2, [])

@@ -609,3 +609,52 @@ def test_html_links_unquoted_attributes(spark):
     # quoted first, then unquoted appended
     assert row.abs == ["https://q.com/a", "https://a.com/y"]
     assert set(row.all) == {"https://q.com/a", "/x", "https://a.com/y"}
+
+
+def test_iter_warc_records_never_raises_fuzz():
+    """Property: ANY byte stream — garbage, truncated records, corrupted
+    framing, binary noise spliced into valid shards — parses to
+    completion without raising, and every valid record before the first
+    corruption point survives. This is the 'one bad record costs
+    itself, never the task' contract the quarantine discipline makes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    valid = _record(b"response", b"http://f.com/", HTTP_MSG,
+                    b"application/http; msgtype=response")
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.lists(
+            st.one_of(
+                st.binary(max_size=200),
+                st.just(valid),
+                st.just(GARBAGE),
+                st.just(b"WARC/1.0\r\n"),          # header with no body
+                st.just(b"Content-Length: 99\r\n"),
+            ),
+            max_size=8,
+        ),
+        st.integers(min_value=1, max_value=64) | st.none(),
+    )
+    def run(parts, cap):
+        data = b"".join(parts)
+        recs = list(iter_warc_records(io.BytesIO(data), max_payload_bytes=cap))
+        # every yielded record has the full column dict shape
+        for r in recs:
+            assert set(r) == {
+                "warc_type", "record_id", "target_uri", "warc_date",
+                "content_type", "content_length", "http_status",
+                "http_content_type", "truncated", "payload",
+            }
+        # leading valid records always parse cleanly
+        n_lead = 0
+        for p in parts:
+            if p is valid:
+                n_lead += 1
+            else:
+                break
+        lead = [r for r in recs[:n_lead]]
+        assert all(r["warc_type"] == "response" for r in lead)
+
+    run()
