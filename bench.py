@@ -206,6 +206,10 @@ def _ops_workloads():
     from kafka_streams_task_spark.sources.warc import read_warc
 
     fix = _warc_fixture_dir()
+    # prior bench invocations' snapshot dirs (uuid-named) are dead weight
+    import shutil
+
+    shutil.rmtree("/tmp/spark_graft_bench_snap", ignore_errors=True)
 
     def _warc_parse(s, d):
         # parse throughput over the path-only scan (9000 gz records)

@@ -333,11 +333,19 @@ def snapshot_diff(
 
     a = fingerprinted(version_from).select(
         *key_cols, F.col("_n").alias("_na"), F.col("_h").alias("_ha")
-    )
+    ).alias("a")
     b = fingerprinted(version_to).select(
         *key_cols, F.col("_n").alias("_nb"), F.col("_h").alias("_hb")
-    )
-    joined = a.join(b, on=key_cols, how="full_outer")
+    ).alias("b")
+    # null-safe key equality: a plain on=key_cols join never matches
+    # NULL keys, so a null-keyed group would surface as a spurious
+    # added+removed pair instead of matching itself. eqNullSafe still
+    # compiles to a hash join (coalesce/isnull key rewrite).
+    cond = None
+    for k in key_cols:
+        c = F.col(f"a.{k}").eqNullSafe(F.col(f"b.{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = a.join(b, cond, "full_outer")
     return (
         joined.withColumn(
             "change",
@@ -349,5 +357,11 @@ def snapshot_diff(
             ),
         )
         .filter(F.col("change").isNotNull())
-        .select(*key_cols, "change")
+        .select(
+            *[
+                F.coalesce(F.col(f"a.{k}"), F.col(f"b.{k}")).alias(k)
+                for k in key_cols
+            ],
+            "change",
+        )
     )

@@ -93,10 +93,29 @@ def _open_shard(path: str) -> io.BufferedIOBase:
     scheme (file/s3/hdfs/gcs…), ``io.BufferedReader`` supplies
     peek/readline. Gzip is detected by magic bytes and layered as an
     incremental decompressor (multi-member chaining included), so
-    compressed shards stream too."""
+    compressed shards stream too.
+
+    binaryFile emits Hadoop's minimally-encoded path form — a shard name
+    with a space ('a b.warc') is NOT a valid URI and ``from_uri`` raises
+    ``ArrowInvalid`` on it; fall back to percent-encoding the path part
+    (and, for the file scheme, to a direct local open), so URI-hostile
+    crawl filenames cost at most a quarantine row, never the job."""
+    from urllib.parse import quote
+
     from pyarrow import fs as pafs
 
-    filesystem, fs_path = pafs.FileSystem.from_uri(path)
+    try:
+        filesystem, fs_path = pafs.FileSystem.from_uri(path)
+    except Exception:
+        if path.startswith("file:"):
+            local = path[5:]
+            if local.startswith("//"):  # file:///x and file://host/x forms
+                local = "/" + local[2:].split("/", 1)[1]
+            filesystem, fs_path = pafs.LocalFileSystem(), local
+        else:
+            filesystem, fs_path = pafs.FileSystem.from_uri(
+                quote(path, safe=":/@&=+$,;~*'()!-._")
+            )
     buffered = io.BufferedReader(filesystem.open_input_file(fs_path))
     if buffered.peek(2)[:2] == b"\x1f\x8b":
         return gzip.GzipFile(fileobj=buffered)
@@ -320,9 +339,12 @@ def _records_from_files(
             for fname in pdf["path"]:
                 buf: list[tuple] = []
                 idx = 0
+                # open failures quarantine the SHARD row, never the task:
+                # deliberately broad — unresolvable URI (ArrowInvalid),
+                # missing file, permission, FS driver error all land here
                 try:
                     stream = _open_shard(fname)
-                except (OSError, EOFError, zlib.error) as e:
+                except Exception as e:
                     yield flush([(fname, 0, *quarantine(e).values())])
                     continue
                 try:

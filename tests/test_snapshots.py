@@ -255,3 +255,25 @@ def test_snapshot_diff_requires_keys(spark, tmp_path):
 
     with pytest.raises(ValueError, match="key_cols"):
         snapshot_diff(spark, str(tmp_path), 1, 2, [])
+
+
+def test_snapshot_diff_null_keys_match_null_safely(spark, tmp_path):
+    """NULL keys must match themselves across versions (eqNullSafe),
+    not surface as a spurious added+removed pair."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_task_spark.operators.snapshots import (
+        snapshot_diff,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    mk = lambda text: spark.createDataFrame(
+        [(None, text), (1, "one")], "doc_id bigint, text string"
+    )
+    v1 = snapshot_write(spark, mk("null-doc"), path, mode="overwrite")
+    v2 = snapshot_write(spark, mk("null-doc"), path, mode="overwrite")
+    assert snapshot_diff(spark, path, v1, v2, ["doc_id"]).count() == 0
+    v3 = snapshot_write(spark, mk("null-doc CHANGED"), path, mode="overwrite")
+    d = snapshot_diff(spark, path, v2, v3, ["doc_id"]).collect()
+    assert len(d) == 1 and d[0].change == "updated" and d[0].doc_id is None

@@ -658,3 +658,15 @@ def test_iter_warc_records_never_raises_fuzz():
         assert all(r["warc_type"] == "response" for r in lead)
 
     run()
+
+
+def test_uri_hostile_shard_names(spark, tmp_path):
+    """binaryFile emits minimally-encoded paths; a shard named with a
+    space is not a valid URI. It must still parse (fallback open), and
+    an unopenable path must cost a quarantine row, never the task."""
+    d = tmp_path / "sp dir"
+    d.mkdir()
+    (d / "a b.warc").write_bytes(_shard())
+    rows = read_warc(spark, str(d)).collect()
+    assert [r.warc_type for r in rows] == ["warcinfo", "request", "response"]
+    assert "a b.warc" in rows[0].source_file
