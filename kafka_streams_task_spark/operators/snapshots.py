@@ -97,6 +97,8 @@ def snapshot_write(
     path: str,
     mode: str = "append",
     audit: bool = True,
+    expectations: dict | None = None,
+    unique_keys: dict | None = None,
 ) -> int:
     """Commit ``df`` as the next version of the snapshot table at
     ``path``; returns the new version number.
@@ -108,7 +110,18 @@ def snapshot_write(
     :func:`snapshot_vacuum`). ``audit=True`` records the new dir's
     durable row count (parquet footer metadata of the just-written
     files — the WAP audit discipline without a second scan job) plus
-    the version's total for :func:`snapshot_versions`."""
+    the version's total for :func:`snapshot_versions`.
+
+    ``expectations`` / ``unique_keys`` (r8) gate the commit on data
+    quality, Deequ/Delta-constraint style: the rules run over the
+    JUST-WRITTEN staged directory (the durable bytes, never the input
+    plan — WAP discipline), and ANY violation deletes the staged dir
+    and raises with the per-rule violation counts; no manifest, no
+    pointer move, readers keep seeing the prior version. Rule shapes
+    are :func:`..expectations.expectation_report`'s (predicate rules
+    fuse into one aggregate pass; each uniqueness rule is one exact
+    distinct count).
+    """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be 'append' or 'overwrite', got {mode!r}")
     version = _next_free_version(spark, path)
@@ -121,6 +134,24 @@ def snapshot_write(
     if fs.exists(orphan):
         fs.delete(orphan, True)
     df.write.mode("error").parquet(f"{path}/{new_dir}")
+    if expectations or unique_keys:
+        from .expectations import expectation_report
+
+        staged = spark.read.parquet(f"{path}/{new_dir}")
+        failing = [
+            (r["rule"], r["n_violations"])
+            for r in expectation_report(
+                staged, expectations or {}, unique_keys
+            ).collect()
+            if not r["pass"]
+        ]
+        if failing:
+            fs.delete(orphan, True)  # reclaim; version number reusable
+            raise ValueError(
+                f"snapshot commit refused — expectations failed on the "
+                f"staged data: {failing}; table left at version "
+                f"{_latest_version(spark, path)}"
+            )
     # audit from parquet footer metadata — the durable count a reader's
     # scan planning sees, without a second scan job (VERDICT r7)
     if audit:

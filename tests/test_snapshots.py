@@ -277,3 +277,46 @@ def test_snapshot_diff_null_keys_match_null_safely(spark, tmp_path):
     v3 = snapshot_write(spark, mk("null-doc CHANGED"), path, mode="overwrite")
     d = snapshot_diff(spark, path, v2, v3, ["doc_id"]).collect()
     assert len(d) == 1 and d[0].change == "updated" and d[0].doc_id is None
+
+
+def test_snapshot_write_expectation_gate(spark, tmp_path):
+    """r8 quality-gated commits: violations on the STAGED bytes refuse
+    the commit (no manifest, no pointer move, dir reclaimed); clean
+    data commits; the version number is reusable after a refusal."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kafka_streams_task_spark.operators.snapshots import (
+        snapshot_read,
+        snapshot_versions,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    good = spark.range(0, 10).select(
+        F.col("id").alias("doc_id"), F.lit(100).alias("n_chars")
+    )
+    v1 = snapshot_write(
+        spark, good, path,
+        expectations={"chars_positive": "n_chars > 0"},
+        unique_keys={"pk": ["doc_id"]},
+    )
+    assert v1 == 1
+
+    bad = spark.range(0, 4).select(
+        F.col("id").alias("doc_id"), (F.lit(50) - F.col("id") * 30).alias("n_chars")
+    )  # two rows violate n_chars > 0
+    with pytest.raises(ValueError, match="chars_positive"):
+        snapshot_write(spark, bad, path,
+                       expectations={"chars_positive": "n_chars > 0"})
+    # readers still see v1; no orphan manifest; number reusable
+    assert snapshot_read(spark, path).count() == 10
+    assert snapshot_versions(spark, path).count() == 1
+    v2 = snapshot_write(spark, good, path,
+                        expectations={"chars_positive": "n_chars > 0"})
+    assert v2 == 2 and snapshot_read(spark, path, 2).count() == 20
+
+    # duplicate-key violation also refuses
+    dup = good.unionByName(good.limit(1))
+    with pytest.raises(ValueError, match="pk"):
+        snapshot_write(spark, dup, path, unique_keys={"pk": ["doc_id"]})

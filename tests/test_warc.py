@@ -670,3 +670,80 @@ def test_uri_hostile_shard_names(spark, tmp_path):
     rows = read_warc(spark, str(d)).collect()
     assert [r.warc_type for r in rows] == ["warcinfo", "request", "response"]
     assert "a b.warc" in rows[0].source_file
+
+
+def test_r8_capstone_crawl_to_governed_shards(spark, tmp_path):
+    """r8 capstone: capped WARC read -> charset health check ->
+    documents -> leakage-guarded splits -> budgeted training shards ->
+    expectation-gated snapshot commit -> second crawl -> version diff.
+    The point is the stages COMPOSE and every governance hook fires."""
+    from kafka_streams_task_spark.operators.sampling import (
+        assign_splits,
+        export_training_shards,
+        shard_report,
+    )
+    from kafka_streams_task_spark.operators.snapshots import (
+        snapshot_diff,
+        snapshot_read,
+        snapshot_write,
+    )
+    from kafka_streams_task_spark.sources.warc import (
+        warc_charset_report,
+        warc_to_documents,
+    )
+
+    def rec(i):
+        # unique WARC-Record-ID per page (the shared _record helper
+        # reuses one id, which the pk gate would rightly refuse)
+        return (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            + f"WARC-Record-ID: <urn:uuid:page-{i}>\r\n".encode()
+            + f"WARC-Target-URI: http://site{i % 4}.com/p{i}\r\n".encode()
+            + b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            b"Content-Type: application/http; msgtype=response\r\n"
+            + f"Content-Length: {len(HTML_PAGE)}\r\n\r\n".encode()
+            + HTML_PAGE + b"\r\n\r\n"
+        )
+
+    def crawl(n, start=0):
+        return b"".join(rec(start + i) for i in range(n))
+
+    (tmp_path / "a.warc").write_bytes(crawl(12))
+    records = read_warc(spark, str(tmp_path / "a.warc"), max_payload_bytes=1 << 20)
+    health = warc_charset_report(records).collect()
+    assert sum(r.n_records for r in health) == 12
+
+    docs = warc_to_documents(records)
+    split = assign_splits(
+        docs, {"train": 0.5, "val": 0.25, "test": 0.25}, group_col="domain"
+    )
+    sharded = export_training_shards(
+        split, budget=200, token_col="n_chars", order_col="url_key",
+        num_range_partitions=3,
+    )
+    assert shard_report(sharded, token_col="n_chars", order_col="url_key").count() >= 2
+
+    tbl = str(tmp_path / "corpus")
+    v1 = snapshot_write(
+        spark, sharded, tbl,
+        expectations={"has_text": "n_chars > 0"},
+        unique_keys={"pk": ["doc_uid"]},
+    )
+    assert snapshot_read(spark, tbl, v1).count() == 12
+
+    (tmp_path / "b.warc").write_bytes(crawl(3, start=100))
+    docs2 = warc_to_documents(read_warc(spark, str(tmp_path / "b.warc")))
+    v2 = snapshot_write(
+        spark,
+        export_training_shards(
+            assign_splits(docs2, {"train": 0.5, "val": 0.25, "test": 0.25},
+                          group_col="domain"),
+            budget=200, token_col="n_chars", order_col="url_key",
+            num_range_partitions=2,
+        ),
+        tbl,
+        expectations={"has_text": "n_chars > 0"},
+    )
+    d = snapshot_diff(spark, tbl, v1, v2, ["doc_uid"]).collect()
+    assert len(d) == 3 and {r.change for r in d} == {"added"}
