@@ -209,6 +209,68 @@ def robots_allowed(
     )
 
 
+def crawl_delays(
+    df: DataFrame,
+    agent: str = "*",
+    domain_col: str = "domain",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """Effective ``Crawl-delay`` seconds per domain for ``agent`` — one
+    row per domain that declares one. Extra-RFC but universally honored
+    (politeness budgeting is how a crawl fleet avoids getting itself
+    blocked); group scoping follows the same convention as rules: the
+    agent's own group shadows ``*``, and within the winning scope the
+    LARGEST declared delay is taken (the conservative read of duplicate
+    directives). Non-numeric values are ignored. Pure relational — the
+    same lag/running-sum group reconstruction as :func:`parse_robots`,
+    then one ``max_by``-free aggregate."""
+    me = agent.lower()
+    lines = df.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(F.split(F.col(text_col), "\r?\n")).alias("line_no", "line"),
+    ).select(
+        "domain",
+        "line_no",
+        F.lower(
+            F.regexp_extract("line", r"(?i)^[ \t]*(user-agent|crawl-delay)[ \t]*:", 1)
+        ).alias("directive"),
+        F.trim(
+            F.regexp_extract(
+                "line", r"(?i)^[ \t]*(?:user-agent|crawl-delay)[ \t]*:[ \t]*([^#]*)", 1
+            )
+        ).alias("value"),
+    ).filter(F.col("directive") != "")
+    w = Window.partitionBy("domain").orderBy("line_no")
+    grouped = lines.withColumn(
+        "_starts",
+        (
+            (F.col("directive") == "user-agent")
+            & (F.coalesce(F.lag("directive").over(w), F.lit("")) != "user-agent")
+        ).cast("int"),
+    ).withColumn("group_id", F.sum("_starts").over(w))
+    agents = grouped.filter(F.col("directive") == "user-agent").select(
+        "domain", "group_id", F.lower("value").alias("agent")
+    ).distinct()
+    delays = grouped.filter(
+        (F.col("directive") == "crawl-delay")
+        & F.col("value").rlike(r"^\d+(\.\d+)?$")
+    ).select("domain", "group_id", F.col("value").cast("double").alias("delay_s"))
+    scoped = delays.join(agents, on=["domain", "group_id"]).filter(
+        F.col("agent").isin(me, "*")
+    )
+    has_mine = scoped.filter(F.col("agent") == me).select("domain").distinct()
+    winning = (
+        scoped.join(
+            has_mine.withColumn("_has_mine", F.lit(True)), on="domain", how="left"
+        )
+        .filter(
+            F.when(F.coalesce(F.col("_has_mine"), F.lit(False)), F.col("agent") == me)
+            .otherwise(F.col("agent") == "*")
+        )
+    )
+    return winning.groupBy("domain").agg(F.max("delay_s").alias("crawl_delay_s"))
+
+
 def extract_sitemaps(
     df: DataFrame, domain_col: str = "domain", text_col: str = "robots_txt"
 ) -> DataFrame:

@@ -212,3 +212,26 @@ def test_authorityless_urls_match_as_paths(spark):
         "/private/x": False, "f.com/private/x": False,
         "/open/x": True, "f.com": True,
     }
+
+
+def test_crawl_delays_group_scoping(spark):
+    """r8 crawl_delays: agent group shadows '*', max of duplicates,
+    non-numeric ignored, undeclared domains absent."""
+    from kafka_streams_task_spark.operators.robots import crawl_delays
+
+    bodies = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nCrawl-delay: 2\n\n"
+                      "User-agent: trainbot\nCrawl-delay: 0.5"),
+            ("b.com", "User-agent: *\nCrawl-delay: 1\nCrawl-delay: 3"),
+            ("c.com", "User-agent: *\nCrawl-delay: soon"),   # ignored
+            ("d.com", "User-agent: *\nDisallow: /x"),        # none declared
+        ],
+        "domain string, robots_txt string",
+    )
+    got = {r.domain: r.crawl_delay_s for r in crawl_delays(bodies, agent="trainbot").collect()}
+    assert got == {"a.com": 0.5, "b.com": 3.0}
+    star = {r.domain: r.crawl_delay_s for r in crawl_delays(bodies).collect()}
+    assert star == {"a.com": 2.0, "b.com": 3.0}
+    plan = crawl_delays(bodies)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "CartesianProduct" not in plan

@@ -320,3 +320,26 @@ def test_snapshot_write_expectation_gate(spark, tmp_path):
     dup = good.unionByName(good.limit(1))
     with pytest.raises(ValueError, match="pk"):
         snapshot_write(spark, dup, path, unique_keys={"pk": ["doc_id"]})
+
+
+def test_snapshot_diff_across_compaction_is_empty(spark, tmp_path):
+    """Compaction rewrites files but not content — the governance diff
+    across a compaction version must be EMPTY (physical layout changes
+    are invisible to the content identity)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_task_spark.operators.snapshots import (
+        snapshot_compact,
+        snapshot_diff,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(0, 200, 1, 8).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+    )
+    v1 = snapshot_write(spark, df, path)
+    v2 = snapshot_compact(spark, path, target_mb=512)
+    assert v2 == v1 + 1
+    assert snapshot_diff(spark, path, v1, v2, ["doc_id"]).count() == 0
