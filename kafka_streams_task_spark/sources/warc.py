@@ -423,7 +423,11 @@ def warc_ingest_report(records: DataFrame) -> DataFrame:
         F.sum((F.col("warc_type") == "_malformed").cast("long")).alias(
             "n_malformed"
         ),
+        # r8: held payload is SHORTER than the sum of content_length
+        # claims when records are truncated — both visible here
+        F.sum(F.col("truncated").isNotNull().cast("long")).alias("n_truncated"),
         F.sum(F.length("payload").cast("long")).alias("payload_bytes"),
+        F.sum(F.col("content_length").cast("long")).alias("claimed_bytes"),
         F.count_distinct("source_file").alias("n_files"),
     )
 

@@ -747,3 +747,16 @@ def test_r8_capstone_crawl_to_governed_shards(spark, tmp_path):
     )
     d = snapshot_diff(spark, tbl, v1, v2, ["doc_uid"]).collect()
     assert len(d) == 3 and {r.change for r in d} == {"added"}
+
+
+def test_ingest_report_truncation_visibility(spark, tmp_path):
+    """Capped reads surface in the report: n_truncated counts them and
+    payload_bytes < claimed_bytes quantifies the gap."""
+    (tmp_path / "a.warc").write_bytes(_shard())
+    rep = warc_ingest_report(
+        read_warc(spark, str(tmp_path), max_payload_bytes=5)
+    ).collect()[0]
+    assert rep.n_truncated >= 1
+    assert rep.payload_bytes < rep.claimed_bytes
+    full = warc_ingest_report(read_warc(spark, str(tmp_path))).collect()[0]
+    assert full.n_truncated == 0
