@@ -16,6 +16,7 @@ from .files import (
 )
 from .warc import (
     read_warc,
+    read_warc_manifest,
     warc_ingest_report,
     warc_to_documents,
 )
@@ -34,6 +35,7 @@ __all__ = [
     "read_json_stream",
     "read_parquet_stream",
     "read_warc",
+    "read_warc_manifest",
     "warc_ingest_report",
     "warc_to_documents",
 ]

@@ -414,6 +414,33 @@ def read_warc(
     )
 
 
+def read_warc_manifest(
+    spark: SparkSession,
+    paths,
+    strip_http_headers: bool = True,
+    record_types: tuple[str, ...] | None = None,
+    batch_records: int = 256,
+    max_payload_bytes: int | None = None,
+    path_col: str = "path",
+) -> DataFrame:
+    """:func:`read_warc` over an EXPLICIT shard list instead of a
+    directory scan — the Common Crawl workflow (the crawl publishes a
+    ``warc.paths`` manifest; jobs read a selected/remaining subset, not
+    whatever a listing returns). ``paths`` is a python list of URIs or
+    a DataFrame with ``path_col``; dedup/resume logic (anti-join against
+    already-ingested paths) composes upstream as plain DataFrame ops.
+    The parse stage, quarantine, type pushdown, and payload cap are
+    exactly :func:`read_warc`'s."""
+    if isinstance(paths, DataFrame):
+        files = paths.select(F.col(path_col).alias("path"))
+    else:
+        files = spark.createDataFrame([(p,) for p in paths], "path string")
+    kept = set(record_types) | {"_malformed"} if record_types else None
+    return _records_from_files(
+        files, strip_http_headers, kept, batch_records, max_payload_bytes
+    )
+
+
 def warc_ingest_report(records: DataFrame) -> DataFrame:
     """One-row health report for a WARC read: record counts, malformed
     count, payload mass — a single partial+final aggregate, no second

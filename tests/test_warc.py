@@ -760,3 +760,30 @@ def test_ingest_report_truncation_visibility(spark, tmp_path):
     assert rep.payload_bytes < rep.claimed_bytes
     full = warc_ingest_report(read_warc(spark, str(tmp_path))).collect()[0]
     assert full.n_truncated == 0
+
+
+def test_read_warc_manifest_list_and_frame(spark, tmp_path):
+    """Manifest-driven reads (the Common Crawl warc.paths workflow):
+    an explicit shard list or a path DataFrame, with resume composing
+    as an anti-join; missing shards quarantine, not crash."""
+    from kafka_streams_task_spark.sources.warc import read_warc_manifest
+
+    (tmp_path / "a.warc").write_bytes(_shard())
+    (tmp_path / "b.warc").write_bytes(
+        _record(b"response", b"http://m.com/", HTTP_MSG,
+                b"application/http; msgtype=response")
+    )
+    manifest = [str(tmp_path / "a.warc"), str(tmp_path / "b.warc")]
+    rows = read_warc_manifest(spark, manifest).collect()
+    assert len(rows) == 4
+
+    # resume: anti-join out the already-ingested shard
+    mdf = spark.createDataFrame([(p,) for p in manifest], "path string")
+    done = spark.createDataFrame([(manifest[0],)], "path string")
+    remaining = mdf.join(done, on="path", how="left_anti")
+    rows2 = read_warc_manifest(spark, remaining, record_types=("response",))
+    assert [r.target_uri for r in rows2.collect()] == ["http://m.com/"]
+
+    # a manifest entry that doesn't exist -> quarantine row for it
+    rows3 = read_warc_manifest(spark, [str(tmp_path / "gone.warc")]).collect()
+    assert len(rows3) == 1 and rows3[0].warc_type == "_malformed"
