@@ -87,3 +87,38 @@ class TestExportTrainingShards:
         assert back.select("shard_id").distinct().count() == out.select(
             "shard_id"
         ).distinct().count()
+
+
+def test_export_training_shards_property(spark):
+    """Property (r8): the distributed two-level prefix sum equals the
+    serial exclusive prefix sum for ANY token weights, budget, range
+    partitioning, and input layout."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafka_streams_task_spark.operators.sampling import export_training_shards
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        tokens=st.lists(st.integers(min_value=0, max_value=10_000),
+                        min_size=1, max_size=120),
+        budget=st.integers(min_value=1, max_value=5_000),
+        n_range=st.integers(min_value=1, max_value=9),
+        n_input=st.integers(min_value=1, max_value=7),
+    )
+    def run(tokens, budget, n_range, n_input):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(tokens)], "doc_id long, n_tokens long"
+        ).repartition(n_input)
+        got = {
+            r.doc_id: r.shard_id
+            for r in export_training_shards(
+                df, budget=budget, num_range_partitions=n_range
+            ).collect()
+        }
+        cum = 0
+        for i, t in enumerate(tokens):
+            assert got[i] == cum // budget, (i, tokens, budget, n_range)
+            cum += t
+
+    run()
