@@ -659,11 +659,17 @@ def html_links(html: Column | str, absolute_only: bool = True) -> Column:
     (resolving them against a base URL needs the page URL — do it with
     ``F.concat`` at the call site where the base is a column)."""
     c = F.col(html) if isinstance(html, str) else html
+    # the prefix between '<a' and 'href' consumes quoted attribute
+    # VALUES atomically ("[^"]*" | '[^']*' | one non-quote char), so
+    # 'href=' occurring INSIDE another attribute's value — title="see
+    # href=y", tracking params like href="/out?href=http://x" — can
+    # never anchor a match and fabricate links (review r8)
+    _pre = "(?:[^>\"']|\"[^\"]*\"|'[^']*')*?"
     quoted = F.regexp_extract_all(
-        c, F.lit("(?i)<a\\b[^>]*?\\bhref\\s*=\\s*[\"']([^\"'#>][^\"'>]*)[\"']"), 1
+        c, F.lit(f"(?i)<a\\b{_pre}\\bhref\\s*=\\s*[\"']([^\"'#>][^\"'>]*)[\"']"), 1
     )
     unquoted = F.regexp_extract_all(
-        c, F.lit("(?i)<a\\b[^>]*?\\bhref\\s*=\\s*([^\\s\"'>#][^\\s>]*)"), 1
+        c, F.lit(f"(?i)<a\\b{_pre}\\bhref\\s*=\\s*([^\\s\"'>#][^\\s\"'>]*)"), 1
     )
     links = F.concat(quoted, unquoted)
     links = F.filter(links, lambda u: ~u.rlike("(?i)^(javascript|mailto|tel):"))

@@ -350,7 +350,12 @@ def parquet_footer_count(spark: SparkSession, path: str) -> int | None:
     Returns ``None`` when the footers can't be read from the driver
     (unreachable FS scheme for pyarrow, stray non-parquet file …) — the
     caller falls back to a ``count()`` job, which fails loudly on real
-    corruption, so the audit signal is never silently weakened."""
+    corruption, so the audit signal is never silently weakened. Footer
+    reads are I/O-bound and run on a thread pool; past
+    ``max_driver_files`` files the distributed ``count()`` (itself
+    footer-driven for an empty projection) beats driver-side reads, so
+    ``None`` is returned and the caller's job takes over (review r8)."""
+    max_driver_files = 4096
     try:
         import pyarrow.parquet as pq
         from pyarrow import fs as pafs
@@ -359,7 +364,7 @@ def parquet_footer_count(spark: SparkSession, path: str) -> int | None:
         jpath = jvm.org.apache.hadoop.fs.Path(path)
         if not hfs.exists(jpath):
             return 0
-        total = 0
+        uris = []
         it = hfs.listFiles(jpath, True)
         while it.hasNext():
             st = it.next()
@@ -367,10 +372,23 @@ def parquet_footer_count(spark: SparkSession, path: str) -> int | None:
             name = p.getName()
             if not st.isFile() or name.startswith(("_", ".")):
                 continue
-            filesystem, fpath = pafs.FileSystem.from_uri(p.toUri().toString())
-            with filesystem.open_input_file(fpath) as f:
-                total += pq.ParquetFile(f).metadata.num_rows
-        return total
+            uris.append(p.toUri().toString())
+            if len(uris) > max_driver_files:
+                return None
+        if not uris:
+            return 0
+        # one FS handle for all files (they share the dir's scheme)
+        filesystem, first = pafs.FileSystem.from_uri(uris[0])
+        prefix_len = len(uris[0]) - len(first)
+
+        def one(uri: str) -> int:
+            with filesystem.open_input_file(uri[prefix_len:]) as f:
+                return pq.ParquetFile(f).metadata.num_rows
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(32, len(uris))) as pool:
+            return sum(pool.map(one, uris))
     except Exception:
         return None
 

@@ -225,6 +225,10 @@ def crawl_delays(
     same lag/running-sum group reconstruction as :func:`parse_robots`,
     then one ``max_by``-free aggregate."""
     me = agent.lower()
+    # group detection must see EVERY directive line: filtering to just
+    # user-agent/crawl-delay before the lag heuristic made UA blocks
+    # separated only by Allow/Disallow lines lag-adjacent, merging
+    # distinct groups and leaking delays across agents (review r8)
     lines = df.select(
         F.col(domain_col).alias("domain"),
         F.posexplode(F.split(F.col(text_col), "\r?\n")).alias("line_no", "line"),
@@ -232,11 +236,17 @@ def crawl_delays(
         "domain",
         "line_no",
         F.lower(
-            F.regexp_extract("line", r"(?i)^[ \t]*(user-agent|crawl-delay)[ \t]*:", 1)
+            F.regexp_extract(
+                "line",
+                r"(?i)^[ \t]*(user-agent|allow|disallow|crawl-delay)[ \t]*:",
+                1,
+            )
         ).alias("directive"),
         F.trim(
             F.regexp_extract(
-                "line", r"(?i)^[ \t]*(?:user-agent|crawl-delay)[ \t]*:[ \t]*([^#]*)", 1
+                "line",
+                r"(?i)^[ \t]*(?:user-agent|allow|disallow|crawl-delay)[ \t]*:[ \t]*([^#]*)",
+                1,
             )
         ).alias("value"),
     ).filter(F.col("directive") != "")
@@ -255,10 +265,14 @@ def crawl_delays(
         (F.col("directive") == "crawl-delay")
         & F.col("value").rlike(r"^\d+(\.\d+)?$")
     ).select("domain", "group_id", F.col("value").cast("double").alias("delay_s"))
+    # shadowing follows GROUP MEMBERSHIP (same as robots_allowed): if a
+    # group names the agent, '*' is shadowed entirely — even when the
+    # agent's group declares NO delay (deriving has_mine from delay
+    # rows instead would silently inherit '*'s delay; review r8)
+    has_mine = agents.filter(F.col("agent") == me).select("domain").distinct()
     scoped = delays.join(agents, on=["domain", "group_id"]).filter(
         F.col("agent").isin(me, "*")
     )
-    has_mine = scoped.filter(F.col("agent") == me).select("domain").distinct()
     winning = (
         scoped.join(
             has_mine.withColumn("_has_mine", F.lit(True)), on="domain", how="left"

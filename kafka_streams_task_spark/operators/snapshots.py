@@ -58,13 +58,16 @@ def _latest_version(spark: SparkSession, path: str) -> int:
     if latest is None:
         # the pointer swap is an atomic overwrite-rename on HDFS/local,
         # but on an FS without FileContext overwrite support the writer
-        # falls back to delete-then-rename — one retry covers that
-        # transient window (ADVICE r8); still-missing means genuinely
-        # uncommitted
-        import time
+        # falls back to delete-then-rename — retry once over that
+        # window. ONLY when version manifests exist though: a missing
+        # pointer on a fresh table is the NORMAL state, and sleeping
+        # there taxes every first commit (review r8).
+        jvm, fs = _fs(spark, path)
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/{_VERSIONS_DIR}")):
+            import time
 
-        time.sleep(0.05)
-        latest = read_json_file(spark, f"{path}/{_LATEST}")
+            time.sleep(0.05)
+            latest = read_json_file(spark, f"{path}/{_LATEST}")
     return int(latest["version"]) if latest else 0
 
 
@@ -346,9 +349,22 @@ def snapshot_diff(
     if not key_cols:
         raise ValueError("key_cols must name at least one column")
     key_cols = list(key_cols)
+    reserved = {"_rh", "_n", "_h", "_na", "_ha", "_nb", "_hb", "change"}
+    clash = sorted(reserved & set(key_cols))
+    if clash:
+        raise ValueError(f"key_cols clash with diff working columns: {clash!r}")
 
     def fingerprinted(version: int) -> DataFrame:
         df = snapshot_read(spark, path, version)
+        # same discipline as the PSL/shards clash guards (review r8):
+        # a data column named '_rh' would be silently REPLACED by the
+        # fingerprint (other reserved names are aggregated away and
+        # only collide when used as keys — guarded above)
+        if "_rh" in df.columns:
+            raise ValueError(
+                "snapshot has a '_rh' column, which clashes with the "
+                "diff's row-fingerprint working column"
+            )
         others = [c for c in df.columns if c not in key_cols]
         row_hash = F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
                                 for c in others]) if others else F.lit(0).cast("long")

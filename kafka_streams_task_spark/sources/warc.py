@@ -95,24 +95,27 @@ def _open_shard(path: str) -> io.BufferedIOBase:
     incremental decompressor (multi-member chaining included), so
     compressed shards stream too.
 
-    binaryFile emits Hadoop's minimally-encoded path form — a shard name
-    with a space ('a b.warc') is NOT a valid URI and ``from_uri`` raises
-    ``ArrowInvalid`` on it; fall back to percent-encoding the path part
-    (and, for the file scheme, to a direct local open), so URI-hostile
-    crawl filenames cost at most a quarantine row, never the job."""
+    binaryFile emits Hadoop's minimally-encoded path form, NOT a valid
+    URI: a name with a space breaks ``from_uri`` (ArrowInvalid), and a
+    name with a literal '%' would be silently DECODED into a different
+    path (review r8 — from_uri('a%20b.warc') would open 'a b.warc').
+    So the ``file:`` scheme never round-trips through URI parsing at
+    all: the literal local path opens directly. Other schemes try
+    ``from_uri`` and fall back to percent-encoding — URI-hostile names
+    cost at most a quarantine row, never the job."""
     from urllib.parse import quote
 
     from pyarrow import fs as pafs
 
-    try:
-        filesystem, fs_path = pafs.FileSystem.from_uri(path)
-    except Exception:
-        if path.startswith("file:"):
-            local = path[5:]
-            if local.startswith("//"):  # file:///x and file://host/x forms
-                local = "/" + local[2:].split("/", 1)[1]
-            filesystem, fs_path = pafs.LocalFileSystem(), local
-        else:
+    if path.startswith("file:"):
+        local = path[5:]
+        if local.startswith("//"):  # file:///x and file://host/x forms
+            local = "/" + local[2:].split("/", 1)[1]
+        filesystem, fs_path = pafs.LocalFileSystem(), local
+    else:
+        try:
+            filesystem, fs_path = pafs.FileSystem.from_uri(path)
+        except Exception:
             filesystem, fs_path = pafs.FileSystem.from_uri(
                 quote(path, safe=":/@&=+$,;~*'()!-._")
             )
@@ -248,11 +251,35 @@ def iter_warc_records(
             }
             continue
         header_lines = bytearray()
+        header_overflow = False
         while True:
             hl = stream.readline(_MAX_LINE)
             if hl in (b"\r\n", b"\n", b""):
                 break
+            # spec header blocks are <1 KiB; a never-blank multi-GB run
+            # of lines is corruption and must not accumulate unbounded
+            # (review r8 — the 2 GiB binaryFile ceiling no longer
+            # implicitly bounds it)
+            if len(header_lines) + len(hl) > _MAX_LINE:
+                header_overflow = True
+                break
             header_lines += hl
+        if header_overflow:
+            yield {
+                "warc_type": "_malformed",
+                "record_id": None,
+                "target_uri": None,
+                "warc_date": None,
+                "content_type": None,
+                "content_length": None,
+                "http_status": None,
+                "http_content_type": None,
+                "truncated": None,
+                "payload": resync(
+                    (line + bytes(header_lines))[:_MAX_GARBAGE_KEEP]
+                ),
+            }
+            continue
         headers = _parse_header_block(bytes(header_lines))
         length_s = headers.get("content-length", "")
         if not length_s.isdigit():
@@ -450,11 +477,13 @@ def warc_ingest_report(records: DataFrame) -> DataFrame:
         F.sum((F.col("warc_type") == "_malformed").cast("long")).alias(
             "n_malformed"
         ),
-        # r8: held payload is SHORTER than the sum of content_length
-        # claims when records are truncated — both visible here
+        # r8: capped/upstream-truncated record count. (A claimed-vs-held
+        # byte delta is deliberately NOT reported: with the default HTTP
+        # header strip, payload holds only the message BODY while
+        # content_length claims the full message, so the delta would be
+        # nonzero on every healthy read — review r8.)
         F.sum(F.col("truncated").isNotNull().cast("long")).alias("n_truncated"),
         F.sum(F.length("payload").cast("long")).alias("payload_bytes"),
-        F.sum(F.col("content_length").cast("long")).alias("claimed_bytes"),
         F.count_distinct("source_file").alias("n_files"),
     )
 

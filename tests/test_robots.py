@@ -235,3 +235,32 @@ def test_crawl_delays_group_scoping(spark):
     assert star == {"a.com": 2.0, "b.com": 3.0}
     plan = crawl_delays(bodies)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "CartesianProduct" not in plan
+
+
+def test_crawl_delays_groups_separated_by_rules_and_shadowing(spark):
+    """Review r8: UA blocks separated only by rule lines must stay
+    distinct groups, and an agent whose group declares NO delay shadows
+    '*' (no inheritance)."""
+    from kafka_streams_task_spark.operators.robots import crawl_delays
+
+    bodies = spark.createDataFrame(
+        [
+            # rule lines between the two UA blocks: must NOT merge
+            ("a.com", "User-agent: *\nDisallow: /x\n\n"
+                      "User-agent: fastbot\nCrawl-delay: 1"),
+            # trainbot's group has rules but no delay; '*' declares 60:
+            # trainbot must get NO delay row (shadowed, not inherited)
+            ("b.com", "User-agent: trainbot\nDisallow: /a\n\n"
+                      "User-agent: *\nCrawl-delay: 60"),
+        ],
+        "domain string, robots_txt string",
+    )
+    other = {r.domain: r.crawl_delay_s
+             for r in crawl_delays(bodies, agent="otherbot").collect()}
+    assert other == {"b.com": 60.0}  # a.com's '*' group has no delay
+    fast = {r.domain: r.crawl_delay_s
+            for r in crawl_delays(bodies, agent="fastbot").collect()}
+    assert fast == {"a.com": 1.0, "b.com": 60.0}
+    train = {r.domain: r.crawl_delay_s
+             for r in crawl_delays(bodies, agent="trainbot").collect()}
+    assert train == {}, train  # shadowed on b.com, undeclared on a.com

@@ -750,14 +750,14 @@ def test_r8_capstone_crawl_to_governed_shards(spark, tmp_path):
 
 
 def test_ingest_report_truncation_visibility(spark, tmp_path):
-    """Capped reads surface in the report: n_truncated counts them and
-    payload_bytes < claimed_bytes quantifies the gap."""
+    """Capped reads surface in the report via n_truncated (a
+    claimed-vs-held byte delta is deliberately absent: the HTTP header
+    strip makes it nonzero on healthy reads too)."""
     (tmp_path / "a.warc").write_bytes(_shard())
     rep = warc_ingest_report(
         read_warc(spark, str(tmp_path), max_payload_bytes=5)
     ).collect()[0]
     assert rep.n_truncated >= 1
-    assert rep.payload_bytes < rep.claimed_bytes
     full = warc_ingest_report(read_warc(spark, str(tmp_path))).collect()[0]
     assert full.n_truncated == 0
 
@@ -787,3 +787,27 @@ def test_read_warc_manifest_list_and_frame(spark, tmp_path):
     # a manifest entry that doesn't exist -> quarantine row for it
     rows3 = read_warc_manifest(spark, [str(tmp_path / "gone.warc")]).collect()
     assert len(rows3) == 1 and rows3[0].warc_type == "_malformed"
+
+
+def test_html_links_href_inside_attribute_values_not_matched(spark):
+    """Review r8: 'href=' text inside ANOTHER attribute's quoted value
+    must never anchor a link — tracking params and title text were
+    fabricating edges (with trailing-quote artifacts)."""
+    from kafka_streams_task_spark.functions.text import html_links
+
+    html = (
+        '<a href="/out?href=http://tracker.com/x">t</a>'
+        '<a title="see href=y" href="https://real.com/">r</a>'
+        "<a href=https://unq.com/z>u</a>"
+    )
+    df = spark.createDataFrame([(html,)], ["html"])
+    row = df.select(
+        html_links(F.col("html")).alias("abs"),
+        html_links(F.col("html"), absolute_only=False).alias("all"),
+    ).collect()[0]
+    assert row.abs == ["https://real.com/", "https://unq.com/z"]
+    assert set(row.all) == {
+        "/out?href=http://tracker.com/x", "https://real.com/",
+        "https://unq.com/z",
+    }
+    assert not any('"' in u or u == "y" for u in row.all)
