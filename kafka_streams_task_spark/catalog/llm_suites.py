@@ -288,6 +288,11 @@ def _event_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
     FROM documents
     UNION ALL
+    SELECT CAST('delay' AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(dom AS VARCHAR), CAST(micros AS BIGINT), CAST(NULL AS BIGINT)
+    FROM (VALUES ('e0.com', 2000000), ('e1.com', 500000), ('e3.com', 3000000))
+         AS dl(dom, micros)
+    UNION ALL
     {canary_sql(_SUITE_COLS)}
     """,
 )
@@ -338,13 +343,20 @@ def llm_graph_layout_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent Unicode implementations must agree on the composed
     bytes.
 
+    'delay' (r8) — crawl_delays through the REAL group-reconstruction
+    chain over six planted robots bodies: '*'-group fallback, own-group
+    override, own-group-without-delay SHADOWING '*' (no inheritance —
+    the domain must be ABSENT), max-of-duplicates, non-numeric ignored,
+    foreign-agent groups invisible; the oracle states the surviving
+    decision table (three rows, micros-exact halves) as constants.
+
     'canary' — constant rows stated identically by both engines (see
     module docstring).
     """
     from ..operators.dedup import cross_split_contamination
     from ..operators.graph import pagerank, triangle_count
     from ..operators.layout import zorder_key
-    from ..operators.robots import parse_robots, robots_allowed
+    from ..operators.robots import crawl_delays, parse_robots, robots_allowed
     from ..operators.unicode_norm import unicode_normalize
 
     edges = _event_graph_edges(spark, sf_dir)
@@ -467,12 +479,39 @@ def llm_graph_layout_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("i1"),
         F.lit(None).cast("long").alias("i2"),
     )
+    # 'delay': six planted bodies; only e0/e1/e3 survive for trainbot
+    # (e2 shadowed by a delay-less own group, e4 non-numeric, e5 a
+    # foreign agent's group) — delays are exact halves so the micro
+    # conversion has zero tie risk
+    delay_bodies = spark.createDataFrame(
+        [
+            ("e0.com", "User-agent: *\nCrawl-delay: 2"),
+            ("e1.com", "User-agent: trainbot\nCrawl-delay: 0.5\n\n"
+                       "User-agent: *\nCrawl-delay: 60"),
+            ("e2.com", "User-agent: trainbot\nDisallow: /a\n\n"
+                       "User-agent: *\nCrawl-delay: 60"),
+            ("e3.com", "User-agent: *\nCrawl-delay: 1\nCrawl-delay: 3"),
+            ("e4.com", "User-agent: *\nCrawl-delay: soon"),
+            ("e5.com", "User-agent: *\nDisallow: /x\n\n"
+                       "User-agent: fastbot\nCrawl-delay: 9"),
+        ],
+        "domain string, robots_txt string",
+    )
+    delay_leg = crawl_delays(delay_bodies, agent="trainbot").select(
+        F.lit("delay").alias("leg"),
+        F.lit(None).cast("long").alias("key"),
+        F.col("domain").cast("string").alias("s1"),
+        fmicro_col(F.col("crawl_delay_s")).alias("i1"),
+        F.lit(None).cast("long").alias("i2"),
+    )
+
     return (
         pagerank_leg.unionByName(triangle_leg)
         .unionByName(zorder_leg)
         .unionByName(xsplit_leg)
         .unionByName(robots_leg)
         .unionByName(nfc_leg)
+        .unionByName(delay_leg)
         .unionByName(canary_df(spark, _SUITE_COLS))
     )
 

@@ -57,7 +57,8 @@ def test_llm_suite_legs_individually(spark, sf_dir):
     suites = {
         "graph_layout": (
             llm_graph_layout_suite,
-            {"pagerank", "triangles", "zorder", "xsplit", "robots", "nfc"},
+            {"pagerank", "triangles", "zorder", "xsplit", "robots", "nfc",
+             "delay"},
         ),
         "cdc_analytics": (
             llm_cdc_analytics_suite,
