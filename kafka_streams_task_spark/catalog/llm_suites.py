@@ -293,6 +293,20 @@ def _event_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (VALUES ('e0.com', 2000000), ('e1.com', 500000), ('e3.com', 3000000))
          AS dl(dom, micros)
     UNION ALL
+    SELECT CAST('charset' AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(cs AS VARCHAR), CAST(count(*) AS BIGINT),
+           CAST(count(*) * plen AS BIGINT)
+    FROM (
+      SELECT CASE doc_id % 5
+               WHEN 0 THEN 'utf-8-sig' WHEN 1 THEN 'windows-1252'
+               WHEN 2 THEN 'gbk' WHEN 3 THEN 'utf-8'
+               ELSE 'unknown(non-utf-8)' END AS cs,
+             CASE doc_id % 5
+               WHEN 0 THEN 13 WHEN 1 THEN 12 WHEN 2 THEN 41
+               WHEN 3 THEN 12 ELSE 6 END AS plen
+      FROM documents
+    ) GROUP BY cs, plen
+    UNION ALL
     {canary_sql(_SUITE_COLS)}
     """,
 )
@@ -349,6 +363,11 @@ def llm_graph_layout_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     the domain must be ABSENT), max-of-duplicates, non-numeric ignored,
     foreign-agent groups invisible; the oracle states the surviving
     decision table (three rows, micros-exact halves) as constants.
+
+    'charset' (r8) — warc_charset_report over planted binary payloads,
+    one scenario per sniff-precedence branch (BOM / header param / meta
+    tag / undeclared-valid / undeclared-invalid); the oracle states the
+    (charset, count, byte-mass) table arithmetically.
 
     'canary' — constant rows stated identically by both engines (see
     module docstring).
@@ -505,6 +524,46 @@ def llm_graph_layout_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("i2"),
     )
 
+    # 'charset' (r8): warc_charset_report's codegen sniff over planted
+    # BINARY payloads — one scenario per precedence branch (BOM, HTTP
+    # header param, <meta> tag, undeclared-valid-utf8 via
+    # is_valid_utf8, undeclared-invalid). The oracle states the
+    # decision table arithmetically (counts per doc_id % 5 bucket ×
+    # known payload byte lengths); no sniffing runs oracle-side.
+    from ..sources.warc import warc_charset_report
+
+    _cs_payloads = [
+        b"\xef\xbb\xbf<p>bom</p>",                          # 13 B
+        b"<p>decor</p>",                                    # 12 B
+        b"<html><meta charset='GBK'><p>x</p></html>",       # 41 B
+        b"<p>plain</p>",                                    # 12 B
+        b"\xff\x00junk",                                    #  6 B
+    ]
+    _m5c = (F.col("doc_id") % 5 + 1).cast("int")
+    cs_records = d.select(
+        F.lit("response").alias("warc_type"),
+        F.element_at(
+            F.array(*[F.lit(p) for p in _cs_payloads]), _m5c
+        ).alias("payload"),
+        F.element_at(
+            F.array(
+                F.lit("text/html"),
+                F.lit("text/html; charset=Windows-1252"),
+                F.lit("text/html"),
+                F.lit("text/html"),
+                F.lit("text/html"),
+            ),
+            _m5c,
+        ).alias("http_content_type"),
+    )
+    charset_leg = warc_charset_report(cs_records).select(
+        F.lit("charset").alias("leg"),
+        F.lit(None).cast("long").alias("key"),
+        F.col("charset").cast("string").alias("s1"),
+        F.col("n_records").cast("long").alias("i1"),
+        F.col("payload_bytes").cast("long").alias("i2"),
+    )
+
     return (
         pagerank_leg.unionByName(triangle_leg)
         .unionByName(zorder_leg)
@@ -512,6 +571,7 @@ def llm_graph_layout_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(robots_leg)
         .unionByName(nfc_leg)
         .unionByName(delay_leg)
+        .unionByName(charset_leg)
         .unionByName(canary_df(spark, _SUITE_COLS))
     )
 

@@ -58,7 +58,7 @@ def test_llm_suite_legs_individually(spark, sf_dir):
         "graph_layout": (
             llm_graph_layout_suite,
             {"pagerank", "triangles", "zorder", "xsplit", "robots", "nfc",
-             "delay"},
+             "delay", "charset"},
         ),
         "cdc_analytics": (
             llm_cdc_analytics_suite,
