@@ -1,0 +1,291 @@
+"""DSIR — data selection via importance resampling (Xie et al. 2023).
+
+The standard learned alternative to hand-written quality rules for
+choosing pretraining data: given a small TARGET corpus (what you want
+the model to sound like — Wikipedia, curated books) and a huge RAW pool
+(Common Crawl), fit bag-of-hashed-ngram unigram models to both, weight
+every raw document by its importance ratio p_target/p_raw, and resample
+by that weight. "Data Selection for Language Models via Importance
+Resampling" (NeurIPS 2023) used exactly this recipe — hashed word
+uni+bigrams, Laplace-smoothed bucket counts, Gumbel-top-k resampling —
+to pick GPT-3-scale corpora. (Reference repo has no analogue —
+beyond-reference training-data mandate, SURVEY.md §2.7 note.)
+
+Design for 100 TB:
+  * the FEATURE SPACE is fixed-width hashed buckets (the hashing trick,
+    shared with :mod:`classifier`): no vocabulary object exists; the
+    gram→bucket map is a pure column expression over the engine's
+    PORTABLE md5 index (``classifier.feature_index``), so the DuckDB
+    oracle replays scores bit-for-bit. A production deploy can swap
+    xxhash64 for speed at the cost of oracle portability.
+  * FIT is two explode→groupBy aggregates (map-side partial combine;
+    shuffle bounded by ``n_features`` buckets, not corpus size) plus one
+    full-outer join of two ≤n_features-row tables. The model ships as a
+    DataFrame of (idx, log_ratio) — a few hundred KB at the default
+    2^13 buckets, never a driver-side vector.
+  * SCORE is one scan: explode grams → BROADCAST join the weight table
+    → one partial+final aggregate by doc id. No sort, no repartition;
+    scoring 100 TB is embarrassingly parallel around a single
+    doc-id shuffle.
+  * RESAMPLE uses the Gumbel-top-k trick on the LOG weight directly:
+    key = log_w/T + Gumbel(hash(id, seed)). Equivalent to
+    Efraimidis–Spirakis ``u^(1/w)`` (``sampling.weighted_sample``) but
+    stable when |log_w| exceeds 709 — ``exp(log_w)`` over/underflows
+    double for long documents, the Gumbel form never does. The key is a
+    pure expression of (id, seed, log_w): layout-independent,
+    reproducible under retries, no RNG state. Global top-k compiles to
+    TakeOrderedAndProject (per-partition heaps + driver merge of k).
+
+Smoothing semantics: p[b] = (c[b] + alpha) / (N + alpha·B) over B
+buckets. Buckets observed in neither corpus share one constant
+log-ratio ln((Nr + alpha·B)/(Nt + alpha·B)); the weight table carries it
+as a single idx-NULL row so the model is self-contained (no side
+channel), and :func:`dsir_score` folds it back as the coalesce default.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import WHITESPACE_RE
+from .classifier import feature_index
+
+#: md5-hex-to-uniform denominator, mirrors sampling._HASH_SPACE
+_HASH_SPACE = float(1 << 32)
+
+
+def _tokens_expr(text: Column, lowercase: bool) -> Column:
+    """Lowercased (by default) whitespace tokens, empties dropped."""
+    base = F.lower(text) if lowercase else text
+    return F.filter(F.split(F.trim(base), WHITESPACE_RE), lambda t: t != F.lit(""))
+
+
+def _indices_of_tokens(toks: Column, n_features: int) -> Column:
+    """Hashed uni+bigram bucket ids from an already-built token array."""
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.slice(toks, 1, F.greatest(n - F.lit(1), F.lit(0))),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + F.lit(2))),
+    )
+    return F.transform(
+        F.concat(toks, bigrams), lambda g: feature_index(g, n_features)
+    )
+
+
+def dsir_gram_indices(
+    text: Column, n_features: int = 1 << 13, lowercase: bool = True
+) -> Column:
+    """``array<long>`` of hashed word uni+bigram bucket ids for one
+    document — the DSIR feature extractor as a pure column expression.
+
+    Tokenization is the engine's whitespace split (lowercased by
+    default, per the paper; both Spark and DuckDB lowercase plain ASCII
+    identically — non-ASCII locale-edge casing is the caller's risk),
+    empty tokens dropped. Bigrams join adjacent tokens with one space,
+    so the bucket of bigram "a b" is ``feature_index('a b')`` in both
+    engines. NULL text → NULL (explode drops it; ``dsir_score`` keeps
+    such docs at weight 1 via ``explode_outer``).
+
+    This inline form references the token array 4× — the operators
+    below route through :func:`_gram_explode`, which materializes the
+    tokens as their own aliased column first, so the split+filter runs
+    ONCE per row (CollapseProject declines to inline a multiply-
+    referenced non-cheap alias — the ``registered_domain_of_host``
+    lesson).
+    """
+    return _indices_of_tokens(_tokens_expr(text, lowercase), n_features)
+
+
+def _gram_explode(
+    df: DataFrame,
+    text_col: str,
+    n_features: int,
+    lowercase: bool,
+    id_cols: list[str],
+    outer: bool = False,
+) -> DataFrame:
+    """``(*id_cols, idx)`` — one row per gram occurrence, tokenizing
+    each document exactly once (see :func:`dsir_gram_indices`)."""
+    if "_dsir_toks" in df.columns:
+        raise ValueError("df already has a _dsir_toks column")
+    with_toks = df.select(
+        *[F.col(c) for c in id_cols],
+        _tokens_expr(F.col(text_col), lowercase).alias("_dsir_toks"),
+    )
+    idxs = _indices_of_tokens(F.col("_dsir_toks"), n_features)
+    ex = F.explode_outer if outer else F.explode
+    return with_toks.select(
+        *[F.col(c) for c in id_cols], ex(idxs).alias("idx")
+    )
+
+
+def _bucket_counts(
+    df: DataFrame, text_col: str, n_features: int, lowercase: bool
+) -> DataFrame:
+    """(idx, c) gram-occurrence counts per hashed bucket — one explode +
+    one partial+final aggregate, shuffle width ≤ n_features rows."""
+    return (
+        _gram_explode(df, text_col, n_features, lowercase, id_cols=[])
+        .groupBy("idx")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+
+
+def dsir_fit(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str = "text",
+    n_features: int = 1 << 13,
+    alpha: float = 1.0,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Fit the importance model: ``(idx, log_ratio)`` with one idx-NULL
+    row carrying the unseen-bucket default (see module docstring).
+
+    ``log_ratio[b] = ln p_target[b] − ln p_raw[b]`` under Laplace-alpha
+    smoothing. The two corpus totals are bounded scalar aggregates (the
+    ``logreg_train`` precedent); everything else stays distributed.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    ct = _bucket_counts(target, text_col, n_features, lowercase)
+    cr = _bucket_counts(raw, text_col, n_features, lowercase)
+    n_t = ct.agg(F.sum("c")).first()[0] or 0.0
+    n_r = cr.agg(F.sum("c")).first()[0] or 0.0
+    denom_t = n_t + alpha * float(n_features)
+    denom_r = n_r + alpha * float(n_features)
+    lam = F.log(
+        (F.coalesce(F.col("t.c"), F.lit(0.0)) + F.lit(float(alpha)))
+        / F.lit(denom_t)
+    ) - F.log(
+        (F.coalesce(F.col("r.c"), F.lit(0.0)) + F.lit(float(alpha)))
+        / F.lit(denom_r)
+    )
+    weights = (
+        ct.alias("t")
+        .join(cr.alias("r"), "idx", "full_outer")
+        .select(
+            F.col("idx").cast("long").alias("idx"),
+            lam.cast("double").alias("log_ratio"),
+        )
+    )
+    unseen = math.log(alpha / denom_t) - math.log(alpha / denom_r)
+    default_row = target.sparkSession.createDataFrame(
+        [(None, float(unseen))], schema="idx bigint, log_ratio double"
+    )
+    return weights.unionByName(default_row)
+
+
+def dsir_score(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 1 << 13,
+    lowercase: bool = True,
+) -> DataFrame:
+    """``(id_col, dsir_logw, n_grams)`` for every input document —
+    ``dsir_logw = Σ_grams log_ratio[bucket(gram)]`` (ln of the
+    importance weight). One explode → one BROADCAST join against the
+    ≤n_features-row weight table → one aggregate by id: a single
+    shuffle end to end. Docs with no grams (empty/NULL text) keep
+    ``dsir_logw = 0`` (weight 1) via ``explode_outer`` — no second
+    pass, no re-join against the id set.
+    """
+    default_rows = weights.filter(F.col("idx").isNull()).collect()
+    unseen = float(default_rows[0]["log_ratio"]) if default_rows else 0.0
+    w = weights.filter(F.col("idx").isNotNull())
+    grams = _gram_explode(
+        df, text_col, n_features, lowercase, id_cols=[id_col], outer=True
+    )
+    term = F.when(F.col("idx").isNull(), F.lit(0.0)).otherwise(
+        F.coalesce(F.col("log_ratio"), F.lit(unseen))
+    )
+    return (
+        grams.join(F.broadcast(w), "idx", "left")
+        .groupBy(id_col)
+        .agg(
+            F.coalesce(F.sum(term), F.lit(0.0)).alias("dsir_logw"),
+            F.count(F.col("idx")).alias("n_grams"),
+        )
+    )
+
+
+def dsir_resample(
+    scored: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    logw_col: str = "dsir_logw",
+    seed: int = 42,
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Gumbel-top-k weighted sample WITHOUT replacement by importance:
+    the k largest ``logw/T + Gumbel(hash(id, seed))`` keys are a sample
+    with inclusion ∝ w^(1/T) — the log-space twin of
+    ``sampling.weighted_sample``'s A-ES keys (see module docstring for
+    why log space). Adds ``sample_rank`` (1 = largest key). Rows with
+    NULL log-weight never sample. T > 1 flattens toward uniform, T < 1
+    sharpens toward argmax."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be positive, got {temperature}")
+    if "_g_key" in scored.columns:
+        raise ValueError("scored already has a _g_key column")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col(id_col).cast("string"), F.lit(f"dsir:{seed}")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(_HASH_SPACE)
+    gumbel = -F.log(-F.log(u))
+    key = F.col(logw_col).cast("double") / F.lit(float(temperature)) + gumbel
+    from pyspark.sql import Window
+
+    eligible = scored.filter(F.col(logw_col).isNotNull()).withColumn(
+        "_g_key", key
+    )
+    ranked = eligible.orderBy(F.col("_g_key").desc(), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.col("_g_key").desc(), F.col(id_col))
+    return ranked.withColumn("sample_rank", F.row_number().over(w)).drop(
+        "_g_key"
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 1 << 13,
+    alpha: float = 1.0,
+    seed: int = 42,
+    temperature: float = 1.0,
+    min_grams: int = 1,
+) -> DataFrame:
+    """The whole DSIR recipe in one call: fit on (target, raw), score
+    raw, resample k docs. Returns the sampled rows of ``raw`` joined
+    with their ``dsir_logw``/``n_grams``/``sample_rank``.
+
+    ``min_grams`` drops gram-poor docs before the draw (default 1:
+    empty/NULL-text docs carry weight exactly 1 = logw 0, which would
+    outrank every below-average real document — rarely what a corpus
+    selection wants; pass 0 to keep the raw semantics)."""
+    weights = dsir_fit(target, raw, text_col, n_features, alpha)
+    scored = dsir_score(raw, weights, text_col, id_col, n_features).filter(
+        F.col("n_grams") >= F.lit(int(min_grams))
+    )
+    picked = dsir_resample(scored, k, id_col, seed=seed, temperature=temperature)
+    return raw.join(picked, id_col)

@@ -1,0 +1,263 @@
+"""DSIR importance resampling (operators/dsir.py): serial-reference
+equality, feature-extraction goldens, smoothing/unseen-bucket semantics,
+log-space resampling stability, and plan pins (no Python stages, the
+weight join stays broadcast)."""
+
+from __future__ import annotations
+
+import collections
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_task_spark.operators.dsir import (
+    dsir_fit,
+    dsir_gram_indices,
+    dsir_resample,
+    dsir_score,
+    dsir_select,
+)
+
+B = 4096
+TARGET_IDS = (1, 6, 7)
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the dog ran"),
+    (3, "quantum flux capacitor array"),
+    (4, ""),
+    (5, None),
+    (6, "cat"),
+    (7, "the cat sat on the mat again and again"),
+]
+
+
+def _grams(t: str | None) -> list[str]:
+    toks = [x for x in (t or "").lower().strip().split() if x]
+    return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+
+def _idx(g: str) -> int:
+    return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+
+def _serial_scores() -> dict[int, float]:
+    ct: collections.Counter = collections.Counter()
+    cr: collections.Counter = collections.Counter()
+    for d, t in DOCS:
+        for g in _grams(t):
+            b = _idx(g)
+            cr[b] += 1
+            if d in TARGET_IDS:
+                ct[b] += 1
+    nt, nr, a = sum(ct.values()), sum(cr.values()), 1.0
+    lam = {
+        b: math.log((ct.get(b, 0) + a) / (nt + a * B))
+        - math.log((cr.get(b, 0) + a) / (nr + a * B))
+        for b in set(ct) | set(cr)
+    }
+    uns = math.log(a / (nt + a * B)) - math.log(a / (nr + a * B))
+    return {d: sum(lam.get(_idx(g), uns) for g in _grams(t)) for d, t in DOCS}
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id bigint, text string")
+
+
+@pytest.fixture(scope="module")
+def weights(spark, docs):
+    target = docs.filter(F.col("doc_id").isin(*TARGET_IDS))
+    return dsir_fit(target, docs, n_features=B).localCheckpoint(eager=True)
+
+
+class TestGramIndices:
+    def test_uni_and_bigram_buckets_golden(self, spark):
+        out = spark.createDataFrame([("a bb ccc",)], "t string").select(
+            dsir_gram_indices(F.col("t"), B).alias("ix")
+        ).first()["ix"]
+        expect = [_idx(g) for g in ["a", "bb", "ccc", "a bb", "bb ccc"]]
+        assert list(out) == expect
+
+    def test_single_token_has_no_bigram(self, spark):
+        out = spark.createDataFrame([("solo",)], "t string").select(
+            dsir_gram_indices(F.col("t"), B).alias("ix")
+        ).first()["ix"]
+        assert list(out) == [_idx("solo")]
+
+    def test_empty_and_null(self, spark):
+        rows = spark.createDataFrame(
+            [("",), ("   ",), (None,)], "t string"
+        ).select(dsir_gram_indices(F.col("t"), B).alias("ix")).collect()
+        assert list(rows[0]["ix"]) == [] and list(rows[1]["ix"]) == []
+        assert rows[2]["ix"] is None
+
+    def test_lowercases_by_default(self, spark):
+        a, b = spark.createDataFrame(
+            [("The Cat",), ("the cat",)], "t string"
+        ).select(dsir_gram_indices(F.col("t"), B).alias("ix")).collect()
+        assert list(a["ix"]) == list(b["ix"])
+
+
+class TestFitScore:
+    def test_score_matches_serial_reference(self, docs, weights):
+        got = {
+            r["doc_id"]: r["dsir_logw"]
+            for r in dsir_score(docs.repartition(7), weights, n_features=B).collect()
+        }
+        expect = _serial_scores()
+        assert set(got) == set(expect)
+        for d in expect:
+            assert got[d] == pytest.approx(expect[d], abs=1e-9), d
+
+    def test_empty_and_null_docs_score_zero_with_zero_grams(self, docs, weights):
+        rows = {
+            r["doc_id"]: r
+            for r in dsir_score(docs, weights, n_features=B).collect()
+        }
+        for d in (4, 5):
+            assert rows[d]["dsir_logw"] == 0.0 and rows[d]["n_grams"] == 0
+
+    def test_target_like_docs_outscore_dissimilar(self, docs, weights):
+        got = {
+            r["doc_id"]: r["dsir_logw"]
+            for r in dsir_score(docs, weights, n_features=B).collect()
+        }
+        # docs 1/7 share every gram with the target corpus; doc 3 shares none
+        assert got[1] > got[3] and got[7] > got[3]
+
+    def test_unseen_buckets_use_the_null_row_default(self, spark, docs, weights):
+        oov = spark.createDataFrame(
+            [(99, "zzzqx wvvk")], "doc_id bigint, text string"
+        )
+        got = dsir_score(oov, weights, n_features=B).first()
+        default = weights.filter(F.col("idx").isNull()).first()["log_ratio"]
+        # every gram of the OOV doc lands in an unobserved bucket (no
+        # collision at B=4096 for these 3 grams — asserted via the model)
+        observed = {r["idx"] for r in weights.filter(F.col("idx").isNotNull()).collect()}
+        oov_idx = [_idx(g) for g in _grams("zzzqx wvvk")]
+        assert not (set(oov_idx) & observed)
+        assert got["dsir_logw"] == pytest.approx(3 * default, abs=1e-12)
+
+    def test_fit_rejects_nonpositive_alpha(self, docs):
+        with pytest.raises(ValueError, match="alpha"):
+            dsir_fit(docs, docs, alpha=0.0)
+
+    def test_weight_table_is_bounded_by_observed_buckets(self, weights):
+        n = weights.count()
+        distinct = len({_idx(g) for _, t in DOCS for g in _grams(t)})
+        assert n == distinct + 1  # + the idx-NULL unseen default row
+
+
+class TestResample:
+    def test_deterministic_and_seed_sensitive(self, docs, weights):
+        scored = dsir_score(docs, weights, n_features=B)
+        a = [r["doc_id"] for r in dsir_resample(scored, 3, seed=7).collect()]
+        b = [r["doc_id"] for r in dsir_resample(scored, 3, seed=7).collect()]
+        assert a == b
+        seen = {tuple(a)}
+        for s in range(8):
+            seen.add(
+                tuple(r["doc_id"] for r in dsir_resample(scored, 3, seed=s).collect())
+            )
+        assert len(seen) > 1  # the seed actually moves the draw
+
+    def test_keys_match_serial_gumbel(self, docs, weights):
+        scored = dsir_score(docs, weights, n_features=B)
+        logw = {r["doc_id"]: r["dsir_logw"] for r in scored.collect()}
+
+        def key(d, seed):
+            h = hashlib.md5(f"{d}:dsir:{seed}".encode()).hexdigest()[:8]
+            u = (int(h, 16) + 0.5) / 2**32
+            return logw[d] - math.log(-math.log(u))
+
+        for seed in (0, 3, 42):
+            expect = sorted(logw, key=lambda d: (-key(d, seed), d))[:3]
+            got = [
+                r["doc_id"]
+                for r in dsir_resample(scored, 3, seed=seed)
+                .orderBy("sample_rank")
+                .collect()
+            ]
+            assert got == expect, seed
+
+    def test_log_space_survives_extreme_weights(self, spark):
+        # exp(logw) overflows double past ~709 — A-ES u^(1/w) dies there;
+        # the Gumbel form must rank correctly at |logw| = 5000
+        scored = spark.createDataFrame(
+            [(1, -5000.0), (2, 5000.0), (3, 0.0)], "doc_id bigint, dsir_logw double"
+        )
+        top = dsir_resample(scored, 1).first()
+        assert top["doc_id"] == 2
+
+    def test_null_logw_never_samples(self, spark):
+        scored = spark.createDataFrame(
+            [(1, None), (2, 1.0)], "doc_id bigint, dsir_logw double"
+        )
+        out = dsir_resample(scored, 5).collect()
+        assert [r["doc_id"] for r in out] == [2]
+
+    def test_clash_guard(self, spark):
+        scored = spark.createDataFrame(
+            [(1, 1.0, 0.0)], "doc_id bigint, dsir_logw double, _g_key double"
+        )
+        with pytest.raises(ValueError, match="_g_key"):
+            dsir_resample(scored, 1)
+
+    def test_rejects_nonpositive_temperature(self, spark):
+        scored = spark.createDataFrame([(1, 1.0)], "doc_id bigint, dsir_logw double")
+        with pytest.raises(ValueError, match="temperature"):
+            dsir_resample(scored, 1, temperature=0.0)
+
+
+class TestSelect:
+    def test_end_to_end_drops_gram_less_docs(self, spark, docs):
+        target = docs.filter(F.col("doc_id").isin(*TARGET_IDS))
+        out = dsir_select(
+            docs.filter(F.col("doc_id") != 5), target, 3, n_features=B
+        ).collect()
+        ids = {r["doc_id"] for r in out}
+        assert len(out) == 3 and 4 not in ids  # empty doc filtered by min_grams
+        assert {"text", "dsir_logw", "n_grams", "sample_rank"} <= set(out[0].asDict())
+
+
+class TestPlanShape:
+    def test_score_has_no_python_stages_and_broadcasts_weights(
+        self, docs, weights
+    ):
+        plan = (
+            dsir_score(docs, weights, n_features=B)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan  # weight join must never shuffle docs
+
+    def test_score_tokenizes_once_per_row(self, docs, weights):
+        # the token array is materialized as its own aliased column, so
+        # the split+filter chain appears ONCE in the doc-side plan — not
+        # 4x inlined into the gram expression (CollapseProject declines
+        # multiply-referenced non-cheap aliases; registered_domain_of_host
+        # precedent). weights is checkpointed, so the plan is doc-side only.
+        plan = (
+            dsir_score(docs, weights, n_features=B)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("split(trim(lower(text") == 1
+
+    def test_fit_has_no_python_stages(self, docs):
+        target = docs.filter(F.col("doc_id").isin(*TARGET_IDS))
+        plan = (
+            dsir_fit(target, docs, n_features=B)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan
