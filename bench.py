@@ -130,6 +130,7 @@ OPS_SECTION = [
     "psl_domains",
     "assign_splits_events",
     "snapshot_write_read",
+    "dsir_select",
 ]
 
 #: frozen first-measurements for the ops section (set r8, steady-state
@@ -142,6 +143,9 @@ OPS_BASELINE_SEC = {
     "assign_splits_events": 0.15,
     # post-footer-audit steady state (the pre-change op measured 1.36)
     "snapshot_write_read": 0.70,
+    # r8 third wave: post-model-pin steady state (pre-pin measured 4.2 —
+    # the bucket-count aggs re-executed for every downstream consumer)
+    "dsir_select": 2.60,
 }
 
 
@@ -303,6 +307,15 @@ def _ops_workloads():
         v = snapshot_write(s, docs, path)
         return snapshot_read(s, path, v)
 
+    def _dsir_select(s, d):
+        # the full DSIR recipe at corpus volume: fit (two bucket aggs +
+        # tiny full-outer join), broadcast-join scoring, Gumbel top-k
+        from kafka_streams_task_spark.operators.dsir import dsir_select
+
+        docs = load_table(s, d, "documents")
+        target = docs.filter(F.col("source") == "src1")
+        return dsir_select(docs, target, 200, n_features=1 << 13)
+
     return {
         "warc_parse": _warc_parse,
         "robots_match": _robots_match,
@@ -310,6 +323,7 @@ def _ops_workloads():
         "psl_domains": _psl_domains,
         "assign_splits_events": _assign_splits_events,
         "snapshot_write_read": _snapshot_write_read,
+        "dsir_select": _dsir_select,
     }
 
 

@@ -17,4 +17,9 @@ from . import llm  # noqa: E402,F401
 from . import llm_suites  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 
+# extensions register PAST the driver's 50-query window (driver ignores
+# them; tools/check_oracle.py holds them to the same oracle standard) —
+# this import must stay LAST so the first 50 slots never move.
+from . import extensions  # noqa: E402,F401
+
 __all__ = ["CATALOG", "QuerySpec", "query"]

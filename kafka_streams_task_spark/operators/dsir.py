@@ -151,8 +151,17 @@ def dsir_fit(
     """
     if alpha <= 0:
         raise ValueError(f"alpha must be positive, got {alpha}")
-    ct = _bucket_counts(target, text_col, n_features, lowercase)
-    cr = _bucket_counts(raw, text_col, n_features, lowercase)
+    # pin the two bucket-count tables (≤n_features rows each): the
+    # totals below, the weight join, the unseen-default collect in
+    # dsir_score, and the broadcast all reuse them — without the pin,
+    # every consumer re-explodes the full corpus (4-5 scans instead of
+    # one per side). Freed once the weight table itself is pinned.
+    ct = _bucket_counts(target, text_col, n_features, lowercase).localCheckpoint(
+        eager=True
+    )
+    cr = _bucket_counts(raw, text_col, n_features, lowercase).localCheckpoint(
+        eager=True
+    )
     n_t = ct.agg(F.sum("c")).first()[0] or 0.0
     n_r = cr.agg(F.sum("c")).first()[0] or 0.0
     denom_t = n_t + alpha * float(n_features)
@@ -176,7 +185,13 @@ def dsir_fit(
     default_row = target.sparkSession.createDataFrame(
         [(None, float(unseen))], schema="idx bigint, log_ratio double"
     )
-    return weights.unionByName(default_row)
+    # materialize the model (≤n_features+1 rows), then free the count
+    # tables — the returned DataFrame is self-contained: scoring /
+    # broadcasting it never re-touches either corpus
+    out = weights.unionByName(default_row).localCheckpoint(eager=True)
+    ct._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    cr._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    return out
 
 
 def dsir_score(
