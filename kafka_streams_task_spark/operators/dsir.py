@@ -47,6 +47,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -226,6 +228,87 @@ def dsir_score(
             F.coalesce(F.sum(term), F.lit(0.0)).alias("dsir_logw"),
             F.count(F.col("idx")).alias("n_grams"),
         )
+    )
+
+
+def dsir_dense_model(weights: DataFrame, n_features: int) -> "object":
+    """Collapse the fitted weight table into a dense numpy λ-vector of
+    length ``n_features`` (unseen buckets pre-filled with the idx-NULL
+    default row's value). Bounded by construction — the model is
+    ≤n_features+1 rows no matter the corpus, so this driver collect is
+    the legitimate "ship the model" step (~64 KB at the default 2^13),
+    not an unbounded materialization."""
+    rows = weights.collect()
+    unseen = next(
+        (r["log_ratio"] for r in rows if r["idx"] is None), 0.0
+    )
+    vec = np.full(n_features, float(unseen), dtype=np.float64)
+    for r in rows:
+        if r["idx"] is not None:
+            vec[int(r["idx"])] = float(r["log_ratio"])
+    return vec
+
+
+def dsir_score_dense(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 1 << 13,
+    lowercase: bool = True,
+) -> DataFrame:
+    """STATELESS scorer: appends ``dsir_logw``/``n_grams`` to ``df``
+    with zero joins and zero shuffles — tokenize+hash stays a JVM
+    codegen expression; the model rides along as a broadcast dense
+    λ-vector gathered-and-summed in ONE Arrow stage per row batch.
+
+    This is the streaming/hot-path twin of :func:`dsir_score` (which is
+    all-relational and oracle-replayable): because it is a pure
+    projection, it composes into Structured Streaming pipelines (no
+    stateful aggregation, no stream-static join) and into batch maps
+    where even the one doc-id shuffle of the relational form is
+    unwanted. Identical semantics; float sum order differs (~1e-12
+    relative), so gate exactness on the relational form.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    clash = [c for c in ("_dsir_toks", "_dsir_idx") if c in df.columns]
+    if clash:
+        raise ValueError(f"df already has columns {clash!r}")
+    vec = dsir_dense_model(weights, n_features)
+    bvec = df.sparkSession.sparkContext.broadcast(vec)
+
+    @pandas_udf("double")
+    def _gather_sum(idxs: pd.Series) -> pd.Series:
+        v = bvec.value
+        return pd.Series(
+            [
+                float(v[np.asarray(a, dtype=np.int64)].sum())
+                if a is not None and len(a)
+                else 0.0
+                for a in idxs
+            ],
+            dtype="float64",
+        )
+
+    # two steps for the same tokenize-once reason as _gram_explode
+    with_idx = df.withColumn(
+        "_dsir_toks", _tokens_expr(F.col(text_col), lowercase)
+    ).withColumn(
+        "_dsir_idx", _indices_of_tokens(F.col("_dsir_toks"), n_features)
+    ).drop("_dsir_toks")
+    return (
+        with_idx.withColumn("dsir_logw", _gather_sum(F.col("_dsir_idx")))
+        .withColumn(
+            "n_grams",
+            F.coalesce(
+                F.when(
+                    F.col("_dsir_idx").isNotNull(), F.size(F.col("_dsir_idx"))
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .drop("_dsir_idx")
     )
 
 

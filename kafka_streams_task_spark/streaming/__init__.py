@@ -4,6 +4,7 @@ from .dedup import (
     streaming_dedup_near,
     streaming_dedup_watermarked,
 )
+from .dsir import streaming_dsir_filter
 from .topology import weather_hotels_stream, weather_rollup_stream
 
 __all__ = [
@@ -13,4 +14,5 @@ __all__ = [
     "streaming_dedup_exact",
     "streaming_dedup_watermarked",
     "streaming_dedup_near",
+    "streaming_dsir_filter",
 ]

@@ -222,6 +222,124 @@ class TestSelect:
         assert {"text", "dsir_logw", "n_grams", "sample_rank"} <= set(out[0].asDict())
 
 
+class TestDenseScore:
+    def test_dense_matches_relational_scores(self, docs, weights):
+        from kafka_streams_task_spark.operators.dsir import dsir_score_dense
+
+        rel = {
+            r["doc_id"]: (r["dsir_logw"], r["n_grams"])
+            for r in dsir_score(docs, weights, n_features=B).collect()
+        }
+        dense = {
+            r["doc_id"]: (r["dsir_logw"], r["n_grams"])
+            for r in dsir_score_dense(docs, weights, n_features=B).collect()
+        }
+        assert set(rel) == set(dense)
+        for d in rel:
+            assert dense[d][0] == pytest.approx(rel[d][0], abs=1e-9), d
+            assert dense[d][1] == rel[d][1], d
+
+    def test_dense_is_a_pure_projection(self, docs, weights):
+        from kafka_streams_task_spark.operators.dsir import dsir_score_dense
+
+        plan = (
+            dsir_score_dense(docs, weights, n_features=B)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # exactly one Arrow stage, zero joins, zero shuffles — the shape
+        # that drops into a streaming pipeline statelessly
+        assert plan.count("ArrowEvalPython") == 1
+        for marker in ("Join", "Exchange", "BatchEvalPython", "Generate"):
+            assert marker not in plan, marker
+
+    def test_dense_keeps_input_columns_and_clash_guards(self, docs, weights):
+        from kafka_streams_task_spark.operators.dsir import dsir_score_dense
+
+        out = dsir_score_dense(docs, weights, n_features=B)
+        assert set(out.columns) == {"doc_id", "text", "dsir_logw", "n_grams"}
+        with pytest.raises(ValueError, match="_dsir_idx"):
+            dsir_score_dense(
+                docs.withColumn("_dsir_idx", F.lit(1)), weights, n_features=B
+            )
+
+    def test_dense_model_vector_shape(self, weights):
+        from kafka_streams_task_spark.operators.dsir import dsir_dense_model
+
+        vec = dsir_dense_model(weights, B)
+        default = weights.filter(F.col("idx").isNull()).first()["log_ratio"]
+        observed = {
+            int(r["idx"]): r["log_ratio"]
+            for r in weights.filter(F.col("idx").isNotNull()).collect()
+        }
+        assert vec.shape == (B,)
+        for i, lr in observed.items():
+            assert vec[i] == pytest.approx(lr, abs=0)
+        # every unobserved slot carries the unseen default
+        unseen_slots = set(range(B)) - set(observed)
+        some = sorted(unseen_slots)[:5]
+        for i in some:
+            assert vec[i] == pytest.approx(default, abs=0)
+
+
+class TestStreamingFilter:
+    def test_stream_filter_matches_batch_filter(self, spark, docs, weights, tmp_path):
+        from kafka_streams_task_spark.operators.dsir import dsir_score_dense
+        from kafka_streams_task_spark.streaming.dsir import streaming_dsir_filter
+
+        src = str(tmp_path / "docs_in")
+        docs.write.parquet(src)
+        stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+        thr = -1.0
+        out = streaming_dsir_filter(stream, weights, thr, n_features=B)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("dsir_stream")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["doc_id"]: r["dsir_logw"]
+            for r in spark.sql("select * from dsir_stream").collect()
+        }
+        expect = {
+            r["doc_id"]: r["dsir_logw"]
+            for r in dsir_score_dense(docs, weights, n_features=B)
+            .filter(F.col("dsir_logw") >= thr)
+            .collect()
+        }
+        assert set(got) == set(expect) and len(got) > 0
+        for d in expect:
+            assert got[d] == pytest.approx(expect[d], abs=1e-9)
+        # the threshold actually cut something (docs 2/3 sit below -1)
+        assert {2, 3}.isdisjoint(got)
+
+    def test_keep_scores_false_lands_input_schema(self, spark, docs, weights, tmp_path):
+        from kafka_streams_task_spark.streaming.dsir import streaming_dsir_filter
+
+        src = str(tmp_path / "docs_in2")
+        docs.write.parquet(src)
+        stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+        out = streaming_dsir_filter(
+            stream, weights, -1.0, n_features=B, keep_scores=False
+        )
+        assert out.columns == ["doc_id", "text"]
+        assert out.isStreaming
+
+    def test_rejects_streaming_weights(self, spark, docs, weights, tmp_path):
+        from kafka_streams_task_spark.streaming.dsir import streaming_dsir_filter
+
+        src = str(tmp_path / "w_in")
+        weights.write.parquet(src)
+        wstream = spark.readStream.schema("idx bigint, log_ratio double").parquet(src)
+        with pytest.raises(ValueError, match="batch DataFrame"):
+            streaming_dsir_filter(docs, wstream, 0.0, n_features=B)
+
+
 class TestPlanShape:
     def test_score_has_no_python_stages_and_broadcasts_weights(
         self, docs, weights
