@@ -340,6 +340,43 @@ class TestStreamingFilter:
             streaming_dsir_filter(docs, wstream, 0.0, n_features=B)
 
 
+def test_dsir_composes_into_training_pipeline(spark):
+    """DSIR slots between the corpus and the governance stages: select
+    an importance-weighted subset, split it leakage-free, shard the
+    train split on a token budget — every stage composes and the
+    invariants of each survive the chain."""
+    from kafka_streams_task_spark.operators.dsir import dsir_select
+    from kafka_streams_task_spark.operators.sampling import (
+        assign_splits,
+        export_training_shards,
+        split_leakage_report,
+    )
+    from kafka_streams_task_spark.schemas import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    target = docs.filter(F.col("source") == "src1")
+    picked = dsir_select(docs, target, 100, n_features=1 << 12)
+    assert picked.count() == 100
+
+    split = assign_splits(
+        picked, {"train": 0.75, "val": 0.125, "test": 0.125}, group_col="source"
+    )
+    assert split_leakage_report(split, "source").count() == 0
+
+    train = split.filter(F.col("split") == "train")
+    sharded = export_training_shards(
+        train, budget=500, token_col="n_chars", order_col="doc_id",
+        num_range_partitions=3,
+    )
+    assert sharded.count() == train.count()
+    # shards partition the budgeted order contiguously
+    per = sharded.groupBy("shard_id").agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).orderBy("shard_id").collect()
+    for a, b in zip(per, per[1:]):
+        assert a["hi"] < b["lo"]
+
+
 class TestPlanShape:
     def test_score_has_no_python_stages_and_broadcasts_weights(
         self, docs, weights
