@@ -144,8 +144,12 @@ def dsir_fit(
     alpha: float = 1.0,
     lowercase: bool = True,
 ) -> DataFrame:
-    """Fit the importance model: ``(idx, log_ratio)`` with one idx-NULL
-    row carrying the unseen-bucket default (see module docstring).
+    """Fit the importance model: ``(idx, log_ratio, n_features)`` with
+    one idx-NULL row carrying the unseen-bucket default (see module
+    docstring). The constant ``n_features`` column stamps the hash
+    width INTO the model, so every scorer can verify it scores with the
+    width the model was fit at — a mismatch mis-hashes every gram
+    silently otherwise (the bucket is ``gram mod width``).
 
     ``log_ratio[b] = ln p_target[b] − ln p_raw[b]`` under Laplace-alpha
     smoothing. The two corpus totals are bounded scalar aggregates (the
@@ -181,11 +185,13 @@ def dsir_fit(
         .select(
             F.col("idx").cast("long").alias("idx"),
             lam.cast("double").alias("log_ratio"),
+            F.lit(int(n_features)).cast("long").alias("n_features"),
         )
     )
     unseen = math.log(alpha / denom_t) - math.log(alpha / denom_r)
     default_row = target.sparkSession.createDataFrame(
-        [(None, float(unseen))], schema="idx bigint, log_ratio double"
+        [(None, float(unseen), int(n_features))],
+        schema="idx bigint, log_ratio double, n_features bigint",
     )
     # materialize the model (≤n_features+1 rows), then free the count
     # tables — the returned DataFrame is self-contained: scoring /
@@ -196,12 +202,38 @@ def dsir_fit(
     return out
 
 
+def _resolve_width(weights: DataFrame, n_features: int | None) -> int:
+    """The hash width to score with: the model's stamped ``n_features``
+    when present (validated against the param if both are given —
+    scoring with a different width than the fit mis-hashes every gram
+    SILENTLY), else the explicit param (hand-built weight tables)."""
+    stamped = None
+    if "n_features" in weights.columns:
+        row = weights.select("n_features").first()
+        if row is not None and row[0] is not None:
+            stamped = int(row[0])
+    if stamped is None:
+        if n_features is None:
+            raise ValueError(
+                "weights carry no n_features stamp — pass n_features "
+                "explicitly (and make it the width used at fit time)"
+            )
+        return int(n_features)
+    if n_features is not None and int(n_features) != stamped:
+        raise ValueError(
+            f"n_features={int(n_features)} does not match the model's "
+            f"fit width {stamped} — scoring with a different width "
+            "mis-hashes every gram"
+        )
+    return stamped
+
+
 def dsir_score(
     df: DataFrame,
     weights: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_features: int = 1 << 13,
+    n_features: int | None = None,
     lowercase: bool = True,
 ) -> DataFrame:
     """``(id_col, dsir_logw, n_grams)`` for every input document —
@@ -210,11 +242,13 @@ def dsir_score(
     ≤n_features-row weight table → one aggregate by id: a single
     shuffle end to end. Docs with no grams (empty/NULL text) keep
     ``dsir_logw = 0`` (weight 1) via ``explode_outer`` — no second
-    pass, no re-join against the id set.
+    pass, no re-join against the id set. The hash width comes from the
+    model's stamp by default (see :func:`_resolve_width`).
     """
+    n_features = _resolve_width(weights, n_features)
     default_rows = weights.filter(F.col("idx").isNull()).collect()
     unseen = float(default_rows[0]["log_ratio"]) if default_rows else 0.0
-    w = weights.filter(F.col("idx").isNotNull())
+    w = weights.filter(F.col("idx").isNotNull()).select("idx", "log_ratio")
     grams = _gram_explode(
         df, text_col, n_features, lowercase, id_cols=[id_col], outer=True
     )
@@ -231,13 +265,17 @@ def dsir_score(
     )
 
 
-def dsir_dense_model(weights: DataFrame, n_features: int) -> "object":
+def dsir_dense_model(
+    weights: DataFrame, n_features: int | None = None
+) -> "object":
     """Collapse the fitted weight table into a dense numpy λ-vector of
-    length ``n_features`` (unseen buckets pre-filled with the idx-NULL
-    default row's value). Bounded by construction — the model is
-    ≤n_features+1 rows no matter the corpus, so this driver collect is
-    the legitimate "ship the model" step (~64 KB at the default 2^13),
-    not an unbounded materialization."""
+    length ``n_features`` (the model's stamped width by default;
+    unseen buckets pre-filled with the idx-NULL default row's value).
+    Bounded by construction — the model is ≤n_features+1 rows no matter
+    the corpus, so this driver collect is the legitimate "ship the
+    model" step (~64 KB at the default 2^13), not an unbounded
+    materialization."""
+    n_features = _resolve_width(weights, n_features)
     rows = weights.collect()
     unseen = next(
         (r["log_ratio"] for r in rows if r["idx"] is None), 0.0
@@ -245,7 +283,14 @@ def dsir_dense_model(weights: DataFrame, n_features: int) -> "object":
     vec = np.full(n_features, float(unseen), dtype=np.float64)
     for r in rows:
         if r["idx"] is not None:
-            vec[int(r["idx"])] = float(r["log_ratio"])
+            i = int(r["idx"])
+            if not (0 <= i < n_features):
+                # unreachable for stamped models (the width check above
+                # already raised); loud backstop for hand-built tables
+                raise ValueError(
+                    f"weight idx {i} outside [0, {n_features})"
+                )
+            vec[i] = float(r["log_ratio"])
     return vec
 
 
@@ -254,7 +299,7 @@ def dsir_score_dense(
     weights: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_features: int = 1 << 13,
+    n_features: int | None = None,
     lowercase: bool = True,
 ) -> DataFrame:
     """STATELESS scorer: appends ``dsir_logw``/``n_grams`` to ``df``
@@ -275,6 +320,7 @@ def dsir_score_dense(
     clash = [c for c in ("_dsir_toks", "_dsir_idx") if c in df.columns]
     if clash:
         raise ValueError(f"df already has columns {clash!r}")
+    n_features = _resolve_width(weights, n_features)
     vec = dsir_dense_model(weights, n_features)
     bvec = df.sparkSession.sparkContext.broadcast(vec)
 

@@ -34,7 +34,7 @@ def streaming_dsir_filter(
     threshold: float,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_features: int = 1 << 13,
+    n_features: int | None = None,
     lowercase: bool = True,
     keep_scores: bool = True,
 ) -> DataFrame:

@@ -140,6 +140,30 @@ class TestFitScore:
         assert not (set(oov_idx) & observed)
         assert got["dsir_logw"] == pytest.approx(3 * default, abs=1e-12)
 
+    def test_width_stamp_default_and_mismatch(self, docs, weights):
+        from kafka_streams_task_spark.operators.dsir import dsir_score_dense
+
+        # no explicit width: the model's stamp is used
+        a = {r["doc_id"]: r["dsir_logw"] for r in dsir_score(docs, weights).collect()}
+        b = {
+            r["doc_id"]: r["dsir_logw"]
+            for r in dsir_score(docs, weights, n_features=B).collect()
+        }
+        assert a == b
+        # a different width mis-hashes every gram — must refuse loudly
+        with pytest.raises(ValueError, match="does not match"):
+            dsir_score(docs, weights, n_features=B * 2)
+        with pytest.raises(ValueError, match="does not match"):
+            dsir_score_dense(docs, weights, n_features=B // 2)
+
+    def test_unstamped_weights_require_explicit_width(self, spark, docs):
+        hand = spark.createDataFrame(
+            [(1, 0.5), (None, -0.1)], "idx bigint, log_ratio double"
+        )
+        with pytest.raises(ValueError, match="no n_features stamp"):
+            dsir_score(docs, hand)
+        assert dsir_score(docs, hand, n_features=B).count() == len(DOCS)
+
     def test_fit_rejects_nonpositive_alpha(self, docs):
         with pytest.raises(ValueError, match="alpha"):
             dsir_fit(docs, docs, alpha=0.0)
