@@ -82,6 +82,7 @@ _DSIR_ORACLE = f"""
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
            CAST(n_grams AS BIGINT) AS n_grams,
            {sql_fmicro("logw")} AS lw,
+           {sql_fmicro("logw")} AS lw_dense,
            CAST(CASE WHEN row_number() OVER (ORDER BY gk DESC, doc_id) <= {_DSIR_K}
                      THEN 1 ELSE 0 END AS BIGINT) AS sel
     FROM keyed
@@ -99,22 +100,38 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring, AND the weighted draw in one query. The oracle restates the
     whole chain relationally in DuckDB (same md5 bucket arithmetic, same
     Gumbel keys); logw parity is at micro precision (the nll-leg
-    precedent for float aggregation order)."""
-    from ..operators.dsir import dsir_fit, dsir_resample, dsir_score
+    precedent for float aggregation order).
+
+    ``lw_dense`` is the SAME document scored through the dense
+    broadcast-vector Arrow path (``dsir_score_dense``, the serve tier):
+    the oracle states it equal to the relational score, so the one
+    Arrow stage in this plan is itself value-gated — train/serve
+    symmetry as a checked invariant, not a claim."""
+    from ..operators.dsir import (
+        dsir_fit,
+        dsir_resample,
+        dsir_score,
+        dsir_score_dense,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     target = d.filter(F.col("source") == "src1")
     weights = dsir_fit(target, d, n_features=_DSIR_B)
     scored = dsir_score(d, weights, n_features=_DSIR_B)
+    dense = dsir_score_dense(d, weights).select(
+        "doc_id", F.col("dsir_logw").alias("_dense_logw")
+    )
     picked = dsir_resample(scored, _DSIR_K, seed=42).select(
         "doc_id", "sample_rank"
     )
     return (
         scored.join(picked, "doc_id", "left")
+        .join(dense, "doc_id")
         .select(
             F.col("doc_id").cast("long").alias("doc_id"),
             F.col("n_grams").cast("long").alias("n_grams"),
             fmicro_col(F.col("dsir_logw")).alias("lw"),
+            fmicro_col(F.col("_dense_logw")).alias("lw_dense"),
             F.when(F.col("sample_rank").isNotNull(), F.lit(1))
             .otherwise(F.lit(0))
             .cast("long")
