@@ -138,3 +138,186 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sel"),
         )
     )
+
+
+def _sql_str(s: str) -> str:
+    """A DuckDB string literal for a frozen expected value: quotes
+    doubled, newlines spliced as chr(10) so the SQL stays one line."""
+    parts = [
+        "'" + p.replace("'", "''") + "'" for p in s.split("\n")
+    ]
+    return " || chr(10) || ".join(parts) if len(parts) > 1 else parts[0]
+
+
+#: crawl_extract_suite decision tables — planted inputs for the three
+#: crawl-extraction operators, expected outputs frozen AFTER hand-
+#: verification against each operator's documented semantics (the
+#: robots/delay/charset recipe). The ENGINE side runs the real
+#: operators; only the oracle states these constants.
+_HTML_CASES = [
+    # m, planted html, expected html_to_text output
+    (0, '<html><head><title>T0</title><script>var x=1;</script></head>'
+        '<body><p>Hello &amp; welcome</p><div>Second block</div></body></html>',
+        '   T0    \nHello & welcome\n\nSecond block\n  '),
+    (1, '<p>keep</p><script>lost tail', '\nkeep\n '),              # unclosed: tail dropped
+    (2, '<style>p{color:red}</style><!-- note --><b>bold</b> text',
+        '   bold  text'),
+    (3, '<!DOCTYPE html><p>&lt;tag&gt; &quot;q&quot; &#39;s</p>',
+        ' \n<tag> "q" \'s\n'),
+    (4, '<template><p>gone</p></template><span>kept</span>', '  kept '),
+    (5, 'just plain text', 'just plain text'),
+    (6, '', ''),
+]
+
+_SITEMAP_CASES = [
+    # ms, planted xml
+    (0, '<?xml version="1.0"?><urlset>'
+        '<url><loc>https://a.com/p1</loc><lastmod>2026-01-02</lastmod></url>'
+        '<url><loc>https://a.com/p2?x=1&amp;y=2</loc></url></urlset>'),
+    (1, '<sitemapindex><sitemap><loc>https://b.com/sitemap2.xml</loc>'
+        '</sitemap></sitemapindex>'),
+]
+#: (ms, loc, lastmod, is_index) — the oracle's sitemap decision table
+_SITEMAP_EXPECT = [
+    (0, "https://a.com/p1", "2026-01-02", 0),
+    (0, "https://a.com/p2?x=1&y=2", None, 0),
+    (1, "https://b.com/sitemap2.xml", None, 1),
+]
+
+_LINK_CASES = [
+    # ml, warc_type, http_status, http_content_type, target_uri, html
+    (0, "response", 200, "text/html", "http://x0.alpha.com/a",
+        '<a href="https://beta.com/p">b</a> <a href="https://alpha.com/q">s</a>'),
+    (1, "response", 200, "text/html; charset=utf-8", "https://www.gamma.co.uk/z",
+        '<a href="http://delta.com/1">1</a><a href="http://delta.com/2">2</a>'),
+    (2, "response", 404, "text/html", "http://x.e.com/",
+        '<a href="https://f.com/">x</a>'),                     # non-200: no edges
+    (3, "response", 200, "image/png", "http://x.e.com/",
+        '<a href="https://f.com/">x</a>'),                     # non-html: no edges
+]
+#: (ml, src, dst, links_per_doc) — self-loop alpha→alpha dropped,
+#: parallel delta edges kept, www./co.uk collapse to the registrable
+#: domain, 404 and image rows contribute nothing
+_LINK_EXPECT = [(0, "alpha.com", "beta.com", 1), (1, "gamma.co.uk", "delta.com", 2)]
+
+
+def _crawl_extract_oracle() -> str:
+    text_vals = ", ".join(
+        f"({m}, {_sql_str(exp)})" for m, _, exp in _HTML_CASES
+    )
+    sm_vals = ", ".join(
+        "({}, {}, {}, {})".format(
+            ms, _sql_str(loc),
+            "NULL" if lastmod is None else _sql_str(lastmod), idx,
+        )
+        for ms, loc, lastmod, idx in _SITEMAP_EXPECT
+    )
+    link_vals = ", ".join(
+        f"({ml}, {_sql_str(src)}, {_sql_str(dst)}, {per})"
+        for ml, src, dst, per in _LINK_EXPECT
+    )
+    return f"""
+    WITH text_tab(m, expected) AS (VALUES {text_vals}),
+    sm_tab(ms, loc, lastmod, is_index) AS (VALUES {sm_vals}),
+    link_tab(ml, src, dst, per) AS (VALUES {link_vals}),
+    link_docs AS (
+      SELECT doc_id % 4 AS ml, count(*) AS c FROM documents
+      WHERE doc_id < 40 GROUP BY doc_id % 4
+    )
+    SELECT CAST('text' AS VARCHAR) AS leg, CAST(d.doc_id AS BIGINT) AS key,
+           CAST(t.expected AS VARCHAR) AS s1, CAST(NULL AS VARCHAR) AS s2,
+           CAST(NULL AS BIGINT) AS i1
+    FROM documents d JOIN text_tab t ON d.doc_id % 7 = t.m
+    WHERE d.doc_id < 70
+    UNION ALL
+    SELECT CAST('sitemap' AS VARCHAR), CAST(d.doc_id AS BIGINT),
+           CAST(s.loc AS VARCHAR), CAST(s.lastmod AS VARCHAR),
+           CAST(s.is_index AS BIGINT)
+    FROM documents d JOIN sm_tab s ON d.doc_id % 2 = s.ms
+    WHERE d.doc_id < 30
+    UNION ALL
+    SELECT CAST('links' AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(e.src AS VARCHAR), CAST(e.dst AS VARCHAR),
+           CAST(e.per * ld.c AS BIGINT)
+    FROM link_tab e JOIN link_docs ld ON e.ml = ld.ml
+"""
+
+
+@query("crawl_extract_suite", oracle=_crawl_extract_oracle())
+def crawl_extract_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-extraction operators that were done-by-proof only,
+    value-gated through planted decision tables (VERDICT r7 discipline,
+    extended): 'text' runs the REAL ``html_to_text`` regexp chain over
+    7 planted markup shapes (script/style/template removal, unclosed-
+    script soft degradation, comments/doctype, block-tag newlines,
+    entity subset incl. the &amp;-last rule); 'sitemap' runs the real
+    ``parse_sitemap_urls`` over a urlset (with lastmod sibling and an
+    entity-encoded loc) and a sitemap index; 'links' runs the real
+    ``warc_link_graph`` chain (html_links → registered_domain,
+    status/content-type pushdown, self-loop drop, parallel edges kept)
+    over planted response records. Planted inputs arrive via broadcast
+    mapping joins — never inline CASE (constraint-pushdown
+    multiplication, see the r8 codegen lesson)."""
+    from ..functions.text import html_to_text
+    from ..operators.robots import parse_sitemap_urls
+    from ..sources.warc import warc_link_graph
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    html_map = spark.createDataFrame(
+        [(m, h) for m, h, _ in _HTML_CASES], "m int, html string"
+    )
+    text_leg = (
+        d.filter(F.col("doc_id") < 70)
+        .withColumn("m", (F.col("doc_id") % 7).cast("int"))
+        .join(F.broadcast(html_map), "m")
+        .select(
+            F.lit("text").cast("string").alias("leg"),
+            F.col("doc_id").cast("long").alias("key"),
+            html_to_text(F.col("html")).cast("string").alias("s1"),
+            F.lit(None).cast("string").alias("s2"),
+            F.lit(None).cast("long").alias("i1"),
+        )
+    )
+
+    sm_map = spark.createDataFrame(_SITEMAP_CASES, "ms int, sitemap_xml string")
+    sm_leg = parse_sitemap_urls(
+        d.filter(F.col("doc_id") < 30)
+        .withColumn("ms", (F.col("doc_id") % 2).cast("int"))
+        .join(F.broadcast(sm_map), "ms"),
+        keep_cols=("doc_id",),
+    ).select(
+        F.lit("sitemap").cast("string").alias("leg"),
+        F.col("doc_id").cast("long").alias("key"),
+        F.col("loc").cast("string").alias("s1"),
+        F.col("lastmod").cast("string").alias("s2"),
+        F.col("is_index").cast("long").alias("i1"),
+    )
+
+    link_map = spark.createDataFrame(
+        _LINK_CASES,
+        "ml int, warc_type string, http_status int, http_content_type string,"
+        " target_uri string, html string",
+    )
+    records = (
+        d.filter(F.col("doc_id") < 40)
+        .withColumn("ml", (F.col("doc_id") % 4).cast("int"))
+        .join(F.broadcast(link_map), "ml")
+        .select(
+            "warc_type", "http_status", "http_content_type", "target_uri",
+            F.col("html").cast("binary").alias("payload"),
+        )
+    )
+    link_leg = (
+        warc_link_graph(records)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.lit("links").cast("string").alias("leg"),
+            F.lit(None).cast("long").alias("key"),
+            F.col("src").cast("string").alias("s1"),
+            F.col("dst").cast("string").alias("s2"),
+            F.col("cnt").cast("long").alias("i1"),
+        )
+    )
+    return text_leg.unionByName(sm_leg).unionByName(link_leg)

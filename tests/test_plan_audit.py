@@ -78,8 +78,8 @@ def test_catalog_driver_window_is_exactly_fifty(plans):
     # tools/check_oracle.py, invisible to the driver, still under every
     # plan invariant in this file via the shared `plans` fixture.
     names = list(CATALOG)
-    assert len(names) == 51
-    assert names[50] == "dsir_importance"
+    assert len(names) == 52
+    assert names[50:] == ["dsir_importance", "crawl_extract_suite"]
 
 
 def test_no_cartesian_product_anywhere(plans):
