@@ -200,6 +200,21 @@ _LINK_CASES = [
 #: domain, 404 and image rows contribute nothing
 _LINK_EXPECT = [(0, "alpha.com", "beta.com", 1), (1, "gamma.co.uk", "delta.com", 2)]
 
+_SMDISC_CASES = [
+    # msd, domain, planted robots body (Sitemap is group-independent:
+    # leading whitespace, case, crlf, inline comment, and absence)
+    (0, "d0", "User-agent: *\nDisallow: /x\nSitemap: https://a.com/sm.xml\n"
+              " sitemap : https://a.com/sm2.xml # comment\n"),
+    (1, "d1", "User-agent: x\r\nSITEMAP:https://b.com/s.xml\r\n"),
+    (2, "d2", "User-agent: *\nDisallow: /\n"),
+]
+#: (msd, domain, sitemap_url, urls_per_doc)
+_SMDISC_EXPECT = [
+    (0, "d0", "https://a.com/sm.xml", 1),
+    (0, "d0", "https://a.com/sm2.xml", 1),
+    (1, "d1", "https://b.com/s.xml", 1),
+]
+
 
 def _crawl_extract_oracle() -> str:
     text_vals = ", ".join(
@@ -216,13 +231,22 @@ def _crawl_extract_oracle() -> str:
         f"({ml}, {_sql_str(src)}, {_sql_str(dst)}, {per})"
         for ml, src, dst, per in _LINK_EXPECT
     )
+    smd_vals = ", ".join(
+        f"({msd}, {_sql_str(dom)}, {_sql_str(url)}, {per})"
+        for msd, dom, url, per in _SMDISC_EXPECT
+    )
     return f"""
     WITH text_tab(m, expected) AS (VALUES {text_vals}),
     sm_tab(ms, loc, lastmod, is_index) AS (VALUES {sm_vals}),
     link_tab(ml, src, dst, per) AS (VALUES {link_vals}),
+    smd_tab(msd, domain, url, per) AS (VALUES {smd_vals}),
     link_docs AS (
       SELECT doc_id % 4 AS ml, count(*) AS c FROM documents
       WHERE doc_id < 40 GROUP BY doc_id % 4
+    ),
+    smd_docs AS (
+      SELECT doc_id % 3 AS msd, count(*) AS c FROM documents
+      WHERE doc_id < 30 GROUP BY doc_id % 3
     )
     SELECT CAST('text' AS VARCHAR) AS leg, CAST(d.doc_id AS BIGINT) AS key,
            CAST(t.expected AS VARCHAR) AS s1, CAST(NULL AS VARCHAR) AS s2,
@@ -240,6 +264,11 @@ def _crawl_extract_oracle() -> str:
            CAST(e.src AS VARCHAR), CAST(e.dst AS VARCHAR),
            CAST(e.per * ld.c AS BIGINT)
     FROM link_tab e JOIN link_docs ld ON e.ml = ld.ml
+    UNION ALL
+    SELECT CAST('smdisc' AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(s.domain AS VARCHAR), CAST(s.url AS VARCHAR),
+           CAST(s.per * sd.c AS BIGINT)
+    FROM smd_tab s JOIN smd_docs sd ON s.msd = sd.msd
 """
 
 
@@ -255,11 +284,14 @@ def crawl_extract_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     entity-encoded loc) and a sitemap index; 'links' runs the real
     ``warc_link_graph`` chain (html_links → registered_domain,
     status/content-type pushdown, self-loop drop, parallel edges kept)
-    over planted response records. Planted inputs arrive via broadcast
+    over planted response records; 'smdisc' runs the real
+    ``extract_sitemaps`` line scan (group-independent Sitemap directive:
+    case, leading whitespace, crlf, inline comment, absence) over
+    planted robots bodies. Planted inputs arrive via broadcast
     mapping joins — never inline CASE (constraint-pushdown
     multiplication, see the r8 codegen lesson)."""
     from ..functions.text import html_to_text
-    from ..operators.robots import parse_sitemap_urls
+    from ..operators.robots import extract_sitemaps, parse_sitemap_urls
     from ..sources.warc import warc_link_graph
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -320,4 +352,27 @@ def crawl_extract_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").cast("long").alias("i1"),
         )
     )
-    return text_leg.unionByName(sm_leg).unionByName(link_leg)
+    smd_map = spark.createDataFrame(
+        _SMDISC_CASES, "msd int, domain string, robots_txt string"
+    )
+    smd_leg = (
+        extract_sitemaps(
+            d.filter(F.col("doc_id") < 30)
+            .withColumn("msd", (F.col("doc_id") % 3).cast("int"))
+            .join(F.broadcast(smd_map), "msd")
+        )
+        .groupBy("domain", "sitemap_url")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.lit("smdisc").cast("string").alias("leg"),
+            F.lit(None).cast("long").alias("key"),
+            F.col("domain").cast("string").alias("s1"),
+            F.col("sitemap_url").cast("string").alias("s2"),
+            F.col("cnt").cast("long").alias("i1"),
+        )
+    )
+    return (
+        text_leg.unionByName(sm_leg)
+        .unionByName(link_leg)
+        .unionByName(smd_leg)
+    )
