@@ -364,6 +364,83 @@ class TestStreamingFilter:
             streaming_dsir_filter(docs, wstream, 0.0, n_features=B)
 
 
+def _serial_reference(corpus: dict[int, str | None], target_ids, b: int):
+    """Pure-Python DSIR scores (hashlib md5, Laplace-1) — the
+    independent implementation the Spark operators must match."""
+    ct: collections.Counter = collections.Counter()
+    cr: collections.Counter = collections.Counter()
+    def bidx(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % b
+    for d, t in corpus.items():
+        for g in _grams(t):
+            cr[bidx(g)] += 1
+            if d in target_ids:
+                ct[bidx(g)] += 1
+    nt, nr, a = sum(ct.values()), sum(cr.values()), 1.0
+    lam = {
+        k: math.log((ct.get(k, 0) + a) / (nt + a * b))
+        - math.log((cr.get(k, 0) + a) / (nr + a * b))
+        for k in set(ct) | set(cr)
+    }
+    uns = math.log(a / (nt + a * b)) - math.log(a / (nr + a * b))
+    return {
+        d: sum(lam.get(bidx(g), uns) for g in _grams(t))
+        for d, t in corpus.items()
+    }
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _WORDS = ["a", "b", "c", "ab", "bc", "ca", "x"]
+
+    @st.composite
+    def _corpora(draw):
+        texts = draw(
+            st.lists(
+                st.lists(st.sampled_from(_WORDS), min_size=0, max_size=8),
+                min_size=1,
+                max_size=10,
+            )
+        )
+        corpus = {i: " ".join(ws) for i, ws in enumerate(texts)}
+        target = draw(st.sets(st.sampled_from(sorted(corpus)), max_size=len(corpus)))
+        return corpus, target
+
+    @settings(max_examples=5, deadline=None)
+    @given(_corpora())
+    def test_property_scores_match_serial_reference(spark, case):
+        """Random corpora over a tiny alphabet at B=64 (bucket
+        collisions guaranteed): both Spark scorers must agree with an
+        independent pure-Python implementation — including empty
+        targets, empty docs, and collision-pooled buckets."""
+        corpus, target_ids = case
+        b = 64
+        docs = spark.createDataFrame(
+            list(corpus.items()), "doc_id bigint, text string"
+        )
+        target = docs.filter(F.col("doc_id").isin(*target_ids)) if target_ids \
+            else docs.filter(F.lit(False))
+        weights = dsir_fit(target, docs, n_features=b)
+        expect = _serial_reference(corpus, target_ids, b)
+        from kafka_streams_task_spark.operators.dsir import dsir_score_dense
+
+        for scorer in (dsir_score, dsir_score_dense):
+            got = {
+                r["doc_id"]: r["dsir_logw"]
+                for r in scorer(docs, weights).collect()
+            }
+            assert set(got) == set(expect)
+            for d in expect:
+                assert got[d] == pytest.approx(expect[d], abs=1e-9), (
+                    scorer.__name__, d, corpus[d],
+                )
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
+
+
 def test_dsir_composes_into_training_pipeline(spark):
     """DSIR slots between the corpus and the governance stages: select
     an importance-weighted subset, split it leakage-free, shard the
