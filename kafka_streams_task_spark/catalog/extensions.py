@@ -82,7 +82,7 @@ _DSIR_ORACLE = f"""
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
            CAST(n_grams AS BIGINT) AS n_grams,
            {sql_fmicro("logw")} AS lw,
-           {sql_fmicro("logw")} AS lw_dense,
+           CAST(1 AS BIGINT) AS dense_ok,
            CAST(CASE WHEN row_number() OVER (ORDER BY gk DESC, doc_id) <= {_DSIR_K}
                      THEN 1 ELSE 0 END AS BIGINT) AS sel
     FROM keyed
@@ -102,11 +102,13 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gumbel keys); logw parity is at micro precision (the nll-leg
     precedent for float aggregation order).
 
-    ``lw_dense`` is the SAME document scored through the dense
-    broadcast-vector Arrow path (``dsir_score_dense``, the serve tier):
-    the oracle states it equal to the relational score, so the one
-    Arrow stage in this plan is itself value-gated — train/serve
-    symmetry as a checked invariant, not a claim."""
+    ``dense_ok`` gates the dense broadcast-vector Arrow path
+    (``dsir_score_dense``, the serve tier) as a TOLERANCE invariant:
+    |dense − relational| < 1e-6 per document, stated as constant 1 by
+    the oracle (the corpus-quantile rank-bracket precedent). A second
+    micro-rounded column would flake whenever the documented ~1e-12
+    float-order delta straddles a micro boundary; the invariant form
+    gates train/serve symmetry without that surface."""
     from ..operators.dsir import (
         dsir_fit,
         dsir_resample,
@@ -131,7 +133,13 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").cast("long").alias("doc_id"),
             F.col("n_grams").cast("long").alias("n_grams"),
             fmicro_col(F.col("dsir_logw")).alias("lw"),
-            fmicro_col(F.col("_dense_logw")).alias("lw_dense"),
+            F.when(
+                F.abs(F.col("dsir_logw") - F.col("_dense_logw")) < F.lit(1e-6),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("dense_ok"),
             F.when(F.col("sample_rank").isNotNull(), F.lit(1))
             .otherwise(F.lit(0))
             .cast("long")

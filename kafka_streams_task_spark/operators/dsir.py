@@ -197,8 +197,14 @@ def dsir_fit(
     # tables — the returned DataFrame is self-contained: scoring /
     # broadcasting it never re-touches either corpus
     out = weights.unionByName(default_row).localCheckpoint(eager=True)
-    ct._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    cr._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    # best-effort: the freed blocks are ≤n_features rows each, so a
+    # Spark build where the analyzed plan of a localCheckpoint is not a
+    # LogicalRDD should degrade to a tiny leak, never a crash
+    try:
+        ct._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        cr._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # pragma: no cover - vendor-build defensiveness
+        pass
     return out
 
 
@@ -244,6 +250,11 @@ def dsir_score(
     ``dsir_logw = 0`` (weight 1) via ``explode_outer`` — no second
     pass, no re-join against the id set. The hash width comes from the
     model's stamp by default (see :func:`_resolve_width`).
+
+    A hand-built weights table WITHOUT the idx-NULL default row scores
+    out-of-model grams at 0.0 (weight 1) — deliberate for the minimal
+    (idx, log_ratio) form, but fitted models should always keep their
+    default row: dropping it silently flattens unseen-bucket mass.
     """
     n_features = _resolve_width(weights, n_features)
     default_rows = weights.filter(F.col("idx").isNull()).collect()
@@ -298,7 +309,6 @@ def dsir_score_dense(
     df: DataFrame,
     weights: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     n_features: int | None = None,
     lowercase: bool = True,
 ) -> DataFrame:
@@ -320,8 +330,10 @@ def dsir_score_dense(
     clash = [c for c in ("_dsir_toks", "_dsir_idx") if c in df.columns]
     if clash:
         raise ValueError(f"df already has columns {clash!r}")
-    n_features = _resolve_width(weights, n_features)
+    # one width resolution total: dsir_dense_model resolves (stamp vs
+    # param), and the vector's length IS the resolved width
     vec = dsir_dense_model(weights, n_features)
+    n_features = int(vec.shape[0])
     bvec = df.sparkSession.sparkContext.broadcast(vec)
 
     @pandas_udf("double")

@@ -33,7 +33,6 @@ def streaming_dsir_filter(
     weights: DataFrame,
     threshold: float,
     text_col: str = "text",
-    id_col: str = "doc_id",
     n_features: int | None = None,
     lowercase: bool = True,
     keep_scores: bool = True,
@@ -54,7 +53,7 @@ def streaming_dsir_filter(
             "weights must be a batch DataFrame (a fitted model), not a stream"
         )
     scored = dsir_score_dense(
-        stream, weights, text_col, id_col, n_features, lowercase
+        stream, weights, text_col, n_features, lowercase
     ).filter(F.col("dsir_logw") >= F.lit(float(threshold)))
     if keep_scores:
         return scored
