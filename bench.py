@@ -131,6 +131,7 @@ OPS_SECTION = [
     "assign_splits_events",
     "snapshot_write_read",
     "dsir_select",
+    "html_extract",
 ]
 
 #: frozen first-measurements for the ops section (set r8, steady-state
@@ -146,6 +147,9 @@ OPS_BASELINE_SEC = {
     # r8 third wave: post-model-pin steady state (pre-pin measured 4.2 —
     # the bucket-count aggs re-executed for every downstream consumer)
     "dsir_select": 2.60,
+    # r8 third wave: 100k pages x 4 planted shapes through the
+    # html_to_text + clean_text codegen chain
+    "html_extract": 0.70,
 }
 
 
@@ -307,6 +311,33 @@ def _ops_workloads():
         v = snapshot_write(s, docs, path)
         return snapshot_read(s, path, v)
 
+    def _html_extract(s, d):
+        # html_to_text + clean_text throughput at events volume: 100k
+        # pages cycling 4 planted shapes (script-heavy, deep block
+        # nesting, entity-dense, unclosed container) via broadcast map
+        from kafka_streams_task_spark.functions.text import (
+            clean_text,
+            html_to_text,
+        )
+
+        shapes = s.createDataFrame(
+            [
+                (0, "<html><head><script>var a=1;</script><style>p{}</style>"
+                    "</head><body>" + "<p>para text here</p>" * 20 + "</body></html>"),
+                (1, "<div>" + "<ul><li>item</li><li>item2</li></ul>" * 15 + "</div>"),
+                (2, "<p>" + "&amp; &lt;x&gt; &quot;q&quot; &nbsp; " * 30 + "</p>"),
+                (3, "<p>lead</p><script>var tail=1;" + "x" * 500),
+            ],
+            "hm int, page string",
+        )
+        ev = load_table(s, d, "events")
+        pages = ev.select(
+            "event_id", (F.col("event_id") % 4).cast("int").alias("hm")
+        ).join(F.broadcast(shapes), "hm")
+        return pages.select(
+            "event_id", clean_text(html_to_text(F.col("page"))).alias("text")
+        )
+
     def _dsir_select(s, d):
         # the full DSIR recipe at corpus volume: fit (two bucket aggs +
         # tiny full-outer join), broadcast-join scoring, Gumbel top-k
@@ -324,6 +355,7 @@ def _ops_workloads():
         "assign_splits_events": _assign_splits_events,
         "snapshot_write_read": _snapshot_write_read,
         "dsir_select": _dsir_select,
+        "html_extract": _html_extract,
     }
 
 
