@@ -223,6 +223,16 @@ _SMDISC_EXPECT = [
     (1, "d1", "https://b.com/s.xml", 1),
 ]
 
+#: (mr, warc_type, truncated, payload, source_file) — report decision
+#: table: a clean 5-byte response, a 2-byte malformed row, a 3-byte
+#: length-capped response, and a NULL-payload request across two files
+_REPORT_CASES = [
+    (0, "response", None, bytearray(b"abcde"), "f0"),
+    (1, "_malformed", None, bytearray(b"xy"), "f0"),
+    (2, "response", "length", bytearray(b"abc"), "f1"),
+    (3, "request", None, None, "f1"),
+]
+
 
 def _crawl_extract_oracle() -> str:
     text_vals = ", ".join(
@@ -255,6 +265,20 @@ def _crawl_extract_oracle() -> str:
     smd_docs AS (
       SELECT doc_id % 3 AS msd, count(*) AS c FROM documents
       WHERE doc_id < 30 GROUP BY doc_id % 3
+    ),
+    rep_docs AS (
+      SELECT doc_id % 4 AS mr, count(*) AS c FROM documents
+      WHERE doc_id < 40 GROUP BY doc_id % 4
+    ),
+    rep_c AS (
+      SELECT (SELECT sum(c) FROM rep_docs) AS n_records,
+             (SELECT c FROM rep_docs WHERE mr = 1) AS n_malformed,
+             (SELECT c FROM rep_docs WHERE mr = 2) AS n_truncated,
+             (SELECT 5 * max(CASE WHEN mr = 0 THEN c END)
+                   + 2 * max(CASE WHEN mr = 1 THEN c END)
+                   + 3 * max(CASE WHEN mr = 2 THEN c END)
+              FROM rep_docs) AS payload_bytes,
+             2 AS n_files
     )
     SELECT CAST('text' AS VARCHAR) AS leg, CAST(d.doc_id AS BIGINT) AS key,
            CAST(t.expected AS VARCHAR) AS s1, CAST(NULL AS VARCHAR) AS s2,
@@ -277,6 +301,17 @@ def _crawl_extract_oracle() -> str:
            CAST(s.domain AS VARCHAR), CAST(s.url AS VARCHAR),
            CAST(s.per * sd.c AS BIGINT)
     FROM smd_tab s JOIN smd_docs sd ON s.msd = sd.msd
+    UNION ALL
+    SELECT CAST('report' AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(m.metric AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(CASE m.metric
+                  WHEN 'n_records' THEN rep_c.n_records
+                  WHEN 'n_malformed' THEN rep_c.n_malformed
+                  WHEN 'n_truncated' THEN rep_c.n_truncated
+                  WHEN 'payload_bytes' THEN rep_c.payload_bytes
+                  ELSE rep_c.n_files END AS BIGINT)
+    FROM (VALUES ('n_records'), ('n_malformed'), ('n_truncated'),
+                 ('payload_bytes'), ('n_files')) m(metric), rep_c
 """
 
 
@@ -295,12 +330,15 @@ def crawl_extract_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     over planted response records; 'smdisc' runs the real
     ``extract_sitemaps`` line scan (group-independent Sitemap directive:
     case, leading whitespace, crlf, inline comment, absence) over
-    planted robots bodies. Planted inputs arrive via broadcast
-    mapping joins — never inline CASE (constraint-pushdown
+    planted robots bodies; 'report' runs the real
+    ``warc_ingest_report`` single-aggregate health report (record/
+    malformed/truncated counts, NULL-skipping payload mass, distinct
+    source files) over planted record rows. Planted inputs arrive via
+    broadcast mapping joins — never inline CASE (constraint-pushdown
     multiplication, see the r8 codegen lesson)."""
     from ..functions.text import html_to_text
     from ..operators.robots import extract_sitemaps, parse_sitemap_urls
-    from ..sources.warc import warc_link_graph
+    from ..sources.warc import warc_ingest_report, warc_link_graph
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
 
@@ -379,8 +417,30 @@ def crawl_extract_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").cast("long").alias("i1"),
         )
     )
+    rep_map = spark.createDataFrame(
+        _REPORT_CASES,
+        "mr int, warc_type string, truncated string, payload binary,"
+        " source_file string",
+    )
+    report = warc_ingest_report(
+        d.filter(F.col("doc_id") < 40)
+        .withColumn("mr", (F.col("doc_id") % 4).cast("int"))
+        .join(F.broadcast(rep_map), "mr")
+    )
+    report_leg = report.selectExpr(
+        "stack(5, 'n_records', n_records, 'n_malformed', n_malformed,"
+        " 'n_truncated', n_truncated, 'payload_bytes', payload_bytes,"
+        " 'n_files', n_files) as (metric, v)"
+    ).select(
+        F.lit("report").cast("string").alias("leg"),
+        F.lit(None).cast("long").alias("key"),
+        F.col("metric").cast("string").alias("s1"),
+        F.lit(None).cast("string").alias("s2"),
+        F.col("v").cast("long").alias("i1"),
+    )
     return (
         text_leg.unionByName(sm_leg)
         .unionByName(link_leg)
         .unionByName(smd_leg)
+        .unionByName(report_leg)
     )
