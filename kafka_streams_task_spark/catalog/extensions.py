@@ -233,6 +233,20 @@ _REPORT_CASES = [
     (3, "request", None, None, "f1"),
 ]
 
+#: (mu, raw, expected) — exact-entity decision table for the Arrow
+#: ``unescape_entities`` stage (stdlib html.unescape semantics, incl.
+#: the longest-prefix missing-semicolon match: '&notanentity;' decodes
+#: its '&not' prefix to U+00AC). Expected values computed with
+#: html.unescape and frozen.
+_UNESC_CASES = [
+    (0, "&#65;B", "AB"),
+    (1, "caf&eacute;", "café"),
+    (2, "a&mdash;b", "a—b"),
+    (3, "&amp;amp;", "&amp;"),                   # single pass, no re-decode
+    (4, "&notanentity;", "¬anentity;"),
+    (5, "&#x2603; snow", "☃ snow"),
+]
+
 
 def _crawl_extract_oracle() -> str:
     text_vals = ", ".join(
@@ -253,11 +267,15 @@ def _crawl_extract_oracle() -> str:
         f"({msd}, {_sql_str(dom)}, {_sql_str(url)}, {per})"
         for msd, dom, url, per in _SMDISC_EXPECT
     )
+    unesc_vals = ", ".join(
+        f"({mu}, {_sql_str(exp)})" for mu, _, exp in _UNESC_CASES
+    )
     return f"""
     WITH text_tab(m, expected) AS (VALUES {text_vals}),
     sm_tab(ms, loc, lastmod, is_index) AS (VALUES {sm_vals}),
     link_tab(ml, src, dst, per) AS (VALUES {link_vals}),
     smd_tab(msd, domain, url, per) AS (VALUES {smd_vals}),
+    unesc_tab(mu, expected) AS (VALUES {unesc_vals}),
     link_docs AS (
       SELECT doc_id % 4 AS ml, count(*) AS c FROM documents
       WHERE doc_id < 40 GROUP BY doc_id % 4
@@ -312,6 +330,12 @@ def _crawl_extract_oracle() -> str:
                   ELSE rep_c.n_files END AS BIGINT)
     FROM (VALUES ('n_records'), ('n_malformed'), ('n_truncated'),
                  ('payload_bytes'), ('n_files')) m(metric), rep_c
+    UNION ALL
+    SELECT CAST('unesc' AS VARCHAR), CAST(d.doc_id AS BIGINT),
+           CAST(u.expected AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT)
+    FROM documents d JOIN unesc_tab u ON d.doc_id % 6 = u.mu
+    WHERE d.doc_id < 60
 """
 
 
@@ -333,10 +357,14 @@ def crawl_extract_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted robots bodies; 'report' runs the real
     ``warc_ingest_report`` single-aggregate health report (record/
     malformed/truncated counts, NULL-skipping payload mass, distinct
-    source files) over planted record rows. Planted inputs arrive via
-    broadcast mapping joins — never inline CASE (constraint-pushdown
+    source files) over planted record rows; 'unesc' runs the real
+    ``unescape_entities`` Arrow stage (stdlib html.unescape: numeric
+    dec/hex, exotic named, single-pass &amp;amp;, longest-prefix
+    missing-semicolon decode) over planted entity strings. Planted
+    inputs arrive via broadcast mapping joins — never inline CASE (constraint-pushdown
     multiplication, see the r8 codegen lesson)."""
     from ..functions.text import html_to_text
+    from ..operators.charset import unescape_entities
     from ..operators.robots import extract_sitemaps, parse_sitemap_urls
     from ..sources.warc import warc_ingest_report, warc_link_graph
 
@@ -438,9 +466,25 @@ def crawl_extract_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("s2"),
         F.col("v").cast("long").alias("i1"),
     )
+    unesc_map = spark.createDataFrame(
+        [(mu, raw) for mu, raw, _ in _UNESC_CASES], "mu int, raw string"
+    )
+    unesc_leg = (
+        d.filter(F.col("doc_id") < 60)
+        .withColumn("mu", (F.col("doc_id") % 6).cast("int"))
+        .join(F.broadcast(unesc_map), "mu")
+        .select(
+            F.lit("unesc").cast("string").alias("leg"),
+            F.col("doc_id").cast("long").alias("key"),
+            unescape_entities(F.col("raw")).cast("string").alias("s1"),
+            F.lit(None).cast("string").alias("s2"),
+            F.lit(None).cast("long").alias("i1"),
+        )
+    )
     return (
         text_leg.unionByName(sm_leg)
         .unionByName(link_leg)
         .unionByName(smd_leg)
         .unionByName(report_leg)
+        .unionByName(unesc_leg)
     )

@@ -51,10 +51,13 @@ PY_ALLOWED = {
     # r8 'nfc' leg: unicode_normalize is the documented Arrow seam
     # (Spark has no builtin NFC expression) — exactly one stage
     "llm_graph_layout_suite": 1,
-    # r8 extension: the lw_dense column value-gates the dense serve-tier
+    # r8 extension: the dense_ok column gates the dense serve-tier
     # scorer (one broadcast-vector gather-sum Arrow stage) against the
     # relational score inside the same oracle query
     "dsir_importance": 1,
+    # r8 extension: the 'unesc' leg runs the exact-entity decoder — the
+    # documented Arrow seam (stdlib html.unescape has no builtin twin)
+    "crawl_extract_suite": 1,
 }
 
 _SF = "/root/testdata/sf0.001"
