@@ -435,6 +435,13 @@ def dsir_select(
     raw, resample k docs. Returns the sampled rows of ``raw`` joined
     with their ``dsir_logw``/``n_grams``/``sample_rank``.
 
+    Scoring stays on the RELATIONAL path deliberately: a ``min_grams``
+    filter over the dense scorer's output gets pushed below the Arrow
+    stage with the whole gram chain substituted into an interpreted
+    Filter AND duplicates the Arrow stage itself (measured 5× slower
+    end to end); the relational scorer's aggregate is a natural
+    pushdown barrier, so the filter stays a cheap post-agg predicate.
+
     ``min_grams`` drops gram-poor docs before the draw (default 1:
     empty/NULL-text docs carry weight exactly 1 = logw 0, which would
     outrank every below-average real document — rarely what a corpus
