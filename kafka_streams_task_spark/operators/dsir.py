@@ -349,6 +349,13 @@ def dsir_score_dense(
             dtype="float64",
         )
 
+    # the function IS deterministic; the marker exists to block filter
+    # pushdown THROUGH the Arrow stage, which would otherwise split a
+    # downstream `dsir_logw >= t` filter into a SECOND ArrowEvalPython
+    # (the UDF runs twice per row — measured 5-20× slower). With the
+    # marker, filters evaluate ON the one stage's output.
+    _gather_sum = _gather_sum.asNondeterministic()
+
     # two steps for the same tokenize-once reason as _gram_explode
     with_idx = df.withColumn(
         "_dsir_toks", _tokens_expr(F.col(text_col), lowercase)

@@ -278,6 +278,21 @@ class TestDenseScore:
         for marker in ("Join", "Exchange", "BatchEvalPython", "Generate"):
             assert marker not in plan, marker
 
+    def test_dense_filter_does_not_duplicate_the_arrow_stage(self, docs, weights):
+        from kafka_streams_task_spark.operators.dsir import dsir_score_dense
+
+        # a threshold filter on the UDF output must evaluate ON the one
+        # Arrow stage — without the nondeterministic marker, pushdown
+        # splits it into a second ArrowEvalPython (UDF runs twice/row)
+        plan = (
+            dsir_score_dense(docs, weights, n_features=B)
+            .filter(F.col("dsir_logw") >= -1.0)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("ArrowEvalPython") == 1
+
     def test_dense_keeps_input_columns_and_clash_guards(self, docs, weights):
         from kafka_streams_task_spark.operators.dsir import dsir_score_dense
 
