@@ -334,8 +334,15 @@ def _ops_workloads():
         pages = ev.select(
             "event_id", (F.col("event_id") % 4).cast("int").alias("hm")
         ).join(F.broadcast(shapes), "hm")
-        return pages.select(
-            "event_id", clean_text(html_to_text(F.col("page"))).alias("text")
+        # aggregate OVER the extracted text: the harness materializes
+        # via count(), and a bare projection would be column-pruned
+        # away — the chain must feed the result or the bench times an
+        # events scan and nothing else (review catch)
+        return pages.agg(
+            F.sum(F.length(clean_text(html_to_text(F.col("page"))))).alias(
+                "total_chars"
+            ),
+            F.count(F.lit(1)).alias("n_pages"),
         )
 
     def _dsir_select(s, d):

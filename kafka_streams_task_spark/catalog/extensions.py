@@ -284,18 +284,16 @@ def _crawl_extract_oracle() -> str:
       SELECT doc_id % 3 AS msd, count(*) AS c FROM documents
       WHERE doc_id < 30 GROUP BY doc_id % 3
     ),
-    rep_docs AS (
-      SELECT doc_id % 4 AS mr, count(*) AS c FROM documents
-      WHERE doc_id < 40 GROUP BY doc_id % 4
-    ),
     rep_c AS (
-      SELECT (SELECT sum(c) FROM rep_docs) AS n_records,
-             (SELECT c FROM rep_docs WHERE mr = 1) AS n_malformed,
-             (SELECT c FROM rep_docs WHERE mr = 2) AS n_truncated,
-             (SELECT 5 * max(CASE WHEN mr = 0 THEN c END)
-                   + 2 * max(CASE WHEN mr = 1 THEN c END)
-                   + 3 * max(CASE WHEN mr = 2 THEN c END)
-              FROM rep_docs) AS payload_bytes,
+      -- the report's planted rows share link_docs' exact multiplicity
+      -- table (doc_id < 40, % 4) — reuse it, never duplicate the CTE
+      SELECT (SELECT sum(c) FROM link_docs) AS n_records,
+             (SELECT c FROM link_docs WHERE ml = 1) AS n_malformed,
+             (SELECT c FROM link_docs WHERE ml = 2) AS n_truncated,
+             (SELECT 5 * max(CASE WHEN ml = 0 THEN c END)
+                   + 2 * max(CASE WHEN ml = 1 THEN c END)
+                   + 3 * max(CASE WHEN ml = 2 THEN c END)
+              FROM link_docs) AS payload_bytes,
              2 AS n_files
     )
     SELECT CAST('text' AS VARCHAR) AS leg, CAST(d.doc_id AS BIGINT) AS key,
