@@ -168,6 +168,67 @@ def dsir_fit(
     cr = _bucket_counts(raw, text_col, n_features, lowercase).localCheckpoint(
         eager=True
     )
+    return _finish_model(ct, cr, n_features, alpha, free=[ct, cr])
+
+
+def dsir_fit_tagged(
+    corpus: DataFrame,
+    target_cond: Column,
+    text_col: str = "text",
+    n_features: int = 1 << 13,
+    alpha: float = 1.0,
+    lowercase: bool = True,
+) -> DataFrame:
+    """:func:`dsir_fit` for the common target-is-a-subset case — fit
+    from ONE corpus scan instead of two. When the target corpus is a
+    predicate over the raw pool (curated sources, a quality-score
+    cut), ``dsir_fit(corpus.filter(cond), corpus)`` reads the corpus
+    twice; here the gram explode carries the boolean and one
+    partial+final aggregate produces BOTH count tables
+    (``count_if(cond)`` / ``count(*)`` per bucket). At 100 TB that is
+    the difference between one and two full-corpus reads.
+
+    Produces a bit-identical model to the two-scan form (same bucket
+    row set — target buckets are a subset of raw buckets by
+    construction — and the same double arithmetic; pinned by
+    ``test_tagged_fit_matches_two_scan_fit``).
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    if "_dsir_t" in corpus.columns:
+        raise ValueError("corpus already has a _dsir_t column")
+    both = (
+        _gram_explode(
+            corpus.withColumn("_dsir_t", target_cond.cast("boolean")),
+            text_col,
+            n_features,
+            lowercase,
+            id_cols=["_dsir_t"],
+        )
+        .groupBy("idx")
+        .agg(
+            F.sum(F.when(F.col("_dsir_t"), 1).otherwise(0))
+            .cast("double")
+            .alias("ct_c"),
+            F.count(F.lit(1)).cast("double").alias("cr_c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ct = both.filter(F.col("ct_c") > 0).select("idx", F.col("ct_c").alias("c"))
+    cr = both.select("idx", F.col("cr_c").alias("c"))
+    return _finish_model(ct, cr, n_features, alpha, free=[both])
+
+
+def _finish_model(
+    ct: DataFrame,
+    cr: DataFrame,
+    n_features: int,
+    alpha: float,
+    free: list[DataFrame],
+) -> DataFrame:
+    """Totals → λ join → default row → pinned model, from two (idx, c)
+    count tables (cheap derivations of the checkpointed frames in
+    ``free``, which are released once the model is materialized)."""
     n_t = ct.agg(F.sum("c")).first()[0] or 0.0
     n_r = cr.agg(F.sum("c")).first()[0] or 0.0
     denom_t = n_t + alpha * float(n_features)
@@ -189,7 +250,7 @@ def dsir_fit(
         )
     )
     unseen = math.log(alpha / denom_t) - math.log(alpha / denom_r)
-    default_row = target.sparkSession.createDataFrame(
+    default_row = ct.sparkSession.createDataFrame(
         [(None, float(unseen), int(n_features))],
         schema="idx bigint, log_ratio double, n_features bigint",
     )
@@ -201,8 +262,8 @@ def dsir_fit(
     # Spark build where the analyzed plan of a localCheckpoint is not a
     # LogicalRDD should degrade to a tiny leak, never a crash
     try:
-        ct._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        cr._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        for frame in free:
+            frame._jdf.queryExecution().analyzed().rdd().unpersist(False)
     except Exception:  # pragma: no cover - vendor-build defensiveness
         pass
     return out

@@ -164,6 +164,41 @@ class TestFitScore:
             dsir_score(docs, hand)
         assert dsir_score(docs, hand, n_features=B).count() == len(DOCS)
 
+    def test_tagged_fit_matches_two_scan_fit(self, spark, docs):
+        from kafka_streams_task_spark.operators.dsir import dsir_fit_tagged
+
+        cond = F.col("doc_id").isin(*TARGET_IDS)
+        two_scan = dsir_fit(docs.filter(cond), docs, n_features=B)
+        tagged = dsir_fit_tagged(docs, cond, n_features=B)
+
+        def canon(w):
+            return sorted(
+                ((r["idx"], r["log_ratio"], r["n_features"]) for r in w.collect()),
+                key=lambda t: (t[0] is None, t[0]),
+            )
+
+        # bit-identical: same bucket row set (target buckets ⊆ raw
+        # buckets) and the same double arithmetic — whole-number count
+        # sums are order-exact, so even the totals agree exactly
+        assert canon(tagged) == canon(two_scan)
+
+    def test_tagged_fit_clash_guard_and_null_cond(self, spark, docs):
+        from kafka_streams_task_spark.operators.dsir import (
+            dsir_fit_tagged,
+            dsir_score,
+        )
+
+        with pytest.raises(ValueError, match="_dsir_t"):
+            dsir_fit_tagged(docs.withColumn("_dsir_t", F.lit(1)), F.lit(True))
+        # a NULL condition row counts as raw-only (not target)
+        cond = F.when(F.col("doc_id") == 1, F.lit(True))  # else NULL
+        w = dsir_fit_tagged(docs, cond, n_features=B)
+        ref = dsir_fit(docs.filter(F.col("doc_id") == 1), docs, n_features=B)
+        got = {r["idx"]: r["log_ratio"] for r in w.collect()}
+        expect = {r["idx"]: r["log_ratio"] for r in ref.collect()}
+        assert got == expect
+        assert dsir_score(docs, w).count() == len(DOCS)
+
     def test_fit_rejects_nonpositive_alpha(self, docs):
         with pytest.raises(ValueError, match="alpha"):
             dsir_fit(docs, docs, alpha=0.0)
