@@ -366,6 +366,38 @@ def dsir_dense_model(
     return vec
 
 
+#: the most recent dsir_score_dense broadcast — retained so replacement
+#: can unpersist it (see the lifetime note in :func:`dsir_score_dense`)
+_LAST_DENSE_BROADCAST: list = []
+
+
+def _retain_dense_broadcast(bvec) -> None:
+    """Retain ``bvec`` as the current dense-model broadcast, releasing
+    the previously retained one (non-blocking executor unpersist; the
+    driver copy survives, so in-flight plans re-fetch on demand)."""
+    while _LAST_DENSE_BROADCAST:
+        prev = _LAST_DENSE_BROADCAST.pop()
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass  # context already stopped: nothing left to release
+    _LAST_DENSE_BROADCAST.append(bvec)
+
+
+def dsir_release_dense(blocking: bool = False) -> bool:
+    """Unpersist and drop the retained dense-model broadcast, if any;
+    returns whether one was held. Session-teardown companion to the
+    replacement-time release in :func:`dsir_score_dense`."""
+    if not _LAST_DENSE_BROADCAST:
+        return False
+    b = _LAST_DENSE_BROADCAST.pop()
+    try:
+        b.unpersist(blocking=blocking)
+    except Exception:
+        pass  # context already stopped: nothing left to release
+    return True
+
+
 def dsir_score_dense(
     df: DataFrame,
     weights: DataFrame,
@@ -385,6 +417,18 @@ def dsir_score_dense(
     where even the one doc-id shuffle of the relational form is
     unwanted. Identical semantics; float sum order differs (~1e-12
     relative), so gate exactness on the relational form.
+
+    Broadcast lifetime (VERDICT r8 item 5): each call ships one dense
+    λ-vector (~8·n_features bytes) as a SparkContext broadcast. The
+    handle is RETAINED module-side and the previous call's handle is
+    ``unpersist()``-ed (non-blocking) when a new one is created — so a
+    long-lived streaming session that re-plans with fresh models holds
+    executor memory for at most one stale copy in flight, instead of
+    accreting every model it ever planned. ``unpersist`` (not
+    ``destroy``) keeps the driver copy, so an older plan still running
+    on the prior model simply re-fetches it on demand — replacement is
+    safe under concurrent queries. Call :func:`dsir_release_dense` to
+    drop the last retained handle too (session teardown).
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -396,6 +440,7 @@ def dsir_score_dense(
     vec = dsir_dense_model(weights, n_features)
     n_features = int(vec.shape[0])
     bvec = df.sparkSession.sparkContext.broadcast(vec)
+    _retain_dense_broadcast(bvec)
 
     @pandas_udf("double")
     def _gather_sum(idxs: pd.Series) -> pd.Series:
@@ -481,7 +526,11 @@ def dsir_resample(
         "_g_key", key
     )
     ranked = eligible.orderBy(F.col("_g_key").desc(), F.col(id_col)).limit(k)
-    w = Window.orderBy(F.col("_g_key").desc(), F.col(id_col))
+    # partitionBy(lit(1)): the window runs AFTER limit(k), so it is
+    # single-partition and bounded at k rows either way — the constant
+    # partition key only suppresses the per-run "No Partition Defined"
+    # WindowExec warning (VERDICT r8 hygiene)
+    w = Window.partitionBy(F.lit(1)).orderBy(F.col("_g_key").desc(), F.col(id_col))
     return ranked.withColumn("sample_rank", F.row_number().over(w)).drop(
         "_g_key"
     )

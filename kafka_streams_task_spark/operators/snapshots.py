@@ -123,7 +123,13 @@ def snapshot_write(
     pointer move, readers keep seeing the prior version. Rule shapes
     are :func:`..expectations.expectation_report`'s (predicate rules
     fuse into one aggregate pass; each uniqueness rule is one exact
-    distinct count).
+    distinct count). Uniqueness is TABLE-level: in ``append`` mode the
+    rules evaluate over the would-be full version (parent data dirs +
+    the staged dir) — a staged increment that is internally unique but
+    re-inserts keys already committed in the parent is refused
+    (ADVICE r8). Predicate rules stay staged-only: they are row-local,
+    parent rows passed them at their own commit, and re-scanning the
+    whole table per append would price each increment at table scale.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be 'append' or 'overwrite', got {mode!r}")
@@ -137,17 +143,37 @@ def snapshot_write(
     if fs.exists(orphan):
         fs.delete(orphan, True)
     df.write.mode("error").parquet(f"{path}/{new_dir}")
+    # appends build on the COMMITTED latest, if any — testing the new
+    # version number instead would wedge the table after a crash on the
+    # first commit (orphan v1 manifest, _latest still 0, next free 2)
+    parent_version = _latest_version(spark, path)
     if expectations or unique_keys:
         from .expectations import expectation_report
 
         staged = spark.read.parquet(f"{path}/{new_dir}")
-        failing = [
-            (r["rule"], r["n_violations"])
-            for r in expectation_report(
-                staged, expectations or {}, unique_keys
-            ).collect()
-            if not r["pass"]
-        ]
+        if mode == "append" and parent_version >= 1 and unique_keys:
+            # table-level uniqueness (see docstring): parent + staged
+            dirs = list(_manifest(spark, path, parent_version)["dirs"])
+            uniq_frame = spark.read.parquet(
+                *[f"{path}/{d}" for d in dirs + [new_dir]]
+            )
+        else:
+            uniq_frame = staged
+        failing = []
+        if expectations:
+            failing += [
+                (r["rule"], r["n_violations"])
+                for r in expectation_report(staged, expectations).collect()
+                if not r["pass"]
+            ]
+        if unique_keys:
+            failing += [
+                (r["rule"], r["n_violations"])
+                for r in expectation_report(
+                    uniq_frame, {}, unique_keys
+                ).collect()
+                if not r["pass"]
+            ]
         if failing:
             fs.delete(orphan, True)  # reclaim; version number reusable
             raise ValueError(
@@ -164,10 +190,6 @@ def snapshot_write(
     else:
         n_new = None
 
-    # append onto the COMMITTED latest, if any — testing the new version
-    # number instead would wedge the table after a crash on the first
-    # commit (orphan v1 manifest, _latest still 0, next free number 2)
-    parent_version = _latest_version(spark, path)
     if mode == "append" and parent_version >= 1:
         parent = _manifest(spark, path, parent_version)
         dirs = list(parent["dirs"]) + [new_dir]
@@ -349,7 +371,10 @@ def snapshot_diff(
     if not key_cols:
         raise ValueError("key_cols must name at least one column")
     key_cols = list(key_cols)
-    reserved = {"_rh", "_n", "_h", "_na", "_ha", "_nb", "_hb", "change"}
+    reserved = {
+        "_rh", "_n", "_h1", "_h2", "_na", "_ha1", "_ha2",
+        "_nb", "_hb1", "_hb2", "change",
+    }
     clash = sorted(reserved & set(key_cols))
     if clash:
         raise ValueError(f"key_cols clash with diff working columns: {clash!r}")
@@ -366,23 +391,42 @@ def snapshot_diff(
                 "diff's row-fingerprint working column"
             )
         others = [c for c in df.columns if c not in key_cols]
-        row_hash = F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                                for c in others]) if others else F.lit(0).cast("long")
+        # NULL-ness hashes as its own input per column: coalescing NULL
+        # to a sentinel string alone would make NULL ≡ that literal (and
+        # any two values with identical string casts) — ADVICE r8
+        inputs = [
+            x
+            for c in others
+            for x in (
+                F.isnull(F.col(c)).cast("int"),
+                F.coalesce(F.col(c).cast("string"), F.lit("")),
+            )
+        ]
+        row_hash = F.xxhash64(*inputs) if others else F.lit(0).cast("long")
+        # order-independent combine over duplicate keys; the re-hash
+        # with a salt breaks additive structure, so two changed rows
+        # can't cancel (e.g. swaps that preserve the plain sum of raw
+        # hashes) — ADVICE r8. Summed as two 32-bit halves: each
+        # summand < 2^32, so the long sum cannot overflow under ANSI
+        # until 2^31 rows share one key.
+        salted = F.xxhash64(row_hash, F.lit("snapdiff"))
         return (
-            df.withColumn("_rh", row_hash)
+            df.withColumn("_rh", salted)
             .groupBy(*key_cols)
             .agg(
                 F.count(F.lit(1)).alias("_n"),
-                # order-independent combine over duplicate keys
-                F.sum("_rh").alias("_h"),
+                F.sum(F.shiftrightunsigned(F.col("_rh"), 32)).alias("_h1"),
+                F.sum(F.col("_rh").bitwiseAND(F.lit(0xFFFFFFFF))).alias("_h2"),
             )
         )
 
     a = fingerprinted(version_from).select(
-        *key_cols, F.col("_n").alias("_na"), F.col("_h").alias("_ha")
+        *key_cols, F.col("_n").alias("_na"),
+        F.col("_h1").alias("_ha1"), F.col("_h2").alias("_ha2"),
     ).alias("a")
     b = fingerprinted(version_to).select(
-        *key_cols, F.col("_n").alias("_nb"), F.col("_h").alias("_hb")
+        *key_cols, F.col("_n").alias("_nb"),
+        F.col("_h1").alias("_hb1"), F.col("_h2").alias("_hb2"),
     ).alias("b")
     # null-safe key equality: a plain on=key_cols join never matches
     # NULL keys, so a null-keyed group would surface as a spurious
@@ -399,7 +443,9 @@ def snapshot_diff(
             F.when(F.col("_na").isNull(), F.lit("added"))
             .when(F.col("_nb").isNull(), F.lit("removed"))
             .when(
-                (F.col("_na") != F.col("_nb")) | (F.col("_ha") != F.col("_hb")),
+                (F.col("_na") != F.col("_nb"))
+                | (F.col("_ha1") != F.col("_hb1"))
+                | (F.col("_ha2") != F.col("_hb2")),
                 F.lit("updated"),
             ),
         )

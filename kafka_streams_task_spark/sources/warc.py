@@ -88,6 +88,15 @@ _MAX_GARBAGE_KEEP = 1 << 20
 _SKIP_CHUNK = 1 << 20
 
 
+def _escape_shard_uri(path: str) -> str:
+    """Pre-escape a non-``file:`` shard name for ``FileSystem.from_uri``:
+    a literal '%' becomes '%25' so URI parsing decodes it back to the
+    literal byte. Escaping '%' FIRST also keeps the quote() fallback's
+    own escapes intact (they are emitted after, over the already-escaped
+    string, with '%' in its safe set)."""
+    return path.replace("%", "%25")
+
+
 def _open_shard(path: str) -> io.BufferedIOBase:
     """Open one shard URI inside the task — ``pyarrow.fs`` resolves the
     scheme (file/s3/hdfs/gcs…), ``io.BufferedReader`` supplies
@@ -100,9 +109,14 @@ def _open_shard(path: str) -> io.BufferedIOBase:
     name with a literal '%' would be silently DECODED into a different
     path (review r8 — from_uri('a%20b.warc') would open 'a b.warc').
     So the ``file:`` scheme never round-trips through URI parsing at
-    all: the literal local path opens directly. Other schemes try
-    ``from_uri`` and fall back to percent-encoding — URI-hostile names
-    cost at most a quarantine row, never the job."""
+    all: the literal local path opens directly. Other schemes
+    pre-escape any literal '%' BEFORE ``from_uri`` — a remote shard
+    named ``a%20b.warc`` parses *successfully* as the URI of ``a
+    b.warc`` (no exception, so a decode-after-the-fact fallback never
+    triggers; ADVICE r8), silently opening the wrong object key — then
+    fall back to full percent-encoding for names ``from_uri`` rejects
+    outright (spaces etc.). URI-hostile names cost at most a quarantine
+    row, never the job."""
     from urllib.parse import quote
 
     from pyarrow import fs as pafs
@@ -113,11 +127,12 @@ def _open_shard(path: str) -> io.BufferedIOBase:
             local = "/" + local[2:].split("/", 1)[1]
         filesystem, fs_path = pafs.LocalFileSystem(), local
     else:
+        escaped = _escape_shard_uri(path)
         try:
-            filesystem, fs_path = pafs.FileSystem.from_uri(path)
+            filesystem, fs_path = pafs.FileSystem.from_uri(escaped)
         except Exception:
             filesystem, fs_path = pafs.FileSystem.from_uri(
-                quote(path, safe=":/@&=+$,;~*'()!-._")
+                quote(escaped, safe=":/@&=+$,;~*'()!-._%")
             )
     buffered = io.BufferedReader(filesystem.open_input_file(fs_path))
     if buffered.peek(2)[:2] == b"\x1f\x8b":

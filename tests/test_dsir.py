@@ -567,3 +567,52 @@ class TestPlanShape:
         )
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert marker not in plan
+
+
+class TestDenseBroadcastLifetime:
+    """r9 (VERDICT r8 item 5): dsir_score_dense retains exactly ONE
+    broadcast handle — a new model's call unpersists the previous
+    handle (executor copies released; driver copy survives so older
+    plans re-fetch) — and dsir_release_dense drops the last one."""
+
+    def test_replacement_retains_one_handle_and_old_plan_still_runs(
+        self, spark, docs, weights
+    ):
+        from kafka_streams_task_spark.operators import dsir as dsir_mod
+        from kafka_streams_task_spark.operators.dsir import (
+            dsir_release_dense,
+            dsir_score_dense,
+        )
+
+        dsir_release_dense()
+        assert dsir_mod._LAST_DENSE_BROADCAST == []
+        first = dsir_score_dense(docs, weights, n_features=B)
+        assert len(dsir_mod._LAST_DENSE_BROADCAST) == 1
+        h1 = dsir_mod._LAST_DENSE_BROADCAST[0]
+        # second model (different default weight) replaces the handle
+        w2 = weights.withColumn(
+            "log_ratio", F.col("log_ratio") + F.lit(1.0)
+        )
+        second = dsir_score_dense(docs, w2, n_features=B)
+        assert len(dsir_mod._LAST_DENSE_BROADCAST) == 1
+        h2 = dsir_mod._LAST_DENSE_BROADCAST[0]
+        assert h2 is not h1
+        # the FIRST plan still executes after its broadcast was
+        # unpersisted (driver copy re-fetches on demand) and the two
+        # models genuinely differ
+        s1 = {r["doc_id"]: r["dsir_logw"] for r in first.collect()}
+        s2 = {r["doc_id"]: r["dsir_logw"] for r in second.collect()}
+        changed = [d for d in s1 if abs(s1[d] - s2[d]) > 1e-9]
+        assert changed  # docs with grams shift under the +1.0 model
+
+    def test_release_dense_drops_the_handle(self, spark, docs, weights):
+        from kafka_streams_task_spark.operators import dsir as dsir_mod
+        from kafka_streams_task_spark.operators.dsir import (
+            dsir_release_dense,
+            dsir_score_dense,
+        )
+
+        dsir_score_dense(docs, weights, n_features=B).count()
+        assert dsir_release_dense() is True
+        assert dsir_mod._LAST_DENSE_BROADCAST == []
+        assert dsir_release_dense() is False

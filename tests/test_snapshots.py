@@ -343,3 +343,75 @@ def test_snapshot_diff_across_compaction_is_empty(spark, tmp_path):
     v2 = snapshot_compact(spark, path, target_mb=512)
     assert v2 == v1 + 1
     assert snapshot_diff(spark, path, v1, v2, ["doc_id"]).count() == 0
+
+
+def test_snapshot_diff_null_vs_sentinel_and_cancellation(spark, tmp_path):
+    """r9 (ADVICE r8): the row fingerprint hashes NULL-ness separately,
+    so NULL vs a look-alike literal is a detected 'updated'; and the
+    duplicate-key combine re-hashes before summing, so a swap of two
+    payloads between duplicate rows of one key still nets out equal
+    (order independence) while genuine changes never cancel."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_task_spark.operators.snapshots import (
+        snapshot_diff,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    # NULL -> '\x00' literal (the old sentinel) must be 'updated'
+    v1 = snapshot_write(
+        spark,
+        spark.createDataFrame([(1, None)], "doc_id bigint, text string"),
+        path, mode="overwrite",
+    )
+    v2 = snapshot_write(
+        spark,
+        spark.createDataFrame([(1, "\x00")], "doc_id bigint, text string"),
+        path, mode="overwrite",
+    )
+    d = snapshot_diff(spark, path, v1, v2, ["doc_id"]).collect()
+    assert len(d) == 1 and d[0].change == "updated"
+    # duplicate-key group: same multiset of payloads in either order is
+    # unchanged; replacing ONE payload is updated
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id bigint, text string")
+    v3 = snapshot_write(spark, mk([(7, "a"), (7, "b")]), path, mode="overwrite")
+    v4 = snapshot_write(spark, mk([(7, "b"), (7, "a")]), path, mode="overwrite")
+    assert snapshot_diff(spark, path, v3, v4, ["doc_id"]).count() == 0
+    v5 = snapshot_write(spark, mk([(7, "b"), (7, "c")]), path, mode="overwrite")
+    d45 = snapshot_diff(spark, path, v4, v5, ["doc_id"]).collect()
+    assert len(d45) == 1 and d45[0].change == "updated"
+
+
+def test_snapshot_write_append_uniqueness_is_table_level(spark, tmp_path):
+    """r9 (ADVICE r8): in append mode a uniqueness rule evaluates over
+    the would-be FULL version — a staged increment that is internally
+    unique but re-inserts committed keys is refused; disjoint keys
+    commit; overwrite mode stays staged-only."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kafka_streams_task_spark.operators.snapshots import (
+        snapshot_read,
+        snapshot_versions,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.range(0, 10).select(F.col("id").alias("doc_id"))
+    v1 = snapshot_write(spark, base, path, unique_keys={"pk": ["doc_id"]})
+    assert v1 == 1
+    # internally-unique increment that collides with v1's keys: refused
+    overlap = spark.range(5, 15).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError, match="pk"):
+        snapshot_write(spark, overlap, path, unique_keys={"pk": ["doc_id"]})
+    assert snapshot_versions(spark, path).count() == 1
+    # disjoint increment commits
+    fresh = spark.range(10, 15).select(F.col("id").alias("doc_id"))
+    v2 = snapshot_write(spark, fresh, path, unique_keys={"pk": ["doc_id"]})
+    assert v2 == 2 and snapshot_read(spark, path, v2).count() == 15
+    # overwrite ignores the parent: same keys as v1 are fine
+    v3 = snapshot_write(
+        spark, base, path, mode="overwrite", unique_keys={"pk": ["doc_id"]}
+    )
+    assert v3 == 3 and snapshot_read(spark, path, v3).count() == 10

@@ -811,3 +811,36 @@ def test_html_links_href_inside_attribute_values_not_matched(spark):
         "https://unq.com/z",
     }
     assert not any('"' in u or u == "y" for u in row.all)
+
+
+def test_escape_shard_uri_preserves_literal_percent(tmp_path):
+    """r9 (ADVICE r8): a non-file shard name containing a literal %XX
+    sequence must survive FileSystem.from_uri — from_uri PARSES such a
+    name successfully and silently percent-decodes it (opening a
+    different object key), so the quote() fallback never triggers. The
+    pre-escape turns '%' into '%25', which from_uri decodes back to the
+    literal byte. Proven against pyarrow itself via the file:// scheme
+    (the only scheme whose decode we can observe in this sandbox;
+    _open_shard's own file: branch never URI-parses, so this pins the
+    remote-scheme contract)."""
+    from pyarrow import fs as pafs
+
+    from kafka_streams_task_spark.sources.warc import _escape_shard_uri
+
+    # the failure mode, demonstrated: raw from_uri decodes %20
+    name = tmp_path / "a%20b.warc"
+    name.write_bytes(b"payload")
+    _, decoded = pafs.FileSystem.from_uri(f"file://{name}")
+    assert str(decoded).endswith("a b.warc")  # the WRONG file
+    # the fix: pre-escaped URI round-trips to the literal name
+    esc = _escape_shard_uri(f"file://{name}")
+    assert esc.endswith("a%2520b.warc")
+    filesystem, p = pafs.FileSystem.from_uri(esc)
+    assert str(p).endswith("a%20b.warc")
+    with filesystem.open_input_file(p) as f:
+        assert f.read() == b"payload"
+    # s3-style key: only the '%' is touched
+    assert (
+        _escape_shard_uri("s3://bucket/crawl/a%20b c.warc")
+        == "s3://bucket/crawl/a%2520b c.warc"
+    )
