@@ -15,6 +15,8 @@ the PSL as a broadcast join if exactness matters (documented trade)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -163,13 +165,39 @@ def normalize_url(url: Column | str, strip_params_re: str = TRACKING_PARAM_RE) -
 # scan pipeline.
 # ---------------------------------------------------------------------------
 
+#: Path of the vendored FULL Public Suffix List (MPL 2.0, from
+#: https://publicsuffix.org/list/public_suffix_list.dat; snapshot of
+#: 2023-02-09 via the Debian ``publicsuffix`` package) — the DEFAULT
+#: rule set for :func:`with_registered_domain_psl` since r9
+#: (VERDICT r8 item 4: the subset default silently gave subset
+#: registered-domain semantics after one warning line).
+PSL_DATA_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data",
+    "public_suffix_list.dat",
+)
+
+_PSL_FULL_CACHE: list[str] | None = None
+
+
+def load_psl_lines() -> list[str]:
+    """The vendored full PSL as lines, read once per process (the file
+    is ~240 KB / ~9.5k rules; rules are configuration, parsed
+    driver-side). Raises if the data file is missing — silent fallback
+    to a subset is exactly the failure mode r9 removed; callers with a
+    fresher list pass its lines to ``with_registered_domain_psl``."""
+    global _PSL_FULL_CACHE
+    if _PSL_FULL_CACHE is None:
+        with open(PSL_DATA_PATH, encoding="utf-8") as f:
+            _PSL_FULL_CACHE = f.read().splitlines()
+    return _PSL_FULL_CACHE
+
+
 #: Vendored SNAPSHOT SUBSET of the Public Suffix List, in the list's own
-#: line format (``//`` comments, ``*.`` wildcards, ``!`` exceptions; the
-#: full file is at https://publicsuffix.org/list/public_suffix_list.dat —
-#: pass its lines to :func:`with_registered_domain_psl` for exactness).
-#: The subset covers every TLD/suffix the engine's tests and the built-in
-#: heuristic know, the canonical wildcard/exception cases, and the
-#: high-traffic private-section hosting suffixes.
+#: line format (``//`` comments, ``*.`` wildcards, ``!`` exceptions).
+#: Since r9 this is a TEST FIXTURE (a small, hand-auditable rule set for
+#: the differential/property tests) — production defaults use the full
+#: vendored list via :func:`load_psl_lines`.
 PSL_SNAPSHOT = """\
 // ===BEGIN ICANN DOMAINS===
 com
@@ -421,9 +449,17 @@ surge.sh
 """
 
 
-#: one warning per process when the subset default is used (ADVICE/
-#: VERDICT r8: silent subset semantics on defaults); flag, not spam
-_PSL_DEFAULT_WARNED = False
+def _puny_twin(rule: str) -> str | None:
+    """The A-label (punycode) form of a non-ASCII rule, or None when a
+    label refuses IDNA encoding. The published PSL states IDN rules as
+    U-labels (``公司.cn``) while crawled URLs carry A-label hosts
+    (``xn--55qx5d.cn``) — both forms must match."""
+    try:
+        return ".".join(
+            lbl.encode("idna").decode("ascii") for lbl in rule.split(".")
+        )
+    except UnicodeError:
+        return None
 
 
 def parse_psl(lines) -> tuple[list[str], list[str], list[str]]:
@@ -431,8 +467,9 @@ def parse_psl(lines) -> tuple[list[str], list[str], list[str]]:
     exception_rules)``. ``*.ck`` is recorded by its tail ``ck`` (a
     wildcard rule of N labels matches any N-label suffix whose last N-1
     labels equal the tail); ``!www.ck`` is recorded as ``www.ck``.
-    Comments (``//``) and blank lines are skipped; rules are lowercased
-    (the PSL is already punycode/lowercase)."""
+    Comments (``//``) and blank lines are skipped; rules are lowercased.
+    Non-ASCII (IDN) rules additionally register their punycode A-label
+    twin, so hosts match in either representation."""
     exact: list[str] = []
     wc_tails: list[str] = []
     exc: list[str] = []
@@ -441,11 +478,16 @@ def parse_psl(lines) -> tuple[list[str], list[str], list[str]]:
         if not line or line.startswith("//"):
             continue
         if line.startswith("!"):
-            exc.append(line[1:])
+            bucket, rule = exc, line[1:]
         elif line.startswith("*."):
-            wc_tails.append(line[2:])
+            bucket, rule = wc_tails, line[2:]
         else:
-            exact.append(line)
+            bucket, rule = exact, line
+        bucket.append(rule)
+        if not rule.isascii():
+            twin = _puny_twin(rule)
+            if twin is not None and twin != rule:
+                bucket.append(twin)
     return exact, wc_tails, exc
 
 
@@ -467,28 +509,19 @@ def with_registered_domain_psl(
     rows a per-publisher mix or blocklist key must not lump together).
     IPv4 hosts pass through whole, matching :func:`registered_domain`.
 
-    ``psl_lines`` defaults to the vendored :data:`PSL_SNAPSHOT` subset;
-    pass the full public_suffix_list.dat lines for production exactness.
+    ``psl_lines`` defaults to the FULL vendored list
+    (:func:`load_psl_lines`, ~9.5k rules incl. the private section and
+    punycode IDN twins) — r9 removed the snapshot-subset default whose
+    warn-once still left silent subset semantics thereafter (VERDICT r8
+    item 4). Pass a fresher list's lines to track upstream.
 
     Plan shape: rules are parsed driver-side and probed with one
     broadcast hash join per candidate suffix length (K = longest rule,
-    +1 for exceptions) — no shuffle, no Python stage, and the host parse
-    chain is materialized once (layered projects, not inlined)."""
-    if psl_lines is None:
-        global _PSL_DEFAULT_WARNED
-        if not _PSL_DEFAULT_WARNED:
-            import warnings
-
-            warnings.warn(
-                "with_registered_domain_psl is using the vendored PSL "
-                "SNAPSHOT SUBSET (~250 rules); production runs should pass "
-                "psl_lines=open('public_suffix_list.dat').read().splitlines() "
-                "from https://publicsuffix.org/list/ for full exactness",
-                stacklevel=2,
-            )
-            _PSL_DEFAULT_WARNED = True
+    +1 for exceptions; K = 6 on the full list) — no shuffle, no Python
+    stage, and the host parse chain is materialized once (layered
+    projects, not inlined)."""
     exact, wc_tails, exc = parse_psl(
-        PSL_SNAPSHOT.splitlines() if psl_lines is None else psl_lines
+        load_psl_lines() if psl_lines is None else psl_lines
     )
     spark = df.sparkSession
     # K: longest suffix any rule can certify. A wildcard's match length
@@ -560,7 +593,15 @@ def with_registered_domain_psl(
         F.when(F.col(f"_ex{k}"), F.lit(k)).otherwise(F.lit(None).cast("int"))
         for k in range(1, k_max + 1)
     ] + [
-        F.when(F.col(f"_w{k}"), F.lit(k)).otherwise(F.lit(None).cast("int"))
+        # a wildcard rule of k labels matches only hosts with >= k
+        # labels (PSL spec) — the tail probe joins on _s{k-1}, which a
+        # (k-1)-label host also has, so gate on n >= k or a host EQUAL
+        # to the tail (e.g. 'nom.br' under '*.nom.br') would take
+        # ps_len = k > n and lose its real shorter-rule match (r9 bug,
+        # caught by the full-list differential sample)
+        F.when(F.col(f"_w{k}") & (n >= k), F.lit(k)).otherwise(
+            F.lit(None).cast("int")
+        )
         for k in range(2, k_max + 1)
     ]
     rule_len = F.greatest(*match_lens, F.lit(1))

@@ -267,14 +267,22 @@ def test_psl_differential_exhaustive(spark):
     hosts += [f"{a}.{b}" for a in alpha for b in alpha]
     hosts += [f"{a}.{b}.{c}" for a in alpha for b in alpha for c in alpha]
     hosts += ["a.b.s3.amazonaws.com", "x.www.ck", "a.b.c.test.ck", "deep.x.github.io"]
+    # hosts EQUAL to a multi-label wildcard tail: the rule must NOT
+    # match (host has fewer labels than the rule) — r9 regression
+    hosts += ["kobe.jp", "sch.uk", "x.kobe.jp", "compute.amazonaws.com"]
 
+    # the SNAPSHOT is the hand-auditable test fixture (r9: the default
+    # rule set is the full vendored list) — pass it explicitly so the
+    # reference resolver and the join plan see the same rules
     exact, wc_tails, exc = (set(s) for s in parse_psl(PSL_SNAPSHOT.splitlines()))
     expected = {h: _psl_reference(h, exact, wc_tails, exc) for h in hosts}
 
     df = spark.createDataFrame([(h, f"https://{h}/x") for h in hosts], ["host", "url"])
     got = {
         r.host: r.registered_domain
-        for r in with_registered_domain_psl(df).collect()
+        for r in with_registered_domain_psl(
+            df, psl_lines=PSL_SNAPSHOT.splitlines()
+        ).collect()
     }
     mism = {h: (got[h], expected[h]) for h in hosts if got[h] != expected[h]}
     assert not mism, f"{len(mism)} mismatches, e.g. {dict(list(mism.items())[:5])}"
@@ -287,3 +295,90 @@ def test_trailing_dot_fqdn(spark):
     assert _one(spark, extract_host, "https://example.com./x") == "example.com"
     assert _one(spark, registered_domain, "https://example.com./x") == "example.com"
     assert _one(spark, registered_domain, "https://a.example.co.uk./x") == "example.co.uk"
+
+
+#: goldens only the FULL vendored PSL can satisfy (absent from the
+#: snapshot fixture): private-section hosting suffixes, a 5-label
+#: dualstack S3 rule, a wildcard the subset never carried, and IDN
+#: rules in both U-label and A-label (punycode) host forms
+PSL_FULL_ONLY_CASES = [
+    ("https://mybox.duckdns.org/x", "mybox.duckdns.org"),
+    ("https://api.tunnel.ngrok.io/x", "tunnel.ngrok.io"),
+    ("https://cool-app.fly.dev/x", "cool-app.fly.dev"),
+    ("https://proj.glitch.me/x", "proj.glitch.me"),
+    ("https://x.eu.org/", "x.eu.org"),
+    # 5-label exact rule: s3.dualstack.ap-south-1.amazonaws.com
+    (
+        "https://bkt.s3.dualstack.ap-south-1.amazonaws.com/k",
+        "bkt.s3.dualstack.ap-south-1.amazonaws.com",
+    ),
+    # *.nom.br wildcard (subset has only the flat com.br family):
+    # smith.nom.br IS the public suffix; one more label registers
+    ("https://smith.nom.br/", None),
+    ("https://x.smith.nom.br/", "x.smith.nom.br"),
+    ("https://y.x.smith.nom.br/", "x.smith.nom.br"),
+    # IDN rule 公司.cn, matched through its punycode twin: crawled URLs
+    # carry A-label hosts, and extract_host's try_parse_url is
+    # URI-strict (a raw U-label host is not a valid URI -> NULL), so
+    # the twin registration is what makes the PSL's U-label rule bite
+    ("https://foo.xn--55qx5d.cn/", "foo.xn--55qx5d.cn"),
+    ("https://xn--55qx5d.cn/", None),  # the suffix itself: no domain
+    # still a public suffix on the full list -> no registrable domain
+    ("https://duckdns.org/", None),
+]
+
+
+@pytest.mark.parametrize("url,dom", PSL_FULL_ONLY_CASES)
+def test_registered_domain_psl_full_list_defaults(spark, url, dom):
+    """r9 (VERDICT r8 item 4): the DEFAULT rule set is the full vendored
+    public_suffix_list.dat — these hosts resolve correctly only with
+    rules the snapshot subset never contained, on defaults, with no
+    warning to miss."""
+    assert _psl_one(spark, url) == dom
+
+
+def test_psl_full_list_loads_once_and_is_big(spark):
+    from kafka_streams_task_spark.functions.url import (
+        load_psl_lines,
+        parse_psl,
+    )
+
+    lines = load_psl_lines()
+    assert lines is load_psl_lines()  # cached, one read per process
+    exact, wc, exc = parse_psl(lines)
+    # the full list's scale (with punycode twins), not a subset's
+    assert len(exact) > 9000 and len(wc) > 100 and len(exc) >= 8
+    assert "duckdns.org" in exact and "xn--55qx5d.cn" in exact
+
+
+def test_psl_differential_full_list_sample(spark):
+    """The independent reference resolver agrees with the join plan on
+    the FULL vendored list too — sampled hosts built from full-list
+    rules of every shape (exact, deep exact, wildcard, exception,
+    private, IDN twin)."""
+    from kafka_streams_task_spark.functions.url import (
+        load_psl_lines,
+        parse_psl,
+        with_registered_domain_psl,
+    )
+
+    hosts = [
+        "a.b.duckdns.org", "duckdns.org", "x.ngrok.io", "ngrok.io",
+        "b.s3.dualstack.ap-south-1.amazonaws.com",
+        "s3.dualstack.ap-south-1.amazonaws.com",
+        "q.w.nom.br", "w.nom.br", "nom.br",
+        "www.ck", "x.www.ck", "deep.y.ck",
+        "foo.xn--55qx5d.cn", "xn--55qx5d.cn",
+        "plain.example.com", "com", "unknown-tld-host.zzztld",
+    ]
+    exact, wc_tails, exc = (set(s) for s in parse_psl(load_psl_lines()))
+    expected = {h: _psl_reference(h, exact, wc_tails, exc) for h in hosts}
+    df = spark.createDataFrame(
+        [(h, f"https://{h}/x") for h in hosts], ["host", "url"]
+    )
+    got = {
+        r.host: r.registered_domain
+        for r in with_registered_domain_psl(df).collect()
+    }
+    mism = {h: (got[h], expected[h]) for h in hosts if got[h] != expected[h]}
+    assert not mism, mism
