@@ -548,25 +548,68 @@ def simhash_near_dup_pairs(
     (mass duplicates) should run exact dedup first, as with MinHash.
     """
     with_sh = simhash_table(df, text_col, id_col, shingle_n)
+    return hamming_near_dup_pairs(
+        with_sh,
+        id_col=id_col,
+        hash_col="sh",
+        max_hamming=max_hamming,
+        n_blocks=n_blocks,
+    )
+
+
+def hamming_near_dup_pairs(
+    hashed: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "sh",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs over ANY 64-bit fingerprint column via chunk
+    blocking — the shared Hamming tier behind :func:`simhash_near_dup_
+    pairs` (text) and ``image_hash.image_near_dup_pairs`` (r9
+    perceptual image dedup). Blocks the hash into ``n_blocks`` equal
+    chunks (pigeonhole: any pair with ``hamming <= n_blocks - 1``
+    shares at least one exact chunk), groups per (block, chunk), and
+    verifies Hamming exactly JVM-side. Returns ``(id_a, id_b,
+    hamming)`` with ``id_a < id_b``.
+
+    Single-pass group-membership formulation: one shuffle on
+    (block, chunk) collects each bucket's (id, hash) posting list
+    sorted by id, and candidate pairs explode from the array with both
+    fingerprints riding along — the upstream hash stage runs exactly
+    once and nothing persists. Per-bucket arrays materialize in one
+    aggregation buffer (16 bytes per member); a corpus whose items
+    concentrate in one chunk value (mass exact duplicates) should run
+    exact dedup first, as with MinHash banding.
+    """
+    if 64 % n_blocks != 0:
+        raise ValueError(f"n_blocks must divide 64, got {n_blocks}")
+    if max_hamming >= n_blocks:
+        # pigeonhole only certifies hamming <= n_blocks - 1; a larger
+        # threshold would SILENTLY lose recall — refuse, don't degrade
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_blocks >= "
+            f"{max_hamming + 1} for complete recall (got {n_blocks})"
+        )
     chunk_bits = 64 // n_blocks
     # static per-block expressions (shift amounts must be Python ints)
     blocks = F.array(
         *[
             F.struct(
                 F.lit(i).alias("blk"),
-                F.shiftrightunsigned(F.col("sh"), i * chunk_bits)
+                F.shiftrightunsigned(F.col(hash_col), i * chunk_bits)
                 .bitwiseAND(F.lit((1 << chunk_bits) - 1))
                 .alias("chunk"),
             )
             for i in range(n_blocks)
         ]
     )
-    blocked = with_sh.select(id_col, "sh", F.explode(blocks).alias("bc")).select(
-        id_col, "sh", "bc.blk", "bc.chunk"
+    blocked = hashed.select(id_col, hash_col, F.explode(blocks).alias("bc")).select(
+        id_col, hash_col, "bc.blk", "bc.chunk"
     )
     grouped = (
         blocked.groupBy("blk", "chunk")
-        .agg(F.array_sort(F.collect_list(F.struct(id_col, "sh"))).alias("members"))
+        .agg(F.array_sort(F.collect_list(F.struct(id_col, hash_col))).alias("members"))
         .filter(F.size("members") >= 2)
     )
     cand = (
@@ -575,8 +618,8 @@ def simhash_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
+            F.col(f"a.{hash_col}").alias("sh_a"),
+            F.col(f"b.{hash_col}").alias("sh_b"),
         )
         .distinct()
     )

@@ -1,0 +1,208 @@
+"""Perceptual image hashing + Hamming near-duplicate detection — the
+LAION-style image-dup pass for a multimodal corpus that does not have
+embeddings yet (VERDICT r8 item 1).
+
+Two standard 64-bit perceptual hashes, implemented from their public
+descriptions (pHash.org; the python ``ImageHash`` library's documented
+recipes — re-derived here, no code shared):
+
+* ``phash64`` — resize to 32x32 grayscale, 2-D DCT-II, keep the 8x8
+  low-frequency block, bit k = coefficient > median(block). Robust to
+  re-encode/resize/small edits; the workhorse for photographic dupes.
+* ``dhash64`` — resize to 9x8 grayscale, bit = pixel brighter than its
+  right neighbour (row-major gradient signs). Cheaper, sharper on
+  crops/brightness shifts.
+
+Scale shape: the hash is ONE mapInPandas Arrow stage over (id, payload)
+— numpy-vectorized DCT via a precomputed cosine matrix, no Python loop
+per pixel, no shuffle (map-only; parallelism = input splits). Near-dup
+pairing reuses the SimHash tier's Hamming band-blocking
+(``operators/dedup.py``): split the 64-bit hash into ``n_blocks``
+chunks, bucket-join on (block, chunk) — pigeonhole guarantees recall
+for hamming <= n_blocks - 1 — then verify exact Hamming JVM-side with
+``bit_count(xor)``. Never all-pairs.
+
+Codec seam: as in ``operators/multimodal.py``, decode defaults to a
+deterministic STUB (media libraries are absent in this container, and
+the oracle gates are defined in stub semantics); ``codec="pil"`` /
+``"auto"`` switch to a real import-guarded Pillow decode. The hash
+math downstream of the decoded grayscale grid is REAL either way.
+
+Reference provenance: no analogue in idavkaev/kafka-streams-task (its
+values are weather JSON); beyond-reference multimodal dedup mandate
+(SURVEY.md north-star extensions).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .multimodal import _codec_fn, _resolve_codec
+
+#: pHash geometry: DCT input grid and the low-frequency block edge
+PHASH_GRID = 32
+HASH_EDGE = 8
+
+IMAGE_HASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ih", T.LongType()),
+    ]
+)
+
+
+def fake_decode_gray(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic FAKE grayscale decode (STUB) — the test seam.
+
+    Cycles the payload bytes into a ``height x width`` float grid (so a
+    payload of exactly ``width*height`` bytes maps one byte to one
+    pixel — perturbing a byte perturbs one pixel, which is what lets
+    planted near-duplicates have closed-form hashes). Real path:
+    :func:`pil_decode_gray` behind ``codec="pil"``/``"auto"``.
+    """
+    n = width * height
+    if not payload:
+        return np.zeros((height, width), dtype=np.float64)
+    buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+    reps = -(-n // buf.shape[0])  # ceil
+    return (
+        np.tile(buf, reps)[:n].astype(np.float64).reshape(height, width)
+    )
+
+
+def pil_decode_gray(payload: bytes, width: int, height: int) -> np.ndarray:
+    """REAL grayscale decode+resize via Pillow (import-guarded at the
+    codec seam; see :func:`..multimodal._resolve_codec`)."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload)).convert("L").resize((width, height))
+    return np.asarray(img, dtype=np.float64)
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Unnormalized DCT-II basis matrix ``C`` with
+    ``C[k, m] = 2 * cos(pi * k * (2m + 1) / (2n))`` — the scipy
+    ``dct(type=2, norm=None)`` convention (scale is irrelevant under
+    the median threshold). 2-D DCT of grid ``g`` = ``C @ g @ C.T``."""
+    k = np.arange(n).reshape(-1, 1)
+    m = np.arange(n).reshape(1, -1)
+    return 2.0 * np.cos(np.pi * k * (2 * m + 1) / (2 * n))
+
+
+#: precomputed once per process; ~32x32 doubles
+_DCT32 = _dct_matrix(PHASH_GRID)
+
+
+def _pack_bits(bits: np.ndarray) -> int:
+    """Row-major MSB-first pack of 64 booleans into a SIGNED int64
+    (two's complement — the value Spark's LongType and DuckDB's BIGINT
+    carry; bit 63 set ⇒ negative)."""
+    flat = np.asarray(bits, dtype=np.uint64).reshape(-1)
+    if flat.shape[0] != 64:
+        raise ValueError(f"expected 64 bits, got {flat.shape[0]}")
+    v = np.uint64(0)
+    for b in flat:
+        v = (v << np.uint64(1)) | np.uint64(b)
+    return int(np.int64(v))
+
+
+def phash64_from_gray(grid: np.ndarray) -> int:
+    """64-bit pHash of a ``PHASH_GRID x PHASH_GRID`` grayscale grid:
+    2-D DCT-II, 8x8 low-frequency block, bit = coefficient > median of
+    the block (the DC term participates in the median, matching the
+    widely-used ImageHash recipe)."""
+    if grid.shape != (PHASH_GRID, PHASH_GRID):
+        raise ValueError(f"phash expects {PHASH_GRID}x{PHASH_GRID}, got {grid.shape}")
+    coeffs = _DCT32 @ grid @ _DCT32.T
+    low = coeffs[:HASH_EDGE, :HASH_EDGE]
+    return _pack_bits(low > np.median(low))
+
+
+def dhash64_from_gray(grid: np.ndarray) -> int:
+    """64-bit dHash of a ``8 x 9`` (rows x cols) grayscale grid:
+    bit(r, c) = grid[r, c+1] > grid[r, c] (horizontal gradient sign)."""
+    if grid.shape != (HASH_EDGE, HASH_EDGE + 1):
+        raise ValueError(f"dhash expects {HASH_EDGE}x{HASH_EDGE + 1}, got {grid.shape}")
+    return _pack_bits(grid[:, 1:] > grid[:, :-1])
+
+
+def _hash_one(payload: bytes, method: str, decode) -> int:
+    if method == "phash":
+        return phash64_from_gray(decode(payload, PHASH_GRID, PHASH_GRID))
+    return dhash64_from_gray(decode(payload, HASH_EDGE + 1, HASH_EDGE))
+
+
+def image_hash_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    method: str = "phash",
+    codec: str = "stub",
+) -> DataFrame:
+    """``(doc_id, ih)`` — one signed-int64 perceptual hash per image
+    payload, in ONE Arrow stage (mapInPandas: batch-level codec reuse,
+    numpy-vectorized DCT; no shuffle — at 100 TB this is a map-only
+    pass over the asset scan). ``method`` in ``('phash', 'dhash')``;
+    ``codec`` as in :func:`..multimodal.decode_image_features`."""
+    if method not in ("phash", "dhash"):
+        raise ValueError(f"method must be 'phash' or 'dhash', got {method!r}")
+    mode = _resolve_codec(codec, f"image_hash_table({method})")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _codec_fn(mode, pil_decode_gray, fake_decode_gray)
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "ih": pd.array(
+                        [
+                            _hash_one(b, method, decode)
+                            for b in pdf[payload_col]
+                        ],
+                        dtype="int64",
+                    ),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, IMAGE_HASH_SCHEMA
+    )
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    method: str = "phash",
+    codec: str = "stub",
+    max_hamming: int = 6,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: hash (one Arrow stage),
+    then the SimHash tier's Hamming band-blocking — pigeonhole-complete
+    for ``hamming <= n_blocks - 1``, candidates bounded per (block,
+    chunk) bucket, exact ``bit_count(xor)`` verification JVM-side.
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
+
+    Defaults (hamming <= 6 over 8 blocks of 8 bits) follow common
+    pHash dedup practice; mass exact-duplicate payloads should run
+    exact dedup first, as with MinHash/SimHash (bucket-size note in
+    :func:`.dedup.hamming_near_dup_pairs`)."""
+    from .dedup import hamming_near_dup_pairs
+
+    hashed = image_hash_table(df, id_col, payload_col, method, codec)
+    return hamming_near_dup_pairs(
+        hashed,
+        id_col=id_col,
+        hash_col="ih",
+        max_hamming=max_hamming,
+        n_blocks=n_blocks,
+    )

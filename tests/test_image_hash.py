@@ -1,0 +1,235 @@
+"""Perceptual image hashing + Hamming near-dedup (operators/image_hash.py,
+r9): golden hashes (frozen against an independent reimplementation),
+brute-force recall parity for the band-blocking, batch/partition
+determinism, codec seam, validation guards, and plan pins."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_task_spark.operators.image_hash import (
+    HASH_EDGE,
+    PHASH_GRID,
+    dhash64_from_gray,
+    fake_decode_gray,
+    image_hash_table,
+    image_near_dup_pairs,
+    phash64_from_gray,
+)
+
+
+def _mk(mul, add, mod):
+    return bytes((i * mul + add) % mod for i in range(1024))
+
+
+def _perturb(p, pos, delta):
+    b = bytearray(p)
+    b[pos] = (b[pos] + delta) % 256
+    return bytes(b)
+
+
+def _ham(a, b):
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+class TestPureHashes:
+    def test_golden_hashes_match_independent_reimplementation(self):
+        """The catalog extension's frozen constants — derived here from
+        the same planted payloads and verified during development with
+        a numpy-free direct-sum DCT + pure-int packing."""
+        from kafka_streams_task_spark.catalog.extensions import (
+            _IH_DHASH,
+            _IH_PHASH,
+            _ih_payloads,
+        )
+
+        for m, payload in _ih_payloads():
+            g32 = fake_decode_gray(bytes(payload), PHASH_GRID, PHASH_GRID)
+            g98 = fake_decode_gray(bytes(payload), HASH_EDGE + 1, HASH_EDGE)
+            assert phash64_from_gray(g32) == _IH_PHASH[m], f"phash m={m}"
+            assert dhash64_from_gray(g98) == _IH_DHASH[m], f"dhash m={m}"
+
+    def test_dhash_golden_tiny_grid(self):
+        # 8x9 grid, strictly increasing rows -> every gradient bit set
+        inc = np.tile(np.arange(9, dtype=np.float64), (8, 1))
+        assert dhash64_from_gray(inc) == -1  # 64 ones = -1 in two's complement
+        dec = inc[:, ::-1].copy()
+        assert dhash64_from_gray(dec) == 0
+        flat = np.zeros((8, 9))
+        assert dhash64_from_gray(flat) == 0  # ties are not 'brighter'
+
+    def test_phash_is_brightness_scale_invariant(self):
+        # scaling every pixel by a power of two scales every DCT
+        # coefficient and the median EXACTLY (float multiply by 2 is
+        # exact) — the comparison pattern, hence the hash, is identical.
+        # The perceptual property a brightness/contrast re-encode relies
+        # on, and a pure-math pin on the DCT->median->threshold chain.
+        g = fake_decode_gray(_mk(37, 11, 251), 32, 32)
+        assert phash64_from_gray(g) == phash64_from_gray(g * 2.0)
+        assert phash64_from_gray(g) == phash64_from_gray(g * 0.25)
+
+    def test_single_byte_perturbation_is_near_zero_hamming(self):
+        a = _mk(37, 11, 251)
+        b = _perturb(a, 500, 120)
+        ha = phash64_from_gray(fake_decode_gray(a, 32, 32))
+        hb = phash64_from_gray(fake_decode_gray(b, 32, 32))
+        assert 0 < _ham(ha, hb) <= 6
+        # unrelated pattern: far
+        c = _mk(97, 3, 253)
+        hc = phash64_from_gray(fake_decode_gray(c, 32, 32))
+        assert _ham(ha, hc) > 15
+
+    def test_shape_guards(self):
+        with pytest.raises(ValueError, match="phash expects"):
+            phash64_from_gray(np.zeros((8, 8)))
+        with pytest.raises(ValueError, match="dhash expects"):
+            dhash64_from_gray(np.zeros((32, 32)))
+
+    def test_fake_decode_empty_and_cycling(self):
+        assert fake_decode_gray(b"", 4, 4).sum() == 0.0
+        g = fake_decode_gray(b"\x01\x02", 3, 2)  # cycles 1,2,1,2,1,2
+        assert g.shape == (2, 3)
+        assert g.ravel().tolist() == [1, 2, 1, 2, 1, 2]
+
+
+class TestSparkOperators:
+    def _planted(self, spark, n_per=4):
+        from kafka_streams_task_spark.catalog.extensions import _ih_payloads
+
+        rows = [
+            (m * 100 + i, payload)
+            for m, payload in _ih_payloads()
+            for i in range(n_per)
+        ]
+        return spark.createDataFrame(rows, "doc_id bigint, payload binary")
+
+    def test_hash_table_matches_pure_functions_and_is_deterministic(
+        self, spark
+    ):
+        from kafka_streams_task_spark.catalog.extensions import _IH_PHASH
+
+        df = self._planted(spark)
+        got = {
+            r["doc_id"]: r["ih"]
+            for r in image_hash_table(df, method="phash").collect()
+        }
+        for doc_id, h in got.items():
+            assert h == _IH_PHASH[doc_id // 100], doc_id
+        # partition layout must not matter (Arrow batch boundaries move)
+        got2 = {
+            r["doc_id"]: r["ih"]
+            for r in image_hash_table(
+                df.repartition(7), method="phash"
+            ).collect()
+        }
+        assert got == got2
+
+    def test_banded_pairs_equal_brute_force(self, spark):
+        """Recall gate: band-blocked pairs == all-pairs Hamming filter,
+        over random payloads seeded with planted near-dups."""
+        rng = random.Random(42)
+        payloads = {}
+        for i in range(12):
+            payloads[i] = bytes(rng.randrange(256) for _ in range(1024))
+        # planted near-dups of 0 and 5
+        payloads[12] = _perturb(payloads[0], 700, 90)
+        payloads[13] = _perturb(payloads[5], 31, 77)
+        hashes = {
+            i: phash64_from_gray(fake_decode_gray(p, 32, 32))
+            for i, p in payloads.items()
+        }
+        brute = {
+            (a, b, _ham(hashes[a], hashes[b]))
+            for a in payloads
+            for b in payloads
+            if a < b and _ham(hashes[a], hashes[b]) <= 7
+        }
+        df = spark.createDataFrame(
+            list(payloads.items()), "doc_id bigint, payload binary"
+        )
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in image_near_dup_pairs(
+                df, max_hamming=7, n_blocks=8
+            ).collect()
+        }
+        assert got == brute
+        assert (0, 12, _ham(hashes[0], hashes[12])) in got  # plant found
+
+    def test_pair_chain_plan_one_arrow_stage_no_cartesian(self, spark):
+        df = self._planted(spark, n_per=1)
+        plan = (
+            image_near_dup_pairs(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("MapInPandas") == 1
+        for bad in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                    "BatchEvalPython"):
+            assert bad not in plan, bad
+
+    def test_validation_guards(self, spark):
+        df = self._planted(spark, n_per=1)
+        with pytest.raises(ValueError, match="method"):
+            image_hash_table(df, method="ahash")
+        with pytest.raises(ValueError, match="codec"):
+            image_hash_table(df, codec="turbo")
+        # pigeonhole guard: threshold beyond what the blocking certifies
+        with pytest.raises(ValueError, match="complete recall"):
+            image_near_dup_pairs(df, max_hamming=8, n_blocks=8)
+        with pytest.raises(ValueError, match="divide 64"):
+            image_near_dup_pairs(df, max_hamming=3, n_blocks=5)
+
+    def test_codec_seam(self, spark):
+        from kafka_streams_task_spark.operators.multimodal import pil_available
+
+        df = self._planted(spark, n_per=1)
+        if not pil_available():
+            # 'pil' fails fast driver-side; 'auto' falls back to stub
+            with pytest.raises(ImportError, match="Pillow"):
+                image_hash_table(df, codec="pil")
+            stub = {r["doc_id"]: r["ih"]
+                    for r in image_hash_table(df, codec="stub").collect()}
+            auto = {r["doc_id"]: r["ih"]
+                    for r in image_hash_table(df, codec="auto").collect()}
+            assert stub == auto
+        else:  # pragma: no cover - PIL absent in this container
+            image_hash_table(df, codec="pil").collect()
+
+
+def test_generic_hamming_pairs_on_hand_built_hashes(spark):
+    """The shared band-blocking tier (dedup.hamming_near_dup_pairs)
+    over hand-built fingerprints incl. sign-bit values: exact Hamming,
+    id_a < id_b, threshold respected."""
+    from kafka_streams_task_spark.operators.dedup import (
+        hamming_near_dup_pairs,
+    )
+
+    rows = [
+        (1, -9223372036854775808),            # only bit 63
+        (2, -9223372036854775807),            # bits 63 and 0
+        (3, 0),
+        (4, 15),                               # bits 0..3
+        (5, -1),                               # all 64 bits
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, h bigint")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_near_dup_pairs(
+            df, hash_col="h", max_hamming=4, n_blocks=8
+        ).collect()
+    }
+    hm = dict(rows)
+    brute = {
+        (a, b, _ham(hm[a], hm[b]))
+        for a in hm
+        for b in hm
+        if a < b and _ham(hm[a], hm[b]) <= 4
+    }
+    assert (1, 2, 1) in brute and (3, 4, 4) in brute  # sign-bit cases
+    assert got == brute

@@ -58,6 +58,10 @@ PY_ALLOWED = {
     # r8 extension: the 'unesc' leg runs the exact-entity decoder — the
     # documented Arrow seam (stdlib html.unescape has no builtin twin)
     "crawl_extract_suite": 1,
+    # r9 extension: four legs (ph/dh hash tables + phash/dhash pair
+    # chains), each exactly one mapInPandas perceptual-hash stage —
+    # numpy DCT/gradient math is the documented Arrow seam
+    "image_phash_dedup": 4,
 }
 
 _SF = "/root/testdata/sf0.001"
@@ -111,7 +115,9 @@ def test_catalog_driver_window_is_exactly_fifty(plans):
     # plan invariant in this file via the shared `plans` fixture.
     names = list(CATALOG)
     assert names[:50] == DRIVER_WINDOW
-    assert names[50:] == ["dsir_importance", "crawl_extract_suite"]
+    assert names[50:] == [
+        "dsir_importance", "crawl_extract_suite", "image_phash_dedup",
+    ]
 
 
 def test_no_cartesian_product_anywhere(plans):
