@@ -118,6 +118,13 @@ BASELINE_SEC = {
 RETRY_FACTOR = 2.0
 MAX_EXTRA_TRIALS = 2
 
+#: r9 fixtures shared between the untimed prep in _ops_workloads and
+#: the timed closures: the snapshot-diff table path and the fitted,
+#: driver-materialized DSIR model (a 1-element list so the closures
+#: read what prep wrote)
+_SNAP_DIFF_TBL = "/tmp/spark_graft_bench_snapdiff/tbl"
+_DSIR_WEIGHTS: list = [None]
+
 #: r8 (VERDICT r7 item 2): the r7 crawl/compliance/versioning surface as a
 #: NON-HEADLINE section — measured with the same min-of-2 + retry harness,
 #: reported under "ops_queries"/"ops_total" so the headline total stays
@@ -132,6 +139,13 @@ OPS_SECTION = [
     "snapshot_write_read",
     "dsir_select",
     "html_extract",
+    # r9 (VERDICT r8 item 3): the r8/r9 surface gets perf tracking
+    "export_training_shards",
+    "snapshot_diff",
+    "crawl_delays",
+    "warc_charset_report",
+    "dsir_score_dense",
+    "image_phash_dedup",
 ]
 
 #: frozen first-measurements for the ops section (set r8, steady-state
@@ -150,6 +164,14 @@ OPS_BASELINE_SEC = {
     # r8 third wave: 100k pages x 4 planted shapes through the
     # html_to_text + clean_text codegen chain
     "html_extract": 0.70,
+    # r9 first measurements (steady-state min-of-2 at sf0.1,
+    # calib_sec 3.012 on the measuring run)
+    "export_training_shards": 0.62,
+    "snapshot_diff": 0.45,
+    "crawl_delays": 1.62,
+    "warc_charset_report": 0.42,
+    "dsir_score_dense": 0.62,
+    "image_phash_dedup": 1.05,
 }
 
 
@@ -354,6 +376,128 @@ def _ops_workloads():
         target = docs.filter(F.col("source") == "src1")
         return dsir_select(docs, target, 200, n_features=1 << 13)
 
+    # ---- r9 additions (VERDICT r8 item 3): the r8/r9 surface ----
+
+    def _export_training_shards(s, d):
+        # the two-level distributed prefix sum at corpus volume:
+        # ~budget-sized shards over the documents' char mass
+        from kafka_streams_task_spark.operators.sampling import (
+            export_training_shards,
+        )
+
+        docs = load_table(s, d, "documents").select(
+            "doc_id", F.length("text").alias("n_tokens")
+        )
+        return export_training_shards(docs, budget=200_000)
+
+    def _snapshot_diff(s, d):
+        # version-to-version governance diff over two planted versions
+        # (written ONCE outside the timed region, below): hash-collapse
+        # both sides, (key, count, hash) full-outer join, classify
+        from kafka_streams_task_spark.operators.snapshots import (
+            snapshot_diff,
+        )
+
+        return snapshot_diff(s, _SNAP_DIFF_TBL, 1, 2, ["doc_id"])
+
+    def _crawl_delays(s, d):
+        # effective Crawl-delay per domain at fleet volume: 100k rows
+        # cycling 6 planted body shapes (agent-scoped, * fallback,
+        # malformed, absent) across 20k distinct domains
+        from kafka_streams_task_spark.operators.robots import crawl_delays
+
+        shapes = s.createDataFrame(
+            [
+                (0, "User-agent: *\nCrawl-delay: 2\n"),
+                (1, "User-agent: trainbot\nCrawl-delay: 0.5\n\n"
+                    "User-agent: *\nCrawl-delay: 10\n"),
+                (2, "User-agent: *\nDisallow: /x\n"),           # no delay
+                (3, "User-agent: trainbot\nCrawl-delay: abc\n"),  # malformed
+                (4, "User-agent: other\nCrawl-delay: 7\n"),       # other scope
+                (5, "User-agent: *\ncrawl-DELAY:  3.25  \n"),
+            ],
+            "cm int, robots_txt string",
+        )
+        ev = load_table(s, d, "events")
+        bodies = ev.select(
+            F.concat(F.lit("d"), (F.col("event_id") % 20000).cast("string"),
+                     F.lit(".com")).alias("domain"),
+            (F.col("event_id") % 6).cast("int").alias("cm"),
+        ).join(F.broadcast(shapes), "cm")
+        return crawl_delays(bodies, agent="trainbot")
+
+    def _warc_charset_report(s, d):
+        # one codegen charset sniff + single aggregate over the 9000-
+        # record warc fixture parse
+        from kafka_streams_task_spark.sources.warc import (
+            read_warc,
+            warc_charset_report,
+        )
+
+        return warc_charset_report(
+            read_warc(s, fix, record_types=("response",))
+        )
+
+    def _dsir_score_dense(s, d):
+        # the streaming/serve scorer at corpus volume: broadcast dense
+        # λ-vector, ONE Arrow gather-sum stage. The model is fitted and
+        # materialized ONCE outside the timed region (_DSIR_WEIGHTS);
+        # the aggregate over dsir_logw keeps the Arrow stage load-
+        # bearing (a bare count would column-prune the projection away)
+        from kafka_streams_task_spark.operators.dsir import (
+            dsir_score_dense,
+        )
+
+        docs = load_table(s, d, "documents")
+        scored = dsir_score_dense(docs, _DSIR_WEIGHTS[0])
+        return scored.agg(
+            F.sum("dsir_logw").alias("total_logw"),
+            F.sum("n_grams").alias("total_grams"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+
+    def _image_phash_dedup(s, d):
+        # r9 perceptual image near-dedup at corpus volume: one Arrow
+        # pHash stage over text-derived payloads (the multimodal bench
+        # convention), then Hamming band-blocking + bit_count verify
+        from kafka_streams_task_spark.operators.image_hash import (
+            image_near_dup_pairs,
+        )
+
+        docs = load_table(s, d, "documents").select(
+            "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+        )
+        return image_near_dup_pairs(docs, max_hamming=6, n_blocks=8)
+
+    # one-time (untimed) fixture prep for the r9 entries: the snapshot-
+    # diff table's two versions and the dense scorer's fitted model
+    from pyspark.sql import SparkSession
+
+    s0 = SparkSession.getActiveSession()
+    from kafka_streams_task_spark.operators.dsir import dsir_fit
+    from kafka_streams_task_spark.operators.snapshots import snapshot_write
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    docs0 = load_table(s0, sf_dir, "documents")
+    shutil.rmtree(os.path.dirname(_SNAP_DIFF_TBL), ignore_errors=True)
+    snapshot_write(s0, docs0, _SNAP_DIFF_TBL, mode="overwrite")
+    v2 = (
+        docs0.filter(F.col("doc_id") % 17 != 0)   # removals
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.col("text"), F.lit(" EDITED")))
+            .otherwise(F.col("text")),             # updates
+        )
+    )
+    snapshot_write(s0, v2, _SNAP_DIFF_TBL, mode="overwrite")
+    w_rows = dsir_fit(
+        docs0.filter(F.col("source") == "src1"), docs0, n_features=1 << 13
+    ).collect()
+    _DSIR_WEIGHTS[0] = s0.createDataFrame(
+        w_rows, "idx long, log_ratio double, n_features long"
+    )
+
     return {
         "warc_parse": _warc_parse,
         "robots_match": _robots_match,
@@ -363,6 +507,12 @@ def _ops_workloads():
         "snapshot_write_read": _snapshot_write_read,
         "dsir_select": _dsir_select,
         "html_extract": _html_extract,
+        "export_training_shards": _export_training_shards,
+        "snapshot_diff": _snapshot_diff,
+        "crawl_delays": _crawl_delays,
+        "warc_charset_report": _warc_charset_report,
+        "dsir_score_dense": _dsir_score_dense,
+        "image_phash_dedup": _image_phash_dedup,
     }
 
 
@@ -623,6 +773,33 @@ def main() -> None:
         lambda it: it, "id long"
     ).count()
 
+    # r9 (VERDICT r8 item 2): host-speed calibration — a FIXED CPU-bound
+    # probe (the frozen geohash codegen expression over a generated
+    # frame: pure JVM whole-stage codegen, zero IO, zero Python, one
+    # trivial final aggregate). Three rounds litigated uniform no-code-
+    # change drifts (r6 up, r7 down, r8 up: same-host interference);
+    # calib_sec makes that drift measurable: comparing rounds, divide
+    # each round's totals by (calib_sec / frozen baseline calib_sec)
+    # before reading anything as a regression. min-of-2 like every
+    # other entry; the probe never counts toward any total.
+    from pyspark.sql import functions as F_sql
+
+    from kafka_streams_task_spark.functions.geohash import geohash_expr
+
+    def _calib_once() -> float:
+        t0 = time.time()
+        frame = spark.range(0, 4_000_000, 1, n_part).select(
+            ((F_sql.col("id") % 1_800_000) / 10_000.0 - 90.0).alias("lat"),
+            ((F_sql.col("id") % 3_600_000) / 10_000.0 - 180.0).alias("lng"),
+        )
+        frame.select(geohash_expr("lat", "lng", 6).alias("g")).agg(
+            F_sql.max("g"), F_sql.min("g"), F_sql.count(F_sql.lit(1))
+        ).collect()
+        return round(time.time() - t0, 3)
+
+    calib_sec = min(_calib_once(), _calib_once())
+    print(f"# calib_sec: {calib_sec}", file=sys.stderr)
+
     # Each query runs twice in the same session: run 1 pays one-time JVM
     # codegen/JIT compilation of that query's generated classes (seconds of
     # driver-side latency that a long-lived cluster amortizes to zero); run 2
@@ -701,6 +878,10 @@ def main() -> None:
                 "sf": sf,
                 "timing": "min_of_2_runs_retry_on_2x_baseline",
                 "retried": retried,
+                # r9 host-speed calibration (frozen geohash codegen
+                # probe, min-of-2): normalize cross-round comparisons by
+                # calib_sec / <frozen r9 value in BENCH_BASELINE_r1.md>
+                "calib_sec": calib_sec,
                 # r8 non-headline ops section (r7 crawl/compliance/
                 # versioning surface); excluded from "value" so the
                 # headline total stays round-over-round comparable
