@@ -102,6 +102,7 @@ def snapshot_write(
     audit: bool = True,
     expectations: dict | None = None,
     unique_keys: dict | None = None,
+    tag: str | None = None,
 ) -> int:
     """Commit ``df`` as the next version of the snapshot table at
     ``path``; returns the new version number.
@@ -130,6 +131,12 @@ def snapshot_write(
     (ADVICE r8). Predicate rules stay staged-only: they are row-local,
     parent rows passed them at their own commit, and re-scanning the
     whole table per append would price each increment at table scale.
+
+    ``tag`` (r9) stamps an idempotence key into the version manifest —
+    because the manifest IS the atomic commit marker, a foreachBatch
+    sink can make at-least-once redelivery exactly-once: skip the write
+    when :func:`snapshot_has_tag` already sees the batch's tag on a
+    COMMITTED version (see ``streaming/pipeline.py``).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be 'append' or 'overwrite', got {mode!r}")
@@ -208,12 +215,29 @@ def snapshot_write(
         "n_rows": n_rows,
         "committed_at": time.time(),
     }
+    if tag is not None:
+        manifest["tag"] = tag
     write_json_atomic(
         spark, f"{path}/{_VERSIONS_DIR}/{_vname(version)}.json", manifest, replace=True
     )
     # the pivot: readers see the version only after this rename lands
     write_json_atomic(spark, f"{path}/{_LATEST}", {"version": version}, replace=True)
     return version
+
+
+def snapshot_has_tag(spark: SparkSession, path: str, tag: str) -> bool:
+    """Whether any COMMITTED version (reachable from ``_latest`` and
+    below — orphans from crashed pre-pointer writes never count) was
+    stamped with ``tag``. The redelivery check for exactly-once
+    foreachBatch snapshot sinks: a crash AFTER the pointer move left
+    the tag visible (skip the redelivered batch); a crash BEFORE it
+    left an orphan (rewrite is correct). Bounded by the number of
+    committed versions — KB-sized manifest reads, no data scan."""
+    for v in range(_latest_version(spark, path), 0, -1):
+        m = read_json_file(spark, f"{path}/{_VERSIONS_DIR}/{_vname(v)}.json")
+        if m is not None and m.get("tag") == tag:
+            return True
+    return False
 
 
 def snapshot_read(

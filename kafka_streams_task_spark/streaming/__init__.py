@@ -5,6 +5,7 @@ from .dedup import (
     streaming_dedup_watermarked,
 )
 from .dsir import streaming_dsir_filter
+from .pipeline import commit_batch_to_snapshot, streaming_crawl_to_snapshot
 from .topology import weather_hotels_stream, weather_rollup_stream
 
 __all__ = [
@@ -15,4 +16,6 @@ __all__ = [
     "streaming_dedup_watermarked",
     "streaming_dedup_near",
     "streaming_dsir_filter",
+    "streaming_crawl_to_snapshot",
+    "commit_batch_to_snapshot",
 ]
