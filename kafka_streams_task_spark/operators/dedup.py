@@ -591,6 +591,45 @@ def hamming_near_dup_pairs(
             f"max_hamming={max_hamming} needs n_blocks >= "
             f"{max_hamming + 1} for complete recall (got {n_blocks})"
         )
+    blocked = hamming_block_table(hashed, id_col, hash_col, n_blocks)
+    grouped = (
+        blocked.groupBy("blk", "chunk")
+        .agg(F.array_sort(F.collect_list(F.struct(id_col, hash_col))).alias("members"))
+        .filter(F.size("members") >= 2)
+    )
+    cand = (
+        grouped.select(F.posexplode("members").alias("i", "a"), "members")
+        .select("a", F.explode(F.expr("slice(members, i + 2, size(members))")).alias("b"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{hash_col}").alias("sh_a"),
+            F.col(f"b.{hash_col}").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def hamming_block_table(
+    hashed: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "sh",
+    n_blocks: int = 4,
+) -> DataFrame:
+    """``(id, hash, blk, chunk)`` — the persistable Hamming index (the
+    :func:`minhash_band_table` analogue for 64-bit fingerprints): write
+    it partitioned by ``blk`` and an incremental re-crawl run prunes to
+    hit chunks at scan time instead of re-hashing the corpus. All
+    blocking parameters (n_blocks, and the upstream hash recipe) must
+    match between index build and incremental probe."""
+    if 64 % n_blocks != 0:
+        raise ValueError(f"n_blocks must divide 64, got {n_blocks}")
     chunk_bits = 64 // n_blocks
     # static per-block expressions (shift amounts must be Python ints)
     blocks = F.array(
@@ -604,17 +643,64 @@ def hamming_near_dup_pairs(
             for i in range(n_blocks)
         ]
     )
-    blocked = hashed.select(id_col, hash_col, F.explode(blocks).alias("bc")).select(
+    return hashed.select(id_col, hash_col, F.explode(blocks).alias("bc")).select(
         id_col, hash_col, "bc.blk", "bc.chunk"
     )
+
+
+def hamming_incremental_pairs(
+    new_blocked: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "sh",
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs TOUCHING a new shard, against a persisted
+    :func:`hamming_block_table` index — the production re-crawl shape
+    (the :func:`incremental_pairs_from_bands` analogue): only the new
+    shard is hashed; the index is pruned by a semi-join to the (blk,
+    chunk) buckets the shard actually hits (with the written table
+    partitioned by ``blk``, partition pruning cuts the scan); old–old
+    pairs never materialize. ``n_blocks`` must equal the index's (it is
+    validated against ``max_hamming`` here; consistency with the stored
+    table is the caller's contract — a mismatch mis-chunks silently).
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``."""
+    if 64 % n_blocks != 0:
+        raise ValueError(f"n_blocks must divide 64, got {n_blocks}")
+    if max_hamming >= n_blocks:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_blocks >= "
+            f"{max_hamming + 1} for complete recall (got {n_blocks})"
+        )
+    hit = new_blocked.select("blk", "chunk").distinct()
+    relevant = index.join(hit, on=["blk", "chunk"], how="left_semi")
+    members = relevant.select(
+        id_col, hash_col, "blk", "chunk", F.lit(False).alias("is_new")
+    ).unionByName(
+        new_blocked.select(
+            id_col, hash_col, "blk", "chunk", F.lit(True).alias("is_new")
+        )
+    )
     grouped = (
-        blocked.groupBy("blk", "chunk")
-        .agg(F.array_sort(F.collect_list(F.struct(id_col, hash_col))).alias("members"))
+        members.groupBy("blk", "chunk")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(id_col, hash_col, "is_new"))
+            ).alias("members")
+        )
         .filter(F.size("members") >= 2)
     )
     cand = (
         grouped.select(F.posexplode("members").alias("i", "a"), "members")
-        .select("a", F.explode(F.expr("slice(members, i + 2, size(members))")).alias("b"))
+        .select(
+            "a",
+            F.explode(F.expr("slice(members, i + 2, size(members))")).alias("b"),
+        )
+        .filter(F.col("a.is_new") | F.col("b.is_new"))
+        # a re-crawled doc sits in BOTH the index and the new shard
+        # under its own id — never a self-pair
+        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),

@@ -206,3 +206,63 @@ def image_near_dup_pairs(
         max_hamming=max_hamming,
         n_blocks=n_blocks,
     )
+
+
+def image_hash_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    method: str = "phash",
+    codec: str = "stub",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """The persistable perceptual-hash index: ``(doc_id, ih, blk,
+    chunk)`` rows (hash once, block once — write partitioned by ``blk``
+    so the incremental probe prunes at scan time). The image twin of
+    ``dedup.minhash_band_table``: a 100 TB corpus is hashed ONCE, and
+    every re-crawl dedups against the index instead of re-decoding the
+    archive."""
+    from .dedup import hamming_block_table
+
+    hashed = image_hash_table(df, id_col, payload_col, method, codec)
+    return hamming_block_table(hashed, id_col, "ih", n_blocks)
+
+
+def image_near_dup_pairs_incremental(
+    new_df: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    method: str = "phash",
+    codec: str = "stub",
+    max_hamming: int = 6,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Near-dup image pairs TOUCHING a new crawl shard, against a
+    persisted :func:`image_hash_index` — only the shard's images are
+    decoded/hashed; the index is bucket-pruned (semi-join on the
+    shard's (blk, chunk) set); old–old pairs never materialize. All
+    parameters (method, codec, n_blocks) must match the index build.
+    Returns ``(id_a, id_b, hamming)``."""
+    from .dedup import hamming_block_table, hamming_incremental_pairs
+
+    # lazy localCheckpoint: the blocked shard feeds two branches (the
+    # bucket probe and the members union), so without pinning it the
+    # decode+hash Arrow stage would run twice per shard — the minhash
+    # incremental tier's run-exactly-once lesson. LAZY so building the
+    # plan stays job-free; the pin is shard-sized (n_blocks rows x ~24
+    # bytes per image), never corpus-sized.
+    new_blocked = hamming_block_table(
+        image_hash_table(new_df, id_col, payload_col, method, codec),
+        id_col,
+        "ih",
+        n_blocks,
+    ).localCheckpoint(eager=False)
+    return hamming_incremental_pairs(
+        new_blocked,
+        index,
+        id_col=id_col,
+        hash_col="ih",
+        max_hamming=max_hamming,
+        n_blocks=n_blocks,
+    )

@@ -233,3 +233,89 @@ def test_generic_hamming_pairs_on_hand_built_hashes(spark):
     }
     assert (1, 2, 1) in brute and (3, 4, 4) in brute  # sign-bit cases
     assert got == brute
+
+
+class TestIncrementalIndex:
+    """r9 re-crawl tier: persisted hash index + incremental probe —
+    equivalence with the full run restricted to pairs touching the new
+    shard (the minhash incremental-LSH proof pattern)."""
+
+    def _payloads(self, n, seed):
+        rng = random.Random(seed)
+        return {i: bytes(rng.randrange(256) for _ in range(1024)) for i in range(*n)}
+
+    def test_incremental_equals_full_run_restricted_to_new(
+        self, spark, tmp_path
+    ):
+        from kafka_streams_task_spark.operators.image_hash import (
+            image_hash_index,
+            image_near_dup_pairs,
+            image_near_dup_pairs_incremental,
+        )
+
+        old = self._payloads((0, 10), seed=7)
+        new = self._payloads((100, 104), seed=9)
+        # plant cross-boundary near-dups: new 104 ~ old 3, new 105 ~ new 101
+        new[104] = _perturb(old[3], 600, 80)
+        new[105] = _perturb(new[101], 50, 60)
+        old_df = spark.createDataFrame(
+            list(old.items()), "doc_id bigint, payload binary"
+        )
+        new_df = spark.createDataFrame(
+            list(new.items()), "doc_id bigint, payload binary"
+        )
+        # the index round-trips through parquet partitioned by blk (the
+        # documented layout), as production would
+        idx_path = str(tmp_path / "idx")
+        image_hash_index(old_df, n_blocks=8).write.partitionBy("blk").parquet(
+            idx_path
+        )
+        index = spark.read.parquet(idx_path)
+        inc = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in image_near_dup_pairs_incremental(
+                new_df, index, max_hamming=7, n_blocks=8
+            ).collect()
+        }
+        full = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in image_near_dup_pairs(
+                old_df.unionByName(new_df), max_hamming=7, n_blocks=8
+            ).collect()
+        }
+        new_ids = set(new)
+        assert inc == {
+            p for p in full if p[0] in new_ids or p[1] in new_ids
+        }
+        assert any((a, b) == (3, 104) for a, b, _ in inc)   # cross-boundary
+        assert any((a, b) == (101, 105) for a, b, _ in inc)  # new-new
+
+    def test_recrawled_same_id_never_self_pairs(self, spark):
+        from kafka_streams_task_spark.operators.image_hash import (
+            image_hash_index,
+            image_near_dup_pairs_incremental,
+        )
+
+        p = self._payloads((0, 3), seed=3)
+        df = spark.createDataFrame(
+            list(p.items()), "doc_id bigint, payload binary"
+        )
+        index = image_hash_index(df, n_blocks=8)
+        # the SAME shard re-crawled: identical ids+hashes in both sides
+        pairs = image_near_dup_pairs_incremental(
+            df, index, max_hamming=7, n_blocks=8
+        ).collect()
+        assert all(r.id_a != r.id_b for r in pairs)
+
+    def test_incremental_guards(self, spark):
+        from kafka_streams_task_spark.operators.dedup import (
+            hamming_incremental_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 0, 0, 0)], "doc_id bigint, sh bigint, blk int, chunk bigint"
+        )
+        with pytest.raises(ValueError, match="complete recall"):
+            hamming_incremental_pairs(df, df, max_hamming=4, n_blocks=4)
+        with pytest.raises(ValueError, match="divide 64"):
+            hamming_incremental_pairs(df, df, max_hamming=2, n_blocks=7)
