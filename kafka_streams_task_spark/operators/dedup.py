@@ -563,6 +563,7 @@ def hamming_near_dup_pairs(
     hash_col: str = "sh",
     max_hamming: int = 3,
     n_blocks: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs over ANY 64-bit fingerprint column via chunk
     blocking — the shared Hamming tier behind :func:`simhash_near_dup_
@@ -581,6 +582,19 @@ def hamming_near_dup_pairs(
     aggregation buffer (16 bytes per member); a corpus whose items
     concentrate in one chunk value (mass exact duplicates) should run
     exact dedup first, as with MinHash banding.
+
+    Candidate-volume honesty (review r9): a chunk has only
+    ``2^(64/n_blocks)`` values, so even UNIFORM hashes collide at
+    ``n^2 * n_blocks / 2^(64/n_blocks)`` expected candidate pairs —
+    for the image default (8 blocks of 8 bits) that is ~``n^2/32``:
+    effectively quadratic past ~10^5 items, and real perceptual-hash
+    distributions are skewed, so worse. The simhash default (4 blocks
+    of 16 bits) divides by 16384 instead. At large n, either lower the
+    certified threshold (fewer, wider blocks), pre-dedup exact
+    payloads, or set ``max_bucket`` — buckets larger than the cap are
+    DROPPED (logged recall trade, the MinHash ``max_bucket``
+    precedent): a bucket that hot is dominated by exact/mass
+    duplicates an upstream pass should have removed.
     """
     if 64 % n_blocks != 0:
         raise ValueError(f"n_blocks must divide 64, got {n_blocks}")
@@ -597,9 +611,15 @@ def hamming_near_dup_pairs(
         .agg(F.array_sort(F.collect_list(F.struct(id_col, hash_col))).alias("members"))
         .filter(F.size("members") >= 2)
     )
+    if max_bucket is not None:
+        grouped = grouped.filter(F.size("members") <= max_bucket)
     cand = (
         grouped.select(F.posexplode("members").alias("i", "a"), "members")
         .select("a", F.explode(F.expr("slice(members, i + 2, size(members))")).alias("b"))
+        # duplicate ids in the input (e.g. unioned crawl passes) sort
+        # adjacent and would explode a (id, id, 0) self-pair — never
+        # emit one (review r9; the documented contract is id_a < id_b)
+        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
@@ -655,6 +675,7 @@ def hamming_incremental_pairs(
     hash_col: str = "sh",
     max_hamming: int = 3,
     n_blocks: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs TOUCHING a new shard, against a persisted
     :func:`hamming_block_table` index — the production re-crawl shape
@@ -691,6 +712,10 @@ def hamming_incremental_pairs(
         )
         .filter(F.size("members") >= 2)
     )
+    if max_bucket is not None:
+        # cap on the COMBINED (index + shard) bucket size, matching the
+        # full-run cap semantics
+        grouped = grouped.filter(F.size("members") <= max_bucket)
     cand = (
         grouped.select(F.posexplode("members").alias("i", "a"), "members")
         .select(

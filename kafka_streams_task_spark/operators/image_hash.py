@@ -49,12 +49,14 @@ from .multimodal import _codec_fn, _resolve_codec
 PHASH_GRID = 32
 HASH_EDGE = 8
 
-IMAGE_HASH_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("ih", T.LongType()),
-    ]
-)
+def _hash_schema(df: DataFrame, id_col: str) -> T.StructType:
+    """Output schema of the hash stage: the caller's id column with its
+    OWN name and type (string URL keys are as natural as long ids for a
+    crawl corpus — review r9: hardcoding ``doc_id: long`` broke every
+    non-default ``id_col``), plus the signed-int64 hash."""
+    return T.StructType(
+        [df.schema[id_col], T.StructField("ih", T.LongType())]
+    )
 
 
 def fake_decode_gray(payload: bytes, width: int, height: int) -> np.ndarray:
@@ -147,11 +149,19 @@ def image_hash_table(
     method: str = "phash",
     codec: str = "stub",
 ) -> DataFrame:
-    """``(doc_id, ih)`` — one signed-int64 perceptual hash per image
+    """``(<id_col>, ih)`` — one signed-int64 perceptual hash per image
     payload, in ONE Arrow stage (mapInPandas: batch-level codec reuse,
     numpy-vectorized DCT; no shuffle — at 100 TB this is a map-only
     pass over the asset scan). ``method`` in ``('phash', 'dhash')``;
-    ``codec`` as in :func:`..multimodal.decode_image_features`."""
+    ``codec`` as in :func:`..multimodal.decode_image_features`.
+
+    NULL/empty payloads (failed fetches, left-join misses) produce NO
+    hash row — they are not images. Hashing them would either kill the
+    job under a real codec (``Image.open`` raises) or, under the stub,
+    collapse every such row onto ONE hash value: a mass bucket that
+    explodes spurious hamming-0 "pairs" downstream (review r9). Callers
+    wanting the drop-out inventory anti-join the output against the
+    input ids."""
     if method not in ("phash", "dhash"):
         raise ValueError(f"method must be 'phash' or 'dhash', got {method!r}")
     mode = _resolve_codec(codec, f"image_hash_table({method})")
@@ -161,7 +171,7 @@ def image_hash_table(
         for pdf in it:
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col].values,
+                    id_col: pdf[id_col].values,
                     "ih": pd.array(
                         [
                             _hash_one(b, method, decode)
@@ -172,9 +182,10 @@ def image_hash_table(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
-        batches, IMAGE_HASH_SCHEMA
+    pruned = df.select(id_col, payload_col).filter(
+        F.col(payload_col).isNotNull() & (F.octet_length(payload_col) > 0)
     )
+    return pruned.mapInPandas(batches, _hash_schema(df, id_col))
 
 
 def image_near_dup_pairs(
@@ -185,6 +196,7 @@ def image_near_dup_pairs(
     codec: str = "stub",
     max_hamming: int = 6,
     n_blocks: int = 8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Perceptual near-duplicate image pairs: hash (one Arrow stage),
     then the SimHash tier's Hamming band-blocking — pigeonhole-complete
@@ -193,8 +205,9 @@ def image_near_dup_pairs(
     Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
 
     Defaults (hamming <= 6 over 8 blocks of 8 bits) follow common
-    pHash dedup practice; mass exact-duplicate payloads should run
-    exact dedup first, as with MinHash/SimHash (bucket-size note in
+    pHash dedup practice — note 8-bit chunks collide at ~n^2/32 even on
+    uniform hashes, so past ~10^5 images run exact dedup first and/or
+    set ``max_bucket`` (candidate-volume note in
     :func:`.dedup.hamming_near_dup_pairs`)."""
     from .dedup import hamming_near_dup_pairs
 
@@ -205,6 +218,7 @@ def image_near_dup_pairs(
         hash_col="ih",
         max_hamming=max_hamming,
         n_blocks=n_blocks,
+        max_bucket=max_bucket,
     )
 
 
@@ -237,6 +251,7 @@ def image_near_dup_pairs_incremental(
     codec: str = "stub",
     max_hamming: int = 6,
     n_blocks: int = 8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup image pairs TOUCHING a new crawl shard, against a
     persisted :func:`image_hash_index` — only the shard's images are
@@ -265,4 +280,5 @@ def image_near_dup_pairs_incremental(
         hash_col="ih",
         max_hamming=max_hamming,
         n_blocks=n_blocks,
+        max_bucket=max_bucket,
     )

@@ -124,13 +124,20 @@ def snapshot_write(
     pointer move, readers keep seeing the prior version. Rule shapes
     are :func:`..expectations.expectation_report`'s (predicate rules
     fuse into one aggregate pass; each uniqueness rule is one exact
-    distinct count). Uniqueness is TABLE-level: in ``append`` mode the
-    rules evaluate over the would-be full version (parent data dirs +
-    the staged dir) — a staged increment that is internally unique but
-    re-inserts keys already committed in the parent is refused
-    (ADVICE r8). Predicate rules stay staged-only: they are row-local,
-    parent rows passed them at their own commit, and re-scanning the
-    whole table per append would price each increment at table scale.
+    distinct count). Uniqueness is TABLE-level: in ``append`` mode a
+    rule refuses the commit when the staged increment has internal
+    duplicates OR re-inserts a key already committed in the parent
+    version (ADVICE r8). The cross-version check is a null-safe
+    left-semi probe of the parent's KEY COLUMNS against the staged
+    distinct keys (review r9): column pruning reaches the parquet scan
+    and AQE broadcasts the (typically small) staged key set, so the
+    parent side usually never shuffles — and pre-existing duplicates
+    INSIDE the parent (committed
+    through an ungated path) do not wedge every later append the way a
+    whole-table distinct count would; they are the parent commit's
+    defect, surfaced by a snapshot_diff/audit, not by refusing
+    unrelated increments forever. Predicate rules stay staged-only:
+    they are row-local and parent rows passed them at their own commit.
 
     ``tag`` (r9) stamps an idempotence key into the version manifest —
     because the manifest IS the atomic commit marker, a foreachBatch
@@ -158,14 +165,6 @@ def snapshot_write(
         from .expectations import expectation_report
 
         staged = spark.read.parquet(f"{path}/{new_dir}")
-        if mode == "append" and parent_version >= 1 and unique_keys:
-            # table-level uniqueness (see docstring): parent + staged
-            dirs = list(_manifest(spark, path, parent_version)["dirs"])
-            uniq_frame = spark.read.parquet(
-                *[f"{path}/{d}" for d in dirs + [new_dir]]
-            )
-        else:
-            uniq_frame = staged
         failing = []
         if expectations:
             failing += [
@@ -174,13 +173,31 @@ def snapshot_write(
                 if not r["pass"]
             ]
         if unique_keys:
+            # staged-internal duplicates: one distinct count per rule
             failing += [
                 (r["rule"], r["n_violations"])
-                for r in expectation_report(
-                    uniq_frame, {}, unique_keys
-                ).collect()
+                for r in expectation_report(staged, {}, unique_keys).collect()
                 if not r["pass"]
             ]
+            if mode == "append" and parent_version >= 1:
+                # cross-version re-inserts (see docstring): null-safe
+                # semi-probe of the parent's key columns against the
+                # staged key set — key-pruned scan, broadcast probe
+                dirs = _manifest(spark, path, parent_version)["dirs"]
+                parent = spark.read.parquet(*[f"{path}/{d}" for d in dirs])
+                for name, cols in unique_keys.items():
+                    probe = staged.select(*cols).distinct().alias("s")
+                    p = parent.select(*cols).alias("p")
+                    cond = None
+                    for k in cols:
+                        c = F.col(f"p.{k}").eqNullSafe(F.col(f"s.{k}"))
+                        cond = c if cond is None else (cond & c)
+                    # no broadcast hint: a giant increment's key set
+                    # must not be forced through the driver — AQE
+                    # broadcasts the (typical) small probe on its own
+                    n = p.join(probe, cond, "left_semi").count()
+                    if n:
+                        failing.append((f"{name} (committed-key re-insert)", n))
         if failing:
             fs.delete(orphan, True)  # reclaim; version number reusable
             raise ValueError(
@@ -238,6 +255,25 @@ def snapshot_has_tag(spark: SparkSession, path: str, tag: str) -> bool:
         if m is not None and m.get("tag") == tag:
             return True
     return False
+
+
+def snapshot_latest_tag(spark: SparkSession, path: str) -> str | None:
+    """The tag of the MOST RECENT committed tagged version (walking
+    down from ``_latest`` past any untagged manual commits), or None on
+    a table with no tagged versions. The O(few-manifest-reads)
+    redelivery check for a SEQUENTIAL tagged writer (one foreachBatch
+    stream): batch ids are monotonic per checkpoint and each batch
+    commits at most one version, so a redelivered batch's tag either IS
+    the latest tag (crash after commit → skip) or is absent entirely
+    (crash before → rewrite). The general any-version scan is
+    :func:`snapshot_has_tag` — O(versions), use it for non-sequential
+    writers (review r9: the capstone called it per batch, paying N
+    manifest reads at batch N)."""
+    for v in range(_latest_version(spark, path), 0, -1):
+        m = read_json_file(spark, f"{path}/{_VERSIONS_DIR}/{_vname(v)}.json")
+        if m is not None and m.get("tag") is not None:
+            return m["tag"]
+    return None
 
 
 def snapshot_read(

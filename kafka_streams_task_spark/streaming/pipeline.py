@@ -17,8 +17,9 @@ redelivery (or, under the r9 table-level uniqueness gate, crash the
 query). Instead each batch's commit is stamped with ``tag =
 "batch-<id>"`` in the version manifest — the manifest is published by
 the same atomic pointer move as the data, so the tag is visible iff
-the batch committed. Redelivery checks :func:`snapshot_has_tag` and
-skips. A crash mid-write leaves an orphan (no tag reachable) and the
+the batch committed. Redelivery checks the latest committed tag
+(:func:`snapshot_latest_tag` — sequential batch ids make it
+sufficient) and skips. A crash mid-write leaves an orphan (no tag reachable) and the
 redelivered batch rewrites cleanly; a crash after commit leaves the
 tag and the redelivered batch is a no-op. The checkpoint/table pairing
 is enforced by ``bind_state_to_checkpoint`` as in every durable sink.
@@ -32,7 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.snapshots import snapshot_has_tag, snapshot_write
+from ..operators.snapshots import snapshot_latest_tag, snapshot_write
 from ..sources.warc import _records_from_files, warc_to_documents
 from .dsir import streaming_dsir_filter
 from .state import bind_state_to_checkpoint
@@ -48,11 +49,22 @@ def commit_batch_to_snapshot(
 ) -> int | None:
     """Idempotently commit one micro-batch frame as an ``append``
     snapshot version tagged ``batch-<id>``; returns the new version, or
-    None when the tag already sits on a committed version (foreachBatch
-    redelivery — skipped). Factored out of the foreachBatch closure so
-    the redelivery contract is directly unit-testable."""
+    None when the batch was skipped — already committed (foreachBatch
+    redelivery) or empty. Factored out of the foreachBatch closure so
+    the redelivery contract is directly unit-testable.
+
+    Redelivery detection compares against :func:`snapshot_latest_tag`
+    (a few manifest reads), not a full version scan — sequential batch
+    ids make the latest tag sufficient (review r9: the O(versions) scan
+    per batch summed to O(N²) manifest reads over a stream's life).
+    Empty batches (availableNow reruns on a quiet source) commit
+    NOTHING — no empty-version spam inflating the manifest walk
+    (review r9); the emptiness probe stops at the first row, so
+    non-empty batches pay one short partial pass."""
     tag = f"batch-{batch_id}"
-    if snapshot_has_tag(spark, table_path, tag):
+    if snapshot_latest_tag(spark, table_path) == tag:
+        return None
+    if df.isEmpty():
         return None
     return snapshot_write(
         spark,
@@ -92,7 +104,12 @@ def streaming_crawl_to_snapshot(
     path-only scan (no 2 GiB cap, no bytes through the JVM), one Arrow
     parse stage per batch, codegen extraction, stateless broadcast
     scoring, footer-audited manifest commit. Nothing here adds state
-    stores or shuffles beyond the parse's own.
+    stores or shuffles beyond the parse's own. ``unique_keys`` prices
+    every batch at one key-pruned scan of the table-so-far (the
+    cross-version re-insert probe) — fine for scheduled availableNow
+    ingests, deliberate for high-frequency triggers; redelivery
+    duplicates are already removed for free by the tag idempotence, so
+    drop ``unique_keys`` when the only duplicate source is redelivery.
     """
     # validate the model ONCE at plan-build time (driver-side), not
     # first-batch time: a streaming weights frame must fail fast here

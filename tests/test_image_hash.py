@@ -319,3 +319,73 @@ class TestIncrementalIndex:
             hamming_incremental_pairs(df, df, max_hamming=4, n_blocks=4)
         with pytest.raises(ValueError, match="divide 64"):
             hamming_incremental_pairs(df, df, max_hamming=2, n_blocks=7)
+
+
+class TestReviewR9Fixes:
+    """Regression tests for the r9 review findings."""
+
+    def test_custom_string_id_col(self, spark):
+        """The hash stage carries the caller's id column with its own
+        name AND type — string URL keys included (previously hardcoded
+        doc_id:long and crashed any other id_col)."""
+        from kafka_streams_task_spark.catalog.extensions import _ih_payloads
+
+        rows = [(f"http://img/{m}", payload) for m, payload in _ih_payloads()]
+        df = spark.createDataFrame(rows, "img_url string, payload binary")
+        hashed = image_hash_table(df, id_col="img_url")
+        assert dict(hashed.dtypes)["img_url"] == "string"
+        assert hashed.count() == 6
+        pairs = image_near_dup_pairs(df, id_col="img_url")
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}
+        assert ("http://img/0", "http://img/1") in got
+
+    def test_null_and_empty_payloads_produce_no_hash_rows(self, spark):
+        """Failed fetches (NULL) and zero-byte payloads are dropped by
+        the hash stage — not collapsed onto one mass hash-0 bucket that
+        explodes spurious hamming-0 pairs."""
+        from kafka_streams_task_spark.catalog.extensions import _ih_payloads
+
+        good = [(m, payload) for m, payload in _ih_payloads()]
+        rows = good + [(100, None), (101, None), (102, bytearray(b"")), (103, None)]
+        df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+        hashed = image_hash_table(df)
+        assert {r.doc_id for r in hashed.collect()} == {0, 1, 2, 3, 4, 5}
+        pairs = image_near_dup_pairs(df, max_hamming=6, n_blocks=8)
+        bad_ids = {100, 101, 102, 103}
+        assert all(
+            r.id_a not in bad_ids and r.id_b not in bad_ids
+            for r in pairs.collect()
+        )
+
+    def test_duplicate_ids_never_self_pair(self, spark):
+        from kafka_streams_task_spark.operators.dedup import (
+            hamming_near_dup_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 15), (1, 15), (2, 14)], "doc_id bigint, h bigint"
+        )
+        pairs = hamming_near_dup_pairs(
+            df, hash_col="h", max_hamming=3, n_blocks=4
+        ).collect()
+        assert all(r.id_a != r.id_b for r in pairs)
+        assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+    def test_max_bucket_drops_hot_buckets(self, spark):
+        from kafka_streams_task_spark.operators.dedup import (
+            hamming_near_dup_pairs,
+        )
+
+        # 20 identical hashes (a mass-dup bucket) + one near pair FAR
+        # from the hot bucket (-1 is hamming-64 from 0)
+        rows = [(i, 0) for i in range(20)] + [(100, -1), (101, -2)]
+        df = spark.createDataFrame(rows, "doc_id bigint, h bigint")
+        capped = hamming_near_dup_pairs(
+            df, hash_col="h", max_hamming=3, n_blocks=4, max_bucket=10
+        ).collect()
+        # the hot bucket is dropped; the small genuine pair survives
+        assert {(r.id_a, r.id_b) for r in capped} == {(100, 101)}
+        uncapped = hamming_near_dup_pairs(
+            df, hash_col="h", max_hamming=3, n_blocks=4
+        )
+        assert uncapped.count() == 20 * 19 // 2 + 1

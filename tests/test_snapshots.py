@@ -415,3 +415,41 @@ def test_snapshot_write_append_uniqueness_is_table_level(spark, tmp_path):
         spark, base, path, mode="overwrite", unique_keys={"pk": ["doc_id"]}
     )
     assert v3 == 3 and snapshot_read(spark, path, v3).count() == 10
+
+
+def test_append_uniqueness_does_not_wedge_on_parent_internal_dups(
+    spark, tmp_path
+):
+    """r9 review: duplicates already INSIDE the parent (committed via
+    an ungated path) must not refuse every later disjoint gated append
+    forever — the gate checks the increment's own integrity (internal
+    dups + committed-key re-inserts), not the parent's old sins. NULL
+    keys still match null-safely across versions."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kafka_streams_task_spark.operators.snapshots import (
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    dirty = spark.createDataFrame(
+        [(1, "a"), (1, "a2"), (None, "n")], "doc_id bigint, text string"
+    )
+    snapshot_write(spark, dirty, path)  # ungated commit with dup key 1
+    # disjoint gated append: commits despite the parent's internal dup
+    fresh = spark.createDataFrame([(5, "e")], "doc_id bigint, text string")
+    v2 = snapshot_write(spark, fresh, path, unique_keys={"pk": ["doc_id"]})
+    assert snapshot_read(spark, path, v2).count() == 4
+    # re-inserting a committed key is still refused, with the re-insert
+    # surfaced by name
+    clash = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="re-insert"):
+        snapshot_write(spark, clash, path, unique_keys={"pk": ["doc_id"]})
+    # NULL keys collide null-safely across versions
+    nclash = spark.createDataFrame(
+        [(None, "y")], "doc_id bigint, text string"
+    )
+    with pytest.raises(ValueError, match="re-insert"):
+        snapshot_write(spark, nclash, path, unique_keys={"pk": ["doc_id"]})

@@ -103,11 +103,13 @@ def test_capstone_filter_gate_restart_no_reingest(
     latest = snapshot_read(spark, str(tbl)).collect()
     assert len(latest) == 6  # 4 from A + 2 survivors from B, no dupes
     assert len({r.doc_uid for r in latest}) == 6
-    # restart with NOTHING new: no empty-version spam is not promised
-    # (an empty batch may commit 0 rows), but never a duplicate
+    # restart with NOTHING new: no duplicates AND no empty-version spam
+    # (empty batches commit nothing — review r9)
+    n_versions = snapshot_versions(spark, str(tbl)).count()
     _run(spark, crawl, tbl, ckpt, weights)
     after = snapshot_read(spark, str(tbl)).collect()
     assert len(after) == 6 and len({r.doc_uid for r in after}) == 6
+    assert snapshot_versions(spark, str(tbl)).count() == n_versions
     # every committed version is tagged with its batch id
     assert all(
         v.op == "append" or v.version == 1 for v in versions.values()
@@ -201,3 +203,39 @@ def test_capstone_rejects_streaming_weights_and_foreign_checkpoint(
             spark, str(crawl), str(tmp_path / "t2"), str(tmp_path / "c3"),
             weights, threshold=0.0,
         )
+
+
+def test_commit_batch_skips_empty_batches(spark, tmp_path):
+    """r9 review: availableNow reruns on a quiet source fire empty
+    batches — they must not commit empty versions that inflate the
+    manifest walk."""
+    from kafka_streams_task_spark.operators.snapshots import (
+        snapshot_versions,
+    )
+    from kafka_streams_task_spark.streaming.pipeline import (
+        commit_batch_to_snapshot,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    empty = spark.createDataFrame([], "doc_uid bigint, text string")
+    assert commit_batch_to_snapshot(spark, empty, tbl, batch_id=0) is None
+    assert snapshot_versions(spark, tbl).count() == 0
+    full = spark.createDataFrame([(1, "a")], "doc_uid bigint, text string")
+    assert commit_batch_to_snapshot(spark, full, tbl, batch_id=1) == 1
+    assert commit_batch_to_snapshot(spark, empty, tbl, batch_id=2) is None
+    assert snapshot_versions(spark, tbl).count() == 1
+
+
+def test_latest_tag_walks_past_untagged_manual_commits(spark, tmp_path):
+    from kafka_streams_task_spark.operators.snapshots import (
+        snapshot_latest_tag,
+        snapshot_write,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1,)], "doc_uid bigint")
+    assert snapshot_latest_tag(spark, tbl) is None
+    snapshot_write(spark, df, tbl, tag="batch-0")
+    # an interleaved MANUAL (untagged) commit must not hide the tag
+    snapshot_write(spark, spark.createDataFrame([(2,)], "doc_uid bigint"), tbl)
+    assert snapshot_latest_tag(spark, tbl) == "batch-0"
