@@ -676,6 +676,7 @@ def hamming_incremental_pairs(
     max_hamming: int = 3,
     n_blocks: int = 4,
     max_bucket: int | None = None,
+    keep_flags: bool = False,
 ) -> DataFrame:
     """Near-dup pairs TOUCHING a new shard, against a persisted
     :func:`hamming_block_table` index — the production re-crawl shape
@@ -686,7 +687,13 @@ def hamming_incremental_pairs(
     pairs never materialize. ``n_blocks`` must equal the index's (it is
     validated against ``max_hamming`` here; consistency with the stored
     table is the caller's contract — a mismatch mis-chunks silently).
-    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``."""
+    Ids should be disjoint between the index and the new shard (as with
+    the MinHash incremental tier); a re-crawled identical id never
+    self-pairs, but its cross-pairs can surface under both flag combos.
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``;
+    ``keep_flags=True`` appends ``a_is_new``/``b_is_new`` (the
+    streaming drop policy needs to know WHICH side is the shard's —
+    the ``incremental_pairs_from_bands`` convention)."""
     if 64 % n_blocks != 0:
         raise ValueError(f"n_blocks must divide 64, got {n_blocks}")
     if max_hamming >= n_blocks:
@@ -731,14 +738,19 @@ def hamming_incremental_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             F.col(f"a.{hash_col}").alias("sh_a"),
             F.col(f"b.{hash_col}").alias("sh_b"),
+            F.col("a.is_new").alias("a_is_new"),
+            F.col("b.is_new").alias("b_is_new"),
         )
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    out_cols = ["id_a", "id_b", "hamming"] + (
+        ["a_is_new", "b_is_new"] if keep_flags else []
+    )
     return (
         cand.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select(*out_cols)
     )
 
 

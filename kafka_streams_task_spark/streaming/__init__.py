@@ -1,6 +1,7 @@
 from .changelog import latest_per_key_stream
 from .dedup import (
     streaming_dedup_exact,
+    streaming_dedup_image,
     streaming_dedup_near,
     streaming_dedup_watermarked,
 )
@@ -15,6 +16,7 @@ __all__ = [
     "streaming_dedup_exact",
     "streaming_dedup_watermarked",
     "streaming_dedup_near",
+    "streaming_dedup_image",
     "streaming_dsir_filter",
     "streaming_crawl_to_snapshot",
     "commit_batch_to_snapshot",

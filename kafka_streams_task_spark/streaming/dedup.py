@@ -172,3 +172,101 @@ def streaming_dedup_near(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_dedup_image(
+    stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    method: str = "phash",
+    codec: str = "stub",
+    max_hamming: int = 6,
+    n_blocks: int = 8,
+    max_bucket: int | None = 1000,
+):
+    """Ingest-time PERCEPTUAL image dedup (r9): each micro-batch of
+    image payloads is hashed (one Arrow pHash/dHash stage), deduped
+    against a durable Hamming block index
+    (``operators.dedup.hamming_block_table`` layout), and the
+    survivors' blocks join the index — the image twin of
+    :func:`streaming_dedup_near`, for multimodal crawls where
+    re-encoded/resized copies must be stopped at the boundary.
+
+    Same drop policy (drop on any pair with an indexed image, or with a
+    smaller-id image of the same batch — conservative at ingest), same
+    exactly-once discipline (append-only ``hblk_v{N}`` committed
+    shards; kept docs written FIRST under ``kept/batch_id={N}`` with
+    overwrite; redelivered batches whose shard committed skip
+    wholesale), same checkpoint/index binding. ``max_bucket`` defaults
+    ON here (1000): perceptual 8-bit chunks are coarse (see the
+    candidate-volume note in ``hamming_near_dup_pairs``), and a mass
+    bucket at ingest would stall the stream — the capped bucket's
+    near-dups are exactly the mass-duplicate payloads an upstream exact
+    (checksum) dedup should have removed.
+
+    Reference parity: no analogue — beyond-reference multimodal
+    training-data mandate (SURVEY.md north-star extensions).
+    """
+    from ..operators.dedup import hamming_block_table, hamming_incremental_pairs
+    from ..operators.image_hash import image_hash_table
+    from .state import bind_state_to_checkpoint, committed_versions
+
+    bind_state_to_checkpoint(stream.sparkSession, index_dir, checkpoint_dir)
+    _PFX = "hblk_v"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        versions = committed_versions(spark, index_dir, _PFX)
+        if batch_id in versions:
+            return  # redelivery: kept output + shard for this batch are durable
+
+        batch = batch_df.select(id_col, payload_col).localCheckpoint(eager=True)
+        new_blocks = hamming_block_table(
+            image_hash_table(batch, id_col, payload_col, method, codec),
+            id_col,
+            "ih",
+            n_blocks,
+        ).localCheckpoint(eager=True)
+        if versions:
+            index = spark.read.parquet(
+                *[f"{index_dir}/{_PFX}{v}" for v in versions]
+            )
+        else:
+            # id-type-agnostic empty bootstrap (string ids etc. work)
+            index = new_blocks.limit(0)
+        pairs = hamming_incremental_pairs(
+            new_blocks,
+            index,
+            id_col=id_col,
+            hash_col="ih",
+            max_hamming=max_hamming,
+            n_blocks=n_blocks,
+            max_bucket=max_bucket,
+            keep_flags=True,
+        ).localCheckpoint(eager=True)
+        drop_old = pairs.filter(
+            F.col("a_is_new") != F.col("b_is_new")
+        ).select(
+            F.when(F.col("a_is_new"), F.col("id_a")).otherwise(F.col("id_b")).alias(id_col)
+        )
+        drop_new = pairs.filter(
+            F.col("a_is_new") & F.col("b_is_new")
+        ).select(F.col("id_b").alias(id_col))  # id_a < id_b: smaller id survives
+        kept = batch.join(
+            drop_old.unionByName(drop_new).distinct(), on=id_col, how="left_anti"
+        ).localCheckpoint(eager=True)
+
+        # kept FIRST (overwrite: redelivery-idempotent), then the shard
+        kept.write.mode("overwrite").parquet(f"{index_dir}/kept/batch_id={batch_id}")
+        new_blocks.join(kept.select(id_col), on=id_col, how="left_semi").write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/{_PFX}{batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -389,3 +389,79 @@ class TestReviewR9Fixes:
             df, hash_col="h", max_hamming=3, n_blocks=4
         )
         assert uncapped.count() == 20 * 19 // 2 + 1
+
+
+def test_streaming_dedup_image_cross_batch(spark, tmp_path):
+    """r9 streaming image dedup: within-batch perceptual near-copies
+    drop (smaller id survives), a later batch's near-copy of an INDEXED
+    image drops on arrival, the committed index holds only survivors'
+    blocks, and replay is a no-op."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from kafka_streams_task_spark.catalog.extensions import _ih_payloads
+    from kafka_streams_task_spark.streaming.dedup import streaming_dedup_image
+    from kafka_streams_task_spark.streaming.state import committed_versions
+
+    v = {m: bytes(p) for m, p in _ih_payloads()}
+    src = tmp_path / "img_in"
+    src.mkdir()
+
+    def write(path, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "payload": pa.array([r[1] for r in rows], pa.binary()),
+                }
+            ),
+            path,
+        )
+
+    # batch 0: base image, an unrelated one, and a same-batch near-copy
+    write(src / "b0.parquet", [(1, v[0]), (2, v[5]), (3, v[1])])
+    # batch 1: near-copy of INDEXED image 1, plus a fresh unrelated one
+    write(src / "b1.parquet", [(10, v[2]), (11, v[3])])
+    os.utime(src / "b0.parquet", (1000000000, 1000000000))
+    os.utime(src / "b1.parquet", (1000000100, 1000000100))
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    index_dir = str(tmp_path / "img_index")
+    q = streaming_dedup_image(stream, index_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    kept = spark.read.parquet(f"{index_dir}/kept")
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert kept_ids == {1, 2, 11}  # 3 dropped in-batch, 10 vs the index
+
+    versions = committed_versions(spark, index_dir, "hblk_v")
+    assert len(versions) == 2
+    idx = spark.read.parquet(*[f"{index_dir}/hblk_v{x}" for x in versions])
+    assert {
+        r["doc_id"] for r in idx.select("doc_id").distinct().collect()
+    } == kept_ids
+
+    # replay on the same index dir: the shard-commit check no-ops
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q2 = streaming_dedup_image(stream2, index_dir, str(tmp_path / "ckpt"))
+    q2.awaitTermination(180)
+    assert {
+        r["doc_id"] for r in spark.read.parquet(f"{index_dir}/kept").collect()
+    } == kept_ids
