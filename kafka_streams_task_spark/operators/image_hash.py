@@ -282,3 +282,108 @@ def image_near_dup_pairs_incremental(
         n_blocks=n_blocks,
         max_bucket=max_bucket,
     )
+
+
+def video_frame_hashes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_n: int = 4,
+    method: str = "phash",
+) -> DataFrame:
+    """``(<id_col>, frame_idx, fh)`` — a perceptual hash per SAMPLED
+    video frame, fused into ONE mapInPandas stage: frame extraction
+    (the :func:`..multimodal.fake_frame_slices` STUB contract — a real
+    pyav keyframe sampler plugs in at the same seam) and the REAL
+    pHash/dHash math run in the same task, so frame BYTES never leave
+    the executor — only 8-byte hashes do. At 100 TB of video that fusion
+    is the difference between shuffling frames and shuffling
+    fingerprints. NULL/empty payloads and empty frame slices emit
+    nothing, as in :func:`image_hash_table`."""
+    if method not in ("phash", "dhash"):
+        raise ValueError(f"method must be 'phash' or 'dhash', got {method!r}")
+    from .multimodal import fake_frame_slices
+
+    schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("fh", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, hs = [], [], []
+            for vid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None or len(payload) == 0:
+                    continue
+                for fi, fb in fake_frame_slices(payload, every_n):
+                    if not fb:
+                        continue
+                    ids.append(vid)
+                    idxs.append(fi)
+                    hs.append(_hash_one(fb, method, fake_decode_gray))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "frame_idx": idxs,
+                    "fh": pd.array(hs, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema)
+
+
+def video_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    min_shared_frames: int = 3,
+    every_n: int = 4,
+    method: str = "phash",
+    max_frame_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate VIDEO pairs: two videos pair when they share at
+    least ``min_shared_frames`` distinct frame-hash values — the
+    standard frame-fingerprint overlap recipe (re-encodes/trims share
+    most keyframe hashes; unrelated footage shares none).
+
+    Spark shape: one fused sample+hash Arrow stage
+    (:func:`video_frame_hashes`), per-video distinct hash set, then an
+    inverted index on the frame hash — the same group-membership
+    explode as the Hamming tier, so candidates are bounded per frame-
+    hash bucket and nothing goes all-pairs. ``max_frame_bucket`` drops
+    ubiquitous frames (black/title cards appear in THOUSANDS of videos
+    and carry no identity — the stop-frame analogue of stopwords);
+    raise it only with a deliberate reason. Returns
+    ``(id_a, id_b, n_shared_frames)`` with ``id_a < id_b``."""
+    if min_shared_frames < 1:
+        raise ValueError(
+            f"min_shared_frames must be >= 1, got {min_shared_frames}"
+        )
+    fh = (
+        video_frame_hashes(df, id_col, payload_col, every_n, method)
+        .select(id_col, "fh")
+        .distinct()
+    )
+    grouped = (
+        fh.groupBy("fh")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("members"))
+        .filter(
+            (F.size("members") >= 2) & (F.size("members") <= max_frame_bucket)
+        )
+    )
+    pairs = (
+        grouped.select(F.posexplode("members").alias("i", "id_a"), "members")
+        .select(
+            "id_a",
+            F.explode(F.expr("slice(members, i + 2, size(members))")).alias(
+                "id_b"
+            ),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_frames"))
+        .filter(F.col("n_shared_frames") >= min_shared_frames)
+    )
+    return pairs

@@ -161,6 +161,21 @@ def decode_image_features(
     return df.select(id_col, payload_col).mapInPandas(batches, IMAGE_FEATURES)
 
 
+def fake_frame_slices(payload: bytes, every_n: int) -> list[tuple[int, bytes]]:
+    """Deterministic FAKE frame sampler (STUB) — the shared slicing
+    contract of :func:`sample_video_frames` AND the video fingerprint
+    stage (``image_hash.video_frame_hashes``): frame count derives from
+    byte length, frame payloads are contiguous slices, every
+    ``every_n``-th frame is emitted. A real sampler (pyav keyframe
+    extraction) plugs in at the same seam."""
+    n_frames = max(1, (len(payload) % 32))  # FAKE frame count
+    step = max(1, len(payload) // max(n_frames, 1))
+    return [
+        (fi, bytes(payload[fi * step : (fi + 1) * step]))
+        for fi in range(0, n_frames, every_n)
+    ]
+
+
 def sample_video_frames(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -169,8 +184,7 @@ def sample_video_frames(
 ) -> DataFrame:
     """Frame-sampling plumbing (STUB decode): emits one row per sampled
     frame — demonstrates cardinality-changing mapInPandas, the shape a real
-    pyav-based sampler uses. Frame count is derived deterministically from
-    byte length; frame payloads are slices of the input bytes."""
+    pyav-based sampler uses. Slicing contract: :func:`fake_frame_slices`."""
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -183,12 +197,10 @@ def sample_video_frames(
         for pdf in it:
             ids, idxs, blobs = [], [], []
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
-                n_frames = max(1, (len(payload) % 32))  # FAKE frame count
-                for fi in range(0, n_frames, every_n):
+                for fi, fb in fake_frame_slices(payload, every_n):
                     ids.append(did)
                     idxs.append(fi)
-                    step = max(1, len(payload) // max(n_frames, 1))
-                    blobs.append(bytes(payload[fi * step : (fi + 1) * step]))
+                    blobs.append(fb)
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_bytes": blobs})
 
     return df.select(id_col, payload_col).mapInPandas(batches, schema)

@@ -465,3 +465,131 @@ def test_streaming_dedup_image_cross_batch(spark, tmp_path):
     assert {
         r["doc_id"] for r in spark.read.parquet(f"{index_dir}/kept").collect()
     } == kept_ids
+
+
+class TestVideoFingerprint:
+    """r9 video near-dedup: fused sample+hash stage (frame bytes never
+    leave the task), inverted frame-hash index, shared-frame threshold,
+    stop-frame bucket cap."""
+
+    def _expected_hashes(self, payload, every_n=4):
+        from kafka_streams_task_spark.operators.multimodal import (
+            fake_frame_slices,
+        )
+
+        return {
+            phash64_from_gray(fake_decode_gray(fb, 32, 32))
+            for _, fb in fake_frame_slices(payload, every_n)
+            if fb
+        }
+
+    def _videos(self):
+        a = _mk(37, 11, 251) + bytes(17)  # 1041 bytes -> 17 fake frames
+        b = _perturb(a, 1000, 90)   # inside sampled frame 16 -> 4/5 shared
+        c = _mk(97, 3, 253) + bytes(17)   # unrelated
+        return {1: a, 2: b, 3: c}
+
+    def test_frame_hashes_match_pure_recomputation(self, spark):
+        from kafka_streams_task_spark.operators.image_hash import (
+            video_frame_hashes,
+        )
+
+        vids = self._videos()
+        df = spark.createDataFrame(
+            list(vids.items()) + [(9, None), (10, bytearray(b""))],
+            "doc_id bigint, payload binary",
+        )
+        got = {}
+        for r in video_frame_hashes(df).collect():
+            got.setdefault(r["doc_id"], set()).add(r["fh"])
+        assert set(got) == {1, 2, 3}  # null/empty videos emit nothing
+        for vid, payload in vids.items():
+            assert got[vid] == self._expected_hashes(payload), vid
+
+    def test_near_dup_pairs_shared_frame_threshold(self, spark):
+        from kafka_streams_task_spark.operators.image_hash import (
+            video_near_dup_pairs,
+        )
+
+        vids = self._videos()
+        expected_shared = len(
+            self._expected_hashes(vids[1]) & self._expected_hashes(vids[2])
+        )
+        assert expected_shared >= 3  # the plant: most frames shared
+        df = spark.createDataFrame(
+            list(vids.items()), "doc_id bigint, payload binary"
+        )
+        pairs = {
+            (r.id_a, r.id_b): r.n_shared_frames
+            for r in video_near_dup_pairs(df, min_shared_frames=3).collect()
+        }
+        assert pairs == {(1, 2): expected_shared}
+        # a threshold above the overlap returns nothing
+        assert (
+            video_near_dup_pairs(
+                df, min_shared_frames=expected_shared + 1
+            ).count()
+            == 0
+        )
+
+    def test_stop_frame_bucket_cap(self, spark):
+        from kafka_streams_task_spark.operators.image_hash import (
+            video_near_dup_pairs,
+        )
+
+        vids = self._videos()
+        df = spark.createDataFrame(
+            list(vids.items()), "doc_id bigint, payload binary"
+        )
+        # a cap of 1 drops every shared bucket -> no pairs survive
+        assert (
+            video_near_dup_pairs(
+                df, min_shared_frames=1, max_frame_bucket=1
+            ).count()
+            == 0
+        )
+
+    def test_plan_one_arrow_stage_and_guards(self, spark):
+        from kafka_streams_task_spark.operators.image_hash import (
+            video_near_dup_pairs,
+        )
+
+        df = spark.createDataFrame(
+            list(self._videos().items()), "doc_id bigint, payload binary"
+        )
+        plan = (
+            video_near_dup_pairs(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("MapInPandas") == 1  # sample+hash FUSED
+        for bad in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                    "BatchEvalPython"):
+            assert bad not in plan, bad
+        with pytest.raises(ValueError, match="min_shared_frames"):
+            video_near_dup_pairs(df, min_shared_frames=0)
+        from kafka_streams_task_spark.operators.image_hash import (
+            video_frame_hashes,
+        )
+
+        with pytest.raises(ValueError, match="method"):
+            video_frame_hashes(df, method="ahash")
+
+    def test_composes_with_cluster_survivors(self, spark):
+        """Image/video pair frames drop into the shared transitive-
+        cluster survivor machinery unchanged."""
+        from kafka_streams_task_spark.operators.cluster import (
+            dedup_survivors_by_cluster,
+        )
+        from kafka_streams_task_spark.operators.image_hash import (
+            video_near_dup_pairs,
+        )
+
+        vids = self._videos()
+        df = spark.createDataFrame(
+            list(vids.items()), "doc_id bigint, payload binary"
+        )
+        pairs = video_near_dup_pairs(df, min_shared_frames=3)
+        kept = dedup_survivors_by_cluster(df, pairs)
+        assert {r.doc_id for r in kept.collect()} == {1, 3}  # 2 lost to 1
