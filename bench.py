@@ -146,6 +146,7 @@ OPS_SECTION = [
     "warc_charset_report",
     "dsir_score_dense",
     "image_phash_dedup",
+    "video_phash_dedup",
 ]
 
 #: frozen first-measurements for the ops section (set r8, steady-state
@@ -172,6 +173,8 @@ OPS_BASELINE_SEC = {
     "warc_charset_report": 0.42,
     "dsir_score_dense": 0.62,
     "image_phash_dedup": 1.05,
+    # r9 second wave (steady-state min-of-2 at sf0.1, clean run)
+    "video_phash_dedup": 1.60,
 }
 
 
@@ -456,6 +459,18 @@ def _ops_workloads():
             F.count(F.lit(1)).alias("n_docs"),
         )
 
+    def _video_phash_dedup(s, d):
+        # r9 second wave: fused frame-sample+hash stage + inverted
+        # frame-hash index pairing over text-derived "video" payloads
+        from kafka_streams_task_spark.operators.image_hash import (
+            video_near_dup_pairs,
+        )
+
+        docs = load_table(s, d, "documents").select(
+            "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+        )
+        return video_near_dup_pairs(docs, min_shared_frames=2)
+
     def _image_phash_dedup(s, d):
         # r9 perceptual image near-dedup at corpus volume: one Arrow
         # pHash stage over text-derived payloads (the multimodal bench
@@ -513,6 +528,7 @@ def _ops_workloads():
         "warc_charset_report": _warc_charset_report,
         "dsir_score_dense": _dsir_score_dense,
         "image_phash_dedup": _image_phash_dedup,
+        "video_phash_dedup": _video_phash_dedup,
     }
 
 

@@ -647,3 +647,114 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pair_leg("phpairs", "phash", _IH_PH_MAXH, 8))
         .unionByName(pair_leg("dhpairs", "dhash", _IH_DH_MAXH, 4))
     )
+
+
+# -------------------------------------------------------- video_phash_dedup
+# r9 second wave: the fused video fingerprint chain, value-gated. Three
+# planted "videos" (1041 bytes -> 17 stub frames, every 4th sampled = 5
+# frames): a base, a one-byte perturbation inside sampled frame 16
+# (4/5 frame hashes shared), and unrelated footage (0 shared). The
+# ENGINE runs the real fused sample+hash stage and the real inverted-
+# index pairing; the oracle states the 15 per-variant frame hashes as
+# FROZEN constants (frame-4 hash re-verified against a numpy-free
+# direct-sum DCT during development) and re-derives the shared-frame
+# pair from them with its own equi-join + HAVING.
+
+def _vid_payloads() -> list[tuple[int, bytearray]]:
+    a = _ih_mk(37, 11, 251) + bytes(17)          # 1041 bytes: 17 frames
+    return [
+        (0, bytearray(a)),
+        (1, bytearray(_ih_perturb(a, 1000, 90))),  # sampled frame 16 differs
+        (2, bytearray(_ih_mk(97, 3, 253) + bytes(17))),
+    ]
+
+
+#: frozen per-variant DISTINCT frame-hash sets (phash, every_n=4);
+#: variants 0/1 share 4 of 5, variant 2 shares none
+_VID_HASHES = {
+    0: [-7267649586527339696, -5228196068326258937, -3525810440589236467,
+        -1707453263673165743, -1565583334142800136],
+    1: [-7267649586527339696, -5228196068326258937, -3525810440589236467,
+        -1707453263673165743, -1277361754083062088],
+    2: [-7913861122772600752, -6892067315435745017, -6451922725569916930,
+        -6132307431859646536, -1812445612257146963],
+}
+_VID_MIN_SHARED = 3
+
+
+def _video_hash_oracle() -> str:
+    vh_vals = ", ".join(
+        f"({m}, CAST({h} AS BIGINT))"
+        for m, hs in _VID_HASHES.items()
+        for h in hs
+    )
+    return f"""
+    WITH vh_tab(m, fh) AS (VALUES {vh_vals}),
+    docs AS (
+      SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS m FROM documents
+      WHERE doc_id < 30
+    ),
+    vp AS (
+      SELECT a.m AS ma, b.m AS mb, count(*) AS sh
+      FROM vh_tab a JOIN vh_tab b ON a.m < b.m AND a.fh = b.fh
+      GROUP BY a.m, b.m HAVING count(*) >= {_VID_MIN_SHARED}
+    )
+    SELECT CAST('vh' AS VARCHAR) AS leg, CAST(d.doc_id AS BIGINT) AS key,
+           CAST(t.fh AS BIGINT) AS i1, CAST(NULL AS BIGINT) AS i2,
+           CAST(NULL AS BIGINT) AS i3
+    FROM docs d JOIN vh_tab t ON d.m = t.m
+    UNION ALL
+    SELECT CAST('vpairs' AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(p.ma AS BIGINT), CAST(p.mb AS BIGINT), CAST(p.sh AS BIGINT)
+    FROM vp p
+"""
+
+
+@query("video_phash_dedup", oracle=_video_hash_oracle())
+def video_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dedup end to end (operators/image_hash.py): 'vh' runs
+    the REAL fused sample+hash Arrow stage over 30 documents carrying
+    the planted video payloads (10 replicas per variant — cross-batch
+    determinism), emitting each doc's distinct frame hashes; 'vpairs'
+    runs the REAL inverted-frame-hash-index pairing over one row per
+    variant at min_shared_frames=3. The oracle restates the frame
+    hashes as frozen constants and recomputes the surviving pair with
+    its own equi-join + HAVING."""
+    from ..operators.image_hash import video_frame_hashes, video_near_dup_pairs
+
+    pay_map = spark.createDataFrame(_vid_payloads(), "m int, payload binary")
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    planted = (
+        d.filter(F.col("doc_id") < 30)
+        .withColumn("m", (F.col("doc_id") % 3).cast("int"))
+        .join(F.broadcast(pay_map), "m")
+        .select("doc_id", "payload")
+    )
+    vh_leg = (
+        video_frame_hashes(planted)
+        .select("doc_id", "fh")
+        .distinct()
+        .select(
+            F.lit("vh").cast("string").alias("leg"),
+            F.col("doc_id").cast("long").alias("key"),
+            F.col("fh").cast("long").alias("i1"),
+            F.lit(None).cast("long").alias("i2"),
+            F.lit(None).cast("long").alias("i3"),
+        )
+    )
+    one_per_variant = (
+        d.filter(F.col("doc_id") < 3)
+        .withColumn("m", F.col("doc_id").cast("int"))
+        .join(F.broadcast(pay_map), "m")
+        .select("doc_id", "payload")
+    )
+    vp_leg = video_near_dup_pairs(
+        one_per_variant, min_shared_frames=_VID_MIN_SHARED
+    ).select(
+        F.lit("vpairs").cast("string").alias("leg"),
+        F.lit(None).cast("long").alias("key"),
+        F.col("id_a").cast("long").alias("i1"),
+        F.col("id_b").cast("long").alias("i2"),
+        F.col("n_shared_frames").cast("long").alias("i3"),
+    )
+    return vh_leg.unionByName(vp_leg)

@@ -62,6 +62,9 @@ PY_ALLOWED = {
     # chains), each exactly one mapInPandas perceptual-hash stage —
     # numpy DCT/gradient math is the documented Arrow seam
     "image_phash_dedup": 4,
+    # r9 extension: two legs (fused sample+hash table, inverted-index
+    # pairing), each exactly one mapInPandas stage
+    "video_phash_dedup": 2,
 }
 
 _SF = "/root/testdata/sf0.001"
@@ -117,6 +120,7 @@ def test_catalog_driver_window_is_exactly_fifty(plans):
     assert names[:50] == DRIVER_WINDOW
     assert names[50:] == [
         "dsir_importance", "crawl_extract_suite", "image_phash_dedup",
+        "video_phash_dedup",
     ]
 
 
