@@ -173,8 +173,9 @@ OPS_BASELINE_SEC = {
     "warc_charset_report": 0.42,
     "dsir_score_dense": 0.62,
     "image_phash_dedup": 1.05,
-    # r9 second wave (steady-state min-of-2 at sf0.1, clean run)
-    "video_phash_dedup": 1.60,
+    # r9 second wave (steady-state min-of-2 at sf0.1, clean run at
+    # calib_sec 2.33)
+    "video_phash_dedup": 2.83,
 }
 
 
