@@ -147,6 +147,7 @@ OPS_SECTION = [
     "dsir_score_dense",
     "image_phash_dedup",
     "video_phash_dedup",
+    "audio_fp_dedup",
 ]
 
 #: frozen first-measurements for the ops section (set r8, steady-state
@@ -176,6 +177,8 @@ OPS_BASELINE_SEC = {
     # r9 second wave (steady-state min-of-2 at sf0.1, clean run at
     # calib_sec 2.33)
     "video_phash_dedup": 2.83,
+    # r9 third wave (first measurement, clean run at calib_sec 2.46)
+    "audio_fp_dedup": 1.99,
 }
 
 
@@ -472,6 +475,18 @@ def _ops_workloads():
         )
         return video_near_dup_pairs(docs, min_shared_frames=2)
 
+    def _audio_fp_dedup(s, d):
+        # r9 third wave: fused decode+FFT+band sub-fingerprint stage +
+        # inverted-index pairing over text-derived "audio" payloads
+        from kafka_streams_task_spark.operators.audio_fp import (
+            audio_near_dup_pairs,
+        )
+
+        docs = load_table(s, d, "documents").select(
+            "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+        )
+        return audio_near_dup_pairs(docs, min_shared=2)
+
     def _image_phash_dedup(s, d):
         # r9 perceptual image near-dedup at corpus volume: one Arrow
         # pHash stage over text-derived payloads (the multimodal bench
@@ -530,6 +545,7 @@ def _ops_workloads():
         "dsir_score_dense": _dsir_score_dense,
         "image_phash_dedup": _image_phash_dedup,
         "video_phash_dedup": _video_phash_dedup,
+        "audio_fp_dedup": _audio_fp_dedup,
     }
 
 

@@ -758,3 +758,128 @@ def video_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_shared_frames").cast("long").alias("i3"),
     )
     return vh_leg.unionByName(vp_leg)
+
+
+# ---------------------------------------------------------- audio_fp_dedup
+# r9 third wave: the audio sub-fingerprint chain, value-gated with the
+# video recipe. Six planted 2048-byte clips (two near-dup clusters via
+# single-byte perturbations + one unrelated) flow through the REAL
+# Haitsma-Kalker math (Hann window, FFT, log-band energies, derivative
+# signs — frame 3's sub-fingerprint re-verified against a direct-DFT
+# recomputation in tests/test_audio_fp.py); the oracle states every
+# variant's distinct sub-fingerprint set as FROZEN constants and
+# re-derives the >=3-shared pairs with its own equi-join + HAVING.
+
+def _afp_mk(mul: int, add: int, mod: int) -> bytes:
+    # 2048-byte clips: the image helper's formula EXTENDED to i<2048
+    # (not the 1024 pattern tiled — the frozen constants below were
+    # derived from the extended form)
+    return bytes((i * mul + add) % mod for i in range(2048))
+
+
+def _afp_payloads() -> list[tuple[int, bytearray]]:
+    a = _afp_mk(37, 11, 251)
+    b = _afp_mk(53, 7, 241)
+    c = _afp_mk(97, 3, 253)
+    return [
+        (0, bytearray(a)),
+        (1, bytearray(_ih_perturb(a, 500, 60))),
+        (2, bytearray(_ih_perturb(a, 1200, 90))),
+        (3, bytearray(b)),
+        (4, bytearray(_ih_perturb(b, 100, 70))),
+        (5, bytearray(c)),
+    ]
+
+
+#: frozen per-variant DISTINCT sub-fingerprint sets (stub decode to
+#: 4096 samples); clusters {0,1,2} and {3,4} share >=6, cross = 0
+_AFP_SETS = {
+    0: [1131558233, 1557842601, 1663382870, 2089667238, 2631584425, 2737124694, 3705326249],
+    1: [589374667, 1131558233, 1557842601, 1663382870, 2089667238, 2631584425, 2737124694, 3705326249, 3705592628],
+    2: [619000996, 1131558233, 1557842601, 1663382870, 2089667238, 2630539941, 2631584425, 2737124694, 3667446555],
+    3: [141249426, 155929490, 932492397, 1214991250, 1687459166, 1991554157, 2288733074, 2478219937, 3362474898, 4153717869],
+    4: [141249426, 155929490, 932492397, 1686410590, 1991554157, 2288733074, 2478219937, 3362474898, 3412806546, 4153717869],
+    5: [578763114, 863459657, 863459659, 3431507636, 3431507638, 3431511716, 3716204181],
+}
+_AFP_MIN_SHARED = 3
+
+
+def _audio_fp_oracle() -> str:
+    vals = ", ".join(
+        f"({m}, CAST({s} AS BIGINT))"
+        for m, ss in _AFP_SETS.items()
+        for s in ss
+    )
+    return f"""
+    WITH afp_tab(m, sfp) AS (VALUES {vals}),
+    docs AS (
+      SELECT doc_id, CAST(doc_id % 6 AS INTEGER) AS m FROM documents
+      WHERE doc_id < 60
+    ),
+    ap AS (
+      SELECT a.m AS ma, b.m AS mb, count(*) AS sh
+      FROM afp_tab a JOIN afp_tab b ON a.m < b.m AND a.sfp = b.sfp
+      GROUP BY a.m, b.m HAVING count(*) >= {_AFP_MIN_SHARED}
+    )
+    SELECT CAST('afp' AS VARCHAR) AS leg, CAST(d.doc_id AS BIGINT) AS key,
+           CAST(t.sfp AS BIGINT) AS i1, CAST(NULL AS BIGINT) AS i2,
+           CAST(NULL AS BIGINT) AS i3
+    FROM docs d JOIN afp_tab t ON d.m = t.m
+    UNION ALL
+    SELECT CAST('apairs' AS VARCHAR), CAST(NULL AS BIGINT),
+           CAST(p.ma AS BIGINT), CAST(p.mb AS BIGINT), CAST(p.sh AS BIGINT)
+    FROM ap p
+"""
+
+
+@query("audio_fp_dedup", oracle=_audio_fp_oracle())
+def audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dedup end to end (operators/audio_fp.py): 'afp' runs
+    the REAL fused decode+window+FFT+band sub-fingerprint stage over 60
+    documents carrying the planted clips (10 replicas per variant —
+    cross-batch determinism), emitting each doc's distinct
+    sub-fingerprints; 'apairs' runs the REAL inverted-index pairing
+    over one row per variant at min_shared=3. The oracle restates the
+    sub-fingerprints as frozen constants and recomputes the surviving
+    pairs with its own equi-join + HAVING."""
+    from ..operators.audio_fp import (
+        audio_near_dup_pairs,
+        audio_subfingerprint_table,
+    )
+
+    pay_map = spark.createDataFrame(_afp_payloads(), "m int, payload binary")
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    planted = (
+        d.filter(F.col("doc_id") < 60)
+        .withColumn("m", (F.col("doc_id") % 6).cast("int"))
+        .join(F.broadcast(pay_map), "m")
+        .select("doc_id", "payload")
+    )
+    afp_leg = (
+        audio_subfingerprint_table(planted)
+        .select("doc_id", "sfp")
+        .distinct()
+        .select(
+            F.lit("afp").cast("string").alias("leg"),
+            F.col("doc_id").cast("long").alias("key"),
+            F.col("sfp").cast("long").alias("i1"),
+            F.lit(None).cast("long").alias("i2"),
+            F.lit(None).cast("long").alias("i3"),
+        )
+    )
+    one_per_variant = (
+        d.filter(F.col("doc_id") < 6)
+        .withColumn("m", F.col("doc_id").cast("int"))
+        .join(F.broadcast(pay_map), "m")
+        .select("doc_id", "payload")
+    )
+    ap_leg = audio_near_dup_pairs(
+        one_per_variant, min_shared=_AFP_MIN_SHARED
+    ).select(
+        F.lit("apairs").cast("string").alias("leg"),
+        F.lit(None).cast("long").alias("key"),
+        F.col("id_a").cast("long").alias("i1"),
+        F.col("id_b").cast("long").alias("i2"),
+        F.col("n_shared").cast("long").alias("i3"),
+    )
+    return afp_leg.unionByName(ap_leg)

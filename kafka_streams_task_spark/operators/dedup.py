@@ -636,6 +636,43 @@ def hamming_near_dup_pairs(
     )
 
 
+def shared_token_pairs(
+    tokens: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "fh",
+    min_shared: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """``(id_a, id_b, n_shared)`` — items sharing at least ``min_shared``
+    distinct token values, via an inverted index on the token (r9): the
+    shared candidate tier behind ``image_hash.video_near_dup_pairs``
+    (frame hashes) and ``audio_fp.audio_near_dup_pairs`` (sub-
+    fingerprints); any (id, token) relation with exact-match semantics
+    drops in. Group-membership explode per token bucket — bounded,
+    never all-pairs; buckets above ``max_bucket`` are DROPPED (a token
+    shared by thousands of items is a stop-token carrying no identity).
+    Input rows are de-duplicated to distinct (id, token) first, so
+    ``n_shared`` counts distinct shared values."""
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    distinct = tokens.select(id_col, token_col).distinct()
+    grouped = (
+        distinct.groupBy(token_col)
+        .agg(F.array_sort(F.collect_list(id_col)).alias("members"))
+        .filter((F.size("members") >= 2) & (F.size("members") <= max_bucket))
+    )
+    return (
+        grouped.select(F.posexplode("members").alias("i", "id_a"), "members")
+        .select(
+            "id_a",
+            F.explode(F.expr("slice(members, i + 2, size(members))")).alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def hamming_block_table(
     hashed: DataFrame,
     id_col: str = "doc_id",

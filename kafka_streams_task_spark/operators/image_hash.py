@@ -358,32 +358,17 @@ def video_near_dup_pairs(
     and carry no identity — the stop-frame analogue of stopwords);
     raise it only with a deliberate reason. Returns
     ``(id_a, id_b, n_shared_frames)`` with ``id_a < id_b``."""
+    from .dedup import shared_token_pairs
+
     if min_shared_frames < 1:
         raise ValueError(
             f"min_shared_frames must be >= 1, got {min_shared_frames}"
         )
-    fh = (
-        video_frame_hashes(df, id_col, payload_col, every_n, method)
-        .select(id_col, "fh")
-        .distinct()
-    )
-    grouped = (
-        fh.groupBy("fh")
-        .agg(F.array_sort(F.collect_list(id_col)).alias("members"))
-        .filter(
-            (F.size("members") >= 2) & (F.size("members") <= max_frame_bucket)
-        )
-    )
-    pairs = (
-        grouped.select(F.posexplode("members").alias("i", "id_a"), "members")
-        .select(
-            "id_a",
-            F.explode(F.expr("slice(members, i + 2, size(members))")).alias(
-                "id_b"
-            ),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared_frames"))
-        .filter(F.col("n_shared_frames") >= min_shared_frames)
-    )
-    return pairs
+    fh = video_frame_hashes(df, id_col, payload_col, every_n, method)
+    return shared_token_pairs(
+        fh,
+        id_col=id_col,
+        token_col="fh",
+        min_shared=min_shared_frames,
+        max_bucket=max_frame_bucket,
+    ).withColumnRenamed("n_shared", "n_shared_frames")

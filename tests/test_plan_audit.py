@@ -65,6 +65,9 @@ PY_ALLOWED = {
     # r9 extension: two legs (fused sample+hash table, inverted-index
     # pairing), each exactly one mapInPandas stage
     "video_phash_dedup": 2,
+    # r9 extension: two legs (fused sub-fingerprint table, inverted-
+    # index pairing), each exactly one mapInPandas stage
+    "audio_fp_dedup": 2,
 }
 
 _SF = "/root/testdata/sf0.001"
@@ -120,7 +123,7 @@ def test_catalog_driver_window_is_exactly_fifty(plans):
     assert names[:50] == DRIVER_WINDOW
     assert names[50:] == [
         "dsir_importance", "crawl_extract_suite", "image_phash_dedup",
-        "video_phash_dedup",
+        "video_phash_dedup", "audio_fp_dedup",
     ]
 
 
