@@ -142,46 +142,6 @@ def _hash_one(payload: bytes, method: str, decode) -> int:
     return dhash64_from_gray(decode(payload, HASH_EDGE + 1, HASH_EDGE))
 
 
-#: MSB-first bit weights for the 64-bit pack (uint64 keeps << defined)
-_BIT_WEIGHTS = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
-
-
-def _pack_bits_batch(bits: np.ndarray) -> np.ndarray:
-    """Row-major MSB-first pack of ``(n, 64)`` booleans into ``(n,)``
-    signed int64 — the batch twin of :func:`_pack_bits` (same values,
-    vectorized)."""
-    return (bits.reshape(bits.shape[0], 64).astype(np.uint64) @ _BIT_WEIGHTS).astype(
-        np.int64
-    )
-
-
-def _hash_batch(grids: np.ndarray, method: str) -> np.ndarray:
-    """Vectorized perceptual hash of a STACK of grayscale grids
-    (``(n, 32, 32)`` for phash, ``(n, 8, 9)`` for dhash) -> ``(n,)``
-    int64, matching the scalar functions value-for-value (pinned by the
-    golden tests). The 2-D DCT batches as TWO large flat GEMMs — each
-    slice's ``C @ G`` rewritten ``(Gᵀ @ Cᵀ)ᵀ`` so the whole stack is one
-    ``(n*32, 32) @ (32, 32)`` — measured ~2x over the per-image loop
-    (numpy's broadcasted 3-D matmul is NOT batched BLAS and measured
-    SLOWER than the loop; r9 perf pass — the video tier hashes ~16
-    frames per clip, so this stage dominated its bench entry)."""
-    if method == "phash":
-        n = grids.shape[0]
-        # A = C @ G per slice, via one flat GEMM on the transposes
-        a = (
-            np.swapaxes(grids, 1, 2).reshape(n * PHASH_GRID, PHASH_GRID)
-            @ _DCT32.T
-        ).reshape(n, PHASH_GRID, PHASH_GRID)
-        a = np.swapaxes(a, 1, 2)
-        coeffs = (
-            a.reshape(n * PHASH_GRID, PHASH_GRID) @ _DCT32.T
-        ).reshape(n, PHASH_GRID, PHASH_GRID)
-        low = coeffs[:, :HASH_EDGE, :HASH_EDGE].reshape(-1, 64)
-        med = np.median(low, axis=1, keepdims=True)
-        return _pack_bits_batch(low > med)
-    return _pack_bits_batch(grids[:, :, 1:] > grids[:, :, :-1])
-
-
 def image_hash_table(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -206,25 +166,19 @@ def image_hash_table(
         raise ValueError(f"method must be 'phash' or 'dhash', got {method!r}")
     mode = _resolve_codec(codec, f"image_hash_table({method})")
 
-    w, h = (
-        (PHASH_GRID, PHASH_GRID)
-        if method == "phash"
-        else (HASH_EDGE + 1, HASH_EDGE)
-    )
-
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         decode = _codec_fn(mode, pil_decode_gray, fake_decode_gray)
         for pdf in it:
-            n = len(pdf)
-            if n == 0:
-                continue
-            # decode per image (codec call), hash the whole batch in
-            # ONE broadcasted matmul (see _hash_batch)
-            grids = np.stack([decode(b, w, h) for b in pdf[payload_col]])
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,
-                    "ih": pd.array(_hash_batch(grids, method), dtype="int64"),
+                    "ih": pd.array(
+                        [
+                            _hash_one(b, method, decode)
+                            for b in pdf[payload_col]
+                        ],
+                        dtype="int64",
+                    ),
                 }
             )
 
@@ -358,15 +312,9 @@ def video_frame_hashes(
         ]
     )
 
-    w, h = (
-        (PHASH_GRID, PHASH_GRID)
-        if method == "phash"
-        else (HASH_EDGE + 1, HASH_EDGE)
-    )
-
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, idxs, grids = [], [], []
+            ids, idxs, hs = [], [], []
             for vid, payload in zip(pdf[id_col], pdf[payload_col]):
                 if payload is None or len(payload) == 0:
                     continue
@@ -375,18 +323,12 @@ def video_frame_hashes(
                         continue
                     ids.append(vid)
                     idxs.append(fi)
-                    grids.append(fake_decode_gray(fb, w, h))
-            if not ids:
-                continue
-            # ALL frames of the whole Arrow batch hash in one
-            # broadcasted matmul — the per-frame loop only slices
+                    hs.append(_hash_one(fb, method, fake_decode_gray))
             yield pd.DataFrame(
                 {
                     id_col: ids,
                     "frame_idx": idxs,
-                    "fh": pd.array(
-                        _hash_batch(np.stack(grids), method), dtype="int64"
-                    ),
+                    "fh": pd.array(hs, dtype="int64"),
                 }
             )
 

@@ -593,22 +593,3 @@ class TestVideoFingerprint:
         pairs = video_near_dup_pairs(df, min_shared_frames=3)
         kept = dedup_survivors_by_cluster(df, pairs)
         assert {r.doc_id for r in kept.collect()} == {1, 3}  # 2 lost to 1
-
-
-def test_batch_hash_bit_identical_to_scalar():
-    """The batched GEMM path must match the scalar functions
-    value-for-value over random grids AND the frozen golden payloads
-    (a divergence would silently break the oracle constants)."""
-    from kafka_streams_task_spark.catalog.extensions import _ih_payloads
-    from kafka_streams_task_spark.operators.image_hash import _hash_batch
-
-    rng = random.Random(7)
-    pls = [bytes(rng.randrange(256) for _ in range(200)) for _ in range(64)]
-    pls += [bytes(p) for _, p in _ih_payloads()]
-    g32 = np.stack([fake_decode_gray(p, 32, 32) for p in pls])
-    g98 = np.stack([fake_decode_gray(p, 9, 8) for p in pls])
-    ph = _hash_batch(g32, "phash")
-    dh = _hash_batch(g98, "dhash")
-    for i, p in enumerate(pls):
-        assert int(ph[i]) == phash64_from_gray(g32[i]), i
-        assert int(dh[i]) == dhash64_from_gray(g98[i]), i
