@@ -593,3 +593,104 @@ class TestVideoFingerprint:
         pairs = video_near_dup_pairs(df, min_shared_frames=3)
         kept = dedup_survivors_by_cluster(df, pairs)
         assert {r.doc_id for r in kept.collect()} == {1, 3}  # 2 lost to 1
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    hashes=st.lists(
+        st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
+        min_size=2,
+        max_size=24,
+        unique=True,
+    ),
+    max_hamming=st.integers(min_value=0, max_value=7),
+)
+def test_property_hamming_banding_equals_brute_force(
+    spark, hashes, max_hamming
+):
+    """Hypothesis gate on the shared banding tier: for ANY fingerprint
+    set (full signed-int64 range incl. sign-bit extremes) and any
+    certified threshold, banded pairs == brute-force Hamming pairs."""
+    from kafka_streams_task_spark.operators.dedup import (
+        hamming_near_dup_pairs,
+    )
+
+    rows = list(enumerate(hashes))
+    df = spark.createDataFrame(rows, "doc_id bigint, h bigint")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_near_dup_pairs(
+            df, hash_col="h", max_hamming=max_hamming, n_blocks=8
+        ).collect()
+    }
+    brute = {
+        (a, b, _ham(ha, hb))
+        for a, ha in rows
+        for b, hb in rows
+        if a < b and _ham(ha, hb) <= max_hamming
+    }
+    assert got == brute
+
+
+def test_multimodal_dedup_capstone(spark, tmp_path):
+    """r9 capstone for the multimodal×dedup matrix: one asset corpus
+    carrying image, video, and audio payloads — each modality's
+    near-dup pass runs its own chain, losers resolve through the shared
+    transitive-cluster survivor machinery, and the deduped corpus
+    commits as a gated snapshot version."""
+    from kafka_streams_task_spark.catalog.extensions import (
+        _afp_payloads,
+        _ih_payloads,
+        _vid_payloads,
+    )
+    from kafka_streams_task_spark.operators import (
+        audio_near_dup_pairs,
+        dedup_survivors_by_cluster,
+        image_near_dup_pairs,
+        snapshot_read,
+        snapshot_write,
+        video_near_dup_pairs,
+    )
+
+    rows = (
+        [(100 + m, "image", p) for m, p in _ih_payloads()]
+        + [(200 + m, "video", p) for m, p in _vid_payloads()]
+        + [(300 + m, "audio", p) for m, p in _afp_payloads()]
+    )
+    assets = spark.createDataFrame(
+        rows, "asset_id bigint, modality string, payload binary"
+    )
+    img = assets.filter("modality = 'image'")
+    vid = assets.filter("modality = 'video'")
+    aud = assets.filter("modality = 'audio'")
+    pairs = (
+        image_near_dup_pairs(img, id_col="asset_id", max_hamming=6)
+        .select("id_a", "id_b")
+        .unionByName(
+            video_near_dup_pairs(
+                vid, id_col="asset_id", min_shared_frames=3
+            ).select("id_a", "id_b")
+        )
+        .unionByName(
+            audio_near_dup_pairs(
+                aud, id_col="asset_id", min_shared=3
+            ).select("id_a", "id_b")
+        )
+    )
+    kept = dedup_survivors_by_cluster(assets, pairs, id_col="asset_id")
+    kept_ids = {r.asset_id for r in kept.collect()}
+    # per plant design: image variants {0,1,2} cluster (100 survives),
+    # {3,4} cluster (103), 105 alone; video {0,1} (200), 202 alone;
+    # audio {0,1,2} (300), {3,4} (303), 305 alone
+    assert kept_ids == {100, 103, 105, 200, 202, 300, 303, 305}
+    tbl = str(tmp_path / "assets")
+    v = snapshot_write(
+        spark, kept, tbl,
+        expectations={"has_payload": "payload is not null"},
+        unique_keys={"pk": ["asset_id"]},
+    )
+    assert snapshot_read(spark, tbl, v).count() == len(kept_ids)
