@@ -655,7 +655,15 @@ def shared_token_pairs(
     ``n_shared`` counts distinct shared values."""
     if min_shared < 1:
         raise ValueError(f"min_shared must be >= 1, got {min_shared}")
-    distinct = tokens.select(id_col, token_col).distinct()
+    # NULL is not a token: a natural left-join / failed-extraction shape
+    # emits NULL for undecodable items, and grouping those into one
+    # bucket would cross-pair every such item on "shared nothing"
+    # (review r9 pass 2)
+    distinct = (
+        tokens.select(id_col, token_col)
+        .filter(F.col(token_col).isNotNull())
+        .distinct()
+    )
     grouped = (
         distinct.groupBy(token_col)
         .agg(F.array_sort(F.collect_list(id_col)).alias("members"))
@@ -778,16 +786,20 @@ def hamming_incremental_pairs(
             F.col("a.is_new").alias("a_is_new"),
             F.col("b.is_new").alias("b_is_new"),
         )
-        .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     out_cols = ["id_a", "id_b", "hamming"] + (
         ["a_is_new", "b_is_new"] if keep_flags else []
     )
+    # distinct AFTER projecting the output columns: with keep_flags off,
+    # a pair whose ids both sit in index AND shard surfaces under
+    # several flag combos — a flag-inclusive distinct would emit the
+    # same (id_a, id_b, hamming) row up to 3x (review r9 pass 2)
     return (
         cand.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select(*out_cols)
+        .distinct()
     )
 
 

@@ -302,6 +302,10 @@ def video_frame_hashes(
     nothing, as in :func:`image_hash_table`."""
     if method not in ("phash", "dhash"):
         raise ValueError(f"method must be 'phash' or 'dhash', got {method!r}")
+    if every_n < 1:
+        # fail at the driver: 0 would crash range() inside every task,
+        # a negative value would silently sample nothing (review r9)
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
     from .multimodal import fake_frame_slices
 
     schema = T.StructType(

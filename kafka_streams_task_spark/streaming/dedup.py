@@ -65,6 +65,85 @@ def streaming_dedup_watermarked(
     )
 
 
+def _index_dedup_stream(
+    stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str,
+    keep_cols: list,
+    prefix: str,
+    state_fn,
+    pairs_fn,
+):
+    """The shared exactly-once commit choreography of the index-backed
+    streaming dedup tiers (r9 review: the near/image twins duplicated
+    ~50 lines of it verbatim, reintroducing exactly the drift risk
+    ``state.bind_state_to_checkpoint``'s rationale warns about).
+
+    Per micro-batch: redelivery skip on the committed-shard set →
+    pin the batch and its ``state_fn`` output (bands/blocks) → probe
+    ``pairs_fn(new_state, committed index)`` (must return flagged
+    ``(id_a, id_b, a_is_new, b_is_new)`` candidates) → drop policy
+    (drop on any pair with an indexed item, or with a smaller-id item
+    of the same batch) → ALSO drop ids already committed to the index
+    (ingest ids are unique: a re-crawl of the SAME id is a no-op, and
+    changed content under one id is a CDC update for the merge tier,
+    not an ingest insert — previously only the MinHash twin caught
+    this, implicitly, through its band self-pairs) → kept FIRST
+    (overwrite: redelivery-idempotent), then the batch's append-only
+    state shard.
+    """
+    from .state import bind_state_to_checkpoint, committed_versions
+
+    bind_state_to_checkpoint(stream.sparkSession, index_dir, checkpoint_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        versions = committed_versions(spark, index_dir, prefix)
+        if batch_id in versions:
+            return  # redelivery: kept output + shard for this batch are durable
+
+        batch = batch_df.select(*keep_cols).localCheckpoint(eager=True)
+        new_state = state_fn(batch).localCheckpoint(eager=True)
+        if versions:
+            index = spark.read.parquet(
+                *[f"{index_dir}/{prefix}{v}" for v in versions]
+            )
+        else:
+            # id-type-agnostic empty bootstrap (string ids etc. work)
+            index = new_state.limit(0)
+        pairs = pairs_fn(new_state, index).localCheckpoint(eager=True)
+        drop_old = pairs.filter(
+            F.col("a_is_new") != F.col("b_is_new")
+        ).select(
+            F.when(F.col("a_is_new"), F.col("id_a")).otherwise(F.col("id_b")).alias(id_col)
+        )
+        drop_new = pairs.filter(
+            F.col("a_is_new") & F.col("b_is_new")
+        ).select(F.col("id_b").alias(id_col))  # id_a < id_b: smaller id survives
+        already = batch.select(id_col).join(
+            index.select(id_col).distinct(), on=id_col, how="left_semi"
+        )
+        kept = batch.join(
+            drop_old.unionByName(drop_new).unionByName(already).distinct(),
+            on=id_col,
+            how="left_anti",
+        ).localCheckpoint(eager=True)
+
+        # kept FIRST (overwrite: redelivery-idempotent), then the shard
+        kept.write.mode("overwrite").parquet(f"{index_dir}/kept/batch_id={batch_id}")
+        new_state.join(kept.select(id_col), on=id_col, how="left_semi").write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/{prefix}{batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_dedup_near(
     stream: DataFrame,
     index_dir: str,
@@ -86,8 +165,10 @@ def streaming_dedup_near(
     batch dedup run.
 
     Drop policy (deterministic, conservative): a document is dropped when
-    it LSH-pairs with any already-indexed document, or with a smaller-id
-    document of the same batch. Chains within one batch may over-drop
+    it LSH-pairs with any already-indexed document, with a smaller-id
+    document of the same batch, or when its ID is already committed to
+    the index (ingest ids are unique: a re-crawled id is a no-op, and
+    changed content under one id is a CDC update for the merge tier). Chains within one batch may over-drop
     relative to the batch path's transitive-survivor semantics — at
     ingest, over-dropping near-duplicates is the safe direction, and the
     at-rest corpus can always re-run the exact batch operator.
@@ -123,54 +204,21 @@ def streaming_dedup_near(
     ``minhash_lsh_candidates_incremental`` runs).
     """
     from ..operators.dedup import incremental_pairs_from_bands, minhash_band_table
-    from .state import bind_state_to_checkpoint, committed_versions
 
-    bind_state_to_checkpoint(stream.sparkSession, index_dir, checkpoint_dir)
-    _PFX = "bands_v"
-
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        versions = committed_versions(spark, index_dir, _PFX)
-        if batch_id in versions:
-            return  # redelivery: kept output + shard for this batch are durable
-
-        batch = batch_df.select(id_col, text_col).localCheckpoint(eager=True)
-        new_bands = minhash_band_table(
-            batch, text_col, id_col, num_hashes, bands, shingle_n=shingle_n, seed=seed
-        ).localCheckpoint(eager=True)
-        if versions:
-            index = spark.read.parquet(
-                *[f"{index_dir}/{_PFX}{v}" for v in versions]
-            )
-        else:
-            # id-type-agnostic empty bootstrap (string ids etc. work)
-            index = new_bands.limit(0)
-        pairs = incremental_pairs_from_bands(
+    return _index_dedup_stream(
+        stream,
+        index_dir,
+        checkpoint_dir,
+        id_col=id_col,
+        keep_cols=[id_col, text_col],
+        prefix="bands_v",
+        state_fn=lambda batch: minhash_band_table(
+            batch, text_col, id_col, num_hashes, bands,
+            shingle_n=shingle_n, seed=seed,
+        ),
+        pairs_fn=lambda new_bands, index: incremental_pairs_from_bands(
             new_bands, index, id_col=id_col, max_bucket=max_bucket
-        ).localCheckpoint(eager=True)
-        drop_old = pairs.filter(
-            F.col("a_is_new") != F.col("b_is_new")
-        ).select(
-            F.when(F.col("a_is_new"), F.col("id_a")).otherwise(F.col("id_b")).alias(id_col)
-        )
-        drop_new = pairs.filter(
-            F.col("a_is_new") & F.col("b_is_new")
-        ).select(F.col("id_b").alias(id_col))  # id_a < id_b: smaller id survives
-        kept = batch.join(
-            drop_old.unionByName(drop_new).distinct(), on=id_col, how="left_anti"
-        ).localCheckpoint(eager=True)
-
-        # kept FIRST (overwrite: redelivery-idempotent), then the shard
-        kept.write.mode("overwrite").parquet(f"{index_dir}/kept/batch_id={batch_id}")
-        new_bands.join(kept.select(id_col), on=id_col, how="left_semi").write.mode(
-            "overwrite"
-        ).parquet(f"{index_dir}/{_PFX}{batch_id}")
-
-    return (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+        ),
     )
 
 
@@ -194,8 +242,9 @@ def streaming_dedup_image(
     :func:`streaming_dedup_near`, for multimodal crawls where
     re-encoded/resized copies must be stopped at the boundary.
 
-    Same drop policy (drop on any pair with an indexed image, or with a
-    smaller-id image of the same batch — conservative at ingest), same
+    Same drop policy (drop on any pair with an indexed image, with a
+    smaller-id image of the same batch, or on an already-indexed id —
+    conservative at ingest), same
     exactly-once discipline (append-only ``hblk_v{N}`` committed
     shards; kept docs written FIRST under ``kept/batch_id={N}`` with
     overwrite; redelivered batches whose shard committed skip
@@ -211,32 +260,21 @@ def streaming_dedup_image(
     """
     from ..operators.dedup import hamming_block_table, hamming_incremental_pairs
     from ..operators.image_hash import image_hash_table
-    from .state import bind_state_to_checkpoint, committed_versions
 
-    bind_state_to_checkpoint(stream.sparkSession, index_dir, checkpoint_dir)
-    _PFX = "hblk_v"
-
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        versions = committed_versions(spark, index_dir, _PFX)
-        if batch_id in versions:
-            return  # redelivery: kept output + shard for this batch are durable
-
-        batch = batch_df.select(id_col, payload_col).localCheckpoint(eager=True)
-        new_blocks = hamming_block_table(
+    return _index_dedup_stream(
+        stream,
+        index_dir,
+        checkpoint_dir,
+        id_col=id_col,
+        keep_cols=[id_col, payload_col],
+        prefix="hblk_v",
+        state_fn=lambda batch: hamming_block_table(
             image_hash_table(batch, id_col, payload_col, method, codec),
             id_col,
             "ih",
             n_blocks,
-        ).localCheckpoint(eager=True)
-        if versions:
-            index = spark.read.parquet(
-                *[f"{index_dir}/{_PFX}{v}" for v in versions]
-            )
-        else:
-            # id-type-agnostic empty bootstrap (string ids etc. work)
-            index = new_blocks.limit(0)
-        pairs = hamming_incremental_pairs(
+        ),
+        pairs_fn=lambda new_blocks, index: hamming_incremental_pairs(
             new_blocks,
             index,
             id_col=id_col,
@@ -245,28 +283,5 @@ def streaming_dedup_image(
             n_blocks=n_blocks,
             max_bucket=max_bucket,
             keep_flags=True,
-        ).localCheckpoint(eager=True)
-        drop_old = pairs.filter(
-            F.col("a_is_new") != F.col("b_is_new")
-        ).select(
-            F.when(F.col("a_is_new"), F.col("id_a")).otherwise(F.col("id_b")).alias(id_col)
-        )
-        drop_new = pairs.filter(
-            F.col("a_is_new") & F.col("b_is_new")
-        ).select(F.col("id_b").alias(id_col))  # id_a < id_b: smaller id survives
-        kept = batch.join(
-            drop_old.unionByName(drop_new).distinct(), on=id_col, how="left_anti"
-        ).localCheckpoint(eager=True)
-
-        # kept FIRST (overwrite: redelivery-idempotent), then the shard
-        kept.write.mode("overwrite").parquet(f"{index_dir}/kept/batch_id={batch_id}")
-        new_blocks.join(kept.select(id_col), on=id_col, how="left_semi").write.mode(
-            "overwrite"
-        ).parquet(f"{index_dir}/{_PFX}{batch_id}")
-
-    return (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+        ),
     )

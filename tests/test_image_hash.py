@@ -694,3 +694,105 @@ def test_multimodal_dedup_capstone(spark, tmp_path):
         unique_keys={"pk": ["asset_id"]},
     )
     assert snapshot_read(spark, tbl, v).count() == len(kept_ids)
+
+
+def test_incremental_pairs_no_duplicates_when_ids_overlap(spark):
+    """r9 review pass 2: with keep_flags off, a pair whose ids sit in
+    BOTH the index and the shard must surface exactly once — the
+    flag-inclusive distinct used to emit it up to 3x."""
+    from kafka_streams_task_spark.operators.dedup import (
+        hamming_block_table,
+        hamming_incremental_pairs,
+    )
+
+    hashed = spark.createDataFrame(
+        [(1, 0), (2, 1)], "doc_id bigint, h bigint"  # hamming(0,1)=1
+    )
+    blocked = hamming_block_table(hashed, hash_col="h", n_blocks=8)
+    pairs = hamming_incremental_pairs(
+        blocked, blocked, hash_col="h", max_hamming=3, n_blocks=8
+    ).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in pairs] == [(1, 2, 1)]
+
+
+def test_shared_token_pairs_ignores_null_tokens(spark):
+    from kafka_streams_task_spark.operators.dedup import shared_token_pairs
+
+    rows = [(1, None), (2, None), (3, None), (1, 10), (2, 10), (1, 11), (2, 11)]
+    df = spark.createDataFrame(rows, "doc_id bigint, fh bigint")
+    got = {
+        (r.id_a, r.id_b, r.n_shared)
+        for r in shared_token_pairs(df, min_shared=1).collect()
+    }
+    # docs 1,2 share tokens 10 and 11; NULL "tokens" never pair (3 absent)
+    assert got == {(1, 2, 2)}
+
+
+def test_video_every_n_guard(spark):
+    from kafka_streams_task_spark.operators.image_hash import (
+        video_frame_hashes,
+    )
+
+    df = spark.createDataFrame([(1, b"x" * 100)], "doc_id bigint, payload binary")
+    with pytest.raises(ValueError, match="every_n"):
+        video_frame_hashes(df, every_n=0)
+    with pytest.raises(ValueError, match="every_n"):
+        video_frame_hashes(df, every_n=-4)
+
+
+def test_streaming_dedup_image_drops_recrawled_same_id(spark, tmp_path):
+    """r9 review pass 2: a later batch re-delivering an ALREADY-INDEXED
+    id (exact re-crawl — not a foreachBatch redelivery) must not
+    re-enter kept/ or re-index its blocks."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from kafka_streams_task_spark.catalog.extensions import _ih_payloads
+    from kafka_streams_task_spark.streaming.dedup import streaming_dedup_image
+
+    v = {m: bytes(p) for m, p in _ih_payloads()}
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def write(path, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "payload": pa.array([r[1] for r in rows], pa.binary()),
+                }
+            ),
+            path,
+        )
+
+    write(src / "b0.parquet", [(1, v[0])])
+    # batch 1: id 1 re-crawled identically + genuinely new id 2
+    write(src / "b1.parquet", [(1, v[0]), (2, v[5])])
+    os.utime(src / "b0.parquet", (1000000000, 1000000000))
+    os.utime(src / "b1.parquet", (1000000100, 1000000100))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    index_dir = str(tmp_path / "idx")
+    q = streaming_dedup_image(stream, index_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    kept = spark.read.parquet(f"{index_dir}/kept").collect()
+    ids = sorted(r.doc_id for r in kept)
+    assert ids == [1, 2]  # id 1 exactly once, from batch 0
+    idx = spark.read.parquet(f"{index_dir}/hblk_v0", f"{index_dir}/hblk_v1")
+    per_id = {
+        r["doc_id"]: r["n"]
+        for r in idx.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()
+    }
+    assert per_id[1] == 8 and per_id[2] == 8  # one block set per id
