@@ -796,3 +796,41 @@ def test_streaming_dedup_image_drops_recrawled_same_id(spark, tmp_path):
         for r in idx.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()
     }
     assert per_id[1] == 8 and per_id[2] == 8  # one block set per id
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    rels=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.one_of(st.none(), st.integers(min_value=0, max_value=15)),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    min_shared=st.integers(min_value=1, max_value=4),
+)
+def test_property_shared_token_pairs_equals_brute_force(
+    spark, rels, min_shared
+):
+    """Hypothesis gate on the inverted-index tier: for ANY (id, token)
+    relation with duplicates and NULL tokens, pairs == brute-force
+    distinct-shared-token counts (NULLs never shared)."""
+    from kafka_streams_task_spark.operators.dedup import shared_token_pairs
+
+    df = spark.createDataFrame(rels, "doc_id bigint, fh bigint")
+    got = {
+        (r.id_a, r.id_b, r.n_shared)
+        for r in shared_token_pairs(df, min_shared=min_shared).collect()
+    }
+    sets: dict = {}
+    for i, t in rels:
+        if t is not None:
+            sets.setdefault(i, set()).add(t)
+    brute = {
+        (a, b, len(sets[a] & sets[b]))
+        for a in sets
+        for b in sets
+        if a < b and len(sets[a] & sets[b]) >= min_shared
+    }
+    assert got == brute
