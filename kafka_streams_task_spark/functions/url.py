@@ -15,10 +15,23 @@ the PSL as a broadcast join if exactness matters (documented trade)."""
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+try:
+    # IDNA2008 + UTS#46 mapping. The stdlib 'idna' codec is IDNA2003,
+    # whose divergent labels (eszett, ZWJ/ZWNJ, newer scripts) produce a
+    # WRONG A-label twin — e.g. 'faß' → 'fass' where 2008 keeps
+    # 'xn--fa-hia' — so a punycode host under such a rule would match a
+    # shorter rule instead (advice r9).
+    import idna as _idna
+except ImportError:  # pragma: no cover - idna ships in this env
+    _idna = None
+
+_log = logging.getLogger(__name__)
 
 #: common two-part public suffixes (a pragmatic subset of the PSL: the
 #: full list is ~9k entries and would be a broadcast-joined table, not an
@@ -453,13 +466,28 @@ def _puny_twin(rule: str) -> str | None:
     """The A-label (punycode) form of a non-ASCII rule, or None when a
     label refuses IDNA encoding. The published PSL states IDN rules as
     U-labels (``公司.cn``) while crawled URLs carry A-label hosts
-    (``xn--55qx5d.cn``) — both forms must match."""
-    try:
-        return ".".join(
-            lbl.encode("idna").decode("ascii") for lbl in rule.split(".")
-        )
-    except UnicodeError:
-        return None
+    (``xn--55qx5d.cn``) — both forms must match.
+
+    Encoded per label with the ``idna`` package (IDNA2008 + UTS#46 —
+    what registries and browsers actually use) when importable, falling
+    back to the stdlib IDNA2003 codec otherwise. Under IDNA2008 a label
+    the spec rejects gets NO twin (None; tallied by :func:`parse_psl`)
+    rather than a 2003-divergent wrong one — a missing twin degrades to
+    a shorter-rule match, a wrong twin silently mislabels every host
+    under the suffix."""
+    out: list[str] = []
+    for lbl in rule.split("."):
+        if _idna is not None:
+            try:
+                out.append(_idna.encode(lbl, uts46=True).decode("ascii"))
+                continue
+            except _idna.IDNAError:
+                return None
+        try:
+            out.append(lbl.encode("idna").decode("ascii"))
+        except UnicodeError:
+            return None
+    return ".".join(out)
 
 
 def parse_psl(lines) -> tuple[list[str], list[str], list[str]]:
@@ -469,10 +497,14 @@ def parse_psl(lines) -> tuple[list[str], list[str], list[str]]:
     labels equal the tail); ``!www.ck`` is recorded as ``www.ck``.
     Comments (``//``) and blank lines are skipped; rules are lowercased.
     Non-ASCII (IDN) rules additionally register their punycode A-label
-    twin, so hosts match in either representation."""
+    twin (IDNA2008/UTS#46 — see :func:`_puny_twin`), so hosts match in
+    either representation; rules whose twin cannot be encoded are
+    counted and logged once per parse — punycode hosts under them fall
+    back to a shorter rule."""
     exact: list[str] = []
     wc_tails: list[str] = []
     exc: list[str] = []
+    skipped_twins = 0
     for raw in lines:
         line = raw.strip().lower()
         if not line or line.startswith("//"):
@@ -488,6 +520,14 @@ def parse_psl(lines) -> tuple[list[str], list[str], list[str]]:
             twin = _puny_twin(rule)
             if twin is not None and twin != rule:
                 bucket.append(twin)
+            elif twin is None:
+                skipped_twins += 1
+    if skipped_twins:
+        _log.warning(
+            "parse_psl: %d IDN rule(s) have no encodable A-label twin; "
+            "punycode hosts under them fall back to a shorter rule",
+            skipped_twins,
+        )
     return exact, wc_tails, exc
 
 

@@ -626,13 +626,22 @@ def hamming_near_dup_pairs(
             F.col(f"a.{hash_col}").alias("sh_a"),
             F.col(f"b.{hash_col}").alias("sh_b"),
         )
-        .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    # One row per (id_a, id_b): min-aggregate instead of distinct —
+    # duplicate input ids carrying DIFFERENT hashes (unioned crawl
+    # passes) would otherwise emit the same pair several times with
+    # conflicting hamming values (advice r9). min = the closest pair of
+    # representatives, the conservative near-dup verdict; same single
+    # shuffle the old distinct() paid. Filtering before the aggregate
+    # is sound: min over the <= max_hamming survivors equals the global
+    # min whenever any survivor exists, and pairs with no survivor are
+    # exactly the pairs the filter-after-min would drop.
     return (
         cand.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .groupBy("id_a", "id_b")
+        .agg(F.min("hamming").alias("hamming"))
     )
 
 

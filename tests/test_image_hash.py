@@ -371,6 +371,26 @@ class TestReviewR9Fixes:
         assert all(r.id_a != r.id_b for r in pairs)
         assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
 
+    def test_duplicate_ids_conflicting_hashes_one_row_min(self, spark):
+        """Duplicate ids carrying DIFFERENT hashes (unioned crawl
+        passes) collapse to ONE row per (id_a, id_b) with the MIN
+        hamming — not several rows with conflicting values (advice
+        r9: distinct() kept every (sh_a, sh_b) combination)."""
+        from kafka_streams_task_spark.operators.dedup import (
+            hamming_near_dup_pairs,
+        )
+
+        # id 1 appears with hashes 15 (hamming 1 from 14) and 12
+        # (hamming 2 from 14); id 2 = 14. Both 1-hash variants land in
+        # the same low block as 14, so both candidate pairs generate.
+        df = spark.createDataFrame(
+            [(1, 15), (1, 12), (2, 14)], "doc_id bigint, h bigint"
+        )
+        pairs = hamming_near_dup_pairs(
+            df, hash_col="h", max_hamming=3, n_blocks=4
+        ).collect()
+        assert [(r.id_a, r.id_b, r.hamming) for r in pairs] == [(1, 2, 1)]
+
     def test_max_bucket_drops_hot_buckets(self, spark):
         from kafka_streams_task_spark.operators.dedup import (
             hamming_near_dup_pairs,

@@ -382,3 +382,52 @@ def test_psl_differential_full_list_sample(spark):
     }
     mism = {h: (got[h], expected[h]) for h in hosts if got[h] != expected[h]}
     assert not mism, mism
+
+
+def test_puny_twin_is_idna2008():
+    """IDNA2008/UTS#46 twins (advice r9): the stdlib codec's IDNA2003
+    mapping folds eszett ('faß' → 'fass'), producing a twin that matches
+    the WRONG hosts; 2008 keeps the distinct A-label. Symbols that 2003
+    happily encoded ('☃') are rejected outright in 2008 — no twin, not a
+    wrong one."""
+    from kafka_streams_task_spark.functions.url import _puny_twin
+
+    assert _puny_twin("faß.de") == "xn--fa-hia.de"  # 2003 said fass.de
+    assert _puny_twin("公司.cn") == "xn--55qx5d.cn"
+    assert _puny_twin("☃.de") is None
+
+
+def test_parse_psl_tallies_skipped_twins(caplog):
+    """Rules whose label IDNA2008 rejects keep their U-label entry and
+    log ONE warning counting the skipped twins."""
+    import logging
+
+    from kafka_streams_task_spark.functions.url import parse_psl
+
+    with caplog.at_level(logging.WARNING, "kafka_streams_task_spark.functions.url"):
+        exact, wc, exc = parse_psl(["de", "☃.de", "公司.cn"])
+    assert "☃.de" in exact  # U-label form still registered
+    assert "xn--55qx5d.cn" in exact  # encodable rule still twinned
+    warns = [r for r in caplog.records if "A-label twin" in r.getMessage()]
+    assert len(warns) == 1 and "1 IDN rule" in warns[0].getMessage()
+
+
+def test_psl_idna2008_twin_end_to_end(spark):
+    """A host under the eszett suffix's A-label matches the rule's 2008
+    twin: registrable = one label past 'xn--fa-hia.de'. The 2003 twin
+    ('fass.de') would have dropped this host to the 'de' rule and called
+    'xn--fa-hia.de' itself the registrable domain."""
+    from kafka_streams_task_spark.functions.url import with_registered_domain_psl
+
+    df = spark.createDataFrame(
+        [("https://foo.xn--fa-hia.de/x",), ("https://foo.fass.de/x",)], ["url"]
+    )
+    got = {
+        r.url: r.registered_domain
+        for r in with_registered_domain_psl(
+            df, psl_lines=["de", "faß.de"]
+        ).collect()
+    }
+    assert got["https://foo.xn--fa-hia.de/x"] == "foo.xn--fa-hia.de"
+    # plain-ASCII host under 'de' only: registrable = fass.de
+    assert got["https://foo.fass.de/x"] == "fass.de"
