@@ -74,6 +74,7 @@ def _index_dedup_stream(
     prefix: str,
     state_fn,
     pairs_fn,
+    compact_every: int | None = None,
 ):
     """The shared exactly-once commit choreography of the index-backed
     streaming dedup tiers (r9 review: the near/image twins duplicated
@@ -92,23 +93,38 @@ def _index_dedup_stream(
     this, implicitly, through its band self-pairs) → kept FIRST
     (overwrite: redelivery-idempotent), then the batch's append-only
     state shard.
+
+    ``compact_every=K`` merges the committed shards into one compact
+    root (``state.compact_index_shards``) whenever K live shards have
+    accumulated, bounding the per-batch index read at 1 root + <K
+    shards. Without it every batch reads one parquet root PER
+    ever-committed batch — listing and scan setup grow linearly, O(N²)
+    cumulative over a long-lived stream (advice r9) — acceptable only
+    for scheduled availableNow runs with few batches per run.
     """
-    from .state import bind_state_to_checkpoint, committed_versions
+    from .state import (
+        bind_state_to_checkpoint,
+        committed_index_state,
+        compact_index_shards,
+    )
 
     bind_state_to_checkpoint(stream.sparkSession, index_dir, checkpoint_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        versions = committed_versions(spark, index_dir, prefix)
-        if batch_id in versions:
+        compact_path, hi, versions = committed_index_state(
+            spark, index_dir, prefix
+        )
+        if batch_id <= hi or batch_id in versions:
             return  # redelivery: kept output + shard for this batch are durable
 
         batch = batch_df.select(*keep_cols).localCheckpoint(eager=True)
         new_state = state_fn(batch).localCheckpoint(eager=True)
-        if versions:
-            index = spark.read.parquet(
-                *[f"{index_dir}/{prefix}{v}" for v in versions]
-            )
+        roots = ([compact_path] if compact_path else []) + [
+            f"{index_dir}/{prefix}{v}" for v in versions
+        ]
+        if roots:
+            index = spark.read.parquet(*roots)
         else:
             # id-type-agnostic empty bootstrap (string ids etc. work)
             index = new_state.limit(0)
@@ -135,6 +151,10 @@ def _index_dedup_stream(
         new_state.join(kept.select(id_col), on=id_col, how="left_semi").write.mode(
             "overwrite"
         ).parquet(f"{index_dir}/{prefix}{batch_id}")
+        # compaction AFTER this batch's shard commit: a crash anywhere
+        # in it leaves the committed view intact (publish-then-cleanup)
+        if compact_every and len(versions) + 1 >= compact_every:
+            compact_index_shards(spark, index_dir, prefix)
 
     return (
         stream.writeStream.foreachBatch(process)
@@ -155,6 +175,7 @@ def streaming_dedup_near(
     shingle_n: int = 3,
     max_bucket: int = 1000,
     seed: int = 42,
+    compact_every: int | None = 32,
 ):
     """Ingest-time NEAR-duplicate dedup: each micro-batch is deduped
     against a durable MinHash-LSH band index
@@ -201,7 +222,10 @@ def streaming_dedup_near(
     ``{index_dir}/kept/batch_id={N}``; the live index is the union of
     committed ``{index_dir}/bands_v{N}`` shards (the
     ``minhash_band_table`` layout, reusable by batch
-    ``minhash_lsh_candidates_incremental`` runs).
+    ``minhash_lsh_candidates_incremental`` runs); every
+    ``compact_every`` committed shards (default 32; None disables) the
+    shards merge into one ``bands_vcompact_{N}`` root so per-batch index
+    reads stay bounded over a long-lived stream.
     """
     from ..operators.dedup import incremental_pairs_from_bands, minhash_band_table
 
@@ -219,6 +243,7 @@ def streaming_dedup_near(
         pairs_fn=lambda new_bands, index: incremental_pairs_from_bands(
             new_bands, index, id_col=id_col, max_bucket=max_bucket
         ),
+        compact_every=compact_every,
     )
 
 
@@ -233,6 +258,7 @@ def streaming_dedup_image(
     max_hamming: int = 6,
     n_blocks: int = 8,
     max_bucket: int | None = 1000,
+    compact_every: int | None = 32,
 ):
     """Ingest-time PERCEPTUAL image dedup (r9): each micro-batch of
     image payloads is hashed (one Arrow pHash/dHash stage), deduped
@@ -254,6 +280,10 @@ def streaming_dedup_image(
     bucket at ingest would stall the stream — the capped bucket's
     near-dups are exactly the mass-duplicate payloads an upstream exact
     (checksum) dedup should have removed.
+
+    ``compact_every`` (default 32; None disables) merges committed
+    shards into one compact root on the same schedule as the MinHash
+    twin, keeping per-batch index reads bounded.
 
     Reference parity: no analogue — beyond-reference multimodal
     training-data mandate (SURVEY.md north-star extensions).
@@ -284,4 +314,5 @@ def streaming_dedup_image(
             max_bucket=max_bucket,
             keep_flags=True,
         ),
+        compact_every=compact_every,
     )

@@ -33,7 +33,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.snapshots import snapshot_latest_tag, snapshot_write
+from ..operators.snapshots import (
+    snapshot_has_tag,
+    snapshot_latest_tag,
+    snapshot_write,
+)
 from ..sources.warc import _records_from_files, warc_to_documents
 from .dsir import streaming_dsir_filter
 from .state import bind_state_to_checkpoint
@@ -46,6 +50,7 @@ def commit_batch_to_snapshot(
     batch_id: int,
     expectations: dict | None = None,
     unique_keys: dict | None = None,
+    deep_check: bool = False,
 ) -> int | None:
     """Idempotently commit one micro-batch frame as an ``append``
     snapshot version tagged ``batch-<id>``; returns the new version, or
@@ -56,13 +61,25 @@ def commit_batch_to_snapshot(
     Redelivery detection compares against :func:`snapshot_latest_tag`
     (a few manifest reads), not a full version scan — sequential batch
     ids make the latest tag sufficient (review r9: the O(versions) scan
-    per batch summed to O(N²) manifest reads over a stream's life).
+    per batch summed to O(N²) manifest reads over a stream's life) —
+    UNLESS ``deep_check`` is set, which scans every committed version
+    via :func:`snapshot_has_tag`. The stream passes ``deep_check`` for
+    the FIRST batch after a (re)start, the only batch that can be a
+    redelivery: the latest-tag shortcut assumes the stream is the
+    table's only tagged writer, and an ops commit with its own tag
+    landing between the batch's snapshot commit and its checkpoint ack
+    would hide the batch's tag from the shortcut and double-ingest it
+    (advice r9). One O(versions) manifest walk per restart, O(1) per
+    steady-state batch.
     Empty batches (availableNow reruns on a quiet source) commit
     NOTHING — no empty-version spam inflating the manifest walk
     (review r9); the emptiness probe stops at the first row, so
     non-empty batches pay one short partial pass."""
     tag = f"batch-{batch_id}"
-    if snapshot_latest_tag(spark, table_path) == tag:
+    if deep_check:
+        if snapshot_has_tag(spark, table_path, tag):
+            return None
+    elif snapshot_latest_tag(spark, table_path) == tag:
         return None
     if df.isEmpty():
         return None
@@ -127,6 +144,11 @@ def streaming_crawl_to_snapshot(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     files = reader.load(path).select("path")
 
+    # only the FIRST batch after a (re)start can be a foreachBatch
+    # redelivery — deep-scan the manifest walk for that one, use the
+    # O(1) latest-tag shortcut for every steady-state batch
+    first_after_start = [True]
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         records = _records_from_files(
             batch_df,
@@ -139,7 +161,9 @@ def streaming_crawl_to_snapshot(
         commit_batch_to_snapshot(
             spark, filtered, table_path, batch_id,
             expectations=expectations, unique_keys=unique_keys,
+            deep_check=first_after_start[0],
         )
+        first_after_start[0] = False
 
     return (
         files.writeStream.foreachBatch(process)

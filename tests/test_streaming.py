@@ -746,3 +746,137 @@ def test_streaming_cdc_tombstone_compaction(spark, tmpdir):
         state = spark.read.parquet(f"{state_dir}/state_v{last}")
         n_tomb = state.filter("_op = 'D'").count()
         assert n_tomb == expect_tombstones, name
+
+
+def test_streaming_dedup_near_compacts_index_shards(spark, tmpdir):
+    """``compact_every=2``: shards merge into one ``bands_vcompact_{N}``
+    root as the stream runs (advice r9: unbounded per-batch root count),
+    dedup keeps working ACROSS the compaction boundary (a later batch's
+    near-copy of a doc whose shard was compacted away still drops), and
+    replaying the drained input is a no-op via the covered-id check."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from kafka_streams_task_spark.streaming.dedup import streaming_dedup_near
+    from kafka_streams_task_spark.streaming.state import (
+        committed_index_state,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "green bottles hang on the wall and a river runs quietly past "
+        "the old stone mill at dawn carrying leaves and cold clear water"
+    )
+    filler = [
+        "compilers allocate registers by coloring interference graphs "
+        "with spill heuristics guiding priorities across live ranges",
+        "tea kettles whistle when steam escapes the narrow spout at a "
+        "resonant frequency set by the chamber geometry and the flow",
+        "orchards in late autumn shed their leaves onto the damp grass "
+        "while starlings gather in loud flocks above the cider press",
+    ]
+    src = f"{tmpdir}/cmp_in"
+    os.makedirs(src)
+    batches = [
+        [{"doc_id": 1, "text": base}],
+        [{"doc_id": 2, "text": filler[0]}],
+        [{"doc_id": 3, "text": filler[1]}],
+        # near-copy of doc 1, whose shard was compacted two rounds ago
+        [{"doc_id": 4, "text": base.replace("dawn", "dusk")},
+         {"doc_id": 5, "text": filler[2]}],
+    ]
+    for i, rows in enumerate(batches):
+        with open(f"{src}/b{i}.json", "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows))
+        os.utime(f"{src}/b{i}.json", (1000000000 + i * 100,) * 2)
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+    )
+    index_dir = f"{tmpdir}/cmp_index"
+    q = streaming_dedup_near(
+        stream, index_dir, f"{tmpdir}/cmp_ckpt", compact_every=2
+    )
+    q.awaitTermination(240)
+
+    kept_ids = {
+        r["doc_id"] for r in spark.read.parquet(f"{index_dir}/kept").collect()
+    }
+    assert kept_ids == {1, 2, 3, 5}  # 4 dropped against the COMPACTED index
+
+    # the index collapsed to one compact root covering batch 3, with at
+    # most compact_every-1 live shards on top (here: zero)
+    compact_path, hi, live = committed_index_state(spark, index_dir, "bands_v")
+    assert compact_path is not None and hi == 3 and live == []
+    idx_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(compact_path).select("doc_id").distinct().collect()
+    }
+    assert idx_ids == kept_ids
+
+    # replay on the same checkpoint: every batch id is <= hi → no-op
+    stream2 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+    )
+    q2 = streaming_dedup_near(
+        stream2, index_dir, f"{tmpdir}/cmp_ckpt", compact_every=2
+    )
+    q2.awaitTermination(240)
+    assert {
+        r["doc_id"] for r in spark.read.parquet(f"{index_dir}/kept").collect()
+    } == kept_ids
+
+
+def test_compact_index_shards_unit(spark, tmpdir):
+    """Direct contract of the compaction helper: merges compact root +
+    live shards, deletes covered dirs, ignores uncommitted (_SUCCESS-less)
+    dirs, and treats shard 0 as a real coverable version (the
+    never-compacted sentinel is hi=-1, not 0 — batch ids start at 0)."""
+    import os
+    import shutil
+
+    from kafka_streams_task_spark.streaming.state import (
+        committed_index_state,
+        compact_index_shards,
+    )
+
+    root = f"{tmpdir}/unit_idx"
+    df = lambda v: spark.createDataFrame([(v,)], "doc_id bigint")  # noqa: E731
+    # empty index: nothing to merge
+    assert compact_index_shards(spark, root, "bands_v") is None
+    # only shard 0: compacts to compact_0 without losing the row
+    df(0).write.parquet(f"{root}/bands_v0")
+    p0 = compact_index_shards(spark, root, "bands_v")
+    assert p0 == f"{root}/bands_vcompact_0"
+    assert [r["doc_id"] for r in spark.read.parquet(p0).collect()] == [0]
+    assert committed_index_state(spark, root, "bands_v") == (p0, 0, [])
+    # shards 1..2 committed on top + one CRASHED shard (no _SUCCESS)
+    df(1).write.parquet(f"{root}/bands_v1")
+    df(2).write.parquet(f"{root}/bands_v2")
+    df(9).write.parquet(f"{root}/bands_v9")
+    os.remove(f"{root}/bands_v9/_SUCCESS")
+    p = compact_index_shards(spark, root, "bands_v")
+    assert p == f"{root}/bands_vcompact_2"
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(p).collect()
+    ) == [0, 1, 2]
+    # covered shards deleted; crashed shard untouched
+    assert not os.path.exists(f"{root}/bands_v0")
+    assert os.path.exists(f"{root}/bands_v9")
+    cp, hi, live = committed_index_state(spark, root, "bands_v")
+    assert (cp, hi, live) == (p, 2, [])
+    # a later shard stacks on top; recompaction folds it in and removes
+    # the older compact dir
+    df(3).write.parquet(f"{root}/bands_v3")
+    cp, hi, live = committed_index_state(spark, root, "bands_v")
+    assert (hi, live) == (2, [3])
+    p2 = compact_index_shards(spark, root, "bands_v")
+    assert p2 == f"{root}/bands_vcompact_3"
+    assert not os.path.exists(p)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(p2).collect()
+    ) == [0, 1, 2, 3]
+    shutil.rmtree(root)

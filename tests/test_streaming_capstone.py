@@ -239,3 +239,43 @@ def test_latest_tag_walks_past_untagged_manual_commits(spark, tmp_path):
     # an interleaved MANUAL (untagged) commit must not hide the tag
     snapshot_write(spark, spark.createDataFrame([(2,)], "doc_uid bigint"), tbl)
     assert snapshot_latest_tag(spark, tbl) == "batch-0"
+
+
+def test_deep_check_survives_interleaved_tagged_ops_commit(spark, tmp_path):
+    """A TAGGED ops commit (its own tag, e.g. a backfill) landing between
+    a batch's snapshot commit and its checkpoint ack hides the batch's
+    tag from the latest-tag shortcut — the redelivered batch would
+    double-ingest. ``deep_check`` (passed by the stream for the first
+    batch after a restart, the only batch that can be a redelivery)
+    scans every committed version and skips correctly (advice r9)."""
+    from kafka_streams_task_spark.operators.snapshots import (
+        snapshot_latest_tag,
+        snapshot_read,
+        snapshot_write,
+    )
+    from kafka_streams_task_spark.streaming.pipeline import (
+        commit_batch_to_snapshot,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a")], "doc_uid bigint, text string")
+    assert commit_batch_to_snapshot(spark, df, tbl, batch_id=0) == 1
+    # crash window: ops backfill with its OWN tag lands before the ack
+    snapshot_write(
+        spark,
+        spark.createDataFrame([(99, "ops")], "doc_uid bigint, text string"),
+        tbl,
+        mode="append",
+        tag="ops-backfill",
+    )
+    assert snapshot_latest_tag(spark, tbl) == "ops-backfill"  # tag hidden
+    # restart redelivers batch 0: deep check finds batch-0 anywhere in
+    # the committed lineage and skips
+    assert (
+        commit_batch_to_snapshot(spark, df, tbl, batch_id=0, deep_check=True)
+        is None
+    )
+    assert snapshot_read(spark, tbl).count() == 2  # 1 doc + 1 ops row
+    # steady state after the restart: shortcut path, new batch commits
+    df2 = spark.createDataFrame([(2, "b")], "doc_uid bigint, text string")
+    assert commit_batch_to_snapshot(spark, df2, tbl, batch_id=1) == 3
