@@ -148,6 +148,9 @@ OPS_SECTION = [
     "image_phash_dedup",
     "video_phash_dedup",
     "audio_fp_dedup",
+    # r10: interpolated-KN bigram LM (fit on the src1 split + score the
+    # whole corpus — the CCNet perplexity-filter shape)
+    "kn_lm_perplexity",
 ]
 
 #: frozen first-measurements for the ops section (set r8, steady-state
@@ -179,6 +182,8 @@ OPS_BASELINE_SEC = {
     "video_phash_dedup": 2.83,
     # r9 third wave (first measurement, clean run at calib_sec 2.46)
     "audio_fp_dedup": 1.99,
+    # r10: KN bigram fit (src1 split) + full-corpus scoring
+    "kn_lm_perplexity": 1.86,
 }
 
 
@@ -463,6 +468,24 @@ def _ops_workloads():
             F.count(F.lit(1)).alias("n_docs"),
         )
 
+    def _kn_lm_perplexity(s, d):
+        # r10: frozen-model perplexity scoring. The FIT (count tables +
+        # the one scalar collect) is part of the timed region — a real
+        # filter run pays it — and scoring joins the three model tables
+        # back against the full corpus.
+        from kafka_streams_task_spark.operators.kn_lm import (
+            kn_bigram_fit,
+            kn_bigram_score,
+        )
+
+        docs = load_table(s, d, "documents")
+        model = kn_bigram_fit(docs.filter(F.col("source") == "src1"))
+        return kn_bigram_score(docs, model).agg(
+            F.sum("avg_nll").alias("total_nll"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+
     def _video_phash_dedup(s, d):
         # r9 second wave: fused frame-sample+hash stage + inverted
         # frame-hash index pairing over text-derived "video" payloads
@@ -546,6 +569,7 @@ def _ops_workloads():
         "image_phash_dedup": _image_phash_dedup,
         "video_phash_dedup": _video_phash_dedup,
         "audio_fp_dedup": _audio_fp_dedup,
+        "kn_lm_perplexity": _kn_lm_perplexity,
     }
 
 

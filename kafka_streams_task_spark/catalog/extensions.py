@@ -883,3 +883,101 @@ def audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_shared").cast("long").alias("i3"),
     )
     return afp_leg.unionByName(ap_leg)
+
+
+_KN_ORACLE = f"""
+    WITH ttoks AS (
+      SELECT list_filter(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+'),
+                         t -> t <> '') AS ts
+      FROM documents WHERE source = 'src1' AND text IS NOT NULL
+    ),
+    tpairs AS (
+      SELECT unnest(list_transform(range(1, len(ts)), i -> ts[i])) AS a,
+             unnest(list_transform(range(1, len(ts)), i -> ts[i + 1])) AS b
+      FROM ttoks
+    ),
+    big AS (SELECT a, b, CAST(count(*) AS DOUBLE) AS c FROM tpairs GROUP BY a, b),
+    ctx AS (SELECT a, sum(c) AS cf, CAST(count(*) AS DOUBLE) AS nf
+            FROM big GROUP BY a),
+    cont AS (SELECT b, CAST(count(*) AS DOUBLE) AS np FROM big GROUP BY b),
+    scal AS (
+      SELECT CASE WHEN n1 + 2.0 * n2 > 0
+                  THEN least(greatest(n1 / (n1 + 2.0 * n2), 1e-9), 1 - 1e-9)
+                  ELSE 0.75 END AS d,
+             tt + vv + 1.0 AS denom
+      FROM (SELECT coalesce(sum(CASE WHEN c = 1 THEN 1.0 ELSE 0.0 END), 0.0) AS n1,
+                   coalesce(sum(CASE WHEN c = 2 THEN 1.0 ELSE 0.0 END), 0.0) AS n2,
+                   CAST(count(*) AS DOUBLE) AS tt
+            FROM big),
+           (SELECT CAST(count(DISTINCT t) AS DOUBLE) AS vv
+            FROM (SELECT unnest(ts) AS t FROM ttoks))
+    ),
+    stoks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+'),
+                         t -> t <> '') AS ts
+      FROM documents WHERE text IS NOT NULL
+    ),
+    nonempty AS (SELECT doc_id, ts FROM stoks WHERE len(ts) >= 1),
+    firstn AS (
+      SELECT s.doc_id,
+             -ln((coalesce(cont.np, 0.0) + 1.0) / scal.denom) AS nll
+      FROM (SELECT doc_id, ts[1] AS w FROM nonempty) s
+      LEFT JOIN cont ON s.w = cont.b, scal
+    ),
+    spairs AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ts)), i -> ts[i])) AS a,
+             unnest(list_transform(range(1, len(ts)), i -> ts[i + 1])) AS b
+      FROM nonempty
+    ),
+    restn AS (
+      SELECT p.doc_id,
+             -ln(CASE WHEN ctx.cf IS NOT NULL
+                      THEN greatest(coalesce(big.c, 0.0) - scal.d, 0.0) / ctx.cf
+                           + scal.d * ctx.nf / ctx.cf
+                             * ((coalesce(cont.np, 0.0) + 1.0) / scal.denom)
+                      ELSE (coalesce(cont.np, 0.0) + 1.0) / scal.denom
+                 END) AS nll
+      FROM spairs p
+      LEFT JOIN big ON p.a = big.a AND p.b = big.b
+      LEFT JOIN ctx ON p.a = ctx.a
+      LEFT JOIN cont ON p.b = cont.b, scal
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_tokens, avg(nll) AS avg_nll
+      FROM (SELECT * FROM firstn UNION ALL SELECT * FROM restn)
+      GROUP BY doc_id
+    )
+    SELECT CAST(agg.doc_id AS BIGINT) AS doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           {sql_fmicro("avg_nll")} AS nll,
+           {sql_fmicro("scal.d")} AS disc
+    FROM agg, scal
+"""
+
+
+@query("kn_lm_perplexity", oracle=_KN_ORACLE)
+def kn_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM (operators/kn_lm.py), the
+    CCNet-style perplexity filter: fit on the 'src1' documents (the
+    reference-corpus split, the dsir_importance precedent), score EVERY
+    document under the frozen model. Output per document: scored token
+    count, micro-rounded avg NLL, and the micro-rounded estimated
+    discount (constant per row — gates the count-of-counts D estimate
+    explicitly). The oracle restates the entire chain relationally in
+    DuckDB — bigram/context/continuation counts by token TEXT (count-
+    identical to the engine's xxhash64 keys barring ~n²/2⁶⁴ collisions),
+    the same discount formula, the same interpolation arithmetic in the
+    same operation order; NLL parity at micro precision (the text-model
+    suite's float-aggregation-order precedent)."""
+    from ..operators.kn_lm import kn_bigram_fit, kn_bigram_score
+
+    d = load_table(spark, sf_dir, "documents")
+    model = kn_bigram_fit(d.filter(F.col("source") == "src1"))
+    return kn_bigram_score(d, model).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        fmicro_col(F.col("avg_nll")).alias("nll"),
+        fmicro_col(F.lit(model.d)).alias("disc"),
+    )

@@ -1,0 +1,245 @@
+"""Interpolated Kneser-Ney bigram LM (operators/kn_lm.py): engine vs an
+independent dict-based reimplementation of the same published math
+(Chen & Goodman 1998 eq. 4.16), probability-mass invariants, discount
+estimation, OOV behavior, and plan shape."""
+
+import math
+import re
+from collections import Counter
+
+import pytest
+
+
+def _tok(s):
+    return [t for t in re.split(r"[ \t\n\r\f]+", s.strip()) if t] if s else []
+
+
+def ref_kn(train_texts, score_docs, discount=None):
+    """Pure-Python interpolated-KN reference (no Spark, no hashes)."""
+    big = Counter()
+    vocab = set()
+    for s in train_texts:
+        ts = _tok(s)
+        vocab.update(ts)
+        for a, b in zip(ts, ts[1:]):
+            big[(a, b)] += 1
+    ctx_cf, ctx_nf, cont = Counter(), Counter(), Counter()
+    for (a, b), c in big.items():
+        ctx_cf[a] += c
+        ctx_nf[a] += 1
+        cont[b] += 1
+    t_types, v = len(big), len(vocab)
+    n1 = sum(1 for c in big.values() if c == 1)
+    n2 = sum(1 for c in big.values() if c == 2)
+    d = discount if discount is not None else (
+        n1 / (n1 + 2 * n2) if n1 + 2 * n2 else 0.75
+    )
+    d = min(max(d, 1e-9), 1 - 1e-9)
+    denom = t_types + v + 1
+
+    def pcont(w):
+        return (cont.get(w, 0) + 1) / denom
+
+    def p(prev, w):
+        if prev in ctx_cf:
+            c = big.get((prev, w), 0)
+            return (
+                max(c - d, 0) / ctx_cf[prev]
+                + d * ctx_nf[prev] / ctx_cf[prev] * pcont(w)
+            )
+        return pcont(w)
+
+    out = {}
+    for i, s in score_docs:
+        ts = _tok(s)
+        if not ts:
+            continue
+        nlls = [-math.log(pcont(ts[0]))] + [
+            -math.log(p(a, b)) for a, b in zip(ts, ts[1:])
+        ]
+        out[i] = (len(ts), sum(nlls) / len(nlls))
+    return out, d, (big, ctx_cf, ctx_nf, cont, t_types, v)
+
+
+TRAIN = [
+    "the cat sat on the mat",
+    "the cat ate the fish",
+    "a dog sat on a log",
+    "the dog and the cat",
+    "fish swim and cats sit",
+]
+SCORE = [
+    (1, "the cat sat on the mat"),        # in-distribution
+    (2, "the dog ate the fish"),          # seen tokens, some unseen bigrams
+    (3, "quantum flux capacitors hum"),   # fully OOV
+    (4, "cat"),                           # single token
+    (5, ""),                              # tokenless -> no row
+    (6, None),                            # NULL -> no row
+    (7, "  \t "),                         # whitespace-only -> no row
+]
+
+
+@pytest.fixture(scope="module")
+def fitted(spark):
+    from kafka_streams_task_spark.operators.kn_lm import kn_bigram_fit
+
+    train = spark.createDataFrame([(t,) for t in TRAIN], "text string")
+    return kn_bigram_fit(train)
+
+
+def test_kn_matches_independent_reference(spark, fitted):
+    from kafka_streams_task_spark.operators.kn_lm import kn_bigram_score
+
+    expected, d, _ = ref_kn(TRAIN, SCORE)
+    assert abs(fitted.d - d) < 1e-12
+    df = spark.createDataFrame(SCORE, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_nll"], r["ppl"])
+        for r in kn_bigram_score(df, fitted).collect()
+    }
+    assert set(got) == set(expected)  # 5/6/7 emit no row
+    for i, (n, nll) in expected.items():
+        assert got[i][0] == n
+        assert got[i][1] == pytest.approx(nll, abs=1e-9)
+        assert got[i][2] == pytest.approx(math.exp(nll), rel=1e-9)
+
+
+def test_kn_model_scalars_and_discount(spark, fitted):
+    _, d, (big, _, _, _, t_types, v) = ref_kn(TRAIN, [])
+    assert fitted.t_types == t_types and fitted.v == v
+    n1 = sum(1 for c in big.values() if c == 1)
+    n2 = sum(1 for c in big.values() if c == 2)
+    assert fitted.d == pytest.approx(n1 / (n1 + 2 * n2))
+    # pinned discount overrides the estimate
+    from kafka_streams_task_spark.operators.kn_lm import kn_bigram_fit
+
+    train = spark.createDataFrame([(t,) for t in TRAIN], "text string")
+    assert kn_bigram_fit(train, discount=0.5).d == 0.5
+
+
+def test_kn_probability_mass_reserves_oov(spark):
+    """For every SEEN context v: sum over the training vocabulary of
+    P(w|v) = 1 - D*N1+(v,.)/(c(v)*(T+V+1)) — all mass accounted for,
+    with exactly the continuation-smoothing reserve left for OOV. For
+    an UNSEEN context the sum is (T+V)/(T+V+1)."""
+    _, d, (big, ctx_cf, ctx_nf, cont, t_types, v) = ref_kn(TRAIN, [])
+    denom = t_types + v + 1
+    vocab = {t for s in TRAIN for t in _tok(s)}
+
+    def pcont(w):
+        return (cont.get(w, 0) + 1) / denom
+
+    for prev in ctx_cf:
+        total = sum(
+            max(big.get((prev, w), 0) - d, 0) / ctx_cf[prev]
+            + d * ctx_nf[prev] / ctx_cf[prev] * pcont(w)
+            for w in vocab
+        )
+        reserve = d * ctx_nf[prev] / (ctx_cf[prev] * denom)
+        assert total == pytest.approx(1.0 - reserve, abs=1e-12)
+        assert 0 < reserve < 1
+    assert sum(pcont(w) for w in vocab) == pytest.approx(
+        (t_types + v) / denom, abs=1e-12
+    )
+
+
+def test_kn_oov_doc_scores_uniform_reserve(spark, fitted):
+    """A fully-OOV document: every position is Pcont with n_prec=0 =
+    1/(T+V+1) — avg_nll = ln(T+V+1) exactly."""
+    from kafka_streams_task_spark.operators.kn_lm import kn_bigram_score
+
+    df = spark.createDataFrame(
+        [(1, "zzz yyy xxx www")], "doc_id bigint, text string"
+    )
+    row = kn_bigram_score(df, fitted).collect()[0]
+    assert row["avg_nll"] == pytest.approx(
+        math.log(fitted.t_types + fitted.v + 1), abs=1e-9
+    )
+
+
+def test_kn_in_distribution_scores_lower(spark, fitted):
+    from kafka_streams_task_spark.operators.kn_lm import kn_bigram_score
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (3, "quantum flux capacitors hum")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["ppl"] for r in kn_bigram_score(df, fitted).collect()}
+    assert got[1] < got[3]
+
+
+def test_kn_perplexity_filter_gate(spark, fitted):
+    from kafka_streams_task_spark.operators.kn_lm import (
+        kn_bigram_score,
+        kn_perplexity_filter,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (3, "quantum flux capacitors hum"),
+            (5, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    ppls = {
+        r["doc_id"]: r["ppl"] for r in kn_bigram_score(df, fitted).collect()
+    }
+    cut = (ppls[1] + ppls[3]) / 2
+    kept = kn_perplexity_filter(df, fitted, max_ppl=cut)
+    rows = kept.collect()
+    assert {r["doc_id"] for r in rows} == {1}
+    assert set(kept.columns) == {"doc_id", "text", "ppl"}
+
+
+def test_kn_score_plan_is_jvm_only(spark, fitted):
+    """No Python/Arrow stage, no cartesian product, and the three model
+    joins resolve as hash joins (broadcast or shuffled — never nested
+    loop) in the scoring plan."""
+    from kafka_streams_task_spark.operators.kn_lm import kn_bigram_score
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat")], "doc_id bigint, text string"
+    )
+    plan = (
+        kn_bigram_score(df, fitted)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kn_model_write_read_roundtrip(spark, fitted, tmp_path):
+    """A materialized model scores identically to the in-lineage one
+    (the reuse path: fit the reference corpus once, read the counts
+    back for every scoring run)."""
+    from kafka_streams_task_spark.operators.kn_lm import (
+        kn_bigram_score,
+        kn_model_read,
+        kn_model_write,
+    )
+
+    path = str(tmp_path / "kn_model")
+    kn_model_write(fitted, path)
+    back = kn_model_read(spark, path)
+    assert (back.d, back.t_types, back.v) == (
+        fitted.d,
+        fitted.t_types,
+        fitted.v,
+    )
+    df = spark.createDataFrame(
+        [r for r in SCORE if r[1]], "doc_id bigint, text string"
+    )
+    a = {
+        r["doc_id"]: r["avg_nll"] for r in kn_bigram_score(df, fitted).collect()
+    }
+    b = {
+        r["doc_id"]: r["avg_nll"] for r in kn_bigram_score(df, back).collect()
+    }
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == pytest.approx(b[k], abs=1e-12)

@@ -123,7 +123,7 @@ def test_catalog_driver_window_is_exactly_fifty(plans):
     assert names[:50] == DRIVER_WINDOW
     assert names[50:] == [
         "dsir_importance", "crawl_extract_suite", "image_phash_dedup",
-        "video_phash_dedup", "audio_fp_dedup",
+        "video_phash_dedup", "audio_fp_dedup", "kn_lm_perplexity",
     ]
 
 
