@@ -151,6 +151,9 @@ OPS_SECTION = [
     # r10: interpolated-KN bigram LM (fit on the src1 split + score the
     # whole corpus — the CCNet perplexity-filter shape)
     "kn_lm_perplexity",
+    # r10: rank-based classifier metrics over 100k scored events
+    # (distributed prefix sum + confusion sweep + calibration)
+    "classifier_eval",
 ]
 
 #: frozen first-measurements for the ops section (set r8, steady-state
@@ -184,6 +187,9 @@ OPS_BASELINE_SEC = {
     "audio_fp_dedup": 1.99,
     # r10: KN bigram fit (src1 split) + full-corpus scoring
     "kn_lm_perplexity": 1.86,
+    # r10: AUC/AP/KS prefix sum over ~100k distinct scores + confusion +
+    # calibration (the exact-global-prefix actions dominate)
+    "classifier_eval": 3.40,
 }
 
 
@@ -468,6 +474,31 @@ def _ops_workloads():
             F.count(F.lit(1)).alias("n_docs"),
         )
 
+    def _classifier_eval(s, d):
+        # r10: AUC/AP/KS through the two-level distributed prefix sum
+        # over 100k scored events (continuous scores -> the distinct-
+        # score table is ~row-sized: the prefix tier is load-bearing),
+        # plus a 3-threshold confusion pass and a 10-bin calibration
+        from kafka_streams_task_spark.operators.evaluation import (
+            calibration_bins,
+            classifier_eval,
+            confusion_at_thresholds,
+        )
+
+        ev = load_table(s, d, "events").filter(F.col("value").isNotNull())
+        scored = ev.select(
+            (F.col("value") / (F.col("value") + 100.0)).alias("score"),
+            (F.col("event_id") % 5 < 2).cast("int").alias("label"),
+        )
+        summary = classifier_eval(scored)
+        conf = confusion_at_thresholds(scored, [0.2, 0.5, 0.8]).agg(
+            F.sum("tp").alias("tp"), F.sum("fp").alias("fp")
+        )
+        cal = calibration_bins(scored, 10).agg(
+            F.sum("n").alias("n"), F.avg("pos_rate").alias("pr")
+        )
+        return summary.crossJoin(conf).crossJoin(cal)
+
     def _kn_lm_perplexity(s, d):
         # r10: frozen-model perplexity scoring. The FIT (count tables +
         # the one scalar collect) is part of the timed region — a real
@@ -570,6 +601,7 @@ def _ops_workloads():
         "video_phash_dedup": _video_phash_dedup,
         "audio_fp_dedup": _audio_fp_dedup,
         "kn_lm_perplexity": _kn_lm_perplexity,
+        "classifier_eval": _classifier_eval,
     }
 
 

@@ -981,3 +981,129 @@ def kn_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmicro_col(F.col("avg_nll")).alias("nll"),
         fmicro_col(F.lit(model.d)).alias("disc"),
     )
+
+
+_EVAL_ORACLE = f"""
+    WITH base AS (
+      SELECT (n_chars % 97) / 97.0 AS score,
+             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
+      FROM documents WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
+    ),
+    per AS (SELECT score, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS np
+            FROM base GROUP BY score),
+    cum AS (
+      SELECT score, n, np,
+             coalesce(sum(n) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_n,
+             coalesce(sum(np) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_np
+      FROM per
+    ),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn, CAST(sum(np) AS DOUBLE) AS npos
+            FROM per),
+    summ AS (
+      SELECT (sum(np * (cum_n + (n + 1.0) / 2.0)) - tot.npos * (tot.npos + 1.0) / 2.0)
+               / (tot.npos * (tot.nn - tot.npos)) AS auc,
+             sum((np / tot.npos) * ((tot.npos - cum_np) / (tot.nn - cum_n))) AS ap,
+             max(abs((cum_np + np) / tot.npos
+                     - ((cum_n + n) - (cum_np + np)) / (tot.nn - tot.npos))) AS ks,
+             CAST(tot.nn AS BIGINT) AS n_all,
+             CAST(tot.npos AS BIGINT) AS n_pos
+      FROM cum, tot GROUP BY tot.nn, tot.npos
+    ),
+    conf AS (
+      SELECT CAST(t.th * 100 AS BIGINT) AS k,
+             CAST(sum(CASE WHEN score >= t.th THEN y ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN score >= t.th THEN 1 - y ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN score < t.th THEN y ELSE 0 END) AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN score < t.th THEN 1 - y ELSE 0 END) AS BIGINT) AS tn
+      FROM base, (SELECT unnest([0.25, 0.5, 0.75]) AS th) t
+      GROUP BY t.th
+    ),
+    calib AS (
+      SELECT CAST(least(greatest(floor(score * 10), 0), 9) AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             avg(score) AS mean_score,
+             avg(CAST(y AS DOUBLE)) AS pos_rate
+      FROM base GROUP BY 1
+    )
+    SELECT CAST(leg AS VARCHAR) AS leg, CAST(k AS BIGINT) AS k,
+           CAST(i1 AS BIGINT) AS i1, CAST(i2 AS BIGINT) AS i2,
+           CAST(i3 AS BIGINT) AS i3, CAST(i4 AS BIGINT) AS i4
+    FROM (
+      SELECT 'summary' AS leg, 0 AS k, n_all AS i1, n_pos AS i2,
+             n_all - n_pos AS i3, NULL AS i4 FROM summ
+      UNION ALL
+      SELECT 'metrics', 0, {sql_fmicro("auc")}, {sql_fmicro("ap")},
+             {sql_fmicro("ks")}, NULL FROM summ
+      UNION ALL
+      SELECT 'conf', k, tp, fp, fn, tn FROM conf
+      UNION ALL
+      SELECT 'calib', bin, n, {sql_fmicro("mean_score")},
+             {sql_fmicro("pos_rate")}, NULL FROM calib
+    )
+"""
+
+
+@query("classifier_eval_suite", oracle=_EVAL_ORACLE)
+def classifier_eval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation (operators/evaluation.py) over a
+    deterministic synthetic scoring: score = (n_chars % 97)/97.0 (97
+    levels over 500 docs — heavy ties, the regime where naive rank
+    implementations drift), label = doc_id % 3 == 0. Four legs:
+    'summary' (counts), 'metrics' (micro-rounded tie-corrected
+    Mann-Whitney AUC / step-wise AP / KS — the engine computes them
+    through the two-level DISTRIBUTED prefix sum, the oracle through
+    DuckDB's serial window: layout independence IS the gate, the
+    'shards' precedent), 'conf' (exact confusion counts at three
+    thresholds), 'calib' (10-bin reliability table). The AUC numerator
+    is exact in both engines (every term is a multiple of 0.5 below
+    2^53), so only AP/KS/means lean on micro rounding."""
+    from ..operators.evaluation import (
+        calibration_bins,
+        classifier_eval,
+        confusion_at_thresholds,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    scored = d.select(
+        ((F.col("n_chars") % 97) / 97.0).alias("score"),
+        (F.col("doc_id") % 3 == 0).cast("int").alias("label"),
+    )
+    ev = classifier_eval(scored)
+    summary = ev.select(
+        F.lit("summary").cast("string").alias("leg"),
+        F.lit(0).cast("long").alias("k"),
+        F.col("n").cast("long").alias("i1"),
+        F.col("n_pos").cast("long").alias("i2"),
+        F.col("n_neg").cast("long").alias("i3"),
+        F.lit(None).cast("long").alias("i4"),
+    )
+    metrics = ev.select(
+        F.lit("metrics").cast("string").alias("leg"),
+        F.lit(0).cast("long").alias("k"),
+        fmicro_col(F.col("auc")).alias("i1"),
+        fmicro_col(F.col("ap")).alias("i2"),
+        fmicro_col(F.col("ks")).alias("i3"),
+        F.lit(None).cast("long").alias("i4"),
+    )
+    conf = confusion_at_thresholds(scored, [0.25, 0.5, 0.75]).select(
+        F.lit("conf").cast("string").alias("leg"),
+        F.round(F.col("threshold") * 100).cast("long").alias("k"),
+        F.col("tp").cast("long").alias("i1"),
+        F.col("fp").cast("long").alias("i2"),
+        F.col("fn").cast("long").alias("i3"),
+        F.col("tn").cast("long").alias("i4"),
+    )
+    calib = calibration_bins(scored, n_bins=10).select(
+        F.lit("calib").cast("string").alias("leg"),
+        F.col("bin").cast("long").alias("k"),
+        F.col("n").cast("long").alias("i1"),
+        fmicro_col(F.col("mean_score")).alias("i2"),
+        fmicro_col(F.col("pos_rate")).alias("i3"),
+        F.lit(None).cast("long").alias("i4"),
+    )
+    return summary.unionByName(metrics).unionByName(conf).unionByName(calib)

@@ -33,6 +33,9 @@ BNLJ_ALLOWED = {
     "range_band_join",
     "regex_scalar_customer",
     "q6_q19_filter_aggregates",
+    # r10: classifier_eval's 1-row totals (n, n_pos) broadcast-crossJoined
+    # onto the distinct-score table — the quantile-gate precedent
+    "classifier_eval_suite",
 }
 
 #: queries allowed Python/Arrow stages, with a ceiling per query — every
@@ -124,6 +127,7 @@ def test_catalog_driver_window_is_exactly_fifty(plans):
     assert names[50:] == [
         "dsir_importance", "crawl_extract_suite", "image_phash_dedup",
         "video_phash_dedup", "audio_fp_dedup", "kn_lm_perplexity",
+        "classifier_eval_suite",
     ]
 
 
