@@ -154,6 +154,9 @@ OPS_SECTION = [
     # r10: rank-based classifier metrics over 100k scored events
     # (distributed prefix sum + confusion sweep + calibration)
     "classifier_eval",
+    # r10: JS-divergence drift + per-source mix shift between two
+    # synthetic versions of the documents corpus
+    "corpus_drift",
 ]
 
 #: frozen first-measurements for the ops section (set r8, steady-state
@@ -190,6 +193,8 @@ OPS_BASELINE_SEC = {
     # r10: AUC/AP/KS prefix sum over ~100k distinct scores + confusion +
     # calibration (the exact-global-prefix actions dominate)
     "classifier_eval": 3.40,
+    # r10: JS drift + mix shift over the split documents corpus
+    "corpus_drift": 1.75,
 }
 
 
@@ -474,6 +479,23 @@ def _ops_workloads():
             F.count(F.lit(1)).alias("n_docs"),
         )
 
+    def _corpus_drift(s, d):
+        # r10: token-distribution drift (two token-count aggs + one
+        # vocabulary-sized full outer join) + per-source mix shift
+        from kafka_streams_task_spark.operators.drift import (
+            corpus_drift_report,
+            mix_shift_report,
+        )
+
+        docs = load_table(s, d, "documents")
+        old = docs.filter(F.col("doc_id") % 2 == 0)
+        new = docs.filter(F.col("doc_id") % 2 == 1)
+        drift = corpus_drift_report(old, new)
+        mix = mix_shift_report(old, new, "source").agg(
+            F.sum(F.abs("delta")).alias("tv"), F.count(F.lit(1)).alias("g")
+        )
+        return drift.crossJoin(mix)
+
     def _classifier_eval(s, d):
         # r10: AUC/AP/KS through the two-level distributed prefix sum
         # over 100k scored events (continuous scores -> the distinct-
@@ -602,6 +624,7 @@ def _ops_workloads():
         "audio_fp_dedup": _audio_fp_dedup,
         "kn_lm_perplexity": _kn_lm_perplexity,
         "classifier_eval": _classifier_eval,
+        "corpus_drift": _corpus_drift,
     }
 
 

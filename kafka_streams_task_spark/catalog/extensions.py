@@ -1107,3 +1107,115 @@ def classifier_eval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("i4"),
     )
     return summary.unionByName(metrics).unionByName(conf).unionByName(calib)
+
+
+_DRIFT_ORACLE = f"""
+    WITH old_t AS (
+      SELECT unnest(list_filter(string_split_regex(trim(text),
+               '[ \\t\\n\\r\\f]+'), t -> t <> '')) AS tok
+      FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL
+    ),
+    new_t AS (
+      SELECT unnest(list_filter(string_split_regex(trim(text),
+               '[ \\t\\n\\r\\f]+'), t -> t <> '')) AS tok
+      FROM documents WHERE doc_id % 2 = 1 AND text IS NOT NULL
+    ),
+    oc AS (SELECT tok, CAST(count(*) AS BIGINT) AS oc FROM old_t GROUP BY tok),
+    nc AS (SELECT tok, CAST(count(*) AS BIGINT) AS nc FROM new_t GROUP BY tok),
+    j AS (
+      SELECT coalesce(oc.oc, 0) AS oc, coalesce(nc.nc, 0) AS nc
+      FROM oc FULL JOIN nc ON oc.tok = nc.tok
+    ),
+    tot AS (SELECT CAST(sum(oc) AS DOUBLE) AS t_o, CAST(sum(nc) AS DOUBLE) AS t_n
+            FROM j),
+    drift AS (
+      SELECT CAST(tot.t_o AS BIGINT) AS old_tokens,
+             CAST(tot.t_n AS BIGINT) AS new_tokens,
+             CAST(sum(CASE WHEN oc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS old_vocab,
+             CAST(sum(CASE WHEN nc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS new_vocab,
+             CAST(sum(CASE WHEN oc > 0 AND nc > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS shared_vocab,
+             (sum(CASE WHEN oc > 0 THEN (oc / tot.t_o)
+                    * ln((oc / tot.t_o) / ((oc / tot.t_o + nc / tot.t_n) / 2.0))
+                  ELSE 0.0 END)
+              + sum(CASE WHEN nc > 0 THEN (nc / tot.t_n)
+                    * ln((nc / tot.t_n) / ((oc / tot.t_o + nc / tot.t_n) / 2.0))
+                  ELSE 0.0 END)) / 2.0 AS js,
+             sum(CASE WHEN oc = 0 THEN nc ELSE 0 END) / tot.t_n AS new_mass,
+             sum(CASE WHEN nc = 0 THEN oc ELSE 0 END) / tot.t_o AS lost_mass
+      FROM j, tot GROUP BY tot.t_o, tot.t_n
+    ),
+    mo AS (SELECT source AS grp, CAST(count(*) AS BIGINT) AS old_n
+           FROM documents WHERE doc_id % 2 = 0 GROUP BY source),
+    mn AS (SELECT source AS grp, CAST(count(*) AS BIGINT) AS new_n
+           FROM documents WHERE doc_id % 2 = 1 GROUP BY source),
+    mj AS (
+      SELECT coalesce(mo.grp, mn.grp) AS grp,
+             coalesce(old_n, 0) AS old_n, coalesce(new_n, 0) AS new_n
+      FROM mo FULL JOIN mn ON mo.grp IS NOT DISTINCT FROM mn.grp
+    ),
+    mtot AS (SELECT CAST(sum(old_n) AS DOUBLE) AS t_o,
+                    CAST(sum(new_n) AS DOUBLE) AS t_n FROM mj),
+    mix AS (
+      SELECT grp, old_n, new_n,
+             old_n / mtot.t_o AS old_frac, new_n / mtot.t_n AS new_frac
+      FROM mj, mtot
+    )
+    SELECT CAST(leg AS VARCHAR) AS leg, CAST(grp AS VARCHAR) AS grp,
+           CAST(i1 AS BIGINT) AS i1, CAST(i2 AS BIGINT) AS i2,
+           CAST(i3 AS BIGINT) AS i3, CAST(i4 AS BIGINT) AS i4
+    FROM (
+      SELECT 'vocab' AS leg, '' AS grp, old_tokens AS i1, new_tokens AS i2,
+             old_vocab AS i3, new_vocab AS i4 FROM drift
+      UNION ALL
+      SELECT 'js', '', shared_vocab, {sql_fmicro("js")},
+             {sql_fmicro("new_mass")}, {sql_fmicro("lost_mass")} FROM drift
+      UNION ALL
+      SELECT 'mix', grp, old_n, new_n, {sql_fmicro("old_frac")},
+             {sql_fmicro("new_frac")} FROM mix
+    )
+"""
+
+
+@query("corpus_drift_suite", oracle=_DRIFT_ORACLE)
+def corpus_drift_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift (operators/drift.py) between two synthetic versions
+    of the documents table (even doc_ids = old, odd = new): 'vocab'
+    (token/vocabulary counts), 'js' (micro-rounded Jensen-Shannon
+    divergence + new/lost token mass — the oracle recomputes the same
+    0·ln0-convention sum over counts keyed by token TEXT, count-
+    identical to the engine's xxhash64 keys), 'mix' (per-source
+    composition fractions from mix_shift_report, null-safe grouped).
+    Engine sums doubles in partition order, the oracle serially —
+    micro rounding is the agreed precision, the nll-leg precedent."""
+    from ..operators.drift import corpus_drift_report, mix_shift_report
+
+    d = load_table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    r = corpus_drift_report(old, new)
+    vocab = r.select(
+        F.lit("vocab").cast("string").alias("leg"),
+        F.lit("").cast("string").alias("grp"),
+        F.col("old_tokens").cast("long").alias("i1"),
+        F.col("new_tokens").cast("long").alias("i2"),
+        F.col("old_vocab").cast("long").alias("i3"),
+        F.col("new_vocab").cast("long").alias("i4"),
+    )
+    js = r.select(
+        F.lit("js").cast("string").alias("leg"),
+        F.lit("").cast("string").alias("grp"),
+        F.col("shared_vocab").cast("long").alias("i1"),
+        fmicro_col(F.col("js_divergence")).alias("i2"),
+        fmicro_col(F.col("new_mass")).alias("i3"),
+        fmicro_col(F.col("lost_mass")).alias("i4"),
+    )
+    mix = mix_shift_report(old, new, "source").select(
+        F.lit("mix").cast("string").alias("leg"),
+        F.col("source").cast("string").alias("grp"),
+        F.col("old_n").cast("long").alias("i1"),
+        F.col("new_n").cast("long").alias("i2"),
+        fmicro_col(F.col("old_frac")).alias("i3"),
+        fmicro_col(F.col("new_frac")).alias("i4"),
+    )
+    return vocab.unionByName(js).unionByName(mix)

@@ -36,6 +36,9 @@ BNLJ_ALLOWED = {
     # r10: classifier_eval's 1-row totals (n, n_pos) broadcast-crossJoined
     # onto the distinct-score table — the quantile-gate precedent
     "classifier_eval_suite",
+    # r10: corpus_drift_report / mix_shift_report 1-row token/row totals
+    # broadcast-crossJoined onto the vocabulary/group tables
+    "corpus_drift_suite",
 }
 
 #: queries allowed Python/Arrow stages, with a ceiling per query — every
@@ -127,7 +130,7 @@ def test_catalog_driver_window_is_exactly_fifty(plans):
     assert names[50:] == [
         "dsir_importance", "crawl_extract_suite", "image_phash_dedup",
         "video_phash_dedup", "audio_fp_dedup", "kn_lm_perplexity",
-        "classifier_eval_suite",
+        "classifier_eval_suite", "corpus_drift_suite",
     ]
 
 
