@@ -46,6 +46,21 @@ def _label01(label_col: str):
     return F.col(label_col).cast("boolean").cast("int")
 
 
+def _valid(score_col: str, label_col: str):
+    """Rows an evaluation can use: non-NULL score and label, and a
+    non-NaN score — Spark orders NaN ABOVE every numeric, so a NaN
+    score would silently count as predicted-positive at every
+    threshold and as the top rank; like NULL, it cannot be
+    thresholded and is excluded (count upstream if presence
+    matters)."""
+    sc = F.col(score_col).cast("double")
+    return (
+        F.col(score_col).isNotNull()
+        & F.col(label_col).isNotNull()
+        & ~F.isnan(sc)
+    )
+
+
 def score_rank_table(
     scored: DataFrame,
     label_col: str = "label",
@@ -64,9 +79,7 @@ def score_rank_table(
     layout and a per-partition totals collect — one tiny row per range
     partition, never data rows."""
     per_score = (
-        scored.filter(
-            F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
-        )
+        scored.filter(_valid(score_col, label_col))
         .groupBy(F.col(score_col).alias("score"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
@@ -211,9 +224,7 @@ def confusion_at_thresholds(
             "(codegen size) — chunk the sweep or use score_rank_table"
         )
     lab = _label01(label_col)
-    clean = scored.filter(
-        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
-    )
+    clean = scored.filter(_valid(score_col, label_col))
     aggs = [F.count(F.lit(1)).cast("long").alias("_n"),
             F.sum(lab).cast("long").alias("_np")]
     for i, t in enumerate(thresholds):
@@ -273,9 +284,7 @@ def calibration_bins(
     ).cast("long")
     b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
     return (
-        scored.filter(
-            F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
-        )
+        scored.filter(_valid(score_col, label_col))
         .groupBy(b.alias("bin"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),

@@ -163,6 +163,15 @@ def kn_bigram_fit(
     ).crossJoin(
         F.broadcast(vocab.agg(F.count_distinct("h").alias("v")))
     ).collect()[0]
+    if int(stats["v"]) == 0:
+        # a tokenless reference corpus would yield denom=1 → P=1 for
+        # every token: a model that scores ALL text as perfectly
+        # reference-like. Refuse loudly instead of filtering nothing.
+        raise ValueError(
+            "training corpus has no tokens (empty/NULL/whitespace text) "
+            "— a KN model fitted on it would assign probability 1 to "
+            "everything"
+        )
     if discount is None:
         n1, n2 = stats["n1"] or 0, stats["n2"] or 0
         discount = n1 / (n1 + 2.0 * n2) if (n1 + 2 * n2) > 0 else 0.75

@@ -201,3 +201,24 @@ def test_eval_plan_never_single_task_global_window(spark):
     fplan = final._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in fplan and "ArrowEvalPython" not in fplan
     assert "CartesianProduct" not in fplan
+
+
+def test_nan_scores_excluded_everywhere(spark):
+    """NaN sorts ABOVE every numeric in Spark — unfiltered it would be
+    predicted-positive at every threshold and the top rank. All three
+    surfaces exclude it like NULL."""
+    from kafka_streams_task_spark.operators.evaluation import (
+        calibration_bins,
+        classifier_eval,
+        confusion_at_thresholds,
+    )
+
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.1, 0), (float("nan"), 1)], "score double, label int"
+    )
+    row = classifier_eval(df).collect()[0]
+    assert row["n"] == 2 and row["auc"] == 1.0
+    conf = confusion_at_thresholds(df, [0.5]).collect()[0]
+    assert (conf["tp"], conf["fp"], conf["fn"], conf["tn"]) == (1, 0, 0, 1)
+    bins = calibration_bins(df, 10).collect()
+    assert sum(r["n"] for r in bins) == 2

@@ -243,3 +243,13 @@ def test_kn_model_write_read_roundtrip(spark, fitted, tmp_path):
     assert a.keys() == b.keys()
     for k in a:
         assert a[k] == pytest.approx(b[k], abs=1e-12)
+
+
+def test_kn_fit_refuses_tokenless_corpus(spark):
+    """An empty/whitespace training corpus would yield a model that
+    assigns probability 1 to everything — fit refuses loudly."""
+    from kafka_streams_task_spark.operators.kn_lm import kn_bigram_fit
+
+    empty = spark.createDataFrame([("",), ("  \t ",), (None,)], "text string")
+    with pytest.raises(ValueError, match="no tokens"):
+        kn_bigram_fit(empty)
