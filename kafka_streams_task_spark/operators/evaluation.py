@@ -199,6 +199,91 @@ def classifier_eval(
     )
 
 
+def fit_platt(
+    scored: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+    max_iter: int = 50,
+    tol: float = 1e-10,
+) -> tuple[float, float]:
+    """Platt scaling (Platt 1999): fit ``P(y=1|s) = sigmoid(a·s + b)``
+    by regularized maximum likelihood, returning ``(a, b)`` — the
+    standard way to turn a raw classifier margin (logreg_train,
+    dsir_logw, a KN NLL) into a calibrated probability before
+    thresholding. Uses Platt's smoothed targets t⁺ = (N⁺+1)/(N⁺+2),
+    t⁻ = 1/(N⁻+2) (the MAP correction that keeps the fit finite on
+    separable data).
+
+    Scale shape: the corpus collapses ONCE to the distinct-score count
+    table (:func:`score_rank_table`'s first stage — (score, n, np)
+    rows), which is localCheckpointed; every Newton iteration is then
+    one aggregate over that SMALL table producing the 2-vector
+    gradient and 2×2 Hessian, solved on the driver. Total corpus
+    passes: one, regardless of iterations. Raises on one-class input
+    (the sigmoid would saturate to a constant)."""
+    per_score = (
+        scored.filter(_valid(score_col, label_col))
+        .groupBy(F.col(score_col).cast("double").alias("s"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(_label01(label_col)).cast("long").alias("np"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = per_score.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("np").cast("long").alias("np"),
+    ).collect()[0]
+    n_pos = int(tot["np"] or 0)
+    n_neg = int(tot["n"] or 0) - n_pos
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError(
+            f"fit_platt needs both classes (got {n_pos} pos / {n_neg} neg)"
+        )
+    t_pos = (n_pos + 1.0) / (n_pos + 2.0)
+    t_neg = 1.0 / (n_neg + 2.0)
+    a, b = 0.0, 0.0
+    for _ in range(max_iter):
+        z = F.lit(a) * F.col("s") + F.lit(b)
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        # per distinct score: np rows with target t_pos, n-np with t_neg
+        resid = (p - F.lit(t_pos)) * F.col("np") + (p - F.lit(t_neg)) * (
+            F.col("n") - F.col("np")
+        )
+        w = p * (F.lit(1.0) - p) * F.col("n")
+        g = per_score.agg(
+            F.sum(resid * F.col("s")).alias("ga"),
+            F.sum(resid).alias("gb"),
+            F.sum(w * F.col("s") * F.col("s")).alias("haa"),
+            F.sum(w * F.col("s")).alias("hab"),
+            F.sum(w).alias("hbb"),
+        ).collect()[0]
+        ga, gb = g["ga"], g["gb"]
+        haa, hab, hbb = g["haa"] + 1e-12, g["hab"], g["hbb"] + 1e-12
+        det = haa * hbb - hab * hab
+        if det <= 0:
+            break
+        da = (hbb * ga - hab * gb) / det
+        db = (haa * gb - hab * ga) / det
+        a, b = a - da, b - db
+        if abs(da) < tol and abs(db) < tol:
+            break
+    return float(a), float(b)
+
+
+def apply_platt(
+    df: DataFrame,
+    a: float,
+    b: float,
+    score_col: str = "score",
+    out_col: str = "prob",
+) -> DataFrame:
+    """Add ``out_col = sigmoid(a·score + b)`` — one codegen expression,
+    the serve half of :func:`fit_platt`."""
+    z = F.lit(float(a)) * F.col(score_col).cast("double") + F.lit(float(b))
+    return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+
+
 def confusion_at_thresholds(
     scored: DataFrame,
     thresholds: list[float],

@@ -222,3 +222,92 @@ def test_nan_scores_excluded_everywhere(spark):
     assert (conf["tp"], conf["fp"], conf["fn"], conf["tn"]) == (1, 0, 0, 1)
     bins = calibration_bins(df, 10).collect()
     assert sum(r["n"] for r in bins) == 2
+
+
+def ref_platt(pairs, max_iter=50, tol=1e-10):
+    """Independent Newton on raw rows (no count-table reduction)."""
+    import math
+
+    n_pos = sum(1 for _, y in pairs if y)
+    n_neg = len(pairs) - n_pos
+    t_pos = (n_pos + 1.0) / (n_pos + 2.0)
+    t_neg = 1.0 / (n_neg + 2.0)
+    a = b = 0.0
+    for _ in range(max_iter):
+        ga = gb = haa = hab = hbb = 0.0
+        for s, y in pairs:
+            p = 1.0 / (1.0 + math.exp(-(a * s + b)))
+            r = p - (t_pos if y else t_neg)
+            w = p * (1 - p)
+            ga += r * s
+            gb += r
+            haa += w * s * s
+            hab += w * s
+            hbb += w
+        haa += 1e-12
+        hbb += 1e-12
+        det = haa * hbb - hab * hab
+        if det <= 0:
+            break
+        da = (hbb * ga - hab * gb) / det
+        db = (haa * gb - hab * ga) / det
+        a, b = a - da, b - db
+        if abs(da) < tol and abs(db) < tol:
+            break
+    return a, b
+
+
+def test_platt_matches_reference_and_calibrates(spark):
+    """fit_platt over the count table == the row-level Newton; the
+    fitted sigmoid is a proper calibrator: monotone in the score and a
+    near-zero-gradient stationary point of the Platt objective."""
+    import math
+
+    from kafka_streams_task_spark.operators.evaluation import (
+        apply_platt,
+        fit_platt,
+    )
+
+    rng = random.Random(11)
+    # logistic ground truth: P(y|s) = sigmoid(3s - 1.5) over s ~ U[0,1]
+    pairs = []
+    for _ in range(400):
+        s = rng.random()
+        pairs.append((s, rng.random() < 1 / (1 + math.exp(-(3 * s - 1.5)))))
+    a_ref, b_ref = ref_platt(pairs)
+    a, b = fit_platt(_mk(spark, pairs))
+    assert a == pytest.approx(a_ref, rel=1e-6, abs=1e-8)
+    assert b == pytest.approx(b_ref, rel=1e-6, abs=1e-8)
+    assert 1.0 < a < 6.0  # recovers the right slope regime
+    # first-order optimality at the returned point (row-level gradient)
+    n_pos = sum(1 for _, y in pairs if y)
+    t_pos = (n_pos + 1.0) / (n_pos + 2.0)
+    t_neg = 1.0 / (len(pairs) - n_pos + 2.0)
+    ga = gb = 0.0
+    for s, y in pairs:
+        p = 1 / (1 + math.exp(-(a * s + b)))
+        r = p - (t_pos if y else t_neg)
+        ga += r * s
+        gb += r
+    assert abs(ga) < 1e-6 and abs(gb) < 1e-6
+    probs = apply_platt(_mk(spark, pairs), a, b).collect()
+    assert all(0.0 < r["prob"] < 1.0 for r in probs)
+
+
+def test_platt_separable_stays_finite(spark):
+    """Perfectly separable data: unregularized ML diverges (a -> inf);
+    Platt's smoothed targets keep the fit finite."""
+    from kafka_streams_task_spark.operators.evaluation import fit_platt
+
+    pairs = [(0.9, 1)] * 20 + [(0.1, 0)] * 20
+    a, b = fit_platt(_mk(spark, pairs))
+    assert math_isfinite(a) and math_isfinite(b) and a > 0
+
+    with pytest.raises(ValueError, match="both classes"):
+        fit_platt(_mk(spark, [(0.5, 1), (0.6, 1)]))
+
+
+def math_isfinite(x):
+    import math
+
+    return math.isfinite(x)
