@@ -124,6 +124,7 @@ MAX_EXTRA_TRIALS = 2
 #: read what prep wrote)
 _SNAP_DIFF_TBL = "/tmp/spark_graft_bench_snapdiff/tbl"
 _DSIR_WEIGHTS: list = [None]
+_KN_DENSE: list = [None]
 
 #: r8 (VERDICT r7 item 2): the r7 crawl/compliance/versioning surface as a
 #: NON-HEADLINE section — measured with the same min-of-2 + retry harness,
@@ -157,6 +158,8 @@ OPS_SECTION = [
     # r10: JS-divergence drift + per-source mix shift between two
     # synthetic versions of the documents corpus
     "corpus_drift",
+    # r10: the KN serve tier — pruned broadcast model, one Arrow stage
+    "kn_score_dense",
 ]
 
 #: frozen first-measurements for the ops section (set r8, steady-state
@@ -195,6 +198,9 @@ OPS_BASELINE_SEC = {
     "classifier_eval": 3.40,
     # r10: JS drift + mix shift over the split documents corpus
     "corpus_drift": 1.75,
+    # r10: KN serve tier — one Arrow stage over the corpus, model
+    # collapsed outside the timed region
+    "kn_score_dense": 0.98,
 }
 
 
@@ -479,6 +485,20 @@ def _ops_workloads():
             F.count(F.lit(1)).alias("n_docs"),
         )
 
+    def _kn_score_dense(s, d):
+        # r10: stateless serve scorer at corpus volume. The model is
+        # fitted+collapsed ONCE outside the timed region (_KN_DENSE);
+        # the aggregate keeps the Arrow stage load-bearing.
+        from kafka_streams_task_spark.operators.kn_lm import kn_score_dense
+
+        docs = load_table(s, d, "documents")
+        scored = kn_score_dense(docs, _KN_DENSE[0])
+        return scored.agg(
+            F.sum("kn_avg_nll").alias("total_nll"),
+            F.sum("kn_n_tokens").alias("total_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+
     def _corpus_drift(s, d):
         # r10: token-distribution drift (two token-count aggs + one
         # vocabulary-sized full outer join) + per-source mix shift
@@ -604,6 +624,14 @@ def _ops_workloads():
     _DSIR_WEIGHTS[0] = s0.createDataFrame(
         w_rows, "idx long, log_ratio double, n_features long"
     )
+    from kafka_streams_task_spark.operators.kn_lm import (
+        kn_bigram_fit,
+        kn_dense_model,
+    )
+
+    _KN_DENSE[0] = kn_dense_model(
+        kn_bigram_fit(docs0.filter(F.col("source") == "src1"))
+    )
 
     return {
         "warc_parse": _warc_parse,
@@ -625,6 +653,7 @@ def _ops_workloads():
         "kn_lm_perplexity": _kn_lm_perplexity,
         "classifier_eval": _classifier_eval,
         "corpus_drift": _corpus_drift,
+        "kn_score_dense": _kn_score_dense,
     }
 
 

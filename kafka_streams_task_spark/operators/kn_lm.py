@@ -51,6 +51,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -271,6 +272,180 @@ def kn_model_read(spark, path: str) -> KNBigramModel:
         d=float(s["d"]),
         t_types=int(s["t_types"]),
         v=int(s["v"]),
+    )
+
+
+#: the most recent kn_score_dense broadcast — retained so replacement
+#: can unpersist it (the dsir_score_dense lifetime discipline)
+_LAST_KN_BROADCAST: list = []
+
+
+def _retain_kn_broadcast(b) -> None:
+    while _LAST_KN_BROADCAST:
+        prev = _LAST_KN_BROADCAST.pop()
+        try:
+            prev.unpersist(blocking=False)
+        except Exception:
+            pass  # context already stopped: nothing left to release
+    _LAST_KN_BROADCAST.append(b)
+
+
+def kn_release_dense(blocking: bool = False) -> bool:
+    """Unpersist and drop the retained dense-model broadcast, if any;
+    returns whether one was held (session-teardown companion to the
+    replacement-time release inside :func:`kn_score_dense`)."""
+    if not _LAST_KN_BROADCAST:
+        return False
+    b = _LAST_KN_BROADCAST.pop()
+    try:
+        b.unpersist(blocking=blocking)
+    except Exception:
+        pass
+    return True
+
+
+def kn_dense_model(
+    model: KNBigramModel,
+    max_bigrams: int = 500_000,
+) -> dict:
+    """Collapse (a bounded slice of) a fitted model into plain Python
+    dicts for broadcast — the SERVE form :func:`kn_score_dense` ships
+    to executors. The driver collect is BOUNDED by construction: the
+    top ``max_bigrams`` bigram types by count (TakeOrderedAndProject),
+    plus the context/continuation rows those types reference (derived
+    driver-side from the kept set, never a second unbounded collect).
+
+    Pruning degrades gracefully, never wrongly: a pruned-away bigram
+    scores through the interpolation term of its (kept) context; a
+    pruned-away context backs off to the continuation distribution —
+    both are exactly the model's own treatment of UNSEEN events, so a
+    pruned score is the score an identically-smoothed model with a
+    smaller observed table would give. The global scalars (D, T, V —
+    and therefore the continuation denominator) are NOT rescaled:
+    probabilities stay calibrated to the full fit. At the default cap
+    the broadcast is ~tens of MB; the exact, unpruned path is
+    :func:`kn_bigram_score` (relational joins — no collect at all)."""
+    if max_bigrams < 1:
+        raise ValueError(f"max_bigrams must be >= 1, got {max_bigrams}")
+    rows = (
+        model.bigrams.orderBy(F.col("bf").desc(), "ph", "th")
+        .limit(max_bigrams)
+        .collect()
+    )
+    big = {(r["ph"], r["th"]): r["bf"] for r in rows}
+    phs = {r["ph"] for r in rows}
+    ths = {r["th"] for r in rows}
+    spark = model.bigrams.sparkSession
+    # kept-key semi-joins, not isin(...500k literals...): an InSet that
+    # size stalls planning; a broadcast semi-probe against a keys frame
+    # is the same bound with a sane plan
+    ctx = {}
+    if phs:
+        keys = spark.createDataFrame([(p,) for p in phs], "ph bigint")
+        ctx = {
+            r["ph"]: (r["cf"], r["n_follow"])
+            for r in model.contexts.join(
+                F.broadcast(keys), on="ph", how="left_semi"
+            ).collect()
+        }
+    cont = {}
+    if ths:
+        keys = spark.createDataFrame([(t,) for t in ths], "th bigint")
+        cont = {
+            r["th"]: r["n_prec"]
+            for r in model.continuation.join(
+                F.broadcast(keys), on="th", how="left_semi"
+            ).collect()
+        }
+    return {
+        "big": big,
+        "ctx": ctx,
+        "cont": cont,
+        "d": model.d,
+        "denom": float(model.t_types + model.v + 1),
+    }
+
+
+def kn_score_dense(
+    df: DataFrame,
+    model: KNBigramModel | dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bigrams: int = 500_000,
+) -> DataFrame:
+    """STATELESS scorer: appends ``kn_n_tokens`` / ``kn_avg_nll`` /
+    ``kn_ppl`` to ``df`` with zero joins and zero shuffles — the
+    streaming/hot-path twin of :func:`kn_bigram_score` (which is
+    all-relational and oracle-replayable; gate exactness there).
+
+    Tokenize + xxhash64 stay JVM codegen expressions (the model keys
+    ARE Spark xxhash64 values — hashing must not move to Python); the
+    pruned model (:func:`kn_dense_model`) rides as one broadcast and a
+    single Arrow stage walks each document's hash array. Tokenless
+    documents get NULL metrics (no row is dropped — this is a
+    projection). Composes into Structured Streaming untouched: no
+    stateful aggregation, no stream-static join.
+
+    Broadcast lifetime: handle retained module-side, previous one
+    unpersisted on replacement (:func:`kn_release_dense` drops the
+    last). The UDF is marked ``asNondeterministic`` — factually it IS
+    deterministic; the marker blocks filter pushdown from splitting a
+    downstream ``kn_ppl <= t`` into a second Arrow stage (the r8
+    dsir_score_dense lesson, measured 5-20×)."""
+    from pyspark.sql.functions import pandas_udf
+
+    dense = (
+        model if isinstance(model, dict) else kn_dense_model(model, max_bigrams)
+    )
+    if "_kn_hashes" in df.columns:
+        raise ValueError("df already has column '_kn_hashes'")
+    b = df.sparkSession.sparkContext.broadcast(dense)
+    _retain_kn_broadcast(b)
+
+    @pandas_udf("double")
+    def _nll(hs: pd.Series) -> pd.Series:
+        m = b.value
+        big, ctx, cont = m["big"], m["ctx"], m["cont"]
+        d, denom = m["d"], m["denom"]
+        import math
+
+        out = []
+        for arr in hs:
+            if arr is None or len(arr) == 0:
+                out.append(None)
+                continue
+            total = -math.log((cont.get(arr[0], 0) + 1.0) / denom)
+            prev = arr[0]
+            for cur in arr[1:]:
+                pc = (cont.get(cur, 0) + 1.0) / denom
+                c = ctx.get(prev)
+                if c is not None:
+                    cf, nf = c
+                    bf = big.get((prev, cur), 0)
+                    p = max(bf - d, 0.0) / cf + d * nf / cf * pc
+                else:
+                    p = pc
+                total += -math.log(p)
+                prev = cur
+            out.append(total / len(arr))
+        return pd.Series(out, dtype="float64")
+
+    _nll = _nll.asNondeterministic()
+
+    hashes = F.filter(
+        F.split(F.trim(F.col(text_col)), WHITESPACE_RE), lambda x: x != ""
+    )
+    with_h = df.withColumn(
+        "_kn_hashes", F.transform(hashes, lambda t: F.xxhash64(t))
+    )
+    return (
+        with_h.withColumn("kn_avg_nll", _nll(F.col("_kn_hashes")))
+        .withColumn(
+            "kn_n_tokens",
+            F.when(F.size("_kn_hashes") > 0, F.size("_kn_hashes")).cast("long"),
+        )
+        .withColumn("kn_ppl", F.exp("kn_avg_nll"))
+        .drop("_kn_hashes")
     )
 
 

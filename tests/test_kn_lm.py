@@ -253,3 +253,159 @@ def test_kn_fit_refuses_tokenless_corpus(spark):
     empty = spark.createDataFrame([("",), ("  \t ",), (None,)], "text string")
     with pytest.raises(ValueError, match="no tokens"):
         kn_bigram_fit(empty)
+
+
+class TestKNDenseTier:
+    def test_dense_matches_relational_unpruned(self, spark, fitted):
+        """kn_score_dense on the full (unpruned) model == the
+        relational kn_bigram_score, to float-sum order."""
+        from kafka_streams_task_spark.operators.kn_lm import (
+            kn_bigram_score,
+            kn_score_dense,
+        )
+
+        df = spark.createDataFrame(SCORE, "doc_id bigint, text string")
+        rel = {
+            r["doc_id"]: r["avg_nll"]
+            for r in kn_bigram_score(df, fitted).collect()
+        }
+        dense = {
+            r["doc_id"]: r["kn_avg_nll"]
+            for r in kn_score_dense(df, fitted).collect()
+        }
+        # the dense scorer is a projection: every row survives, the
+        # tokenless ones with NULL metrics
+        assert set(dense) == {r[0] for r in SCORE}
+        for k, v in rel.items():
+            assert dense[k] == pytest.approx(v, abs=1e-9)
+        for k in set(dense) - set(rel):
+            assert dense[k] is None
+
+    def test_pruned_model_backs_off_like_unseen(self, spark, fitted):
+        """With max_bigrams=1 only the single most-frequent bigram
+        survives; every other position scores through the model's own
+        unseen-event formulas — verified against the dict reference
+        run on the same pruned tables."""
+        import math
+
+        from kafka_streams_task_spark.operators.kn_lm import (
+            kn_dense_model,
+            kn_score_dense,
+        )
+
+        dense = kn_dense_model(fitted, max_bigrams=1)
+        assert len(dense["big"]) == 1
+        ((ph, th), bf) = next(iter(dense["big"].items()))
+        df = spark.createDataFrame(
+            [(1, "the cat sat on the mat")], "doc_id bigint, text string"
+        )
+        got = kn_score_dense(df, dense).collect()[0]["kn_avg_nll"]
+
+        # reference walk over the pruned dicts
+        toks = "the cat sat on the mat".split()
+        import pyspark.sql.functions as F
+
+        hs = [
+            r[0]
+            for r in spark.createDataFrame([(t,) for t in toks], "t string")
+            .select(F.xxhash64("t"))
+            .collect()
+        ]
+        d, denom = dense["d"], dense["denom"]
+        pc = lambda h: (dense["cont"].get(h, 0) + 1.0) / denom  # noqa: E731
+        total = -math.log(pc(hs[0]))
+        for a, b_ in zip(hs, hs[1:]):
+            c = dense["ctx"].get(a)
+            if c is not None:
+                cf, nf = c
+                p = max(dense["big"].get((a, b_), 0) - d, 0) / cf \
+                    + d * nf / cf * pc(b_)
+            else:
+                p = pc(b_)
+            total += -math.log(p)
+        assert got == pytest.approx(total / len(hs), abs=1e-9)
+
+    def test_dense_plan_single_arrow_stage_filter_safe(self, spark, fitted):
+        """Exactly ONE Arrow stage, and a downstream ppl filter must
+        not duplicate it (the asNondeterministic pushdown guard)."""
+        import re
+
+        from kafka_streams_task_spark.operators.kn_lm import kn_score_dense
+
+        df = spark.createDataFrame(
+            [(1, "the cat sat")], "doc_id bigint, text string"
+        )
+        scored = kn_score_dense(df, fitted)
+        filtered = scored.filter(F_col("kn_ppl") <= 50.0)
+        for frame in (scored, filtered):
+            plan = frame._jdf.queryExecution().executedPlan().toString()
+            assert len(re.findall("ArrowEvalPython", plan)) == 1
+            assert "BatchEvalPython" not in plan
+
+    def test_broadcast_lifetime_one_retained(self, spark, fitted):
+        from kafka_streams_task_spark.operators.kn_lm import (
+            _LAST_KN_BROADCAST,
+            kn_release_dense,
+            kn_score_dense,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "the cat sat")], "doc_id bigint, text string"
+        )
+        kn_score_dense(df, fitted)
+        kn_score_dense(df, fitted)
+        assert len(_LAST_KN_BROADCAST) == 1
+        assert kn_release_dense() is True
+        assert kn_release_dense() is False
+
+    def test_streaming_kn_filter_matches_batch(self, spark, fitted, tmp_path):
+        """availableNow file stream through streaming_kn_filter lands
+        exactly the documents the batch filter keeps."""
+        import json
+        import os
+
+        from pyspark.sql import types as T
+
+        from kafka_streams_task_spark.operators.kn_lm import (
+            kn_bigram_score,
+            kn_perplexity_filter,
+        )
+        from kafka_streams_task_spark.streaming.kn import streaming_kn_filter
+
+        docs = [r for r in SCORE if r[1] is not None]
+        batch_df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        ppls = {
+            r["doc_id"]: r["ppl"]
+            for r in kn_bigram_score(batch_df, fitted).collect()
+        }
+        cut = sorted(ppls.values())[1] * 1.001  # keep the two most fluent
+        batch_kept = {
+            r["doc_id"]
+            for r in kn_perplexity_filter(batch_df, fitted, cut).collect()
+        }
+        src = str(tmp_path / "in")
+        os.makedirs(src)
+        with open(f"{src}/b0.json", "w") as f:
+            f.write("\n".join(
+                json.dumps({"doc_id": i, "text": t}) for i, t in docs
+            ))
+        schema = T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ])
+        stream = spark.readStream.schema(schema).json(src)
+        out = str(tmp_path / "out")
+        q = (
+            streaming_kn_filter(stream, fitted, cut)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        landed = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+        assert landed == batch_kept and len(landed) == 2
+
+
+from pyspark.sql.functions import col as F_col  # noqa: E402
