@@ -199,6 +199,92 @@ def classifier_eval(
     )
 
 
+def classifier_eval_by_group(
+    scored: DataFrame,
+    group_col: str = "source",
+    label_col: str = "label",
+    score_col: str = "score",
+) -> DataFrame:
+    """Per-group :func:`classifier_eval`: one row per value of
+    ``group_col`` with ``(group, n, n_pos, n_neg, auc, ap, ks)`` — the
+    fairness/segmentation view (does the quality classifier rank as
+    well on 'de' documents as on 'en'? on blog domains as on news?).
+    NULL groups form their own row (unlabeled rows are a real
+    category). Metrics are NULL for one-class groups.
+
+    Scale shape: the corpus collapses to one row per (group, distinct
+    score) — the only full pass — then cumulative counts come from
+    windows PARTITIONED BY GROUP over that table: parallel across
+    groups, and each group's task is bounded by its own distinct-score
+    count. That is the right plan when groups are many and moderately
+    sized (languages, sources, domains); a single group holding most
+    of the corpus degenerates to one task over its distinct scores —
+    for that shape run :func:`classifier_eval` on the group's slice,
+    which prices the ranking as a distributed prefix sum instead."""
+    per = (
+        scored.filter(_valid(score_col, label_col))
+        .groupBy(
+            F.col(group_col).alias("grp"), F.col(score_col).alias("score")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(_label01(label_col)).cast("long").alias("np"),
+        )
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wg = Window.partitionBy("grp")
+    t = (
+        per.withColumn(
+            "cum_n", F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "cum_np", F.coalesce(F.sum("np").over(w), F.lit(0)).cast("long")
+        )
+        .withColumn("_tot_n", F.sum("n").over(wg).cast("long"))
+        .withColumn("_tot_np", F.sum("np").over(wg).cast("long"))
+    )
+    npos = F.col("_tot_np").cast("double")
+    nneg = (F.col("_tot_n") - F.col("_tot_np")).cast("double")
+    avg_rank = F.col("cum_n") + (F.col("n") + 1.0) / 2.0
+    tp = npos - F.col("cum_np")
+    pp = F.col("_tot_n") - F.col("cum_n")
+    cdf_pos = F.try_divide((F.col("cum_np") + F.col("np")).cast("double"), npos)
+    cdf_neg = F.try_divide(
+        ((F.col("cum_n") + F.col("n")) - (F.col("cum_np") + F.col("np"))).cast(
+            "double"
+        ),
+        nneg,
+    )
+    out = t.groupBy("grp").agg(
+        F.first("_tot_n").alias("n"),
+        F.first("_tot_np").alias("n_pos"),
+        (F.first("_tot_n") - F.first("_tot_np")).alias("n_neg"),
+        F.try_divide(
+            F.sum(F.col("np") * avg_rank) - F.first(npos * (npos + 1.0) / 2.0),
+            F.first(npos * nneg),
+        ).alias("auc"),
+        F.sum(F.try_divide(F.col("np"), npos) * (tp / pp)).alias("ap"),
+        F.max(F.abs(cdf_pos - cdf_neg)).alias("ks"),
+    )
+    undef = (F.col("n_pos") == 0) | (F.col("n_neg") == 0)
+    return out.select(
+        F.col("grp").alias(group_col),
+        "n",
+        "n_pos",
+        "n_neg",
+        *[
+            F.when(undef, F.lit(None).cast("double"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in ("auc", "ap", "ks")
+        ],
+    )
+
+
 def fit_platt(
     scored: DataFrame,
     label_col: str = "label",

@@ -311,3 +311,60 @@ def math_isfinite(x):
     import math
 
     return math.isfinite(x)
+
+
+def test_eval_by_group_matches_per_group_bruteforce(spark):
+    """Each group's metrics equal the brute-force references computed
+    on that group alone; a one-class group reports NULL metrics; NULL
+    group values form their own row."""
+    from kafka_streams_task_spark.operators.evaluation import (
+        classifier_eval_by_group,
+    )
+
+    rng = random.Random(13)
+    rows = []
+    groups = {
+        "a": [(rng.randrange(8) / 8.0, rng.random() < 0.5) for _ in range(60)],
+        "b": [(rng.randrange(5) / 5.0, rng.random() < 0.25) for _ in range(40)],
+        None: [(rng.random(), rng.random() < 0.4) for _ in range(30)],
+        "onecls": [(0.3, 1), (0.7, 1)],
+    }
+    for g, pairs in groups.items():
+        rows += [(g, float(s), int(y)) for s, y in pairs]
+    df = spark.createDataFrame(rows, "source string, score double, label int")
+    got = {r["source"]: r for r in classifier_eval_by_group(df).collect()}
+    assert set(got) == set(groups)
+    for g, pairs in groups.items():
+        auc, ap, ks = ref_metrics(pairs)
+        r = got[g]
+        assert r["n"] == len(pairs)
+        if auc is None:
+            assert r["auc"] is None and r["ap"] is None and r["ks"] is None
+        else:
+            assert r["auc"] == pytest.approx(auc, abs=1e-12)
+            assert r["ap"] == pytest.approx(ap, abs=1e-12)
+            assert r["ks"] == pytest.approx(ks, abs=1e-12)
+
+
+def test_eval_by_group_window_is_group_partitioned(spark):
+    """The ranking windows partition by the group column — never a
+    global single-task window."""
+    from kafka_streams_task_spark.operators.evaluation import (
+        classifier_eval_by_group,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 0.5, 1), ("b", 0.7, 0)], "source string, score double, label int"
+    )
+    plan = (
+        classifier_eval_by_group(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    # every Window node's partition spec mentions grp
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "grp" in m.group(1)
