@@ -191,16 +191,18 @@ OPS_BASELINE_SEC = {
     "video_phash_dedup": 2.83,
     # r9 third wave (first measurement, clean run at calib_sec 2.46)
     "audio_fp_dedup": 1.99,
-    # r10: KN bigram fit (src1 split) + full-corpus scoring
-    "kn_lm_perplexity": 1.86,
+    # r10 (re-frozen from the first IN-HARNESS run at calib 3.311 —
+    # standalone first measurements were 1.6-5x higher purely from cold
+    # worker pools and would mask real regressions)
+    "kn_lm_perplexity": 1.13,
     # r10: AUC/AP/KS prefix sum over ~100k distinct scores + confusion +
     # calibration (the exact-global-prefix actions dominate)
-    "classifier_eval": 3.40,
+    "classifier_eval": 1.82,
     # r10: JS drift + mix shift over the split documents corpus
-    "corpus_drift": 1.75,
+    "corpus_drift": 0.93,
     # r10: KN serve tier — one Arrow stage over the corpus, model
     # collapsed outside the timed region
-    "kn_score_dense": 0.98,
+    "kn_score_dense": 0.18,
 }
 
 
