@@ -1219,3 +1219,150 @@ def corpus_drift_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmicro_col(F.col("new_frac")).alias("i4"),
     )
     return vocab.unionByName(js).unionByName(mix)
+
+
+#: retrieval_eval_suite knobs — 20 synthetic queries over the documents
+#: corpus, cutoff 10, exponential gain
+_REVAL_K = 10
+
+_REVAL_ORACLE = f"""
+    WITH run AS (
+      SELECT doc_id % 20 AS q, doc_id AS d,
+             CAST(((doc_id * 37 + n_chars) % 983) AS DOUBLE) / 983.0 AS s
+      FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+    ),
+    qrels AS (
+      SELECT doc_id % 20 AS q, doc_id AS d, doc_id % 4 AS rel
+      FROM documents WHERE doc_id IS NOT NULL AND doc_id % 3 = 0
+      UNION ALL
+      SELECT (doc_id + 7) % 20, doc_id, 1
+      FROM documents WHERE doc_id IS NOT NULL AND doc_id % 5 = 0
+    ),
+    ranked AS (
+      SELECT q, d,
+             row_number() OVER (PARTITION BY q ORDER BY s DESC, d) AS rnk
+      FROM run QUALIFY rnk <= {_REVAL_K}
+    ),
+    pool AS (
+      SELECT q, rel,
+             row_number() OVER (PARTITION BY q ORDER BY rel DESC, d) AS irank
+      FROM qrels WHERE rel > 0
+    ),
+    ideal AS (
+      SELECT q, CAST(count(*) AS BIGINT) AS n_rel,
+             sum(CASE WHEN irank <= {_REVAL_K}
+                      THEN (pow(2.0, rel) - 1.0) / log2(irank + 1.0)
+                      ELSE 0.0 END) AS idcg
+      FROM pool GROUP BY q
+    ),
+    judged AS (
+      SELECT r.q, r.rnk, coalesce(qr.rel, 0) AS rel,
+             sum(CASE WHEN coalesce(qr.rel, 0) > 0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY r.q ORDER BY r.rnk
+                     ROWS UNBOUNDED PRECEDING) AS cum_rel
+      FROM ranked r LEFT JOIN qrels qr ON r.q = qr.q AND r.d = qr.d
+    ),
+    per_run AS (
+      SELECT q, CAST(count(*) AS BIGINT) AS n_ret,
+             CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+             sum((pow(2.0, rel) - 1.0) / log2(rnk + 1.0)) AS dcg,
+             max(CASE WHEN rel > 0 THEN 1.0 / rnk ELSE 0.0 END) AS rr,
+             sum(CASE WHEN rel > 0 THEN CAST(cum_rel AS DOUBLE) / rnk
+                      ELSE 0.0 END) AS apn
+      FROM judged GROUP BY q
+    ),
+    pq AS (
+      SELECT i.q, coalesce(p.n_ret, 0) AS n_ret, i.n_rel,
+             coalesce(p.hits, 0) AS hits,
+             coalesce(p.apn, 0.0) / i.n_rel AS ap,
+             CASE WHEN i.idcg > 0 THEN coalesce(p.dcg, 0.0) / i.idcg
+                  ELSE 0.0 END AS ndcg,
+             coalesce(p.rr, 0.0) AS rr,
+             coalesce(p.hits, 0) / {float(_REVAL_K)} AS prec,
+             CAST(coalesce(p.hits, 0) AS DOUBLE) / i.n_rel AS rec
+      FROM ideal i LEFT JOIN per_run p ON i.q = p.q
+    ),
+    means AS (
+      SELECT CAST(count(*) AS BIGINT) AS nq, avg(ap) AS map,
+             avg(ndcg) AS mndcg, avg(rr) AS mrr, avg(prec) AS mp,
+             avg(rec) AS mr
+      FROM pq
+    )
+    SELECT CAST(leg AS VARCHAR) AS leg, CAST(q AS BIGINT) AS q,
+           CAST(i1 AS BIGINT) AS i1, CAST(i2 AS BIGINT) AS i2,
+           CAST(i3 AS BIGINT) AS i3, CAST(i4 AS BIGINT) AS i4,
+           CAST(i5 AS BIGINT) AS i5, CAST(i6 AS BIGINT) AS i6
+    FROM (
+      SELECT 'per_query' AS leg, q, n_ret AS i1, n_rel AS i2, hits AS i3,
+             {sql_fmicro("ap")} AS i4, {sql_fmicro("ndcg")} AS i5,
+             {sql_fmicro("rr")} AS i6
+      FROM pq
+      UNION ALL
+      SELECT 'means', 0, nq, {sql_fmicro("map")}, {sql_fmicro("mndcg")},
+             {sql_fmicro("mrr")}, {sql_fmicro("mp")}, {sql_fmicro("mr")}
+      FROM means
+    )
+"""
+
+
+@query("retrieval_eval_suite", oracle=_REVAL_ORACLE)
+def retrieval_eval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked-retrieval evaluation (operators/retrieval_eval.py) over a
+    deterministic synthetic benchmark on the documents table: 20
+    queries (doc_id % 20), scores ((doc_id*37 + n_chars) % 983)/983
+    (quantized — score ties exercise the doc-ascending tie-break in
+    BOTH engines), and a two-part graded qrels table: every third doc
+    judged for its own query at rel = doc_id % 4 (rel = 0 rows are
+    judged-non-relevant), every fifth doc judged rel = 1 for a
+    DIFFERENT query ((doc_id+7) % 20) — mostly unreachable by the run,
+    keeping recall < 1 and exercising the R-denominator (trec_eval)
+    AP convention. Legs: 'per_query' (n_ret / n_rel / hits exact;
+    AP / NDCG@10 / RR micro-rounded) and 'means' (MAP, mean NDCG, MRR,
+    mean P@10, mean recall). The engine ranks through per-query
+    windows + one (query, doc) join; the oracle replays serially —
+    layout independence is the gate."""
+    from ..operators.retrieval_eval import retrieval_eval, retrieval_eval_summary
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+    run = d.filter(F.col("n_chars").isNotNull()).select(
+        (F.col("doc_id") % 20).alias("query_id"),
+        F.col("doc_id"),
+        (((F.col("doc_id") * 37 + F.col("n_chars")) % 983) / 983.0).alias("score"),
+    )
+    qrels = (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .select(
+            (F.col("doc_id") % 20).alias("query_id"),
+            F.col("doc_id"),
+            (F.col("doc_id") % 4).alias("rel"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 5 == 0).select(
+                ((F.col("doc_id") + 7) % 20).alias("query_id"),
+                F.col("doc_id"),
+                F.lit(1).cast("long").alias("rel"),
+            )
+        )
+    )
+    per = retrieval_eval(run, qrels, k=_REVAL_K)
+    pq = per.select(
+        F.lit("per_query").cast("string").alias("leg"),
+        F.col("query_id").cast("long").alias("q"),
+        F.col("n_ret").cast("long").alias("i1"),
+        F.col("n_rel").cast("long").alias("i2"),
+        F.col("hits").cast("long").alias("i3"),
+        fmicro_col(F.col("ap")).alias("i4"),
+        fmicro_col(F.col("ndcg")).alias("i5"),
+        fmicro_col(F.col("rr")).alias("i6"),
+    )
+    means = retrieval_eval_summary(per).select(
+        F.lit("means").cast("string").alias("leg"),
+        F.lit(0).cast("long").alias("q"),
+        F.col("n_queries").cast("long").alias("i1"),
+        fmicro_col(F.col("map")).alias("i2"),
+        fmicro_col(F.col("mean_ndcg")).alias("i3"),
+        fmicro_col(F.col("mrr")).alias("i4"),
+        fmicro_col(F.col("mean_precision")).alias("i5"),
+        fmicro_col(F.col("mean_recall")).alias("i6"),
+    )
+    return pq.unionByName(means)

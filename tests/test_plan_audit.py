@@ -131,6 +131,7 @@ def test_catalog_driver_window_is_exactly_fifty(plans):
         "dsir_importance", "crawl_extract_suite", "image_phash_dedup",
         "video_phash_dedup", "audio_fp_dedup", "kn_lm_perplexity",
         "classifier_eval_suite", "corpus_drift_suite",
+        "retrieval_eval_suite",
     ]
 
 
