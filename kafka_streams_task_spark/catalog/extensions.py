@@ -1366,3 +1366,79 @@ def retrieval_eval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmicro_col(F.col("mean_recall")).alias("i6"),
     )
     return pq.unionByName(means)
+
+
+#: pmi_collocations knobs — count floor and result size for the gate
+_PMI_MIN_COUNT = 5
+_PMI_TOP_K = 100
+
+_PMI_ORACLE = f"""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(trim(lower(text)),
+               '[ \\t\\n\\r\\f]+'), t -> t <> '') AS ts
+      FROM documents WHERE text IS NOT NULL
+    ),
+    uni AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY w
+    ),
+    pos AS (SELECT ts, unnest(range(1, len(ts))) AS i FROM toks),
+    big AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+      FROM (SELECT ts[i] AS w1, ts[i + 1] AS w2 FROM pos)
+      GROUP BY w1, w2
+    ),
+    tot AS (
+      SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM uni) AS nt,
+             (SELECT CAST(sum(c_xy) AS DOUBLE) FROM big) AS nb
+    ),
+    scored AS (
+      SELECT b.w1, b.w2, b.c_xy, ux.c AS c_x, uy.c AS c_y,
+             ln((b.c_xy / tot.nb)
+                / ((ux.c / tot.nt) * (uy.c / tot.nt))) AS pmi,
+             CASE WHEN b.c_xy / tot.nb = 1.0 THEN 1.0
+                  ELSE ln((b.c_xy / tot.nb)
+                          / ((ux.c / tot.nt) * (uy.c / tot.nt)))
+                       / -ln(b.c_xy / tot.nb) END AS npmi
+      FROM big b
+      JOIN uni ux ON b.w1 = ux.w
+      JOIN uni uy ON b.w2 = uy.w, tot
+      WHERE b.c_xy >= {_PMI_MIN_COUNT}
+    )
+    SELECT CAST(w1 AS VARCHAR) AS w1, CAST(w2 AS VARCHAR) AS w2,
+           CAST(c_xy AS BIGINT) AS c_xy, CAST(c_x AS BIGINT) AS c_x,
+           CAST(c_y AS BIGINT) AS c_y, {sql_fmicro("pmi")} AS pm,
+           {sql_fmicro("npmi")} AS np
+    FROM scored
+    ORDER BY pm DESC, w1, w2 LIMIT {_PMI_TOP_K}
+"""
+
+
+@query("pmi_collocations", oracle=_PMI_ORACLE)
+def pmi_collocations_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (operators/collocations.py) over the
+    documents corpus: lowercased whitespace bigrams with count >=
+    {min_count}, scored PMI/NPMI against the full-corpus unigram
+    marginals, top-{k} by MICRO-ROUNDED PMI with a (w1, w2) tie-break —
+    the rounding makes the top-k boundary deterministic across engines
+    (raw-double ordering could disagree at ulp distance; the micro
+    bucket + lexicographic tie-break is a total order both engines
+    compute identically). Engine counts shuffle on token text (bounded
+    by vocabulary, never corpus size); the oracle replays serially."""
+    from ..operators.collocations import collocation_table
+
+    d = load_table(spark, sf_dir, "documents")
+    t = collocation_table(d, text_col="text", min_count=_PMI_MIN_COUNT)
+    return (
+        t.select(
+            F.col("w1").cast("string"),
+            F.col("w2").cast("string"),
+            F.col("c_xy").cast("long"),
+            F.col("c_x").cast("long"),
+            F.col("c_y").cast("long"),
+            fmicro_col(F.col("pmi")).alias("pm"),
+            fmicro_col(F.col("npmi")).alias("np"),
+        )
+        .orderBy(F.desc("pm"), "w1", "w2")
+        .limit(_PMI_TOP_K)
+    )

@@ -39,6 +39,9 @@ BNLJ_ALLOWED = {
     # r10: corpus_drift_report / mix_shift_report 1-row token/row totals
     # broadcast-crossJoined onto the vocabulary/group tables
     "corpus_drift_suite",
+    # r10: collocation_table's 1-row n_tokens / n_bigrams totals
+    # broadcast-crossJoined onto the bigram table
+    "pmi_collocations",
 }
 
 #: queries allowed Python/Arrow stages, with a ceiling per query — every
@@ -131,7 +134,7 @@ def test_catalog_driver_window_is_exactly_fifty(plans):
         "dsir_importance", "crawl_extract_suite", "image_phash_dedup",
         "video_phash_dedup", "audio_fp_dedup", "kn_lm_perplexity",
         "classifier_eval_suite", "corpus_drift_suite",
-        "retrieval_eval_suite",
+        "retrieval_eval_suite", "pmi_collocations",
     ]
 
 
