@@ -160,6 +160,12 @@ OPS_SECTION = [
     "corpus_drift",
     # r10: the KN serve tier — pruned broadcast model, one Arrow stage
     "kn_score_dense",
+    # r10 second wave: NDCG/MAP/MRR over 100k events (1500 queries,
+    # per-query windows + one (query, doc) join)
+    "retrieval_eval",
+    # r10 second wave: PMI/NPMI collocations over the documents corpus
+    # (two count aggs + vocabulary-bounded joins + top-k)
+    "pmi_collocations",
 ]
 
 #: frozen first-measurements for the ops section (set r8, steady-state
@@ -518,6 +524,40 @@ def _ops_workloads():
         )
         return drift.crossJoin(mix)
 
+    def _retrieval_eval(s, d):
+        # r10 second wave: ranked-retrieval metrics over the events
+        # volume — 1500 queries x ~67 candidates; rank window (hits the
+        # WindowGroupLimit pushdown), (query, doc) join against a 33k-
+        # row qrels table, AP cumsum window, per-query aggregates.
+        # count() returns the per-query table, so every metric executes.
+        from kafka_streams_task_spark.operators.retrieval_eval import (
+            retrieval_eval,
+        )
+
+        ev = load_table(s, d, "events")
+        run = ev.select(
+            F.col("user_id").alias("query_id"),
+            F.col("event_id").alias("doc_id"),
+            F.col("value").alias("score"),
+        )
+        qrels = ev.filter(F.col("event_id") % 3 == 0).select(
+            F.col("user_id").alias("query_id"),
+            F.col("event_id").alias("doc_id"),
+            (F.col("event_id") % 4).alias("rel"),
+        )
+        return retrieval_eval(run, qrels, k=10)
+
+    def _pmi_collocations(s, d):
+        # r10 second wave: collocation mining over the 5k-document
+        # corpus — unigram+bigram count aggs (the two corpus passes),
+        # vocabulary-bounded marginal joins, micro-exact top-100
+        from kafka_streams_task_spark.operators.collocations import (
+            pmi_collocations,
+        )
+
+        docs = load_table(s, d, "documents")
+        return pmi_collocations(docs, min_count=5, top_k=100)
+
     def _classifier_eval(s, d):
         # r10: AUC/AP/KS through the two-level distributed prefix sum
         # over 100k scored events (continuous scores -> the distinct-
@@ -656,6 +696,8 @@ def _ops_workloads():
         "classifier_eval": _classifier_eval,
         "corpus_drift": _corpus_drift,
         "kn_score_dense": _kn_score_dense,
+        "retrieval_eval": _retrieval_eval,
+        "pmi_collocations": _pmi_collocations,
     }
 
 
