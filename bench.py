@@ -209,6 +209,10 @@ OPS_BASELINE_SEC = {
     # r10: KN serve tier — one Arrow stage over the corpus, model
     # collapsed outside the timed region
     "kn_score_dense": 0.18,
+    # r10 second wave (first in-harness measurements at calib 3.576 —
+    # an elevated-host run; expect headroom on a quiet host)
+    "retrieval_eval": 0.63,
+    "pmi_collocations": 1.02,
 }
 
 
