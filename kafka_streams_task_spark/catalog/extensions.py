@@ -1442,3 +1442,41 @@ def pmi_collocations_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pm"), "w1", "w2")
         .limit(_PMI_TOP_K)
     )
+
+
+@query(
+    "decontam_embedding_recall",
+    oracle="""
+    SELECT count(*) AS n_planted, CAST(0 AS BIGINT) AS n_missed
+    FROM embeddings
+    WHERE list_sum(list_transform(embedding, x -> CAST(x*x AS DOUBLE))) > 0
+      AND vec_id < 50
+    """,
+)
+def decontam_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level benchmark decontamination
+    (operators/dedup.py: decontaminate_embedding) with the SQL-checkable
+    planted invariant of the dedup_embedding_cosine_recall precedent:
+    the "benchmark" is an exact copy of every nonzero embedding with
+    vec_id < 50, so each planted row MUST be flagged — identical float
+    values give identical sign bits in every LSH table and verify at
+    cosine 1.0 >= 0.99 — and n_missed is exactly 0, which the oracle
+    states directly. Discriminative behavior (LSH subset-of-exact, the
+    threshold edge, distinct-bench-vector semantics) is covered by
+    tests/test_decontam_embedding.py."""
+    from ..operators.dedup import decontaminate_embedding
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    norm2 = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    eligible = e.filter(norm2 > 0)
+    bench = eligible.filter(F.col("vec_id") < 50).select("embedding")
+    flagged = decontaminate_embedding(eligible, bench, threshold=0.99)
+    planted = eligible.filter(F.col("vec_id") < 50).select("vec_id")
+    missed = planted.join(flagged.select("vec_id"), "vec_id", "left_anti")
+    return planted.agg(F.count(F.lit(1)).alias("n_planted")).crossJoin(
+        missed.agg(F.count(F.lit(1)).alias("n_missed"))
+    )

@@ -1100,6 +1100,96 @@ def cross_split_contamination(
     )
 
 
+def decontaminate_embedding(
+    corpus_emb: DataFrame,
+    bench_emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_tables: int = 8,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-level benchmark decontamination: flag corpus rows whose
+    vector is cosine >= ``threshold`` to ANY benchmark vector — the
+    semantic companion to the n-gram :func:`decontaminate` (paraphrased
+    eval questions share no 8-gram but sit next to each other in
+    embedding space). Returns ``(id_col, n_bench_hits, max_cos_sim)``
+    for flagged rows; anti-join to drop them.
+
+    Two tiers:
+
+    * ``exact=True`` — every (corpus, bench) pair via a broadcast cross
+      join. The benchmark side is an eval set (thousands of rows), so
+      the build side stays tiny; cost is |corpus| x |bench| JVM-side
+      cosines — the brute-force baseline and the verifier for tests.
+    * default — random-hyperplane LSH on BOTH sides with the SAME
+      planes (the :func:`embedding_near_dup_pairs` machinery):
+      candidates are (corpus, bench) bucket collisions only — corpus
+      rows never pair with each other — then exact cosine verification.
+      The bench bucket table broadcasts; the corpus side shuffles only
+      (tbl, bkt, id) rows. Identical vectors collide in every table, so
+      exact-duplicate leaks are flagged with probability 1; near-dup
+      recall rises geometrically with ``n_tables`` (the LSH recall
+      model in :func:`embedding_near_dup_pairs`).
+
+    False positives are impossible in both tiers (cosine verifies every
+    candidate); the LSH tier can MISS borderline-angle pairs — raise
+    ``n_tables`` or drop ``n_planes`` for recall, or run ``exact=True``
+    when the corpus is small enough. ``n_bench_hits`` counts DISTINCT
+    benchmark vectors (bench rows carrying byte-identical vectors
+    collapse — same vector, same cosine, same verdict); the internal
+    bench key is ``xxhash64(vector)``, deterministic across plan
+    re-executions (a generated id like monotonically_increasing_id
+    could diverge between the bucket and verify subtrees).
+    """
+    from .similarity import (
+        cosine_similarity_nullsafe,
+        lsh_table_buckets,
+        random_hyperplanes,
+    )
+
+    cv = corpus_emb.select(F.col(id_col), F.col(vec_col).alias("_cv"))
+    bvi = bench_emb.select(
+        F.xxhash64(F.col(vec_col)).alias("bid"),
+        F.col(vec_col).alias("_bv"),
+    ).dropDuplicates(["bid"])
+    if exact:
+        scored = cv.crossJoin(F.broadcast(bvi))
+    else:
+        planes = np.vstack(
+            [random_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+        )
+        cb = lsh_table_buckets(
+            corpus_emb, planes, n_tables, n_planes, id_col, vec_col, "cid"
+        )
+        bb = lsh_table_buckets(
+            bvi, planes, n_tables, n_planes, "bid", "_bv", "bid"
+        )
+        cand = (
+            cb.join(F.broadcast(bb), on=["tbl", "bkt"])
+            .select("cid", "bid")
+            .distinct()
+        )
+        scored = (
+            cand.join(cv.withColumnRenamed(id_col, "cid"), on="cid")
+            .join(F.broadcast(bvi), on="bid")
+            .withColumnRenamed("cid", id_col)
+        )
+    sim = cosine_similarity_nullsafe(F.col("_cv"), F.col("_bv"))
+    return (
+        scored.select(F.col(id_col), sim.alias("_cos"))
+        .filter(F.col("_cos") >= threshold)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bench_hits"),
+            F.max(stable_round(F.col("_cos"), 6)).alias("max_cos_sim"),
+        )
+    )
+
+
 _MEMBERSHIP_SALT = 0x9E3779B9  # fixed second-draw seed (golden-ratio constant, fits int64)
 
 

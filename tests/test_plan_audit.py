@@ -42,6 +42,9 @@ BNLJ_ALLOWED = {
     # r10: collocation_table's 1-row n_tokens / n_bigrams totals
     # broadcast-crossJoined onto the bigram table
     "pmi_collocations",
+    # r10: the recall gate's two 1-row (n_planted, n_missed) aggregates
+    # crossJoined — the dedup_*_recall precedent
+    "decontam_embedding_recall",
 }
 
 #: queries allowed Python/Arrow stages, with a ceiling per query — every
@@ -77,6 +80,10 @@ PY_ALLOWED = {
     # r9 extension: two legs (fused sub-fingerprint table, inverted-
     # index pairing), each exactly one mapInPandas stage
     "audio_fp_dedup": 2,
+    # r10 extension: corpus + bench LSH bucket tables — one mapInPandas
+    # hyperplane-projection stage per side (the embedding_near_dup_pairs
+    # machinery, both sides sharing the same planes)
+    "decontam_embedding_recall": 2,
 }
 
 _SF = "/root/testdata/sf0.001"
@@ -135,6 +142,7 @@ def test_catalog_driver_window_is_exactly_fifty(plans):
         "video_phash_dedup", "audio_fp_dedup", "kn_lm_perplexity",
         "classifier_eval_suite", "corpus_drift_suite",
         "retrieval_eval_suite", "pmi_collocations",
+        "decontam_embedding_recall",
     ]
 
 
