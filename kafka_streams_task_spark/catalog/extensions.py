@@ -1480,3 +1480,94 @@ def decontam_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return planted.agg(F.count(F.lit(1)).alias("n_planted")).crossJoin(
         missed.agg(F.count(F.lit(1)).alias("n_missed"))
     )
+
+
+#: score_bucket_suite knobs — 3 CCNet bands over a 991-level synthetic
+#: per-language score
+_SBK_N = 3
+
+_SBK_ORACLE = f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             CAST(((doc_id * 53 + n_chars) % 991) AS DOUBLE) / 991.0 AS sc
+      FROM documents
+      WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND lang IS NOT NULL
+    ),
+    per AS (
+      SELECT lang, sc, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY lang, sc
+    ),
+    t AS (
+      SELECT lang, sc,
+             coalesce(sum(n) OVER (PARTITION BY lang ORDER BY sc
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cum,
+             sum(n) OVER (PARTITION BY lang) AS tot
+      FROM per
+    ),
+    b AS (
+      SELECT lang, sc,
+             CAST(least(floor({_SBK_N} * cum / tot), {_SBK_N - 1}) AS BIGINT)
+               AS bucket
+      FROM t
+    ),
+    doc AS (
+      SELECT s.doc_id, s.lang, b.bucket
+      FROM s JOIN b ON s.lang = b.lang AND s.sc = b.sc
+    )
+    SELECT CAST(leg AS VARCHAR) AS leg, CAST(lang AS VARCHAR) AS lang,
+           CAST(k AS BIGINT) AS k, CAST(v AS BIGINT) AS v
+    FROM (
+      SELECT 'doc' AS leg, lang, doc_id AS k, bucket AS v FROM doc
+      UNION ALL
+      SELECT 'dist', lang, bucket, count(*) FROM doc GROUP BY lang, bucket
+    )
+"""
+
+
+@query("score_bucket_suite", oracle=_SBK_ORACLE)
+def score_bucket_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language score bucketing
+    (operators/sampling.py: score_buckets_by_group) over a
+    deterministic 991-level synthetic score on the documents table:
+    'doc' leg = every document's (lang, bucket) assignment, 'dist' leg
+    = per-(lang, bucket) counts. The engine buckets through the
+    grouped distinct-score table + per-group windows; the oracle
+    replays the identical cut arithmetic (floor(3·cum/tot) of exact
+    integer counts — IEEE-identical in both engines) serially. Tied
+    scores land in one bucket by construction, so the comparison is
+    exact with no micro rounding anywhere."""
+    from ..operators.sampling import score_buckets_by_group
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+        & F.col("n_chars").isNotNull()
+        & F.col("lang").isNotNull()
+    )
+    scored = d.select(
+        "doc_id",
+        "lang",
+        (((F.col("doc_id") * 53 + F.col("n_chars")) % 991) / 991.0).alias(
+            "score"
+        ),
+    )
+    bucketed = score_buckets_by_group(
+        scored, group_col="lang", score_col="score", n_buckets=_SBK_N,
+        labels=None,
+    )
+    doc = bucketed.select(
+        F.lit("doc").cast("string").alias("leg"),
+        F.col("lang").cast("string"),
+        F.col("doc_id").cast("long").alias("k"),
+        F.col("bucket").cast("long").alias("v"),
+    )
+    dist = (
+        bucketed.groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("v"))
+        .select(
+            F.lit("dist").cast("string").alias("leg"),
+            F.col("lang").cast("string"),
+            F.col("bucket").cast("long").alias("k"),
+            F.col("v"),
+        )
+    )
+    return doc.unionByName(dist)

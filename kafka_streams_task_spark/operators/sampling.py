@@ -694,3 +694,80 @@ def shard_report(
         )
         .orderBy(shard_col)
     )
+
+
+def score_buckets_by_group(
+    df: DataFrame,
+    group_col: str = "lang",
+    score_col: str = "score",
+    n_buckets: int = 3,
+    labels: tuple[str, ...] | None = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet-style per-group score bucketing (Wenzek et al. 2020): rank
+    rows WITHIN each group by ``score_col`` ascending and cut at equal
+    rank fractions — the head/middle/tail split CCNet applies to
+    per-language perplexity so every language gets its own quality
+    bands instead of one global threshold that would empty low-resource
+    languages. Compose with :func:`~.kn_lm.kn_bigram_score` (or any
+    scorer) upstream.
+
+    Adds ``bucket`` (0 = best/lowest score) and, when ``labels`` has
+    ``n_buckets`` entries, ``bucket_label``. Tied scores land in ONE
+    bucket (the tie block is placed by its first rank — ties cannot
+    straddle a cut, so replays and speculative tasks agree and the
+    boundary is exact by construction, not sampled). NULL scores get a
+    NULL bucket; a NULL group is its own group.
+
+    Scale shape: the corpus collapses to one row per (group, distinct
+    score) — the only full pass — then exclusive/total counts come from
+    windows PARTITIONED BY GROUP over that table and rows join their
+    bucket back by (group, score). Parallel across groups, per-task
+    work bounded by a group's distinct-score count (the
+    classifier_eval_by_group plan; for one group holding most of the
+    corpus, quantize scores upstream to bound the distinct table).
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if labels is not None and len(labels) != n_buckets:
+        labels = None
+    sc = F.col(score_col)
+    valid = df.filter(sc.isNotNull() & ~F.isnan(sc.cast("double")))
+    per = valid.groupBy(
+        F.col(group_col).alias("_grp"), sc.alias("_s")
+    ).agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    w = (
+        Window.partitionBy("_grp")
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wg = Window.partitionBy("_grp")
+    bucketed = (
+        per.withColumn(
+            "_cum", F.coalesce(F.sum("_n").over(w), F.lit(0)).cast("long")
+        )
+        .withColumn("_tot", F.sum("_n").over(wg).cast("long"))
+        .select(
+            "_grp",
+            "_s",
+            F.least(
+                F.floor(F.lit(n_buckets) * F.col("_cum") / F.col("_tot")),
+                F.lit(n_buckets - 1),
+            )
+            .cast("int")
+            .alias("bucket"),
+        )
+    )
+    out = df.join(
+        bucketed,
+        on=(
+            F.col(group_col).eqNullSafe(F.col("_grp"))
+            & (sc == F.col("_s"))
+        ),
+        how="left",
+    ).drop("_grp", "_s")
+    if labels is not None:
+        lab = F.array(*[F.lit(x) for x in labels])
+        out = out.withColumn(
+            "bucket_label", F.element_at(lab, F.col("bucket") + 1)
+        )
+    return out

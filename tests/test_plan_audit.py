@@ -142,7 +142,7 @@ def test_catalog_driver_window_is_exactly_fifty(plans):
         "video_phash_dedup", "audio_fp_dedup", "kn_lm_perplexity",
         "classifier_eval_suite", "corpus_drift_suite",
         "retrieval_eval_suite", "pmi_collocations",
-        "decontam_embedding_recall",
+        "decontam_embedding_recall", "score_bucket_suite",
     ]
 
 
