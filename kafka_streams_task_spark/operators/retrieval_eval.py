@@ -103,9 +103,12 @@ def retrieval_eval(
 
     ``run`` is (query, doc, score); ``qrels`` is (query, doc, rel) with
     graded integer relevance (rel = 0 rows are judged-non-relevant —
-    they count toward the judgment pool but not toward R). Both tables
-    must be unique on (query, doc). Returns one row per query that has
-    at least one rel > 0 judgment:
+    they count toward the judgment pool but not toward R; NEGATIVE rel
+    values, trec's judged-unusable convention, clamp to 0 so they can
+    never contribute negative gain). The exponential gain is 2^rel − 1
+    in double math — grades above ~60 overflow; real qrels grade 0–4.
+    Both tables must be unique on (query, doc). Returns one row per
+    query that has at least one rel > 0 judgment:
 
     ``(query_id, n_ret, n_rel, hits, precision_at_k, recall_at_k,
     hit_at_k, rr, ap, dcg, idcg, ndcg)``
@@ -126,7 +129,7 @@ def retrieval_eval(
     ).select(
         F.col(query_col),
         F.col(doc_col),
-        F.col(rel_col).cast("long").alias("_rel"),
+        F.greatest(F.col(rel_col).cast("long"), F.lit(0)).alias("_rel"),
     )
 
     # ideal side: rank the judged-relevant pool per query by rel desc

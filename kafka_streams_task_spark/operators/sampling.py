@@ -730,6 +730,12 @@ def score_buckets_by_group(
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     if labels is not None and len(labels) != n_buckets:
         labels = None
+    clashes = {"_grp", "_s", "bucket", "bucket_label"} & set(df.columns)
+    if clashes:
+        raise ValueError(
+            f"input columns clash with working/output columns: "
+            f"{sorted(clashes)} — rename them before bucketing"
+        )
     sc = F.col(score_col)
     valid = df.filter(sc.isNotNull() & ~F.isnan(sc.cast("double")))
     per = valid.groupBy(

@@ -210,3 +210,15 @@ def test_summary_columns(spark):
         "mean_recall",
         "hit_rate",
     ]
+
+
+def test_negative_rel_clamps_to_zero(spark):
+    # trec's judged-unusable (-1) must behave exactly like rel = 0:
+    # no negative gain, no pool membership
+    run = _mk(spark, [(1, 1, 0.9), (1, 2, 0.8)], RUN_SCHEMA)
+    qrels_neg = _mk(spark, [(1, 1, 1), (1, 2, -1)], QRELS_SCHEMA)
+    qrels_zero = _mk(spark, [(1, 1, 1), (1, 2, 0)], QRELS_SCHEMA)
+    a = retrieval_eval(run, qrels_neg, k=2).collect()[0]
+    b = retrieval_eval(run, qrels_zero, k=2).collect()[0]
+    assert a.asDict() == b.asDict()
+    assert a["dcg"] == pytest.approx(1.0) and a["n_rel"] == 1

@@ -98,3 +98,9 @@ def test_randomized_against_reference(spark):
 def test_row_count_preserved(spark):
     rows = [(i, "en", float(i % 5)) for i in range(50)]
     assert score_buckets_by_group(_mk(spark, rows)).count() == 50
+
+
+def test_working_column_clash_raises(spark):
+    df = _mk(spark, [(1, "en", 1.0)]).withColumn("bucket", F.lit(9))
+    with pytest.raises(ValueError, match="clash"):
+        score_buckets_by_group(df)
