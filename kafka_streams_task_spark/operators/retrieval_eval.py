@@ -224,3 +224,34 @@ def retrieval_eval_summary(per_query: DataFrame) -> DataFrame:
         F.avg("recall_at_k").alias("mean_recall"),
         F.avg(F.col("hit_at_k").cast("double")).alias("hit_rate"),
     )
+
+
+def mine_hard_negatives(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    score_col: str = "score",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Hard-negative mining for retriever training (the DPR recipe,
+    Karpukhin et al. 2020): per query, the ``k`` highest-scored docs
+    NOT judged relevant — exactly the confusable candidates a dual
+    encoder learns most from. Judged rel = 0 rows stay eligible (they
+    are CONFIRMED negatives, the best kind); judged rel > 0 rows are
+    anti-joined out BEFORE ranking, so the returned ``rank`` is the
+    doc's position among negatives. Returns
+    ``(query, doc, score, rank)``.
+
+    Distributed shape: one (query, doc)-keyed anti-join against the
+    positive slice of qrels, then the :func:`rank_run` window — per
+    query work bounded by the candidate list, the WindowGroupLimit
+    pushdown prunes to k before the shuffle completes."""
+    positives = qrels.filter(F.col(rel_col) > 0).select(
+        F.col(query_col), F.col(doc_col)
+    )
+    negatives = run.join(positives, on=[query_col, doc_col], how="left_anti")
+    return rank_run(negatives, k, query_col, doc_col, score_col).select(
+        F.col(query_col), F.col(doc_col), F.col(score_col), F.col("rank")
+    )

@@ -773,7 +773,129 @@ def score_buckets_by_group(
     ).drop("_grp", "_s")
     if labels is not None:
         lab = F.array(*[F.lit(x) for x in labels])
+        # element_at(arr, NULL) resolves to the LAST element (observed on
+        # Spark 4), not NULL — guard explicitly so a NULL bucket cannot
+        # silently label as the final band
         out = out.withColumn(
-            "bucket_label", F.element_at(lab, F.col("bucket") + 1)
+            "bucket_label",
+            F.when(
+                F.col("bucket").isNotNull(),
+                F.element_at(lab, F.col("bucket") + 1),
+            ),
+        )
+    return out
+
+
+def score_bucket_boundaries(
+    df: DataFrame,
+    group_col: str = "lang",
+    score_col: str = "score",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """The serve half of :func:`score_buckets_by_group`: distill each
+    group's cuts into ``(group, cuts array<double>)`` — cut j
+    (j = 1..n_buckets-1) is the smallest score assigned to any bucket
+    >= j, so empty buckets (a tie block straddling a cut) repeat the
+    next bucket's floor and assignment stays consistent. Apply with
+    :func:`apply_score_buckets` — a stateless broadcast join, the
+    offline-fit/online-apply split the KN and DSIR dense tiers use.
+
+    Every score SEEN at fit time reproduces its batch bucket exactly;
+    an unseen score falls in the band its value lands in (below cut j
+    ⇒ bucket < j), which is the only sensible generalization. The
+    output is (groups x 1) rows with a <=(n_buckets-1)-element array —
+    broadcastable at any real group count.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    bucketed = score_buckets_by_group(
+        df.select(F.col(group_col), F.col(score_col)),
+        group_col=group_col,
+        score_col=score_col,
+        n_buckets=n_buckets,
+        labels=None,
+    ).filter(F.col("bucket").isNotNull())
+    lo = bucketed.groupBy(F.col(group_col).alias("_grp"), "bucket").agg(
+        F.min(F.col(score_col).cast("double")).alias("_lo")
+    )
+    cuts = (
+        lo.join(
+            F.broadcast(
+                lo.sparkSession.range(1, n_buckets).select(
+                    F.col("id").cast("int").alias("_j")
+                )
+            ),
+            on=F.col("bucket") >= F.col("_j"),
+        )
+        .groupBy("_grp", "_j")
+        .agg(F.min("_lo").alias("_cut"))
+        .groupBy("_grp")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_j", "_cut"))
+            ).alias("_jc")
+        )
+        .select(
+            F.col("_grp").alias(group_col),
+            F.transform(F.col("_jc"), lambda x: x["_cut"]).alias("cuts"),
+        )
+    )
+    # a group whose rows all tie gets no j>=1 bucket rows — emit an
+    # empty cuts array for it rather than dropping the group
+    all_groups = bucketed.select(
+        F.col(group_col).alias("_g")
+    ).dropDuplicates(["_g"])
+    return all_groups.join(
+        cuts, on=F.col("_g").eqNullSafe(F.col(group_col)), how="left"
+    ).select(
+        F.col("_g").alias(group_col),
+        F.coalesce(F.col("cuts"), F.array().cast("array<double>")).alias(
+            "cuts"
+        ),
+    )
+
+
+def apply_score_buckets(
+    df: DataFrame,
+    boundaries: DataFrame,
+    group_col: str = "lang",
+    score_col: str = "score",
+    labels: tuple[str, ...] | None = ("head", "middle", "tail"),
+) -> DataFrame:
+    """Assign ``bucket`` from a fitted :func:`score_bucket_boundaries`
+    frame: bucket = number of cuts <= score, a JVM filter over the
+    tiny per-group cuts array after one broadcast equi-join on group —
+    stateless, so it drops into a Structured Streaming pipeline as a
+    stream-static join with no state store or watermark (the
+    streaming_kn_filter deployment shape). Rows whose group was never
+    fitted, and NULL/NaN scores, get a NULL bucket."""
+    clashes = {"cuts", "bucket", "bucket_label"} & set(df.columns)
+    if clashes:
+        raise ValueError(
+            f"input columns clash with working/output columns: "
+            f"{sorted(clashes)} — rename them before bucketing"
+        )
+    sc = F.col(score_col).cast("double")
+    out = df.join(
+        F.broadcast(boundaries.withColumnRenamed(group_col, "_bgrp")),
+        on=F.col(group_col).eqNullSafe(F.col("_bgrp")),
+        how="left",
+    ).drop("_bgrp")
+    bucket = F.when(
+        sc.isNotNull() & ~F.isnan(sc) & F.col("cuts").isNotNull(),
+        F.size(F.filter(F.col("cuts"), lambda c: sc >= c)),
+    ).cast("int")
+    out = out.withColumn("bucket", bucket).drop("cuts")
+    if labels is not None:
+        lab = F.array(*[F.lit(x) for x in labels])
+        # element_at(arr, NULL) resolves to the LAST element (observed on
+        # Spark 4), not NULL — guard explicitly so a NULL bucket cannot
+        # silently label as the final band
+        out = out.withColumn(
+            "bucket_label",
+            F.when(
+                F.col("bucket").isNotNull(),
+                F.element_at(lab, F.col("bucket") + 1),
+            ),
         )
     return out

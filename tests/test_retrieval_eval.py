@@ -222,3 +222,24 @@ def test_negative_rel_clamps_to_zero(spark):
     b = retrieval_eval(run, qrels_zero, k=2).collect()[0]
     assert a.asDict() == b.asDict()
     assert a["dcg"] == pytest.approx(1.0) and a["n_rel"] == 1
+
+
+def test_mine_hard_negatives(spark):
+    from kafka_streams_task_spark.operators.retrieval_eval import (
+        mine_hard_negatives,
+    )
+
+    run = _mk(
+        spark,
+        [(1, 10, 0.9), (1, 11, 0.8), (1, 12, 0.7), (1, 13, 0.6)],
+        RUN_SCHEMA,
+    )
+    # 10 is a positive, 11 judged-0 (confirmed negative), 12 unjudged
+    qrels = _mk(spark, [(1, 10, 2), (1, 11, 0)], QRELS_SCHEMA)
+    got = [
+        (r["doc_id"], r["rank"])
+        for r in mine_hard_negatives(run, qrels, k=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [(11, 1), (12, 2)]  # positive gone, ranks re-packed

@@ -104,3 +104,110 @@ def test_working_column_clash_raises(spark):
     df = _mk(spark, [(1, "en", 1.0)]).withColumn("bucket", F.lit(9))
     with pytest.raises(ValueError, match="clash"):
         score_buckets_by_group(df)
+
+
+def test_boundaries_reproduce_batch_assignment(spark):
+    from kafka_streams_task_spark.operators.sampling import (
+        apply_score_buckets,
+        score_bucket_boundaries,
+    )
+
+    rng = random.Random(5)
+    rows = [
+        (i, rng.choice(["en", "de"]), float(rng.randint(0, 12)))
+        for i in range(200)
+    ]
+    # an all-tie group (empty cuts) and a tie-straddle group
+    rows += [(1000 + i, "zz", 7.0) for i in range(5)]
+    rows += [(2000 + i, "ts", 1.0) for i in range(4)] + [
+        (2100, "ts", 2.0),
+        (2101, "ts", 2.0),
+    ]
+    df = _mk(spark, rows)
+    batch = {
+        r["doc_id"]: r["bucket"]
+        for r in score_buckets_by_group(df, labels=None).collect()
+    }
+    bounds = score_bucket_boundaries(df)
+    served = {
+        r["doc_id"]: r["bucket"]
+        for r in apply_score_buckets(df, bounds, labels=None).collect()
+    }
+    assert served == batch
+
+
+def test_apply_unfitted_group_and_nulls(spark):
+    from kafka_streams_task_spark.operators.sampling import (
+        apply_score_buckets,
+        score_bucket_boundaries,
+    )
+
+    fit = _mk(spark, [(i, "en", float(i)) for i in range(9)])
+    bounds = score_bucket_boundaries(fit)
+    probe = _mk(spark, [(1, "xx", 1.0), (2, "en", None), (3, "en", 8.5)])
+    got = {
+        r["doc_id"]: (r["bucket"], r["bucket_label"])
+        for r in apply_score_buckets(probe, bounds).collect()
+    }
+    assert got[1] == (None, None)  # group never fitted
+    assert got[2] == (None, None)  # NULL score
+    assert got[3] == (2, "tail")  # unseen score falls in its band
+
+
+def test_apply_clash_guard(spark):
+    from kafka_streams_task_spark.operators.sampling import (
+        apply_score_buckets,
+        score_bucket_boundaries,
+    )
+
+    fit = _mk(spark, [(1, "en", 1.0), (2, "en", 2.0)])
+    bounds = score_bucket_boundaries(fit)
+    bad = fit.withColumn("cuts", F.lit(1))
+    with pytest.raises(ValueError, match="clash"):
+        apply_score_buckets(bad, bounds)
+
+
+def test_streaming_apply_matches_batch(spark, tmp_path):
+    from kafka_streams_task_spark.operators.sampling import (
+        apply_score_buckets,
+        score_bucket_boundaries,
+    )
+
+    rows = [(i, "en", float(i % 7)) for i in range(40)] + [
+        (100 + i, "de", float(i % 3)) for i in range(30)
+    ]
+    df = _mk(spark, rows)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    df.write.parquet(src)
+    bounds = score_bucket_boundaries(df)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        apply_score_buckets(stream, bounds, labels=None)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["bucket"] for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["doc_id"]: r["bucket"]
+        for r in score_buckets_by_group(df, labels=None).collect()
+    }
+    assert got == want
+
+
+def test_null_score_gets_null_label_not_last_band(spark):
+    # element_at(arr, NULL) yields the LAST element on Spark 4 — the
+    # guard must keep NULL buckets from silently labeling as 'tail'
+    rows = [(1, "en", 1.0), (2, "en", 2.0), (3, "en", None)]
+    got = {
+        r["doc_id"]: r["bucket_label"]
+        for r in score_buckets_by_group(_mk(spark, rows)).collect()
+    }
+    assert got[3] is None
