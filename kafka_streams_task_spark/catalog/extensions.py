@@ -1571,3 +1571,92 @@ def score_bucket_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return doc.unionByName(dist)
+
+
+#: unimax_suite knobs — two legs: a 1-epoch tight budget (big languages
+#: trim to the water level) and a 2-epoch loose budget (small languages
+#: cap at two passes)
+_UMX_LEGS = (("u1", 15000.0, 1.0), ("u2", 40000.0, 2.0))
+
+
+def _umx_leg_sql(leg: str, budget: float, me: float) -> str:
+    return f"""
+      SELECT '{leg}' AS leg, g AS lang,
+             CAST(nt AS BIGINT) AS n_tokens,
+             {sql_fmicro("cap")} AS cap,
+             {sql_fmicro("least(cap, coalesce(lvl.l, cap))")} AS alloc,
+             {sql_fmicro(
+                 "CASE WHEN nt > 0 THEN least(cap, coalesce(lvl.l, cap)) / nt"
+                 " ELSE 0.0 END"
+             )} AS epochs
+      FROM (
+        SELECT g, nt, cap,
+               sum(cap) OVER (ORDER BY cap, g ROWS UNBOUNDED PRECEDING) AS p,
+               row_number() OVER (ORDER BY cap, g) AS i,
+               count(*) OVER () AS n,
+               lag(cap, 1, 0.0) OVER (ORDER BY cap, g) AS pc
+        FROM (SELECT g, nt, nt * {me} AS cap FROM umx_counts)
+      ) t
+      LEFT JOIN (
+        SELECT min(({budget} - (p - cap)) / (n - i + 1)) AS l
+        FROM (
+          SELECT g, nt, cap,
+                 sum(cap) OVER (ORDER BY cap, g
+                                ROWS UNBOUNDED PRECEDING) AS p,
+                 row_number() OVER (ORDER BY cap, g) AS i,
+                 count(*) OVER () AS n,
+                 lag(cap, 1, 0.0) OVER (ORDER BY cap, g) AS pc
+          FROM (SELECT g, nt, nt * {me} AS cap FROM umx_counts)
+        )
+        WHERE ({budget} - (p - cap)) / (n - i + 1) >= pc
+          AND ({budget} - (p - cap)) / (n - i + 1) < cap
+      ) lvl ON TRUE
+    """
+
+
+_UMX_ORACLE = f"""
+    WITH toks AS (
+      SELECT lang,
+             len(list_filter(string_split_regex(trim(text),
+                 '[ \\t\\n\\r\\f]+'), t -> t <> '')) AS t
+      FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+    ),
+    umx_counts AS (
+      SELECT lang AS g, CAST(sum(t) AS DOUBLE) AS nt FROM toks GROUP BY lang
+    )
+    SELECT CAST(leg AS VARCHAR) AS leg, CAST(lang AS VARCHAR) AS lang,
+           n_tokens, cap, alloc, epochs
+    FROM ({_umx_leg_sql(*_UMX_LEGS[0])} UNION ALL {_umx_leg_sql(*_UMX_LEGS[1])})
+"""
+
+
+@query("unimax_suite", oracle=_UMX_ORACLE)
+def unimax_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation (operators/sampling.py:
+    unimax_allocation, Chung et al. 2023) over the documents corpus
+    grouped by language: leg 'u1' spreads a tight budget at one epoch
+    max (head languages trim to the water level), leg 'u2' a loose
+    budget at two epochs (tail languages cap at two passes). The
+    engine solves the waterfilling level with the piecewise-linear
+    closed form over the group-cardinality table; the oracle replays
+    the identical window cumsum + level filter + least() arithmetic
+    (IEEE-identical on the same token counts), micro-rounded."""
+    from ..operators.sampling import unimax_allocation
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull()
+    )
+    legs = []
+    for leg, budget, me in _UMX_LEGS:
+        out = unimax_allocation(d, budget=budget, max_epochs=me)
+        legs.append(
+            out.select(
+                F.lit(leg).cast("string").alias("leg"),
+                F.col("lang").cast("string"),
+                F.col("n_tokens"),
+                fmicro_col(F.col("capacity")).alias("cap"),
+                fmicro_col(F.col("alloc")).alias("alloc"),
+                fmicro_col(F.col("epochs")).alias("epochs"),
+            )
+        )
+    return legs[0].unionByName(legs[1])

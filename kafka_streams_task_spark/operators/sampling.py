@@ -899,3 +899,119 @@ def apply_score_buckets(
             ),
         )
     return out
+
+
+def unimax_allocation(
+    df: DataFrame,
+    budget: float,
+    max_epochs: float = 1.0,
+    group_col: str = "lang",
+    token_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax language-balanced budget allocation (Chung et al. 2023):
+    spread a total token ``budget`` as UNIFORMLY as possible across
+    groups, capping each group at ``max_epochs`` passes over its data —
+    the closed-form waterfilling that supersedes temperature sampling
+    for multilingual mixes (no tail language is over-repeated past its
+    epoch cap, no head language starves the tail).
+
+    Returns one row per group: ``(group, n_tokens, capacity, alloc,
+    epochs)`` where ``capacity = max_epochs · n_tokens``, ``alloc =
+    min(capacity, L)`` with the water level L solving
+    Σ min(capacity_g, L) = budget (when the budget exceeds total
+    capacity every group gets its full capacity), and ``epochs =
+    alloc / n_tokens`` — feed ``epochs`` (cap at 1) to
+    :func:`hash_stratified_sample` as the keep rate, and repeat groups
+    with epochs > 1.
+
+    Token mass per group comes from ``token_col`` if given, else a
+    whitespace token count of ``text_col``. Everything after the one
+    corpus-wide count aggregate runs on the GROUP-CARDINALITY table
+    (languages/sources — at most thousands): the level search is a
+    window cumsum over caps ascending plus the piecewise-linear closed
+    form, one row per group, evaluated exactly — no iteration, no
+    driver-side solve. The single-partition window is bounded by the
+    group count by construction.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be > 0, got {budget}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    if token_col is None:
+        toks = F.size(
+            F.filter(
+                F.split(F.trim(F.col(text_col)), WHITESPACE_RE),
+                lambda x: x != "",
+            )
+        )
+        slim = df.filter(F.col(text_col).isNotNull()).select(
+            F.col(group_col), toks.cast("long").alias("_t")
+        )
+    else:
+        slim = df.select(
+            F.col(group_col), F.col(token_col).cast("long").alias("_t")
+        )
+    counts = slim.groupBy(F.col(group_col).alias("_g")).agg(
+        F.sum("_t").cast("double").alias("n_tokens")
+    )
+    # pin the group-cardinality table: the level subtree and the output
+    # subtree both consume it, and without the checkpoint each would
+    # re-run the CORPUS count scan (the score_rank_table rationale) —
+    # one bounded action at fit time buys a single corpus pass
+    counts = counts.localCheckpoint(eager=True)
+    cap = F.col("n_tokens") * F.lit(float(max_epochs))
+    # caps ascending: P = inclusive prefix sum, i = 1-based rank, n total
+    w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy(cap.asc(), F.col("_g").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(F.lit(1))
+    t = (
+        counts.withColumn("_cap", cap)
+        .withColumn("_p", F.sum("_cap").over(w))
+        .withColumn(
+            "_i",
+            F.row_number().over(
+                Window.partitionBy(F.lit(1)).orderBy(
+                    F.col("_cap").asc(), F.col("_g").asc()
+                )
+            ),
+        )
+        .withColumn("_n", F.count(F.lit(1)).over(wall))
+        .withColumn("_pprev", F.col("_p") - F.col("_cap"))
+    )
+    # row i is the first group ABOVE the level iff
+    # L_i = (B - P_{i-1}) / (n - i + 1) lies in [c_{i-1}, c_i); exactly
+    # one row is valid when budget < total capacity, none otherwise
+    li = (F.lit(float(budget)) - F.col("_pprev")) / (
+        F.col("_n") - F.col("_i") + 1
+    )
+    prev_cap = F.coalesce(
+        F.lag("_cap").over(
+            Window.partitionBy(F.lit(1)).orderBy(
+                F.col("_cap").asc(), F.col("_g").asc()
+            )
+        ),
+        F.lit(0.0),
+    )
+    level = (
+        t.withColumn("_li", li)
+        .withColumn("_pc", prev_cap)
+        .filter((F.col("_li") >= F.col("_pc")) & (F.col("_li") < F.col("_cap")))
+        .agg(F.min("_li").alias("_level"))
+    )
+    out = t.crossJoin(F.broadcast(level))
+    alloc = F.least(
+        F.col("_cap"), F.coalesce(F.col("_level"), F.col("_cap"))
+    )
+    return out.select(
+        F.col("_g").alias(group_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("_cap").alias("capacity"),
+        alloc.alias("alloc"),
+        F.when(F.col("n_tokens") > 0, alloc / F.col("n_tokens"))
+        .otherwise(F.lit(0.0))
+        .alias("epochs"),
+    )

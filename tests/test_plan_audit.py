@@ -45,6 +45,9 @@ BNLJ_ALLOWED = {
     # r10: the recall gate's two 1-row (n_planted, n_missed) aggregates
     # crossJoined — the dedup_*_recall precedent
     "decontam_embedding_recall",
+    # r10: unimax_allocation's 1-row water-level aggregate
+    # broadcast-crossJoined onto the group-cardinality table
+    "unimax_suite",
 }
 
 #: queries allowed Python/Arrow stages, with a ceiling per query — every
@@ -143,6 +146,7 @@ def test_catalog_driver_window_is_exactly_fifty(plans):
         "classifier_eval_suite", "corpus_drift_suite",
         "retrieval_eval_suite", "pmi_collocations",
         "decontam_embedding_recall", "score_bucket_suite",
+        "unimax_suite",
     ]
 
 
