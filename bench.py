@@ -166,6 +166,15 @@ OPS_SECTION = [
     # r10 second wave: PMI/NPMI collocations over the documents corpus
     # (two count aggs + vocabulary-bounded joins + top-k)
     "pmi_collocations",
+    # r10 third wave: CCNet bands (distinct-score table + per-group
+    # windows + assignment join) over 100k scored events by type
+    "score_buckets",
+    # r10 third wave: UniMax waterfilling (one corpus count agg +
+    # group-cardinality closed form)
+    "unimax_alloc",
+    # r10 third wave: embedding decontamination, LSH tier (two bucket
+    # stages + bench-broadcast collision join + cosine verify)
+    "decontam_embedding",
 ]
 
 #: frozen first-measurements for the ops section (set r8, steady-state
@@ -562,6 +571,44 @@ def _ops_workloads():
         docs = load_table(s, d, "documents")
         return pmi_collocations(docs, min_count=5, top_k=100)
 
+    def _score_buckets(s, d):
+        # r10 third wave: CCNet bands over 100k events grouped by
+        # event_type — distinct-score collapse, per-group windows,
+        # assignment join; count() returns all rows so the join runs
+        from kafka_streams_task_spark.operators.sampling import (
+            score_buckets_by_group,
+        )
+
+        ev = load_table(s, d, "events").select(
+            "event_id", "event_type", F.col("value").alias("score")
+        )
+        return score_buckets_by_group(
+            ev, group_col="event_type", score_col="score", labels=None
+        )
+
+    def _unimax_alloc(s, d):
+        # r10 third wave: waterfilling over the documents corpus by
+        # lang — one corpus token-count agg (checkpoint-pinned) + the
+        # group-cardinality closed form
+        from kafka_streams_task_spark.operators.sampling import (
+            unimax_allocation,
+        )
+
+        docs = load_table(s, d, "documents").filter(F.col("lang").isNotNull())
+        return unimax_allocation(docs, budget=150000.0)
+
+    def _decontam_embedding(s, d):
+        # r10 third wave: the LSH tier against a 50-vector "benchmark"
+        # (copies of vec_id < 50) — two mapInPandas bucket stages, the
+        # bench-broadcast collision join, exact cosine verify
+        from kafka_streams_task_spark.operators.dedup import (
+            decontaminate_embedding,
+        )
+
+        emb = load_table(s, d, "embeddings")
+        bench = emb.filter(F.col("vec_id") < 50).select("embedding")
+        return decontaminate_embedding(emb, bench, threshold=0.99)
+
     def _classifier_eval(s, d):
         # r10: AUC/AP/KS through the two-level distributed prefix sum
         # over 100k scored events (continuous scores -> the distinct-
@@ -702,6 +749,9 @@ def _ops_workloads():
         "kn_score_dense": _kn_score_dense,
         "retrieval_eval": _retrieval_eval,
         "pmi_collocations": _pmi_collocations,
+        "score_buckets": _score_buckets,
+        "unimax_alloc": _unimax_alloc,
+        "decontam_embedding": _decontam_embedding,
     }
 
 
