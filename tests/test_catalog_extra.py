@@ -22,7 +22,7 @@ def test_q10_shape_runs(spark):
 
 def test_every_catalog_query_runs_and_returns_rows(spark, sf_dir):
     """Catalog-wide smoke: all registered queries (the driver's first-50
-    window plus the local-gated extensions, r8–r9) execute
+    window plus the local-gated extensions, r8–r10) execute
     at sf0.001 and return a sane row count, and every one carries an
     oracle (the driver hash gate depends on the first 50; the local gate
     mirror holds the extensions to the same standard). Catches breakage
@@ -31,7 +31,7 @@ def test_every_catalog_query_runs_and_returns_rows(spark, sf_dir):
     test_plan_audit.py::test_catalog_driver_window_is_exactly_fifty."""
     from kafka_streams_task_spark.catalog import CATALOG
 
-    assert len(CATALOG) == 58
+    assert len(CATALOG) == 63
     for name, spec in sorted(CATALOG.items()):
         assert spec.oracle is not None, f"{name} lost its oracle"
         n = spec.fn(spark, sf_dir).count()
