@@ -869,7 +869,7 @@ def apply_score_buckets(
     stream-static join with no state store or watermark (the
     streaming_kn_filter deployment shape). Rows whose group was never
     fitted, and NULL/NaN scores, get a NULL bucket."""
-    clashes = {"cuts", "bucket", "bucket_label"} & set(df.columns)
+    clashes = {"cuts", "bucket", "bucket_label", "_bgrp"} & set(df.columns)
     if clashes:
         raise ValueError(
             f"input columns clash with working/output columns: "
