@@ -222,6 +222,11 @@ OPS_BASELINE_SEC = {
     # an elevated-host run; expect headroom on a quiet host)
     "retrieval_eval": 0.63,
     "pmi_collocations": 1.02,
+    # r10 third wave (first in-harness measurements at calib 2.968 —
+    # a baseline-speed host)
+    "score_buckets": 0.38,
+    "unimax_alloc": 0.43,
+    "decontam_embedding": 0.95,
 }
 
 
