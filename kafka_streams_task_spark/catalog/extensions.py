@@ -1660,3 +1660,198 @@ def unimax_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return legs[0].unionByName(legs[1])
+
+
+#: privacy_kanon_suite knobs — k-anonymity threshold and the synthetic
+#: sensitive label (c_custkey mod 7: deterministic, 7 values)
+_KAN_K = 10
+
+_KAN_CANARY = [
+    ("canary", "c0", 1, -1, 9007199254740993, 0),
+    ("canary", "c1", None, 9223372036854775807, -9223372036854775808, 42),
+    ("canary", "c2", 2, None, 7, -7),
+    ("canary", "Ünïcode-✓", 0, 5, None, 9007199254740993),
+]
+
+
+def _kan_canary_sql() -> str:
+    def lit(v) -> str:
+        if v is None:
+            return "CAST(NULL AS BIGINT)"
+        return f"CAST({v} AS BIGINT)"
+
+    rows = []
+    for leg, k, i1, i2, i3, i4 in _KAN_CANARY:
+        rows.append(
+            f"SELECT CAST('{leg}' AS VARCHAR) AS leg, "
+            f"CAST('{k}' AS VARCHAR) AS k, {lit(i1)} AS i1, "
+            f"{lit(i2)} AS i2, {lit(i3)} AS i3, {lit(i4)} AS i4"
+        )
+    return " UNION ALL ".join(rows)
+
+
+_KAN_ORACLE = f"""
+    WITH base AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal,
+             c_custkey % 7 AS sens
+      FROM customer
+      WHERE c_custkey IS NOT NULL AND c_nationkey IS NOT NULL
+        AND c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL
+    ),
+    pv AS (
+      SELECT c_nationkey, c_mktsegment, sens,
+             CAST(count(*) AS DOUBLE) AS c
+      FROM base GROUP BY c_nationkey, c_mktsegment, sens
+    ),
+    cls AS (
+      SELECT c_nationkey, c_mktsegment, CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS l,
+             ln(sum(c)) - sum(c * ln(c)) / sum(c) AS ent
+      FROM pv GROUP BY c_nationkey, c_mktsegment
+    ),
+    scls AS (
+      SELECT b.c_nationkey, b.c_mktsegment, CAST(count(*) AS BIGINT) AS n
+      FROM base b
+      JOIN cls kk ON b.c_nationkey = kk.c_nationkey
+                 AND b.c_mktsegment = kk.c_mktsegment
+      WHERE kk.n >= {_KAN_K}
+      GROUP BY b.c_nationkey, b.c_mktsegment
+    ),
+    gcls AS (
+      SELECT c_nationkey,
+             CAST(floor((c_acctbal + 1000.0) / 4000.0) AS BIGINT) AS band,
+             CAST(count(*) AS BIGINT) AS n
+      FROM base GROUP BY c_nationkey, band
+    )
+    SELECT CAST(leg AS VARCHAR) AS leg, CAST(k AS VARCHAR) AS k,
+           CAST(i1 AS BIGINT) AS i1, CAST(i2 AS BIGINT) AS i2,
+           CAST(i3 AS BIGINT) AS i3, CAST(i4 AS BIGINT) AS i4
+    FROM (
+      SELECT 'class' AS leg,
+             CAST(c_nationkey AS VARCHAR) || ':' || c_mktsegment AS k,
+             n AS i1, l AS i2,
+             CASE WHEN n < {_KAN_K} THEN 1 ELSE 0 END AS i3,
+             {sql_fmicro("ent")} AS i4
+      FROM cls
+      UNION ALL
+      SELECT 'summary', 'all', min(n), count(*),
+             coalesce(sum(CASE WHEN n < {_KAN_K} THEN n END), 0), min(l)
+      FROM cls
+      UNION ALL
+      SELECT 'suppr', 'all', sum(n), count(*), min(n),
+             sum(CASE WHEN n < {_KAN_K} THEN 1 ELSE 0 END)
+      FROM scls
+      UNION ALL
+      SELECT 'gener', 'all', min(n), count(*),
+             coalesce(sum(CASE WHEN n < {_KAN_K} THEN n END), 0),
+             sum(CASE WHEN n < {_KAN_K} THEN 1 ELSE 0 END)
+      FROM gcls
+      UNION ALL
+      {_kan_canary_sql()}
+    )
+"""
+
+
+@query("privacy_kanon_suite", oracle=_KAN_ORACLE)
+def privacy_kanon_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity privacy audit (operators/privacy.py;
+    Sweeney 2002, Machanavajjhala et al. 2007) over the customer table
+    with quasi-identifiers (c_nationkey, c_mktsegment) and the
+    deterministic synthetic sensitive label c_custkey % 7.
+
+    Legs: 'class' = every equivalence class with size, distinct-l,
+    at-risk flag (< k=10), and entropy-l (micro-rounded — the only
+    float leg; both engines state ln(T) - Σ c·ln c / T in the same op
+    order); 'summary' = corpus-level k_actual / class count /
+    rows-at-risk / l_min; 'suppr' = the same audit after
+    suppress_below_k (k_actual must be >= 10 and at-risk classes 0 by
+    construction); 'gener' = re-audit under a different generalization
+    (nation × acctbal band of width 4000 via generalize_numeric —
+    integer floor of identical double arithmetic both sides);
+    'canary' = constant rows stated identically by both engines."""
+    from ..operators.privacy import (
+        equivalence_classes,
+        generalize_numeric,
+        kanonymity_summary,
+        suppress_below_k,
+    )
+
+    base = (
+        load_table(spark, sf_dir, "customer")
+        .filter(
+            F.col("c_custkey").isNotNull()
+            & F.col("c_nationkey").isNotNull()
+            & F.col("c_mktsegment").isNotNull()
+            & F.col("c_acctbal").isNotNull()
+        )
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            "c_mktsegment",
+            "c_acctbal",
+            (F.col("c_custkey") % 7).alias("sens"),
+        )
+    )
+    qi = ["c_nationkey", "c_mktsegment"]
+
+    cls = equivalence_classes(base, qi, sensitive="sens")
+    leg_class = cls.select(
+        F.lit("class").cast("string").alias("leg"),
+        F.concat(
+            F.col("c_nationkey").cast("string"),
+            F.lit(":"),
+            F.col("c_mktsegment"),
+        )
+        .cast("string")
+        .alias("k"),
+        F.col("n").cast("long").alias("i1"),
+        F.col("l_distinct").cast("long").alias("i2"),
+        (F.col("n") < _KAN_K).cast("long").alias("i3"),
+        fmicro_col(F.col("entropy_l")).alias("i4"),
+    )
+
+    summ = kanonymity_summary(base, qi, _KAN_K, sensitive="sens").select(
+        F.lit("summary").cast("string").alias("leg"),
+        F.lit("all").cast("string").alias("k"),
+        F.col("k_actual").cast("long").alias("i1"),
+        F.col("n_classes").cast("long").alias("i2"),
+        F.col("rows_at_risk").cast("long").alias("i3"),
+        F.col("l_min").cast("long").alias("i4"),
+    )
+
+    suppressed = suppress_below_k(base, qi, _KAN_K)
+    suppr = kanonymity_summary(suppressed, qi, _KAN_K).select(
+        F.lit("suppr").cast("string").alias("leg"),
+        F.lit("all").cast("string").alias("k"),
+        F.col("n_rows").cast("long").alias("i1"),
+        F.col("n_classes").cast("long").alias("i2"),
+        F.col("k_actual").cast("long").alias("i3"),
+        F.col("classes_at_risk").cast("long").alias("i4"),
+    )
+
+    gbase = base.select(
+        "c_custkey",
+        "c_nationkey",
+        generalize_numeric("c_acctbal", 4000.0, anchor=-1000.0).alias(
+            "band"
+        ),
+    )
+    gener = kanonymity_summary(gbase, ["c_nationkey", "band"], _KAN_K).select(
+        F.lit("gener").cast("string").alias("leg"),
+        F.lit("all").cast("string").alias("k"),
+        F.col("k_actual").cast("long").alias("i1"),
+        F.col("n_classes").cast("long").alias("i2"),
+        F.col("rows_at_risk").cast("long").alias("i3"),
+        F.col("classes_at_risk").cast("long").alias("i4"),
+    )
+
+    canary = spark.createDataFrame(
+        _KAN_CANARY,
+        "leg string, k string, i1 long, i2 long, i3 long, i4 long",
+    )
+    return (
+        leg_class.unionByName(summ)
+        .unionByName(suppr)
+        .unionByName(gener)
+        .unionByName(canary)
+    )
