@@ -1855,3 +1855,158 @@ def privacy_kanon_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(gener)
         .unionByName(canary)
     )
+
+
+#: timeseries_gapfill_suite — hourly grain over the events table
+_GF_CANARY = [
+    ("canary", "c0", 1, -1, 9007199254740993, 0, 7),
+    ("canary", "c1", None, 9223372036854775807, -9223372036854775808, 42, None),
+    ("canary", "Ünïcode-✓", 0, None, 5, None, 9007199254740993),
+]
+
+
+def _gf_canary_sql() -> str:
+    def lit(v) -> str:
+        return "CAST(NULL AS BIGINT)" if v is None else f"CAST({v} AS BIGINT)"
+
+    rows = []
+    for leg, k, t, i1, i2, i3, i4 in _GF_CANARY:
+        rows.append(
+            f"SELECT CAST('{leg}' AS VARCHAR) AS leg, "
+            f"CAST('{k}' AS VARCHAR) AS k, {lit(t)} AS t, {lit(i1)} AS i1, "
+            f"{lit(i2)} AS i2, {lit(i3)} AS i3, {lit(i4)} AS i4"
+        )
+    return " UNION ALL ".join(rows)
+
+
+_GF_ORACLE = f"""
+    WITH ob AS (
+      SELECT event_type AS s, date_trunc('hour', ts) AS tb, avg(value) AS v
+      FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY s, tb
+    ),
+    rng AS (SELECT s, min(tb) AS mn, max(tb) AS mx FROM ob GROUP BY s),
+    spine AS (
+      SELECT s, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS tb
+      FROM rng
+    ),
+    grid AS (
+      SELECT sp.s, sp.tb,
+             date_diff('hour', TIMESTAMP '2000-01-01 00:00:00', sp.tb)
+               AS idx,
+             ob.v AS v_obs
+      FROM spine sp LEFT JOIN ob ON sp.s = ob.s AND sp.tb = ob.tb
+    ),
+    filled AS (
+      SELECT s, idx, v_obs,
+             last_value(v_obs IGNORE NULLS) OVER wbk AS pv,
+             last_value(CASE WHEN v_obs IS NOT NULL THEN idx END
+                        IGNORE NULLS) OVER wbk AS pt,
+             first_value(v_obs IGNORE NULLS) OVER wfw AS nv,
+             first_value(CASE WHEN v_obs IS NOT NULL THEN idx END
+                         IGNORE NULLS) OVER wfw AS nt
+      FROM grid
+      WINDOW wbk AS (PARTITION BY s ORDER BY idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wfw AS (PARTITION BY s ORDER BY idx
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ),
+    vals AS (
+      SELECT s, idx, v_obs, pv,
+             CASE WHEN v_obs IS NOT NULL THEN v_obs
+                  ELSE pv + (nv - pv) * (CAST(idx - pt AS DOUBLE)
+                                         / CAST(nt - pt AS DOUBLE))
+             END AS vi,
+             CASE WHEN v_obs IS NULL THEN 1 ELSE 0 END AS g
+      FROM filled
+    ),
+    runs AS (
+      SELECT s, idx - row_number() OVER (PARTITION BY s ORDER BY idx)
+               AS grp
+      FROM vals WHERE g = 1
+    ),
+    runlen AS (SELECT s, grp, count(*) AS c FROM runs GROUP BY s, grp),
+    mxrun AS (SELECT s, max(c) AS m FROM runlen GROUP BY s),
+    tot AS (
+      SELECT s, count(*) AS nb, count(v_obs) AS no, sum(g) AS ng
+      FROM vals GROUP BY s
+    )
+    SELECT CAST(leg AS VARCHAR) AS leg, CAST(k AS VARCHAR) AS k,
+           CAST(t AS BIGINT) AS t, CAST(i1 AS BIGINT) AS i1,
+           CAST(i2 AS BIGINT) AS i2, CAST(i3 AS BIGINT) AS i3,
+           CAST(i4 AS BIGINT) AS i4
+    FROM (
+      SELECT 'locf' AS leg, s AS k, idx AS t, {sql_fmicro("pv")} AS i1,
+             g AS i2, NULL AS i3, NULL AS i4
+      FROM vals
+      UNION ALL
+      SELECT 'interp', s, idx, {sql_fmicro("vi")}, g, NULL, NULL
+      FROM vals
+      UNION ALL
+      SELECT 'gaps', t.s, 0, t.nb, t.no, t.ng, coalesce(m.m, 0)
+      FROM tot t LEFT JOIN mxrun m ON t.s = m.s
+      UNION ALL
+      {_gf_canary_sql()}
+    )
+"""
+
+
+@query("timeseries_gapfill_suite", oracle=_GF_ORACLE)
+def timeseries_gapfill_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (operators/gapfill.py — the
+    TimescaleDB time_bucket_gapfill/locf/interpolate surface) over the
+    events table at hourly grain, one series per event_type.
+
+    Legs: 'locf' = every dense-spine bucket with the
+    last-observation-carried-forward value (micro-rounded — the only
+    float arithmetic; both engines average the same doubles then carry
+    them unchanged) and the is_gap flag; 'interp' = the same grid
+    linearly interpolated between bracketing observations (identical
+    IEEE op order both sides: pv + (nv-pv) * (Δt_int / Δt_int as
+    double)); 'gaps' = per-series bucket/observed/gap counts and the
+    longest gap run (gaps-and-islands on exact integer bucket
+    indexes); 'canary' = constant rows stated identically by both
+    engines. Bucket positions are timezone-free integer hour indexes
+    from a fixed anchor (timestamp_diff both sides — no epoch casts on
+    TIMESTAMP_NTZ)."""
+    from ..operators.gapfill import gap_stats, gapfill_series
+
+    ev = load_table(spark, sf_dir, "events")
+    grid = gapfill_series(
+        ev, ["event_type"], "ts", "value", unit="hour"
+    )
+    locf = grid.select(
+        F.lit("locf").cast("string").alias("leg"),
+        F.col("event_type").cast("string").alias("k"),
+        F.col("bucket_idx").cast("long").alias("t"),
+        fmicro_col(F.col("v_locf")).alias("i1"),
+        F.col("is_gap").cast("long").alias("i2"),
+        F.lit(None).cast("long").alias("i3"),
+        F.lit(None).cast("long").alias("i4"),
+    )
+    interp = grid.select(
+        F.lit("interp").cast("string").alias("leg"),
+        F.col("event_type").cast("string").alias("k"),
+        F.col("bucket_idx").cast("long").alias("t"),
+        fmicro_col(F.col("v_interp")).alias("i1"),
+        F.col("is_gap").cast("long").alias("i2"),
+        F.lit(None).cast("long").alias("i3"),
+        F.lit(None).cast("long").alias("i4"),
+    )
+    gaps = gap_stats(grid, ["event_type"]).select(
+        F.lit("gaps").cast("string").alias("leg"),
+        F.col("event_type").cast("string").alias("k"),
+        F.lit(0).cast("long").alias("t"),
+        F.col("n_buckets").cast("long").alias("i1"),
+        F.col("n_obs").cast("long").alias("i2"),
+        F.col("n_gaps").cast("long").alias("i3"),
+        F.col("max_gap_run").cast("long").alias("i4"),
+    )
+    canary = spark.createDataFrame(
+        _GF_CANARY,
+        "leg string, k string, t long, i1 long, i2 long, i3 long, i4 long",
+    )
+    return (
+        locf.unionByName(interp).unionByName(gaps).unionByName(canary)
+    )
