@@ -2010,3 +2010,142 @@ def timeseries_gapfill_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         locf.unionByName(interp).unionByName(gaps).unionByName(canary)
     )
+
+
+#: geo_radius_pairs knobs — 25 km radius over md5-scattered synthetic
+#: coordinates (|lat| <= 60 by construction; dev-measured threshold
+#: margin at sf0.01 is 0.045 km, ~10 orders above cross-engine trig ULP)
+_GEO_R = 25.0
+
+_GEO_CANARY = [
+    ("canary", 1, -1, 9007199254740993),
+    ("canary", None, 9223372036854775807, -9223372036854775808),
+    ("canary", 0, None, 42),
+]
+
+
+def _geo_canary_sql() -> str:
+    def lit(v) -> str:
+        return "CAST(NULL AS BIGINT)" if v is None else f"CAST({v} AS BIGINT)"
+
+    return " UNION ALL ".join(
+        f"SELECT CAST('{leg}' AS VARCHAR) AS leg, {lit(a)} AS a, "
+        f"{lit(b)} AS b, {lit(d)} AS d"
+        for leg, a, b, d in _GEO_CANARY
+    )
+
+
+_GEO_ORACLE = f"""
+    WITH p AS (
+      SELECT o_orderkey AS id,
+             (CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                 || ':geo'), 1, 8)) AS BIGINT) % 1200) / 10.0 - 60.0 AS lat,
+             (CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                 || ':geo'), 9, 8)) AS BIGINT) % 3600) / 10.0 - 180.0 AS lon
+      FROM orders WHERE o_orderkey IS NOT NULL
+    ),
+    pr AS (
+      SELECT a.id AS ia, b.id AS ib,
+             2 * 6371.0088 * asin(sqrt(
+               sin(radians(b.lat - a.lat) / 2)
+                 * sin(radians(b.lat - a.lat) / 2)
+               + cos(radians(a.lat)) * cos(radians(b.lat))
+                 * sin(radians(b.lon - a.lon) / 2)
+                 * sin(radians(b.lon - a.lon) / 2)
+             )) AS dist
+      FROM p a JOIN p b
+        ON b.lat BETWEEN a.lat - 0.3 AND a.lat + 0.3
+       AND a.id < b.id
+    ),
+    hits AS (SELECT ia, ib, dist FROM pr WHERE dist <= {_GEO_R})
+    SELECT CAST(leg AS VARCHAR) AS leg, CAST(a AS BIGINT) AS a,
+           CAST(b AS BIGINT) AS b, CAST(d AS BIGINT) AS d
+    FROM (
+      SELECT 'pair' AS leg, ia AS a, ib AS b,
+             {sql_fmicro("dist", "1000.0")} AS d
+      FROM hits
+      UNION ALL
+      SELECT 'npts', count(*), 0, 0 FROM p
+      UNION ALL
+      SELECT 'npairs', count(*), 0, 0 FROM hits
+      UNION ALL
+      {_geo_canary_sql()}
+    )
+"""
+
+
+@query("geo_radius_pairs", oracle=_GEO_ORACLE)
+def geo_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked spatial radius join (operators/spatial.py:
+    radius_self_join) over md5-scattered synthetic coordinates keyed by
+    o_orderkey (md5 is bit-identical in both engines — the DSIR-oracle
+    recipe — so both sides derive the same points; the 0.1-degree grid
+    keeps every pair's distance far from the 25 km threshold).
+
+    The engine finds pairs through cell bucketing + constant neighbor
+    ring + haversine verification; the oracle brute-forces the same
+    haversine (identical operand order, squares as explicit products —
+    never pow) behind a latitude band prefilter. Layout independence
+    IS the gate: the engine's blocking must reproduce the exhaustive
+    pair set exactly. Legs: 'pair' (id_a, id_b, milli-rounded km),
+    'npts', 'npairs', 'canary'."""
+    from ..operators.spatial import radius_self_join
+
+    h = F.md5(
+        F.concat(F.col("o_orderkey").cast("string"), F.lit(":geo"))
+    )
+    pts = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey").isNotNull())
+        .select(
+            F.col("o_orderkey").alias("id"),
+            (
+                (
+                    F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+                    % 1200
+                )
+                / 10.0
+                - 60.0
+            ).alias("lat"),
+            (
+                (
+                    F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+                    % 3600
+                )
+                / 10.0
+                - 180.0
+            ).alias("lon"),
+        )
+    )
+    # coordinates are bounded in [-60, 60) by construction (mod 1200 /
+    # 10 - 60), so the eager validate pass would only re-prove the
+    # plant; declared bound 60 keeps the neighbor ring at 3x3
+    pairs = radius_self_join(
+        pts,
+        _GEO_R,
+        cell_deg=0.5,
+        max_abs_lat=60.0,
+        validate=False,
+    )
+    pair = pairs.select(
+        F.lit("pair").cast("string").alias("leg"),
+        F.col("id_a").cast("long").alias("a"),
+        F.col("id_b").cast("long").alias("b"),
+        fmicro_col(F.col("dist_km"), 1e3).alias("d"),
+    )
+    npts = pts.agg(F.count(F.lit(1)).cast("long").alias("a")).select(
+        F.lit("npts").cast("string").alias("leg"),
+        "a",
+        F.lit(0).cast("long").alias("b"),
+        F.lit(0).cast("long").alias("d"),
+    )
+    npairs = pairs.agg(F.count(F.lit(1)).cast("long").alias("a")).select(
+        F.lit("npairs").cast("string").alias("leg"),
+        "a",
+        F.lit(0).cast("long").alias("b"),
+        F.lit(0).cast("long").alias("d"),
+    )
+    canary = spark.createDataFrame(
+        _GEO_CANARY, "leg string, a long, b long, d long"
+    )
+    return pair.unionByName(npts).unionByName(npairs).unionByName(canary)

@@ -1,0 +1,125 @@
+"""Grid-blocked radius joins (operators/spatial.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_task_spark.operators.spatial import (
+    haversine_km,
+    radius_join,
+    radius_self_join,
+)
+
+
+def test_haversine_golden(spark):
+    # one degree of longitude at the equator: 2*pi*R/360
+    d = (
+        spark.range(1)
+        .select(
+            haversine_km(
+                F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(1.0)
+            ).alias("d")
+        )
+        .collect()[0]["d"]
+    )
+    assert d == pytest.approx(2 * math.pi * 6371.0088 / 360, rel=1e-9)
+
+
+@pytest.fixture(scope="module")
+def pts(spark):
+    rows = [
+        (1, 50.0, 10.0),
+        (2, 50.005, 10.0),       # ~0.55 km from 1
+        (3, 50.0, 11.0),         # ~71 km from 1
+        (4, 0.0, 179.99),        # antimeridian pair with 5
+        (5, 0.0, -179.99),       # ~2.2 km from 4
+        (6, None, 0.0),          # dropped
+        (7, 0.0, None),          # dropped
+    ]
+    return spark.createDataFrame(rows, "id long, lat double, lon double")
+
+
+def test_self_join_pairs(pts):
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in radius_self_join(pts, 5.0).collect()
+    }
+    assert got == {(1, 2), (4, 5)}
+
+
+def test_wider_radius_includes_more(pts):
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in radius_self_join(pts, 80.0).collect()
+    }
+    assert got == {(1, 2), (1, 3), (2, 3), (4, 5)}
+
+
+def test_no_duplicate_pairs(pts):
+    out = radius_self_join(pts, 80.0)
+    assert out.count() == out.select("id_a", "id_b").distinct().count()
+
+
+def test_two_table_join(spark, pts):
+    probes = spark.createDataFrame(
+        [(100, 50.001, 10.0)], "id long, lat double, lon double"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in radius_join(probes, pts, 2.0).collect()
+    }
+    assert got == {(100, 1), (100, 2)}
+
+
+def test_validate_refuses_out_of_bound_lat(spark):
+    bad = spark.createDataFrame(
+        [(1, 80.0, 0.0)], "id long, lat double, lon double"
+    )
+    with pytest.raises(ValueError, match="max_abs_lat"):
+        radius_self_join(bad, 5.0)
+    # declared bound accepts it
+    assert radius_self_join(bad, 5.0, max_abs_lat=81.0).count() == 0
+
+
+def test_bad_params(pts):
+    with pytest.raises(ValueError):
+        radius_join(pts, pts, -1.0)
+    with pytest.raises(ValueError, match="85"):
+        radius_join(pts, pts, 5.0, max_abs_lat=89.0)
+
+
+def test_matches_bruteforce(spark):
+    # 60 deterministic scattered points vs an O(n^2) reference
+    pts = spark.range(60).select(
+        F.col("id"),
+        ((F.col("id") * 7919 % 1000) / 1000.0 * 100.0 - 50.0).alias("lat"),
+        ((F.col("id") * 104729 % 2000) / 2000.0 * 360.0 - 180.0).alias(
+            "lon"
+        ),
+    )
+    r = 1300.0  # lattice min pair distance is ~1242 km
+    fast = {
+        (x["id_a"], x["id_b"])
+        for x in radius_self_join(
+            pts, r, cell_deg=2.0, max_abs_lat=55.0
+        ).collect()
+    }
+    a, b = pts.alias("a"), pts.alias("b")
+    brute = {
+        (x["ia"], x["ib"])
+        for x in a.crossJoin(b)
+        .select(
+            F.col("a.id").alias("ia"),
+            F.col("b.id").alias("ib"),
+            haversine_km(
+                F.col("a.lat"),
+                F.col("a.lon"),
+                F.col("b.lat"),
+                F.col("b.lon"),
+            ).alias("d"),
+        )
+        .filter((F.col("ia") < F.col("ib")) & (F.col("d") <= r))
+        .collect()
+    }
+    assert fast == brute and len(brute) > 0
