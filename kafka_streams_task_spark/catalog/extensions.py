@@ -2149,3 +2149,128 @@ def geo_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _GEO_CANARY, "leg string, a long, b long, d long"
     )
     return pair.unionByName(npts).unionByName(npairs).unionByName(canary)
+
+
+#: phonetic_soundex_suite — golden names stated as literals by the
+#: oracle (NARA/US-Census canon), corpus legs replayed step-for-step
+_SDX_GOLDENS = [
+    ("Robert", "R163"), ("Rupert", "R163"), ("Ashcraft", "A261"),
+    ("Ashcroft", "A261"), ("Tymczak", "T522"), ("Pfister", "P236"),
+    ("Honeyman", "H555"), ("Jackson", "J250"), ("Washington", "W252"),
+    ("Lee", "L000"), ("Gutierrez", "G362"), ("VanDeusen", "V532"),
+]
+
+_SDX_CANARY = [
+    ("canary", "c0", "plain", 1),
+    ("canary", "c1", None, 9007199254740993),
+    ("canary", "Ünïcode-✓", "5.0", None),
+]
+
+
+def _sdx_oracle() -> str:
+    from ..functions.phonetic import soundex_sql
+
+    goldens = " UNION ALL ".join(
+        f"SELECT 'golden' AS leg, '{n}' AS k, '{c}' AS v, "
+        "CAST(NULL AS BIGINT) AS i1"
+        for n, c in _SDX_GOLDENS
+    )
+    canary = " UNION ALL ".join(
+        "SELECT CAST('{}' AS VARCHAR), CAST('{}' AS VARCHAR), {}, {}".format(
+            leg,
+            k,
+            "CAST(NULL AS VARCHAR)" if v is None else f"CAST('{v}' AS VARCHAR)",
+            "CAST(NULL AS BIGINT)" if i is None else f"CAST({i} AS BIGINT)",
+        )
+        for leg, k, v, i in _SDX_CANARY
+    )
+    return f"""
+    WITH w AS (
+      SELECT DISTINCT u.x AS word
+      FROM (
+        SELECT unnest(string_split(p_name, ' ')) AS x
+        FROM part WHERE p_name IS NOT NULL
+      ) u
+      WHERE u.x <> ''
+    ),
+    c AS (SELECT word, {soundex_sql("word")} AS sdx FROM w)
+    SELECT CAST(leg AS VARCHAR) AS leg, CAST(k AS VARCHAR) AS k,
+           CAST(v AS VARCHAR) AS v, CAST(i1 AS BIGINT) AS i1
+    FROM (
+      SELECT 'code' AS leg, word AS k, sdx AS v, CAST(NULL AS BIGINT) AS i1
+      FROM c
+      UNION ALL
+      SELECT 'block', sdx, NULL, count(*) FROM c GROUP BY sdx
+      UNION ALL
+      SELECT 'pair', a.word, b.word, NULL
+      FROM c a JOIN c b ON a.sdx = b.sdx AND a.word < b.word
+      UNION ALL
+      {goldens}
+      UNION ALL
+      {canary}
+    )
+    """
+
+
+@query("phonetic_soundex_suite", oracle=_sdx_oracle())
+def phonetic_soundex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soundex phonetic blocking (functions/phonetic.py) over the
+    distinct words of part.p_name (TPC-H color vocabulary — real
+    English words with genuine phonetic collisions).
+
+    Legs: 'code' = every word's Soundex; 'block' = words per phonetic
+    block; 'pair' = the blocked candidate pairs
+    (functions/phonetic.py: soundex_candidates, word-keyed); 'golden'
+    = the NARA/US-Census canonical examples, which the ORACLE states
+    as independent literals (decision-table recipe) while the engine
+    computes them through the real chain; 'canary' = constant rows.
+    The corpus legs' oracle replays the exact upper → strip →
+    translate → collapse → pad chain (soundex_sql — same primitives,
+    same order, explicit 'g' flags)."""
+    from ..functions.phonetic import soundex_candidates, soundex_expr
+
+    words = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").isNotNull())
+        .select(F.explode(F.split(F.col("p_name"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    coded = words.select("word", soundex_expr("word").alias("sdx"))
+    code = coded.select(
+        F.lit("code").cast("string").alias("leg"),
+        F.col("word").cast("string").alias("k"),
+        F.col("sdx").cast("string").alias("v"),
+        F.lit(None).cast("long").alias("i1"),
+    )
+    block = coded.groupBy("sdx").agg(
+        F.count(F.lit(1)).cast("long").alias("i1")
+    ).select(
+        F.lit("block").cast("string").alias("leg"),
+        F.col("sdx").cast("string").alias("k"),
+        F.lit(None).cast("string").alias("v"),
+        "i1",
+    )
+    pairs = soundex_candidates(words, "word", "word").select(
+        F.lit("pair").cast("string").alias("leg"),
+        F.col("id_a").cast("string").alias("k"),
+        F.col("id_b").cast("string").alias("v"),
+        F.lit(None).cast("long").alias("i1"),
+    )
+    golden = spark.createDataFrame(
+        _SDX_GOLDENS, "name string, expected string"
+    ).select(
+        F.lit("golden").cast("string").alias("leg"),
+        F.col("name").cast("string").alias("k"),
+        soundex_expr("name").cast("string").alias("v"),
+        F.lit(None).cast("long").alias("i1"),
+    )
+    canary = spark.createDataFrame(
+        _SDX_CANARY, "leg string, k string, v string, i1 long"
+    )
+    return (
+        code.unionByName(block)
+        .unionByName(pairs)
+        .unionByName(golden)
+        .unionByName(canary)
+    )

@@ -147,7 +147,7 @@ def test_catalog_driver_window_is_exactly_fifty(plans):
         "retrieval_eval_suite", "pmi_collocations",
         "decontam_embedding_recall", "score_bucket_suite",
         "unimax_suite", "privacy_kanon_suite", "timeseries_gapfill_suite",
-        "geo_radius_pairs",
+        "geo_radius_pairs", "phonetic_soundex_suite",
     ]
 
 
