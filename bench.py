@@ -175,6 +175,13 @@ OPS_SECTION = [
     # r10 third wave: embedding decontamination, LSH tier (two bucket
     # stages + bench-broadcast collision join + cosine verify)
     "decontam_embedding",
+    # r10 fourth wave: privacy audit + suppression repair (customer),
+    # hourly gap-fill grid + stats (events), grid-blocked 25 km radius
+    # self-join (orders), phonetic block histogram (document words)
+    "privacy_kanon",
+    "timeseries_gapfill",
+    "geo_radius_join",
+    "soundex_blocks",
 ]
 
 #: frozen first-measurements for the ops section (set r8, steady-state
@@ -227,6 +234,12 @@ OPS_BASELINE_SEC = {
     "score_buckets": 0.38,
     "unimax_alloc": 0.43,
     "decontam_embedding": 0.95,
+    # r10 fourth wave (first measurements, min-of-2 in-harness at
+    # calib_sec 2.643 — a baseline-speed host)
+    "privacy_kanon": 0.25,
+    "timeseries_gapfill": 0.44,
+    "geo_radius_join": 3.08,
+    "soundex_blocks": 4.13,
 }
 
 
@@ -694,6 +707,69 @@ def _ops_workloads():
         )
         return image_near_dup_pairs(docs, max_hamming=6, n_blocks=8)
 
+    def _privacy_kanon(s, d):
+        # r10 fourth wave: the full audit + suppression repair over the
+        # customer table — two-level sensitive-value aggregate, class
+        # table broadcast, null-safe suppression join
+        from kafka_streams_task_spark.operators.privacy import (
+            suppress_below_k,
+        )
+
+        cust = load_table(s, d, "customer")
+        return suppress_below_k(
+            cust, ["c_nationkey", "c_mktsegment"], k=10
+        )
+
+    def _timeseries_gapfill(s, d):
+        # r10 fourth wave: hourly spine + LOCF/interp windows + the
+        # gaps-and-islands stats over 100k events in 5 series
+        from kafka_streams_task_spark.operators.gapfill import (
+            gap_stats,
+            gapfill_series,
+        )
+
+        ev = load_table(s, d, "events")
+        grid = gapfill_series(ev, ["event_type"], "ts", "value")
+        return gap_stats(grid, ["event_type"])
+
+    def _geo_radius_join(s, d):
+        # r10 fourth wave: grid-blocked 25 km self-join over 150k
+        # md5-scattered points — 3x3 ring explode, cell equi-join,
+        # codegen haversine verify
+        from kafka_streams_task_spark.operators.spatial import (
+            radius_self_join,
+        )
+
+        h = F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":geo")))
+        pts = load_table(s, d, "orders").select(
+            F.col("o_orderkey").alias("id"),
+            ((F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 1200)
+             / 10.0 - 60.0).alias("lat"),
+            ((F.conv(F.substring(h, 9, 8), 16, 10).cast("long") % 3600)
+             / 10.0 - 180.0).alias("lon"),
+        )
+        return radius_self_join(
+            pts, 25.0, cell_deg=0.5, max_abs_lat=60.0, validate=False
+        )
+
+    def _soundex_blocks(s, d):
+        # r10 fourth wave: the phonetic key chain (regex strip + code
+        # translate + 7 collapse regexes) over every distinct document
+        # word, then the block histogram
+        from kafka_streams_task_spark.functions.phonetic import (
+            soundex_expr,
+        )
+
+        words = (
+            load_table(s, d, "documents")
+            .select(F.explode(F.split(F.lower("text"), "\\s+")).alias("w"))
+            .filter(F.col("w") != "")
+            .distinct()
+        )
+        return words.select(soundex_expr("w").alias("sdx")).groupBy(
+            "sdx"
+        ).count()
+
     # one-time (untimed) fixture prep for the r9 entries: the snapshot-
     # diff table's two versions and the dense scorer's fitted model
     from pyspark.sql import SparkSession
@@ -757,6 +833,10 @@ def _ops_workloads():
         "score_buckets": _score_buckets,
         "unimax_alloc": _unimax_alloc,
         "decontam_embedding": _decontam_embedding,
+        "privacy_kanon": _privacy_kanon,
+        "timeseries_gapfill": _timeseries_gapfill,
+        "geo_radius_join": _geo_radius_join,
+        "soundex_blocks": _soundex_blocks,
     }
 
 

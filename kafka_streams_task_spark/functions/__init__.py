@@ -1,4 +1,5 @@
 from .geohash import geohash, geohash_encode, geohash_expr, geohash_udf
+from .phonetic import soundex_candidates, soundex_expr
 from .text import clean_text, html_to_text
 from .url import (
     extract_host,
@@ -12,6 +13,8 @@ __all__ = [
     "geohash_encode",
     "geohash_expr",
     "geohash_udf",
+    "soundex_expr",
+    "soundex_candidates",
     "clean_text",
     "html_to_text",
     "extract_host",
