@@ -182,6 +182,8 @@ OPS_SECTION = [
     "timeseries_gapfill",
     "geo_radius_join",
     "soundex_blocks",
+    # r10 fourth wave: Arrow JW scorer over ~50k adjacent-word pairs
+    "jaro_winkler_verify",
 ]
 
 #: frozen first-measurements for the ops section (set r8, steady-state
@@ -752,6 +754,31 @@ def _ops_workloads():
             pts, 25.0, cell_deg=0.5, max_abs_lat=60.0, validate=False
         )
 
+    def _jaro_winkler_verify(s, d):
+        # r10 fourth wave: Arrow jaro_winkler_udf throughput over ~50k
+        # adjacent-word pairs (lead window per first letter keeps the
+        # pairing keyed, no giant soundex blocks)
+        from pyspark.sql import Window
+
+        from kafka_streams_task_spark.operators.linkage import (
+            jaro_winkler_udf,
+        )
+
+        words = (
+            load_table(s, d, "documents")
+            .select(F.explode(F.split(F.lower("text"), "\\s+")).alias("w"))
+            .filter(F.col("w") != "")
+            .distinct()
+        )
+        win = Window.partitionBy(F.substring("w", 1, 1)).orderBy("w")
+        pairs = words.select(
+            "w", F.lead("w", 1).over(win).alias("w2")
+        ).filter(F.col("w2").isNotNull())
+        jw = jaro_winkler_udf()
+        return pairs.select(jw("w", "w2").alias("s")).agg(
+            F.avg("s").alias("avg_s"), F.count(F.lit(1)).alias("n")
+        )
+
     def _soundex_blocks(s, d):
         # r10 fourth wave: the phonetic key chain (regex strip + code
         # translate + 7 collapse regexes) over every distinct document
@@ -837,6 +864,7 @@ def _ops_workloads():
         "timeseries_gapfill": _timeseries_gapfill,
         "geo_radius_join": _geo_radius_join,
         "soundex_blocks": _soundex_blocks,
+        "jaro_winkler_verify": _jaro_winkler_verify,
     }
 
 

@@ -2274,3 +2274,132 @@ def phonetic_soundex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(golden)
         .unionByName(canary)
     )
+
+
+#: jaro_linkage_suite — the record-linkage verify tier. Planted pair
+#: list (ASCII only: DuckDB's native scorer is byte-based, the engine's
+#: codepoint-based — divergence documented in tests/test_jaro.py) and
+#: two blocked-linkage runs. Thresholds sit mid-gap of the dev-measured
+#: score distribution (link: gap [0.8, 0.8578] around 0.85; part:
+#: red/rod lands at exactly 0.8, so 0.75).
+_JW_PAIRS = [
+    ("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"), ("DWAYNE", "DUANE"),
+    ("JELLYFISH", "SMELLYFISH"), ("CRATE", "TRACE"), ("ab", "ba"),
+    ("a", ""), ("abcdefgh", "abzzzzzz"), ("same", "same"),
+    ("prefixmatch", "prefixmatch2"), ("aaaaaa", "aaa"),
+]
+
+_JW_NAMES = [
+    "Robert", "Rupert", "Roberts", "Roberto", "Jackson", "Jakson",
+    "Jacksen", "Martinez", "Martines", "Smith", "Smyth", "Smythe",
+    "Washington", "Washingtan", "Lee", "Leigh", "Gutierrez", "Gutieres",
+]
+
+_JW_CANARY = [
+    ("canary", "c0", "plain", 1),
+    ("canary", "c1", None, 9007199254740993),
+    ("canary", "Ünïcode-✓", "5.0", None),
+]
+
+
+def _jw_oracle() -> str:
+    from ..functions.phonetic import soundex_sql
+
+    jwp = ", ".join(f"('{a}', '{b}')" for a, b in _JW_PAIRS)
+    nm = ", ".join(f"({i}, '{n}')" for i, n in enumerate(_JW_NAMES))
+    canary = " UNION ALL ".join(
+        "SELECT CAST('{}' AS VARCHAR), CAST('{}' AS VARCHAR), {}, {}".format(
+            leg,
+            k,
+            "CAST(NULL AS VARCHAR)" if v is None else f"CAST('{v}' AS VARCHAR)",
+            "CAST(NULL AS BIGINT)" if i is None else f"CAST({i} AS BIGINT)",
+        )
+        for leg, k, v, i in _JW_CANARY
+    )
+    return f"""
+    WITH jwp(a, b) AS (VALUES {jwp}),
+    nm(id, name) AS (VALUES {nm}),
+    ns AS (SELECT id, name, {soundex_sql("name")} AS sdx FROM nm),
+    w AS (
+      SELECT DISTINCT u.x AS word
+      FROM (
+        SELECT unnest(string_split(p_name, ' ')) AS x
+        FROM part WHERE p_name IS NOT NULL
+      ) u
+      WHERE u.x <> ''
+    ),
+    ws AS (SELECT word, {soundex_sql("word")} AS sdx FROM w)
+    SELECT CAST(leg AS VARCHAR) AS leg, CAST(k AS VARCHAR) AS k,
+           CAST(v AS VARCHAR) AS v, CAST(i1 AS BIGINT) AS i1
+    FROM (
+      SELECT 'jw' AS leg, a AS k, b AS v,
+             {sql_fmicro("jaro_winkler_similarity(a, b)")} AS i1
+      FROM jwp
+      UNION ALL
+      SELECT 'link', a.name, b.name,
+             {sql_fmicro("jaro_winkler_similarity(a.name, b.name)")}
+      FROM ns a JOIN ns b ON a.sdx = b.sdx AND a.id < b.id
+      WHERE jaro_winkler_similarity(a.name, b.name) >= 0.85
+      UNION ALL
+      SELECT 'part', a.word, b.word,
+             {sql_fmicro("jaro_winkler_similarity(a.word, b.word)")}
+      FROM ws a JOIN ws b ON a.sdx = b.sdx AND a.word < b.word
+      WHERE jaro_winkler_similarity(a.word, b.word) >= 0.75
+      UNION ALL
+      {canary}
+    )
+    """
+
+
+@query("jaro_linkage_suite", oracle=_jw_oracle())
+def jaro_linkage_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler verify tier (operators/linkage.py) cross-validated
+    against DuckDB's INDEPENDENT native jaro_winkler_similarity — two
+    codebases implementing Winkler 1990, one spec (RapidFuzz
+    convention: empties score 0, boost only strictly above 0.7,
+    prefix capped at 4).
+
+    Legs: 'jw' = the golden/edge pair list scored by the engine's
+    Arrow UDF vs the native function (micro-rounded); 'link' = the
+    full record-linkage stack (Soundex blocking + jw >= 0.85) over a
+    planted surname table (Robert/Roberts kept, Robert/Rupert's 0.8
+    dropped, Lee/Leigh never pair — different blocks); 'part' = the
+    same stack over the real part-name vocabulary at 0.75 (red/rod =
+    exactly 0.8); 'canary' = constant rows."""
+    from ..operators.linkage import jaro_winkler_udf, phonetic_jw_pairs
+
+    jwu = jaro_winkler_udf()
+    jw_leg = spark.createDataFrame(_JW_PAIRS, "a string, b string").select(
+        F.lit("jw").cast("string").alias("leg"),
+        F.col("a").cast("string").alias("k"),
+        F.col("b").cast("string").alias("v"),
+        fmicro_col(jwu(F.col("a"), F.col("b"))).alias("i1"),
+    )
+    names = spark.createDataFrame(
+        list(enumerate(_JW_NAMES)), "id long, name string"
+    )
+    link = phonetic_jw_pairs(names, "id", "name", 0.85).select(
+        F.lit("link").cast("string").alias("leg"),
+        F.col("name_a").cast("string").alias("k"),
+        F.col("name_b").cast("string").alias("v"),
+        fmicro_col(F.col("jw")).alias("i1"),
+    )
+    words = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").isNotNull())
+        .select(F.explode(F.split(F.col("p_name"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    part = phonetic_jw_pairs(words, "word", "word", 0.75).select(
+        F.lit("part").cast("string").alias("leg"),
+        F.col("name_a").cast("string").alias("k"),
+        F.col("name_b").cast("string").alias("v"),
+        fmicro_col(F.col("jw")).alias("i1"),
+    )
+    canary = spark.createDataFrame(
+        _JW_CANARY, "leg string, k string, v string, i1 long"
+    )
+    return (
+        jw_leg.unionByName(link).unionByName(part).unionByName(canary)
+    )

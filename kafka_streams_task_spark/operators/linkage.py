@@ -29,6 +29,10 @@ exactly, so extra candidates cost time, never correctness.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — pandas_udf resolves the string
+# type hints of jaro_winkler_udf's inner function against THIS module's
+# globals at decoration time (project trap list, r10)
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -117,4 +121,107 @@ def edit_distance_join(
             F.levenshtein("_sa", "_sb").alias("distance"),
         )
         .filter(F.col("distance") <= k)
+    )
+
+
+def _jaro_winkler_py(
+    a: str, b: str, prefix_weight: float = 0.1, boost_threshold: float = 0.7
+) -> float:
+    """Scalar Jaro-Winkler reference (Winkler 1990, the RapidFuzz/DuckDB
+    convention: empty strings score 0, boost only when jaro STRICTLY
+    exceeds 0.7, prefix capped at 4). The catalog gate cross-validates
+    this from-scratch implementation against DuckDB's independent
+    native ``jaro_winkler_similarity`` — two codebases, one spec."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    window = max(la, lb) // 2 - 1
+    if window < 0:
+        window = 0
+    matched_b = [False] * lb
+    pairs: list[tuple[int, int]] = []
+    for i, ca in enumerate(a):
+        lo = max(0, i - window)
+        hi = min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not matched_b[j] and b[j] == ca:
+                matched_b[j] = True
+                pairs.append((i, j))
+                break
+    m = len(pairs)
+    if m == 0:
+        return 0.0
+    aseq = [a[i] for i, _ in pairs]
+    bseq = [b[j] for j in sorted(j for _, j in pairs)]
+    t = sum(x != y for x, y in zip(aseq, bseq)) / 2.0
+    jaro = (m / la + m / lb + (m - t) / m) / 3.0
+    if jaro > boost_threshold:
+        prefix = 0
+        for x, y in zip(a, b):
+            if x != y or prefix == 4:
+                break
+            prefix += 1
+        jaro += prefix * prefix_weight * (1.0 - jaro)
+    return jaro
+
+
+def jaro_winkler_udf(
+    prefix_weight: float = 0.1, boost_threshold: float = 0.7
+):
+    """Arrow-batched Jaro-Winkler similarity ``(name_a, name_b) ->
+    double`` for the verify tier of a blocked linkage join (pair
+    frames are candidate-sized, never corpus-sized, so the per-pair
+    Python loop prices in at candidates x ~|s|^2 with tiny strings —
+    and stays an ArrowEvalPython stage, never row-at-a-time). NULL in
+    -> NULL out."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _jw(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = [
+            None
+            if x is None or y is None
+            else _jaro_winkler_py(x, y, prefix_weight, boost_threshold)
+            for x, y in zip(a, b)
+        ]
+        return pd.Series(out, dtype="float64")
+
+    return _jw
+
+
+def phonetic_jw_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    min_sim: float = 0.85,
+) -> DataFrame:
+    """Classic record-linkage stack: Soundex blocking
+    (functions/phonetic.py) generates candidates, Jaro-Winkler >=
+    ``min_sim`` verifies. Returns (id_a, id_b, name_a, name_b, jw).
+    The block join shuffles on the 4-char phonetic key; names ride
+    the candidate pairs only (never all-pairs)."""
+    from ..functions.phonetic import soundex_expr
+
+    keyed = df.select(
+        F.col(id_col).alias("_lid"),
+        F.col(name_col).alias("_lname"),
+        soundex_expr(name_col).alias("_sdx"),
+    ).filter(F.col("_sdx").isNotNull())
+    a = keyed.select(
+        F.col("_lid").alias("id_a"),
+        F.col("_lname").alias("name_a"),
+        "_sdx",
+    )
+    b = keyed.select(
+        F.col("_lid").alias("id_b"),
+        F.col("_lname").alias("name_b"),
+        "_sdx",
+    )
+    jw = jaro_winkler_udf()
+    return (
+        a.join(b, "_sdx", "inner")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jw", jw(F.col("name_a"), F.col("name_b")))
+        .filter(F.col("jw") >= F.lit(float(min_sim)))
+        .select("id_a", "id_b", "name_a", "name_b", "jw")
     )

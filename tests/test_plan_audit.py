@@ -87,6 +87,10 @@ PY_ALLOWED = {
     # hyperplane-projection stage per side (the embedding_near_dup_pairs
     # machinery, both sides sharing the same planes)
     "decontam_embedding_recall": 2,
+    # r10 fourth wave: three legs ('jw' goldens, 'link' planted names,
+    # 'part' vocabulary), each one ArrowEvalPython jaro_winkler_udf
+    # stage over a candidate-sized frame
+    "jaro_linkage_suite": 3,
 }
 
 _SF = "/root/testdata/sf0.001"
@@ -148,6 +152,7 @@ def test_catalog_driver_window_is_exactly_fifty(plans):
         "decontam_embedding_recall", "score_bucket_suite",
         "unimax_suite", "privacy_kanon_suite", "timeseries_gapfill_suite",
         "geo_radius_pairs", "phonetic_soundex_suite",
+        "jaro_linkage_suite",
     ]
 
 
