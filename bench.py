@@ -755,28 +755,27 @@ def _ops_workloads():
         )
 
     def _jaro_winkler_verify(s, d):
-        # r10 fourth wave: Arrow jaro_winkler_udf throughput over ~50k
-        # adjacent-word pairs (lead window per first letter keeps the
-        # pairing keyed, no giant soundex blocks)
-        from pyspark.sql import Window
-
+        # r10 fourth wave: Arrow jaro_winkler_udf throughput over 50k
+        # deterministic md5-hex pseudo-name pairs (8-13 chars; the
+        # documents table's synthetic 31-word vocabulary is too small
+        # to exercise the scorer)
         from kafka_streams_task_spark.operators.linkage import (
             jaro_winkler_udf,
         )
 
-        words = (
-            load_table(s, d, "documents")
-            .select(F.explode(F.split(F.lower("text"), "\\s+")).alias("w"))
-            .filter(F.col("w") != "")
-            .distinct()
+        pairs = s.range(50_000).select(
+            F.substring(
+                F.md5(F.col("id").cast("string")), 1,
+                (8 + F.col("id") % 6).cast("int"),
+            ).alias("a"),
+            F.substring(
+                F.md5((F.col("id") + 1).cast("string")), 1,
+                (8 + (F.col("id") + 3) % 6).cast("int"),
+            ).alias("b"),
         )
-        win = Window.partitionBy(F.substring("w", 1, 1)).orderBy("w")
-        pairs = words.select(
-            "w", F.lead("w", 1).over(win).alias("w2")
-        ).filter(F.col("w2").isNotNull())
         jw = jaro_winkler_udf()
-        return pairs.select(jw("w", "w2").alias("s")).agg(
-            F.avg("s").alias("avg_s"), F.count(F.lit(1)).alias("n")
+        return pairs.select(jw("a", "b").alias("x")).agg(
+            F.avg("x").alias("avg_s"), F.count(F.lit(1)).alias("n")
         )
 
     def _soundex_blocks(s, d):

@@ -6,6 +6,7 @@ from .dedup import (
     streaming_dedup_watermarked,
 )
 from .dsir import streaming_dsir_filter
+from .gapfill import streaming_locf
 from .kn import streaming_kn_filter
 from .pipeline import commit_batch_to_snapshot, streaming_crawl_to_snapshot
 from .topology import weather_hotels_stream, weather_rollup_stream
@@ -19,6 +20,7 @@ __all__ = [
     "streaming_dedup_near",
     "streaming_dedup_image",
     "streaming_dsir_filter",
+    "streaming_locf",
     "streaming_kn_filter",
     "streaming_crawl_to_snapshot",
     "commit_batch_to_snapshot",
