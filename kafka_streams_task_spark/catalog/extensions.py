@@ -2403,3 +2403,83 @@ def jaro_linkage_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         jw_leg.unionByName(link).unionByName(part).unionByName(canary)
     )
+
+
+_MKV_CANARY = [
+    ("canary", "c0", "plain", 1, -1),
+    ("canary", "c1", None, 9007199254740993, None),
+    ("canary", "Ünïcode-✓", "5.0", None, 9223372036854775807),
+]
+
+
+def _mkv_canary_sql() -> str:
+    return " UNION ALL ".join(
+        "SELECT CAST('{}' AS VARCHAR), CAST('{}' AS VARCHAR), {}, {}, {}".format(
+            leg,
+            k,
+            "CAST(NULL AS VARCHAR)" if v is None else f"CAST('{v}' AS VARCHAR)",
+            "CAST(NULL AS BIGINT)" if i1 is None else f"CAST({i1} AS BIGINT)",
+            "CAST(NULL AS BIGINT)" if i2 is None else f"CAST({i2} AS BIGINT)",
+        )
+        for leg, k, v, i1, i2 in _MKV_CANARY
+    )
+
+
+_MKV_ORACLE = f"""
+    WITH e AS (
+      SELECT user_id, ts, event_type, event_id FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL
+    ),
+    seq AS (
+      SELECT event_type AS f,
+             lead(event_type) OVER w AS t,
+             row_number() OVER w AS rn
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    pairs AS (
+      SELECT f, t FROM seq WHERE t IS NOT NULL
+      UNION ALL SELECT '__START__', f FROM seq WHERE rn = 1
+      UNION ALL SELECT f, '__END__' FROM seq WHERE t IS NULL
+    ),
+    cnt AS (
+      SELECT f, t, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY f, t
+    )
+    SELECT CAST(leg AS VARCHAR) AS leg, CAST(k AS VARCHAR) AS k,
+           CAST(v AS VARCHAR) AS v, CAST(i1 AS BIGINT) AS i1,
+           CAST(i2 AS BIGINT) AS i2
+    FROM (
+      SELECT 'trans' AS leg, f AS k, t AS v, n AS i1,
+             {sql_fmicro("CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY f) AS DOUBLE)")}
+               AS i2
+      FROM cnt
+      UNION ALL
+      {_mkv_canary_sql()}
+    )
+"""
+
+
+@query("markov_transitions", oracle=_MKV_ORACLE)
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition table (operators/funnel.py:
+    event_transitions) over per-user event journeys ordered by
+    (ts, event_id) — the deterministic tiebreak is part of the
+    contract — wrapped in __START__/__END__ boundary states so entry
+    and exit probabilities come from the same table. The oracle
+    replays the identical window chain; the probability is the only
+    float (n/Σn, same cast order both engines, micro-rounded)."""
+    from ..operators.funnel import event_transitions
+
+    out = event_transitions(load_table(spark, sf_dir, "events"))
+    trans = out.select(
+        F.lit("trans").cast("string").alias("leg"),
+        F.col("from_state").cast("string").alias("k"),
+        F.col("to_state").cast("string").alias("v"),
+        F.col("n").cast("long").alias("i1"),
+        fmicro_col(F.col("p")).alias("i2"),
+    )
+    canary = spark.createDataFrame(
+        _MKV_CANARY, "leg string, k string, v string, i1 long, i2 long"
+    )
+    return trans.unionByName(canary)

@@ -23,7 +23,7 @@ No windows, no per-user sorts, no Python.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -134,4 +134,65 @@ def cohort_retention(
         )
         .groupBy("cohort_date", "day_offset")
         .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
+    )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str | None = "event_id",
+    boundaries: bool = True,
+) -> DataFrame:
+    """First-order Markov transition table over per-user event
+    journeys: ``(from_state, to_state, n, p)`` where ``p`` is the
+    row-normalized transition probability (``n / Σ n`` over the
+    ``from_state``).
+
+    Each user's events order by ``(ts, tiebreak)`` — the tiebreak
+    column is required whenever timestamps can collide, or the chain
+    is nondeterministic (pass ``None`` only for known-unique
+    timestamps). With ``boundaries=True`` the chain is wrapped in the
+    standard ``__START__`` / ``__END__`` pseudo-states, so entry and
+    exit probabilities fall out of the same table.
+
+    Scale shape: one per-user window (``lead``) — the only shuffle is
+    on the user key, then a (from, to) hash aggregate whose output is
+    bounded by |state|², never the corpus. The per-from normalizer is
+    a window over the tiny transition table itself.
+    """
+    cond = (
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(type_col).isNotNull()
+    )
+    order = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(user_col).orderBy(*order)
+    seq = df.filter(cond).select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_from"),
+        F.lead(type_col, 1).over(w).alias("_to"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    inner = seq.filter(F.col("_to").isNotNull()).select("_from", "_to")
+    if boundaries:
+        starts = seq.filter(F.col("_rn") == 1).select(
+            F.lit("__START__").alias("_from"), F.col("_from").alias("_to")
+        )
+        ends = seq.filter(F.col("_to").isNull()).select(
+            F.col("_from"), F.lit("__END__").alias("_to")
+        )
+        inner = inner.unionByName(starts).unionByName(ends)
+    counts = inner.groupBy("_from", "_to").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wf = Window.partitionBy("_from")
+    return counts.select(
+        F.col("_from").alias("from_state"),
+        F.col("_to").alias("to_state"),
+        "n",
+        (F.col("n") / F.sum("n").over(wf)).alias("p"),
     )
