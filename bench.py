@@ -184,6 +184,8 @@ OPS_SECTION = [
     "soundex_blocks",
     # r10 fourth wave: Arrow JW scorer over ~50k adjacent-word pairs
     "jaro_winkler_verify",
+    # r10 fourth wave: trailing-window z-scores over 100k events
+    "anomaly_zscore",
 ]
 
 #: frozen first-measurements for the ops section (set r8, steady-state
@@ -778,6 +780,22 @@ def _ops_workloads():
             F.avg("x").alias("avg_s"), F.count(F.lit(1)).alias("n")
         )
 
+    def _anomaly_zscore(s, d):
+        # r10 fourth wave: trailing-window z-scores over 100k events in
+        # 5 series — one per-series sliding window + summary agg
+        from kafka_streams_task_spark.operators.anomaly import (
+            rolling_zscore,
+        )
+
+        ev = load_table(s, d, "events").filter(F.col("value").isNotNull())
+        out = rolling_zscore(
+            ev, ["event_type"], ["ts", "event_id"], "value"
+        )
+        return out.agg(
+            F.sum("is_anomaly").alias("n_anom"),
+            F.count("z").alias("n_scored"),
+        )
+
     def _soundex_blocks(s, d):
         # r10 fourth wave: the phonetic key chain (regex strip + code
         # translate + 7 collapse regexes) over every distinct document
@@ -864,6 +882,7 @@ def _ops_workloads():
         "geo_radius_join": _geo_radius_join,
         "soundex_blocks": _soundex_blocks,
         "jaro_winkler_verify": _jaro_winkler_verify,
+        "anomaly_zscore": _anomaly_zscore,
     }
 
 

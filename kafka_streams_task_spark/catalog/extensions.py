@@ -2483,3 +2483,130 @@ def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         _MKV_CANARY, "leg string, k string, v string, i1 long, i2 long"
     )
     return trans.unionByName(canary)
+
+
+#: anomaly_zscore_suite knobs
+_AZ_W, _AZ_MIN, _AZ_T = 24, 12, 3.0
+
+_AZ_CANARY = [
+    ("canary", "c0", 1, -1, 9007199254740993, 0),
+    ("canary", "c1", None, 9223372036854775807, None, -7),
+    ("canary", "Ünïcode-✓", 0, None, 5, None),
+]
+
+
+def _az_canary_sql() -> str:
+    def lit(v) -> str:
+        return "CAST(NULL AS BIGINT)" if v is None else f"CAST({v} AS BIGINT)"
+
+    return " UNION ALL ".join(
+        f"SELECT CAST('{leg}' AS VARCHAR), CAST('{k}' AS VARCHAR), "
+        f"{lit(t)}, {lit(i1)}, {lit(i2)}, {lit(i3)}"
+        for leg, k, t, i1, i2, i3 in _AZ_CANARY
+    )
+
+
+_AZ_ORACLE = f"""
+    WITH e AS (
+      SELECT event_type AS s, ts, event_id, CAST(value AS DOUBLE) AS v
+      FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        AND event_id IS NOT NULL AND value IS NOT NULL
+    ),
+    roll AS (
+      SELECT s, event_id, v,
+             sum(v) OVER w AS sm,
+             sum(v * v) OVER w AS ss,
+             count(v) OVER w AS n
+      FROM e
+      WINDOW w AS (PARTITION BY s ORDER BY ts, event_id
+                   ROWS BETWEEN {_AZ_W} PRECEDING AND 1 PRECEDING)
+    ),
+    z AS (
+      SELECT s, event_id, n,
+             CASE WHEN n >= {_AZ_MIN}
+                   AND sqrt(greatest((ss - sm * sm / n) / (n - 1), 0.0)) > 0
+                  THEN (v - sm / n)
+                       / sqrt(greatest((ss - sm * sm / n) / (n - 1), 0.0))
+             END AS zv
+      FROM roll
+    ),
+    flagged AS (
+      SELECT s, event_id, n, zv,
+             CASE WHEN zv IS NOT NULL AND abs(zv) > {_AZ_T} THEN 1
+                  ELSE 0 END AS fl
+      FROM z
+    )
+    SELECT CAST(leg AS VARCHAR) AS leg, CAST(k AS VARCHAR) AS k,
+           CAST(t AS BIGINT) AS t, CAST(i1 AS BIGINT) AS i1,
+           CAST(i2 AS BIGINT) AS i2, CAST(i3 AS BIGINT) AS i3
+    FROM (
+      SELECT 'pt' AS leg, s AS k, event_id AS t,
+             {sql_fmicro("zv", "1000.0")} AS i1, fl AS i2, n AS i3
+      FROM flagged
+      UNION ALL
+      SELECT 'sum', s, 0, count(zv), sum(fl), count(*)
+      FROM flagged GROUP BY s
+      UNION ALL
+      {_az_canary_sql()}
+    )
+"""
+
+
+@query("anomaly_zscore_suite", oracle=_AZ_ORACLE)
+def anomaly_zscore_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection (operators/anomaly.py) over
+    events per event_type, ordered by (ts, event_id) — the
+    deterministic tiebreak is part of the contract. Window 24 / min 12
+    / threshold 3; z is milli-rounded (cross-engine window-sum
+    association differences sit ~1e-12, three orders under the
+    rounding grain) and the variance is stated explicitly
+    ((ss − s·s/n)/(n−1) under a greatest(·,0) guard) in BOTH engines —
+    never a stddev builtin, whose Welford-vs-naive internals differ.
+    Legs: 'pt' per event, 'sum' per series, 'canary'."""
+    from ..operators.anomaly import rolling_zscore
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_id").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .select("event_type", "ts", "event_id", "value")
+    )
+    out = rolling_zscore(
+        ev,
+        ["event_type"],
+        ["ts", "event_id"],
+        "value",
+        window_n=_AZ_W,
+        min_periods=_AZ_MIN,
+        threshold=_AZ_T,
+    )
+    pt = out.select(
+        F.lit("pt").cast("string").alias("leg"),
+        F.col("event_type").cast("string").alias("k"),
+        F.col("event_id").cast("long").alias("t"),
+        fmicro_col(F.col("z"), 1e3).alias("i1"),
+        F.col("is_anomaly").cast("long").alias("i2"),
+        F.col("baseline_n").cast("long").alias("i3"),
+    )
+    summ = out.groupBy("event_type").agg(
+        F.count("z").cast("long").alias("i1"),
+        F.sum("is_anomaly").cast("long").alias("i2"),
+        F.count(F.lit(1)).cast("long").alias("i3"),
+    ).select(
+        F.lit("sum").cast("string").alias("leg"),
+        F.col("event_type").cast("string").alias("k"),
+        F.lit(0).cast("long").alias("t"),
+        "i1",
+        "i2",
+        "i3",
+    )
+    canary = spark.createDataFrame(
+        _AZ_CANARY,
+        "leg string, k string, t long, i1 long, i2 long, i3 long",
+    )
+    return pt.unionByName(summ).unionByName(canary)
