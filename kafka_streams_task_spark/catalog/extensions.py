@@ -2429,7 +2429,7 @@ _MKV_ORACLE = f"""
     WITH e AS (
       SELECT user_id, ts, event_type, event_id FROM events
       WHERE user_id IS NOT NULL AND ts IS NOT NULL
-        AND event_type IS NOT NULL
+        AND event_type IS NOT NULL AND event_id IS NOT NULL
     ),
     seq AS (
       SELECT event_type AS f,

@@ -48,6 +48,15 @@ def rolling_zscore(
         raise ValueError("window_n and min_periods must be >= 2")
     if min_periods > window_n:
         raise ValueError("min_periods cannot exceed window_n")
+    clash = {"baseline_n", "z", "is_anomaly"} & {
+        c.lower() for c in df.columns
+    }
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with the scorer's "
+            "output columns — rename them first (resolution is "
+            "case-insensitive)"
+        )
     v = F.col(value_col).cast("double")
     w = (
         Window.partitionBy(*series_cols)

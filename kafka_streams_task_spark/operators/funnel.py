@@ -169,6 +169,10 @@ def event_transitions(
     )
     order = [F.col(ts_col)]
     if tiebreak_col is not None:
+        # a NULL tiebreak makes the chain engine-dependent (Spark sorts
+        # NULLs first, DuckDB last) — such rows drop with the other
+        # unplaceable rows
+        cond = cond & F.col(tiebreak_col).isNotNull()
         order.append(F.col(tiebreak_col))
     w = Window.partitionBy(user_col).orderBy(*order)
     seq = df.filter(cond).select(

@@ -85,6 +85,15 @@ def gapfill_series(
     """
     if unit not in _UNITS:
         raise ValueError(f"unit must be one of {sorted(_UNITS)}")
+    reserved = {"bucket_ts", "bucket_idx", "v_obs", "v_locf", "v_interp",
+                "is_gap"}
+    clash = reserved & {c.lower() for c in obs.columns}
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with the grid's "
+            "output columns — rename them first (resolution is "
+            "case-insensitive)"
+        )
     cond = F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
     for c in series_cols:
         cond = cond & F.col(c).isNotNull()

@@ -42,8 +42,14 @@ __all__ = ["haversine_km", "radius_join", "radius_self_join"]
 
 #: IUGG mean Earth radius, km
 _EARTH_R = 6371.0088
+#: km per degree ON THE VERIFIER'S OWN SPHERE (2*pi*R/360 = 111.1949...)
+#: — ring sizing must never use a constant LARGER than the metric the
+#: haversine verifier measures with, or the ring can round one cell
+#: short and silently drop in-radius pairs (review catch). The lat
+#: constant 110.574 (WGS84 meridian mean) is SMALLER than the spherical
+#: value, i.e. conservative: it only ever widens the ring.
+_KM_PER_DEG_SPHERE = math.pi * _EARTH_R / 180.0
 _KM_PER_DEG_LAT = 110.574
-_KM_PER_DEG_LON_EQ = 111.320
 
 
 def haversine_km(
@@ -63,7 +69,7 @@ def haversine_km(
 
 def _ring(radius_km: float, cell_deg: float, max_abs_lat: float):
     n_lat = math.ceil((radius_km / _KM_PER_DEG_LAT) / cell_deg)
-    km_per_deg_lon = _KM_PER_DEG_LON_EQ * math.cos(
+    km_per_deg_lon = _KM_PER_DEG_SPHERE * math.cos(
         math.radians(max_abs_lat)
     )
     n_lon = math.ceil((radius_km / km_per_deg_lon) / cell_deg)
@@ -108,7 +114,23 @@ def radius_join(
                     f"max_abs_lat = {max_abs_lat}"
                 )
     n_lat, n_lon = _ring(radius_km, cell_deg, max_abs_lat)
-    n_lon_cells = math.ceil(360.0 / cell_deg)
+    n_lon_cells = round(360.0 / cell_deg)
+    if abs(n_lon_cells * cell_deg - 360.0) > 1e-9 * 360.0:
+        # a non-divisor cell_deg leaves a NARROWER last cell at the
+        # antimeridian, and the constant-width ring under-covers across
+        # the wrap (review catch) — refuse rather than silently miss
+        raise ValueError(
+            f"cell_deg={cell_deg} must divide 360 evenly (e.g. 0.5, "
+            "0.25, 2.0) so longitude cells are uniform across the "
+            "antimeridian wrap"
+        )
+    # a huge radius / tiny circle at high latitude can make the lon
+    # ring wider than the globe; cover each cell EXACTLY once then
+    # (pmod would otherwise hit cells twice -> duplicate pairs)
+    if 2 * n_lon + 1 >= n_lon_cells:
+        lon_offsets = list(range(0, n_lon_cells))
+    else:
+        lon_offsets = list(range(-n_lon, n_lon + 1))
 
     def cells(df: DataFrame, suffix: str) -> DataFrame:
         renamed = df.select(
@@ -138,7 +160,7 @@ def radius_join(
         .select(
             "*",
             F.explode(
-                F.array(*[F.lit(i) for i in range(-n_lon, n_lon + 1)])
+                F.array(*[F.lit(i) for i in lon_offsets])
             ).alias("_dlon"),
         )
         .select(

@@ -71,3 +71,11 @@ def test_param_validation(spark):
         rolling_zscore(df, ["s"], ["i"], "v", window_n=1)
     with pytest.raises(ValueError):
         rolling_zscore(df, ["s"], ["i"], "v", window_n=5, min_periods=6)
+
+
+def test_output_column_clash_refused(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 1.0, 0.0)], "s string, i long, v double, z double"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        rolling_zscore(df, ["s"], ["i"], "v")

@@ -117,3 +117,12 @@ def test_max_buckets_guard(obs):
 def test_bad_unit(obs):
     with pytest.raises(ValueError, match="unit"):
         gapfill_series(obs, ["s"], "ts", "v", unit="fortnight")
+
+
+def test_output_column_clash_refused(spark):
+    df = spark.createDataFrame(
+        [("a", _ts(0), 1.0, 2.0)],
+        "s string, ts timestamp_ntz, v double, v_locf double",
+    )
+    with pytest.raises(ValueError, match="collide"):
+        gapfill_series(df, ["s"], "ts", "v")

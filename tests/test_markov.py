@@ -73,3 +73,21 @@ def test_no_boundaries(events):
     }
     assert got == {("view", "click"), ("click", "buy"), ("view", "view"),
                    ("a", "b")}
+
+
+def test_null_tiebreak_rows_drop(spark):
+    # a NULL tiebreak makes the chain order engine-dependent (Spark
+    # sorts NULLs first, DuckDB last) — such rows must not enter
+    rows = [
+        (1, _ts(0), "a", 1),
+        (1, _ts(0), "ghost", None),
+        (1, _ts(1), "b", 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_type string, event_id long"
+    )
+    got = {
+        (r["from_state"], r["to_state"])
+        for r in event_transitions(df).collect()
+    }
+    assert got == {("__START__", "a"), ("a", "b"), ("b", "__END__")}

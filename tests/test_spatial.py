@@ -123,3 +123,23 @@ def test_matches_bruteforce(spark):
         .collect()
     }
     assert fast == brute and len(brute) > 0
+
+
+def test_cell_deg_must_divide_360(pts):
+    with pytest.raises(ValueError, match="divide 360"):
+        radius_self_join(pts, 5.0, cell_deg=0.7)
+
+
+def test_globe_wrapping_ring_does_not_duplicate(spark):
+    # radius so large the lon ring would lap the globe at this
+    # latitude: the all-cells branch must still emit each pair once
+    pts = spark.createDataFrame(
+        [(1, 70.0, 10.0), (2, 70.0, 11.0), (3, 70.0, -170.0)],
+        "id long, lat double, lon double",
+    )
+    out = radius_self_join(
+        pts, 2000.0, cell_deg=10.0, max_abs_lat=71.0
+    ).collect()
+    pairs = sorted((r["id_a"], r["id_b"]) for r in out)
+    assert pairs == sorted(set(pairs)), "duplicate candidate pairs"
+    assert (1, 2) in pairs  # ~38 km apart
