@@ -173,7 +173,13 @@ def jaro_winkler_udf(
     frames are candidate-sized, never corpus-sized, so the per-pair
     Python loop prices in at candidates x ~|s|^2 with tiny strings —
     and stays an ArrowEvalPython stage, never row-at-a-time). NULL in
-    -> NULL out."""
+    -> NULL out.
+
+    Marked asNondeterministic (the function is factually deterministic)
+    so a threshold filter on the OUTPUT evaluates on the one Arrow
+    stage instead of Catalyst splitting-and-duplicating the stage
+    around the filter — the dsir_score_dense lesson; plan-audit caught
+    the duplicated stage in phonetic_jw_pairs."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -186,7 +192,7 @@ def jaro_winkler_udf(
         ]
         return pd.Series(out, dtype="float64")
 
-    return _jw
+    return _jw.asNondeterministic()
 
 
 def phonetic_jw_pairs(
