@@ -244,6 +244,10 @@ OPS_BASELINE_SEC = {
     "timeseries_gapfill": 0.44,
     "geo_radius_join": 3.08,
     "soundex_blocks": 4.13,
+    # r10 fourth wave, second freeze batch (min-of-2 in-harness at
+    # calib_sec 2.777)
+    "jaro_winkler_verify": 0.12,
+    "anomaly_zscore": 0.22,
 }
 
 
