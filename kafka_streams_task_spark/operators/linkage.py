@@ -153,7 +153,11 @@ def _jaro_winkler_py(
         return 0.0
     aseq = [a[i] for i, _ in pairs]
     bseq = [b[j] for j in sorted(j for _, j in pairs)]
-    t = sum(x != y for x, y in zip(aseq, bseq)) / 2.0
+    # integer HALF of the mismatch count — the original strcmp95 does
+    # this division in C ints (and DuckDB/RapidFuzz follow); keeping
+    # the .5 fraction diverges on odd mismatch counts (random-parity
+    # test caught the case)
+    t = float(sum(x != y for x, y in zip(aseq, bseq)) // 2)
     jaro = (m / la + m / lb + (m - t) / m) / 3.0
     if jaro > boost_threshold:
         prefix = 0
