@@ -47,21 +47,53 @@ _CODES = "000000111122222222334556"
 def soundex_expr(name: Column | str) -> Column:
     """American Soundex of ``name`` as a 4-char code (NULL for NULL
     input or input with no letters). See module docstring for the
-    exact, oracle-replayable step chain."""
+    exact, oracle-replayable step chain.
+
+    The shared subexpressions (the cleaned string, the collapsed code
+    string) are bound ONCE via the single-element ``transform``
+    let-binding (the geohash_expr pattern) — naive nesting references
+    ``coded`` three times and ``u`` four, and Catalyst inlines the
+    whole 13-step regex chain at every reference: the un-bound form
+    measured ~4.2 s of per-query driver/codegen overhead at bench
+    scale vs ~0.1 s bound."""
     c = F.col(name) if isinstance(name, str) else name
-    u = F.regexp_replace(F.upper(c), "[^A-Z]", "")
-    coded = F.translate(u, _LETTERS + "HW", _CODES)
-    for d in "0123456":
-        coded = F.regexp_replace(coded, d + d + "+", d)
-    coded = F.translate(coded, "0", "")
-    first = F.substring(u, 1, 1)
-    code_first = F.translate(first, _LETTERS + "HW", _CODES)
-    tail = F.when(
-        F.substring(coded, 1, 1) == code_first,
-        F.substring(coded, 2, 1000),
-    ).otherwise(coded)
-    out = F.rpad(F.concat(first, F.substring(tail, 1, 3)), 4, "0")
-    return F.when(F.length(u) > 0, out)
+
+    def with_coded(u: Column) -> Column:
+        coded = F.translate(u, _LETTERS + "HW", _CODES)
+        for d in "0123456":
+            coded = F.regexp_replace(coded, d + d + "+", d)
+        coded = F.translate(coded, "0", "")
+
+        def finish(v: Column) -> Column:
+            first = F.substring(v["u"], 1, 1)
+            code_first = F.translate(first, _LETTERS + "HW", _CODES)
+            tail = F.substring(
+                v["coded"],
+                F.when(
+                    F.substring(v["coded"], 1, 1) == code_first, F.lit(2)
+                ).otherwise(F.lit(1)),
+                F.lit(1000),
+            )
+            out = F.rpad(F.concat(first, F.substring(tail, 1, 3)), 4, "0")
+            return F.when(F.length(v["u"]) > 0, out)
+
+        return F.element_at(
+            F.transform(
+                F.array(
+                    F.struct(u.alias("u"), coded.alias("coded"))
+                ),
+                finish,
+            ),
+            1,
+        )
+
+    return F.element_at(
+        F.transform(
+            F.array(F.regexp_replace(F.upper(c), "[^A-Z]", "")),
+            with_coded,
+        ),
+        1,
+    )
 
 
 def soundex_sql(expr: str) -> str:
