@@ -6,6 +6,7 @@ from .dedup import (
     streaming_dedup_watermarked,
 )
 from .dsir import streaming_dsir_filter
+from .anomaly import streaming_zscore
 from .gapfill import streaming_locf
 from .kn import streaming_kn_filter
 from .pipeline import commit_batch_to_snapshot, streaming_crawl_to_snapshot
@@ -21,6 +22,7 @@ __all__ = [
     "streaming_dedup_image",
     "streaming_dsir_filter",
     "streaming_locf",
+    "streaming_zscore",
     "streaming_kn_filter",
     "streaming_crawl_to_snapshot",
     "commit_batch_to_snapshot",
