@@ -2610,3 +2610,143 @@ def anomaly_zscore_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "leg string, k string, t long, i1 long, i2 long, i3 long",
     )
     return pt.unionByName(summ).unionByName(canary)
+
+
+#: trend_forecast_suite — daily seasonality on the hourly LOCF grid
+_TF_SEASON = 24
+
+_TF_CANARY = [
+    ("canary", "c0", 1, -1, 9007199254740993, 0),
+    ("canary", "c1", None, 9223372036854775807, None, -7),
+    ("canary", "Ünïcode-✓", 0, None, 5, None),
+]
+
+_TF_ORACLE = f"""
+    WITH ob AS (
+      SELECT event_type AS s, date_trunc('hour', ts) AS tb, avg(value) AS v
+      FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY s, tb
+    ),
+    rng AS (SELECT s, min(tb) AS mn, max(tb) AS mx FROM ob GROUP BY s),
+    spine AS (
+      SELECT s, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS tb
+      FROM rng
+    ),
+    grid AS (
+      SELECT sp.s, sp.tb,
+             date_diff('hour', TIMESTAMP '2000-01-01 00:00:00', sp.tb)
+               AS idx,
+             ob.v AS v_obs
+      FROM spine sp LEFT JOIN ob ON sp.s = ob.s AND sp.tb = ob.tb
+    ),
+    locf AS (
+      SELECT s, idx,
+             last_value(v_obs IGNORE NULLS) OVER
+               (PARTITION BY s ORDER BY idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv
+      FROM grid
+    ),
+    nv AS (
+      SELECT s, pv AS v,
+             pv - lag(pv, {_TF_SEASON}) OVER
+               (PARTITION BY s ORDER BY idx) AS e
+      FROM locf
+    ),
+    naive AS (
+      SELECT s, CAST(count(*) AS BIGINT) AS n_eval,
+             avg(abs(e)) AS mae, sqrt(avg(e * e)) AS rmse,
+             avg(CASE WHEN v <> 0 THEN abs(e) / abs(v) END) AS mape
+      FROM nv WHERE e IS NOT NULL GROUP BY s
+    ),
+    shifted AS (
+      SELECT s,
+             CAST(idx - min(idx) OVER (PARTITION BY s) AS DOUBLE) AS x,
+             pv AS y
+      FROM locf
+    ),
+    sums AS (
+      SELECT s, CAST(count(*) AS DOUBLE) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+             sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM shifted GROUP BY s
+    ),
+    trend AS (
+      SELECT s, CAST(n AS BIGINT) AS n_points,
+             CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+                  THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END
+               AS slope,
+             CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+                  THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                        * sx) / n END AS icpt,
+             CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+                   AND (n * syy - sy * sy) > 0
+                  THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                       / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END
+               AS r2
+      FROM sums
+    )
+    SELECT CAST(leg AS VARCHAR) AS leg, CAST(k AS VARCHAR) AS k,
+           CAST(i1 AS BIGINT) AS i1, CAST(i2 AS BIGINT) AS i2,
+           CAST(i3 AS BIGINT) AS i3, CAST(i4 AS BIGINT) AS i4
+    FROM (
+      SELECT 'naive' AS leg, s AS k, n_eval AS i1,
+             {sql_fmicro("mae")} AS i2, {sql_fmicro("rmse")} AS i3,
+             {sql_fmicro("mape")} AS i4
+      FROM naive
+      UNION ALL
+      SELECT 'trend', s, n_points, {sql_fmicro("slope")},
+             {sql_fmicro("icpt")}, {sql_fmicro("r2")}
+      FROM trend
+      UNION ALL
+      """ + _az_canary_sql() + """
+    )
+"""
+
+
+@query("trend_forecast_suite", oracle=_TF_ORACLE)
+def trend_forecast_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline evaluation + trend extraction
+    (operators/forecast.py) over the hourly LOCF grid of the events
+    table (operators/gapfill.py feeds it — row offset IS time offset
+    on the dense spine). 'naive' = per-series seasonal-naive (season
+    24) MAE/RMSE/MAPE; 'trend' = per-series least-squares slope /
+    intercept / r² over origin-shifted bucket indexes (the
+    cancellation-safe normal equations, identical operand order in
+    the oracle); 'canary' = constant rows. All float legs
+    micro-rounded."""
+    from ..operators.forecast import linear_trend, seasonal_naive_eval
+    from ..operators.gapfill import gapfill_series
+
+    grid = gapfill_series(
+        load_table(spark, sf_dir, "events"),
+        ["event_type"],
+        "ts",
+        "value",
+        unit="hour",
+    )
+    naive = seasonal_naive_eval(
+        grid, ["event_type"], "bucket_idx", "v_locf", season=_TF_SEASON
+    ).select(
+        F.lit("naive").cast("string").alias("leg"),
+        F.col("event_type").cast("string").alias("k"),
+        F.col("n_eval").cast("long").alias("i1"),
+        fmicro_col(F.col("mae")).alias("i2"),
+        fmicro_col(F.col("rmse")).alias("i3"),
+        fmicro_col(F.col("mape")).alias("i4"),
+    )
+    trend = linear_trend(
+        grid, ["event_type"], "bucket_idx", "v_locf"
+    ).select(
+        F.lit("trend").cast("string").alias("leg"),
+        F.col("event_type").cast("string").alias("k"),
+        F.col("n_points").cast("long").alias("i1"),
+        fmicro_col(F.col("slope")).alias("i2"),
+        fmicro_col(F.col("intercept")).alias("i3"),
+        fmicro_col(F.col("r2")).alias("i4"),
+    )
+    canary = spark.createDataFrame(
+        _TF_CANARY,
+        "leg string, k string, i1 long, i2 long, i3 long, i4 long",
+    )
+    return naive.unionByName(trend).unionByName(canary)

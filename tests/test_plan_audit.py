@@ -153,7 +153,7 @@ def test_catalog_driver_window_is_exactly_fifty(plans):
         "unimax_suite", "privacy_kanon_suite", "timeseries_gapfill_suite",
         "geo_radius_pairs", "phonetic_soundex_suite",
         "jaro_linkage_suite", "markov_transitions",
-        "anomaly_zscore_suite",
+        "anomaly_zscore_suite", "trend_forecast_suite",
     ]
 
 
