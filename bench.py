@@ -186,6 +186,8 @@ OPS_SECTION = [
     "jaro_winkler_verify",
     # r10 fourth wave: trailing-window z-scores over 100k events
     "anomaly_zscore",
+    # r10 fourth wave: pooled quantile normalization over 100k events
+    "quantile_normalize",
 ]
 
 #: frozen first-measurements for the ops section (set r8, steady-state
@@ -803,6 +805,22 @@ def _ops_workloads():
             F.count("z").alias("n_scored"),
         )
 
+    def _quantile_normalize(s, d):
+        # r10 fourth wave: pooled order-statistics explode (~100k
+        # integer-keyed rows) + per-group percent_rank window + two
+        # equi-joins over 100k events
+        from kafka_streams_task_spark.operators.quantile_norm import (
+            quantile_normalize,
+        )
+
+        ev = load_table(s, d, "events").select(
+            "event_id", "event_type", F.col("value").cast("double")
+        )
+        out = quantile_normalize(ev, ["event_type"], "value")
+        return out.agg(
+            F.avg("qn_score").alias("m"), F.count(F.lit(1)).alias("n")
+        )
+
     def _soundex_blocks(s, d):
         # r10 fourth wave: the phonetic key chain (regex strip + code
         # translate + 7 collapse regexes) over every distinct document
@@ -890,6 +908,7 @@ def _ops_workloads():
         "soundex_blocks": _soundex_blocks,
         "jaro_winkler_verify": _jaro_winkler_verify,
         "anomaly_zscore": _anomaly_zscore,
+        "quantile_normalize": _quantile_normalize,
     }
 
 

@@ -2750,3 +2750,112 @@ def trend_forecast_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "leg string, k string, i1 long, i2 long, i3 long, i4 long",
     )
     return naive.unionByName(trend).unionByName(canary)
+
+
+_QN_CANARY = [
+    ("canary", "c0", 1, -1),
+    ("canary", "c1", None, 9007199254740993),
+    ("canary", "Ünïcode-✓", 0, None),
+]
+
+
+def _qn_canary_sql() -> str:
+    def lit(v) -> str:
+        return "CAST(NULL AS BIGINT)" if v is None else f"CAST({v} AS BIGINT)"
+
+    return " UNION ALL ".join(
+        f"SELECT CAST('{leg}' AS VARCHAR), CAST('{k}' AS VARCHAR), "
+        f"{lit(t)}, {lit(i1)}"
+        for leg, k, t, i1 in _QN_CANARY
+    )
+
+
+_QN_ORACLE = f"""
+    WITH e AS (
+      SELECT event_id, event_type AS g, CAST(value AS DOUBLE) AS v
+      FROM events
+      WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+        AND value IS NOT NULL
+    ),
+    pooled AS (SELECT v AS score, count(*) AS n FROM e GROUP BY v),
+    cum AS (
+      SELECT score, n,
+             coalesce(sum(n) OVER (ORDER BY score
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS c
+      FROM pooled
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM pooled),
+    os AS (
+      SELECT c + unnest(range(n)) AS k, score AS v FROM cum
+    ),
+    ranked AS (
+      SELECT event_id, g, v,
+             percent_rank() OVER (PARTITION BY g ORDER BY v) AS r
+      FROM e
+    ),
+    kk AS (
+      SELECT event_id, g, r * (t - 1) AS p,
+             CAST(floor(r * (t - 1)) AS BIGINT) AS k0,
+             least(CAST(floor(r * (t - 1)) AS BIGINT) + 1, t - 1) AS k1,
+             r * (t - 1) - floor(r * (t - 1)) AS frac
+      FROM ranked, tot
+    ),
+    qn AS (
+      SELECT kk.event_id, kk.g,
+             lo.v + (hi.v - lo.v) * kk.frac AS q
+      FROM kk JOIN os lo ON kk.k0 = lo.k JOIN os hi ON kk.k1 = hi.k
+    )
+    SELECT CAST(leg AS VARCHAR) AS leg, CAST(k AS VARCHAR) AS k,
+           CAST(t AS BIGINT) AS t, CAST(i1 AS BIGINT) AS i1
+    FROM (
+      SELECT 'row' AS leg, g AS k, event_id AS t,
+             {sql_fmicro("q")} AS i1
+      FROM qn
+      UNION ALL
+      SELECT 'sum', g, count(*), {sql_fmicro("avg(q)")}
+      FROM qn GROUP BY g
+      UNION ALL
+      {_qn_canary_sql()}
+    )
+"""
+
+
+@query("quantile_norm_suite", oracle=_QN_ORACLE)
+def quantile_norm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-group quantile normalization
+    (operators/quantile_norm.py) of event values pooled across
+    event_type groups — each row maps to the pooled type-7 quantile at
+    its within-group percent_rank, through the distributed
+    order-statistics explode (O(N) integer-keyed rows, two equi-joins,
+    no range join). The oracle replays the identical construction:
+    same percent_rank tie semantics, same p/⌊p⌋/frac operand order,
+    same interpolation. Legs: 'row' per event (micro-rounded), 'sum'
+    per group, 'canary'."""
+    from ..operators.quantile_norm import quantile_normalize
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id").isNotNull())
+        .select("event_id", "event_type", F.col("value").cast("double"))
+    )
+    out = quantile_normalize(ev, ["event_type"], "value")
+    row = out.select(
+        F.lit("row").cast("string").alias("leg"),
+        F.col("event_type").cast("string").alias("k"),
+        F.col("event_id").cast("long").alias("t"),
+        fmicro_col(F.col("qn_score")).alias("i1"),
+    )
+    summ = out.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        fmicro_col(F.avg("qn_score")).alias("i1"),
+    ).select(
+        F.lit("sum").cast("string").alias("leg"),
+        F.col("event_type").cast("string").alias("k"),
+        "t",
+        "i1",
+    )
+    canary = spark.createDataFrame(
+        _QN_CANARY, "leg string, k string, t long, i1 long"
+    )
+    return row.unionByName(summ).unionByName(canary)
