@@ -253,6 +253,9 @@ OPS_BASELINE_SEC = {
     # calib_sec 2.777)
     "jaro_winkler_verify": 0.12,
     "anomaly_zscore": 0.22,
+    # r10 fourth wave, third freeze batch (min-of-2 in-harness at
+    # calib_sec 2.399 — a fast host)
+    "quantile_normalize": 1.48,
 }
 
 
