@@ -2859,3 +2859,116 @@ def quantile_norm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _QN_CANARY, "leg string, k string, t long, i1 long"
     )
     return row.unionByName(summ).unionByName(canary)
+
+
+#: cusum_shift_suite knobs — value-unit slack and threshold (dev probe:
+#: mixed alarm counts per series, extrema ~±1100 vs h=500)
+_CU_K, _CU_H = 5.0, 500.0
+
+_CU_ORACLE = f"""
+    WITH e AS (
+      SELECT event_id, event_type AS s, ts, CAST(value AS DOUBLE) AS v
+      FROM events
+      WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+        AND ts IS NOT NULL AND value IS NOT NULL
+    ),
+    mu AS (SELECT s, avg(v) AS m FROM e GROUP BY s),
+    j AS (SELECT e.*, mu.m FROM e JOIN mu USING (s)),
+    pp AS (
+      SELECT s, ts, event_id,
+             sum(v - m - {_CU_K}) OVER w AS p1,
+             sum(v - m + {_CU_K}) OVER w AS p2
+      FROM j
+      WINDOW w AS (PARTITION BY s ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    ss AS (
+      SELECT s, event_id,
+             p1 - least(0, min(p1) OVER w2) AS sp,
+             p2 - greatest(0, max(p2) OVER w2) AS sn
+      FROM pp
+      WINDOW w2 AS (PARTITION BY s ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING)
+    ),
+    fl AS (
+      SELECT s, event_id, sp, sn,
+             CASE WHEN sp > {_CU_H} OR sn < -{_CU_H} THEN 1 ELSE 0 END
+               AS f
+      FROM ss
+    )
+    SELECT CAST(leg AS VARCHAR) AS leg, CAST(k AS VARCHAR) AS k,
+           CAST(t AS BIGINT) AS t, CAST(i1 AS BIGINT) AS i1,
+           CAST(i2 AS BIGINT) AS i2, CAST(i3 AS BIGINT) AS i3
+    FROM (
+      SELECT 'pt' AS leg, s AS k, event_id AS t,
+             {sql_fmicro("sp", "1000.0")} AS i1,
+             {sql_fmicro("sn", "1000.0")} AS i2, f AS i3
+      FROM fl
+      UNION ALL
+      SELECT 'sum', s, 0, sum(f),
+             {sql_fmicro("max(sp)", "1000.0")},
+             {sql_fmicro("min(sn)", "1000.0")}
+      FROM fl GROUP BY s
+      UNION ALL
+      {_az_canary_sql()}
+    )
+"""
+
+
+@query("cusum_shift_suite", oracle=_CU_ORACLE)
+def cusum_shift_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM change detection (operators/anomaly.py:
+    cusum_by_series, Page 1954) over events per event_type ordered by
+    (ts, event_id), retrospective per-series mean target. The engine
+    computes the prefix-sum CLOSED FORM (S⁺ = P − min(0, running min P)
+    — two cumsums + two running extrema, no recursion); the oracle
+    replays the identical windows. The serial-recursion equivalence
+    itself is pinned in tests/test_anomaly.py. Cumulative sums are
+    milli-rounded (association differences accumulate linearly, ~1e-9
+    over 2k rows vs the 1e-3 grain). Legs: 'pt' per event, 'sum' per
+    series, 'canary'."""
+    from ..operators.anomaly import cusum_by_series
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("event_id").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .select("event_id", "event_type", "ts", "value")
+    )
+    out = cusum_by_series(
+        ev,
+        ["event_type"],
+        ["ts", "event_id"],
+        "value",
+        slack_k=_CU_K,
+        threshold_h=_CU_H,
+    )
+    pt = out.select(
+        F.lit("pt").cast("string").alias("leg"),
+        F.col("event_type").cast("string").alias("k"),
+        F.col("event_id").cast("long").alias("t"),
+        fmicro_col(F.col("cusum_pos"), 1e3).alias("i1"),
+        fmicro_col(F.col("cusum_neg"), 1e3).alias("i2"),
+        F.col("is_shift").cast("long").alias("i3"),
+    )
+    summ = out.groupBy("event_type").agg(
+        F.sum("is_shift").cast("long").alias("i1"),
+        fmicro_col(F.max("cusum_pos"), 1e3).alias("i2"),
+        fmicro_col(F.min("cusum_neg"), 1e3).alias("i3"),
+    ).select(
+        F.lit("sum").cast("string").alias("leg"),
+        F.col("event_type").cast("string").alias("k"),
+        F.lit(0).cast("long").alias("t"),
+        "i1",
+        "i2",
+        "i3",
+    )
+    canary = spark.createDataFrame(
+        _AZ_CANARY,
+        "leg string, k string, t long, i1 long, i2 long, i3 long",
+    )
+    return pt.unionByName(summ).unionByName(canary)

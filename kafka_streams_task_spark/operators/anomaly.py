@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["rolling_zscore"]
+__all__ = ["rolling_zscore", "cusum_by_series"]
 
 
 def rolling_zscore(
@@ -80,3 +80,85 @@ def rolling_zscore(
             (F.abs(z) > F.lit(float(threshold))).cast("int"), F.lit(0)
         ).alias("is_anomaly"),
     )
+
+
+def cusum_by_series(
+    df: DataFrame,
+    series_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    slack_k: float = 0.5,
+    threshold_h: float = 5.0,
+    target_col: str | None = None,
+) -> DataFrame:
+    """Two-sided CUSUM change detection (Page 1954) per series.
+
+    The textbook recursions ``S⁺_t = max(0, S⁺_{t-1} + (x_t − μ − k))``
+    and ``S⁻_t = min(0, S⁻_{t-1} + (x_t − μ + k))`` look sequential,
+    but both have the prefix-sum closed form
+    ``S⁺_t = P_t − min(0, P_0..P_t)`` (resp. running max) with
+    ``P_t = Σ d_i`` — so the whole detector is two window cumsums and
+    two running extrema per series: pure JVM, no recursion, no Python,
+    and an oracle can replay every operand.
+
+    ``μ`` is the per-series target: ``target_col`` when given (a
+    pre-agreed reference level riding each row), else the series' own
+    global mean (retrospective/offline CUSUM — the mean sees the whole
+    series including any shift; for online monitoring pass a trained
+    target). ``slack_k`` and ``threshold_h`` are in VALUE units (the
+    σ-scaled convention divides upstream). Output appends ``cusum_pos``
+    (≥ 0), ``cusum_neg`` (≤ 0) and ``is_shift``
+    (``cusum_pos > h`` or ``cusum_neg < −h``).
+    """
+    if slack_k < 0 or threshold_h <= 0:
+        raise ValueError("slack_k must be >= 0 and threshold_h > 0")
+    clash = {"cusum_pos", "cusum_neg", "is_shift"} & {
+        c.lower() for c in df.columns
+    }
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with the detector's "
+            "output columns — rename them first"
+        )
+    v = F.col(value_col).cast("double")
+    if target_col is not None:
+        mu = F.col(target_col).cast("double")
+        base = df
+    else:
+        means = df.groupBy(*series_cols).agg(
+            F.avg(v).alias("_cusum_mu")
+        )
+        base = df.join(means, series_cols, "inner")
+        mu = F.col("_cusum_mu")
+    w = (
+        Window.partitionBy(*series_cols)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # windows cannot nest in one projection — materialize the prefix
+    # sums, then take their running extrema in a second projection
+    staged = base.select(
+        "*",
+        F.sum(v - mu - F.lit(float(slack_k))).over(w).alias("_cusum_pp"),
+        F.sum(v - mu + F.lit(float(slack_k))).over(w).alias("_cusum_pn"),
+    )
+    s_pos = F.col("_cusum_pp") - F.least(
+        F.lit(0.0), F.min("_cusum_pp").over(w)
+    )
+    s_neg = F.col("_cusum_pn") - F.greatest(
+        F.lit(0.0), F.max("_cusum_pn").over(w)
+    )
+    out = staged.select(
+        "*",
+        s_pos.alias("cusum_pos"),
+        s_neg.alias("cusum_neg"),
+        (
+            (s_pos > F.lit(float(threshold_h)))
+            | (s_neg < F.lit(-float(threshold_h)))
+        )
+        .cast("int")
+        .alias("is_shift"),
+    ).drop("_cusum_pp", "_cusum_pn")
+    if target_col is None:
+        out = out.drop("_cusum_mu")
+    return out

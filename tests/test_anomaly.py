@@ -79,3 +79,64 @@ def test_output_column_clash_refused(spark):
     )
     with pytest.raises(ValueError, match="collide"):
         rolling_zscore(df, ["s"], ["i"], "v")
+
+
+def _cusum_serial(xs, mu, k):
+    sp, sn, out = 0.0, 0.0, []
+    for x in xs:
+        sp = max(0.0, sp + (x - mu - k))
+        sn = min(0.0, sn + (x - mu + k))
+        out.append((sp, sn))
+    return out
+
+
+def test_cusum_matches_textbook_recursion(spark):
+    from kafka_streams_task_spark.operators.anomaly import cusum_by_series
+
+    xs = [10.0, 10.5, 9.5, 10.0, 13.0, 13.5, 14.0, 13.0, 12.5, 14.5]
+    rows = [("a", i, v, 10.0) for i, v in enumerate(xs)]
+    df = spark.createDataFrame(rows, "s string, i long, v double, mu double")
+    got = {
+        r["i"]: (r["cusum_pos"], r["cusum_neg"], r["is_shift"])
+        for r in cusum_by_series(
+            df, ["s"], ["i"], "v", slack_k=0.5, threshold_h=4.0,
+            target_col="mu",
+        ).collect()
+    }
+    expect = _cusum_serial(xs, 10.0, 0.5)
+    for i, (sp, sn) in enumerate(expect):
+        assert got[i][0] == pytest.approx(sp, abs=1e-12), i
+        assert got[i][1] == pytest.approx(sn, abs=1e-12), i
+        assert got[i][2] == int(sp > 4.0 or sn < -4.0), i
+    # the level shift at i=4 must trip the alarm by the end
+    assert got[9][2] == 1 and got[3][2] == 0
+
+
+def test_cusum_downward_shift_and_own_mean(spark):
+    from kafka_streams_task_spark.operators.anomaly import cusum_by_series
+
+    xs = [10.0] * 8 + [4.0] * 8
+    rows = [("a", i, v) for i, v in enumerate(xs)]
+    df = spark.createDataFrame(rows, "s string, i long, v double")
+    out = cusum_by_series(
+        df, ["s"], ["i"], "v", slack_k=0.5, threshold_h=6.0
+    ).collect()
+    # retrospective mean = 7.0; serial reference with that target
+    expect = _cusum_serial(xs, 7.0, 0.5)
+    got = {r["i"]: r for r in out}
+    for i, (sp, sn) in enumerate(expect):
+        assert got[i]["cusum_pos"] == pytest.approx(sp, abs=1e-12)
+        assert got[i]["cusum_neg"] == pytest.approx(sn, abs=1e-12)
+    assert got[15]["is_shift"] == 1  # the downward leg trips
+    assert "_cusum_mu" not in out[0].asDict()
+
+
+def test_cusum_validation(spark):
+    from kafka_streams_task_spark.operators.anomaly import cusum_by_series
+
+    df = spark.createDataFrame([("a", 1, 1.0)], "s string, i long, v double")
+    with pytest.raises(ValueError):
+        cusum_by_series(df, ["s"], ["i"], "v", threshold_h=0.0)
+    bad = df.withColumn("is_shift", F.lit(1))
+    with pytest.raises(ValueError, match="collide"):
+        cusum_by_series(bad, ["s"], ["i"], "v")

@@ -154,7 +154,7 @@ def test_catalog_driver_window_is_exactly_fifty(plans):
         "geo_radius_pairs", "phonetic_soundex_suite",
         "jaro_linkage_suite", "markov_transitions",
         "anomaly_zscore_suite", "trend_forecast_suite",
-        "quantile_norm_suite",
+        "quantile_norm_suite", "cusum_shift_suite",
     ]
 
 
