@@ -2972,3 +2972,108 @@ def cusum_shift_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "leg string, k string, t long, i1 long, i2 long, i3 long",
     )
     return pt.unionByName(summ).unionByName(canary)
+
+
+_RB_CANARY = [
+    ("canary", "c0", 1, -1, 9007199254740993),
+    ("canary", "c1", None, 9223372036854775807, None),
+    ("canary", "Ünïcode-✓", 0, None, -7),
+]
+
+
+def _rb_canary_sql() -> str:
+    def lit(v) -> str:
+        return "CAST(NULL AS BIGINT)" if v is None else f"CAST({v} AS BIGINT)"
+
+    return " UNION ALL ".join(
+        f"SELECT CAST('{leg}' AS VARCHAR), CAST('{k}' AS VARCHAR), "
+        f"{lit(t)}, {lit(i1)}, {lit(i2)}"
+        for leg, k, t, i1, i2 in _RB_CANARY
+    )
+
+
+_RB_ORACLE = f"""
+    WITH e AS (
+      SELECT event_id, event_type AS s, CAST(value AS DOUBLE) AS v
+      FROM events
+      WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+        AND value IS NOT NULL
+    ),
+    cuts AS (
+      SELECT s, quantile_cont(v, 0.05) AS lo, quantile_cont(v, 0.95) AS hi,
+             quantile_cont(v, 0.5) AS med
+      FROM e GROUP BY s
+    ),
+    wz AS (
+      SELECT e.event_id, e.s, e.v,
+             least(greatest(e.v, c.lo), c.hi) AS w, c.med
+      FROM e JOIN cuts c ON e.s = c.s
+    ),
+    mad AS (
+      SELECT s, quantile_cont(abs(v - med), 0.5) AS mad FROM wz GROUP BY s
+    ),
+    rz AS (
+      SELECT wz.event_id, wz.s, wz.w,
+             CASE WHEN m.mad > 0
+                  THEN (wz.v - wz.med) / (m.mad * 1.4826022185056018)
+             END AS z
+      FROM wz JOIN mad m ON wz.s = m.s
+    )
+    SELECT CAST(leg AS VARCHAR) AS leg, CAST(k AS VARCHAR) AS k,
+           CAST(t AS BIGINT) AS t, CAST(i1 AS BIGINT) AS i1,
+           CAST(i2 AS BIGINT) AS i2
+    FROM (
+      SELECT 'row' AS leg, s AS k, event_id AS t,
+             {sql_fmicro("w")} AS i1, {sql_fmicro("z")} AS i2
+      FROM rz
+      UNION ALL
+      SELECT 'sum', s, count(*), {sql_fmicro("avg(w)")},
+             {sql_fmicro("avg(z)")}
+      FROM rz GROUP BY s
+      UNION ALL
+      {_rb_canary_sql()}
+    )
+"""
+
+
+@query("robust_scale_suite", oracle=_RB_ORACLE)
+def robust_scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization + median/MAD robust z
+    (operators/robust.py) over event values by event_type — the
+    50%-breakdown cleaning pass. Spark's exact ``percentile`` and
+    DuckDB's ``quantile_cont`` state the same p·(n−1) interpolation
+    (the stats-suite equivalence); everything else is broadcast joins
+    of tiny cut tables. Legs: 'row' = per-event winsorized value
+    (0.05/0.95 cuts) + robust z (micro-rounded), 'sum' = per-series
+    count and micro-rounded means, 'canary'."""
+    from ..operators.robust import robust_scale_by_group, winsorize_by_group
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id").isNotNull())
+        .select("event_id", "event_type", F.col("value").cast("double"))
+    )
+    wz = winsorize_by_group(ev, ["event_type"], "value", 0.05, 0.95)
+    out = robust_scale_by_group(wz, ["event_type"], "value")
+    row = out.select(
+        F.lit("row").cast("string").alias("leg"),
+        F.col("event_type").cast("string").alias("k"),
+        F.col("event_id").cast("long").alias("t"),
+        fmicro_col(F.col("winsorized")).alias("i1"),
+        fmicro_col(F.col("robust_z")).alias("i2"),
+    )
+    summ = out.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        fmicro_col(F.avg("winsorized")).alias("i1"),
+        fmicro_col(F.avg("robust_z")).alias("i2"),
+    ).select(
+        F.lit("sum").cast("string").alias("leg"),
+        F.col("event_type").cast("string").alias("k"),
+        "t",
+        "i1",
+        "i2",
+    )
+    canary = spark.createDataFrame(
+        _RB_CANARY, "leg string, k string, t long, i1 long, i2 long"
+    )
+    return row.unionByName(summ).unionByName(canary)

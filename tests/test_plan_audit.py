@@ -155,6 +155,7 @@ def test_catalog_driver_window_is_exactly_fifty(plans):
         "jaro_linkage_suite", "markov_transitions",
         "anomaly_zscore_suite", "trend_forecast_suite",
         "quantile_norm_suite", "cusum_shift_suite",
+        "robust_scale_suite",
     ]
 
 
