@@ -3077,3 +3077,165 @@ def robust_scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _RB_CANARY, "leg string, k string, t long, i1 long, i2 long"
     )
     return row.unionByName(summ).unionByName(canary)
+
+
+_SA_CANARY = [
+    ("canary", "c0", 1, -1, 9007199254740993, 0),
+    ("canary", "c1", None, 9223372036854775807, None, -7),
+    ("canary", "Ünïcode-✓", 0, None, 5, None),
+]
+
+_SA_ORACLE = f"""
+    WITH e AS (
+      SELECT event_id, event_type AS a, user_id % 3 AS b,
+             CAST(value AS DOUBLE) AS v
+      FROM events
+      WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+        AND user_id IS NOT NULL AND value IS NOT NULL
+    ),
+    bf0 AS (
+      SELECT CAST(substr(regexp_replace(CAST(abs(v) AS VARCHAR),
+                 '[^1-9]', '', 'g'), 1, 1) AS INT) AS digit
+      FROM e
+      WHERE v <> 0 AND NOT isnan(v) AND NOT isinf(v)
+    ),
+    bfc AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n FROM bf0
+      WHERE digit IS NOT NULL GROUP BY digit
+    ),
+    dig AS (
+      SELECT d.digit, log10(1.0 + 1.0 / d.digit) AS p
+      FROM (SELECT unnest(range(1, 10)) AS digit) d
+    ),
+    bf AS (
+      SELECT dig.digit, coalesce(bfc.n, 0) AS n, dig.p,
+             (SELECT CAST(sum(n) AS DOUBLE) FROM bfc) AS t
+      FROM dig LEFT JOIN bfc ON dig.digit = bfc.digit
+    ),
+    bft AS (
+      SELECT digit, n, n / t AS frac,
+             (n - t * p) * (n - t * p) / (t * p) AS term
+      FROM bf
+    ),
+    cells AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY a, b
+    ),
+    ra AS (SELECT a, CAST(count(*) AS DOUBLE) AS ra FROM e GROUP BY a),
+    rb AS (SELECT b, CAST(count(*) AS DOUBLE) AS rb FROM e GROUP BY b),
+    tt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM e),
+    chi AS (
+      SELECT c.a, c.b, c.n, ra.ra * rb.rb / tt.t AS exp_n
+      FROM cells c JOIN ra ON c.a = ra.a JOIN rb ON c.b = rb.b, tt
+    ),
+    chit AS (
+      SELECT a, b, n, exp_n,
+             (n - exp_n) * (n - exp_n) / exp_n AS term
+      FROM chi
+    )
+    SELECT CAST(leg AS VARCHAR) AS leg, CAST(k AS VARCHAR) AS k,
+           CAST(t AS BIGINT) AS t, CAST(i1 AS BIGINT) AS i1,
+           CAST(i2 AS BIGINT) AS i2, CAST(i3 AS BIGINT) AS i3
+    FROM (
+      SELECT 'benford' AS leg, 'd' AS k, digit AS t, n AS i1,
+             {sql_fmicro("frac")} AS i2, {sql_fmicro("term")} AS i3
+      FROM bft
+      UNION ALL
+      SELECT 'chi2', a, b, n, {sql_fmicro("exp_n")},
+             {sql_fmicro("term")}
+      FROM chit
+      UNION ALL
+      SELECT 'stat', 'benford', 0, sum(n), NULL,
+             {sql_fmicro("sum(term)")}
+      FROM bft
+      UNION ALL
+      SELECT 'stat', 'chi2', 0, sum(n),
+             (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1),
+             {sql_fmicro("sum(term)")}
+      FROM chit
+      UNION ALL
+      """ + _az_canary_sql() + """
+    )
+"""
+
+
+@query("stat_audit_suite", oracle=_SA_ORACLE)
+def stat_audit_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical screening audits (operators/audit_stats.py) over the
+    events table: 'benford' = the first-significant-digit distribution
+    of |value| vs Benford's law (digit extraction via string
+    formatting both sides — the first significant digit is
+    formatter-independent, and the arithmetic log10 route would break
+    at exact powers of ten), 'chi2' = the Pearson contingency table
+    between event_type and the user_id%3 cohort, 'stat' = the two
+    summed statistics (+ chi-square dof), 'canary'. All float legs
+    micro-rounded; the only cross-engine transcendental is Benford's
+    log10(1+1/d) — nine values, ULP-level agreement under micro."""
+    from ..operators.audit_stats import benford_audit, chi_square_contingency
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("event_id").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .select(
+            "event_type",
+            (F.col("user_id") % 3).alias("cohort"),
+            F.col("value").cast("double"),
+        )
+    )
+    bf = benford_audit(ev, "value")
+    chi = chi_square_contingency(ev, "event_type", "cohort")
+    bleg = bf.select(
+        F.lit("benford").cast("string").alias("leg"),
+        F.lit("d").cast("string").alias("k"),
+        F.col("digit").cast("long").alias("t"),
+        F.col("n").cast("long").alias("i1"),
+        fmicro_col(F.col("frac")).alias("i2"),
+        fmicro_col(F.col("chi2_term")).alias("i3"),
+    )
+    cleg = chi.select(
+        F.lit("chi2").cast("string").alias("leg"),
+        F.col("a").cast("string").alias("k"),
+        F.col("b").cast("long").alias("t"),
+        F.col("n").cast("long").alias("i1"),
+        fmicro_col(F.col("expected")).alias("i2"),
+        fmicro_col(F.col("chi2_term")).alias("i3"),
+    )
+    bstat = bf.agg(
+        F.sum("n").cast("long").alias("i1"),
+        fmicro_col(F.sum("chi2_term")).alias("i3"),
+    ).select(
+        F.lit("stat").cast("string").alias("leg"),
+        F.lit("benford").cast("string").alias("k"),
+        F.lit(0).cast("long").alias("t"),
+        "i1",
+        F.lit(None).cast("long").alias("i2"),
+        "i3",
+    )
+    cstat = chi.agg(
+        F.sum("n").cast("long").alias("i1"),
+        (
+            (F.countDistinct("a") - 1) * (F.countDistinct("b") - 1)
+        ).cast("long").alias("i2"),
+        fmicro_col(F.sum("chi2_term")).alias("i3"),
+    ).select(
+        F.lit("stat").cast("string").alias("leg"),
+        F.lit("chi2").cast("string").alias("k"),
+        F.lit(0).cast("long").alias("t"),
+        "i1",
+        "i2",
+        "i3",
+    )
+    canary = spark.createDataFrame(
+        _SA_CANARY,
+        "leg string, k string, t long, i1 long, i2 long, i3 long",
+    )
+    return (
+        bleg.unionByName(cleg)
+        .unionByName(bstat)
+        .unionByName(cstat)
+        .unionByName(canary)
+    )

@@ -48,6 +48,10 @@ BNLJ_ALLOWED = {
     # r10: unimax_allocation's 1-row water-level aggregate
     # broadcast-crossJoined onto the group-cardinality table
     "unimax_suite",
+    # r10 fourth wave: chi_square_contingency's 1-row grand-total
+    # broadcast-crossJoined onto the contingency cells — the quantile-
+    # gate precedent
+    "stat_audit_suite",
 }
 
 #: queries allowed Python/Arrow stages, with a ceiling per query — every
@@ -155,7 +159,7 @@ def test_catalog_driver_window_is_exactly_fifty(plans):
         "jaro_linkage_suite", "markov_transitions",
         "anomaly_zscore_suite", "trend_forecast_suite",
         "quantile_norm_suite", "cusum_shift_suite",
-        "robust_scale_suite",
+        "robust_scale_suite", "stat_audit_suite",
     ]
 
 
