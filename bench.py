@@ -188,6 +188,14 @@ OPS_SECTION = [
     "anomaly_zscore",
     # r10 fourth wave: pooled quantile normalization over 100k events
     "quantile_normalize",
+    # r10 fourth wave closing batch: journey transitions, gapfill->
+    # forecast chain, CUSUM closed form, robust scaling, screening
+    # audits — all over the 100k-event volume
+    "markov_transitions",
+    "trend_forecast",
+    "cusum_shift",
+    "robust_scale",
+    "stat_audit",
 ]
 
 #: frozen first-measurements for the ops section (set r8, steady-state
@@ -256,6 +264,13 @@ OPS_BASELINE_SEC = {
     # r10 fourth wave, third freeze batch (min-of-2 in-harness at
     # calib_sec 2.399 — a fast host)
     "quantile_normalize": 1.48,
+    # r10 fourth wave closing batch (min-of-2 in-harness at calib
+    # 2.392 — a fast host)
+    "markov_transitions": 0.63,
+    "trend_forecast": 0.84,
+    "cusum_shift": 0.33,
+    "robust_scale": 0.62,
+    "stat_audit": 0.66,
 }
 
 
@@ -824,6 +839,86 @@ def _ops_workloads():
             F.avg("qn_score").alias("m"), F.count(F.lit(1)).alias("n")
         )
 
+    def _markov_transitions(s, d):
+        # r10 fourth wave: per-user journey window + (from,to) agg
+        # over 100k events
+        from kafka_streams_task_spark.operators.funnel import (
+            event_transitions,
+        )
+
+        return event_transitions(load_table(s, d, "events"))
+
+    def _trend_forecast(s, d):
+        # r10 fourth wave: gapfill locf grid -> seasonal-naive eval +
+        # least-squares trend per series
+        from kafka_streams_task_spark.operators.forecast import (
+            linear_trend,
+            seasonal_naive_eval,
+        )
+        from kafka_streams_task_spark.operators.gapfill import (
+            gapfill_series,
+        )
+
+        grid = gapfill_series(
+            load_table(s, d, "events"), ["event_type"], "ts", "value"
+        )
+        naive = seasonal_naive_eval(
+            grid, ["event_type"], "bucket_idx", "v_locf", season=24
+        )
+        trend = linear_trend(grid, ["event_type"], "bucket_idx", "v_locf")
+        return naive.join(trend, "event_type")
+
+    def _cusum_shift(s, d):
+        # r10 fourth wave: two cumsums + two running extrema per series
+        # over 100k events
+        from kafka_streams_task_spark.operators.anomaly import (
+            cusum_by_series,
+        )
+
+        ev = load_table(s, d, "events").filter(F.col("value").isNotNull())
+        out = cusum_by_series(ev, ["event_type"], ["ts", "event_id"], "value")
+        return out.agg(
+            F.sum("is_shift").alias("n"), F.max("cusum_pos").alias("m")
+        )
+
+    def _robust_scale(s, d):
+        # r10 fourth wave: two exact-percentile passes + broadcast cut
+        # joins over 100k events
+        from kafka_streams_task_spark.operators.robust import (
+            robust_scale_by_group,
+            winsorize_by_group,
+        )
+
+        ev = load_table(s, d, "events").select(
+            "event_id", "event_type", F.col("value").cast("double")
+        )
+        wz = winsorize_by_group(ev, ["event_type"], "value", 0.05, 0.95)
+        out = robust_scale_by_group(wz, ["event_type"], "value")
+        return out.agg(
+            F.avg("robust_z").alias("m"), F.count(F.lit(1)).alias("n")
+        )
+
+    def _stat_audit(s, d):
+        # r10 fourth wave: Benford digit agg + chi-square contingency
+        # over 100k events
+        from kafka_streams_task_spark.operators.audit_stats import (
+            benford_audit,
+            chi_square_contingency,
+        )
+
+        ev = load_table(s, d, "events").select(
+            "event_type",
+            (F.col("user_id") % 3).alias("cohort"),
+            F.col("value").cast("double"),
+        )
+        bf = benford_audit(ev, "value").agg(
+            F.sum("chi2_term").alias("b")
+        )
+        chi = chi_square_contingency(ev, "event_type", "cohort").agg(
+            F.sum("chi2_term").alias("c")
+        )
+        return bf.crossJoin(chi)
+
     def _soundex_blocks(s, d):
         # r10 fourth wave: the phonetic key chain (regex strip + code
         # translate + 7 collapse regexes) over every distinct document
@@ -912,6 +1007,11 @@ def _ops_workloads():
         "jaro_winkler_verify": _jaro_winkler_verify,
         "anomaly_zscore": _anomaly_zscore,
         "quantile_normalize": _quantile_normalize,
+        "markov_transitions": _markov_transitions,
+        "trend_forecast": _trend_forecast,
+        "cusum_shift": _cusum_shift,
+        "robust_scale": _robust_scale,
+        "stat_audit": _stat_audit,
     }
 
 
