@@ -253,10 +253,11 @@ OPS_BASELINE_SEC = {
     "privacy_kanon": 0.25,
     "timeseries_gapfill": 0.44,
     "geo_radius_join": 3.08,
-    # post-let-binding steady state (the un-bound expression tree
-    # measured 4.13 — Catalyst inlined the 13-step chain at every
-    # reference; the geohash transform let-binding fix halved it)
-    "soundex_blocks": 1.95,
+    # post-let-binding steady state, re-frozen from the next
+    # IN-HARNESS run (min-of-2 at calib 2.392; the un-bound expression
+    # tree measured 4.13 — Catalyst inlined the 13-step chain at every
+    # reference, the geohash transform let-binding fix halved it)
+    "soundex_blocks": 1.33,
     # r10 fourth wave, second freeze batch (min-of-2 in-harness at
     # calib_sec 2.777)
     "jaro_winkler_verify": 0.12,

@@ -2615,11 +2615,9 @@ def anomaly_zscore_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: trend_forecast_suite — daily seasonality on the hourly LOCF grid
 _TF_SEASON = 24
 
-_TF_CANARY = [
-    ("canary", "c0", 1, -1, 9007199254740993, 0),
-    ("canary", "c1", None, 9223372036854775807, None, -7),
-    ("canary", "Ünïcode-✓", 0, None, 5, None),
-]
+#: same rows as _AZ_CANARY by construction — aliased so the engine
+#: side and the oracle's _az_canary_sql() can never drift apart
+_TF_CANARY = _AZ_CANARY
 
 _TF_ORACLE = f"""
     WITH ob AS (
@@ -3079,11 +3077,8 @@ def robust_scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row.unionByName(summ).unionByName(canary)
 
 
-_SA_CANARY = [
-    ("canary", "c0", 1, -1, 9007199254740993, 0),
-    ("canary", "c1", None, 9223372036854775807, None, -7),
-    ("canary", "Ünïcode-✓", 0, None, 5, None),
-]
+#: aliased to _AZ_CANARY (see _TF_CANARY note)
+_SA_CANARY = _AZ_CANARY
 
 _SA_ORACLE = f"""
     WITH e AS (

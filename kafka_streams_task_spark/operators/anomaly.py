@@ -112,14 +112,23 @@ def cusum_by_series(
     """
     if slack_k < 0 or threshold_h <= 0:
         raise ValueError("slack_k must be >= 0 and threshold_h > 0")
-    clash = {"cusum_pos", "cusum_neg", "is_shift"} & {
-        c.lower() for c in df.columns
-    }
+    clash = {
+        "cusum_pos", "cusum_neg", "is_shift",
+        "_cusum_pp", "_cusum_pn", "_cusum_mu",
+    } & {c.lower() for c in df.columns}
     if clash:
         raise ValueError(
             f"input columns {sorted(clash)} collide with the detector's "
-            "output columns — rename them first"
+            "output/working columns — rename them first"
         )
+    # NULL series keys drop in BOTH target modes (the own-mean join
+    # would drop them silently while target_col mode kept them —
+    # review catch); NULL values stay: aggregates skip their terms, so
+    # they occupy positions without moving the cumsum
+    keycond = F.lit(True)
+    for c in series_cols:
+        keycond = keycond & F.col(c).isNotNull()
+    df = df.filter(keycond)
     v = F.col(value_col).cast("double")
     if target_col is not None:
         mu = F.col(target_col).cast("double")
@@ -152,12 +161,13 @@ def cusum_by_series(
         "*",
         s_pos.alias("cusum_pos"),
         s_neg.alias("cusum_neg"),
-        (
-            (s_pos > F.lit(float(threshold_h)))
-            | (s_neg < F.lit(-float(threshold_h)))
-        )
-        .cast("int")
-        .alias("is_shift"),
+        F.coalesce(
+            (
+                (s_pos > F.lit(float(threshold_h)))
+                | (s_neg < F.lit(-float(threshold_h)))
+            ).cast("int"),
+            F.lit(0),  # all-NULL prefix: no evidence, no alarm
+        ).alias("is_shift"),
     ).drop("_cusum_pp", "_cusum_pn")
     if target_col is None:
         out = out.drop("_cusum_mu")

@@ -121,9 +121,9 @@ def chi_square_contingency(
     rb = base.groupBy("b").agg(F.count(F.lit(1)).cast("double").alias("_rb"))
     tot = base.agg(F.count(F.lit(1)).cast("double").alias("_t"))
     out = (
-        cells.join(F.broadcast(ra), "a")
-        .join(F.broadcast(rb), "b")
-        .crossJoin(F.broadcast(tot))
+        cells.join(ra, "a")
+        .join(rb, "b")
+        .crossJoin(F.broadcast(tot))  # 1 row — the quantile-gate shape
     )
     expected = F.col("_ra") * F.col("_rb") / F.col("_t")
     return out.select(

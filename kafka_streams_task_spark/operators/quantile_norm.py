@@ -43,20 +43,28 @@ def quantile_normalize(
     output_col: str = "qn_score",
 ) -> DataFrame:
     """Append ``output_col`` — the pooled-distribution quantile at each
-    row's within-group rank fraction. Rows with a NULL score or NULL
-    group key are dropped (no rank, no pool membership). A
+    row's within-group rank fraction. Rows with a NULL or NaN score or
+    a NULL group key are dropped (no rank, no pool membership — and
+    Spark ranks NaN above every numeric while the pooled prefix table
+    excludes it, so an unfiltered NaN would distort every rank
+    fraction in its group). A
     single-member group maps to the pooled minimum (percent_rank 0);
     a pooled distribution of one value maps everything to it.
     """
     if not group_cols:
         raise ValueError("group_cols must be non-empty")
-    if output_col in df.columns:
+    reserved = {"_k0", "_k1", "_frac", "_v0", "_v1", "_qn_lbl", output_col}
+    clash = reserved & set(df.columns)
+    if clash:
         raise ValueError(
-            f"input already has a column named {output_col!r}"
+            f"input columns {sorted(clash)} collide with the "
+            "normalizer's output/working columns — rename them first"
         )
     from .evaluation import score_rank_table
 
-    cond = F.col(score_col).isNotNull()
+    cond = F.col(score_col).isNotNull() & ~F.isnan(
+        F.col(score_col).cast("double")
+    )
     for c in group_cols:
         cond = cond & F.col(c).isNotNull()
     valid = df.filter(cond)

@@ -9,8 +9,10 @@ outlier (Huber & Ronchetti 2009, ch. 1).
 Both are two-pass relational shapes: one exact-percentile aggregate
 per group (Spark's ``percentile`` — the same ``p·(n−1)`` linear
 interpolation DuckDB's ``quantile_cont`` states, an equivalence the
-relational catalog's stats suite already gates), then a broadcast
-join of the tiny per-group cut table back onto the rows. MAD needs
+relational catalog's stats suite already gates), then a join of
+the per-group cut table back onto the rows (|groups| rows — AQE
+broadcasts it when small; the hint is deliberately NOT forced, a
+wide group key must not be pushed onto the driver). MAD needs
 one extra round trip (|v − median| is itself percentiled), so robust
 scaling is two aggregate passes — still nothing but hash aggregates
 and broadcast joins, no windows, no sort of the fact table.
@@ -47,15 +49,19 @@ def winsorize_by_group(
     NULL value or group key drop (no group, no cut)."""
     if not 0.0 <= lower < upper <= 1.0:
         raise ValueError("need 0 <= lower < upper <= 1")
-    if output_col in df.columns:
-        raise ValueError(f"column {output_col!r} already exists")
+    clash = {"_lo", "_hi", output_col} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with the "
+            "winsorizer's output/working columns — rename them first"
+        )
     base = _valid(df, group_cols, value_col)
     cuts = base.groupBy(*group_cols).agg(
         F.percentile(F.col(value_col), F.lit(float(lower))).alias("_lo"),
         F.percentile(F.col(value_col), F.lit(float(upper))).alias("_hi"),
     )
     return (
-        base.join(F.broadcast(cuts), group_cols, "inner")
+        base.join(cuts, group_cols, "inner")
         .withColumn(
             output_col,
             F.least(
@@ -79,13 +85,17 @@ def robust_scale_by_group(
     the raw MAD). Zero-MAD groups (a majority-constant group has no
     robust scale) yield NULL — flagging there is the caller's policy,
     exactly like the rolling scorer's zero-std convention."""
-    if output_col in df.columns:
-        raise ValueError(f"column {output_col!r} already exists")
+    clash = {"_med", "_mad", output_col} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with the scaler's "
+            "output/working columns — rename them first"
+        )
     base = _valid(df, group_cols, value_col)
     med = base.groupBy(*group_cols).agg(
         F.percentile(F.col(value_col), F.lit(0.5)).alias("_med")
     )
-    with_med = base.join(F.broadcast(med), group_cols, "inner")
+    with_med = base.join(med, group_cols, "inner")
     mad = with_med.groupBy(*group_cols).agg(
         F.percentile(
             F.abs(F.col(value_col).cast("double") - F.col("_med")),
@@ -94,7 +104,7 @@ def robust_scale_by_group(
     )
     denom = F.col("_mad") * F.lit(MAD_TO_SIGMA) if scaled else F.col("_mad")
     return (
-        with_med.join(F.broadcast(mad), group_cols, "inner")
+        with_med.join(mad, group_cols, "inner")
         .withColumn(
             output_col,
             F.when(

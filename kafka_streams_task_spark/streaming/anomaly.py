@@ -18,6 +18,15 @@ Semantics (identical to the batch operator, restated for streams):
   promised (the batch windows re-sum per frame, the stream folds a
   running ring), but the equivalence test pins agreement to 1e-9,
   far below any alerting threshold;
+- NULL values OCCUPY frame positions without contributing (the ring
+  stores a hole, exactly like the batch ROWS frame where ``count(v)``
+  skips NULLs), and the NULL-valued rows themselves are emitted with
+  NULL z — row-for-row with the batch output; rows with a NULL order
+  column are DROPPED (Spark sorts NULLs first, pandas last — their
+  placement is engine-dependent, so the stream refuses the ambiguity
+  the batch operator silently inherits). NaN values are holes here
+  too, while the batch operator propagates NaN per IEEE through its
+  window sums — filter NaN upstream when reconciling the two;
 - ORDER WITHIN A BATCH comes from sorting the batch's rows by
   ``order_cols``; LATE rows — sorting before history already consumed
   — are NOT reordered into the past (the state only grows forward).
@@ -80,18 +89,19 @@ def streaming_zscore(
             )
             return
         pdf = pd.concat(batches, ignore_index=True)
-        pdf = pdf[pdf[value_col].notna()]
         for c in order_cols:
             pdf = pdf[pdf[c].notna()]
         pdf = pdf.sort_values(order_cols, kind="mergesort")
         rows = []
         for _, r in pdf.iterrows():
-            v = float(r[value_col])
-            n = len(ring)
+            raw = r[value_col]
+            v = None if pd.isna(raw) else float(raw)
+            live = [x for x in ring if x is not None]
+            n = len(live)
             z = None
-            if n >= min_periods:
-                s = math.fsum(ring)
-                ss = math.fsum(x * x for x in ring)
+            if v is not None and n >= min_periods:
+                s = math.fsum(live)
+                ss = math.fsum(x * x for x in live)
                 var = (ss - s * s / n) / (n - 1)
                 std = math.sqrt(max(var, 0.0))
                 if std > 0:

@@ -78,11 +78,11 @@ def test_validation(spark):
     df = spark.createDataFrame([("g", 1.0)], "g string, v double")
     with pytest.raises(ValueError):
         winsorize_by_group(df, ["g"], "v", 0.9, 0.1)
-    with pytest.raises(ValueError, match="exists"):
+    with pytest.raises(ValueError, match="collide"):
         winsorize_by_group(
             df.withColumn("winsorized", F.lit(0.0)), ["g"], "v"
         )
-    with pytest.raises(ValueError, match="exists"):
+    with pytest.raises(ValueError, match="collide"):
         robust_scale_by_group(
             df.withColumn("robust_z", F.lit(0.0)), ["g"], "v"
         )

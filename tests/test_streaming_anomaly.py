@@ -35,7 +35,8 @@ def _write(src):
     b0 = [{"s": "a", "i": i, "v": 10.0 + (i % 3)} for i in range(8)]
     b1 = [
         {"s": "a", "i": 8, "v": 100.0},   # spike scored vs batch-0 tail
-        {"s": "a", "i": 9, "v": 11.0},
+        {"s": "a", "i": 9, "v": None},    # NULL occupies a frame slot
+        {"s": "a", "i": 10, "v": 11.0},
         {"s": "b", "i": 0, "v": 5.0},     # fresh series, no history
     ]
     for name, rows, mtime in (("b0", b0, 1000000000), ("b1", b1, 1000000100)):
@@ -78,6 +79,10 @@ def test_cross_batch_baseline_and_equivalence(spark, tmpdir):
     # the spike at i=8 scores against batch 0's tail, carried in state
     assert got[("a", 8)][0] == 6
     assert got[("a", 8)][2] == 1
+    # the NULL row is emitted (z NULL, no alarm) and occupies a slot
+    assert got[("a", 9)][1] is None and got[("a", 9)][2] == 0
+    # i=10's 6-row frame holds i=4..9: one hole -> 5 live values
+    assert got[("a", 10)][0] == 5
     # fresh series has no baseline
     assert got[("b", 0)] == (0, None, 0)
 
