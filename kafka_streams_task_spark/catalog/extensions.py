@@ -3234,3 +3234,155 @@ def stat_audit_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cstat)
         .unionByName(canary)
     )
+
+
+_GC_CANARY = [
+    ("canary", 1, -1),
+    ("canary", None, 9007199254740993),
+    ("canary", -9223372036854775808, None),
+]
+
+
+def _gc_canary_sql() -> str:
+    def lit(v) -> str:
+        return "CAST(NULL AS BIGINT)" if v is None else f"CAST({v} AS BIGINT)"
+
+    return " UNION ALL ".join(
+        f"SELECT CAST('{leg}' AS VARCHAR), {lit(a)}, {lit(b)}"
+        for leg, a, b in _GC_CANARY
+    )
+
+
+_GC_ORACLE = f"""
+    WITH RECURSIVE p AS (
+      SELECT o_orderkey AS id,
+             (CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                 || ':geo'), 1, 8)) AS BIGINT) % 1200) / 10.0 - 60.0 AS lat,
+             (CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                 || ':geo'), 9, 8)) AS BIGINT) % 3600) / 10.0 - 180.0 AS lon
+      FROM orders WHERE o_orderkey IS NOT NULL
+    ),
+    pr AS (
+      SELECT a.id AS ia, b.id AS ib
+      FROM p a JOIN p b
+        ON b.lat BETWEEN a.lat - 0.3 AND a.lat + 0.3
+       AND a.id < b.id
+      WHERE 2 * 6371.0088 * asin(sqrt(
+              sin(radians(b.lat - a.lat) / 2)
+                * sin(radians(b.lat - a.lat) / 2)
+              + cos(radians(a.lat)) * cos(radians(b.lat))
+                * sin(radians(b.lon - a.lon) / 2)
+                * sin(radians(b.lon - a.lon) / 2)
+            )) <= {_GEO_R}
+    ),
+    nodes AS (
+      SELECT DISTINCT id FROM (
+        SELECT ia AS id FROM pr UNION ALL SELECT ib FROM pr
+      )
+    ),
+    ed AS (
+      SELECT ia AS s, ib AS d FROM pr
+      UNION ALL SELECT ib, ia FROM pr
+    ),
+    r(id, l) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT ed.d, r.l FROM r JOIN ed ON ed.s = r.id
+    ),
+    cc AS (SELECT id, min(l) AS comp FROM r GROUP BY id)
+    SELECT CAST(leg AS VARCHAR) AS leg, CAST(a AS BIGINT) AS a,
+           CAST(b AS BIGINT) AS b
+    FROM (
+      SELECT 'member' AS leg, id AS a, comp AS b FROM cc
+      UNION ALL
+      SELECT 'size', comp, count(*) FROM cc GROUP BY comp
+      UNION ALL
+      SELECT 'npts', count(*), 0 FROM p
+      UNION ALL
+      SELECT 'nnodes', count(*), 0 FROM cc
+      UNION ALL
+      SELECT 'ncomp', count(DISTINCT comp), 0 FROM cc
+      UNION ALL
+      {_gc_canary_sql()}
+    )
+"""
+
+
+@query("geo_cluster_suite", oracle=_GC_ORACLE)
+def geo_cluster_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial density clustering: the 25 km radius pairs
+    (operators/spatial.py, the geo_radius_pairs plant) fed into the
+    large-star/small-star connected components
+    (operators/cluster.py) — proximity groups of the md5-scattered
+    points, component label = min member id. The oracle re-derives
+    the pair set exhaustively and closes it transitively with a
+    recursive CTE (the Myers-editdist recursive-replay precedent):
+    two entirely different clustering algorithms, one fixpoint.
+    Legs: 'member' (node -> component), 'size', 'npts'/'nnodes'/
+    'ncomp' count rows, 'canary'."""
+    from ..operators.cluster import connected_components
+    from ..operators.spatial import radius_self_join
+
+    h = F.md5(
+        F.concat(F.col("o_orderkey").cast("string"), F.lit(":geo"))
+    )
+    pts = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey").isNotNull())
+        .select(
+            F.col("o_orderkey").alias("id"),
+            (
+                (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 1200)
+                / 10.0
+                - 60.0
+            ).alias("lat"),
+            (
+                (F.conv(F.substring(h, 9, 8), 16, 10).cast("long") % 3600)
+                / 10.0
+                - 180.0
+            ).alias("lon"),
+        )
+    )
+    pairs = radius_self_join(
+        pts, _GEO_R, cell_deg=0.5, max_abs_lat=60.0, validate=False
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = connected_components(pairs)
+    member = cc.select(
+        F.lit("member").cast("string").alias("leg"),
+        F.col("node").cast("long").alias("a"),
+        F.col("component").cast("long").alias("b"),
+    )
+    size = cc.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("b")
+    ).select(
+        F.lit("size").cast("string").alias("leg"),
+        F.col("component").cast("long").alias("a"),
+        "b",
+    )
+    npts = pts.agg(F.count(F.lit(1)).cast("long").alias("a")).select(
+        F.lit("npts").cast("string").alias("leg"),
+        "a",
+        F.lit(0).cast("long").alias("b"),
+    )
+    nnodes = cc.agg(F.count(F.lit(1)).cast("long").alias("a")).select(
+        F.lit("nnodes").cast("string").alias("leg"),
+        "a",
+        F.lit(0).cast("long").alias("b"),
+    )
+    ncomp = cc.agg(
+        F.countDistinct("component").cast("long").alias("a")
+    ).select(
+        F.lit("ncomp").cast("string").alias("leg"),
+        "a",
+        F.lit(0).cast("long").alias("b"),
+    )
+    canary = spark.createDataFrame(
+        _GC_CANARY, "leg string, a long, b long"
+    )
+    return (
+        member.unionByName(size)
+        .unionByName(npts)
+        .unionByName(nnodes)
+        .unionByName(ncomp)
+        .unionByName(canary)
+    )
