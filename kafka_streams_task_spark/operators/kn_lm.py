@@ -369,7 +369,6 @@ def kn_dense_model(
 def kn_score_dense(
     df: DataFrame,
     model: KNBigramModel | dict,
-    id_col: str = "doc_id",
     text_col: str = "text",
     max_bigrams: int = 500_000,
 ) -> DataFrame:

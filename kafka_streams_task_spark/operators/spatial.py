@@ -69,10 +69,24 @@ def haversine_km(
 
 def _ring(radius_km: float, cell_deg: float, max_abs_lat: float):
     n_lat = math.ceil((radius_km / _KM_PER_DEG_LAT) / cell_deg)
-    km_per_deg_lon = _KM_PER_DEG_SPHERE * math.cos(
+    # exact longitude bound (r11 advisor catch): from the haversine
+    # identity, an in-radius pair at |lat| <= max_abs_lat satisfies
+    # |dlon| <= 2*asin(sin(r/2R)/cos(max_abs_lat)) — LARGER than the
+    # linear radius/(km_per_deg_lon) estimate (asin curvature; it
+    # saturates at 180 deg through the pole). The old linear bound
+    # silently dropped in-radius pairs at high lat + large radius
+    # (800 km at lat 75 lost a 799.99 km pair). x >= 1 means the
+    # circle crosses the pole: cover every lon cell.
+    x = math.sin(radius_km / (2.0 * _EARTH_R)) / math.cos(
         math.radians(max_abs_lat)
     )
-    n_lon = math.ceil((radius_km / km_per_deg_lon) / cell_deg)
+    if x >= 1.0:
+        n_lon = math.ceil(360.0 / cell_deg)  # trips the cover-all branch
+    else:
+        max_dlon_deg = math.degrees(2.0 * math.asin(x))
+        # 1e-12 relative nudge: only ever widens, guards the exact-
+        # multiple-of-cell_deg boundary against ULP noise in the chain
+        n_lon = math.ceil((max_dlon_deg * (1.0 + 1e-12)) / cell_deg)
     return n_lat, n_lon
 
 

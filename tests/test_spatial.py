@@ -130,6 +130,56 @@ def test_cell_deg_must_divide_360(pts):
         radius_self_join(pts, 5.0, cell_deg=0.7)
 
 
+def test_high_lat_large_radius_exact_lon_bound(spark):
+    # r11 advisor catch: the linear lon bound radius/(111.19*cos(lat))
+    # under-covers at high lat + large radius (asin curvature). At lat 75
+    # a 28.05 deg lon separation is ~799.8 km — inside an 800 km radius
+    # but past the old ring. The exact 2*asin(sin(r/2R)/cos(lat)) bound
+    # must find it.
+    pts = spark.createDataFrame(
+        [(1, 75.0, 0.0), (2, 75.0, 28.05)],
+        "id long, lat double, lon double",
+    )
+    rows = radius_self_join(
+        pts, 800.0, cell_deg=0.5, max_abs_lat=75.0
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
+    assert rows[0]["dist_km"] <= 800.0
+
+
+def test_high_lat_matches_bruteforce(spark):
+    # randomized parity in the regime the linear bound got wrong:
+    # all points at |lat| in [70, 75], radius large enough that the
+    # exact bound is materially wider than the linear one
+    pts = spark.range(40).select(
+        F.col("id"),
+        (70.0 + (F.col("id") * 7919 % 100) / 20.0).alias("lat"),
+        ((F.col("id") * 104729 % 720) / 2.0 - 180.0).alias("lon"),
+    )
+    r = 900.0
+    fast = {
+        (x["id_a"], x["id_b"])
+        for x in radius_self_join(
+            pts, r, cell_deg=2.0, max_abs_lat=75.0
+        ).collect()
+    }
+    a, b = pts.alias("a"), pts.alias("b")
+    brute = {
+        (x["ia"], x["ib"])
+        for x in a.crossJoin(b)
+        .select(
+            F.col("a.id").alias("ia"),
+            F.col("b.id").alias("ib"),
+            haversine_km(
+                F.col("a.lat"), F.col("a.lon"), F.col("b.lat"), F.col("b.lon")
+            ).alias("d"),
+        )
+        .filter((F.col("ia") < F.col("ib")) & (F.col("d") <= r))
+        .collect()
+    }
+    assert fast == brute and len(brute) > 0
+
+
 def test_globe_wrapping_ring_does_not_duplicate(spark):
     # radius so large the lon ring would lap the globe at this
     # latitude: the all-cells branch must still emit each pair once
