@@ -1023,7 +1023,12 @@ def _raw_ops():
     keeps round-over-round deltas meaningful (BENCH_BASELINE_r1.md)."""
     from pyspark.sql import functions as F
 
-    from kafka_streams_task_spark.catalog.relational import q6_revenue_df
+    from kafka_streams_task_spark.catalog.relational import (
+        q3_shipping_priority,
+        q5_local_supplier_volume,
+        q6_revenue_df,
+        q18_large_volume_customers,
+    )
     from kafka_streams_task_spark.operators.dedup import (
         embedding_near_dup_pairs,
         minhash_lsh_candidates,
@@ -1124,6 +1129,11 @@ def _raw_ops():
 
     return {
         "q6_revenue_forecast": q6_revenue_df,  # r2: registered as q6_q19_filter_aggregates
+        # r11: the TPC-H singles folded into tpch_qsuite; benching the
+        # raw functions keeps the frozen r1 per-query baselines comparable
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q18_large_volume_customers": q18_large_volume_customers,
         "dedup_exact_digest": dedup_exact_digest,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "multimodal_image_features": multimodal_image_features,

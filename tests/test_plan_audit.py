@@ -31,8 +31,10 @@ BNLJ_ALLOWED = {
     "llm_retrieval_suite",
     "similarity_knn_suite",
     "range_band_join",
-    "regex_scalar_customer",
-    "q6_q19_filter_aggregates",
+    # r11 fold: regex_scalar_customer's scalar-subquery crossJoin and
+    # q6_q19's 1x1-row crossJoin now live inside the two folded suites
+    "tpch_qsuite",
+    "scalar_regex_suite",
     # r10: classifier_eval's 1-row totals (n, n_pos) broadcast-crossJoined
     # onto the distinct-score table — the quantile-gate precedent
     "classifier_eval_suite",
@@ -126,15 +128,20 @@ DRIVER_WINDOW = [
     "text_id_fingerprint_suite", "dedup_exact_family_suite",
     "multimodal_suite", "similarity_knn_suite", "dedup_crosscorpus_linkage",
     "data_profile_columns", "q1_pricing_summary", "stats_suite_by_flag",
-    "grouping_multi_suite", "q3_shipping_priority",
-    "q5_local_supplier_volume", "semi_anti_customers",
+    "grouping_multi_suite", "semi_anti_customers",
     "left_join_order_counts", "setop_suite", "window_rank_running_suite",
-    "string_funcs_part", "split_key_parts", "json_props_extract",
     "range_band_join", "pivot_event_type_counts", "array_funcs_tokens",
-    "q12_shipmode_priority", "q18_large_volume_customers",
-    "regex_scalar_customer", "unpivot_order_metrics",
-    "q6_q19_filter_aggregates", "salted_agg_by_nation",
+    "unpivot_order_metrics", "salted_agg_by_nation",
     "window_analytics_suite", "scalar_semantics_suite",
+    # r11 fold: the 9 relational singles (q3/q5/q12/q18/q6q19 + strfn/
+    # split/json/regex, driver-green r1-r10) became two canary-protected
+    # suites...
+    "tpch_qsuite", "scalar_regex_suite",
+    # ...freeing 7 slots for the promoted r10 extensions (catalog/
+    # __init__.py _PROMOTED):
+    "kn_lm_perplexity", "classifier_eval_suite", "retrieval_eval_suite",
+    "image_phash_dedup", "geo_radius_pairs", "privacy_kanon_suite",
+    "timeseries_gapfill_suite",
 ]
 
 
@@ -149,13 +156,10 @@ def test_catalog_driver_window_is_exactly_fifty(plans):
     names = list(CATALOG)
     assert names[:50] == DRIVER_WINDOW
     assert names[50:] == [
-        "dsir_importance", "crawl_extract_suite", "image_phash_dedup",
-        "video_phash_dedup", "audio_fp_dedup", "kn_lm_perplexity",
-        "classifier_eval_suite", "corpus_drift_suite",
-        "retrieval_eval_suite", "pmi_collocations",
-        "decontam_embedding_recall", "score_bucket_suite",
-        "unimax_suite", "privacy_kanon_suite", "timeseries_gapfill_suite",
-        "geo_radius_pairs", "phonetic_soundex_suite",
+        "dsir_importance", "crawl_extract_suite",
+        "video_phash_dedup", "audio_fp_dedup", "corpus_drift_suite",
+        "pmi_collocations", "decontam_embedding_recall",
+        "score_bucket_suite", "unimax_suite", "phonetic_soundex_suite",
         "jaro_linkage_suite", "markov_transitions",
         "anomaly_zscore_suite", "trend_forecast_suite",
         "quantile_norm_suite", "cusum_shift_suite",
