@@ -1,6 +1,11 @@
 from .geohash import geohash, geohash_encode, geohash_expr, geohash_udf
 from .phonetic import soundex_candidates, soundex_expr
-from .text import clean_text, html_to_text
+from .text import (
+    clean_text,
+    html_to_text,
+    segment_nospace_chars,
+    tokens_unicode,
+)
 from .url import (
     extract_host,
     normalize_url,
@@ -17,6 +22,8 @@ __all__ = [
     "soundex_candidates",
     "clean_text",
     "html_to_text",
+    "segment_nospace_chars",
+    "tokens_unicode",
     "extract_host",
     "normalize_url",
     "registered_domain",

@@ -47,6 +47,101 @@ def bpe_ish_tokens(text: Column | str) -> Column:
     return F.split(F.trim(marked), WHITESPACE_RE)
 
 
+#: BMP ranges of scripts written WITHOUT inter-word spaces (class body,
+#: no brackets — splice into regex char classes). Whitespace tokenization
+#: sees whole sentences as one "token" on these scripts, so vocab/KN-LM/
+#: BM25/shingle-dedup/Gopher all silently degrade on zh/ja/th corpora
+#: (VERDICT r10 item 2). Korean is EXCLUDED: Hangul text uses spaces.
+#: Literal characters (not \\u escapes) so the same class string works in
+#: Java regex (Spark) and RE2 (DuckDB oracle twins).
+NOSPACE_SCRIPT_CLASS = (
+    "一-鿿"   # CJK Unified Ideographs
+    "㐀-䶿"   # CJK Extension A
+    "豈-﫿"   # CJK Compatibility Ideographs
+    "぀-ゟ"   # Hiragana
+    "゠-ヿ"   # Katakana
+    "ㇰ-ㇿ"   # Katakana Phonetic Extensions
+    "々〇"    # iteration mark / ideographic zero (idiomatic in zh/ja)
+    "฀-ฺเ-๎"  # Thai letters/vowels/tones (digits+punct excluded)
+    "຀-໿"   # Lao
+    "က-႟"   # Myanmar
+    "ក-៿"   # Khmer
+)
+
+#: ASCII Record Separator: run delimiter inserted by tokens_unicode —
+#: never appears in natural text, survives both engines' regex literally
+_RS = "\x1e"
+
+
+def segment_nospace_chars(text: Column | str) -> Column:
+    """string -> string: insert spaces around every no-space-script
+    codepoint, leaving all other text byte-identical. One global
+    ``regexp_replace`` — pure codegen, map-only.
+
+    This is the THREADING form (VERDICT r10 item 2): pre-segment the text
+    column once and every downstream whitespace tokenizer — vocab build,
+    KN-LM fit/score, BM25, shingle dedup, Gopher quality — sees
+    per-character CJK/Thai units instead of sentence-sized blobs, with
+    zero operator-signature changes. Latin/space corpora pass through
+    unchanged (the regex matches nothing), so applying it unconditionally
+    is the auto mode."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(c, f"([{NOSPACE_SCRIPT_CLASS}])", " $1 ")
+
+
+def tokens_unicode(text: Column | str, mode: str = "bigram") -> Column:
+    """Unicode-segmentation tokenizer -> array<string>: whitespace tokens
+    for spaced scripts, per-run character bigrams (``mode='bigram'``, the
+    Lucene CJKAnalyzer convention — run ``c1c2c3`` -> ``c1c2, c2c3``;
+    single-char run -> itself) or single characters (``mode='char'``) for
+    the no-space scripts. Identical to :func:`tokens` on text containing
+    no no-space-script codepoints — the regression gate pins this.
+
+    Pure codegen (regexp run marking -> split -> per-run ``transform``
+    over a ``sequence``): no Python stage, no shuffle — safe in any
+    100 TB map stage. Bigrams keep adjacency WITHIN a run only (runs are
+    isolated before expansion), so tokens never span a space or a Latin
+    boundary."""
+    if mode not in ("bigram", "char"):
+        raise ValueError(f"mode must be 'bigram' or 'char', got {mode!r}")
+    c = F.col(text) if isinstance(text, str) else text
+    trimmed = F.trim(c)
+    marked = F.regexp_replace(
+        trimmed, f"([{NOSPACE_SCRIPT_CLASS}]+)", f"{_RS}$1{_RS}"
+    )
+    parts = F.filter(
+        F.split(marked, f"[{_RS} \t\n\r\f]+"), lambda x: x != F.lit("")
+    )
+    if mode == "char":
+        def expand(r: Column) -> Column:
+            return F.transform(
+                F.sequence(F.lit(1), F.length(r)),
+                lambda i: r.substr(i, F.lit(1)),
+            )
+    else:
+        def expand(r: Column) -> Column:
+            return F.when(F.length(r) == 1, F.array(r)).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(r) - 1),
+                    lambda i: r.substr(i, F.lit(2)),
+                )
+            )
+    segmented = F.flatten(
+        F.transform(
+            parts,
+            lambda r: F.when(
+                r.rlike(f"^[{NOSPACE_SCRIPT_CLASS}]"), expand(r)
+            ).otherwise(F.array(r)),
+        )
+    )
+    # parity with tokens(): empty/whitespace-only text yields [""] there
+    # (split of the empty string), so mirror it — the regression gate
+    # compares the two tokenizers array-for-array on whitespace corpora
+    return F.when(F.length(trimmed) == 0, F.array(F.lit(""))).otherwise(
+        segmented
+    )
+
+
 def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
