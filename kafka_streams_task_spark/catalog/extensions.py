@@ -3386,3 +3386,158 @@ def geo_cluster_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ncomp)
         .unionByName(canary)
     )
+
+# ---------------------------------------------------------------------------
+# r11: Unicode-segmentation tokenizer gate (VERDICT r10 item 2) — planted
+# zh/ja/th/en/mixed docs with independently-verified frozen goldens
+# (oracle-constant recipe: computed during dev with a from-scratch plain-
+# Python reimplementation, frozen as literals), a segmented-vs-raw shingle
+# dedup recall invariant, and the REAL cross-engine regression leg: on the
+# whitespace-only synthetic corpus, tokens_unicode must equal tokens()
+# array-for-array and the corpus token total must match DuckDB's
+# string_split_regex count exactly.
+# ---------------------------------------------------------------------------
+
+#: planted multilingual docs (id, text) — Chinese, Japanese (kanji+kana),
+#: Thai (two space-separated words, combining tone mark inside the 2nd),
+#: plain English, Latin-adjacent-to-CJK mixed, empty
+_UT_DOCS = [
+    (1, "今天天气很好"),
+    (2, "日本語のテスト"),
+    (3, "ภาษาไทย ง่าย"),
+    (4, "plain english text"),
+    (5, "GPU加速训练 pipeline"),
+    (6, ""),
+]
+
+#: frozen goldens (id, n_bigram, n_char, bigram tokens '|'-joined)
+_UT_GOLD = [
+    (1, 5, 6, "今天|天天|天气|气很|很好"),
+    (2, 6, 7, "日本|本語|語の|のテ|テス|スト"),
+    (3, 9, 11, "ภา|าษ|ษา|าไ|ไท|ทย|ง่|่า|าย"),
+    (4, 3, 3, "plain|english|text"),
+    (5, 5, 6, "GPU|加速|速训|训练|pipeline"),
+    (6, 1, 1, ""),
+]
+
+#: planted near-dup pair (1, 2 share a 16-char prefix) + distinct doc —
+#: invisible to whitespace shingles (each doc is ONE token), found at
+#: jaccard >= 0.5 over segmented character shingles
+_UT_NEAR = [
+    (1, "今天天气很好我们去公园散步然后喝茶"),
+    (2, "今天天气很好我们去公园散步然后喝咖啡"),
+    (3, "完全不同的文档内容与前面无关"),
+]
+
+
+def _ut_gold_sql() -> str:
+    branches = []
+    for i, nb, nc, toks in _UT_GOLD:
+        t = toks.replace("'", "''")
+        branches.append(
+            f"SELECT CAST('count' AS VARCHAR) AS leg, CAST({i} AS BIGINT) AS key, "
+            f"CAST(NULL AS VARCHAR) AS s1, CAST({nb} AS BIGINT) AS i1, "
+            f"CAST({nc} AS BIGINT) AS i2"
+        )
+        branches.append(
+            f"SELECT CAST('toks' AS VARCHAR), CAST({i} AS BIGINT), "
+            f"CAST('{t}' AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)"
+        )
+    return " UNION ALL ".join(branches)
+
+
+def _ut_oracle() -> str:
+    from .llm_suites import _SUITE_COLS, canary_sql
+
+    return f"""
+    {_ut_gold_sql()}
+    UNION ALL
+    SELECT CAST('dedup' AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT CAST('ws' AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(0 AS BIGINT),
+           (SELECT CAST(sum(len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+'))) AS BIGINT)
+            FROM documents)
+    UNION ALL
+    {canary_sql(_SUITE_COLS)}
+    """
+
+
+@query("unicode_token_suite", oracle=_ut_oracle())
+def unicode_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-segmentation tokenizer legs:
+
+    'count' — bigram/char token counts per planted doc vs frozen goldens;
+    'toks'  — the full bigram token sequence per planted doc ('|'-joined)
+              vs frozen goldens (adjacency isolation, digit exclusion,
+              empty-text parity all pinned by value);
+    'dedup' — planted zh near-dup pair: found through segmented character
+              shingles (i1 = 1), invisible to whitespace shingles
+              (i2 = 0) — the capability the tokenizer exists for;
+    'ws'    — REAL cross-engine regression on the whitespace-only
+              synthetic corpus: i1 = docs where tokens_unicode differs
+              from tokens() (stated 0), i2 = corpus token total, which
+              DuckDB recomputes with its own string_split_regex;
+    'canary'— constant rows stated identically by both engines.
+
+    Reference provenance: no analogue in idavkaev/kafka-streams-task
+    (whitespace-only English topic data); this is the engine's
+    multilingual 100 TB surface. Scale shape: every leg is pure codegen
+    map work + one aggregate — no joins besides the planted-frame ones,
+    no Python stage."""
+    from ..functions.text import segment_nospace_chars, tokens, tokens_unicode
+    from ..operators.dedup import ngram_jaccard_pairs
+    from .llm_suites import _SUITE_COLS, canary_df
+
+    nul = F.lit(None).cast("long")
+    nus = F.lit(None).cast("string")
+
+    planted = spark.createDataFrame(_UT_DOCS, "id long, text string")
+    count_leg = planted.select(
+        F.lit("count").alias("leg"),
+        F.col("id").alias("key"),
+        nus.alias("s1"),
+        F.size(tokens_unicode("text", mode="bigram")).cast("long").alias("i1"),
+        F.size(tokens_unicode("text", mode="char")).cast("long").alias("i2"),
+    )
+    toks_leg = planted.select(
+        F.lit("toks").alias("leg"),
+        F.col("id").alias("key"),
+        F.array_join(tokens_unicode("text", mode="bigram"), "|").alias("s1"),
+        nul.alias("i1"),
+        nul.alias("i2"),
+    )
+
+    near = spark.createDataFrame(_UT_NEAR, "doc_id long, text string")
+    seg = near.withColumn("text", segment_nospace_chars("text"))
+    n_seg = ngram_jaccard_pairs(seg, shingle_n=3, threshold=0.5).agg(
+        F.count(F.lit(1)).cast("long").alias("i1")
+    )
+    n_raw = ngram_jaccard_pairs(near, shingle_n=3, threshold=0.5).agg(
+        F.count(F.lit(1)).cast("long").alias("i2")
+    )
+    dedup_leg = n_seg.crossJoin(n_raw).select(
+        F.lit("dedup").alias("leg"), nul.alias("key"), nus.alias("s1"),
+        "i1", "i2",
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws_leg = docs.agg(
+        F.sum(
+            (tokens_unicode("text") != tokens("text")).cast("long")
+        ).alias("i1"),
+        F.sum(F.size(tokens_unicode("text")).cast("long")).alias("i2"),
+    ).select(
+        F.lit("ws").alias("leg"), nul.alias("key"), nus.alias("s1"),
+        "i1", "i2",
+    )
+
+    return (
+        count_leg.unionByName(toks_leg)
+        .unionByName(dedup_leg)
+        .unionByName(ws_leg)
+        .unionByName(canary_df(spark, _SUITE_COLS))
+    )
+
+

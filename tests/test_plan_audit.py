@@ -54,6 +54,9 @@ BNLJ_ALLOWED = {
     # broadcast-crossJoined onto the contingency cells — the quantile-
     # gate precedent
     "stat_audit_suite",
+    # r11: unicode_token_suite's dedup leg crossJoins two 1-row pair
+    # counters (segmented vs raw) — the quantile-gate precedent
+    "unicode_token_suite",
 }
 
 #: queries allowed Python/Arrow stages, with a ceiling per query — every
@@ -164,7 +167,7 @@ def test_catalog_driver_window_is_exactly_fifty(plans):
         "anomaly_zscore_suite", "trend_forecast_suite",
         "quantile_norm_suite", "cusum_shift_suite",
         "robust_scale_suite", "stat_audit_suite",
-        "geo_cluster_suite",
+        "geo_cluster_suite", "unicode_token_suite",
     ]
 
 
