@@ -27,8 +27,12 @@ equi-join — candidates are bounded by per-cell occupancy, never |A|×|B|
 (the plan audit proves no CartesianProduct / BNLJ); the constant ring
 expansion is a cheap JVM explode; haversine is whole-stage-codegen
 trig. Dense-city cell skew is the known hazard — AQE skew-join
-splitting handles moderate skew, and ``cell_deg`` is the tuning knob
-(smaller cells = more keys, less skew, bigger ring).
+splitting handles moderate skew (pinned by
+tests/test_spatial.py::test_megacity_cell_skew_aqe_split_engages: a
+500x-occupancy cell under a forced shuffle join gets an
+``AQEShuffleRead skewed`` split with exact results), and ``cell_deg``
+is the tuning knob (smaller cells = more keys, less skew, bigger
+ring).
 """
 
 from __future__ import annotations
