@@ -199,39 +199,83 @@ def jaro_winkler_udf(
     return _jw.asNondeterministic()
 
 
+def unicode_prefold():
+    """Arrow-batched ``string -> string`` NFC + casefold: the unicode
+    pre-fold for name matching (VERDICT r10 item 5). NFC collapses
+    composed/decomposed accent encodings (macOS exports are NFD) and
+    ``str.casefold`` is the Unicode full case fold (ß -> ss, not just
+    lower()), so byte-distinct spellings of the same name block and
+    score identically. NULL in -> NULL out.
+
+    Marked asNondeterministic (factually deterministic): downstream
+    codegen filters DERIVE from this output (soundex keys, null guards)
+    and Catalyst would otherwise push them below the stage with the
+    derivation substituted — splitting and DUPLICATING the Arrow stage
+    (the dsir_score_dense lesson)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _fold(s: pd.Series) -> pd.Series:
+        return s.str.normalize("NFC").map(
+            lambda x: x.casefold() if isinstance(x, str) else None
+        )
+
+    return _fold.asNondeterministic()
+
+
 def phonetic_jw_pairs(
     df: DataFrame,
     id_col: str,
     name_col: str,
     min_sim: float = 0.85,
+    prefold: bool = False,
 ) -> DataFrame:
     """Classic record-linkage stack: Soundex blocking
     (functions/phonetic.py) generates candidates, Jaro-Winkler >=
     ``min_sim`` verifies. Returns (id_a, id_b, name_a, name_b, jw).
     The block join shuffles on the 4-char phonetic key; names ride
-    the candidate pairs only (never all-pairs)."""
+    the candidate pairs only (never all-pairs).
+
+    ``prefold=True`` NFC+casefolds names (one extra Arrow stage over
+    the corpus, :func:`unicode_prefold`) BEFORE both blocking and
+    scoring, so composed/decomposed accents and case/ß variants of the
+    same name land in one block and score 1.0; ``name_a``/``name_b``
+    stay the original spellings. Without it the scorer sees raw
+    codepoints — parity with DuckDB's byte-based
+    ``jaro_winkler_similarity`` holds on ASCII only (the catalog gate
+    keeps its inputs ASCII; tests/test_jaro.py pins the non-ASCII
+    divergence vectors)."""
     from ..functions.phonetic import soundex_expr
 
-    keyed = df.select(
-        F.col(id_col).alias("_lid"),
-        F.col(name_col).alias("_lname"),
-        soundex_expr(name_col).alias("_sdx"),
-    ).filter(F.col("_sdx").isNotNull())
+    match_src = (
+        unicode_prefold()(F.col(name_col)) if prefold else F.col(name_col)
+    )
+    keyed = (
+        df.select(
+            F.col(id_col).alias("_lid"),
+            F.col(name_col).alias("_lname"),
+            match_src.alias("_lmatch"),
+        )
+        .select("*", soundex_expr("_lmatch").alias("_sdx"))
+        .filter(F.col("_sdx").isNotNull())
+    )
     a = keyed.select(
         F.col("_lid").alias("id_a"),
         F.col("_lname").alias("name_a"),
+        F.col("_lmatch").alias("_ma"),
         "_sdx",
     )
     b = keyed.select(
         F.col("_lid").alias("id_b"),
         F.col("_lname").alias("name_b"),
+        F.col("_lmatch").alias("_mb"),
         "_sdx",
     )
     jw = jaro_winkler_udf()
     return (
         a.join(b, "_sdx", "inner")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("jw", jw(F.col("name_a"), F.col("name_b")))
+        .withColumn("jw", jw(F.col("_ma"), F.col("_mb")))
         .filter(F.col("jw") >= F.lit(float(min_sim)))
         .select("id_a", "id_b", "name_a", "name_b", "jw")
     )

