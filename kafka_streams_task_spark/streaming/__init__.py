@@ -7,6 +7,11 @@ from .dedup import (
 )
 from .dsir import streaming_dsir_filter
 from .anomaly import streaming_zscore
+from .drift import (
+    read_drift_log,
+    snapshot_drift_history,
+    streaming_snapshot_drift,
+)
 from .gapfill import streaming_locf
 from .kn import streaming_kn_filter
 from .pipeline import commit_batch_to_snapshot, streaming_crawl_to_snapshot
@@ -26,4 +31,7 @@ __all__ = [
     "streaming_kn_filter",
     "streaming_crawl_to_snapshot",
     "commit_batch_to_snapshot",
+    "snapshot_drift_history",
+    "streaming_snapshot_drift",
+    "read_drift_log",
 ]

@@ -1,0 +1,182 @@
+"""Streaming drift monitoring over snapshot versions (streaming/drift.py)
+— per-batch commit + drift report, batch equivalence, and exactly-once
+under redelivery/restart.
+"""
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import types as T
+
+from kafka_streams_task_spark.operators.snapshots import snapshot_versions
+from kafka_streams_task_spark.streaming.drift import (
+    read_drift_log,
+    snapshot_drift_history,
+    streaming_snapshot_drift,
+)
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="sdrift_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+_B0 = [
+    {"doc_id": 1, "text": "the cat sat on the mat"},
+    {"doc_id": 2, "text": "a dog ran in the park"},
+]
+_B1 = [
+    {"doc_id": 3, "text": "the cat sat on the mat again"},
+    {"doc_id": 4, "text": "quantum flux capacitors hum"},
+]
+_B2 = [
+    {"doc_id": 5, "text": "entirely novel vocabulary appears here"},
+]
+
+
+def _write_batches(src: str) -> None:
+    os.makedirs(src)
+    for i, rows in enumerate((_B0, _B1, _B2)):
+        p = f"{src}/b{i}.json"
+        with open(p, "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows))
+        os.utime(p, (1000000000 + 100 * i, 1000000000 + 100 * i))
+
+
+def _run(spark, src: str, tmpdir: str, ckpt: str = "ckpt"):
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q = streaming_snapshot_drift(
+        stream,
+        f"{tmpdir}/table",
+        f"{tmpdir}/driftlog",
+        f"{tmpdir}/{ckpt}",
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_commits_versions_and_reports(spark, tmpdir):
+    src = f"{tmpdir}/src"
+    _write_batches(src)
+    _run(spark, src, tmpdir)
+
+    vs = snapshot_versions(spark, f"{tmpdir}/table").collect()
+    assert sorted(r["version"] for r in vs) == [1, 2, 3]
+
+    log = read_drift_log(spark, f"{tmpdir}/driftlog").collect()
+    # 3 batches -> reports for (1,2) and (2,3); batch 0 has no predecessor
+    assert sorted((r["old_version"], r["new_version"]) for r in log) == [
+        (1, 2),
+        (2, 3),
+    ]
+    by_pair = {(r["old_version"], r["new_version"]): r for r in log}
+    # version 2 adds "quantum flux capacitors hum": new vocabulary mass
+    assert by_pair[(1, 2)]["new_mass"] > 0
+    # old corpus (v1+v2) is 13+11=... all old tokens persist into v3
+    assert by_pair[(2, 3)]["lost_mass"] == pytest.approx(0.0)
+    assert all(r["js_divergence"] is not None for r in log)
+
+
+def test_streaming_log_equals_batch_history(spark, tmpdir):
+    """The equivalence gate: the streaming log rows must equal
+    snapshot_drift_history over the committed table, column for column
+    (same code path over the same immutable committed bytes — exact
+    equality, not tolerance)."""
+    src = f"{tmpdir}/src"
+    _write_batches(src)
+    _run(spark, src, tmpdir)
+
+    cols = [
+        "old_version", "new_version", "old_tokens", "new_tokens",
+        "old_vocab", "new_vocab", "shared_vocab", "js_divergence",
+        "new_mass", "lost_mass",
+    ]
+    stream_rows = sorted(
+        tuple(r[c] for c in cols)
+        for r in read_drift_log(spark, f"{tmpdir}/driftlog").collect()
+    )
+    batch_rows = sorted(
+        tuple(r[c] for c in cols)
+        for r in snapshot_drift_history(spark, f"{tmpdir}/table").collect()
+    )
+    assert stream_rows == batch_rows and len(batch_rows) == 2
+
+
+def test_redelivery_heals_report_without_recommitting(spark, tmpdir):
+    """Genuine foreachBatch redelivery (the at-least-once contract):
+    dropping the last batch's commit marker makes the restarted stream
+    replay batch 2. The replay must NOT commit a fourth version (the
+    manifest tag detects the redelivery) and MUST regenerate the drift
+    report we delete to simulate a crash that landed between the
+    snapshot commit and the report write."""
+    src = f"{tmpdir}/src"
+    _write_batches(src)
+    _run(spark, src, tmpdir)
+    before_log = sorted(
+        tuple(r)
+        for r in read_drift_log(spark, f"{tmpdir}/driftlog")
+        .select("old_version", "new_version", "new_tokens", "js_divergence")
+        .collect()
+    )
+
+    os.remove(f"{tmpdir}/ckpt/commits/2")
+    # local-FS checksum shadow: leaving .2.crc behind makes the commit
+    # rewrite look like a concurrent modification to Spark's
+    # CheckpointFileManager
+    crc = f"{tmpdir}/ckpt/commits/.2.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    shutil.rmtree(f"{tmpdir}/driftlog/batch_id=2")
+    _run(spark, src, tmpdir)
+
+    after_vs = sorted(
+        r["version"]
+        for r in snapshot_versions(spark, f"{tmpdir}/table").collect()
+    )
+    after_log = sorted(
+        tuple(r)
+        for r in read_drift_log(spark, f"{tmpdir}/driftlog")
+        .select("old_version", "new_version", "new_tokens", "js_divergence")
+        .collect()
+    )
+    assert after_vs == [1, 2, 3]  # no recommit
+    assert after_log == before_log  # report healed, values identical
+
+
+def test_quiet_rerun_adds_nothing(spark, tmpdir):
+    """availableNow rerun with no new source files: no versions, no
+    empty-version spam, drift log untouched."""
+    src = f"{tmpdir}/src"
+    _write_batches(src)
+    _run(spark, src, tmpdir)
+    n_vs = snapshot_versions(spark, f"{tmpdir}/table").count()
+    n_log = read_drift_log(spark, f"{tmpdir}/driftlog").count()
+    _run(spark, src, tmpdir)
+    assert snapshot_versions(spark, f"{tmpdir}/table").count() == n_vs
+    assert read_drift_log(spark, f"{tmpdir}/driftlog").count() == n_log
+
+
+def test_empty_history_and_single_version(spark, tmpdir):
+    from kafka_streams_task_spark.operators.snapshots import snapshot_write
+
+    path = f"{tmpdir}/t2"
+    assert snapshot_drift_history(spark, path).count() == 0
+    df = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    snapshot_write(spark, df, path)
+    assert snapshot_drift_history(spark, path).count() == 0
