@@ -196,6 +196,10 @@ OPS_SECTION = [
     "cusum_shift",
     "robust_scale",
     "stat_audit",
+    # r11: Unicode-segmentation tokenizer (CJK bigram) vocabulary build
+    # over 100k generated 40-char Han runs + latin tails — the regex
+    # run-marking -> split -> per-run transform chain at corpus volume
+    "unicode_tokens",
 ]
 
 #: frozen first-measurements for the ops section (set r8, steady-state
@@ -911,6 +915,36 @@ def _ops_workloads():
             F.avg("robust_z").alias("m"), F.count(F.lit(1)).alias("n")
         )
 
+    def _unicode_tokens(s, d):
+        # r11: CJK bigram vocabulary build — 100k generated 40-char Han
+        # runs (synthetic doc vocab is too tiny for string kernels, the
+        # r10 lesson) with latin tails, through the full codegen chain:
+        # regex run-marking -> split -> per-run bigram transform ->
+        # explode -> count agg
+        from kafka_streams_task_spark.functions.text import tokens_unicode
+
+        ev = load_table(s, d, "events")
+        alph = F.array(*[F.lit(chr(0x4E00 + i)) for i in range(64)])
+        run = F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(40)),
+                lambda i: F.element_at(
+                    alph, (F.pmod(F.col("event_id") * i, 64) + 1).cast("int")
+                ),
+            ),
+            "",
+        )
+        docs = ev.select(
+            F.concat(
+                run, F.lit(" latin"), (F.col("event_id") % 97).cast("string")
+            ).alias("text")
+        )
+        return (
+            docs.select(F.explode(tokens_unicode("text")).alias("t"))
+            .groupBy("t")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
     def _stat_audit(s, d):
         # r10 fourth wave: Benford digit agg + chi-square contingency
         # over 100k events
@@ -1025,6 +1059,7 @@ def _ops_workloads():
         "cusum_shift": _cusum_shift,
         "robust_scale": _robust_scale,
         "stat_audit": _stat_audit,
+        "unicode_tokens": _unicode_tokens,
     }
 
 

@@ -3541,3 +3541,143 @@ def unicode_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# r11: script-mix profile + script-first language ID gate — REAL
+# cross-engine oracle: DuckDB recomputes every script count with its own
+# RE2 regexp_replace over the IDENTICAL class strings (chr()-built, so
+# both engines parse the same codepoint ranges), and the corpus leg runs
+# over the real documents table. Language labels are a stated decision
+# table (script presence is closed-form).
+# ---------------------------------------------------------------------------
+
+#: planted multilingual docs for the mix/lang legs (id, text) — NFC-stable
+#: codepoints only (Han/kana/Hangul/Thai are normalization-invariant)
+_SM_DOCS = [
+    (1, "日本語のテスト"),
+    (2, "中文文本没有假名"),
+    (3, "한국어 텍스트"),
+    (4, "ภาษาไทย"),
+    (5, "the cat is with the dog"),
+    (6, "GPU加速 훈련 123"),
+    (7, ""),
+]
+
+#: stated language labels (script-first precedence: kana > hangul > thai
+#: > han > stopword heuristic); doc 6 has hangul -> 'ko' wins over han
+_SM_LANGS = {1: "ja", 2: "zh", 3: "ko", 4: "th", 5: "en", 6: "ko", 7: "und"}
+
+
+def _sm_oracle() -> str:
+    from ..functions.text import SCRIPT_CLASSES
+    from .llm_suites import _SUITE_COLS, canary_sql
+
+    vals = ", ".join(
+        "({}, '{}')".format(i, t.replace("'", "''")) for i, t in _SM_DOCS
+    )
+    mix_branches = []
+    for s, cls in SCRIPT_CLASSES.items():
+        mix_branches.append(f"""
+    SELECT CAST('mix' AS VARCHAR) AS leg, CAST(id AS BIGINT) AS key,
+           CAST('{s}' AS VARCHAR) AS s1,
+           CASE WHEN length(t) = 0 THEN CAST(NULL AS BIGINT)
+                ELSE CAST(floor((CAST(length(regexp_replace(t, '[^{cls}]', '', 'g')) AS DOUBLE)
+                                 / CAST(length(t) AS DOUBLE)) * 1000000.0 + 1e-09 + 0.5) AS BIGINT)
+           END AS i1,
+           CAST(length(regexp_replace(t, '[^{cls}]', '', 'g')) AS BIGINT) AS i2
+    FROM (VALUES {vals}) AS d(id, t)""")
+    lang_branches = " UNION ALL ".join(
+        f"SELECT CAST('lang' AS VARCHAR), CAST({i} AS BIGINT), "
+        f"CAST('{_SM_LANGS[i]}' AS VARCHAR), CAST(NULL AS BIGINT), "
+        f"CAST(NULL AS BIGINT)"
+        for i, _ in _SM_DOCS
+    )
+    lat = SCRIPT_CLASSES["latin"]
+    return f"""
+    {' UNION ALL '.join(mix_branches)}
+    UNION ALL
+    {lang_branches}
+    UNION ALL
+    SELECT CAST('corpus' AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           (SELECT CAST(sum(length(regexp_replace(text, '[^{lat}]', '', 'g'))) AS BIGINT)
+            FROM documents),
+           (SELECT CAST(sum(length(text)) AS BIGINT) FROM documents)
+    UNION ALL
+    {canary_sql(_SUITE_COLS)}
+    """
+
+
+@query("script_mix_suite", oracle=_sm_oracle())
+def script_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Script-mix / language-ID legs:
+
+    'mix'    — per (planted doc, script): character fraction (fmicro)
+               and raw count through the engine's codegen
+               regexp-strip+length chain; DuckDB INDEPENDENTLY
+               recomputes both with its own RE2 over the identical
+               chr()-built class strings — two regex engines, one
+               answer (incl. NULL fractions on the empty doc);
+    'lang'   — lang_id_script per planted doc vs the stated decision
+               table (kana>hangul>thai>han precedence; mixed
+               han+hangul reads 'ko'; latin falls back to the stopword
+               heuristic);
+    'corpus' — the real documents table: total latin codepoints and
+               total codepoints as EXACT integer sums both engines
+               compute from their own regex machinery (no float
+               summation-order exposure);
+    'canary' — constant rows stated identically by both engines.
+
+    Scale shape: pure map-side codegen + one aggregate; no joins, no
+    Python stages."""
+    from ..functions.text import (
+        SCRIPT_CLASSES,
+        lang_id_script,
+        script_count,
+    )
+    from .llm_suites import _SUITE_COLS, canary_df, fmicro_col
+
+    nul = F.lit(None).cast("long")
+    nus = F.lit(None).cast("string")
+    planted = spark.createDataFrame(_SM_DOCS, "id long, t string")
+
+    mix_legs = None
+    for s in SCRIPT_CLASSES:
+        cnt = script_count(F.col("t"), s)
+        total = F.length("t")
+        leg = planted.select(
+            F.lit("mix").alias("leg"),
+            F.col("id").alias("key"),
+            F.lit(s).alias("s1"),
+            F.when(
+                total == 0, nul
+            ).otherwise(
+                fmicro_col(
+                    F.try_divide(cnt.cast("double"), total.cast("double"))
+                )
+            ).alias("i1"),
+            cnt.cast("long").alias("i2"),
+        )
+        mix_legs = leg if mix_legs is None else mix_legs.unionByName(leg)
+
+    lang_leg = planted.select(
+        F.lit("lang").alias("leg"),
+        F.col("id").alias("key"),
+        lang_id_script("t").alias("s1"),
+        nul.alias("i1"),
+        nul.alias("i2"),
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_leg = docs.agg(
+        F.sum(script_count(F.col("text"), "latin").cast("long")).alias("i1"),
+        F.sum(F.length("text").cast("long")).alias("i2"),
+    ).select(
+        F.lit("corpus").alias("leg"), nul.alias("key"), nus.alias("s1"),
+        "i1", "i2",
+    )
+
+    return (
+        mix_legs.unionByName(lang_leg)
+        .unionByName(corpus_leg)
+        .unionByName(canary_df(spark, _SUITE_COLS))
+    )

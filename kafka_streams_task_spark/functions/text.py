@@ -47,25 +47,39 @@ def bpe_ish_tokens(text: Column | str) -> Column:
     return F.split(F.trim(marked), WHITESPACE_RE)
 
 
+def _char_ranges(*bounds: int) -> str:
+    """Char-class body from codepoint pairs via chr() — NEVER source
+    literals for compatibility/combining codepoints: NFC-normalizing
+    tooling silently rewrites them (U+F900 -> U+8C48 was caught live
+    widening a class over Hangul), and chr() is immune to file
+    encoding."""
+    assert len(bounds) % 2 == 0
+    return "".join(
+        f"{chr(a)}-{chr(b)}" for a, b in zip(bounds[::2], bounds[1::2])
+    )
+
+
 #: BMP ranges of scripts written WITHOUT inter-word spaces (class body,
 #: no brackets — splice into regex char classes). Whitespace tokenization
 #: sees whole sentences as one "token" on these scripts, so vocab/KN-LM/
 #: BM25/shingle-dedup/Gopher all silently degrade on zh/ja/th corpora
 #: (VERDICT r10 item 2). Korean is EXCLUDED: Hangul text uses spaces.
-#: Literal characters (not \\u escapes) so the same class string works in
-#: Java regex (Spark) and RE2 (DuckDB oracle twins).
-NOSPACE_SCRIPT_CLASS = (
-    "一-鿿"   # CJK Unified Ideographs
-    "㐀-䶿"   # CJK Extension A
-    "豈-﫿"   # CJK Compatibility Ideographs
-    "぀-ゟ"   # Hiragana
-    "゠-ヿ"   # Katakana
-    "ㇰ-ㇿ"   # Katakana Phonetic Extensions
-    "々〇"    # iteration mark / ideographic zero (idiomatic in zh/ja)
-    "฀-ฺเ-๎"  # Thai letters/vowels/tones (digits+punct excluded)
-    "຀-໿"   # Lao
-    "က-႟"   # Myanmar
-    "ក-៿"   # Khmer
+#: The class string works unchanged in Java regex (Spark) and RE2
+#: (DuckDB oracle twins).
+NOSPACE_SCRIPT_CLASS = _char_ranges(
+    0x4E00, 0x9FFF,  # CJK Unified Ideographs
+    0x3400, 0x4DBF,  # CJK Extension A
+    0xF900, 0xFAFF,  # CJK Compatibility Ideographs
+    0x3040, 0x309F,  # Hiragana
+    0x30A0, 0x30FF,  # Katakana
+    0x31F0, 0x31FF,  # Katakana Phonetic Extensions
+    0x3005, 0x3005,  # iteration mark (idiomatic in zh/ja)
+    0x3007, 0x3007,  # ideographic zero
+    0x0E00, 0x0E3A,  # Thai letters/vowels (digits+punct excluded)
+    0x0E40, 0x0E4E,  # Thai leading vowels/tones
+    0x0E80, 0x0EFF,  # Lao
+    0x1000, 0x109F,  # Myanmar
+    0x1780, 0x17FF,  # Khmer
 )
 
 #: ASCII Record Separator: run delimiter inserted by tokens_unicode —
@@ -511,6 +525,68 @@ def lang_id(text: Column | str) -> Column:
         F.when(cjk, F.lit("zh"))
         .when(best["hits"] > 0, best["lang"])
         .otherwise(F.lit("und"))
+    )
+
+
+#: script character classes for :func:`script_mix_columns` — identical
+#: class strings run under Java regex AND RE2 (DuckDB oracle twins).
+#: Codepoint-counting semantics: both engines' length() counts
+#: codepoints over these BMP ranges. chr()-built (see
+#: :func:`_char_ranges` — source literals corrupt under NFC tooling).
+SCRIPT_CLASSES = {
+    "han": _char_ranges(0x4E00, 0x9FFF, 0x3400, 0x4DBF, 0xF900, 0xFAFF),
+    "kana": _char_ranges(0x3040, 0x309F, 0x30A0, 0x30FF, 0x31F0, 0x31FF),
+    "hangul": _char_ranges(0xAC00, 0xD7A3),
+    "thai": _char_ranges(0x0E00, 0x0E7F),
+    "latin": "A-Za-z",
+    "digit": "0-9",
+}
+
+
+def script_count(text: Column | str, script: str) -> Column:
+    """Count of ``text``'s codepoints in the named script class —
+    ``length`` of the text with every OTHER character stripped (one
+    global ``regexp_replace``, pure codegen)."""
+    c = F.col(text) if isinstance(text, str) else text
+    cls = SCRIPT_CLASSES[script]
+    return F.length(F.regexp_replace(c, f"[^{cls}]", ""))
+
+
+def script_mix_columns(text: Column | str) -> list[Column]:
+    """Per-script character fractions ``frac_han .. frac_digit`` —
+    the script-mix profile of a document (the multilingual-corpus
+    triage signal: route no-space scripts to
+    :func:`segment_nospace_chars`, flag mixed-script spam, monitor a
+    crawl's language composition). NULL fractions on empty/NULL text
+    (no distribution to report). Codegen only; splat into a select."""
+    c = F.col(text) if isinstance(text, str) else text
+    total = F.length(c)
+    return [
+        F.try_divide(
+            script_count(c, s).cast("double"), total.cast("double")
+        ).alias(f"frac_{s}")
+        for s in SCRIPT_CLASSES
+    ]
+
+
+def lang_id_script(text: Column | str) -> Column:
+    """Script-first language ID: kana -> 'ja', hangul -> 'ko', thai ->
+    'th', han (without kana) -> 'zh', else the stopword-marker
+    heuristic (:func:`lang_id`: en/de/es/fr/und). Fixes lang_id's
+    blind spots — it labels ALL CJK 'zh' (kanji+kana Japanese included)
+    and knows nothing of Korean or Thai. ``lang_id`` itself stays
+    frozen: its outputs are hashed by committed driver-gate legs.
+    Precedence is the discriminating-script order: kana appears only in
+    Japanese, hangul only in Korean, so each beats the shared-han
+    signal; a mixed zh/ja doc with any kana reads 'ja' (the CJK
+    ambiguity is inherent to script-level ID)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return (
+        F.when(script_count(c, "kana") > 0, F.lit("ja"))
+        .when(script_count(c, "hangul") > 0, F.lit("ko"))
+        .when(script_count(c, "thai") > 0, F.lit("th"))
+        .when(script_count(c, "han") > 0, F.lit("zh"))
+        .otherwise(lang_id(c))
     )
 
 

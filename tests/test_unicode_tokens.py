@@ -137,3 +137,43 @@ def test_segmented_shingle_dedup_finds_zh_near_dups(spark):
     assert (1, 2) in pairs and len(pairs) == 1
     raw_pairs = ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.5).count()
     assert raw_pairs == 0
+
+
+def test_script_mix_fractions(spark):
+    from kafka_streams_task_spark.functions.text import script_mix_columns
+
+    rows = (
+        spark.createDataFrame(
+            [("中文ab1",), ("한국어",), ("",), (None,)], "t string"
+        )
+        .select("t", *script_mix_columns("t"))
+        .collect()
+    )
+    by_t = {r["t"]: r for r in rows}
+    r = by_t["中文ab1"]
+    assert r["frac_han"] == pytest.approx(0.4)
+    assert r["frac_latin"] == pytest.approx(0.4)
+    assert r["frac_digit"] == pytest.approx(0.2)
+    assert r["frac_kana"] == 0.0 and r["frac_hangul"] == 0.0
+    k = by_t["한국어"]
+    assert k["frac_hangul"] == pytest.approx(1.0) and k["frac_han"] == 0.0
+    # empty/NULL: no distribution to report
+    assert by_t[""]["frac_han"] is None
+    assert by_t[None]["frac_han"] is None
+
+
+def test_lang_id_script(spark):
+    from kafka_streams_task_spark.functions.text import lang_id_script
+
+    cases = [
+        ("日本語のテスト", "ja"),     # kanji + kana -> ja, not zh
+        ("中文文本没有假名", "zh"),
+        ("한국어 텍스트", "ko"),
+        ("ภาษาไทย", "th"),
+        ("the cat is with the dog", "en"),
+        ("xyzzy qwerty", "und"),
+    ]
+    df = spark.createDataFrame(cases, "t string, want string")
+    got = df.select("want", lang_id_script("t").alias("got")).collect()
+    for r in got:
+        assert r["got"] == r["want"], r
