@@ -223,6 +223,11 @@ OPS_BASELINE_SEC = {
     "snapshot_write_read": 0.70,
     # r8 third wave: post-model-pin steady state (pre-pin measured 4.2 —
     # the bucket-count aggs re-executed for every downstream consumer)
+    # r11: CJK bigram vocabulary build — 100k generated 40-char Han runs
+    # through regexp run-marking -> per-run bigram transform -> 4M-token
+    # explode + count agg. First in-harness measurement (calib 2.078,
+    # fast host).
+    "unicode_tokens": 3.92,
     # r11 re-freeze, same A/B receipt as bloom_decontaminate: r9 checkout
     # 3.28s vs r11 tree 3.04s steady-state on one host (dsir.py unchanged
     # r9->r11); the 2.60 freeze was the low tail of host variance.

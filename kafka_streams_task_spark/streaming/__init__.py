@@ -13,6 +13,7 @@ from .drift import (
     streaming_snapshot_drift,
 )
 from .gapfill import streaming_locf
+from .joins import interval_join
 from .kn import streaming_kn_filter
 from .pipeline import commit_batch_to_snapshot, streaming_crawl_to_snapshot
 from .topology import weather_hotels_stream, weather_rollup_stream
@@ -34,4 +35,5 @@ __all__ = [
     "snapshot_drift_history",
     "streaming_snapshot_drift",
     "read_drift_log",
+    "interval_join",
 ]
