@@ -3681,3 +3681,110 @@ def script_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(corpus_leg)
         .unionByName(canary_df(spark, _SUITE_COLS))
     )
+
+# ---------------------------------------------------------------------------
+# r11: directional n-gram containment pairs — the asymmetric near-dup
+# relation (quote-inside-article, strict supersets) Jaccard structurally
+# misses. Real cross-engine gate: DuckDB re-derives the full pair table
+# over the ACTUAL documents corpus with its own unnest/join machinery
+# (the dedup_exact_family 'jaccard' leg precedent), plus a planted
+# quote/superset decision table verified by the python-reference unit
+# test before freezing.
+# ---------------------------------------------------------------------------
+
+_CT_COLS = [("key", "long"), ("key_b", "long"), ("i1", "long"), ("i2", "long")]
+
+#: planted quote corpus: B = A + tail (A contained), D = A quoted inside
+#: a larger doc, C disjoint — stated rows below computed by the
+#: from-scratch python reference in tests/test_llm_ops.py
+_CT_DOCS = [
+    (1, "w1 w2 w3 w4 w5 w6"),
+    (2, "w1 w2 w3 w4 w5 w6 x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12"),
+    (3, "z1 z2 z3 z4 z5"),
+    (4, "h1 h2 h3 h4 h5 h6 h7 h8 w1 w2 w3 w4 w5 w6 t1 t2 t3 t4 t5 t6 t7 t8"),
+]
+
+#: (id_a, id_b, cont_a_in_b_micro, cont_b_in_a_micro) at threshold 0.9:
+#: A(4 grams) fully inside B(16) and D(20)
+_CT_PLANTED = [(1, 2, 1000000, 250000), (1, 4, 1000000, 200000)]
+
+
+def _ct_oracle() -> str:
+    from .llm_suites import canary_sql, sql_fmicro
+
+    planted = " UNION ALL ".join(
+        f"SELECT CAST('planted' AS VARCHAR), CAST({a} AS BIGINT), "
+        f"CAST({b} AS BIGINT), CAST({ca} AS BIGINT), CAST({cb} AS BIGINT)"
+        for a, b, ca, cb in _CT_PLANTED
+    )
+    return f"""
+    SELECT CAST('pairs' AS VARCHAR) AS leg, CAST(j.id_a AS BIGINT) AS key,
+           CAST(j.id_b AS BIGINT) AS key_b,
+           CAST(j.cam AS BIGINT) AS i1, CAST(j.cbm AS BIGINT) AS i2
+    FROM (
+      WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(sh_list)) AS shingle
+        FROM (
+          SELECT doc_id,
+                 CASE WHEN len(t) >= 3
+                      THEN list_transform(range(1, len(t) - 1),
+                                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                      ELSE [array_to_string(t, ' ')] END AS sh_list
+          FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r\\f]+') AS t FROM documents)
+        )
+      ), sizes AS (
+        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+      ), common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT id_a, id_b,
+             {sql_fmicro("CAST(n_common AS DOUBLE) / sa.n_sh")} AS cam,
+             {sql_fmicro("CAST(n_common AS DOUBLE) / sb.n_sh")} AS cbm
+      FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+    ) j WHERE GREATEST(j.cam, j.cbm) >= 600000
+    UNION ALL
+    {planted}
+    UNION ALL
+    {canary_sql(_CT_COLS)}
+    """
+
+
+@query("containment_pairs_suite", oracle=_ct_oracle())
+def containment_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment-pair legs:
+
+    'pairs'   — ngram_containment_pairs over the REAL documents corpus
+                at max-direction threshold 0.6; DuckDB independently
+                re-derives the full pair table (distinct 3-gram unnest,
+                self-join, per-direction ratios) — inverted-index
+                banding vs naive SQL join, one answer;
+    'planted' — the quote/superset decision table (B = A + tail, A
+                quoted inside D): full 1.0 containment one way, small
+                the other — the asymmetry Jaccard misses;
+    'canary'  — constant rows stated identically by both engines."""
+    from ..operators.dedup import ngram_containment_pairs
+    from .llm_suites import canary_df, fmicro_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs_leg = ngram_containment_pairs(docs, threshold=0.6).select(
+        F.lit("pairs").alias("leg"),
+        F.col("id_a").cast("long").alias("key"),
+        F.col("id_b").cast("long").alias("key_b"),
+        fmicro_col(F.col("cont_a_in_b")).alias("i1"),
+        fmicro_col(F.col("cont_b_in_a")).alias("i2"),
+    )
+    planted = spark.createDataFrame(_CT_DOCS, "doc_id long, text string")
+    planted_leg = ngram_containment_pairs(planted, threshold=0.9).select(
+        F.lit("planted").alias("leg"),
+        F.col("id_a").cast("long").alias("key"),
+        F.col("id_b").cast("long").alias("key_b"),
+        fmicro_col(F.col("cont_a_in_b")).alias("i1"),
+        fmicro_col(F.col("cont_b_in_a")).alias("i2"),
+    )
+    return pairs_leg.unionByName(planted_leg).unionByName(
+        canary_df(spark, _CT_COLS)
+    )

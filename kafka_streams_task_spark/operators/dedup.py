@@ -390,6 +390,29 @@ def ngram_jaccard_pairs(
     (collision probability at 64 bits is negligible against any realistic
     corpus-distinct-shingle count).
     """
+    common = _shingle_common_counts(df, text_col, id_col, shingle_n, max_shingle_freq)
+    return (
+        common.withColumn(
+            "jaccard",
+            stable_round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _shingle_common_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    max_shingle_freq: int,
+) -> DataFrame:
+    """Shared candidate machinery of :func:`ngram_jaccard_pairs` /
+    :func:`ngram_containment_pairs`: ``(id_a, n_a, id_b, n_b,
+    n_common)`` for every pair sharing >= 1 surviving shingle
+    (``id_a < id_b``; posting lists over ``max_shingle_freq`` docs drop
+    whole — the boilerplate guard)."""
     sh = df.select(
         F.col(id_col),
         F.array_distinct(
@@ -409,19 +432,53 @@ def ngram_jaccard_pairs(
         postings.select(F.posexplode("members").alias("i", "a"), "members")
         .select("a", F.explode(F.expr("slice(members, i + 2, size(members))")).alias("b"))
     )
-    common = pairs.groupBy(
+    return pairs.groupBy(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col("a.n_sh").alias("n_a"),
         F.col(f"b.{id_col}").alias("id_b"),
         F.col("b.n_sh").alias("n_b"),
     ).agg(F.count(F.lit(1)).alias("n_common"))
-    return (
-        common.withColumn(
-            "jaccard",
-            stable_round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int = 10000,
+) -> DataFrame:
+    """DIRECTIONAL n-gram containment pairs: ``(id_a, id_b,
+    cont_a_in_b, cont_b_in_a)`` with ``id_a < id_b`` and
+    ``max(cont_a_in_b, cont_b_in_a) >= threshold``, where
+    ``cont_a_in_b = |Sh(A) ∩ Sh(B)| / |Sh(A)|`` over distinct
+    ``shingle_n``-gram sets.
+
+    Containment is the ASYMMETRIC near-dup relation Jaccard misses: a
+    tweet quoted inside an article, a doc that is a strict superset of
+    another, boilerplate wrapped around reused bodies — pairs where
+    ``|A| << |B|`` can have Jaccard near 0 and containment near 1. The
+    standard curation uses: quote/superset detection, "benchmark doc
+    embedded in a crawl page" sweeps at corpus-pair granularity (the
+    n-gram-level decontaminate() answers overlap, not which PAIRS).
+
+    Same single-pass inverted-index machinery as
+    :func:`ngram_jaccard_pairs` (one corpus shingle pass, one posting
+    shuffle on the 8-byte hash, pairs explode from sorted posting
+    arrays): any pair with containment >= t > 0 shares a shingle, so
+    candidates are complete — modulo posting lists over
+    ``max_shingle_freq`` dropping whole, the documented boilerplate
+    guard shared with the Jaccard form. No cartesian anywhere."""
+    common = _shingle_common_counts(df, text_col, id_col, shingle_n, max_shingle_freq)
+    out = common.select(
+        "id_a",
+        "id_b",
+        stable_round(F.col("n_common") / F.col("n_a"), 6).alias("cont_a_in_b"),
+        stable_round(F.col("n_common") / F.col("n_b"), 6).alias("cont_b_in_a"),
+    )
+    return out.filter(
+        F.greatest(F.col("cont_a_in_b"), F.col("cont_b_in_a"))
+        >= F.lit(float(threshold))
     )
 
 

@@ -1150,3 +1150,103 @@ def test_jaccard_join_tables_no_within_side_pairs(spark):
     )
     right = spark.createDataFrame([Row(doc_id=7, text="zeta eta theta iota")])
     assert jaccard_join_tables(left, right, threshold=0.3).count() == 0
+
+
+class TestContainmentPairs:
+    def _docs(self, spark):
+        # B = A + extra tail (A fully contained); C disjoint; D = quote
+        # of A inside much larger text
+        a = "w1 w2 w3 w4 w5 w6"
+        b = a + " x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12"
+        d = "h1 h2 h3 h4 h5 h6 h7 h8 " + a + " t1 t2 t3 t4 t5 t6 t7 t8"
+        return spark.createDataFrame(
+            [(1, a), (2, b), (3, "z1 z2 z3 z4 z5"), (4, d)],
+            "doc_id long, text string",
+        )
+
+    def test_directional_containment(self, spark):
+        from kafka_streams_task_spark.operators.dedup import (
+            ngram_containment_pairs,
+        )
+
+        out = {
+            (r["id_a"], r["id_b"]): (r["cont_a_in_b"], r["cont_b_in_a"])
+            for r in ngram_containment_pairs(
+                self._docs(spark), threshold=0.9
+            ).collect()
+        }
+        # A has 4 distinct 3-grams, all inside B and D
+        assert out[(1, 2)][0] == 1.0 and out[(1, 2)][1] < 0.5
+        assert out[(1, 4)][0] == 1.0 and out[(1, 4)][1] < 0.5
+        # C pairs with nobody; (2,4) share only A's grams — both
+        # directions low, filtered
+        assert set(out) == {(1, 2), (1, 4)}
+
+    def test_jaccard_misses_what_containment_finds(self, spark):
+        from kafka_streams_task_spark.operators.dedup import (
+            ngram_containment_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        docs = self._docs(spark)
+        jac = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        }
+        cont = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_containment_pairs(docs, threshold=0.9).collect()
+        }
+        # the quote-inside-article pair has tiny Jaccard but full
+        # containment — the relation this operator exists for
+        assert (1, 4) in cont and (1, 4) not in jac
+
+    def test_agrees_with_python_reference(self, spark):
+        from kafka_streams_task_spark.operators.dedup import (
+            ngram_containment_pairs,
+        )
+
+        rows = [
+            (i, " ".join(f"t{(i * j) % 13}" for j in range(1, 10)))
+            for i in range(20)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+        def grams(t):
+            w = t.split()
+            return set(
+                " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+            ) or {t}
+
+        g = {i: grams(t) for i, t in rows}
+        want = {}
+        for i in range(20):
+            for j in range(i + 1, 20):
+                c = len(g[i] & g[j])
+                if c and max(c / len(g[i]), c / len(g[j])) >= 0.4:
+                    want[(i, j)] = (
+                        round(c / len(g[i]), 6),
+                        round(c / len(g[j]), 6),
+                    )
+        got = {
+            (r["id_a"], r["id_b"]): (r["cont_a_in_b"], r["cont_b_in_a"])
+            for r in ngram_containment_pairs(docs, threshold=0.4).collect()
+        }
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k][0] == pytest.approx(want[k][0], abs=2e-6)
+            assert got[k][1] == pytest.approx(want[k][1], abs=2e-6)
+
+    def test_jaccard_unchanged_by_refactor(self, spark):
+        # the shared-machinery refactor must not move jaccard values
+        from kafka_streams_task_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+        )
+
+        docs = self._docs(spark)
+        out = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, threshold=0.1).collect()
+        }
+        # A: 4 grams, B: 16 grams, common 4 -> 4/16 = 0.25
+        assert out[(1, 2)] == pytest.approx(0.25)

@@ -168,6 +168,7 @@ def test_catalog_driver_window_is_exactly_fifty(plans):
         "quantile_norm_suite", "cusum_shift_suite",
         "robust_scale_suite", "stat_audit_suite",
         "geo_cluster_suite", "unicode_token_suite", "script_mix_suite",
+        "containment_pairs_suite",
     ]
 
 
