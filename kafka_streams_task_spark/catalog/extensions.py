@@ -3788,3 +3788,133 @@ def containment_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs_leg.unionByName(planted_leg).unionByName(
         canary_df(spark, _CT_COLS)
     )
+
+# ---------------------------------------------------------------------------
+# r11: compression-ratio quality signal gate. zlib output is library-
+# version-sensitive in principle, so raw ratios are NEVER hashed
+# cross-engine (pytest pins them against the same interpreter's zlib);
+# the oracle states the signal's defining ORDER/BOUND invariants as
+# closed-form constants and recomputes the corpus coverage counts with
+# its own SQL — drift in either engine's text handling or the stage's
+# NULL contract still reds the slot.
+# ---------------------------------------------------------------------------
+
+_CZ_REP = "spam " * 400
+_CZ_NAT = (
+    "The quick brown fox jumps over the lazy dog while seventeen "
+    "astronomers catalogue variable stars from a windy hilltop "
+    "observatory, trading mugs of lukewarm coffee for one more hour "
+    "of photometry before the clouds roll in from the coast. "
+) * 5
+_CZ_RND = "".join(
+    chr(33 + ((i * 7919 + (i * i) % 101) % 90)) for i in range(2000)
+)
+
+
+def _cz_oracle() -> str:
+    from .llm_suites import _SUITE_COLS, canary_sql
+
+    return f"""
+    SELECT CAST('order' AS VARCHAR) AS leg, CAST(0 AS BIGINT) AS key,
+           CAST(NULL AS VARCHAR) AS s1,
+           CAST(1 AS BIGINT) AS i1, CAST(1 AS BIGINT) AS i2
+    UNION ALL
+    SELECT CAST('nulls' AS VARCHAR), CAST(0 AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(2 AS BIGINT), CAST(3 AS BIGINT)
+    UNION ALL
+    SELECT CAST('corpus' AS VARCHAR), CAST(0 AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST(0 AS BIGINT),
+           (SELECT CAST(count(*) AS BIGINT) FROM documents
+            WHERE text IS NOT NULL AND length(text) > 0)
+    UNION ALL
+    {canary_sql(_SUITE_COLS)}
+    """
+
+
+@query("compression_quality_suite", oracle=_cz_oracle())
+def compression_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio signal legs:
+
+    'order'  — the signal's defining invariant on planted docs,
+               computed by the REAL Arrow stage: i1 = (repetitive <
+               natural < random strictly), i2 = (repetitive < 0.05 AND
+               random > 0.8) — oracle states both as 1;
+    'nulls'  — NULL/empty contract: i1 = planted rows whose ratio is
+               NULL (the 2 null/empty docs, never the 3 text docs),
+               i2 = rows with a finite ratio in (0, 1.2];
+    'corpus' — the real documents table: i1 = docs violating the
+               bound/NULL contract (stated 0), i2 = docs with a
+               non-NULL ratio, which DuckDB recomputes as the count of
+               non-empty texts — coverage parity without hashing any
+               zlib byte;
+    'canary' — constant rows stated identically by both engines.
+
+    One Arrow stage per leg input; no joins, no shuffle beyond the
+    final aggregates."""
+    from ..operators.compression import compression_ratio
+    from .llm_suites import _SUITE_COLS, canary_df
+
+    nul = F.lit(None).cast("long")
+    nus = F.lit(None).cast("string")
+    planted = spark.createDataFrame(
+        [
+            (1, _CZ_REP),
+            (2, _CZ_NAT),
+            (3, _CZ_RND),
+            (4, None),
+            (5, ""),
+        ],
+        "id long, text string",
+    )
+    scored = planted.select(
+        "id", compression_ratio("text").alias("cr")
+    )
+    order_leg = scored.agg(
+        F.min(F.when(F.col("id") == 1, F.col("cr"))).alias("_rep"),
+        F.min(F.when(F.col("id") == 2, F.col("cr"))).alias("_nat"),
+        F.min(F.when(F.col("id") == 3, F.col("cr"))).alias("_rnd"),
+    ).select(
+        F.lit("order").alias("leg"),
+        F.lit(0).cast("long").alias("key"),
+        nus.alias("s1"),
+        ((F.col("_rep") < F.col("_nat")) & (F.col("_nat") < F.col("_rnd")))
+        .cast("long")
+        .alias("i1"),
+        ((F.col("_rep") < 0.05) & (F.col("_rnd") > 0.8))
+        .cast("long")
+        .alias("i2"),
+    )
+    nulls_leg = scored.agg(
+        F.sum(F.col("cr").isNull().cast("long")).alias("i1"),
+        F.sum(
+            (F.col("cr").isNotNull() & (F.col("cr") > 0) & (F.col("cr") <= 1.2))
+            .cast("long")
+        ).alias("i2"),
+    ).select(
+        F.lit("nulls").alias("leg"), F.lit(0).cast("long").alias("key"),
+        nus.alias("s1"), "i1", "i2",
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "text", compression_ratio("text").alias("cr")
+    )
+    corpus_leg = docs.agg(
+        F.sum(
+            (
+                (F.col("text").isNotNull() & (F.length("text") > 0))
+                != F.col("cr").isNotNull()
+            ).cast("long")
+            + (
+                F.col("cr").isNotNull()
+                & ((F.col("cr") <= 0) | (F.col("cr") > 1.2))
+            ).cast("long")
+        ).alias("i1"),
+        F.sum(F.col("cr").isNotNull().cast("long")).alias("i2"),
+    ).select(
+        F.lit("corpus").alias("leg"), F.lit(0).cast("long").alias("key"),
+        nus.alias("s1"), "i1", "i2",
+    )
+    return (
+        order_leg.unionByName(nulls_leg)
+        .unionByName(corpus_leg)
+        .unionByName(canary_df(spark, _SUITE_COLS))
+    )

@@ -100,6 +100,11 @@ PY_ALLOWED = {
     # 'part' vocabulary), each one ArrowEvalPython jaro_winkler_udf
     # stage over a candidate-sized frame
     "jaro_linkage_suite": 3,
+    # r11: three legs ('order' + 'nulls' aggregate the planted frame
+    # independently, 'corpus' scans documents), each exactly one
+    # ArrowEvalPython zlib compression_ratio stage — zlib is the
+    # documented Arrow seam (no JVM builtin)
+    "compression_quality_suite": 3,
 }
 
 _SF = "/root/testdata/sf0.001"
@@ -168,7 +173,7 @@ def test_catalog_driver_window_is_exactly_fifty(plans):
         "quantile_norm_suite", "cusum_shift_suite",
         "robust_scale_suite", "stat_audit_suite",
         "geo_cluster_suite", "unicode_token_suite", "script_mix_suite",
-        "containment_pairs_suite",
+        "containment_pairs_suite", "compression_quality_suite",
     ]
 
 
