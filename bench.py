@@ -200,6 +200,12 @@ OPS_SECTION = [
     # over 100k generated 40-char Han runs + latin tails — the regex
     # run-marking -> split -> per-run transform chain at corpus volume
     "unicode_tokens",
+    # r11: directional containment pairs over the documents corpus —
+    # the shared inverted-index machinery with the asymmetric filter
+    "containment_pairs",
+    # r11: zlib quality signal over the documents corpus — one Arrow
+    # stage + summary agg
+    "compression_ratio",
 ]
 
 #: frozen first-measurements for the ops section (set r8, steady-state
@@ -221,13 +227,13 @@ OPS_BASELINE_SEC = {
     "assign_splits_events": 0.15,
     # post-footer-audit steady state (the pre-change op measured 1.36)
     "snapshot_write_read": 0.70,
-    # r8 third wave: post-model-pin steady state (pre-pin measured 4.2 —
-    # the bucket-count aggs re-executed for every downstream consumer)
     # r11: CJK bigram vocabulary build — 100k generated 40-char Han runs
     # through regexp run-marking -> per-run bigram transform -> 4M-token
     # explode + count agg. First in-harness measurement (calib 2.078,
     # fast host).
     "unicode_tokens": 3.92,
+    # r8 third wave: post-model-pin steady state (pre-pin measured 4.2 —
+    # the bucket-count aggs re-executed for every downstream consumer);
     # r11 re-freeze, same A/B receipt as bloom_decontaminate: r9 checkout
     # 3.28s vs r11 tree 3.04s steady-state on one host (dsir.py unchanged
     # r9->r11); the 2.60 freeze was the low tail of host variance.
@@ -950,6 +956,34 @@ def _ops_workloads():
             .agg(F.count(F.lit(1)).alias("n"))
         )
 
+    def _containment_pairs(s, d):
+        # r11: asymmetric near-dup pairs at max-direction 0.6 over the
+        # full documents corpus (same posting machinery as
+        # dedup_ngram_jaccard; the filter is the only difference)
+        from kafka_streams_task_spark.operators.dedup import (
+            ngram_containment_pairs,
+        )
+
+        docs = load_table(s, d, "documents").select("doc_id", "text")
+        return ngram_containment_pairs(docs, threshold=0.6)
+
+    def _compression_ratio(s, d):
+        # r11: zlib ratio over every document + a one-row summary agg
+        # (the Arrow stage is the timed object)
+        from kafka_streams_task_spark.operators.compression import (
+            compression_ratio,
+        )
+
+        docs = load_table(s, d, "documents")
+        return docs.select(
+            compression_ratio("text").alias("cr")
+        ).agg(
+            F.count("cr").alias("n"),
+            F.avg("cr").alias("mean_cr"),
+            F.min("cr").alias("min_cr"),
+            F.max("cr").alias("max_cr"),
+        )
+
     def _stat_audit(s, d):
         # r10 fourth wave: Benford digit agg + chi-square contingency
         # over 100k events
@@ -1065,6 +1099,8 @@ def _ops_workloads():
         "robust_scale": _robust_scale,
         "stat_audit": _stat_audit,
         "unicode_tokens": _unicode_tokens,
+        "containment_pairs": _containment_pairs,
+        "compression_ratio": _compression_ratio,
     }
 
 

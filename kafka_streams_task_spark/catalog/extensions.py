@@ -3570,19 +3570,22 @@ _SM_LANGS = {1: "ja", 2: "zh", 3: "ko", 4: "th", 5: "en", 6: "ko", 7: "und"}
 
 def _sm_oracle() -> str:
     from ..functions.text import SCRIPT_CLASSES
-    from .llm_suites import _SUITE_COLS, canary_sql
+    from .llm_suites import _SUITE_COLS, canary_sql, sql_fmicro
 
     vals = ", ".join(
         "({}, '{}')".format(i, t.replace("'", "''")) for i, t in _SM_DOCS
     )
     mix_branches = []
     for s, cls in SCRIPT_CLASSES.items():
+        frac = (
+            f"CAST(length(regexp_replace(t, '[^{cls}]', '', 'g')) AS DOUBLE)"
+            f" / CAST(length(t) AS DOUBLE)"
+        )
         mix_branches.append(f"""
     SELECT CAST('mix' AS VARCHAR) AS leg, CAST(id AS BIGINT) AS key,
            CAST('{s}' AS VARCHAR) AS s1,
            CASE WHEN length(t) = 0 THEN CAST(NULL AS BIGINT)
-                ELSE CAST(floor((CAST(length(regexp_replace(t, '[^{cls}]', '', 'g')) AS DOUBLE)
-                                 / CAST(length(t) AS DOUBLE)) * 1000000.0 + 1e-09 + 0.5) AS BIGINT)
+                ELSE {sql_fmicro(frac)}
            END AS i1,
            CAST(length(regexp_replace(t, '[^{cls}]', '', 'g')) AS BIGINT) AS i2
     FROM (VALUES {vals}) AS d(id, t)""")
@@ -3843,10 +3846,12 @@ def compression_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                NULL (the 2 null/empty docs, never the 3 text docs),
                i2 = rows with a finite ratio in (0, 1.2];
     'corpus' — the real documents table: i1 = docs violating the
-               bound/NULL contract (stated 0), i2 = docs with a
-               non-NULL ratio, which DuckDB recomputes as the count of
-               non-empty texts — coverage parity without hashing any
-               zlib byte;
+               NULL contract or (for docs of >= 64 chars, where zlib's
+               ~11-byte fixed header is amortized — a 40-char doc can
+               legitimately exceed ratio 1.2) the (0, 1.2] bound
+               (stated 0), i2 = docs with a non-NULL ratio, which
+               DuckDB recomputes as the count of non-empty texts —
+               coverage parity without hashing any zlib byte;
     'canary' — constant rows stated identically by both engines.
 
     One Arrow stage per leg input; no joins, no shuffle beyond the
@@ -3905,6 +3910,7 @@ def compression_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
             + (
                 F.col("cr").isNotNull()
+                & (F.length("text") >= 64)
                 & ((F.col("cr") <= 0) | (F.col("cr") > 1.2))
             ).cast("long")
         ).alias("i1"),

@@ -231,6 +231,14 @@ def snapshot_write(
         "dirs": dirs,
         "n_rows": n_rows,
         "committed_at": time.time(),
+        # committed-lineage pointer (r11): the version that was _latest
+        # when this write started — 0 on a fresh table. Orphan manifests
+        # from pre-pointer crashes occupy version NUMBERS but are never
+        # anyone's parent, so walking parent pointers from _latest
+        # yields exactly the committed lineage (snapshot_versions, the
+        # streaming drift predecessor). Absent in pre-r11 manifests;
+        # readers fall back to version-minus-one stepping.
+        "parent": parent_version,
     }
     if tag is not None:
         manifest["tag"] = tag
@@ -292,10 +300,34 @@ def snapshot_read(
     return spark.read.parquet(*[f"{path}/{d}" for d in m["dirs"]])
 
 
+def committed_lineage(spark: SparkSession, path: str) -> list[dict]:
+    """Manifests of the COMMITTED lineage, ascending — the parent-chain
+    walk from ``_latest`` (r11, review catch): a pre-pointer crash
+    leaves an orphan manifest whose version number is never reused
+    (``_next_free_version``) and never re-pointed, so plain
+    ``range(1, latest+1)`` enumeration wrongly includes it. Manifests
+    missing a ``parent`` field (pre-r11) or vacuumed holes fall back to
+    version-minus-one stepping — identical to the old behavior on old
+    tables."""
+    out: list[dict] = []
+    v = _latest_version(spark, path)
+    while v >= 1:
+        m = read_json_file(spark, f"{path}/{_VERSIONS_DIR}/{_vname(v)}.json")
+        if m is None:
+            # vacuumed hole: no manifest, no parent pointer to follow
+            v -= 1
+            continue
+        out.append(m)
+        p = m.get("parent")
+        v = int(p) if p is not None else v - 1
+    out.reverse()
+    return out
+
+
 def snapshot_versions(spark: SparkSession, path: str) -> DataFrame:
     """One row per committed version (manifest metadata; orphans from
     crashed writes are excluded — they are unreachable from
-    ``_latest``'s lineage and carry no commit guarantee)."""
+    ``_latest``'s parent lineage and carry no commit guarantee)."""
     latest = _latest_version(spark, path)
     rows = [
         (
@@ -306,10 +338,7 @@ def snapshot_versions(spark: SparkSession, path: str) -> DataFrame:
             float(m["committed_at"]),
             int(m["version"]) == latest,
         )
-        for v in range(1, latest + 1)
-        # vacuumed versions have no manifest anymore — skip, don't raise
-        for m in [read_json_file(spark, f"{path}/{_VERSIONS_DIR}/{_vname(v)}.json")]
-        if m is not None
+        for m in committed_lineage(spark, path)
     ]
     return spark.createDataFrame(
         rows,

@@ -46,13 +46,13 @@ __all__ = ["haversine_km", "radius_join", "radius_self_join"]
 
 #: IUGG mean Earth radius, km
 _EARTH_R = 6371.0088
-#: km per degree ON THE VERIFIER'S OWN SPHERE (2*pi*R/360 = 111.1949...)
-#: — ring sizing must never use a constant LARGER than the metric the
-#: haversine verifier measures with, or the ring can round one cell
-#: short and silently drop in-radius pairs (review catch). The lat
-#: constant 110.574 (WGS84 meridian mean) is SMALLER than the spherical
-#: value, i.e. conservative: it only ever widens the ring.
-_KM_PER_DEG_SPHERE = math.pi * _EARTH_R / 180.0
+#: ring-sizing latitude constant: ring bounds must never use a constant
+#: LARGER than the metric the haversine verifier measures with (spherical
+#: km/deg = pi*R/180 = 111.1949...), or the ring can round one cell short
+#: and silently drop in-radius pairs (review catch). 110.574 (WGS84
+#: meridian mean) is SMALLER, i.e. conservative: it only ever widens the
+#: ring. The longitude bound uses the exact asin inversion on _EARTH_R
+#: directly (r11).
 _KM_PER_DEG_LAT = 110.574
 
 

@@ -110,8 +110,26 @@ def _version_with_tag(spark: SparkSession, path: str, tag: str) -> int | None:
 
 
 def _predecessor(spark: SparkSession, path: str, version: int) -> int | None:
-    """Highest committed version strictly below ``version`` (skipping
-    vacuumed holes), or None when ``version`` is the first commit."""
+    """The committed predecessor of ``version`` — its manifest's
+    ``parent`` pointer (r11, review catch: a plain version-minus-one
+    scan can land on an ORPHAN manifest from a pre-pointer crash, and
+    the drift report would then compare the new version against a
+    never-committed twin of itself, logging near-zero drift). Pre-r11
+    manifests without the pointer fall back to the scan; None when
+    ``version`` is the first commit."""
+    m = read_json_file(
+        spark, f"{path}/{_VERSIONS_DIR}/{_vname(version)}.json"
+    )
+    if m is not None and m.get("parent") is not None:
+        p = int(m["parent"])
+        while p >= 1:
+            pm = read_json_file(
+                spark, f"{path}/{_VERSIONS_DIR}/{_vname(p)}.json"
+            )
+            if pm is not None:
+                return p
+            p -= 1  # vacuumed hole below the pointer
+        return None
     for v in range(version - 1, 0, -1):
         m = read_json_file(spark, f"{path}/{_VERSIONS_DIR}/{_vname(v)}.json")
         if m is not None:

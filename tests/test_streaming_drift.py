@@ -180,3 +180,51 @@ def test_empty_history_and_single_version(spark, tmpdir):
     df = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
     snapshot_write(spark, df, path)
     assert snapshot_drift_history(spark, path).count() == 0
+
+
+def test_orphan_manifest_never_becomes_predecessor(spark, tmpdir):
+    """Review catch (r11): a pre-pointer crash inside snapshot_write
+    leaves an ORPHAN manifest whose version number is never reused and
+    never committed. The drift predecessor and snapshot_versions must
+    follow the committed parent lineage, not raw version numbers —
+    otherwise the next commit's drift report compares against a
+    never-committed twin of itself and logs near-zero drift."""
+    import json as _json
+
+    from kafka_streams_task_spark.operators.snapshots import (
+        committed_lineage,
+        snapshot_write,
+    )
+    from kafka_streams_task_spark.streaming.drift import _predecessor
+
+    path = f"{tmpdir}/tbl"
+    df1 = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id long, text string"
+    )
+    v1 = snapshot_write(spark, df1, path)
+    # simulate the crash window: a manifest for v2 exists (with data
+    # dir and tag) but the _latest pointer never moved
+    orphan = {
+        "version": 2, "op": "append", "dirs": ["data_orphan"],
+        "n_rows": 1, "committed_at": 0.0, "tag": "drift-9", "parent": 1,
+    }
+    os.makedirs(f"{path}/data_orphan", exist_ok=True)
+    with open(f"{path}/_versions/v00002.json", "w") as f:
+        f.write(_json.dumps(orphan))
+
+    # the redelivered/next batch commits PAST the orphan number
+    df3 = spark.createDataFrame(
+        [(2, "alpha beta delta epsilon zeta")], "doc_id long, text string"
+    )
+    v3 = snapshot_write(spark, df3, path, mode="append")
+    assert (v1, v3) == (1, 3)
+
+    lineage = [m["version"] for m in committed_lineage(spark, path)]
+    assert lineage == [1, 3]  # orphan v2 invisible
+    assert _predecessor(spark, path, v3) == 1  # not the orphan
+
+    hist = snapshot_drift_history(spark, path).collect()
+    assert [(r["old_version"], r["new_version"]) for r in hist] == [(1, 3)]
+    # the report is the TRUE v1 -> v3 drift (new vocabulary present),
+    # not a self-comparison
+    assert hist[0]["new_mass"] > 0
