@@ -232,6 +232,12 @@ OPS_BASELINE_SEC = {
     # explode + count agg. First in-harness measurement (calib 2.078,
     # fast host).
     "unicode_tokens": 3.92,
+    # r11 (in-harness min-of-2 at calib 2.27): directional containment
+    # pairs over the documents corpus — same posting machinery as
+    # dedup_ngram_jaccard, asymmetric filter
+    "containment_pairs": 2.27,
+    # r11 (same run): zlib ratio Arrow stage + summary agg over 5k docs
+    "compression_ratio": 0.18,
     # r8 third wave: post-model-pin steady state (pre-pin measured 4.2 —
     # the bucket-count aggs re-executed for every downstream consumer);
     # r11 re-freeze, same A/B receipt as bloom_decontaminate: r9 checkout
