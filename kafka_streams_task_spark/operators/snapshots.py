@@ -251,35 +251,36 @@ def snapshot_write(
 
 
 def snapshot_has_tag(spark: SparkSession, path: str, tag: str) -> bool:
-    """Whether any COMMITTED version (reachable from ``_latest`` and
-    below — orphans from crashed pre-pointer writes never count) was
-    stamped with ``tag``. The redelivery check for exactly-once
-    foreachBatch snapshot sinks: a crash AFTER the pointer move left
-    the tag visible (skip the redelivered batch); a crash BEFORE it
-    left an orphan (rewrite is correct). Bounded by the number of
-    committed versions — KB-sized manifest reads, no data scan."""
-    for v in range(_latest_version(spark, path), 0, -1):
-        m = read_json_file(spark, f"{path}/{_VERSIONS_DIR}/{_vname(v)}.json")
-        if m is not None and m.get("tag") == tag:
-            return True
-    return False
+    """Whether any version on the COMMITTED LINEAGE was stamped with
+    ``tag``. The redelivery check for exactly-once foreachBatch
+    snapshot sinks: a crash AFTER the pointer move left the tag visible
+    (skip the redelivered batch); a crash BEFORE it left an orphan
+    (rewrite is correct). r11 review catch: the scan follows the
+    parent-pointer lineage (:func:`committed_lineage`), never raw
+    version numbers — a TAGGED ORPHAN manifest sitting below a later
+    commit would otherwise satisfy the probe and the redelivered
+    batch's rows would be skipped, i.e. lost forever. Bounded by the
+    number of committed versions — KB-sized manifest reads, no data
+    scan."""
+    return any(m.get("tag") == tag for m in _lineage_iter(spark, path))
 
 
 def snapshot_latest_tag(spark: SparkSession, path: str) -> str | None:
-    """The tag of the MOST RECENT committed tagged version (walking
-    down from ``_latest`` past any untagged manual commits), or None on
-    a table with no tagged versions. The O(few-manifest-reads)
-    redelivery check for a SEQUENTIAL tagged writer (one foreachBatch
-    stream): batch ids are monotonic per checkpoint and each batch
-    commits at most one version, so a redelivered batch's tag either IS
-    the latest tag (crash after commit → skip) or is absent entirely
-    (crash before → rewrite). The general any-version scan is
-    :func:`snapshot_has_tag` — O(versions), use it for non-sequential
-    writers (review r9: the capstone called it per batch, paying N
-    manifest reads at batch N)."""
-    for v in range(_latest_version(spark, path), 0, -1):
-        m = read_json_file(spark, f"{path}/{_VERSIONS_DIR}/{_vname(v)}.json")
-        if m is not None and m.get("tag") is not None:
+    """The tag of the MOST RECENT committed tagged version (walking the
+    committed lineage down from ``_latest`` past any untagged manual
+    commits — orphan tags never count, same rationale as
+    :func:`snapshot_has_tag`), or None on a table with no tagged
+    versions. The O(few-manifest-reads) redelivery check for a
+    SEQUENTIAL tagged writer (one foreachBatch stream): batch ids are
+    monotonic per checkpoint and each batch commits at most one
+    version, so a redelivered batch's tag either IS the latest tag
+    (crash after commit → skip) or is absent entirely (crash before →
+    rewrite). The general any-version scan is :func:`snapshot_has_tag`
+    — O(versions), use it for non-sequential writers (review r9: the
+    capstone called it per batch, paying N manifest reads at batch
+    N)."""
+    for m in _lineage_iter(spark, path):
+        if m.get("tag") is not None:
             return m["tag"]
     return None
 
@@ -305,29 +306,61 @@ def committed_lineage(spark: SparkSession, path: str) -> list[dict]:
     walk from ``_latest`` (r11, review catch): a pre-pointer crash
     leaves an orphan manifest whose version number is never reused
     (``_next_free_version``) and never re-pointed, so plain
-    ``range(1, latest+1)`` enumeration wrongly includes it. Manifests
-    missing a ``parent`` field (pre-r11) or vacuumed holes fall back to
-    version-minus-one stepping — identical to the old behavior on old
-    tables."""
-    out: list[dict] = []
-    v = _latest_version(spark, path)
-    while v >= 1:
-        m = read_json_file(spark, f"{path}/{_VERSIONS_DIR}/{_vname(v)}.json")
-        if m is None:
-            # vacuumed hole: no manifest, no parent pointer to follow
-            v -= 1
-            continue
-        out.append(m)
-        p = m.get("parent")
-        v = int(p) if p is not None else v - 1
+    ``range(1, latest+1)`` enumeration wrongly includes it. Rolled-
+    back-over versions are likewise off the lineage (git semantics —
+    readable by explicit number, prunable by vacuum, not listed).
+
+    Walk rules (second-review hardening):
+    - a parent pointer must be STRICTLY below its version (parents are
+      assigned from ``_latest`` at write time) — a corrupt/hand-edited
+      manifest raises instead of looping forever;
+    - a parent pointer landing on a MISSING manifest means everything
+      below was vacuumed (vacuum deletes contiguously from v1) — the
+      walk stops, never paying O(vacuumed-range) filesystem probes;
+    - manifests without a ``parent`` field (pre-r11) step version-
+      minus-one through holes — the old behavior, on old tables only."""
+    out = list(_lineage_iter(spark, path))
     out.reverse()
     return out
 
 
+def _lineage_iter(spark: SparkSession, path: str):
+    """Lazy newest-first walk of the committed lineage — the tag probes
+    consume only as far as they need (``snapshot_latest_tag`` stays
+    O(distance-to-first-tag) manifest reads per steady-state batch, the
+    r9 review requirement)."""
+    v = _latest_version(spark, path)
+    via_pointer = False
+    while v >= 1:
+        m = read_json_file(spark, f"{path}/{_VERSIONS_DIR}/{_vname(v)}.json")
+        if m is None:
+            if via_pointer:
+                return  # pointer target vacuumed: nothing committed below
+            v -= 1
+            continue
+        yield m
+        p = m.get("parent")
+        if p is None:
+            v -= 1
+            via_pointer = False
+        else:
+            p = int(p)
+            if p >= v:
+                raise ValueError(
+                    f"corrupt snapshot manifest {_vname(v)} at {path}: "
+                    f"parent {p} must be < version {v}"
+                )
+            v = p
+            via_pointer = True
+
+
 def snapshot_versions(spark: SparkSession, path: str) -> DataFrame:
-    """One row per committed version (manifest metadata; orphans from
-    crashed writes are excluded — they are unreachable from
-    ``_latest``'s parent lineage and carry no commit guarantee)."""
+    """One row per version on the CURRENT COMMITTED LINEAGE (manifest
+    metadata). Orphans from crashed writes and versions abandoned by a
+    rollback-then-write are excluded — git semantics: they stay
+    readable by explicit number (:func:`snapshot_read`) and prunable
+    by :func:`snapshot_vacuum`, but they are not history of the table
+    readers currently see."""
     latest = _latest_version(spark, path)
     rows = [
         (
@@ -350,7 +383,10 @@ def snapshot_rollback(spark: SparkSession, path: str, version: int) -> int:
     """Point ``_latest`` back at an earlier committed version (O(1) —
     one pointer rename; no data moves). Later versions stay on disk and
     readable by explicit number until a subsequent write claims past
-    them or :func:`snapshot_vacuum` trims."""
+    them or :func:`snapshot_vacuum` trims — but once a post-rollback
+    write commits, they leave the committed lineage and thus the
+    :func:`snapshot_versions` listing (the new write's ``parent`` is
+    the rollback target)."""
     _manifest(spark, path, version)  # existence check
     latest = _latest_version(spark, path)
     if version > latest:

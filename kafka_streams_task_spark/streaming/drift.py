@@ -100,12 +100,18 @@ def snapshot_drift_history(
 
 
 def _version_with_tag(spark: SparkSession, path: str, tag: str) -> int | None:
-    """The committed version stamped with ``tag`` (None if absent) —
-    the redelivery probe, bounded by the number of committed versions."""
-    for v in range(_latest_version(spark, path), 0, -1):
-        m = read_json_file(spark, f"{path}/{_VERSIONS_DIR}/{_vname(v)}.json")
-        if m is not None and m.get("tag") == tag:
-            return v
+    """The COMMITTED-LINEAGE version stamped with ``tag`` (None if
+    absent) — the redelivery probe, bounded by the number of committed
+    versions. Walks the parent lineage, never raw version numbers
+    (second-review catch): a tagged ORPHAN from a pre-pointer crash
+    sitting below a later commit would otherwise satisfy the probe,
+    the redelivered batch's rows would never be committed, and the
+    drift report would read the orphan's partial data."""
+    from ..operators.snapshots import _lineage_iter
+
+    for m in _lineage_iter(spark, path):
+        if m.get("tag") == tag:
+            return int(m["version"])
     return None
 
 
@@ -122,14 +128,20 @@ def _predecessor(spark: SparkSession, path: str, version: int) -> int | None:
     )
     if m is not None and m.get("parent") is not None:
         p = int(m["parent"])
-        while p >= 1:
-            pm = read_json_file(
-                spark, f"{path}/{_VERSIONS_DIR}/{_vname(p)}.json"
-            )
-            if pm is not None:
-                return p
-            p -= 1  # vacuumed hole below the pointer
-        return None
+        if p < 1:
+            return None  # first commit on the table
+        pm = read_json_file(
+            spark, f"{path}/{_VERSIONS_DIR}/{_vname(p)}.json"
+        )
+        # parent vacuumed => its data dirs may be gone too: there is no
+        # predecessor to diff against. NEVER step down version numbers
+        # here (second-review catch: the step could land on an orphan
+        # manifest and the report would self-compare never-committed
+        # data).
+        return p if pm is not None else None
+    # pre-r11 manifests (no parent pointer): the legacy scan — correct
+    # on tables that never saw a pre-pointer crash, documented best
+    # effort otherwise
     for v in range(version - 1, 0, -1):
         m = read_json_file(spark, f"{path}/{_VERSIONS_DIR}/{_vname(v)}.json")
         if m is not None:

@@ -228,3 +228,94 @@ def test_orphan_manifest_never_becomes_predecessor(spark, tmpdir):
     # the report is the TRUE v1 -> v3 drift (new vocabulary present),
     # not a self-comparison
     assert hist[0]["new_mass"] > 0
+
+
+def test_orphan_tag_never_satisfies_redelivery_probes(spark, tmpdir):
+    """Second-review catch: a TAGGED orphan manifest must not satisfy
+    any redelivery probe once a later commit advances _latest past it —
+    otherwise the redelivered batch's rows are skipped, i.e. lost
+    forever. All three probes (has_tag, latest_tag, the drift sink's
+    version resolver) walk the committed lineage."""
+    import json as _json
+
+    from kafka_streams_task_spark.operators.snapshots import (
+        snapshot_has_tag,
+        snapshot_latest_tag,
+        snapshot_write,
+    )
+    from kafka_streams_task_spark.streaming.drift import _version_with_tag
+
+    path = f"{tmpdir}/tbl"
+    snapshot_write(
+        spark,
+        spark.createDataFrame([(1, "a b c")], "doc_id long, text string"),
+        path,
+    )
+    orphan = {
+        "version": 2, "op": "append", "dirs": ["data_orphan"],
+        "n_rows": 1, "committed_at": 0.0, "tag": "batch-9", "parent": 1,
+    }
+    os.makedirs(f"{path}/data_orphan", exist_ok=True)
+    with open(f"{path}/_versions/v00002.json", "w") as f:
+        f.write(_json.dumps(orphan))
+    # an interleaved commit (ops write) moves _latest past the orphan
+    snapshot_write(
+        spark,
+        spark.createDataFrame([(2, "d e f")], "doc_id long, text string"),
+        path,
+        mode="append",
+        tag="ops-1",
+    )
+    assert not snapshot_has_tag(spark, path, "batch-9")
+    assert snapshot_latest_tag(spark, path) == "ops-1"
+    assert _version_with_tag(spark, path, "batch-9") is None
+
+
+def test_corrupt_parent_pointer_raises_not_loops(spark, tmpdir):
+    import json as _json
+
+    from kafka_streams_task_spark.operators.snapshots import (
+        committed_lineage,
+        snapshot_write,
+    )
+
+    path = f"{tmpdir}/tbl"
+    snapshot_write(
+        spark,
+        spark.createDataFrame([(1, "a")], "doc_id long, text string"),
+        path,
+    )
+    m = _json.load(open(f"{path}/_versions/v00001.json"))
+    m["parent"] = 1  # self-pointing: would loop forever unguarded
+    with open(f"{path}/_versions/v00001.json", "w") as f:
+        f.write(_json.dumps(m))
+    crc = f"{path}/_versions/.v00001.json.crc"
+    if os.path.exists(crc):
+        os.remove(crc)  # stale checksum shadow after the hand-edit
+    with pytest.raises(ValueError, match="parent"):
+        committed_lineage(spark, path)
+
+
+def test_vacuumed_parent_means_no_predecessor(spark, tmpdir):
+    """A vacuumed predecessor's data dirs may be gone: the drift sink
+    must report no predecessor (and never step down version numbers,
+    where an orphan could sit)."""
+    from kafka_streams_task_spark.operators.snapshots import (
+        snapshot_vacuum,
+        snapshot_write,
+    )
+    from kafka_streams_task_spark.streaming.drift import _predecessor
+
+    path = f"{tmpdir}/tbl"
+    for i in range(3):
+        snapshot_write(
+            spark,
+            spark.createDataFrame(
+                [(i, f"text {i}")], "doc_id long, text string"
+            ),
+            path,
+            mode="append" if i else "overwrite",
+        )
+    assert _predecessor(spark, path, 3) == 2
+    snapshot_vacuum(spark, path, keep_last=1)  # drops v1, v2 manifests
+    assert _predecessor(spark, path, 3) is None
