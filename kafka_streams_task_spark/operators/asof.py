@@ -32,15 +32,25 @@ def asof_join(
     direction: str = "backward",
     allow_exact_matches: bool = True,
     right_prefix: str = "r_",
+    tolerance: float | None = None,
 ) -> DataFrame:
     """Backward/forward as-of join (left-join semantics: unmatched left rows
     keep nulls on the right side).
 
     Output: all left columns + each right column (except ``by``) renamed
     with ``right_prefix``.
+
+    ``tolerance`` (r11, the ``pd.merge_asof`` parameter): maximum
+    allowed |left.on − matched right.on|, INCLUSIVE — a match farther
+    away reverts the row to nulls. Numeric ``on`` columns compare
+    directly; timestamps compare in SECONDS (cast to epoch double).
+    Applied as a post-projection on the carried payload, so the plan
+    shape (one shuffle + one window) is unchanged.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
+    if tolerance is not None and not tolerance >= 0:
+        raise ValueError(f"tolerance must be >= 0, got {tolerance}")
 
     right_cols = [c for c in right.columns if c != by]
     l_payload = F.struct(*[F.col(c) for c in left.columns if c != by])
@@ -85,6 +95,14 @@ def asof_join(
         carried = F.first("_r", ignorenulls=True).over(w)
 
     matched = u.withColumn("_match", carried).filter(F.col("_side") == 1)
+    if tolerance is not None:
+        lt = F.col("_t").cast("double")
+        rt = F.col(f"_match.{on}").cast("double")
+        delta = (lt - rt) if direction == "backward" else (rt - lt)
+        matched = matched.withColumn(
+            "_match",
+            F.when(delta <= F.lit(float(tolerance)), F.col("_match")),
+        )
     left_out = [F.col("_k").alias(by)] + [
         F.col(f"_l.{c}").alias(c) for c in left.columns if c != by
     ]

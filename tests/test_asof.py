@@ -116,3 +116,71 @@ def test_asof_random_matches_pandas(spark):
                 for row in expected.itertuples()
             }
             assert got == exp, f"mismatch for {direction}/exact={exact}"
+
+
+def test_asof_tolerance_matches_pandas(spark):
+    """tolerance parity vs pd.merge_asof on deterministic numeric data,
+    both directions (r11 API completion)."""
+    import pandas as pd
+
+    from kafka_streams_task_spark.operators.asof import asof_join
+
+    lpdf = pd.DataFrame(
+        {
+            "k": [i % 3 for i in range(30)],
+            "t": [float((i * 17) % 101) for i in range(30)],
+            "lid": list(range(30)),
+        }
+    ).drop_duplicates(["k", "t"]).reset_index(drop=True)
+    rpdf = pd.DataFrame(
+        {
+            "k": [i % 3 for i in range(25)],
+            "t": [float((i * 23 + 5) % 97) for i in range(25)],
+            "rid": list(range(100, 125)),
+        }
+    ).drop_duplicates(["k", "t"]).reset_index(drop=True)
+    left = spark.createDataFrame(lpdf)
+    right = spark.createDataFrame(rpdf)
+    for direction in ("backward", "forward"):
+        for tol in (0.0, 3.0, 10.0):
+            got = {
+                r.lid: r.r_rid
+                for r in asof_join(
+                    left, right, on="t", by="k",
+                    direction=direction, tolerance=tol,
+                ).collect()
+            }
+            expected = pd.merge_asof(
+                lpdf.sort_values("t", kind="mergesort"),
+                rpdf.sort_values("t", kind="mergesort"),
+                on="t", by="k", direction=direction, tolerance=tol,
+                suffixes=("", "_r"),
+            )
+            exp = {
+                int(row.lid): (None if pd.isna(row.rid) else int(row.rid))
+                for row in expected.itertuples()
+            }
+            assert got == exp, f"{direction}/tol={tol}"
+
+
+def test_asof_tolerance_timestamps_and_validation(spark):
+    from pyspark.sql import functions as F
+
+    from kafka_streams_task_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1)], "k long, t string, lid long"
+    ).select("k", F.col("t").cast("timestamp").alias("t"), "lid")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", 100)], "k long, t string, rid long"
+    ).select("k", F.col("t").cast("timestamp").alias("t"), "rid")
+    # the match is 3600 s stale: inclusive boundary keeps it, tighter drops
+    keep = asof_join(left, right, on="t", by="k", tolerance=3600.0).collect()
+    assert keep[0]["r_rid"] == 100
+    drop = asof_join(left, right, on="t", by="k", tolerance=3599.0).collect()
+    assert drop[0]["r_rid"] is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="tolerance"):
+        asof_join(left, right, on="t", by="k", tolerance=-1.0)
