@@ -3924,3 +3924,118 @@ def compression_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(corpus_leg)
         .unionByName(canary_df(spark, _SUITE_COLS))
     )
+
+# ---------------------------------------------------------------------------
+# r11: temporal joins gate — the batch twin of the stream-stream interval
+# join (a keyed band join DuckDB restates as a plain range join) and the
+# tolerance-bounded as-of join (DuckDB's NATIVE ASOF JOIN + a gap CASE —
+# two fully independent implementations of the asof semantics, one
+# answer). NTZ timestamps never cast to epoch: gaps ride date_diff /
+# timestamp_diff, intervals do the bounding.
+# ---------------------------------------------------------------------------
+
+_TJ_COLS = [("key", "long"), ("key_b", "long"), ("i1", "long"), ("i2", "long")]
+
+
+def _tj_oracle() -> str:
+    from .llm_suites import canary_sql
+
+    return f"""
+    WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    r AS (SELECT user_id, ts, max(event_id) AS event_id
+          FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+    SELECT CAST('band' AS VARCHAR) AS leg, CAST(l.event_id AS BIGINT) AS key,
+           CAST(r.event_id AS BIGINT) AS key_b,
+           CAST(date_diff('second', date_trunc('second', r.ts), date_trunc('second', l.ts)) AS BIGINT) AS i1,
+           CAST(NULL AS BIGINT) AS i2
+    FROM l JOIN r ON l.user_id = r.user_id
+                 AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
+    UNION ALL
+    SELECT CAST('asof_tol' AS VARCHAR), CAST(j.event_id AS BIGINT),
+           CAST(j.click_id AS BIGINT), CAST(j.gap_s AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM (
+      WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      r AS (SELECT user_id, ts, max(event_id) AS event_id
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      SELECT l.event_id,
+             CASE WHEN r.ts >= l.ts - INTERVAL 900 SECOND THEN r.event_id END AS click_id,
+             CASE WHEN r.ts >= l.ts - INTERVAL 900 SECOND
+                  THEN date_diff('second', date_trunc('second', r.ts), date_trunc('second', l.ts)) END AS gap_s
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    ) j
+    UNION ALL
+    {canary_sql(_TJ_COLS)}
+    """
+
+
+@query("temporal_join_suite", oracle=_tj_oracle())
+def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-join legs over the events table:
+
+    'band'     — the stream-stream interval join's BATCH TWIN
+                 (streaming/joins.py: purchases x same-user clicks
+                 within the preceding hour, bounds inclusive); DuckDB
+                 restates it as a plain range join. Gaps report in
+                 whole seconds over SECOND-TRUNCATED endpoints both
+                 engines (DuckDB date_diff counts boundary crossings,
+                 Spark timestamp_diff truncates elapsed time — they
+                 agree only on truncated values; and never an epoch
+                 cast — NTZ);
+    'asof_tol' — asof_join with tolerance=900s vs DuckDB's NATIVE
+                 ASOF JOIN + gap CASE: the union-window formulation
+                 and an entirely independent engine implementation
+                 must agree row-for-row, including which stale
+                 matches the tolerance nulls out (left rows are
+                 preserved either way);
+    'canary'   — constant rows stated identically by both engines.
+
+    Scale shape: band = one shuffle per side on user_id (the streaming
+    form's state story is pinned in tests/test_streaming_joins.py);
+    asof = one shuffle + one window."""
+    from ..operators.asof import asof_join
+    from ..streaming.joins import interval_join
+    from .llm_suites import canary_df
+
+    nul = F.lit(None).cast("long")
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+        .select("event_id", "user_id", "ts")
+    )
+    band = interval_join(
+        purchases, clicks, "user_id", "ts", "ts", lower_s=-3600, upper_s=0
+    ).select(
+        F.lit("band").alias("leg"),
+        F.col("event_id").cast("long").alias("key"),
+        F.col("r_event_id").cast("long").alias("key_b"),
+        F.timestamp_diff(
+            "SECOND",
+            F.date_trunc("second", F.col("r_ts")),
+            F.date_trunc("second", F.col("ts")),
+        )
+        .cast("long")
+        .alias("i1"),
+        nul.alias("i2"),
+    )
+    tol = asof_join(
+        purchases, clicks, on="ts", by="user_id", tolerance=900.0
+    ).select(
+        F.lit("asof_tol").alias("leg"),
+        F.col("event_id").cast("long").alias("key"),
+        F.col("r_event_id").cast("long").alias("key_b"),
+        F.timestamp_diff(
+            "SECOND",
+            F.date_trunc("second", F.col("r_ts")),
+            F.date_trunc("second", F.col("ts")),
+        )
+        .cast("long")
+        .alias("i1"),
+        nul.alias("i2"),
+    )
+    return band.unionByName(tol).unionByName(canary_df(spark, _TJ_COLS))

@@ -43,9 +43,11 @@ def asof_join(
     ``tolerance`` (r11, the ``pd.merge_asof`` parameter): maximum
     allowed |left.on − matched right.on|, INCLUSIVE — a match farther
     away reverts the row to nulls. Numeric ``on`` columns compare
-    directly; timestamps compare in SECONDS (cast to epoch double).
-    Applied as a post-projection on the carried payload, so the plan
-    shape (one shuffle + one window) is unchanged.
+    directly; TIMESTAMP/TIMESTAMP_NTZ columns treat ``tolerance`` as
+    SECONDS via interval arithmetic (never an epoch double cast —
+    NTZ→double is ANSI-blocked and zone-dependent). Applied as a
+    post-projection on the carried payload, so the plan shape (one
+    shuffle + one window) is unchanged.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
@@ -96,13 +98,16 @@ def asof_join(
 
     matched = u.withColumn("_match", carried).filter(F.col("_side") == 1)
     if tolerance is not None:
-        lt = F.col("_t").cast("double")
-        rt = F.col(f"_match.{on}").cast("double")
-        delta = (lt - rt) if direction == "backward" else (rt - lt)
-        matched = matched.withColumn(
-            "_match",
-            F.when(delta <= F.lit(float(tolerance)), F.col("_match")),
-        )
+        lt, rt = F.col("_t"), F.col(f"_match.{on}")
+        if isinstance(
+            left.schema[on].dataType, (T.TimestampType, T.TimestampNTZType)
+        ):
+            iv = F.expr(f"INTERVAL '{float(tolerance)}' SECOND")
+            ok = (rt >= lt - iv) if direction == "backward" else (rt <= lt + iv)
+        else:
+            delta = (lt - rt) if direction == "backward" else (rt - lt)
+            ok = delta <= F.lit(float(tolerance))
+        matched = matched.withColumn("_match", F.when(ok, F.col("_match")))
     left_out = [F.col("_k").alias(by)] + [
         F.col(f"_l.{c}").alias(c) for c in left.columns if c != by
     ]

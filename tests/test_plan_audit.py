@@ -174,6 +174,7 @@ def test_catalog_driver_window_is_exactly_fifty(plans):
         "robust_scale_suite", "stat_audit_suite",
         "geo_cluster_suite", "unicode_token_suite", "script_mix_suite",
         "containment_pairs_suite", "compression_quality_suite",
+        "temporal_join_suite",
     ]
 
 
