@@ -482,6 +482,60 @@ def ngram_containment_pairs(
     )
 
 
+def drop_contained_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.95,
+    max_shingle_freq: int = 10000,
+) -> DataFrame:
+    """The actionable form of :func:`ngram_containment_pairs`: drop every
+    document whose distinct-shingle set is (>= ``threshold``) contained
+    in a LARGER document's — quotes swallowed by their articles, strict
+    subsets, truncated re-crawls — keeping the superset. Returns the
+    survivors with their original columns.
+
+    Drop rule (ONE pass over the pair table, no iteration): doc X drops
+    iff some OTHER doc Y has ``containment(X in Y) >= threshold`` and Y
+    outranks X — more distinct shingles, ties by smaller id. Ranking by
+    size makes the relation acyclic: the top of any containment chain
+    is never dropped (nothing outranks it), and mutual containment
+    (near-identical docs) keeps exactly one — the exact-dedup tiebreak.
+    Caveat stated plainly: a dropped doc's absorber may itself have
+    been dropped against something bigger, and with ``threshold < 1``
+    containment is not transitive, so a middle link's unique tail can
+    be lost — the single-pass policy trades that sliver (bounded by
+    ``1 - threshold`` of each doc) for never iterating; run with
+    ``threshold=1.0`` when strict content preservation matters.
+
+    Scale shape: the pair machinery's single corpus pass + posting
+    shuffle, then one distinct drop-id projection and a broadcast-able
+    left_anti join back — no collect, no cartesian."""
+    common = _shingle_common_counts(df, text_col, id_col, shingle_n, max_shingle_freq)
+    t = F.lit(float(threshold))
+    a_loses = (F.col("n_common") / F.col("n_a") >= t) & (
+        (F.col("n_a") < F.col("n_b"))
+        | ((F.col("n_a") == F.col("n_b")) & (F.col("id_a") > F.col("id_b")))
+    )
+    b_loses = (F.col("n_common") / F.col("n_b") >= t) & (
+        (F.col("n_b") < F.col("n_a"))
+        | ((F.col("n_b") == F.col("n_a")) & (F.col("id_b") > F.col("id_a")))
+    )
+    drops = (
+        common.select(
+            F.when(a_loses, F.col("id_a")).alias("da"),
+            F.when(b_loses, F.col("id_b")).alias("db"),
+        )
+        .select(F.explode(F.array("da", "db")).alias("_drop_id"))
+        .filter(F.col("_drop_id").isNotNull())
+        .distinct()
+    )
+    return df.join(
+        drops, df[id_col] == drops["_drop_id"], "left_anti"
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",

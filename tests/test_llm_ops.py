@@ -1250,3 +1250,63 @@ class TestContainmentPairs:
         }
         # A: 4 grams, B: 16 grams, common 4 -> 4/16 = 0.25
         assert out[(1, 2)] == pytest.approx(0.25)
+
+
+class TestDropContainedDocuments:
+    def test_quote_and_superset_dropped(self, spark):
+        from kafka_streams_task_spark.operators.dedup import (
+            drop_contained_documents,
+        )
+
+        a = "w1 w2 w3 w4 w5 w6"
+        docs = spark.createDataFrame(
+            [
+                (1, a),                                              # ⊂ 2 and 4
+                (2, a + " x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12"),
+                (3, "z1 z2 z3 z4 z5"),                               # unrelated
+                (4, "h1 h2 h3 h4 h5 h6 h7 h8 " + a + " t1 t2 t3 t4 t5 t6 t7 t8"),
+            ],
+            "doc_id long, text string",
+        )
+        kept = {r["doc_id"] for r in drop_contained_documents(docs).collect()}
+        assert kept == {2, 3, 4}
+
+    def test_chain_keeps_only_the_top(self, spark):
+        from kafka_streams_task_spark.operators.dedup import (
+            drop_contained_documents,
+        )
+
+        a = "w1 w2 w3 w4 w5 w6"
+        b = a + " y1 y2 y3"
+        c = b + " q1 q2 q3 q4"
+        docs = spark.createDataFrame(
+            [(1, a), (2, b), (3, c)], "doc_id long, text string"
+        )
+        kept = {r["doc_id"] for r in drop_contained_documents(docs).collect()}
+        assert kept == {3}
+
+    def test_mutual_containment_keeps_one(self, spark):
+        from kafka_streams_task_spark.operators.dedup import (
+            drop_contained_documents,
+        )
+
+        # identical shingle sets (exact duplicate text, distinct ids):
+        # both directions contain at threshold, sizes tie
+        a = "w1 w2 w3 w4 w5"
+        docs = spark.createDataFrame(
+            [(7, a), (8, a)], "doc_id long, text string"
+        )
+        kept = {r["doc_id"] for r in drop_contained_documents(docs).collect()}
+        assert kept == {7}  # equal size -> smaller id survives
+
+    def test_columns_and_unrelated_preserved(self, spark):
+        from kafka_streams_task_spark.operators.dedup import (
+            drop_contained_documents,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a1 a2 a3 a4", "keepme")],
+            "doc_id long, text string, extra string",
+        )
+        rows = drop_contained_documents(docs).collect()
+        assert rows[0]["extra"] == "keepme" and len(rows) == 1
