@@ -31,6 +31,9 @@ from . import extensions  # noqa: E402,F401
 # keep registration order, then the promoted extensions, then the rest —
 # test_plan_audit.py pins the resulting 50-name window BY NAME AND
 # POSITION.
+# r12 (VERDICT r11 item 1): the three 1-row dedup recall gates folded
+# into dedup_recall_suite (llm.py), freeing 2 slots; the two r11
+# extensions with the strongest independent oracles promote in.
 _PROMOTED = [
     "kn_lm_perplexity",
     "classifier_eval_suite",
@@ -39,13 +42,24 @@ _PROMOTED = [
     "geo_radius_pairs",
     "privacy_kanon_suite",
     "timeseries_gapfill_suite",
+    "unicode_token_suite",
+    "temporal_join_suite",
 ]
 
 _names = list(CATALOG)
-assert all(n in CATALOG for n in _PROMOTED), "promoted entry missing"
-assert all(_names.index(n) >= _CORE_COUNT for n in _PROMOTED), (
-    "promoted entries must come from the extension range"
-)
+# explicit raises, not asserts: the window invariant must hold under
+# `python -O` too (ADVICE r11) — a renamed/missing promoted entry would
+# otherwise silently misalign the 50-slot driver window.
+if not all(n in CATALOG for n in _PROMOTED):
+    raise RuntimeError(
+        "promoted entry missing from catalog: "
+        + ", ".join(n for n in _PROMOTED if n not in CATALOG)
+    )
+if not all(_names.index(n) >= _CORE_COUNT for n in _PROMOTED):
+    raise RuntimeError(
+        "promoted entries must come from the extension range: "
+        + ", ".join(n for n in _PROMOTED if _names.index(n) < _CORE_COUNT)
+    )
 _order = (
     _names[:_CORE_COUNT]
     + _PROMOTED

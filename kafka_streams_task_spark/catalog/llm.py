@@ -200,14 +200,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_minhash_lsh_recall",
-    oracle="""
-    SELECT count(*) AS n_planted, CAST(0 AS BIGINT) AS n_missed
-    FROM documents
-    WHERE len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) >= 20
-    """,
-)
 def dedup_minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end MinHash-LSH gate with a SQL-checkable invariant: plant a
     near-duplicate (last token dropped) of every document with >= 20 tokens,
@@ -235,13 +227,6 @@ def dedup_minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_simhash_recall",
-    oracle="""
-    SELECT count(*) AS n_planted, CAST(0 AS BIGINT) AS n_missed
-    FROM documents
-    """,
-)
 def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end SimHash gate with a SQL-checkable invariant: plant an
     exact copy of every document, run the full pipeline (64-bit bit-vote
@@ -263,14 +248,6 @@ def dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_embedding_cosine_recall",
-    oracle="""
-    SELECT count(*) AS n_planted, CAST(0 AS BIGINT) AS n_missed
-    FROM embeddings
-    WHERE list_sum(list_transform(embedding, x -> CAST(x*x AS DOUBLE))) > 0
-    """,
-)
 def dedup_embedding_cosine_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end embedding-cosine near-dup gate with a SQL-checkable
     invariant: plant an exact copy of every nonzero embedding, run the full
@@ -300,6 +277,70 @@ def dedup_embedding_cosine_recall(spark: SparkSession, sf_dir: str) -> DataFrame
     missed = expected.join(pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
     return expected.agg(F.count(F.lit(1)).alias("n_planted")).crossJoin(
         missed.agg(F.count(F.lit(1)).alias("n_missed"))
+    )
+
+
+_RECALL_COLS = [("n_planted", "long"), ("n_missed", "long")]
+
+
+def _recall_suite_oracle() -> str:
+    from ._suite_utils import canary_sql
+
+    return f"""
+    SELECT CAST('minhash' AS VARCHAR) AS leg, CAST(count(*) AS BIGINT) AS n_planted,
+           CAST(0 AS BIGINT) AS n_missed
+    FROM documents
+    WHERE len(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) >= 20
+    UNION ALL
+    SELECT CAST('simhash' AS VARCHAR), CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT CAST('cosine' AS VARCHAR), CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
+    FROM embeddings
+    WHERE list_sum(list_transform(embedding, x -> CAST(x*x AS DOUBLE))) > 0
+    UNION ALL
+    {canary_sql(_RECALL_COLS)}
+    """
+
+
+@query("dedup_recall_suite", oracle=_recall_suite_oracle())
+def dedup_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three approximate-dedup planted-recall gates in one driver row
+    (r12 fold of the r1 slots dedup_minhash_lsh_recall + dedup_simhash_recall
+    + dedup_embedding_cosine_recall — all green every round r1–r11; VERDICT
+    r11 item 1). Each leg is exactly the prior slot's single (n_planted,
+    n_missed) invariant row, unchanged:
+
+    'minhash' — plant a last-token-dropped near-dup of every >=20-token
+    document, run the full 128-hash/32-band pipeline on the doubled corpus;
+    n_missed must be 0 (planted Jaccard >= 0.83 → per-pair miss ~1e-9
+    under the fixed seed).
+
+    'simhash' — plant an exact copy of every document; identical text
+    gives identical 64-bit simhash, so all four pigeonhole blocks match
+    and hamming = 0: n_missed must be exactly 0.
+
+    'cosine' — plant an exact copy of every nonzero embedding; identical
+    floats give identical sign bits in all 8 hyperplane tables and verify
+    at cosine 1.0: n_missed must be exactly 0.
+
+    Canary rows pin the long-type round-trip (2^53+1, int64 extremes,
+    NULLs) per the r6 fold discipline. The raw candidate operators keep
+    their planted-pair property tests in tests/test_llm_ops.py."""
+    from ._suite_utils import canary_df
+
+    def _leg(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("leg"),
+            F.col("n_planted").cast("long").alias("n_planted"),
+            F.col("n_missed").cast("long").alias("n_missed"),
+        )
+
+    return (
+        _leg(dedup_minhash_lsh_recall(spark, sf_dir), "minhash")
+        .unionByName(_leg(dedup_simhash_recall(spark, sf_dir), "simhash"))
+        .unionByName(_leg(dedup_embedding_cosine_recall(spark, sf_dir), "cosine"))
+        .unionByName(canary_df(spark, _RECALL_COLS))
     )
 
 

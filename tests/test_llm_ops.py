@@ -542,10 +542,12 @@ def test_dedup_queries_leave_no_cached_blocks(spark, sf_dir):
     executes must not grow. (dedup_clusters_cc is excluded: its per-round
     localCheckpoints are lineage-truncation by design and are reclaimed by
     the ContextCleaner once the result is dropped.)"""
-    from kafka_streams_task_spark.catalog import CATALOG
     from kafka_streams_task_spark.catalog.llm import (
+        dedup_embedding_cosine_recall,
         dedup_exact_digest,
+        dedup_minhash_lsh_recall,
         dedup_ngram_jaccard,
+        dedup_simhash_recall,
         dedup_survivors,
     )
 
@@ -557,9 +559,11 @@ def test_dedup_queries_leave_no_cached_blocks(spark, sf_dir):
         "dedup_exact_digest": dedup_exact_digest,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_survivors": dedup_survivors,
-        "dedup_minhash_lsh_recall": CATALOG["dedup_minhash_lsh_recall"].fn,
-        "dedup_simhash_recall": CATALOG["dedup_simhash_recall"].fn,
-        "dedup_embedding_cosine_recall": CATALOG["dedup_embedding_cosine_recall"].fn,
+        # r12: folded into dedup_recall_suite — the raw gate fns remain
+        # the per-operator probes here
+        "dedup_minhash_lsh_recall": dedup_minhash_lsh_recall,
+        "dedup_simhash_recall": dedup_simhash_recall,
+        "dedup_embedding_cosine_recall": dedup_embedding_cosine_recall,
     }
     for name, fn in probes.items():
         assert fn(spark, sf_dir).count() >= 0

@@ -23,9 +23,9 @@ PY_STAGES = r"BatchEvalPython|ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas"
 #: none of these grows with the corpus on its non-broadcast side.
 BNLJ_ALLOWED = {
     "llm_cdc_analytics_suite",  # r7 corpus leg: 1-row quantile-gate crossJoin
-    "dedup_minhash_lsh_recall",
-    "dedup_simhash_recall",
-    "dedup_embedding_cosine_recall",
+    # r12 fold: the three recall gates' 1-row (n_planted, n_missed)
+    # counter crossJoins now live inside the folded suite
+    "dedup_recall_suite",
     "sample_pack_pipeline",
     "llm_text_model_suite",
     "llm_retrieval_suite",
@@ -65,8 +65,10 @@ BNLJ_ALLOWED = {
 #: state, multimodal decode, kmeans/IVF-PQ train+index); row-at-a-time
 #: BatchEvalPython never appears anywhere.
 PY_ALLOWED = {
-    "dedup_minhash_lsh_recall": 2,
-    "dedup_embedding_cosine_recall": 2,
+    # r12 fold: minhash leg keeps its 2 MapInPandas signature stages
+    # (corpus + planted union sides) and the cosine leg its 2 hyperplane-
+    # projection stages; simhash stays all-JVM
+    "dedup_recall_suite": 4,
     "text_bpe_token_counts": 2,
     "sample_pack_pipeline": 3,
     "llm_text_model_suite": 6,
@@ -128,8 +130,9 @@ DRIVER_WINDOW = [
     "geohash_cells", "pipeline_enrich_daily_rollup", "latest_event_per_user",
     "events_hourly_tumbling", "session_suite", "asof_purchase_to_click",
     "weather_topology_full", "text_token_stats", "text_quality_scores",
-    "dedup_minhash_lsh_recall", "dedup_simhash_recall",
-    "dedup_embedding_cosine_recall", "text_bpe_token_counts",
+    # r12 fold: the three 1-row recall gates (driver-green r1-r11) became
+    # one canary-protected suite, freeing 2 slots
+    "dedup_recall_suite", "text_bpe_token_counts",
     "approx_aggregates", "dedup_clusters_cc", "sample_pack_pipeline",
     "llm_graph_layout_suite", "llm_cdc_analytics_suite",
     "llm_text_model_suite", "llm_retrieval_suite", "llm_dedup_join_suite",
@@ -150,6 +153,10 @@ DRIVER_WINDOW = [
     "kn_lm_perplexity", "classifier_eval_suite", "retrieval_eval_suite",
     "image_phash_dedup", "geo_radius_pairs", "privacy_kanon_suite",
     "timeseries_gapfill_suite",
+    # r12 promotions (VERDICT r11 item 1): the two r11 extensions with
+    # the strongest independent oracles (DuckDB re-derives segmentation
+    # counts; native ASOF JOIN cross-check) fill the freed slots
+    "unicode_token_suite", "temporal_join_suite",
 ]
 
 
@@ -172,9 +179,8 @@ def test_catalog_driver_window_is_exactly_fifty(plans):
         "anomaly_zscore_suite", "trend_forecast_suite",
         "quantile_norm_suite", "cusum_shift_suite",
         "robust_scale_suite", "stat_audit_suite",
-        "geo_cluster_suite", "unicode_token_suite", "script_mix_suite",
+        "geo_cluster_suite", "script_mix_suite",
         "containment_pairs_suite", "compression_quality_suite",
-        "temporal_join_suite",
     ]
 
 
