@@ -3711,6 +3711,25 @@ _CT_DOCS = [
 #: A(4 grams) fully inside B(16) and D(20)
 _CT_PLANTED = [(1, 2, 1000000, 250000), (1, 4, 1000000, 200000)]
 
+#: r12 (VERDICT r11 item 4) drop-rule decision corpus: a containment
+#: CHAIN A(11) ⊂ B(12) ⊂ C(13) (each strictly bigger), a MUTUAL-
+#: containment pair 14 == 15 (identical text), and a disjoint doc 16.
+#: Under drop_contained_documents(threshold=0.95): 11 drops (inside 12
+#: and 13), 12 drops (inside 13), 13 survives (top of the chain,
+#: nothing outranks it); 15 drops (mutual tie → larger id loses),
+#: 14 survives; 16 survives untouched.
+_CT_CHAIN_DOCS = [
+    (11, "w1 w2 w3 w4 w5 w6"),
+    (12, "w1 w2 w3 w4 w5 w6 y1 y2 y3 y4"),
+    (13, "w1 w2 w3 w4 w5 w6 y1 y2 y3 y4 z1 z2 z3 z4"),
+    (14, "m1 m2 m3 m4 m5"),
+    (15, "m1 m2 m3 m4 m5"),
+    (16, "q1 q2 q3 q4 q5"),
+]
+
+#: the exact survivor set, stated closed-form by the oracle
+_CT_CHAIN_SURVIVORS = [13, 14, 16]
+
 
 def _ct_oracle() -> str:
     from .llm_suites import canary_sql, sql_fmicro
@@ -3720,37 +3739,61 @@ def _ct_oracle() -> str:
         f"CAST({b} AS BIGINT), CAST({ca} AS BIGINT), CAST({cb} AS BIGINT)"
         for a, b, ca, cb in _CT_PLANTED
     )
+    chain = " UNION ALL ".join(
+        f"SELECT CAST('drop_chain' AS VARCHAR), CAST({i} AS BIGINT), "
+        "CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)"
+        for i in _CT_CHAIN_SURVIVORS
+    )
+    # the shingle/pair CTEs are hoisted to statement level so both the
+    # 'pairs' leg and the 'drop_corpus' survivor re-derivation share one
+    # independent DuckDB pair table. The drop rule deliberately compares
+    # RAW double ratios (n_common/n) like the Spark operator — the
+    # micro-rounded cam/cbm are only for the hashed 'pairs' values.
     return f"""
-    SELECT CAST('pairs' AS VARCHAR) AS leg, CAST(j.id_a AS BIGINT) AS key,
-           CAST(j.id_b AS BIGINT) AS key_b,
-           CAST(j.cam AS BIGINT) AS i1, CAST(j.cbm AS BIGINT) AS i2
-    FROM (
-      WITH sh AS (
-        SELECT doc_id, unnest(list_distinct(sh_list)) AS shingle
-        FROM (
-          SELECT doc_id,
-                 CASE WHEN len(t) >= 3
-                      THEN list_transform(range(1, len(t) - 1),
-                                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-                      ELSE [array_to_string(t, ' ')] END AS sh_list
-          FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r\\f]+') AS t FROM documents)
-        )
-      ), sizes AS (
-        SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
-      ), common AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(sh_list)) AS shingle
+      FROM (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                    THEN list_transform(range(1, len(t) - 1),
+                                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                    ELSE [array_to_string(t, ' ')] END AS sh_list
+        FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r\\f]+') AS t FROM documents)
       )
-      SELECT id_a, id_b,
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), j AS (
+      SELECT id_a, id_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
              {sql_fmicro("CAST(n_common AS DOUBLE) / sa.n_sh")} AS cam,
              {sql_fmicro("CAST(n_common AS DOUBLE) / sb.n_sh")} AS cbm
       FROM common
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
-    ) j WHERE GREATEST(j.cam, j.cbm) >= 600000
+    ), dropids AS (
+      SELECT id_a AS did FROM j
+      WHERE CAST(n_common AS DOUBLE) / n_a >= 0.6
+        AND (n_a < n_b OR (n_a = n_b AND id_a > id_b))
+      UNION
+      SELECT id_b FROM j
+      WHERE CAST(n_common AS DOUBLE) / n_b >= 0.6
+        AND (n_b < n_a OR (n_b = n_a AND id_b > id_a))
+    )
+    SELECT CAST('pairs' AS VARCHAR) AS leg, CAST(id_a AS BIGINT) AS key,
+           CAST(id_b AS BIGINT) AS key_b,
+           CAST(cam AS BIGINT) AS i1, CAST(cbm AS BIGINT) AS i2
+    FROM j WHERE GREATEST(cam, cbm) >= 600000
+    UNION ALL
+    SELECT CAST('drop_corpus' AS VARCHAR), CAST(d.doc_id AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM documents d WHERE d.doc_id NOT IN (SELECT did FROM dropids)
     UNION ALL
     {planted}
+    UNION ALL
+    {chain}
     UNION ALL
     {canary_sql(_CT_COLS)}
     """
@@ -3768,8 +3811,20 @@ def containment_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     'planted' — the quote/superset decision table (B = A + tail, A
                 quoted inside D): full 1.0 containment one way, small
                 the other — the asymmetry Jaccard misses;
+
+    r12 (VERDICT r11 item 4) — the actionable drop verb, oracle-gated:
+
+    'drop_corpus' — drop_contained_documents over the REAL corpus at
+                the same 0.6 threshold; DuckDB independently re-derives
+                the drop set from ITS pair table (raw-ratio rank rule:
+                bigger shingle set wins, ties to smaller id) and states
+                every survivor doc_id;
+    'drop_chain' — the decision corpus above (chain A⊂B⊂C + a mutual-
+                containment pair + a disjoint doc) through the drop
+                rule at 0.95; the oracle states the exact survivor set
+                {{13, 14, 16}} closed-form;
     'canary'  — constant rows stated identically by both engines."""
-    from ..operators.dedup import ngram_containment_pairs
+    from ..operators.dedup import drop_contained_documents, ngram_containment_pairs
     from .llm_suites import canary_df, fmicro_col
 
     docs = load_table(spark, sf_dir, "documents")
@@ -3788,8 +3843,22 @@ def containment_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmicro_col(F.col("cont_a_in_b")).alias("i1"),
         fmicro_col(F.col("cont_b_in_a")).alias("i2"),
     )
-    return pairs_leg.unionByName(planted_leg).unionByName(
-        canary_df(spark, _CT_COLS)
+
+    def _survivors(frame: DataFrame, leg: str, threshold: float) -> DataFrame:
+        return drop_contained_documents(frame, threshold=threshold).select(
+            F.lit(leg).alias("leg"),
+            F.col("doc_id").cast("long").alias("key"),
+            F.lit(None).cast("long").alias("key_b"),
+            F.lit(None).cast("long").alias("i1"),
+            F.lit(None).cast("long").alias("i2"),
+        )
+
+    chain = spark.createDataFrame(_CT_CHAIN_DOCS, "doc_id long, text string")
+    return (
+        pairs_leg.unionByName(planted_leg)
+        .unionByName(_survivors(docs, "drop_corpus", 0.6))
+        .unionByName(_survivors(chain, "drop_chain", 0.95))
+        .unionByName(canary_df(spark, _CT_COLS))
     )
 
 # ---------------------------------------------------------------------------
@@ -3965,6 +4034,20 @@ def _tj_oracle() -> str:
       FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
     ) j
     UNION ALL
+    SELECT CAST('asof_fwd' AS VARCHAR), CAST(j.event_id AS BIGINT),
+           CAST(j.click_id AS BIGINT), CAST(j.gap_s AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM (
+      WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      r AS (SELECT user_id, ts, max(event_id) AS event_id
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      SELECT l.event_id,
+             CASE WHEN r.ts <= l.ts + INTERVAL 900 SECOND THEN r.event_id END AS click_id,
+             CASE WHEN r.ts <= l.ts + INTERVAL 900 SECOND
+                  THEN date_diff('second', date_trunc('second', l.ts), date_trunc('second', r.ts)) END AS gap_s
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+    ) j
+    UNION ALL
     {canary_sql(_TJ_COLS)}
     """
 
@@ -3988,6 +4071,13 @@ def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                  must agree row-for-row, including which stale
                  matches the tolerance nulls out (left rows are
                  preserved either way);
+    'asof_fwd' — r12 (VERDICT r11 item 7): the FORWARD direction of
+                 the same tolerance parameter — earliest same-user
+                 click at or after each purchase, matches beyond
+                 +900s nulled — vs DuckDB ASOF with the flipped
+                 inequality (l.ts <= r.ts), so both directions of
+                 operators/asof.py's tolerance arithmetic are
+                 cross-engine pinned;
     'canary'   — constant rows stated identically by both engines.
 
     Scale shape: band = one shuffle per side on user_id (the streaming
@@ -4038,4 +4128,24 @@ def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("i1"),
         nul.alias("i2"),
     )
-    return band.unionByName(tol).unionByName(canary_df(spark, _TJ_COLS))
+    fwd = asof_join(
+        purchases, clicks, on="ts", by="user_id",
+        direction="forward", tolerance=900.0,
+    ).select(
+        F.lit("asof_fwd").alias("leg"),
+        F.col("event_id").cast("long").alias("key"),
+        F.col("r_event_id").cast("long").alias("key_b"),
+        F.timestamp_diff(
+            "SECOND",
+            F.date_trunc("second", F.col("ts")),
+            F.date_trunc("second", F.col("r_ts")),
+        )
+        .cast("long")
+        .alias("i1"),
+        nul.alias("i2"),
+    )
+    return (
+        band.unionByName(tol)
+        .unionByName(fwd)
+        .unionByName(canary_df(spark, _TJ_COLS))
+    )

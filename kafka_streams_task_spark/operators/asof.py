@@ -45,14 +45,26 @@ def asof_join(
     away reverts the row to nulls. Numeric ``on`` columns compare
     directly; TIMESTAMP/TIMESTAMP_NTZ columns treat ``tolerance`` as
     SECONDS via interval arithmetic (never an epoch double cast —
-    NTZ→double is ANSI-blocked and zone-dependent). Applied as a
-    post-projection on the carried payload, so the plan shape (one
-    shuffle + one window) is unchanged.
+    NTZ→double is ANSI-blocked and zone-dependent); DATE columns treat
+    it as whole DAYS via ``datediff`` (r12, ADVICE r11 — the raw
+    date−date subtraction yields an INTERVAL that cannot compare
+    against a double). Any other ``on`` type with a tolerance raises
+    ``ValueError`` up front rather than failing at analysis time.
+    Applied as a post-projection on the carried payload, so the plan
+    shape (one shuffle + one window) is unchanged.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
     if tolerance is not None and not tolerance >= 0:
         raise ValueError(f"tolerance must be >= 0, got {tolerance}")
+    if tolerance is not None and not isinstance(
+        left.schema[on].dataType,
+        (T.TimestampType, T.TimestampNTZType, T.DateType, T.NumericType),
+    ):
+        raise ValueError(
+            "tolerance supports numeric, timestamp, and date `on` columns; "
+            f"got {left.schema[on].dataType.simpleString()} for {on!r}"
+        )
 
     right_cols = [c for c in right.columns if c != by]
     l_payload = F.struct(*[F.col(c) for c in left.columns if c != by])
@@ -104,6 +116,12 @@ def asof_join(
         ):
             iv = F.expr(f"INTERVAL '{float(tolerance)}' SECOND")
             ok = (rt >= lt - iv) if direction == "backward" else (rt <= lt + iv)
+        elif isinstance(left.schema[on].dataType, T.DateType):
+            # tolerance counts whole DAYS for DATE on-columns
+            delta = (
+                F.datediff(lt, rt) if direction == "backward" else F.datediff(rt, lt)
+            )
+            ok = delta <= F.lit(float(tolerance))
         else:
             delta = (lt - rt) if direction == "backward" else (rt - lt)
             ok = delta <= F.lit(float(tolerance))

@@ -71,6 +71,19 @@ def interval_join(
         raise ValueError(f"how must be one of {_HOWS}, got {how!r}")
     if lower_s > upper_s:
         raise ValueError(f"lower_s={lower_s} > upper_s={upper_s}")
+    # r12 (ADVICE r11): the join condition references unqualified
+    # F.col(right_prefix + name) — an empty prefix or a left column that
+    # already carries a prefixed right name would make those references
+    # ambiguous or silently bind to the LEFT side. Refuse up front.
+    if not right_prefix:
+        raise ValueError("right_prefix must be non-empty")
+    collisions = {f"{right_prefix}{c}" for c in right.columns} & set(left.columns)
+    if collisions:
+        raise ValueError(
+            "left columns collide with prefixed right columns (the join "
+            f"condition would be ambiguous): {sorted(collisions)}; pick a "
+            "different right_prefix"
+        )
 
     lw = left.withWatermark(left_ts, left_watermark)
     rp = right.select(

@@ -184,3 +184,41 @@ def test_asof_tolerance_timestamps_and_validation(spark):
 
     with _pytest.raises(ValueError, match="tolerance"):
         asof_join(left, right, on="t", by="k", tolerance=-1.0)
+
+
+def test_asof_tolerance_dates_and_type_guard(spark):
+    """r12 (ADVICE r11): DATE on-columns take tolerance in whole DAYS via
+    datediff (the raw date-date subtraction yields an INTERVAL that cannot
+    compare against a double); unsupported on-types raise up front."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_task_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-10", 1), (1, "2024-01-20", 2)], "k long, t string, lid long"
+    ).select("k", F.col("t").cast("date").alias("t"), "lid")
+    right = spark.createDataFrame(
+        [(1, "2024-01-07", 100)], "k long, t string, rid long"
+    ).select("k", F.col("t").cast("date").alias("t"), "rid")
+
+    # lid 1 is 3 days stale (kept at tol=3, dropped at tol=2);
+    # lid 2 is 13 days stale (dropped at both)
+    got3 = {r.lid: r.r_rid for r in
+            asof_join(left, right, on="t", by="k", tolerance=3.0).collect()}
+    assert got3 == {1: 100, 2: None}
+    got2 = {r.lid: r.r_rid for r in
+            asof_join(left, right, on="t", by="k", tolerance=2.0).collect()}
+    assert got2 == {1: None, 2: None}
+
+    # forward: right at +3 days of nothing; plant one after lid 2
+    fwd = {r.lid: r.r_rid for r in
+           asof_join(left, right.select("k", F.date_add("t", 16).alias("t"), "rid"),
+                     on="t", by="k", direction="forward", tolerance=3.0).collect()}
+    assert fwd == {1: None, 2: 100}  # 2024-01-23 is 3 days after lid 2
+
+    import pytest as _pytest
+
+    str_left = spark.createDataFrame([(1, "a", 1)], "k long, t string, lid long")
+    with _pytest.raises(ValueError, match="tolerance supports numeric"):
+        asof_join(str_left, str_left.select("k", "t", F.col("lid").alias("rid")),
+                  on="t", by="k", tolerance=1.0)

@@ -31,7 +31,8 @@ def test_every_catalog_query_runs_and_returns_rows(spark, sf_dir):
     test_plan_audit.py::test_catalog_driver_window_is_exactly_fifty."""
     from kafka_streams_task_spark.catalog import CATALOG
 
-    assert len(CATALOG) == 74
+    # r12: 74 -> 72 (three recall gates folded into dedup_recall_suite)
+    assert len(CATALOG) == 72
     for name, spec in sorted(CATALOG.items()):
         assert spec.oracle is not None, f"{name} lost its oracle"
         n = spec.fn(spark, sf_dir).count()

@@ -184,3 +184,28 @@ def test_validation(spark):
         interval_join(purchases, clicks, "user_id", "ts", "ts", 0, 1, how="anti")
     with pytest.raises(ValueError, match="lower_s"):
         interval_join(purchases, clicks, "user_id", "ts", "ts", 5, 1)
+
+
+def test_interval_join_prefix_validation(spark):
+    """r12 (ADVICE r11): empty prefixes and left/prefixed-right name
+    collisions are refused up front instead of binding ambiguously."""
+    import pytest
+
+    from kafka_streams_task_spark.streaming.joins import interval_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 5)],
+        "user_id long, ts string, r_user_id long",
+    ).selectExpr("user_id", "cast(ts as timestamp) ts", "r_user_id")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "user_id long, ts string"
+    ).selectExpr("user_id", "cast(ts as timestamp) ts")
+
+    with pytest.raises(ValueError, match="right_prefix must be non-empty"):
+        interval_join(left, right, "user_id", "ts", "ts", -60, 0, right_prefix="")
+    with pytest.raises(ValueError, match="collide"):
+        interval_join(left, right, "user_id", "ts", "ts", -60, 0)
+    # a non-colliding prefix still works
+    assert interval_join(
+        left, right, "user_id", "ts", "ts", -60, 0, right_prefix="rr_"
+    ).count() == 1
