@@ -401,6 +401,34 @@ def ngram_jaccard_pairs(
     )
 
 
+def shingle_posting_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The persistable containment/Jaccard index: ``(id, n_sh, shingle)``
+    rows, one per (document, distinct shingle hash) — the exploded form
+    every inverted-index pairing operator groups on, exposed (r12) so a
+    pipeline can WRITE it once per corpus and probe future shards
+    incrementally (:func:`containment_incremental_pairs`, the streaming
+    containment tier) instead of re-shingling 100 TB per crawl.
+
+    Shingles are xxhash64 longs: ~24 bytes/row x distinct-shingles rows
+    per doc, text never rides the index. ``shingle_n`` must match
+    between the index write and every later incremental call."""
+    return df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))
+        ).alias("shs"),
+    ).select(
+        F.col(id_col),
+        F.size("shs").alias("n_sh"),
+        F.explode("shs").alias("shingle"),
+    )
+
+
 def _shingle_common_counts(
     df: DataFrame,
     text_col: str,
@@ -413,16 +441,7 @@ def _shingle_common_counts(
     n_common)`` for every pair sharing >= 1 surviving shingle
     (``id_a < id_b``; posting lists over ``max_shingle_freq`` docs drop
     whole — the boilerplate guard)."""
-    sh = df.select(
-        F.col(id_col),
-        F.array_distinct(
-            F.transform(shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))
-        ).alias("shs"),
-    ).select(
-        F.col(id_col),
-        F.size("shs").alias("n_sh"),
-        F.explode("shs").alias("shingle"),
-    )
+    sh = shingle_posting_table(df, text_col, id_col, shingle_n)
     postings = (
         sh.groupBy("shingle")
         .agg(F.array_sort(F.collect_list(F.struct(id_col, "n_sh"))).alias("members"))
@@ -534,6 +553,91 @@ def drop_contained_documents(
     return df.join(
         drops, df[id_col] == drops["_drop_id"], "left_anti"
     )
+
+
+def containment_incremental_pairs(
+    new_sh: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.95,
+    max_shingle_freq: int = 10000,
+) -> DataFrame:
+    """Incremental DROP-DECISION pairs for containment dedup: a NEW
+    shard's :func:`shingle_posting_table` against a committed posting
+    index (r12, VERDICT r11 item 6 — the streaming twin of
+    :func:`drop_contained_documents`). Emits ``(id_a, id_b, a_is_new,
+    b_is_new)`` in the victim-oriented contract the index-backed
+    streaming choreography consumes:
+
+    - MIXED pairs (one new, one indexed) appear ONLY when the NEW doc
+      loses the batch rank rule — contained >= ``threshold`` in an
+      indexed doc with more distinct shingles (ties to smaller id).
+      The reverse case (an indexed doc contained in a new superset) is
+      deliberately NOT emitted: landed documents are never retracted at
+      ingest — the documented conservative asymmetry, caught by the
+      at-rest batch pass.
+    - NEW-NEW pairs are normalized so ``id_b`` IS the victim (``id_a``
+      the survivor) under exactly the batch drop rule, so within one
+      batch streaming == :func:`drop_contained_documents` row-for-row
+      (the rank rule makes a_loses/b_loses mutually exclusive).
+
+    Scale shape: index postings prune FIRST with a semi-join against
+    the shard's shingle set — a 100 TB index contributes only postings
+    a new doc actually touches; the pair shuffle carries 8-byte hashes;
+    combined posting lists over ``max_shingle_freq`` drop whole (the
+    boilerplate guard, same semantics as the batch form). ``new_sh``
+    should be materialized — it feeds the probe and the union."""
+    hit = new_sh.select("shingle").distinct()
+    relevant = index.join(hit, on="shingle", how="left_semi")
+    members = relevant.select(
+        id_col, "n_sh", "shingle", F.lit(False).alias("is_new")
+    ).unionByName(
+        new_sh.select(id_col, "n_sh", "shingle", F.lit(True).alias("is_new"))
+    )
+    postings = (
+        members.groupBy("shingle")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), "n_sh", "is_new"))
+            ).alias("ms")
+        )
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= max_shingle_freq))
+    )
+    common = (
+        postings.select(F.posexplode("ms").alias("i", "a"), "ms")
+        .select("a", F.explode(F.expr("slice(ms, i + 2, size(ms))")).alias("b"))
+        .filter(F.col("a.is_new") | F.col("b.is_new"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("a.is_new").alias("a_is_new"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.n_sh").alias("n_b"),
+            F.col("b.is_new").alias("b_is_new"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    t = F.lit(float(threshold))
+    a_loses = (F.col("n_common") / F.col("n_a") >= t) & (
+        (F.col("n_a") < F.col("n_b"))
+        | ((F.col("n_a") == F.col("n_b")) & (F.col("id_a") > F.col("id_b")))
+    )
+    b_loses = (F.col("n_common") / F.col("n_b") >= t) & (
+        (F.col("n_b") < F.col("n_a"))
+        | ((F.col("n_b") == F.col("n_a")) & (F.col("id_b") > F.col("id_a")))
+    )
+    mixed = F.col("a_is_new") != F.col("b_is_new")
+    both_new = F.col("a_is_new") & F.col("b_is_new")
+    mixed_drop = common.filter(
+        mixed & ((F.col("a_is_new") & a_loses) | (F.col("b_is_new") & b_loses))
+    ).select("id_a", "id_b", "a_is_new", "b_is_new")
+    both_drop = common.filter(both_new & (a_loses | b_loses)).select(
+        F.when(a_loses, F.col("id_b")).otherwise(F.col("id_a")).alias("id_a"),
+        F.when(a_loses, F.col("id_a")).otherwise(F.col("id_b")).alias("id_b"),
+        F.lit(True).alias("a_is_new"),
+        F.lit(True).alias("b_is_new"),
+    )
+    return mixed_drop.unionByName(both_drop).distinct()
 
 
 def embedding_near_dup_pairs(

@@ -247,6 +247,74 @@ def streaming_dedup_near(
     )
 
 
+def streaming_dedup_contained(
+    stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.95,
+    max_shingle_freq: int = 10000,
+    compact_every: int | None = 32,
+):
+    """Ingest-time CONTAINMENT dedup (r12, VERDICT r11 item 6): each
+    micro-batch is checked against a durable shingle posting index
+    (``operators.dedup.shingle_posting_table`` layout) and documents
+    whose distinct-shingle set is >= ``threshold`` contained in a
+    bigger already-indexed (or bigger same-batch) document drop at the
+    boundary — the streaming twin of
+    ``operators.dedup.drop_contained_documents``, for the always-on
+    crawl-ingest story where truncated re-crawls and quote-swallowed
+    copies should never land.
+
+    Drop policy: WITHIN a batch, exactly the batch operator's single-
+    pass rank rule (more distinct shingles wins, ties to smaller id) —
+    one batch through this tier keeps the same survivors as
+    ``drop_contained_documents`` on the same rows (equivalence pinned
+    in tests/test_streaming.py). ACROSS batches the policy is
+    conservative and directional: a new doc contained in an indexed doc
+    drops; an indexed doc contained in a new SUPERSET is never
+    retracted (landed data is immutable at ingest) — the at-rest batch
+    pass catches that direction, the same asymmetry as the MinHash
+    twin's over-drop note. A re-crawled already-indexed id is a no-op.
+
+    Same exactly-once discipline as the family (append-only
+    ``shpost_v{N}`` committed shards holding only survivors' postings;
+    kept docs written FIRST under ``kept/batch_id={N}``, overwrite-
+    idempotent; redelivered batches skip wholesale; index bound to its
+    checkpoint for life; every ``compact_every`` shards merge into one
+    compact root). Per-batch probe reads prune the index with a
+    semi-join on the batch's shingle set before any pairing.
+
+    Reference parity: no analogue — beyond-reference training-data
+    mandate (SURVEY.md north-star extensions)."""
+    from ..operators.dedup import (
+        containment_incremental_pairs,
+        shingle_posting_table,
+    )
+
+    return _index_dedup_stream(
+        stream,
+        index_dir,
+        checkpoint_dir,
+        id_col=id_col,
+        keep_cols=[id_col, text_col],
+        prefix="shpost_v",
+        state_fn=lambda batch: shingle_posting_table(
+            batch, text_col, id_col, shingle_n
+        ),
+        pairs_fn=lambda new_sh, index: containment_incremental_pairs(
+            new_sh,
+            index,
+            id_col=id_col,
+            threshold=threshold,
+            max_shingle_freq=max_shingle_freq,
+        ),
+        compact_every=compact_every,
+    )
+
+
 def streaming_dedup_image(
     stream: DataFrame,
     index_dir: str,

@@ -880,3 +880,87 @@ def test_compact_index_shards_unit(spark, tmpdir):
         r["doc_id"] for r in spark.read.parquet(p2).collect()
     ) == [0, 1, 2, 3]
     shutil.rmtree(root)
+
+
+def test_streaming_dedup_contained_batch_equivalence_and_cross_batch(spark, tmpdir):
+    """r12 (VERDICT r11 item 6): containment dedup at ingest. Batch 0 is
+    the chain decision corpus (A⊂B⊂C + mutual pair + disjoint): one batch
+    through the streaming tier must keep EXACTLY drop_contained_documents'
+    survivors (stream == batch equivalence). Batch 1 pins the cross-batch
+    contract: a new doc contained in an indexed doc drops on arrival; a
+    new SUPERSET of an indexed doc is kept and the landed doc is never
+    retracted (the documented conservative asymmetry)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from kafka_streams_task_spark.operators.dedup import drop_contained_documents
+    from kafka_streams_task_spark.streaming.dedup import streaming_dedup_contained
+
+    b0 = [
+        {"doc_id": 11, "text": "w1 w2 w3 w4 w5 w6"},
+        {"doc_id": 12, "text": "w1 w2 w3 w4 w5 w6 y1 y2 y3 y4"},
+        {"doc_id": 13, "text": "w1 w2 w3 w4 w5 w6 y1 y2 y3 y4 z1 z2 z3 z4"},
+        {"doc_id": 14, "text": "m1 m2 m3 m4 m5"},
+        {"doc_id": 15, "text": "m1 m2 m3 m4 m5"},
+        {"doc_id": 16, "text": "q1 q2 q3 q4 q5"},
+    ]
+    b1 = [
+        # every shingle of 20 sits inside indexed 13 -> drops on arrival
+        {"doc_id": 20, "text": "w1 w2 w3 w4 w5 w6 y1 y2"},
+        # SUPERSET of indexed 16: kept, and 16 is never retracted
+        {"doc_id": 21, "text": "q1 q2 q3 q4 q5 r1 r2 r3 r4 r5 r6 r7"},
+        {"doc_id": 22, "text": "s1 s2 s3 s4 s5"},
+    ]
+    src = f"{tmpdir}/cont_in"
+    os.makedirs(src)
+    with open(f"{src}/b0.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in b0))
+    with open(f"{src}/b1.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in b1))
+    os.utime(f"{src}/b0.json", (1000000000, 1000000000))
+    os.utime(f"{src}/b1.json", (1000000100, 1000000100))
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+    )
+    index_dir = f"{tmpdir}/cont_index"
+    q = streaming_dedup_contained(stream, index_dir, f"{tmpdir}/cont_ckpt")
+    q.awaitTermination(180)
+
+    kept = spark.read.parquet(f"{index_dir}/kept")
+    batch0_kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{index_dir}/kept/batch_id=0").collect()
+    }
+    # stream == batch on the same rows
+    batch_survivors = {
+        r["doc_id"]
+        for r in drop_contained_documents(
+            spark.createDataFrame(
+                [(d["doc_id"], d["text"]) for d in b0], "doc_id long, text string"
+            )
+        ).collect()
+    }
+    assert batch0_kept == batch_survivors == {13, 14, 16}
+
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert kept_ids == {13, 14, 16, 21, 22}  # 20 dropped vs index; 16 not retracted
+
+    # the index holds exactly the survivors' postings
+    from kafka_streams_task_spark.streaming.state import committed_versions
+
+    versions = committed_versions(spark, index_dir, "shpost_v")
+    assert len(versions) == 2
+    idx = spark.read.parquet(*[f"{index_dir}/shpost_v{v}" for v in versions])
+    assert {r["doc_id"] for r in idx.select("doc_id").distinct().collect()} == kept_ids
+
+    # redelivery is a no-op
+    stream2 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+    )
+    q2 = streaming_dedup_contained(stream2, index_dir, f"{tmpdir}/cont_ckpt")
+    q2.awaitTermination(180)
+    assert {r["doc_id"] for r in spark.read.parquet(f"{index_dir}/kept").collect()} == kept_ids
