@@ -1404,6 +1404,40 @@ def main() -> None:
     calib_sec = min(_calib_once(), _calib_once())
     print(f"# calib_sec: {calib_sec}", file=sys.stderr)
 
+    # r12 (VERDICT r11 item 3): a SECOND frozen probe exercising what the
+    # CPU probe is blind to — shuffle write/read + parquet encode/decode
+    # (r11's headline rose 5.5% raw while calib_sec improved 21%: the
+    # pure-codegen probe cannot see IO/shuffle-side host drift, so
+    # normalizing by it alone over-corrects). Fixed workload: 1M rows,
+    # hash-repartition on a 1000-key column, parquet round-trip to local
+    # disk, two-level aggregate. min-of-2; never counts toward any total.
+    # Two-probe rule (BENCH_BASELINE_r1.md): codegen-bound comparisons
+    # normalize by calib_sec; shuffle/IO-heavy comparisons by
+    # calib_io_sec; a drift that survives BOTH normalizations is code.
+    import shutil
+    import tempfile
+
+    def _calib_io_once() -> float:
+        d = tempfile.mkdtemp(prefix="bench_calib_io_")
+        try:
+            t0 = time.time()
+            frame = spark.range(0, 1_000_000, 1, n_part).select(
+                F_sql.col("id"),
+                (F_sql.col("id") % 1000).alias("k"),
+                F_sql.md5(F_sql.col("id").cast("string")).alias("payload"),
+            )
+            frame.repartition(32, "k").write.mode("overwrite").parquet(f"{d}/t")
+            spark.read.parquet(f"{d}/t").groupBy("k").agg(
+                F_sql.count(F_sql.lit(1)).alias("n"),
+                F_sql.max("payload").alias("mx"),
+            ).agg(F_sql.count(F_sql.lit(1)), F_sql.max("mx")).collect()
+            return round(time.time() - t0, 3)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    calib_io_sec = min(_calib_io_once(), _calib_io_once())
+    print(f"# calib_io_sec: {calib_io_sec}", file=sys.stderr)
+
     # Each query runs twice in the same session: run 1 pays one-time JVM
     # codegen/JIT compilation of that query's generated classes (seconds of
     # driver-side latency that a long-lived cluster amortizes to zero); run 2
@@ -1486,6 +1520,9 @@ def main() -> None:
                 # probe, min-of-2): normalize cross-round comparisons by
                 # calib_sec / <frozen r9 value in BENCH_BASELINE_r1.md>
                 "calib_sec": calib_sec,
+                # r12 second probe: shuffle+parquet round-trip (see the
+                # two-probe rule in BENCH_BASELINE_r1.md)
+                "calib_io_sec": calib_io_sec,
                 # r8 non-headline ops section (r7 crawl/compliance/
                 # versioning surface); excluded from "value" so the
                 # headline total stays round-over-round comparable
