@@ -206,6 +206,12 @@ OPS_SECTION = [
     # r11: zlib quality signal over the documents corpus — one Arrow
     # stage + summary agg
     "compression_ratio",
+    # r12: quality-aware survivor selection — exact-dup cluster edges +
+    # connected components + per-cluster argmax window over documents
+    "quality_survivors",
+    # r12: nearest-direction as-of join — the two-channel single-shuffle
+    # window over purchases x deduped clicks
+    "asof_nearest",
 ]
 
 #: frozen first-measurements for the ops section (set r8, steady-state
@@ -238,6 +244,11 @@ OPS_BASELINE_SEC = {
     "containment_pairs": 2.27,
     # r11 (same run): zlib ratio Arrow stage + summary agg over 5k docs
     "compression_ratio": 0.18,
+    # r12 first measurements (min-of-3 steady state at calib 4.374 — a
+    # SLOW window, so these ceilings are deliberately generous noise
+    # gates; raw runs in BENCH_BASELINE_r1.md)
+    "quality_survivors": 1.02,
+    "asof_nearest": 0.34,
     # r8 third wave: post-model-pin steady state (pre-pin measured 4.2 —
     # the bucket-count aggs re-executed for every downstream consumer);
     # r11 re-freeze, same A/B receipt as bloom_decontaminate: r9 checkout
@@ -990,6 +1001,48 @@ def _ops_workloads():
             F.max("cr").alias("max_cr"),
         )
 
+    def _quality_survivors(s, d):
+        # r12: exact-dup cluster edges + connected components + per-
+        # cluster argmax over the documents corpus (the synthetic
+        # doc_id % 7 score keeps the argmax load-bearing on exact
+        # copies — see quality_survivor_suite)
+        from pyspark.sql import Window as W
+
+        from kafka_streams_task_spark.operators.dedup import (
+            keep_best_per_cluster,
+        )
+
+        docs = load_table(s, d, "documents").select(
+            "doc_id", F.md5("text").alias("dg")
+        )
+        w = W.partitionBy("dg").orderBy("doc_id")
+        edges = (
+            docs.select("doc_id", F.lag("doc_id").over(w).alias("prev"))
+            .filter(F.col("prev").isNotNull())
+            .select(F.col("prev").alias("id_a"), F.col("doc_id").alias("id_b"))
+        )
+        scored = docs.select("doc_id", (F.col("doc_id") % 7).alias("score"))
+        return keep_best_per_cluster(scored, edges, score_col="score")
+
+    def _asof_nearest(s, d):
+        # r12: the nearest-direction as-of join — one shuffle, one sort,
+        # two window channels over purchases x deduped clicks
+        from kafka_streams_task_spark.operators.asof import asof_join
+
+        e = load_table(s, d, "events")
+        purchases = e.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        clicks = (
+            e.filter(F.col("event_type") == "click")
+            .groupBy("user_id", "ts")
+            .agg(F.max("event_id").alias("event_id"))
+            .select("event_id", "user_id", "ts")
+        )
+        return asof_join(
+            purchases, clicks, on="ts", by="user_id", direction="nearest"
+        )
+
     def _stat_audit(s, d):
         # r10 fourth wave: Benford digit agg + chi-square contingency
         # over 100k events
@@ -1107,6 +1160,8 @@ def _ops_workloads():
         "unicode_tokens": _unicode_tokens,
         "containment_pairs": _containment_pairs,
         "compression_ratio": _compression_ratio,
+        "quality_survivors": _quality_survivors,
+        "asof_nearest": _asof_nearest,
     }
 
 

@@ -4057,6 +4057,35 @@ def _tj_oracle() -> str:
       FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
     ) j
     UNION ALL
+    SELECT CAST('asof_near' AS VARCHAR), CAST(j.event_id AS BIGINT),
+           CAST(j.click_id AS BIGINT), CAST(j.gap_s AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM (
+      WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      r AS (SELECT user_id, ts, max(event_id) AS event_id
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      bwd AS (
+        SELECT l.event_id, l.ts AS lts, r.ts AS bts, r.event_id AS bid
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+      ),
+      fwd AS (
+        SELECT l.event_id, r.ts AS fts, r.event_id AS fid
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+      )
+      SELECT b.event_id,
+             CASE WHEN f.fts IS NULL
+                       OR (b.bts IS NOT NULL AND (b.lts - b.bts) <= (f.fts - b.lts))
+                  THEN b.bid ELSE f.fid END AS click_id,
+             CASE WHEN f.fts IS NULL
+                       OR (b.bts IS NOT NULL AND (b.lts - b.bts) <= (f.fts - b.lts))
+                  THEN CASE WHEN b.bts IS NOT NULL
+                            THEN date_diff('second', date_trunc('second', b.bts),
+                                           date_trunc('second', b.lts)) END
+                  ELSE date_diff('second', date_trunc('second', b.lts),
+                                 date_trunc('second', f.fts)) END AS gap_s
+      FROM bwd b JOIN fwd f ON b.event_id = f.event_id
+    ) j
+    UNION ALL
     {canary_sql(_TJ_COLS)}
     """
 
@@ -4087,6 +4116,12 @@ def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                  inequality (l.ts <= r.ts), so both directions of
                  operators/asof.py's tolerance arithmetic are
                  cross-engine pinned;
+    'asof_near' — r12: direction='nearest' (the pd.merge_asof
+                 completion) vs DuckDB's RESTATEMENT as backward ASOF
+                 + forward ASOF + the same closer-pick CASE (ties to
+                 backward via interval <=) — the one-shuffle
+                 two-channel window formulation against two native
+                 engine joins plus explicit selection logic;
     'canary'   — constant rows stated identically by both engines.
 
     Scale shape: band = one shuffle per side on user_id (the streaming
@@ -4153,8 +4188,133 @@ def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("i1"),
         nul.alias("i2"),
     )
+    near = asof_join(
+        purchases, clicks, on="ts", by="user_id", direction="nearest"
+    ).select(
+        F.lit("asof_near").alias("leg"),
+        F.col("event_id").cast("long").alias("key"),
+        F.col("r_event_id").cast("long").alias("key_b"),
+        F.abs(
+            F.timestamp_diff(
+                "SECOND",
+                F.date_trunc("second", F.col("r_ts")),
+                F.date_trunc("second", F.col("ts")),
+            )
+        )
+        .cast("long")
+        .alias("i1"),
+        nul.alias("i2"),
+    )
     return (
         band.unionByName(tol)
         .unionByName(fwd)
+        .unionByName(near)
         .unionByName(canary_df(spark, _TJ_COLS))
+    )
+
+# ---------------------------------------------------------------------------
+# r12: quality-aware duplicate-survivor selection — keep_best_per_cluster
+# composes the pair machinery, connected components, and a per-cluster
+# argmax into the curation policy production pipelines actually apply
+# (keep the best-quality representative, not the smallest id). The
+# corpus leg makes DuckDB re-derive cluster membership (md5 partition)
+# AND the argmax (window row_number) independently; the planted leg
+# states a multi-hop chain + tie + singleton decision table closed-form.
+# ---------------------------------------------------------------------------
+
+_QS_COLS = [("key", "long"), ("key_b", "long"), ("i1", "long"), ("i2", "long")]
+
+#: planted pair graph: {1,2,3} via the multi-hop chain (1-2, 2-3),
+#: {4,5} (tie on score -> min id), 6 singleton; scores in micro units
+_QS_SCORES = {1: 500000, 2: 900000, 3: 700000, 4: 300000, 5: 300000, 6: 100000}
+_QS_PAIRS = [(1, 2), (2, 3), (4, 5)]
+_QS_SURVIVORS = [2, 4, 6]
+
+
+def _qs_oracle() -> str:
+    from .llm_suites import canary_sql
+
+    planted = " UNION ALL ".join(
+        f"SELECT CAST('planted' AS VARCHAR), CAST({i} AS BIGINT), "
+        f"CAST(NULL AS BIGINT), CAST({_QS_SCORES[i]} AS BIGINT), "
+        "CAST(NULL AS BIGINT)"
+        for i in _QS_SURVIVORS
+    )
+    return f"""
+    SELECT CAST('corpus' AS VARCHAR) AS leg, CAST(doc_id AS BIGINT) AS key,
+           CAST(NULL AS BIGINT) AS key_b,
+           CAST(doc_id % 7 AS BIGINT) AS i1, CAST(NULL AS BIGINT) AS i2
+    FROM (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY md5(text)
+                                ORDER BY (doc_id % 7) DESC, doc_id ASC) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    UNION ALL
+    {planted}
+    UNION ALL
+    {canary_sql(_QS_COLS)}
+    """
+
+
+@query("quality_survivor_suite", oracle=_qs_oracle())
+def quality_survivor_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor legs:
+
+    'corpus'  — keep_best_per_cluster over the REAL documents table:
+                clusters are the exact-duplicate groups (the
+                dedup_clusters_cc path-graph edge set, so the star
+                contractions must actually iterate on multi-copy
+                chains), score is the synthetic (doc_id % 7) — chosen
+                because exact copies share text, so any text-derived
+                score would tie and degrade to min-id; the synthetic
+                score makes the ARGMAX itself load-bearing. DuckDB
+                re-derives cluster membership (md5 window partition)
+                and the argmax (row_number) with no CC algorithm at
+                all — two formulations, one survivor set;
+    'planted' — the closed-form decision table: the multi-hop chain
+                {1,2,3} keeps max-score doc 2, the TIE pair {4,5}
+                keeps min-id 4, the singleton 6 survives untouched;
+    'canary'  — constant rows stated identically by both engines.
+
+    Scale shape: CC on the sparse pair graph only; one labeling join;
+    one per-cluster row_number window. No corpus self-join."""
+    from pyspark.sql import Window as W
+
+    from ..operators.dedup import keep_best_per_cluster
+    from .llm_suites import canary_df
+
+    nul = F.lit(None).cast("long")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("dg")
+    )
+    w = W.partitionBy("dg").orderBy("doc_id")
+    edges = (
+        d.select("doc_id", F.lag("doc_id").over(w).alias("prev"))
+        .filter(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    scored = d.select("doc_id", (F.col("doc_id") % 7).alias("score"))
+    corpus_leg = keep_best_per_cluster(scored, edges, score_col="score").select(
+        F.lit("corpus").alias("leg"),
+        F.col("doc_id").cast("long").alias("key"),
+        nul.alias("key_b"),
+        F.col("score").cast("long").alias("i1"),
+        nul.alias("i2"),
+    )
+    planted_docs = spark.createDataFrame(
+        [(i, s) for i, s in sorted(_QS_SCORES.items())], "doc_id long, score long"
+    )
+    planted_pairs = spark.createDataFrame(_QS_PAIRS, "id_a long, id_b long")
+    planted_leg = keep_best_per_cluster(
+        planted_docs, planted_pairs, score_col="score"
+    ).select(
+        F.lit("planted").alias("leg"),
+        F.col("doc_id").cast("long").alias("key"),
+        nul.alias("key_b"),
+        F.col("score").cast("long").alias("i1"),
+        nul.alias("i2"),
+    )
+    return corpus_leg.unionByName(planted_leg).unionByName(
+        canary_df(spark, _QS_COLS)
     )

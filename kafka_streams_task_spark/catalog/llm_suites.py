@@ -70,6 +70,8 @@ from .registry import query
 # registers earlier and cannot import from this module) — definitions moved
 # to _suite_utils in r12; re-exported here for every existing importer.
 from ._suite_utils import (  # noqa: F401
+    _CANARY_LONGS,
+    _CANARY_STRS,
     _canary_rows,
     canary_df,
     canary_sql,

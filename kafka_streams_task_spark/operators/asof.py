@@ -1,6 +1,6 @@
 """As-of join: for each left row, the latest right row with
-right.on <= left.on (backward) — or earliest with >= (forward) — within the
-same key group.
+right.on <= left.on (backward), the earliest with >= (forward), or the
+closest in either direction (nearest, r12) — within the same key group.
 
 Absent from both the reference and Spark's builtins (SURVEY §2.4 'absent').
 Implementation is the sort-based union-window formulation, entirely
@@ -34,8 +34,11 @@ def asof_join(
     right_prefix: str = "r_",
     tolerance: float | None = None,
 ) -> DataFrame:
-    """Backward/forward as-of join (left-join semantics: unmatched left rows
-    keep nulls on the right side).
+    """Backward/forward/nearest as-of join (left-join semantics: unmatched
+    left rows keep nulls on the right side). ``nearest`` (r12) picks the
+    closer of the backward and forward candidates, ties to backward —
+    ``pd.merge_asof`` parity pinned by the random cross-check; with a
+    tolerance the bound is the symmetric |left.on − right.on| <= tolerance.
 
     Output: all left columns + each right column (except ``by``) renamed
     with ``right_prefix``.
@@ -53,8 +56,10 @@ def asof_join(
     Applied as a post-projection on the carried payload, so the plan
     shape (one shuffle + one window) is unchanged.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction}"
+        )
     if tolerance is not None and not tolerance >= 0:
         raise ValueError(f"tolerance must be >= 0, got {tolerance}")
     if tolerance is not None and not isinstance(
@@ -69,6 +74,81 @@ def asof_join(
     right_cols = [c for c in right.columns if c != by]
     l_payload = F.struct(*[F.col(c) for c in left.columns if c != by])
     r_payload = F.struct(*[F.col(c) for c in right_cols])
+
+    if direction == "nearest":
+        # nearest (r12, completing the pd.merge_asof surface): two right
+        # copies ride ONE union — a backward channel (_rb) and a forward
+        # channel (_rf) — so both candidates come out of a single shuffle
+        # + sort with two window frames over the same ordering. Side tags
+        # encode exact-match inclusivity per channel: the backward frame
+        # (preceding..current) sees same-timestamp rights iff they sort
+        # BEFORE the left row, the forward frame (current..following) iff
+        # they sort AFTER — allow_exact_matches flips both. Ties in
+        # distance prefer the backward candidate (pd.merge_asof).
+        rb_side = 0 if allow_exact_matches else 2
+        rf_side = 2 if allow_exact_matches else 0
+        r_struct = T.StructType([right.schema[c] for c in right_cols])
+        l_struct = T.StructType(
+            [left.schema[c] for c in left.columns if c != by]
+        )
+        null_r = F.lit(None).cast(r_struct)
+        null_l = F.lit(None).cast(l_struct)
+        l_tag = left.select(
+            F.col(by).alias("_k"), F.col(on).alias("_t"),
+            l_payload.alias("_l"), null_r.alias("_rb"), null_r.alias("_rf"),
+            F.lit(1).alias("_side"),
+        )
+        rb_tag = right.select(
+            F.col(by).alias("_k"), F.col(on).alias("_t"),
+            null_l.alias("_l"), r_payload.alias("_rb"), null_r.alias("_rf"),
+            F.lit(rb_side).alias("_side"),
+        )
+        rf_tag = right.select(
+            F.col(by).alias("_k"), F.col(on).alias("_t"),
+            null_l.alias("_l"), null_r.alias("_rb"), r_payload.alias("_rf"),
+            F.lit(rf_side).alias("_side"),
+        )
+        u = l_tag.unionByName(rb_tag).unionByName(rf_tag)
+        order = Window.partitionBy("_k").orderBy(
+            F.col("_t").asc(), F.col("_side").asc()
+        )
+        wb = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        wf = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        matched = (
+            u.withColumn("_b", F.last("_rb", ignorenulls=True).over(wb))
+            .withColumn("_f", F.first("_rf", ignorenulls=True).over(wf))
+            .filter(F.col("_side") == 1)
+        )
+        lt, bt, ft = F.col("_t"), F.col(f"_b.{on}"), F.col(f"_f.{on}")
+        choose_b = F.col("_f").isNull() | (
+            F.col("_b").isNotNull() & ((lt - bt) <= (ft - lt))
+        )
+        matched = matched.withColumn(
+            "_match", F.when(choose_b, F.col("_b")).otherwise(F.col("_f"))
+        )
+        if tolerance is not None:
+            rt = F.col(f"_match.{on}")
+            if isinstance(
+                left.schema[on].dataType, (T.TimestampType, T.TimestampNTZType)
+            ):
+                iv = F.expr(f"INTERVAL '{float(tolerance)}' SECOND")
+                ok = (rt >= lt - iv) & (rt <= lt + iv)
+            elif isinstance(left.schema[on].dataType, T.DateType):
+                ok = F.abs(F.datediff(lt, rt)) <= F.lit(float(tolerance))
+            else:
+                ok = F.abs(lt - rt) <= F.lit(float(tolerance))
+            matched = matched.withColumn("_match", F.when(ok, F.col("_match")))
+        left_out = [F.col("_k").alias(by)] + [
+            F.col(f"_l.{c}").alias(c) for c in left.columns if c != by
+        ]
+        right_out = [
+            F.col(f"_match.{c}").alias(f"{right_prefix}{c}") for c in right_cols
+        ]
+        out = matched.select(*left_out, *right_out)
+        return out.select(
+            *[F.col(c) for c in left.columns],
+            *[F.col(f"{right_prefix}{c}") for c in right_cols],
+        )
 
     l_tagged = left.select(
         F.col(by).alias("_k"),

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -552,6 +552,52 @@ def drop_contained_documents(
     )
     return df.join(
         drops, df[id_col] == drops["_drop_id"], "left_anti"
+    )
+
+
+def keep_best_per_cluster(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware duplicate-cluster survivor selection (r12): given a
+    corpus and a near-duplicate PAIR table (``id_a``/``id_b`` — any of
+    this module's pairing operators), cluster the pairs with connected
+    components and keep the HIGHEST-``score_col`` document of each
+    cluster (ties to smallest id; documents in no pair survive as their
+    own cluster). Returns survivors with their original columns.
+
+    This is the curation policy production pipelines actually want:
+    min-id survivorship (``drop_exact_duplicates``) is arbitrary among
+    near-dups whose content DIFFERS — CCNet/RefinedWeb-style pipelines
+    keep the best-quality representative (longest, highest classifier
+    score, lowest perplexity) so dedup never downgrades the corpus.
+    NULL scores sort last (a scored doc always beats an unscored one);
+    an all-NULL cluster falls back to min id.
+
+    Scale shape: components run on the PAIR graph only (sparse —
+    pair-sized, not corpus-sized; O(log n) star contraction rounds, or
+    the driver union-find under the size guard), one equi-join labels
+    the corpus, and survivor selection is a single per-cluster
+    row_number window — no corpus self-join anywhere."""
+    from .cluster import connected_components
+
+    comps = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    labeled = (
+        df.join(comps, df[id_col] == comps["node"], "left")
+        .withColumn("_cluster", F.coalesce(F.col("component"), F.col(id_col)))
+        .drop("node", "component")
+    )
+    w = Window.partitionBy("_cluster").orderBy(
+        F.col(score_col).desc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        labeled.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", "_cluster")
     )
 
 

@@ -94,7 +94,7 @@ def test_asof_random_matches_pandas(spark):
     left = spark.createDataFrame(lpdf)
     right = spark.createDataFrame(rpdf)
 
-    for direction in ("backward", "forward"):
+    for direction in ("backward", "forward", "nearest"):
         for exact in (True, False):
             got = {
                 r.lid: r.r_rid
@@ -141,7 +141,7 @@ def test_asof_tolerance_matches_pandas(spark):
     ).drop_duplicates(["k", "t"]).reset_index(drop=True)
     left = spark.createDataFrame(lpdf)
     right = spark.createDataFrame(rpdf)
-    for direction in ("backward", "forward"):
+    for direction in ("backward", "forward", "nearest"):
         for tol in (0.0, 3.0, 10.0):
             got = {
                 r.lid: r.r_rid
@@ -222,3 +222,35 @@ def test_asof_tolerance_dates_and_type_guard(spark):
     with _pytest.raises(ValueError, match="tolerance supports numeric"):
         asof_join(str_left, str_left.select("k", "t", F.col("lid").alias("rid")),
                   on="t", by="k", tolerance=1.0)
+
+
+def test_asof_nearest_edges(spark):
+    """r12 nearest-direction edges: tie prefers backward, one-sided
+    matches fall through, exact matches respect allow_exact_matches,
+    symmetric tolerance nulls far matches."""
+    from kafka_streams_task_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10.0, 1), (1, 100.0, 2), (1, 7.0, 3)], "k long, t double, lid long"
+    )
+    right = spark.createDataFrame(
+        [(1, 7.0, 100), (1, 13.0, 101)], "k long, t double, rid long"
+    )
+    # lid 1 at t=10: backward cand 7 (gap 3), forward cand 13 (gap 3) -> tie -> backward
+    # lid 2 at t=100: only backward 13 exists forward-none -> 13
+    # lid 3 at t=7: exact match 100
+    got = {r.lid: r.r_rid for r in asof_join(
+        left, right, on="t", by="k", direction="nearest").collect()}
+    assert got == {1: 100, 2: 101, 3: 100}
+
+    # exact excluded: lid 3's match at 7.0 skips to 13.0 (gap 6) vs none backward
+    got_ne = {r.lid: r.r_rid for r in asof_join(
+        left, right, on="t", by="k", direction="nearest",
+        allow_exact_matches=False).collect()}
+    assert got_ne[3] == 101
+
+    # symmetric tolerance: lid 2's nearest (13, gap 87) nulled at tol=10
+    got_tol = {r.lid: r.r_rid for r in asof_join(
+        left, right, on="t", by="k", direction="nearest",
+        tolerance=10.0).collect()}
+    assert got_tol == {1: 100, 2: None, 3: 100}

@@ -32,7 +32,8 @@ def test_every_catalog_query_runs_and_returns_rows(spark, sf_dir):
     from kafka_streams_task_spark.catalog import CATALOG
 
     # r12: 74 -> 72 (three recall gates folded into dedup_recall_suite)
-    assert len(CATALOG) == 72
+    # then 73 (quality_survivor_suite extension)
+    assert len(CATALOG) == 73
     for name, spec in sorted(CATALOG.items()):
         assert spec.oracle is not None, f"{name} lost its oracle"
         n = spec.fn(spark, sf_dir).count()

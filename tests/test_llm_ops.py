@@ -1314,3 +1314,36 @@ class TestDropContainedDocuments:
         )
         rows = drop_contained_documents(docs).collect()
         assert rows[0]["extra"] == "keepme" and len(rows) == 1
+
+
+def test_keep_best_per_cluster_policy(spark):
+    """r12 quality-aware survivorship: argmax score per CC cluster, ties
+    to min id, NULL scores lose to any scored doc, all-NULL cluster falls
+    back to min id, pair-less docs survive as their own cluster."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_task_spark.operators.dedup import keep_best_per_cluster
+
+    docs = spark.createDataFrame(
+        [
+            (1, 0.5), (2, 0.9), (3, 0.7),   # chain cluster -> 2
+            (4, 0.3), (5, 0.3),             # tie -> 4
+            (6, None),                       # singleton, NULL score -> survives
+            (7, None), (8, 0.1),            # NULL loses to scored -> 8
+            (9, None), (10, None),          # all-NULL cluster -> min id 9
+        ],
+        "doc_id long, score double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (7, 8), (9, 10)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"] for r in keep_best_per_cluster(docs, pairs).collect()}
+    assert got == {2, 4, 6, 8, 9}
+
+    # original columns come back intact
+    row = (
+        keep_best_per_cluster(docs, pairs)
+        .filter(F.col("doc_id") == 2)
+        .collect()[0]
+    )
+    assert row["score"] == 0.9 and set(row.asDict()) == {"doc_id", "score"}

@@ -181,6 +181,8 @@ def test_catalog_driver_window_is_exactly_fifty(plans):
         "robust_scale_suite", "stat_audit_suite",
         "geo_cluster_suite", "script_mix_suite",
         "containment_pairs_suite", "compression_quality_suite",
+        # r12: quality-aware survivor selection (keep_best_per_cluster)
+        "quality_survivor_suite",
     ]
 
 
