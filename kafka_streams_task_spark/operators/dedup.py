@@ -749,6 +749,117 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_bucket_index_table(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 8,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """The persistable embedding-LSH index (r12): ``(id, tbl, bkt,
+    embedding)`` rows — ``n_tables`` sign-bit bucket rows per vector,
+    with the vector itself stored ONCE (on the ``tbl == 0`` row, null
+    elsewhere) so the index carries each embedding exactly one time
+    while bucket probes stay 24-byte rows. The hyperplane family is a
+    pure function of (dim, n_planes, n_tables, seed): an index written
+    once dedups every future shard incrementally
+    (:func:`embedding_incremental_pairs`, the streaming embedding tier)
+    as long as the parameters match."""
+    from .similarity import lsh_table_buckets, random_hyperplanes
+
+    planes = np.vstack(
+        [random_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    )
+    buckets = lsh_table_buckets(
+        emb, planes, n_tables, n_planes, id_col, vec_col, id_col
+    )
+    vecs = emb.select(F.col(id_col), F.col(vec_col).alias("_vec"))
+    return buckets.join(vecs, id_col).select(
+        id_col,
+        "tbl",
+        "bkt",
+        F.when(F.col("tbl") == 0, F.col("_vec")).alias("embedding"),
+    )
+
+
+def embedding_incremental_pairs(
+    new_state: DataFrame,
+    index: DataFrame,
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    max_bucket: int = 4000,
+) -> DataFrame:
+    """Incremental embedding near-dup pairs (r12): a NEW shard's
+    :func:`embedding_bucket_index_table` against a committed index.
+    Emits ``(id_a, id_b, a_is_new, b_is_new)`` candidate pairs touching
+    a new id, cosine-verified >= ``threshold`` — the flag contract the
+    index-backed streaming choreography consumes (mixed pairs drop the
+    new side; new-new pairs drop ``id_b``, the larger id).
+
+    Scale shape: index buckets prune FIRST with a semi-join against the
+    shard's (tbl, bkt) set; the pairing shuffle carries 24-byte bucket
+    rows; vectors rejoin only for VERIFIED-candidate ids (semi-join
+    pruned from the once-per-id ``tbl == 0`` rows), so no shuffle
+    carries a vector per candidate. Combined buckets over ``max_bucket``
+    drop whole (the mass-duplicate guard shared with the batch form)."""
+    from .similarity import cosine_similarity
+
+    hit = new_state.select("tbl", "bkt").distinct()
+    relevant = index.join(hit, on=["tbl", "bkt"], how="left_semi")
+    members = relevant.select(
+        id_col, "tbl", "bkt", F.lit(False).alias("is_new")
+    ).unionByName(
+        new_state.select(id_col, "tbl", "bkt", F.lit(True).alias("is_new"))
+    )
+    grouped = (
+        members.groupBy("tbl", "bkt")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), "is_new"))
+            ).alias("ms")
+        )
+        .filter((F.size("ms") >= 2) & (F.size("ms") <= max_bucket))
+    )
+    cand = (
+        grouped.select(F.posexplode("ms").alias("i", "a"), "ms")
+        .select("a", F.explode(F.expr("slice(ms, i + 2, size(ms))")).alias("b"))
+        .filter(F.col("a.is_new") | F.col("b.is_new"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.is_new").alias("a_is_new"),
+            F.col("b.is_new").alias("b_is_new"),
+        )
+        .distinct()
+    )
+    all_vecs = (
+        index.filter(F.col("embedding").isNotNull())
+        .select(id_col, "embedding")
+        .unionByName(
+            new_state.filter(F.col("embedding").isNotNull()).select(
+                id_col, "embedding"
+            )
+        )
+    )
+    va = all_vecs.select(
+        F.col(id_col).alias("id_a"), F.col("embedding").alias("_va")
+    )
+    vb = all_vecs.select(
+        F.col(id_col).alias("id_b"), F.col("embedding").alias("_vb")
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(
+            stable_round(cosine_similarity(F.col("_va"), F.col("_vb")), 6)
+            >= F.lit(float(threshold))
+        )
+        .select("id_a", "id_b", "a_is_new", "b_is_new")
+    )
+
+
 def simhash_table(
     df: DataFrame,
     text_col: str = "text",

@@ -247,6 +247,67 @@ def streaming_dedup_near(
     )
 
 
+def streaming_dedup_embedding(
+    stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_tables: int = 8,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    max_bucket: int = 4000,
+    compact_every: int | None = 32,
+):
+    """Ingest-time EMBEDDING near-dup dedup (r12): each micro-batch of
+    vectors is bucketed (one Arrow hyperplane-projection stage), deduped
+    against a durable LSH bucket index
+    (``operators.dedup.embedding_bucket_index_table`` layout: 24-byte
+    bucket rows, each vector stored ONCE on its ``tbl == 0`` row), and
+    the survivors' rows join the index — the semantic twin of
+    :func:`streaming_dedup_near` for embedding streams, completing the
+    ingest-tier family (exact / watermarked / text-near / image /
+    containment / embedding).
+
+    Drop policy and exactly-once discipline are the family's: drop on
+    any cosine-verified (>= ``threshold``) pair with an indexed vector,
+    with a smaller-id vector of the same batch, or on an already-indexed
+    id; append-only ``evec_v{N}`` committed shards, kept docs written
+    FIRST (overwrite-idempotent), redelivered batches skip wholesale,
+    index bound to its checkpoint, ``compact_every`` shard merges. The
+    hyperplane family is a pure function of (dim, n_planes, n_tables,
+    seed), so every batch and the committed index agree by construction.
+
+    Reference parity: no analogue — beyond-reference training-data
+    mandate (SURVEY.md north-star extensions)."""
+    from ..operators.dedup import (
+        embedding_bucket_index_table,
+        embedding_incremental_pairs,
+    )
+
+    return _index_dedup_stream(
+        stream,
+        index_dir,
+        checkpoint_dir,
+        id_col=id_col,
+        keep_cols=[id_col, vec_col],
+        prefix="evec_v",
+        state_fn=lambda batch: embedding_bucket_index_table(
+            batch, id_col, vec_col, n_tables, n_planes, dim, seed
+        ),
+        pairs_fn=lambda new_state, index: embedding_incremental_pairs(
+            new_state,
+            index,
+            id_col=id_col,
+            threshold=threshold,
+            max_bucket=max_bucket,
+        ),
+        compact_every=compact_every,
+    )
+
+
 def streaming_dedup_contained(
     stream: DataFrame,
     index_dir: str,

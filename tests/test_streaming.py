@@ -964,3 +964,78 @@ def test_streaming_dedup_contained_batch_equivalence_and_cross_batch(spark, tmpd
     q2 = streaming_dedup_contained(stream2, index_dir, f"{tmpdir}/cont_ckpt")
     q2.awaitTermination(180)
     assert {r["doc_id"] for r in spark.read.parquet(f"{index_dir}/kept").collect()} == kept_ids
+
+
+def test_streaming_dedup_embedding_cross_batch(spark, tmpdir):
+    """r12: embedding near-dup dedup at ingest. Within-batch exact copy
+    drops (smaller id survives); a later batch's near-copy (cos ~0.999)
+    of an INDEXED vector drops on arrival; an orthogonal vector lands;
+    the committed index stores each survivor's vector exactly once (on
+    its tbl==0 row); replay is a no-op."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from kafka_streams_task_spark.streaming.dedup import streaming_dedup_embedding
+
+    dim = 64
+    base = [1.0] + [0.0] * (dim - 1)
+    near = [1.0, 0.01] + [0.0] * (dim - 2)       # cosine ~0.99995 with base
+    ortho = [0.0, 0.0, 1.0] + [0.0] * (dim - 3)
+    other = [0.0] * (dim - 1) + [1.0]
+    b0 = [
+        {"vec_id": 1, "embedding": base},
+        {"vec_id": 2, "embedding": base},        # exact copy -> drops vs 1
+        {"vec_id": 3, "embedding": other},
+    ]
+    b1 = [
+        {"vec_id": 10, "embedding": near},       # near-dup of indexed 1 -> drops
+        {"vec_id": 11, "embedding": ortho},      # novel -> kept
+    ]
+    src = f"{tmpdir}/emb_in"
+    os.makedirs(src)
+    with open(f"{src}/b0.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in b0))
+    with open(f"{src}/b1.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in b1))
+    os.utime(f"{src}/b0.json", (1000000000, 1000000000))
+    os.utime(f"{src}/b1.json", (1000000100, 1000000100))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+    )
+    index_dir = f"{tmpdir}/emb_index"
+    q = streaming_dedup_embedding(
+        stream, index_dir, f"{tmpdir}/emb_ckpt", threshold=0.99
+    )
+    q.awaitTermination(180)
+
+    kept = spark.read.parquet(f"{index_dir}/kept")
+    kept_ids = {r["vec_id"] for r in kept.collect()}
+    assert kept_ids == {1, 3, 11}
+
+    from kafka_streams_task_spark.streaming.state import committed_versions
+
+    versions = committed_versions(spark, index_dir, "evec_v")
+    assert len(versions) == 2
+    idx = spark.read.parquet(*[f"{index_dir}/evec_v{v}" for v in versions])
+    assert {r["vec_id"] for r in idx.select("vec_id").distinct().collect()} == kept_ids
+    # each survivor's vector stored exactly once (tbl==0 row only)
+    vec_rows = idx.filter(idx.embedding.isNotNull()).collect()
+    assert len(vec_rows) == len(kept_ids)
+    assert all(r["tbl"] == 0 for r in vec_rows)
+
+    # replay no-op
+    stream2 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+    )
+    q2 = streaming_dedup_embedding(
+        stream2, index_dir, f"{tmpdir}/emb_ckpt", threshold=0.99
+    )
+    q2.awaitTermination(180)
+    assert {r["vec_id"] for r in spark.read.parquet(f"{index_dir}/kept").collect()} == kept_ids
