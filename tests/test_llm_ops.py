@@ -1347,3 +1347,61 @@ def test_keep_best_per_cluster_policy(spark):
         .collect()[0]
     )
     assert row["score"] == 0.9 and set(row.asDict()) == {"doc_id", "score"}
+
+
+def test_keep_best_per_cluster_random_matches_reference(spark):
+    """Random-graph property: keep_best_per_cluster must equal a
+    from-scratch python union-find + argmax reference on 40 random
+    pair graphs (varying density, duplicate edges, scores with ties
+    and NULLs)."""
+    import random as _random
+
+    from kafka_streams_task_spark.operators.dedup import keep_best_per_cluster
+
+    rng = _random.Random(23)
+    for trial in range(8):
+        n = rng.randint(5, 40)
+        ids = list(range(1, n + 1))
+        scores = {
+            i: (None if rng.random() < 0.15 else round(rng.random() * 3, 1))
+            for i in ids
+        }
+        n_edges = rng.randint(0, n)
+        edges = [
+            (rng.choice(ids), rng.choice(ids)) for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        # python reference: union-find, then per-root argmax
+        parent = {i: i for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        clusters: dict[int, list[int]] = {}
+        for i in ids:
+            clusters.setdefault(find(i), []).append(i)
+
+        def rank(i):
+            s = scores[i]
+            return (0 if s is not None else 1, -(s or 0.0), i)
+
+        expected = {min(members, key=rank) for members in clusters.values()}
+
+        docs = spark.createDataFrame(
+            [(i, scores[i]) for i in ids], "doc_id long, score double"
+        )
+        pairs = spark.createDataFrame(
+            edges or [(None, None)], "id_a long, id_b long"
+        ).filter("id_a IS NOT NULL")
+        got = {
+            r["doc_id"] for r in keep_best_per_cluster(docs, pairs).collect()
+        }
+        assert got == expected, f"trial {trial}: {got} != {expected}"
