@@ -1003,25 +1003,17 @@ def _ops_workloads():
 
     def _quality_survivors(s, d):
         # r12: exact-dup cluster edges + connected components + per-
-        # cluster argmax over the documents corpus (the synthetic
-        # doc_id % 7 score keeps the argmax load-bearing on exact
-        # copies — see quality_survivor_suite)
-        from pyspark.sql import Window as W
-
+        # cluster argmax over the documents corpus — the SAME builder
+        # the gated suite uses, so the benchmark measures exactly the
+        # gated construction
+        from kafka_streams_task_spark.catalog.extensions import (
+            qs_corpus_inputs,
+        )
         from kafka_streams_task_spark.operators.dedup import (
             keep_best_per_cluster,
         )
 
-        docs = load_table(s, d, "documents").select(
-            "doc_id", F.md5("text").alias("dg")
-        )
-        w = W.partitionBy("dg").orderBy("doc_id")
-        edges = (
-            docs.select("doc_id", F.lag("doc_id").over(w).alias("prev"))
-            .filter(F.col("prev").isNotNull())
-            .select(F.col("prev").alias("id_a"), F.col("doc_id").alias("id_b"))
-        )
-        scored = docs.select("doc_id", (F.col("doc_id") % 7).alias("score"))
+        scored, edges = qs_corpus_inputs(s, d)
         return keep_best_per_cluster(scored, edges, score_col="score")
 
     def _asof_nearest(s, d):

@@ -3771,9 +3771,16 @@ def _ct_oracle() -> str:
       )
     ), sizes AS (
       SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), shf AS (
+      -- mirror the Spark operators' max_shingle_freq=10000 boilerplate
+      -- guard: posting lists over the cap drop WHOLE before pairing
+      -- (r12 review: without this the oracle counts capped shingles)
+      SELECT sh.doc_id, sh.shingle FROM sh
+      JOIN (SELECT shingle FROM sh GROUP BY shingle
+            HAVING count(*) <= 10000) f USING (shingle)
     ), common AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ), j AS (
       SELECT id_a, id_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
@@ -3832,7 +3839,12 @@ def containment_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 containment pair + a disjoint doc) through the drop
                 rule at 0.95; the oracle states the exact survivor set
                 {{13, 14, 16}} closed-form;
-    'canary'  — constant rows stated identically by both engines."""
+    'canary'  — constant rows stated identically by both engines.
+
+    NOTE: the pairs and drop_corpus legs each run the shingle machinery
+    — union branches don't share subtrees without a persist, and at the
+    sf0.01 gate size two passes (~2s) beat pinning the posting table
+    (deliberate; the DuckDB side DOES share its CTEs across legs)."""
     from ..operators.dedup import drop_contained_documents, ngram_containment_pairs
     from .llm_suites import canary_df, fmicro_col
 
@@ -4257,6 +4269,27 @@ def _qs_oracle() -> str:
     """
 
 
+def qs_corpus_inputs(spark: SparkSession, sf_dir: str):
+    """(scored, edges) for the quality-survivor corpus leg — shared by
+    the suite below AND bench.py's quality_survivors workload so the
+    benchmark measures exactly the gated construction (r12 review):
+    exact-dup path-graph edges per md5 digest, synthetic (doc_id % 7)
+    score so the argmax is load-bearing on identical-text clusters."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("dg")
+    )
+    w = W.partitionBy("dg").orderBy("doc_id")
+    edges = (
+        d.select("doc_id", F.lag("doc_id").over(w).alias("prev"))
+        .filter(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    scored = d.select("doc_id", (F.col("doc_id") % 7).alias("score"))
+    return scored, edges
+
+
 @query("quality_survivor_suite", oracle=_qs_oracle())
 def quality_survivor_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware survivor legs:
@@ -4279,22 +4312,11 @@ def quality_survivor_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: CC on the sparse pair graph only; one labeling join;
     one per-cluster row_number window. No corpus self-join."""
-    from pyspark.sql import Window as W
-
     from ..operators.dedup import keep_best_per_cluster
     from .llm_suites import canary_df
 
     nul = F.lit(None).cast("long")
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.md5("text").alias("dg")
-    )
-    w = W.partitionBy("dg").orderBy("doc_id")
-    edges = (
-        d.select("doc_id", F.lag("doc_id").over(w).alias("prev"))
-        .filter(F.col("prev").isNotNull())
-        .select(F.col("prev").alias("id_a"), F.col("doc_id").alias("id_b"))
-    )
-    scored = d.select("doc_id", (F.col("doc_id") % 7).alias("score"))
+    scored, edges = qs_corpus_inputs(spark, sf_dir)
     corpus_leg = keep_best_per_cluster(scored, edges, score_col="score").select(
         F.lit("corpus").alias("leg"),
         F.col("doc_id").cast("long").alias("key"),

@@ -42,7 +42,6 @@ extensions).
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -2079,9 +2078,15 @@ _DEDUP_FAMILY_COLS = [
         )
       ), sizes AS (
         SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+      ), shf AS (
+        -- the operator's max_shingle_freq=10000 guard: capped posting
+        -- lists drop WHOLE before pairing (r12 review parity fix)
+        SELECT sh.doc_id, sh.shingle FROM sh
+        JOIN (SELECT shingle FROM sh GROUP BY shingle
+              HAVING count(*) <= 10000) f USING (shingle)
       ), common AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY 1, 2
       )
       SELECT id_a, id_b,

@@ -138,17 +138,7 @@ def asof_join(
             else:
                 ok = F.abs(lt - rt) <= F.lit(float(tolerance))
             matched = matched.withColumn("_match", F.when(ok, F.col("_match")))
-        left_out = [F.col("_k").alias(by)] + [
-            F.col(f"_l.{c}").alias(c) for c in left.columns if c != by
-        ]
-        right_out = [
-            F.col(f"_match.{c}").alias(f"{right_prefix}{c}") for c in right_cols
-        ]
-        out = matched.select(*left_out, *right_out)
-        return out.select(
-            *[F.col(c) for c in left.columns],
-            *[F.col(f"{right_prefix}{c}") for c in right_cols],
-        )
+        return _asof_project(matched, left, by, right_prefix, right_cols)
 
     l_tagged = left.select(
         F.col(by).alias("_k"),
@@ -206,6 +196,19 @@ def asof_join(
             delta = (lt - rt) if direction == "backward" else (rt - lt)
             ok = delta <= F.lit(float(tolerance))
         matched = matched.withColumn("_match", F.when(ok, F.col("_match")))
+    return _asof_project(matched, left, by, right_prefix, right_cols)
+
+
+def _asof_project(
+    matched: DataFrame,
+    left: DataFrame,
+    by: str,
+    right_prefix: str,
+    right_cols: list,
+) -> DataFrame:
+    """Shared output projection of every direction: unpack the left
+    payload, prefix the carried right columns, restore the caller's
+    left column order."""
     left_out = [F.col("_k").alias(by)] + [
         F.col(f"_l.{c}").alias(c) for c in left.columns if c != by
     ]
@@ -213,7 +216,6 @@ def asof_join(
         F.col(f"_match.{c}").alias(f"{right_prefix}{c}") for c in right_cols
     ]
     out = matched.select(*left_out, *right_out)
-    # restore the caller's left column order
     return out.select(
         *[F.col(c) for c in left.columns],
         *[F.col(f"{right_prefix}{c}") for c in right_cols],

@@ -84,9 +84,10 @@ def _index_dedup_stream(
     Per micro-batch: redelivery skip on the committed-shard set →
     pin the batch and its ``state_fn`` output (bands/blocks) → probe
     ``pairs_fn(new_state, committed index)`` (must return flagged
-    ``(id_a, id_b, a_is_new, b_is_new)`` candidates) → drop policy
-    (drop on any pair with an indexed item, or with a smaller-id item
-    of the same batch) → ALSO drop ids already committed to the index
+    ``(id_a, id_b, a_is_new, b_is_new)`` candidates; for BOTH-NEW pairs
+    ``id_b`` must be the victim — the tier normalizes if its survivor
+    rule is not min-id) → drop policy (drop the new side of mixed
+    pairs, ``id_b`` of both-new pairs) → ALSO drop ids already committed to the index
     (ingest ids are unique: a re-crawl of the SAME id is a no-op, and
     changed content under one id is a CDC update for the merge tier,
     not an ingest insert — previously only the MinHash twin caught
@@ -134,9 +135,14 @@ def _index_dedup_stream(
         ).select(
             F.when(F.col("a_is_new"), F.col("id_a")).otherwise(F.col("id_b")).alias(id_col)
         )
+        # contract: for both-new pairs id_b IS the victim. The LSH/hamming
+        # tiers emit sorted pairs (id_a < id_b, min-id survives); the
+        # containment tier NORMALIZES so id_a is the rank-rule survivor —
+        # a new tier must emit both-new pairs victim-at-id_b, not rely on
+        # id ordering (r12 review).
         drop_new = pairs.filter(
             F.col("a_is_new") & F.col("b_is_new")
-        ).select(F.col("id_b").alias(id_col))  # id_a < id_b: smaller id survives
+        ).select(F.col("id_b").alias(id_col))
         already = batch.select(id_col).join(
             index.select(id_col).distinct(), on=id_col, how="left_semi"
         )

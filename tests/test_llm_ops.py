@@ -1351,7 +1351,7 @@ def test_keep_best_per_cluster_policy(spark):
 
 def test_keep_best_per_cluster_random_matches_reference(spark):
     """Random-graph property: keep_best_per_cluster must equal a
-    from-scratch python union-find + argmax reference on 40 random
+    from-scratch python union-find + argmax reference on 8 random
     pair graphs (varying density, duplicate edges, scores with ties
     and NULLs)."""
     import random as _random
