@@ -34,6 +34,12 @@ from . import extensions  # noqa: E402,F401
 # r12 (VERDICT r11 item 1): the three 1-row dedup recall gates folded
 # into dedup_recall_suite (llm.py), freeing 2 slots; the two r11
 # extensions with the strongest independent oracles promote in.
+# r12 second wave (VERDICT r11 'What's missing' item 2 — continue the
+# fold-to-promote program): semi_anti+left_join folded into
+# join_flavors_suite and pivot+unpivot into reshape_suite, freeing 2
+# more slots for script_mix_suite (RE2 re-derives every script count;
+# r12 kanji-contract leg) and containment_pairs_suite (DuckDB
+# re-derives the full pair table AND the r12 drop-rule survivor sets).
 _PROMOTED = [
     "kn_lm_perplexity",
     "classifier_eval_suite",
@@ -44,6 +50,8 @@ _PROMOTED = [
     "timeseries_gapfill_suite",
     "unicode_token_suite",
     "temporal_join_suite",
+    "script_mix_suite",
+    "containment_pairs_suite",
 ]
 
 _names = list(CATALOG)

@@ -235,18 +235,6 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "semi_anti_customers",
-    oracle="""
-    SELECT 'with_orders' AS mode, c_custkey, c_name FROM customer c
-    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    UNION ALL
-    SELECT 'no_orders_h1_1995', c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey
-                        AND o.o_orderdate < TIMESTAMP '1995-07-01 00:00:00')
-    """,
-)
 def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi (EXISTS) and left-anti (NOT EXISTS) joins in one tagged
     result. The anti leg is date-bounded so it is non-trivial at every sf.
@@ -265,14 +253,6 @@ def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semi.unionAll(anti)
 
 
-@query(
-    "left_join_order_counts",
-    oracle="""
-    SELECT c_custkey, count(o_orderkey) AS n_orders
-    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
-    GROUP BY c_custkey
-    """,
-)
 def left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left outer join preserving order-less customers (J2 semantics on
     driver tables); count(col) skips nulls in both engines."""
@@ -282,6 +262,70 @@ def left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey, "left")
         .groupBy("c_custkey")
         .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+def _jf_oracle() -> str:
+    return f"""
+    SELECT CAST('with_orders' AS VARCHAR) AS leg, CAST(c_custkey AS BIGINT) AS key,
+           CAST(c_name AS VARCHAR) AS s1, CAST(NULL AS BIGINT) AS i1,
+           CAST(NULL AS BIGINT) AS i2
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT CAST('no_orders_h1_1995' AS VARCHAR), CAST(c_custkey AS BIGINT),
+           CAST(c_name AS VARCHAR), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate < TIMESTAMP '1995-07-01 00:00:00')
+    UNION ALL
+    SELECT CAST('left_count' AS VARCHAR), CAST(c_custkey AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(count(o_orderkey) AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    UNION ALL
+    {canary_sql(_SUITE_COLS)}
+    """
+
+
+@query("join_flavors_suite", oracle=_jf_oracle())
+def join_flavors_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-flavor family in one driver row (r12 fold of the r1 slots
+    semi_anti_customers + left_join_order_counts — both green every
+    round r1-r11; the r6 fold discipline: canary rows, terminal casts):
+
+    'with_orders'       — left-semi (EXISTS): customers with any order;
+    'no_orders_h1_1995' — left-anti (NOT EXISTS), date-bounded so it is
+                          non-trivial at every sf (TPC-H Q4's
+                          decorrelated shape);
+    'left_count'        — left outer join preserving order-less
+                          customers + count(col) null-skip semantics
+                          (J2 on driver tables);
+    'canary'            — constant rows stated identically by both
+                          engines.
+
+    Scale shape: every leg shuffles only the narrow custkey projection
+    of orders."""
+    nul = F.lit(None).cast("long")
+    nus = F.lit(None).cast("string")
+    tagged = semi_anti_customers(spark, sf_dir).select(
+        F.col("mode").alias("leg"),
+        F.col("c_custkey").cast("long").alias("key"),
+        F.col("c_name").cast("string").alias("s1"),
+        nul.alias("i1"),
+        nul.alias("i2"),
+    )
+    left_leg = left_join_order_counts(spark, sf_dir).select(
+        F.lit("left_count").alias("leg"),
+        F.col("c_custkey").cast("long").alias("key"),
+        nus.alias("s1"),
+        F.col("n_orders").cast("long").alias("i1"),
+        nul.alias("i2"),
+    )
+    return tagged.unionByName(left_leg).unionByName(
+        canary_df(spark, _SUITE_COLS)
     )
 
 
@@ -499,19 +543,6 @@ def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "pivot_event_type_counts",
-    oracle="""
-    SELECT user_id,
-           count(*) FILTER (WHERE event_type = 'click')    AS click,
-           count(*) FILTER (WHERE event_type = 'error')    AS error,
-           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
-           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
-           count(*) FILTER (WHERE event_type = 'view')     AS view
-    FROM events
-    GROUP BY user_id
-    """,
-)
 def pivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (wide conditional aggregation). Explicit value list keeps the
     plan single-pass (no distinct-values pre-query)."""
@@ -521,6 +552,70 @@ def pivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pivot-count yields null for empty cells; the SQL FILTER form yields 0
     return out.select(
         "user_id", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
+    )
+
+
+_EVENT_KINDS = ["click", "error", "purchase", "signup", "view"]
+
+
+def _rs_oracle() -> str:
+    kinds_vals = ", ".join(f"('{k}')" for k in _EVENT_KINDS)
+    return f"""
+    SELECT CAST('pivot' AS VARCHAR) AS leg, CAST(u.user_id AS BIGINT) AS key,
+           CAST(k.kind AS VARCHAR) AS s1, CAST(coalesce(c.n, 0) AS BIGINT) AS i1,
+           CAST(NULL AS BIGINT) AS i2
+    FROM (SELECT DISTINCT user_id FROM events) u
+    CROSS JOIN (VALUES {kinds_vals}) k(kind)
+    LEFT JOIN (SELECT user_id, event_type, count(*) AS n
+               FROM events GROUP BY 1, 2) c
+      ON c.user_id = u.user_id AND c.event_type = k.kind
+    UNION ALL
+    SELECT CAST('unpivot' AS VARCHAR), CAST(o_orderkey AS BIGINT),
+           CAST(metric AS VARCHAR),
+           CAST(floor((val) * 100.0 + 1e-09 + 0.5) AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM (
+      SELECT o_orderkey, o_totalprice AS totalprice,
+             CAST(o_custkey AS DOUBLE) AS custkey_num
+      FROM orders WHERE o_orderkey < 100
+    ) UNPIVOT (val FOR metric IN (totalprice, custkey_num))
+    UNION ALL
+    {canary_sql(_SUITE_COLS)}
+    """
+
+
+@query("reshape_suite", oracle=_rs_oracle())
+def reshape_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reshape family in one driver row (r12 fold of the r1 slots
+    pivot_event_type_counts + unpivot_order_metrics — both green every
+    round r1-r11):
+
+    'pivot'   — the REAL pivot plan (explicit value list, single pass)
+                runs, then ITS wide output unpivots back to the suite's
+                long shape — DuckDB restates the cells as a distinct-
+                users x kinds grid LEFT-JOINED to long counts (zero
+                cells kept), a genuinely different formulation;
+    'unpivot' — wide -> long melt over orders (< 100), values in
+                floor-based integer centi-units (2dp money exact);
+    'canary'  — constant rows stated identically by both engines."""
+    nul = F.lit(None).cast("long")
+    wide = pivot_event_type_counts(spark, sf_dir)
+    pivot_leg = wide.unpivot("user_id", _EVENT_KINDS, "s1", "_n").select(
+        F.lit("pivot").alias("leg"),
+        F.col("user_id").cast("long").alias("key"),
+        F.col("s1").cast("string").alias("s1"),
+        F.col("_n").cast("long").alias("i1"),
+        nul.alias("i2"),
+    )
+    unpivot_leg = unpivot_order_metrics(spark, sf_dir).select(
+        F.lit("unpivot").alias("leg"),
+        F.col("o_orderkey").cast("long").alias("key"),
+        F.col("metric").cast("string").alias("s1"),
+        fmicro_col(F.col("val"), 100.0).alias("i1"),
+        nul.alias("i2"),
+    )
+    return pivot_leg.unionByName(unpivot_leg).unionByName(
+        canary_df(spark, _SUITE_COLS)
     )
 
 
@@ -645,17 +740,6 @@ def regex_scalar_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "unpivot_order_metrics",
-    oracle="""
-    SELECT o_orderkey, metric, round((val) + 1e-05, 2) AS val
-    FROM (
-      SELECT o_orderkey, o_totalprice AS totalprice,
-             CAST(o_custkey AS DOUBLE) AS custkey_num
-      FROM orders WHERE o_orderkey < 100
-    ) UNPIVOT (val FOR metric IN (totalprice, custkey_num))
-    """,
-)
 def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot/melt (wide -> long). Spark's unpivot == SQL UNPIVOT."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100).select(

@@ -31,9 +31,10 @@ def test_every_catalog_query_runs_and_returns_rows(spark, sf_dir):
     test_plan_audit.py::test_catalog_driver_window_is_exactly_fifty."""
     from kafka_streams_task_spark.catalog import CATALOG
 
-    # r12: 74 -> 72 (three recall gates folded into dedup_recall_suite)
-    # then 73 (quality_survivor_suite extension)
-    assert len(CATALOG) == 73
+    # r12: 74 -> 72 (recall gates folded into dedup_recall_suite),
+    # 73 (quality_survivor_suite extension), 71 (second fold wave:
+    # join_flavors_suite + reshape_suite replace four singles)
+    assert len(CATALOG) == 71
     for name, spec in sorted(CATALOG.items()):
         assert spec.oracle is not None, f"{name} lost its oracle"
         n = spec.fn(spark, sf_dir).count()

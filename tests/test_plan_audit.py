@@ -139,10 +139,14 @@ DRIVER_WINDOW = [
     "text_id_fingerprint_suite", "dedup_exact_family_suite",
     "multimodal_suite", "similarity_knn_suite", "dedup_crosscorpus_linkage",
     "data_profile_columns", "q1_pricing_summary", "stats_suite_by_flag",
-    "grouping_multi_suite", "semi_anti_customers",
-    "left_join_order_counts", "setop_suite", "window_rank_running_suite",
-    "range_band_join", "pivot_event_type_counts", "array_funcs_tokens",
-    "unpivot_order_metrics", "salted_agg_by_nation",
+    # r12 second fold wave: semi_anti_customers + left_join_order_counts
+    # -> join_flavors_suite; pivot_event_type_counts +
+    # unpivot_order_metrics -> reshape_suite (all four driver-green
+    # r1-r11; raw fns stay importable)
+    "grouping_multi_suite", "join_flavors_suite",
+    "setop_suite", "window_rank_running_suite",
+    "range_band_join", "reshape_suite", "array_funcs_tokens",
+    "salted_agg_by_nation",
     "window_analytics_suite", "scalar_semantics_suite",
     # r11 fold: the 9 relational singles (q3/q5/q12/q18/q6q19 + strfn/
     # split/json/regex, driver-green r1-r10) became two canary-protected
@@ -157,6 +161,9 @@ DRIVER_WINDOW = [
     # the strongest independent oracles (DuckDB re-derives segmentation
     # counts; native ASOF JOIN cross-check) fill the freed slots
     "unicode_token_suite", "temporal_join_suite",
+    # r12 second wave: the two folds above freed 2 more slots for the
+    # RE2 script-count gate and the containment pair+drop gate
+    "script_mix_suite", "containment_pairs_suite",
 ]
 
 
@@ -179,8 +186,7 @@ def test_catalog_driver_window_is_exactly_fifty(plans):
         "anomaly_zscore_suite", "trend_forecast_suite",
         "quantile_norm_suite", "cusum_shift_suite",
         "robust_scale_suite", "stat_audit_suite",
-        "geo_cluster_suite", "script_mix_suite",
-        "containment_pairs_suite", "compression_quality_suite",
+        "geo_cluster_suite", "compression_quality_suite",
         # r12: quality-aware survivor selection (keep_best_per_cluster)
         "quality_survivor_suite",
     ]
