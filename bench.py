@@ -212,6 +212,9 @@ OPS_SECTION = [
     # r12: nearest-direction as-of join — the two-channel single-shuffle
     # window over purchases x deduped clicks
     "asof_nearest",
+    # r12: Misra-Gries candidates (one Arrow stage, O(capacity) state,
+    # no shuffle) + candidate-bounded exact recount top-20
+    "heavy_hitter_topk",
 ]
 
 #: frozen first-measurements for the ops section (set r8, steady-state
@@ -249,6 +252,9 @@ OPS_BASELINE_SEC = {
     # gates; raw runs in BENCH_BASELINE_r1.md)
     "quality_survivors": 1.02,
     "asof_nearest": 0.34,
+    # r12: MG candidates + candidate-bounded exact recount top-20;
+    # min-of-3 [1.235, 0.801, 0.798] at calib 2.18 (fast host)
+    "heavy_hitter_topk": 0.80,
     # r8 third wave: post-model-pin steady state (pre-pin measured 4.2 —
     # the bucket-count aggs re-executed for every downstream consumer);
     # r11 re-freeze, same A/B receipt as bloom_decontaminate: r9 checkout
@@ -1016,6 +1022,17 @@ def _ops_workloads():
         scored, edges = qs_corpus_inputs(s, d)
         return keep_best_per_cluster(scored, edges, score_col="score")
 
+    def _heavy_hitter_topk(s, d):
+        # r12: the full two-phase sketch over documents (MG Arrow stage
+        # + broadcast-candidate exact recount + global top-20 window)
+        from kafka_streams_task_spark.operators.sketch import (
+            topk_tokens_sketched,
+        )
+
+        return topk_tokens_sketched(
+            load_table(s, d, "documents"), k=20, capacity=4096
+        )
+
     def _asof_nearest(s, d):
         # r12: the nearest-direction as-of join — one shuffle, one sort,
         # two window channels over purchases x deduped clicks
@@ -1154,6 +1171,7 @@ def _ops_workloads():
         "compression_ratio": _compression_ratio,
         "quality_survivors": _quality_survivors,
         "asof_nearest": _asof_nearest,
+        "heavy_hitter_topk": _heavy_hitter_topk,
     }
 
 

@@ -4340,3 +4340,117 @@ def quality_survivor_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_leg.unionByName(planted_leg).unionByName(
         canary_df(spark, _QS_COLS)
     )
+
+# ---------------------------------------------------------------------------
+# r12: bounded-memory heavy-hitter top-k — Misra-Gries candidates (one
+# Arrow stage, O(capacity) memory per partition, NO shuffle) + exact
+# recount of candidates only. DuckDB states the answer from the full
+# exact aggregation — the sketch path and the exhaustive path must
+# produce the identical top-k, and the 'guard' leg states the provable-
+# exactness condition (kth count > N/(capacity+1)) from both engines'
+# own arithmetic.
+# ---------------------------------------------------------------------------
+
+#: planted MG-dynamics corpus (capacity=2, k=1): stream a x4, b x3,
+#: c, d — the c/d arrivals force decrement-all steps, and only 'a'
+#: clears the N/(cap+1) = 3 guarantee threshold
+_HH_DOCS = [
+    (1, "a a a b"),
+    (2, "a b b c"),
+    (3, "d"),
+]
+
+
+def _hh_oracle() -> str:
+    from .llm_suites import _SUITE_COLS, canary_sql
+
+    return f"""
+    WITH tok AS (
+      SELECT t AS token
+      FROM (SELECT unnest(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) AS t
+            FROM documents)
+      WHERE t <> ''
+    ), exact AS (
+      SELECT token, count(*) AS n,
+             row_number() OVER (ORDER BY count(*) DESC, token ASC) AS rank
+      FROM tok GROUP BY token
+    )
+    SELECT CAST('topk' AS VARCHAR) AS leg, CAST(rank AS BIGINT) AS key,
+           CAST(token AS VARCHAR) AS s1, CAST(n AS BIGINT) AS i1,
+           CAST(NULL AS BIGINT) AS i2
+    FROM exact WHERE rank <= 20
+    UNION ALL
+    SELECT CAST('guard' AS VARCHAR), CAST(0 AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST((SELECT n FROM exact WHERE rank = 20)
+                > (SELECT count(*) FROM tok) / 4097.0 AS BIGINT),
+           CAST(NULL AS BIGINT)
+    UNION ALL
+    SELECT CAST('planted' AS VARCHAR), CAST(1 AS BIGINT), CAST('a' AS VARCHAR),
+           CAST(4 AS BIGINT), CAST(NULL AS BIGINT)
+    UNION ALL
+    {canary_sql(_SUITE_COLS)}
+    """
+
+
+@query("heavy_hitter_suite", oracle=_hh_oracle())
+def heavy_hitter_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter sketch legs:
+
+    'topk'    — topk_tokens_sketched(k=20, capacity=4096) over the REAL
+                documents corpus vs DuckDB's EXHAUSTIVE top-20 (full
+                token aggregation, same (n DESC, token ASC) tiebreak):
+                the bounded-memory sketch path and the full-domain path
+                must agree token-for-token, count-for-count;
+    'guard'   — the provable-exactness condition (20th exact count >
+                N/(capacity+1)) stated as 1 by both engines from their
+                own arithmetic — the invariant under which the 'topk'
+                equality is a THEOREM, not luck;
+    'planted' — MG decrement dynamics at capacity=2/k=1 on a closed-form
+                stream (c/d arrivals force decrement-all steps); only
+                'a' (count 4 > N/3 = 3) is guaranteed — the oracle
+                states (1, 'a', 4);
+    'canary'  — constant rows stated identically by both engines.
+
+    Scale shape: phase 1 is one Arrow stage with O(capacity) state and
+    zero shuffle; phase 2's groupBy key domain is the candidate set
+    (<= partitions x capacity), never the corpus vocabulary."""
+    from ..operators.sketch import topk_tokens_sketched
+    from .llm_suites import _SUITE_COLS, canary_df
+
+    nul = F.lit(None).cast("long")
+    nus = F.lit(None).cast("string")
+    docs = load_table(spark, sf_dir, "documents")
+    top = topk_tokens_sketched(docs, k=20, capacity=4096)
+    topk_leg = top.select(
+        F.lit("topk").alias("leg"),
+        F.col("rank").cast("long").alias("key"),
+        F.col("token").cast("string").alias("s1"),
+        F.col("n").cast("long").alias("i1"),
+        nul.alias("i2"),
+    )
+    n_total = docs.select(
+        F.explode(
+            F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")
+        ).alias("t")
+    ).filter(F.col("t") != "").agg(F.count(F.lit(1)).alias("_n"))
+    kth = top.filter(F.col("rank") == 20).select(F.col("n").alias("_kth"))
+    guard_leg = kth.crossJoin(n_total).select(
+        F.lit("guard").alias("leg"),
+        F.lit(0).cast("long").alias("key"),
+        nus.alias("s1"),
+        (F.col("_kth") > F.col("_n") / F.lit(4097.0)).cast("long").alias("i1"),
+        nul.alias("i2"),
+    )
+    planted = spark.createDataFrame(_HH_DOCS, "doc_id long, text string")
+    planted_leg = topk_tokens_sketched(planted, k=1, capacity=2).select(
+        F.lit("planted").alias("leg"),
+        F.col("rank").cast("long").alias("key"),
+        F.col("token").cast("string").alias("s1"),
+        F.col("n").cast("long").alias("i1"),
+        nul.alias("i2"),
+    )
+    return (
+        topk_leg.unionByName(guard_leg)
+        .unionByName(planted_leg)
+        .unionByName(canary_df(spark, _SUITE_COLS))
+    )

@@ -1,0 +1,146 @@
+"""Bounded-memory heavy-hitter sketching: Misra–Gries candidates + exact
+recount top-k.
+
+At 100 TB the exact global token top-k is a full groupBy over the token
+domain — Spark's partial aggregation bounds the SHUFFLE, but the map-side
+hash tables grow with each partition's distinct-token count and spill.
+The Misra–Gries summary (Misra & Gries 1982; the SpaceSaving variant is
+Metwally et al. 2005) holds exactly ``capacity`` counters per partition no
+matter how many distinct tokens stream through, with the classic
+guarantee: a token with true partition count > n_partition/(capacity+1)
+is ALWAYS retained, and every retained lower-bound undercounts by at most
+n_partition/(capacity+1).
+
+Two-phase exact top-k built on it:
+
+1. Phase 1 (one Arrow stage, no shuffle): per-partition Misra–Gries over
+   the token stream → a candidate set of at most capacity tokens per
+   partition. Union bound: any token with GLOBAL count > N/(capacity+1)
+   exceeds the threshold in at least one partition (if it fell below in
+   every one, its global count would be ≤ Σ nᵢ/(capacity+1) =
+   N/(capacity+1)) — so the candidate set provably contains every such
+   token.
+2. Phase 2 (shuffle bounded by the candidate set, not the token domain):
+   exact counts of candidate tokens only — explode + semi-join against
+   the broadcast candidate list + one groupBy — then top-k with a
+   deterministic (count DESC, token ASC) tiebreak.
+
+The result equals the exact top-k whenever the true k-th count exceeds
+N/(capacity+1) — a checkable condition the caller can verify from the
+returned counts (the gate suite states it as an in-plan invariant). When
+the condition fails the output is still the exact top-k OF THE CANDIDATE
+SET (counts are exact either way — phase 2 never estimates).
+
+Reference provenance: no analogue in the reference (SURVEY §2.4 absent);
+beyond-reference training-data mandate (corpus profiling at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import WHITESPACE_RE
+
+__all__ = ["misra_gries_candidates", "topk_tokens_sketched"]
+
+
+def misra_gries_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    capacity: int = 4096,
+) -> DataFrame:
+    """Per-partition Misra–Gries heavy-hitter candidates: ``(token,
+    lower_bound)`` rows, at most ``capacity`` per input partition.
+
+    One mapInPandas stage holding exactly ``capacity`` counters per
+    partition ACROSS Arrow batches (the iterator closure carries the
+    summary), so memory is O(capacity) regardless of the partition's
+    distinct-token count — the property a spilling hash aggregate does
+    not have. ``lower_bound`` is the MG counter value: an undercount by
+    at most n_partition/(capacity+1); use :func:`topk_tokens_sketched`
+    for exact counts."""
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+
+    import re
+
+    import pandas as pd
+
+    # the SAME separator class the JVM tokenizers split on — python
+    # str.split() also breaks on \v and unicode spaces, which would
+    # desynchronize the candidate stream from the phase-2 explode
+    ws = re.compile(r"[ \t\n\r\f]+")
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for text in pdf[text_col]:
+                if text is None:
+                    continue
+                for tok in ws.split(str(text)):
+                    if tok == "":
+                        continue
+                    if tok in counters:
+                        counters[tok] += 1
+                    elif len(counters) < capacity:
+                        counters[tok] = 1
+                    else:
+                        # decrement-all step, dropping zeroed counters
+                        dead = []
+                        for key in counters:
+                            counters[key] -= 1
+                            if counters[key] == 0:
+                                dead.append(key)
+                        for key in dead:
+                            del counters[key]
+        if counters:
+            yield pd.DataFrame(
+                {"token": list(counters), "lower_bound": list(counters.values())}
+            )
+
+    return df.select(text_col).mapInPandas(mg, "token string, lower_bound long")
+
+
+def topk_tokens_sketched(
+    df: DataFrame,
+    k: int = 20,
+    capacity: int = 4096,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-recount heavy-hitter top-k: ``(token, n, rank)`` — the
+    ``k`` most frequent whitespace tokens with EXACT counts, found
+    without ever building the full token-domain aggregate.
+
+    Phase 1: :func:`misra_gries_candidates` (no shuffle, O(capacity)
+    memory/partition). Phase 2: exact counts of candidate tokens only —
+    the explode feeds a broadcast semi-join against the distinct
+    candidate list, so the groupBy's key domain is at most
+    (partitions × capacity) tokens, not the corpus vocabulary. Provably
+    equal to the true top-k whenever the k-th true count >
+    N/(capacity+1) (see module docstring); counts are exact
+    unconditionally. Deterministic (n DESC, token ASC) tiebreak."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cands = (
+        misra_gries_candidates(df, text_col, capacity)
+        .select("token")
+        .distinct()
+    )
+    toks = df.select(
+        F.explode(F.split(F.trim(F.col(text_col)), WHITESPACE_RE)).alias("token")
+    ).filter(F.col("token") != "")
+    exact = (
+        toks.join(F.broadcast(cands), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    # take k FIRST (TakeOrderedAndProject — no global shuffle), then rank
+    # the k survivors; the single-partition window sees only k rows
+    topk = exact.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "token", "n", "rank"
+    )

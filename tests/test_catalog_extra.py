@@ -33,8 +33,9 @@ def test_every_catalog_query_runs_and_returns_rows(spark, sf_dir):
 
     # r12: 74 -> 72 (recall gates folded into dedup_recall_suite),
     # 73 (quality_survivor_suite extension), 71 (second fold wave:
-    # join_flavors_suite + reshape_suite replace four singles)
-    assert len(CATALOG) == 71
+    # join_flavors_suite + reshape_suite replace four singles),
+    # 72 (heavy_hitter_suite extension)
+    assert len(CATALOG) == 72
     for name, spec in sorted(CATALOG.items()):
         assert spec.oracle is not None, f"{name} lost its oracle"
         n = spec.fn(spark, sf_dir).count()

@@ -57,6 +57,9 @@ BNLJ_ALLOWED = {
     # r11: unicode_token_suite's dedup leg crossJoins two 1-row pair
     # counters (segmented vs raw) — the quantile-gate precedent
     "unicode_token_suite",
+    # r12: heavy_hitter_suite's guard leg crossJoins the 1-row kth-count
+    # and 1-row total-token aggregates — the recall-gate precedent
+    "heavy_hitter_suite",
 }
 
 #: queries allowed Python/Arrow stages, with a ceiling per query — every
@@ -107,6 +110,11 @@ PY_ALLOWED = {
     # ArrowEvalPython zlib compression_ratio stage — zlib is the
     # documented Arrow seam (no JVM builtin)
     "compression_quality_suite": 3,
+    # r12: one Misra-Gries mapInPandas stage per sketch reference —
+    # the topk leg and the guard leg's kth-count branch re-execute the
+    # candidate stage (union branches don't share subtrees), plus the
+    # planted leg's own stage
+    "heavy_hitter_suite": 4,
 }
 
 _SF = "/root/testdata/sf0.001"
@@ -189,6 +197,8 @@ def test_catalog_driver_window_is_exactly_fifty(plans):
         "geo_cluster_suite", "compression_quality_suite",
         # r12: quality-aware survivor selection (keep_best_per_cluster)
         "quality_survivor_suite",
+        # r12: Misra-Gries heavy-hitter top-k (operators/sketch.py)
+        "heavy_hitter_suite",
     ]
 
 
