@@ -42,7 +42,11 @@ from pyspark.sql import functions as F
 
 from ..functions.text import WHITESPACE_RE
 
-__all__ = ["misra_gries_candidates", "topk_tokens_sketched"]
+__all__ = [
+    "merge_mg_summaries",
+    "misra_gries_candidates",
+    "topk_tokens_sketched",
+]
 
 
 def misra_gries_candidates(
@@ -100,6 +104,45 @@ def misra_gries_candidates(
             )
 
     return df.select(text_col).mapInPandas(mg, "token string, lower_bound long")
+
+
+def merge_mg_summaries(summaries: DataFrame, capacity: int = 4096) -> DataFrame:
+    """Merge any number of Misra–Gries summaries — ``(token,
+    lower_bound)`` rows, unioned — into ONE summary of at most
+    ``capacity`` tokens (Agarwal et al., "Mergeable Summaries", PODS
+    2012): sum counters per token, then subtract the (capacity+1)-th
+    largest summed counter from every counter and drop the
+    non-positives. Each merge adds at most that subtracted value to the
+    undercount, and telescoping over any merge tree keeps the total
+    undercount ≤ N_total/(capacity+1) — the SAME guarantee a single
+    pass would give, which is what makes the sketch a streaming/
+    partition-parallel object.
+
+    Scale shape: input is summary-sized (not corpus-sized); one groupBy
+    on token + one broadcast of the 1-row trim threshold."""
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    summed = summaries.groupBy("token").agg(
+        F.sum("lower_bound").alias("lower_bound")
+    )
+    kth = (
+        summed.orderBy(F.col("lower_bound").desc())
+        .limit(capacity + 1)
+        .agg(
+            F.min("lower_bound").alias("_kth"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    return (
+        summed.crossJoin(F.broadcast(kth))
+        .select(
+            "token",
+            F.when(F.col("_n") <= capacity, F.col("lower_bound"))
+            .otherwise(F.col("lower_bound") - F.col("_kth"))
+            .alias("lower_bound"),
+        )
+        .filter(F.col("lower_bound") > 0)
+    )
 
 
 def topk_tokens_sketched(

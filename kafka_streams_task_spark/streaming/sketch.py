@@ -1,0 +1,94 @@
+"""Streaming heavy-hitter tracking: a durable Misra–Gries summary
+maintained across micro-batches.
+
+The corpus-profiling question a 100 TB always-on ingest actually asks —
+"what are the top tokens/domains/urls flowing in RIGHT NOW, cumulatively"
+— cannot afford a full token-domain aggregate per batch. Mergeable MG
+summaries (Agarwal et al. 2012; ``operators.sketch``) make the state a
+bounded object: each batch contributes its own O(capacity)-per-partition
+candidates, the committed summary merges with them (one summary-sized
+groupBy), and the result is a NEW summary with the single-pass guarantee
+intact — total undercount ≤ N_cumulative/(capacity+1), every token with
+cumulative count above that threshold retained.
+
+Exactly-once under foreachBatch's at-least-once contract, via the
+family's versioned-parquet protocol (``streaming/state.py``): batch N
+writes ``summary_v{N}`` (overwrite-idempotent — the summary is a
+deterministic function of the predecessor summary and the batch), a
+redelivered batch whose version is committed skips wholesale, and the
+state dir is bound to its checkpoint for life. State size on disk is
+O(capacity) rows per version; old versions are prunable (each version
+is self-contained — no shard union).
+
+Reference parity: no analogue — beyond-reference training-data mandate
+(SURVEY.md north-star extensions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["streaming_top_tokens", "read_top_tokens"]
+
+_PFX = "summary_v"
+
+
+def streaming_top_tokens(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    capacity: int = 4096,
+    text_col: str = "text",
+):
+    """Maintain a cumulative Misra–Gries token summary over a document
+    stream. Returns the StreamingQuery; read the current heavy hitters
+    with :func:`read_top_tokens` (lower-bound ranking — counts are
+    conservative undercounts within N/(capacity+1); run the batch
+    :func:`~..operators.sketch.topk_tokens_sketched` over the landed
+    corpus when exact counts matter)."""
+    from ..operators.sketch import merge_mg_summaries, misra_gries_candidates
+    from .state import bind_state_to_checkpoint, committed_versions
+
+    bind_state_to_checkpoint(stream.sparkSession, state_dir, checkpoint_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        versions = committed_versions(spark, state_dir, _PFX)
+        if batch_id in versions:
+            return  # redelivery: this batch's summary is already durable
+        prev = [v for v in versions if v < batch_id]
+        batch_cands = misra_gries_candidates(batch_df, text_col, capacity)
+        if prev:
+            committed = spark.read.parquet(f"{state_dir}/{_PFX}{max(prev)}")
+            unioned = committed.unionByName(batch_cands)
+        else:
+            unioned = batch_cands
+        merged = merge_mg_summaries(unioned, capacity)
+        merged.write.mode("overwrite").parquet(f"{state_dir}/{_PFX}{batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_top_tokens(spark: SparkSession, state_dir: str, k: int = 20) -> DataFrame:
+    """Current top-``k`` heavy hitters from the latest committed summary:
+    ``(token, lower_bound, rank)``, ranked by the conservative MG lower
+    bound (ties to token ASC). Raises if no summary has committed yet."""
+    from .state import committed_versions
+
+    versions = committed_versions(spark, state_dir, _PFX)
+    if not versions:
+        raise ValueError(f"no committed summary under {state_dir}")
+    s = spark.read.parquet(f"{state_dir}/{_PFX}{max(versions)}")
+    top = s.orderBy(F.col("lower_bound").desc(), F.col("token").asc()).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("lower_bound").desc(), F.col("token").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "token", "lower_bound", "rank"
+    )

@@ -4,8 +4,18 @@ and exact-recount top-k parity with the full aggregation."""
 from __future__ import annotations
 
 import random
+import shutil
+import tempfile
 
+import pytest
 from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="sketch_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
 
 
 def _corpus(spark, rng, n_docs=300, vocab=400, doc_len=60, zipf_s=1.3):
@@ -91,3 +101,93 @@ def test_validation(spark):
         misra_gries_candidates(docs, capacity=0)
     with pytest.raises(ValueError, match="k must be"):
         topk_tokens_sketched(docs, k=0)
+
+
+def test_merge_mg_summaries_guarantee(spark):
+    """Merged summaries keep the single-pass guarantee: every token with
+    global count > N/(capacity+1) survives an arbitrary merge tree, and
+    every retained lower bound is a true undercount."""
+    import random as _random
+
+    from kafka_streams_task_spark.operators.sketch import (
+        merge_mg_summaries,
+        misra_gries_candidates,
+    )
+
+    rng = _random.Random(41)
+    a = _corpus(spark, rng, n_docs=80, vocab=150).repartition(3)
+    b = _corpus(spark, rng, n_docs=80, vocab=150).repartition(3)
+    capacity = 48
+    merged = merge_mg_summaries(
+        misra_gries_candidates(a, capacity=capacity).unionByName(
+            misra_gries_candidates(b, capacity=capacity)
+        ),
+        capacity,
+    ).collect()
+    assert len(merged) <= capacity
+    counts: dict[str, int] = {}
+    for df in (a, b):
+        for r in df.collect():
+            for t in r["text"].split():
+                counts[t] = counts.get(t, 0) + 1
+    n_total = sum(counts.values())
+    lb = {r["token"]: r["lower_bound"] for r in merged}
+    # lower bounds never exceed true counts, undercount bounded
+    for tok, v in lb.items():
+        assert v <= counts[tok]
+        assert counts[tok] - v <= n_total / (capacity + 1) + 1e-9
+    guaranteed = {t for t, c in counts.items() if c > n_total / (capacity + 1)}
+    assert guaranteed <= set(lb), guaranteed - set(lb)
+
+
+def test_streaming_top_tokens_cross_batch(spark, tmpdir):
+    """Cumulative streaming summary: after two micro-batches the summary
+    reflects BOTH batches (a token heavy only in aggregate ranks top),
+    retained tokens obey the cumulative guarantee, and replaying the
+    input is a no-op."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from kafka_streams_task_spark.streaming.sketch import (
+        read_top_tokens,
+        streaming_top_tokens,
+    )
+
+    # 'cumul' appears 6x per batch — never the within-batch max (the
+    # batch-local 'b0max'/'b1max' have 8) but the cumulative max (12)
+    b0 = [{"doc_id": 1, "text": "cumul " * 6 + "b0max " * 8}]
+    b1 = [{"doc_id": 2, "text": "cumul " * 6 + "b1max " * 8}]
+    src = f"{tmpdir}/hh_in"
+    os.makedirs(src)
+    with open(f"{src}/b0.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in b0))
+    with open(f"{src}/b1.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in b1))
+    os.utime(f"{src}/b0.json", (1000000000, 1000000000))
+    os.utime(f"{src}/b1.json", (1000000100, 1000000100))
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    state_dir = f"{tmpdir}/hh_state"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+    )
+    q = streaming_top_tokens(stream, state_dir, f"{tmpdir}/hh_ckpt", capacity=16)
+    q.awaitTermination(120)
+
+    top = read_top_tokens(spark, state_dir, k=3).collect()
+    assert top[0]["token"] == "cumul" and top[0]["lower_bound"] == 12
+    assert {r["token"] for r in top} == {"cumul", "b0max", "b1max"}
+
+    # replay no-op: summary for each batch id already committed
+    stream2 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+    )
+    q2 = streaming_top_tokens(stream2, state_dir, f"{tmpdir}/hh_ckpt", capacity=16)
+    q2.awaitTermination(120)
+    top2 = read_top_tokens(spark, state_dir, k=3).collect()
+    assert [(r["token"], r["lower_bound"]) for r in top2] == [
+        (r["token"], r["lower_bound"]) for r in top
+    ]
