@@ -4360,6 +4360,12 @@ _HH_DOCS = [
     (3, "d"),
 ]
 
+#: ONE constant drives the sketch capacity, the Spark guard threshold,
+#: and the oracle's guard threshold (r12 review: a capacity edit must
+#: not be able to desynchronize the stated exactness condition)
+_HH_CAPACITY = 4096
+_HH_K = 20
+
 
 def _hh_oracle() -> str:
     from .llm_suites import _SUITE_COLS, canary_sql
@@ -4378,11 +4384,11 @@ def _hh_oracle() -> str:
     SELECT CAST('topk' AS VARCHAR) AS leg, CAST(rank AS BIGINT) AS key,
            CAST(token AS VARCHAR) AS s1, CAST(n AS BIGINT) AS i1,
            CAST(NULL AS BIGINT) AS i2
-    FROM exact WHERE rank <= 20
+    FROM exact WHERE rank <= {_HH_K}
     UNION ALL
     SELECT CAST('guard' AS VARCHAR), CAST(0 AS BIGINT), CAST(NULL AS VARCHAR),
-           CAST((SELECT n FROM exact WHERE rank = 20)
-                > (SELECT count(*) FROM tok) / 4097.0 AS BIGINT),
+           CAST((SELECT n FROM exact WHERE rank = {_HH_K})
+                > (SELECT count(*) FROM tok) / {_HH_CAPACITY + 1}.0 AS BIGINT),
            CAST(NULL AS BIGINT)
     UNION ALL
     SELECT CAST('planted' AS VARCHAR), CAST(1 AS BIGINT), CAST('a' AS VARCHAR),
@@ -4420,7 +4426,7 @@ def heavy_hitter_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     nul = F.lit(None).cast("long")
     nus = F.lit(None).cast("string")
     docs = load_table(spark, sf_dir, "documents")
-    top = topk_tokens_sketched(docs, k=20, capacity=4096)
+    top = topk_tokens_sketched(docs, k=_HH_K, capacity=_HH_CAPACITY)
     topk_leg = top.select(
         F.lit("topk").alias("leg"),
         F.col("rank").cast("long").alias("key"),
@@ -4433,12 +4439,19 @@ def heavy_hitter_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")
         ).alias("t")
     ).filter(F.col("t") != "").agg(F.count(F.lit(1)).alias("_n"))
-    kth = top.filter(F.col("rank") == 20).select(F.col("n").alias("_kth"))
+    # aggregate (never filter-to-empty): with < _HH_K ranked tokens the
+    # kth count is NULL and the guard row still exists with i1 = NULL —
+    # exactly the oracle's scalar-subquery semantics (r12 review)
+    kth = top.agg(
+        F.min(F.when(F.col("rank") == _HH_K, F.col("n"))).alias("_kth")
+    )
     guard_leg = kth.crossJoin(n_total).select(
         F.lit("guard").alias("leg"),
         F.lit(0).cast("long").alias("key"),
         nus.alias("s1"),
-        (F.col("_kth") > F.col("_n") / F.lit(4097.0)).cast("long").alias("i1"),
+        (F.col("_kth") > F.col("_n") / F.lit(float(_HH_CAPACITY + 1)))
+        .cast("long")
+        .alias("i1"),
         nul.alias("i2"),
     )
     planted = spark.createDataFrame(_HH_DOCS, "doc_id long, text string")

@@ -543,19 +543,22 @@ def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: ONE list drives the pivot's explicit value list AND reshape_suite's
+#: unpivot of the wide output (r12 review: two copies could silently
+#: desynchronize into an AnalysisException or a dropped kind)
+_EVENT_KINDS = ["click", "error", "purchase", "signup", "view"]
+
+
 def pivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (wide conditional aggregation). Explicit value list keeps the
     plan single-pass (no distinct-values pre-query)."""
     e = _t(spark, sf_dir, "events")
-    kinds = ["click", "error", "purchase", "signup", "view"]
-    out = e.groupBy("user_id").pivot("event_type", kinds).count()
+    out = e.groupBy("user_id").pivot("event_type", _EVENT_KINDS).count()
     # pivot-count yields null for empty cells; the SQL FILTER form yields 0
     return out.select(
-        "user_id", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
+        "user_id",
+        *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in _EVENT_KINDS],
     )
-
-
-_EVENT_KINDS = ["click", "error", "purchase", "signup", "view"]
 
 
 def _rs_oracle() -> str:
@@ -572,7 +575,7 @@ def _rs_oracle() -> str:
     UNION ALL
     SELECT CAST('unpivot' AS VARCHAR), CAST(o_orderkey AS BIGINT),
            CAST(metric AS VARCHAR),
-           CAST(floor((val) * 100.0 + 1e-09 + 0.5) AS BIGINT),
+           {sql_fmicro("val", "100.0")},
            CAST(NULL AS BIGINT)
     FROM (
       SELECT o_orderkey, o_totalprice AS totalprice,

@@ -71,10 +71,10 @@ def misra_gries_candidates(
 
     import pandas as pd
 
-    # the SAME separator class the JVM tokenizers split on — python
-    # str.split() also breaks on \v and unicode spaces, which would
-    # desynchronize the candidate stream from the phase-2 explode
-    ws = re.compile(r"[ \t\n\r\f]+")
+    # compile the SAME separator class the JVM tokenizers split on —
+    # python str.split() also breaks on \v and unicode spaces, which
+    # would desynchronize the candidate stream from the phase-2 explode
+    ws = re.compile(WHITESPACE_RE)
 
     def mg(batches):
         counters: dict[str, int] = {}
