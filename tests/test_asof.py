@@ -254,3 +254,34 @@ def test_asof_nearest_edges(spark):
         left, right, on="t", by="k", direction="nearest",
         tolerance=10.0).collect()}
     assert got_tol == {1: 100, 2: None, 3: 100}
+
+
+def test_asof_nearest_dates(spark):
+    """nearest + DATE on-column: closer side wins in whole days, tie
+    prefers backward, day-unit symmetric tolerance."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_task_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-10", 1)], "k long, t string, lid long"
+    ).select("k", F.col("t").cast("date").alias("t"), "lid")
+    right = spark.createDataFrame(
+        [(1, "2024-01-07", 100), (1, "2024-01-13", 101)],
+        "k long, t string, rid long",
+    ).select("k", F.col("t").cast("date").alias("t"), "rid")
+    # 3 days either way -> tie -> backward
+    got = asof_join(left, right, on="t", by="k", direction="nearest").collect()
+    assert got[0]["r_rid"] == 100
+    # tolerance 2 days drops both
+    got_tol = asof_join(
+        left, right, on="t", by="k", direction="nearest", tolerance=2.0
+    ).collect()
+    assert got_tol[0]["r_rid"] is None
+    # asymmetric: move backward candidate farther -> forward wins
+    right2 = spark.createDataFrame(
+        [(1, "2024-01-01", 100), (1, "2024-01-13", 101)],
+        "k long, t string, rid long",
+    ).select("k", F.col("t").cast("date").alias("t"), "rid")
+    got2 = asof_join(left, right2, on="t", by="k", direction="nearest").collect()
+    assert got2[0]["r_rid"] == 101

@@ -1405,3 +1405,60 @@ def test_keep_best_per_cluster_random_matches_reference(spark):
             r["doc_id"] for r in keep_best_per_cluster(docs, pairs).collect()
         }
         assert got == expected, f"trial {trial}: {got} != {expected}"
+
+
+def test_drop_contained_random_matches_reference(spark):
+    """Random-corpus property: drop_contained_documents must equal a
+    from-scratch python reference (distinct 3-gram shingle sets, the
+    containment >= t + size-rank drop rule) across 6 random corpora with
+    planted subset/superset structure."""
+    import random as _random
+
+    from kafka_streams_task_spark.operators.dedup import drop_contained_documents
+
+    rng = _random.Random(53)
+    vocab = [f"t{i}" for i in range(30)]
+    for trial in range(6):
+        rows = []
+        did = 1
+        for _ in range(12):
+            n = rng.randint(4, 14)
+            toks = [rng.choice(vocab) for _ in range(n)]
+            rows.append((did, " ".join(toks)))
+            did += 1
+            if rng.random() < 0.5:  # plant a prefix-subset doc
+                cut = rng.randint(3, max(3, n - 1))
+                rows.append((did, " ".join(toks[:cut])))
+                did += 1
+        threshold = rng.choice([0.8, 0.95, 1.0])
+
+        def sh(text):
+            t = text.split()
+            if len(t) >= 3:
+                return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+            return {" ".join(t)}
+
+        shs = {i: sh(t) for i, t in rows}
+        drops = set()
+        ids = [i for i, _ in rows]
+        for x in ids:
+            for y in ids:
+                if x == y:
+                    continue
+                common = len(shs[x] & shs[y])
+                nx, ny = len(shs[x]), len(shs[y])
+                if common / nx >= threshold and (
+                    nx < ny or (nx == ny and x > y)
+                ):
+                    drops.add(x)
+                    break
+        expected = {i for i in ids if i not in drops}
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]
+            for r in drop_contained_documents(df, threshold=threshold).collect()
+        }
+        assert got == expected, (
+            f"trial {trial} t={threshold}: {sorted(got ^ expected)}"
+        )
