@@ -285,3 +285,19 @@ def test_asof_nearest_dates(spark):
     ).select("k", F.col("t").cast("date").alias("t"), "rid")
     got2 = asof_join(left, right2, on="t", by="k", direction="nearest").collect()
     assert got2[0]["r_rid"] == 101
+
+
+def test_asof_nearest_single_shuffle_plan(spark):
+    """The nearest direction must cost ONE exchange (both window frames
+    share the (key, time) sort) — the two-channel union, not a second
+    shuffle or a join."""
+    from kafka_streams_task_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 5.0, 1)], "k long, t double, lid long")
+    right = spark.createDataFrame([(1, 4.0, 9)], "k long, t double, rid long")
+    plan = (
+        asof_join(left, right, on="t", by="k", direction="nearest")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan

@@ -191,3 +191,31 @@ def test_streaming_top_tokens_cross_batch(spark, tmpdir):
     assert [(r["token"], r["lower_bound"]) for r in top2] == [
         (r["token"], r["lower_bound"]) for r in top
     ]
+
+
+def test_sketch_plan_shapes(spark):
+    """Physical-plan pins: phase 1 (MG candidates) must contain ZERO
+    exchanges (pure map-side Arrow stage); the full top-k plan keeps the
+    candidate join broadcast (no shuffle of the exploded token stream
+    beyond the final bounded aggregate)."""
+    from kafka_streams_task_spark.operators.sketch import (
+        misra_gries_candidates,
+        topk_tokens_sketched,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d")], "doc_id long, text string"
+    )
+    p1 = (
+        misra_gries_candidates(docs, capacity=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in p1
+    assert "MapInPandas" in p1
+
+    p2 = (
+        topk_tokens_sketched(docs, k=2, capacity=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in p2 or "BroadcastExchange" in p2
+    assert "CartesianProduct" not in p2
