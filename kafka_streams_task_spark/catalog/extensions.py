@@ -4445,12 +4445,30 @@ def heavy_hitter_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     kth = top.agg(
         F.min(F.when(F.col("rank") == _HH_K, F.col("n"))).alias("_kth")
     )
+    # a FALSE guard must fail loudly, not as a topk row-mismatch: the
+    # sketched==exhaustive equality is only a theorem while the guard
+    # condition holds, so if the gate corpus ever shrinks below it the
+    # suite raises with a readable message instead of leaving two
+    # agreeing guard-0 rows next to legitimately-diverging topk legs
+    # (ADVICE r12). NULL (fewer than k ranked tokens) passes through —
+    # that is the oracle's scalar-subquery semantics, not a refutation.
+    _ok = F.col("_kth") > F.col("_n") / F.lit(float(_HH_CAPACITY + 1))
     guard_leg = kth.crossJoin(n_total).select(
         F.lit("guard").alias("leg"),
         F.lit(0).cast("long").alias("key"),
         nus.alias("s1"),
-        (F.col("_kth") > F.col("_n") / F.lit(float(_HH_CAPACITY + 1)))
-        .cast("long")
+        F.when(_ok.isNull(), nul)
+        .when(_ok, F.lit(1).cast("long"))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "heavy_hitter_suite guard FALSE: kth exact count <= "
+                    f"N/{_HH_CAPACITY + 1} — sketched top-k exactness is no "
+                    "longer guaranteed on this corpus; raise capacity or "
+                    "shrink k"
+                )
+            ).cast("long")
+        )
         .alias("i1"),
         nul.alias("i2"),
     )

@@ -70,6 +70,17 @@ def asof_join(
             "tolerance supports numeric, timestamp, and date `on` columns; "
             f"got {left.schema[on].dataType.simpleString()} for {on!r}"
         )
+    if (
+        tolerance is not None
+        and isinstance(left.schema[on].dataType, T.DateType)
+        and float(tolerance) != int(tolerance)
+    ):
+        # the whole-DAYS contract: datediff is integral, so a fractional
+        # tolerance would silently floor (2.5 behaving as 2) — reject it
+        # up front instead (ADVICE r12).
+        raise ValueError(
+            f"tolerance for DATE `on` columns counts whole days; got {tolerance}"
+        )
 
     right_cols = [c for c in right.columns if c != by]
     l_payload = F.struct(*[F.col(c) for c in left.columns if c != by])

@@ -583,13 +583,16 @@ def keep_best_per_cluster(
     row_number window — no corpus self-join anywhere."""
     from .cluster import connected_components
 
+    # underscore-prefixed temp names (the module discipline): a caller
+    # frame that already has 'node'/'component' columns must not make the
+    # labeling join ambiguous or get silently dropped (ADVICE r12).
     comps = connected_components(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    )
+    ).select(F.col("node").alias("_cc_node"), F.col("component").alias("_cc_component"))
     labeled = (
-        df.join(comps, df[id_col] == comps["node"], "left")
-        .withColumn("_cluster", F.coalesce(F.col("component"), F.col(id_col)))
-        .drop("node", "component")
+        df.join(comps, df[id_col] == comps["_cc_node"], "left")
+        .withColumn("_cluster", F.coalesce(F.col("_cc_component"), F.col(id_col)))
+        .drop("_cc_node", "_cc_component")
     )
     w = Window.partitionBy("_cluster").orderBy(
         F.col(score_col).desc_nulls_last(), F.col(id_col).asc()
@@ -631,8 +634,14 @@ def containment_incremental_pairs(
     the shard's shingle set — a 100 TB index contributes only postings
     a new doc actually touches; the pair shuffle carries 8-byte hashes;
     combined posting lists over ``max_shingle_freq`` drop whole (the
-    boilerplate guard, same semantics as the batch form). ``new_sh``
-    should be materialized — it feeds the probe and the union."""
+    boilerplate guard — the same cap applied to the SURVIVOR index plus
+    batch membership, not to the full raw corpus: a shingle whose raw
+    frequency exceeded the cap in a from-scratch batch pass can fall
+    back under it here once earlier victims left the index, so pair
+    emission may diverge across batches even though within-batch
+    equivalence to :func:`drop_contained_documents` holds exactly;
+    ADVICE r12). ``new_sh`` should be materialized — it feeds the probe
+    and the union."""
     hit = new_sh.select("shingle").distinct()
     relevant = index.join(hit, on="shingle", how="left_semi")
     members = relevant.select(
