@@ -57,13 +57,28 @@ def misra_gries_candidates(
     """Per-partition Misra–Gries heavy-hitter candidates: ``(token,
     lower_bound)`` rows, at most ``capacity`` per input partition.
 
-    One mapInPandas stage holding exactly ``capacity`` counters per
-    partition ACROSS Arrow batches (the iterator closure carries the
-    summary), so memory is O(capacity) regardless of the partition's
-    distinct-token count — the property a spilling hash aggregate does
-    not have. ``lower_bound`` is the MG counter value: an undercount by
-    at most n_partition/(capacity+1); use :func:`topk_tokens_sketched`
-    for exact counts."""
+    One mapInPandas stage holding a summary of at most ``capacity``
+    counters per partition ACROSS Arrow batches (the iterator closure
+    carries it), so memory is O(capacity + batch distinct tokens)
+    regardless of the partition's total distinct-token count — the
+    property a spilling hash aggregate does not have.
+
+    Vectorized formulation (r13, VERDICT r12 item 2): instead of the
+    per-token serial MG loop, each Arrow batch is counted exactly with
+    pandas (regex split → explode → value_counts — an error-free MG
+    summary of the batch), then FOLDED into the running summary with
+    the SAME trim rule :func:`merge_mg_summaries` implements: sum per
+    token, subtract the (capacity+1)-th largest summed counter from
+    every counter, drop non-positives. By the mergeable-summaries
+    argument (Agarwal et al., PODS 2012) each fold's subtracted value
+    telescopes over the left-deep batch merge tree, so the total
+    undercount of any surviving counter is ≤ n_partition/(capacity+1)
+    and any token with true partition count > n_partition/(capacity+1)
+    is always retained — the SAME constant and retention guarantee as
+    the serial decrement-all loop (pinned by tests/test_sketch.py).
+    ``lower_bound`` is the folded counter value (an undercount by at
+    most that constant); use :func:`topk_tokens_sketched` for exact
+    counts."""
     if capacity < 1:
         raise ValueError(f"capacity must be >= 1, got {capacity}")
 
@@ -77,30 +92,33 @@ def misra_gries_candidates(
     ws = re.compile(WHITESPACE_RE)
 
     def mg(batches):
-        counters: dict[str, int] = {}
+        summary = pd.Series(dtype="int64")
         for pdf in batches:
-            for text in pdf[text_col]:
-                if text is None:
-                    continue
-                for tok in ws.split(str(text)):
-                    if tok == "":
-                        continue
-                    if tok in counters:
-                        counters[tok] += 1
-                    elif len(counters) < capacity:
-                        counters[tok] = 1
-                    else:
-                        # decrement-all step, dropping zeroed counters
-                        dead = []
-                        for key in counters:
-                            counters[key] -= 1
-                            if counters[key] == 0:
-                                dead.append(key)
-                        for key in dead:
-                            del counters[key]
-        if counters:
+            s = pdf[text_col].dropna().astype(str)
+            if s.empty:
+                continue
+            # ONE C-level regex pass over the whole batch ('\n' is in the
+            # separator class, so the join introduces no token merges),
+            # then a C hashtable count — measured faster than both the
+            # per-token dict loop and pandas str.split().explode()
+            toks = ws.split("\n".join(s.tolist()))
+            counts = pd.Series(toks, dtype="object").value_counts()
+            counts = counts[counts.index != ""]
+            if counts.empty:
+                continue
+            summary = summary.add(counts, fill_value=0).astype("int64")
+            if len(summary) > capacity:
+                # merge_mg_summaries trim: subtract the (capacity+1)-th
+                # largest from EVERY counter, keep strict positives
+                kth = summary.nlargest(capacity + 1).iloc[-1]
+                summary = summary - kth
+                summary = summary[summary > 0]
+        if len(summary):
             yield pd.DataFrame(
-                {"token": list(counters), "lower_bound": list(counters.values())}
+                {
+                    "token": summary.index.astype(str),
+                    "lower_bound": summary.to_numpy(),
+                }
             )
 
     return df.select(text_col).mapInPandas(mg, "token string, lower_bound long")
