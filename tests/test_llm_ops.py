@@ -1462,3 +1462,63 @@ def test_drop_contained_random_matches_reference(spark):
         assert got == expected, (
             f"trial {trial} t={threshold}: {sorted(got ^ expected)}"
         )
+
+
+def test_drop_contained_threshold_one_strict_preservation(spark):
+    """Property pin of the docstring's threshold=1.0 promise (VERDICT r12
+    item 5): at threshold=1.0 containment IS set inclusion, which is
+    transitive — so even though the single-pass rule lets a dropped doc's
+    absorber itself be dropped, every dropped doc's shingle set must be
+    EXACTLY contained in some SURVIVOR's shingle set (follow absorbers up
+    the acyclic size-then-id rank to an undropped doc). Checked on random
+    corpora with planted exact-subset chains A ⊂ B ⊂ C (+ exact-duplicate
+    pairs), including that no shingle of the corpus is lost."""
+    import random as _random
+
+    from kafka_streams_task_spark.operators.dedup import drop_contained_documents
+
+    rng = _random.Random(97)
+    vocab = [f"t{i}" for i in range(24)]
+
+    def sh(text):
+        t = text.split()
+        if len(t) >= 3:
+            return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+        return {" ".join(t)}
+
+    for trial in range(6):
+        rows = []
+        did = 1
+        for _ in range(8):
+            n = rng.randint(6, 16)
+            toks = [rng.choice(vocab) for _ in range(n)]
+            rows.append((did, " ".join(toks)))
+            did += 1
+            # plant an exact-subset CHAIN under the top doc: each link a
+            # strict prefix of the previous (C subset of B subset of A)
+            cur = toks
+            while len(cur) > 5 and rng.random() < 0.6:
+                cur = cur[: rng.randint(4, len(cur) - 1)]
+                rows.append((did, " ".join(cur)))
+                did += 1
+            if rng.random() < 0.3:  # exact duplicate (mutual containment)
+                rows.append((did, " ".join(toks)))
+                did += 1
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        kept = {
+            r["doc_id"]
+            for r in drop_contained_documents(df, threshold=1.0).collect()
+        }
+        shs = {i: sh(t) for i, t in rows}
+        dropped = set(shs) - kept
+        # strict content preservation: every dropped doc's shingle set is
+        # exactly contained in a SURVIVING doc's shingle set...
+        for x in dropped:
+            assert any(shs[x] <= shs[y] for y in kept), (
+                f"trial {trial}: dropped doc {x} not contained in any survivor"
+            )
+        # ...equivalently, no shingle of the corpus is lost
+        all_sh = set().union(*shs.values())
+        kept_sh = set().union(*(shs[y] for y in kept))
+        assert kept_sh == all_sh, f"trial {trial}: lost {all_sh - kept_sh}"
