@@ -4098,6 +4098,38 @@ def _tj_oracle() -> str:
       FROM bwd b JOIN fwd f ON b.event_id = f.event_id
     ) j
     UNION ALL
+    SELECT CAST('asof_near_date' AS VARCHAR), CAST(j.event_id AS BIGINT),
+           CAST(j.click_id AS BIGINT), CAST(j.gap_d AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM (
+      WITH l AS (SELECT event_id, user_id, CAST(ts AS DATE) AS d
+                 FROM events WHERE event_type = 'purchase'),
+      r AS (SELECT user_id, CAST(ts AS DATE) AS d, max(event_id) AS event_id
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      bwd AS (
+        SELECT l.event_id, l.d AS ld, r.d AS bd, r.event_id AS bid
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.d >= r.d
+      ),
+      fwd AS (
+        SELECT l.event_id, r.d AS fd, r.event_id AS fid
+        FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.d <= r.d
+      ),
+      pick AS (
+        SELECT b.event_id,
+               CASE WHEN f.fd IS NULL
+                         OR (b.bd IS NOT NULL AND (b.ld - b.bd) <= (f.fd - b.ld))
+                    THEN b.bid ELSE f.fid END AS click_id,
+               CASE WHEN f.fd IS NULL
+                         OR (b.bd IS NOT NULL AND (b.ld - b.bd) <= (f.fd - b.ld))
+                    THEN b.ld - b.bd ELSE f.fd - b.ld END AS gap_d
+        FROM bwd b JOIN fwd f ON b.event_id = f.event_id
+      )
+      SELECT event_id,
+             CASE WHEN abs(gap_d) <= 2 THEN click_id END AS click_id,
+             CASE WHEN abs(gap_d) <= 2 THEN abs(gap_d) END AS gap_d
+      FROM pick
+    ) j
+    UNION ALL
     {canary_sql(_TJ_COLS)}
     """
 
@@ -4134,6 +4166,14 @@ def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                  backward via interval <=) — the one-shuffle
                  two-channel window formulation against two native
                  engine joins plus explicit selection logic;
+    'asof_near_date' — r13 (VERDICT r12 item 6): the DATE channel of
+                 the same nearest machinery WITH the whole-days
+                 tolerance (the datediff branch, ADVICE r11 fix —
+                 previously pytest-only): purchase DATE to nearest
+                 same-user click DATE, matches beyond ±2 days nulled;
+                 DuckDB restates via backward+forward ASOF on DATEs
+                 (date subtraction is integral days there) + the same
+                 closer-pick CASE + the |gap| <= 2 bound;
     'canary'   — constant rows stated identically by both engines.
 
     Scale shape: band = one shuffle per side on user_id (the streaming
@@ -4217,10 +4257,29 @@ def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("i1"),
         nul.alias("i2"),
     )
+    p_d = purchases.select(
+        "event_id", "user_id", F.col("ts").cast("date").alias("d")
+    )
+    c_d = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").cast("date").alias("d"))
+        .agg(F.max("event_id").alias("event_id"))
+        .select("event_id", "user_id", "d")
+    )
+    near_date = asof_join(
+        p_d, c_d, on="d", by="user_id", direction="nearest", tolerance=2
+    ).select(
+        F.lit("asof_near_date").alias("leg"),
+        F.col("event_id").cast("long").alias("key"),
+        F.col("r_event_id").cast("long").alias("key_b"),
+        F.abs(F.datediff(F.col("d"), F.col("r_d"))).cast("long").alias("i1"),
+        nul.alias("i2"),
+    )
     return (
         band.unionByName(tol)
         .unionByName(fwd)
         .unionByName(near)
+        .unionByName(near_date)
         .unionByName(canary_df(spark, _TJ_COLS))
     )
 
