@@ -2553,7 +2553,8 @@ _AZ_ORACLE = f"""
 """
 
 
-@query("anomaly_zscore_suite", oracle=_AZ_ORACLE)
+# r13: driver slot folded into stats_family_suite (VERDICT r12 item 1);
+# the builder stays importable and its oracle rides the folded suite.
 def anomaly_zscore_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling z-score anomaly detection (operators/anomaly.py) over
     events per event_type, ordered by (ts, event_id) — the
@@ -2702,7 +2703,8 @@ _TF_ORACLE = f"""
 """
 
 
-@query("trend_forecast_suite", oracle=_TF_ORACLE)
+# r13: driver slot folded into stats_family_suite (VERDICT r12 item 1);
+# the builder stays importable and its oracle rides the folded suite.
 def trend_forecast_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forecast-baseline evaluation + trend extraction
     (operators/forecast.py) over the hourly LOCF grid of the events
@@ -2819,7 +2821,8 @@ _QN_ORACLE = f"""
 """
 
 
-@query("quantile_norm_suite", oracle=_QN_ORACLE)
+# r13: driver slot folded into stats_family_suite (VERDICT r12 item 1);
+# the builder stays importable and its oracle rides the folded suite.
 def quantile_norm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-group quantile normalization
     (operators/quantile_norm.py) of event values pooled across
@@ -2913,7 +2916,8 @@ _CU_ORACLE = f"""
 """
 
 
-@query("cusum_shift_suite", oracle=_CU_ORACLE)
+# r13: driver slot folded into stats_family_suite (VERDICT r12 item 1);
+# the builder stays importable and its oracle rides the folded suite.
 def cusum_shift_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided CUSUM change detection (operators/anomaly.py:
     cusum_by_series, Page 1954) over events per event_type ordered by
@@ -3034,7 +3038,8 @@ _RB_ORACLE = f"""
 """
 
 
-@query("robust_scale_suite", oracle=_RB_ORACLE)
+# r13: driver slot folded into stats_family_suite (VERDICT r12 item 1);
+# the builder stays importable and its oracle rides the folded suite.
 def robust_scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group winsorization + median/MAD robust z
     (operators/robust.py) over event values by event_type — the
@@ -3153,7 +3158,8 @@ _SA_ORACLE = f"""
 """
 
 
-@query("stat_audit_suite", oracle=_SA_ORACLE)
+# r13: driver slot folded into stats_family_suite (VERDICT r12 item 1);
+# the builder stays importable and its oracle rides the folded suite.
 def stat_audit_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical screening audits (operators/audit_stats.py) over the
     events table: 'benford' = the first-significant-digit distribution
@@ -3234,6 +3240,89 @@ def stat_audit_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cstat)
         .unionByName(canary)
     )
+
+
+# ---------------------------------------------------------------------------
+# r13 (VERDICT r12 item 1): the six stats/time-series singles fold into ONE
+# canary-protected suite so the family costs one driver slot. Each single's
+# FULL output (its own canary rows included) rides as a tag-prefixed leg of
+# a superset schema, and the oracle wraps the six UNCHANGED single oracles
+# in the same re-projection — the per-single hashes are preserved inside
+# the fold, nothing is recomputed differently.
+# ---------------------------------------------------------------------------
+
+#: (tag, has_t, n_i) per folded single — ONE table drives the Spark
+#: projection AND the oracle wrapper so the two sides cannot desynchronize
+_SF_PARTS = [
+    ("az", True, 3),   # anomaly_zscore_suite  (leg,k,t,i1,i2,i3)
+    ("tf", False, 4),  # trend_forecast_suite  (leg,k,i1,i2,i3,i4)
+    ("qn", True, 1),   # quantile_norm_suite   (leg,k,t,i1)
+    ("cu", True, 3),   # cusum_shift_suite     (leg,k,t,i1,i2,i3)
+    ("rb", True, 2),   # robust_scale_suite    (leg,k,t,i1,i2)
+    ("sa", True, 3),   # stat_audit_suite      (leg,k,t,i1,i2,i3)
+]
+
+
+def _stats_family_oracle() -> str:
+    inner = {
+        "az": _AZ_ORACLE, "tf": _TF_ORACLE, "qn": _QN_ORACLE,
+        "cu": _CU_ORACLE, "rb": _RB_ORACLE, "sa": _SA_ORACLE,
+    }
+    parts = []
+    for tag, has_t, n_i in _SF_PARTS:
+        t_expr = "CAST(t AS BIGINT)" if has_t else "CAST(NULL AS BIGINT)"
+        i_exprs = ", ".join(
+            f"CAST(i{j} AS BIGINT) AS i{j}"
+            if j <= n_i
+            else f"CAST(NULL AS BIGINT) AS i{j}"
+            for j in (1, 2, 3, 4)
+        )
+        parts.append(
+            f"SELECT '{tag}:' || leg AS leg, CAST(k AS VARCHAR) AS k, "
+            f"{t_expr} AS t, {i_exprs} FROM ({inner[tag]})"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query("stats_family_suite", oracle=_stats_family_oracle())
+def stats_family_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The statistical-screening family in one driver slot (r13 fold of
+    six formerly-standalone gates, VERDICT r12 item 1). Tag-prefixed
+    legs over the superset schema (leg, k, t, i1..i4):
+
+    'az:*' — rolling z-score anomaly detection (anomaly_zscore_suite);
+    'tf:*' — seasonal-naive eval + least-squares trend
+             (trend_forecast_suite);
+    'qn:*' — pooled quantile normalization (quantile_norm_suite);
+    'cu:*' — two-sided CUSUM closed form (cusum_shift_suite);
+    'rb:*' — winsorize + median/MAD robust z (robust_scale_suite);
+    'sa:*' — Benford + chi-square screening audits (stat_audit_suite).
+
+    Every single's full output — its canary rows included — rides
+    unchanged; the oracle wraps the six single oracles in the identical
+    projection, so each sub-gate keeps its original cross-engine
+    discipline (micro/milli rounding, explicit variance formulations,
+    no stddev/round builtins). See the per-single docstrings above."""
+    fns = {
+        "az": anomaly_zscore_suite, "tf": trend_forecast_suite,
+        "qn": quantile_norm_suite, "cu": cusum_shift_suite,
+        "rb": robust_scale_suite, "sa": stat_audit_suite,
+    }
+    nul = F.lit(None).cast("long")
+    out = None
+    for tag, has_t, n_i in _SF_PARTS:
+        df = fns[tag](spark, sf_dir)
+        proj = df.select(
+            F.concat(F.lit(tag + ":"), F.col("leg")).cast("string").alias("leg"),
+            F.col("k").cast("string").alias("k"),
+            (F.col("t").cast("long") if has_t else nul).alias("t"),
+            *[
+                (F.col(f"i{j}").cast("long") if j <= n_i else nul).alias(f"i{j}")
+                for j in (1, 2, 3, 4)
+            ],
+        )
+        out = proj if out is None else out.unionByName(proj)
+    return out
 
 
 _GC_CANARY = [

@@ -52,8 +52,8 @@ BNLJ_ALLOWED = {
     "unimax_suite",
     # r10 fourth wave: chi_square_contingency's 1-row grand-total
     # broadcast-crossJoined onto the contingency cells — the quantile-
-    # gate precedent
-    "stat_audit_suite",
+    # gate precedent (the sa: leg of the r13 stats_family_suite fold)
+    "stats_family_suite",
     # r11: unicode_token_suite's dedup leg crossJoins two 1-row pair
     # counters (segmented vs raw) — the quantile-gate precedent
     "unicode_token_suite",
@@ -191,9 +191,9 @@ def test_catalog_driver_window_is_exactly_fifty(plans):
         "pmi_collocations", "decontam_embedding_recall",
         "score_bucket_suite", "unimax_suite", "phonetic_soundex_suite",
         "jaro_linkage_suite", "markov_transitions",
-        "anomaly_zscore_suite", "trend_forecast_suite",
-        "quantile_norm_suite", "cusum_shift_suite",
-        "robust_scale_suite", "stat_audit_suite",
+        # r13: the six stats/time-series singles folded into
+        # stats_family_suite (one slot, promoted below)
+        "stats_family_suite",
         "geo_cluster_suite", "compression_quality_suite",
         # r12: quality-aware survivor selection (keep_best_per_cluster)
         "quality_survivor_suite",
