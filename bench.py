@@ -1286,7 +1286,17 @@ def _raw_ops():
         similarity_knn_bruteforce,
     )
 
+    # r13: these two catalog slots folded into profile_agg_suite /
+    # window_family_suite; same precedent — bench the raw builders so the
+    # frozen r1 per-query baselines stay comparable.
+    from kafka_streams_task_spark.catalog.relational import (
+        stats_suite_by_flag,
+        window_rank_running_suite,
+    )
+
     return {
+        "stats_suite_by_flag": stats_suite_by_flag,
+        "window_rank_running_suite": window_rank_running_suite,
         "q6_revenue_forecast": q6_revenue_df,  # r2: registered as q6_q19_filter_aggregates
         # r11: the TPC-H singles folded into tpch_qsuite; benching the
         # raw functions keeps the frozen r1 per-query baselines comparable

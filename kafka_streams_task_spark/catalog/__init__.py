@@ -40,6 +40,15 @@ from . import extensions  # noqa: E402,F401
 # more slots for script_mix_suite (RE2 re-derives every script count;
 # r12 kanji-contract leg) and containment_pairs_suite (DuckDB
 # re-derives the full pair table AND the r12 drop-rule survivor sets).
+# r13 (VERDICT r12 item 1): four more window folds freed 6 slots —
+# stats_suite_by_flag + approx_aggregates + data_profile_columns →
+# profile_agg_suite; window_rank_running + window_analytics →
+# window_family_suite; salted_agg + range_band_join + array_funcs →
+# relational_misc_suite; dedup_crosscorpus_linkage → llm_dedup_join_suite
+# 'xlink' leg. Promoted in: the six-single stats fold plus the five
+# strongest-oracle extensions (quality_survivor: DuckDB md5-window
+# cluster re-derivation; heavy_hitter: DuckDB exhaustive top-k;
+# compression_quality, decontam_embedding_recall, dsir_importance).
 _PROMOTED = [
     "kn_lm_perplexity",
     "classifier_eval_suite",
@@ -52,6 +61,12 @@ _PROMOTED = [
     "temporal_join_suite",
     "script_mix_suite",
     "containment_pairs_suite",
+    "stats_family_suite",
+    "quality_survivor_suite",
+    "heavy_hitter_suite",
+    "compression_quality_suite",
+    "decontam_embedding_recall",
+    "dsir_importance",
 ]
 
 _names = list(CATALOG)

@@ -537,9 +537,9 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drop_exact_duplicates(d).select("doc_id", "lang", "source")
 
 
-@query(
-    "approx_aggregates",
-    oracle="""
+# r13: driver slot folded into profile_agg_suite (catalog/relational.py);
+# the builder stays importable and its oracle rides the folded suite.
+_APPROX_AGG_ORACLE = """
     SELECT l_returnflag,
            count(DISTINCT l_partkey) AS n_parts_exact,
            round((quantile_cont(l_extendedprice, 0.5)) + 1e-07, 4) AS med_price_exact,
@@ -547,8 +547,9 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(1 AS INT) AS approx_median_ok
     FROM lineitem
     GROUP BY l_returnflag
-    """,
-)
+    """
+
+
 def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB approximate toolkit — HyperLogLog++ distinct counts and
     quantile sketches — gated against the exact aggregates computed in the

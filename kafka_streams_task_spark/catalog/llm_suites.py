@@ -1750,6 +1750,44 @@ def _myers_editdist_ctes(max_k: int = 3, prefix_len: int = 12) -> str:
     )"""
 
 
+# r13: driver slot folded into llm_dedup_join_suite's 'xlink' leg; the
+# builder stays importable and its oracle rides that suite.
+_XCORPUS_LINKAGE_ORACLE = f"""
+    WITH jt AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               CASE WHEN len(t) >= 3
+                    THEN list_transform(range(1, len(t) - 1),
+                                        i -> array_to_string(t[i:i+2], ' '))
+                    ELSE [array_to_string(t, ' ')] END AS gs
+        FROM (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN ['']
+                      ELSE string_split_regex(trim(text), '[ \\t\\n\\r\\f]+') END AS t
+          FROM documents
+        )
+      ), unnest(gs) AS u(sh)
+    ),
+    jl AS (SELECT * FROM jt WHERE doc_id % 2 = 0),
+    jr AS (SELECT * FROM jt WHERE doc_id % 2 = 1),
+    szl AS (SELECT doc_id, count(*) AS s FROM jl GROUP BY doc_id),
+    szr AS (SELECT doc_id, count(*) AS s FROM jr GROUP BY doc_id),
+    jint AS (
+      SELECT l.doc_id AS id_left, r.doc_id AS id_right, count(*) AS inter
+      FROM jl l JOIN jr r ON l.sh = r.sh
+      GROUP BY l.doc_id, r.doc_id
+    )
+    SELECT CAST(id_left AS BIGINT) AS id_left, CAST(id_right AS BIGINT) AS id_right,
+           CAST(jm AS BIGINT) AS jaccard_micro
+    FROM (
+      SELECT id_left, id_right,
+             {sql_fmicro("inter / CAST(sl.s + sr.s - inter AS DOUBLE)")} AS jm
+      FROM jint JOIN szl sl ON sl.doc_id = jint.id_left
+                JOIN szr sr ON sr.doc_id = jint.id_right
+    ) WHERE jm >= 500000
+    """
+
+
 @query(
     "llm_dedup_join_suite",
     oracle=f"""
@@ -1816,6 +1854,11 @@ def _myers_editdist_ctes(max_k: int = 3, prefix_len: int = 12) -> str:
     SELECT CAST('editdist' AS VARCHAR), CAST(p.ia AS BIGINT), CAST(p.ib AS VARCHAR),
            CAST(p.d AS BIGINT), CAST(NULL AS BIGINT)
     FROM edd p WHERE p.d <= 3
+    UNION ALL
+    SELECT CAST('xlink' AS VARCHAR), CAST(x.id_left AS BIGINT),
+           CAST(x.id_right AS VARCHAR), CAST(x.jaccard_micro AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM ({_XCORPUS_LINKAGE_ORACLE}) x
     UNION ALL
     {canary_sql(_SUITE_COLS)}
     """,
@@ -1970,6 +2013,17 @@ def llm_dedup_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("i2"),
     )
 
+    # r13 fold: cross-corpus linkage (even half vs odd half, exact
+    # prefix-filtered Jaccard join at threshold 0.5) rides as a leg —
+    # the oracle's full brute-force R x S pair set is unchanged.
+    xlink_leg = dedup_crosscorpus_linkage(spark, sf_dir).select(
+        F.lit("xlink").alias("leg"),
+        F.col("id_left").cast("long").alias("key"),
+        F.col("id_right").cast("string").alias("s1"),
+        F.col("jaccard_micro").cast("long").alias("i1"),
+        F.lit(None).cast("long").alias("i2"),
+    )
+
     return (
         decontam_leg.unionByName(bloomdtm_leg)
         .unionByName(boiler_leg)
@@ -1977,6 +2031,7 @@ def llm_dedup_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(semdedup_leg)
         .unionByName(jac_leg)
         .unionByName(editdist_leg)
+        .unionByName(xlink_leg)
         .unionByName(canary_df(spark, _SUITE_COLS))
     )
 
@@ -2326,43 +2381,8 @@ def similarity_knn_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "dedup_crosscorpus_linkage",
-    oracle=f"""
-    WITH jt AS (
-      SELECT DISTINCT doc_id, sh FROM (
-        SELECT doc_id,
-               CASE WHEN len(t) >= 3
-                    THEN list_transform(range(1, len(t) - 1),
-                                        i -> array_to_string(t[i:i+2], ' '))
-                    ELSE [array_to_string(t, ' ')] END AS gs
-        FROM (
-          SELECT doc_id,
-                 CASE WHEN trim(text) = '' THEN ['']
-                      ELSE string_split_regex(trim(text), '[ \\t\\n\\r\\f]+') END AS t
-          FROM documents
-        )
-      ), unnest(gs) AS u(sh)
-    ),
-    jl AS (SELECT * FROM jt WHERE doc_id % 2 = 0),
-    jr AS (SELECT * FROM jt WHERE doc_id % 2 = 1),
-    szl AS (SELECT doc_id, count(*) AS s FROM jl GROUP BY doc_id),
-    szr AS (SELECT doc_id, count(*) AS s FROM jr GROUP BY doc_id),
-    jint AS (
-      SELECT l.doc_id AS id_left, r.doc_id AS id_right, count(*) AS inter
-      FROM jl l JOIN jr r ON l.sh = r.sh
-      GROUP BY l.doc_id, r.doc_id
-    )
-    SELECT CAST(id_left AS BIGINT) AS id_left, CAST(id_right AS BIGINT) AS id_right,
-           CAST(jm AS BIGINT) AS jaccard_micro
-    FROM (
-      SELECT id_left, id_right,
-             {sql_fmicro("inter / CAST(sl.s + sr.s - inter AS DOUBLE)")} AS jm
-      FROM jint JOIN szl sl ON sl.doc_id = jint.id_left
-                JOIN szr sr ON sr.doc_id = jint.id_right
-    ) WHERE jm >= 500000
-    """,
-)
+
+
 def dedup_crosscorpus_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus record linkage (jaccard_join_tables, the R x S form
     of the exact prefix-filtered Jaccard join — promoted from
@@ -2388,9 +2408,9 @@ def dedup_crosscorpus_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "data_profile_columns",
-    oracle="""
+# r13: driver slot folded into profile_agg_suite (catalog/relational.py);
+# the builder stays importable and its oracle rides the folded suite.
+_PROFILE_COLS_ORACLE = """
     SELECT CAST('event_id' AS VARCHAR) AS col_name,
            CAST((SELECT count(*) FROM events) AS BIGINT) AS n_rows,
            CAST((SELECT count(*) FROM events WHERE event_id IS NULL) AS BIGINT) AS n_nulls,
@@ -2411,8 +2431,9 @@ def dedup_crosscorpus_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((SELECT min(event_type) FROM events) AS VARCHAR),
            CAST((SELECT max(event_type) FROM events) AS VARCHAR),
            CAST(1 AS BIGINT)
-    """,
-)
+    """
+
+
 def data_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """profile_columns promoted from pytest-only proof to a driver gate
     (VERDICT r5 item 6): the ONE-aggregate-pass per-column profile

@@ -30,7 +30,9 @@ BNLJ_ALLOWED = {
     "llm_text_model_suite",
     "llm_retrieval_suite",
     "similarity_knn_suite",
-    "range_band_join",
+    # r13 fold: the range-band inequality join's BNLJ now lives inside
+    # relational_misc_suite's 'band' leg
+    "relational_misc_suite",
     # r11 fold: regex_scalar_customer's scalar-subquery crossJoin and
     # q6_q19's 1x1-row crossJoin now live inside the two folded suites
     "tpch_qsuite",
@@ -141,25 +143,34 @@ DRIVER_WINDOW = [
     # r12 fold: the three 1-row recall gates (driver-green r1-r11) became
     # one canary-protected suite, freeing 2 slots
     "dedup_recall_suite", "text_bpe_token_counts",
-    "approx_aggregates", "dedup_clusters_cc", "sample_pack_pipeline",
+    "dedup_clusters_cc", "sample_pack_pipeline",
     "llm_graph_layout_suite", "llm_cdc_analytics_suite",
+    # r13: llm_dedup_join_suite gained the 'xlink' leg
+    # (dedup_crosscorpus_linkage folded in)
     "llm_text_model_suite", "llm_retrieval_suite", "llm_dedup_join_suite",
     "text_id_fingerprint_suite", "dedup_exact_family_suite",
-    "multimodal_suite", "similarity_knn_suite", "dedup_crosscorpus_linkage",
-    "data_profile_columns", "q1_pricing_summary", "stats_suite_by_flag",
+    "multimodal_suite", "similarity_knn_suite",
+    "q1_pricing_summary",
     # r12 second fold wave: semi_anti_customers + left_join_order_counts
     # -> join_flavors_suite; pivot_event_type_counts +
     # unpivot_order_metrics -> reshape_suite (all four driver-green
     # r1-r11; raw fns stay importable)
     "grouping_multi_suite", "join_flavors_suite",
-    "setop_suite", "window_rank_running_suite",
-    "range_band_join", "reshape_suite", "array_funcs_tokens",
-    "salted_agg_by_nation",
-    "window_analytics_suite", "scalar_semantics_suite",
+    "setop_suite", "reshape_suite",
+    "scalar_semantics_suite",
     # r11 fold: the 9 relational singles (q3/q5/q12/q18/q6q19 + strfn/
     # split/json/regex, driver-green r1-r10) became two canary-protected
     # suites...
     "tpch_qsuite", "scalar_regex_suite",
+    # r13 umbrella folds (VERDICT r12 item 1): eight window singles
+    # (all driver-green r1-r12; raw fns stay importable) compressed
+    # into three suites, freeing 6 window slots —
+    # stats_suite_by_flag + approx_aggregates + data_profile_columns:
+    "profile_agg_suite",
+    # window_rank_running_suite + window_analytics_suite:
+    "window_family_suite",
+    # salted_agg_by_nation + range_band_join + array_funcs_tokens:
+    "relational_misc_suite",
     # ...freeing 7 slots for the promoted r10 extensions (catalog/
     # __init__.py _PROMOTED):
     "kn_lm_perplexity", "classifier_eval_suite", "retrieval_eval_suite",
@@ -172,6 +183,11 @@ DRIVER_WINDOW = [
     # r12 second wave: the two folds above freed 2 more slots for the
     # RE2 script-count gate and the containment pair+drop gate
     "script_mix_suite", "containment_pairs_suite",
+    # r13 promotions (VERDICT r12 item 1): the stats fold + the five
+    # strongest-oracle extensions enter the driver gate
+    "stats_family_suite", "quality_survivor_suite", "heavy_hitter_suite",
+    "compression_quality_suite", "decontam_embedding_recall",
+    "dsir_importance",
 ]
 
 
@@ -186,19 +202,12 @@ def test_catalog_driver_window_is_exactly_fifty(plans):
     names = list(CATALOG)
     assert names[:50] == DRIVER_WINDOW
     assert names[50:] == [
-        "dsir_importance", "crawl_extract_suite",
+        "crawl_extract_suite",
         "video_phash_dedup", "audio_fp_dedup", "corpus_drift_suite",
-        "pmi_collocations", "decontam_embedding_recall",
+        "pmi_collocations",
         "score_bucket_suite", "unimax_suite", "phonetic_soundex_suite",
         "jaro_linkage_suite", "markov_transitions",
-        # r13: the six stats/time-series singles folded into
-        # stats_family_suite (one slot, promoted below)
-        "stats_family_suite",
-        "geo_cluster_suite", "compression_quality_suite",
-        # r12: quality-aware survivor selection (keep_best_per_cluster)
-        "quality_survivor_suite",
-        # r12: Misra-Gries heavy-hitter top-k (operators/sketch.py)
-        "heavy_hitter_suite",
+        "geo_cluster_suite",
     ]
 
 
