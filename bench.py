@@ -215,6 +215,9 @@ OPS_SECTION = [
     # r12: Misra-Gries candidates (one Arrow stage, O(capacity) state,
     # no shuffle) + candidate-bounded exact recount top-20
     "heavy_hitter_topk",
+    # r13: count-min sketch build (bounded depth x width key domain)
+    # + broadcast probe lookup over documents
+    "cms_freq",
 ]
 
 #: frozen first-measurements for the ops section (set r8, steady-state
@@ -255,6 +258,10 @@ OPS_BASELINE_SEC = {
     # r12: MG candidates + candidate-bounded exact recount top-20;
     # min-of-3 [1.235, 0.801, 0.798] at calib 2.18 (fast host)
     "heavy_hitter_topk": 0.80,
+    # r13 first measurement: depth-4 x width-4096 CMS build +
+    # distinct-probe broadcast lookup; min-of-3 [2.817, 0.876, 0.817]
+    # same-host steady state (receipts in BENCH_BASELINE_r1.md)
+    "cms_freq": 0.82,
     # r8 third wave: post-model-pin steady state (pre-pin measured 4.2 —
     # the bucket-count aggs re-executed for every downstream consumer);
     # r11 re-freeze, same A/B receipt as bloom_decontaminate: r9 checkout
@@ -1033,6 +1040,28 @@ def _ops_workloads():
             load_table(s, d, "documents"), k=20, capacity=4096
         )
 
+    def _cms_freq(s, d):
+        # r13: full-corpus CMS (constant depth x width key domain) +
+        # estimates for the doc_id % 97 probe tokens
+        from kafka_streams_task_spark.operators.sketch import (
+            cms_estimate,
+            count_min_table,
+        )
+
+        docs = load_table(s, d, "documents")
+        cms = count_min_table(docs, depth=4, width=4096)
+        probes = (
+            docs.filter(F.col("doc_id") % 97 == 0)
+            .select(
+                F.explode(
+                    F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")
+                ).alias("token")
+            )
+            .filter(F.col("token") != "")
+            .distinct()
+        )
+        return cms_estimate(cms, probes)
+
     def _asof_nearest(s, d):
         # r12: the nearest-direction as-of join — one shuffle, one sort,
         # two window channels over purchases x deduped clicks
@@ -1172,6 +1201,7 @@ def _ops_workloads():
         "quality_survivors": _quality_survivors,
         "asof_nearest": _asof_nearest,
         "heavy_hitter_topk": _heavy_hitter_topk,
+        "cms_freq": _cms_freq,
     }
 
 
@@ -1286,9 +1316,10 @@ def _raw_ops():
         similarity_knn_bruteforce,
     )
 
-    # r13: these two catalog slots folded into profile_agg_suite /
-    # window_family_suite; same precedent — bench the raw builders so the
-    # frozen r1 per-query baselines stay comparable.
+    # r13: these catalog slots folded into profile_agg_suite /
+    # window_family_suite / text_profile_suite; same precedent — bench the
+    # raw builders so the frozen r1 per-query baselines stay comparable.
+    from kafka_streams_task_spark.catalog.llm import text_token_stats
     from kafka_streams_task_spark.catalog.relational import (
         stats_suite_by_flag,
         window_rank_running_suite,
@@ -1297,6 +1328,7 @@ def _raw_ops():
     return {
         "stats_suite_by_flag": stats_suite_by_flag,
         "window_rank_running_suite": window_rank_running_suite,
+        "text_token_stats": text_token_stats,
         "q6_revenue_forecast": q6_revenue_df,  # r2: registered as q6_q19_filter_aggregates
         # r11: the TPC-H singles folded into tpch_qsuite; benching the
         # raw functions keeps the frozen r1 per-query baselines comparable

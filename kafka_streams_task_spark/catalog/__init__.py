@@ -50,11 +50,15 @@ from . import extensions  # noqa: E402,F401
 # cluster re-derivation; heavy_hitter: DuckDB exhaustive top-k;
 # compression_quality, decontam_embedding_recall, dsir_importance).
 _PROMOTED = [
-    "kn_lm_perplexity",
-    "classifier_eval_suite",
-    "retrieval_eval_suite",
-    "image_phash_dedup",
-    "geo_radius_pairs",
+    # r13 wave 2: kn_lm_perplexity + classifier_eval_suite +
+    # retrieval_eval_suite folded into one model-evaluation slot
+    "model_eval_suite",
+    # r13 wave 2: image_phash_dedup folded into perceptual_dedup_suite
+    # (one slot now covers image + video + audio perceptual dedup)
+    "perceptual_dedup_suite",
+    # r13 wave 2: geo_radius_pairs folded into geo_suite (+ density
+    # clustering, formerly the geo_cluster_suite extension)
+    "geo_suite",
     "privacy_kanon_suite",
     "timeseries_gapfill_suite",
     "unicode_token_suite",
@@ -67,6 +71,17 @@ _PROMOTED = [
     "compression_quality_suite",
     "decontam_embedding_recall",
     "dsir_importance",
+    # r13 wave 2: the remaining extensions fold into thematic umbrellas
+    # and ALL promote — every catalog capability now sits under the
+    # official driver gate (nothing registers past the window anymore).
+    "linkage_suite",
+    "mixing_policy_suite",
+    "corpus_stats_suite",
+    "crawl_extract_suite",
+    # r13: NEW capability in the one spare window slot — count-min
+    # point-frequency sketch (the MG top-k's companion), whose oracle
+    # re-derives the ENTIRE counter table via the portable md5 idiom.
+    "cms_freq_suite",
 ]
 
 _names = list(CATALOG)

@@ -586,7 +586,8 @@ def _image_hash_oracle() -> str:
 """
 
 
-@query("image_phash_dedup", oracle=_image_hash_oracle())
+# r13 wave 2: driver slot folded into perceptual_dedup_suite; builder
+# stays importable (bench.py raw workload), oracle rides the fold.
 def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image near-dedup end to end (operators/image_hash.py):
     'ph'/'dh' run the REAL one-Arrow-stage hash over 60 documents
@@ -710,7 +711,8 @@ def _video_hash_oracle() -> str:
 """
 
 
-@query("video_phash_dedup", oracle=_video_hash_oracle())
+# r13 wave 2: driver slot folded into perceptual_dedup_suite; builder
+# stays importable (bench.py raw workload), oracle rides the fold.
 def video_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-dedup end to end (operators/image_hash.py): 'vh' runs
     the REAL fused sample+hash Arrow stage over 30 documents carrying
@@ -832,7 +834,8 @@ def _audio_fp_oracle() -> str:
 """
 
 
-@query("audio_fp_dedup", oracle=_audio_fp_oracle())
+# r13 wave 2: driver slot folded into perceptual_dedup_suite; builder
+# stays importable (bench.py raw workload), oracle rides the fold.
 def audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-dedup end to end (operators/audio_fp.py): 'afp' runs
     the REAL fused decode+window+FFT+band sub-fingerprint stage over 60
@@ -957,7 +960,8 @@ _KN_ORACLE = f"""
 """
 
 
-@query("kn_lm_perplexity", oracle=_KN_ORACLE)
+# r13 wave 2: driver slot folded into model_eval_suite; builder stays
+# importable, oracle rides the fold.
 def kn_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram LM (operators/kn_lm.py), the
     CCNet-style perplexity filter: fit on the 'src1' documents (the
@@ -1046,7 +1050,8 @@ _EVAL_ORACLE = f"""
 """
 
 
-@query("classifier_eval_suite", oracle=_EVAL_ORACLE)
+# r13 wave 2: driver slot folded into model_eval_suite; builder stays
+# importable, oracle rides the fold.
 def classifier_eval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier evaluation (operators/evaluation.py) over a
     deterministic synthetic scoring: score = (n_chars % 97)/97.0 (97
@@ -1177,7 +1182,8 @@ _DRIFT_ORACLE = f"""
 """
 
 
-@query("corpus_drift_suite", oracle=_DRIFT_ORACLE)
+# r13 wave 2: driver slot folded into a thematic umbrella suite;
+# builder stays importable, oracle rides the fold.
 def corpus_drift_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus drift (operators/drift.py) between two synthetic versions
     of the documents table (even doc_ids = old, odd = new): 'vocab'
@@ -1305,7 +1311,8 @@ _REVAL_ORACLE = f"""
 """
 
 
-@query("retrieval_eval_suite", oracle=_REVAL_ORACLE)
+# r13 wave 2: driver slot folded into model_eval_suite; builder stays
+# importable, oracle rides the fold.
 def retrieval_eval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranked-retrieval evaluation (operators/retrieval_eval.py) over a
     deterministic synthetic benchmark on the documents table: 20
@@ -1414,7 +1421,8 @@ _PMI_ORACLE = f"""
 """
 
 
-@query("pmi_collocations", oracle=_PMI_ORACLE)
+# r13 wave 2: driver slot folded into a thematic umbrella suite;
+# builder stays importable, oracle rides the fold.
 def pmi_collocations_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI collocation mining (operators/collocations.py) over the
     documents corpus: lowercased whitespace bigrams with count >=
@@ -1524,7 +1532,8 @@ _SBK_ORACLE = f"""
 """
 
 
-@query("score_bucket_suite", oracle=_SBK_ORACLE)
+# r13 wave 2: driver slot folded into a thematic umbrella suite;
+# builder stays importable, oracle rides the fold.
 def score_bucket_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style per-language score bucketing
     (operators/sampling.py: score_buckets_by_group) over a
@@ -1630,7 +1639,8 @@ _UMX_ORACLE = f"""
 """
 
 
-@query("unimax_suite", oracle=_UMX_ORACLE)
+# r13 wave 2: driver slot folded into a thematic umbrella suite;
+# builder stays importable, oracle rides the fold.
 def unimax_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UniMax budget allocation (operators/sampling.py:
     unimax_allocation, Chung et al. 2023) over the documents corpus
@@ -2074,7 +2084,8 @@ _GEO_ORACLE = f"""
 """
 
 
-@query("geo_radius_pairs", oracle=_GEO_ORACLE)
+# r13 wave 2: driver slot folded into geo_suite; builder stays
+# importable, oracle rides the fold.
 def geo_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-blocked spatial radius join (operators/spatial.py:
     radius_self_join) over md5-scattered synthetic coordinates keyed by
@@ -2212,7 +2223,8 @@ def _sdx_oracle() -> str:
     """
 
 
-@query("phonetic_soundex_suite", oracle=_sdx_oracle())
+# r13 wave 2: driver slot folded into a thematic umbrella suite;
+# builder stays importable, oracle rides the fold.
 def phonetic_soundex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Soundex phonetic blocking (functions/phonetic.py) over the
     distinct words of part.p_name (TPC-H color vocabulary — real
@@ -2351,7 +2363,8 @@ def _jw_oracle() -> str:
     """
 
 
-@query("jaro_linkage_suite", oracle=_jw_oracle())
+# r13 wave 2: driver slot folded into a thematic umbrella suite;
+# builder stays importable, oracle rides the fold.
 def jaro_linkage_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jaro-Winkler verify tier (operators/linkage.py) cross-validated
     against DuckDB's INDEPENDENT native jaro_winkler_similarity — two
@@ -2460,7 +2473,8 @@ _MKV_ORACLE = f"""
 """
 
 
-@query("markov_transitions", oracle=_MKV_ORACLE)
+# r13 wave 2: driver slot folded into a thematic umbrella suite;
+# builder stays importable, oracle rides the fold.
 def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition table (operators/funnel.py:
     event_transitions) over per-user event journeys ordered by
@@ -3242,6 +3256,299 @@ def stat_audit_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+
+
+# ---------------------------------------------------------------------------
+# r13 wave 2: ONE record-linkage driver slot — phonetic blocking and
+# Jaro-Winkler verification ride as tagged legs of the shared
+# (leg, k, v, i1) shape; both single oracles are wrapped unchanged.
+# ---------------------------------------------------------------------------
+
+
+def _linkage_oracle() -> str:
+    return f"""
+    SELECT 'sdx:' || leg AS leg, CAST(k AS VARCHAR) AS k,
+           CAST(v AS VARCHAR) AS v, CAST(i1 AS BIGINT) AS i1
+    FROM ({_sdx_oracle()})
+    UNION ALL
+    SELECT 'jw:' || leg, CAST(k AS VARCHAR), CAST(v AS VARCHAR),
+           CAST(i1 AS BIGINT)
+    FROM ({_jw_oracle()})
+    """
+
+
+@query("linkage_suite", oracle=_linkage_oracle())
+def linkage_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage legs in one driver slot (r13 fold):
+
+    'sdx:*' — phonetic_soundex_suite: Soundex phonetic blocking keys
+              and block histograms (pure codegen);
+    'jw:*'  — jaro_linkage_suite: Jaro-Winkler golden vectors, planted
+              linkage pairs, and the candidate-block verify stage (the
+              documented Arrow seam).
+
+    Each single's full output (canaries included) rides unchanged
+    under a tag prefix; scale shapes per-single docstrings above."""
+    def _tag(df, tag):
+        return df.select(
+            F.concat(F.lit(tag + ":"), F.col("leg")).alias("leg"),
+            F.col("k").cast("string").alias("k"),
+            F.col("v").cast("string").alias("v"),
+            F.col("i1").cast("long").alias("i1"),
+        )
+
+    return _tag(phonetic_soundex_suite(spark, sf_dir), "sdx").unionByName(
+        _tag(jaro_linkage_suite(spark, sf_dir), "jw")
+    )
+
+
+# ---------------------------------------------------------------------------
+# r13 wave 2: ONE sampling-policy driver slot — CCNet quality bands and
+# UniMax waterfilling ride as tagged legs of a (leg, lang, i1..i4)
+# superset; both single oracles are wrapped unchanged.
+# ---------------------------------------------------------------------------
+
+
+def _mixing_policy_oracle() -> str:
+    return f"""
+    SELECT 'sbk:' || leg AS leg, CAST(lang AS VARCHAR) AS lang,
+           CAST(k AS BIGINT) AS i1, CAST(v AS BIGINT) AS i2,
+           CAST(NULL AS BIGINT) AS i3, CAST(NULL AS BIGINT) AS i4
+    FROM ({_SBK_ORACLE})
+    UNION ALL
+    SELECT 'umx:' || leg, CAST(lang AS VARCHAR), CAST(n_tokens AS BIGINT),
+           CAST(cap AS BIGINT), CAST(alloc AS BIGINT), CAST(epochs AS BIGINT)
+    FROM ({_UMX_ORACLE})
+    """
+
+
+@query("mixing_policy_suite", oracle=_mixing_policy_oracle())
+def mixing_policy_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixing policy legs in one driver slot (r13 fold):
+
+    'sbk:*' — score_bucket_suite: CCNet-style per-group quality bands
+              (distinct-score table + per-group windows + assignment);
+    'umx:*' — unimax_suite: UniMax waterfilling allocation (corpus count
+              agg + group-cardinality closed form + 1-row water level).
+
+    Each single's full output (canaries included) rides unchanged under
+    a tag prefix; scale shapes per-single docstrings above."""
+    nul = F.lit(None).cast("long")
+    sbk = score_bucket_suite(spark, sf_dir).select(
+        F.concat(F.lit("sbk:"), F.col("leg")).alias("leg"),
+        F.col("lang").cast("string").alias("lang"),
+        F.col("k").cast("long").alias("i1"),
+        F.col("v").cast("long").alias("i2"),
+        nul.alias("i3"),
+        nul.alias("i4"),
+    )
+    umx = unimax_suite(spark, sf_dir).select(
+        F.concat(F.lit("umx:"), F.col("leg")).alias("leg"),
+        F.col("lang").cast("string").alias("lang"),
+        F.col("n_tokens").cast("long").alias("i1"),
+        F.col("cap").cast("long").alias("i2"),
+        F.col("alloc").cast("long").alias("i3"),
+        F.col("epochs").cast("long").alias("i4"),
+    )
+    return sbk.unionByName(umx)
+
+
+# ---------------------------------------------------------------------------
+# r13 wave 2: ONE corpus-statistics driver slot — JS-divergence drift,
+# PMI/NPMI collocations, and Markov journey transitions ride as tagged
+# legs of a (leg, k, v, i1..i5) superset; all three single oracles are
+# wrapped unchanged.
+# ---------------------------------------------------------------------------
+
+
+def _corpus_stats_oracle() -> str:
+    return f"""
+    SELECT 'drift:' || leg AS leg, CAST(grp AS VARCHAR) AS k,
+           CAST(NULL AS VARCHAR) AS v,
+           CAST(i1 AS BIGINT) AS i1, CAST(i2 AS BIGINT) AS i2,
+           CAST(i3 AS BIGINT) AS i3, CAST(i4 AS BIGINT) AS i4,
+           CAST(NULL AS BIGINT) AS i5
+    FROM ({_DRIFT_ORACLE})
+    UNION ALL
+    SELECT CAST('pmi' AS VARCHAR), CAST(w1 AS VARCHAR), CAST(w2 AS VARCHAR),
+           CAST(c_xy AS BIGINT), CAST(c_x AS BIGINT), CAST(c_y AS BIGINT),
+           CAST(pm AS BIGINT), CAST(np AS BIGINT)
+    FROM ({_PMI_ORACLE})
+    UNION ALL
+    SELECT 'mkv:' || leg, CAST(k AS VARCHAR), CAST(v AS VARCHAR),
+           CAST(i1 AS BIGINT), CAST(i2 AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM ({_MKV_ORACLE})
+    """
+
+
+@query("corpus_stats_suite", oracle=_corpus_stats_oracle())
+def corpus_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics legs in one driver slot (r13 fold):
+
+    'drift:*' — corpus_drift_suite: JS-divergence vocabulary drift +
+                per-source mix shift between two corpus versions;
+    'pmi'     — pmi_collocations: PMI/NPMI bigram collocations
+                (two count aggs + vocabulary-bounded joins + top-k);
+    'mkv:*'   — markov_transitions: per-user journey transition
+                matrix with Laplace-smoothed probabilities.
+
+    Each single's full output (canaries included) rides unchanged under
+    a tag prefix; scale shapes per-single docstrings above."""
+    nul = F.lit(None).cast("long")
+    nus = F.lit(None).cast("string")
+    drift = corpus_drift_suite(spark, sf_dir).select(
+        F.concat(F.lit("drift:"), F.col("leg")).alias("leg"),
+        F.col("grp").cast("string").alias("k"),
+        nus.alias("v"),
+        *[F.col(f"i{j}").cast("long").alias(f"i{j}") for j in (1, 2, 3, 4)],
+        nul.alias("i5"),
+    )
+    pmi = pmi_collocations_entry(spark, sf_dir).select(
+        F.lit("pmi").alias("leg"),
+        F.col("w1").cast("string").alias("k"),
+        F.col("w2").cast("string").alias("v"),
+        F.col("c_xy").cast("long").alias("i1"),
+        F.col("c_x").cast("long").alias("i2"),
+        F.col("c_y").cast("long").alias("i3"),
+        F.col("pm").cast("long").alias("i4"),
+        F.col("np").cast("long").alias("i5"),
+    )
+    mkv = markov_transitions(spark, sf_dir).select(
+        F.concat(F.lit("mkv:"), F.col("leg")).alias("leg"),
+        F.col("k").cast("string").alias("k"),
+        F.col("v").cast("string").alias("v"),
+        F.col("i1").cast("long").alias("i1"),
+        F.col("i2").cast("long").alias("i2"),
+        nul.alias("i3"),
+        nul.alias("i4"),
+        nul.alias("i5"),
+    )
+    return drift.unionByName(pmi).unionByName(mkv)
+
+
+# ---------------------------------------------------------------------------
+# r13 wave 2: ONE model-evaluation driver slot — the KN-LM perplexity
+# scorer, the rank-based classifier metrics, and the retrieval metrics
+# ride as tagged legs of a (leg, k, i1..i6) superset; all three single
+# oracles are wrapped unchanged.
+# ---------------------------------------------------------------------------
+
+
+def _model_eval_oracle() -> str:
+    n4 = ", ".join(f"CAST(NULL AS BIGINT) AS i{j}" for j in (4, 5, 6))
+    return f"""
+    SELECT CAST('kn' AS VARCHAR) AS leg, CAST(doc_id AS BIGINT) AS k,
+           CAST(n_tokens AS BIGINT) AS i1, CAST(nll AS BIGINT) AS i2,
+           CAST(disc AS BIGINT) AS i3, {n4}
+    FROM ({_KN_ORACLE})
+    UNION ALL
+    SELECT 'cls:' || leg, CAST(k AS BIGINT), CAST(i1 AS BIGINT),
+           CAST(i2 AS BIGINT), CAST(i3 AS BIGINT), CAST(i4 AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    FROM ({_EVAL_ORACLE})
+    UNION ALL
+    SELECT 'ret:' || leg, CAST(q AS BIGINT), CAST(i1 AS BIGINT),
+           CAST(i2 AS BIGINT), CAST(i3 AS BIGINT), CAST(i4 AS BIGINT),
+           CAST(i5 AS BIGINT), CAST(i6 AS BIGINT)
+    FROM ({_REVAL_ORACLE})
+    """
+
+
+@query("model_eval_suite", oracle=_model_eval_oracle())
+def model_eval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-evaluation legs in one driver slot (r13 fold):
+
+    'kn'    — kn_lm_perplexity: interpolated Kneser-Ney bigram LM fit on
+              the src1 split, per-document NLL in integer micro-units;
+    'cls:*' — classifier_eval_suite: AUC/AP/KS + confusion sweep +
+              calibration via the distributed distinct-score prefix sum;
+    'ret:*' — retrieval_eval_suite: NDCG/MAP/MRR per query over the
+              (query, doc) join with per-query rank windows.
+
+    Each single's full output (canaries included) rides unchanged under
+    a tag prefix; scale shapes are per-single docstrings above."""
+    nul = F.lit(None).cast("long")
+    kn = kn_lm_perplexity(spark, sf_dir).select(
+        F.lit("kn").alias("leg"),
+        F.col("doc_id").cast("long").alias("k"),
+        F.col("n_tokens").cast("long").alias("i1"),
+        F.col("nll").cast("long").alias("i2"),
+        F.col("disc").cast("long").alias("i3"),
+        nul.alias("i4"), nul.alias("i5"), nul.alias("i6"),
+    )
+    cls = classifier_eval_suite(spark, sf_dir).select(
+        F.concat(F.lit("cls:"), F.col("leg")).alias("leg"),
+        F.col("k").cast("long").alias("k"),
+        *[F.col(f"i{j}").cast("long").alias(f"i{j}") for j in (1, 2, 3, 4)],
+        nul.alias("i5"), nul.alias("i6"),
+    )
+    ret = retrieval_eval_suite(spark, sf_dir).select(
+        F.concat(F.lit("ret:"), F.col("leg")).alias("leg"),
+        F.col("q").cast("long").alias("k"),
+        *[F.col(f"i{j}").cast("long").alias(f"i{j}") for j in (1, 2, 3, 4, 5, 6)],
+    )
+    return kn.unionByName(cls).unionByName(ret)
+
+
+# ---------------------------------------------------------------------------
+# r13 wave 2: ONE perceptual-dedup driver slot for all three modalities —
+# image pHash/dHash, video frame-sample pHash chains, audio spectral
+# sub-fingerprints. Each single rides UNCHANGED as a tag-prefixed leg
+# (identical (leg,key,i1,i2,i3) shapes); the oracle wraps the three
+# UNCHANGED single oracles in the same projection.
+# ---------------------------------------------------------------------------
+
+
+def _perceptual_oracle() -> str:
+    parts = []
+    for tag, inner in [
+        ("img", _image_hash_oracle()),
+        ("vid", _video_hash_oracle()),
+        ("aud", _audio_fp_oracle()),
+    ]:
+        parts.append(
+            f"SELECT '{tag}:' || leg AS leg, CAST(key AS BIGINT) AS key, "
+            f"CAST(i1 AS BIGINT) AS i1, CAST(i2 AS BIGINT) AS i2, "
+            f"CAST(i3 AS BIGINT) AS i3 FROM ({inner})"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query("perceptual_dedup_suite", oracle=_perceptual_oracle())
+def perceptual_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate detection across all three binary
+    modalities in one driver slot (r13 fold):
+
+    'img:*' — image_phash_dedup: DCT pHash + gradient dHash tables and
+              Hamming-banded pair chains over the synthetic image corpus;
+    'vid:*' — video_phash_dedup: fused frame-sample + per-frame pHash
+              signature table and the inverted-index pair stage;
+    'aud:*' — audio_fp_dedup: Haitsma-Kalker-style spectral
+              sub-fingerprint table and its banded pairing.
+
+    Each single's full output (canaries included) rides unchanged under
+    a tag prefix; scale shapes and Arrow-stage ceilings are per-single
+    docstrings above (fingerprints-only shuffles, banding joins — no
+    all-pairs anywhere)."""
+    def _tagged(df, tag):
+        return df.select(
+            F.concat(F.lit(tag + ":"), F.col("leg")).alias("leg"),
+            F.col("key").cast("long").alias("key"),
+            F.col("i1").cast("long").alias("i1"),
+            F.col("i2").cast("long").alias("i2"),
+            F.col("i3").cast("long").alias("i3"),
+        )
+
+    return (
+        _tagged(image_phash_dedup(spark, sf_dir), "img")
+        .unionByName(_tagged(video_phash_dedup(spark, sf_dir), "vid"))
+        .unionByName(_tagged(audio_fp_dedup(spark, sf_dir), "aud"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # r13 (VERDICT r12 item 1): the six stats/time-series singles fold into ONE
 # canary-protected suite so the family costs one driver slot. Each single's
@@ -3397,7 +3704,8 @@ _GC_ORACLE = f"""
 """
 
 
-@query("geo_cluster_suite", oracle=_GC_ORACLE)
+# r13 wave 2: driver slot folded into geo_suite; builder stays
+# importable, oracle rides the fold.
 def geo_cluster_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial density clustering: the 25 km radius pairs
     (operators/spatial.py, the geo_radius_pairs plant) fed into the
@@ -3475,6 +3783,55 @@ def geo_cluster_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ncomp)
         .unionByName(canary)
     )
+
+
+# ---------------------------------------------------------------------------
+# r13 wave 2: ONE geospatial driver slot — the grid-blocked radius
+# self-join and the DBSCAN-style density clustering ride as tagged legs
+# of a (leg, a, b, d) superset; both single oracles are wrapped unchanged.
+# ---------------------------------------------------------------------------
+
+
+def _geo_suite_oracle() -> str:
+    return f"""
+    SELECT 'rad:' || leg AS leg, CAST(a AS BIGINT) AS a,
+           CAST(b AS BIGINT) AS b, CAST(d AS BIGINT) AS d
+    FROM ({_GEO_ORACLE})
+    UNION ALL
+    SELECT 'clu:' || leg, CAST(a AS BIGINT), CAST(b AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM ({_GC_ORACLE})
+    """
+
+
+@query("geo_suite", oracle=_geo_suite_oracle())
+def geo_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The geospatial surface in one driver slot (r13 fold):
+
+    'rad:*' — geo_radius_pairs: the integer-cell-blocked 25 km
+              haversine radius self-join (equi-join on grid cells, AQE
+              skew-split proof in the docstring — never an all-pairs);
+    'clu:*' — geo_cluster_suite: grid-blocked density clustering
+              (DBSCAN core/border semantics) over the same cell
+              machinery.
+
+    Each single's full output rides unchanged under a tag prefix; the
+    one-cell-shuffle scale shapes are per-single docstrings above."""
+    nul = F.lit(None).cast("long")
+    rad = geo_radius_pairs(spark, sf_dir).select(
+        F.concat(F.lit("rad:"), F.col("leg")).alias("leg"),
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("d").cast("long").alias("d"),
+    )
+    clu = geo_cluster_suite(spark, sf_dir).select(
+        F.concat(F.lit("clu:"), F.col("leg")).alias("leg"),
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        nul.alias("d"),
+    )
+    return rad.unionByName(clu)
+
 
 # ---------------------------------------------------------------------------
 # r11: Unicode-segmentation tokenizer gate (VERDICT r10 item 2) — planted
@@ -4632,4 +4989,206 @@ def heavy_hitter_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk_leg.unionByName(guard_leg)
         .unionByName(planted_leg)
         .unionByName(canary_df(spark, _SUITE_COLS))
+    )
+
+
+# ---------------------------------------------------------------------------
+# r13: count-min sketch gate — the point-frequency companion to the
+# heavy_hitter_suite's Misra-Gries top-k. The md5 row-hash is the repo's
+# portable idiom, so DuckDB re-derives the ENTIRE depth x width sketch
+# (every counter cell), the probe estimates, and the exact counts from
+# its own arithmetic — the full sketch structure is the gated value, not
+# a sample of it.
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH, _CMS_WIDTH = 4, 4096
+#: planted collision corpus: depth 2 x width 4 over 8 distinct tokens —
+#: pigeonhole forces cell sharing, pinning the OVERcount path exactly
+_CMS_P_DEPTH, _CMS_P_WIDTH = 2, 4
+_CMS_P_DOCS = [(1, "a a b"), (2, "b c d e f g h")]
+
+_CMS_COLS = [("k", "string"), ("i1", "long"), ("i2", "long"), ("i3", "long")]
+
+_CMS_CANARY = [
+    ("canary", "plain", 1, -1, 9007199254740993),
+    ("canary", "", None, 9223372036854775807, None),
+    ("canary", "Ünïcode-✓", -4611686018427387904, 0, None),
+]
+
+
+def _cms_canary_sql() -> str:
+    def lit(v, kind: str) -> str:
+        if v is None:
+            return f"CAST(NULL AS {kind})"
+        if kind == "VARCHAR":
+            return "CAST('" + str(v).replace("'", "''") + "' AS VARCHAR)"
+        return f"CAST({v} AS {kind})"
+
+    kinds = ["VARCHAR", "VARCHAR", "BIGINT", "BIGINT", "BIGINT"]
+    names = ["leg", "k", "i1", "i2", "i3"]
+    return " UNION ALL ".join(
+        "SELECT " + ", ".join(
+            f"{lit(v, kd)} AS {nm}" for v, kd, nm in zip(row, kinds, names)
+        )
+        for row in _CMS_CANARY
+    )
+
+
+def _cms_sql_cell(tok_expr: str, r_expr: str, width: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5({tok_expr} || ':' || {r_expr}), 1, 15)) "
+        f"AS BIGINT) % {width}"
+    )
+
+
+def _cms_oracle() -> str:
+    cell = _cms_sql_cell("token", "CAST(r AS VARCHAR)", _CMS_WIDTH)
+    pcell = _cms_sql_cell("token", "CAST(r AS VARCHAR)", _CMS_P_WIDTH)
+    return f"""
+    WITH tok AS (
+      SELECT t AS token
+      FROM (SELECT unnest(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) AS t
+            FROM documents)
+      WHERE t <> ''
+    ),
+    cells AS (
+      SELECT r, {cell} AS c, count(*) AS cnt
+      FROM tok, (SELECT unnest(range({_CMS_DEPTH})) AS r)
+      GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT DISTINCT t AS token
+      FROM (SELECT unnest(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) AS t
+            FROM documents WHERE doc_id % 97 = 0)
+      WHERE t <> ''
+    ),
+    pcells AS (
+      SELECT token, r, {cell} AS c
+      FROM probes, (SELECT unnest(range({_CMS_DEPTH})) AS r)
+    ),
+    est AS (
+      SELECT p.token, min(coalesce(cl.cnt, 0)) AS est
+      FROM pcells p LEFT JOIN cells cl ON p.r = cl.r AND p.c = cl.c
+      GROUP BY p.token
+    ),
+    exact AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+    ptok AS (
+      SELECT t AS token FROM (
+        SELECT unnest(string_split_regex(trim(text), '[ \\t\\n\\r\\f]+')) AS t
+        FROM (VALUES (1, 'a a b'), (2, 'b c d e f g h')) AS pd(doc_id, text)
+      ) WHERE t <> ''
+    ),
+    pcl AS (
+      SELECT r, {pcell} AS c, count(*) AS cnt
+      FROM ptok, (SELECT unnest(range({_CMS_P_DEPTH})) AS r)
+      GROUP BY 1, 2
+    ),
+    ppr AS (SELECT DISTINCT token FROM ptok),
+    pest AS (
+      SELECT p.token, min(coalesce(pcl.cnt, 0)) AS est
+      FROM (SELECT token, r, {pcell} AS c
+            FROM ppr, (SELECT unnest(range({_CMS_P_DEPTH})) AS r)) p
+      LEFT JOIN pcl ON p.r = pcl.r AND p.c = pcl.c
+      GROUP BY p.token
+    ),
+    pexact AS (SELECT token, count(*) AS n FROM ptok GROUP BY token)
+    SELECT CAST(leg AS VARCHAR) AS leg, CAST(k AS VARCHAR) AS k,
+           CAST(i1 AS BIGINT) AS i1, CAST(i2 AS BIGINT) AS i2,
+           CAST(i3 AS BIGINT) AS i3
+    FROM (
+      SELECT 'est' AS leg, e.token AS k, e.est AS i1, x.n AS i2,
+             CAST(e.est >= x.n AS BIGINT) AS i3
+      FROM est e JOIN exact x ON e.token = x.token
+      UNION ALL
+      SELECT 'cells', CAST(r AS VARCHAR), c, cnt, NULL FROM cells
+      UNION ALL
+      SELECT 'planted', e.token, e.est, x.n, CAST(e.est >= x.n AS BIGINT)
+      FROM pest e JOIN pexact x ON e.token = x.token
+      UNION ALL
+      {_cms_canary_sql()}
+    )
+    """
+
+
+@query("cms_freq_suite", oracle=_cms_oracle())
+def cms_freq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch legs (operators/sketch.py, Cormode &
+    Muthukrishnan 2005):
+
+    'est'     — point-frequency estimates for every distinct token of the
+                doc_id % 97 == 0 probe documents, from the FULL-corpus
+                depth-4 x width-4096 sketch, joined with the exact counts
+                and the est >= exact overcount theorem stated per probe;
+                DuckDB re-derives sketch, estimates, and exact counts
+                from its own md5 arithmetic;
+    'cells'   — the ENTIRE counter table (row, col, count): the sketch
+                STRUCTURE is the gated value — any divergence in hashing,
+                cell assignment, or counting fails the hash, not just a
+                sampled estimate;
+    'planted' — the collision regime closed-form: 8 distinct tokens
+                through a depth-2 x width-4 sketch (pigeonhole forces
+                shared cells), estimates + exacts + the overcount flag;
+    'canary'  — constant rows stated identically by both engines.
+
+    Scale shape: the token stream aggregates onto <= depth x width cells
+    (CONSTANT key domain — partial aggregation collapses each partition
+    before one bounded shuffle); probe lookups broadcast the sketch. The
+    merge identity (cell-wise sum == sketch of the union) is pinned in
+    tests/test_sketch.py."""
+    from ..operators.sketch import cms_estimate, count_min_table
+
+    nul = F.lit(None).cast("long")
+    docs = load_table(spark, sf_dir, "documents")
+    cms = count_min_table(docs, depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")).alias("token")
+    ).filter(F.col("token") != "")
+    probes = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .select(
+            F.explode(F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    est = cms_estimate(cms, probes, depth=_CMS_DEPTH, width=_CMS_WIDTH)
+    exact = toks.join(F.broadcast(probes), on="token", how="left_semi").groupBy(
+        "token"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    est_leg = est.join(exact, on="token").select(
+        F.lit("est").alias("leg"),
+        F.col("token").cast("string").alias("k"),
+        F.col("est").cast("long").alias("i1"),
+        F.col("n").cast("long").alias("i2"),
+        (F.col("est") >= F.col("n")).cast("long").alias("i3"),
+    )
+    cells_leg = cms.select(
+        F.lit("cells").alias("leg"),
+        F.col("row").cast("string").alias("k"),
+        F.col("col").cast("long").alias("i1"),
+        F.col("c").cast("long").alias("i2"),
+        nul.alias("i3"),
+    )
+    planted = spark.createDataFrame(_CMS_P_DOCS, "doc_id long, text string")
+    pcms = count_min_table(planted, depth=_CMS_P_DEPTH, width=_CMS_P_WIDTH)
+    ptoks = planted.select(
+        F.explode(F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")).alias("token")
+    ).filter(F.col("token") != "")
+    pprobes = ptoks.distinct()
+    pest = cms_estimate(pcms, pprobes, depth=_CMS_P_DEPTH, width=_CMS_P_WIDTH)
+    pexact = ptoks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    planted_leg = pest.join(pexact, on="token").select(
+        F.lit("planted").alias("leg"),
+        F.col("token").cast("string").alias("k"),
+        F.col("est").cast("long").alias("i1"),
+        F.col("n").cast("long").alias("i2"),
+        (F.col("est") >= F.col("n")).cast("long").alias("i3"),
+    )
+    canary = spark.createDataFrame(
+        _CMS_CANARY, "leg string, k string, i1 long, i2 long, i3 long"
+    )
+    return (
+        est_leg.unionByName(cells_leg)
+        .unionByName(planted_leg)
+        .unionByName(canary)
     )

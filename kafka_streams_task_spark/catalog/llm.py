@@ -53,9 +53,10 @@ from .registry import query
 _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 
-@query(
-    "text_token_stats",
-    oracle=f"""
+# r13 wave 2: driver slot folded into text_profile_suite
+# (catalog/llm_suites.py); builder stays importable (bench.py raw
+# workload), oracle rides the fold.
+_TOKEN_STATS_ORACLE = f"""
     WITH tok AS (
       SELECT doc_id, lang, string_split_regex(trim(text), '[ \\t\\n\\r\\f]+') AS t FROM documents
     )
@@ -66,8 +67,9 @@ _STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
            round((list_sum(list_transform(t, x -> CAST(length(x) AS DOUBLE))) / len(t)) + 1e-09, 6) AS avg_tok_len,
            round((CAST(len(list_filter(t, x -> x IN ({_STOP_SQL}))) AS DOUBLE) / len(t)) + 1e-09, 6) AS stop_ratio
     FROM tok
-    """,
-)
+    """
+
+
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + lexical stats, all codegen column expressions."""
     d = load_table(spark, sf_dir, "documents")
@@ -85,9 +87,9 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GOPHER_STOP_SQL = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
 
 
-@query(
-    "text_quality_scores",
-    oracle=f"""
+# r13 wave 2: driver slot folded into text_profile_suite; builder stays
+# importable (bench.py raw workload), oracle rides the fold.
+_QUALITY_ORACLE = f"""
     WITH tok AS (
       SELECT doc_id, text, string_split_regex(trim(text), '[ \\t\\n\\r\\f]+') AS t,
              string_split(text, chr(10)) AS ln
@@ -134,8 +136,9 @@ _GOPHER_STOP_SQL = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
                  AND alpha_word_ratio >= 0.8
                  AND gopher_stop_hits >= 2) AS INT) AS gopher_pass
     FROM feats
-    """,
-)
+    """
+
+
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-filter feature set (r2: widened from the single composite):
     composite quality heuristic (length/diversity/stopword-ratio), duplicated-
@@ -431,9 +434,9 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_features(d)
 
 
-@query(
-    "text_bpe_token_counts",
-    oracle=r"""
+# r13 wave 2: driver slot folded into text_profile_suite; builder stays
+# importable, oracle rides the fold.
+_BPE_COUNTS_ORACLE = r"""
     WITH t AS (
       SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r\f]+') AS words
       FROM documents
@@ -450,8 +453,9 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS bpe_char_mass,
            CAST(len(t.words) AS BIGINT) AS bpe_word_marks
     FROM documents d JOIN t ON d.doc_id = t.doc_id
-    """,
-)
+    """
+
+
 def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subword tokenization under the driver hash gate, two tokenizers:
 

@@ -2042,9 +2042,9 @@ def llm_dedup_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "text_id_fingerprint_suite",
-    oracle="""
+# r13 wave 2: driver slot folded into text_profile_suite (below);
+# builder stays importable, oracle rides the fold.
+_TIF_ORACLE = """
     WITH t AS (
       SELECT doc_id, lang AS labeled, text,
              list_distinct(string_split_regex(lower(text), '[ \\t\\n\\r\\f]+')) AS ltoks
@@ -2072,8 +2072,9 @@ def llm_dedup_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(p.predicted AS VARCHAR) AS predicted,
            CAST(f.fingerprint AS VARCHAR) AS fingerprint
     FROM pred p JOIN fp f ON p.doc_id = f.doc_id
-    """,
-)
+    """
+
+
 def text_id_fingerprint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID + document fingerprinting in one driver row (r6 fold
     of the r1 slots text_lang_id + text_fingerprints — both green every
@@ -2474,4 +2475,176 @@ def data_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= 0.05
             ).cast("long").alias("distinct_ok"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# r13 wave 2: ONE text-profiling driver slot — token stats, quality/
+# Gopher/PII features, subword token counts, and lang-id + fingerprint
+# ride as tagged legs of a wide superset; all four single oracles are
+# wrapped unchanged (three live in catalog/llm.py, one above).
+# ---------------------------------------------------------------------------
+
+_TP_CANARY = [
+    ("canary", 1, "plain", "", None, -1, 9007199254740993, None, 0, 7, -7,
+     1.5, None, -2.25, 0.0, 0.125, None, 64.0),
+    ("canary", None, None, "Ünïcode-✓", "5.0", 9223372036854775807, 0, 3,
+     None, -1, 2, None, 0.5, 1.0, None, -16.0, 0.0625, None),
+    ("canary", -4611686018427387904, "x", None, "y", None, 5, -3, 11, None,
+     0, 2.5, -8.0, None, 3.5, None, 10.0, 0.25),
+]
+
+
+def _tp_canary_sql() -> str:
+    def lit(v, kind: str) -> str:
+        if v is None:
+            return f"CAST(NULL AS {kind})"
+        if kind == "VARCHAR":
+            return "CAST('" + str(v).replace("'", "''") + "' AS VARCHAR)"
+        return f"CAST({v!r} AS {kind})"
+
+    kinds = (["VARCHAR", "BIGINT"] + ["VARCHAR"] * 3 + ["BIGINT"] * 6
+             + ["DOUBLE"] * 7)
+    names = (["leg", "key", "s1", "s2", "s3"]
+             + [f"i{j}" for j in range(1, 7)] + [f"d{j}" for j in range(1, 8)])
+    return " UNION ALL ".join(
+        "SELECT " + ", ".join(
+            f"{lit(v, kd)} AS {nm}" for v, kd, nm in zip(row, kinds, names)
+        )
+        for row in _TP_CANARY
+    )
+
+
+def _text_profile_oracle() -> str:
+    from .llm import _BPE_COUNTS_ORACLE, _QUALITY_ORACLE, _TOKEN_STATS_ORACLE
+
+    ns = "CAST(NULL AS VARCHAR)"
+    nl = "CAST(NULL AS BIGINT)"
+    nd = "CAST(NULL AS DOUBLE)"
+    return f"""
+    SELECT CAST('tok' AS VARCHAR) AS leg, CAST(doc_id AS BIGINT) AS key,
+           CAST(lang AS VARCHAR) AS s1, {ns} AS s2, {ns} AS s3,
+           CAST(n_tokens AS BIGINT) AS i1, CAST(n_distinct AS BIGINT) AS i2,
+           {nl} AS i3, {nl} AS i4, {nl} AS i5, {nl} AS i6,
+           CAST(distinct_ratio AS DOUBLE) AS d1,
+           CAST(avg_tok_len AS DOUBLE) AS d2,
+           CAST(stop_ratio AS DOUBLE) AS d3,
+           {nd} AS d4, {nd} AS d5, {nd} AS d6, {nd} AS d7
+    FROM ({_TOKEN_STATS_ORACLE})
+    UNION ALL
+    SELECT CAST('qual' AS VARCHAR), CAST(doc_id AS BIGINT),
+           CAST(text_redacted AS VARCHAR), {ns}, {ns},
+           CAST(has_email AS BIGINT), CAST(has_phone AS BIGINT),
+           CAST(has_ipv4 AS BIGINT), CAST(n_words AS BIGINT),
+           CAST(gopher_stop_hits AS BIGINT), CAST(gopher_pass AS BIGINT),
+           CAST(quality AS DOUBLE), CAST(rep_3gram AS DOUBLE),
+           CAST(mean_word_len AS DOUBLE), CAST(symbol_word_ratio AS DOUBLE),
+           CAST(bullet_line_ratio AS DOUBLE),
+           CAST(ellipsis_line_ratio AS DOUBLE),
+           CAST(alpha_word_ratio AS DOUBLE)
+    FROM ({_QUALITY_ORACLE})
+    UNION ALL
+    SELECT CAST('bpe' AS VARCHAR), CAST(doc_id AS BIGINT),
+           {ns}, {ns}, {ns},
+           CAST(n_bpe_tokens AS BIGINT), CAST(bpe_char_mass AS BIGINT),
+           CAST(bpe_word_marks AS BIGINT), {nl}, {nl}, {nl},
+           {nd}, {nd}, {nd}, {nd}, {nd}, {nd}, {nd}
+    FROM ({_BPE_COUNTS_ORACLE})
+    UNION ALL
+    SELECT CAST('fp' AS VARCHAR), CAST(doc_id AS BIGINT),
+           CAST(labeled AS VARCHAR), CAST(predicted AS VARCHAR),
+           CAST(fingerprint AS VARCHAR),
+           {nl}, {nl}, {nl}, {nl}, {nl}, {nl},
+           {nd}, {nd}, {nd}, {nd}, {nd}, {nd}, {nd}
+    FROM ({_TIF_ORACLE})
+    UNION ALL
+    {_tp_canary_sql()}
+    """
+
+
+@query("text_profile_suite", oracle=_text_profile_oracle())
+def text_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document text-profiling surface in one driver slot (r13
+    fold of four formerly-standalone gates):
+
+    'tok'  — text_token_stats: token counts + lexical stats;
+    'qual' — text_quality_scores: composite quality, trigram repetition,
+             PII flags + the redaction transform, the full Gopher rule
+             set (Rae et al. 2021 App. A1.1);
+    'bpe'  — text_bpe_token_counts: subword token counts (regex-BPE
+             pre-tokenizer twin + word-mark arithmetic);
+    'fp'   — text_id_fingerprint_suite: script/stopword lang-id and the
+             portable min-of-window rolling md5 fingerprint;
+    'canary' — constant rows stated identically by both engines.
+
+    Every column remains a codegen expression recomputed exactly by the
+    wrapped single oracles; one documents scan per leg, no Python."""
+    from .llm import text_bpe_token_counts, text_quality_scores, text_token_stats
+
+    nul = F.lit(None).cast("long")
+    nus = F.lit(None).cast("string")
+    nud = F.lit(None).cast("double")
+    tok = text_token_stats(spark, sf_dir).select(
+        F.lit("tok").alias("leg"),
+        F.col("doc_id").cast("long").alias("key"),
+        F.col("lang").cast("string").alias("s1"),
+        nus.alias("s2"), nus.alias("s3"),
+        F.col("n_tokens").cast("long").alias("i1"),
+        F.col("n_distinct").cast("long").alias("i2"),
+        nul.alias("i3"), nul.alias("i4"), nul.alias("i5"), nul.alias("i6"),
+        F.col("distinct_ratio").cast("double").alias("d1"),
+        F.col("avg_tok_len").cast("double").alias("d2"),
+        F.col("stop_ratio").cast("double").alias("d3"),
+        nud.alias("d4"), nud.alias("d5"), nud.alias("d6"), nud.alias("d7"),
+    )
+    qual = text_quality_scores(spark, sf_dir).select(
+        F.lit("qual").alias("leg"),
+        F.col("doc_id").cast("long").alias("key"),
+        F.col("text_redacted").cast("string").alias("s1"),
+        nus.alias("s2"), nus.alias("s3"),
+        F.col("has_email").cast("long").alias("i1"),
+        F.col("has_phone").cast("long").alias("i2"),
+        F.col("has_ipv4").cast("long").alias("i3"),
+        F.col("n_words").cast("long").alias("i4"),
+        F.col("gopher_stop_hits").cast("long").alias("i5"),
+        F.col("gopher_pass").cast("long").alias("i6"),
+        F.col("quality").cast("double").alias("d1"),
+        F.col("rep_3gram").cast("double").alias("d2"),
+        F.col("mean_word_len").cast("double").alias("d3"),
+        F.col("symbol_word_ratio").cast("double").alias("d4"),
+        F.col("bullet_line_ratio").cast("double").alias("d5"),
+        F.col("ellipsis_line_ratio").cast("double").alias("d6"),
+        F.col("alpha_word_ratio").cast("double").alias("d7"),
+    )
+    bpe = text_bpe_token_counts(spark, sf_dir).select(
+        F.lit("bpe").alias("leg"),
+        F.col("doc_id").cast("long").alias("key"),
+        nus.alias("s1"), nus.alias("s2"), nus.alias("s3"),
+        F.col("n_bpe_tokens").cast("long").alias("i1"),
+        F.col("bpe_char_mass").cast("long").alias("i2"),
+        F.col("bpe_word_marks").cast("long").alias("i3"),
+        nul.alias("i4"), nul.alias("i5"), nul.alias("i6"),
+        *[nud.alias(f"d{j}") for j in range(1, 8)],
+    )
+    fp = text_id_fingerprint_suite(spark, sf_dir).select(
+        F.lit("fp").alias("leg"),
+        F.col("doc_id").cast("long").alias("key"),
+        F.col("labeled").cast("string").alias("s1"),
+        F.col("predicted").cast("string").alias("s2"),
+        F.col("fingerprint").cast("string").alias("s3"),
+        *[nul.alias(f"i{j}") for j in range(1, 7)],
+        *[nud.alias(f"d{j}") for j in range(1, 8)],
+    )
+    canary = spark.createDataFrame(
+        _TP_CANARY,
+        "leg string, key long, s1 string, s2 string, s3 string, "
+        "i1 long, i2 long, i3 long, i4 long, i5 long, i6 long, "
+        "d1 double, d2 double, d3 double, d4 double, d5 double, "
+        "d6 double, d7 double",
+    )
+    return (
+        tok.unionByName(qual)
+        .unionByName(bpe)
+        .unionByName(fp)
+        .unionByName(canary)
     )

@@ -43,6 +43,9 @@ from pyspark.sql import functions as F
 from ..functions.text import WHITESPACE_RE
 
 __all__ = [
+    "cms_estimate",
+    "count_min_table",
+    "merge_cms_tables",
     "merge_mg_summaries",
     "misra_gries_candidates",
     "topk_tokens_sketched",
@@ -204,4 +207,121 @@ def topk_tokens_sketched(
     w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
     return topk.withColumn("rank", F.row_number().over(w)).select(
         "token", "n", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (r13): point-frequency estimation in bounded memory —
+# the companion to the Misra-Gries top-k above. MG answers "which tokens
+# are heavy"; the CMS answers "how often does THIS token occur" for any
+# token, without the full vocabulary aggregate. Cormode & Muthukrishnan
+# 2005: depth x width counters, each token increments one cell per row
+# (row-keyed hash), estimate = min over rows; always an OVERcount, within
+# e*N/width of truth with probability 1 - (1/2)^depth per classic analysis.
+#
+# Hashing is the repo's PORTABLE md5 idiom (the weighted_sample /
+# decontam precedent): col = conv(substr(md5(token || ':' || row), 1, 15),
+# 16, 10) % width — a pure codegen expression DuckDB restates verbatim as
+# CAST(('0x' || substr(md5(...), 1, 15)) AS BIGINT) % width, so the driver
+# gate can re-derive the ENTIRE sketch, not just sample it.
+#
+# Scale shape: the token stream aggregates map-side onto a key domain of
+# at most depth x width cells (CONSTANT, corpus-independent) — partial
+# aggregation collapses each partition to <= depth x width rows before the
+# one bounded shuffle; lookups broadcast-join the probe set against the
+# sketch table. Merging sketches (shards, streams) is cell-wise addition —
+# the estimate/guarantee telescope additively.
+# ---------------------------------------------------------------------------
+
+
+def _cms_cell(token: "F.Column", row: int, width: int) -> "F.Column":
+    """Portable row-keyed hash column: 60 md5 bits mod width (pure
+    codegen; identical arithmetic in the DuckDB oracle)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", token, F.lit(str(row)))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return h % F.lit(int(width))
+
+
+def count_min_table(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 4096,
+) -> DataFrame:
+    """Build the CMS counter table ``(row, col, c)`` over the whitespace
+    tokens of ``df[text_col]`` — at most ``depth * width`` rows
+    regardless of corpus size. Cells never touched are absent (= 0);
+    :func:`cms_estimate` coalesces."""
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
+    toks = df.select(
+        F.explode(F.split(F.trim(F.col(text_col)), WHITESPACE_RE)).alias("token")
+    ).filter(F.col("token") != "")
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("row"),
+                        _cms_cell(F.col("token"), r, width).alias("col"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rc")
+    )
+    return (
+        cells.groupBy(F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    probes: DataFrame,
+    token_col: str = "token",
+    depth: int = 4,
+    width: int = 4096,
+) -> DataFrame:
+    """Point-frequency estimates for a probe relation: ``(token, est)``
+    with ``est = min over rows of the token's counter`` (0 for cells the
+    corpus never touched). ``est >= true count`` ALWAYS (each counted
+    occurrence increments every row's cell); collisions only inflate.
+    ``depth``/``width`` must match the sketch's build parameters.
+
+    Scale shape: probes explode to depth rows each and equi-join the
+    (<= depth x width)-row sketch — broadcast the sketch side for any
+    realistic width; no scan of the original corpus."""
+    pc = probes.select(
+        F.col(token_col).alias("token"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("row"),
+                        _cms_cell(F.col(token_col), r, width).alias("col"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rc"),
+    ).select("token", F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+    joined = pc.join(F.broadcast(cms), on=["row", "col"], how="left")
+    return joined.groupBy("token").agg(
+        F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est")
+    )
+
+
+def merge_cms_tables(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise sum of two CMS tables built with the SAME depth/width:
+    the merged sketch is EXACTLY the sketch of the concatenated input
+    (counter addition commutes with the deterministic hashing), so
+    shard-parallel or streaming construction loses nothing."""
+    return (
+        a.unionByName(b)
+        .groupBy("row", "col")
+        .agg(F.sum("c").alias("c"))
     )

@@ -35,7 +35,10 @@ def test_every_catalog_query_runs_and_returns_rows(spark, sf_dir):
     # 73 (quality_survivor_suite extension), 71 (second fold wave:
     # join_flavors_suite + reshape_suite replace four singles),
     # 72 (heavy_hitter_suite extension)
-    assert len(CATALOG) == 72
+    # r13: 72 -> 61 (six stats singles -> stats_family_suite; eight
+    # window singles -> profile_agg/window_family/relational_misc
+    # suites + the llm_dedup_join_suite xlink leg)
+    assert len(CATALOG) == 61
     for name, spec in sorted(CATALOG.items()):
         assert spec.oracle is not None, f"{name} lost its oracle"
         n = spec.fn(spark, sf_dir).count()

@@ -38,20 +38,20 @@ BNLJ_ALLOWED = {
     "tpch_qsuite",
     "scalar_regex_suite",
     # r10: classifier_eval's 1-row totals (n, n_pos) broadcast-crossJoined
-    # onto the distinct-score table — the quantile-gate precedent
-    "classifier_eval_suite",
-    # r10: corpus_drift_report / mix_shift_report 1-row token/row totals
-    # broadcast-crossJoined onto the vocabulary/group tables
-    "corpus_drift_suite",
-    # r10: collocation_table's 1-row n_tokens / n_bigrams totals
-    # broadcast-crossJoined onto the bigram table
-    "pmi_collocations",
+    # onto the distinct-score table — the quantile-gate precedent (the
+    # cls: legs of the r13 model_eval_suite fold)
+    "model_eval_suite",
+    # r10: corpus_drift / pmi collocation 1-row token/row totals
+    # broadcast-crossJoined onto vocabulary/group/bigram tables (the
+    # drift:/pmi legs of the r13 corpus_stats_suite fold)
+    "corpus_stats_suite",
     # r10: the recall gate's two 1-row (n_planted, n_missed) aggregates
     # crossJoined — the dedup_*_recall precedent
     "decontam_embedding_recall",
     # r10: unimax_allocation's 1-row water-level aggregate
-    # broadcast-crossJoined onto the group-cardinality table
-    "unimax_suite",
+    # broadcast-crossJoined onto the group-cardinality table (the umx:
+    # legs of the r13 mixing_policy_suite fold)
+    "mixing_policy_suite",
     # r10 fourth wave: chi_square_contingency's 1-row grand-total
     # broadcast-crossJoined onto the contingency cells — the quantile-
     # gate precedent (the sa: leg of the r13 stats_family_suite fold)
@@ -74,7 +74,8 @@ PY_ALLOWED = {
     # (corpus + planted union sides) and the cosine leg its 2 hyperplane-
     # projection stages; simhash stays all-JVM
     "dedup_recall_suite": 4,
-    "text_bpe_token_counts": 2,
+    # r13 fold: the bpe leg of text_profile_suite keeps the 2 stages
+    "text_profile_suite": 2,
     "sample_pack_pipeline": 3,
     "llm_text_model_suite": 6,
     "multimodal_suite": 2,
@@ -89,24 +90,19 @@ PY_ALLOWED = {
     # r8 extension: the 'unesc' leg runs the exact-entity decoder — the
     # documented Arrow seam (stdlib html.unescape has no builtin twin)
     "crawl_extract_suite": 1,
-    # r9 extension: four legs (ph/dh hash tables + phash/dhash pair
-    # chains), each exactly one mapInPandas perceptual-hash stage —
-    # numpy DCT/gradient math is the documented Arrow seam
-    "image_phash_dedup": 4,
-    # r9 extension: two legs (fused sample+hash table, inverted-index
-    # pairing), each exactly one mapInPandas stage
-    "video_phash_dedup": 2,
-    # r9 extension: two legs (fused sub-fingerprint table, inverted-
-    # index pairing), each exactly one mapInPandas stage
-    "audio_fp_dedup": 2,
+    # r13 fold: image (4) + video (2) + audio (2) perceptual-hash
+    # mapInPandas stages ride under one suite — numpy DCT/gradient/
+    # spectral math is the documented Arrow seam
+    "perceptual_dedup_suite": 8,
     # r10 extension: corpus + bench LSH bucket tables — one mapInPandas
     # hyperplane-projection stage per side (the embedding_near_dup_pairs
     # machinery, both sides sharing the same planes)
     "decontam_embedding_recall": 2,
     # r10 fourth wave: three legs ('jw' goldens, 'link' planted names,
     # 'part' vocabulary), each one ArrowEvalPython jaro_winkler_udf
-    # stage over a candidate-sized frame
-    "jaro_linkage_suite": 3,
+    # stage over a candidate-sized frame (r13: the jw: legs of
+    # linkage_suite)
+    "linkage_suite": 3,
     # r11: three legs ('order' + 'nulls' aggregate the planted frame
     # independently, 'corpus' scans documents), each exactly one
     # ArrowEvalPython zlib compression_ratio stage — zlib is the
@@ -139,76 +135,56 @@ def plans(spark):
 DRIVER_WINDOW = [
     "geohash_cells", "pipeline_enrich_daily_rollup", "latest_event_per_user",
     "events_hourly_tumbling", "session_suite", "asof_purchase_to_click",
-    "weather_topology_full", "text_token_stats", "text_quality_scores",
-    # r12 fold: the three 1-row recall gates (driver-green r1-r11) became
-    # one canary-protected suite, freeing 2 slots
-    "dedup_recall_suite", "text_bpe_token_counts",
+    "weather_topology_full",
+    # r12 fold: the three 1-row recall gates became one canary-protected
+    # suite; r13 wave 2 folded the four per-document text gates into
+    # text_profile_suite and dedup_crosscorpus_linkage into
+    # llm_dedup_join_suite's 'xlink' leg (raw builders stay importable)
+    "dedup_recall_suite",
     "dedup_clusters_cc", "sample_pack_pipeline",
     "llm_graph_layout_suite", "llm_cdc_analytics_suite",
-    # r13: llm_dedup_join_suite gained the 'xlink' leg
-    # (dedup_crosscorpus_linkage folded in)
     "llm_text_model_suite", "llm_retrieval_suite", "llm_dedup_join_suite",
-    "text_id_fingerprint_suite", "dedup_exact_family_suite",
+    "dedup_exact_family_suite",
     "multimodal_suite", "similarity_knn_suite",
+    "text_profile_suite",
     "q1_pricing_summary",
-    # r12 second fold wave: semi_anti_customers + left_join_order_counts
-    # -> join_flavors_suite; pivot_event_type_counts +
-    # unpivot_order_metrics -> reshape_suite (all four driver-green
-    # r1-r11; raw fns stay importable)
     "grouping_multi_suite", "join_flavors_suite",
     "setop_suite", "reshape_suite",
     "scalar_semantics_suite",
-    # r11 fold: the 9 relational singles (q3/q5/q12/q18/q6q19 + strfn/
-    # split/json/regex, driver-green r1-r10) became two canary-protected
-    # suites...
+    # r11 fold: the 9 relational singles became two canary-protected
+    # suites; r13 folded eight more window singles into the three
+    # umbrella suites below
     "tpch_qsuite", "scalar_regex_suite",
-    # r13 umbrella folds (VERDICT r12 item 1): eight window singles
-    # (all driver-green r1-r12; raw fns stay importable) compressed
-    # into three suites, freeing 6 window slots —
-    # stats_suite_by_flag + approx_aggregates + data_profile_columns:
-    "profile_agg_suite",
-    # window_rank_running_suite + window_analytics_suite:
-    "window_family_suite",
-    # salted_agg_by_nation + range_band_join + array_funcs_tokens:
-    "relational_misc_suite",
-    # ...freeing 7 slots for the promoted r10 extensions (catalog/
-    # __init__.py _PROMOTED):
-    "kn_lm_perplexity", "classifier_eval_suite", "retrieval_eval_suite",
-    "image_phash_dedup", "geo_radius_pairs", "privacy_kanon_suite",
-    "timeseries_gapfill_suite",
-    # r12 promotions (VERDICT r11 item 1): the two r11 extensions with
-    # the strongest independent oracles (DuckDB re-derives segmentation
-    # counts; native ASOF JOIN cross-check) fill the freed slots
+    "profile_agg_suite", "window_family_suite", "relational_misc_suite",
+    # promoted extensions (catalog/__init__.py _PROMOTED) — r13 wave 2
+    # folded every remaining extension into a thematic umbrella and
+    # promoted ALL of them: the driver gate now covers the entire
+    # catalog (49 entries, one spare slot under the 50-row cap)
+    "model_eval_suite", "perceptual_dedup_suite", "geo_suite",
+    "privacy_kanon_suite", "timeseries_gapfill_suite",
     "unicode_token_suite", "temporal_join_suite",
-    # r12 second wave: the two folds above freed 2 more slots for the
-    # RE2 script-count gate and the containment pair+drop gate
     "script_mix_suite", "containment_pairs_suite",
-    # r13 promotions (VERDICT r12 item 1): the stats fold + the five
-    # strongest-oracle extensions enter the driver gate
     "stats_family_suite", "quality_survivor_suite", "heavy_hitter_suite",
     "compression_quality_suite", "decontam_embedding_recall",
     "dsir_importance",
+    "linkage_suite", "mixing_policy_suite", "corpus_stats_suite",
+    "crawl_extract_suite",
+    # r13: the NEW count-min-sketch gate takes the spare 50th slot —
+    # the catalog now fills the driver window exactly
+    "cms_freq_suite",
 ]
 
 
-def test_catalog_driver_window_is_exactly_fifty(plans):
+def test_catalog_fits_driver_window_completely(plans):
     # the driver evaluates the FIRST 50 registered queries (observed r3:
-    # 69 registered -> 50 CORRECTNESS rows); those 50 slots are all
-    # driver-green and must never move — by NAME AND POSITION.
-    # catalog/extensions.py registers past the window (r8:
-    # dsir_importance, crawl_extract_suite) — local-oracle-checked via
-    # tools/check_oracle.py, invisible to the driver, still under every
-    # plan invariant in this file via the shared `plans` fixture.
+    # 69 registered -> 50 CORRECTNESS rows). As of r13 wave 2 the whole
+    # catalog fits INSIDE the window (49 entries, one spare slot), so
+    # every capability is officially driver-gated — nothing registers
+    # past the cap, and the order is pinned by NAME AND POSITION
+    # (rebinding a slot silently rebinds its CORRECTNESS row).
     names = list(CATALOG)
-    assert names[:50] == DRIVER_WINDOW
-    assert names[50:] == [
-        "crawl_extract_suite",
-        "video_phash_dedup", "audio_fp_dedup", "corpus_drift_suite",
-        "pmi_collocations",
-        "score_bucket_suite", "unimax_suite", "phonetic_soundex_suite",
-        "jaro_linkage_suite", "markov_transitions",
-        "geo_cluster_suite",
-    ]
+    assert len(names) == 50
+    assert names == DRIVER_WINDOW
 
 
 def test_no_cartesian_product_anywhere(plans):

@@ -219,3 +219,91 @@ def test_sketch_plan_shapes(spark):
     )
     assert "BroadcastHashJoin" in p2 or "BroadcastExchange" in p2
     assert "CartesianProduct" not in p2
+
+
+def test_cms_estimate_overcounts_and_is_tight_at_depth(spark):
+    """CMS point estimates: est >= exact ALWAYS (each occurrence
+    increments every row's cell), and at depth 4 / width 4096 over a
+    small vocabulary the min over rows recovers the exact count for
+    every token (an all-rows collision for one token has ~(v/w)^4
+    probability — with v=400, w=4096 that's ~1e-8 per token against a
+    FIXED hash function, deterministic here)."""
+    from kafka_streams_task_spark.operators.sketch import (
+        cms_estimate,
+        count_min_table,
+    )
+
+    rng = random.Random(13)
+    docs = _corpus(spark, rng, n_docs=150, vocab=400)
+    cms = count_min_table(docs, depth=4, width=4096)
+    probes = (
+        docs.select(F.explode(F.split(F.trim("text"), r"[ \t\n\r\f]+")).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    est = {r["token"]: r["est"] for r in cms_estimate(cms, probes).collect()}
+    exact = {}
+    for r in docs.collect():
+        for t in r["text"].split():
+            exact[t] = exact.get(t, 0) + 1
+    assert set(est) == set(exact)
+    for t, n in exact.items():
+        assert est[t] >= n, (t, est[t], n)
+        assert est[t] == n, f"collision across all 4 rows for {t}"
+
+
+def test_cms_collision_regime_still_overcounts(spark):
+    """Tiny width forces collisions; the estimate stays an overcount and
+    never an undercount."""
+    from kafka_streams_task_spark.operators.sketch import (
+        cms_estimate,
+        count_min_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c d e f g h")], "doc_id long, text string"
+    )
+    cms = count_min_table(docs, depth=2, width=4)
+    probes = (
+        docs.select(F.explode(F.split(F.trim("text"), r"[ \t\n\r\f]+")).alias("token"))
+        .distinct()
+    )
+    est = {r["token"]: r["est"] for r in cms_estimate(cms, probes, depth=2, width=4).collect()}
+    exact = {"a": 2, "b": 2, "c": 1, "d": 1, "e": 1, "f": 1, "g": 1, "h": 1}
+    assert all(est[t] >= n for t, n in exact.items()), est
+    # pigeonhole: 8 tokens into 4 columns MUST share cells somewhere
+    assert any(est[t] > n for t, n in exact.items()), est
+
+
+def test_cms_merge_equals_union_sketch(spark):
+    """Cell-wise merge identity: cms(A) + cms(B) == cms(A union B),
+    cell for cell — the property that makes shard-parallel and
+    streaming construction lossless."""
+    from kafka_streams_task_spark.operators.sketch import (
+        count_min_table,
+        merge_cms_tables,
+    )
+
+    rng = random.Random(5)
+    a = _corpus(spark, rng, n_docs=40, vocab=120)
+    b = _corpus(spark, rng, n_docs=40, vocab=120)
+    merged = {
+        (r["row"], r["col"]): r["c"]
+        for r in merge_cms_tables(
+            count_min_table(a, depth=3, width=256),
+            count_min_table(b, depth=3, width=256),
+        ).collect()
+    }
+    union = {
+        (r["row"], r["col"]): r["c"]
+        for r in count_min_table(a.unionByName(b), depth=3, width=256).collect()
+    }
+    assert merged == union
+
+
+def test_cms_validation(spark):
+    from kafka_streams_task_spark.operators.sketch import count_min_table
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="depth/width"):
+        count_min_table(docs, depth=0)
