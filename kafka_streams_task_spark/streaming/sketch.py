@@ -29,7 +29,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["streaming_top_tokens", "read_top_tokens"]
+__all__ = [
+    "read_token_frequencies",
+    "read_top_tokens",
+    "streaming_token_frequencies",
+    "streaming_top_tokens",
+]
 
 _PFX = "summary_v"
 
@@ -92,3 +97,77 @@ def read_top_tokens(spark: SparkSession, state_dir: str, k: int = 20) -> DataFra
     return top.withColumn("rank", F.row_number().over(w)).select(
         "token", "lower_bound", "rank"
     )
+
+
+_CMS_PFX = "cms_v"
+
+
+def streaming_token_frequencies(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    depth: int = 4,
+    width: int = 4096,
+    text_col: str = "text",
+):
+    """Maintain a cumulative count-min sketch over a document stream —
+    the point-frequency twin of :func:`streaming_top_tokens`. Unlike the
+    MG merge, the CMS merge (cell-wise sum) is EXACT: the committed
+    sketch after batch N is bit-identical to the batch
+    :func:`~..operators.sketch.count_min_table` over everything ingested
+    so far (pinned by tests/test_sketch.py), so estimates from
+    :func:`read_token_frequencies` carry the standard one-pass CMS
+    guarantee (est >= true cumulative count; overcount bounded by the
+    colliding mass in the min row) forever, in O(depth x width) state
+    per version.
+
+    Exactly-once under foreachBatch's at-least-once contract via the
+    family's versioned-parquet protocol (``streaming/state.py``):
+    overwrite-idempotent versions, redelivered batches skip wholesale,
+    state dir bound to its checkpoint."""
+    from ..operators.sketch import count_min_table, merge_cms_tables
+    from .state import bind_state_to_checkpoint, committed_versions
+
+    bind_state_to_checkpoint(stream.sparkSession, state_dir, checkpoint_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        versions = committed_versions(spark, state_dir, _CMS_PFX)
+        if batch_id in versions:
+            return  # redelivery: this batch's sketch is already durable
+        prev = [v for v in versions if v < batch_id]
+        batch_cms = count_min_table(batch_df, text_col, depth, width)
+        if prev:
+            committed = spark.read.parquet(f"{state_dir}/{_CMS_PFX}{max(prev)}")
+            merged = merge_cms_tables(committed, batch_cms)
+        else:
+            merged = batch_cms
+        merged.write.mode("overwrite").parquet(f"{state_dir}/{_CMS_PFX}{batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_token_frequencies(
+    spark: SparkSession,
+    state_dir: str,
+    probes: DataFrame,
+    depth: int = 4,
+    width: int = 4096,
+) -> DataFrame:
+    """Point-frequency estimates ``(token, est)`` for a probe relation
+    against the latest committed cumulative sketch. ``depth``/``width``
+    must match the stream's build parameters. Raises if no sketch has
+    committed yet."""
+    from ..operators.sketch import cms_estimate
+    from .state import committed_versions
+
+    versions = committed_versions(spark, state_dir, _CMS_PFX)
+    if not versions:
+        raise ValueError(f"no committed sketch under {state_dir}")
+    cms = spark.read.parquet(f"{state_dir}/{_CMS_PFX}{max(versions)}")
+    return cms_estimate(cms, probes, depth=depth, width=width)

@@ -307,3 +307,71 @@ def test_cms_validation(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="depth/width"):
         count_min_table(docs, depth=0)
+
+
+def test_streaming_cms_equals_batch_and_replay_noop(spark, tmpdir):
+    """Streaming CMS: after two micro-batches the committed sketch is
+    CELL-IDENTICAL to the batch sketch over both batches' data (the
+    merge is exact, unlike the MG trim), estimates reflect cumulative
+    counts, and replaying the input is a no-op."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from kafka_streams_task_spark.operators.sketch import count_min_table
+    from kafka_streams_task_spark.streaming.sketch import (
+        read_token_frequencies,
+        streaming_token_frequencies,
+    )
+
+    b0 = [{"doc_id": 1, "text": "x x y"}]
+    b1 = [{"doc_id": 2, "text": "x z z z"}]
+    src = f"{tmpdir}/cms_in"
+    os.makedirs(src)
+    for i, rows in enumerate((b0, b1)):
+        with open(f"{src}/b{i}.json", "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows))
+        os.utime(f"{src}/b{i}.json", (1000000000 + i * 100,) * 2)
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    state = f"{tmpdir}/cms_state"
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+        )
+        q = streaming_token_frequencies(
+            stream, state, ck, depth=3, width=64
+        )
+        q.awaitTermination(120)
+
+    run(f"{tmpdir}/cms_ckpt")
+    probes = spark.createDataFrame([("x",), ("y",), ("z",)], ["token"])
+    est = {
+        r["token"]: r["est"]
+        for r in read_token_frequencies(spark, state, probes, depth=3, width=64).collect()
+    }
+    # cumulative counts across BOTH batches (width 64, 3 tokens: no collisions)
+    assert est == {"x": 3, "y": 1, "z": 3}, est
+    # cell-identical to the batch sketch over the union
+    both = spark.createDataFrame(
+        [(1, "x x y"), (2, "x z z z")], "doc_id long, text string"
+    )
+    batch = {
+        (r["row"], r["col"]): r["c"]
+        for r in count_min_table(both, depth=3, width=64).collect()
+    }
+    latest = {
+        (r["row"], r["col"]): r["c"]
+        for r in spark.read.parquet(f"{state}/cms_v1").collect()
+    }
+    assert latest == batch
+    # replay no-op
+    run(f"{tmpdir}/cms_ckpt")
+    est2 = {
+        r["token"]: r["est"]
+        for r in read_token_frequencies(spark, state, probes, depth=3, width=64).collect()
+    }
+    assert est2 == est
