@@ -37,8 +37,11 @@ def test_every_catalog_query_runs_and_returns_rows(spark, sf_dir):
     # 72 (heavy_hitter_suite extension)
     # r13: 72 -> 61 (six stats singles -> stats_family_suite; eight
     # window singles -> profile_agg/window_family/relational_misc
-    # suites + the llm_dedup_join_suite xlink leg)
-    assert len(CATALOG) == 61
+    # suites + the llm_dedup_join_suite xlink leg); wave 2: 61 -> 50
+    # (perceptual/geo/model-eval/linkage/mixing/corpus-stats/text-profile
+    # umbrellas + the new cms_freq_suite) — the catalog now fills the
+    # driver window EXACTLY, every capability officially gated
+    assert len(CATALOG) == 50
     for name, spec in sorted(CATALOG.items()):
         assert spec.oracle is not None, f"{name} lost its oracle"
         n = spec.fn(spark, sf_dir).count()
@@ -88,8 +91,10 @@ def test_llm_suite_legs_individually(spark, sf_dir):
         ),
         "dedup_join": (
             llm_dedup_join_suite,
+            # r13: + the 'xlink' cross-corpus linkage leg
+            # (dedup_crosscorpus_linkage folded in)
             {"decontam", "bloomdtm", "boilerplate", "dupspans", "semdedup",
-             "jacjoin", "editdist"},
+             "jacjoin", "editdist", "xlink"},
         ),
     }
     expected_canary = sorted(tuple(r) for r in _canary_rows(_SUITE_COLS))
