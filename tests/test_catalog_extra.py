@@ -302,3 +302,35 @@ def test_llm_suite_legs_individually(spark, sf_dir):
             )
     if n_docs is not None:
         assert len(legs["boilerplate"]) == n_docs
+
+
+def test_r13_umbrella_suites_leg_tags(spark, sf_dir):
+    """Diagnosability pin for the r13 umbrella folds (same discipline as
+    test_llm_suite_legs_individually): each umbrella must contain exactly
+    its folded singles' tag-prefixed legs, every leg non-empty — so a
+    break surfaces as a leg name, not an opaque suite hash mismatch."""
+    from kafka_streams_task_spark.catalog import CATALOG
+
+    def leg_prefixes(name):
+        return {
+            r["leg"].split(":")[0] if ":" in r["leg"] else r["leg"]
+            for r in CATALOG[name].fn(spark, sf_dir).select("leg").distinct().collect()
+        }
+
+    expected = {
+        "stats_family_suite": {"az", "tf", "qn", "cu", "rb", "sa"},
+        "profile_agg_suite": {"stats", "approx", "profile", "canary"},
+        "window_family_suite": {"rank", "analytic", "canary"},
+        "relational_misc_suite": {"salt", "band", "array", "canary"},
+        "perceptual_dedup_suite": {"img", "vid", "aud"},
+        "geo_suite": {"rad", "clu"},
+        "model_eval_suite": {"kn", "cls", "ret"},
+        "linkage_suite": {"sdx", "jw"},
+        "mixing_policy_suite": {"sbk", "umx"},
+        "corpus_stats_suite": {"drift", "pmi", "mkv"},
+        "text_profile_suite": {"tok", "qual", "bpe", "fp", "canary"},
+        "cms_freq_suite": {"est", "cells", "planted", "canary"},
+    }
+    for name, legs in expected.items():
+        got = leg_prefixes(name)
+        assert got == legs, f"{name}: {sorted(got)} != {sorted(legs)}"
