@@ -259,9 +259,12 @@ OPS_BASELINE_SEC = {
     # min-of-3 [1.235, 0.801, 0.798] at calib 2.18 (fast host)
     "heavy_hitter_topk": 0.80,
     # r13 first measurement: depth-4 x width-4096 CMS build +
-    # distinct-probe broadcast lookup; min-of-3 [2.817, 0.876, 0.817]
-    # same-host steady state (receipts in BENCH_BASELINE_r1.md)
-    "cms_freq": 0.82,
+    # distinct-probe broadcast lookup. Frozen from the IN-HARNESS r13
+    # run (min-of-2 [0.46, 0.367] at calib 3.521 — a slow-CPU window,
+    # so this is a conservative reproducible minimum); the standalone
+    # probe measured [2.817, 0.876, 0.817] cold (receipts in
+    # BENCH_BASELINE_r1.md)
+    "cms_freq": 0.40,
     # r8 third wave: post-model-pin steady state (pre-pin measured 4.2 —
     # the bucket-count aggs re-executed for every downstream consumer);
     # r11 re-freeze, same A/B receipt as bloom_decontaminate: r9 checkout
