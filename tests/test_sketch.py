@@ -221,6 +221,37 @@ def test_sketch_plan_shapes(spark):
     assert "CartesianProduct" not in p2
 
 
+def test_cms_plan_shapes(spark):
+    """CMS physical-plan pins: the build is PURE codegen (no Python
+    stage anywhere — the md5 row hash is a column expression) with
+    partial+final HashAggregate around one exchange whose key domain is
+    the constant (row, col) cell space; the estimate join broadcasts
+    the sketch side and never a CartesianProduct."""
+    from kafka_streams_task_spark.operators.sketch import (
+        cms_estimate,
+        count_min_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d")], "doc_id long, text string"
+    )
+    cms = count_min_table(docs, depth=3, width=64)
+    p1 = cms._jdf.queryExecution().executedPlan().toString()
+    for stage in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert stage not in p1, f"CMS build grew a Python stage: {stage}"
+    assert "partial_count" in p1  # map-side collapse to <= depth x width
+
+    probes = docs.selectExpr("explode(split(text, ' ')) AS token").distinct()
+    p2 = (
+        cms_estimate(cms, probes, depth=3, width=64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in p2
+    assert "CartesianProduct" not in p2
+    for stage in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert stage not in p2, f"CMS lookup grew a Python stage: {stage}"
+
+
 def test_cms_estimate_overcounts_and_is_tight_at_depth(spark):
     """CMS point estimates: est >= exact ALWAYS (each occurrence
     increments every row's cell), and at depth 4 / width 4096 over a
