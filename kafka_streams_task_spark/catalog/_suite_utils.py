@@ -106,3 +106,28 @@ def canary_sql(cols: list[tuple[str, str]]) -> str:
         ]
         branches.append("SELECT " + ", ".join(sels))
     return " UNION ALL ".join(branches)
+
+
+def typed_canary_sql(
+    rows: list[tuple], kinds: list[str], names: list[str]
+) -> str:
+    """Shared literal renderer for suite canary rows with an explicit SQL
+    type per column (``'VARCHAR' | 'BIGINT' | 'DOUBLE'``) — one place for
+    NULL casting and quote escaping instead of a per-suite copy (review
+    r13: five hand-rolled generators had already drifted stylistically).
+    The Spark side states the same ``rows`` via ``createDataFrame``; keep
+    double literals exact binary fractions so both engines render them
+    identically."""
+
+    def lit(v, kind: str) -> str:
+        if v is None:
+            return f"CAST(NULL AS {kind})"
+        if kind == "VARCHAR":
+            return "CAST('" + str(v).replace("'", "''") + "' AS VARCHAR)"
+        return f"CAST({v!r} AS {kind})"
+
+    return " UNION ALL ".join(
+        "SELECT "
+        + ", ".join(f"{lit(v, k)} AS {n}" for v, k, n in zip(row, kinds, names))
+        for row in rows
+    )

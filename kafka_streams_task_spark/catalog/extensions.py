@@ -5017,21 +5017,9 @@ _CMS_CANARY = [
 
 
 def _cms_canary_sql() -> str:
-    def lit(v, kind: str) -> str:
-        if v is None:
-            return f"CAST(NULL AS {kind})"
-        if kind == "VARCHAR":
-            return "CAST('" + str(v).replace("'", "''") + "' AS VARCHAR)"
-        return f"CAST({v} AS {kind})"
+    from .llm_suites import typed_canary_sql
 
-    kinds = ["VARCHAR", "VARCHAR", "BIGINT", "BIGINT", "BIGINT"]
-    names = ["leg", "k", "i1", "i2", "i3"]
-    return " UNION ALL ".join(
-        "SELECT " + ", ".join(
-            f"{lit(v, kd)} AS {nm}" for v, kd, nm in zip(row, kinds, names)
-        )
-        for row in _CMS_CANARY
-    )
+    return typed_canary_sql(_CMS_CANARY, ["VARCHAR", "VARCHAR", "BIGINT", "BIGINT", "BIGINT"], ["leg", "k", "i1", "i2", "i3"])
 
 
 def _cms_sql_cell(tok_expr: str, r_expr: str, width: int) -> str:

@@ -78,6 +78,7 @@ from ._suite_utils import (  # noqa: F401
     py_floor6,
     sql_floor6,
     sql_fmicro,
+    typed_canary_sql,
 )
 
 #: the (leg, key, s1, i1, i2) shape shared by the five thematic suites
@@ -2496,23 +2497,7 @@ _TP_CANARY = [
 
 
 def _tp_canary_sql() -> str:
-    def lit(v, kind: str) -> str:
-        if v is None:
-            return f"CAST(NULL AS {kind})"
-        if kind == "VARCHAR":
-            return "CAST('" + str(v).replace("'", "''") + "' AS VARCHAR)"
-        return f"CAST({v!r} AS {kind})"
-
-    kinds = (["VARCHAR", "BIGINT"] + ["VARCHAR"] * 3 + ["BIGINT"] * 6
-             + ["DOUBLE"] * 7)
-    names = (["leg", "key", "s1", "s2", "s3"]
-             + [f"i{j}" for j in range(1, 7)] + [f"d{j}" for j in range(1, 8)])
-    return " UNION ALL ".join(
-        "SELECT " + ", ".join(
-            f"{lit(v, kd)} AS {nm}" for v, kd, nm in zip(row, kinds, names)
-        )
-        for row in _TP_CANARY
-    )
+    return typed_canary_sql(_TP_CANARY, ["VARCHAR", "BIGINT"] + ["VARCHAR"] * 3 + ["BIGINT"] * 6 + ["DOUBLE"] * 7, ["leg", "key", "s1", "s2", "s3"] + [f"i{j}" for j in range(1, 7)] + [f"d{j}" for j in range(1, 8)])
 
 
 def _text_profile_oracle() -> str:

@@ -1488,30 +1488,23 @@ _PA_CANARY = [
 
 
 def _pa_canary_sql() -> str:
-    def lit(v, kind: str) -> str:
-        if v is None:
-            return f"CAST(NULL AS {kind})"
-        if kind == "VARCHAR":
-            return "CAST('" + str(v).replace("'", "''") + "' AS VARCHAR)"
-        return f"CAST({v!r} AS {kind})"
+    from .llm_suites import typed_canary_sql
 
-    kinds = (["VARCHAR"] * 2 + ["BIGINT"] * 3 + ["VARCHAR"] * 2 + ["DOUBLE"] * 10)
-    names = (["leg", "k", "i1", "i2", "i3", "s1", "s2"]
-             + [f"d{j}" for j in range(1, 11)])
-    return " UNION ALL ".join(
-        "SELECT " + ", ".join(
-            f"{lit(v, kd)} AS {nm}" for v, kd, nm in zip(row, kinds, names)
-        )
-        for row in _PA_CANARY
-    )
+    return typed_canary_sql(_PA_CANARY, ["VARCHAR"] * 2 + ["BIGINT"] * 3 + ["VARCHAR"] * 2 + ["DOUBLE"] * 10, ["leg", "k", "i1", "i2", "i3", "s1", "s2"] + [f"d{j}" for j in range(1, 11)])
+
+
+#: ONE list drives the 'stats' leg's d1..d10 mapping in BOTH the oracle
+#: wrapper and the Spark projection (review r13: two copies could silently
+#: desynchronize into a driver hash mismatch) — the _SF_PARTS discipline.
+_PA_STATS_D = ["min_qty", "max_qty", "avg_price", "sd_qty", "corr_qty_price",
+               "covar_qty_price", "var_disc", "med_qty", "p90_qty", "p99_price"]
 
 
 def _profile_agg_oracle() -> str:
     from .llm import _APPROX_AGG_ORACLE
     from .llm_suites import _PROFILE_COLS_ORACLE
 
-    stats_d = ["min_qty", "max_qty", "avg_price", "sd_qty", "corr_qty_price",
-               "covar_qty_price", "var_disc", "med_qty", "p90_qty", "p99_price"]
+    stats_d = _PA_STATS_D
     nd = ", ".join(f"CAST(NULL AS DOUBLE) AS d{j}" for j in range(2, 11))
     return f"""
     SELECT CAST('stats' AS VARCHAR) AS leg, CAST(l_returnflag AS VARCHAR) AS k,
@@ -1564,8 +1557,7 @@ def profile_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     nul = F.lit(None).cast("long")
     nus = F.lit(None).cast("string")
     nud = F.lit(None).cast("double")
-    stats_d = ["min_qty", "max_qty", "avg_price", "sd_qty", "corr_qty_price",
-               "covar_qty_price", "var_disc", "med_qty", "p90_qty", "p99_price"]
+    stats_d = _PA_STATS_D
     stats = stats_suite_by_flag(spark, sf_dir).select(
         F.lit("stats").alias("leg"),
         F.col("l_returnflag").cast("string").alias("k"),
@@ -1614,21 +1606,9 @@ _WF_CANARY = [
 
 
 def _wf_canary_sql() -> str:
-    def lit(v, kind: str) -> str:
-        if v is None:
-            return f"CAST(NULL AS {kind})"
-        return f"CAST({v!r} AS {kind})"
+    from .llm_suites import typed_canary_sql
 
-    kinds = ["VARCHAR", "BIGINT", "BIGINT", "BIGINT", "DOUBLE", "DOUBLE"]
-    names = ["leg", "key", "i1", "i2", "d1", "d2"]
-    return " UNION ALL ".join(
-        "SELECT " + ", ".join(
-            (f"CAST('{row[0]}' AS VARCHAR) AS leg" if nm == "leg"
-             else f"{lit(v, kd)} AS {nm}")
-            for v, kd, nm in zip(row, kinds, names)
-        )
-        for row in _WF_CANARY
-    )
+    return typed_canary_sql(_WF_CANARY, ["VARCHAR", "BIGINT", "BIGINT", "BIGINT", "DOUBLE", "DOUBLE"], ["leg", "key", "i1", "i2", "d1", "d2"])
 
 
 def _window_family_oracle() -> str:
@@ -1690,21 +1670,9 @@ _RM_CANARY = [
 
 
 def _rm_canary_sql() -> str:
-    def lit(v, kind: str) -> str:
-        if v is None:
-            return f"CAST(NULL AS {kind})"
-        if kind == "VARCHAR":
-            return "CAST('" + str(v).replace("'", "''") + "' AS VARCHAR)"
-        return f"CAST({v!r} AS {kind})"
+    from .llm_suites import typed_canary_sql
 
-    kinds = ["VARCHAR", "BIGINT", "VARCHAR", "VARCHAR", "BIGINT", "DOUBLE", "DOUBLE"]
-    names = ["leg", "key", "s1", "s2", "i1", "d1", "d2"]
-    return " UNION ALL ".join(
-        "SELECT " + ", ".join(
-            f"{lit(v, kd)} AS {nm}" for v, kd, nm in zip(row, kinds, names)
-        )
-        for row in _RM_CANARY
-    )
+    return typed_canary_sql(_RM_CANARY, ["VARCHAR", "BIGINT", "VARCHAR", "VARCHAR", "BIGINT", "DOUBLE", "DOUBLE"], ["leg", "key", "s1", "s2", "i1", "d1", "d2"])
 
 
 def _relational_misc_oracle() -> str:

@@ -62,9 +62,12 @@ def misra_gries_candidates(
 
     One mapInPandas stage holding a summary of at most ``capacity``
     counters per partition ACROSS Arrow batches (the iterator closure
-    carries it), so memory is O(capacity + batch distinct tokens)
-    regardless of the partition's total distinct-token count — the
-    property a spilling hash aggregate does not have.
+    carries it): persistent state is O(capacity) regardless of the
+    partition's total distinct-token count — the property a spilling
+    hash aggregate does not have. Transient memory per batch is
+    O(batch text bytes) (the joined string + split token list + the
+    batch's distinct-count table all materialize briefly), bounded by
+    the Arrow batch size, not by the partition.
 
     Vectorized formulation (r13, VERDICT r12 item 2): instead of the
     per-token serial MG loop, each Arrow batch is counted exactly with
@@ -288,27 +291,47 @@ def cms_estimate(
 ) -> DataFrame:
     """Point-frequency estimates for a probe relation: ``(token, est)``
     with ``est = min over rows of the token's counter`` (0 for cells the
-    corpus never touched). ``est >= true count`` ALWAYS (each counted
-    occurrence increments every row's cell); collisions only inflate.
-    ``depth``/``width`` must match the sketch's build parameters.
+    corpus never touched). ``est >= true count`` whenever ``width``
+    matches the sketch's build width (each counted occurrence increments
+    every row's cell; collisions only inflate). NULL probe tokens are
+    dropped — the sketch never counted them, and hashing NULL would
+    fabricate a row (review r13).
+
+    A ``depth`` LARGER than the build depth cannot break the guarantee:
+    probe rows absent from the sketch entirely are pruned before the min
+    (a consulted-but-never-built row would otherwise read 0 and invert
+    the overcount contract — review r13). A mismatched ``width`` is
+    structurally undetectable from the counter table alone and WILL
+    produce garbage — callers persisting sketches (streaming state)
+    must persist the build parameters with them.
 
     Scale shape: probes explode to depth rows each and equi-join the
     (<= depth x width)-row sketch — broadcast the sketch side for any
     realistic width; no scan of the original corpus."""
-    pc = probes.select(
-        F.col(token_col).alias("token"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(r).cast("int").alias("row"),
-                        _cms_cell(F.col(token_col), r, width).alias("col"),
-                    )
-                    for r in range(depth)
-                ]
-            )
-        ).alias("rc"),
-    ).select("token", F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
+    pc = (
+        probes.filter(F.col(token_col).isNotNull())
+        .select(
+            F.col(token_col).alias("token"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).cast("int").alias("row"),
+                            _cms_cell(F.col(token_col), r, width).alias("col"),
+                        )
+                        for r in range(depth)
+                    ]
+                )
+            ).alias("rc"),
+        )
+        .select("token", F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+    )
+    # only consult rows the sketch was actually built with (<= depth
+    # distinct values — a broadcast semi-join against a tiny relation)
+    built_rows = cms.select("row").distinct()
+    pc = pc.join(F.broadcast(built_rows), on="row", how="left_semi")
     joined = pc.join(F.broadcast(cms), on=["row", "col"], how="left")
     return joined.groupBy("token").agg(
         F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est")

@@ -406,3 +406,25 @@ def test_streaming_cms_equals_batch_and_replay_noop(spark, tmpdir):
         for r in read_token_frequencies(spark, state, probes, depth=3, width=64).collect()
     }
     assert est2 == est
+
+
+def test_cms_estimate_edge_contracts(spark):
+    """Review-r13 pins: (a) probing with a LARGER depth than the build
+    prunes never-built rows instead of reading 0 (the overcount contract
+    survives a depth mismatch); (b) NULL probe tokens are dropped, never
+    hashed into a fabricated estimate; (c) parameters validate."""
+    from kafka_streams_task_spark.operators.sketch import (
+        cms_estimate,
+        count_min_table,
+    )
+
+    docs = spark.createDataFrame([(1, "a a b")], "doc_id long, text string")
+    cms = count_min_table(docs, depth=2, width=64)
+    probes = spark.createDataFrame([("a",), ("b",), (None,)], ["token"])
+    est = {
+        r["token"]: r["est"]
+        for r in cms_estimate(cms, probes, depth=8, width=64).collect()
+    }
+    assert est == {"a": 2, "b": 1}, est  # no NULL row, no zeroed undercount
+    with pytest.raises(ValueError, match="depth/width"):
+        cms_estimate(cms, probes, depth=0, width=64)
