@@ -2444,9 +2444,10 @@ def data_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT and VARCHAR is engine-identical; DOUBLE/TIMESTAMP rendering
     is not, so those columns stay pytest-gated). The HLL distinct count
     is engine-specific, so the driver-checkable claim is the tolerance
-    gate: within 5% of the exact per-column distinct count computed in
-    the same plan (the approx_aggregates precedent — HLL++ default
-    rsd = 0.05)."""
+    gate: within 15% (3 sigma of HLL++'s default rsd = 0.05 — holds at
+    every scale factor, r13; identical gated value at the driver scale)
+    of the exact per-column distinct count computed in the same plan
+    (the approx_aggregates precedent)."""
     from ..operators.expectations import profile_columns
 
     cols = ["event_id", "user_id", "event_type"]
@@ -2473,7 +2474,7 @@ def data_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.abs(F.col("n_distinct_approx") - F.col("n_distinct_exact"))
                 / F.col("n_distinct_exact")
-                <= 0.05
+                <= 0.15
             ).cast("long").alias("distinct_ok"),
         )
     )
