@@ -515,7 +515,17 @@ def similarity_knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     after switching PQ to RESIDUAL coding (Jégou et al. §III-B — codes
     carry x_norm - c_norm(list), the exact q·c term rides with the query)
     and widening probing/rerank: ADC top-96 exactly reranked. Measured
-    per-query recall at the driver scale: min 0.8, mean 0.92 (both legs)."""
+    per-query recall at the driver scale: min 0.8, mean 0.92 (both legs).
+
+    SCALE CONTRACT (r13, measured): the 0.8 floor is a DRIVER-SCALE gate
+    under these FIXED parameters (16 lists / 12 probes / rerank 96). At
+    sf0.1 (10x vectors, same near-uniform distribution) the PQ legs'
+    recall drops below 0.8 for 3 of 10 queries — coarse-probe-bound, as
+    the sf0.01 audit predicted. Production sizing follows the operator
+    docstrings' sqrt(N) rule (n_clusters ~ sqrt(corpus), n_probe scaled
+    proportionally), which keeps per-list mass and probe coverage
+    constant as the corpus grows; the gate deliberately pins fixed
+    parameters so the driver value is deterministic round over round."""
     from ..operators.similarity import knn_ivf, knn_ivf_pq
 
     emb = load_table(spark, sf_dir, "embeddings")
