@@ -124,14 +124,19 @@ def streaming_token_frequencies(
     Exactly-once under foreachBatch's at-least-once contract via the
     family's versioned-parquet protocol (``streaming/state.py``):
     overwrite-idempotent versions, redelivered batches skip wholesale,
-    state dir bound to its checkpoint."""
+    state dir bound to its checkpoint. The build parameters persist WITH
+    the state (``cms_meta``) and are validated on every batch and every
+    read — a mismatched ``width`` against durable counters would produce
+    silent garbage (review r13), so it raises instead."""
     from ..operators.sketch import count_min_table, merge_cms_tables
     from .state import bind_state_to_checkpoint, committed_versions
 
     bind_state_to_checkpoint(stream.sparkSession, state_dir, checkpoint_dir)
+    _check_or_write_cms_meta(stream.sparkSession, state_dir, depth, width)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _check_or_write_cms_meta(spark, state_dir, depth, width)
         versions = committed_versions(spark, state_dir, _CMS_PFX)
         if batch_id in versions:
             return  # redelivery: this batch's sketch is already durable
@@ -152,20 +157,57 @@ def streaming_token_frequencies(
     )
 
 
+def _check_or_write_cms_meta(
+    spark: SparkSession, state_dir: str, depth: int, width: int
+) -> None:
+    """Persist (depth, width) beside the versioned sketches on first
+    contact; afterwards REFUSE any caller whose parameters disagree with
+    the durable state (hashing with a different width reads arbitrary
+    cells — a silent-garbage mode, review r13)."""
+    import os
+
+    meta_path = f"{state_dir}/cms_meta"
+    if os.path.exists(meta_path):
+        row = spark.read.parquet(meta_path).collect()[0]
+        if (row["depth"], row["width"]) != (depth, width):
+            raise ValueError(
+                f"CMS state at {state_dir} was built with depth="
+                f"{row['depth']}/width={row['width']}; got {depth}/{width}"
+            )
+    else:
+        spark.createDataFrame(
+            [(int(depth), int(width))], "depth int, width int"
+        ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+
+
 def read_token_frequencies(
     spark: SparkSession,
     state_dir: str,
     probes: DataFrame,
-    depth: int = 4,
-    width: int = 4096,
+    depth: int | None = None,
+    width: int | None = None,
 ) -> DataFrame:
     """Point-frequency estimates ``(token, est)`` for a probe relation
     against the latest committed cumulative sketch. ``depth``/``width``
-    must match the stream's build parameters. Raises if no sketch has
-    committed yet."""
+    default to the build parameters persisted with the state
+    (``cms_meta``); passing values that disagree with the durable state
+    raises rather than reading garbage cells (review r13). Raises if no
+    sketch has committed yet."""
+    import os
+
     from ..operators.sketch import cms_estimate
     from .state import committed_versions
 
+    meta_path = f"{state_dir}/cms_meta"
+    if os.path.exists(meta_path):
+        row = spark.read.parquet(meta_path).collect()[0]
+        depth = row["depth"] if depth is None else depth
+        width = row["width"] if width is None else width
+        _check_or_write_cms_meta(spark, state_dir, depth, width)
+    elif depth is None or width is None:
+        raise ValueError(
+            f"no cms_meta under {state_dir}; pass depth/width explicitly"
+        )
     versions = committed_versions(spark, state_dir, _CMS_PFX)
     if not versions:
         raise ValueError(f"no committed sketch under {state_dir}")

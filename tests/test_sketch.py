@@ -406,6 +406,16 @@ def test_streaming_cms_equals_batch_and_replay_noop(spark, tmpdir):
         for r in read_token_frequencies(spark, state, probes, depth=3, width=64).collect()
     }
     assert est2 == est
+    # r13 review hardening: build parameters persist with the state —
+    # omitting them reads the durable values; disagreeing raises instead
+    # of silently hashing into garbage cells
+    est3 = {
+        r["token"]: r["est"]
+        for r in read_token_frequencies(spark, state, probes).collect()
+    }
+    assert est3 == est
+    with pytest.raises(ValueError, match="built with depth"):
+        read_token_frequencies(spark, state, probes, depth=3, width=128)
 
 
 def test_cms_estimate_edge_contracts(spark):
