@@ -1540,8 +1540,9 @@ def profile_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (min/max/count/countDistinct/stddev, corr/covar/variance,
                 exact continuous percentiles) per l_returnflag;
     'approx'  — approx_aggregates: the 100 TB approximate toolkit
-                (HLL++ distinct counts, quantile sketches) gated to 5%
-                relative error against the exact aggregates in-plan;
+                (HLL++ distinct counts, quantile sketches) gated to 15%
+                relative error (3 sigma of the sketches' configured
+                accuracy) against the exact aggregates in-plan;
     'profile' — data_profile_columns: the one-pass per-column profile
                 (nulls, HLL distincts vs exact gate, min/max-as-string)
                 over the events table;

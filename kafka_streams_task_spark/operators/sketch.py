@@ -298,9 +298,13 @@ def cms_estimate(
     fabricate a row (review r13).
 
     A ``depth`` LARGER than the build depth cannot break the guarantee:
-    probe rows absent from the sketch entirely are pruned before the min
-    (a consulted-but-never-built row would otherwise read 0 and invert
-    the overcount contract — review r13). A mismatched ``width`` is
+    the min consults only rows the sketch actually contains (a
+    consulted-but-never-built row would otherwise read 0 and invert the
+    overcount contract — review r13). An EMPTY sketch (zero-token
+    corpus) has no built rows at all, so every probe falls through to
+    est=0 — correct, the true cumulative count is 0 (review r13: the
+    earlier semi-join prune returned an empty frame instead). A
+    mismatched ``width`` is
     structurally undetectable from the counter table alone and WILL
     produce garbage — callers persisting sketches (streaming state)
     must persist the build parameters with them.
@@ -329,12 +333,16 @@ def cms_estimate(
         .select("token", F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
     )
     # only consult rows the sketch was actually built with (<= depth
-    # distinct values — a broadcast semi-join against a tiny relation)
-    built_rows = cms.select("row").distinct()
-    pc = pc.join(F.broadcast(built_rows), on="row", how="left_semi")
+    # distinct values — a tiny broadcast relation); a probe row the
+    # sketch never built contributes NULL (min skips it), and a probe
+    # whose EVERY row is unbuilt — the empty-sketch case — coalesces to
+    # the contract's est=0
+    built_rows = cms.select("row").distinct().withColumn("_built", F.lit(1))
+    pc = pc.join(F.broadcast(built_rows), on="row", how="left")
     joined = pc.join(F.broadcast(cms), on=["row", "col"], how="left")
+    consulted = F.when(F.col("_built") == 1, F.coalesce(F.col("c"), F.lit(0)))
     return joined.groupBy("token").agg(
-        F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est")
+        F.coalesce(F.min(consulted), F.lit(0)).cast("long").alias("est")
     )
 
 

@@ -163,11 +163,19 @@ def _check_or_write_cms_meta(
     """Persist (depth, width) beside the versioned sketches on first
     contact; afterwards REFUSE any caller whose parameters disagree with
     the durable state (hashing with a different width reads arbitrary
-    cells — a silent-garbage mode, review r13)."""
-    import os
+    cells — a silent-garbage mode, review r13). Probed through the
+    Hadoop FS API so non-local state dirs (hdfs://, s3a://) validate too.
+
+    Single-writer contract: like every versioned-parquet state dir, the
+    meta is owned by ONE streaming query (``bind_state_to_checkpoint``
+    binds the dir to one checkpoint for life). Two writers racing the
+    first-contact write with different parameters is outside that
+    contract and is not detected here — the loser's parameters would be
+    overwritten, then refused on its NEXT batch."""
+    from .state import path_exists
 
     meta_path = f"{state_dir}/cms_meta"
-    if os.path.exists(meta_path):
+    if path_exists(spark, meta_path):
         row = spark.read.parquet(meta_path).collect()[0]
         if (row["depth"], row["width"]) != (depth, width):
             raise ValueError(
@@ -193,13 +201,11 @@ def read_token_frequencies(
     (``cms_meta``); passing values that disagree with the durable state
     raises rather than reading garbage cells (review r13). Raises if no
     sketch has committed yet."""
-    import os
-
     from ..operators.sketch import cms_estimate
-    from .state import committed_versions
+    from .state import committed_versions, path_exists
 
     meta_path = f"{state_dir}/cms_meta"
-    if os.path.exists(meta_path):
+    if path_exists(spark, meta_path):
         row = spark.read.parquet(meta_path).collect()[0]
         depth = row["depth"] if depth is None else depth
         width = row["width"] if width is None else width

@@ -12,6 +12,17 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 
+def path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe through the Hadoop FS API, so state dirs on ANY
+    reachable scheme (file://, hdfs://, s3a://) resolve correctly —
+    ``os.path.exists`` on a non-local URI is always False and silently
+    disables whatever check rides on it (review r13)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
 def committed_versions(spark: SparkSession, root_dir: str, pfx: str) -> list[int]:
     """Sorted versions N for which ``{root_dir}/{pfx}{N}/_SUCCESS``
     exists — i.e. fully committed parquet state directories."""

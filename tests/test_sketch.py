@@ -438,3 +438,23 @@ def test_cms_estimate_edge_contracts(spark):
     assert est == {"a": 2, "b": 1}, est  # no NULL row, no zeroed undercount
     with pytest.raises(ValueError, match="depth/width"):
         cms_estimate(cms, probes, depth=0, width=64)
+
+
+def test_cms_estimate_empty_sketch_reads_zero(spark):
+    """Review-r13 ADVICE pin: an EMPTY sketch (zero-token corpus) reads
+    est=0 for every probe — the documented untouched-cells-are-zero
+    contract — instead of pruning all probe rows into an empty frame."""
+    from kafka_streams_task_spark.operators.sketch import (
+        cms_estimate,
+        count_min_table,
+    )
+
+    docs = spark.createDataFrame([(1, "   ")], "doc_id long, text string")
+    cms = count_min_table(docs, depth=2, width=64)
+    assert cms.count() == 0
+    probes = spark.createDataFrame([("a",), ("b",)], ["token"])
+    est = {
+        r["token"]: r["est"]
+        for r in cms_estimate(cms, probes, depth=2, width=64).collect()
+    }
+    assert est == {"a": 0, "b": 0}, est
