@@ -517,15 +517,16 @@ def similarity_knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     and widening probing/rerank: ADC top-96 exactly reranked. Measured
     per-query recall at the driver scale: min 0.8, mean 0.92 (both legs).
 
-    SCALE CONTRACT (r13, measured): the 0.8 floor is a DRIVER-SCALE gate
-    under these FIXED parameters (16 lists / 12 probes / rerank 96). At
-    sf0.1 (10x vectors, same near-uniform distribution) the PQ legs'
-    recall drops below 0.8 for 3 of 10 queries — coarse-probe-bound, as
-    the sf0.01 audit predicted. Production sizing follows the operator
-    docstrings' sqrt(N) rule (n_clusters ~ sqrt(corpus), n_probe scaled
-    proportionally), which keeps per-list mass and probe coverage
-    constant as the corpus grows; the gate deliberately pins fixed
-    parameters so the driver value is deterministic round over round."""
+    SCALE CONTRACT: this FOLDED single keeps the historical FIXED
+    parameters (16 lists / 12 probes / rerank 96), which the r13 sf0.1
+    sweep showed dropping below the 0.8 floor for 3/10 queries at 10x
+    the driver scale — coarse-probe-bound, as the sf0.01 audit
+    predicted. The DRIVER-GATED path (similarity_knn_suite) no longer
+    has that contract: r14 sizes its parameters from the corpus count
+    via ``operators.similarity.ivf_scale_params`` (the executable
+    sqrt(N) rule), and the same 0.8 gate holds at sf0.01 AND sf0.1.
+    The count-driven parameters are exactly as deterministic as fixed
+    ones (the count is exact, seeds fixed)."""
     from ..operators.similarity import knn_ivf, knn_ivf_pq
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -2300,18 +2300,24 @@ def similarity_knn_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     >= 0.4 (4 planes x 8 tables on the driver's near-uniform synthetic
     embeddings — see the r5 slot docstring for the floor rationale).
 
-    'ivf' / 'ivfpq' — IVF (sampled-kmeans coarse quantizer, 12/16 lists
-    probed, exact rerank) and residual-coded IVF-PQ (ADC top-96 exact
-    rerank): per-query recall >= 0.8 (deterministic under fixed seeds;
-    measured min 0.8 / mean 0.92).
+    'ivf' / 'ivfpq' — IVF (sampled-kmeans coarse quantizer, exact rerank
+    inside probed lists) and residual-coded IVF-PQ (ADC shortlist, exact
+    rerank): per-query recall >= 0.8. r14: parameters are SCALE-AWARE —
+    ``ivf_scale_params(count)`` sizes n_clusters/n_probe/rerank_k by the
+    sqrt(N) rule (2*isqrt(N) lists, constant probe fraction, shortlist
+    tracking the candidate count), so the SAME gate holds at sf0.01
+    (N=500 -> 44/33/96) and sf0.1 (N=2000 -> 88/66/200) — the r13 sweep
+    showed the previous fixed 16/12/96 failing 3/10 queries at sf0.1.
+    Deterministic: the count is exact, the kmeans sample and seeds are
+    fixed, ranking tie-breaks on ids.
 
     'persisted' — build_ivfpq_index + knn_ivf_pq_from_index: the index
     is built ONCE to a scratch directory (PARTITIONED BY coarse list —
     the build-once/query-many 100 TB serving pattern), then queried with
-    the same params as 'ivfpq' and gated at the same floor; pytest pins
-    bit-exact equality of the two paths, this leg makes the driver see
-    it. The gate result is localCheckpoint-materialized so the scratch
-    index can be deleted before the driver collects.
+    the same scale-aware params as 'ivfpq' and gated at the same floor;
+    pytest pins bit-exact equality of the two paths, this leg makes the
+    driver see it. The gate result is collect-materialized so the
+    scratch index can be deleted before the driver collects.
     """
     import shutil
     import tempfile
@@ -2319,12 +2325,14 @@ def similarity_knn_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.similarity import (
         build_ivfpq_index,
+        ivf_scale_params,
         knn_ivf,
         knn_ivf_pq,
         knn_ivf_pq_from_index,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    n_clusters, n_probe, rerank_k = ivf_scale_params(emb.count())
     q = emb.filter(F.col("vec_id") < 10)
     exact = knn_bruteforce(emb, q, k=5)
 
@@ -2346,17 +2354,26 @@ def similarity_knn_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     lsh_leg = gate_leg(knn_lsh(emb, q, k=5, n_planes=4, n_tables=8), "lsh", 0.4)
-    ivf_leg = gate_leg(knn_ivf(emb, q, k=5, n_probe=12), "ivf", 0.8)
+    ivf_leg = gate_leg(
+        knn_ivf(emb, q, k=5, n_clusters=n_clusters, n_probe=n_probe), "ivf", 0.8
+    )
     ivfpq_leg = gate_leg(
-        knn_ivf_pq(emb, q, k=5, n_probe=12, ks=64, rerank_k=96), "ivfpq", 0.8
+        knn_ivf_pq(
+            emb, q, k=5, n_clusters=n_clusters, n_probe=n_probe,
+            ks=64, rerank_k=rerank_k,
+        ),
+        "ivfpq",
+        0.8,
     )
 
     scratch_root = Path(__file__).resolve().parents[2] / ".scratch"
     scratch_root.mkdir(exist_ok=True)
     idx_dir = tempfile.mkdtemp(prefix="knn_idx_", dir=scratch_root)
     try:
-        build_ivfpq_index(emb, idx_dir, n_clusters=16, m=8, ks=64)
-        pers = knn_ivf_pq_from_index(q, emb, idx_dir, k=5, n_probe=12, rerank_k=96)
+        build_ivfpq_index(emb, idx_dir, n_clusters=n_clusters, m=8, ks=64)
+        pers = knn_ivf_pq_from_index(
+            q, emb, idx_dir, k=5, n_probe=n_probe, rerank_k=rerank_k
+        )
         # materialize the tiny gate result (10 rows) BEFORE deleting the
         # index files — the lazy plan would otherwise re-read them at
         # driver collect time. collect + local re-create, NOT
