@@ -258,13 +258,16 @@ OPS_BASELINE_SEC = {
     # r12: MG candidates + candidate-bounded exact recount top-20;
     # min-of-3 [1.235, 0.801, 0.798] at calib 2.18 (fast host)
     "heavy_hitter_topk": 0.80,
-    # r13 first measurement: depth-4 x width-4096 CMS build +
-    # distinct-probe broadcast lookup. Frozen from the IN-HARNESS r13
-    # run (min-of-2 [0.46, 0.367] at calib 3.521 — a slow-CPU window,
-    # so this is a conservative reproducible minimum); the standalone
-    # probe measured [2.817, 0.876, 0.817] cold (receipts in
-    # BENCH_BASELINE_r1.md)
-    "cms_freq": 0.40,
+    # r14 re-freeze (VERDICT r13 item 2): the r13 freeze (0.40, from a
+    # min-of-2 in-harness run) was the low tail of the distribution —
+    # the r13 DRIVER run read 0.624 (1.56x) with no code change, and the
+    # r14 same-host A/B (receipts in BENCH_BASELINE_r1.md) shows a
+    # 0.63-0.80 steady-state band on BOTH the r13 checkout (8-trial min
+    # 0.638) and the r14 tree (6-trial min 0.634, identical
+    # distribution — the r14 cms_estimate empty-sketch rework is
+    # perf-neutral). Re-frozen at the reproducible minimum across the
+    # r13 driver run and both A/B distributions.
+    "cms_freq": 0.62,
     # r8 third wave: post-model-pin steady state (pre-pin measured 4.2 —
     # the bucket-count aggs re-executed for every downstream consumer);
     # r11 re-freeze, same A/B receipt as bloom_decontaminate: r9 checkout
@@ -1548,6 +1551,40 @@ def main() -> None:
     calib_io_sec = min(_calib_io_once(), _calib_io_once())
     print(f"# calib_io_sec: {calib_io_sec}", file=sys.stderr)
 
+    # r14 (VERDICT r13 item 3): a THIRD frozen probe for the resource the
+    # first two are blind to — the Python-worker/Arrow lane. The r13
+    # driver run drifted 1.2-1.4x uniformly on scan/shuffle queries while
+    # calib_sec read FASTER and calib_io_sec flat, i.e. neither probe
+    # carried the drifting resource; the common denominator of the top
+    # movers (multimodal decode, LSH matmuls, WARC parse) is Arrow
+    # batch transfer + pandas compute in Python workers. Fixed workload:
+    # 2M generated rows with an md5 payload through one mapInPandas
+    # round-trip (JVM -> Arrow -> pandas transform -> Arrow -> JVM) into
+    # a trivial final aggregate. Workers are already spawned by the
+    # warm-up above, so this measures steady-state lane throughput, not
+    # spin-up. min-of-2; never counts toward any total. Three-probe rule
+    # (BENCH_BASELINE_r1.md): Python/Arrow-stage comparisons normalize
+    # by calib_py_sec; a drift surviving ALL applicable probes is code.
+    def _calib_py_once() -> float:
+        t0 = time.time()
+        frame = spark.range(0, 2_000_000, 1, n_part).select(
+            F_sql.col("id"),
+            F_sql.md5(F_sql.col("id").cast("string")).alias("payload"),
+        )
+
+        def _transform(it):
+            for pdf in it:
+                pdf["h"] = pdf["payload"].str.len() + (pdf["id"] % 7)
+                yield pdf[["id", "h"]]
+
+        frame.mapInPandas(_transform, "id long, h long").agg(
+            F_sql.count(F_sql.lit(1)), F_sql.max("h")
+        ).collect()
+        return round(time.time() - t0, 3)
+
+    calib_py_sec = min(_calib_py_once(), _calib_py_once())
+    print(f"# calib_py_sec: {calib_py_sec}", file=sys.stderr)
+
     # Each query runs twice in the same session: run 1 pays one-time JVM
     # codegen/JIT compilation of that query's generated classes (seconds of
     # driver-side latency that a long-lived cluster amortizes to zero); run 2
@@ -1633,6 +1670,10 @@ def main() -> None:
                 # r12 second probe: shuffle+parquet round-trip (see the
                 # two-probe rule in BENCH_BASELINE_r1.md)
                 "calib_io_sec": calib_io_sec,
+                # r14 third probe: mapInPandas/Arrow lane round-trip (the
+                # resource the r13 uniform drift rode — see the
+                # three-probe rule in BENCH_BASELINE_r1.md)
+                "calib_py_sec": calib_py_sec,
                 # r8 non-headline ops section (r7 crawl/compliance/
                 # versioning surface); excluded from "value" so the
                 # headline total stays round-over-round comparable

@@ -805,18 +805,83 @@ def score_bucket_boundaries(
     ⇒ bucket < j), which is the only sensible generalization. The
     output is (groups x 1) rows with a <=(n_buckets-1)-element array —
     broadcastable at any real group count.
+
+    Implementation: one pass builds the (group, score, n) count table —
+    the SUFFICIENT STATISTIC for the cuts — and
+    :func:`score_boundaries_from_counts` turns it into boundaries. The
+    streaming twin (``streaming.mixing``) maintains that same count
+    table over versioned state and calls the same function, so
+    stream-maintained boundaries equal the batch fit by construction.
     """
-    if n_buckets < 1:
-        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-    bucketed = score_buckets_by_group(
-        df.select(F.col(group_col), F.col(score_col)),
+    valid = df.filter(
+        F.col(score_col).isNotNull()
+        & ~F.isnan(F.col(score_col).cast("double"))
+    )
+    counts = valid.groupBy(F.col(group_col), F.col(score_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return score_boundaries_from_counts(
+        counts,
         group_col=group_col,
         score_col=score_col,
+        count_col="n",
         n_buckets=n_buckets,
-        labels=None,
-    ).filter(F.col("bucket").isNotNull())
-    lo = bucketed.groupBy(F.col(group_col).alias("_grp"), "bucket").agg(
-        F.min(F.col(score_col).cast("double")).alias("_lo")
+    )
+
+
+def score_boundaries_from_counts(
+    counts: DataFrame,
+    group_col: str = "lang",
+    score_col: str = "score",
+    count_col: str = "n",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """Boundaries from a ``(group, score, n)`` count table — the shared
+    core of :func:`score_bucket_boundaries` (which builds the table from
+    rows) and the streaming twin (which maintains it additively across
+    micro-batches: per-batch counts merge by summing, and summing
+    commutes with everything downstream, so the cuts from the merged
+    table are EXACTLY the batch cuts over all rows ever ingested).
+
+    Same per-group rank-fraction arithmetic as
+    :func:`score_buckets_by_group`: ties occupy one bucket, cut j is the
+    smallest score any bucket >= j received, empty buckets repeat the
+    next floor. Input rows with NULL/NaN scores must already be
+    excluded (both callers do); a NULL group is its own group.
+
+    Scale shape: windows PARTITIONED BY GROUP over the distinct-score
+    table only — never a row-level pass; output is (groups x 1)."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    per = counts.select(
+        F.col(group_col).alias("_grp"),
+        F.col(score_col).alias("_s"),
+        F.col(count_col).cast("long").alias("_n"),
+    )
+    w = (
+        Window.partitionBy("_grp")
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wg = Window.partitionBy("_grp")
+    bucketed = (
+        per.withColumn(
+            "_cum", F.coalesce(F.sum("_n").over(w), F.lit(0)).cast("long")
+        )
+        .withColumn("_tot", F.sum("_n").over(wg).cast("long"))
+        .select(
+            "_grp",
+            "_s",
+            F.least(
+                F.floor(F.lit(n_buckets) * F.col("_cum") / F.col("_tot")),
+                F.lit(n_buckets - 1),
+            )
+            .cast("int")
+            .alias("bucket"),
+        )
+    )
+    lo = bucketed.groupBy("_grp", "bucket").agg(
+        F.min(F.col("_s").cast("double")).alias("_lo")
     )
     cuts = (
         lo.join(
@@ -843,7 +908,7 @@ def score_bucket_boundaries(
     # a group whose rows all tie gets no j>=1 bucket rows — emit an
     # empty cuts array for it rather than dropping the group
     all_groups = bucketed.select(
-        F.col(group_col).alias("_g")
+        F.col("_grp").alias("_g")
     ).dropDuplicates(["_g"])
     return all_groups.join(
         cuts, on=F.col("_g").eqNullSafe(F.col(group_col)), how="left"

@@ -15,6 +15,17 @@ from .drift import (
 from .gapfill import streaming_locf
 from .joins import interval_join
 from .kn import streaming_kn_filter
+from .mixing import (
+    read_score_boundaries,
+    read_score_counts,
+    streaming_score_boundaries,
+)
+from .sketch import (
+    read_token_frequencies,
+    read_top_tokens,
+    streaming_token_frequencies,
+    streaming_top_tokens,
+)
 from .pipeline import commit_batch_to_snapshot, streaming_crawl_to_snapshot
 from .topology import weather_hotels_stream, weather_rollup_stream
 
@@ -36,4 +47,11 @@ __all__ = [
     "streaming_snapshot_drift",
     "read_drift_log",
     "interval_join",
+    "streaming_score_boundaries",
+    "read_score_boundaries",
+    "read_score_counts",
+    "streaming_top_tokens",
+    "read_top_tokens",
+    "streaming_token_frequencies",
+    "read_token_frequencies",
 ]
