@@ -218,6 +218,7 @@ OPS_SECTION = [
     # r13: count-min sketch build (bounded depth x width key domain)
     # + broadcast probe lookup over documents
     "cms_freq",
+    "dd_quantiles",
 ]
 
 #: frozen first-measurements for the ops section (set r8, steady-state
@@ -268,6 +269,13 @@ OPS_BASELINE_SEC = {
     # perf-neutral). Re-frozen at the reproducible minimum across the
     # r13 driver run and both A/B distributions.
     "cms_freq": 0.62,
+    # r14 first measurement: DDSketch build over 600k l_extendedprice
+    # values (bounded ~245-cell bucket domain, one bounded shuffle) +
+    # the 7-point quantile walk. min-of-4 [1.492, 1.011, 1.025, 0.983]
+    # at calib 1.965 (fast window) in the bench-config session
+    # (tools/ab_trials.py); frozen at the top of the steady band, not
+    # the min — the cms_freq lesson.
+    "dd_quantiles": 1.00,
     # r8 third wave: post-model-pin steady state (pre-pin measured 4.2 —
     # the bucket-count aggs re-executed for every downstream consumer);
     # r11 re-freeze, same A/B receipt as bloom_decontaminate: r9 checkout
@@ -1068,6 +1076,20 @@ def _ops_workloads():
         )
         return cms_estimate(cms, probes)
 
+    def _dd_quantiles(s, d):
+        # r14: full-corpus DDSketch over l_extendedprice (bounded bucket
+        # domain, one bounded shuffle) + the 7-point quantile walk
+        from kafka_streams_task_spark.operators.sketch import (
+            dd_quantiles,
+            dd_sketch_table,
+        )
+
+        li = load_table(s, d, "lineitem")
+        sk = dd_sketch_table(li, "l_extendedprice", gamma=1.02)
+        return dd_quantiles(
+            sk, [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99], gamma=1.02
+        )
+
     def _asof_nearest(s, d):
         # r12: the nearest-direction as-of join — one shuffle, one sort,
         # two window channels over purchases x deduped clicks
@@ -1208,6 +1230,7 @@ def _ops_workloads():
         "asof_nearest": _asof_nearest,
         "heavy_hitter_topk": _heavy_hitter_topk,
         "cms_freq": _cms_freq,
+        "dd_quantiles": _dd_quantiles,
     }
 
 

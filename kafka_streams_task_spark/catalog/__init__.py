@@ -69,7 +69,11 @@ _PROMOTED = [
     "quality_survivor_suite",
     "heavy_hitter_suite",
     "compression_quality_suite",
-    "decontam_embedding_recall",
+    # r14: decontam_embedding_recall folded into dedup_recall_suite
+    # ('decontam' leg — the COVERAGE.md pre-plan fold); the freed slot
+    # carries the DDSketch quantile suite (the third sketch family,
+    # whole-bucket-table oracle + the deterministic alpha theorem).
+    "quantile_sketch_suite",
     "dsir_importance",
     # r13 wave 2: the remaining extensions fold into thematic umbrellas
     # and ALL promote — every catalog capability now sits under the

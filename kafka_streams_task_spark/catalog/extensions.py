@@ -1452,15 +1452,9 @@ def pmi_collocations_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "decontam_embedding_recall",
-    oracle="""
-    SELECT count(*) AS n_planted, CAST(0 AS BIGINT) AS n_missed
-    FROM embeddings
-    WHERE list_sum(list_transform(embedding, x -> CAST(x*x AS DOUBLE))) > 0
-      AND vec_id < 50
-    """,
-)
+# r14: driver slot folded into dedup_recall_suite (catalog/llm.py) as its
+# 'decontam' leg — the COVERAGE.md pre-plan's shape-identical fold; the
+# builder stays importable and its oracle rides the folded suite.
 def decontam_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-level benchmark decontamination
     (operators/dedup.py: decontaminate_embedding) with the SQL-checkable
@@ -5179,4 +5173,159 @@ def cms_freq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         est_leg.unionByName(cells_leg)
         .unionByName(planted_leg)
         .unionByName(canary)
+    )
+
+
+# ---------------------------------------------------------------------------
+# quantile_sketch_suite (r14): DDSketch relative-error quantiles — the
+# third sketch family (MG: which values are heavy; CMS: how often a value
+# occurs; DDSketch: where a quantile sits). The slot freed by folding
+# decontam_embedding_recall into dedup_recall_suite (COVERAGE.md pre-plan).
+# ---------------------------------------------------------------------------
+
+#: gamma = 1.02 → alpha = (gamma-1)/(gamma+1); the literal below is the
+#: exact double both engines compute from that expression, embedded via
+#: repr so neither engine re-derives it
+_QSK_GAMMA = 1.02
+_QSK_ALPHA = "0.00990099009900991"
+_QSK_QS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+_QSK_COLS = [("key", "long"), ("i1", "long"), ("i2", "long")]
+
+
+def _qsk_oracle() -> str:
+    from .llm_suites import canary_sql
+
+    qs = ", ".join(repr(q) for q in _QSK_QS)
+    return f"""
+    WITH v AS (
+      SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+        AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+        AND l_extendedprice > 0
+    ),
+    sk AS (
+      SELECT CAST(ceil(ln(x) / ln({_QSK_GAMMA!r}) - 1e-9) AS INT) AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM v GROUP BY 1
+    ),
+    cum AS (
+      SELECT bucket, c,
+             sum(c) OVER (ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+      FROM sk
+    ),
+    tot AS (SELECT sum(c) AS N FROM sk),
+    qs AS (SELECT unnest([{qs}]) AS q),
+    ranked AS (
+      SELECT q, CAST(floor(q * (N - 1)) + 1 AS BIGINT) AS rnk FROM qs, tot
+    ),
+    hit AS (
+      SELECT q, min(bucket) AS bucket
+      FROM ranked JOIN cum ON cum.cm >= ranked.rnk GROUP BY q
+    ),
+    est AS (
+      SELECT q, 2.0 * power({_QSK_GAMMA!r}, CAST(bucket AS DOUBLE))
+                 / ({_QSK_GAMMA!r} + 1.0) AS e
+      FROM hit
+    ),
+    ordv AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v),
+    exact AS (
+      SELECT r.q, o.x AS ex FROM ranked r JOIN ordv o ON o.rn = r.rnk
+    )
+    SELECT CAST(leg AS VARCHAR) AS leg, CAST(key AS BIGINT) AS key,
+           CAST(i1 AS BIGINT) AS i1, CAST(i2 AS BIGINT) AS i2
+    FROM (
+      SELECT 'bucket' AS leg, CAST(bucket AS BIGINT) AS key, c AS i1,
+             CAST(NULL AS BIGINT) AS i2
+      FROM sk
+      UNION ALL
+      SELECT 'quantile', {sql_fmicro("e2.q")}, {sql_fmicro("e2.e")},
+             CAST(abs(e2.e - x2.ex) <= {_QSK_ALPHA} * x2.ex + 1e-12 AS BIGINT)
+      FROM est e2 JOIN exact x2 ON e2.q = x2.q
+      UNION ALL
+      {canary_sql(_QSK_COLS)}
+    )
+    """
+
+
+@query("quantile_sketch_suite", oracle=_qsk_oracle())
+def quantile_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch quantile legs (operators/sketch.py; Masson, Rim & Lee,
+    VLDB 2019) over lineitem.l_extendedprice at gamma=1.02
+    (alpha ~ 0.99% relative error):
+
+    'bucket'   — the ENTIRE sketch is the gated value: every (bucket, c)
+                 cell, which DuckDB re-derives from its own
+                 ceil(ln(x)/ln(gamma) - 1e-9) arithmetic (the CMS
+                 whole-counter-table discipline; the 1e-9 nudge is the
+                 suite family's boundary guard against cross-engine libm
+                 ULP flips at mathematically-exact bucket boundaries).
+    'quantile' — estimates for q in {0.01..0.99} from the rank walk over
+                 the bucket table, micro-rounded, PLUS the theorem stated
+                 per row: |est - exact order statistic| <= alpha * exact,
+                 with the exact rank-(floor(q*(N-1))+1) value re-derived
+                 independently by both engines (Spark: row_number window;
+                 DuckDB: the same window). Unlike the approx-aggregate
+                 gates (sigma tolerances), this bound is DETERMINISTIC —
+                 DDSketch's guarantee is worst-case, not probabilistic.
+    'canary'   — constant rows (2^53+1, int64 extremes, NULLs) stated
+                 identically by both engines.
+
+    Scale shape: the build aggregates map-side onto the bounded bucket
+    domain (~245 cells for this table's price range) before one bounded
+    shuffle — corpus-independent state, the CMS/MG property. The
+    exact-order-statistic side exists ONLY for the gate (a global
+    row_number window); the operator itself never sorts the corpus.
+    Streaming twin: streaming/sketch.py::streaming_value_quantiles
+    (bit-identical cumulative sketch, pinned by tests/test_sketch.py)."""
+    import math
+
+    from ..operators.sketch import dd_quantiles, dd_sketch_table
+    from .llm_suites import canary_df
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = dd_sketch_table(li, "l_extendedprice", gamma=_QSK_GAMMA)
+
+    bucket_leg = sk.select(
+        F.lit("bucket").alias("leg"),
+        F.col("bucket").cast("long").alias("key"),
+        F.col("c").cast("long").alias("i1"),
+        F.lit(None).cast("long").alias("i2"),
+    )
+
+    est = dd_quantiles(sk, _QSK_QS, gamma=_QSK_GAMMA)
+
+    x = F.col("l_extendedprice").cast("double")
+    vals = li.filter(x.isNotNull() & ~F.isnan(x) & (x > 0)).select(x.alias("x"))
+    from pyspark.sql import Window
+
+    ordv = vals.withColumn("rn", F.row_number().over(Window.orderBy("x")))
+    tot = vals.agg(F.count(F.lit(1)).alias("N"))
+    qdf = spark.createDataFrame([(float(q),) for q in _QSK_QS], "q double")
+    ranked = qdf.crossJoin(F.broadcast(tot)).select(
+        "q",
+        (F.floor(F.col("q") * (F.col("N") - 1)) + 1).cast("long").alias("rnk"),
+    )
+    exact = ranked.join(ordv, on=F.col("rn") == F.col("rnk")).select(
+        "q", F.col("x").alias("ex")
+    )
+    alpha = float(_QSK_ALPHA)
+    quant_leg = (
+        est.join(exact, on="q")
+        .select(
+            F.lit("quantile").alias("leg"),
+            fmicro_col(F.col("q")).alias("key"),
+            fmicro_col(F.col("est")).alias("i1"),
+            (
+                F.abs(F.col("est") - F.col("ex"))
+                <= F.lit(alpha) * F.col("ex") + F.lit(1e-12)
+            )
+            .cast("long")
+            .alias("i2"),
+        )
+    )
+    return (
+        bucket_leg.unionByName(quant_leg)
+        .unionByName(canary_df(spark, _QSK_COLS))
     )

@@ -302,6 +302,11 @@ def _recall_suite_oracle() -> str:
     FROM embeddings
     WHERE list_sum(list_transform(embedding, x -> CAST(x*x AS DOUBLE))) > 0
     UNION ALL
+    SELECT CAST('decontam' AS VARCHAR), CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
+    FROM embeddings
+    WHERE vec_id < 50
+      AND list_sum(list_transform(embedding, x -> CAST(x*x AS DOUBLE))) > 0
+    UNION ALL
     {canary_sql(_RECALL_COLS)}
     """
 
@@ -327,10 +332,21 @@ def dedup_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     floats give identical sign bits in all 8 hyperplane tables and verify
     at cosine 1.0: n_missed must be exactly 0.
 
+    'decontam' (r14 fold of the decontam_embedding_recall slot — the
+    COVERAGE.md window pre-plan's shape-identical candidate, executed to
+    free a slot for quantile_sketch_suite) — embedding-level benchmark
+    DECONTAMINATION (decontaminate_embedding): the "benchmark" is an
+    exact copy of every nonzero embedding with vec_id < 50, each planted
+    row must be flagged (identical floats → identical sign bits in
+    every LSH table, verify at cosine 1.0 >= 0.99), n_missed exactly 0.
+    The single's (n_planted, n_missed) invariant row rides UNCHANGED —
+    this leg has the same shape as the other three by construction.
+
     Canary rows pin the long-type round-trip (2^53+1, int64 extremes,
     NULLs) per the r6 fold discipline. The raw candidate operators keep
     their planted-pair property tests in tests/test_llm_ops.py."""
     from ._suite_utils import canary_df
+    from .extensions import decontam_embedding_recall
 
     def _leg(df: DataFrame, name: str) -> DataFrame:
         return df.select(
@@ -343,6 +359,7 @@ def dedup_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _leg(dedup_minhash_lsh_recall(spark, sf_dir), "minhash")
         .unionByName(_leg(dedup_simhash_recall(spark, sf_dir), "simhash"))
         .unionByName(_leg(dedup_embedding_cosine_recall(spark, sf_dir), "cosine"))
+        .unionByName(_leg(decontam_embedding_recall(spark, sf_dir), "decontam"))
         .unionByName(canary_df(spark, _RECALL_COLS))
     )
 

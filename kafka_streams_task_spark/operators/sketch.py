@@ -45,7 +45,11 @@ from ..functions.text import WHITESPACE_RE
 __all__ = [
     "cms_estimate",
     "count_min_table",
+    "dd_alpha",
+    "dd_quantiles",
+    "dd_sketch_table",
     "merge_cms_tables",
+    "merge_dd_sketches",
     "merge_mg_summaries",
     "misra_gries_candidates",
     "topk_tokens_sketched",
@@ -355,4 +359,141 @@ def merge_cms_tables(a: DataFrame, b: DataFrame) -> DataFrame:
         a.unionByName(b)
         .groupBy("row", "col")
         .agg(F.sum("c").alias("c"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# DDSketch (r14): relative-error quantile estimation in bounded memory —
+# the third leg of the sketch triad (Misra-Gries: WHICH values are heavy;
+# count-min: HOW OFTEN a given value occurs; DDSketch: WHERE a quantile
+# sits). Masson, Rim & Lee, VLDB 2019 ("DDSketch: a fast and fully-
+# mergeable quantile sketch with relative-error guarantees").
+#
+# Unlike GK/KLL (compaction-dependent, not SQL-restatable), DDSketch's
+# buckets are a DETERMINISTIC pure function of the value: bucket(x) =
+# ceil(log_gamma(x)) for x > 0, so a DuckDB oracle re-derives the ENTIRE
+# sketch cell by cell (the CMS discipline), and the quantile walk is plain
+# window arithmetic over the bucket table. Any value in bucket b lies in
+# (gamma^(b-1), gamma^b]; the midpoint estimate 2*gamma^b/(gamma+1) is
+# within relative error alpha = (gamma-1)/(gamma+1) of EVERY value in the
+# bucket — so the estimated q-quantile is within alpha of the true
+# q-th order statistic, always, not probabilistically.
+#
+# Cross-engine boundary discipline: the bucket index subtracts the suite
+# family's 1e-9 nudge before ceil (the fmicro idiom) so libm ULP
+# differences between engines cannot flip a value sitting mathematically
+# ON a bucket boundary (ln(x)/ln(gamma) exactly integral).
+#
+# Scale shape: the value stream aggregates map-side onto a key domain of
+# ceil(log_gamma(v_max/v_min)) buckets (for gamma=1.02, ~1160 buckets
+# per 10 ORDERS OF MAGNITUDE of value range — constant for any fixed
+# data domain, corpus-independent); partial aggregation collapses every
+# partition before one bounded shuffle. Merging sketches (shards,
+# streams) is cell-wise addition — estimates and the alpha guarantee
+# telescope exactly, which is what makes the streaming twin
+# (streaming/sketch.py) bit-identical to the batch build.
+# ---------------------------------------------------------------------------
+
+
+def dd_alpha(gamma: float) -> float:
+    """The relative-error guarantee of a gamma-indexed DDSketch:
+    alpha = (gamma-1)/(gamma+1)."""
+    if gamma <= 1.0:
+        raise ValueError(f"gamma must be > 1, got {gamma}")
+    return (gamma - 1.0) / (gamma + 1.0)
+
+
+def _dd_bucket(value, gamma: float) -> "F.Column":
+    """ceil(ln(x)/ln(gamma) - 1e-9) as INT — pure codegen; the DuckDB
+    oracle states CAST(ceil(ln(x)/ln(gamma) - 1e-9) AS INT) verbatim."""
+    import math
+
+    return F.ceil(
+        F.log(value.cast("double")) / F.lit(math.log(gamma)) - F.lit(1e-9)
+    ).cast("int")
+
+
+def dd_sketch_table(
+    df: DataFrame,
+    value_col: str,
+    gamma: float = 1.02,
+) -> DataFrame:
+    """Build the DDSketch bucket table ``(bucket, c)`` over the strictly
+    POSITIVE values of ``df[value_col]`` — NULL, NaN and non-positive
+    rows are excluded (DDSketch's guarantee is relative error, which is
+    undefined at and across zero; callers with signed data sketch the
+    two sign branches separately, the paper's standard extension).
+    Buckets never touched are absent; the quantile walk needs no zeros
+    because ranks come from cumulative counts."""
+    if gamma <= 1.0:
+        raise ValueError(f"gamma must be > 1, got {gamma}")
+    v = F.col(value_col).cast("double")
+    return (
+        df.filter(v.isNotNull() & ~F.isnan(v) & (v > 0))
+        .select(_dd_bucket(v, gamma).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def dd_quantiles(
+    sketch: DataFrame,
+    qs: list[float],
+    gamma: float = 1.02,
+) -> DataFrame:
+    """Quantile estimates from a bucket table: ``(q, est)`` with
+    ``est = 2*gamma^b/(gamma+1)`` for the bucket b holding the
+    q-th order statistic (rank ``floor(q*(N-1)) + 1``, 1-indexed — the
+    paper's definition). Guarantee: |est - x_q| <= alpha * x_q for the
+    true order statistic x_q, with alpha from :func:`dd_alpha`, because
+    bucket indexing is monotone in the value (the sketch's rank-r
+    element sits in the same bucket as the data's rank-r element) and
+    the midpoint is within alpha of everything in its bucket.
+
+    Plan shape: one cumulative window over the bucket table (bounded by
+    the bucket DOMAIN, not the corpus — single-partition is correct and
+    cheap, the merge_mg_summaries precedent), then a broadcast of the
+    tiny q-relation against it. Raises on an EMPTY sketch — a quantile
+    of nothing is a contract error, not a 0 (unlike CMS point counts,
+    where absent means zero occurrences)."""
+    import math
+
+    from pyspark.sql import Window
+
+    if gamma <= 1.0:
+        raise ValueError(f"gamma must be > 1, got {gamma}")
+    if not qs or any(q < 0 or q > 1 for q in qs):
+        raise ValueError(f"qs must be non-empty fractions in [0,1], got {qs}")
+    spark = sketch.sparkSession
+    if sketch.limit(1).count() == 0:
+        raise ValueError("dd_quantiles: empty sketch (no positive values)")
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = sketch.withColumn("cum", F.sum("c").over(w))
+    tot = sketch.agg(F.sum("c").cast("long").alias("N"))
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    ranked = qdf.crossJoin(F.broadcast(tot)).select(
+        "q",
+        (F.floor(F.col("q") * (F.col("N") - 1)) + 1).cast("long").alias("rank"),
+    )
+    hit = (
+        ranked.join(F.broadcast(cum), on=F.col("cum") >= F.col("rank"))
+        .groupBy("q")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    est = (
+        F.lit(2.0)
+        * F.pow(F.lit(float(gamma)), F.col("bucket").cast("double"))
+        / F.lit(float(gamma) + 1.0)
+    )
+    return hit.select("q", est.alias("est"))
+
+
+def merge_dd_sketches(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise sum of two DDSketch tables built with the SAME gamma:
+    the merged sketch is EXACTLY the sketch of the concatenated input
+    (bucket indexing is deterministic, counter addition commutes), so
+    shard-parallel or streaming construction loses nothing and the
+    alpha guarantee carries over unchanged."""
+    return a.unionByName(b).groupBy("bucket").agg(
+        F.sum("c").cast("long").alias("c")
     )

@@ -32,8 +32,10 @@ from pyspark.sql import functions as F
 __all__ = [
     "read_token_frequencies",
     "read_top_tokens",
+    "read_value_quantiles",
     "streaming_token_frequencies",
     "streaming_top_tokens",
+    "streaming_value_quantiles",
 ]
 
 _PFX = "summary_v"
@@ -219,3 +221,114 @@ def read_token_frequencies(
         raise ValueError(f"no committed sketch under {state_dir}")
     cms = spark.read.parquet(f"{state_dir}/{_CMS_PFX}{max(versions)}")
     return cms_estimate(cms, probes, depth=depth, width=width)
+
+
+_DD_PFX = "dd_v"
+
+
+def streaming_value_quantiles(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    value_col: str = "value",
+    gamma: float = 1.02,
+):
+    """Maintain a cumulative DDSketch over a value stream — the quantile
+    twin of :func:`streaming_token_frequencies`. The DDSketch merge
+    (cell-wise sum over deterministic buckets) is EXACT: the committed
+    sketch after batch N is bit-identical to the batch
+    :func:`~..operators.sketch.dd_sketch_table` over everything ingested
+    so far (pinned by tests/test_sketch.py), so quantiles from
+    :func:`read_value_quantiles` carry the full relative-error guarantee
+    (|est - x_q| <= alpha * x_q, alpha = (gamma-1)/(gamma+1)) forever,
+    in O(bucket domain) state per version.
+
+    Exactly-once via the family's versioned-parquet protocol:
+    overwrite-idempotent versions, redelivered batches skip wholesale,
+    state dir bound to its checkpoint. ``gamma`` persists WITH the state
+    (``dd_meta``) and is validated on every batch and read — mismatched
+    gamma against durable buckets reads arbitrary value ranges, the
+    same silent-garbage mode the CMS meta closes."""
+    from ..operators.sketch import dd_sketch_table, merge_dd_sketches
+    from .state import bind_state_to_checkpoint, committed_versions
+
+    if gamma <= 1.0:
+        raise ValueError(f"gamma must be > 1, got {gamma}")
+    bind_state_to_checkpoint(stream.sparkSession, state_dir, checkpoint_dir)
+    _check_or_write_dd_meta(stream.sparkSession, state_dir, gamma)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _check_or_write_dd_meta(spark, state_dir, gamma)
+        versions = committed_versions(spark, state_dir, _DD_PFX)
+        if batch_id in versions:
+            return  # redelivery: this batch's sketch is already durable
+        prev = [v for v in versions if v < batch_id]
+        batch_dd = dd_sketch_table(batch_df, value_col, gamma)
+        if prev:
+            committed = spark.read.parquet(f"{state_dir}/{_DD_PFX}{max(prev)}")
+            merged = merge_dd_sketches(committed, batch_dd)
+        else:
+            merged = batch_dd
+        merged.write.mode("overwrite").parquet(f"{state_dir}/{_DD_PFX}{batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _check_or_write_dd_meta(
+    spark: SparkSession, state_dir: str, gamma: float
+) -> None:
+    """Persist gamma beside the versioned sketches on first contact;
+    afterwards REFUSE any caller whose gamma disagrees with the durable
+    state. Hadoop-FS probe and single-writer contract as
+    :func:`_check_or_write_cms_meta`."""
+    from .state import path_exists
+
+    meta_path = f"{state_dir}/dd_meta"
+    if path_exists(spark, meta_path):
+        row = spark.read.parquet(meta_path).collect()[0]
+        if row["gamma"] != gamma:
+            raise ValueError(
+                f"DDSketch state at {state_dir} was built with gamma="
+                f"{row['gamma']}; got {gamma}"
+            )
+    else:
+        spark.createDataFrame(
+            [(float(gamma),)], "gamma double"
+        ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+
+
+def read_value_quantiles(
+    spark: SparkSession,
+    state_dir: str,
+    qs: list[float],
+    gamma: float | None = None,
+) -> DataFrame:
+    """Quantile estimates ``(q, est)`` against the latest committed
+    cumulative sketch. ``gamma`` defaults to the build value persisted
+    with the state (``dd_meta``); passing a disagreeing value raises
+    rather than reading garbage ranges. Raises if no sketch has
+    committed yet."""
+    from ..operators.sketch import dd_quantiles
+    from .state import committed_versions, path_exists
+
+    meta_path = f"{state_dir}/dd_meta"
+    if path_exists(spark, meta_path):
+        row = spark.read.parquet(meta_path).collect()[0]
+        built = row["gamma"]
+        if gamma is None:
+            gamma = built
+        else:
+            _check_or_write_dd_meta(spark, state_dir, gamma)
+    elif gamma is None:
+        raise ValueError(f"no dd_meta under {state_dir}; pass gamma explicitly")
+    versions = committed_versions(spark, state_dir, _DD_PFX)
+    if not versions:
+        raise ValueError(f"no committed sketch under {state_dir}")
+    dd = spark.read.parquet(f"{state_dir}/{_DD_PFX}{max(versions)}")
+    return dd_quantiles(dd, qs, gamma=gamma)

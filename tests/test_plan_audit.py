@@ -45,9 +45,12 @@ BNLJ_ALLOWED = {
     # broadcast-crossJoined onto vocabulary/group/bigram tables (the
     # drift:/pmi legs of the r13 corpus_stats_suite fold)
     "corpus_stats_suite",
-    # r10: the recall gate's two 1-row (n_planted, n_missed) aggregates
-    # crossJoined — the dedup_*_recall precedent
-    "decontam_embedding_recall",
+    # r14: quantile_sketch_suite — the 1-row total-count N crossJoined
+    # onto the 7-row q relation, and the rank walk's cum >= rank
+    # inequality join over the ~245-row bucket table (both sides bounded
+    # by the bucket DOMAIN, never the corpus; the decontam recall gate's
+    # BNLJ now rides dedup_recall_suite's 'decontam' leg)
+    "quantile_sketch_suite",
     # r10: unimax_allocation's 1-row water-level aggregate
     # broadcast-crossJoined onto the group-cardinality table (the umx:
     # legs of the r13 mixing_policy_suite fold)
@@ -165,7 +168,11 @@ DRIVER_WINDOW = [
     "unicode_token_suite", "temporal_join_suite",
     "script_mix_suite", "containment_pairs_suite",
     "stats_family_suite", "quality_survivor_suite", "heavy_hitter_suite",
-    "compression_quality_suite", "decontam_embedding_recall",
+    "compression_quality_suite",
+    # r14 fold: decontam_embedding_recall became dedup_recall_suite's
+    # 'decontam' leg (builder stays importable); the freed slot carries
+    # the DDSketch quantile suite (the third sketch family)
+    "quantile_sketch_suite",
     "dsir_importance",
     "linkage_suite", "mixing_policy_suite", "corpus_stats_suite",
     "crawl_extract_suite",

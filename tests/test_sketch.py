@@ -458,3 +458,161 @@ def test_cms_estimate_empty_sketch_reads_zero(spark):
         for r in cms_estimate(cms, probes, depth=2, width=64).collect()
     }
     assert est == {"a": 0, "b": 0}, est
+
+
+# ---------------------------------------------------------------------------
+# DDSketch (r14): relative-error quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_dd_quantiles_relative_error_guarantee(spark):
+    """DDSketch's core theorem, exercised: for every q on a log-normal-ish
+    corpus, |est - true order statistic| <= alpha * true, alpha =
+    (gamma-1)/(gamma+1). Deterministic data (no RNG in the assertion
+    path's favor): values span 4 orders of magnitude."""
+    from kafka_streams_task_spark.operators.sketch import (
+        dd_alpha,
+        dd_quantiles,
+        dd_sketch_table,
+    )
+
+    vals = [0.01 * (1.013 ** i) for i in range(1000)]  # 0.01 .. ~4e3
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    gamma = 1.02
+    sk = dd_sketch_table(df, "v", gamma=gamma)
+    qs = [0.0, 0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    est = {r["q"]: r["est"] for r in dd_quantiles(sk, qs, gamma=gamma).collect()}
+    svals = sorted(vals)
+    alpha = dd_alpha(gamma)
+    for q in qs:
+        true = svals[int(q * (len(svals) - 1))]
+        assert abs(est[q] - true) <= alpha * true + 1e-12, (q, est[q], true)
+
+
+def test_dd_sketch_bounded_and_merge_equals_union(spark):
+    """Bucket domain is bounded by the VALUE RANGE (not corpus size), and
+    merging two shard sketches cell-equals the sketch of the union."""
+    from kafka_streams_task_spark.operators.sketch import (
+        dd_sketch_table,
+        merge_dd_sketches,
+    )
+
+    a = spark.createDataFrame([(float(i),) for i in range(1, 2001)], "v double")
+    b = spark.createDataFrame([(float(i),) for i in range(500, 3001)], "v double")
+    ga = dd_sketch_table(a, "v", gamma=1.02)
+    # values in [1, 2000]: bucket domain <= ceil(ln(2000)/ln(1.02)) + 1 ~ 385
+    assert ga.count() <= 385
+    merged = {
+        (r["bucket"], r["c"])
+        for r in merge_dd_sketches(ga, dd_sketch_table(b, "v", gamma=1.02)).collect()
+    }
+    union = {
+        (r["bucket"], r["c"])
+        for r in dd_sketch_table(a.unionByName(b), "v", gamma=1.02).collect()
+    }
+    assert merged == union
+
+
+def test_dd_edge_contracts(spark):
+    """NULL/NaN/zero/negative rows are excluded from the sketch (relative
+    error is undefined at and across zero); empty sketch raises on a
+    quantile ask; parameters validate."""
+    from kafka_streams_task_spark.operators.sketch import (
+        dd_quantiles,
+        dd_sketch_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (float("nan"),), (0.0,), (-5.0,), (2.0,)], "v double"
+    )
+    sk = dd_sketch_table(df, "v", gamma=1.02)
+    assert sk.agg(F.sum("c")).collect()[0][0] == 2  # only 1.0 and 2.0
+    with pytest.raises(ValueError, match="gamma"):
+        dd_sketch_table(df, "v", gamma=1.0)
+    with pytest.raises(ValueError, match="qs"):
+        dd_quantiles(sk, [])
+    with pytest.raises(ValueError, match="qs"):
+        dd_quantiles(sk, [1.5])
+    empty = dd_sketch_table(
+        spark.createDataFrame([(0.0,)], "v double"), "v", gamma=1.02
+    )
+    with pytest.raises(ValueError, match="empty sketch"):
+        dd_quantiles(empty, [0.5])
+
+
+def test_dd_plan_shapes(spark):
+    """The build is PURE codegen (bucket index is a column expression)
+    with partial+final HashAggregate around one exchange whose key domain
+    is the bounded bucket space; no Python stage anywhere."""
+    from kafka_streams_task_spark.operators.sketch import dd_sketch_table
+
+    df = spark.createDataFrame([(1.5,), (2.5,)], "v double")
+    p = dd_sketch_table(df, "v")._jdf.queryExecution().executedPlan().toString()
+    for stage in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert stage not in p, f"DDSketch build grew a Python stage: {stage}"
+    assert "partial_count" in p
+
+
+def test_streaming_dd_equals_batch_and_replay_noop(spark, tmpdir):
+    """Streaming DDSketch: after two micro-batches the committed sketch is
+    CELL-IDENTICAL to the batch sketch over both batches' data, quantiles
+    reflect the cumulative stream, replay is a no-op, and the persisted
+    gamma guards reads."""
+    import json as _json
+    import os
+
+    from pyspark.sql import types as T
+
+    from kafka_streams_task_spark.operators.sketch import dd_sketch_table
+    from kafka_streams_task_spark.streaming.sketch import (
+        read_value_quantiles,
+        streaming_value_quantiles,
+    )
+
+    b0 = [{"id": 1, "value": 10.0}, {"id": 2, "value": 20.0}]
+    b1 = [{"id": 3, "value": 30.0}, {"id": 4, "value": 40.0}, {"id": 5, "value": 50.0}]
+    src = f"{tmpdir}/dd_in"
+    os.makedirs(src)
+    for i, rows in enumerate((b0, b1)):
+        with open(f"{src}/b{i}.json", "w") as f:
+            f.write("\n".join(_json.dumps(r) for r in rows))
+        os.utime(f"{src}/b{i}.json", (1000000000 + i * 100,) * 2)
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("value", T.DoubleType())]
+    )
+    state = f"{tmpdir}/dd_state"
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+        )
+        q = streaming_value_quantiles(stream, state, ck, gamma=1.02)
+        q.awaitTermination(120)
+
+    run(f"{tmpdir}/dd_ckpt")
+    est = {r["q"]: r["est"] for r in read_value_quantiles(spark, state, [0.0, 0.5, 1.0]).collect()}
+    # median of {10,20,30,40,50} is 30; alpha ~ 0.0099
+    assert abs(est[0.5] - 30.0) <= 0.0099 * 30.0 + 1e-9
+    assert abs(est[0.0] - 10.0) <= 0.0099 * 10.0 + 1e-9
+    assert abs(est[1.0] - 50.0) <= 0.0099 * 50.0 + 1e-9
+
+    both = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0), (5, 50.0)],
+        "id long, value double",
+    )
+    batch = {
+        (r["bucket"], r["c"])
+        for r in dd_sketch_table(both, "value", gamma=1.02).collect()
+    }
+    latest = {
+        (r["bucket"], r["c"])
+        for r in spark.read.parquet(f"{state}/dd_v1").collect()
+    }
+    assert latest == batch
+
+    # replay no-op + durable-gamma guard
+    run(f"{tmpdir}/dd_ckpt")
+    est2 = {r["q"]: r["est"] for r in read_value_quantiles(spark, state, [0.5]).collect()}
+    assert est2[0.5] == est[0.5]
+    with pytest.raises(ValueError, match="built with gamma"):
+        read_value_quantiles(spark, state, [0.5], gamma=1.05)
