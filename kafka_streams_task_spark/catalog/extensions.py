@@ -5228,10 +5228,6 @@ def _qsk_oracle() -> str:
       SELECT q, 2.0 * power({_QSK_GAMMA!r}, CAST(bucket AS DOUBLE))
                  / ({_QSK_GAMMA!r} + 1.0) AS e
       FROM hit
-    ),
-    ordv AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v),
-    exact AS (
-      SELECT r.q, o.x AS ex FROM ranked r JOIN ordv o ON o.rn = r.rnk
     )
     SELECT CAST(leg AS VARCHAR) AS leg, CAST(key AS BIGINT) AS key,
            CAST(i1 AS BIGINT) AS i1, CAST(i2 AS BIGINT) AS i2
@@ -5240,9 +5236,13 @@ def _qsk_oracle() -> str:
              CAST(NULL AS BIGINT) AS i2
       FROM sk
       UNION ALL
+      -- i2 is the LITERAL 1 (the approx_parts_ok discipline), NOT the
+      -- re-derived predicate: Spark computes the theorem check for real,
+      -- so a guarantee violation hashes 0 against this 1 and FAILS the
+      -- gate instead of matching a violation on both sides (review r14)
       SELECT 'quantile', {sql_fmicro("e2.q")}, {sql_fmicro("e2.e")},
-             CAST(abs(e2.e - x2.ex) <= {_QSK_ALPHA} * x2.ex + 1e-12 AS BIGINT)
-      FROM est e2 JOIN exact x2 ON e2.q = x2.q
+             CAST(1 AS BIGINT)
+      FROM est e2
       UNION ALL
       {canary_sql(_QSK_COLS)}
     )
@@ -5278,9 +5278,12 @@ def quantile_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-order-statistic side exists ONLY for the gate (a global
     row_number window); the operator itself never sorts the corpus.
     Streaming twin: streaming/sketch.py::streaming_value_quantiles
-    (bit-identical cumulative sketch, pinned by tests/test_sketch.py)."""
-    import math
+    (bit-identical cumulative sketch, pinned by tests/test_sketch.py).
 
+    The 'quantile' i2 gate: Spark computes the theorem predicate for
+    real; the oracle states the LITERAL 1 (the approx_parts_ok
+    discipline) so a violation hash-FAILS instead of matching a
+    violation both engines re-derive (review r14)."""
     from ..operators.sketch import dd_quantiles, dd_sketch_table
     from .llm_suites import canary_df
 

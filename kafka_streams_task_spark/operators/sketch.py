@@ -450,14 +450,13 @@ def dd_quantiles(
     element sits in the same bucket as the data's rank-r element) and
     the midpoint is within alpha of everything in its bucket.
 
-    Plan shape: one cumulative window over the bucket table (bounded by
-    the bucket DOMAIN, not the corpus — single-partition is correct and
-    cheap, the merge_mg_summaries precedent), then a broadcast of the
-    tiny q-relation against it. Raises on an EMPTY sketch — a quantile
-    of nothing is a contract error, not a 0 (unlike CMS point counts,
-    where absent means zero occurrences)."""
-    import math
-
+    Plan shape: ONE bounded aggregate collect of the total count (the
+    sketch is at most the bucket domain, so this is the cheap,
+    merge_mg_summaries-class action — it also serves as the empty-sketch
+    raise), then one cumulative window over the bucket table and a
+    broadcast of the tiny q-relation against it. Raises on an EMPTY
+    sketch — a quantile of nothing is a contract error, not a 0 (unlike
+    CMS point counts, where absent means zero occurrences)."""
     from pyspark.sql import Window
 
     if gamma <= 1.0:
@@ -465,15 +464,18 @@ def dd_quantiles(
     if not qs or any(q < 0 or q > 1 for q in qs):
         raise ValueError(f"qs must be non-empty fractions in [0,1], got {qs}")
     spark = sketch.sparkSession
-    if sketch.limit(1).count() == 0:
+    total = sketch.agg(F.sum("c").cast("long").alias("N")).collect()[0]["N"]
+    if not total:
         raise ValueError("dd_quantiles: empty sketch (no positive values)")
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     cum = sketch.withColumn("cum", F.sum("c").over(w))
-    tot = sketch.agg(F.sum("c").cast("long").alias("N"))
     qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
-    ranked = qdf.crossJoin(F.broadcast(tot)).select(
+    # same IEEE arithmetic as the DuckDB restating: q * (N-1) in double
+    ranked = qdf.select(
         "q",
-        (F.floor(F.col("q") * (F.col("N") - 1)) + 1).cast("long").alias("rank"),
+        (F.floor(F.col("q") * F.lit(float(total - 1))) + 1)
+        .cast("long")
+        .alias("rank"),
     )
     hit = (
         ranked.join(F.broadcast(cum), on=F.col("cum") >= F.col("rank"))

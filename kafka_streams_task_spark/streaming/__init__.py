@@ -23,8 +23,10 @@ from .mixing import (
 from .sketch import (
     read_token_frequencies,
     read_top_tokens,
+    read_value_quantiles,
     streaming_token_frequencies,
     streaming_top_tokens,
+    streaming_value_quantiles,
 )
 from .pipeline import commit_batch_to_snapshot, streaming_crawl_to_snapshot
 from .topology import weather_hotels_stream, weather_rollup_stream
@@ -54,4 +56,6 @@ __all__ = [
     "read_top_tokens",
     "streaming_token_frequencies",
     "read_token_frequencies",
+    "streaming_value_quantiles",
+    "read_value_quantiles",
 ]

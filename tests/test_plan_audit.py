@@ -75,7 +75,10 @@ BNLJ_ALLOWED = {
 PY_ALLOWED = {
     # r12 fold: minhash leg keeps its 2 MapInPandas signature stages
     # (corpus + planted union sides) and the cosine leg its 2 hyperplane-
-    # projection stages; simhash stays all-JVM
+    # projection stages; simhash stays all-JVM. r14: the folded decontam
+    # leg's corpus+bench bucket stages land inside the same ceiling
+    # (measured 4 post-fold — zero headroom; a new Arrow stage in ANY
+    # leg must justify raising this)
     "dedup_recall_suite": 4,
     # r13 fold: the bpe leg of text_profile_suite keeps the 2 stages
     "text_profile_suite": 2,
@@ -97,10 +100,6 @@ PY_ALLOWED = {
     # mapInPandas stages ride under one suite — numpy DCT/gradient/
     # spectral math is the documented Arrow seam
     "perceptual_dedup_suite": 8,
-    # r10 extension: corpus + bench LSH bucket tables — one mapInPandas
-    # hyperplane-projection stage per side (the embedding_near_dup_pairs
-    # machinery, both sides sharing the same planes)
-    "decontam_embedding_recall": 2,
     # r10 fourth wave: three legs ('jw' goldens, 'link' planted names,
     # 'part' vocabulary), each one ArrowEvalPython jaro_winkler_udf
     # stage over a candidate-sized frame (r13: the jw: legs of

@@ -25,11 +25,18 @@ def main() -> int:
     root, trials, ops = None, 6, []
     i = 0
     while i < len(args):
-        if args[i] == "--root":
-            root = args[i + 1]
-            i += 2
-        elif args[i] == "--trials":
-            trials = int(args[i + 1])
+        if args[i] in ("--root", "--trials"):
+            if i + 1 >= len(args):
+                print(f"{args[i]} requires a value\n{__doc__}", file=sys.stderr)
+                return 2
+            if args[i] == "--root":
+                root = args[i + 1]
+            else:
+                try:
+                    trials = int(args[i + 1])
+                except ValueError:
+                    print(f"--trials must be an int\n{__doc__}", file=sys.stderr)
+                    return 2
             i += 2
         else:
             ops.append(args[i])
