@@ -129,3 +129,44 @@ def test_duplicate_spans_match_bruteforce(spark, docs, n):
         )
         assert cut[i]["text"] == want, (table, n, i)
         assert cut[i]["n_removed_tokens"] == len(removed[i])
+
+
+# ---------------------------------------------------------------------------
+# DDSketch: the worst-case relative-error theorem on random positive data
+# ---------------------------------------------------------------------------
+
+_dd_values = st.lists(
+    st.floats(
+        min_value=1e-6,
+        max_value=1e12,
+        allow_nan=False,
+        allow_infinity=False,
+    ).filter(lambda v: v > 0),
+    min_size=1,
+    max_size=120,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(vals=_dd_values, q=st.sampled_from([0.0, 0.1, 0.5, 0.9, 1.0]))
+def test_dd_quantile_guarantee_on_random_data(spark, vals, q):
+    """DDSketch's alpha bound is WORST-CASE, so hypothesis gets to throw
+    arbitrary positive magnitudes (18 orders) at it: the estimate must
+    sit within alpha of the true order statistic for every draw — a
+    single violation is a real bug, not sketch noise."""
+    from kafka_streams_task_spark.operators.sketch import (
+        dd_alpha,
+        dd_quantiles,
+        dd_sketch_table,
+    )
+
+    gamma = 1.05
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    sk = dd_sketch_table(df, "v", gamma=gamma)
+    est = dd_quantiles(sk, [q], gamma=gamma).collect()[0]["est"]
+    true = sorted(vals)[int(q * (len(vals) - 1))]
+    assert abs(est - true) <= dd_alpha(gamma) * true * (1 + 1e-9) + 1e-15, (
+        est,
+        true,
+        vals,
+    )
