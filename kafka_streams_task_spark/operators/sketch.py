@@ -46,6 +46,7 @@ __all__ = [
     "cms_estimate",
     "count_min_table",
     "dd_alpha",
+    "dd_collapse",
     "dd_quantiles",
     "dd_sketch_table",
     "merge_cms_tables",
@@ -498,4 +499,41 @@ def merge_dd_sketches(a: DataFrame, b: DataFrame) -> DataFrame:
     alpha guarantee carries over unchanged."""
     return a.unionByName(b).groupBy("bucket").agg(
         F.sum("c").cast("long").alias("c")
+    )
+
+
+def dd_collapse(sketch: DataFrame, max_buckets: int) -> DataFrame:
+    """The paper's bounded-bucket-count mode (Masson et al. §2.2): when
+    the value range would exceed a memory budget, collapse the LOWEST
+    buckets into the smallest kept bucket so at most ``max_buckets``
+    remain. Counts are preserved exactly; quantiles whose rank falls in
+    the kept range keep the full alpha guarantee, while ranks inside the
+    collapsed mass degrade to "at most the collapse boundary" — the
+    deliberate trade (DDSketch is typically deployed for UPPER quantiles,
+    p95/p99 latency style, which collapse never touches).
+
+    Deterministic (the cut is the max_buckets-th highest bucket index),
+    so the collapsed table is still oracle-restatable. Apply AFTER
+    merges when exactness matters: collapse(merge(a,b)) loses nothing
+    vs merging pre-collapsed shards, whose already-collapsed mass cannot
+    be re-split.
+
+    Plan shape: one bounded top-k over the bucket table (domain-sized,
+    the merge_mg_summaries precedent) broadcast as a 1-row scalar onto
+    the table."""
+    if max_buckets < 1:
+        raise ValueError(f"max_buckets must be >= 1, got {max_buckets}")
+    cut = (
+        sketch.orderBy(F.col("bucket").desc())
+        .limit(max_buckets)
+        .agg(F.min("bucket").alias("_cut"))
+    )
+    return (
+        sketch.crossJoin(F.broadcast(cut))
+        .select(
+            F.greatest(F.col("bucket"), F.col("_cut")).alias("bucket"),
+            F.col("c"),
+        )
+        .groupBy("bucket")
+        .agg(F.sum("c").cast("long").alias("c"))
     )

@@ -616,3 +616,98 @@ def test_streaming_dd_equals_batch_and_replay_noop(spark, tmpdir):
     assert est2[0.5] == est[0.5]
     with pytest.raises(ValueError, match="built with gamma"):
         read_value_quantiles(spark, state, [0.5], gamma=1.05)
+
+
+def test_dd_collapse_bounds_buckets_preserves_upper_quantiles(spark):
+    """dd_collapse: count mass preserved exactly, bucket count bounded,
+    and every quantile whose rank lands in the KEPT range retains the
+    full alpha guarantee (the p95/p99 deployment story). The collapsed
+    low tail reads as the boundary bucket — at most the boundary value."""
+    from kafka_streams_task_spark.operators.sketch import (
+        dd_alpha,
+        dd_collapse,
+        dd_quantiles,
+        dd_sketch_table,
+    )
+
+    vals = [0.001 * (1.5 ** i) for i in range(40)]  # 0.001 .. ~4e8
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    gamma = 1.05
+    sk = dd_sketch_table(df, "v", gamma=gamma)
+    full = sk.count()
+    assert full > 20
+    small = dd_collapse(sk, 10)
+    assert small.count() <= 10
+    assert (
+        small.agg(F.sum("c")).collect()[0][0]
+        == sk.agg(F.sum("c")).collect()[0][0]
+    )
+    # upper quantiles: rank in the kept range -> full guarantee holds
+    svals = sorted(vals)
+    alpha = dd_alpha(gamma)
+    est = {
+        r["q"]: r["est"]
+        for r in dd_quantiles(small, [0.9, 0.99, 1.0], gamma=gamma).collect()
+    }
+    for q in (0.9, 0.99, 1.0):
+        true = svals[int(q * (len(svals) - 1))]
+        assert abs(est[q] - true) <= alpha * true + 1e-12, (q, est[q], true)
+    # collapsed tail: estimate is the boundary bucket's midpoint — an
+    # upper-side read, never BELOW the guarantee band of the boundary
+    low = dd_quantiles(small, [0.0], gamma=gamma).collect()[0]["est"]
+    assert low >= svals[0]
+    with pytest.raises(ValueError, match="max_buckets"):
+        dd_collapse(sk, 0)
+
+
+def test_streaming_dd_restart_merges_new_batch(spark, tmpdir):
+    """Stop after batch 0, restart on the SAME checkpoint with a new file
+    present: the twin resumes from committed state and the final sketch
+    equals the batch build over everything (the mixing twin's restart
+    contract, applied to DDSketch)."""
+    import json as _json
+    import os
+
+    from pyspark.sql import types as T
+
+    from kafka_streams_task_spark.operators.sketch import dd_sketch_table
+    from kafka_streams_task_spark.streaming.sketch import (
+        streaming_value_quantiles,
+    )
+
+    src = f"{tmpdir}/dd_in"
+    state = f"{tmpdir}/dd_state"
+    ck = f"{tmpdir}/dd_ckpt"
+    os.makedirs(src)
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("value", T.DoubleType())]
+    )
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+        )
+        q = streaming_value_quantiles(stream, state, ck, gamma=1.02)
+        q.awaitTermination(120)
+
+    with open(f"{src}/b0.json", "w") as f:
+        f.write("\n".join(_json.dumps({"id": i, "value": 10.0 * i}) for i in (1, 2)))
+    os.utime(f"{src}/b0.json", (1000000000,) * 2)
+    run()
+    with open(f"{src}/b1.json", "w") as f:
+        f.write("\n".join(_json.dumps({"id": i, "value": 10.0 * i}) for i in (3, 4, 5)))
+    os.utime(f"{src}/b1.json", (1000000100,) * 2)
+    run()
+
+    both = spark.createDataFrame(
+        [(i, 10.0 * i) for i in range(1, 6)], "id long, value double"
+    )
+    batch = {
+        (r["bucket"], r["c"])
+        for r in dd_sketch_table(both, "value", gamma=1.02).collect()
+    }
+    latest = {
+        (r["bucket"], r["c"])
+        for r in spark.read.parquet(f"{state}/dd_v1").collect()
+    }
+    assert latest == batch
