@@ -1667,6 +1667,20 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # r14: re-measure the CPU and Python-lane probes AFTER the full query
+    # sweep. The probes run on a fresh session; the ops section runs ~70
+    # queries later on an aged one (JVM heap fragmentation, GC pressure,
+    # Python-worker-pool state). A start-vs-end probe delta makes
+    # session-aging drift measurable and separable from host drift —
+    # the r14 closing run's uniform ops drift was invisible to all three
+    # START-of-run probes, which is exactly the gap these close.
+    calib_sec_end = min(_calib_once(), _calib_once())
+    calib_py_sec_end = min(_calib_py_once(), _calib_py_once())
+    print(
+        f"# calib_sec_end: {calib_sec_end} calib_py_sec_end: {calib_py_sec_end}",
+        file=sys.stderr,
+    )
+
     best = {k: min(v) for k, v in all_runs.items() if k in HEADLINE}
     ops_best = {k: min(v) for k, v in all_runs.items() if k in OPS_SECTION}
     total = round(sum(best.values()), 3)
@@ -1697,6 +1711,13 @@ def main() -> None:
                 # resource the r13 uniform drift rode — see the
                 # three-probe rule in BENCH_BASELINE_r1.md)
                 "calib_py_sec": calib_py_sec,
+                # r14: the same two probes re-measured AFTER the sweep —
+                # end/start ratio isolates session-aging drift (heap/GC/
+                # worker-pool state) from host drift; ops-section
+                # comparisons normalize by the END values when the ratio
+                # exceeds ~1.2 (BENCH_BASELINE_r1.md)
+                "calib_sec_end": calib_sec_end,
+                "calib_py_sec_end": calib_py_sec_end,
                 # r8 non-headline ops section (r7 crawl/compliance/
                 # versioning surface); excluded from "value" so the
                 # headline total stays round-over-round comparable
