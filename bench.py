@@ -219,6 +219,7 @@ OPS_SECTION = [
     # + broadcast probe lookup over documents
     "cms_freq",
     "dd_quantiles",
+    "hll_distinct",
 ]
 
 #: frozen first-measurements for the ops section (set r8, steady-state
@@ -276,6 +277,11 @@ OPS_BASELINE_SEC = {
     # (tools/ab_trials.py); frozen at the top of the steady band, not
     # the min — the cms_freq lesson.
     "dd_quantiles": 1.00,
+    # r14 first measurement: HLL register build over 600k l_partkey
+    # values (constant 1024-register domain) + the estimate closed form.
+    # min-of-4 [0.442, 0.336, 0.307, 0.330] in the bench-config session
+    # (tools/ab_trials.py); frozen at the top of the steady band.
+    "hll_distinct": 0.40,
     # r8 third wave: post-model-pin steady state (pre-pin measured 4.2 —
     # the bucket-count aggs re-executed for every downstream consumer);
     # r11 re-freeze, same A/B receipt as bloom_decontaminate: r9 checkout
@@ -1090,6 +1096,17 @@ def _ops_workloads():
             sk, [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99], gamma=1.02
         )
 
+    def _hll_distinct(s, d):
+        # r14: HLL register build over 600k l_partkey values (constant
+        # 1024-register domain, one bounded shuffle) + the estimate
+        from kafka_streams_task_spark.operators.sketch import (
+            hll_cardinality,
+            hll_register_table,
+        )
+
+        li = load_table(s, d, "lineitem")
+        return hll_cardinality(hll_register_table(li, "l_partkey", b=10), b=10)
+
     def _asof_nearest(s, d):
         # r12: the nearest-direction as-of join — one shuffle, one sort,
         # two window channels over purchases x deduped clicks
@@ -1231,6 +1248,7 @@ def _ops_workloads():
         "heavy_hitter_topk": _heavy_hitter_topk,
         "cms_freq": _cms_freq,
         "dd_quantiles": _dd_quantiles,
+        "hll_distinct": _hll_distinct,
     }
 
 

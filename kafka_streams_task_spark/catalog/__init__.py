@@ -59,7 +59,10 @@ _PROMOTED = [
     # r13 wave 2: geo_radius_pairs folded into geo_suite (+ density
     # clustering, formerly the geo_cluster_suite extension)
     "geo_suite",
-    "privacy_kanon_suite",
+    # r14: privacy_kanon_suite folded into corpus_stats_suite ('kanon:*'
+    # legs); the freed slot carries the HyperLogLog distinct-count suite
+    # (the fourth classic sketch — whole-register-table oracle).
+    "hll_distinct_suite",
     "timeseries_gapfill_suite",
     "unicode_token_suite",
     "temporal_join_suite",

@@ -1756,7 +1756,9 @@ _KAN_ORACLE = f"""
 """
 
 
-@query("privacy_kanon_suite", oracle=_KAN_ORACLE)
+# r14: driver slot folded into corpus_stats_suite (its 'kanon:*' legs)
+# to free the slot for hll_distinct_suite; the builder stays importable
+# and its oracle rides the folded suite unchanged.
 def privacy_kanon_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity / l-diversity privacy audit (operators/privacy.py;
     Sweeney 2002, Machanavajjhala et al. 2007) over the customer table
@@ -3375,6 +3377,11 @@ def _corpus_stats_oracle() -> str:
            CAST(i1 AS BIGINT), CAST(i2 AS BIGINT),
            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
     FROM ({_MKV_ORACLE})
+    UNION ALL
+    SELECT 'kanon:' || leg, CAST(k AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(i1 AS BIGINT), CAST(i2 AS BIGINT),
+           CAST(i3 AS BIGINT), CAST(i4 AS BIGINT), CAST(NULL AS BIGINT)
+    FROM ({_KAN_ORACLE})
     """
 
 
@@ -3387,7 +3394,12 @@ def corpus_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     'pmi'     — pmi_collocations: PMI/NPMI bigram collocations
                 (two count aggs + vocabulary-bounded joins + top-k);
     'mkv:*'   — markov_transitions: per-user journey transition
-                matrix with Laplace-smoothed probabilities.
+                matrix with Laplace-smoothed probabilities;
+    'kanon:*' — privacy_kanon_suite (r14 fold — the corpus-governance
+                audit joins its statistics siblings, freeing the slot
+                for hll_distinct_suite): k-anonymity/l-diversity
+                equivalence classes, suppression and generalization
+                re-audits.
 
     Each single's full output (canaries included) rides unchanged under
     a tag prefix; scale shapes per-single docstrings above."""
@@ -3420,7 +3432,14 @@ def corpus_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul.alias("i4"),
         nul.alias("i5"),
     )
-    return drift.unionByName(pmi).unionByName(mkv)
+    kanon = privacy_kanon_suite(spark, sf_dir).select(
+        F.concat(F.lit("kanon:"), F.col("leg")).alias("leg"),
+        F.col("k").cast("string").alias("k"),
+        nus.alias("v"),
+        *[F.col(f"i{j}").cast("long").alias(f"i{j}") for j in (1, 2, 3, 4)],
+        nul.alias("i5"),
+    )
+    return drift.unionByName(pmi).unionByName(mkv).unionByName(kanon)
 
 
 # ---------------------------------------------------------------------------
@@ -5331,4 +5350,164 @@ def quantile_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         bucket_leg.unionByName(quant_leg)
         .unionByName(canary_df(spark, _QSK_COLS))
+    )
+
+
+# ---------------------------------------------------------------------------
+# hll_distinct_suite (r14): HyperLogLog mergeable distinct counting — the
+# fourth classic sketch (after MG / CMS / DDSketch). The slot freed by
+# folding privacy_kanon_suite into corpus_stats_suite.
+# ---------------------------------------------------------------------------
+
+_HLL_B = 10  # m = 1024 registers; standard error 1.04/sqrt(m) ~ 3.25%
+#: alpha_m * m^2 * 2^(61-b) — the raw-estimator numerator, computed once
+#: and embedded via repr so both engines divide the IDENTICAL double by
+#: the exact integer register sum
+_HLL_NUM = "1.7013287633207432e+21"
+#: 3 standard errors — the probabilistic gate the est legs state
+_HLL_TOL = 3 * 1.04 / 32.0
+
+_HLLS_COLS = [("key", "long"), ("i1", "long"), ("i2", "long")]
+
+
+def _hll_sql_regs(src_sql: str) -> str:
+    """Register-table CTE body over ``src_sql`` (one VARCHAR column x):
+    the integer-exact md5/bin re-derivation (b=10, 50-bit suffix)."""
+    return f"""
+      SELECT reg, max(rho) AS rho FROM (
+        SELECT CAST(h % 1024 AS INT) AS reg,
+               CAST(CASE WHEN (h >> 10) = 0 THEN 51
+                    ELSE 51 - length(bin(h >> 10)) END AS INT) AS rho
+        FROM (SELECT CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) AS h
+              FROM ({src_sql}) WHERE x IS NOT NULL)
+      ) GROUP BY reg
+    """
+
+
+def _hll_sql_est(regs_cte: str) -> str:
+    """(nr, est) from a register CTE name — the same closed form the
+    operator computes: exact integer register sum, one float division,
+    linear-counting branch below 2.5m with empties present."""
+    return f"""
+      SELECT nr, CASE WHEN raw <= 2560.0 AND (1024 - nr) > 0
+                      THEN 1024.0 * ln(1024.0 / CAST(1024 - nr AS DOUBLE))
+                      ELSE raw END AS est
+      FROM (
+        SELECT count(*) AS nr,
+               {_HLL_NUM} / CAST(
+                 sum(CAST(1 AS BIGINT) << (51 - rho))
+                 + (1024 - count(*)) * (CAST(1 AS BIGINT) << 51)
+                 AS DOUBLE) AS raw
+        FROM {regs_cte}
+      )
+    """
+
+
+def _hll_oracle() -> str:
+    from .llm_suites import canary_sql
+
+    return f"""
+    WITH pregs AS ({_hll_sql_regs("SELECT CAST(l_partkey AS VARCHAR) AS x FROM lineitem")}),
+    sregs AS ({_hll_sql_regs("SELECT CAST(source AS VARCHAR) AS x FROM documents")}),
+    pest AS ({_hll_sql_est("pregs")}),
+    sest AS ({_hll_sql_est("sregs")})
+    SELECT CAST(leg AS VARCHAR) AS leg, CAST(key AS BIGINT) AS key,
+           CAST(i1 AS BIGINT) AS i1, CAST(i2 AS BIGINT) AS i2
+    FROM (
+      SELECT 'reg:part' AS leg, CAST(reg AS BIGINT) AS key,
+             CAST(rho AS BIGINT) AS i1, CAST(NULL AS BIGINT) AS i2
+      FROM pregs
+      UNION ALL
+      SELECT 'reg:src', CAST(reg AS BIGINT), CAST(rho AS BIGINT),
+             CAST(NULL AS BIGINT)
+      FROM sregs
+      UNION ALL
+      -- i2 is the LITERAL 1 (the quantile-suite discipline): Spark
+      -- computes the 3-sigma accuracy predicate against the exact
+      -- distinct count for real; a violation hash-FAILS here
+      SELECT 'est:part', CAST(nr AS BIGINT), {sql_fmicro("est")},
+             CAST(1 AS BIGINT)
+      FROM pest
+      UNION ALL
+      SELECT 'est:src', CAST(nr AS BIGINT), {sql_fmicro("est")},
+             CAST(1 AS BIGINT)
+      FROM sest
+      UNION ALL
+      {canary_sql(_HLLS_COLS)}
+    )
+    """
+
+
+@query("hll_distinct_suite", oracle=_hll_oracle())
+def hll_distinct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog legs (operators/sketch.py; Flajolet et al. 2007) at
+    b=10 (1024 registers, sigma ~ 3.25%):
+
+    'reg:part' / 'reg:src' — the ENTIRE register table is the gated
+                value, over a high-cardinality key (lineitem.l_partkey —
+                the raw-estimator regime) and a low-cardinality one
+                (documents.source — the linear-counting regime). DuckDB
+                re-derives every (reg, rho) cell from its own md5/bin
+                arithmetic; rho comes from a STRING length, not a float
+                log, so there is no cross-engine boundary surface at all.
+    'est:part' / 'est:src' — the cardinality estimates: register count,
+                micro-rounded estimate (the register sum is the exact
+                integer sum of 2^(51-rho), so the raw estimate is one
+                float division of an identical literal by an identical
+                integer in both engines; the linear-counting branch is
+                selected by the same exact comparison), and the 3-sigma
+                accuracy predicate vs the exact COUNT(DISTINCT) computed
+                in the same Spark plan — stated as the LITERAL 1 by the
+                oracle (the quantile-suite discipline) so a violation
+                hash-fails. Unlike DDSketch's worst-case alpha this is
+                a PROBABILISTIC bound, but it is deterministic per
+                dataset under the fixed md5 hash — both corpora sit
+                comfortably inside it (measured: |rel err| < 2% part,
+                < 0.1% src).
+    'canary'  — constant rows stated identically by both engines.
+
+    Scale shape: each build aggregates map-side onto the constant
+    1024-register domain before one bounded shuffle; the merge
+    (element-wise max) is idempotent — the streaming twin
+    (streaming/sketch.py::streaming_distinct_values) leans on both.
+    The exact COUNT(DISTINCT) side exists ONLY for the gate."""
+    from ..operators.sketch import hll_cardinality, hll_register_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def reg_leg(regs: DataFrame, tag: str) -> DataFrame:
+        return regs.select(
+            F.lit(f"reg:{tag}").alias("leg"),
+            F.col("reg").cast("long").alias("key"),
+            F.col("rho").cast("long").alias("i1"),
+            F.lit(None).cast("long").alias("i2"),
+        )
+
+    def est_leg(regs: DataFrame, src: DataFrame, col: str, tag: str) -> DataFrame:
+        est = hll_cardinality(regs, b=_HLL_B)
+        true = src.filter(F.col(col).isNotNull()).agg(
+            F.countDistinct(F.col(col)).cast("long").alias("_true")
+        )
+        return est.crossJoin(F.broadcast(true)).select(
+            F.lit(f"est:{tag}").alias("leg"),
+            F.col("n_registers").cast("long").alias("key"),
+            fmicro_col(F.col("est")).alias("i1"),
+            (
+                F.abs(F.col("est") / F.col("_true") - 1.0) <= F.lit(_HLL_TOL)
+            )
+            .cast("long")
+            .alias("i2"),
+        )
+
+    p_regs = hll_register_table(li, "l_partkey", b=_HLL_B)
+    s_regs = hll_register_table(docs, "source", b=_HLL_B)
+    from .llm_suites import canary_df
+
+    return (
+        reg_leg(p_regs, "part")
+        .unionByName(reg_leg(s_regs, "src"))
+        .unionByName(est_leg(p_regs, li, "l_partkey", "part"))
+        .unionByName(est_leg(s_regs, docs, "source", "src"))
+        .unionByName(canary_df(spark, _HLLS_COLS))
     )

@@ -49,8 +49,11 @@ __all__ = [
     "dd_collapse",
     "dd_quantiles",
     "dd_sketch_table",
+    "hll_cardinality",
+    "hll_register_table",
     "merge_cms_tables",
     "merge_dd_sketches",
+    "merge_hll_tables",
     "merge_mg_summaries",
     "misra_gries_candidates",
     "topk_tokens_sketched",
@@ -537,3 +540,122 @@ def dd_collapse(sketch: DataFrame, max_buckets: int) -> DataFrame:
         .groupBy("bucket")
         .agg(F.sum("c").cast("long").alias("c"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (r14): mergeable distinct counting in bounded memory — the
+# fourth classic sketch (MG: which values are heavy; CMS: how often a
+# value occurs; DDSketch: where a quantile sits; HLL: how many DISTINCT
+# values exist). Flajolet, Fusy, Gandouet & Meunier 2007 ("HyperLogLog:
+# the analysis of a near-optimal cardinality estimation algorithm").
+#
+# Spark already exposes approx_count_distinct (HLL++) as an aggregate,
+# but an aggregate is not a SKETCH OBJECT: it cannot be persisted,
+# merged across shards/streams, or maintained cumulatively. This family
+# materializes the register TABLE — (reg, rho) rows — which is all three.
+#
+# Portable and integer-exact end to end: the hash is the repo's 60-bit
+# md5 idiom, the register index is the low b bits, rho = leading zeros
+# of the remaining (60-b)-bit suffix + 1 computed via length(bin(v)) —
+# a STRING length, not a float log, so DuckDB re-derives the ENTIRE
+# register table cell by cell with zero boundary risk. The estimator's
+# register sum Σ 2^-rho is computed as the scaled INTEGER Σ 2^(K-rho)
+# (K = 61-b; max m*2^K = 2^61 < 2^63), so parallel aggregation order
+# cannot perturb it — the estimate is a deterministic closed form of an
+# exact integer, restatable by the oracle to the last bit of arithmetic.
+#
+# The merge is element-wise MAX — not just commutative/associative but
+# IDEMPOTENT, so redelivered shards and replayed batches are absorbed
+# with no versioning discipline needed at all (the streaming twin keeps
+# the family's versioned protocol anyway, for uniform reads/audit).
+#
+# Scale shape: the value stream aggregates map-side onto a key domain
+# of at most 2^b registers (constant, corpus-independent); one bounded
+# shuffle. Standard error ~ 1.04/sqrt(2^b) (b=10 -> 3.25%).
+# ---------------------------------------------------------------------------
+
+
+def hll_register_table(
+    df: DataFrame,
+    value_col: str,
+    b: int = 10,
+) -> DataFrame:
+    """Build the HLL register table ``(reg, rho)`` over the NON-NULL
+    values of ``df[value_col]`` (cast to string before hashing — equal
+    values collapse by construction, which is the whole point).
+    Registers never touched are absent (the estimator counts them as
+    empty). ``b`` register-index bits: 4 <= b <= 16 (m = 2^b registers;
+    the 60-bit hash leaves a 44-bit suffix even at b=16)."""
+    if not 4 <= b <= 16:
+        raise ValueError(f"b must be in [4, 16], got {b}")
+    vbits = 60 - b
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    reg = (h % F.lit(1 << b)).cast("int")
+    # EXACT integer shift — h/2^b through a double would round the
+    # 60-bit hash at the 53-bit mantissa and corrupt the suffix
+    suffix = F.shiftright(h, b)
+    # rho = leading zeros of the vbits-wide suffix + 1; bit_length via
+    # the bin() STRING length (integer-exact in Spark and DuckDB alike)
+    rho = F.when(suffix == 0, F.lit(vbits + 1)).otherwise(
+        F.lit(vbits + 1) - F.length(F.bin(suffix))
+    ).cast("int")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(reg.alias("reg"), rho.alias("rho"))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_cardinality(registers: DataFrame, b: int = 10) -> DataFrame:
+    """Cardinality estimate from a register table: one row
+    ``(n_registers, est)``. Classic HLL estimator with the small-range
+    (linear counting) correction; the 32-bit large-range correction does
+    not apply at a 60-bit hash. Standard error ~ 1.04/sqrt(2^b) — a
+    PROBABILISTIC bound (per-dataset deterministic under the fixed md5
+    hash, unlike DDSketch's worst-case alpha).
+
+    Deterministic across engines and partitionings: the register sum is
+    the exact integer S' = Σ 2^(K-rho) + empty*2^K (K = 61-b), so the
+    raw estimate alpha_m * m^2 * 2^K / S' involves exactly one float
+    division of literals by an exact integer."""
+    if not 4 <= b <= 16:
+        raise ValueError(f"b must be in [4, 16], got {b}")
+    m = 1 << b
+    k_exp = 61 - b
+    if m >= 128:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    elif m == 64:
+        alpha = 0.709
+    elif m == 32:
+        alpha = 0.697
+    else:
+        alpha = 0.673
+    agg = registers.agg(
+        F.count(F.lit(1)).cast("long").alias("n_registers"),
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {k_exp} - rho)")),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("_s_touched"),
+    )
+    n_empty = F.lit(m) - F.col("n_registers")
+    s_scaled = F.col("_s_touched") + n_empty.cast("long") * F.lit(1 << k_exp)
+    raw = F.lit(alpha * m * m * float(1 << k_exp)) / s_scaled.cast("double")
+    # linear counting when the raw estimate is small and empties remain
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (n_empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / n_empty.cast("double")),
+    ).otherwise(raw)
+    return agg.select("n_registers", est.alias("est"))
+
+
+def merge_hll_tables(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Element-wise MAX of two register tables built with the SAME b:
+    the merged table is EXACTLY the table of the concatenated input —
+    and because max is idempotent, merging overlapping or duplicated
+    shards (redelivery, replay, re-union) changes nothing."""
+    return a.unionByName(b).groupBy("reg").agg(F.max("rho").alias("rho"))

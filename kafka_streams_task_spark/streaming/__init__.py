@@ -21,9 +21,11 @@ from .mixing import (
     streaming_score_boundaries,
 )
 from .sketch import (
+    read_distinct_count,
     read_token_frequencies,
     read_top_tokens,
     read_value_quantiles,
+    streaming_distinct_values,
     streaming_token_frequencies,
     streaming_top_tokens,
     streaming_value_quantiles,
@@ -58,4 +60,6 @@ __all__ = [
     "read_token_frequencies",
     "streaming_value_quantiles",
     "read_value_quantiles",
+    "streaming_distinct_values",
+    "read_distinct_count",
 ]

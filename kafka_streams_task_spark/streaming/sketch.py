@@ -30,9 +30,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = [
+    "read_distinct_count",
     "read_token_frequencies",
     "read_top_tokens",
     "read_value_quantiles",
+    "streaming_distinct_values",
     "streaming_token_frequencies",
     "streaming_top_tokens",
     "streaming_value_quantiles",
@@ -332,3 +334,99 @@ def read_value_quantiles(
         raise ValueError(f"no committed sketch under {state_dir}")
     dd = spark.read.parquet(f"{state_dir}/{_DD_PFX}{max(versions)}")
     return dd_quantiles(dd, qs, gamma=gamma)
+
+
+_HLL_PFX = "hll_v"
+
+
+def streaming_distinct_values(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    value_col: str = "value",
+    b: int = 10,
+):
+    """Maintain a cumulative HyperLogLog register table over a value
+    stream — the distinct-count twin of the MG/CMS/DDSketch family. The
+    HLL merge (element-wise MAX) is not just exact but IDEMPOTENT, so
+    even outside the versioned protocol a redelivered batch could not
+    corrupt the registers; the family's versioned-parquet discipline is
+    kept anyway for uniform reads, auditability, and version pruning.
+    The committed table after batch N is bit-identical to the batch
+    :func:`~..operators.sketch.hll_register_table` over everything
+    ingested (pinned by tests/test_sketch.py). ``b`` persists with the
+    state (``hll_meta``) and is validated on every batch and read —
+    registers indexed under a different b are a different sketch."""
+    from ..operators.sketch import hll_register_table, merge_hll_tables
+    from .state import bind_state_to_checkpoint, committed_versions
+
+    if not 4 <= b <= 16:
+        raise ValueError(f"b must be in [4, 16], got {b}")
+    bind_state_to_checkpoint(stream.sparkSession, state_dir, checkpoint_dir)
+    _check_or_write_hll_meta(stream.sparkSession, state_dir, b)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _check_or_write_hll_meta(spark, state_dir, b)
+        versions = committed_versions(spark, state_dir, _HLL_PFX)
+        if batch_id in versions:
+            return  # redelivery: this batch's registers are already durable
+        prev = [v for v in versions if v < batch_id]
+        batch_hll = hll_register_table(batch_df, value_col, b)
+        if prev:
+            committed = spark.read.parquet(f"{state_dir}/{_HLL_PFX}{max(prev)}")
+            merged = merge_hll_tables(committed, batch_hll)
+        else:
+            merged = batch_hll
+        merged.write.mode("overwrite").parquet(f"{state_dir}/{_HLL_PFX}{batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _check_or_write_hll_meta(spark: SparkSession, state_dir: str, b: int) -> None:
+    """Persist b on first contact; refuse disagreeing callers. Hadoop-FS
+    probe and single-writer contract as the CMS/DDSketch metas."""
+    from .state import path_exists
+
+    meta_path = f"{state_dir}/hll_meta"
+    if path_exists(spark, meta_path):
+        row = spark.read.parquet(meta_path).collect()[0]
+        if row["b"] != b:
+            raise ValueError(
+                f"HLL state at {state_dir} was built with b={row['b']}; got {b}"
+            )
+    else:
+        spark.createDataFrame([(int(b),)], "b int").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(meta_path)
+
+
+def read_distinct_count(
+    spark: SparkSession, state_dir: str, b: int | None = None
+) -> DataFrame:
+    """Cumulative distinct-count estimate ``(n_registers, est)`` from the
+    latest committed register table. ``b`` defaults to the persisted
+    build value; a disagreeing value raises. Raises if nothing has
+    committed yet."""
+    from ..operators.sketch import hll_cardinality
+    from .state import committed_versions, path_exists
+
+    meta_path = f"{state_dir}/hll_meta"
+    if path_exists(spark, meta_path):
+        built = spark.read.parquet(meta_path).collect()[0]["b"]
+        if b is None:
+            b = built
+        else:
+            _check_or_write_hll_meta(spark, state_dir, b)
+    elif b is None:
+        raise ValueError(f"no hll_meta under {state_dir}; pass b explicitly")
+    versions = committed_versions(spark, state_dir, _HLL_PFX)
+    if not versions:
+        raise ValueError(f"no committed registers under {state_dir}")
+    regs = spark.read.parquet(f"{state_dir}/{_HLL_PFX}{max(versions)}")
+    return hll_cardinality(regs, b=b)

@@ -65,6 +65,9 @@ BNLJ_ALLOWED = {
     # r12: heavy_hitter_suite's guard leg crossJoins the 1-row kth-count
     # and 1-row total-token aggregates — the recall-gate precedent
     "heavy_hitter_suite",
+    # r14: hll_distinct_suite's est legs crossJoin the 1-row exact
+    # COUNT(DISTINCT) gate aggregate — the recall-gate precedent
+    "hll_distinct_suite",
 }
 
 #: queries allowed Python/Arrow stages, with a ceiling per query — every
@@ -163,7 +166,10 @@ DRIVER_WINDOW = [
     # promoted ALL of them: the driver gate now covers the entire
     # catalog (49 entries, one spare slot under the 50-row cap)
     "model_eval_suite", "perceptual_dedup_suite", "geo_suite",
-    "privacy_kanon_suite", "timeseries_gapfill_suite",
+    # r14 fold: privacy_kanon_suite became corpus_stats_suite's 'kanon:*'
+    # legs (builder stays importable); the freed slot carries the HLL
+    # distinct-count suite (the fourth sketch)
+    "hll_distinct_suite", "timeseries_gapfill_suite",
     "unicode_token_suite", "temporal_join_suite",
     "script_mix_suite", "containment_pairs_suite",
     "stats_family_suite", "quality_survivor_suite", "heavy_hitter_suite",

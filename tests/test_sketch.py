@@ -711,3 +711,175 @@ def test_streaming_dd_restart_merges_new_batch(spark, tmpdir):
         for r in spark.read.parquet(f"{state}/dd_v1").collect()
     }
     assert latest == batch
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (r14): mergeable distinct counting
+# ---------------------------------------------------------------------------
+
+
+def test_hll_estimate_accuracy_both_regimes(spark):
+    """HLL estimate within 3 standard errors (1.04/sqrt(m)) of the true
+    distinct count in BOTH regimes: linear counting (n << m) and the raw
+    estimator (n >> m). Deterministic under the fixed md5 hash."""
+    from kafka_streams_task_spark.operators.sketch import (
+        hll_cardinality,
+        hll_register_table,
+    )
+
+    b, m = 10, 1024
+    se = 1.04 / (m ** 0.5)
+    # linear-counting regime: 300 distinct values, duplicated 3x
+    small = spark.createDataFrame(
+        [(f"v{i % 300}",) for i in range(900)], "x string"
+    )
+    est = hll_cardinality(hll_register_table(small, "x", b=b), b=b).collect()[0]
+    assert abs(est["est"] - 300) <= 3 * se * 300, est
+    # raw regime: 20000 distinct values
+    big = spark.range(20000).select(F.concat(F.lit("k"), F.col("id")).alias("x"))
+    est2 = hll_cardinality(hll_register_table(big, "x", b=b), b=b).collect()[0]
+    assert abs(est2["est"] - 20000) <= 3 * se * 20000, est2
+    # duplicates are invisible by construction
+    est3 = hll_cardinality(
+        hll_register_table(big.unionByName(big), "x", b=b), b=b
+    ).collect()[0]
+    assert est3["est"] == est2["est"]
+
+
+def test_hll_merge_exact_and_idempotent(spark):
+    """merge == table of the union, and merging a table with ITSELF is a
+    no-op (max idempotency — the property that makes redelivery free)."""
+    from kafka_streams_task_spark.operators.sketch import (
+        hll_register_table,
+        merge_hll_tables,
+    )
+
+    a = spark.range(500).select(F.concat(F.lit("a"), F.col("id")).alias("x"))
+    c = spark.range(300, 900).select(F.concat(F.lit("a"), F.col("id")).alias("x"))
+    ta = hll_register_table(a, "x")
+    tc = hll_register_table(c, "x")
+    merged = {(r["reg"], r["rho"]) for r in merge_hll_tables(ta, tc).collect()}
+    union = {
+        (r["reg"], r["rho"])
+        for r in hll_register_table(a.unionByName(c), "x").collect()
+    }
+    assert merged == union
+    self_merged = {(r["reg"], r["rho"]) for r in merge_hll_tables(ta, ta).collect()}
+    assert self_merged == {(r["reg"], r["rho"]) for r in ta.collect()}
+
+
+def test_hll_registers_match_duckdb_rederivation(spark):
+    """Cross-engine pin: DuckDB re-derives the ENTIRE register table from
+    its own md5/bin arithmetic — the integer-exact portability claim the
+    driver oracle relies on."""
+    import duckdb
+
+    from kafka_streams_task_spark.operators.sketch import hll_register_table
+
+    vals = [f"tok{i}" for i in range(777)]
+    df = spark.createDataFrame([(v,) for v in vals], "x string")
+    got = {(r["reg"], r["rho"]) for r in hll_register_table(df, "x", b=8).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    want = {
+        (int(r[0]), int(r[1]))
+        for r in con.execute(
+            """
+            WITH h AS (
+              SELECT CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) AS h
+              FROM t WHERE x IS NOT NULL
+            ),
+            rr AS (
+              SELECT CAST(h % 256 AS INT) AS reg,
+                     CASE WHEN (h >> 8) = 0 THEN 53
+                          ELSE 53 - length(bin(h >> 8)) END AS rho
+              FROM h
+            )
+            SELECT reg, max(rho) FROM rr GROUP BY reg
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_hll_plan_shapes_and_validation(spark):
+    """Build is pure codegen (no Python stage), partial+final aggregate
+    over the bounded register domain; parameters validate; NULLs drop."""
+    from kafka_streams_task_spark.operators.sketch import (
+        hll_cardinality,
+        hll_register_table,
+    )
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("a",), (None,), ("b",)], "x string")
+    t = hll_register_table(df, "x")
+    p = t._jdf.queryExecution().executedPlan().toString()
+    for stage in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert stage not in p, f"HLL build grew a Python stage: {stage}"
+    assert "partial_max" in p
+    # two non-null values -> at most two registers
+    assert t.count() <= 2
+    with _pytest.raises(ValueError, match="b must be"):
+        hll_register_table(df, "x", b=2)
+    with _pytest.raises(ValueError, match="b must be"):
+        hll_cardinality(t, b=20)
+
+
+def test_streaming_hll_equals_batch_and_replay_noop(spark, tmpdir):
+    """Streaming HLL: committed registers bit-identical to the batch
+    table over both micro-batches, the estimate reflects the cumulative
+    distinct count, replay is a no-op, and the persisted b guards reads."""
+    import json as _json
+    import os
+
+    from pyspark.sql import types as T
+
+    from kafka_streams_task_spark.operators.sketch import hll_register_table
+    from kafka_streams_task_spark.streaming.sketch import (
+        read_distinct_count,
+        streaming_distinct_values,
+    )
+
+    b0 = [{"id": i, "value": f"u{i}"} for i in range(40)]
+    b1 = [{"id": i, "value": f"u{i}"} for i in range(20, 70)]  # 30 overlap
+    src = f"{tmpdir}/hll_in"
+    os.makedirs(src)
+    for i, rows in enumerate((b0, b1)):
+        with open(f"{src}/b{i}.json", "w") as f:
+            f.write("\n".join(_json.dumps(r) for r in rows))
+        os.utime(f"{src}/b{i}.json", (1000000000 + i * 100,) * 2)
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("value", T.StringType())]
+    )
+    state = f"{tmpdir}/hll_state"
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+        )
+        q = streaming_distinct_values(stream, state, ck, b=10)
+        q.awaitTermination(120)
+
+    run(f"{tmpdir}/hll_ckpt")
+    est = read_distinct_count(spark, state).collect()[0]
+    # 70 true distincts; linear-counting regime at m=1024 is very tight
+    assert abs(est["est"] - 70) <= 5, est
+
+    both = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(70)], "id long, value string"
+    )
+    batch = {
+        (r["reg"], r["rho"])
+        for r in hll_register_table(both, "value", b=10).collect()
+    }
+    latest = {
+        (r["reg"], r["rho"])
+        for r in spark.read.parquet(f"{state}/hll_v1").collect()
+    }
+    assert latest == batch
+
+    run(f"{tmpdir}/hll_ckpt")  # replay no-op
+    assert read_distinct_count(spark, state).collect()[0]["est"] == est["est"]
+    with pytest.raises(ValueError, match="built with b"):
+        read_distinct_count(spark, state, b=12)
