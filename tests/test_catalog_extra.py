@@ -327,7 +327,8 @@ def test_r13_umbrella_suites_leg_tags(spark, sf_dir):
         "model_eval_suite": {"kn", "cls", "ret"},
         "linkage_suite": {"sdx", "jw"},
         "mixing_policy_suite": {"sbk", "umx"},
-        "corpus_stats_suite": {"drift", "pmi", "mkv"},
+        # r14 fold: privacy_kanon_suite rides as the 'kanon:*' legs
+        "corpus_stats_suite": {"drift", "pmi", "mkv", "kanon"},
         "text_profile_suite": {"tok", "qual", "bpe", "fp", "canary"},
         "cms_freq_suite": {"est", "cells", "planted", "canary"},
     }
