@@ -82,9 +82,15 @@ def streaming_score_boundaries(
             F.col(score_col).isNotNull()
             & ~F.isnan(F.col(score_col).cast("double"))
         )
+        # key on the RAW score column, exactly like the batch fit —
+        # casting to double here would collide distinct values the batch
+        # path keeps apart (wide decimals, longs > 2^53) and silently
+        # break the stream==batch bit-equality claim (advice r14); the
+        # double cast happens only inside the boundary arithmetic, on
+        # both paths alike
         batch_counts = valid.groupBy(
             F.col(group_col).alias("grp"),
-            F.col(score_col).cast("double").alias("s"),
+            F.col(score_col).alias("s"),
         ).agg(F.count(F.lit(1)).cast("long").alias("n"))
         if prev:
             committed = spark.read.parquet(f"{state_dir}/{_PFX}{max(prev)}")
@@ -120,11 +126,13 @@ def _check_or_write_mixing_meta(
     Hadoop FS API so non-local state dirs validate too. Single-writer
     contract as ``streaming/sketch.py``: the dir is owned by ONE query
     (``bind_state_to_checkpoint``); concurrent first writes are outside
-    it and the loser is refused on its next batch."""
-    from .state import path_exists
+    it and the loser is refused on its next batch. ``_SUCCESS``-gated
+    probe as the sketch metas: a half-written meta dir (crash mid-first-
+    write) is rewritten, not read (advice r14)."""
+    from .state import meta_committed
 
     meta_path = f"{state_dir}/mixing_meta"
-    if path_exists(spark, meta_path):
+    if meta_committed(spark, meta_path):
         row = spark.read.parquet(meta_path).collect()[0]
         got = (row["group_col"], row["score_col"], row["n_buckets"])
         if got != (group_col, score_col, n_buckets):
@@ -144,11 +152,11 @@ def _check_or_write_mixing_meta(
 def _read_meta_and_counts(
     spark: SparkSession, state_dir: str
 ) -> tuple[DataFrame, str, str, int]:
-    from .state import committed_versions, path_exists
+    from .state import committed_versions, meta_committed
 
     meta_path = f"{state_dir}/mixing_meta"
-    if not path_exists(spark, meta_path):
-        raise ValueError(f"no mixing_meta under {state_dir}")
+    if not meta_committed(spark, meta_path):
+        raise ValueError(f"no mixing_meta committed under {state_dir}")
     row = spark.read.parquet(meta_path).collect()[0]
     versions = committed_versions(spark, state_dir, _PFX)
     if not versions:

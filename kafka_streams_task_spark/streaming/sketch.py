@@ -176,10 +176,10 @@ def _check_or_write_cms_meta(
     first-contact write with different parameters is outside that
     contract and is not detected here — the loser's parameters would be
     overwritten, then refused on its NEXT batch."""
-    from .state import path_exists
+    from .state import meta_committed
 
     meta_path = f"{state_dir}/cms_meta"
-    if path_exists(spark, meta_path):
+    if meta_committed(spark, meta_path):
         row = spark.read.parquet(meta_path).collect()[0]
         if (row["depth"], row["width"]) != (depth, width):
             raise ValueError(
@@ -187,6 +187,9 @@ def _check_or_write_cms_meta(
                 f"{row['depth']}/width={row['width']}; got {depth}/{width}"
             )
     else:
+        # absent OR present-without-_SUCCESS (crash mid-first-write):
+        # mode("overwrite") rewrites the half-written attempt, so the
+        # state self-heals instead of failing every later read (advice r14)
         spark.createDataFrame(
             [(int(depth), int(width))], "depth int, width int"
         ).coalesce(1).write.mode("overwrite").parquet(meta_path)
@@ -204,23 +207,28 @@ def read_token_frequencies(
     default to the build parameters persisted with the state
     (``cms_meta``); passing values that disagree with the durable state
     raises rather than reading garbage cells (review r13). Raises if no
-    sketch has committed yet."""
+    sketch has committed yet, and raises — rather than trusting
+    caller-supplied parameters against durable state of unknown
+    provenance — when committed sketches exist WITHOUT their meta
+    (partial state-dir cleanup; advice r14)."""
     from ..operators.sketch import cms_estimate
-    from .state import committed_versions, path_exists
+    from .state import committed_versions, meta_committed
 
-    meta_path = f"{state_dir}/cms_meta"
-    if path_exists(spark, meta_path):
-        row = spark.read.parquet(meta_path).collect()[0]
-        depth = row["depth"] if depth is None else depth
-        width = row["width"] if width is None else width
-        _check_or_write_cms_meta(spark, state_dir, depth, width)
-    elif depth is None or width is None:
-        raise ValueError(
-            f"no cms_meta under {state_dir}; pass depth/width explicitly"
-        )
     versions = committed_versions(spark, state_dir, _CMS_PFX)
     if not versions:
         raise ValueError(f"no committed sketch under {state_dir}")
+    meta_path = f"{state_dir}/cms_meta"
+    if not meta_committed(spark, meta_path):
+        raise ValueError(
+            f"no cms_meta under {state_dir} but committed sketches exist — "
+            "the durable state's build parameters are unknown (partial "
+            "state-dir cleanup?), so caller-supplied depth/width cannot be "
+            "trusted against it"
+        )
+    row = spark.read.parquet(meta_path).collect()[0]
+    depth = row["depth"] if depth is None else depth
+    width = row["width"] if width is None else width
+    _check_or_write_cms_meta(spark, state_dir, depth, width)
     cms = spark.read.parquet(f"{state_dir}/{_CMS_PFX}{max(versions)}")
     return cms_estimate(cms, probes, depth=depth, width=width)
 
@@ -287,12 +295,12 @@ def _check_or_write_dd_meta(
 ) -> None:
     """Persist gamma beside the versioned sketches on first contact;
     afterwards REFUSE any caller whose gamma disagrees with the durable
-    state. Hadoop-FS probe and single-writer contract as
-    :func:`_check_or_write_cms_meta`."""
-    from .state import path_exists
+    state. ``_SUCCESS``-gated probe (half-written metas self-heal) and
+    single-writer contract as :func:`_check_or_write_cms_meta`."""
+    from .state import meta_committed
 
     meta_path = f"{state_dir}/dd_meta"
-    if path_exists(spark, meta_path):
+    if meta_committed(spark, meta_path):
         row = spark.read.parquet(meta_path).collect()[0]
         if row["gamma"] != gamma:
             raise ValueError(
@@ -315,23 +323,27 @@ def read_value_quantiles(
     cumulative sketch. ``gamma`` defaults to the build value persisted
     with the state (``dd_meta``); passing a disagreeing value raises
     rather than reading garbage ranges. Raises if no sketch has
-    committed yet."""
+    committed yet, and raises — rather than trusting a caller-supplied
+    gamma against durable state of unknown provenance — when committed
+    sketches exist WITHOUT their meta (advice r14)."""
     from ..operators.sketch import dd_quantiles
-    from .state import committed_versions, path_exists
+    from .state import committed_versions, meta_committed
 
-    meta_path = f"{state_dir}/dd_meta"
-    if path_exists(spark, meta_path):
-        row = spark.read.parquet(meta_path).collect()[0]
-        built = row["gamma"]
-        if gamma is None:
-            gamma = built
-        else:
-            _check_or_write_dd_meta(spark, state_dir, gamma)
-    elif gamma is None:
-        raise ValueError(f"no dd_meta under {state_dir}; pass gamma explicitly")
     versions = committed_versions(spark, state_dir, _DD_PFX)
     if not versions:
         raise ValueError(f"no committed sketch under {state_dir}")
+    meta_path = f"{state_dir}/dd_meta"
+    if not meta_committed(spark, meta_path):
+        raise ValueError(
+            f"no dd_meta under {state_dir} but committed sketches exist — "
+            "the durable state's gamma is unknown (partial state-dir "
+            "cleanup?), so a caller-supplied gamma cannot be trusted "
+            "against it"
+        )
+    if gamma is None:
+        gamma = spark.read.parquet(meta_path).collect()[0]["gamma"]
+    else:
+        _check_or_write_dd_meta(spark, state_dir, gamma)
     dd = spark.read.parquet(f"{state_dir}/{_DD_PFX}{max(versions)}")
     return dd_quantiles(dd, qs, gamma=gamma)
 
@@ -389,12 +401,13 @@ def streaming_distinct_values(
 
 
 def _check_or_write_hll_meta(spark: SparkSession, state_dir: str, b: int) -> None:
-    """Persist b on first contact; refuse disagreeing callers. Hadoop-FS
-    probe and single-writer contract as the CMS/DDSketch metas."""
-    from .state import path_exists
+    """Persist b on first contact; refuse disagreeing callers.
+    ``_SUCCESS``-gated probe and single-writer contract as the
+    CMS/DDSketch metas."""
+    from .state import meta_committed
 
     meta_path = f"{state_dir}/hll_meta"
-    if path_exists(spark, meta_path):
+    if meta_committed(spark, meta_path):
         row = spark.read.parquet(meta_path).collect()[0]
         if row["b"] != b:
             raise ValueError(
@@ -412,21 +425,25 @@ def read_distinct_count(
     """Cumulative distinct-count estimate ``(n_registers, est)`` from the
     latest committed register table. ``b`` defaults to the persisted
     build value; a disagreeing value raises. Raises if nothing has
-    committed yet."""
+    committed yet, and raises — rather than trusting a caller-supplied
+    b against durable state of unknown provenance — when committed
+    registers exist WITHOUT their meta (advice r14)."""
     from ..operators.sketch import hll_cardinality
-    from .state import committed_versions, path_exists
+    from .state import committed_versions, meta_committed
 
-    meta_path = f"{state_dir}/hll_meta"
-    if path_exists(spark, meta_path):
-        built = spark.read.parquet(meta_path).collect()[0]["b"]
-        if b is None:
-            b = built
-        else:
-            _check_or_write_hll_meta(spark, state_dir, b)
-    elif b is None:
-        raise ValueError(f"no hll_meta under {state_dir}; pass b explicitly")
     versions = committed_versions(spark, state_dir, _HLL_PFX)
     if not versions:
         raise ValueError(f"no committed registers under {state_dir}")
+    meta_path = f"{state_dir}/hll_meta"
+    if not meta_committed(spark, meta_path):
+        raise ValueError(
+            f"no hll_meta under {state_dir} but committed registers exist — "
+            "the durable state's b is unknown (partial state-dir cleanup?), "
+            "so a caller-supplied b cannot be trusted against it"
+        )
+    if b is None:
+        b = spark.read.parquet(meta_path).collect()[0]["b"]
+    else:
+        _check_or_write_hll_meta(spark, state_dir, b)
     regs = spark.read.parquet(f"{state_dir}/{_HLL_PFX}{max(versions)}")
     return hll_cardinality(regs, b=b)

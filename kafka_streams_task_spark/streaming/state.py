@@ -23,6 +23,18 @@ def path_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(p))
 
 
+def meta_committed(spark: SparkSession, meta_path: str) -> bool:
+    """True iff a single-row parquet meta directory is fully COMMITTED —
+    i.e. carries the ``_SUCCESS`` marker parquet publishes last. Bare
+    ``path_exists`` on the directory is not enough: a crash mid-first-
+    write leaves a directory that exists but is unreadable, turning
+    every later batch/read into an opaque schema-inference failure
+    instead of a self-healing rewrite (advice r14). The versioned state
+    dirs already gate on ``_SUCCESS`` via :func:`committed_versions`;
+    this is the same discipline for the parameter metas."""
+    return path_exists(spark, f"{meta_path}/_SUCCESS")
+
+
 def committed_versions(spark: SparkSession, root_dir: str, pfx: str) -> list[int]:
     """Sorted versions N for which ``{root_dir}/{pfx}{N}/_SUCCESS``
     exists — i.e. fully committed parquet state directories."""

@@ -883,3 +883,87 @@ def test_streaming_hll_equals_batch_and_replay_noop(spark, tmpdir):
     assert read_distinct_count(spark, state).collect()[0]["est"] == est["est"]
     with pytest.raises(ValueError, match="built with b"):
         read_distinct_count(spark, state, b=12)
+
+
+def test_meta_success_gate_self_heals_half_written_dir(spark, tmpdir):
+    """Advice-r14 pin: the parameter metas are probed by their _SUCCESS
+    marker, not bare directory existence — a crash mid-first-write
+    leaves a meta dir with no marker, and the next contact REWRITES it
+    (self-heal) instead of failing every later read with an opaque
+    parquet schema-inference error. Once committed, mismatched callers
+    are still refused."""
+    import os
+
+    from kafka_streams_task_spark.streaming.sketch import (
+        _check_or_write_cms_meta,
+        _check_or_write_dd_meta,
+        _check_or_write_hll_meta,
+    )
+
+    for name, heal, reject in (
+        (
+            "cms_meta",
+            lambda s: _check_or_write_cms_meta(spark, s, 3, 64),
+            lambda s: _check_or_write_cms_meta(spark, s, 3, 128),
+        ),
+        (
+            "dd_meta",
+            lambda s: _check_or_write_dd_meta(spark, s, 1.02),
+            lambda s: _check_or_write_dd_meta(spark, s, 1.05),
+        ),
+        (
+            "hll_meta",
+            lambda s: _check_or_write_hll_meta(spark, s, 10),
+            lambda s: _check_or_write_hll_meta(spark, s, 12),
+        ),
+    ):
+        state = f"{tmpdir}/heal_{name}"
+        os.makedirs(f"{state}/{name}")
+        with open(f"{state}/{name}/part-half-written.parquet", "w") as f:
+            f.write("not parquet")  # crash artifact: dir exists, no _SUCCESS
+        heal(state)  # must rewrite, not raise
+        assert os.path.exists(f"{state}/{name}/_SUCCESS")
+        heal(state)  # committed now: same params validate cleanly
+        with pytest.raises(ValueError, match="built with"):
+            reject(state)
+
+
+def test_reads_refuse_committed_state_without_meta(spark, tmpdir):
+    """Advice-r14 pin: when committed versions exist WITHOUT their meta
+    (partial state-dir cleanup), reads raise instead of trusting a
+    caller-supplied parameter against durable state of unknown
+    provenance — the silent-garbage mode the meta discipline closes."""
+    from kafka_streams_task_spark.operators.sketch import (
+        count_min_table,
+        dd_sketch_table,
+        hll_register_table,
+    )
+    from kafka_streams_task_spark.streaming.sketch import (
+        read_distinct_count,
+        read_token_frequencies,
+        read_value_quantiles,
+    )
+
+    docs = spark.createDataFrame([(1, "a a b")], "doc_id long, text string")
+    vals = spark.createDataFrame([(float(i),) for i in range(1, 20)], "value double")
+    probes = spark.createDataFrame([("a",)], ["token"])
+
+    s = f"{tmpdir}/orphan_cms"
+    count_min_table(docs, depth=3, width=64).write.parquet(f"{s}/cms_v0")
+    with pytest.raises(ValueError, match="committed sketches exist"):
+        read_token_frequencies(spark, s, probes, depth=3, width=64)
+
+    s = f"{tmpdir}/orphan_dd"
+    dd_sketch_table(vals, "value", gamma=1.02).write.parquet(f"{s}/dd_v0")
+    with pytest.raises(ValueError, match="committed sketches exist"):
+        read_value_quantiles(spark, s, [0.5], gamma=1.02)
+
+    s = f"{tmpdir}/orphan_hll"
+    hll_register_table(docs, "text", b=10).write.parquet(f"{s}/hll_v0")
+    with pytest.raises(ValueError, match="committed registers exist"):
+        read_distinct_count(spark, s, b=10)
+
+    # nothing committed at all still reads as the no-state error, so the
+    # fresh-dir contract is unchanged
+    with pytest.raises(ValueError, match="no committed sketch"):
+        read_value_quantiles(spark, f"{tmpdir}/nowhere", [0.5], gamma=1.02)

@@ -210,3 +210,67 @@ def test_meta_validates_and_guards(spark, tmpdir):
         streaming_score_boundaries(
             stream, f"{tmpdir}/state2", f"{tmpdir}/ckpt2", n_buckets=0
         )
+
+
+def test_raw_score_keying_survives_double_collision(spark, tmpdir):
+    """Advice-r14 pin: the streaming count table keys on the RAW score
+    column, exactly like the batch fit. Long scores 2^53 and 2^53+1 are
+    distinct to the batch path but collide under a double cast — under
+    the old double-keyed state the maintained counts (and so the
+    boundaries) could diverge from the batch fit the docstring promises
+    bit-equality with."""
+    from kafka_streams_task_spark.operators.sampling import (
+        score_bucket_boundaries,
+    )
+    from kafka_streams_task_spark.streaming.mixing import (
+        read_score_boundaries,
+        read_score_counts,
+        streaming_score_boundaries,
+    )
+
+    big = 1 << 53  # exactly representable; big+1 rounds onto it as double
+    rows = [
+        {"doc_id": 1, "lang": "en", "score": 1},
+        {"doc_id": 2, "lang": "en", "score": 2},
+        {"doc_id": 3, "lang": "en", "score": big},
+        {"doc_id": 4, "lang": "en", "score": big},
+        {"doc_id": 5, "lang": "en", "score": big + 1},
+        {"doc_id": 6, "lang": "en", "score": big + 2},
+    ]
+    src = f"{tmpdir}/in"
+    os.makedirs(src)
+    with open(f"{src}/b0.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("score", T.LongType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(src)
+    q = streaming_score_boundaries(
+        stream, f"{tmpdir}/state", f"{tmpdir}/ckpt", n_buckets=3
+    )
+    q.awaitTermination(120)
+
+    # the durable counts keep all 5 distinct raw scores apart
+    counts = {
+        r["score"]: r["n"]
+        for r in read_score_counts(spark, f"{tmpdir}/state").collect()
+    }
+    assert counts == {1: 1, 2: 1, big: 2, big + 1: 1, big + 2: 1}, counts
+
+    batch = spark.createDataFrame(
+        [(r["doc_id"], r["lang"], r["score"]) for r in rows], schema
+    )
+    expect = {
+        r["lang"]: list(r["cuts"])
+        for r in score_bucket_boundaries(batch, n_buckets=3).collect()
+    }
+    got = {
+        r["lang"]: list(r["cuts"])
+        for r in read_score_boundaries(spark, f"{tmpdir}/state").collect()
+    }
+    assert got == expect
