@@ -5403,14 +5403,51 @@ def _hll_sql_est(regs_cte: str) -> str:
     """
 
 
+def _hll_sql_gregs(src_sql: str) -> str:
+    """Grouped register-table CTE body over ``src_sql`` (columns g, x):
+    the same integer-exact re-derivation keyed by (g, reg) — the r15
+    grouped family ("distinct users per key")."""
+    return f"""
+      SELECT g, reg, max(rho) AS rho FROM (
+        SELECT g, CAST(h % 1024 AS INT) AS reg,
+               CAST(CASE WHEN (h >> 10) = 0 THEN 51
+                    ELSE 51 - length(bin(h >> 10)) END AS INT) AS rho
+        FROM (SELECT g, CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) AS h
+              FROM ({src_sql}) WHERE x IS NOT NULL)
+      ) GROUP BY g, reg
+    """
+
+
+def _hll_sql_gest(regs_cte: str) -> str:
+    """Per-group (g, nr, est) from a grouped register CTE — the global
+    closed form applied GROUP BY g."""
+    return f"""
+      SELECT g, nr, CASE WHEN raw <= 2560.0 AND (1024 - nr) > 0
+                         THEN 1024.0 * ln(1024.0 / CAST(1024 - nr AS DOUBLE))
+                         ELSE raw END AS est
+      FROM (
+        SELECT g, count(*) AS nr,
+               {_HLL_NUM} / CAST(
+                 sum(CAST(1 AS BIGINT) << (51 - rho))
+                 + (1024 - count(*)) * (CAST(1 AS BIGINT) << 51)
+                 AS DOUBLE) AS raw
+        FROM {regs_cte} GROUP BY g
+      )
+    """
+
+
 def _hll_oracle() -> str:
     from .llm_suites import canary_sql
 
     return f"""
     WITH pregs AS ({_hll_sql_regs("SELECT CAST(l_partkey AS VARCHAR) AS x FROM lineitem")}),
     sregs AS ({_hll_sql_regs("SELECT CAST(source AS VARCHAR) AS x FROM documents")}),
+    gregs AS ({_hll_sql_gregs(
+        "SELECT event_type AS g, CAST(user_id AS VARCHAR) AS x FROM events"
+    )}),
     pest AS ({_hll_sql_est("pregs")}),
-    sest AS ({_hll_sql_est("sregs")})
+    sest AS ({_hll_sql_est("sregs")}),
+    gests AS ({_hll_sql_gest("gregs")})
     SELECT CAST(leg AS VARCHAR) AS leg, CAST(key AS BIGINT) AS key,
            CAST(i1 AS BIGINT) AS i1, CAST(i2 AS BIGINT) AS i2
     FROM (
@@ -5432,6 +5469,16 @@ def _hll_oracle() -> str:
       SELECT 'est:src', CAST(nr AS BIGINT), {sql_fmicro("est")},
              CAST(1 AS BIGINT)
       FROM sest
+      UNION ALL
+      -- r15 grouped family: the whole per-group register table, and the
+      -- per-group estimates with the SAME literal-1 accuracy polarity
+      SELECT 'greg:' || g, CAST(reg AS BIGINT), CAST(rho AS BIGINT),
+             CAST(NULL AS BIGINT)
+      FROM gregs
+      UNION ALL
+      SELECT 'gest:' || g, CAST(nr AS BIGINT), {sql_fmicro("est")},
+             CAST(1 AS BIGINT)
+      FROM gests
       UNION ALL
       {canary_sql(_HLLS_COLS)}
     )
@@ -5464,17 +5511,34 @@ def hll_distinct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dataset under the fixed md5 hash — both corpora sit
                 comfortably inside it (measured: |rel err| < 2% part,
                 < 0.1% src).
+    'greg:<type>' / 'gest:<type>' — the r15 GROUPED family (VERDICT r14
+                item 2, "distinct users per key"): per-event_type
+                register tables over events.user_id built in ONE pass
+                (hll_register_table_grouped), the whole (grp, reg, rho)
+                relation re-derived by the oracle cell by cell, and the
+                per-group estimates (hll_cardinality_grouped — the
+                identical closed form applied GROUP BY) each under the
+                same 3-sigma literal-1 accuracy pin vs the exact
+                per-group COUNT(DISTINCT).
     'canary'  — constant rows stated identically by both engines.
 
     Scale shape: each build aggregates map-side onto the constant
-    1024-register domain before one bounded shuffle; the merge
-    (element-wise max) is idempotent — the streaming twin
-    (streaming/sketch.py::streaming_distinct_values) leans on both.
-    The exact COUNT(DISTINCT) side exists ONLY for the gate."""
-    from ..operators.sketch import hll_cardinality, hll_register_table
+    1024-register domain (|groups| x 1024 for the grouped family —
+    still corpus-independent) before one bounded shuffle; the merge
+    (element-wise max, per-group for grouped) is idempotent — the
+    streaming twin (streaming/sketch.py::streaming_distinct_values,
+    group_col=...) leans on both. The exact COUNT(DISTINCT) side exists
+    ONLY for the gate."""
+    from ..operators.sketch import (
+        hll_cardinality,
+        hll_cardinality_grouped,
+        hll_register_table,
+        hll_register_table_grouped,
+    )
 
     li = load_table(spark, sf_dir, "lineitem")
     docs = load_table(spark, sf_dir, "documents")
+    ev = load_table(spark, sf_dir, "events")
 
     def reg_leg(regs: DataFrame, tag: str) -> DataFrame:
         return regs.select(
@@ -5502,6 +5566,32 @@ def hll_distinct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p_regs = hll_register_table(li, "l_partkey", b=_HLL_B)
     s_regs = hll_register_table(docs, "source", b=_HLL_B)
+
+    g_regs = hll_register_table_grouped(ev, "event_type", "user_id", b=_HLL_B)
+    greg_leg = g_regs.select(
+        F.concat(F.lit("greg:"), F.col("grp")).alias("leg"),
+        F.col("reg").cast("long").alias("key"),
+        F.col("rho").cast("long").alias("i1"),
+        F.lit(None).cast("long").alias("i2"),
+    )
+    g_true = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy(F.col("event_type").alias("_g"))
+        .agg(F.countDistinct("user_id").cast("long").alias("_true"))
+    )
+    gest_leg = (
+        hll_cardinality_grouped(g_regs, b=_HLL_B)
+        .join(F.broadcast(g_true), on=F.col("grp").eqNullSafe(F.col("_g")))
+        .select(
+            F.concat(F.lit("gest:"), F.col("grp")).alias("leg"),
+            F.col("n_registers").cast("long").alias("key"),
+            fmicro_col(F.col("est")).alias("i1"),
+            (F.abs(F.col("est") / F.col("_true") - 1.0) <= F.lit(_HLL_TOL))
+            .cast("long")
+            .alias("i2"),
+        )
+    )
+
     from .llm_suites import canary_df
 
     return (
@@ -5509,5 +5599,7 @@ def hll_distinct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(reg_leg(s_regs, "src"))
         .unionByName(est_leg(p_regs, li, "l_partkey", "part"))
         .unionByName(est_leg(s_regs, docs, "source", "src"))
+        .unionByName(greg_leg)
+        .unionByName(gest_leg)
         .unionByName(canary_df(spark, _HLLS_COLS))
     )

@@ -50,10 +50,13 @@ __all__ = [
     "dd_quantiles",
     "dd_sketch_table",
     "hll_cardinality",
+    "hll_cardinality_grouped",
     "hll_register_table",
+    "hll_register_table_grouped",
     "merge_cms_tables",
     "merge_dd_sketches",
     "merge_hll_tables",
+    "merge_hll_tables_grouped",
     "merge_mg_summaries",
     "misra_gries_candidates",
     "topk_tokens_sketched",
@@ -575,19 +578,9 @@ def dd_collapse(sketch: DataFrame, max_buckets: int) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def hll_register_table(
-    df: DataFrame,
-    value_col: str,
-    b: int = 10,
-) -> DataFrame:
-    """Build the HLL register table ``(reg, rho)`` over the NON-NULL
-    values of ``df[value_col]`` (cast to string before hashing — equal
-    values collapse by construction, which is the whole point).
-    Registers never touched are absent (the estimator counts them as
-    empty). ``b`` register-index bits: 4 <= b <= 16 (m = 2^b registers;
-    the 60-bit hash leaves a 44-bit suffix even at b=16)."""
-    if not 4 <= b <= 16:
-        raise ValueError(f"b must be in [4, 16], got {b}")
+def _hll_reg_rho(value_col: str, b: int) -> tuple["F.Column", "F.Column"]:
+    """The (reg, rho) column pair shared by the global and grouped
+    builders — the integer-exact md5/shiftright/bin formulation."""
     vbits = 60 - b
     h = F.conv(
         F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
@@ -601,10 +594,57 @@ def hll_register_table(
     rho = F.when(suffix == 0, F.lit(vbits + 1)).otherwise(
         F.lit(vbits + 1) - F.length(F.bin(suffix))
     ).cast("int")
+    return reg, rho
+
+
+def hll_register_table(
+    df: DataFrame,
+    value_col: str,
+    b: int = 10,
+) -> DataFrame:
+    """Build the HLL register table ``(reg, rho)`` over the NON-NULL
+    values of ``df[value_col]`` (cast to string before hashing — equal
+    values collapse by construction, which is the whole point).
+    Registers never touched are absent (the estimator counts them as
+    empty). ``b`` register-index bits: 4 <= b <= 16 (m = 2^b registers;
+    the 60-bit hash leaves a 44-bit suffix even at b=16)."""
+    if not 4 <= b <= 16:
+        raise ValueError(f"b must be in [4, 16], got {b}")
+    reg, rho = _hll_reg_rho(value_col, b)
     return (
         df.filter(F.col(value_col).isNotNull())
         .select(reg.alias("reg"), rho.alias("rho"))
         .groupBy("reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_register_table_grouped(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    b: int = 10,
+) -> DataFrame:
+    """Per-group HLL register tables in one pass: ``(grp, reg, rho)`` —
+    the canonical 100 TB ask ("distinct users per key") as ONE bounded
+    relation instead of one sketch object per group. Identical hash /
+    register / rho arithmetic to :func:`hll_register_table`; a NULL
+    group is its own group (the groupBy convention everywhere else in
+    the engine); NULL values are excluded per group exactly as the
+    global builder excludes them.
+
+    Scale shape: the value stream aggregates map-side onto a key domain
+    of at most |groups| x 2^b cells — still corpus-independent for any
+    bounded group domain — before one shuffle. Per-group merge stays
+    element-wise MAX (:func:`merge_hll_tables_grouped`), idempotent, so
+    shard-parallel and streaming construction lose nothing."""
+    if not 4 <= b <= 16:
+        raise ValueError(f"b must be in [4, 16], got {b}")
+    reg, rho = _hll_reg_rho(value_col, b)
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("grp"), reg.alias("reg"), rho.alias("rho"))
+        .groupBy("grp", "reg")
         .agg(F.max("rho").alias("rho"))
     )
 
@@ -623,17 +663,25 @@ def hll_cardinality(registers: DataFrame, b: int = 10) -> DataFrame:
     division of literals by an exact integer."""
     if not 4 <= b <= 16:
         raise ValueError(f"b must be in [4, 16], got {b}")
-    m = 1 << b
-    k_exp = 61 - b
+    agg = registers.agg(*_hll_sum_aggs(b))
+    return agg.select("n_registers", _hll_est_expr(b).alias("est"))
+
+
+def _hll_alpha(m: int) -> float:
     if m >= 128:
-        alpha = 0.7213 / (1.0 + 1.079 / m)
-    elif m == 64:
-        alpha = 0.709
-    elif m == 32:
-        alpha = 0.697
-    else:
-        alpha = 0.673
-    agg = registers.agg(
+        return 0.7213 / (1.0 + 1.079 / m)
+    if m == 64:
+        return 0.709
+    if m == 32:
+        return 0.697
+    return 0.673
+
+
+def _hll_sum_aggs(b: int) -> list["F.Column"]:
+    """The two aggregates the estimator needs — touched-register count
+    and the EXACT scaled integer register sum Σ 2^(K-rho), K = 61-b."""
+    k_exp = 61 - b
+    return [
         F.count(F.lit(1)).cast("long").alias("n_registers"),
         F.coalesce(
             F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {k_exp} - rho)")),
@@ -641,16 +689,41 @@ def hll_cardinality(registers: DataFrame, b: int = 10) -> DataFrame:
         )
         .cast("long")
         .alias("_s_touched"),
-    )
+    ]
+
+
+def _hll_est_expr(b: int) -> "F.Column":
+    """The closed-form estimate over (n_registers, _s_touched): one float
+    division of a repr-exact literal by the exact integer register sum,
+    with the linear-counting branch selected on an exact comparison."""
+    m = 1 << b
+    k_exp = 61 - b
+    alpha = _hll_alpha(m)
     n_empty = F.lit(m) - F.col("n_registers")
     s_scaled = F.col("_s_touched") + n_empty.cast("long") * F.lit(1 << k_exp)
     raw = F.lit(alpha * m * m * float(1 << k_exp)) / s_scaled.cast("double")
     # linear counting when the raw estimate is small and empties remain
-    est = F.when(
+    return F.when(
         (raw <= F.lit(2.5 * m)) & (n_empty > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / n_empty.cast("double")),
     ).otherwise(raw)
-    return agg.select("n_registers", est.alias("est"))
+
+
+def hll_cardinality_grouped(registers: DataFrame, b: int = 10) -> DataFrame:
+    """Per-group cardinality estimates from a grouped register table
+    (``(grp, reg, rho)`` — :func:`hll_register_table_grouped`): one row
+    ``(grp, n_registers, est)`` per group, via EXACTLY the global
+    estimator's closed form applied group-wise (same repr-exact literal
+    numerator, same exact integer register sum, same linear-counting
+    branch). A group absent from the table had no non-NULL values and is
+    absent here — the global builder's empty-input convention.
+
+    Scale shape: one aggregate over the bounded |groups| x 2^b register
+    domain; output is |groups| rows."""
+    if not 4 <= b <= 16:
+        raise ValueError(f"b must be in [4, 16], got {b}")
+    agg = registers.groupBy("grp").agg(*_hll_sum_aggs(b))
+    return agg.select("grp", "n_registers", _hll_est_expr(b).alias("est"))
 
 
 def merge_hll_tables(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -659,3 +732,13 @@ def merge_hll_tables(a: DataFrame, b: DataFrame) -> DataFrame:
     and because max is idempotent, merging overlapping or duplicated
     shards (redelivery, replay, re-union) changes nothing."""
     return a.unionByName(b).groupBy("reg").agg(F.max("rho").alias("rho"))
+
+
+def merge_hll_tables_grouped(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Per-group element-wise MAX of two grouped register tables built
+    with the SAME b — exactly the concatenated-input table, and as
+    idempotent as the global merge (a group seen by only one side passes
+    through unchanged)."""
+    return (
+        a.unionByName(b).groupBy("grp", "reg").agg(F.max("rho").alias("rho"))
+    )

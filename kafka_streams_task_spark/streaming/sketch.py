@@ -357,6 +357,7 @@ def streaming_distinct_values(
     checkpoint_dir: str,
     value_col: str = "value",
     b: int = 10,
+    group_col: str | None = None,
 ):
     """Maintain a cumulative HyperLogLog register table over a value
     stream — the distinct-count twin of the MG/CMS/DDSketch family. The
@@ -368,26 +369,46 @@ def streaming_distinct_values(
     :func:`~..operators.sketch.hll_register_table` over everything
     ingested (pinned by tests/test_sketch.py). ``b`` persists with the
     state (``hll_meta``) and is validated on every batch and read —
-    registers indexed under a different b are a different sketch."""
-    from ..operators.sketch import hll_register_table, merge_hll_tables
+    registers indexed under a different b are a different sketch.
+
+    ``group_col``: maintain PER-GROUP register tables instead — "distinct
+    users per key", the canonical always-on form — via the grouped
+    builder/merge (same per-cell arithmetic; state is the bounded
+    |groups| x 2^b domain). The grouping column persists in ``hll_meta``
+    alongside b and is validated identically: grouped and global
+    registers are different sketches, so a caller disagreeing about
+    either is refused."""
+    from ..operators.sketch import (
+        hll_register_table,
+        hll_register_table_grouped,
+        merge_hll_tables,
+        merge_hll_tables_grouped,
+    )
     from .state import bind_state_to_checkpoint, committed_versions
 
     if not 4 <= b <= 16:
         raise ValueError(f"b must be in [4, 16], got {b}")
     bind_state_to_checkpoint(stream.sparkSession, state_dir, checkpoint_dir)
-    _check_or_write_hll_meta(stream.sparkSession, state_dir, b)
+    _check_or_write_hll_meta(stream.sparkSession, state_dir, b, group_col)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        _check_or_write_hll_meta(spark, state_dir, b)
+        _check_or_write_hll_meta(spark, state_dir, b, group_col)
         versions = committed_versions(spark, state_dir, _HLL_PFX)
         if batch_id in versions:
             return  # redelivery: this batch's registers are already durable
         prev = [v for v in versions if v < batch_id]
-        batch_hll = hll_register_table(batch_df, value_col, b)
+        if group_col is None:
+            batch_hll = hll_register_table(batch_df, value_col, b)
+            merge = merge_hll_tables
+        else:
+            batch_hll = hll_register_table_grouped(
+                batch_df, group_col, value_col, b
+            )
+            merge = merge_hll_tables_grouped
         if prev:
             committed = spark.read.parquet(f"{state_dir}/{_HLL_PFX}{max(prev)}")
-            merged = merge_hll_tables(committed, batch_hll)
+            merged = merge(committed, batch_hll)
         else:
             merged = batch_hll
         merged.write.mode("overwrite").parquet(f"{state_dir}/{_HLL_PFX}{batch_id}")
@@ -400,35 +421,42 @@ def streaming_distinct_values(
     )
 
 
-def _check_or_write_hll_meta(spark: SparkSession, state_dir: str, b: int) -> None:
-    """Persist b on first contact; refuse disagreeing callers.
-    ``_SUCCESS``-gated probe and single-writer contract as the
-    CMS/DDSketch metas."""
+def _check_or_write_hll_meta(
+    spark: SparkSession, state_dir: str, b: int, group_col: str | None = None
+) -> None:
+    """Persist (b, group_col) on first contact; refuse disagreeing
+    callers — a grouped register table and a global one are DIFFERENT
+    sketches even at the same b. ``_SUCCESS``-gated probe and
+    single-writer contract as the CMS/DDSketch metas."""
     from .state import meta_committed
 
     meta_path = f"{state_dir}/hll_meta"
     if meta_committed(spark, meta_path):
         row = spark.read.parquet(meta_path).collect()[0]
-        if row["b"] != b:
+        if (row["b"], row["group_col"]) != (b, group_col):
             raise ValueError(
-                f"HLL state at {state_dir} was built with b={row['b']}; got {b}"
+                f"HLL state at {state_dir} was built with b={row['b']}/"
+                f"group_col={row['group_col']!r}; got {b}/{group_col!r}"
             )
     else:
-        spark.createDataFrame([(int(b),)], "b int").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(meta_path)
+        spark.createDataFrame(
+            [(int(b), group_col)], "b int, group_col string"
+        ).coalesce(1).write.mode("overwrite").parquet(meta_path)
 
 
 def read_distinct_count(
     spark: SparkSession, state_dir: str, b: int | None = None
 ) -> DataFrame:
-    """Cumulative distinct-count estimate ``(n_registers, est)`` from the
-    latest committed register table. ``b`` defaults to the persisted
-    build value; a disagreeing value raises. Raises if nothing has
-    committed yet, and raises — rather than trusting a caller-supplied
-    b against durable state of unknown provenance — when committed
-    registers exist WITHOUT their meta (advice r14)."""
-    from ..operators.sketch import hll_cardinality
+    """Cumulative distinct-count estimate from the latest committed
+    register table: one ``(n_registers, est)`` row for global state, or
+    ``(grp, n_registers, est)`` per group when the state was built with
+    a ``group_col`` (the shape is the durable state's own, read from
+    ``hll_meta``). ``b`` defaults to the persisted build value; a
+    disagreeing value raises. Raises if nothing has committed yet, and
+    raises — rather than trusting a caller-supplied b against durable
+    state of unknown provenance — when committed registers exist
+    WITHOUT their meta (advice r14)."""
+    from ..operators.sketch import hll_cardinality, hll_cardinality_grouped
     from .state import committed_versions, meta_committed
 
     versions = committed_versions(spark, state_dir, _HLL_PFX)
@@ -441,9 +469,13 @@ def read_distinct_count(
             "the durable state's b is unknown (partial state-dir cleanup?), "
             "so a caller-supplied b cannot be trusted against it"
         )
+    row = spark.read.parquet(meta_path).collect()[0]
+    group_col = row["group_col"]
     if b is None:
-        b = spark.read.parquet(meta_path).collect()[0]["b"]
+        b = row["b"]
     else:
-        _check_or_write_hll_meta(spark, state_dir, b)
+        _check_or_write_hll_meta(spark, state_dir, b, group_col)
     regs = spark.read.parquet(f"{state_dir}/{_HLL_PFX}{max(versions)}")
-    return hll_cardinality(regs, b=b)
+    if group_col is None:
+        return hll_cardinality(regs, b=b)
+    return hll_cardinality_grouped(regs, b=b)

@@ -967,3 +967,146 @@ def test_reads_refuse_committed_state_without_meta(spark, tmpdir):
     # fresh-dir contract is unchanged
     with pytest.raises(ValueError, match="no committed sketch"):
         read_value_quantiles(spark, f"{tmpdir}/nowhere", [0.5], gamma=1.02)
+
+
+def test_hll_grouped_matches_per_group_global_builds(spark):
+    """The grouped register table is EXACTLY the per-group stack of
+    global builds (same hash/register/rho arithmetic), the grouped
+    estimator is the global closed form applied group-wise, a NULL
+    group is its own group, and the grouped merge is idempotent."""
+    from kafka_streams_task_spark.operators.sketch import (
+        hll_cardinality,
+        hll_cardinality_grouped,
+        hll_register_table,
+        hll_register_table_grouped,
+        merge_hll_tables_grouped,
+    )
+
+    rows = [(f"u{i % 37}", ["a", "b", None][i % 3]) for i in range(200)]
+    df = spark.createDataFrame(rows, "user string, grp_in string")
+    grouped = hll_register_table_grouped(df, "grp_in", "user", b=10)
+    got = {
+        (r["grp"], r["reg"], r["rho"]) for r in grouped.collect()
+    }
+    want = set()
+    for g in ("a", "b", None):
+        sub = df.filter(
+            F.col("grp_in").eqNullSafe(F.lit(g) if g is not None else F.lit(None))
+        )
+        for r in hll_register_table(sub, "user", b=10).collect():
+            want.add((g, r["reg"], r["rho"]))
+    assert got == want
+
+    est = {
+        r["grp"]: (r["n_registers"], r["est"])
+        for r in hll_cardinality_grouped(grouped, b=10).collect()
+    }
+    for g in ("a", "b", None):
+        sub = df.filter(
+            F.col("grp_in").eqNullSafe(F.lit(g) if g is not None else F.lit(None))
+        )
+        glob = hll_cardinality(
+            hll_register_table(sub, "user", b=10), b=10
+        ).collect()[0]
+        assert est[g] == (glob["n_registers"], glob["est"]), g
+
+    # idempotent per-group merge: self-merge is a no-op
+    merged = {
+        (r["grp"], r["reg"], r["rho"])
+        for r in merge_hll_tables_grouped(grouped, grouped).collect()
+    }
+    assert merged == got
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="b must be"):
+        hll_register_table_grouped(df, "grp_in", "user", b=3)
+    with _pytest.raises(ValueError, match="b must be"):
+        hll_cardinality_grouped(grouped, b=20)
+
+
+def test_streaming_hll_grouped_equals_batch_and_guards(spark, tmpdir):
+    """Grouped streaming twin (VERDICT r14 item 2): after two
+    micro-batches the committed grouped register table is bit-identical
+    to the batch grouped build over everything ingested; replay is a
+    no-op; group_col persists in hll_meta and disagreeing callers
+    (different group, or global-vs-grouped) are refused; the read
+    returns the per-group shape automatically."""
+    import json as _json
+    import os
+
+    from pyspark.sql import types as T
+
+    from kafka_streams_task_spark.operators.sketch import (
+        hll_register_table_grouped,
+    )
+    from kafka_streams_task_spark.streaming.sketch import (
+        read_distinct_count,
+        streaming_distinct_values,
+    )
+
+    b0 = [{"id": i, "value": f"u{i}", "seg": ["x", "y"][i % 2]} for i in range(40)]
+    b1 = [{"id": i, "value": f"u{i}", "seg": ["x", "y"][i % 2]} for i in range(20, 70)]
+    src = f"{tmpdir}/ghll_in"
+    os.makedirs(src)
+    for i, rows in enumerate((b0, b1)):
+        with open(f"{src}/b{i}.json", "w") as f:
+            f.write("\n".join(_json.dumps(r) for r in rows))
+        os.utime(f"{src}/b{i}.json", (1000000000 + i * 100,) * 2)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("value", T.StringType()),
+            T.StructField("seg", T.StringType()),
+        ]
+    )
+    state = f"{tmpdir}/ghll_state"
+
+    def run(ck, **kw):
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+        )
+        q = streaming_distinct_values(stream, state, ck, b=10, **kw)
+        q.awaitTermination(120)
+
+    run(f"{tmpdir}/ghll_ckpt", group_col="seg")
+    est = {
+        r["grp"]: r["est"] for r in read_distinct_count(spark, state).collect()
+    }
+    # 35 true distincts per segment; linear counting at m=1024 is tight
+    assert set(est) == {"x", "y"}
+    for g in ("x", "y"):
+        assert abs(est[g] - 35) <= 4, (g, est[g])
+
+    both = spark.createDataFrame(
+        [(i, f"u{i}", ["x", "y"][i % 2]) for i in range(70)],
+        "id long, value string, seg string",
+    )
+    batch = {
+        (r["grp"], r["reg"], r["rho"])
+        for r in hll_register_table_grouped(both, "seg", "value", b=10).collect()
+    }
+    latest = {
+        (r["grp"], r["reg"], r["rho"])
+        for r in spark.read.parquet(f"{state}/hll_v1").collect()
+    }
+    assert latest == batch
+
+    run(f"{tmpdir}/ghll_ckpt", group_col="seg")  # replay no-op
+    assert {
+        r["grp"]: r["est"] for r in read_distinct_count(spark, state).collect()
+    } == est
+
+    # grouped state refuses a global caller, a different group, and a
+    # disagreeing b — the sketches are not interchangeable
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+    )
+    with pytest.raises(ValueError, match="built with b"):
+        streaming_distinct_values(stream, state, f"{tmpdir}/ghll_ckpt", b=10)
+    with pytest.raises(ValueError, match="built with b"):
+        streaming_distinct_values(
+            stream, state, f"{tmpdir}/ghll_ckpt", b=10, group_col="value"
+        )
+    with pytest.raises(ValueError, match="built with b"):
+        read_distinct_count(spark, state, b=12)
