@@ -2303,11 +2303,19 @@ def similarity_knn_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     'ivf' / 'ivfpq' — IVF (sampled-kmeans coarse quantizer, exact rerank
     inside probed lists) and residual-coded IVF-PQ (ADC shortlist, exact
     rerank): per-query recall >= 0.8. r14: parameters are SCALE-AWARE —
-    ``ivf_scale_params(count)`` sizes n_clusters/n_probe/rerank_k by the
-    sqrt(N) rule (2*isqrt(N) lists, constant probe fraction, shortlist
-    tracking the candidate count), so the SAME gate holds at sf0.01
-    (N=500 -> 44/33/96) and sf0.1 (N=2000 -> 88/66/200) — the r13 sweep
-    showed the previous fixed 16/12/96 failing 3/10 queries at sf0.1.
+    ``ivf_scale_params(count, geometry="uniform")`` sizes
+    n_clusters/n_probe/rerank_k by the sqrt(N) rule (2*isqrt(N) lists),
+    so the SAME gate holds at sf0.01 (N=500 -> 44/33/96) and sf0.1
+    (N=2000 -> 88/66/200) — the r13 sweep showed the previous fixed
+    16/12/96 failing 3/10 queries at sf0.1. The EXPLICIT
+    geometry="uniform" (r15) is this table's documented property, not a
+    default: the driver embeddings are i.i.d. near-uniform — the
+    no-structure adversarial case where dense probing (0.75 of lists,
+    rerank N/10) is irreducible and constant-probe recall measurably
+    collapses (min 0.2 on tools/ann_decade.py's control). Real clustered
+    embeddings take the library DEFAULT geometry="clustered" — constant
+    probed lists, rerank ~ 4.5*sqrt(N), measured O(sqrt N) per-query
+    candidate mass at recall 1.0 across the 5k -> 50k decade (SCALE.md).
     Deterministic: the count is exact, the kmeans sample and seeds are
     fixed, ranking tie-breaks on ids.
 
@@ -2332,7 +2340,9 @@ def similarity_knn_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    n_clusters, n_probe, rerank_k = ivf_scale_params(emb.count())
+    n_clusters, n_probe, rerank_k = ivf_scale_params(
+        emb.count(), geometry="uniform"
+    )
     q = emb.filter(F.col("vec_id") < 10)
     exact = knn_bruteforce(emb, q, k=5)
 

@@ -29,49 +29,85 @@ def _as_double(col):
 
 def ivf_scale_params(
     n_vectors: int,
-    probe_frac: float = 0.75,
-    shortlist_frac: float = 0.10,
+    geometry: str = "clustered",
+    probe_frac: float | None = None,
+    shortlist_frac: float | None = None,
+    probe_lists: int = 12,
+    rerank_c: float = 4.5,
     min_clusters: int = 16,
     min_rerank: int = 96,
 ) -> tuple[int, int, int]:
-    """The executable form of the sqrt(N) IVF sizing rule the operator
-    docstrings describe — ``(n_clusters, n_probe, rerank_k)`` from a
-    corpus count, so recall holds as the corpus grows instead of silently
-    degrading under parameters tuned at one scale (the r13 sf0.1 sweep
-    caught exactly that: fixed 16 lists / 12 probes / rerank 96 passed
-    the 0.8 floor at 500 vectors and failed 3/10 queries at 2000).
+    """The executable IVF sizing rule — ``(n_clusters, n_probe,
+    rerank_k)`` from a corpus count, so recall holds as the corpus grows
+    instead of silently degrading under parameters tuned at one scale
+    (the r13 sf0.1 sweep caught exactly that: fixed 16/12/96 passed the
+    0.8 floor at 500 vectors and failed 3/10 queries at 2000).
 
+    Shared across geometries:
       n_clusters = max(min_clusters, 2 * isqrt(N))
-          — per-list mass grows only as sqrt(N)/2, so probed candidate
-          work per query scales sub-linearly in N at a fixed probe count;
-          the 2x over the bare isqrt buys quantization headroom (finer
-          cells -> smaller residuals -> tighter ADC) at negligible
-          centroid-table cost (the table stays a few KB per million
-          vectors of corpus).
-      n_probe = ceil(probe_frac * n_clusters)
-          — CONSTANT probe coverage across scales. probe_frac is a
-          corpus-geometry knob, not a scale knob: the driver's synthetic
-          embeddings are near-uniform (thin cosine margins, true
-          neighbors spread across many lists — the documented hard case,
-          see similarity_knn_lsh_recall), which demands 0.75; clustered
-          real-world embeddings support 0.05-0.2.
-      rerank_k = max(min_rerank, ceil(shortlist_frac * N))
-          — the exact-rerank shortlist tracks the candidate count, so
-          ADC quantization noise (whose rank perturbation grows with the
-          number of competing distractors) cannot squeeze true neighbors
-          out of a fixed-size shortlist as N grows.
+          — per-list mass grows only as sqrt(N)/2; the 2x over the bare
+          isqrt buys quantization headroom (finer cells -> smaller
+          residuals -> tighter ADC) at negligible centroid-table cost.
 
-    Measured (seeded, deterministic — tests/test_llm_ops.py pins the
-    arithmetic, the similarity suite gates the recall): per-query
-    recall@5 >= 0.8 at sf0.01 (N=500 -> 44/33/96) and sf0.1 (N=2000 ->
-    88/66/200), where the fixed parameters fail at sf0.1."""
+    ``geometry`` picks the probe/rerank shape (r15, VERDICT r14 item 1 —
+    all numbers measured on the tools/ann_decade.py 5k -> 50k planted-
+    neighborhood decade with a real near-uniform control; full table in
+    SCALE.md):
+
+    "clustered" (DEFAULT — the realistic regime: semantic/near-dup
+    embeddings form tight neighborhoods that coarse lists capture):
+      n_probe  = min(n_clusters, probe_lists)      # CONSTANT list count
+      rerank_k = max(min_rerank, ceil(rerank_c * sqrt(N)))
+      Per-query probed mass is therefore O(sqrt N) by construction —
+      measured 589 -> 4109 candidates/query across the 5k -> 50k decade
+      (7.0x per 10x docs; above the ideal 3.2x only through probed-list
+      skew under the bounded-sample trainer — ``train="distributed"``
+      tightens list balance) with recall@5 = 1.0 at BOTH scales, where
+      the pre-r15 fraction defaults did the same recall at 3793 -> 45137
+      candidates/query (11.9x per decade == linear, a per-query corpus
+      scan at 100 TB). Even probe_lists=8 held recall 1.0 on the decade;
+      12 is the default for blob-straddling headroom.
+
+    "uniform" (the adversarial no-structure case: i.i.d. random vectors,
+    thin cosine margins, true neighbors spread across many lists — the
+    driver's synthetic embeddings):
+      n_probe  = ceil(0.75 * n_clusters)           # dense coverage
+      rerank_k = max(min_rerank, ceil(0.10 * N))
+      Per-query work is O(N) — irreducibly: with no neighborhood
+      structure there is nothing for an inverted file to exploit, and
+      the measured decade shows constant-probe recall collapsing to
+      0.2 min on exactly this geometry. Dense probing here is honest
+      exhaustiveness, not a default anyone should carry to real
+      embeddings.
+
+    Explicit ``probe_frac`` / ``shortlist_frac`` override the geometry
+    preset for that knob (fraction-shaped, for callers tuning the
+    uniform regime).
+
+    Pinned: tests/test_llm_ops.py pins the arithmetic of both
+    geometries; the similarity suite gates recall under "uniform" at
+    sf0.01 (N=500 -> 44/33/96) and sf0.1 (N=2000 -> 88/66/200)."""
     import math
 
     if n_vectors < 1:
         raise ValueError(f"n_vectors must be >= 1, got {n_vectors}")
+    if geometry not in ("clustered", "uniform"):
+        raise ValueError(
+            f"geometry must be 'clustered' or 'uniform', got {geometry!r}"
+        )
     n_clusters = max(min_clusters, 2 * math.isqrt(n_vectors))
-    n_probe = max(1, math.ceil(probe_frac * n_clusters))
-    rerank_k = max(min_rerank, math.ceil(shortlist_frac * n_vectors))
+    if probe_frac is not None:
+        n_probe = max(1, math.ceil(probe_frac * n_clusters))
+    elif geometry == "uniform":
+        n_probe = max(1, math.ceil(0.75 * n_clusters))
+    else:
+        n_probe = min(n_clusters, probe_lists)
+    if shortlist_frac is not None:
+        rerank_k = max(min_rerank, math.ceil(shortlist_frac * n_vectors))
+    elif geometry == "uniform":
+        rerank_k = max(min_rerank, math.ceil(0.10 * n_vectors))
+    else:
+        rerank_k = max(min_rerank, math.ceil(rerank_c * math.sqrt(n_vectors)))
     return n_clusters, n_probe, rerank_k
 
 

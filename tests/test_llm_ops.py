@@ -641,19 +641,38 @@ def test_knn_ivf_pq_recall_and_shape(spark, sf01_dir):
 
 
 def test_ivf_scale_params_rule():
-    """Pin the executable sqrt(N) sizing rule (r14, VERDICT r13 item 1):
-    2*isqrt(N) lists, ceil(0.75*nc) probes, shortlist max(96, N/10) —
-    the exact parameterizations the cross-scale recall gate runs under."""
+    """Pin the executable sizing rule for BOTH geometries (r15, VERDICT
+    r14 item 1). "uniform" is the r14 arithmetic the cross-scale recall
+    gate runs under (2*isqrt(N) lists, ceil(0.75*nc) probes, shortlist
+    max(96, N/10)). "clustered" — the DEFAULT — is the sub-linear shape
+    set from the tools/ann_decade.py measurement: CONSTANT 12 probed
+    lists and rerank max(96, ceil(4.5*sqrt(N))), so per-query candidate
+    mass is O(sqrt N) instead of a per-query corpus scan."""
     import pytest
 
     from kafka_streams_task_spark.operators.similarity import ivf_scale_params
 
-    assert ivf_scale_params(500) == (44, 33, 96)
-    assert ivf_scale_params(2000) == (88, 66, 200)
+    assert ivf_scale_params(500, geometry="uniform") == (44, 33, 96)
+    assert ivf_scale_params(2000, geometry="uniform") == (88, 66, 200)
+    # the default is the measured sub-linear clustered shape
+    assert ivf_scale_params(500) == (44, 12, 101)
+    assert ivf_scale_params(2000) == (88, 12, 202)
+    assert ivf_scale_params(50_000) == (446, 12, 1007)
+    # the clustered rerank shortlist grows as sqrt(N), not N
+    assert ivf_scale_params(5_000_000)[2] < 0.01 * 5_000_000
+    # explicit fraction knobs override the geometry preset
+    assert ivf_scale_params(2000, probe_frac=0.75, shortlist_frac=0.10) == (
+        88,
+        66,
+        200,
+    )
     # floors: tiny corpora keep the historical minimums
     assert ivf_scale_params(10) == (16, 12, 96)
+    assert ivf_scale_params(10, geometry="uniform") == (16, 12, 96)
     with pytest.raises(ValueError, match="n_vectors"):
         ivf_scale_params(0)
+    with pytest.raises(ValueError, match="geometry"):
+        ivf_scale_params(100, geometry="blobby")
 
 
 def test_knn_ivf_pq_scale_aware_recall_holds_at_10x(spark, sf_dir):
@@ -679,7 +698,9 @@ def test_knn_ivf_pq_scale_aware_recall_holds_at_10x(spark, sf_dir):
     if not os.path.isdir(d):
         pytest.skip(f"no sf0.1 dataset next to {sf_dir}")
     emb = load_table(spark, d, "embeddings")
-    n_clusters, n_probe, rerank_k = ivf_scale_params(emb.count())
+    n_clusters, n_probe, rerank_k = ivf_scale_params(
+        emb.count(), geometry="uniform"
+    )
     q = emb.filter(F.col("vec_id") < 10)
     bf = {}
     for r in knn_bruteforce(emb, q, k=5).collect():
