@@ -242,6 +242,7 @@ def streaming_value_quantiles(
     checkpoint_dir: str,
     value_col: str = "value",
     gamma: float = 1.02,
+    max_buckets: int | None = None,
 ):
     """Maintain a cumulative DDSketch over a value stream — the quantile
     twin of :func:`streaming_token_frequencies`. The DDSketch merge
@@ -253,23 +254,43 @@ def streaming_value_quantiles(
     (|est - x_q| <= alpha * x_q, alpha = (gamma-1)/(gamma+1)) forever,
     in O(bucket domain) state per version.
 
+    ``max_buckets`` (r15, VERDICT r14 item 5): bound the bucket state of
+    an ALWAYS-ON stream over a growing value range by applying the
+    paper's collapse (:func:`~..operators.sketch.dd_collapse`) AFTER the
+    merge each batch — the documented exactness-preserving order: the
+    collapse cut (the max_buckets-th highest bucket index seen) is
+    non-decreasing as data arrives and the fold-up map composes under
+    increasing cuts, so the committed state after batch N is
+    bit-identical to ``dd_collapse(dd_sketch_table(everything), max_
+    buckets)`` (pinned by tests/test_sketch.py) — NOT the lossier merge
+    of pre-collapsed shards. Upper quantiles (the p95/p99 deployment)
+    keep the full alpha guarantee; ranks inside the collapsed low mass
+    degrade to "at most the collapse boundary", the paper's trade.
+
     Exactly-once via the family's versioned-parquet protocol:
     overwrite-idempotent versions, redelivered batches skip wholesale,
-    state dir bound to its checkpoint. ``gamma`` persists WITH the state
-    (``dd_meta``) and is validated on every batch and read — mismatched
-    gamma against durable buckets reads arbitrary value ranges, the
-    same silent-garbage mode the CMS meta closes."""
-    from ..operators.sketch import dd_sketch_table, merge_dd_sketches
+    state dir bound to its checkpoint. ``gamma`` AND ``max_buckets``
+    persist WITH the state (``dd_meta``) and are validated on every
+    batch and read — mismatched gamma against durable buckets reads
+    arbitrary value ranges, and a mismatched collapse budget silently
+    changes which ranks carry the guarantee, so both raise instead."""
+    from ..operators.sketch import (
+        dd_collapse,
+        dd_sketch_table,
+        merge_dd_sketches,
+    )
     from .state import bind_state_to_checkpoint, committed_versions
 
     if gamma <= 1.0:
         raise ValueError(f"gamma must be > 1, got {gamma}")
+    if max_buckets is not None and max_buckets < 1:
+        raise ValueError(f"max_buckets must be >= 1, got {max_buckets}")
     bind_state_to_checkpoint(stream.sparkSession, state_dir, checkpoint_dir)
-    _check_or_write_dd_meta(stream.sparkSession, state_dir, gamma)
+    _check_or_write_dd_meta(stream.sparkSession, state_dir, gamma, max_buckets)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        _check_or_write_dd_meta(spark, state_dir, gamma)
+        _check_or_write_dd_meta(spark, state_dir, gamma, max_buckets)
         versions = committed_versions(spark, state_dir, _DD_PFX)
         if batch_id in versions:
             return  # redelivery: this batch's sketch is already durable
@@ -280,6 +301,8 @@ def streaming_value_quantiles(
             merged = merge_dd_sketches(committed, batch_dd)
         else:
             merged = batch_dd
+        if max_buckets is not None:
+            merged = dd_collapse(merged, max_buckets)
         merged.write.mode("overwrite").parquet(f"{state_dir}/{_DD_PFX}{batch_id}")
 
     return (
@@ -291,25 +314,32 @@ def streaming_value_quantiles(
 
 
 def _check_or_write_dd_meta(
-    spark: SparkSession, state_dir: str, gamma: float
+    spark: SparkSession,
+    state_dir: str,
+    gamma: float,
+    max_buckets: int | None = None,
 ) -> None:
-    """Persist gamma beside the versioned sketches on first contact;
-    afterwards REFUSE any caller whose gamma disagrees with the durable
-    state. ``_SUCCESS``-gated probe (half-written metas self-heal) and
-    single-writer contract as :func:`_check_or_write_cms_meta`."""
+    """Persist (gamma, max_buckets) beside the versioned sketches on
+    first contact; afterwards REFUSE any caller who disagrees with the
+    durable state about either — a different gamma reads arbitrary
+    value ranges, a different collapse budget silently changes which
+    ranks carry the alpha guarantee. ``_SUCCESS``-gated probe
+    (half-written metas self-heal) and single-writer contract as
+    :func:`_check_or_write_cms_meta`."""
     from .state import meta_committed
 
     meta_path = f"{state_dir}/dd_meta"
     if meta_committed(spark, meta_path):
         row = spark.read.parquet(meta_path).collect()[0]
-        if row["gamma"] != gamma:
+        if (row["gamma"], row["max_buckets"]) != (gamma, max_buckets):
             raise ValueError(
                 f"DDSketch state at {state_dir} was built with gamma="
-                f"{row['gamma']}; got {gamma}"
+                f"{row['gamma']}/max_buckets={row['max_buckets']}; "
+                f"got {gamma}/{max_buckets}"
             )
     else:
         spark.createDataFrame(
-            [(float(gamma),)], "gamma double"
+            [(float(gamma), max_buckets)], "gamma double, max_buckets int"
         ).coalesce(1).write.mode("overwrite").parquet(meta_path)
 
 
@@ -340,10 +370,14 @@ def read_value_quantiles(
             "cleanup?), so a caller-supplied gamma cannot be trusted "
             "against it"
         )
+    built = spark.read.parquet(meta_path).collect()[0]["gamma"]
     if gamma is None:
-        gamma = spark.read.parquet(meta_path).collect()[0]["gamma"]
-    else:
-        _check_or_write_dd_meta(spark, state_dir, gamma)
+        gamma = built
+    elif gamma != built:
+        raise ValueError(
+            f"DDSketch state at {state_dir} was built with gamma={built}; "
+            f"got {gamma}"
+        )
     dd = spark.read.parquet(f"{state_dir}/{_DD_PFX}{max(versions)}")
     return dd_quantiles(dd, qs, gamma=gamma)
 

@@ -1110,3 +1110,100 @@ def test_streaming_hll_grouped_equals_batch_and_guards(spark, tmpdir):
         )
     with pytest.raises(ValueError, match="built with b"):
         read_distinct_count(spark, state, b=12)
+
+
+def test_streaming_dd_collapse_equals_collapsed_batch(spark, tmpdir):
+    """Streaming DDSketch bucket bound (VERDICT r14 item 5): with
+    ``max_buckets`` the committed state after each batch is
+    bit-identical to dd_collapse(batch sketch over everything,
+    max_buckets) — collapse AFTER merge each batch composes exactly,
+    because the cut is non-decreasing as data arrives. State stays at
+    most max_buckets rows, replay is a no-op, upper quantiles keep the
+    alpha guarantee, and max_buckets persists in dd_meta: disagreeing
+    callers are refused."""
+    import json as _json
+    import os
+
+    from pyspark.sql import types as T
+
+    from kafka_streams_task_spark.operators.sketch import (
+        dd_alpha,
+        dd_collapse,
+        dd_sketch_table,
+    )
+    from kafka_streams_task_spark.streaming.sketch import (
+        read_value_quantiles,
+        streaming_value_quantiles,
+    )
+
+    # values spanning ~6 orders of magnitude so gamma=1.02 would need
+    # ~700 buckets unbounded — the collapse genuinely folds
+    vals0 = [0.001 * (1.9**i) for i in range(20)]
+    vals1 = [0.005 * (2.1**i) for i in range(18)]
+    b0 = [{"id": i, "value": v} for i, v in enumerate(vals0)]
+    b1 = [{"id": 100 + i, "value": v} for i, v in enumerate(vals1)]
+    src = f"{tmpdir}/ddc_in"
+    os.makedirs(src)
+    for i, rows in enumerate((b0, b1)):
+        with open(f"{src}/b{i}.json", "w") as f:
+            f.write("\n".join(_json.dumps(r) for r in rows))
+        os.utime(f"{src}/b{i}.json", (1000000000 + i * 100,) * 2)
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("value", T.DoubleType())]
+    )
+    state = f"{tmpdir}/ddc_state"
+
+    def run(ck, **kw):
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+        )
+        q = streaming_value_quantiles(stream, state, ck, gamma=1.02, **kw)
+        q.awaitTermination(120)
+
+    run(f"{tmpdir}/ddc_ckpt", max_buckets=12)
+
+    both = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals0 + vals1)], "id long, value double"
+    )
+    want = {
+        (r["bucket"], r["c"])
+        for r in dd_collapse(dd_sketch_table(both, "value", 1.02), 12).collect()
+    }
+    got = {
+        (r["bucket"], r["c"])
+        for r in spark.read.parquet(f"{state}/dd_v1").collect()
+    }
+    assert got == want
+    assert len(got) <= 12
+
+    # upper quantiles keep the relative-error guarantee against the
+    # TRUE order statistics (collapse only touched the low mass)
+    alpha = dd_alpha(1.02)
+    data = sorted(vals0 + vals1)
+    est = {
+        r["q"]: r["est"]
+        for r in read_value_quantiles(spark, state, [0.9, 0.95, 1.0]).collect()
+    }
+    for q_, e in est.items():
+        true = data[int(q_ * (len(data) - 1))]
+        assert abs(e - true) <= alpha * true * 1.000001, (q_, e, true)
+
+    # replay no-op
+    run(f"{tmpdir}/ddc_ckpt", max_buckets=12)
+    assert {
+        (r["bucket"], r["c"])
+        for r in spark.read.parquet(f"{state}/dd_v1").collect()
+    } == want
+
+    # the collapse budget is part of the sketch's identity
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+    )
+    with pytest.raises(ValueError, match="max_buckets"):
+        streaming_value_quantiles(
+            stream, state, f"{tmpdir}/ddc_ckpt", gamma=1.02, max_buckets=20
+        )
+    with pytest.raises(ValueError, match="max_buckets"):
+        streaming_value_quantiles(
+            stream, state, f"{tmpdir}/ddc_ckpt2", gamma=1.02, max_buckets=0
+        )
