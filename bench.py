@@ -220,6 +220,7 @@ OPS_SECTION = [
     "cms_freq",
     "dd_quantiles",
     "hll_distinct",
+    "hll_grouped",
 ]
 
 #: frozen first-measurements for the ops section (set r8, steady-state
@@ -282,6 +283,12 @@ OPS_BASELINE_SEC = {
     # min-of-4 [0.442, 0.336, 0.307, 0.330] in the bench-config session
     # (tools/ab_trials.py); frozen at the top of the steady band.
     "hll_distinct": 0.40,
+    # r15 first measurement: grouped HLL (per-event_type registers over
+    # events.user_id + per-group estimates). 5 trials [1.123, 0.754,
+    # 0.533, 0.718, 1.06] at calib 3.678 — a SLOW host window (typical
+    # calib ~2.0) — in the bench-config session (tools/ab_trials.py);
+    # frozen at the top of the steady band, generous for the window.
+    "hll_grouped": 0.90,
     # r8 third wave: post-model-pin steady state (pre-pin measured 4.2 —
     # the bucket-count aggs re-executed for every downstream consumer);
     # r11 re-freeze, same A/B receipt as bloom_decontaminate: r9 checkout
@@ -1107,6 +1114,21 @@ def _ops_workloads():
         li = load_table(s, d, "lineitem")
         return hll_cardinality(hll_register_table(li, "l_partkey", b=10), b=10)
 
+    def _hll_grouped(s, d):
+        # r15: grouped HLL — per-event_type register tables over
+        # events.user_id in one pass (bounded |groups| x 1024 key
+        # domain, one bounded shuffle) + the per-group estimate
+        from kafka_streams_task_spark.operators.sketch import (
+            hll_cardinality_grouped,
+            hll_register_table_grouped,
+        )
+
+        ev = load_table(s, d, "events")
+        return hll_cardinality_grouped(
+            hll_register_table_grouped(ev, "event_type", "user_id", b=10),
+            b=10,
+        )
+
     def _asof_nearest(s, d):
         # r12: the nearest-direction as-of join — one shuffle, one sort,
         # two window channels over purchases x deduped clicks
@@ -1249,6 +1271,7 @@ def _ops_workloads():
         "cms_freq": _cms_freq,
         "dd_quantiles": _dd_quantiles,
         "hll_distinct": _hll_distinct,
+        "hll_grouped": _hll_grouped,
     }
 
 
@@ -1626,6 +1649,31 @@ def main() -> None:
     calib_py_sec = min(_calib_py_once(), _calib_py_once())
     print(f"# calib_py_sec: {calib_py_sec}", file=sys.stderr)
 
+    # r15 fourth probe (the residual candidate the r14 end-probe addendum
+    # named): a scan over PRE-EXISTING fixture files — parquet decode +
+    # column scan of the same on-disk bytes the real queries read, so it
+    # carries the storage-side state (page-cache residency of the
+    # fixtures, filesystem readahead) that the synthetic probes cannot:
+    # calib_io_sec writes FRESH files (always page-hot), calib_sec and
+    # calib_py_sec touch no storage at all. Fixed workload: full scan +
+    # aggregate over documents + lineitem at the bench sf. min-of-2;
+    # never counts toward any total. Frozen r15 reference: the value in
+    # BENCH_r15.json (first round it exists — the family convention).
+    def _calib_scan_once() -> float:
+        t0 = time.time()
+        spark.read.parquet(f"{sf_dir}/documents.parquet").agg(
+            F_sql.count(F_sql.lit(1)), F_sql.max("text"), F_sql.max("doc_id")
+        ).collect()
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").agg(
+            F_sql.count(F_sql.lit(1)),
+            F_sql.max("l_comment"),
+            F_sql.sum("l_extendedprice"),
+        ).collect()
+        return round(time.time() - t0, 3)
+
+    calib_scan_sec = min(_calib_scan_once(), _calib_scan_once())
+    print(f"# calib_scan_sec: {calib_scan_sec}", file=sys.stderr)
+
     # Each query runs twice in the same session: run 1 pays one-time JVM
     # codegen/JIT compilation of that query's generated classes (seconds of
     # driver-side latency that a long-lived cluster amortizes to zero); run 2
@@ -1638,7 +1686,23 @@ def main() -> None:
     ops = _ops_workloads()
     all_runs: dict[str, list[float]] = {}
     n_trials: dict[str, int] = {}
+    calib_mid: dict[str, float] = {}
     for name in HEADLINE + OPS_SECTION:
+        if name == OPS_SECTION[0] and not calib_mid:
+            # r15 MID-RUN probes, between the headline and ops sections:
+            # the start/end bracket cannot see a transient interference
+            # window that opens mid-run and closes before the sweep ends
+            # — the r15 in-round run showed exactly that shape (quintile
+            # geomeans 0.65/0.84/1.18/1.48/1.00 vs frozen, with start
+            # AND end probes flat; BENCH_BASELINE_r1.md r15 worked
+            # example). A third position sample turns the probe series
+            # into a coarse timeline: flags in a section whose nearest
+            # probes are inflated normalize by THOSE probes.
+            calib_mid["calib_sec_mid"] = min(_calib_once(), _calib_once())
+            calib_mid["calib_py_sec_mid"] = min(
+                _calib_py_once(), _calib_py_once()
+            )
+            print(f"# calib_mid: {calib_mid}", file=sys.stderr)
         if name in ops:
             fn = ops[name]
         else:
@@ -1694,8 +1758,10 @@ def main() -> None:
     # START-of-run probes, which is exactly the gap these close.
     calib_sec_end = min(_calib_once(), _calib_once())
     calib_py_sec_end = min(_calib_py_once(), _calib_py_once())
+    calib_scan_sec_end = min(_calib_scan_once(), _calib_scan_once())
     print(
-        f"# calib_sec_end: {calib_sec_end} calib_py_sec_end: {calib_py_sec_end}",
+        f"# calib_sec_end: {calib_sec_end} calib_py_sec_end: {calib_py_sec_end}"
+        f" calib_scan_sec_end: {calib_scan_sec_end}",
         file=sys.stderr,
     )
 
@@ -1736,6 +1802,15 @@ def main() -> None:
                 # exceeds ~1.2 (BENCH_BASELINE_r1.md)
                 "calib_sec_end": calib_sec_end,
                 "calib_py_sec_end": calib_py_sec_end,
+                # r15 fourth probe: pre-existing-fixture scan (storage-
+                # side state — page-cache residency, readahead), start
+                # and end; frozen reference = BENCH_r15.json
+                "calib_scan_sec": calib_scan_sec,
+                "calib_scan_sec_end": calib_scan_sec_end,
+                # r15 mid-run probes (between headline and ops sections):
+                # position resolution for transient interference windows
+                # the start/end bracket cannot see
+                **calib_mid,
                 # r8 non-headline ops section (r7 crawl/compliance/
                 # versioning surface); excluded from "value" so the
                 # headline total stays round-over-round comparable

@@ -5208,6 +5208,8 @@ def cms_freq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QSK_GAMMA = 1.02
 _QSK_ALPHA = "0.00990099009900991"
 _QSK_QS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+#: the grouped legs' q-set (r15): the upper-tail deployment shape
+_QSK_GQS = [0.5, 0.9, 0.99]
 
 _QSK_COLS = [("key", "long"), ("i1", "long"), ("i2", "long")]
 
@@ -5216,6 +5218,7 @@ def _qsk_oracle() -> str:
     from .llm_suites import canary_sql
 
     qs = ", ".join(repr(q) for q in _QSK_QS)
+    gqs = ", ".join(repr(q) for q in _QSK_GQS)
     return f"""
     WITH v AS (
       SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
@@ -5247,6 +5250,42 @@ def _qsk_oracle() -> str:
       SELECT q, 2.0 * power({_QSK_GAMMA!r}, CAST(bucket AS DOUBLE))
                  / ({_QSK_GAMMA!r} + 1.0) AS e
       FROM hit
+    ),
+    -- r15 grouped family: the same arithmetic per l_returnflag group
+    gv AS (
+      SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS x
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+        AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+        AND l_extendedprice > 0
+    ),
+    gsk AS (
+      SELECT g, CAST(ceil(ln(x) / ln({_QSK_GAMMA!r}) - 1e-9) AS INT) AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM gv GROUP BY 1, 2
+    ),
+    gcum AS (
+      SELECT g, bucket, c,
+             sum(c) OVER (PARTITION BY g ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+      FROM gsk
+    ),
+    gtot AS (SELECT g, sum(c) AS N FROM gsk GROUP BY g),
+    gqs AS (SELECT unnest([{gqs}]) AS q),
+    granked AS (
+      SELECT g, q, CAST(floor(q * (N - 1)) + 1 AS BIGINT) AS rnk
+      FROM gqs, gtot
+    ),
+    ghit AS (
+      SELECT granked.g AS g, q, min(bucket) AS bucket
+      FROM granked JOIN gcum
+        ON gcum.g = granked.g AND gcum.cm >= granked.rnk
+      GROUP BY granked.g, q
+    ),
+    gest AS (
+      SELECT g, q, 2.0 * power({_QSK_GAMMA!r}, CAST(bucket AS DOUBLE))
+                   / ({_QSK_GAMMA!r} + 1.0) AS e
+      FROM ghit
     )
     SELECT CAST(leg AS VARCHAR) AS leg, CAST(key AS BIGINT) AS key,
            CAST(i1 AS BIGINT) AS i1, CAST(i2 AS BIGINT) AS i2
@@ -5262,6 +5301,15 @@ def _qsk_oracle() -> str:
       SELECT 'quantile', {sql_fmicro("e2.q")}, {sql_fmicro("e2.e")},
              CAST(1 AS BIGINT)
       FROM est e2
+      UNION ALL
+      SELECT 'gbucket:' || g, CAST(bucket AS BIGINT), c,
+             CAST(NULL AS BIGINT)
+      FROM gsk
+      UNION ALL
+      -- per-group theorem rows keep the literal-1 polarity
+      SELECT 'gquantile:' || g, {sql_fmicro("ge.q")}, {sql_fmicro("ge.e")},
+             CAST(1 AS BIGINT)
+      FROM gest ge
       UNION ALL
       {canary_sql(_QSK_COLS)}
     )
@@ -5288,14 +5336,26 @@ def quantile_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                  DuckDB: the same window). Unlike the approx-aggregate
                  gates (sigma tolerances), this bound is DETERMINISTIC —
                  DDSketch's guarantee is worst-case, not probabilistic.
+    'gbucket:<flag>' / 'gquantile:<flag>' — the r15 GROUPED family
+                 ("p99 per key", the sketch's canonical deployment):
+                 per-l_returnflag bucket tables built in ONE pass
+                 (dd_sketch_table_grouped — every (grp, bucket, c) cell
+                 re-derived by the oracle), and the per-group
+                 {{0.5, 0.9, 0.99}} estimates from the fully-distributed
+                 grouped rank walk (dd_quantiles_grouped), each under
+                 the same per-row worst-case theorem stated as the
+                 oracle's literal 1 — against the exact per-group order
+                 statistic from a group-partitioned window.
     'canary'   — constant rows (2^53+1, int64 extremes, NULLs) stated
                  identically by both engines.
 
     Scale shape: the build aggregates map-side onto the bounded bucket
-    domain (~245 cells for this table's price range) before one bounded
-    shuffle — corpus-independent state, the CMS/MG property. The
+    domain (~245 cells for this table's price range; |groups| x domain
+    for the grouped family) before one bounded shuffle —
+    corpus-independent state, the CMS/MG property. The
     exact-order-statistic side exists ONLY for the gate (a global
-    row_number window); the operator itself never sorts the corpus.
+    row_number window; group-partitioned for the grouped legs); the
+    operator itself never sorts the corpus.
     Streaming twin: streaming/sketch.py::streaming_value_quantiles
     (bit-identical cumulative sketch, pinned by tests/test_sketch.py).
 
@@ -5303,7 +5363,12 @@ def quantile_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     real; the oracle states the LITERAL 1 (the approx_parts_ok
     discipline) so a violation hash-FAILS instead of matching a
     violation both engines re-derive (review r14)."""
-    from ..operators.sketch import dd_quantiles, dd_sketch_table
+    from ..operators.sketch import (
+        dd_quantiles,
+        dd_quantiles_grouped,
+        dd_sketch_table,
+        dd_sketch_table_grouped,
+    )
     from .llm_suites import canary_df
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -5347,8 +5412,52 @@ def quantile_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("i2"),
         )
     )
+    gsk = dd_sketch_table_grouped(li, "l_returnflag", "l_extendedprice",
+                                  gamma=_QSK_GAMMA)
+    gbucket_leg = gsk.select(
+        F.concat(F.lit("gbucket:"), F.col("grp")).alias("leg"),
+        F.col("bucket").cast("long").alias("key"),
+        F.col("c").cast("long").alias("i1"),
+        F.lit(None).cast("long").alias("i2"),
+    )
+    g_est = dd_quantiles_grouped(gsk, _QSK_GQS, gamma=_QSK_GAMMA)
+    gvals = li.filter(x.isNotNull() & ~F.isnan(x) & (x > 0)).select(
+        F.col("l_returnflag").alias("_g"), x.alias("x")
+    )
+    g_ordv = gvals.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("_g").orderBy("x"))
+    )
+    g_tot = gvals.groupBy("_g").agg(F.count(F.lit(1)).alias("N"))
+    g_qdf = spark.createDataFrame([(float(q),) for q in _QSK_GQS], "q double")
+    g_ranked = g_tot.crossJoin(F.broadcast(g_qdf)).select(
+        "_g",
+        "q",
+        (F.floor(F.col("q") * (F.col("N") - 1)) + 1).cast("long").alias("rnk"),
+    )
+    g_exact = g_ranked.join(
+        g_ordv, on=["_g"], how="inner"
+    ).filter(F.col("rn") == F.col("rnk")).select("_g", "q", F.col("x").alias("ex"))
+    gquant_leg = (
+        g_est.join(
+            g_exact,
+            on=(F.col("grp") == F.col("_g")) & (g_est["q"] == g_exact["q"]),
+        )
+        .select(
+            F.concat(F.lit("gquantile:"), F.col("grp")).alias("leg"),
+            fmicro_col(g_est["q"]).alias("key"),
+            fmicro_col(F.col("est")).alias("i1"),
+            (
+                F.abs(F.col("est") - F.col("ex"))
+                <= F.lit(alpha) * F.col("ex") + F.lit(1e-12)
+            )
+            .cast("long")
+            .alias("i2"),
+        )
+    )
     return (
         bucket_leg.unionByName(quant_leg)
+        .unionByName(gbucket_leg)
+        .unionByName(gquant_leg)
         .unionByName(canary_df(spark, _QSK_COLS))
     )
 

@@ -48,13 +48,16 @@ __all__ = [
     "dd_alpha",
     "dd_collapse",
     "dd_quantiles",
+    "dd_quantiles_grouped",
     "dd_sketch_table",
+    "dd_sketch_table_grouped",
     "hll_cardinality",
     "hll_cardinality_grouped",
     "hll_register_table",
     "hll_register_table_grouped",
     "merge_cms_tables",
     "merge_dd_sketches",
+    "merge_dd_sketches_grouped",
     "merge_hll_tables",
     "merge_hll_tables_grouped",
     "merge_mg_summaries",
@@ -440,6 +443,106 @@ def dd_sketch_table(
         .select(_dd_bucket(v, gamma).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def dd_sketch_table_grouped(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    gamma: float = 1.02,
+) -> DataFrame:
+    """Per-group DDSketch bucket tables in one pass: ``(grp, bucket, c)``
+    — the sketch's canonical deployment shape ("p99 latency per
+    endpoint", "price quantiles per segment") as ONE bounded relation.
+    Identical bucket arithmetic and row filter (NULL/NaN/non-positive
+    excluded) to :func:`dd_sketch_table`; a NULL group is its own group.
+
+    Scale shape: map-side aggregation onto at most |groups| x bucket-
+    domain cells — corpus-independent for any bounded group domain —
+    then one shuffle. Per-group merge stays cell-wise sum
+    (:func:`merge_dd_sketches_grouped`), so the alpha guarantee
+    telescopes per group exactly as it does globally."""
+    if gamma <= 1.0:
+        raise ValueError(f"gamma must be > 1, got {gamma}")
+    v = F.col(value_col).cast("double")
+    return (
+        df.filter(v.isNotNull() & ~F.isnan(v) & (v > 0))
+        .select(
+            F.col(group_col).alias("grp"), _dd_bucket(v, gamma).alias("bucket")
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def dd_quantiles_grouped(
+    sketch: DataFrame,
+    qs: list[float],
+    gamma: float = 1.02,
+) -> DataFrame:
+    """Per-group quantile estimates from a grouped bucket table
+    (:func:`dd_sketch_table_grouped`): ``(grp, q, est)`` rows via the
+    SAME rank walk as :func:`dd_quantiles` applied per group — rank =
+    floor(q*(N_g - 1)) + 1 within each group's cumulative bucket counts,
+    midpoint estimate, the full per-group alpha guarantee.
+
+    Fully distributed, unlike the global walk's bounded driver collect:
+    per-group totals are an aggregate, ranks join the per-group
+    cumulative table on (group, cum >= rank), and everything stays
+    bounded by |groups| x bucket-domain x |qs|. A group with no positive
+    values is ABSENT from the sketch and so from the result (the
+    grouped-family empty convention — hll_cardinality_grouped does the
+    same); the global function's empty-sketch raise makes no sense
+    per-group."""
+    from pyspark.sql import Window
+
+    if gamma <= 1.0:
+        raise ValueError(f"gamma must be > 1, got {gamma}")
+    if not qs or any(q < 0 or q > 1 for q in qs):
+        raise ValueError(f"qs must be non-empty fractions in [0,1], got {qs}")
+    spark = sketch.sparkSession
+    totals = sketch.groupBy("grp").agg(F.sum("c").cast("long").alias("_N"))
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    # same IEEE arithmetic as the global walk and the DuckDB restating
+    ranked = totals.crossJoin(F.broadcast(qdf)).select(
+        F.col("grp").alias("_rg"),
+        "q",
+        (F.floor(F.col("q") * (F.col("_N") - 1).cast("double")) + 1)
+        .cast("long")
+        .alias("_rank"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = sketch.withColumn("_cum", F.sum("c").over(w))
+    hit = (
+        ranked.join(
+            cum,
+            on=F.col("_rg").eqNullSafe(F.col("grp"))
+            & (F.col("_cum") >= F.col("_rank")),
+        )
+        .groupBy("_rg", "q")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    est = (
+        F.lit(2.0)
+        * F.pow(F.lit(float(gamma)), F.col("bucket").cast("double"))
+        / F.lit(float(gamma) + 1.0)
+    )
+    return hit.select(F.col("_rg").alias("grp"), "q", est.alias("est"))
+
+
+def merge_dd_sketches_grouped(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Per-group cell-wise sum of two grouped bucket tables built with
+    the SAME gamma — exactly the table of the concatenated input, per
+    group."""
+    return (
+        a.unionByName(b)
+        .groupBy("grp", "bucket")
+        .agg(F.sum("c").cast("long").alias("c"))
     )
 
 

@@ -1207,3 +1207,79 @@ def test_streaming_dd_collapse_equals_collapsed_batch(spark, tmpdir):
         streaming_value_quantiles(
             stream, state, f"{tmpdir}/ddc_ckpt2", gamma=1.02, max_buckets=0
         )
+
+
+def test_dd_grouped_matches_per_group_global_builds(spark):
+    """The grouped DDSketch table is EXACTLY the per-group stack of
+    global builds, the grouped rank walk returns each group's global
+    quantile estimates (with the per-group alpha guarantee), a NULL
+    group is its own group, a group with no positive values is absent,
+    and the grouped merge is the concatenated-input table."""
+    from kafka_streams_task_spark.operators.sketch import (
+        dd_alpha,
+        dd_quantiles,
+        dd_quantiles_grouped,
+        dd_sketch_table,
+        dd_sketch_table_grouped,
+        merge_dd_sketches_grouped,
+    )
+
+    rows = [
+        (float(i % 17 + 1) * (1.5 ** (i % 9)), ["a", "b", None, "zero"][i % 4])
+        for i in range(240)
+    ]
+    # the 'zero' group carries only non-positive values -> absent
+    rows = [(v if g != "zero" else -v, g) for v, g in rows]
+    df = spark.createDataFrame(rows, "value double, grp_in string")
+
+    grouped = dd_sketch_table_grouped(df, "grp_in", "value", gamma=1.05)
+    got = {(r["grp"], r["bucket"], r["c"]) for r in grouped.collect()}
+    want = set()
+    for g in ("a", "b", None):
+        sub = df.filter(
+            F.col("grp_in").eqNullSafe(F.lit(g) if g is not None else F.lit(None))
+        )
+        for r in dd_sketch_table(sub, "value", gamma=1.05).collect():
+            want.add((g, r["bucket"], r["c"]))
+    assert got == want
+    assert not any(g == "zero" for g, _, _ in got)
+
+    qs = [0.0, 0.5, 0.9, 1.0]
+    g_est = {
+        (r["grp"], r["q"]): r["est"]
+        for r in dd_quantiles_grouped(grouped, qs, gamma=1.05).collect()
+    }
+    alpha = dd_alpha(1.05)
+    for g in ("a", "b", None):
+        sub = df.filter(
+            F.col("grp_in").eqNullSafe(F.lit(g) if g is not None else F.lit(None))
+        )
+        glob = {
+            r["q"]: r["est"]
+            for r in dd_quantiles(
+                dd_sketch_table(sub, "value", gamma=1.05), qs, gamma=1.05
+            ).collect()
+        }
+        data = sorted(
+            r["value"] for r in sub.filter(F.col("value") > 0).collect()
+        )
+        for q_ in qs:
+            assert g_est[(g, q_)] == glob[q_], (g, q_)
+            true = data[int(q_ * (len(data) - 1))]
+            assert abs(g_est[(g, q_)] - true) <= alpha * true * 1.000001
+    assert not any(g == "zero" for g, _ in g_est)
+
+    merged = {
+        (r["grp"], r["bucket"], r["c"])
+        for r in merge_dd_sketches_grouped(grouped, grouped).collect()
+    }
+    assert merged == {(g, b, 2 * c) for g, b, c in got}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="gamma"):
+        dd_sketch_table_grouped(df, "grp_in", "value", gamma=1.0)
+    with _pytest.raises(ValueError, match="qs"):
+        dd_quantiles_grouped(grouped, [], gamma=1.05)
+    with _pytest.raises(ValueError, match="qs"):
+        dd_quantiles_grouped(grouped, [1.5], gamma=1.05)
