@@ -1666,7 +1666,7 @@ def main() -> None:
         ).collect()
         spark.read.parquet(f"{sf_dir}/lineitem.parquet").agg(
             F_sql.count(F_sql.lit(1)),
-            F_sql.max("l_comment"),
+            F_sql.max("l_shipdate"),
             F_sql.sum("l_extendedprice"),
         ).collect()
         return round(time.time() - t0, 3)

@@ -49,7 +49,10 @@ BNLJ_ALLOWED = {
     # onto the 7-row q relation, and the rank walk's cum >= rank
     # inequality join over the ~245-row bucket table (both sides bounded
     # by the bucket DOMAIN, never the corpus; the decontam recall gate's
-    # BNLJ now rides dedup_recall_suite's 'decontam' leg)
+    # BNLJ now rides dedup_recall_suite's 'decontam' leg). r15 grouped
+    # legs add the same shapes per group: the |groups|-row totals
+    # crossJoined onto the 3-row q relation and the per-group
+    # (grp, cum >= rank) walk — still bounded by |groups| x domain x |qs|
     "quantile_sketch_suite",
     # r10: unimax_allocation's 1-row water-level aggregate
     # broadcast-crossJoined onto the group-cardinality table (the umx:
@@ -66,7 +69,9 @@ BNLJ_ALLOWED = {
     # and 1-row total-token aggregates — the recall-gate precedent
     "heavy_hitter_suite",
     # r14: hll_distinct_suite's est legs crossJoin the 1-row exact
-    # COUNT(DISTINCT) gate aggregate — the recall-gate precedent
+    # COUNT(DISTINCT) gate aggregate — the recall-gate precedent (the
+    # r15 gest legs instead equi-join the |groups|-row per-group exact
+    # table and add no BNLJ)
     "hll_distinct_suite",
 }
 
