@@ -47,6 +47,7 @@ __all__ = [
     "count_min_table",
     "dd_alpha",
     "dd_collapse",
+    "dd_collapse_grouped",
     "dd_quantiles",
     "dd_quantiles_grouped",
     "dd_sketch_table",
@@ -541,6 +542,41 @@ def merge_dd_sketches_grouped(a: DataFrame, b: DataFrame) -> DataFrame:
     group."""
     return (
         a.unionByName(b)
+        .groupBy("grp", "bucket")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+
+
+def dd_collapse_grouped(sketch: DataFrame, max_buckets: int) -> DataFrame:
+    """:func:`dd_collapse` applied per group: each group keeps its own
+    ``max_buckets`` highest bucket indices and folds its lower mass into
+    its own smallest kept bucket — each group's quantile guarantees
+    degrade (or not) independently, exactly as if each group were its
+    own global sketch. Same composition property per group: the cut is
+    non-decreasing as the group's data grows, so
+    collapse-after-merge-per-batch equals collapsing the full build.
+
+    Plan shape: one row_number window over the bounded |groups| x domain
+    table (replacing the global version's 1-row broadcast cut with a
+    |groups|-row cut relation joined back on the group key)."""
+    from pyspark.sql import Window
+
+    if max_buckets < 1:
+        raise ValueError(f"max_buckets must be >= 1, got {max_buckets}")
+    w = Window.partitionBy("grp").orderBy(F.col("bucket").desc())
+    cut = (
+        sketch.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_buckets)
+        .groupBy(F.col("grp").alias("_cg"))
+        .agg(F.min("bucket").alias("_cut"))
+    )
+    return (
+        sketch.join(cut, on=F.col("grp").eqNullSafe(F.col("_cg")))
+        .select(
+            "grp",
+            F.greatest(F.col("bucket"), F.col("_cut")).alias("bucket"),
+            F.col("c"),
+        )
         .groupBy("grp", "bucket")
         .agg(F.sum("c").cast("long").alias("c"))
     )

@@ -243,6 +243,7 @@ def streaming_value_quantiles(
     value_col: str = "value",
     gamma: float = 1.02,
     max_buckets: int | None = None,
+    group_col: str | None = None,
 ):
     """Maintain a cumulative DDSketch over a value stream — the quantile
     twin of :func:`streaming_token_frequencies`. The DDSketch merge
@@ -267,17 +268,27 @@ def streaming_value_quantiles(
     keep the full alpha guarantee; ranks inside the collapsed low mass
     degrade to "at most the collapse boundary", the paper's trade.
 
+    ``group_col`` (r15): maintain PER-GROUP sketches instead — "p99 per
+    endpoint maintained over the stream", the sketch's canonical
+    always-on shape — via the grouped builder/merge/collapse (each
+    group behaves exactly as its own global sketch; ``max_buckets``
+    bounds EACH group's buckets).
+
     Exactly-once via the family's versioned-parquet protocol:
     overwrite-idempotent versions, redelivered batches skip wholesale,
-    state dir bound to its checkpoint. ``gamma`` AND ``max_buckets``
-    persist WITH the state (``dd_meta``) and are validated on every
-    batch and read — mismatched gamma against durable buckets reads
-    arbitrary value ranges, and a mismatched collapse budget silently
-    changes which ranks carry the guarantee, so both raise instead."""
+    state dir bound to its checkpoint. ``gamma``, ``max_buckets`` AND
+    ``group_col`` persist WITH the state (``dd_meta``) and are validated
+    on every batch and read — mismatched gamma against durable buckets
+    reads arbitrary value ranges, a mismatched collapse budget silently
+    changes which ranks carry the guarantee, and grouped vs global
+    buckets are different sketches, so all three raise instead."""
     from ..operators.sketch import (
         dd_collapse,
+        dd_collapse_grouped,
         dd_sketch_table,
+        dd_sketch_table_grouped,
         merge_dd_sketches,
+        merge_dd_sketches_grouped,
     )
     from .state import bind_state_to_checkpoint, committed_versions
 
@@ -286,23 +297,32 @@ def streaming_value_quantiles(
     if max_buckets is not None and max_buckets < 1:
         raise ValueError(f"max_buckets must be >= 1, got {max_buckets}")
     bind_state_to_checkpoint(stream.sparkSession, state_dir, checkpoint_dir)
-    _check_or_write_dd_meta(stream.sparkSession, state_dir, gamma, max_buckets)
+    _check_or_write_dd_meta(
+        stream.sparkSession, state_dir, gamma, max_buckets, group_col
+    )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        _check_or_write_dd_meta(spark, state_dir, gamma, max_buckets)
+        _check_or_write_dd_meta(spark, state_dir, gamma, max_buckets, group_col)
         versions = committed_versions(spark, state_dir, _DD_PFX)
         if batch_id in versions:
             return  # redelivery: this batch's sketch is already durable
         prev = [v for v in versions if v < batch_id]
-        batch_dd = dd_sketch_table(batch_df, value_col, gamma)
+        if group_col is None:
+            batch_dd = dd_sketch_table(batch_df, value_col, gamma)
+            merge, collapse = merge_dd_sketches, dd_collapse
+        else:
+            batch_dd = dd_sketch_table_grouped(
+                batch_df, group_col, value_col, gamma
+            )
+            merge, collapse = merge_dd_sketches_grouped, dd_collapse_grouped
         if prev:
             committed = spark.read.parquet(f"{state_dir}/{_DD_PFX}{max(prev)}")
-            merged = merge_dd_sketches(committed, batch_dd)
+            merged = merge(committed, batch_dd)
         else:
             merged = batch_dd
         if max_buckets is not None:
-            merged = dd_collapse(merged, max_buckets)
+            merged = collapse(merged, max_buckets)
         merged.write.mode("overwrite").parquet(f"{state_dir}/{_DD_PFX}{batch_id}")
 
     return (
@@ -318,12 +338,14 @@ def _check_or_write_dd_meta(
     state_dir: str,
     gamma: float,
     max_buckets: int | None = None,
+    group_col: str | None = None,
 ) -> None:
-    """Persist (gamma, max_buckets) beside the versioned sketches on
-    first contact; afterwards REFUSE any caller who disagrees with the
-    durable state about either — a different gamma reads arbitrary
-    value ranges, a different collapse budget silently changes which
-    ranks carry the alpha guarantee. ``_SUCCESS``-gated probe
+    """Persist (gamma, max_buckets, group_col) beside the versioned
+    sketches on first contact; afterwards REFUSE any caller who
+    disagrees with the durable state about any of them — a different
+    gamma reads arbitrary value ranges, a different collapse budget
+    silently changes which ranks carry the alpha guarantee, and grouped
+    vs global buckets are different sketches. ``_SUCCESS``-gated probe
     (half-written metas self-heal) and single-writer contract as
     :func:`_check_or_write_cms_meta`."""
     from .state import meta_committed
@@ -331,15 +353,17 @@ def _check_or_write_dd_meta(
     meta_path = f"{state_dir}/dd_meta"
     if meta_committed(spark, meta_path):
         row = spark.read.parquet(meta_path).collect()[0]
-        if (row["gamma"], row["max_buckets"]) != (gamma, max_buckets):
+        got = (row["gamma"], row["max_buckets"], row["group_col"])
+        if got != (gamma, max_buckets, group_col):
             raise ValueError(
                 f"DDSketch state at {state_dir} was built with gamma="
-                f"{row['gamma']}/max_buckets={row['max_buckets']}; "
-                f"got {gamma}/{max_buckets}"
+                f"{got[0]}/max_buckets={got[1]}/group_col={got[2]!r}; "
+                f"got {gamma}/{max_buckets}/{group_col!r}"
             )
     else:
         spark.createDataFrame(
-            [(float(gamma), max_buckets)], "gamma double, max_buckets int"
+            [(float(gamma), max_buckets, group_col)],
+            "gamma double, max_buckets int, group_col string",
         ).coalesce(1).write.mode("overwrite").parquet(meta_path)
 
 
@@ -349,14 +373,16 @@ def read_value_quantiles(
     qs: list[float],
     gamma: float | None = None,
 ) -> DataFrame:
-    """Quantile estimates ``(q, est)`` against the latest committed
-    cumulative sketch. ``gamma`` defaults to the build value persisted
-    with the state (``dd_meta``); passing a disagreeing value raises
-    rather than reading garbage ranges. Raises if no sketch has
-    committed yet, and raises — rather than trusting a caller-supplied
-    gamma against durable state of unknown provenance — when committed
-    sketches exist WITHOUT their meta (advice r14)."""
-    from ..operators.sketch import dd_quantiles
+    """Quantile estimates against the latest committed cumulative
+    sketch: ``(q, est)`` rows for global state, or ``(grp, q, est)`` per
+    group when the state was built with a ``group_col`` (the shape is
+    the durable state's own, read from ``dd_meta``). ``gamma`` defaults
+    to the build value persisted with the state; passing a disagreeing
+    value raises rather than reading garbage ranges. Raises if no
+    sketch has committed yet, and raises — rather than trusting a
+    caller-supplied gamma against durable state of unknown provenance —
+    when committed sketches exist WITHOUT their meta (advice r14)."""
+    from ..operators.sketch import dd_quantiles, dd_quantiles_grouped
     from .state import committed_versions, meta_committed
 
     versions = committed_versions(spark, state_dir, _DD_PFX)
@@ -370,7 +396,8 @@ def read_value_quantiles(
             "cleanup?), so a caller-supplied gamma cannot be trusted "
             "against it"
         )
-    built = spark.read.parquet(meta_path).collect()[0]["gamma"]
+    row = spark.read.parquet(meta_path).collect()[0]
+    built = row["gamma"]
     if gamma is None:
         gamma = built
     elif gamma != built:
@@ -379,7 +406,9 @@ def read_value_quantiles(
             f"got {gamma}"
         )
     dd = spark.read.parquet(f"{state_dir}/{_DD_PFX}{max(versions)}")
-    return dd_quantiles(dd, qs, gamma=gamma)
+    if row["group_col"] is None:
+        return dd_quantiles(dd, qs, gamma=gamma)
+    return dd_quantiles_grouped(dd, qs, gamma=gamma)
 
 
 _HLL_PFX = "hll_v"

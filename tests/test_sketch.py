@@ -1283,3 +1283,148 @@ def test_dd_grouped_matches_per_group_global_builds(spark):
         dd_quantiles_grouped(grouped, [], gamma=1.05)
     with _pytest.raises(ValueError, match="qs"):
         dd_quantiles_grouped(grouped, [1.5], gamma=1.05)
+
+
+def test_dd_collapse_grouped_matches_per_group_global(spark):
+    """Grouped collapse == the per-group stack of global collapses: each
+    group keeps its own top max_buckets indices and folds independently;
+    counts are preserved exactly per group."""
+    from kafka_streams_task_spark.operators.sketch import (
+        dd_collapse,
+        dd_collapse_grouped,
+        dd_sketch_table,
+        dd_sketch_table_grouped,
+    )
+
+    rows = [
+        (0.002 * (2.0 ** (i % 14)), ["p", "q", None][i % 3])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "value double, grp_in string")
+    grouped = dd_sketch_table_grouped(df, "grp_in", "value", gamma=1.02)
+    got = {
+        (r["grp"], r["bucket"], r["c"])
+        for r in dd_collapse_grouped(grouped, 5).collect()
+    }
+    want = set()
+    for g in ("p", "q", None):
+        sub = df.filter(
+            F.col("grp_in").eqNullSafe(F.lit(g) if g is not None else F.lit(None))
+        )
+        glob = dd_collapse(dd_sketch_table(sub, "value", gamma=1.02), 5)
+        for r in glob.collect():
+            want.add((g, r["bucket"], r["c"]))
+    assert got == want
+    # per-group row bound and exact count preservation
+    from collections import Counter
+
+    per_group = Counter(g for g, _, _ in got)
+    assert all(n <= 5 for n in per_group.values())
+    assert sum(c for _, _, c in got) == 120
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_buckets"):
+        dd_collapse_grouped(grouped, 0)
+
+
+def test_streaming_dd_grouped_equals_batch_and_guards(spark, tmpdir):
+    """Grouped streaming quantile twin (r15): per-group cumulative
+    sketches with a per-group collapse budget — the committed state is
+    bit-identical to dd_collapse_grouped(batch grouped build over
+    everything), reads return the per-group shape automatically, and
+    group_col rides dd_meta: global-vs-grouped callers are refused."""
+    import json as _json
+    import os
+
+    from pyspark.sql import types as T
+
+    from kafka_streams_task_spark.operators.sketch import (
+        dd_collapse_grouped,
+        dd_quantiles_grouped,
+        dd_sketch_table_grouped,
+    )
+    from kafka_streams_task_spark.streaming.sketch import (
+        read_value_quantiles,
+        streaming_value_quantiles,
+    )
+
+    vals = [(i, 0.01 * (1.8 ** (i % 16)), ["api", "web"][i % 2]) for i in range(60)]
+    b0, b1 = vals[:30], vals[30:]
+    src = f"{tmpdir}/gdd_in"
+    os.makedirs(src)
+    for i, rows in enumerate((b0, b1)):
+        with open(f"{src}/b{i}.json", "w") as f:
+            f.write(
+                "\n".join(
+                    _json.dumps({"id": a, "value": v, "ep": g}) for a, v, g in rows
+                )
+            )
+        os.utime(f"{src}/b{i}.json", (1000000000 + i * 100,) * 2)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ep", T.StringType()),
+        ]
+    )
+    state = f"{tmpdir}/gdd_state"
+
+    def run(ck, **kw):
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+        )
+        q = streaming_value_quantiles(stream, state, ck, gamma=1.02, **kw)
+        q.awaitTermination(120)
+
+    run(f"{tmpdir}/gdd_ckpt", group_col="ep", max_buckets=10)
+
+    both = spark.createDataFrame(
+        [(a, v, g) for a, v, g in vals], "id long, value double, ep string"
+    )
+    gsk = dd_sketch_table_grouped(both, "ep", "value", gamma=1.02)
+    want = {
+        (r["grp"], r["bucket"], r["c"])
+        for r in dd_collapse_grouped(gsk, 10).collect()
+    }
+    got = {
+        (r["grp"], r["bucket"], r["c"])
+        for r in spark.read.parquet(f"{state}/dd_v1").collect()
+    }
+    assert got == want
+
+    # the read returns (grp, q, est) — each group's own p50/p99 walk over
+    # the collapsed state
+    est = {
+        (r["grp"], r["q"]): r["est"]
+        for r in read_value_quantiles(spark, state, [0.5, 0.99]).collect()
+    }
+    want_est = {
+        (r["grp"], r["q"]): r["est"]
+        for r in dd_quantiles_grouped(
+            dd_collapse_grouped(gsk, 10), [0.5, 0.99], gamma=1.02
+        ).collect()
+    }
+    assert est == want_est
+    assert {g for g, _ in est} == {"api", "web"}
+
+    # replay no-op
+    run(f"{tmpdir}/gdd_ckpt", group_col="ep", max_buckets=10)
+    assert {
+        (r["grp"], r["bucket"], r["c"])
+        for r in spark.read.parquet(f"{state}/dd_v1").collect()
+    } == want
+
+    # grouped state refuses a global caller and a different group column
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+    )
+    with pytest.raises(ValueError, match="group_col"):
+        streaming_value_quantiles(
+            stream, state, f"{tmpdir}/gdd_ckpt", gamma=1.02, max_buckets=10
+        )
+    with pytest.raises(ValueError, match="group_col"):
+        streaming_value_quantiles(
+            stream, state, f"{tmpdir}/gdd_ckpt", gamma=1.02,
+            max_buckets=10, group_col="value",
+        )
