@@ -5479,68 +5479,42 @@ _HLL_TOL = 3 * 1.04 / 32.0
 _HLLS_COLS = [("key", "long"), ("i1", "long"), ("i2", "long")]
 
 
-def _hll_sql_regs(src_sql: str) -> str:
-    """Register-table CTE body over ``src_sql`` (one VARCHAR column x):
-    the integer-exact md5/bin re-derivation (b=10, 50-bit suffix)."""
+def _hll_sql_regs(src_sql: str, grouped: bool = False) -> str:
+    """Register-table CTE body over ``src_sql`` (one VARCHAR column x,
+    plus a group column g when ``grouped``): the integer-exact md5/bin
+    re-derivation (b=10, 50-bit suffix). ONE source of truth for the
+    b=10 constants — the global and grouped legs differ only by the g
+    key threading through (review r15)."""
+    g = "g, " if grouped else ""
     return f"""
-      SELECT reg, max(rho) AS rho FROM (
-        SELECT CAST(h % 1024 AS INT) AS reg,
+      SELECT {g}reg, max(rho) AS rho FROM (
+        SELECT {g}CAST(h % 1024 AS INT) AS reg,
                CAST(CASE WHEN (h >> 10) = 0 THEN 51
                     ELSE 51 - length(bin(h >> 10)) END AS INT) AS rho
-        FROM (SELECT CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) AS h
+        FROM (SELECT {g}CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) AS h
               FROM ({src_sql}) WHERE x IS NOT NULL)
-      ) GROUP BY reg
+      ) GROUP BY {g}reg
     """
 
 
-def _hll_sql_est(regs_cte: str) -> str:
-    """(nr, est) from a register CTE name — the same closed form the
-    operator computes: exact integer register sum, one float division,
-    linear-counting branch below 2.5m with empties present."""
+def _hll_sql_est(regs_cte: str, grouped: bool = False) -> str:
+    """(nr, est) — per group when ``grouped`` — from a register CTE
+    name: the same closed form the operator computes (exact integer
+    register sum, one float division, linear-counting branch below 2.5m
+    with empties present), stated once for both leg families."""
+    g = "g, " if grouped else ""
+    gby = "GROUP BY g" if grouped else ""
     return f"""
-      SELECT nr, CASE WHEN raw <= 2560.0 AND (1024 - nr) > 0
+      SELECT {g}nr, CASE WHEN raw <= 2560.0 AND (1024 - nr) > 0
                       THEN 1024.0 * ln(1024.0 / CAST(1024 - nr AS DOUBLE))
                       ELSE raw END AS est
       FROM (
-        SELECT count(*) AS nr,
+        SELECT {g}count(*) AS nr,
                {_HLL_NUM} / CAST(
                  sum(CAST(1 AS BIGINT) << (51 - rho))
                  + (1024 - count(*)) * (CAST(1 AS BIGINT) << 51)
                  AS DOUBLE) AS raw
-        FROM {regs_cte}
-      )
-    """
-
-
-def _hll_sql_gregs(src_sql: str) -> str:
-    """Grouped register-table CTE body over ``src_sql`` (columns g, x):
-    the same integer-exact re-derivation keyed by (g, reg) — the r15
-    grouped family ("distinct users per key")."""
-    return f"""
-      SELECT g, reg, max(rho) AS rho FROM (
-        SELECT g, CAST(h % 1024 AS INT) AS reg,
-               CAST(CASE WHEN (h >> 10) = 0 THEN 51
-                    ELSE 51 - length(bin(h >> 10)) END AS INT) AS rho
-        FROM (SELECT g, CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) AS h
-              FROM ({src_sql}) WHERE x IS NOT NULL)
-      ) GROUP BY g, reg
-    """
-
-
-def _hll_sql_gest(regs_cte: str) -> str:
-    """Per-group (g, nr, est) from a grouped register CTE — the global
-    closed form applied GROUP BY g."""
-    return f"""
-      SELECT g, nr, CASE WHEN raw <= 2560.0 AND (1024 - nr) > 0
-                         THEN 1024.0 * ln(1024.0 / CAST(1024 - nr AS DOUBLE))
-                         ELSE raw END AS est
-      FROM (
-        SELECT g, count(*) AS nr,
-               {_HLL_NUM} / CAST(
-                 sum(CAST(1 AS BIGINT) << (51 - rho))
-                 + (1024 - count(*)) * (CAST(1 AS BIGINT) << 51)
-                 AS DOUBLE) AS raw
-        FROM {regs_cte} GROUP BY g
+        FROM {regs_cte} {gby}
       )
     """
 
@@ -5551,12 +5525,13 @@ def _hll_oracle() -> str:
     return f"""
     WITH pregs AS ({_hll_sql_regs("SELECT CAST(l_partkey AS VARCHAR) AS x FROM lineitem")}),
     sregs AS ({_hll_sql_regs("SELECT CAST(source AS VARCHAR) AS x FROM documents")}),
-    gregs AS ({_hll_sql_gregs(
-        "SELECT event_type AS g, CAST(user_id AS VARCHAR) AS x FROM events"
+    gregs AS ({_hll_sql_regs(
+        "SELECT event_type AS g, CAST(user_id AS VARCHAR) AS x FROM events",
+        grouped=True,
     )}),
     pest AS ({_hll_sql_est("pregs")}),
     sest AS ({_hll_sql_est("sregs")}),
-    gests AS ({_hll_sql_gest("gregs")})
+    gests AS ({_hll_sql_est("gregs", grouped=True)})
     SELECT CAST(leg AS VARCHAR) AS leg, CAST(key AS BIGINT) AS key,
            CAST(i1 AS BIGINT) AS i1, CAST(i2 AS BIGINT) AS i2
     FROM (

@@ -29,6 +29,7 @@ def _as_double(col):
 
 def ivf_scale_params(
     n_vectors: int,
+    *,
     geometry: str = "clustered",
     probe_frac: float | None = None,
     shortlist_frac: float | None = None,
@@ -83,6 +84,11 @@ def ivf_scale_params(
     Explicit ``probe_frac`` / ``shortlist_frac`` override the geometry
     preset for that knob (fraction-shaped, for callers tuning the
     uniform regime).
+
+    All tuning knobs are KEYWORD-ONLY: r14 callers passed probe_frac/
+    shortlist_frac positionally, and geometry now occupies that slot —
+    a positional float must fail loudly (TypeError), not silently bind
+    to geometry (review r15).
 
     Pinned: tests/test_llm_ops.py pins the arithmetic of both
     geometries; the similarity suite gates recall under "uniform" at

@@ -447,6 +447,33 @@ def dd_sketch_table(
     )
 
 
+def _dd_check_quantile_args(gamma: float, qs: list[float]) -> None:
+    """Shared validation of the global and grouped quantile walks."""
+    if gamma <= 1.0:
+        raise ValueError(f"gamma must be > 1, got {gamma}")
+    if not qs or any(q < 0 or q > 1 for q in qs):
+        raise ValueError(f"qs must be non-empty fractions in [0,1], got {qs}")
+
+
+def _dd_rank_col(n_minus_1) -> "F.Column":
+    """The paper's 1-indexed rank ``floor(q * (N-1)) + 1`` over a ``q``
+    column — ONE statement of the IEEE arithmetic the DuckDB oracle
+    restates, shared by the global walk (N-1 a driver literal) and the
+    grouped walk (N-1 a per-group column)."""
+    return (F.floor(F.col("q") * n_minus_1) + 1).cast("long")
+
+
+def _dd_midpoint_est(gamma: float) -> "F.Column":
+    """The bucket-midpoint estimate ``2*gamma^bucket/(gamma+1)`` over a
+    ``bucket`` column — shared by both walks (and restated verbatim by
+    the oracle)."""
+    return (
+        F.lit(2.0)
+        * F.pow(F.lit(float(gamma)), F.col("bucket").cast("double"))
+        / F.lit(float(gamma) + 1.0)
+    )
+
+
 def dd_sketch_table_grouped(
     df: DataFrame,
     group_col: str,
@@ -498,10 +525,7 @@ def dd_quantiles_grouped(
     per-group."""
     from pyspark.sql import Window
 
-    if gamma <= 1.0:
-        raise ValueError(f"gamma must be > 1, got {gamma}")
-    if not qs or any(q < 0 or q > 1 for q in qs):
-        raise ValueError(f"qs must be non-empty fractions in [0,1], got {qs}")
+    _dd_check_quantile_args(gamma, qs)
     spark = sketch.sparkSession
     totals = sketch.groupBy("grp").agg(F.sum("c").cast("long").alias("_N"))
     qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
@@ -509,9 +533,7 @@ def dd_quantiles_grouped(
     ranked = totals.crossJoin(F.broadcast(qdf)).select(
         F.col("grp").alias("_rg"),
         "q",
-        (F.floor(F.col("q") * (F.col("_N") - 1).cast("double")) + 1)
-        .cast("long")
-        .alias("_rank"),
+        _dd_rank_col((F.col("_N") - 1).cast("double")).alias("_rank"),
     )
     w = (
         Window.partitionBy("grp")
@@ -528,12 +550,9 @@ def dd_quantiles_grouped(
         .groupBy("_rg", "q")
         .agg(F.min("bucket").alias("bucket"))
     )
-    est = (
-        F.lit(2.0)
-        * F.pow(F.lit(float(gamma)), F.col("bucket").cast("double"))
-        / F.lit(float(gamma) + 1.0)
+    return hit.select(
+        F.col("_rg").alias("grp"), "q", _dd_midpoint_est(gamma).alias("est")
     )
-    return hit.select(F.col("_rg").alias("grp"), "q", est.alias("est"))
 
 
 def merge_dd_sketches_grouped(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -605,10 +624,7 @@ def dd_quantiles(
     CMS point counts, where absent means zero occurrences)."""
     from pyspark.sql import Window
 
-    if gamma <= 1.0:
-        raise ValueError(f"gamma must be > 1, got {gamma}")
-    if not qs or any(q < 0 or q > 1 for q in qs):
-        raise ValueError(f"qs must be non-empty fractions in [0,1], got {qs}")
+    _dd_check_quantile_args(gamma, qs)
     spark = sketch.sparkSession
     total = sketch.agg(F.sum("c").cast("long").alias("N")).collect()[0]["N"]
     if not total:
@@ -617,23 +633,13 @@ def dd_quantiles(
     cum = sketch.withColumn("cum", F.sum("c").over(w))
     qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
     # same IEEE arithmetic as the DuckDB restating: q * (N-1) in double
-    ranked = qdf.select(
-        "q",
-        (F.floor(F.col("q") * F.lit(float(total - 1))) + 1)
-        .cast("long")
-        .alias("rank"),
-    )
+    ranked = qdf.select("q", _dd_rank_col(F.lit(float(total - 1))).alias("rank"))
     hit = (
         ranked.join(F.broadcast(cum), on=F.col("cum") >= F.col("rank"))
         .groupBy("q")
         .agg(F.min("bucket").alias("bucket"))
     )
-    est = (
-        F.lit(2.0)
-        * F.pow(F.lit(float(gamma)), F.col("bucket").cast("double"))
-        / F.lit(float(gamma) + 1.0)
-    )
-    return hit.select("q", est.alias("est"))
+    return hit.select("q", _dd_midpoint_est(gamma).alias("est"))
 
 
 def merge_dd_sketches(a: DataFrame, b: DataFrame) -> DataFrame:

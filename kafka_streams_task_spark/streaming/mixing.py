@@ -94,6 +94,25 @@ def streaming_score_boundaries(
         ).agg(F.count(F.lit(1)).cast("long").alias("n"))
         if prev:
             committed = spark.read.parquet(f"{state_dir}/{_PFX}{max(prev)}")
+            # REFUSE a committed table whose score key type disagrees
+            # with the batch's raw type: unionByName would silently
+            # WIDEN (long -> double under set-op coercion), re-keying
+            # the merged state and reopening exactly the >2^53 collision
+            # the raw keying closes — durable state written under a
+            # different dtype (a pre-raw-keying double state, or a
+            # changed stream schema) needs a fresh state dir, not a
+            # silent coercion (review r15)
+            built_t = committed.schema["s"].dataType
+            batch_t = batch_counts.schema["s"].dataType
+            if built_t != batch_t:
+                raise ValueError(
+                    f"mixing state at {state_dir} keys scores as "
+                    f"{built_t.simpleString()}, but the stream's "
+                    f"{score_col!r} column is {batch_t.simpleString()} — "
+                    "merging would silently coerce the score keys and "
+                    "break the stream==batch boundary equality; use a "
+                    "fresh state dir for the new key type"
+                )
             merged = (
                 committed.unionByName(batch_counts)
                 .groupBy("grp", "s")

@@ -43,6 +43,16 @@ __all__ = [
 _PFX = "summary_v"
 
 
+def _meta_dict(spark: SparkSession, meta_path: str) -> dict:
+    """The single meta row as a plain dict. ``.get`` semantics matter:
+    metas written by earlier releases lack later-added OPTIONAL columns
+    (dd_meta gained max_buckets/group_col in r15, hll_meta group_col) —
+    absent must read as None (the old default), not raise, or every
+    pre-existing durable state dir dies on first contact after an
+    upgrade (review r15)."""
+    return spark.read.parquet(meta_path).collect()[0].asDict()
+
+
 def streaming_top_tokens(
     stream: DataFrame,
     state_dir: str,
@@ -352,8 +362,8 @@ def _check_or_write_dd_meta(
 
     meta_path = f"{state_dir}/dd_meta"
     if meta_committed(spark, meta_path):
-        row = spark.read.parquet(meta_path).collect()[0]
-        got = (row["gamma"], row["max_buckets"], row["group_col"])
+        row = _meta_dict(spark, meta_path)
+        got = (row["gamma"], row.get("max_buckets"), row.get("group_col"))
         if got != (gamma, max_buckets, group_col):
             raise ValueError(
                 f"DDSketch state at {state_dir} was built with gamma="
@@ -396,7 +406,7 @@ def read_value_quantiles(
             "cleanup?), so a caller-supplied gamma cannot be trusted "
             "against it"
         )
-    row = spark.read.parquet(meta_path).collect()[0]
+    row = _meta_dict(spark, meta_path)
     built = row["gamma"]
     if gamma is None:
         gamma = built
@@ -406,7 +416,7 @@ def read_value_quantiles(
             f"got {gamma}"
         )
     dd = spark.read.parquet(f"{state_dir}/{_DD_PFX}{max(versions)}")
-    if row["group_col"] is None:
+    if row.get("group_col") is None:
         return dd_quantiles(dd, qs, gamma=gamma)
     return dd_quantiles_grouped(dd, qs, gamma=gamma)
 
@@ -495,11 +505,11 @@ def _check_or_write_hll_meta(
 
     meta_path = f"{state_dir}/hll_meta"
     if meta_committed(spark, meta_path):
-        row = spark.read.parquet(meta_path).collect()[0]
-        if (row["b"], row["group_col"]) != (b, group_col):
+        row = _meta_dict(spark, meta_path)
+        if (row["b"], row.get("group_col")) != (b, group_col):
             raise ValueError(
                 f"HLL state at {state_dir} was built with b={row['b']}/"
-                f"group_col={row['group_col']!r}; got {b}/{group_col!r}"
+                f"group_col={row.get('group_col')!r}; got {b}/{group_col!r}"
             )
     else:
         spark.createDataFrame(
@@ -532,8 +542,8 @@ def read_distinct_count(
             "the durable state's b is unknown (partial state-dir cleanup?), "
             "so a caller-supplied b cannot be trusted against it"
         )
-    row = spark.read.parquet(meta_path).collect()[0]
-    group_col = row["group_col"]
+    row = _meta_dict(spark, meta_path)
+    group_col = row.get("group_col")
     if b is None:
         b = row["b"]
     else:

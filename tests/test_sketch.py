@@ -1428,3 +1428,45 @@ def test_streaming_dd_grouped_equals_batch_and_guards(spark, tmpdir):
             stream, state, f"{tmpdir}/gdd_ckpt", gamma=1.02,
             max_buckets=10, group_col="value",
         )
+
+
+def test_pre_r15_meta_schemas_still_read(spark, tmpdir):
+    """Review-r15 pin: metas written BEFORE the optional columns existed
+    (dd_meta without max_buckets/group_col, hll_meta without group_col)
+    must keep working after an upgrade — absent optional fields read as
+    None (the old behavior), not raise — or every pre-existing durable
+    state dir dies on first contact."""
+    from kafka_streams_task_spark.operators.sketch import (
+        dd_sketch_table,
+        hll_register_table,
+    )
+    from kafka_streams_task_spark.streaming.sketch import (
+        _check_or_write_dd_meta,
+        _check_or_write_hll_meta,
+        read_distinct_count,
+        read_value_quantiles,
+    )
+
+    vals = spark.createDataFrame([(float(i),) for i in range(1, 30)], "value double")
+
+    s = f"{tmpdir}/old_dd"
+    spark.createDataFrame([(1.02,)], "gamma double").coalesce(1).write.parquet(
+        f"{s}/dd_meta"
+    )
+    dd_sketch_table(vals, "value", gamma=1.02).write.parquet(f"{s}/dd_v0")
+    est = {r["q"]: r["est"] for r in read_value_quantiles(spark, s, [0.5]).collect()}
+    assert 0.5 in est  # global shape, no raise
+    _check_or_write_dd_meta(spark, s, 1.02)  # same params validate
+    with pytest.raises(ValueError, match="max_buckets"):
+        _check_or_write_dd_meta(spark, s, 1.02, max_buckets=9)
+
+    s = f"{tmpdir}/old_hll"
+    spark.createDataFrame([(10,)], "b int").coalesce(1).write.parquet(
+        f"{s}/hll_meta"
+    )
+    hll_register_table(vals, "value", b=10).write.parquet(f"{s}/hll_v0")
+    row = read_distinct_count(spark, s).collect()[0]
+    assert row["n_registers"] > 0  # global shape, no raise
+    _check_or_write_hll_meta(spark, s, 10)
+    with pytest.raises(ValueError, match="group_col"):
+        _check_or_write_hll_meta(spark, s, 10, group_col="seg")

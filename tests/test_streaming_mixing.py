@@ -274,3 +274,45 @@ def test_raw_score_keying_survives_double_collision(spark, tmpdir):
         for r in read_score_boundaries(spark, f"{tmpdir}/state").collect()
     }
     assert got == expect
+
+
+def test_score_key_type_change_refused_not_coerced(spark, tmpdir):
+    """Review-r15 pin: merging a batch whose raw score type differs from
+    the committed count table's key type is REFUSED — unionByName would
+    silently widen (long -> double), re-keying durable state and
+    reopening the >2^53 collision the raw keying closed."""
+    from pyspark.sql.streaming import StreamingQueryException
+
+    src = f"{tmpdir}/in"
+    os.makedirs(src)
+    with open(f"{src}/b0.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "lang": "en", "score": 1.5}))
+    os.utime(f"{src}/b0.json", (1000000000,) * 2)
+
+    # run 1: double-typed scores commit counts_v0 with a double key
+    _run(spark, src, f"{tmpdir}/state", f"{tmpdir}/ckpt", n_buckets=3)
+
+    # run 2: the stream's score column is now LONG — a later batch must
+    # refuse the merge instead of coercing the durable keys
+    with open(f"{src}/b1.json", "w") as f:
+        f.write(json.dumps({"doc_id": 2, "lang": "en", "score": 7}))
+    os.utime(f"{src}/b1.json", (1000000100,) * 2)
+    long_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("score", T.LongType()),
+        ]
+    )
+    from kafka_streams_task_spark.streaming.mixing import (
+        streaming_score_boundaries,
+    )
+
+    stream = (
+        spark.readStream.schema(long_schema).option("maxFilesPerTrigger", 1).json(src)
+    )
+    q = streaming_score_boundaries(
+        stream, f"{tmpdir}/state", f"{tmpdir}/ckpt", n_buckets=3
+    )
+    with pytest.raises(StreamingQueryException, match="keys scores as"):
+        q.awaitTermination(120)
