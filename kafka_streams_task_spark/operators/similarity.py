@@ -828,6 +828,53 @@ def build_ivfpq_index(
     model.write.mode("overwrite").parquet(f"{path}/model")
 
 
+def append_to_ivfpq_index(
+    new_corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dropped_acc=None,
+) -> None:
+    """Ingest a NEW corpus shard into an existing
+    :func:`build_ivfpq_index` layout — the nightly-delta pattern the
+    build-once/query-many story needs to be complete: a production
+    corpus grows daily, and re-training + re-encoding 100 TB for each
+    delta is exactly the job this avoids.
+
+    The persisted model (coarse centroids + residual codebooks) is
+    FROZEN: new vectors are assigned and residual-encoded with it in
+    one Arrow stage and their (neighbor_id, codes) rows are APPENDED
+    into the cluster-partitioned index — existing partitions' files are
+    never rewritten, and searches see the union immediately (partition
+    pruning over probed lists is unchanged; appends only add files
+    inside existing ``cluster=N`` directories, or new ones if a list
+    was previously empty).
+
+    Exactness contract (pinned in tests/test_llm_ops.py): indexing is a
+    pure per-vector function of the model, so the appended index is
+    BIT-IDENTICAL to indexing old+new in one pass under the same model
+    — search results match a monolithic rebuild whose training sample
+    is unchanged. What appending does NOT do is refresh the model: if
+    the new shard's distribution drifts from the training sample, its
+    residuals quantize with more error (ADC shortlist quality degrades
+    gracefully; the exact cosine rerank keeps returned similarities
+    true). Re-train via :func:`build_ivfpq_index` when drift matters.
+    Id uniqueness across shards is the caller's contract — append is
+    blind to duplicates, exactly like the underlying parquet append."""
+    spark = new_corpus.sparkSession
+    row = spark.read.parquet(f"{path}/model").first()
+    centroids = np.array(row["centroids"])
+    books = np.array(row["books"]).reshape(
+        row["m"], row["ks"], row["dim"] // row["m"]
+    )
+    _, c_indexed = _ivfpq_index(
+        new_corpus, id_col, vec_col, centroids, books, dropped_acc
+    )
+    c_indexed.write.mode("append").partitionBy("cluster").parquet(
+        f"{path}/index"
+    )
+
+
 def knn_ivf_pq_from_index(
     queries: DataFrame,
     corpus: DataFrame,

@@ -1599,3 +1599,61 @@ def test_drop_contained_threshold_one_strict_preservation(spark):
         all_sh = set().union(*shs.values())
         kept_sh = set().union(*(shs[y] for y in kept))
         assert kept_sh == all_sh, f"trial {trial}: lost {all_sh - kept_sh}"
+
+
+def test_ivfpq_append_equals_monolithic_rebuild(spark, sf01_dir, tmpdir):
+    """append_to_ivfpq_index (r15): building on a prefix shard and
+    appending the rest must search IDENTICALLY to one monolithic build —
+    provided the training sample is unchanged, which holds here because
+    build_ivfpq_index trains on the first sample_size vectors in id
+    order and the prefix shard contains all of them. Also pins that the
+    appended rows land inside the cluster-partitioned layout (partition
+    pruning intact) and that the model is untouched by the append."""
+    import os
+
+    from kafka_streams_task_spark.operators.similarity import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        knn_ivf_pq_from_index,
+    )
+    from kafka_streams_task_spark.schemas import load_table
+
+    emb = load_table(spark, sf01_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") < 300)
+    new = emb.filter(F.col("vec_id") >= 300)
+    queries = emb.filter(F.col("vec_id") < 8)
+    params = dict(k=5, n_probe=4, rerank_k=48)
+
+    inc = os.path.join(str(tmpdir), "ivfpq_inc")
+    build_ivfpq_index(old, inc, n_clusters=16, m=8, ks=32, sample_size=300)
+    model_before = spark.read.parquet(f"{inc}/model").first()
+    append_to_ivfpq_index(new, inc)
+    model_after = spark.read.parquet(f"{inc}/model").first()
+    assert model_after == model_before  # append never touches the model
+
+    mono = os.path.join(str(tmpdir), "ivfpq_mono")
+    build_ivfpq_index(emb, mono, n_clusters=16, m=8, ks=32, sample_size=300)
+
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.sim)
+        for r in knn_ivf_pq_from_index(queries, emb, inc, **params).collect()
+    }
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.sim)
+        for r in knn_ivf_pq_from_index(queries, emb, mono, **params).collect()
+    }
+    assert got == want
+    # results actually span both shards (the append is searched)
+    assert any(nid >= 300 for nid, _ in got.values())
+
+    # the appended index is still cluster-partitioned on disk: every
+    # index row lives under a cluster=N directory, old and new alike
+    idx = spark.read.parquet(f"{inc}/index")
+    n_old = idx.filter(F.col("neighbor_id") < 300).count()
+    n_new = idx.filter(F.col("neighbor_id") >= 300).count()
+    assert n_old == 300 and n_new == emb.count() - 300
+    plan = (
+        knn_ivf_pq_from_index(queries, emb, inc, **params)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [cluster" in plan or "cluster#" in plan
