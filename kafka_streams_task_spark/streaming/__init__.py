@@ -1,3 +1,4 @@
+from .ann import knn_ivfpq_stream_index, streaming_ivfpq_ingest
 from .changelog import latest_per_key_stream
 from .dedup import (
     streaming_dedup_exact,
@@ -34,6 +35,8 @@ from .pipeline import commit_batch_to_snapshot, streaming_crawl_to_snapshot
 from .topology import weather_hotels_stream, weather_rollup_stream
 
 __all__ = [
+    "knn_ivfpq_stream_index",
+    "streaming_ivfpq_ingest",
     "weather_rollup_stream",
     "weather_hotels_stream",
     "latest_per_key_stream",
