@@ -272,7 +272,18 @@ def count_min_table(
     """Build the CMS counter table ``(row, col, c)`` over the whitespace
     tokens of ``df[text_col]`` — at most ``depth * width`` rows
     regardless of corpus size. Cells never touched are absent (= 0);
-    :func:`cms_estimate` coalesces."""
+    :func:`cms_estimate` coalesces.
+
+    Per-key frequencies ("how often does token t occur under key k")
+    need no grouped variant, unlike HLL/DDSketch (r15): hash the
+    COMPOSITE key — sketch a ``concat(key, ':', token)`` column and
+    probe the same concatenation. A (key, row, col) table would
+    multiply the bounded domain by |keys| for identical accuracy;
+    composite hashing keeps one bounded table and the same one-sided
+    error bound over the combined stream. (HLL/DDSketch DO need grouped
+    forms because their estimates aggregate over a whole register/bucket
+    table per group — there is no composite-key trick for "distinct per
+    key" or "p99 per key".)"""
     if depth < 1 or width < 1:
         raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
     toks = df.select(
