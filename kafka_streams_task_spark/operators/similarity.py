@@ -828,6 +828,45 @@ def build_ivfpq_index(
     model.write.mode("overwrite").parquet(f"{path}/model")
 
 
+def load_ivfpq_model(spark, path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Load the (centroids, books) pair persisted by
+    :func:`build_ivfpq_index` — the ONE loader every consumer of the
+    on-disk model goes through (index search, batch append, streaming
+    ingest), so a model-schema change has a single home (review r15).
+    Gated on the parquet ``_SUCCESS`` marker, not bare existence: a
+    crash mid model-write must surface as this clear refusal, not an
+    opaque schema-inference error (the advice-r14 meta discipline)."""
+    from ..streaming.state import meta_committed
+
+    if not meta_committed(spark, f"{path}/model"):
+        raise ValueError(
+            f"no persisted IVF-PQ model under {path} — build the index "
+            "first (build_ivfpq_index); a model directory without its "
+            "_SUCCESS marker is a crashed half-write and is refused too"
+        )
+    row = spark.read.parquet(f"{path}/model").first()
+    centroids = np.array(row["centroids"])
+    books = np.array(row["books"]).reshape(
+        row["m"], row["ks"], row["dim"] // row["m"]
+    )
+    return centroids, books
+
+
+def ivfpq_model_fingerprint(centroids: np.ndarray, books: np.ndarray) -> str:
+    """Content fingerprint of a trained model — what stream shards bind
+    to, so vectors encoded under an OLD model can never be silently
+    searched under a NEW one (cluster ids and codes are meaningless
+    across models; review r15)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for a in (centroids, books):
+        a = np.ascontiguousarray(a, dtype="float64")
+        h.update(str(a.shape).encode())
+        h.update(a.tobytes())
+    return h.hexdigest()
+
+
 def append_to_ivfpq_index(
     new_corpus: DataFrame,
     path: str,
@@ -862,11 +901,7 @@ def append_to_ivfpq_index(
     Id uniqueness across shards is the caller's contract — append is
     blind to duplicates, exactly like the underlying parquet append."""
     spark = new_corpus.sparkSession
-    row = spark.read.parquet(f"{path}/model").first()
-    centroids = np.array(row["centroids"])
-    books = np.array(row["books"]).reshape(
-        row["m"], row["ks"], row["dim"] // row["m"]
-    )
+    centroids, books = load_ivfpq_model(spark, path)
     _, c_indexed = _ivfpq_index(
         new_corpus, id_col, vec_col, centroids, books, dropped_acc
     )
@@ -885,6 +920,7 @@ def knn_ivf_pq_from_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dropped_acc=None,
+    extra_index: DataFrame | None = None,
 ) -> DataFrame:
     """Search a :func:`build_ivfpq_index` index: same output contract as
     :func:`knn_ivf_pq` ((query_id, neighbor_id, sim, rank), exact rounded
@@ -892,11 +928,17 @@ def knn_ivf_pq_from_index(
     — the index scan reads ONLY the partition directories of lists some
     query probes (one bounded driver collect of probed cluster ids turns
     into an ``isin`` partition filter), and ``corpus`` supplies raw
-    vectors solely for the broadcast-shortlist rerank scan."""
+    vectors solely for the broadcast-shortlist rerank scan.
+
+    ``extra_index``: additional (neighbor_id, cluster, codes) rows
+    encoded under the SAME model — the streaming ingest's committed
+    shards (``streaming.ann``) union in here, behind the same
+    probed-cluster filter, so the whole probe/ADC/rerank pipeline has
+    exactly one implementation (review r15). Model compatibility is the
+    caller's contract for this parameter; the streaming module enforces
+    it with a persisted fingerprint."""
     spark = queries.sparkSession
-    row = spark.read.parquet(f"{path}/model").first()
-    centroids = np.array(row["centroids"])
-    books = np.array(row["books"]).reshape(row["m"], row["ks"], row["dim"] // row["m"])
+    centroids, books = load_ivfpq_model(spark, path)
 
     q_slim = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     probed = sorted(
@@ -909,7 +951,13 @@ def knn_ivf_pq_from_index(
     )
     c_indexed = spark.read.parquet(f"{path}/index").filter(
         F.col("cluster").isin(probed)
-    )
+    ).select("neighbor_id", "cluster", "codes")
+    if extra_index is not None:
+        c_indexed = c_indexed.unionByName(
+            extra_index.filter(F.col("cluster").isin(probed)).select(
+                "neighbor_id", "cluster", "codes"
+            )
+        )
     c_slim = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )

@@ -14,21 +14,29 @@ Arrow-stage encode the batch appender uses) and writes them as a
 ``codes_v{N}`` shard published by ``_SUCCESS``; a redelivered batch
 whose shard is committed skips wholesale; ``compact_every=K`` folds
 committed shards into one compact root so a long-lived stream's index
-read stays 1 root + <K shards instead of one root per ever-committed
-batch (the r9 O(N^2) listing lesson).
+read stays bounded instead of one root per ever-committed batch (the
+r9 O(N^2) listing lesson). Because the search here is an EXTERNAL
+reader of the shard dir (unlike the dedup stream, which only reads its
+own shards inside process()), compaction runs with deferred cleanup:
+shards covered by the NEWEST compact root survive until the round
+after, so a search that listed the state just before a compaction
+published still finds every root it planned to read.
 
-Search (:func:`knn_ivfpq_stream_index`) unions the base build's
-partition-pruned index scan with the committed stream shards and runs
-the standard ADC + exact-rerank pipeline — results are bit-identical to
-a batch index containing the same vectors under the same model (pinned
-by tests/test_streaming_ann.py).
+Search (:func:`knn_ivfpq_stream_index`) delegates to
+``knn_ivf_pq_from_index`` with the committed shards as ``extra_index``
+— one probe/ADC/rerank implementation — and results are bit-identical
+to a batch index containing the same vectors under the same model
+(pinned by tests/test_streaming_ann.py).
 
-The model is FROZEN by construction (the stream never retrains): new
-vectors whose distribution drifts from the training sample quantize
-with more residual error — shortlist quality degrades gracefully, the
-exact rerank keeps returned similarities true. Rebuild via
-``build_ivfpq_index`` when drift matters, then point a FRESH checkpoint
-+ shard dir at the new index.
+The model is FROZEN by construction (the stream never retrains), and
+that freeze is ENFORCED, not just documented: on first contact the
+shard dir binds to the model's content fingerprint (``model_meta``),
+and every later batch and every search re-checks it — rebuilding the
+index in place under the old path makes the old shards' cluster ids
+and codes garbage under the new centroids/books, so both sides REFUSE
+a fingerprint mismatch with instructions to start a fresh shard dir +
+checkpoint. Distribution drift within one model degrades only
+shortlist quality (the exact rerank keeps returned similarities true).
 
 Reference parity: no analogue — beyond-reference training-data mandate
 (SURVEY.md north-star extensions).
@@ -36,9 +44,7 @@ Reference parity: no analogue — beyond-reference training-data mandate
 
 from __future__ import annotations
 
-import numpy as np
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 __all__ = ["knn_ivfpq_stream_index", "streaming_ivfpq_ingest"]
 
@@ -46,20 +52,38 @@ _SHARD_PFX = "codes_v"
 _SHARD_DIR = "stream_shards"
 
 
-def _load_model(spark: SparkSession, index_path: str):
-    from .state import path_exists
-
-    if not path_exists(spark, f"{index_path}/model"):
-        raise ValueError(
-            f"no persisted IVF-PQ model under {index_path} — build the "
-            "index first (operators.similarity.build_ivfpq_index); the "
-            "stream ingests under a FROZEN model, it never trains one"
-        )
-    row = spark.read.parquet(f"{index_path}/model").first()
-    centroids = np.array(row["centroids"])
-    books = np.array(row["books"]).reshape(
-        row["m"], row["ks"], row["dim"] // row["m"]
+def _check_or_bind_model(
+    spark: SparkSession, index_path: str
+) -> tuple["object", "object"]:
+    """Load the persisted model and bind/validate the shard dir's model
+    fingerprint (``model_meta``, ``_SUCCESS``-gated like every
+    parameter meta). Returns (centroids, books); raises when the
+    current model differs from the one the existing shards were encoded
+    under."""
+    from ..operators.similarity import (
+        ivfpq_model_fingerprint,
+        load_ivfpq_model,
     )
+    from .state import meta_committed
+
+    centroids, books = load_ivfpq_model(spark, index_path)
+    fp = ivfpq_model_fingerprint(centroids, books)
+    meta_path = f"{index_path}/{_SHARD_DIR}/model_meta"
+    if meta_committed(spark, meta_path):
+        bound = spark.read.parquet(meta_path).collect()[0]["fingerprint"]
+        if bound != fp:
+            raise ValueError(
+                f"the IVF-PQ model under {index_path} changed since the "
+                "stream shards were encoded (fingerprint mismatch) — "
+                "their cluster ids and codes are meaningless under the "
+                "rebuilt model. Start a fresh shard dir + checkpoint "
+                "against the new index; do not search or extend these "
+                "shards."
+            )
+    else:
+        spark.createDataFrame(
+            [(fp,)], "fingerprint string"
+        ).coalesce(1).write.mode("overwrite").parquet(meta_path)
     return centroids, books
 
 
@@ -79,11 +103,12 @@ def streaming_ivfpq_ingest(
     search with :func:`knn_ivfpq_stream_index`.
 
     Exactly-once: overwrite-idempotent ``_SUCCESS``-published shards,
-    committed batch ids skip wholesale, and the shard dir is bound to
-    its checkpoint for life (a fresh checkpoint against existing shards
-    would replay batch ids and silently drop real batches). Id
-    uniqueness across the base build and the stream is the caller's
-    ingest contract, as everywhere else in the engine."""
+    committed batch ids skip wholesale, the shard dir is bound to its
+    checkpoint for life (a fresh checkpoint against existing shards
+    would replay batch ids and silently drop real batches) AND to the
+    model's content fingerprint (see module docstring). Id uniqueness
+    across the base build and the stream is the caller's ingest
+    contract, as everywhere else in the engine."""
     from ..operators.similarity import _ivfpq_index
     from .state import (
         bind_state_to_checkpoint,
@@ -93,11 +118,12 @@ def streaming_ivfpq_ingest(
 
     spark = stream.sparkSession
     shard_root = f"{index_path}/{_SHARD_DIR}"
-    centroids, books = _load_model(spark, index_path)
+    centroids, books = _check_or_bind_model(spark, index_path)
     bind_state_to_checkpoint(spark, shard_root, checkpoint_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         bspark = batch_df.sparkSession
+        _check_or_bind_model(bspark, index_path)
         compact_path, hi, versions = committed_index_state(
             bspark, shard_root, _SHARD_PFX
         )
@@ -109,10 +135,14 @@ def streaming_ivfpq_ingest(
         c_indexed.write.mode("overwrite").parquet(
             f"{shard_root}/{_SHARD_PFX}{batch_id}"
         )
-        # compaction AFTER the shard commit (publish-then-cleanup): a
-        # crash inside it leaves the committed view intact
+        # compaction AFTER the shard commit (publish-then-cleanup), with
+        # DEFERRED covered-shard deletion: external searches that listed
+        # the dir just before this publish keep their planned roots on
+        # disk until the next compaction round
         if compact_every and len(versions) + 1 >= compact_every:
-            compact_index_shards(bspark, shard_root, _SHARD_PFX)
+            compact_index_shards(
+                bspark, shard_root, _SHARD_PFX, defer_cleanup=True
+            )
 
     return (
         stream.writeStream.foreachBatch(process)
@@ -134,68 +164,30 @@ def knn_ivfpq_stream_index(
     dropped_acc=None,
 ) -> DataFrame:
     """Search the union of the base build and the committed stream
-    shards: same output contract as ``knn_ivf_pq_from_index``
-    ((query_id, neighbor_id, sim, rank), exact rounded cosine on the
-    reranked survivors). The base ``index/`` scan keeps its probed-list
-    partition pruning; the stream shards — bounded to 1 compact root +
-    <compact_every live shards — are unioned in behind the same
-    probed-cluster filter. ``corpus`` supplies raw vectors for the
-    broadcast-shortlist rerank, base and stream vectors alike."""
-    from ..operators.similarity import (
-        _assign_clusters,
-        _ivfpq_search,
-    )
-    from .state import committed_index_state, path_exists
+    shards: validates the model fingerprint the shards are bound to,
+    assembles the committed shard union (one compact root + the live
+    shards), and delegates to ``knn_ivf_pq_from_index`` with it as
+    ``extra_index`` — same output contract ((query_id, neighbor_id,
+    sim, rank), exact rounded cosine on the reranked survivors), same
+    partition-pruned base scan, ONE search implementation. ``corpus``
+    supplies raw vectors for the broadcast-shortlist rerank, base and
+    stream vectors alike."""
+    from ..operators.similarity import knn_ivf_pq_from_index
+    from .state import committed_index_state
 
     spark = queries.sparkSession
-    centroids, books = _load_model(spark, index_path)
+    _check_or_bind_model(spark, index_path)
 
-    q_slim = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
-    probed = sorted(
-        {
-            r["cluster"]
-            for r in _assign_clusters(
-                q_slim, "q_vec", centroids, n_probe, "cluster",
-                dropped_acc=dropped_acc,
-            ).select("cluster").distinct().collect()
-        }
-    )
-
-    parts = []
-    if path_exists(spark, f"{index_path}/index"):
-        parts.append(
-            spark.read.parquet(f"{index_path}/index")
-            .filter(F.col("cluster").isin(probed))
-            .select("neighbor_id", "cluster", "codes")
-        )
     compact_path, _, live = committed_index_state(
         spark, f"{index_path}/{_SHARD_DIR}", _SHARD_PFX
     )
     roots = ([compact_path] if compact_path else []) + [
         f"{index_path}/{_SHARD_DIR}/{_SHARD_PFX}{v}" for v in live
     ]
-    if roots:
-        parts.append(
-            spark.read.parquet(*roots)
-            .filter(F.col("cluster").isin(probed))
-            .select("neighbor_id", "cluster", "codes")
-        )
-    if not parts:
-        raise ValueError(
-            f"nothing to search under {index_path}: no base index and no "
-            "committed stream shards"
-        )
-    c_indexed = parts[0]
-    for p in parts[1:]:
-        c_indexed = c_indexed.unionByName(p)
-
-    c_slim = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
-    return _ivfpq_search(
-        c_indexed, c_slim, queries, centroids, books,
+    extra = spark.read.parquet(*roots) if roots else None
+    return knn_ivf_pq_from_index(
+        queries, corpus, index_path,
         k=k, n_probe=n_probe, rerank_k=rerank_k,
         id_col=id_col, vec_col=vec_col, dropped_acc=dropped_acc,
+        extra_index=extra,
     )

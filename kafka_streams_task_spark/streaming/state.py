@@ -136,13 +136,25 @@ def committed_index_state(
 
 
 def compact_index_shards(
-    spark: SparkSession, root_dir: str, pfx: str
+    spark: SparkSession, root_dir: str, pfx: str, defer_cleanup: bool = False
 ) -> str | None:
     """Merge the current compact root (if any) and every live committed
     shard into ONE new ``{pfx}compact_{hi}`` directory (hi = newest
     merged shard version), then delete the covered shards and older
     compact dirs. Returns the new compact path, or None when there was
     nothing to merge.
+
+    ``defer_cleanup`` (r15, for shard dirs with EXTERNAL readers — the
+    streaming ANN index): delete only what the PREVIOUS compact root
+    already covered, keeping this round's newly-covered shards (and the
+    previous compact root) on disk until the NEXT compaction. Readers
+    resolve the newest committed compact root and ignore covered
+    shards, so the leftovers are correctness-neutral (exactly the
+    crash-leftover case below) — but a reader that LISTED the dir just
+    before this publish keeps every root it planned to scan for a full
+    compaction interval, instead of racing the delete into a
+    FileNotFound. The single-reader streams (dedup) keep the default
+    immediate cleanup.
 
     Keeps a long-lived stream's per-batch index read at one parquet
     root + the few shards since the last compaction, instead of one
@@ -157,7 +169,7 @@ def compact_index_shards(
     trade: each compaction rewrites the index once, so run it every K
     batches (K ~ tens) — reads stay O(K) roots, writes stay O(N/K)
     full rewrites over the stream's life."""
-    compact_path, _, live = committed_index_state(spark, root_dir, pfx)
+    compact_path, old_hi, live = committed_index_state(spark, root_dir, pfx)
     if not live:
         return None
     roots = ([compact_path] if compact_path else []) + [
@@ -167,6 +179,8 @@ def compact_index_shards(
     new_path = f"{root_dir}/{pfx}compact_{new_hi}"
     spark.read.parquet(*roots).write.mode("overwrite").parquet(new_path)
     # cleanup AFTER publish: everything below is now covered by new_path
+    # (with defer_cleanup, only below the PREVIOUS cover — see docstring)
+    cut = old_hi if defer_cleanup else new_hi
     jvm = spark._jvm
     Path = jvm.org.apache.hadoop.fs.Path
     root = Path(root_dir)
@@ -178,12 +192,12 @@ def compact_index_shards(
         suffix = name[len(pfx):]
         if suffix.startswith("compact_"):
             try:
-                stale = int(suffix[len("compact_"):]) < new_hi
+                stale = int(suffix[len("compact_"):]) < cut
             except ValueError:
                 continue
         else:
             try:
-                stale = int(suffix) <= new_hi
+                stale = int(suffix) <= cut
             except ValueError:
                 continue
         if stale:

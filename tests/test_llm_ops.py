@@ -1156,7 +1156,9 @@ def test_ivfpq_persisted_index_matches_inmemory(spark, sf01_dir, tmpdir):
 
     # partition pruning: the index read must filter on cluster
     plan = from_index._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters: [cluster" in plan or "cluster#" in plan
+    # STRICT: the "or cluster#" fallback was vacuous — any plan touching
+    # the column prints cluster#N, pruned or not (review r15)
+    assert "PartitionFilters: [cluster" in plan
 
     # the model directory is tiny and self-contained
     model = spark.read.parquet(f"{path}/model").first()
@@ -1656,4 +1658,6 @@ def test_ivfpq_append_equals_monolithic_rebuild(spark, sf01_dir, tmpdir):
         knn_ivf_pq_from_index(queries, emb, inc, **params)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "PartitionFilters: [cluster" in plan or "cluster#" in plan
+    # STRICT: the "or cluster#" fallback was vacuous — any plan touching
+    # the column prints cluster#N, pruned or not (review r15)
+    assert "PartitionFilters: [cluster" in plan

@@ -29,7 +29,7 @@ def _run(spark, src_dir: str, schema, index_path: str, ck: str, **kw) -> None:
         .parquet(src_dir)
     )
     q = streaming_ivfpq_ingest(stream, index_path, ck, **kw)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120)  # False = still running at deadline
 
 
 def test_stream_ingest_equals_batch_append_and_replays_noop(spark, sf01_dir, tmpdir):
@@ -109,7 +109,11 @@ def test_stream_ingest_equals_batch_append_and_replays_noop(spark, sf01_dir, tmp
 
 def test_compaction_bounds_shards_and_preserves_results(spark, sf01_dir, tmpdir):
     """compact_every folds committed shards into one compact root; the
-    searched row set (and so every result) is unchanged."""
+    READ VIEW (committed_index_state) is bounded to that root + the
+    post-compaction live shards, while the covered shards stay on disk
+    for one extra round (defer_cleanup — external searches that listed
+    just before the publish keep their planned roots); the searched row
+    set (and so every result) is unchanged."""
     from kafka_streams_task_spark.operators.similarity import build_ivfpq_index
     from kafka_streams_task_spark.schemas import load_table
     from kafka_streams_task_spark.streaming.ann import knn_ivfpq_stream_index
@@ -136,9 +140,21 @@ def test_compaction_bounds_shards_and_preserves_results(spark, sf01_dir, tmpdir)
 
     names = sorted(os.listdir(f"{idx}/stream_shards"))
     assert any("compact_" in n for n in names)
-    # the compacted-away per-batch shards are gone (bounded read)
-    live = [n for n in names if n.startswith("codes_v") and "compact" not in n]
-    assert len(live) <= 2
+
+    # the READ VIEW is bounded: one compact root + the shards committed
+    # after it — covered shards on disk are deferred leftovers the next
+    # compaction removes, and the view ignores them
+    from kafka_streams_task_spark.streaming.state import committed_index_state
+
+    compact_path, hi, live_v = committed_index_state(
+        spark, f"{idx}/stream_shards", "codes_v"
+    )
+    assert compact_path is not None and hi == 1
+    assert all(v > hi for v in live_v) and len(live_v) <= 2
+    # deferred cleanup kept the covered shards for this round
+    assert {"codes_v0", "codes_v1"} <= {
+        n for n in names if not n.startswith("codes_vcompact")
+    }
 
     got = {
         (r.query_id, r.rank): (r.neighbor_id, r.sim)
@@ -147,17 +163,59 @@ def test_compaction_bounds_shards_and_preserves_results(spark, sf01_dir, tmpdir)
         ).collect()
     }
     # every streamed id is present in the searchable union exactly once
-    from kafka_streams_task_spark.streaming.state import committed_index_state
-
-    compact_path, _, live_v = committed_index_state(
-        spark, f"{idx}/stream_shards", "codes_v"
-    )
     roots = ([compact_path] if compact_path else []) + [
         f"{idx}/stream_shards/codes_v{v}" for v in live_v
     ]
     ids = spark.read.parquet(*roots).select("neighbor_id")
     assert ids.count() == ids.distinct().count() == 200
     assert len(got) > 0
+
+
+def test_model_rebuild_in_place_is_refused(spark, sf01_dir, tmpdir):
+    """Review-r15 pin: shards bind to the model's content fingerprint.
+    Rebuilding the index in place (different training corpus => new
+    centroids/books) makes the old shards' cluster ids and codes
+    garbage — search AND further ingest must refuse, not silently
+    union stale encodings."""
+    from kafka_streams_task_spark.operators.similarity import (
+        build_ivfpq_index,
+    )
+    from kafka_streams_task_spark.schemas import load_table
+    from kafka_streams_task_spark.streaming.ann import (
+        knn_ivfpq_stream_index,
+        streaming_ivfpq_ingest,
+    )
+
+    emb = load_table(spark, sf01_dir, "embeddings")
+    flat = f"{tmpdir}/flat"
+    os.makedirs(flat)
+    d = f"{tmpdir}/b0"
+    emb.filter(F.col("vec_id") >= 400).coalesce(1).write.parquet(d)
+    (f_path,) = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    shutil.copy(f"{d}/{f_path}", f"{flat}/b0.parquet")
+
+    idx = f"{tmpdir}/idx"
+    build_ivfpq_index(
+        emb.filter(F.col("vec_id") < 300), idx,
+        n_clusters=16, m=8, ks=32, sample_size=300,
+    )
+    _run(spark, flat, emb.schema, idx, f"{tmpdir}/ck")
+
+    # in-place rebuild under a DIFFERENT training corpus: new model
+    build_ivfpq_index(
+        emb.filter(F.col("vec_id") < 200), idx,
+        n_clusters=16, m=8, ks=32, sample_size=200,
+    )
+    queries = emb.filter(F.col("vec_id") < 8)
+    with pytest.raises(ValueError, match="fingerprint mismatch"):
+        knn_ivfpq_stream_index(queries, emb, idx)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    with pytest.raises(ValueError, match="fingerprint mismatch"):
+        streaming_ivfpq_ingest(stream, idx, f"{tmpdir}/ck")
 
 
 def test_ingest_refuses_missing_model(spark, sf01_dir, tmpdir):
