@@ -13,10 +13,16 @@ plans/session.py tuning.
 
 from __future__ import annotations
 
+import functools
 import math
 import os
 import sys
 import time
+
+# per-entry progress must land on disk as it happens: under nohup the
+# default 8 KiB block buffering stalled the r15 sf0.1 sweep's log for
+# 47 minutes while one entry ran, making a healthy sweep look wedged
+print = functools.partial(print, flush=True)  # noqa: A001
 
 import duckdb
 import pandas as pd
