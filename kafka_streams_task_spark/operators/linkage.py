@@ -29,6 +29,7 @@ exactly, so extra candidates cost time, never correctness.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd  # noqa: F401 — pandas_udf resolves the string
 # type hints of jaro_winkler_udf's inner function against THIS module's
 # globals at decoration time (project trap list, r10)
@@ -169,15 +170,110 @@ def _jaro_winkler_py(
     return jaro
 
 
+def _jaro_winkler_np(
+    a_list, b_list, prefix_weight: float = 0.1, boost_threshold: float = 0.7
+):
+    """Batch Jaro-Winkler over parallel string lists, vectorized with
+    numpy ACROSS pairs (the only Python loop left runs over character
+    POSITIONS — bounded by the longest string in the batch, ~tens for
+    names — while every per-pair decision is a boolean-matrix op).
+    Returns a float64 array; same spec as :func:`_jaro_winkler_py`,
+    which stays as the scalar reference the parity tests pin this
+    against (tests/test_jaro.py): empty -> 0.0, strcmp95 integer-half
+    transposition count, boost strictly above 0.7, prefix capped at 4.
+
+    The greedy match loop vectorizes because for a FIXED position i of
+    string a, "first unmatched j inside the window with b[j]==a[i]" is
+    an argmax over a boolean row — independent across pairs. The
+    matched-subsequence compaction (aseq/bseq for transposition
+    counting) is the stable argsort-on-~mask trick: matched positions
+    first, original order preserved."""
+    n = len(a_list)
+    out = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return out
+    la = np.array([len(s) for s in a_list], dtype=np.int64)
+    lb = np.array([len(s) for s in b_list], dtype=np.int64)
+    ml_a, ml_b = int(la.max()), int(lb.max())
+    if ml_a == 0 or ml_b == 0:
+        return out  # every pair has an empty side -> 0.0
+    # codepoint matrices, padded with sentinels that cannot collide
+    # (two different sentinels, both above the Unicode range). ONE
+    # encode of the whole batch, scattered row-major — boolean-mask
+    # assignment fills rows in concatenation order, so no per-row loop
+    def _mat(strs, lens, width, fill):
+        M = np.full((n, width), fill, dtype=np.uint32)
+        flat = np.frombuffer(
+            "".join(strs).encode("utf-32-le"), dtype=np.uint32
+        )
+        M[np.arange(width, dtype=np.int64)[None, :] < lens[:, None]] = flat
+        return M
+
+    A = _mat(a_list, la, ml_a, 0x110000)
+    B = _mat(b_list, lb, ml_b, 0x110001)
+    window = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+    cols_b = np.arange(ml_b, dtype=np.int64)[None, :]
+    matched_a = np.zeros((n, ml_a), dtype=bool)
+    matched_b = np.zeros((n, ml_b), dtype=bool)
+    live = np.arange(n)[la > 0]  # rows still inside string a
+    for i in range(ml_a):
+        live = live[la[live] > i]
+        if live.size == 0:
+            break
+        lo = np.maximum(0, i - window[live])[:, None]
+        hi = np.minimum(lb[live], i + window[live] + 1)[:, None]
+        cand = (
+            (B[live] == A[live, i][:, None])
+            & ~matched_b[live]
+            & (cols_b >= lo)
+            & (cols_b < hi)
+        )
+        hit = cand.any(axis=1)
+        j = cand.argmax(axis=1)  # first True per row (greedy leftmost)
+        rows = live[hit]
+        matched_b[rows, j[hit]] = True
+        matched_a[rows, i] = True
+    m = matched_a.sum(axis=1)
+    # compact matched chars in original order: stable sort on ~mask
+    # floats matched positions to the front without reordering them
+    ord_a = np.argsort(~matched_a, axis=1, kind="stable")
+    ord_b = np.argsort(~matched_b, axis=1, kind="stable")
+    aseq = np.take_along_axis(A, ord_a, axis=1)
+    bseq = np.take_along_axis(B, ord_b, axis=1)
+    mm = min(ml_a, ml_b)
+    in_m = np.arange(mm, dtype=np.int64)[None, :] < m[:, None]
+    t = ((aseq[:, :mm] != bseq[:, :mm]) & in_m).sum(axis=1) // 2
+    ok = m > 0
+    ms = m[ok].astype(np.float64)
+    jaro = (
+        ms / la[ok] + ms / lb[ok] + (ms - t[ok]) / ms
+    ) / 3.0
+    # common prefix, capped at 4 and at both lengths
+    p = min(4, mm)
+    pref_eq = (A[ok, :p] == B[ok, :p]) & (
+        np.arange(p, dtype=np.int64)[None, :]
+        < np.minimum(la[ok], lb[ok])[:, None]
+    )
+    prefix = np.cumprod(pref_eq, axis=1).sum(axis=1)
+    boost = jaro > boost_threshold
+    jaro = np.where(
+        boost, jaro + prefix * prefix_weight * (1.0 - jaro), jaro
+    )
+    out[ok] = jaro
+    return out
+
+
 def jaro_winkler_udf(
     prefix_weight: float = 0.1, boost_threshold: float = 0.7
 ):
     """Arrow-batched Jaro-Winkler similarity ``(name_a, name_b) ->
     double`` for the verify tier of a blocked linkage join (pair
-    frames are candidate-sized, never corpus-sized, so the per-pair
-    Python loop prices in at candidates x ~|s|^2 with tiny strings —
-    and stays an ArrowEvalPython stage, never row-at-a-time). NULL in
-    -> NULL out.
+    frames are candidate-sized, never corpus-sized — and stay an
+    ArrowEvalPython stage, never row-at-a-time). The kernel is the
+    numpy batch implementation (:func:`_jaro_winkler_np`, VERDICT r15
+    item 9 — per-pair work is boolean-matrix ops, not a Python char
+    loop), parity-pinned against the scalar reference and DuckDB's
+    native ``jaro_winkler_similarity``. NULL in -> NULL out.
 
     Marked asNondeterministic (the function is factually deterministic)
     so a threshold filter on the OUTPUT evaluates on the one Arrow
@@ -188,13 +284,15 @@ def jaro_winkler_udf(
 
     @pandas_udf("double")
     def _jw(a: pd.Series, b: pd.Series) -> pd.Series:
-        out = [
-            None
-            if x is None or y is None
-            else _jaro_winkler_py(x, y, prefix_weight, boost_threshold)
-            for x, y in zip(a, b)
-        ]
-        return pd.Series(out, dtype="float64")
+        null = a.isna() | b.isna()
+        val = ~null
+        out = pd.Series([None] * len(a), dtype="float64")
+        if val.any():
+            out[val] = _jaro_winkler_np(
+                a[val].tolist(), b[val].tolist(),
+                prefix_weight, boost_threshold,
+            )
+        return out
 
     return _jw.asNondeterministic()
 
