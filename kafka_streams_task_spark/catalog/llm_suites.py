@@ -2363,14 +2363,25 @@ def similarity_knn_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("recall_ok").cast("long").alias("i2"),
         )
 
+    # coarse_metric="l2" is this table's documented property alongside
+    # geometry="uniform" (r16): the fixture is near-uniform (no blob
+    # structure, so no centroid norm bias for the spherical default to
+    # fix) and these per-query 0.8 floors were proven on the Euclidean
+    # partition — real clustered embeddings take the library default
+    # coarse_metric="cosine" (see _kmeans_numpy / SCALE.md R16).
     lsh_leg = gate_leg(knn_lsh(emb, q, k=5, n_planes=4, n_tables=8), "lsh", 0.4)
     ivf_leg = gate_leg(
-        knn_ivf(emb, q, k=5, n_clusters=n_clusters, n_probe=n_probe), "ivf", 0.8
+        knn_ivf(
+            emb, q, k=5, n_clusters=n_clusters, n_probe=n_probe,
+            coarse_metric="l2",
+        ),
+        "ivf",
+        0.8,
     )
     ivfpq_leg = gate_leg(
         knn_ivf_pq(
             emb, q, k=5, n_clusters=n_clusters, n_probe=n_probe,
-            ks=64, rerank_k=rerank_k,
+            ks=64, rerank_k=rerank_k, coarse_metric="l2",
         ),
         "ivfpq",
         0.8,
@@ -2380,7 +2391,10 @@ def similarity_knn_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch_root.mkdir(exist_ok=True)
     idx_dir = tempfile.mkdtemp(prefix="knn_idx_", dir=scratch_root)
     try:
-        build_ivfpq_index(emb, idx_dir, n_clusters=n_clusters, m=8, ks=64)
+        build_ivfpq_index(
+            emb, idx_dir, n_clusters=n_clusters, m=8, ks=64,
+            coarse_metric="l2",
+        )
         pers = knn_ivf_pq_from_index(
             q, emb, idx_dir, k=5, n_probe=n_probe, rerank_k=rerank_k
         )

@@ -60,14 +60,18 @@ def ivf_scale_params(
       n_probe  = min(n_clusters, probe_lists)      # CONSTANT list count
       rerank_k = max(min_rerank, ceil(rerank_c * sqrt(N)))
       Per-query probed mass is therefore O(sqrt N) by construction —
-      measured 589 -> 4109 candidates/query across the 5k -> 50k decade
-      (7.0x per 10x docs; above the ideal 3.2x only through probed-list
-      skew under the bounded-sample trainer — ``train="distributed"``
-      tightens list balance) with recall@5 = 1.0 at BOTH scales, where
-      the pre-r15 fraction defaults did the same recall at 3793 -> 45137
-      candidates/query (11.9x per decade == linear, a per-query corpus
-      scan at 100 TB). Even probe_lists=8 held recall 1.0 on the decade;
-      12 is the default for blob-straddling headroom.
+      and with the r16 SPHERICAL coarse trainer (the norm-bias fix, see
+      :func:`_kmeans_numpy`) the constant is ~1: measured 450 -> 1391
+      candidates/query across the 5k -> 50k decade (3.09x per 10x docs
+      vs the ideal sqrt(10)=3.16x; 1.03x the mean-list prediction at
+      50k) with recall@5 = 1.0 at BOTH scales. The r15 reading of
+      589 -> 4109 (7.0x/decade, blamed on trainer under-resolution) was
+      the Euclidean trainer's norm bias steering probes into merged
+      multi-blob lists — fixed, not tuned around. The pre-r15 fraction
+      defaults did the same recall at 3793 -> 45137 candidates/query
+      (11.9x per decade == linear, a per-query corpus scan at 100 TB).
+      Even probe_lists=8 held recall 1.0 on the decade (930 mass at
+      50k); 12 is the default for blob-straddling headroom.
 
     "uniform" (the adversarial no-structure case: i.i.d. random vectors,
     thin cosine margins, true neighbors spread across many lists — the
@@ -341,9 +345,56 @@ def _clean_matrix(values) -> np.ndarray:
     return np.array([v for v in vecs if len(v) == dim])
 
 
-def _kmeans_numpy(sample: np.ndarray, n_clusters: int, seed: int, n_iter: int = 12) -> np.ndarray:
-    """Small driver-side k-means (numpy, seeded) for IVF coarse centroids."""
+def _kmeans_numpy(
+    sample: np.ndarray,
+    n_clusters: int,
+    seed: int,
+    n_iter: int = 12,
+    *,
+    metric: str = "l2",
+) -> np.ndarray:
+    """Small driver-side k-means (numpy, seeded) for IVF coarse centroids.
+
+    ``metric="l2"`` is classic Lloyd's — kept byte-for-byte as before
+    for its existing callers (PQ residual codebooks, where Euclidean
+    quantization of residuals is the correct objective, and the
+    semantic-dedup clustering whose gated outputs pin the historical
+    arithmetic).
+
+    ``metric="cosine"`` is SPHERICAL k-means (normalize inputs, assign
+    by max dot product, re-normalize centroid means) — the correct
+    coarse quantizer for this module's cosine-similarity search, and
+    the r16 fix for the measured probed-list skew the r15 ANN decade
+    attributed to trainer under-resolution. The real mechanism was a
+    METRIC MISMATCH: Euclidean nearest-centroid ranking prefers
+    small-norm centroids (dist ~ ||c||^2 - 2 q.c, and q.c ~ 0 for
+    unrelated lists), and a centroid that averaged several
+    near-orthogonal topic blobs has norm ~ 1/sqrt(m_blobs) — so every
+    query's probe set was steered INTO exactly the merged multi-blob
+    (oversized) lists. Unit-norm centroids remove the norm term;
+    measured on the tools/ann_decade.py clu_50k fixture this one change
+    took probed mass per query from 4109 (3.1x the mean-list
+    prediction; distributed l2 training still 3278) to 1391 = 1.03x the
+    mean-list prediction at recall 1.0, with max list size 777 -> 288.
+    Downstream assignment needs NO change: ``_assign_clusters``'
+    Euclidean argmin equals max-dot-product ranking whenever all
+    centroids are unit-norm."""
     rng = np.random.default_rng(seed)
+    if metric not in ("l2", "cosine"):
+        raise ValueError(f"metric must be 'l2' or 'cosine', got {metric!r}")
+    if metric == "cosine":
+        X = _l2_normalize(sample.astype("float64"))
+        cent = X[rng.choice(len(X), size=n_clusters, replace=False)].copy()
+        for _ in range(n_iter):
+            assign = (X @ cent.T).argmax(axis=1)
+            sums = np.zeros_like(cent)
+            cnt = np.zeros(n_clusters)
+            np.add.at(sums, assign, X)
+            np.add.at(cnt, assign, 1)
+            nz = cnt > 0
+            cent[nz] = sums[nz]  # empty clusters keep their previous unit vector
+            cent = _l2_normalize(cent)
+        return cent
     centroids = sample[rng.choice(len(sample), size=n_clusters, replace=False)].copy()
     for _ in range(n_iter):
         d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
@@ -404,6 +455,8 @@ def kmeans_fit_distributed(
     id_col: str = "vec_id",
     n_clusters: int = 16,
     n_iter: int = 8,
+    *,
+    metric: str = "l2",
 ) -> np.ndarray:
     """Distributed Lloyd's k-means: the 100 TB IVF trainer.
 
@@ -419,9 +472,22 @@ def kmeans_fit_distributed(
     Contrast with the bounded-sample trainer inside ``knn_ivf``: that one
     sees ``sample_size`` rows total; this one sweeps the full corpus each
     round and scales with executors.
+
+    ``metric="cosine"`` (keyword-only, r16) is the distributed form of
+    spherical k-means — initial centroids and each iteration's mean
+    updates are L2-normalized, so assignment (the shared Euclidean
+    argmin) ranks by dot product exactly as the sampled spherical
+    trainer does (see :func:`_kmeans_numpy` for why this is the correct
+    coarse quantizer for cosine search). The update statistics are the
+    same (sum, count) table; only the driver-side normalization of the
+    k x dim result differs — per-iteration cost is unchanged.
     """
+    if metric not in ("l2", "cosine"):
+        raise ValueError(f"metric must be 'l2' or 'cosine', got {metric!r}")
     init_pdf = df.select(vec_col).orderBy(id_col).limit(n_clusters).toPandas()
     centroids = _clean_matrix(init_pdf[vec_col])
+    if metric == "cosine":
+        centroids = _l2_normalize(centroids.astype("float64"))
     slim = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     for _ in range(n_iter):
         assigned = _assign_clusters(slim, "_v", centroids, 1, "cluster")
@@ -441,6 +507,8 @@ def kmeans_fit_distributed(
             counts[r["cluster"]] = r["n"]
         nonempty = counts > 0
         new[nonempty] = sums[nonempty] / counts[nonempty, None]
+        if metric == "cosine":
+            new = _l2_normalize(new)
         centroids = new
     return centroids
 
@@ -457,6 +525,8 @@ def knn_ivf(
     seed: int = 42,
     train: str = "sample",
     dropped_acc=None,
+    *,
+    coarse_metric: str = "cosine",
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) coarse quantization.
 
@@ -475,19 +545,33 @@ def knn_ivf(
     ``train="distributed"`` runs full-corpus Lloyd iterations
     (``kmeans_fit_distributed``) — the scale path when no driver-sized
     sample is representative.
+
+    ``coarse_metric`` (keyword-only, r16) picks the coarse trainer's
+    objective, DEFAULT ``"cosine"`` (spherical k-means): the search
+    metric is cosine, and a Euclidean coarse quantizer steers probes
+    into small-norm (= merged multi-blob, oversized) lists on clustered
+    embedding geometry — see :func:`_kmeans_numpy` for the mechanism
+    and the measured 3x probed-mass reduction at recall 1.0 on the
+    decade fixtures. ``"l2"`` keeps the classic Euclidean trainer —
+    what the driver suite pins for its near-uniform adversarial fixture
+    (no blob structure means no norm bias to fix, and the historical
+    partition is the one its per-query 0.8 recall floor was proven on),
+    exactly parallel to its explicit ``geometry="uniform"`` sizing.
     """
     if train not in ("sample", "distributed"):
         raise ValueError(f"train must be 'sample' or 'distributed', got {train!r}")
     if train == "distributed":
         centroids = kmeans_fit_distributed(
-            corpus, vec_col, id_col, n_clusters=n_clusters
+            corpus, vec_col, id_col, n_clusters=n_clusters, metric=coarse_metric
         )
     else:
         sample_pdf = (
             corpus.select(vec_col).orderBy(id_col).limit(sample_size).toPandas()
         )
         sample = _clean_matrix(sample_pdf[vec_col])
-        centroids = _kmeans_numpy(sample, min(n_clusters, len(sample)), seed)
+        centroids = _kmeans_numpy(
+            sample, min(n_clusters, len(sample)), seed, metric=coarse_metric
+        )
 
     c_assigned = _assign_clusters(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
@@ -611,6 +695,8 @@ def knn_ivf_pq(
     sample_size: int = 4096,
     seed: int = 42,
     dropped_acc=None,
+    *,
+    coarse_metric: str = "cosine",
 ) -> DataFrame:
     """Approximate top-k via IVF + product quantization with asymmetric
     distance computation (Jégou et al. 2011, "Product Quantization for
@@ -653,7 +739,8 @@ def knn_ivf_pq(
     any other width are dropped by the Arrow-stage guards.
     """
     centroids, books = _ivfpq_train(
-        corpus, id_col, vec_col, n_clusters, m, ks, sample_size, seed
+        corpus, id_col, vec_col, n_clusters, m, ks, sample_size, seed,
+        coarse_metric=coarse_metric,
     )
     c_slim, c_indexed = _ivfpq_index(corpus, id_col, vec_col, centroids, books, dropped_acc)
     return _ivfpq_search(
@@ -663,10 +750,16 @@ def knn_ivf_pq(
     )
 
 
-def _ivfpq_train(corpus, id_col, vec_col, n_clusters, m, ks, sample_size, seed):
+def _ivfpq_train(
+    corpus, id_col, vec_col, n_clusters, m, ks, sample_size, seed,
+    *, coarse_metric: str = "cosine",
+):
     """Driver-side training on a bounded seeded sample: IVF coarse
-    centroids (raw space) + SHARED residual PQ codebooks (normalized
-    space). Returns (centroids, books)."""
+    centroids (spherical by default — see :func:`knn_ivf` on
+    ``coarse_metric``) + SHARED residual PQ codebooks (normalized
+    space, always Euclidean — residual quantization minimizes L2 error
+    of the reconstruction, the correct PQ objective regardless of the
+    coarse metric). Returns (centroids, books)."""
     sample_pdf = corpus.select(vec_col).orderBy(id_col).limit(sample_size).toPandas()
     sample = _clean_matrix(sample_pdf[vec_col])
     if sample.size == 0:
@@ -674,12 +767,16 @@ def _ivfpq_train(corpus, id_col, vec_col, n_clusters, m, ks, sample_size, seed):
     dim = sample.shape[1]
     if dim % m != 0:
         raise ValueError(f"embedding dim {dim} not divisible by m={m} subspaces")
-    centroids = _kmeans_numpy(sample, min(n_clusters, len(sample)), seed)
+    centroids = _kmeans_numpy(
+        sample, min(n_clusters, len(sample)), seed, metric=coarse_metric
+    )
     # PQ operates in L2-normalized space so ADC approximates cosine (see
-    # _pq_encode); the coarse quantizer stays in raw space, matching knn_ivf.
-    # Residual reference points are the normalized centroids — any fixed
-    # per-list anchor works for residual coding; normalize(centroid) keeps
-    # the anchor in the same (unit-sphere) space as the encoded vectors.
+    # _pq_encode); under the default SPHERICAL coarse quantizer (r16 —
+    # see _kmeans_numpy for the norm-bias mechanism) the centroids are
+    # already unit-norm and the residual anchors below coincide with
+    # them; under coarse_metric="l2" the normalize projects the raw-
+    # space centroids onto the unit sphere as before — any fixed
+    # per-list anchor works for residual coding.
     cent_norm = _l2_normalize(centroids.astype("float64"))
     samp_norm = _l2_normalize(sample)
     cent_sq = (centroids**2).sum(axis=1)
@@ -799,6 +896,8 @@ def build_ivfpq_index(
     sample_size: int = 4096,
     seed: int = 42,
     dropped_acc=None,
+    *,
+    coarse_metric: str = "cosine",
 ) -> None:
     """Build the IVF-PQ index ONCE and persist it — the 100 TB serving
     pattern :func:`knn_ivf_pq` (train+index+search per call) does not
@@ -815,7 +914,8 @@ def build_ivfpq_index(
         driver in one read.
     """
     centroids, books = _ivfpq_train(
-        corpus, id_col, vec_col, n_clusters, m, ks, sample_size, seed
+        corpus, id_col, vec_col, n_clusters, m, ks, sample_size, seed,
+        coarse_metric=coarse_metric,
     )
     _, c_indexed = _ivfpq_index(corpus, id_col, vec_col, centroids, books, dropped_acc)
     c_indexed.write.mode("overwrite").partitionBy("cluster").parquet(f"{path}/index")

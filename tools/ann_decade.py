@@ -123,14 +123,21 @@ def main() -> int:
         lambda it: it, "id long"
     ).count()
 
+    # each fixture measured under the trainer its documented path runs
+    # (r16): the clustered fixtures take the library DEFAULT spherical
+    # coarse quantizer (metric="cosine" — the fix for the norm-bias
+    # probed-list skew, see _kmeans_numpy), while the near-uniform
+    # control keeps metric="l2" exactly as the driver suite pins it
+    # (coarse_metric="l2" + geometry="uniform" — the floors were proven
+    # on the Euclidean partition and there is no norm bias to fix).
     fixtures = {
-        "real_sf0.1": "/root/testdata/sf0.1/embeddings.parquet",
-        "clu_5k": clu5,
-        "clu_50k": clu50,
+        "real_sf0.1": ("/root/testdata/sf0.1/embeddings.parquet", "l2"),
+        "clu_5k": (clu5, "cosine"),
+        "clu_50k": (clu50, "cosine"),
     }
 
     out: dict[str, dict] = {}
-    for name, path in fixtures.items():
+    for name, (path, metric) in fixtures.items():
         emb = spark.read.parquet(path).select("vec_id", "embedding")
         n = emb.count()
         n_clusters = max(16, 2 * math.isqrt(n))
@@ -151,6 +158,7 @@ def main() -> int:
             _clean_matrix(sample_pdf["embedding"]),
             min(n_clusters, 4096),
             seed=42,
+            metric=metric,
         )
         sizes = {
             r["cluster"]: r["cnt"]
@@ -197,7 +205,7 @@ def main() -> int:
                 got: dict[int, set] = {}
                 for r in knn_ivf_pq(
                     emb, q, k=K, n_clusters=n_clusters, n_probe=n_probe,
-                    ks=64, rerank_k=rerank_k,
+                    ks=64, rerank_k=rerank_k, coarse_metric=metric,
                 ).collect():
                     got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
                 runs.append(round(time.time() - t0, 3))
