@@ -254,6 +254,8 @@ def streaming_value_quantiles(
     gamma: float = 1.02,
     max_buckets: int | None = None,
     group_col: str | None = None,
+    *,
+    max_groups: int | None = None,
 ):
     """Maintain a cumulative DDSketch over a value stream — the quantile
     twin of :func:`streaming_token_frequencies`. The DDSketch merge
@@ -284,6 +286,23 @@ def streaming_value_quantiles(
     group behaves exactly as its own global sketch; ``max_buckets``
     bounds EACH group's buckets).
 
+    ``max_groups`` (keyword-only, r16 — VERDICT r15 item 7): grouped
+    state grows as |groups| x buckets, so an UNBOUNDED group domain
+    (raw URLs, user ids) grows state without limit no matter how
+    tightly each group's buckets are collapsed. The cap REFUSES the
+    batch (loudly, BEFORE any version is written — the last committed
+    state stays intact and readable) when the post-merge distinct group
+    count would exceed it, instead of growing silently until the job
+    dies of state size with no named cause. Refusal over eviction is
+    deliberate: evicting groups would break the documented
+    stream==batch bit-equality, and the correct 100 TB remedy is
+    upstream — quantize or pre-filter the grouping key to a bounded
+    domain (the ``streaming/mixing.py`` prescription) — after which the
+    stream resumes on the same checkpoint and state. Requires
+    ``group_col``; persisted and validated in ``dd_meta`` like every
+    other build parameter (a different cap on reattach is refused, not
+    silently adopted).
+
     Exactly-once via the family's versioned-parquet protocol:
     overwrite-idempotent versions, redelivered batches skip wholesale,
     state dir bound to its checkpoint. ``gamma``, ``max_buckets`` AND
@@ -306,14 +325,17 @@ def streaming_value_quantiles(
         raise ValueError(f"gamma must be > 1, got {gamma}")
     if max_buckets is not None and max_buckets < 1:
         raise ValueError(f"max_buckets must be >= 1, got {max_buckets}")
+    _check_group_cap_args(max_groups, group_col)
     bind_state_to_checkpoint(stream.sparkSession, state_dir, checkpoint_dir)
     _check_or_write_dd_meta(
-        stream.sparkSession, state_dir, gamma, max_buckets, group_col
+        stream.sparkSession, state_dir, gamma, max_buckets, group_col, max_groups
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        _check_or_write_dd_meta(spark, state_dir, gamma, max_buckets, group_col)
+        _check_or_write_dd_meta(
+            spark, state_dir, gamma, max_buckets, group_col, max_groups
+        )
         versions = committed_versions(spark, state_dir, _DD_PFX)
         if batch_id in versions:
             return  # redelivery: this batch's sketch is already durable
@@ -333,6 +355,7 @@ def streaming_value_quantiles(
             merged = batch_dd
         if max_buckets is not None:
             merged = collapse(merged, max_buckets)
+        _enforce_group_cap(merged, max_groups, state_dir, "DDSketch")
         merged.write.mode("overwrite").parquet(f"{state_dir}/{_DD_PFX}{batch_id}")
 
     return (
@@ -343,37 +366,84 @@ def streaming_value_quantiles(
     )
 
 
+def _check_group_cap_args(max_groups: int | None, group_col: str | None) -> None:
+    """Shared validation for the grouped-state cap (r16): the knob only
+    means anything for grouped state, and a silent no-op on a global
+    build would read as protection that is not there."""
+    if max_groups is not None:
+        if max_groups < 1:
+            raise ValueError(f"max_groups must be >= 1, got {max_groups}")
+        if group_col is None:
+            raise ValueError(
+                "max_groups bounds PER-GROUP state and requires group_col; "
+                "global sketch state is already bounded by construction"
+            )
+
+
+def _enforce_group_cap(
+    merged: DataFrame, max_groups: int | None, state_dir: str, family: str
+) -> None:
+    """Refuse the batch BEFORE its version is written when the merged
+    state's distinct group count exceeds the persisted cap — the last
+    committed version stays intact and readable, and the stream resumes
+    on the same checkpoint once the group domain is bounded upstream.
+    One cheap distinct-count over the summary-sized state, only when a
+    cap is set."""
+    if max_groups is None:
+        return
+    n_groups = merged.select("grp").distinct().count()
+    if n_groups > max_groups:
+        raise ValueError(
+            f"{family} grouped state at {state_dir} would hold {n_groups} "
+            f"groups, over the persisted max_groups={max_groups} cap — "
+            "refusing the batch (last committed version is intact). "
+            "Grouped sketch state grows as |groups| x buckets; bound the "
+            "grouping key upstream (quantize it, or pre-filter to the "
+            "monitored domain) and resume on the same checkpoint, or "
+            "start a fresh state dir with a higher cap."
+        )
+
+
 def _check_or_write_dd_meta(
     spark: SparkSession,
     state_dir: str,
     gamma: float,
     max_buckets: int | None = None,
     group_col: str | None = None,
+    max_groups: int | None = None,
 ) -> None:
-    """Persist (gamma, max_buckets, group_col) beside the versioned
-    sketches on first contact; afterwards REFUSE any caller who
-    disagrees with the durable state about any of them — a different
-    gamma reads arbitrary value ranges, a different collapse budget
-    silently changes which ranks carry the alpha guarantee, and grouped
-    vs global buckets are different sketches. ``_SUCCESS``-gated probe
-    (half-written metas self-heal) and single-writer contract as
-    :func:`_check_or_write_cms_meta`."""
+    """Persist (gamma, max_buckets, group_col, max_groups) beside the
+    versioned sketches on first contact; afterwards REFUSE any caller
+    who disagrees with the durable state about any of them — a
+    different gamma reads arbitrary value ranges, a different collapse
+    budget silently changes which ranks carry the alpha guarantee,
+    grouped vs global buckets are different sketches, and a different
+    group cap silently changes which domains are refused.
+    ``_SUCCESS``-gated probe (half-written metas self-heal) and
+    single-writer contract as :func:`_check_or_write_cms_meta`; metas
+    written before an optional column existed read it as None."""
     from .state import meta_committed
 
     meta_path = f"{state_dir}/dd_meta"
     if meta_committed(spark, meta_path):
         row = _meta_dict(spark, meta_path)
-        got = (row["gamma"], row.get("max_buckets"), row.get("group_col"))
-        if got != (gamma, max_buckets, group_col):
+        got = (
+            row["gamma"],
+            row.get("max_buckets"),
+            row.get("group_col"),
+            row.get("max_groups"),
+        )
+        if got != (gamma, max_buckets, group_col, max_groups):
             raise ValueError(
                 f"DDSketch state at {state_dir} was built with gamma="
-                f"{got[0]}/max_buckets={got[1]}/group_col={got[2]!r}; "
-                f"got {gamma}/{max_buckets}/{group_col!r}"
+                f"{got[0]}/max_buckets={got[1]}/group_col={got[2]!r}/"
+                f"max_groups={got[3]}; got {gamma}/{max_buckets}/"
+                f"{group_col!r}/{max_groups}"
             )
     else:
         spark.createDataFrame(
-            [(float(gamma), max_buckets, group_col)],
-            "gamma double, max_buckets int, group_col string",
+            [(float(gamma), max_buckets, group_col, max_groups)],
+            "gamma double, max_buckets int, group_col string, max_groups int",
         ).coalesce(1).write.mode("overwrite").parquet(meta_path)
 
 
@@ -431,6 +501,8 @@ def streaming_distinct_values(
     value_col: str = "value",
     b: int = 10,
     group_col: str | None = None,
+    *,
+    max_groups: int | None = None,
 ):
     """Maintain a cumulative HyperLogLog register table over a value
     stream — the distinct-count twin of the MG/CMS/DDSketch family. The
@@ -446,11 +518,18 @@ def streaming_distinct_values(
 
     ``group_col``: maintain PER-GROUP register tables instead — "distinct
     users per key", the canonical always-on form — via the grouped
-    builder/merge (same per-cell arithmetic; state is the bounded
+    builder/merge (same per-cell arithmetic; state is the
     |groups| x 2^b domain). The grouping column persists in ``hll_meta``
     alongside b and is validated identically: grouped and global
     registers are different sketches, so a caller disagreeing about
-    either is refused."""
+    either is refused.
+
+    ``max_groups`` (keyword-only, r16): |groups| x 2^b is bounded only
+    while the GROUP domain is — cap it and the over-cap batch is
+    REFUSED before any version is written (committed state intact),
+    with the bound-the-key-upstream remedy named in the error. Same
+    rationale, persistence, and validation as the DDSketch twin's cap
+    (see :func:`streaming_value_quantiles`); requires ``group_col``."""
     from ..operators.sketch import (
         hll_register_table,
         hll_register_table_grouped,
@@ -461,12 +540,15 @@ def streaming_distinct_values(
 
     if not 4 <= b <= 16:
         raise ValueError(f"b must be in [4, 16], got {b}")
+    _check_group_cap_args(max_groups, group_col)
     bind_state_to_checkpoint(stream.sparkSession, state_dir, checkpoint_dir)
-    _check_or_write_hll_meta(stream.sparkSession, state_dir, b, group_col)
+    _check_or_write_hll_meta(
+        stream.sparkSession, state_dir, b, group_col, max_groups
+    )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        _check_or_write_hll_meta(spark, state_dir, b, group_col)
+        _check_or_write_hll_meta(spark, state_dir, b, group_col, max_groups)
         versions = committed_versions(spark, state_dir, _HLL_PFX)
         if batch_id in versions:
             return  # redelivery: this batch's registers are already durable
@@ -484,6 +566,7 @@ def streaming_distinct_values(
             merged = merge(committed, batch_hll)
         else:
             merged = batch_hll
+        _enforce_group_cap(merged, max_groups, state_dir, "HLL")
         merged.write.mode("overwrite").parquet(f"{state_dir}/{_HLL_PFX}{batch_id}")
 
     return (
@@ -495,25 +578,34 @@ def streaming_distinct_values(
 
 
 def _check_or_write_hll_meta(
-    spark: SparkSession, state_dir: str, b: int, group_col: str | None = None
+    spark: SparkSession,
+    state_dir: str,
+    b: int,
+    group_col: str | None = None,
+    max_groups: int | None = None,
 ) -> None:
-    """Persist (b, group_col) on first contact; refuse disagreeing
-    callers — a grouped register table and a global one are DIFFERENT
-    sketches even at the same b. ``_SUCCESS``-gated probe and
-    single-writer contract as the CMS/DDSketch metas."""
+    """Persist (b, group_col, max_groups) on first contact; refuse
+    disagreeing callers — a grouped register table and a global one are
+    DIFFERENT sketches even at the same b, and a different group cap
+    silently changes which domains are refused. ``_SUCCESS``-gated
+    probe and single-writer contract as the CMS/DDSketch metas; metas
+    written before an optional column existed read it as None."""
     from .state import meta_committed
 
     meta_path = f"{state_dir}/hll_meta"
     if meta_committed(spark, meta_path):
         row = _meta_dict(spark, meta_path)
-        if (row["b"], row.get("group_col")) != (b, group_col):
+        got = (row["b"], row.get("group_col"), row.get("max_groups"))
+        if got != (b, group_col, max_groups):
             raise ValueError(
-                f"HLL state at {state_dir} was built with b={row['b']}/"
-                f"group_col={row.get('group_col')!r}; got {b}/{group_col!r}"
+                f"HLL state at {state_dir} was built with b={got[0]}/"
+                f"group_col={got[1]!r}/max_groups={got[2]}; "
+                f"got {b}/{group_col!r}/{max_groups}"
             )
     else:
         spark.createDataFrame(
-            [(int(b), group_col)], "b int, group_col string"
+            [(int(b), group_col, max_groups)],
+            "b int, group_col string, max_groups int",
         ).coalesce(1).write.mode("overwrite").parquet(meta_path)
 
 

@@ -1470,3 +1470,104 @@ def test_pre_r15_meta_schemas_still_read(spark, tmpdir):
     _check_or_write_hll_meta(spark, s, 10)
     with pytest.raises(ValueError, match="group_col"):
         _check_or_write_hll_meta(spark, s, 10, group_col="seg")
+
+
+def test_grouped_streaming_state_cap_bounds_or_refuses(spark, tmpdir):
+    """R16 (VERDICT r15 item 7): grouped sketch state grows as
+    |groups| x registers/buckets, so an unbounded group domain grows
+    state without limit. With ``max_groups`` set, an over-cap batch is
+    REFUSED loudly before any version is written — the last committed
+    state stays intact and readable — instead of growing silently; the
+    cap persists in the meta and disagreeing reattaches are refused;
+    the knob requires group_col; under-cap streams behave exactly as
+    before."""
+    import json as _json
+    import os
+
+    from pyspark.sql import types as T
+
+    from kafka_streams_task_spark.streaming.sketch import (
+        read_distinct_count,
+        read_value_quantiles,
+        streaming_distinct_values,
+        streaming_value_quantiles,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("seg", T.StringType()),
+        ]
+    )
+    # batch 0: two groups (under cap); batch 1: a third group (over cap)
+    b0 = [{"id": i, "value": float(i % 7 + 1), "seg": ["x", "y"][i % 2]} for i in range(30)]
+    b1 = [{"id": i, "value": 3.0, "seg": "z"} for i in range(10)]
+    src = f"{tmpdir}/cap_in"
+    os.makedirs(src)
+    for i, rows in enumerate((b0, b1)):
+        with open(f"{src}/b{i}.json", "w") as f:
+            f.write("\n".join(_json.dumps(r) for r in rows))
+        os.utime(f"{src}/b{i}.json", (1000000000 + i * 100,) * 2)
+
+    def stream():
+        return (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+        )
+
+    # --- the knob requires group_col (both twins) ---
+    with pytest.raises(ValueError, match="requires group_col"):
+        streaming_value_quantiles(
+            stream(), f"{tmpdir}/g1", f"{tmpdir}/c1", max_groups=4
+        )
+    with pytest.raises(ValueError, match="requires group_col"):
+        streaming_distinct_values(
+            stream(), f"{tmpdir}/g2", f"{tmpdir}/c2", max_groups=4
+        )
+    with pytest.raises(ValueError, match="max_groups"):
+        streaming_value_quantiles(
+            stream(), f"{tmpdir}/g3", f"{tmpdir}/c3",
+            group_col="seg", max_groups=0,
+        )
+
+    # --- DDSketch twin: batch 0 commits under the cap, batch 1's third
+    # group fails the QUERY (not silently), committed state intact ---
+    dd_state, dd_ck = f"{tmpdir}/dd_state", f"{tmpdir}/dd_ck"
+    q = streaming_value_quantiles(
+        stream(), dd_state, dd_ck, group_col="seg", max_groups=2
+    )
+    with pytest.raises(Exception, match="max_groups=2"):
+        q.awaitTermination(120)
+        raise AssertionError("over-cap batch must fail the stream")
+    # v0 (x, y) committed; the z batch wrote NO version
+    assert os.path.exists(f"{dd_state}/dd_v0/_SUCCESS")
+    assert not os.path.exists(f"{dd_state}/dd_v1")
+    est = {
+        (r["grp"], r["q"]): r["est"]
+        for r in read_value_quantiles(spark, dd_state, [0.5]).collect()
+    }
+    assert set(g for g, _ in est) == {"x", "y"}  # state readable, z absent
+
+    # reattach with a different cap: refused (persisted like any param)
+    with pytest.raises(ValueError, match="max_groups"):
+        streaming_value_quantiles(
+            stream(), dd_state, dd_ck, group_col="seg", max_groups=9
+        )
+
+    # --- HLL twin: same contract ---
+    h_state, h_ck = f"{tmpdir}/h_state", f"{tmpdir}/h_ck"
+    q = streaming_distinct_values(
+        stream(), h_state, h_ck, value_col="id", b=10,
+        group_col="seg", max_groups=2,
+    )
+    with pytest.raises(Exception, match="max_groups=2"):
+        q.awaitTermination(120)
+        raise AssertionError("over-cap batch must fail the stream")
+    assert os.path.exists(f"{h_state}/hll_v0/_SUCCESS")
+    assert not os.path.exists(f"{h_state}/hll_v1")
+    est = {r["grp"]: r["est"] for r in read_distinct_count(spark, h_state).collect()}
+    assert set(est) == {"x", "y"}
+    with pytest.raises(ValueError, match="max_groups"):
+        streaming_distinct_values(
+            stream(), h_state, h_ck, value_col="id", b=10, group_col="seg"
+        )
