@@ -90,6 +90,117 @@ def generate(out_path: str, n_docs: int, seed: int = 42) -> None:
     pq.write_table(tbl, out_path)
 
 
+def gen_points(out_path: str, n_pts: int, seed: int = 42) -> None:
+    """Derived SPATIAL fixture (r16, VERDICT r15 item 8): clustered
+    points in the realistic geo shape — "cities" of ~250 points each
+    (centers uniform in lat [-55, 55] x lon [-180, 180], members
+    Gaussian around them, sigma 0.05 deg ~ 5 km) plus 10% uniform
+    background noise. City COUNT grows with n at constant per-city
+    occupancy — the corpus-growth model where new data comes from new
+    places, so true pair counts and per-cell occupancy stay
+    density-stationary while n scales (the same corpus-proportional
+    regime the pairing families' decade measures). Seeded,
+    deterministic."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    n_city = max(1, n_pts // 250)
+    n_noise = n_pts // 10
+    n_members = n_pts - n_noise
+    centers_lat = rng.uniform(-55.0, 55.0, size=n_city)
+    centers_lon = rng.uniform(-180.0, 180.0, size=n_city)
+    city = rng.integers(0, n_city, size=n_members)
+    lat = centers_lat[city] + rng.normal(0.0, 0.05, size=n_members)
+    lon = centers_lon[city] + rng.normal(0.0, 0.05, size=n_members)
+    lat = np.concatenate([lat, rng.uniform(-55.0, 55.0, size=n_noise)])
+    lon = np.concatenate([lon, rng.uniform(-180.0, 180.0, size=n_noise)])
+    lat = np.clip(lat, -59.9, 59.9)
+    lon = ((lon + 180.0) % 360.0) - 180.0
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(range(len(lat)), type=pa.int64()),
+                "lat": pa.array(lat, type=pa.float64()),
+                "lon": pa.array(lon, type=pa.float64()),
+            }
+        ),
+        out_path,
+    )
+
+
+def run_spatial(spark, fixtures: dict) -> dict:
+    """radius_self_join(25 km, cell 0.5 deg) per fixture: steady-state
+    wall seconds (min of 2), true pair count, and the ring-join
+    CANDIDATE mass — the rows entering the haversine verify, the cost
+    driver the blocked join bounds. The candidate count mirrors
+    spatial.py's grid arithmetic (home cell + (2*1+1)^2 ring at this
+    radius/cell/max_abs_lat — _ring gives n_lat = n_lon = 1) on the
+    unordered-pair side so candidates and pairs are the same universe;
+    the overhead ratio candidates/pairs staying ~constant across the
+    decade is the blocking-efficiency reading."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_task_spark.operators.spatial import radius_self_join
+
+    out: dict[str, dict] = {}
+    for name, path in fixtures.items():
+        pts = spark.read.parquet(path)
+        cell = 0.5
+        home = pts.select(
+            "id",
+            F.floor((F.col("lat") + 90.0) / cell).cast("long").alias("_latc"),
+            F.floor((F.col("lon") + 180.0) / cell).cast("long").alias("_lonc"),
+        )
+        ring = home.select(
+            F.col("id").alias("id_a"),
+            F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])).alias("_dlat"),
+            "_latc",
+            "_lonc",
+        ).select(
+            "id_a",
+            (F.col("_latc") + F.col("_dlat")).alias("_jlat"),
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.col("_lonc") + F.lit(i), F.lit(720)).cast("long")
+                        for i in (-1, 0, 1)
+                    ]
+                )
+            ).alias("_jlon"),
+        )
+        build = home.select(
+            F.col("id").alias("id_b"),
+            F.col("_latc").alias("_jlat"),
+            F.pmod(F.col("_lonc"), F.lit(720)).cast("long").alias("_jlon"),
+        )
+        candidates = (
+            ring.join(build, ["_jlat", "_jlon"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .count()
+        )
+        runs, pairs = [], 0
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = _t.time()
+            pairs = radius_self_join(
+                pts, 25.0, cell_deg=cell, max_abs_lat=60.0, validate=False
+            ).count()
+            runs.append(round(_t.time() - t0, 3))
+        out[name] = {
+            "sec": min(runs),
+            "runs": runs,
+            "pairs": pairs,
+            "candidates": candidates,
+            "overhead": round(candidates / max(pairs, 1), 2),
+        }
+        print(f"# spatial {name}: {out[name]}", file=sys.stderr)
+    return out
+
+
 def main() -> int:
     from pyspark.sql import functions as F
 
@@ -114,6 +225,19 @@ def main() -> int:
     spark.range(0, n_part * 10, 1, n_part).mapInPandas(
         lambda it: it, "id long"
     ).count()
+
+    if "spatial" in sys.argv[1:]:
+        # spatial family only (r16): derived city-clustered point
+        # fixtures, 10k -> 100k at constant per-city occupancy
+        p10 = f"{scratch}/pts_10k.parquet"
+        p100 = f"{scratch}/pts_100k.parquet"
+        if not os.path.exists(p10):
+            gen_points(p10, 10_000, seed=42)
+        if not os.path.exists(p100):
+            gen_points(p100, 100_000, seed=43)
+        print(json.dumps(run_spatial(spark, {"pts_10k": p10, "pts_100k": p100})))
+        spark.stop()
+        return 0
 
     fixtures = {
         "real_sf0.1": "/root/testdata/sf0.1/documents.parquet",
