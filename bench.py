@@ -1376,6 +1376,15 @@ def _raw_ops():
 
         return session_window_stats(s, d)
 
+    def _asof_r1(s, d):
+        # frozen r1 workload: the plain backward as-of (its driver slot
+        # folded into temporal_join_suite's 'asof' leg in r16)
+        from kafka_streams_task_spark.catalog.pipeline import (
+            asof_purchase_to_click,
+        )
+
+        return asof_purchase_to_click(s, d)
+
     # r6: these four catalog slots folded into family suites
     # (dedup_exact_family_suite / multimodal_suite / similarity_knn_suite);
     # benching the raw operators keeps the per-query baselines comparable.
@@ -1415,6 +1424,9 @@ def _raw_ops():
         "dedup_exact_substring": _exact_substring,
         "sample_pack_pipeline": _sample_pack_r2,
         "session_window_stats": _session_window_r1,
+        # r16: driver slot folded into temporal_join_suite's 'asof' leg;
+        # bench the unregistered raw function (session_window precedent)
+        "asof_purchase_to_click": _asof_r1,
         "dedup_minhash_lsh": lambda s, d: minhash_lsh_candidates(load_table(s, d, "documents")),
         "dedup_simhash": lambda s, d: simhash_near_dup_pairs(load_table(s, d, "documents")),
         "dedup_embedding_cosine": lambda s, d: embedding_near_dup_pairs(load_table(s, d, "embeddings")),

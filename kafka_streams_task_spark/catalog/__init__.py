@@ -89,6 +89,12 @@ _PROMOTED = [
     # point-frequency sketch (the MG top-k's companion), whose oracle
     # re-derives the ENTIRE counter table via the portable md5 idiom.
     "cms_freq_suite",
+    # r16: asof_purchase_to_click folded into temporal_join_suite's
+    # 'asof' leg (same relations, oracle unchanged); the freed slot
+    # carries the KMV theta sketch — distinct-count SET OPERATIONS
+    # (corpus overlap), whole-sketch + estimate oracles, the fifth
+    # sketch family.
+    "theta_sketch_suite",
 ]
 
 _names = list(CATALOG)

@@ -4527,6 +4527,11 @@ def _tj_oracle() -> str:
     FROM l JOIN r ON l.user_id = r.user_id
                  AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
     UNION ALL
+    SELECT CAST('asof' AS VARCHAR), CAST(l.event_id AS BIGINT),
+           CAST(r.event_id AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    UNION ALL
     SELECT CAST('asof_tol' AS VARCHAR), CAST(j.event_id AS BIGINT),
            CAST(j.click_id AS BIGINT), CAST(j.gap_s AS BIGINT),
            CAST(NULL AS BIGINT)
@@ -4633,6 +4638,12 @@ def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                  Spark timestamp_diff truncates elapsed time — they
                  agree only on truncated values; and never an epoch
                  cast — NTZ);
+    'asof'     — r16 fold of the asof_purchase_to_click driver slot
+                 (the plain backward as-of, no tolerance — each
+                 purchase to the user's latest prior-or-simultaneous
+                 click) vs DuckDB's native ASOF LEFT JOIN, the folded
+                 slot's oracle unchanged; rides the identical
+                 purchases/clicks relations the other legs build;
     'asof_tol' — asof_join with tolerance=900s vs DuckDB's NATIVE
                  ASOF JOIN + gap CASE: the union-window formulation
                  and an entirely independent engine implementation
@@ -4693,6 +4704,13 @@ def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("i1"),
+        nul.alias("i2"),
+    )
+    plain = asof_join(purchases, clicks, on="ts", by="user_id").select(
+        F.lit("asof").alias("leg"),
+        F.col("event_id").cast("long").alias("key"),
+        F.col("r_event_id").cast("long").alias("key_b"),
+        nul.alias("i1"),
         nul.alias("i2"),
     )
     tol = asof_join(
@@ -4762,7 +4780,8 @@ def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul.alias("i2"),
     )
     return (
-        band.unionByName(tol)
+        band.unionByName(plain)
+        .unionByName(tol)
         .unionByName(fwd)
         .unionByName(near)
         .unionByName(near_date)
@@ -5713,4 +5732,239 @@ def hll_distinct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(greg_leg)
         .unionByName(gest_leg)
         .unionByName(canary_df(spark, _HLLS_COLS))
+    )
+
+
+# ---------------------------------------------------------------------------
+# theta_sketch_suite (r16): KMV theta sketch — distinct-count SET OPERATIONS
+# (corpus overlap), the ask the HLL registers cannot answer. Fills the slot
+# freed by folding asof_purchase_to_click into temporal_join_suite.
+# ---------------------------------------------------------------------------
+
+_THETA_K = 512  # saturated relative error ~ 1/sqrt(k-2) ~ 4.4%
+#: 3 sigma of the KMV estimator — the accuracy predicates' budget
+_THETA_TOL = 3.0 / (510.0**0.5)
+_THETA_COLS = [("key", "long"), ("i1", "long"), ("i2", "long")]
+
+#: DuckDB side of the user-day cohort values (Spark: concat_ws over
+#: non-null columns — the NOT NULL filters keep || and concat_ws equal)
+_THETA_SRC = (
+    "SELECT DISTINCT CAST(user_id AS VARCHAR) || ':' || "
+    "CAST(CAST(ts AS DATE) AS VARCHAR) AS x FROM events "
+    "WHERE event_type = '{t}' AND user_id IS NOT NULL AND ts IS NOT NULL"
+)
+_THETA_HASH_SQL = "CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)"
+_THETA_H_SQL = "CAST(1152921504606846976 AS DOUBLE)"  # 2^60, exact in double
+
+
+def _theta_oracle() -> str:
+    from .llm_suites import canary_sql
+
+    a_src = _THETA_SRC.format(t="purchase")
+    b_src = _THETA_SRC.format(t="click")
+    k = _THETA_K
+    # est closed forms restate the operator's op ORDER exactly:
+    # (lit * H) / hmax  and  (n * H) / theta
+    est_single = (
+        f"CASE WHEN n < {k} THEN CAST(n AS DOUBLE) "
+        f"ELSE CAST({k - 1} AS DOUBLE) * {_THETA_H_SQL} / CAST(hmax AS DOUBLE) END"
+    )
+    return f"""
+    WITH sa AS (SELECT {_THETA_HASH_SQL} AS h FROM ({a_src})
+                ORDER BY h LIMIT {k}),
+    sb AS (SELECT {_THETA_HASH_SQL} AS h FROM ({b_src})
+           ORDER BY h LIMIT {k}),
+    -- the UNION sketch from the RAW CORPORA: equal to Spark's
+    -- union-of-sketches by the KMV composition theorem — a composition
+    -- bug on either side hash-fails here
+    su AS (SELECT {_THETA_HASH_SQL} AS h
+           FROM (SELECT x FROM ({a_src}) UNION SELECT x FROM ({b_src}))
+           ORDER BY h LIMIT {k}),
+    stats AS (
+      SELECT 'a' AS s, count(*) AS n, max(h) AS hmax FROM sa
+      UNION ALL SELECT 'b', count(*), max(h) FROM sb
+      UNION ALL SELECT 'union', count(*), max(h) FROM su
+    ),
+    theta AS (
+      SELECT least(
+        (SELECT CASE WHEN count(*) < {k} THEN 1152921504606846976
+                ELSE max(h) END FROM sa),
+        (SELECT CASE WHEN count(*) < {k} THEN 1152921504606846976
+                ELSE max(h) END FROM sb)) AS th
+    ),
+    ints AS (
+      SELECT count(*) AS n FROM sa JOIN sb USING (h), theta
+      WHERE h < th
+    ),
+    anb AS (
+      SELECT count(*) AS n FROM sa, theta
+      WHERE h < th AND h NOT IN (SELECT h FROM sb)
+    )
+    SELECT CAST(leg AS VARCHAR) AS leg, CAST(key AS BIGINT) AS key,
+           CAST(i1 AS BIGINT) AS i1, CAST(i2 AS BIGINT) AS i2
+    FROM (
+      SELECT 'ska' AS leg, h AS key, CAST(NULL AS BIGINT) AS i1,
+             CAST(NULL AS BIGINT) AS i2 FROM sa
+      UNION ALL
+      SELECT 'skb', h, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM sb
+      UNION ALL
+      SELECT 'sku', h, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM su
+      UNION ALL
+      -- i2 is the LITERAL 1 accuracy polarity (the hll/quantile-suite
+      -- discipline): Spark computes the predicate against the exact
+      -- counts for real; a violation hash-fails
+      SELECT 'est:' || s, n, {sql_fmicro(est_single)}, CAST(1 AS BIGINT)
+      FROM stats
+      UNION ALL
+      SELECT 'est:intersect', n,
+             {sql_fmicro(f"CAST(n AS DOUBLE) * {_THETA_H_SQL} / CAST(th AS DOUBLE)")},
+             CAST(1 AS BIGINT)
+      FROM ints, theta
+      UNION ALL
+      SELECT 'est:anb', n,
+             {sql_fmicro(f"CAST(n AS DOUBLE) * {_THETA_H_SQL} / CAST(th AS DOUBLE)")},
+             CAST(1 AS BIGINT)
+      FROM anb, theta
+      UNION ALL
+      {canary_sql(_THETA_COLS)}
+    )
+    """
+
+
+@query("theta_sketch_suite", oracle=_theta_oracle())
+def theta_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV theta-sketch legs (operators/sketch.py; Beyer et al. 2007) at
+    k=512 over two event cohorts — A = purchase user-days, B = click
+    user-days (user_id:date strings; partial overlap by construction):
+
+    'ska' / 'skb' — the ENTIRE k-row sketch (the k smallest distinct
+               60-bit md5 hashes of each cohort) is the gated value;
+               DuckDB re-derives every hash from its own md5 arithmetic.
+    'sku'     — Spark's union-of-SKETCHES vs the oracle's
+               sketch-of-the-UNIONED-CORPORA: hash-equality IS the KMV
+               composition theorem (what makes the family mergeable /
+               streamable) checked row by row.
+    'est:a/b/union' — (n_kept, micro-rounded estimate, accuracy flag):
+               the unbiased (k-1)·H/U_(k) form — one float multiply and
+               divide of identical operands in both engines — with the
+               3-sigma relative accuracy predicate vs the exact
+               COUNT(DISTINCT) computed in the same Spark plan, stated
+               as the LITERAL 1 by the oracle so a violation hash-fails.
+    'est:intersect' / 'est:anb' — the SET OPERATIONS (|A ∩ B|, |A \\ B|)
+               estimated from the two sketches alone: sketch-row
+               matches below the common theta scaled by H/theta.
+               Accuracy flags bound the absolute error by 3 sigma of
+               the UNION size (the driver of sampled-overlap error),
+               vs the exact intersection/difference computed in-plan.
+    'canary'  — constant rows stated identically by both engines.
+
+    Scale shape: the builder's mapInPandas fold bounds every partition's
+    contribution to k rows, so its one shuffle carries <= k·partitions
+    rows — never the distinct domain; every set operation joins two
+    <= k-row relations (broadcast-trivial). The exact sides exist ONLY
+    for the gate. Streaming twin: streaming/sketch.py::
+    streaming_theta_sketch (union merge, versioned exactly-once
+    protocol)."""
+    from ..operators.sketch import (
+        theta_a_not_b,
+        theta_distinct,
+        theta_intersect,
+        theta_sketch_table,
+        theta_union,
+    )
+
+    k = _THETA_K
+    ev = load_table(spark, sf_dir, "events")
+
+    def cohort(t: str) -> DataFrame:
+        return (
+            ev.filter(
+                (F.col("event_type") == t)
+                & F.col("user_id").isNotNull()
+                & F.col("ts").isNotNull()
+            )
+            .select(
+                F.concat_ws(
+                    ":",
+                    F.col("user_id"),
+                    F.col("ts").cast("date").cast("string"),
+                ).alias("ud")
+            )
+            .distinct()
+        )
+
+    A, B = cohort("purchase"), cohort("click")
+    sa = theta_sketch_table(A, "ud", k=k)
+    sb = theta_sketch_table(B, "ud", k=k)
+    su = theta_union(sa, sb, k=k)
+    # each sketch feeds several legs; the corpus fold re-runs per leg
+    # rather than caching (the engine's no-cached-blocks standard —
+    # cached k-row relations would pin executor storage for the session)
+
+    nul = F.lit(None).cast("long")
+
+    def sk_leg(s: DataFrame, tag: str) -> DataFrame:
+        return s.select(
+            F.lit(tag).alias("leg"),
+            F.col("h").cast("long").alias("key"),
+            nul.alias("i1"),
+            nul.alias("i2"),
+        )
+
+    exact_a = A.agg(F.count(F.lit(1)).cast("long").alias("_t"))
+    exact_b = B.agg(F.count(F.lit(1)).cast("long").alias("_t"))
+    exact_u = A.unionByName(B).distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("_t")
+    )
+    exact_i = A.join(B, "ud").agg(F.count(F.lit(1)).cast("long").alias("_t"))
+    exact_d = A.join(B, "ud", "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("_t")
+    )
+
+    def est_leg(s: DataFrame, exact: DataFrame, tag: str) -> DataFrame:
+        return (
+            theta_distinct(s, k=k)
+            .crossJoin(F.broadcast(exact))
+            .select(
+                F.lit(f"est:{tag}").alias("leg"),
+                F.col("n_kept").cast("long").alias("key"),
+                fmicro_col(F.col("est")).alias("i1"),
+                (
+                    F.abs(F.col("est") / F.col("_t") - 1.0)
+                    <= F.lit(_THETA_TOL)
+                )
+                .cast("long")
+                .alias("i2"),
+            )
+        )
+
+    def setop_leg(res: DataFrame, n_col: str, exact: DataFrame, tag: str) -> DataFrame:
+        return (
+            res.crossJoin(F.broadcast(exact))
+            .crossJoin(F.broadcast(exact_u.select(F.col("_t").alias("_tu"))))
+            .select(
+                F.lit(f"est:{tag}").alias("leg"),
+                F.col(n_col).cast("long").alias("key"),
+                fmicro_col(F.col("est")).alias("i1"),
+                (
+                    F.abs(F.col("est") - F.col("_t"))
+                    <= F.lit(_THETA_TOL) * F.col("_tu")
+                )
+                .cast("long")
+                .alias("i2"),
+            )
+        )
+
+    from .llm_suites import canary_df
+
+    return (
+        sk_leg(sa, "ska")
+        .unionByName(sk_leg(sb, "skb"))
+        .unionByName(sk_leg(su, "sku"))
+        .unionByName(est_leg(sa, exact_a, "a"))
+        .unionByName(est_leg(sb, exact_b, "b"))
+        .unionByName(est_leg(su, exact_u, "union"))
+        .unionByName(setop_leg(theta_intersect(sa, sb, k=k), "n_common", exact_i, "intersect"))
+        .unionByName(setop_leg(theta_a_not_b(sa, sb, k=k), "n_only", exact_d, "anb"))
+        .unionByName(canary_df(spark, _THETA_COLS))
     )

@@ -63,6 +63,11 @@ __all__ = [
     "merge_hll_tables_grouped",
     "merge_mg_summaries",
     "misra_gries_candidates",
+    "theta_a_not_b",
+    "theta_distinct",
+    "theta_intersect",
+    "theta_sketch_table",
+    "theta_union",
     "topk_tokens_sketched",
 ]
 
@@ -897,4 +902,183 @@ def merge_hll_tables_grouped(a: DataFrame, b: DataFrame) -> DataFrame:
     through unchanged)."""
     return (
         a.unionByName(b).groupBy("grp", "reg").agg(F.max("rho").alias("rho"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theta / KMV distinct sketch — SET OPERATIONS over distinct counts (r16)
+# ---------------------------------------------------------------------------
+# The one ask the HLL registers cannot answer: corpus OVERLAP. "How many
+# user-days appear in both cohorts", "how many documents do crawl A and
+# crawl B share" — at 100 TB the exact answer is a distinct-join across
+# both corpora; the KMV (k minimum values) theta sketch answers it from
+# two k-row summaries (Beyer et al. 2007, "On Synopses for Distinct-Value
+# Estimation"; the theta-sketch framing is Dasgupta et al. 2016). Keep
+# the k smallest DISTINCT hash values of each corpus: the k-th smallest
+# hash U_(k) estimates density k/U_(k), so N ~ (k-1)·H/U_(k) (H = hash
+# space size, the unbiased form), and — the point — the sketches COMPOSE:
+#   union       = k smallest distinct of (S_A ∪ S_B)  (a KMV sketch again)
+#   intersection/difference = count sketch rows below theta =
+#     min(theta_A, theta_B) and scale by H/theta — each surviving row is
+#     a uniform sample of the corresponding set at rate theta/H.
+# Below theta, S_A contains EVERY corpus-A hash < theta (they are the
+# smallest), so membership tests against the other sketch are exact on
+# the sampled region — no second corpus scan, ever.
+#
+# Hashing is the repo's portable 60-bit md5 idiom (HLL's convention), so
+# DuckDB re-derives the ENTIRE k-row sketch and every estimate closed
+# form bit-for-bit: the driver gate hash-checks sketches AND estimates,
+# with accuracy-vs-exact stated as separate theorem flags (KMV relative
+# error ~ 1/sqrt(k-2) on saturated sketches; unsaturated sketches are
+# EXACT — the estimator returns the true count).
+#
+# Scale shape: the builder's map-side fold bounds every partition's
+# contribution to k rows (mapInPandas keeping a k-truncated sorted
+# distinct array across Arrow batches), so the one shuffle carries at
+# most k·partitions rows — never the distinct domain (the property that
+# separates the sketch from an exact COUNT(DISTINCT)). All set-op inputs
+# are k-row relations; every join below is sketch-vs-sketch.
+
+_THETA_H = 1 << 60  # hash space size: the 60-bit md5 prefix, as HLL
+
+
+def _theta_hash(value_col: str) -> "F.Column":
+    """The portable 60-bit hash (HLL's md5 idiom), uniform on
+    [0, 2^60)."""
+    return F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def theta_sketch_table(
+    df: DataFrame, value_col: str, k: int = 512
+) -> DataFrame:
+    """Build the KMV theta sketch of ``df[value_col]``'s NON-NULL
+    distinct values: the k smallest distinct 60-bit hashes, as a
+    bounded relation ``(h long)`` of at most k rows.
+
+    Two-level build: a mapInPandas fold keeps at most k sorted distinct
+    hashes per PARTITION (state bounded at k regardless of the
+    partition's distinct count; numpy unique + truncate per Arrow
+    batch), then one tiny global dedup + take-k over <= k·partitions
+    rows. Deterministic: same data -> same sketch, any partitioning."""
+    import numpy as np
+    import pandas as pd
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    hashed = df.filter(F.col(value_col).isNotNull()).select(
+        _theta_hash(value_col).alias("h")
+    )
+
+    def fold(it):
+        best = np.array([], dtype="int64")
+        for pdf in it:
+            best = np.unique(
+                np.concatenate([best, pdf["h"].to_numpy(dtype="int64")])
+            )[:k]
+        yield pd.DataFrame({"h": best})
+
+    local = hashed.mapInPandas(fold, "h long")
+    return local.distinct().orderBy("h").limit(k)
+
+
+def _theta_stats(sketch: DataFrame, k: int):
+    """One-row (n, hmax) aggregate of a sketch — n < k means the sketch
+    is EXACT (it holds every distinct hash)."""
+    return sketch.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("h").alias("hmax"),
+    )
+
+
+def _theta_est(n_col, theta_col) -> "F.Column":
+    """est = n · H/theta — the inverse-sampling-rate scale-up shared by
+    every saturated estimator below (division of exact integers in
+    double: IEEE-identical in Spark and DuckDB)."""
+    return n_col.cast("double") * F.lit(float(_THETA_H)) / theta_col.cast("double")
+
+
+def theta_distinct(sketch: DataFrame, k: int = 512) -> DataFrame:
+    """Distinct-count estimate from one sketch: one row
+    ``(n_kept, est)``. Unsaturated (n < k): est = n exactly. Saturated:
+    the unbiased KMV form (k-1)·H/U_(k) with U_(k) = the sketch's max
+    (its k-th smallest hash); relative error ~ 1/sqrt(k-2)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    s = _theta_stats(sketch, k)
+    return s.select(
+        F.col("n").alias("n_kept"),
+        F.when(F.col("n") < k, F.col("n").cast("double"))
+        .otherwise(
+            F.lit(float(k - 1)) * F.lit(float(_THETA_H)) / F.col("hmax").cast("double")
+        )
+        .alias("est"),
+    )
+
+
+def theta_union(a: DataFrame, b: DataFrame, k: int = 512) -> DataFrame:
+    """KMV sketch of A ∪ B from the two sketches alone: k smallest
+    distinct of the combined rows — EXACTLY the sketch a single build
+    over the concatenated corpora would produce (pinned), which is what
+    makes the family mergeable (shard-parallel and streaming builds
+    lose nothing). Also the streaming twin's merge."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    return a.unionByName(b).distinct().orderBy("h").limit(k)
+
+
+def _theta_threshold(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
+    """One row ``(theta)``: min over the two sketches of (hmax if
+    saturated else H) — the common sampling threshold. Every hash < theta
+    present in either CORPUS is present in its sketch, so set membership
+    below theta is exact."""
+    sa = _theta_stats(a, k).select(
+        F.when(F.col("n") < k, F.lit(_THETA_H)).otherwise(F.col("hmax")).alias("ta")
+    )
+    sb = _theta_stats(b, k).select(
+        F.when(F.col("n") < k, F.lit(_THETA_H)).otherwise(F.col("hmax")).alias("tb")
+    )
+    return sa.crossJoin(sb).select(F.least("ta", "tb").alias("theta"))
+
+
+def theta_intersect(a: DataFrame, b: DataFrame, k: int = 512) -> DataFrame:
+    """|A ∩ B| estimate from the two sketches: one row
+    ``(n_common, theta, est)`` — n_common = sketch-row matches below the
+    common theta (an equi-join of two <= k-row relations), est =
+    n_common · H/theta. Exact when both sketches are unsaturated."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    th = _theta_threshold(a, b, k)
+    common = (
+        a.join(b, "h")
+        .crossJoin(F.broadcast(th))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return common.crossJoin(F.broadcast(th)).select(
+        "n_common",
+        "theta",
+        _theta_est(F.col("n_common"), F.col("theta")).alias("est"),
+    )
+
+
+def theta_a_not_b(a: DataFrame, b: DataFrame, k: int = 512) -> DataFrame:
+    """|A \\ B| estimate from the two sketches: one row
+    ``(n_only, theta, est)`` — sketch rows of A below theta with no
+    match in B (anti-join of two <= k-row relations; membership below
+    theta is exact, see :func:`_theta_threshold`)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    th = _theta_threshold(a, b, k)
+    only = (
+        a.join(b, "h", "left_anti")
+        .crossJoin(F.broadcast(th))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_only"))
+    )
+    return only.crossJoin(F.broadcast(th)).select(
+        "n_only",
+        "theta",
+        _theta_est(F.col("n_only"), F.col("theta")).alias("est"),
     )

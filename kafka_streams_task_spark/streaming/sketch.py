@@ -31,10 +31,13 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "read_distinct_count",
+    "read_theta_distinct",
+    "read_theta_sketch",
     "read_token_frequencies",
     "read_top_tokens",
     "read_value_quantiles",
     "streaming_distinct_values",
+    "streaming_theta_sketch",
     "streaming_token_frequencies",
     "streaming_top_tokens",
     "streaming_value_quantiles",
@@ -644,3 +647,117 @@ def read_distinct_count(
     if group_col is None:
         return hll_cardinality(regs, b=b)
     return hll_cardinality_grouped(regs, b=b)
+
+
+_TH_PFX = "theta_v"
+
+
+def streaming_theta_sketch(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    value_col: str = "value",
+    k: int = 512,
+):
+    """Maintain a cumulative KMV theta sketch over a value stream — the
+    SET-OPERATION member of the MG/CMS/DDSketch/HLL family (r16):
+    the durable state is the k smallest distinct hashes of everything
+    ever ingested, so two streams' states answer corpus-overlap
+    questions (``operators.sketch.theta_intersect`` / ``theta_a_not_b``
+    / ``theta_union`` over the two read sketches) with no corpus
+    re-scan. The merge (k smallest distinct of committed ∪ batch,
+    :func:`~..operators.sketch.theta_union`) is EXACT and IDEMPOTENT —
+    the committed sketch after batch N is bit-identical to the batch
+    build over everything ingested (pinned by tests/test_sketch.py) —
+    and state per version is at most k rows, corpus-independent.
+
+    Exactly-once via the family's versioned-parquet protocol:
+    overwrite-idempotent versions, redelivered batches skip wholesale,
+    state dir bound to its checkpoint. ``k`` persists WITH the state
+    (``theta_meta``) and is validated on every batch and read — a
+    sketch truncated at a different k is a different summary, so it
+    raises instead (the ``cms_meta`` discipline)."""
+    from ..operators.sketch import theta_sketch_table, theta_union
+    from .state import bind_state_to_checkpoint, committed_versions
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    bind_state_to_checkpoint(stream.sparkSession, state_dir, checkpoint_dir)
+    _check_or_write_theta_meta(stream.sparkSession, state_dir, k)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _check_or_write_theta_meta(spark, state_dir, k)
+        versions = committed_versions(spark, state_dir, _TH_PFX)
+        if batch_id in versions:
+            return  # redelivery: this batch's sketch is already durable
+        prev = [v for v in versions if v < batch_id]
+        batch_sk = theta_sketch_table(batch_df, value_col, k)
+        if prev:
+            committed = spark.read.parquet(f"{state_dir}/{_TH_PFX}{max(prev)}")
+            merged = theta_union(committed, batch_sk, k)
+        else:
+            merged = batch_sk
+        merged.write.mode("overwrite").parquet(f"{state_dir}/{_TH_PFX}{batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _check_or_write_theta_meta(
+    spark: SparkSession, state_dir: str, k: int
+) -> None:
+    """Persist k on first contact; refuse disagreeing callers — the
+    k-truncation IS the sketch's identity. ``_SUCCESS``-gated probe
+    (half-written metas self-heal) and single-writer contract as the
+    CMS/DDSketch/HLL metas."""
+    from .state import meta_committed
+
+    meta_path = f"{state_dir}/theta_meta"
+    if meta_committed(spark, meta_path):
+        row = _meta_dict(spark, meta_path)
+        if row["k"] != k:
+            raise ValueError(
+                f"theta state at {state_dir} was built with k={row['k']}; "
+                f"got {k}"
+            )
+    else:
+        spark.createDataFrame([(int(k),)], "k int").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(meta_path)
+
+
+def read_theta_sketch(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The latest committed cumulative sketch (``(h)``, <= k rows) —
+    feed it to the batch set-operation estimators (``theta_union`` /
+    ``theta_intersect`` / ``theta_a_not_b`` / ``theta_distinct``) with
+    the k returned by the persisted meta. Raises if nothing has
+    committed yet, and raises — rather than trusting caller context
+    against durable state of unknown provenance — when committed
+    sketches exist WITHOUT their meta."""
+    from .state import committed_versions, meta_committed
+
+    versions = committed_versions(spark, state_dir, _TH_PFX)
+    if not versions:
+        raise ValueError(f"no committed sketch under {state_dir}")
+    if not meta_committed(spark, f"{state_dir}/theta_meta"):
+        raise ValueError(
+            f"no theta_meta under {state_dir} but committed sketches exist "
+            "— the durable state's k is unknown (partial state-dir "
+            "cleanup?)"
+        )
+    return spark.read.parquet(f"{state_dir}/{_TH_PFX}{max(versions)}")
+
+
+def read_theta_distinct(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Cumulative distinct-count estimate from the latest committed
+    sketch: one ``(n_kept, est)`` row, k from the persisted meta."""
+    from ..operators.sketch import theta_distinct
+
+    sketch = read_theta_sketch(spark, state_dir)
+    k = _meta_dict(spark, f"{state_dir}/theta_meta")["k"]
+    return theta_distinct(sketch, k=k)

@@ -73,6 +73,10 @@ BNLJ_ALLOWED = {
     # r15 gest legs instead equi-join the |groups|-row per-group exact
     # table and add no BNLJ)
     "hll_distinct_suite",
+    # r16: theta_sketch_suite's est legs crossJoin the 1-row theta /
+    # exact-count / union-size aggregates onto <= k-row sketch relations
+    # — the recall-gate precedent; every BNLJ side is 1-row or k-row
+    "theta_sketch_suite",
 }
 
 #: queries allowed Python/Arrow stages, with a ceiling per query — every
@@ -108,6 +112,13 @@ PY_ALLOWED = {
     # mapInPandas stages ride under one suite — numpy DCT/gradient/
     # spectral math is the documented Arrow seam
     "perceptual_dedup_suite": 8,
+    # r16: the KMV builder's bounded per-partition fold (mapInPandas,
+    # <= k rows out per partition — the property that keeps the shuffle
+    # off the distinct domain) re-runs once per leg that consumes a
+    # sketch (no caching, the no-cached-blocks standard): 2 sketches x
+    # (sketch leg + est leg + union leg + 2 set-op legs incl. their
+    # theta thresholds) = 20 measured, zero headroom
+    "theta_sketch_suite": 20,
     # r10 fourth wave: three legs ('jw' goldens, 'link' planted names,
     # 'part' vocabulary), each one ArrowEvalPython jaro_winkler_udf
     # stage over a candidate-sized frame (r13: the jw: legs of
@@ -144,7 +155,9 @@ def plans(spark):
 #: list is pinned, not just the count
 DRIVER_WINDOW = [
     "geohash_cells", "pipeline_enrich_daily_rollup", "latest_event_per_user",
-    "events_hourly_tumbling", "session_suite", "asof_purchase_to_click",
+    # r16 fold: asof_purchase_to_click became temporal_join_suite's
+    # 'asof' leg (raw builder stays importable for bench)
+    "events_hourly_tumbling", "session_suite",
     "weather_topology_full",
     # r12 fold: the three 1-row recall gates became one canary-protected
     # suite; r13 wave 2 folded the four per-document text gates into
@@ -189,6 +202,10 @@ DRIVER_WINDOW = [
     # r13: the NEW count-min-sketch gate takes the spare 50th slot —
     # the catalog now fills the driver window exactly
     "cms_freq_suite",
+    # r16: the slot freed by the asof fold carries the KMV theta sketch
+    # (distinct-count set operations / corpus overlap — the fifth
+    # sketch family; whole-sketch + composition + estimate oracles)
+    "theta_sketch_suite",
 ]
 
 

@@ -1571,3 +1571,142 @@ def test_grouped_streaming_state_cap_bounds_or_refuses(spark, tmpdir):
         streaming_distinct_values(
             stream(), h_state, h_ck, value_col="id", b=10, group_col="seg"
         )
+
+
+def test_theta_sketch_build_exact_and_partition_invariant(spark):
+    """The KMV sketch is EXACTLY the k smallest distinct 60-bit md5
+    hashes — re-derived here driver-side from hashlib — and identical
+    under any partitioning (the bounded per-partition fold loses
+    nothing). Unsaturated sketches hold EVERY distinct hash, so the
+    estimator returns the true count exactly."""
+    import hashlib
+
+    from kafka_streams_task_spark.operators.sketch import (
+        theta_distinct,
+        theta_sketch_table,
+    )
+
+    vals = [f"v{i % 37}" for i in range(200)] + [None]
+    df = spark.createDataFrame([(v,) for v in vals], "x string")
+
+    def py_hash(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    want = sorted({py_hash(f"v{i}") for i in range(37)})
+    got = [r["h"] for r in theta_sketch_table(df, "x", k=16).orderBy("h").collect()]
+    assert got == want[:16]
+    # partition invariance: 1 vs 13 partitions, same sketch
+    got13 = [
+        r["h"]
+        for r in theta_sketch_table(df.repartition(13), "x", k=16)
+        .orderBy("h")
+        .collect()
+    ]
+    assert got13 == got
+    # unsaturated -> every hash kept, estimate EXACT
+    full = theta_sketch_table(df, "x", k=100)
+    assert [r["h"] for r in full.orderBy("h").collect()] == want
+    row = theta_distinct(full, k=100).collect()[0]
+    assert (row["n_kept"], row["est"]) == (37, 37.0)
+    with pytest.raises(ValueError, match="k must be"):
+        theta_sketch_table(df, "x", k=1)
+
+
+def test_theta_union_equals_sketch_of_union_and_set_ops(spark):
+    """The composition theorem pinned directly: union of two sketches ==
+    the sketch of the concatenated corpora (what the driver suite's
+    'sku' leg hash-checks against DuckDB); set-op estimates are EXACT
+    when unsaturated, and within 3 sigma of truth when saturated on a
+    planted overlap."""
+    from kafka_streams_task_spark.operators.sketch import (
+        theta_a_not_b,
+        theta_intersect,
+        theta_sketch_table,
+        theta_union,
+    )
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(300)] + [(f"c{i}",) for i in range(200)], "x string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(400)] + [(f"c{i}",) for i in range(200)], "x string")
+    k = 128
+    sa, sb = theta_sketch_table(a, "x", k=k), theta_sketch_table(b, "x", k=k)
+    direct = theta_sketch_table(a.unionByName(b), "x", k=k)
+    assert {r["h"] for r in theta_union(sa, sb, k=k).collect()} == {
+        r["h"] for r in direct.collect()
+    }
+    # saturated estimates: |A∩B| = 200, |A\B| = 300, |A∪B| = 900
+    sig = 3.0 * 900 / (k - 2) ** 0.5  # 3 sigma of the union size
+    got_i = theta_intersect(sa, sb, k=k).collect()[0]["est"]
+    got_d = theta_a_not_b(sa, sb, k=k).collect()[0]["est"]
+    assert abs(got_i - 200) <= sig, got_i
+    assert abs(got_d - 300) <= sig, got_d
+    # unsaturated (k > all cardinalities): set ops EXACT
+    K = 2048
+    sa2, sb2 = theta_sketch_table(a, "x", k=K), theta_sketch_table(b, "x", k=K)
+    assert theta_intersect(sa2, sb2, k=K).collect()[0]["est"] == 200.0
+    assert theta_a_not_b(sa2, sb2, k=K).collect()[0]["est"] == 300.0
+
+
+def test_streaming_theta_equals_batch_and_guards(spark, tmpdir):
+    """Streaming KMV twin (r16): after two micro-batches the committed
+    sketch is bit-identical to the batch build over everything
+    ingested; replay is a no-op; k persists in theta_meta and
+    disagreeing callers are refused; orphan state (versions without
+    meta) refuses reads."""
+    import json as _json
+    import os
+
+    from pyspark.sql import types as T
+
+    from kafka_streams_task_spark.operators.sketch import theta_sketch_table
+    from kafka_streams_task_spark.streaming.sketch import (
+        read_theta_distinct,
+        read_theta_sketch,
+        streaming_theta_sketch,
+    )
+
+    b0 = [{"id": i, "value": f"u{i}"} for i in range(60)]
+    b1 = [{"id": i, "value": f"u{i}"} for i in range(40, 120)]
+    src = f"{tmpdir}/th_in"
+    os.makedirs(src)
+    for i, rows in enumerate((b0, b1)):
+        with open(f"{src}/b{i}.json", "w") as f:
+            f.write("\n".join(_json.dumps(r) for r in rows))
+        os.utime(f"{src}/b{i}.json", (1000000000 + i * 100,) * 2)
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("value", T.StringType())]
+    )
+    state = f"{tmpdir}/th_state"
+
+    def run(ck, **kw):
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+        )
+        q = streaming_theta_sketch(stream, state, ck, k=64, **kw)
+        q.awaitTermination(120)
+
+    run(f"{tmpdir}/th_ckpt")
+    both = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(120)], "id long, value string"
+    )
+    want = {r["h"] for r in theta_sketch_table(both, "value", k=64).collect()}
+    got = {r["h"] for r in spark.read.parquet(f"{state}/theta_v1").collect()}
+    assert got == want
+    assert {r["h"] for r in read_theta_sketch(spark, state).collect()} == want
+    est = read_theta_distinct(spark, state).collect()[0]
+    assert est["n_kept"] == 64
+    assert abs(est["est"] - 120) <= 3 * 120 / (62**0.5)  # 3 sigma
+
+    run(f"{tmpdir}/th_ckpt")  # replay no-op
+    assert {r["h"] for r in read_theta_sketch(spark, state).collect()} == want
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+    )
+    with pytest.raises(ValueError, match="built with k"):
+        streaming_theta_sketch(stream, state, f"{tmpdir}/th_ckpt", k=32)
+
+    # orphan versions without meta refuse reads
+    s2 = f"{tmpdir}/th_orphan"
+    theta_sketch_table(both, "value", k=64).write.parquet(f"{s2}/theta_v0")
+    with pytest.raises(ValueError, match="committed sketches exist"):
+        read_theta_sketch(spark, s2)
