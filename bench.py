@@ -221,6 +221,9 @@ OPS_SECTION = [
     "dd_quantiles",
     "hll_distinct",
     "hll_grouped",
+    # r16: KMV theta sketch — two cohort builds (bounded per-partition
+    # fold) + the intersection estimate from the two k-row sketches
+    "theta_overlap",
 ]
 
 #: frozen first-measurements for the ops section (set r8, steady-state
@@ -289,6 +292,12 @@ OPS_BASELINE_SEC = {
     # calib ~2.0) — in the bench-config session (tools/ab_trials.py);
     # frozen at the top of the steady band, generous for the window.
     "hll_grouped": 0.90,
+    # r16 first measurement: theta corpus overlap (two cohort sketch
+    # builds + the k-row intersection estimate). 5 trials [2.092, 1.277,
+    # 1.129, 1.113, 1.033] at calib 2.945 (~1.5x slow vs the typical
+    # ~2.0) in the bench-config session (tools/ab_trials.py); frozen at
+    # the top of the steady band, generous for the window.
+    "theta_overlap": 1.30,
     # r8 third wave: post-model-pin steady state (pre-pin measured 4.2 —
     # the bucket-count aggs re-executed for every downstream consumer);
     # r11 re-freeze, same A/B receipt as bloom_decontaminate: r9 checkout
@@ -1129,6 +1138,32 @@ def _ops_workloads():
             b=10,
         )
 
+    def _theta_overlap(s, d):
+        # r16: KMV theta sketch corpus overlap — build both cohort
+        # sketches (bounded per-partition fold, shuffle <= k*partitions
+        # rows) and estimate |A ∩ B| from the two k-row summaries
+        from kafka_streams_task_spark.operators.sketch import (
+            theta_intersect,
+            theta_sketch_table,
+        )
+
+        ev = load_table(s, d, "events")
+
+        def cohort(t):
+            return ev.filter(
+                (F.col("event_type") == t)
+                & F.col("user_id").isNotNull()
+                & F.col("ts").isNotNull()
+            ).select(
+                F.concat_ws(
+                    ":", F.col("user_id"), F.col("ts").cast("date").cast("string")
+                ).alias("ud")
+            )
+
+        sa = theta_sketch_table(cohort("purchase"), "ud", k=512)
+        sb = theta_sketch_table(cohort("click"), "ud", k=512)
+        return theta_intersect(sa, sb, k=512)
+
     def _asof_nearest(s, d):
         # r12: the nearest-direction as-of join — one shuffle, one sort,
         # two window channels over purchases x deduped clicks
@@ -1272,6 +1307,7 @@ def _ops_workloads():
         "dd_quantiles": _dd_quantiles,
         "hll_distinct": _hll_distinct,
         "hll_grouped": _hll_grouped,
+        "theta_overlap": _theta_overlap,
     }
 
 
