@@ -1467,9 +1467,16 @@ def _raw_ops():
         "dedup_simhash": lambda s, d: simhash_near_dup_pairs(load_table(s, d, "documents")),
         "dedup_embedding_cosine": lambda s, d: embedding_near_dup_pairs(load_table(s, d, "embeddings")),
         "similarity_knn_lsh": lambda s, d: knn_lsh(*_emb_pair(s, d), k=5),
-        "similarity_knn_ivf": lambda s, d: knn_ivf(*_emb_pair(s, d), k=5),
+        # coarse_metric="l2" pins the workload IDENTITY these baselines
+        # were frozen measuring (review r16): the r16 spherical default
+        # targets clustered geometry; these entries run the near-uniform
+        # driver embeddings, the same fixture the suite pins to l2
+        "similarity_knn_ivf": lambda s, d: knn_ivf(
+            *_emb_pair(s, d), k=5, coarse_metric="l2"
+        ),
         "similarity_knn_ivf_pq": lambda s, d: knn_ivf_pq(
-            *_emb_pair(s, d), k=5, n_probe=12, ks=64, rerank_k=96
+            *_emb_pair(s, d), k=5, n_probe=12, ks=64, rerank_k=96,
+            coarse_metric="l2",
         ),
         # r5 operators: semantic_dedup at threshold 0.5 so the sf0.1 corpus
         # (max natural cosine ~0.6) produces real edges and the connected-

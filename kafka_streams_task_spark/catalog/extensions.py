@@ -5770,14 +5770,18 @@ def _theta_oracle() -> str:
         f"ELSE CAST({k - 1} AS DOUBLE) * {_THETA_H_SQL} / CAST(hmax AS DOUBLE) END"
     )
     return f"""
-    WITH sa AS (SELECT {_THETA_HASH_SQL} AS h FROM ({a_src})
+    -- DISTINCT on the HASH, not just the value (review r16): the Spark
+    -- builder dedups hashes, so a 60-bit collision below theta must
+    -- collapse on this side too or the whole-sketch legs would
+    -- spuriously hash-fail on a correct engine
+    WITH sa AS (SELECT DISTINCT {_THETA_HASH_SQL} AS h FROM ({a_src})
                 ORDER BY h LIMIT {k}),
-    sb AS (SELECT {_THETA_HASH_SQL} AS h FROM ({b_src})
+    sb AS (SELECT DISTINCT {_THETA_HASH_SQL} AS h FROM ({b_src})
            ORDER BY h LIMIT {k}),
     -- the UNION sketch from the RAW CORPORA: equal to Spark's
     -- union-of-sketches by the KMV composition theorem — a composition
     -- bug on either side hash-fails here
-    su AS (SELECT {_THETA_HASH_SQL} AS h
+    su AS (SELECT DISTINCT {_THETA_HASH_SQL} AS h
            FROM (SELECT x FROM ({a_src}) UNION SELECT x FROM ({b_src}))
            ORDER BY h LIMIT {k}),
     stats AS (

@@ -549,9 +549,14 @@ def similarity_knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     exact = knn_bruteforce(emb, q, k=5)
-    approx = knn_ivf(emb, q, k=5, n_probe=12)
+    # coarse_metric="l2" (review r16): this folded builder runs the
+    # near-uniform driver embeddings its 0.8 floors were proven on —
+    # the same explicit pin the host suite carries
+    approx = knn_ivf(emb, q, k=5, n_probe=12, coarse_metric="l2")
     gate = _knn_recall_gate(q, exact, approx, k=5, floor=0.8)
-    approx_pq = knn_ivf_pq(emb, q, k=5, n_probe=12, ks=64, rerank_k=96)
+    approx_pq = knn_ivf_pq(
+        emb, q, k=5, n_probe=12, ks=64, rerank_k=96, coarse_metric="l2"
+    )
     gate_pq = _knn_recall_gate(q, exact, approx_pq, k=5, floor=0.8).select(
         "query_id",
         F.col("n_results").alias("n_results_pq"),

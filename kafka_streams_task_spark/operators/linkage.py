@@ -282,16 +282,32 @@ def jaro_winkler_udf(
     the duplicated stage in phonetic_jw_pairs."""
     from pyspark.sql.functions import pandas_udf
 
+    # above this length a pair leaves the numpy batch: the kernel pads
+    # every row to the BATCH max length (O(rows x maxlen) matrices), so
+    # one mis-mapped multi-KB value would inflate memory for the whole
+    # Arrow batch (review r16). Name-length strings stay vectorized;
+    # rare outliers take the O(|s|) -per-pair scalar reference instead.
+    _NP_MAX_LEN = 512
+
     @pandas_udf("double")
     def _jw(a: pd.Series, b: pd.Series) -> pd.Series:
         null = a.isna() | b.isna()
-        val = ~null
+        lengths = a.str.len().fillna(0).combine(
+            b.str.len().fillna(0), max
+        )
+        long = ~null & (lengths > _NP_MAX_LEN)
+        val = ~null & ~long
         out = pd.Series([None] * len(a), dtype="float64")
         if val.any():
             out[val] = _jaro_winkler_np(
                 a[val].tolist(), b[val].tolist(),
                 prefix_weight, boost_threshold,
             )
+        if long.any():
+            out[long] = [
+                _jaro_winkler_py(x, y, prefix_weight, boost_threshold)
+                for x, y in zip(a[long], b[long])
+            ]
         return out
 
     return _jw.asNondeterministic()

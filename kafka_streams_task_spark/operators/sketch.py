@@ -983,9 +983,9 @@ def theta_sketch_table(
     return local.distinct().orderBy("h").limit(k)
 
 
-def _theta_stats(sketch: DataFrame, k: int):
-    """One-row (n, hmax) aggregate of a sketch — n < k means the sketch
-    is EXACT (it holds every distinct hash)."""
+def _theta_stats(sketch: DataFrame):
+    """One-row (n, hmax) aggregate of a sketch — the n < k exactness
+    decision lives in each caller (review r16: no dead k here)."""
     return sketch.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.max("h").alias("hmax"),
@@ -1006,7 +1006,7 @@ def theta_distinct(sketch: DataFrame, k: int = 512) -> DataFrame:
     (its k-th smallest hash); relative error ~ 1/sqrt(k-2)."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    s = _theta_stats(sketch, k)
+    s = _theta_stats(sketch)
     return s.select(
         F.col("n").alias("n_kept"),
         F.when(F.col("n") < k, F.col("n").cast("double"))
@@ -1033,13 +1033,41 @@ def _theta_threshold(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
     saturated else H) — the common sampling threshold. Every hash < theta
     present in either CORPUS is present in its sketch, so set membership
     below theta is exact."""
-    sa = _theta_stats(a, k).select(
+    sa = _theta_stats(a).select(
         F.when(F.col("n") < k, F.lit(_THETA_H)).otherwise(F.col("hmax")).alias("ta")
     )
-    sb = _theta_stats(b, k).select(
+    sb = _theta_stats(b).select(
         F.when(F.col("n") < k, F.lit(_THETA_H)).otherwise(F.col("hmax")).alias("tb")
     )
     return sa.crossJoin(sb).select(F.least("ta", "tb").alias("theta"))
+
+
+def _theta_setop(
+    matches: DataFrame, th: DataFrame, n_name: str
+) -> DataFrame:
+    """Shared set-op tail: count ``matches`` rows below the 1-row
+    ``th`` threshold and scale. The threshold plan is instantiated
+    ONCE (review r16 — a second crossJoin of ``th`` re-ran both
+    corpus-scanning sketch builds): left-join the matches onto the
+    1-row threshold on a TRUE condition (empty matches still yield the
+    threshold row with a NULL h), count below-theta rows via a
+    conditional count, and group by the single theta value so the
+    output is always exactly one row."""
+    return (
+        F.broadcast(th)
+        .join(matches, F.lit(True), "left")
+        .groupBy("theta")
+        .agg(
+            F.count(F.when(F.col("h") < F.col("theta"), 1))
+            .cast("long")
+            .alias(n_name)
+        )
+        .select(
+            n_name,
+            "theta",
+            _theta_est(F.col(n_name), F.col("theta")).alias("est"),
+        )
+    )
 
 
 def theta_intersect(a: DataFrame, b: DataFrame, k: int = 512) -> DataFrame:
@@ -1049,18 +1077,7 @@ def theta_intersect(a: DataFrame, b: DataFrame, k: int = 512) -> DataFrame:
     n_common · H/theta. Exact when both sketches are unsaturated."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    th = _theta_threshold(a, b, k)
-    common = (
-        a.join(b, "h")
-        .crossJoin(F.broadcast(th))
-        .filter(F.col("h") < F.col("theta"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
-    )
-    return common.crossJoin(F.broadcast(th)).select(
-        "n_common",
-        "theta",
-        _theta_est(F.col("n_common"), F.col("theta")).alias("est"),
-    )
+    return _theta_setop(a.join(b, "h"), _theta_threshold(a, b, k), "n_common")
 
 
 def theta_a_not_b(a: DataFrame, b: DataFrame, k: int = 512) -> DataFrame:
@@ -1070,15 +1087,6 @@ def theta_a_not_b(a: DataFrame, b: DataFrame, k: int = 512) -> DataFrame:
     theta is exact, see :func:`_theta_threshold`)."""
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
-    th = _theta_threshold(a, b, k)
-    only = (
-        a.join(b, "h", "left_anti")
-        .crossJoin(F.broadcast(th))
-        .filter(F.col("h") < F.col("theta"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_only"))
-    )
-    return only.crossJoin(F.broadcast(th)).select(
-        "n_only",
-        "theta",
-        _theta_est(F.col("n_only"), F.col("theta")).alias("est"),
+    return _theta_setop(
+        a.join(b, "h", "left_anti"), _theta_threshold(a, b, k), "n_only"
     )

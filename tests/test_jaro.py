@@ -204,3 +204,30 @@ def test_np_kernel_matches_scalar_reference_exhaustively():
         )
     # empty batch: shape-stable
     assert len(_jaro_winkler_np([], [])) == 0
+
+
+def test_long_outlier_pairs_take_scalar_path_with_identical_scores(spark):
+    """Review-r16 pin: a pathological multi-KB value in a batch must not
+    inflate the numpy kernel's padded matrices (O(rows x batch-maxlen));
+    pairs over the length cutoff route through the scalar reference
+    inside the same UDF, with scores identical to the spec either way
+    and NULLs preserved."""
+    long_s = "ab" * 2000  # 4000 chars, far over the 512 cutoff
+    rows = [
+        ("MARTHA", "MARHTA"),
+        (long_s, long_s[:-1] + "x"),
+        (None, long_s),
+        ("DIXON", "DICKSONX"),
+    ]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    jw = jaro_winkler_udf()
+    got = [r["jw"] for r in df.select(jw("a", "b").alias("jw")).collect()]
+    want = [
+        _jaro_winkler_py(a, b) if a is not None and b is not None else None
+        for a, b in rows
+    ]
+    for g, w in zip(got, want):
+        if w is None:
+            assert g is None
+        else:
+            assert g == pytest.approx(w, abs=1e-12)

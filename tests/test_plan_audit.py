@@ -115,10 +115,11 @@ PY_ALLOWED = {
     # r16: the KMV builder's bounded per-partition fold (mapInPandas,
     # <= k rows out per partition — the property that keeps the shuffle
     # off the distinct domain) re-runs once per leg that consumes a
-    # sketch (no caching, the no-cached-blocks standard): 2 sketches x
-    # (sketch leg + est leg + union leg + 2 set-op legs incl. their
-    # theta thresholds) = 20 measured, zero headroom
-    "theta_sketch_suite": 20,
+    # sketch (no caching, the no-cached-blocks standard): sketch legs
+    # (1+1+2) + est legs (1+1+2) + 2 set-op legs x (2-stage match join
+    # + 2-stage threshold, single-instantiated per the r16 review) = 16
+    # measured, zero headroom
+    "theta_sketch_suite": 16,
     # r10 fourth wave: three legs ('jw' goldens, 'link' planted names,
     # 'part' vocabulary), each one ArrowEvalPython jaro_winkler_udf
     # stage over a candidate-sized frame (r13: the jw: legs of

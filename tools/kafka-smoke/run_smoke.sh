@@ -18,9 +18,16 @@ set -euo pipefail
 
 BOOTSTRAP="${KAFKA_BOOTSTRAP:-localhost:9092}"
 SPARK_VERSION="$(python -c 'import pyspark; print(pyspark.__version__)')"
-SCALA_SUFFIX="2.13"  # Spark 4.x ships Scala 2.13 only
+# Scala ABI must match the installed pyspark wheel: Spark 4.x ships
+# Scala 2.13 only; pip Spark 3.x wheels are built against 2.12 — a
+# mismatched connector dies in NoSuchMethodError, not a clear message
+case "${SPARK_VERSION}" in
+  4.*) SCALA_SUFFIX="2.13" ;;
+  3.*) SCALA_SUFFIX="2.12" ;;
+  *) echo "unsupported pyspark version ${SPARK_VERSION}" >&2; exit 1 ;;
+esac
 
-echo "pyspark ${SPARK_VERSION}; broker ${BOOTSTRAP}"
+echo "pyspark ${SPARK_VERSION} (scala ${SCALA_SUFFIX}); broker ${BOOTSTRAP}"
 
 export PYSPARK_SUBMIT_ARGS="--packages org.apache.spark:spark-sql-kafka-0-10_${SCALA_SUFFIX}:${SPARK_VERSION} pyspark-shell"
 export KAFKA_BOOTSTRAP="${BOOTSTRAP}"
