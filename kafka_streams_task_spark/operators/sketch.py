@@ -66,6 +66,7 @@ __all__ = [
     "theta_a_not_b",
     "theta_distinct",
     "theta_intersect",
+    "theta_sample",
     "theta_sketch_table",
     "theta_union",
     "topk_tokens_sketched",
@@ -1090,3 +1091,49 @@ def theta_a_not_b(a: DataFrame, b: DataFrame, k: int = 512) -> DataFrame:
     return _theta_setop(
         a.join(b, "h", "left_anti"), _theta_threshold(a, b, k), "n_only"
     )
+
+
+def theta_sample(
+    df: DataFrame, value_col: str, k: int = 512
+) -> DataFrame:
+    """Bottom-k uniform sample of the DISTINCT values of
+    ``df[value_col]``: ``(h, value)`` rows for the k smallest distinct
+    hashes — the theta sketch with its payload attached (Cohen &
+    Kaplan 2007's bottom-k sketch). Because the hash is uniform and
+    deterministic, this is a uniform-without-replacement sample of the
+    distinct-value DOMAIN (each distinct value equally likely
+    regardless of its row frequency — the corpus-inspection draw
+    "show me 512 random distinct urls/users/documents" that a
+    row-level sample cannot give without a full dedup), it is
+    REPRODUCIBLE across runs and engines, and it composes: the union
+    of two samples re-truncated to k is the sample of the unioned
+    corpora, so shard-parallel and streaming builds lose nothing.
+    Its ``h`` column IS ``theta_sketch_table``'s sketch, so every
+    set-operation estimator accepts ``theta_sample(...)`` output
+    directly.
+
+    Scale shape: same bounded fold as the sketch builder — at most k
+    (h, value) rows per partition leave the Arrow stage, so the one
+    shuffle never carries the distinct domain."""
+    import numpy as np
+    import pandas as pd
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    hashed = df.filter(F.col(value_col).isNotNull()).select(
+        _theta_hash(value_col).alias("h"),
+        F.col(value_col).cast("string").alias("value"),
+    )
+
+    def fold(it):
+        best = pd.DataFrame({"h": np.array([], dtype="int64"), "value": []})
+        for pdf in it:
+            both = pd.concat([best, pdf[["h", "value"]]], ignore_index=True)
+            both = both.drop_duplicates("h").sort_values("h")
+            best = both.head(k)
+        yield best
+
+    local = hashed.mapInPandas(fold, "h long, value string")
+    # ties on h cannot occur across DISTINCT hashes; dropDuplicates on h
+    # collapses the same value arriving from several partitions
+    return local.dropDuplicates(["h"]).orderBy("h").limit(k)

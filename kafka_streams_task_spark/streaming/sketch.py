@@ -32,11 +32,13 @@ from pyspark.sql import functions as F
 __all__ = [
     "read_distinct_count",
     "read_theta_distinct",
+    "read_theta_sample",
     "read_theta_sketch",
     "read_token_frequencies",
     "read_top_tokens",
     "read_value_quantiles",
     "streaming_distinct_values",
+    "streaming_theta_sample",
     "streaming_theta_sketch",
     "streaming_token_frequencies",
     "streaming_top_tokens",
@@ -761,3 +763,106 @@ def read_theta_distinct(spark: SparkSession, state_dir: str) -> DataFrame:
     sketch = read_theta_sketch(spark, state_dir)
     k = _meta_dict(spark, f"{state_dir}/theta_meta")["k"]
     return theta_distinct(sketch, k=k)
+
+
+_SAMP_PFX = "sample_v"
+
+
+def streaming_theta_sample(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    value_col: str = "value",
+    k: int = 512,
+):
+    """Maintain a cumulative bottom-k uniform sample of DISTINCT values
+    over a stream (``operators.sketch.theta_sample``'s twin): the
+    durable state is the k smallest distinct hashes WITH their values —
+    a reproducible uniform-without-replacement draw from the distinct
+    domain of everything ever ingested ("show me 512 random distinct
+    urls seen so far"), whose ``h`` column is simultaneously the theta
+    sketch (feed :func:`read_theta_sample` output to the batch set-op
+    estimators directly). The merge (k smallest distinct of committed ∪
+    batch, values riding their hashes) is EXACT and IDEMPOTENT — the
+    committed sample after batch N is bit-identical to the batch
+    ``theta_sample`` over everything ingested (pinned) — and state per
+    version is at most k rows, corpus-independent.
+
+    Exactly-once via the family's versioned-parquet protocol; ``k``
+    persists in ``sample_meta`` and is validated on every batch and
+    read (the ``theta_meta`` discipline)."""
+    from ..operators.sketch import theta_sample
+    from .state import bind_state_to_checkpoint, committed_versions
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    bind_state_to_checkpoint(stream.sparkSession, state_dir, checkpoint_dir)
+    _check_or_write_sample_meta(stream.sparkSession, state_dir, k)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _check_or_write_sample_meta(spark, state_dir, k)
+        versions = committed_versions(spark, state_dir, _SAMP_PFX)
+        if batch_id in versions:
+            return  # redelivery: this batch's sample is already durable
+        prev = [v for v in versions if v < batch_id]
+        batch_s = theta_sample(batch_df, value_col, k)
+        if prev:
+            committed = spark.read.parquet(f"{state_dir}/{_SAMP_PFX}{max(prev)}")
+            merged = (
+                committed.unionByName(batch_s)
+                .dropDuplicates(["h"])
+                .orderBy("h")
+                .limit(k)
+            )
+        else:
+            merged = batch_s
+        merged.write.mode("overwrite").parquet(
+            f"{state_dir}/{_SAMP_PFX}{batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _check_or_write_sample_meta(
+    spark: SparkSession, state_dir: str, k: int
+) -> None:
+    """The ``theta_meta`` discipline for the sample state: persist k on
+    first contact, refuse disagreement, ``_SUCCESS``-gated self-heal."""
+    from .state import meta_committed
+
+    meta_path = f"{state_dir}/sample_meta"
+    if meta_committed(spark, meta_path):
+        row = _meta_dict(spark, meta_path)
+        if row["k"] != k:
+            raise ValueError(
+                f"sample state at {state_dir} was built with k={row['k']}; "
+                f"got {k}"
+            )
+    else:
+        spark.createDataFrame([(int(k),)], "k int").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(meta_path)
+
+
+def read_theta_sample(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The latest committed cumulative sample ``(h, value)`` (<= k
+    rows). Raises if nothing has committed, or when committed versions
+    exist WITHOUT their meta (unknown provenance)."""
+    from .state import committed_versions, meta_committed
+
+    versions = committed_versions(spark, state_dir, _SAMP_PFX)
+    if not versions:
+        raise ValueError(f"no committed sample under {state_dir}")
+    if not meta_committed(spark, f"{state_dir}/sample_meta"):
+        raise ValueError(
+            f"no sample_meta under {state_dir} but committed samples exist "
+            "— the durable state's k is unknown (partial state-dir "
+            "cleanup?)"
+        )
+    return spark.read.parquet(f"{state_dir}/{_SAMP_PFX}{max(versions)}")

@@ -1710,3 +1710,108 @@ def test_streaming_theta_equals_batch_and_guards(spark, tmpdir):
     theta_sketch_table(both, "value", k=64).write.parquet(f"{s2}/theta_v0")
     with pytest.raises(ValueError, match="committed sketches exist"):
         read_theta_sketch(spark, s2)
+
+
+def test_theta_sample_uniform_distinct_draw(spark):
+    """Bottom-k sample (r16): the (h, value) rows are EXACTLY the k
+    smallest distinct hashes with their values (hashlib re-derivation);
+    the draw is over the DISTINCT domain (row frequency irrelevant);
+    its h column equals theta_sketch_table's sketch so set-op
+    estimators accept it directly; partition-invariant."""
+    import hashlib
+
+    from kafka_streams_task_spark.operators.sketch import (
+        theta_distinct,
+        theta_sample,
+        theta_sketch_table,
+    )
+
+    # heavy duplication: value v0 appears 1000x, others once
+    rows = [("v0",)] * 1000 + [(f"v{i}",) for i in range(1, 50)]
+    df = spark.createDataFrame(rows, "x string")
+
+    def py_hash(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    want = sorted((py_hash(f"v{i}"), f"v{i}") for i in range(50))[:16]
+    got = [
+        (r["h"], r["value"])
+        for r in theta_sample(df, "x", k=16).orderBy("h").collect()
+    ]
+    assert got == want  # frequency of v0 bought it nothing
+    got7 = [
+        (r["h"], r["value"])
+        for r in theta_sample(df.repartition(7), "x", k=16).orderBy("h").collect()
+    ]
+    assert got7 == want
+    # h column IS the sketch
+    sk = {r["h"] for r in theta_sketch_table(df, "x", k=16).collect()}
+    assert {h for h, _ in got} == sk
+    est = theta_distinct(
+        theta_sample(df, "x", k=16).select("h"), k=16
+    ).collect()[0]
+    assert est["n_kept"] == 16
+
+
+def test_streaming_theta_sample_equals_batch_and_guards(spark, tmpdir):
+    """Streaming bottom-k sample twin: state after two batches ==
+    batch theta_sample over everything; replay no-op; k refusal;
+    orphan refusal."""
+    import json as _json
+    import os
+
+    from pyspark.sql import types as T
+
+    from kafka_streams_task_spark.operators.sketch import theta_sample
+    from kafka_streams_task_spark.streaming.sketch import (
+        read_theta_sample,
+        streaming_theta_sample,
+    )
+
+    b0 = [{"id": i, "value": f"u{i}"} for i in range(50)]
+    b1 = [{"id": i, "value": f"u{i}"} for i in range(30, 90)]
+    src = f"{tmpdir}/ts_in"
+    os.makedirs(src)
+    for i, rows in enumerate((b0, b1)):
+        with open(f"{src}/b{i}.json", "w") as f:
+            f.write("\n".join(_json.dumps(r) for r in rows))
+        os.utime(f"{src}/b{i}.json", (1000000000 + i * 100,) * 2)
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("value", T.StringType())]
+    )
+    state = f"{tmpdir}/ts_state"
+
+    def run(ck):
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+        )
+        q = streaming_theta_sample(stream, state, ck, k=32)
+        q.awaitTermination(120)
+
+    run(f"{tmpdir}/ts_ckpt")
+    both = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(90)], "id long, value string"
+    )
+    want = {
+        (r["h"], r["value"]) for r in theta_sample(both, "value", k=32).collect()
+    }
+    got = {
+        (r["h"], r["value"]) for r in read_theta_sample(spark, state).collect()
+    }
+    assert got == want
+
+    run(f"{tmpdir}/ts_ckpt")  # replay no-op
+    assert {
+        (r["h"], r["value"]) for r in read_theta_sample(spark, state).collect()
+    } == want
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+    )
+    with pytest.raises(ValueError, match="built with k"):
+        streaming_theta_sample(stream, state, f"{tmpdir}/ts_ckpt", k=16)
+
+    s2 = f"{tmpdir}/ts_orphan"
+    theta_sample(both, "value", k=32).write.parquet(f"{s2}/sample_v0")
+    with pytest.raises(ValueError, match="committed samples exist"):
+        read_theta_sample(spark, s2)
