@@ -256,3 +256,40 @@ def test_no_row_at_a_time_python_anywhere(plans):
         f"row-at-a-time Python UDFs in: {sorted(offenders)} — use an "
         "Arrow-batched pandas UDF or a builtin expression"
     )
+
+
+#: driver-table widths; a FileScan reading EVERY column of one of these
+#: is the classic pruning failure (projection not reaching the scan)
+_TABLE_WIDTHS = {
+    "lineitem": 16, "orders": 9, "customer": 8, "supplier": 7,
+    "part": 9, "nation": 4, "region": 3, "events": 6, "documents": 5,
+}
+
+
+def test_column_pruning_reaches_every_parquet_scan(plans):
+    """r16: no catalog query's FileScan reads the FULL width of any
+    multi-column driver table — column pruning reaches the parquet
+    reader everywhere (the 100 TB scan-cost invariant: a 16-column
+    lineitem read for a 7-column aggregate would be paying for 2x the
+    IO). ``embeddings`` is exempt by construction: it has exactly two
+    columns (vec_id, embedding) and every kNN consumer needs both.
+    Audited catalog-wide at introduction: zero full-width scans."""
+    offenders = []
+    scan_re = re.compile(r"FileScan parquet ([^\n]+)")
+    tbl_re = re.compile(r"/(\w+)\.parquet")
+    rs_re = re.compile(r"ReadSchema: struct<(.*?)>?$")
+    for name, p in plans.items():
+        for m in scan_re.finditer(p):
+            line = m.group(1)
+            tm = tbl_re.search(line)
+            if not tm or tm.group(1) not in _TABLE_WIDTHS:
+                continue
+            rs = rs_re.search(line)
+            # plan strings may truncate; count only definite full reads
+            ncols = rs.group(1).count(":") if rs else 0
+            if ncols >= _TABLE_WIDTHS[tm.group(1)]:
+                offenders.append((name, tm.group(1), ncols))
+    assert not offenders, (
+        f"full-width parquet scans (pruning failed to reach the reader): "
+        f"{offenders}"
+    )

@@ -63,3 +63,9 @@ def main() -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+# NOTE (r16): the enforced column-pruning twin of this exploratory view
+# lives in tests/test_plan_audit.py::
+# test_column_pruning_reaches_every_parquet_scan — no catalog query may
+# FileScan the full width of a multi-column driver table.
