@@ -170,3 +170,61 @@ def test_dd_quantile_guarantee_on_random_data(spark, vals, q):
         true,
         vals,
     )
+
+
+# ---------------------------------------------------------------------------
+# r16: KMV theta sketch family against hashlib brute force on random sets
+# ---------------------------------------------------------------------------
+
+_theta_vals = st.lists(
+    st.text(alphabet="abcdefgh", min_size=0, max_size=5), max_size=40
+)
+
+
+def _py_theta(values, k):
+    import hashlib
+
+    hs = sorted(
+        {int(hashlib.md5(v.encode()).hexdigest()[:15], 16) for v in values}
+    )
+    return hs[:k]
+
+
+@settings(max_examples=5, deadline=None)
+@given(a=_theta_vals, b=_theta_vals, k=st.integers(min_value=2, max_value=12))
+def test_theta_family_matches_reference_on_random_sets(spark, a, b, k):
+    """Random-set property sweep: sketch == hashlib k-smallest-distinct,
+    union-of-sketches == sketch-of-union, and the set-op estimates are
+    EXACT whenever both sketches are unsaturated (n < k) — across
+    random overlaps, empty sides, and duplicated values."""
+    from kafka_streams_task_spark.operators.sketch import (
+        theta_a_not_b,
+        theta_intersect,
+        theta_sketch_table,
+        theta_union,
+    )
+
+    dfa = spark.createDataFrame(
+        [(v,) for v in a] or [(None,)], "x string"
+    )
+    dfb = spark.createDataFrame(
+        [(v,) for v in b] or [(None,)], "x string"
+    )
+    sa = theta_sketch_table(dfa, "x", k=k)
+    sb = theta_sketch_table(dfb, "x", k=k)
+    got_a = [r["h"] for r in sa.orderBy("h").collect()]
+    got_b = [r["h"] for r in sb.orderBy("h").collect()]
+    assert got_a == _py_theta(a, k)
+    assert got_b == _py_theta(b, k)
+    assert [
+        r["h"] for r in theta_union(sa, sb, k=k).orderBy("h").collect()
+    ] == _py_theta(list(a) + list(b), k)
+    if len(set(a)) < k and len(set(b)) < k:
+        assert (
+            theta_intersect(sa, sb, k=k).collect()[0]["est"]
+            == float(len(set(a) & set(b)))
+        )
+        assert (
+            theta_a_not_b(sa, sb, k=k).collect()[0]["est"]
+            == float(len(set(a) - set(b)))
+        )
