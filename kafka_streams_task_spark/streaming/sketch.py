@@ -18,7 +18,9 @@ deterministic function of the predecessor summary and the batch), a
 redelivered batch whose version is committed skips wholesale, and the
 state dir is bound to its checkpoint for life. State size on disk is
 O(capacity) rows per version; old versions are prunable (each version
-is self-contained — no shard union).
+is self-contained — no shard union) via
+``streaming.state.prune_state_versions`` (r16: run it every K batches
+or from a janitor job; readers always resolve the kept max).
 
 Reference parity: no analogue — beyond-reference training-data mandate
 (SURVEY.md north-star extensions).

@@ -203,3 +203,44 @@ def compact_index_shards(
         if stale:
             fs.delete(st.getPath(), True)
     return new_path
+
+
+def prune_state_versions(
+    spark: SparkSession, root_dir: str, pfx: str, keep_last: int = 2
+) -> list[int]:
+    """Delete old SELF-CONTAINED state versions, keeping the newest
+    ``keep_last`` — the retention side of the versioned-parquet
+    protocol. Every sketch/sample/mixing family writes one
+    self-contained version per micro-batch (each version is the full
+    cumulative state, not a delta), so an always-on stream accumulates
+    one parquet dir per batch forever; this bounds the dir at
+    O(keep_last) without touching correctness: readers resolve
+    ``max(committed_versions)``, which is always kept, and redelivery
+    detection only needs the batch's OWN version to be present —
+    pruning batch N-5 cannot make a redelivered batch N-5 misfire
+    because foreachBatch redelivers only the LATEST uncommitted batch
+    under availableNow/checkpoint semantics; a redelivered batch whose
+    version was pruned would recompute from the kept predecessor, which
+    is the same deterministic merge. Keep at least 2 so a reader that
+    resolved the previous max just before a new commit never races a
+    delete.
+
+    Only ``{pfx}N`` version directories are touched — parameter metas,
+    ``_checkpoint`` markers, and compact/shard dirs (which have their
+    own lifecycle, :func:`compact_index_shards`) are never candidates.
+    Crash-safe: deletion is pure cleanup of fully-committed dirs; a
+    crash mid-prune leaves some extra old versions for the next prune.
+    Returns the pruned version numbers."""
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    versions = committed_versions(spark, root_dir, pfx)
+    victims = versions[:-keep_last] if len(versions) > keep_last else []
+    if not victims:
+        return []
+    jvm = spark._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    root = Path(root_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    for v in victims:
+        fs.delete(Path(root_dir, f"{pfx}{v}"), True)
+    return victims

@@ -1815,3 +1815,45 @@ def test_streaming_theta_sample_equals_batch_and_guards(spark, tmpdir):
     theta_sample(both, "value", k=32).write.parquet(f"{s2}/sample_v0")
     with pytest.raises(ValueError, match="committed samples exist"):
         read_theta_sample(spark, s2)
+
+
+def test_prune_state_versions_bounds_dir_without_touching_reads(spark, tmpdir):
+    """r16 retention: an always-on stream writes one self-contained
+    version per batch forever; prune_state_versions bounds the dir at
+    keep_last while reads (always the max version) and metas are
+    untouched; uncommitted (no _SUCCESS) dirs are never counted or
+    deleted; keep_last validates."""
+    import os
+
+    from kafka_streams_task_spark.operators.sketch import theta_sketch_table
+    from kafka_streams_task_spark.streaming.sketch import (
+        _check_or_write_theta_meta,
+        read_theta_distinct,
+    )
+    from kafka_streams_task_spark.streaming.state import (
+        committed_versions,
+        prune_state_versions,
+    )
+
+    state = f"{tmpdir}/prune_state"
+    df = spark.createDataFrame([(f"u{i}",) for i in range(40)], "value string")
+    _check_or_write_theta_meta(spark, state, 16)
+    for v in range(5):
+        theta_sketch_table(df.limit(10 + v * 5), "value", k=16).write.parquet(
+            f"{state}/theta_v{v}"
+        )
+    # one CRASHED write: dir exists, no _SUCCESS — invisible to both
+    os.makedirs(f"{state}/theta_v9")
+    before = read_theta_distinct(spark, state).collect()[0]
+
+    pruned = prune_state_versions(spark, state, "theta_v", keep_last=2)
+    assert pruned == [0, 1, 2]
+    assert committed_versions(spark, state, "theta_v") == [3, 4]
+    assert os.path.exists(f"{state}/theta_meta/_SUCCESS")  # meta untouched
+    assert os.path.exists(f"{state}/theta_v9")  # not a committed version
+    after = read_theta_distinct(spark, state).collect()[0]
+    assert (after["n_kept"], after["est"]) == (before["n_kept"], before["est"])
+
+    assert prune_state_versions(spark, state, "theta_v", keep_last=2) == []
+    with pytest.raises(ValueError, match="keep_last"):
+        prune_state_versions(spark, state, "theta_v", keep_last=0)
