@@ -89,13 +89,14 @@ _PROMOTED = [
     # point-frequency sketch (the MG top-k's companion), whose oracle
     # re-derives the ENTIRE counter table via the portable md5 idiom.
     "cms_freq_suite",
-    # r16: asof_purchase_to_click folded into temporal_join_suite's
-    # 'asof' leg (same relations, oracle unchanged); the freed slot
-    # carries the KMV theta sketch — distinct-count SET OPERATIONS
-    # (corpus overlap), whole-sketch + estimate oracles, the fifth
-    # sketch family.
-    "theta_sketch_suite",
 ]
+# opt-r16 (optimization round): the interrupted build round swapped
+# asof_purchase_to_click out of the window for theta_sketch_suite; the
+# optimization contract pins the r15 driver window (a disappeared or
+# result-changed declared query is a REGRESSION), so the fold is
+# reverted — asof_purchase_to_click re-registers in its r15 slot and
+# theta_sketch_suite registers PAST the 50-entry window (driver ignores
+# it; tools/check_oracle.py holds it to the same oracle standard).
 
 _names = list(CATALOG)
 # explicit raises, not asserts: the window invariant must hold under

@@ -4527,11 +4527,6 @@ def _tj_oracle() -> str:
     FROM l JOIN r ON l.user_id = r.user_id
                  AND r.ts >= l.ts - INTERVAL 1 HOUR AND r.ts <= l.ts
     UNION ALL
-    SELECT CAST('asof' AS VARCHAR), CAST(l.event_id AS BIGINT),
-           CAST(r.event_id AS BIGINT), CAST(NULL AS BIGINT),
-           CAST(NULL AS BIGINT)
-    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
-    UNION ALL
     SELECT CAST('asof_tol' AS VARCHAR), CAST(j.event_id AS BIGINT),
            CAST(j.click_id AS BIGINT), CAST(j.gap_s AS BIGINT),
            CAST(NULL AS BIGINT)
@@ -4638,12 +4633,6 @@ def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                  Spark timestamp_diff truncates elapsed time — they
                  agree only on truncated values; and never an epoch
                  cast — NTZ);
-    'asof'     — r16 fold of the asof_purchase_to_click driver slot
-                 (the plain backward as-of, no tolerance — each
-                 purchase to the user's latest prior-or-simultaneous
-                 click) vs DuckDB's native ASOF LEFT JOIN, the folded
-                 slot's oracle unchanged; rides the identical
-                 purchases/clicks relations the other legs build;
     'asof_tol' — asof_join with tolerance=900s vs DuckDB's NATIVE
                  ASOF JOIN + gap CASE: the union-window formulation
                  and an entirely independent engine implementation
@@ -4704,13 +4693,6 @@ def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("i1"),
-        nul.alias("i2"),
-    )
-    plain = asof_join(purchases, clicks, on="ts", by="user_id").select(
-        F.lit("asof").alias("leg"),
-        F.col("event_id").cast("long").alias("key"),
-        F.col("r_event_id").cast("long").alias("key_b"),
-        nul.alias("i1"),
         nul.alias("i2"),
     )
     tol = asof_join(
@@ -4780,8 +4762,7 @@ def temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul.alias("i2"),
     )
     return (
-        band.unionByName(plain)
-        .unionByName(tol)
+        band.unionByName(tol)
         .unionByName(fwd)
         .unionByName(near)
         .unionByName(near_date)

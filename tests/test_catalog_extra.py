@@ -41,7 +41,9 @@ def test_every_catalog_query_runs_and_returns_rows(spark, sf_dir):
     # (perceptual/geo/model-eval/linkage/mixing/corpus-stats/text-profile
     # umbrellas + the new cms_freq_suite) — the catalog now fills the
     # driver window EXACTLY, every capability officially gated
-    assert len(CATALOG) == 50
+    # opt-r16: 51 = the pinned 50-entry r15 driver window +
+    # theta_sketch_suite registered past the cap (check_oracle-gated)
+    assert len(CATALOG) == 51
     for name, spec in sorted(CATALOG.items()):
         assert spec.oracle is not None, f"{name} lost its oracle"
         n = spec.fn(spark, sf_dir).count()

@@ -156,9 +156,7 @@ def plans(spark):
 #: list is pinned, not just the count
 DRIVER_WINDOW = [
     "geohash_cells", "pipeline_enrich_daily_rollup", "latest_event_per_user",
-    # r16 fold: asof_purchase_to_click became temporal_join_suite's
-    # 'asof' leg (raw builder stays importable for bench)
-    "events_hourly_tumbling", "session_suite",
+    "events_hourly_tumbling", "session_suite", "asof_purchase_to_click",
     "weather_topology_full",
     # r12 fold: the three 1-row recall gates became one canary-protected
     # suite; r13 wave 2 folded the four per-document text gates into
@@ -203,23 +201,25 @@ DRIVER_WINDOW = [
     # r13: the NEW count-min-sketch gate takes the spare 50th slot —
     # the catalog now fills the driver window exactly
     "cms_freq_suite",
-    # r16: the slot freed by the asof fold carries the KMV theta sketch
-    # (distinct-count set operations / corpus overlap — the fifth
-    # sketch family; whole-sketch + composition + estimate oracles)
-    "theta_sketch_suite",
 ]
+
+#: opt-r16: extensions registered PAST the 50-slot driver window (the
+#: optimization round reverted the interrupted asof->theta window swap;
+#: these are held to the same oracle standard by tools/check_oracle.py
+#: but get no driver CORRECTNESS row)
+PAST_WINDOW = ["theta_sketch_suite"]
 
 
 def test_catalog_fits_driver_window_completely(plans):
     # the driver evaluates the FIRST 50 registered queries (observed r3:
-    # 69 registered -> 50 CORRECTNESS rows). As of r13 wave 2 the whole
-    # catalog fits INSIDE the window (49 entries, one spare slot), so
-    # every capability is officially driver-gated — nothing registers
-    # past the cap, and the order is pinned by NAME AND POSITION
-    # (rebinding a slot silently rebinds its CORRECTNESS row).
+    # 69 registered -> 50 CORRECTNESS rows), and the order is pinned by
+    # NAME AND POSITION (rebinding a slot silently rebinds its
+    # CORRECTNESS row). opt-r16: the window is pinned to the r15 set —
+    # the optimization no-regression contract — and theta_sketch_suite
+    # registers past the cap (driver ignores it; check_oracle gates it).
     names = list(CATALOG)
-    assert len(names) == 50
-    assert names == DRIVER_WINDOW
+    assert names[:50] == DRIVER_WINDOW
+    assert names[50:] == PAST_WINDOW
 
 
 def test_no_cartesian_product_anywhere(plans):
