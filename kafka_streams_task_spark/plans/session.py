@@ -39,6 +39,21 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # opt-r16 (guide §2.2/§2.5): AQE's coalescer sizes partitions by
+        # BYTES, so a post-shuffle stage whose rows are cheap to move but
+        # expensive to process (candidate-pair verify, array explode +
+        # per-pair cosine/hamming math) collapses to ONE task whenever
+        # its input is under the 1 MB default floor — measured: the
+        # embedding-cosine verify ran 1.6 s of CPU in a single task on a
+        # 32-core session (3x the query's wall). A 64 KB floor keeps
+        # CPU-dense small shuffles at the session's parallelism; at
+        # cluster scale real shuffle sizes are orders of magnitude above
+        # either floor, so the knob only binds where it should. Env
+        # override for cluster profiles that want the 1 MB default back.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.sql.session.timeZone", "UTC")

@@ -148,3 +148,31 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def fan_out_scan(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Guard against serialized scans (opt-r16, guide §2.5 "input skew"):
+    when the source provides fewer splits than the session's parallelism
+    — a single-file/single-row-group parquet fixture, a gzip member, one
+    hot partition — every downstream map-stage kernel (shingling, hash
+    signatures, Arrow/numpy batches, tokenizers) runs in ONE task no
+    matter how many cores the session has. Round-robin repartition to
+    the default parallelism right after the (projected!) read: the
+    exchange moves only the few columns the caller kept, once, and
+    unlocks N-way CPU parallelism for everything after it.
+
+    No-op when the scan already has at least half the session's
+    parallelism (cluster scans of real multi-file tables land here, so
+    at 100 TB this never inserts an exchange). ``target`` derives from
+    ``defaultParallelism`` — never a constant — so the driver's
+    lower-core scaling runs keep their proportional shape. Callers must
+    project BEFORE fanning out (guide §2.3: project before the
+    exchange); the helper is deliberately not part of ``load_table`` so
+    cheap scan->aggregate queries never pay an exchange they don't need.
+    """
+    spark = df.sparkSession
+    if target is None:
+        target = spark.sparkContext.defaultParallelism
+    if target <= 1 or df.rdd.getNumPartitions() * 2 >= target:
+        return df
+    return df.repartition(target)
