@@ -1000,7 +1000,13 @@ def _ops_workloads():
         # explode -> count agg
         from kafka_streams_task_spark.functions.text import tokens_unicode
 
-        ev = load_table(s, d, "events")
+        from kafka_streams_task_spark.schemas import fan_out_scan
+
+        # opt-r16: the whole generate->tokenize->bigram chain fuses into
+        # the events scan stage; a single-split source ran its 4.1 s of
+        # CPU in ONE task. Fan the one generator column out first (the
+        # production analogue: a corpus scan has many splits).
+        ev = fan_out_scan(load_table(s, d, "events").select("event_id"))
         alph = F.array(*[F.lit(chr(0x4E00 + i)) for i in range(64)])
         run = F.array_join(
             F.transform(

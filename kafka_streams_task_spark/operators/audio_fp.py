@@ -37,6 +37,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+from ..schemas import fan_out_scan
+
 #: Haitsma-Kalker geometry, scaled down: 33 log-spaced bands -> 32 bits
 #: per sub-fingerprint; 256-sample Hann frames at 50% overlap
 N_BANDS = 33
@@ -178,7 +180,9 @@ def audio_subfingerprint_table(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(batches, schema)
+    # opt-r16: fan the projected scan out so the fused decode+FFT+band
+    # Arrow stage is not serialized by a single-split source
+    return fan_out_scan(df.select(id_col, payload_col)).mapInPandas(batches, schema)
 
 
 def audio_near_dup_pairs(

@@ -45,6 +45,8 @@ from pyspark.sql import types as T
 
 from .multimodal import _codec_fn, _resolve_codec
 
+from ..schemas import fan_out_scan
+
 #: pHash geometry: DCT input grid and the low-frequency block edge
 PHASH_GRID = 32
 HASH_EDGE = 8
@@ -185,7 +187,11 @@ def image_hash_table(
     pruned = df.select(id_col, payload_col).filter(
         F.col(payload_col).isNotNull() & (F.octet_length(payload_col) > 0)
     )
-    return pruned.mapInPandas(batches, _hash_schema(df, id_col))
+    # opt-r16: a single-split source would serialize the whole Arrow
+    # decode+hash stage into one Python worker; fan the projected scan
+    # out to the session's parallelism first (no-op on real multi-file
+    # asset tables)
+    return fan_out_scan(pruned).mapInPandas(batches, _hash_schema(df, id_col))
 
 
 def image_near_dup_pairs(
@@ -336,7 +342,9 @@ def video_frame_hashes(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(batches, schema)
+    # opt-r16: fan the projected scan out so the fused frame-sample+hash
+    # Arrow stage is not serialized by a single-split source
+    return fan_out_scan(df.select(id_col, payload_col)).mapInPandas(batches, schema)
 
 
 def video_near_dup_pairs(

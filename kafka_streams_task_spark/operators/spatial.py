@@ -42,6 +42,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..schemas import fan_out_scan
+
 __all__ = ["haversine_km", "radius_join", "radius_self_join"]
 
 #: IUGG mean Earth radius, km
@@ -167,8 +169,14 @@ def radius_join(
         )
 
     sa, sb = suffixes
+    # opt-r16: the probe side carries the ring explode AND (after the
+    # build side broadcasts) the join + haversine verify fused into its
+    # scan stage — a single-split source serializes all of it in one
+    # task (measured 1.6 s of CPU in one task on a 32-core session).
+    # Fan the already-projected points out first; no-op on real
+    # multi-split tables.
     probe = (
-        cells(left, sa)
+        cells(fan_out_scan(left), sa)
         .select(
             "*",
             F.explode(
