@@ -52,6 +52,49 @@ def _like_pattern(path: Column) -> Column:
     return F.when(anchored, wild).otherwise(F.concat(wild, F.lit("%")))
 
 
+def _grouped_lines(
+    df: DataFrame, domain_col: str, text_col: str, directive_re: str
+) -> DataFrame:
+    """Shared group-reconstruction chain: posexplode bodies into lines,
+    keep recognized directive lines (lowercased directive, trimmed
+    value), and rebuild RFC 9309 groups with the lag + running-sum
+    window pair. ``directive_re`` must capture (directive, value).
+
+    opt-r16: the projected bodies go through ``fan_out_scan`` first —
+    the line explode + two regexp extractions fuse into the scan stage,
+    and a single-split source (the local single-row-group fixtures; one
+    hot partition in production) would run all of that CPU in one task
+    (guide §2.5 "input skew")."""
+    from ..schemas import fan_out_scan
+
+    lines = (
+        fan_out_scan(
+            df.select(F.col(domain_col).alias("domain"), F.col(text_col).alias("_txt"))
+        )
+        .select(
+            "domain",
+            F.posexplode(F.split(F.col("_txt"), "\r?\n")).alias("line_no", "line"),
+        )
+        .select(
+            "domain",
+            "line_no",
+            F.lower(F.regexp_extract("line", directive_re, 1)).alias("directive"),
+            F.trim(F.regexp_extract("line", directive_re, 2)).alias("value"),
+        )
+        .filter(F.col("directive") != "")
+    )
+    w = Window.partitionBy("domain").orderBy("line_no")
+    # a user-agent line whose previous directive line is NOT user-agent
+    # starts a new group; the running sum of starts numbers the groups
+    return lines.withColumn(
+        "_starts",
+        (
+            (F.col("directive") == "user-agent")
+            & (F.coalesce(F.lag("directive").over(w), F.lit("")) != "user-agent")
+        ).cast("int"),
+    ).withColumn("group_id", F.sum("_starts").over(w))
+
+
 def parse_robots(
     df: DataFrame, domain_col: str = "domain", text_col: str = "robots_txt"
 ) -> DataFrame:
@@ -70,63 +113,56 @@ def parse_robots(
     nothing. Agents normalize to lowercase; paths are case-sensitive
     (RFC 9309 §2.2.2).
     """
-    lines = df.select(
-        F.col(domain_col).alias("domain"),
-        F.posexplode(F.split(F.col(text_col), "\r?\n")).alias("line_no", "line"),
-    ).select(
-        "domain",
-        "line_no",
-        F.regexp_extract("line", _DIRECTIVE_RE, 1).alias("_d"),
-        F.trim(F.regexp_extract("line", _DIRECTIVE_RE, 2)).alias("_v"),
-    ).filter(F.col("_d") != "")
-    lines = lines.select(
-        "domain", "line_no", F.lower("_d").alias("directive"), F.col("_v").alias("value")
-    )
+    grouped = _grouped_lines(df, domain_col, text_col, _DIRECTIVE_RE)
 
-    w = Window.partitionBy("domain").orderBy("line_no")
-    # a user-agent line whose previous directive line is NOT user-agent
-    # starts a new group; the running sum of starts numbers the groups
-    grouped = lines.withColumn(
-        "_starts",
-        (
-            (F.col("directive") == "user-agent")
-            & (F.coalesce(F.lag("directive").over(w), F.lit("")) != "user-agent")
-        ).cast("int"),
-    ).withColumn("group_id", F.sum("_starts").over(w))
-
-    agents = grouped.filter(F.col("directive") == "user-agent").select(
-        "domain", "group_id", F.lower("value").alias("agent")
-    ).distinct()
-    rules = grouped.filter(
-        F.col("directive").isin("allow", "disallow") & (F.col("value") != "")
-    ).select(
-        "domain",
-        "group_id",
-        (F.col("directive") == "allow").alias("is_allow"),
-        F.col("value").alias("path"),
+    # opt-r16 (guide §2.4): the old agents⋈rules inner join + anti join
+    # consumed the window chain three times — filters pushed below the
+    # window made the exchanges non-identical, so nothing was reused and
+    # the whole scan→regexp→window pipeline ran once per consumer. One
+    # groupBy(domain, group_id) collects each group's agent set and rule
+    # list in a single pass; it reuses the window's hashpartitioning
+    # (domain ⊆ the grouping key), so the operator runs exactly ONE
+    # exchange, and the agent×rule fan-out becomes two explodes.
+    per_group = grouped.groupBy("domain", "group_id").agg(
+        F.collect_set(
+            F.when(F.col("directive") == "user-agent", F.lower("value"))
+        ).alias("_agents"),
+        F.collect_list(
+            F.when(
+                F.col("directive").isin("allow", "disallow")
+                & (F.col("value") != ""),
+                F.struct(
+                    (F.col("directive") == "allow").alias("is_allow"),
+                    F.col("value").alias("path"),
+                ),
+            )
+        ).alias("_rules"),
     )
-    with_rules = rules.join(agents, on=["domain", "group_id"]).select(
-        "domain",
-        "agent",
-        "is_allow",
-        "path",
-        F.length("path").alias("pattern_len"),
-        _like_pattern(F.col("path")).alias("like_pattern"),
+    # rule-less groups survive as one null-path marker row (see
+    # docstring): same explode, the marker substitutes for the empty list
+    marker = F.array(
+        F.struct(
+            F.lit(True).alias("is_allow"), F.lit(None).cast("string").alias("path")
+        )
     )
-    # rule-less groups survive as null-path markers (see docstring)
-    empty_groups = agents.join(
-        rules.select("domain", "group_id").distinct(),
-        on=["domain", "group_id"],
-        how="left_anti",
-    ).select(
-        "domain",
-        "agent",
-        F.lit(True).alias("is_allow"),
-        F.lit(None).cast("string").alias("path"),
-        F.lit(None).cast("int").alias("pattern_len"),
-        F.lit(None).cast("string").alias("like_pattern"),
+    return (
+        per_group.select(
+            "domain",
+            F.explode("_agents").alias("agent"),
+            F.when(F.size("_rules") == 0, marker).otherwise(F.col("_rules")).alias(
+                "_rs"
+            ),
+        )
+        .select("domain", "agent", F.explode("_rs").alias("_r"))
+        .select(
+            "domain",
+            "agent",
+            F.col("_r.is_allow").alias("is_allow"),
+            F.col("_r.path").alias("path"),
+            F.length("_r.path").alias("pattern_len"),
+            _like_pattern(F.col("_r.path")).alias("like_pattern"),
+        )
     )
-    return with_rules.unionByName(empty_groups)
 
 
 def robots_allowed(
@@ -153,11 +189,17 @@ def robots_allowed(
     # own group shadows '*' entirely, it does not merge — and a
     # RULE-LESS group still shadows, which is why the null-path marker
     # rows from parse_robots participate here before being excluded
-    # from matching below)
-    has_mine = rules.filter(F.col("agent") == me).select("domain").distinct()
+    # from matching below). opt-r16 (guide §2.4): derived with a window
+    # over the already-filtered rules instead of a distinct + left join
+    # — the join recomputed the whole parse_robots chain a second time
+    # (its exchange differs from the main branch's once filters push
+    # below the window, so nothing is reused).
     scoped = (
         rules.filter(F.col("agent").isin(me, "*"))
-        .join(has_mine.withColumn("_has_mine", F.lit(True)), on="domain", how="left")
+        .withColumn(
+            "_has_mine",
+            F.max(F.col("agent") == me).over(Window.partitionBy("domain")),
+        )
         .filter(
             F.when(F.coalesce(F.col("_has_mine"), F.lit(False)), F.col("agent") == me)
             .otherwise(F.col("agent") == "*")
@@ -223,66 +265,54 @@ def crawl_delays(
     LARGEST declared delay is taken (the conservative read of duplicate
     directives). Non-numeric values are ignored. Pure relational — the
     same lag/running-sum group reconstruction as :func:`parse_robots`,
-    then one ``max_by``-free aggregate."""
+    then two stacked aggregates."""
     me = agent.lower()
     # group detection must see EVERY directive line: filtering to just
     # user-agent/crawl-delay before the lag heuristic made UA blocks
     # separated only by Allow/Disallow lines lag-adjacent, merging
     # distinct groups and leaking delays across agents (review r8)
-    lines = df.select(
-        F.col(domain_col).alias("domain"),
-        F.posexplode(F.split(F.col(text_col), "\r?\n")).alias("line_no", "line"),
-    ).select(
+    grouped = _grouped_lines(
+        df,
+        domain_col,
+        text_col,
+        r"(?i)^[ \t]*(user-agent|allow|disallow|crawl-delay)[ \t]*:[ \t]*([^#]*)",
+    )
+    # opt-r16 (guide §2.4): the old delays⋈agents join + has_mine left
+    # join recomputed the scan→regexp→window chain once per consumer
+    # (three times) and ran two SortMergeJoins. Collapse each group to
+    # (agent set, max numeric delay) in one pass, then resolve the
+    # shadowing per domain in a second aggregate — both reuse the
+    # window's hashpartitioning(domain), so the whole operator runs ONE
+    # exchange. Shadowing still follows GROUP MEMBERSHIP: a group that
+    # names the agent shadows '*' entirely, even when it declares no
+    # delay (the domain must then be absent; review r8).
+    per_group = grouped.groupBy("domain", "group_id").agg(
+        F.collect_set(
+            F.when(F.col("directive") == "user-agent", F.lower("value"))
+        ).alias("_agents"),
+        F.max(
+            F.when(
+                (F.col("directive") == "crawl-delay")
+                & F.col("value").rlike(r"^\d+(\.\d+)?$"),
+                F.col("value").cast("double"),
+            )
+        ).alias("_delay"),
+    )
+    per_domain = per_group.groupBy("domain").agg(
+        F.max(F.array_contains("_agents", me)).alias("_has_mine"),
+        F.max(F.when(F.array_contains("_agents", me), F.col("_delay"))).alias(
+            "_mine"
+        ),
+        F.max(F.when(F.array_contains("_agents", "*"), F.col("_delay"))).alias(
+            "_star"
+        ),
+    )
+    return per_domain.select(
         "domain",
-        "line_no",
-        F.lower(
-            F.regexp_extract(
-                "line",
-                r"(?i)^[ \t]*(user-agent|allow|disallow|crawl-delay)[ \t]*:",
-                1,
-            )
-        ).alias("directive"),
-        F.trim(
-            F.regexp_extract(
-                "line",
-                r"(?i)^[ \t]*(?:user-agent|allow|disallow|crawl-delay)[ \t]*:[ \t]*([^#]*)",
-                1,
-            )
-        ).alias("value"),
-    ).filter(F.col("directive") != "")
-    w = Window.partitionBy("domain").orderBy("line_no")
-    grouped = lines.withColumn(
-        "_starts",
-        (
-            (F.col("directive") == "user-agent")
-            & (F.coalesce(F.lag("directive").over(w), F.lit("")) != "user-agent")
-        ).cast("int"),
-    ).withColumn("group_id", F.sum("_starts").over(w))
-    agents = grouped.filter(F.col("directive") == "user-agent").select(
-        "domain", "group_id", F.lower("value").alias("agent")
-    ).distinct()
-    delays = grouped.filter(
-        (F.col("directive") == "crawl-delay")
-        & F.col("value").rlike(r"^\d+(\.\d+)?$")
-    ).select("domain", "group_id", F.col("value").cast("double").alias("delay_s"))
-    # shadowing follows GROUP MEMBERSHIP (same as robots_allowed): if a
-    # group names the agent, '*' is shadowed entirely — even when the
-    # agent's group declares NO delay (deriving has_mine from delay
-    # rows instead would silently inherit '*'s delay; review r8)
-    has_mine = agents.filter(F.col("agent") == me).select("domain").distinct()
-    scoped = delays.join(agents, on=["domain", "group_id"]).filter(
-        F.col("agent").isin(me, "*")
-    )
-    winning = (
-        scoped.join(
-            has_mine.withColumn("_has_mine", F.lit(True)), on="domain", how="left"
-        )
-        .filter(
-            F.when(F.coalesce(F.col("_has_mine"), F.lit(False)), F.col("agent") == me)
-            .otherwise(F.col("agent") == "*")
-        )
-    )
-    return winning.groupBy("domain").agg(F.max("delay_s").alias("crawl_delay_s"))
+        F.when(F.col("_has_mine"), F.col("_mine"))
+        .otherwise(F.col("_star"))
+        .alias("crawl_delay_s"),
+    ).filter(F.col("crawl_delay_s").isNotNull())
 
 
 def extract_sitemaps(

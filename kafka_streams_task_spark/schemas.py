@@ -14,6 +14,8 @@ that exposes them as temp views for the SQL surface.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -161,7 +163,7 @@ def fan_out_scan(df: DataFrame, target: int | None = None) -> DataFrame:
     exchange moves only the few columns the caller kept, once, and
     unlocks N-way CPU parallelism for everything after it.
 
-    No-op when the scan already has at least half the session's
+    No-op when the scan already provides at least half the session's
     parallelism (cluster scans of real multi-file tables land here, so
     at 100 TB this never inserts an exchange). ``target`` derives from
     ``defaultParallelism`` — never a constant — so the driver's
@@ -169,10 +171,57 @@ def fan_out_scan(df: DataFrame, target: int | None = None) -> DataFrame:
     project BEFORE fanning out (guide §2.3: project before the
     exchange); the helper is deliberately not part of ``load_table`` so
     cheap scan->aggregate queries never pay an exchange they don't need.
+
+    The split count is ESTIMATED from file metadata (file list + the
+    session's ``maxPartitionBytes`` split math, guide §6) rather than
+    probed with ``df.rdd.getNumPartitions()``: the RDD probe forces a
+    full plan conversion and — when the lineage contains a join —
+    eagerly builds its broadcast side as a separate job, which the real
+    query then rebuilds (measured 0.2-1.6 s of pure overhead per call).
+    A file-less lineage (createDataFrame, foreachBatch micro-batches,
+    memory streams) fans out unconditionally: there is no metadata to
+    consult and the exchange is cheap at the volumes those carry.
     """
     spark = df.sparkSession
     if target is None:
         target = spark.sparkContext.defaultParallelism
-    if target <= 1 or df.rdd.getNumPartitions() * 2 >= target:
+    if target <= 1:
         return df
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        if 2 * len(files) >= target:
+            return df
+        # few files: refine with sizes where the filesystem is local —
+        # a handful of LARGE files still yields many byte-range splits
+        max_pb = _parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+        )
+        splits = 0
+        for f in files:
+            if f.startswith("file:"):
+                try:
+                    sz = os.path.getsize(f[len("file:") :].replace("//", "/", 1))
+                except OSError:
+                    sz = max_pb
+            else:
+                sz = max_pb
+            splits += max(1, -(-sz // max_pb))
+            if 2 * splits >= target:
+                return df
     return df.repartition(target)
+
+
+def _parse_bytes(v: str) -> int:
+    """Spark size-string to bytes (``"16m"``, ``"128MB"``, ``"64k"``,
+    bare digits are bytes)."""
+    s = v.strip().lower().removesuffix("b")
+    mult = 1
+    for suffix, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40)):
+        if s.endswith(suffix):
+            mult = m
+            s = s[: -len(suffix)]
+            break
+    return max(1, int(float(s)) * mult)
