@@ -2073,7 +2073,12 @@ def jaccard_join_prefix(
     Output: ``(id_a, id_b, jaccard)`` (6dp, ``id_a < id_b``).
     """
     rep = (lambda c: F.xxhash64(c)) if hash_shingles else (lambda c: c)
-    sets = df.select(
+    # opt-r16: fan the projected scan out first — the shingle+distinct
+    # chain fuses into the scan stage and a single-split source would
+    # serialize it (guide §2.5); the exchange also lets every consumer
+    # of `sets` below reuse one materialized stage instead of re-running
+    # the scan chain per consumer.
+    sets = fan_out_scan(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("_id"),
         F.array_distinct(
             F.transform(shingles(F.col(text_col), shingle_n), rep)
