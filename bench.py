@@ -1023,7 +1023,14 @@ def _ops_workloads():
             ).alias("text")
         )
         return (
-            docs.select(F.explode(tokens_unicode("text")).alias("t"))
+            # explode_outer + post-generate null filter: a plain explode
+            # makes the optimizer infer `size(tokens_unicode(..)) > 0` and
+            # sink it below the fan-out exchange with the whole
+            # generate+tokenize chain substituted in — the chain then runs
+            # serially in the scan task and again post-exchange. Same
+            # result: every generated text tokenizes non-empty.
+            docs.select(F.explode_outer(tokens_unicode("text")).alias("t"))
+            .filter(F.col("t").isNotNull())
             .groupBy("t")
             .agg(F.count(F.lit(1)).alias("n"))
         )

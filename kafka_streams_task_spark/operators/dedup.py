@@ -423,15 +423,32 @@ def shingle_posting_table(
     Shingles are xxhash64 longs: ~24 bytes/row x distinct-shingles rows
     per doc, text never rides the index. ``shingle_n`` must match
     between the index write and every later incremental call."""
-    return df.select(
-        F.col(id_col),
-        F.array_distinct(
-            F.transform(shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))
-        ).alias("shs"),
-    ).select(
-        F.col(id_col),
-        F.size("shs").alias("n_sh"),
-        F.explode("shs").alias("shingle"),
+    # opt-r16: fan the projected scan out — the tokenize/hash/explode
+    # chain fuses into the scan stage, and a single-split source would
+    # run it in one task regardless of session cores (guide §2.5;
+    # measured 0.55s serialized on the sf0.1 profile). explode_outer +
+    # post-generate null filter instead of explode: a plain explode makes
+    # the optimizer infer `size(shs) > 0` and push it BELOW the fan-out
+    # exchange, substituting the whole shingle expression — the full
+    # chain then runs serially in the scan task AND again post-exchange
+    # (the §4.4 duplicate-evaluation trap, with native expressions). The
+    # null filter references the generated column, so it cannot sink.
+    return (
+        fan_out_scan(df.select(F.col(id_col), F.col(text_col)))
+        .select(
+            F.col(id_col),
+            F.array_distinct(
+                F.transform(
+                    shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
+                )
+            ).alias("shs"),
+        )
+        .select(
+            F.col(id_col),
+            F.size("shs").alias("n_sh"),
+            F.explode_outer("shs").alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull())
     )
 
 
@@ -907,10 +924,16 @@ def simhash_table(
     projected (id, text) scan fans out first so the shingle/pack stage
     is not serialized by a single-split source.
     """
+    # explode_outer + post-generate null filter: a plain explode makes the
+    # optimizer infer `size(...) > 0` and sink it below the fan-out
+    # exchange with the whole shingle expression substituted in, running
+    # the chain serially in the scan task and again post-exchange.
     hashed = fan_out_scan(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
-        F.explode(F.transform(shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))).alias("h"),
-    )
+        F.explode_outer(
+            F.transform(shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))
+        ).alias("h"),
+    ).filter(F.col("h").isNotNull())
     packs = [
         F.expr(
             " | ".join(f"(shiftrightunsigned(h, {l + 16 * w}) & 1) << {16 * w}" for w in range(4))
@@ -2075,16 +2098,30 @@ def jaccard_join_prefix(
     rep = (lambda c: F.xxhash64(c)) if hash_shingles else (lambda c: c)
     # opt-r16: fan the projected scan out first — the shingle+distinct
     # chain fuses into the scan stage and a single-split source would
-    # serialize it (guide §2.5); the exchange also lets every consumer
-    # of `sets` below reuse one materialized stage instead of re-running
-    # the scan chain per consumer.
+    # serialize it (guide §2.5). The four consumers of `sets` (df counts,
+    # rarity ranking, both verify sides) each re-derive this chain —
+    # branch-specific column pruning makes the subtrees canonically
+    # different, so ReuseExchange cannot collapse them — but AQE runs the
+    # four map chains concurrently, and a measured localCheckpoint variant
+    # was strictly worse (consumers lose WholeStageCodegen fusion with the
+    # scan and pay an uncompressed row-block materialization; driver gaps
+    # grew 1.1->1.9s on the sf0.1 profile). No size guard on `sets`, and
+    # explode_outer + a post-generate null filter instead of explode: a
+    # size filter (explicit, or inferred by the optimizer from a plain
+    # explode) pushes BELOW the fan-out exchange with the whole shingle
+    # expression substituted in, running the chain serially in the scan
+    # task and again post-exchange (§4.4 duplicate-evaluation trap).
+    # Empty-set docs are harmless downstream: they produce no postings,
+    # so no candidate or verify row ever references them.
     sets = fan_out_scan(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("_id"),
         F.array_distinct(
             F.transform(shingles(F.col(text_col), shingle_n), rep)
         ).alias("shs"),
-    ).filter(F.size("shs") > 0)
-    tok = sets.select("_id", F.size("shs").alias("s"), F.explode("shs").alias("sh"))
+    )
+    tok = sets.select(
+        "_id", F.size("shs").alias("s"), F.explode_outer("shs").alias("sh")
+    ).filter(F.col("sh").isNotNull())
     dft = tok.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
     # per-doc rarity order + prefix slice; the epsilon inside ceil guards
     # float grazes (t*s landing a hair ABOVE an integer would otherwise
@@ -2155,13 +2192,25 @@ def jaccard_join_prefix(
         .filter(ubound >= alpha)
         .drop("ia", "jb")
     )
-    ta = tok.select(F.col("_id").alias("id_a"), F.col("sh"))
-    tb = tok.select(F.col("_id").alias("id_b"), F.col("sh"))
+    # opt-r16 (guide §2.3/§2.4): verify against the per-doc shingle ARRAYS
+    # instead of re-joining the exploded token table. The old shape
+    # shuffled tok (one row per (doc, shingle)) twice — by id_a and by
+    # (id_b, sh) — and counted the intersection in a wide groupBy; this
+    # shape shuffles `sets` (one row per doc) twice and computes the
+    # intersection with a codegen array_intersect, moving ~1/s the rows
+    # per exchange and dropping the pair x common-shingle aggregate.
+    sa = sets.select(F.col("_id").alias("id_a"), F.col("shs").alias("shs_a"))
+    sb = sets.select(F.col("_id").alias("id_b"), F.col("shs").alias("shs_b"))
     inter = (
-        cand.join(ta, "id_a")
-        .join(tb, ["id_b", "sh"])
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_a",
+            "n_b",
+            F.size(F.array_intersect("shs_a", "shs_b")).alias("n_common"),
+        )
     )
     return inter.select(
         "id_a",
@@ -2201,18 +2250,25 @@ def jaccard_join_tables(
     rep = (lambda c: F.xxhash64(c)) if hash_shingles else (lambda c: c)
 
     def side_sets(df, side):
-        return df.select(
+        # opt-r16: fan the projected scan out so the shingle chain runs at
+        # session parallelism even on a single-split source (guide §2.5).
+        # No size guard — like the self-join form, a size filter (or the
+        # one the optimizer infers from a plain explode) sinks below the
+        # fan-out exchange with the shingle expression substituted in and
+        # serializes the chain into the scan task; empty-set docs are
+        # harmless downstream (no postings, no candidates, inner verify).
+        return fan_out_scan(df.select(F.col(id_col), F.col(text_col))).select(
             F.lit(side).alias("_side"),
             F.col(id_col).alias("_id"),
             F.array_distinct(
                 F.transform(shingles(F.col(text_col), shingle_n), rep)
             ).alias("shs"),
-        ).filter(F.size("shs") > 0)
+        )
 
     sets = side_sets(left, 0).unionByName(side_sets(right, 1))
     tok = sets.select(
-        "_side", "_id", F.size("shs").alias("s"), F.explode("shs").alias("sh")
-    )
+        "_side", "_id", F.size("shs").alias("s"), F.explode_outer("shs").alias("sh")
+    ).filter(F.col("sh").isNotNull())
     dft = tok.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
     ranked = (
         tok.join(dft, "sh")
@@ -2278,13 +2334,25 @@ def jaccard_join_tables(
         .filter(ubound >= alpha)
         .drop("ia", "jb")
     )
-    ta = tok.filter(F.col("_side") == 0).select(F.col("_id").alias("id_left"), "sh")
-    tb = tok.filter(F.col("_side") == 1).select(F.col("_id").alias("id_right"), "sh")
+    # opt-r16: same array-verify rewrite as jaccard_join_prefix — join the
+    # per-side shingle arrays to the candidates and intersect in codegen
+    # rather than shuffling the exploded token table twice.
+    sa = sets.filter(F.col("_side") == 0).select(
+        F.col("_id").alias("id_left"), F.col("shs").alias("shs_a")
+    )
+    sb = sets.filter(F.col("_side") == 1).select(
+        F.col("_id").alias("id_right"), F.col("shs").alias("shs_b")
+    )
     inter = (
-        cand.join(ta, "id_left")
-        .join(tb, ["id_right", "sh"])
-        .groupBy("id_left", "id_right", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        cand.join(sa, "id_left")
+        .join(sb, "id_right")
+        .select(
+            "id_left",
+            "id_right",
+            "n_a",
+            "n_b",
+            F.size(F.array_intersect("shs_a", "shs_b")).alias("n_common"),
+        )
     )
     return inter.select(
         "id_left",

@@ -128,10 +128,15 @@ def _gram_explode(
         _tokens_expr(F.col(text_col), lowercase).alias("_dsir_toks"),
     )
     idxs = _indices_of_tokens(F.col("_dsir_toks"), n_features)
-    ex = F.explode_outer if outer else F.explode
-    return with_toks.select(
-        *[F.col(c) for c in id_cols], ex(idxs).alias("idx")
-    )
+    # always explode_outer: a plain explode makes the optimizer infer
+    # `size(idxs) > 0` and sink it below the fan-out exchange with the
+    # whole tokenize chain substituted in — the chain then runs serially
+    # in the scan task AND again post-exchange. The non-outer form
+    # recovers plain-explode semantics with a post-generate null filter
+    # (gram indices are never null, so only the outer-emitted null rows
+    # drop), which references the generated column and cannot sink.
+    out = with_toks.select(*[F.col(c) for c in id_cols], F.explode_outer(idxs).alias("idx"))
+    return out if outer else out.filter(F.col("idx").isNotNull())
 
 
 def _bucket_counts(

@@ -73,7 +73,16 @@ def _grouped_lines(
         )
         .select(
             "domain",
-            F.posexplode(F.split(F.col("_txt"), "\r?\n")).alias("line_no", "line"),
+            # posexplode_outer + the `directive != ""` filter below (which
+            # references generated columns, so it cannot sink): a plain
+            # posexplode makes the optimizer infer `size(split(..)) > 0`
+            # and push it below the fan-out exchange, re-running the line
+            # split serially in the scan task. split() never yields an
+            # empty array, so outer only adds null-line rows for null
+            # bodies, which the directive filter drops like before.
+            F.posexplode_outer(F.split(F.col("_txt"), "\r?\n")).alias(
+                "line_no", "line"
+            ),
         )
         .select(
             "domain",

@@ -600,14 +600,14 @@ def test_dedup_plan_shapes_pinned(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     expectations = {
         # (map_in_pandas, joins, max_exchanges)
-        # opt-r16: minhash/simhash gained one round-robin Exchange from
-        # fan_out_scan (the projected scan fans out to session
+        # opt-r16: minhash/simhash/jaccard gained one round-robin Exchange
+        # from fan_out_scan (the projected scan fans out to session
         # parallelism before the CPU-dense shingle/signature kernels —
         # a single-split source otherwise serializes them in one task).
         # Still zero joins, zero extra Python stages, nothing cached.
         "minhash": (minhash_lsh_candidates(docs), 1, 0, 3),
         "simhash": (simhash_near_dup_pairs(docs), 0, 0, 4),
-        "jaccard": (ngram_jaccard_pairs(docs), 0, 0, 2),
+        "jaccard": (ngram_jaccard_pairs(docs), 0, 0, 3),
         "embedding": (embedding_near_dup_pairs(emb), 1, 2, 4),
     }
     for name, (df, n_py, n_join, max_ex) in expectations.items():
