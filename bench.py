@@ -865,8 +865,17 @@ def _ops_workloads():
             radius_self_join,
         )
 
+        # opt-r16 (guide §2.5): fan the one raw column out BEFORE the md5
+        # coordinate derivation — deriving after the exchange runs the
+        # md5/conv chain at session parallelism instead of fused into the
+        # single-split scan task (the production analogue: a real point
+        # table has many splits). radius_join's internal fan_out_scan
+        # detects the existing repartition and does not add a second
+        # exchange. Same points, same result.
+        from kafka_streams_task_spark.schemas import fan_out_scan
+
         h = F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":geo")))
-        pts = load_table(s, d, "orders").select(
+        pts = fan_out_scan(load_table(s, d, "orders").select("o_orderkey")).select(
             F.col("o_orderkey").alias("id"),
             ((F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 1200)
              / 10.0 - 60.0).alias("lat"),

@@ -103,7 +103,12 @@ def geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     per cell. The oracle recomputes the geohash bit math in DuckDB SQL, so
     the custom function itself is hash-checked at sf0.01 — not just the five
     golden vectors."""
-    e = load_table(spark, sf_dir, "events")
+    from ..schemas import fan_out_scan
+
+    # opt-r16 (guide §2.5): precision-4 geohash bit math fuses into the
+    # single-split events scan and ran serially in one task; fan the one
+    # needed column out first (no-op on multi-split tables).
+    e = fan_out_scan(load_table(spark, sf_dir, "events").select("value"))
     lat = (F.col("value") % F.lit(180.0)) - F.lit(90.0)
     lng = ((F.col("value") * F.lit(7.0)) % F.lit(360.0)) - F.lit(180.0)
     return (
@@ -402,13 +407,27 @@ def weather_topology_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     locations — same formula family, precision-2 cells so the two
     populations overlap. The oracle recomputes the geohash bit math in SQL,
     making every stage of the topology hash-checked."""
-    e = load_table(spark, sf_dir, "events")
-    c = load_table(spark, sf_dir, "customer")
+    from ..schemas import fan_out_scan, no_pushdown
+
+    # opt-r16 (guide §2.5): the geohash bit-math chain fuses into each
+    # side's scan stage, and both driver tables are single-split parquet —
+    # the whole observation chain (geohash + partial aggregates) ran 1.38s
+    # of CPU in ONE task on a 32-core session, with the hotel chain adding
+    # another 0.24s serial. Fan the projected columns out first; the
+    # exchanges move 16-byte rows, and real multi-split tables skip them.
+    # no_pushdown on both geohash keys: the inner join infers
+    # isnotnull(key) and would otherwise sink it below the exchange with
+    # the whole geohash expression substituted in — running the chain
+    # serially AND twice per row (guide §4.4).
+    e = fan_out_scan(load_table(spark, sf_dir, "events").select("value", "ts"))
+    c = fan_out_scan(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    )
 
     lat_e = (F.col("value") % F.lit(180.0)) - F.lit(90.0)
     lng_e = ((F.col("value") * F.lit(7.0)) % F.lit(360.0)) - F.lit(180.0)
     keyed = e.select(
-        geohash_expr(lat_e, lng_e, 2).alias("geohash"),
+        no_pushdown(geohash_expr(lat_e, lng_e, 2)).alias("geohash"),
         F.date_trunc("day", "ts").cast("date").alias("wthr_date"),
         F.col("value"),
     )
@@ -423,7 +442,7 @@ def weather_topology_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     lat_c = (F.col("c_acctbal") % F.lit(180.0)) - F.lit(90.0)
     lng_c = ((F.col("c_acctbal") * F.lit(7.0)) % F.lit(360.0)) - F.lit(180.0)
     hotels = c.select(
-        "c_custkey", "c_name", geohash_expr(lat_c, lng_c, 2).alias("hash")
+        "c_custkey", "c_name", no_pushdown(geohash_expr(lat_c, lng_c, 2)).alias("hash")
     )
     return hotels.join(
         F.broadcast(rollup.withColumnRenamed("geohash", "hash")), on="hash", how="inner"

@@ -1957,8 +1957,13 @@ def semantic_dedup(
         centroids = _kmeans_numpy(sample, min(n_clusters, len(sample)), seed)
 
     def _clustered(acc):
+        # opt-r16 (guide §2.5): fan the projected scan out so each
+        # assignment pass runs at session parallelism on single-split
+        # sources (no-op on multi-split tables).
         return _assign_clusters(
-            emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+            fan_out_scan(
+                emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+            ),
             "_v",
             centroids,
             1,

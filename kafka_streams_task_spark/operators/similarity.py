@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import stable_round
+from ..schemas import fan_out_scan
 
 
 def _as_double(col):
@@ -269,7 +270,11 @@ def lsh_table_buckets(
             out["tbl"] = out["tbl"].astype("int32")
             yield out
 
-    return df.select(id_col, vec_col).mapInPandas(batches, schema)
+    # opt-r16 (guide §2.5): fan the projected (id, vec) scan out — a
+    # single-split source runs the whole hyperplane projection in ONE
+    # Python task (measured 0.47s single-task, mostly worker wait, on a
+    # 32-core session); no-op on real multi-split tables.
+    return fan_out_scan(df.select(id_col, vec_col)).mapInPandas(batches, schema)
 
 
 def knn_lsh(
@@ -488,7 +493,13 @@ def kmeans_fit_distributed(
     centroids = _clean_matrix(init_pdf[vec_col])
     if metric == "cosine":
         centroids = _l2_normalize(centroids.astype("float64"))
-    slim = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    # opt-r16 (guide §2.5): every Lloyd iteration re-runs the assignment
+    # over the corpus; on a single-split source that's one Python task
+    # per iteration. Fan the projected scan out once, reused by all
+    # iterations (no-op on multi-split tables).
+    slim = fan_out_scan(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    )
     for _ in range(n_iter):
         assigned = _assign_clusters(slim, "_v", centroids, 1, "cluster")
         stats = (
@@ -573,6 +584,12 @@ def knn_ivf(
             sample, min(n_clusters, len(sample)), seed, metric=coarse_metric
         )
 
+    # opt-r16 measured note: deliberately NOT fanned out. The IVF paths
+    # chain several sequential Arrow stages; widening each to session
+    # parallelism on this fixture spawned a fresh Python worker per task
+    # per stage (~0.7s of import/startup wait each, profiled at 32 tasks
+    # x 23.7s taskSum vs 0.9s of CPU) and regressed knn_ivf ~0.5s. The
+    # single-Python-stage operators (lsh_table_buckets) keep the fan-out.
     c_assigned = _assign_clusters(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
         "c_vec", centroids, 1, "cluster", dropped_acc=dropped_acc,
@@ -791,6 +808,9 @@ def _ivfpq_index(corpus, id_col, vec_col, centroids, books, dropped_acc=None):
     uses, and the searchable (neighbor_id, cluster, codes) index."""
     cent_norm = _l2_normalize(centroids.astype("float64"))
     c_slim = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    # opt-r16 measured note: deliberately NOT fanned out — see the
+    # knn_ivf assignment note (chained Arrow stages x 32 tasks pay a
+    # worker-startup storm that dwarfs the serialized matmul here).
     c_indexed = _pq_encode(
         _assign_clusters(c_slim, "c_vec", centroids, 1, "cluster", dropped_acc=dropped_acc),
         "c_vec", books, centroids_norm=cent_norm,

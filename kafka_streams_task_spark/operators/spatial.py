@@ -153,20 +153,29 @@ def radius_join(
         lon_offsets = list(range(-n_lon, n_lon + 1))
 
     def cells(df: DataFrame, suffix: str) -> DataFrame:
+        # opt-r16 (guide §4.4): cell keys are wrapped in no_pushdown and
+        # the null guard moved ABOVE the projection, testing the computed
+        # cells instead of the raw coordinates (null lat/lon => null
+        # cell — same rows dropped). The old pre-filter, plus the
+        # isnotnull(_jlat/_jlon) the inner join infers, sank below this
+        # projection — and below any fan-out exchange — with the
+        # caller's whole coordinate-derivation chain substituted in,
+        # re-running it serially in the scan task (measured: two 0.7-0.8s
+        # single-task stages on the md5-derived bench fixture).
+        from ..schemas import no_pushdown
+
         renamed = df.select(
             *[F.col(c).alias(c + suffix) for c in df.columns]
         )
         lat = F.col(lat_col + suffix)
         lon = F.col(lon_col + suffix)
-        return renamed.filter(lat.isNotNull() & lon.isNotNull()).select(
+        return renamed.select(
             "*",
-            F.floor((lat + F.lit(90.0)) / F.lit(cell_deg))
-            .cast("long")
+            no_pushdown(F.floor((lat + F.lit(90.0)) / F.lit(cell_deg)).cast("long"))
             .alias("_latc"),
-            F.floor((lon + F.lit(180.0)) / F.lit(cell_deg))
-            .cast("long")
+            no_pushdown(F.floor((lon + F.lit(180.0)) / F.lit(cell_deg)).cast("long"))
             .alias("_lonc"),
-        )
+        ).filter(F.col("_latc").isNotNull() & F.col("_lonc").isNotNull())
 
     sa, sb = suffixes
     # opt-r16: the probe side carries the ring explode AND (after the
@@ -197,7 +206,7 @@ def radius_join(
             .alias("_jlon"),
         )
     )
-    build = cells(right, sb).select(
+    build = cells(fan_out_scan(right), sb).select(
         *[c + sb for c in right.columns],
         F.col("_latc").alias("_jlat"),
         F.pmod(F.col("_lonc"), F.lit(n_lon_cells)).cast("long").alias(

@@ -12,14 +12,15 @@ integer-valued double and ``tf`` is integral, so the final rounding is
 exact and the value survives a cross-engine hash compare bit-for-bit
 (the mixrates/nll oracle pattern).
 
-Scale: tokenize + explode is map-only; term frequencies and document
-frequencies are two partial+final aggregates (the df table derives from
-the tf table — the corpus is tokenized exactly once); the idf join is a
-plain hash join on the term (the df relation is |vocab| rows — NOT assumed
-broadcastable); the corpus row count rides in as a broadcast 1-row
-relation so the whole operator is one declarative plan with no
-driver-side count; top-k per document is a window partitioned by doc id
-(no global sort). Nothing here leaves the JVM.
+Scale: tokenize + explode is map-only; term frequencies are one
+partial+final aggregate and document frequencies a window count over
+that same table keyed by term (opt-r16: the old df-groupBy + join-back
+gave the tokenize+tf chain two differently-pruned consumers, running
+the corpus pass twice, and needed the same by-term shuffle the window
+needs); the corpus row count rides in as a broadcast 1-row relation so
+the whole operator is one declarative plan with no driver-side count;
+top-k per document is a window partitioned by doc id (no global sort).
+Nothing here leaves the JVM.
 """
 
 from __future__ import annotations
@@ -91,7 +92,14 @@ def bm25_top_docs(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dl = docs.select(F.col(id_col), F.size(tokens(F.col(text_col))).alias("dl"))
-    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # opt-r16 (guide §2.4): df as a window count over the tf table itself
+    # instead of a second groupBy + join back. The groupBy form gave the
+    # tf subtree two consumers with different column pruning, so the
+    # whole tokenize -> semi-filter -> aggregate chain ran TWICE (one
+    # full extra corpus pass at scale); the window shuffles only the
+    # query-matched candidate table, and its count equals the old
+    # dft.df exactly (same rows, same key).
+    tf = tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
     # one broadcast row: corpus size and mean doc length (over ALL docs)
     stats = docs.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
@@ -103,7 +111,6 @@ def bm25_top_docs(
     contrib = (
         tf.join(F.broadcast(qterms), "term")
         .join(dl, id_col)
-        .join(dft, "term")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "idf",
@@ -155,11 +162,15 @@ def tfidf_top_terms(
     """
     tok = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
     tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # opt-r16 (guide §2.4): df as a window count over tf instead of a
+    # second groupBy + join back on term — the join form gave the
+    # tokenize+tf chain two differently-pruned consumers (the whole
+    # corpus pass ran twice), and the join needed the same by-term
+    # shuffle the window needs. Identical df values: same rows, same key.
+    tf = tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(dft, "term")
-        .crossJoin(F.broadcast(n_docs))
+        tf.crossJoin(F.broadcast(n_docs))
         .withColumn(
             "idf",
             stable_round(

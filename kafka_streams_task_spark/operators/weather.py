@@ -68,9 +68,19 @@ def weather_rekey(weather: DataFrame, precision: int = GEOHASH_PRECISION) -> Dat
     Reference: map to key "{geohash}_{date}", value Weather(tmp_f,tmp_c,date)
     (WeatherHotelsApp.java:68-88). Two real key columns here; geohash is the
     codegen-native expression, so this projection never leaves the JVM.
+
+    opt-r16: the geohash key is wrapped in :func:`~..schemas.no_pushdown`
+    — the downstream inner enrichment join infers ``isnotnull(geohash)``
+    and would otherwise sink it below this projection with the geohash
+    chain (and, upstream, the whole JSON parse) substituted in, running
+    both twice per row (guide §4.4).
     """
+    from ..schemas import no_pushdown
+
     return weather.select(
-        geohash_expr(F.col("lat"), F.col("lng"), precision).alias("geohash"),
+        no_pushdown(geohash_expr(F.col("lat"), F.col("lng"), precision)).alias(
+            "geohash"
+        ),
         F.col("wthr_date"),
         F.col("avg_tmpr_f").alias("tmp_f"),
         F.col("avg_tmpr_c").alias("tmp_c"),

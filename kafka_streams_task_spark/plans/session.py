@@ -45,14 +45,20 @@ def get_spark(
         # per-pair cosine/hamming math) collapses to ONE task whenever
         # its input is under the 1 MB default floor — measured: the
         # embedding-cosine verify ran 1.6 s of CPU in a single task on a
-        # 32-core session (3x the query's wall). A 64 KB floor keeps
+        # 32-core session (3x the query's wall). A small floor keeps
         # CPU-dense small shuffles at the session's parallelism; at
         # cluster scale real shuffle sizes are orders of magnitude above
         # either floor, so the knob only binds where it should. Env
         # override for cluster profiles that want the 1 MB default back.
+        # r16 second pass: 64k still coalesced the embedding verify to 8
+        # tasks (~512 KB of candidate pairs carrying seconds of numpy
+        # cosine per task — maxTask 5.3 s); with parallelismFirst the
+        # floor only binds on sub-~2 MB exchanges, so 16k trades a few
+        # near-empty tasks on tiny shuffles for 4x parallelism on the
+        # dense ones.
         .config(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"),
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "16k"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")

@@ -188,6 +188,13 @@ def fan_out_scan(df: DataFrame, target: int | None = None) -> DataFrame:
     if target <= 1:
         return df
     try:
+        # already fanned out upstream (a caller that pre-repartitioned its
+        # raw columns, or nested operator composition): a second exchange
+        # would be pure overhead. inputFiles() still reports the leaf
+        # scan's single file, so probe the analyzed plan for an existing
+        # repartition instead.
+        if "Repartition" in df._jdf.queryExecution().analyzed().toString():
+            return df
         files = df.inputFiles()
     except Exception:
         files = []
@@ -212,6 +219,33 @@ def fan_out_scan(df: DataFrame, target: int | None = None) -> DataFrame:
             if 2 * splits >= target:
                 return df
     return df.repartition(target)
+
+
+def no_pushdown(col):
+    """Value-identity wrapper that stops the optimizer from sinking
+    predicates through the projection that computes ``col`` (opt-r16,
+    guide §4.4 applied to native expressions).
+
+    An inner equi-join infers ``isnotnull(key)`` on both keys and pushes
+    it toward the scans, SUBSTITUTING the key's defining expression on
+    the way down. When the key is an expensive chain (geohash bit math,
+    a parse+hash pipeline), every row then pays the chain twice — once
+    in the sunk filter, once in the projection — and on a single-split
+    source the sunk copy additionally runs below the fan-out exchange,
+    i.e. serially in the scan task (measured: the weather topology ran
+    0.67s of its 1.38s CPU below the exchange this way).
+
+    ``element_at(shuffle(array(col)), 1)`` returns exactly ``col`` (a
+    permutation of one element), but ``shuffle`` is non-deterministic,
+    and Catalyst does not push predicates through a projection with a
+    non-deterministic field — the same contract the guide uses with
+    ``udf.asNondeterministic()``. Per-row cost is one 1-element array
+    allocation. Apply to expensive join/group keys only, not blanket:
+    it also blocks legitimate pushdown of OTHER predicates through the
+    same projection."""
+    from pyspark.sql import functions as F
+
+    return F.element_at(F.shuffle(F.array(col)), 1)
 
 
 def _parse_bytes(v: str) -> int:

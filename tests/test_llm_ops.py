@@ -608,7 +608,10 @@ def test_dedup_plan_shapes_pinned(spark, sf_dir):
         "minhash": (minhash_lsh_candidates(docs), 1, 0, 3),
         "simhash": (simhash_near_dup_pairs(docs), 0, 0, 4),
         "jaccard": (ngram_jaccard_pairs(docs), 0, 0, 3),
-        "embedding": (embedding_near_dup_pairs(emb), 1, 2, 4),
+        # embedding: 5th exchange is lsh_table_buckets' fan_out_scan
+        # (r16 — the hyperplane projection ran in one Python task on a
+        # single-split source)
+        "embedding": (embedding_near_dup_pairs(emb), 1, 2, 5),
     }
     for name, (df, n_py, n_join, max_ex) in expectations.items():
         p = df._jdf.queryExecution().executedPlan().toString()
