@@ -1234,10 +1234,18 @@ def _ops_workloads():
             soundex_expr,
         )
 
+        # opt-r16 (guide §2.5): the split/explode/distinct-partial chain
+        # fused into the single-split scan ran 2.1-2.6s in ONE task; fan
+        # the projected text column out first. explode_outer + the
+        # existing w != "" filter (null w fails it too) instead of plain
+        # explode, so the inferred size() filter can't sink below the
+        # exchange with the split chain substituted in. Same rows.
+        from kafka_streams_task_spark.schemas import fan_out_scan
+
         words = (
-            load_table(s, d, "documents")
-            .select(F.explode(F.split(F.lower("text"), "\\s+")).alias("w"))
-            .filter(F.col("w") != "")
+            fan_out_scan(load_table(s, d, "documents").select("text"))
+            .select(F.explode_outer(F.split(F.lower("text"), "\\s+")).alias("w"))
+            .filter(F.col("w").isNotNull() & (F.col("w") != ""))
             .distinct()
         )
         return words.select(soundex_expr("w").alias("sdx")).groupBy(
@@ -1389,8 +1397,13 @@ def _raw_ops():
 
     def _repetition_gopher(s, d):
         from kafka_streams_task_spark.functions.text import gopher_repetition_columns
+        from kafka_streams_task_spark.schemas import fan_out_scan
 
-        docs = load_table(s, d, "documents")
+        # opt-r16 (guide §2.5): the repetition signals are one map-only
+        # mega-projection (array sorts + aggregates per row) — fused into
+        # a single-split scan it ran serially; fan the projected columns
+        # out first (no-op on multi-split tables).
+        docs = fan_out_scan(load_table(s, d, "documents").select("doc_id", "text"))
         return docs.select("doc_id", *gopher_repetition_columns(F.col("text")))
 
     def _exact_substring(s, d):

@@ -16,6 +16,7 @@ import math
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..schemas import local_table
 
 
 def fmicro_col(col: Column, scale: float = 1e6) -> Column:
@@ -88,7 +89,7 @@ def canary_df(spark: SparkSession, cols: list[tuple[str, str]]) -> DataFrame:
     schema = "leg string, " + ", ".join(
         f"{n} {'long' if k == 'long' else 'string'}" for n, k in cols
     )
-    return spark.createDataFrame(_canary_rows(cols), schema)
+    return local_table(spark, _canary_rows(cols), schema)
 
 
 def canary_sql(cols: list[tuple[str, str]]) -> str:

@@ -20,6 +20,7 @@ import os
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from ..schemas import local_table
 
 try:
     # IDNA2008 + UTS#46 mapping. The stdlib 'idna' codec is IDNA2003,
@@ -573,11 +574,15 @@ def with_registered_domain_psl(
         + [r.count(".") + 1 for r in exc]
     )
     exact_set, exc_set = set(exact), set(exc)
-    comb = spark.createDataFrame(
+    # opt-r16: local_table -> JVM LocalTableScan; the old pickled-RDD
+    # relations ran Python workers for every one of the K broadcast
+    # builds (profiled: two 32-task all-wait stages per query).
+    comb = local_table(
+        spark,
         [(r, r in exc_set, r in exact_set) for r in sorted(exact_set | exc_set)],
         "rule string, is_exc boolean, is_ex boolean",
     )
-    wc = spark.createDataFrame([(t,) for t in sorted(set(wc_tails))], "tail string")
+    wc = local_table(spark, [(t,) for t in sorted(set(wc_tails))], "tail string")
 
     # every generated working column for the computed k_max must be
     # clash-checked, not just the fixed three — an input column named

@@ -27,6 +27,7 @@ import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..schemas import local_table
 
 __all__ = ["benford_audit", "chi_square_contingency"]
 
@@ -70,8 +71,10 @@ def benford_audit(
         .groupBy("digit")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    digits = df.sparkSession.createDataFrame(
-        [(d, BENFORD_P[d]) for d in range(1, 10)], "digit int, expected double"
+    digits = local_table(
+        df.sparkSession,
+        [(d, BENFORD_P[d]) for d in range(1, 10)],
+        "digit int, expected double",
     )
     total = F.sum("n").over(Window.partitionBy())
     out = (

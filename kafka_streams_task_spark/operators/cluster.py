@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..schemas import local_table
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -127,7 +128,7 @@ def connected_components(
         if not rows:
             spark = edges.sparkSession
             return spark.createDataFrame([], "node long, component long")
-        return edges.sparkSession.createDataFrame(rows, "node long, component long")
+        return local_table(edges.sparkSession, rows, "node long, component long")
 
     def checksum(df: DataFrame):
         row = df.agg(

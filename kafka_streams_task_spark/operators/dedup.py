@@ -27,7 +27,7 @@ from pyspark.sql import types as T
 
 from ..functions.rounding import stable_round
 from ..functions.text import shingles, tokens
-from ..schemas import fan_out_scan
+from ..schemas import fan_out_scan, local_table
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -1438,10 +1438,18 @@ def decontaminate_bloom(
     reach the verify join, so its corpus side is rare and the benchmark
     side no longer needs to fit a broadcast hash relation."""
     m, k = bloom.m_bits, bloom.num_hashes
-    corpus_sh = corpus.select(
+    # opt-r16 (guide §2.5/§4.4): fan the projected corpus out — the 8-gram
+    # shingle chain, all k broadcast probes and the hit filter fuse into
+    # the scan stage and ran serially on a single-split source — and use
+    # explode_outer + a post-generate null filter so the inferred
+    # size() predicate can't sink below the exchange with the shingle
+    # expression substituted in (hashes are never null; only the
+    # outer-emitted rows for empty docs drop, as plain explode did).
+    fo = fan_out_scan(corpus.select(corpus_id, corpus_text))
+    corpus_sh = fo.select(
         F.col(corpus_id),
-        F.explode(_shingle_hashes(corpus, corpus_text, bloom.shingle_n)).alias("h"),
-    )
+        F.explode_outer(_shingle_hashes(fo, corpus_text, bloom.shingle_n)).alias("h"),
+    ).filter(F.col("h").isNotNull())
     probes = _bloom_probe_cols(F.col("h"), m, k)
     out = corpus_sh
     hit = F.lit(True)
@@ -1972,9 +1980,10 @@ def semantic_dedup(
         )
 
     assigned = _clustered(dropped_acc)
-    cent_df = emb.sparkSession.createDataFrame(
+    cent_df = local_table(
+        emb.sparkSession,
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        schema="cluster int, _cent array<double>",
+        "cluster int, _cent array<double>",
     )
     scored = (
         assigned.join(F.broadcast(cent_df), "cluster")

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..schemas import local_table
 
 
 def _label01(label_col: str):
@@ -121,7 +122,7 @@ def score_rank_table(
         offsets.append((row["_pid"], acc_n, acc_np))
         acc_n += row["_tn"] or 0
         acc_np += row["_tnp"] or 0
-    off = spark.createDataFrame(offsets, "_pid int, _on long, _onp long")
+    off = local_table(spark, offsets, "_pid int, _on long, _onp long")
     return (
         with_pre.join(F.broadcast(off), on="_pid")
         .select(

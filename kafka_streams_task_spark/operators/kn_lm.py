@@ -56,6 +56,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import WHITESPACE_RE
+from ..schemas import local_table
 
 
 @dataclass(frozen=True)
@@ -341,7 +342,7 @@ def kn_dense_model(
     # is the same bound with a sane plan
     ctx = {}
     if phs:
-        keys = spark.createDataFrame([(p,) for p in phs], "ph bigint")
+        keys = local_table(spark, [(p,) for p in phs], "ph bigint")
         ctx = {
             r["ph"]: (r["cf"], r["n_follow"])
             for r in model.contexts.join(
@@ -350,7 +351,7 @@ def kn_dense_model(
         }
     cont = {}
     if ths:
-        keys = spark.createDataFrame([(t,) for t in ths], "th bigint")
+        keys = local_table(spark, [(t,) for t in ths], "th bigint")
         cont = {
             r["th"]: r["n_prec"]
             for r in model.continuation.join(

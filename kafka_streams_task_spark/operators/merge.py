@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from ..schemas import local_table
 
 #: Change-operation codes (the Debezium-ish two-verb reduction: creates
 #: and updates are both "upsert in full", deletes are tombstones).
@@ -323,7 +324,7 @@ def _partition_dir_names(
     if not values:
         return []
     field = template.schema[partition_col]
-    sdf = spark.createDataFrame([(v,) for v in values], schema=StructType([field]))
+    sdf = local_table(spark, [(v,) for v in values], StructType([field]))
     col = F.col(partition_col)
     if render_type is not None:
         col = col.cast(render_type)

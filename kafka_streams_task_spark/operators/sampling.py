@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.text import WHITESPACE_RE, token_count
+from ..schemas import local_table
 
 # first 8 hex digits of md5 → uniform 32-bit integer; mirrors in DuckDB as
 # CAST(('0x' || substr(md5(...), 1, 8)) AS BIGINT) — keeps the oracle exact.
@@ -658,7 +659,7 @@ def export_training_shards(
     for row in sorted(totals, key=lambda r: r["_pid"]):
         offsets.append((row["_pid"], acc))
         acc += row["_t"] or 0
-    off_df = df.sparkSession.createDataFrame(offsets, "_pid int, _off long")
+    off_df = local_table(df.sparkSession, offsets, "_pid int, _off long")
     return (
         with_pre.join(F.broadcast(off_df), on="_pid")
         .withColumn(

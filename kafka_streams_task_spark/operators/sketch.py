@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import WHITESPACE_RE
+from ..schemas import local_table
 
 __all__ = [
     "cms_estimate",
@@ -545,7 +546,7 @@ def dd_quantiles_grouped(
     _dd_check_quantile_args(gamma, qs)
     spark = sketch.sparkSession
     totals = sketch.groupBy("grp").agg(F.sum("c").cast("long").alias("_N"))
-    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    qdf = local_table(spark, [(float(q),) for q in qs], "q double")
     # same IEEE arithmetic as the global walk and the DuckDB restating
     ranked = totals.crossJoin(F.broadcast(qdf)).select(
         F.col("grp").alias("_rg"),
@@ -648,7 +649,7 @@ def dd_quantiles(
         raise ValueError("dd_quantiles: empty sketch (no positive values)")
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     cum = sketch.withColumn("cum", F.sum("c").over(w))
-    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    qdf = local_table(spark, [(float(q),) for q in qs], "q double")
     # same IEEE arithmetic as the DuckDB restating: q * (N-1) in double
     ranked = qdf.select("q", _dd_rank_col(F.lit(float(total - 1))).alias("rank"))
     hit = (

@@ -51,6 +51,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from ..schemas import local_table
 
 #: one row per WARC record. payload is the HTTP message BODY for
 #: response/request records when strip_http_headers=True (status/mime
@@ -476,7 +477,7 @@ def read_warc_manifest(
     if isinstance(paths, DataFrame):
         files = paths.select(F.col(path_col).alias("path"))
     else:
-        files = spark.createDataFrame([(p,) for p in paths], "path string")
+        files = local_table(spark, [(p,) for p in paths], "path string")
     kept = set(record_types) | {"_malformed"} if record_types else None
     return _records_from_files(
         files, strip_http_headers, kept, batch_records, max_payload_bytes
