@@ -1599,11 +1599,17 @@ def decontaminate_embedding(
         planes = np.vstack(
             [random_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
         )
+        # fan_out=False on both sides: this operator's Python stages are
+        # trivial matmuls (the cost lives in the post-join cosine verify,
+        # already parallel via AQE); widening them to 32 tasks measured a
+        # ~2x regression from worker round-trips (see lsh_table_buckets).
         cb = lsh_table_buckets(
-            corpus_emb, planes, n_tables, n_planes, id_col, vec_col, "cid"
+            corpus_emb, planes, n_tables, n_planes, id_col, vec_col, "cid",
+            fan_out=False,
         )
         bb = lsh_table_buckets(
-            bvi, planes, n_tables, n_planes, "bid", "_bv", "bid"
+            bvi, planes, n_tables, n_planes, "bid", "_bv", "bid",
+            fan_out=False,
         )
         cand = (
             cb.join(F.broadcast(bb), on=["tbl", "bkt"])

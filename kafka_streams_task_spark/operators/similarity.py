@@ -230,6 +230,7 @@ def lsh_table_buckets(
     vec_col: str = "embedding",
     out_id: str = "id",
     dropped_acc=None,
+    fan_out: bool = True,
 ) -> DataFrame:
     """(out_id, tbl, bkt) sign-bit bucket rows for ``n_tables`` independent
     random-hyperplane tables — one numpy matmul per Arrow batch
@@ -273,8 +274,16 @@ def lsh_table_buckets(
     # opt-r16 (guide §2.5): fan the projected (id, vec) scan out — a
     # single-split source runs the whole hyperplane projection in ONE
     # Python task (measured 0.47s single-task, mostly worker wait, on a
-    # 32-core session); no-op on real multi-split tables.
-    return fan_out_scan(df.select(id_col, vec_col)).mapInPandas(batches, schema)
+    # 32-core session); no-op on real multi-split tables. Callers pass
+    # fan_out=False for sides they KNOW are tiny (a filtered benchmark,
+    # a query handful): the split estimate cannot see a post-filter row
+    # count, and 32 near-empty Python tasks cost more in worker
+    # round-trips than the serialized matmul (measured: the
+    # decontaminate_embedding benchmark side regressed ~2x).
+    projected = df.select(id_col, vec_col)
+    if fan_out:
+        projected = fan_out_scan(projected)
+    return projected.mapInPandas(batches, schema)
 
 
 def knn_lsh(
@@ -306,15 +315,18 @@ def knn_lsh(
         [random_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
     )  # (n_tables*n_planes, dim)
 
-    def bucketed(df: DataFrame, ident: str) -> DataFrame:
+    def bucketed(df: DataFrame, ident: str, fan_out: bool = True) -> DataFrame:
         return lsh_table_buckets(
             df, rng_planes, n_tables, n_planes, id_col, vec_col, ident,
-            dropped_acc=dropped_acc,
+            dropped_acc=dropped_acc, fan_out=fan_out,
         )
 
     pairs = (
+        # query side is broadcast below, i.e. small by contract — skip
+        # the fan-out (32 near-empty Python tasks cost more than the
+        # serialized matmul; see lsh_table_buckets)
         bucketed(corpus, "neighbor_id")
-        .join(F.broadcast(bucketed(queries, "query_id")), on=["tbl", "bkt"])
+        .join(F.broadcast(bucketed(queries, "query_id", fan_out=False)), on=["tbl", "bkt"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
         .distinct()
