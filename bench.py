@@ -1396,15 +1396,18 @@ def _raw_ops():
         return docs.select("doc_id", *gopher_quality_columns("text"))
 
     def _repetition_gopher(s, d):
-        from kafka_streams_task_spark.functions.text import gopher_repetition_columns
+        from kafka_streams_task_spark.functions.text import gopher_repetition_table
         from kafka_streams_task_spark.schemas import fan_out_scan
 
         # opt-r16 (guide §2.5): the repetition signals are one map-only
         # mega-projection (array sorts + aggregates per row) — fused into
         # a single-split scan it ran serially; fan the projected columns
-        # out first (no-op on multi-split tables).
+        # out first (no-op on multi-split tables). Scored via the factored
+        # table form (same stats bit-for-bit): the single-projection
+        # column form spent 0.9-1.4s/run in Catalyst planning over
+        # duplicated subtrees (fresh-df noop 1.47s -> 0.61s).
         docs = fan_out_scan(load_table(s, d, "documents").select("doc_id", "text"))
-        return docs.select("doc_id", *gopher_repetition_columns(F.col("text")))
+        return gopher_repetition_table(docs, "text")
 
     def _exact_substring(s, d):
         from kafka_streams_task_spark.operators.dedup import duplicate_span_stats

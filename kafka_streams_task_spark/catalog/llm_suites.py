@@ -1214,7 +1214,7 @@ def llm_text_model_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME value in both engines. Training is pinned by numpy-parity
     pytest.
     """
-    from ..functions.text import char_entropy, gopher_repetition_columns
+    from ..functions.text import char_entropy, gopher_repetition_table
     from ..operators.classifier import hashed_features, linear_margin
     from ..operators.sampling import bigram_nll_scores, unigram_nll_scores
     from ..operators.vocab import build_vocab, encode_documents
@@ -1281,7 +1281,9 @@ def llm_text_model_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("i2"),
     )
 
-    rep_wide = d.select("doc_id", *gopher_repetition_columns(F.col("text")))
+    # factored table form (r16): bit-identical stats, ~6x cheaper to plan
+    # (the column form re-embeds every stat tree in repetition_pass)
+    rep_wide = gopher_repetition_table(d, "text")
     stat_names = [name for name, _ in _REPETITION_STATS] + ["repetition_pass"]
     rep_leg = (
         rep_wide.select(

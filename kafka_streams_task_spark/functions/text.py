@@ -512,12 +512,189 @@ def gopher_repetition_columns(
     return out
 
 
+def _sql_str_lit(s: str) -> str:
+    """Render a Python string as a Spark SQL string literal (default
+    escapedStringLiterals=false: backslashes are escape chars, so double
+    them; quotes escaped)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _tokens_sql(c: str) -> str:
+    """SQL fragment twin of :func:`tokens` over a column/fragment ``c``."""
+    return f"split(trim({c}), {_sql_str_lit(WHITESPACE_RE)})"
+
+
+def _grams_of_sql(t: str, n: int) -> str:
+    """SQL fragment twin of :func:`_grams_of`. ``t`` must be a cheap
+    reference (column name) — it is spliced once per element_at."""
+    parts = ", ".join(f"element_at({t}, CAST(i + {j + 1} AS INT))" for j in range(n))
+    return (
+        f"CASE WHEN size({t}) >= {n} THEN "
+        f"transform(sequence(0, size({t}) - {n}), i -> concat_ws(' ', {parts})) "
+        f"ELSE array(array_join({t}, ' ')) END"
+    )
+
+
+def _excess_char_mass_sql(arr: str) -> str:
+    """SQL fragment twin of :func:`_excess_char_mass` (parity pinned in
+    tests/test_repetition.py)."""
+    return (
+        f"aggregate(array_sort({arr}), "
+        "struct(CAST(NULL AS STRING) AS prev, CAST(0 AS BIGINT) AS run, CAST(0 AS BIGINT) AS chars), "
+        "(acc, x) -> struct(x AS prev, "
+        "CAST(CASE WHEN x = acc.prev THEN acc.run + 1 ELSE 1 END AS BIGINT) AS run, "
+        "CASE WHEN x = acc.prev OR acc.run = 0 THEN acc.chars "
+        "ELSE acc.chars + (acc.run - 1) * CAST(length(acc.prev) AS BIGINT) END AS chars), "
+        "acc -> acc.chars + CASE WHEN acc.run >= 2 THEN (acc.run - 1) * CAST(length(acc.prev) AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    )
+
+
+def _top_value_run_sql(arr: str) -> str:
+    """SQL fragment twin of :func:`_top_value_run` (the merge's ``run``
+    CASE repeats textually where the Column form shares a DAG node —
+    same value, and the analyzed tree stays tiny)."""
+    run = "CAST(CASE WHEN x = acc.prev THEN acc.run + 1 ELSE 1 END AS BIGINT)"
+    return (
+        f"aggregate(array_sort({arr}), "
+        "struct(CAST(NULL AS STRING) AS prev, CAST(0 AS BIGINT) AS run, "
+        "CAST(0 AS BIGINT) AS cnt, CAST(NULL AS STRING) AS val), "
+        f"(acc, x) -> struct(x AS prev, {run} AS run, "
+        f"CASE WHEN {run} > acc.cnt THEN {run} ELSE acc.cnt END AS cnt, "
+        f"CASE WHEN {run} > acc.cnt THEN x ELSE acc.val END AS val), "
+        "acc -> struct(acc.cnt AS cnt, acc.val AS val))"
+    )
+
+
+def gopher_repetition_table(
+    df,
+    text: str = "text",
+    *,
+    keep: tuple[str, ...] = ("doc_id",),
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 10),
+):
+    """Factored twin of :func:`gopher_repetition_columns` — identical
+    output columns, bit-identical values, but built as a STACK of
+    projections so every expensive array subexpression (splits, token
+    array, sorted-run aggregates, top-gram structs) is bound ONCE as a
+    named column and referenced as an attribute above.
+
+    Why (guide §1/§5, r16 planning receipt): the single-projection column
+    form re-embeds each subtree at every reference — ``repetition_pass``
+    alone duplicates all 13 stat trees, ``char_frac`` duplicates each
+    mass twice, the top-gram struct three times — and Catalyst planning
+    walks every copy. Measured at sf0.1/local[32]: executedPlan 0.86s ->
+    0.15s, fresh-DataFrame noop run 1.47s -> 0.61s, results
+    pandas-assert-identical. ``CollapseProject`` keeps the factoring: it
+    never inlines a non-cheap producer expression referenced more than
+    once. Per-row work is unchanged (same expressions, evaluated once).
+
+    Prefer this form for whole-table scoring; the column-list form stays
+    for splicing single signals into an existing projection.
+    """
+    # the sorted-run aggregates and gram transforms are built as ONE-parse
+    # F.expr fragments: the Column/lambda builders cost thousands of
+    # synchronous py4j round trips per construction (measured 1.37s to
+    # build this DataFrame via Columns vs ~5ms via fragments — §4's
+    # JVM<->Python boundary, on the driver). Parity with the Column
+    # builders is pinned in tests/test_repetition.py.
+    c = F.col(text)
+    lvl1 = df.select(
+        *keep,
+        F.length(c).cast("double").alias("_rep_nch"),
+        F.split(c, "\n").alias("_rep_lines"),
+        F.split(c, r"\n{2,}").alias("_rep_paras"),
+        F.expr(_tokens_sql(f"`{text}`")).alias("_rep_toks"),
+    )
+    t = F.col("_rep_toks")
+    lvl2 = lvl1.select(
+        *keep,
+        "_rep_nch",
+        F.size(t).alias("_rep_ntoks"),
+        *[
+            col
+            for unit in ("lines", "paras")
+            for col in (
+                F.size(F.col(f"_rep_{unit}")).cast("double").alias(f"_rep_k_{unit}"),
+                F.size(F.array_distinct(F.col(f"_rep_{unit}"))).cast("double").alias(f"_rep_kd_{unit}"),
+                F.expr(_excess_char_mass_sql(f"`_rep_{unit}`")).alias(f"_rep_em_{unit}"),
+            )
+        ],
+        *[
+            F.expr(_top_value_run_sql(_grams_of_sql("`_rep_toks`", n))).alias(f"_rep_top{n}")
+            for n in top_ns
+        ],
+        *[
+            F.expr(_excess_char_mass_sql(_grams_of_sql("`_rep_toks`", n))).alias(f"_rep_em{n}")
+            for n in dup_ns
+        ],
+    )
+
+    # levels 3-4 as selectExpr fragments (same py4j rationale; double
+    # literals carry the D suffix — a bare 0.3 parses as DECIMAL in SQL
+    # while F.lit(0.3) is a double). stable_round's +1e-9 bias matches
+    # rounding.stable_round exactly.
+    def srnd(expr: str) -> str:
+        return f"round(({expr}) + 1E-9, 6)"
+
+    def char_frac(mass: str) -> str:
+        # same clamp rationale as gopher_repetition_columns
+        return srnd(
+            f"CASE WHEN `_rep_nch` > 0 THEN least(CAST(({mass}) AS DOUBLE) / `_rep_nch`, 1.0D) "
+            "ELSE 0.0D END"
+        )
+
+    stats: list[tuple[str, str]] = []
+    for unit, uname in (("lines", "line"), ("paras", "para")):
+        stats.append(
+            (
+                f"dup_{uname}_frac",
+                srnd(f"(`_rep_k_{unit}` - `_rep_kd_{unit}`) / `_rep_k_{unit}`"),
+            )
+        )
+        stats.append((f"dup_{uname}_char_frac", char_frac(f"`_rep_em_{unit}`")))
+    for n in top_ns:
+        top = f"`_rep_top{n}`"
+        mass = (
+            f"CASE WHEN `_rep_ntoks` >= {n} AND {top}.cnt >= 2 "
+            f"THEN {top}.cnt * CAST(length({top}.val) AS BIGINT) ELSE 0 END"
+        )
+        stats.append((f"top{n}gram_char_frac", char_frac(mass)))
+    for n in dup_ns:
+        stats.append((f"dup{n}gram_char_frac", char_frac(f"`_rep_em{n}`")))
+
+    lvl3 = lvl2.selectExpr(
+        *[f"`{k}`" for k in keep], *[f"{expr} AS {name}" for name, expr in stats]
+    )
+    passed = " AND ".join(
+        f"{name} <= {GOPHER_REPETITION_THRESHOLDS[name]!r}D" for name, _ in stats
+    )
+    return lvl3.selectExpr(
+        *[f"`{k}`" for k in keep],
+        *[name for name, _ in stats],
+        f"CAST(({passed}) AS INT) AS repetition_pass",
+    )
+
+
 def repetition_ratio(text: Column | str, n: int = 3) -> Column:
     """Duplicated word-n-gram fraction in [0, 1]: 1 - distinct/total
     shingles. Boilerplate and looping generations score high; natural prose
     scores near 0. Pure array arithmetic over ``shingles`` — codegen only."""
     sh = shingles(text, n)
     return F.lit(1.0) - F.size(F.array_distinct(sh)).cast("double") / F.size(sh)
+
+
+def _grams_of(t: Column, n: int) -> Column:
+    """Word n-grams from an ALREADY-BOUND token array column (an attribute
+    or lambda variable — do NOT pass a raw ``split`` tree: every
+    ``element_at`` reference would re-evaluate it). Documents shorter than
+    ``n`` tokens yield a single gram of the whole text."""
+    k = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(0), k - F.lit(n)),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    return F.when(k >= n, grams).otherwise(F.array(F.array_join(t, " ")))
 
 
 def shingles(text: Column | str, n: int = 3) -> Column:
@@ -529,16 +706,9 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     each of the ~3x-per-shingle ``element_at`` references reads the lambda
     variable instead of re-splitting the text (without this, shingling a
     400-token document re-evaluates ``split`` ~1200 times)."""
-
-    def grams_of(t: Column) -> Column:
-        k = F.size(t)
-        grams = F.transform(
-            F.sequence(F.lit(0), k - F.lit(n)),
-            lambda i: F.concat_ws(" ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]),
-        )
-        return F.when(k >= n, grams).otherwise(F.array(F.array_join(t, " ")))
-
-    return F.element_at(F.transform(F.array(tokens(text)), grams_of), 1)
+    return F.element_at(
+        F.transform(F.array(tokens(text)), lambda t: _grams_of(t, n)), 1
+    )
 
 
 def lang_id(text: Column | str) -> Column:

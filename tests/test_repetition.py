@@ -72,6 +72,19 @@ def test_thresholds_cover_emitted_stats(rep_rows):
     assert emitted <= set(GOPHER_REPETITION_THRESHOLDS)
 
 
+def test_table_form_matches_column_form(spark, rep_rows):
+    # the factored gopher_repetition_table (r16 planning optimization)
+    # must stay bit-identical to the single-projection column form
+    from kafka_streams_task_spark.functions.text import gopher_repetition_table
+
+    df = spark.createDataFrame(
+        [(0, DOC0), (1, LOOP), (2, "x"), (3, ""), (4, TEN), (5, TEN)],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r.asDict() for r in gopher_repetition_table(df, "text").collect()}
+    assert got == rep_rows
+
+
 def test_duplicate_span_stats_cross_doc(spark):
     df = spark.createDataFrame(
         [(0, DOC0), (1, LOOP), (2, "x"), (3, ""), (4, TEN), (5, TEN)],
