@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..schemas import load_table
+from ..schemas import load_table, local_table
 from .llm_suites import fmicro_col, sql_fmicro
 from .registry import query
 
@@ -368,7 +368,7 @@ def crawl_extract_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
 
-    html_map = spark.createDataFrame(
+    html_map = local_table(spark,
         [(m, h) for m, h, _ in _HTML_CASES], "m int, html string"
     )
     text_leg = (
@@ -384,7 +384,7 @@ def crawl_extract_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    sm_map = spark.createDataFrame(_SITEMAP_CASES, "ms int, sitemap_xml string")
+    sm_map = local_table(spark, _SITEMAP_CASES, "ms int, sitemap_xml string")
     sm_leg = parse_sitemap_urls(
         d.filter(F.col("doc_id") < 30)
         .withColumn("ms", (F.col("doc_id") % 2).cast("int"))
@@ -398,7 +398,7 @@ def crawl_extract_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("is_index").cast("long").alias("i1"),
     )
 
-    link_map = spark.createDataFrame(
+    link_map = local_table(spark,
         _LINK_CASES,
         "ml int, warc_type string, http_status int, http_content_type string,"
         " target_uri string, html string",
@@ -424,7 +424,7 @@ def crawl_extract_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").cast("long").alias("i1"),
         )
     )
-    smd_map = spark.createDataFrame(
+    smd_map = local_table(spark,
         _SMDISC_CASES, "msd int, domain string, robots_txt string"
     )
     smd_leg = (
@@ -443,7 +443,7 @@ def crawl_extract_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").cast("long").alias("i1"),
         )
     )
-    rep_map = spark.createDataFrame(
+    rep_map = local_table(spark,
         _REPORT_CASES,
         "mr int, warc_type string, truncated string, payload binary,"
         " source_file string",
@@ -464,7 +464,7 @@ def crawl_extract_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("s2"),
         F.col("v").cast("long").alias("i1"),
     )
-    unesc_map = spark.createDataFrame(
+    unesc_map = local_table(spark,
         [(mu, raw) for mu, raw, _ in _UNESC_CASES], "mu int, raw string"
     )
     unesc_leg = (
@@ -601,7 +601,7 @@ def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets from them with its own xor/bit_count."""
     from ..operators.image_hash import image_hash_table, image_near_dup_pairs
 
-    pay_map = spark.createDataFrame(
+    pay_map = local_table(spark,
         _ih_payloads(), "m int, payload binary"
     )
     d = load_table(spark, sf_dir, "documents").select("doc_id")
@@ -724,7 +724,7 @@ def video_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     its own equi-join + HAVING."""
     from ..operators.image_hash import video_frame_hashes, video_near_dup_pairs
 
-    pay_map = spark.createDataFrame(_vid_payloads(), "m int, payload binary")
+    pay_map = local_table(spark, _vid_payloads(), "m int, payload binary")
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     planted = (
         d.filter(F.col("doc_id") < 30)
@@ -850,7 +850,7 @@ def audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         audio_subfingerprint_table,
     )
 
-    pay_map = spark.createDataFrame(_afp_payloads(), "m int, payload binary")
+    pay_map = local_table(spark, _afp_payloads(), "m int, payload binary")
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     planted = (
         d.filter(F.col("doc_id") < 60)
@@ -1851,7 +1851,7 @@ def privacy_kanon_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("classes_at_risk").cast("long").alias("i4"),
     )
 
-    canary = spark.createDataFrame(
+    canary = local_table(spark,
         _KAN_CANARY,
         "leg string, k string, i1 long, i2 long, i3 long, i4 long",
     )
@@ -2009,7 +2009,7 @@ def timeseries_gapfill_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_gaps").cast("long").alias("i3"),
         F.col("max_gap_run").cast("long").alias("i4"),
     )
-    canary = spark.createDataFrame(
+    canary = local_table(spark,
         _GF_CANARY,
         "leg string, k string, t long, i1 long, i2 long, i3 long, i4 long",
     )
@@ -2168,7 +2168,7 @@ def geo_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("b"),
         F.lit(0).cast("long").alias("d"),
     )
-    canary = spark.createDataFrame(
+    canary = local_table(spark,
         _GEO_CANARY, "leg string, a long, b long, d long"
     )
     return pair.unionByName(npts).unionByName(npairs).unionByName(canary)
@@ -2281,7 +2281,7 @@ def phonetic_soundex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_b").cast("string").alias("v"),
         F.lit(None).cast("long").alias("i1"),
     )
-    golden = spark.createDataFrame(
+    golden = local_table(spark,
         _SDX_GOLDENS, "name string, expected string"
     ).select(
         F.lit("golden").cast("string").alias("leg"),
@@ -2289,7 +2289,7 @@ def phonetic_soundex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         soundex_expr("name").cast("string").alias("v"),
         F.lit(None).cast("long").alias("i1"),
     )
-    canary = spark.createDataFrame(
+    canary = local_table(spark,
         _SDX_CANARY, "leg string, k string, v string, i1 long"
     )
     return (
@@ -2394,13 +2394,13 @@ def jaro_linkage_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.linkage import jaro_winkler_udf, phonetic_jw_pairs
 
     jwu = jaro_winkler_udf()
-    jw_leg = spark.createDataFrame(_JW_PAIRS, "a string, b string").select(
+    jw_leg = local_table(spark, _JW_PAIRS, "a string, b string").select(
         F.lit("jw").cast("string").alias("leg"),
         F.col("a").cast("string").alias("k"),
         F.col("b").cast("string").alias("v"),
         fmicro_col(jwu(F.col("a"), F.col("b"))).alias("i1"),
     )
-    names = spark.createDataFrame(
+    names = local_table(spark,
         list(enumerate(_JW_NAMES)), "id long, name string"
     )
     link = phonetic_jw_pairs(names, "id", "name", 0.85).select(
@@ -2422,7 +2422,7 @@ def jaro_linkage_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("name_b").cast("string").alias("v"),
         fmicro_col(F.col("jw")).alias("i1"),
     )
-    canary = spark.createDataFrame(
+    canary = local_table(spark,
         _JW_CANARY, "leg string, k string, v string, i1 long"
     )
     return (
@@ -2505,7 +2505,7 @@ def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("i1"),
         fmicro_col(F.col("p")).alias("i2"),
     )
-    canary = spark.createDataFrame(
+    canary = local_table(spark,
         _MKV_CANARY, "leg string, k string, v string, i1 long, i2 long"
     )
     return trans.unionByName(canary)
@@ -2632,7 +2632,7 @@ def anomaly_zscore_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i2",
         "i3",
     )
-    canary = spark.createDataFrame(
+    canary = local_table(spark,
         _AZ_CANARY,
         "leg string, k string, t long, i1 long, i2 long, i3 long",
     )
@@ -2771,7 +2771,7 @@ def trend_forecast_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmicro_col(F.col("intercept")).alias("i3"),
         fmicro_col(F.col("r2")).alias("i4"),
     )
-    canary = spark.createDataFrame(
+    canary = local_table(spark,
         _TF_CANARY,
         "leg string, k string, i1 long, i2 long, i3 long, i4 long",
     )
@@ -2882,7 +2882,7 @@ def quantile_norm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t",
         "i1",
     )
-    canary = spark.createDataFrame(
+    canary = local_table(spark,
         _QN_CANARY, "leg string, k string, t long, i1 long"
     )
     return row.unionByName(summ).unionByName(canary)
@@ -2995,7 +2995,7 @@ def cusum_shift_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i2",
         "i3",
     )
-    canary = spark.createDataFrame(
+    canary = local_table(spark,
         _AZ_CANARY,
         "leg string, k string, t long, i1 long, i2 long, i3 long",
     )
@@ -3102,7 +3102,7 @@ def robust_scale_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i1",
         "i2",
     )
-    canary = spark.createDataFrame(
+    canary = local_table(spark,
         _RB_CANARY, "leg string, k string, t long, i1 long, i2 long"
     )
     return row.unionByName(summ).unionByName(canary)
@@ -3256,7 +3256,7 @@ def stat_audit_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i2",
         "i3",
     )
-    canary = spark.createDataFrame(
+    canary = local_table(spark,
         _SA_CANARY,
         "leg string, k string, t long, i1 long, i2 long, i3 long",
     )
@@ -3813,7 +3813,7 @@ def geo_cluster_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a",
         F.lit(0).cast("long").alias("b"),
     )
-    canary = spark.createDataFrame(
+    canary = local_table(spark,
         _GC_CANARY, "leg string, a long, b long"
     )
     return (
@@ -3979,7 +3979,7 @@ def unicode_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     nul = F.lit(None).cast("long")
     nus = F.lit(None).cast("string")
 
-    planted = spark.createDataFrame(_UT_DOCS, "id long, text string")
+    planted = local_table(spark, _UT_DOCS, "id long, text string")
     count_leg = planted.select(
         F.lit("count").alias("leg"),
         F.col("id").alias("key"),
@@ -3995,7 +3995,7 @@ def unicode_token_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         nul.alias("i2"),
     )
 
-    near = spark.createDataFrame(_UT_NEAR, "doc_id long, text string")
+    near = local_table(spark, _UT_NEAR, "doc_id long, text string")
     seg = near.withColumn("text", segment_nospace_chars("text"))
     n_seg = ngram_jaccard_pairs(seg, shingle_n=3, threshold=0.5).agg(
         F.count(F.lit(1)).cast("long").alias("i1")
@@ -4136,7 +4136,7 @@ def script_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nul = F.lit(None).cast("long")
     nus = F.lit(None).cast("string")
-    planted = spark.createDataFrame(_SM_DOCS, "id long, t string")
+    planted = local_table(spark, _SM_DOCS, "id long, t string")
 
     mix_legs = None
     for s in SCRIPT_CLASSES:
@@ -4342,7 +4342,7 @@ def containment_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmicro_col(F.col("cont_a_in_b")).alias("i1"),
         fmicro_col(F.col("cont_b_in_a")).alias("i2"),
     )
-    planted = spark.createDataFrame(_CT_DOCS, "doc_id long, text string")
+    planted = local_table(spark, _CT_DOCS, "doc_id long, text string")
     planted_leg = ngram_containment_pairs(planted, threshold=0.9).select(
         F.lit("planted").alias("leg"),
         F.col("id_a").cast("long").alias("key"),
@@ -4360,7 +4360,7 @@ def containment_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("i2"),
         )
 
-    chain = spark.createDataFrame(_CT_CHAIN_DOCS, "doc_id long, text string")
+    chain = local_table(spark, _CT_CHAIN_DOCS, "doc_id long, text string")
     return (
         pairs_leg.unionByName(planted_leg)
         .unionByName(_survivors(docs, "drop_corpus", 0.6))
@@ -4437,7 +4437,7 @@ def compression_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nul = F.lit(None).cast("long")
     nus = F.lit(None).cast("string")
-    planted = spark.createDataFrame(
+    planted = local_table(spark,
         [
             (1, _CZ_REP),
             (2, _CZ_NAT),
@@ -4869,10 +4869,10 @@ def quality_survivor_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score").cast("long").alias("i1"),
         nul.alias("i2"),
     )
-    planted_docs = spark.createDataFrame(
+    planted_docs = local_table(spark,
         [(i, s) for i, s in sorted(_QS_SCORES.items())], "doc_id long, score long"
     )
-    planted_pairs = spark.createDataFrame(_QS_PAIRS, "id_a long, id_b long")
+    planted_pairs = local_table(spark, _QS_PAIRS, "id_a long, id_b long")
     planted_leg = keep_best_per_cluster(
         planted_docs, planted_pairs, score_col="score"
     ).select(
@@ -5017,7 +5017,7 @@ def heavy_hitter_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("i1"),
         nul.alias("i2"),
     )
-    planted = spark.createDataFrame(_HH_DOCS, "doc_id long, text string")
+    planted = local_table(spark, _HH_DOCS, "doc_id long, text string")
     planted_leg = topk_tokens_sketched(planted, k=1, capacity=2).select(
         F.lit("planted").alias("leg"),
         F.col("rank").cast("long").alias("key"),
@@ -5197,7 +5197,7 @@ def cms_freq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").cast("long").alias("i2"),
         nul.alias("i3"),
     )
-    planted = spark.createDataFrame(_CMS_P_DOCS, "doc_id long, text string")
+    planted = local_table(spark, _CMS_P_DOCS, "doc_id long, text string")
     pcms = count_min_table(planted, depth=_CMS_P_DEPTH, width=_CMS_P_WIDTH)
     ptoks = planted.select(
         F.explode(F.split(F.trim(F.col("text")), r"[ \t\n\r\f]+")).alias("token")
@@ -5212,7 +5212,7 @@ def cms_freq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("i2"),
         (F.col("est") >= F.col("n")).cast("long").alias("i3"),
     )
-    canary = spark.createDataFrame(
+    canary = local_table(spark,
         _CMS_CANARY, "leg string, k string, i1 long, i2 long, i3 long"
     )
     return (
@@ -5416,7 +5416,7 @@ def quantile_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ordv = vals.withColumn("rn", F.row_number().over(Window.orderBy("x")))
     tot = vals.agg(F.count(F.lit(1)).alias("N"))
-    qdf = spark.createDataFrame([(float(q),) for q in _QSK_QS], "q double")
+    qdf = local_table(spark, [(float(q),) for q in _QSK_QS], "q double")
     ranked = qdf.crossJoin(F.broadcast(tot)).select(
         "q",
         (F.floor(F.col("q") * (F.col("N") - 1)) + 1).cast("long").alias("rnk"),
@@ -5455,7 +5455,7 @@ def quantile_sketch_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rn", F.row_number().over(Window.partitionBy("_g").orderBy("x"))
     )
     g_tot = gvals.groupBy("_g").agg(F.count(F.lit(1)).alias("N"))
-    g_qdf = spark.createDataFrame([(float(q),) for q in _QSK_GQS], "q double")
+    g_qdf = local_table(spark, [(float(q),) for q in _QSK_GQS], "q double")
     g_ranked = g_tot.crossJoin(F.broadcast(g_qdf)).select(
         "_g",
         "q",

@@ -47,7 +47,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import WHITESPACE_RE, tokens
-from ..schemas import load_table
+from ..schemas import load_table, local_table
 from .llm import (
     _LEAK_8GRAM,
     _REPETITION_STATS,
@@ -355,7 +355,7 @@ def llm_graph_layout_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   d4 m9 '/docs/file.pdf' deny ('/*.pdf$') | m10 '...pdfx' allow
     #     ($ anchor)
     #   d9 m11 '/whatever' allow (no robots.txt at all)
-    robots_bodies = spark.createDataFrame(
+    robots_bodies = local_table(spark,
         [
             ("d0.com", "User-agent: *\nDisallow: /private/\nAllow: /private/ok/"),
             ("d1.com", "User-agent: trainbot\nDisallow: /blocked\n\n"
@@ -421,7 +421,7 @@ def llm_graph_layout_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (e2 shadowed by a delay-less own group, e4 non-numeric, e5 a
     # foreign agent's group) — delays are exact halves so the micro
     # conversion has zero tie risk
-    delay_bodies = spark.createDataFrame(
+    delay_bodies = local_table(spark,
         [
             ("e0.com", "User-agent: *\nCrawl-delay: 2"),
             ("e1.com", "User-agent: trainbot\nCrawl-delay: 0.5\n\n"
@@ -891,7 +891,7 @@ def llm_cdc_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle is untouched).
     m = (F.col("doc_id") % 10).cast("string")
     did = F.col("doc_id").cast("string")
-    url_shapes = spark.createDataFrame(
+    url_shapes = local_table(spark,
         [
             (0, "https://www.d", ".co.uk/x?utm_source=z&id=", True),
             (1, "http://sub.a.d", "site.com:80/path/", True),
@@ -908,7 +908,7 @@ def llm_cdc_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(F.broadcast(url_shapes), F.col("doc_id") % 4 == F.col("b"))
         .select("doc_id", url.alias("url"))
     )
-    dlist = spark.createDataFrame(
+    dlist = local_table(spark,
         [("d3.co.uk",), ("d7site.com",), ("sub.a.d1site.com",), ("CDN.d5.co.uk.",)],
         "domain string",
     )
@@ -1924,7 +1924,7 @@ def llm_dedup_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.col("text"), F.lit(_LEAK_8GRAM)),
         ).otherwise(F.col("text")).alias("text"),
     )
-    benchmark = spark.createDataFrame([(_LEAK_8GRAM,)], ["text"])
+    benchmark = local_table(spark, [(_LEAK_8GRAM,)], "text string")
     decontam_leg = decontaminate(planted, benchmark, shingle_n=8).select(
         F.lit("decontam").alias("leg"),
         F.col("doc_id").cast("long").alias("key"),
@@ -2406,7 +2406,7 @@ def similarity_knn_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         # localCheckpoint: checkpoint blocks would stay pinned in executor
         # storage for the session (the no-cached-blocks standard).
         gate_rows = gate_leg(pers, "persisted", 0.8).collect()
-        pers_leg = spark.createDataFrame(
+        pers_leg = local_table(spark,
             gate_rows, "leg string, key long, key_b long, i1 long, i2 long"
         )
     finally:
@@ -2664,7 +2664,7 @@ def text_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[nul.alias(f"i{j}") for j in range(1, 7)],
         *[nud.alias(f"d{j}") for j in range(1, 8)],
     )
-    canary = spark.createDataFrame(
+    canary = local_table(spark,
         _TP_CANARY,
         "leg string, key long, s1 string, s2 string, s3 string, "
         "i1 long, i2 long, i3 long, i4 long, i5 long, i6 long, "

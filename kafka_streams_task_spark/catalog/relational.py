@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import WHITESPACE_RE
-from ..schemas import load_table
+from ..schemas import load_table, local_table
 from .llm_suites import _SUITE_COLS, canary_df, canary_sql, fmicro_col, sql_fmicro
 from .registry import query
 
@@ -532,9 +532,9 @@ def range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan is BroadcastNestedLoopJoin with the band table broadcast; at any
     scale the big side streams through once."""
     o = _t(spark, sf_dir, "orders")
-    bands = spark.createDataFrame(
+    bands = local_table(spark,
         [("small", 0.0, 50000.0), ("mid", 50000.0, 200000.0), ("large", 200000.0, 1e18)],
-        ["band", "lo", "hi"],
+        "band string, lo double, hi double",
     )
     return (
         o.join(F.broadcast(bands), (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi))
@@ -1590,7 +1590,7 @@ def profile_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_str").cast("string").alias("s2"),
         *[nud.alias(f"d{j}") for j in range(1, 11)],
     )
-    canary = spark.createDataFrame(
+    canary = local_table(spark,
         _PA_CANARY,
         "leg string, k string, i1 long, i2 long, i3 long, s1 string, "
         "s2 string, d1 double, d2 double, d3 double, d4 double, d5 double, "
@@ -1656,7 +1656,7 @@ def window_family_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cdist").cast("double").alias("d1"),
         F.col("delta_vs_priority_avg").cast("double").alias("d2"),
     )
-    canary = spark.createDataFrame(
+    canary = local_table(spark,
         _WF_CANARY,
         "leg string, key long, i1 long, i2 long, d1 double, d2 double",
     )
@@ -1742,7 +1742,7 @@ def relational_misc_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         nud.alias("d1"),
         nud.alias("d2"),
     )
-    canary = spark.createDataFrame(
+    canary = local_table(spark,
         _RM_CANARY,
         "leg string, key long, s1 string, s2 string, i1 long, "
         "d1 double, d2 double",

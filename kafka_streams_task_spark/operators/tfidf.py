@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..functions.rounding import stable_round
 from ..functions.text import tokens
+from ..schemas import fan_out_scan
 
 
 def bm25_top_docs(
@@ -82,7 +83,13 @@ def bm25_top_docs(
     ).distinct()
     qterm_set = qterms.select("term").distinct()
 
-    tok = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    # opt-r16 (guide §2.5): a single-split corpus otherwise runs every
+    # tokenize chain serially in its scan task; the fanned (id, text)
+    # exchange is shared by the tf and dl chains below (identical
+    # canonical subtree -> ReuseExchange scans the corpus once for both)
+    # and is a no-op on real multi-split tables.
+    corpus = fan_out_scan(docs.select(F.col(id_col), F.col(text_col)))
+    tok = corpus.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
     # map-side broadcast semi-filter: only query-matched tokens reach the
     # tf shuffle (on a real-vocabulary corpus this is the difference
     # between shuffling a few query terms and shuffling every token)
@@ -91,7 +98,7 @@ def bm25_top_docs(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dl = docs.select(F.col(id_col), F.size(tokens(F.col(text_col))).alias("dl"))
+    dl = corpus.select(F.col(id_col), F.size(tokens(F.col(text_col))).alias("dl"))
     # opt-r16 (guide §2.4): df as a window count over the tf table itself
     # instead of a second groupBy + join back. The groupBy form gave the
     # tf subtree two consumers with different column pruning, so the
@@ -100,12 +107,14 @@ def bm25_top_docs(
     # query-matched candidate table, and its count equals the old
     # dft.df exactly (same rows, same key).
     tf = tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
-    # one broadcast row: corpus size and mean doc length (over ALL docs)
-    stats = docs.agg(
+    # one broadcast row: corpus size and mean doc length (over ALL docs).
+    # opt-r16: derived from the dl projection instead of a third
+    # tokenize pass over the text — dl has exactly one row per doc (a
+    # map-only projection of docs, no filter), so count(1)/sum(dl) equal
+    # the old count(1)/sum(size(tokens)) over docs value-for-value.
+    stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.coalesce(F.sum(F.size(tokens(F.col(text_col)))), F.lit(0))
-        .cast("double")
-        .alias("n_tokens"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("double").alias("n_tokens"),
     ).select("n_docs", (F.col("n_tokens") / F.col("n_docs")).alias("avgdl"))
 
     contrib = (
@@ -160,7 +169,11 @@ def tfidf_top_terms(
     because ties are broken on the term text and scores are compared in
     exact integer micro-units, never raw doubles.
     """
-    tok = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    # opt-r16 (guide §2.5): parallelize the tokenize+partial-agg chain on
+    # single-split sources (no-op on real multi-split tables)
+    tok = fan_out_scan(docs.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
     tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     # opt-r16 (guide §2.4): df as a window count over tf instead of a
     # second groupBy + join back on term — the join form gave the
