@@ -425,7 +425,7 @@ def _ops_workloads():
     )
     from kafka_streams_task_spark.operators.sampling import assign_splits
     from kafka_streams_task_spark.functions.url import with_registered_domain_psl
-    from kafka_streams_task_spark.schemas import load_table
+    from kafka_streams_task_spark.schemas import load_table, local_table
     from kafka_streams_task_spark.sources.warc import read_warc
 
     fix = _warc_fixture_dir()
@@ -441,7 +441,7 @@ def _ops_workloads():
     def _robots_match(s, d):
         # 100k URLs x (40 domains x ~6 rules): the windows + LIKE +
         # max_by chain at events volume
-        bodies = s.createDataFrame(
+        bodies = local_table(s,
             [
                 (
                     f"d{i}.com",
@@ -535,7 +535,7 @@ def _ops_workloads():
             html_to_text,
         )
 
-        shapes = s.createDataFrame(
+        shapes = local_table(s,
             [
                 (0, "<html><head><script>var a=1;</script><style>p{}</style>"
                     "</head><body>" + "<p>para text here</p>" * 20 + "</body></html>"),
@@ -599,7 +599,7 @@ def _ops_workloads():
         # malformed, absent) across 20k distinct domains
         from kafka_streams_task_spark.operators.robots import crawl_delays
 
-        shapes = s.createDataFrame(
+        shapes = local_table(s,
             [
                 (0, "User-agent: *\nCrawl-delay: 2\n"),
                 (1, "User-agent: trainbot\nCrawl-delay: 0.5\n\n"
@@ -1258,6 +1258,7 @@ def _ops_workloads():
 
     s0 = SparkSession.getActiveSession()
     from kafka_streams_task_spark.operators.dsir import dsir_fit
+    from kafka_streams_task_spark.schemas import local_table
     from kafka_streams_task_spark.operators.snapshots import snapshot_write
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -1277,7 +1278,7 @@ def _ops_workloads():
     w_rows = dsir_fit(
         docs0.filter(F.col("source") == "src1"), docs0, n_features=1 << 13
     ).collect()
-    _DSIR_WEIGHTS[0] = s0.createDataFrame(
+    _DSIR_WEIGHTS[0] = local_table(s0,
         w_rows, "idx long, log_ratio double, n_features long"
     )
     from kafka_streams_task_spark.operators.kn_lm import (
