@@ -53,6 +53,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import WHITESPACE_RE
+from ..schemas import local_table
 from .classifier import feature_index
 
 #: md5-hex-to-uniform denominator, mirrors sampling._HASH_SPACE
@@ -265,9 +266,10 @@ def _finish_model(
         )
     )
     unseen = math.log(alpha / denom_t) - math.log(alpha / denom_r)
-    default_row = ct.sparkSession.createDataFrame(
+    default_row = local_table(
+        ct.sparkSession,
         [(None, float(unseen), int(n_features))],
-        schema="idx bigint, log_ratio double, n_features bigint",
+        "idx bigint, log_ratio double, n_features bigint",
     )
     # materialize the model (≤n_features+1 rows), then free the count
     # tables — the returned DataFrame is self-contained: scoring /

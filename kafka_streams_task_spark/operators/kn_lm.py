@@ -257,7 +257,8 @@ def kn_model_write(model: KNBigramModel, path: str) -> None:
     model.bigrams.write.mode("overwrite").parquet(f"{path}/bigrams")
     model.contexts.write.mode("overwrite").parquet(f"{path}/contexts")
     model.continuation.write.mode("overwrite").parquet(f"{path}/continuation")
-    spark.createDataFrame(
+    local_table(
+        spark,
         [(model.d, model.t_types, model.v)],
         "d double, t_types bigint, v bigint",
     ).write.mode("overwrite").parquet(f"{path}/scalars")

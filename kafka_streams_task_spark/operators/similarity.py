@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import stable_round
-from ..schemas import fan_out_scan
+from ..schemas import fan_out_scan, local_table
 
 
 def _as_double(col):
@@ -953,9 +953,10 @@ def build_ivfpq_index(
     c_indexed.write.mode("overwrite").partitionBy("cluster").parquet(f"{path}/index")
     spark = corpus.sparkSession
     m_, ks_, sub = books.shape
-    model = spark.createDataFrame(
+    model = local_table(
+        spark,
         [(m_ * sub, m_, ks_, centroids.tolist(), books.reshape(m_ * ks_, sub).tolist())],
-        schema="dim int, m int, ks int, centroids array<array<double>>, books array<array<double>>",
+        "dim int, m int, ks int, centroids array<array<double>>, books array<array<double>>",
     )
     model.write.mode("overwrite").parquet(f"{path}/model")
 

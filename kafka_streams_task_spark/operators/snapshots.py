@@ -43,6 +43,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..schemas import local_table
 from .merge import _fs, parquet_footer_count, read_json_file, write_json_atomic
 
 _VERSIONS_DIR = "_versions"
@@ -373,7 +374,8 @@ def snapshot_versions(spark: SparkSession, path: str) -> DataFrame:
         )
         for m in committed_lineage(spark, path)
     ]
-    return spark.createDataFrame(
+    return local_table(
+        spark,
         rows,
         "version int, op string, n_dirs int, n_rows long, committed_at double, is_latest boolean",
     )
