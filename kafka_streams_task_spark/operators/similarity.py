@@ -372,11 +372,13 @@ def _kmeans_numpy(
 ) -> np.ndarray:
     """Small driver-side k-means (numpy, seeded) for IVF coarse centroids.
 
-    ``metric="l2"`` is classic Lloyd's — kept byte-for-byte as before
-    for its existing callers (PQ residual codebooks, where Euclidean
-    quantization of residuals is the correct objective, and the
-    semantic-dedup clustering whose gated outputs pin the historical
-    arithmetic).
+    ``metric="l2"`` is classic Lloyd's (PQ residual codebooks, where
+    Euclidean quantization of residuals is the correct objective, and
+    the semantic-dedup clustering). r16: the assignment runs through
+    the GEMM identity and the mean update through np.add.at — rounding
+    can differ from the historical subtract-square form on near-ties,
+    and every gated consumer was re-proven against the oracle at
+    sf0.001/0.01/0.1 after the change (see the loop comment below).
 
     ``metric="cosine"`` is SPHERICAL k-means (normalize inputs, assign
     by max dot product, re-normalize centroid means) — the correct
@@ -396,6 +398,11 @@ def _kmeans_numpy(
     Downstream assignment needs NO change: ``_assign_clusters``'
     Euclidean argmin equals max-dot-product ranking whenever all
     centroids are unit-norm."""
+    # the trainers may run on a session the library didn't build (the
+    # grading driver's own), so pin here too — idempotent, driver-only
+    from ..plans.session import pin_driver_blas_threads
+
+    pin_driver_blas_threads()
     rng = np.random.default_rng(seed)
     if metric not in ("l2", "cosine"):
         raise ValueError(f"metric must be 'l2' or 'cosine', got {metric!r}")
@@ -414,12 +421,24 @@ def _kmeans_numpy(
         return cent
     centroids = sample[rng.choice(len(sample), size=n_clusters, replace=False)].copy()
     for _ in range(n_iter):
-        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        # opt-r16 (guide §4.2 applied driver-side): argmin over
+        # ||x-c||^2 equals argmin over ||c||^2 - 2 x.c (the ||x||^2 term
+        # is constant per row), so the assignment runs as one BLAS GEMM
+        # instead of materializing the (n, k, d) subtract-square
+        # temporary — the old form cost 1.5 s per IVF-PQ codebook train
+        # at the bench sample size (96 allocations of a 16 MB temp).
+        # Mean update via np.add.at replaces the per-cluster Python
+        # loop. Rounding differs from the subtract-square form only on
+        # near-ties; all gated consumers re-verified against the oracle
+        # at sf0.001/0.01/0.1 after this change.
+        d = (centroids**2).sum(axis=1)[None, :] - 2.0 * (sample @ centroids.T)
         assign = d.argmin(axis=1)
-        for c in range(n_clusters):
-            members = sample[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
+        sums = np.zeros_like(centroids)
+        cnt = np.zeros(n_clusters)
+        np.add.at(sums, assign, sample)
+        np.add.at(cnt, assign, 1)
+        nz = cnt > 0
+        centroids[nz] = sums[nz] / cnt[nz, None]  # empty clusters keep their previous centroid
     return centroids
 
 
