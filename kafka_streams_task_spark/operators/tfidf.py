@@ -89,7 +89,15 @@ def bm25_top_docs(
     # canonical subtree -> ReuseExchange scans the corpus once for both)
     # and is a no-op on real multi-split tables.
     corpus = fan_out_scan(docs.select(F.col(id_col), F.col(text_col)))
-    tok = corpus.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    # explode_outer + isNotNull instead of plain explode: the inferred
+    # size(tokens)>0 generator filter otherwise sinks below the fan-out
+    # exchange with the whole tokenize chain substituted in (a serial
+    # duplicate evaluation). Same rows: split() never yields null
+    # elements, and the null row explode_outer adds for empty/null
+    # arrays fails the filter.
+    tok = corpus.select(
+        F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term").isNotNull())
     # map-side broadcast semi-filter: only query-matched tokens reach the
     # tf shuffle (on a real-vocabulary corpus this is the difference
     # between shuffling a few query terms and shuffling every token)
@@ -108,10 +116,17 @@ def bm25_top_docs(
     # dft.df exactly (same rows, same key).
     tf = tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
     # one broadcast row: corpus size and mean doc length (over ALL docs).
-    # opt-r16: derived from the dl projection instead of a third
-    # tokenize pass over the text — dl has exactly one row per doc (a
-    # map-only projection of docs, no filter), so count(1)/sum(dl) equal
-    # the old count(1)/sum(size(tokens)) over docs value-for-value.
+    # opt-r16: written as an aggregate over the dl projection — dl has
+    # exactly one row per doc (a map-only projection of docs, no
+    # filter), so count(1)/sum(dl) equal the old
+    # count(1)/sum(size(tokens)) value-for-value. NOTE Catalyst still
+    # re-expands the dl expression into this consumer's own (pruned,
+    # fanned-out) subtree, so the corpus is scanned for this branch
+    # either way; the measured r16 win for this operator is the chains
+    # running parallel instead of fused serially into a single-split
+    # scan, not a reduced pass count. A materialized dl would remove
+    # the pass at 100 TB but costs a checkpoint barrier (measured
+    # slower at bench scale; see OPTIMIZATION_r16.md).
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("double").alias("n_tokens"),
@@ -171,8 +186,15 @@ def tfidf_top_terms(
     """
     # opt-r16 (guide §2.5): parallelize the tokenize+partial-agg chain on
     # single-split sources (no-op on real multi-split tables)
-    tok = fan_out_scan(docs.select(F.col(id_col), F.col(text_col))).select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    tok = (
+        fan_out_scan(docs.select(F.col(id_col), F.col(text_col)))
+        .select(
+            F.col(id_col),
+            # explode_outer + isNotNull: keeps the inferred generator
+            # filter above the fan-out exchange (see bm25_top_docs)
+            F.explode_outer(tokens(F.col(text_col))).alias("term"),
+        )
+        .filter(F.col("term").isNotNull())
     )
     tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     # opt-r16 (guide §2.4): df as a window count over tf instead of a

@@ -227,6 +227,17 @@ def test_bm25_filters_tokens_before_shuffle_and_group_limits(spark, sf_dir):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     # the token-side join with the query-term set must be a broadcast
     assert "BroadcastHashJoin" in plan
+    # opt-r16 pin: exactly one EXPLODED corpus pass (the tf chain) plus
+    # the two query-side explodes — the dl/stats branches must stay
+    # scalar size() projections, and the inferred size(tokens)>0
+    # generator filter must not re-materialize the tokenize below an
+    # exchange as a fourth corpus explode.
+    lit_queries = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "query_id long, text string"
+    )
+    lit_plan = _plan(bm25_top_docs(docs, lit_queries, k=5))
+    n_explodes = lit_plan.count("Generate explode")
+    assert n_explodes <= 3, lit_plan
 
 
 def test_classifier_scoring_is_jvm_only(spark, sf_dir):
