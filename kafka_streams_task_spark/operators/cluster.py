@@ -125,9 +125,10 @@ def connected_components(
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         rows = [(n, find(n)) for n in parent]
-        if not rows:
-            spark = edges.sparkSession
-            return spark.createDataFrame([], "node long, component long")
+        # local_table handles the empty case too (0-row pandas frame ->
+        # empty LocalTableScan): the old createDataFrame([], ...) special
+        # case built a pickled 0-row Python relation whose scan still
+        # round-tripped through Python workers at every consumer
         return local_table(edges.sparkSession, rows, "node long, component long")
 
     def checksum(df: DataFrame):

@@ -240,9 +240,23 @@ def local_table(spark, rows, schema):
     conversion rejects (deeply nested structs); the fallback is
     semantics-identical, just slower."""
     import pandas as pd
-    from pyspark.sql.types import StructType
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType, _parse_datatype_string
 
     rows = list(rows)
+    if not rows:
+        # Spark's Arrow conversion silently degrades an EMPTY pandas
+        # frame to the pickled-RDD relation (no exception, so the
+        # fallback below can't catch it): build the 0-row relation
+        # JVM-side from a 0-row range instead.
+        st = (
+            schema
+            if isinstance(schema, StructType)
+            else _parse_datatype_string(str(schema))
+        )
+        return spark.range(0).select(
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in st.fields]
+        )
     if isinstance(schema, StructType):
         names = schema.fieldNames()
     else:
