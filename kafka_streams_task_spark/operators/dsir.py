@@ -140,18 +140,6 @@ def _gram_explode(
     return out if outer else out.filter(F.col("idx").isNotNull())
 
 
-def _bucket_counts(
-    df: DataFrame, text_col: str, n_features: int, lowercase: bool
-) -> DataFrame:
-    """(idx, c) gram-occurrence counts per hashed bucket — one explode +
-    one partial+final aggregate, shuffle width ≤ n_features rows."""
-    return (
-        _gram_explode(df, text_col, n_features, lowercase, id_cols=[])
-        .groupBy("idx")
-        .agg(F.count(F.lit(1)).cast("double").alias("c"))
-    )
-
-
 def dsir_fit(
     target: DataFrame,
     raw: DataFrame,
@@ -168,23 +156,40 @@ def dsir_fit(
     silently otherwise (the bucket is ``gram mod width``).
 
     ``log_ratio[b] = ln p_target[b] − ln p_raw[b]`` under Laplace-alpha
-    smoothing. The two corpus totals are bounded scalar aggregates (the
+    smoothing. The corpus totals are bounded scalar aggregates (the
     ``logreg_train`` precedent); everything else stays distributed.
+
+    opt-r17 (guide §4.3 batched driver round-trips): BOTH corpora feed
+    one side-tagged union through a SINGLE gram explode + aggregate —
+    one Spark job where the old two-checkpoint form paid a sequential
+    job per side plus a separate totals job per side (dsir_select's
+    profile showed ~1.2 s of driver gaps over ~20 small jobs). Counts
+    per side come from conditional sums over the tag; the per-bucket
+    values and the totals are whole-number doubles either way, so the
+    model is bit-identical to the two-scan form (pinned by
+    ``test_tagged_fit_matches_two_scan_fit``'s canonical compare).
     """
     if alpha <= 0:
         raise ValueError(f"alpha must be positive, got {alpha}")
-    # pin the two bucket-count tables (≤n_features rows each): the
-    # totals below, the weight join, the unseen-default collect in
-    # dsir_score, and the broadcast all reuse them — without the pin,
-    # every consumer re-explodes the full corpus (4-5 scans instead of
-    # one per side). Freed once the weight table itself is pinned.
-    ct = _bucket_counts(target, text_col, n_features, lowercase).localCheckpoint(
-        eager=True
+    if text_col == "_dsir_t":
+        raise ValueError("text_col may not be named _dsir_t")
+    tagged = target.select(
+        F.lit(True).alias("_dsir_t"), F.col(text_col)
+    ).unionByName(raw.select(F.lit(False).alias("_dsir_t"), F.col(text_col)))
+    both = (
+        _gram_explode(tagged, text_col, n_features, lowercase, id_cols=["_dsir_t"])
+        .groupBy("idx")
+        .agg(
+            F.sum(F.when(F.col("_dsir_t"), 1).otherwise(0))
+            .cast("double")
+            .alias("ct_c"),
+            F.sum(F.when(F.col("_dsir_t"), 0).otherwise(1))
+            .cast("double")
+            .alias("cr_c"),
+        )
+        .localCheckpoint(eager=True)
     )
-    cr = _bucket_counts(raw, text_col, n_features, lowercase).localCheckpoint(
-        eager=True
-    )
-    return _finish_model(ct, cr, n_features, alpha, free=[ct, cr])
+    return _finish_model(both, n_features, alpha)
 
 
 def dsir_fit_tagged(
@@ -230,72 +235,58 @@ def dsir_fit_tagged(
         )
         .localCheckpoint(eager=True)
     )
-    ct = both.filter(F.col("ct_c") > 0).select("idx", F.col("ct_c").alias("c"))
-    cr = both.select("idx", F.col("cr_c").alias("c"))
-    return _finish_model(ct, cr, n_features, alpha, free=[both])
+    return _finish_model(both, n_features, alpha)
 
 
 def _finish_model(
-    ct: DataFrame,
-    cr: DataFrame,
+    both: DataFrame,
     n_features: int,
     alpha: float,
-    free: list[DataFrame],
 ) -> DataFrame:
-    """Totals → λ join → default row → pinned model, from two (idx, c)
-    count tables (cheap derivations of the checkpointed frames in
-    ``free``, which are released once the model is materialized)."""
-    n_t = ct.agg(F.sum("c")).first()[0] or 0.0
-    n_r = cr.agg(F.sum("c")).first()[0] or 0.0
+    """Totals → λ projection → default row → pinned model, from ONE
+    checkpointed per-bucket count table ``(idx, ct_c, cr_c)`` (zero
+    counts mean "bucket unseen on that side" — arithmetic-identical to
+    the old full-outer join's NULL + coalesce(0), and the row set is
+    the same union of both sides' buckets). One driver job fetches both
+    totals (opt-r17, guide §4.3: the old form paid one job per side);
+    the checkpointed frame is released once the model is materialized."""
+    row = both.agg(F.sum("ct_c"), F.sum("cr_c")).first()
+    n_t = row[0] or 0.0
+    n_r = row[1] or 0.0
     denom_t = n_t + alpha * float(n_features)
     denom_r = n_r + alpha * float(n_features)
     lam = F.log(
-        (F.coalesce(F.col("t.c"), F.lit(0.0)) + F.lit(float(alpha)))
-        / F.lit(denom_t)
-    ) - F.log(
-        (F.coalesce(F.col("r.c"), F.lit(0.0)) + F.lit(float(alpha)))
-        / F.lit(denom_r)
-    )
-    weights = (
-        ct.alias("t")
-        .join(cr.alias("r"), "idx", "full_outer")
-        .select(
-            F.col("idx").cast("long").alias("idx"),
-            lam.cast("double").alias("log_ratio"),
-            F.lit(int(n_features)).cast("long").alias("n_features"),
-        )
+        (F.col("ct_c") + F.lit(float(alpha))) / F.lit(denom_t)
+    ) - F.log((F.col("cr_c") + F.lit(float(alpha))) / F.lit(denom_r))
+    weights = both.select(
+        F.col("idx").cast("long").alias("idx"),
+        lam.cast("double").alias("log_ratio"),
+        F.lit(int(n_features)).cast("long").alias("n_features"),
     )
     unseen = math.log(alpha / denom_t) - math.log(alpha / denom_r)
     default_row = local_table(
-        ct.sparkSession,
+        both.sparkSession,
         [(None, float(unseen), int(n_features))],
         "idx bigint, log_ratio double, n_features bigint",
     )
     # materialize the model (≤n_features+1 rows), then free the count
-    # tables — the returned DataFrame is self-contained: scoring /
+    # table — the returned DataFrame is self-contained: scoring /
     # broadcasting it never re-touches either corpus
     out = weights.unionByName(default_row).localCheckpoint(eager=True)
-    # best-effort: the freed blocks are ≤n_features rows each, so a
-    # Spark build where the analyzed plan of a localCheckpoint is not a
+    # best-effort: the freed blocks are ≤n_features rows, so a Spark
+    # build where the analyzed plan of a localCheckpoint is not a
     # LogicalRDD should degrade to a tiny leak, never a crash
     try:
-        for frame in free:
-            frame._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        both._jdf.queryExecution().analyzed().rdd().unpersist(False)
     except Exception:  # pragma: no cover - vendor-build defensiveness
         pass
     return out
 
 
-def _resolve_width(weights: DataFrame, n_features: int | None) -> int:
-    """The hash width to score with: the model's stamped ``n_features``
-    when present (validated against the param if both are given —
-    scoring with a different width than the fit mis-hashes every gram
-    SILENTLY), else the explicit param (hand-built weight tables)."""
-    stamped = None
-    if "n_features" in weights.columns:
-        row = weights.select("n_features").first()
-        if row is not None and row[0] is not None:
-            stamped = int(row[0])
+def _check_width(stamped: int | None, n_features: int | None) -> int:
+    """Resolve the hash width from a stamped value and/or the explicit
+    param: scoring with a different width than the fit mis-hashes every
+    gram SILENTLY, so a stamp/param mismatch is an error."""
     if stamped is None:
         if n_features is None:
             raise ValueError(
@@ -310,6 +301,41 @@ def _resolve_width(weights: DataFrame, n_features: int | None) -> int:
             "mis-hashes every gram"
         )
     return stamped
+
+
+def _resolve_width(weights: DataFrame, n_features: int | None) -> int:
+    """The hash width to score with: the model's stamped ``n_features``
+    when present, else the explicit param (hand-built weight tables)."""
+    stamped = None
+    if "n_features" in weights.columns:
+        row = weights.select("n_features").first()
+        if row is not None and row[0] is not None:
+            stamped = int(row[0])
+    return _check_width(stamped, n_features)
+
+
+def _model_meta(
+    weights: DataFrame, n_features: int | None
+) -> tuple[int, float]:
+    """(resolved width, unseen-bucket default) in ONE driver job for
+    every fitted model (opt-r17, guide §4.3: ``dsir_score`` previously
+    paid a stamp-probe job AND a default-row collect). The default row
+    carries the stamp like every other row, so one filtered collect
+    answers both; only a hand-built table without a default row falls
+    back to the stamp probe."""
+    has_stamp = "n_features" in weights.columns
+    cols = ["log_ratio"] + (["n_features"] if has_stamp else [])
+    default_rows = weights.filter(F.col("idx").isNull()).select(*cols).collect()
+    unseen = float(default_rows[0]["log_ratio"]) if default_rows else 0.0
+    stamped = None
+    if has_stamp:
+        if default_rows and default_rows[0]["n_features"] is not None:
+            stamped = int(default_rows[0]["n_features"])
+        else:
+            row = weights.select("n_features").first()
+            if row is not None and row[0] is not None:
+                stamped = int(row[0])
+    return _check_width(stamped, n_features), unseen
 
 
 def dsir_score(
@@ -334,9 +360,7 @@ def dsir_score(
     (idx, log_ratio) form, but fitted models should always keep their
     default row: dropping it silently flattens unseen-bucket mass.
     """
-    n_features = _resolve_width(weights, n_features)
-    default_rows = weights.filter(F.col("idx").isNull()).collect()
-    unseen = float(default_rows[0]["log_ratio"]) if default_rows else 0.0
+    n_features, unseen = _model_meta(weights, n_features)
     w = weights.filter(F.col("idx").isNotNull()).select("idx", "log_ratio")
     grams = _gram_explode(
         df, text_col, n_features, lowercase, id_cols=[id_col], outer=True
@@ -364,8 +388,16 @@ def dsir_dense_model(
     the corpus, so this driver collect is the legitimate "ship the
     model" step (~64 KB at the default 2^13), not an unbounded
     materialization."""
-    n_features = _resolve_width(weights, n_features)
     rows = weights.collect()
+    # resolve the width from the already-collected rows (opt-r17: the
+    # separate stamp-probe job is redundant next to a full collect)
+    stamped = None
+    if "n_features" in weights.columns:
+        stamped = next(
+            (int(r["n_features"]) for r in rows if r["n_features"] is not None),
+            None,
+        )
+    n_features = _check_width(stamped, n_features)
     unseen = next(
         (r["log_ratio"] for r in rows if r["idx"] is None), 0.0
     )
