@@ -1425,6 +1425,7 @@ def decontaminate_bloom(
     corpus_text: str = "text",
     bench_text: str = "text",
     min_overlap: int = 1,
+    dense_max_bits: int = 1 << 27,
 ) -> DataFrame:
     """:func:`decontaminate` behind a Bloom pre-filter. With
     ``benchmark`` given, bloom survivors are exactly verified and the
@@ -1432,15 +1433,22 @@ def decontaminate_bloom(
     negatives); without it, the output over-flags at the filter's FPP —
     the conservative direction for decontamination.
 
-    Scale shape: the corpus scans once; each distinct shingle hash makes
-    ``k`` broadcast hash-join probes into the word table (all codegen,
-    no Python stage, no shuffle before the filter). Only bloom HITS
-    reach the verify join, so its corpus side is rare and the benchmark
-    side no longer needs to fit a broadcast hash relation."""
+    Scale shape (opt-r17, guide §3.2 "broadcast the filter once"): when
+    the filter fits ``dense_max_bits`` (default 2^27 bits = 16 MB, the
+    guide's "a few hundred MB is fine" with margin), the word table is
+    collapsed into ONE dense array literal and all ``k`` probes become
+    pure codegen expressions — zero joins before the hit filter. The
+    old shape made ``k`` separate broadcast hash-joins into the word
+    table (k BroadcastExchanges per query: the aliases defeat reuse);
+    identical bit math, so identical output. Filters past the dense
+    bound keep the k-join form (each join ships only the nonzero
+    words, the sparse-safe representation). Only bloom HITS reach the
+    verify join, so its corpus side is rare and the benchmark side
+    never needs to fit a broadcast hash relation."""
     m, k = bloom.m_bits, bloom.num_hashes
     # opt-r16 (guide §2.5/§4.4): fan the projected corpus out — the 8-gram
-    # shingle chain, all k broadcast probes and the hit filter fuse into
-    # the scan stage and ran serially on a single-split source — and use
+    # shingle chain, the probes and the hit filter fuse into the scan
+    # stage and ran serially on a single-split source — and use
     # explode_outer + a post-generate null filter so the inferred
     # size() predicate can't sink below the exchange with the shingle
     # expression substituted in (hashes are never null; only the
@@ -1452,23 +1460,42 @@ def decontaminate_bloom(
     ).filter(F.col("h").isNotNull())
     probes = _bloom_probe_cols(F.col("h"), m, k)
     out = corpus_sh
-    hit = F.lit(True)
-    for i, pos in enumerate(probes):
-        out = out.withColumn(f"_bp{i}", pos)
-        out = out.join(
-            F.broadcast(
-                bloom.words.select(
-                    F.col("word_idx").alias(f"_bw{i}"),
-                    F.col("word").alias(f"_bwv{i}"),
-                )
-            ),
-            on=F.col(f"_bw{i}") == F.shiftrightunsigned(F.col(f"_bp{i}"), 6),
-            how="left",
-        )
-        hit = hit & F.coalesce(
-            F.expr(f"(_bwv{i} & shiftleft(1L, cast(_bp{i} % 64 AS int))) != 0"),
-            F.lit(False),
-        )
+    if m <= int(dense_max_bits):
+        import numpy as np
+
+        dense = np.zeros(m // 64, dtype=np.int64)
+        for r in bloom.words.collect():
+            dense[int(r["word_idx"])] = int(r["word"])
+        # one Literal array node (not CreateArray): O(1) indexed access
+        # in codegen, shipped once with the stage's task binary
+        lit_words = F.lit(dense.tolist()).cast("array<bigint>")
+        hit = F.lit(True)
+        for i, pos in enumerate(probes):
+            out = out.withColumn(f"_bp{i}", pos)
+            word = F.element_at(
+                lit_words,
+                (F.shiftrightunsigned(F.col(f"_bp{i}"), 6) + F.lit(1)).cast("int"),
+            )
+            mask = F.expr(f"shiftleft(1L, cast(_bp{i} % 64 AS int))")
+            hit = hit & (word.bitwiseAND(mask) != F.lit(0))
+    else:
+        hit = F.lit(True)
+        for i, pos in enumerate(probes):
+            out = out.withColumn(f"_bp{i}", pos)
+            out = out.join(
+                F.broadcast(
+                    bloom.words.select(
+                        F.col("word_idx").alias(f"_bw{i}"),
+                        F.col("word").alias(f"_bwv{i}"),
+                    )
+                ),
+                on=F.col(f"_bw{i}") == F.shiftrightunsigned(F.col(f"_bp{i}"), 6),
+                how="left",
+            )
+            hit = hit & F.coalesce(
+                F.expr(f"(_bwv{i} & shiftleft(1L, cast(_bp{i} % 64 AS int))) != 0"),
+                F.lit(False),
+            )
     candidates = out.filter(hit).select(corpus_id, "h")
     if benchmark is not None:
         bench_sh = (
