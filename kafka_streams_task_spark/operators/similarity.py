@@ -834,18 +834,67 @@ def _ivfpq_train(
 
 
 def _ivfpq_index(corpus, id_col, vec_col, centroids, books, dropped_acc=None):
-    """One chained Arrow stage: coarse assignment + residual PQ codes.
+    """ONE fused Arrow kernel: coarse assignment + residual PQ codes
+    (opt-r17, guide §4.2/§4.5 stage fusion — the r16 shape chained two
+    mapInPandas stages, so every corpus vector crossed the Python
+    boundary twice and rode back out of the assignment stage only to be
+    shipped into the encode stage again; fused, the vector crosses once
+    and only (id, cluster, m codes) ever leaves Python). Identical
+    numpy ops in the identical order — bit-identical codes, re-proven
+    against the oracle for the gated consumers.
     Returns (c_slim, c_indexed) — the (id, vector) projection the rerank
     uses, and the searchable (neighbor_id, cluster, codes) index."""
-    cent_norm = _l2_normalize(centroids.astype("float64"))
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cent = centroids.astype("float64")
+    cent_sq = (cent**2).sum(axis=1)
+    cent_norm = _l2_normalize(cent)
+    m, ks, sub = books.shape
+    dim = m * sub
+    books_sq = (books**2).sum(axis=2)  # (m, ks)
+
     c_slim = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    out_schema = T.StructType(
+        [
+            c_slim.schema["neighbor_id"],
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
     # opt-r16 measured note: deliberately NOT fanned out — see the
     # knn_ivf assignment note (chained Arrow stages x 32 tasks pay a
     # worker-startup storm that dwarfs the serialized matmul here).
-    c_indexed = _pq_encode(
-        _assign_clusters(c_slim, "c_vec", centroids, 1, "cluster", dropped_acc=dropped_acc),
-        "c_vec", books, centroids_norm=cent_norm,
-    ).select("neighbor_id", "cluster", "codes")
+    def batches(it):
+        for pdf in it:
+            pdf = _guard_vectors(pdf, "c_vec", dim, dropped_acc)
+            mat = np.array([np.asarray(v, dtype="float64") for v in pdf["c_vec"]])
+            if len(mat) == 0:
+                yield pd.DataFrame(columns=[f.name for f in out_schema.fields])
+                continue
+            # argmin ||x-c||^2 = ||c||^2 - 2 x.c (||x||^2 constant per row);
+            # argsort[:, 0] (not argmin) to match _assign_clusters' exact
+            # tie behavior — the fused kernel must reproduce the chained
+            # path's assignments bit-for-bit
+            scores = cent_sq[None, :] - 2.0 * (mat @ cent.T)
+            assign = np.argsort(scores, axis=1)[:, 0]
+            resid = _l2_normalize(mat) - cent_norm[assign]
+            codes = np.zeros((len(resid), m), dtype="int32")
+            for j in range(m):
+                x = resid[:, j * sub : (j + 1) * sub]
+                codes[:, j] = (
+                    books_sq[j][None, :] - 2.0 * (x @ books[j].T)
+                ).argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "cluster": assign.astype("int32"),
+                    "codes": list(codes),
+                }
+            )
+
+    c_indexed = c_slim.mapInPandas(batches, out_schema)
     return c_slim, c_indexed
 
 
@@ -865,37 +914,49 @@ def _ivfpq_search(
     from pyspark.sql import types as T
 
     q_slim = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    q_assigned = _assign_clusters(
-        q_slim, "q_vec", centroids, n_probe, "cluster", dropped_acc=dropped_acc
-    )
 
+    cent = centroids.astype("float64")
+    cent_sq = (cent**2).sum(axis=1)
+    dim = m * sub
     lut_schema = T.StructType(
-        list(q_assigned.schema.fields)
+        list(q_slim.schema.fields)
         + [
+            T.StructField("cluster", T.IntegerType()),
             T.StructField("lut", T.ArrayType(T.ArrayType(T.DoubleType()))),
             T.StructField("qc", T.DoubleType()),
         ]
     )
 
+    # opt-r17 (guide §4.2/§4.5 stage fusion): probe assignment + the ADC
+    # lookup table + the exact q·c term in ONE Arrow kernel — the r16
+    # shape chained _assign_clusters into a second with_lut mapInPandas,
+    # paying the Python-stage round trip twice per query batch. Same
+    # numpy ops, same probe-major emission order as the chained path.
     def with_lut(it):
         for pdf in it:
-            if len(pdf) == 0:
+            pdf = _guard_vectors(pdf, "q_vec", dim, dropped_acc)
+            raw = np.array([np.asarray(v, dtype="float64") for v in pdf["q_vec"]])
+            if len(raw) == 0:
                 yield pd.DataFrame(columns=[f.name for f in lut_schema.fields])
                 continue
-            mat = _l2_normalize(
-                np.array([np.asarray(v, dtype="float64") for v in pdf["q_vec"]])
-            )
-            luts = []
-            for row in mat:
-                luts.append(
-                    [list((books[j] @ row[j * sub : (j + 1) * sub])) for j in range(m)]
-                )
-            out = pdf.copy()
-            out["lut"] = luts
-            out["qc"] = (mat * cent_norm[pdf["cluster"].to_numpy()]).sum(axis=1)
-            yield out
+            order = np.argsort(cent_sq[None, :] - 2.0 * (raw @ cent.T), axis=1)[
+                :, :n_probe
+            ]
+            mat = _l2_normalize(raw)
+            luts = [
+                [list((books[j] @ row[j * sub : (j + 1) * sub])) for j in range(m)]
+                for row in mat
+            ]
+            reps = []
+            for j in range(n_probe):
+                rep = pdf.copy()
+                rep["cluster"] = order[:, j].astype("int32")
+                rep["lut"] = luts
+                rep["qc"] = (mat * cent_norm[order[:, j]]).sum(axis=1)
+                reps.append(rep)
+            yield pd.concat(reps, ignore_index=True)
 
-    q_with_lut = q_assigned.mapInPandas(with_lut, lut_schema)
+    q_with_lut = q_slim.mapInPandas(with_lut, lut_schema)
 
     # ADC scoring in codegen: qc + sum_j lut[j][codes[j]]
     adc = F.col("qc") + F.aggregate(
