@@ -109,8 +109,12 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         # local test files are 10-40MB singles; smaller split target keeps
         # all cores busy on a scan (cluster deployments with many files
-        # raise this back toward the 128m default)
-        .config("spark.sql.files.maxPartitionBytes", "16m")
+        # raise this back toward the 128m default). Env-overridable for
+        # cluster profiles and for the r17 sf1-scale knob validation.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.ui.enabled", "false")

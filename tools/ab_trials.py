@@ -84,9 +84,15 @@ def main() -> int:
 
     workloads = bench._ops_workloads()
     raw = bench._raw_ops() if hasattr(bench, "_raw_ops") else {}
+    # r17: fall back to catalog queries (bench.py's own resolution order),
+    # so headline entries that are plain catalog functions can be trialed
+    from kafka_streams_task_spark.catalog import CATALOG
+
     out: dict[str, list[float]] = {}
     for name in ops:
         fn = workloads.get(name) or raw.get(name)
+        if fn is None and name in CATALOG:
+            fn = CATALOG[name].fn
         if fn is None:
             print(f"# {name}: not in this root's bench", file=sys.stderr)
             continue
