@@ -1425,7 +1425,7 @@ def decontaminate_bloom(
     corpus_text: str = "text",
     bench_text: str = "text",
     min_overlap: int = 1,
-    dense_max_bits: int = 1 << 27,
+    dense_max_bits: int = 0,
 ) -> DataFrame:
     """:func:`decontaminate` behind a Bloom pre-filter. With
     ``benchmark`` given, bloom survivors are exactly verified and the
@@ -1433,18 +1433,20 @@ def decontaminate_bloom(
     negatives); without it, the output over-flags at the filter's FPP —
     the conservative direction for decontamination.
 
-    Scale shape (opt-r17, guide §3.2 "broadcast the filter once"): when
-    the filter fits ``dense_max_bits`` (default 2^27 bits = 16 MB, the
-    guide's "a few hundred MB is fine" with margin), the word table is
-    collapsed into ONE dense array literal and all ``k`` probes become
-    pure codegen expressions — zero joins before the hit filter. The
-    old shape made ``k`` separate broadcast hash-joins into the word
-    table (k BroadcastExchanges per query: the aliases defeat reuse);
-    identical bit math, so identical output. Filters past the dense
-    bound keep the k-join form (each join ships only the nonzero
-    words, the sparse-safe representation). Only bloom HITS reach the
-    verify join, so its corpus side is rare and the benchmark side
-    never needs to fit a broadcast hash relation."""
+    Probe shapes (opt-r17, guide §3.2 "broadcast the filter once",
+    measured): with ``dense_max_bits`` > 0 and a filter under that
+    bound, the word table collapses into ONE dense array literal and
+    all ``k`` probes become pure codegen expressions — zero joins
+    before the hit filter, identical bit math (equivalence-pinned).
+    Measured at bench scale the dense form trades the k broadcast
+    builds for one driver collect and reads as a wall-clock WASH
+    (probe-stage cpu −7%, fixed cost +0.15-0.3s), so the k-join form
+    stays the DEFAULT (``dense_max_bits=0``) and the dense probe is
+    the opt-in for deployments where the per-row probe dominates
+    (corpus ≫ filter; the r17 rejection receipt lives in
+    OPTIMIZATION_r17.md). Only bloom HITS reach the verify join, so
+    its corpus side is rare and the benchmark side never needs to fit
+    a broadcast hash relation."""
     m, k = bloom.m_bits, bloom.num_hashes
     # opt-r16 (guide §2.5/§4.4): fan the projected corpus out — the 8-gram
     # shingle chain, the probes and the hit filter fuse into the scan
@@ -1460,7 +1462,7 @@ def decontaminate_bloom(
     ).filter(F.col("h").isNotNull())
     probes = _bloom_probe_cols(F.col("h"), m, k)
     out = corpus_sh
-    if m <= int(dense_max_bits):
+    if 0 < int(dense_max_bits) and m <= int(dense_max_bits):
         import numpy as np
 
         dense = np.zeros(m // 64, dtype=np.int64)

@@ -85,10 +85,10 @@ def test_bloom_alone_has_no_false_negatives(spark, sf_dir):
         assert approx.get(doc_id, 0) >= n, f"doc {doc_id} lost by bloom"
 
 
-def test_bloom_plan_is_codegen_only(spark):
-    """opt-r17 dense path: the filter is ONE array literal probed by k
-    pure expressions — zero joins of any kind before the hit filter, no
-    Python stage, no nested loop / cartesian."""
+def test_bloom_plan_default_is_codegen_broadcast_only(spark):
+    """Default (sparse) path: k broadcast probes, no Python stage, no
+    nested loop / cartesian; opt-in dense path: ONE array literal
+    probed by k pure expressions — zero joins before the hit filter."""
     corpus = spark.createDataFrame([Row(doc_id=1, text=LEAK)])
     bench = spark.createDataFrame([(LEAK,)], ["text"])
     bloom = build_shingle_bloom(bench, shingle_n=8, n_items=8)
@@ -96,32 +96,34 @@ def test_bloom_plan_is_codegen_only(spark):
         decontaminate_bloom(corpus, bloom)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Join" not in plan
+    assert plan.count("BroadcastHashJoin") == bloom.num_hashes
     assert "Python" not in plan and "Arrow" not in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    dense_plan = (
+        decontaminate_bloom(corpus, bloom, dense_max_bits=1 << 27)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in dense_plan
+    assert "Python" not in dense_plan and "Arrow" not in dense_plan
 
 
 def test_bloom_dense_and_join_paths_agree(spark):
-    """The dense-literal probe and the sparse k-broadcast-join fallback
-    compute the same bit math — identical flagged rows and counts."""
+    """The opt-in dense-literal probe and the default sparse
+    k-broadcast-join path compute the same bit math — identical
+    flagged rows and counts."""
     corpus = spark.createDataFrame(
         [Row(doc_id=1, text=LEAK), Row(doc_id=2, text="c1 c2 c3 c4 c5 c6 c7 c8 c9")]
     )
     bench = spark.createDataFrame([(LEAK,)], ["text"])
     bloom = build_shingle_bloom(bench, shingle_n=8, n_items=8)
-    dense = sorted(map(tuple, decontaminate_bloom(corpus, bloom).collect()))
-    joins = sorted(
+    dense = sorted(
         map(
             tuple,
-            decontaminate_bloom(corpus, bloom, dense_max_bits=0).collect(),
+            decontaminate_bloom(corpus, bloom, dense_max_bits=1 << 27).collect(),
         )
     )
+    joins = sorted(map(tuple, decontaminate_bloom(corpus, bloom).collect()))
     assert dense == joins
-    plan = (
-        decontaminate_bloom(corpus, bloom, dense_max_bits=0)
-        ._jdf.queryExecution().executedPlan().toString()
-    )
-    assert plan.count("BroadcastHashJoin") == bloom.num_hashes
 
 
 def test_bloom_words_table_is_compact(spark):
