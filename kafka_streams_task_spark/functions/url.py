@@ -573,16 +573,23 @@ def with_registered_domain_psl(
         + [t.count(".") + 2 for t in wc_tails]
         + [r.count(".") + 1 for r in exc]
     )
-    exact_set, exc_set = set(exact), set(exc)
+    exact_set, exc_set, wct_set = set(exact), set(exc), set(wc_tails)
     # opt-r16: local_table -> JVM LocalTableScan; the old pickled-RDD
     # relations ran Python workers for every one of the K broadcast
     # builds (profiled: two 32-task all-wait stages per query).
+    # opt-r17 (guide §1.2 plan-size / driver latency): wildcard tails
+    # ride IN the rule table as a third flag instead of a separate
+    # table probed at k-1 — the k-1 rule join already keys on the same
+    # suffix, so the K-1 extra wildcard joins fold away (11 joins -> 6
+    # on the full list; plan build measured 1.05s -> see report).
     comb = local_table(
         spark,
-        [(r, r in exc_set, r in exact_set) for r in sorted(exact_set | exc_set)],
-        "rule string, is_exc boolean, is_ex boolean",
+        [
+            (r, r in exc_set, r in exact_set, r in wct_set)
+            for r in sorted(exact_set | exc_set | wct_set)
+        ],
+        "rule string, is_exc boolean, is_ex boolean, is_wct boolean",
     )
-    wc = local_table(spark, [(t,) for t in sorted(set(wc_tails))], "tail string")
 
     # every generated working column for the computed k_max must be
     # clash-checked, not just the fixed three — an input column named
@@ -591,22 +598,40 @@ def with_registered_domain_psl(
     generated += [f"_s{k}" for k in range(1, k_max + 1)]
     generated += [f"_ex{k}" for k in range(1, k_max + 1)]
     generated += [f"_exc{k}" for k in range(1, k_max + 1)]
-    generated += [f"_w{k}" for k in range(2, k_max + 1)]
+    generated += [f"_wt{k}" for k in range(1, k_max + 1)]
     clash = [c for c in generated if c in df.columns]
     if clash:
         raise ValueError(f"df already has columns {clash!r}")
 
+    # opt-r17 (guide §2.5): the host parse + all K broadcast probes fuse
+    # into the scan stage; a single-split source runs the whole chain in
+    # ONE task (profiled: 0.3-0.6s serial CPU on the sf0.1 fixture).
+    # fan_out_scan is a no-op on multi-split tables and pre-fanned input.
+    from ..schemas import fan_out_scan
+
+    df = fan_out_scan(df)
+    # layered: _h materialized once, then _p/_n derive from the column,
+    # then every suffix in ONE select (a withColumn per suffix pays a
+    # py4j + analysis round trip each — part of the measured 1.05s
+    # plan-build cost this rewrite removes)
+    n = F.col("_n")
     out = (
         df.withColumn("_h", extract_host(F.col(url_col)))
         .withColumn("_p", F.split(F.col("_h"), r"\."))
         .withColumn("_n", F.size(F.col("_p")))
-    )
-    n = F.col("_n")
-    for k in range(1, k_max + 1):
-        sfx = F.when(
-            n >= k, F.concat_ws(".", F.slice(F.col("_p"), n - F.lit(k) + 1, F.lit(k)))
+        .select(
+            "*",
+            *[
+                F.when(
+                    n >= k,
+                    F.concat_ws(
+                        ".", F.slice(F.col("_p"), n - F.lit(k) + 1, F.lit(k))
+                    ),
+                ).alias(f"_s{k}")
+                for k in range(1, k_max + 1)
+            ],
         )
-        out = out.withColumn(f"_s{k}", sfx)
+    )
     for k in range(1, k_max + 1):
         out = out.join(
             F.broadcast(
@@ -614,15 +639,10 @@ def with_registered_domain_psl(
                     F.col("rule").alias(f"_s{k}"),
                     F.col("is_ex").alias(f"_ex{k}"),
                     F.col("is_exc").alias(f"_exc{k}"),
+                    F.col("is_wct").alias(f"_wt{k}"),
                 )
             ),
             on=f"_s{k}",
-            how="left",
-        )
-    for k in range(2, k_max + 1):
-        out = out.join(
-            F.broadcast(wc.select(F.col("tail").alias(f"_s{k - 1}"), F.lit(True).alias(f"_w{k}"))),
-            on=f"_s{k - 1}",
             how="left",
         )
 
@@ -644,7 +664,7 @@ def with_registered_domain_psl(
         # to the tail (e.g. 'nom.br' under '*.nom.br') would take
         # ps_len = k > n and lose its real shorter-rule match (r9 bug,
         # caught by the full-list differential sample)
-        F.when(F.col(f"_w{k}") & (n >= k), F.lit(k)).otherwise(
+        F.when(F.col(f"_wt{k - 1}") & (n >= k), F.lit(k)).otherwise(
             F.lit(None).cast("int")
         )
         for k in range(2, k_max + 1)
@@ -667,5 +687,5 @@ def with_registered_domain_psl(
     drop += [f"_s{k}" for k in range(1, k_max + 1)]
     drop += [f"_ex{k}" for k in range(1, k_max + 1)]
     drop += [f"_exc{k}" for k in range(1, k_max + 1)]
-    drop += [f"_w{k}" for k in range(2, k_max + 1)]
+    drop += [f"_wt{k}" for k in range(1, k_max + 1)]
     return out.drop(*drop)
